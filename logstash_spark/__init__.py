@@ -1,0 +1,23 @@
+"""logstash_spark — a PySpark-native log/telemetry parse→enrich→route→aggregate engine.
+
+A from-scratch rebuild of the *capabilities* of Logstash core (reference:
+andrewvc/logstash, JRuby 1.5.x/2.0.0.dev) on the Spark DataFrame/SQL stack:
+
+- events are DataFrame rows, not per-event Ruby hashes
+  (reference: lib/logstash/event.rb)
+- the filter chain is a composition of Column expressions optimized by
+  Catalyst, not eval'd straight-line Ruby
+  (reference: lib/logstash/config/config_ast.rb:85-127)
+- grok is a pattern library compiled to a single vectorized regex applied
+  per Arrow batch (reference plugin surface: rakelib/default_plugins.rb)
+- enrichment (translate/geoip) is broadcast-hash-join lookup, routing is a
+  tagged single-scan fan-out to multiple sinks
+  (reference: lib/logstash/pipeline.rb output stage)
+
+Nothing here is a port — semantics are pinned by the reference's specs
+(spec/core/*.rb); the physical design is Spark-first.
+"""
+
+from logstash_spark.session import get_spark  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,230 @@
+"""The Logstash conditional-expression algebra compiled to Column predicates.
+
+Grammar surface (reference lib/logstash/config/grammar.rb:1837-3396, compile
+rules lib/logstash/config/config_ast.rb:375-513):
+
+    expr   := expr (and|or|xor|nand) expr | '!' '(' expr ')' | '(' expr ')'
+            | rvalue (==|!=|<|>|<=|>=) rvalue
+            | rvalue (=~|!~) (regexp|string)
+            | rvalue ['not'] 'in' rvalue
+            | selector                       # bare truthiness
+
+Null semantics are TWO-valued, not SQL three-valued — this is the part
+Catalyst won't give us for free. Pinned by spec/core/conditionals_spec.rb:
+- ``in`` on a missing field/collection -> false (config_ast.rb:458-463;
+  conditionals_spec.rb:146-178)
+- ``not in`` on a missing collection -> TRUE (config_ast.rb:465-470;
+  conditionals_spec.rb:180-203 "no string in missing field")
+- ``==`` is Ruby equality: nil == nil is true -> null-safe equality
+- bare selector: exists and truthy — nil/false falsy, everything else truthy
+  (config_ast.rb:508-512; conditionals_spec.rb:299-313)
+- regex ``=~`` is an unanchored search (Ruby semantics) -> ``rlike``
+
+Every compiled predicate therefore coalesces to a definite boolean.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logstash_spark.event import _dtype_of, field_col, top_field
+
+# ---------------------------------------------------------------------------
+# rvalues
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Field:
+    """A selector rvalue ``[foo]`` / ``[a][b]``."""
+
+    ref: str
+
+
+Rvalue = Union[Field, str, int, float, bool, list, None]
+
+
+def _rv_col(rv: Rvalue, df: DataFrame | None) -> Column:
+    if isinstance(rv, Field):
+        if df is not None and top_field(rv.ref) not in df.columns:
+            return F.lit(None)
+        return field_col(rv.ref)
+    if isinstance(rv, list):
+        return F.array(*[F.lit(x) for x in rv])
+    return F.lit(rv)
+
+
+def _rv_dtype(rv: Rvalue, df: DataFrame | None) -> T.DataType | None:
+    if isinstance(rv, Field):
+        return _dtype_of(df, rv.ref)
+    if isinstance(rv, str):
+        return T.StringType()
+    if isinstance(rv, bool):
+        return T.BooleanType()
+    if isinstance(rv, (int, float)):
+        return T.DoubleType()
+    if isinstance(rv, list):
+        return T.ArrayType(T.StringType())
+    return None
+
+
+# ---------------------------------------------------------------------------
+# expression nodes
+# ---------------------------------------------------------------------------
+
+
+class Expr:
+    def compile(self, df: DataFrame | None = None) -> Column:  # pragma: no cover
+        raise NotImplementedError
+
+    def __and__(self, other: "Expr") -> "Expr":
+        return And(self, other)
+
+    def __or__(self, other: "Expr") -> "Expr":
+        return Or(self, other)
+
+    def __invert__(self) -> "Expr":
+        return Not(self)
+
+
+@dataclass(frozen=True)
+class Cmp(Expr):
+    """``==, !=, <, >, <=, >=`` (grammar.rb:3076-3230)."""
+
+    left: Rvalue
+    op: str
+    right: Rvalue
+
+    def compile(self, df: DataFrame | None = None) -> Column:
+        lc, rc = _rv_col(self.left, df), _rv_col(self.right, df)
+        if self.op == "==":
+            return lc.eqNullSafe(rc)  # Ruby: nil == nil -> true
+        if self.op == "!=":
+            return ~lc.eqNullSafe(rc)
+        cmpc = {
+            "<": lc < rc,
+            ">": lc > rc,
+            "<=": lc <= rc,
+            ">=": lc >= rc,
+        }[self.op]
+        # Ruby raises on nil comparison; a Logstash config that hits it kills
+        # the worker — the usable semantics (and what specs exercise) is
+        # definite-false on missing operands.
+        return F.coalesce(cmpc, F.lit(False))
+
+
+@dataclass(frozen=True)
+class Rx(Expr):
+    """``=~ / !~`` — unanchored regex search (config_ast.rb:479-491)."""
+
+    left: Rvalue
+    pattern: str
+    negate: bool = False
+
+    def compile(self, df: DataFrame | None = None) -> Column:
+        lc = _rv_col(self.left, df).cast("string")
+        m = lc.rlike(self.pattern)
+        if self.negate:
+            # nil !~ /re/ -> true in Ruby (no match possible)
+            return F.coalesce(~m, F.lit(True))
+        return F.coalesce(m, F.lit(False))
+
+
+@dataclass(frozen=True)
+class In(Expr):
+    """``in / not in`` (config_ast.rb:458-470).
+
+    Ruby dispatch: ``right.include?(left)`` — so semantics depend on the
+    *collection* side's type: array membership, or substring when the
+    collection is a string. Missing anything: ``in`` -> false,
+    ``not in`` -> true (the asymmetry conditionals_spec.rb:188-201 pins).
+    """
+
+    item: Rvalue
+    coll: Rvalue
+    negate: bool = False
+
+    def compile(self, df: DataFrame | None = None) -> Column:
+        item_c = _rv_col(self.item, df)
+        coll_c = _rv_col(self.coll, df)
+        coll_t = _rv_dtype(self.coll, df)
+        if isinstance(coll_t, T.ArrayType) or isinstance(self.coll, list):
+            inc = F.array_contains(coll_c, item_c)
+        else:
+            inc = coll_c.cast("string").contains(item_c.cast("string"))
+        if self.negate:
+            return F.coalesce(~inc, F.lit(True))
+        return F.coalesce(inc, F.lit(False))
+
+
+@dataclass(frozen=True)
+class Truthy(Expr):
+    """Bare selector ``if [field]`` (config_ast.rb:508-512)."""
+
+    ref: str
+
+    def compile(self, df: DataFrame | None = None) -> Column:
+        if df is not None and top_field(self.ref) not in df.columns:
+            return F.lit(False)
+        col = field_col(self.ref)
+        dtype = _dtype_of(df, self.ref)
+        if isinstance(dtype, T.BooleanType):
+            return F.coalesce(col, F.lit(False))
+        return col.isNotNull()
+
+
+@dataclass(frozen=True)
+class And(Expr):
+    left: Expr
+    right: Expr
+
+    def compile(self, df: DataFrame | None = None) -> Column:
+        return self.left.compile(df) & self.right.compile(df)
+
+
+@dataclass(frozen=True)
+class Or(Expr):
+    left: Expr
+    right: Expr
+
+    def compile(self, df: DataFrame | None = None) -> Column:
+        return self.left.compile(df) | self.right.compile(df)
+
+
+@dataclass(frozen=True)
+class Xor(Expr):
+    left: Expr
+    right: Expr
+
+    def compile(self, df: DataFrame | None = None) -> Column:
+        return self.left.compile(df) != self.right.compile(df)
+
+
+@dataclass(frozen=True)
+class Nand(Expr):
+    left: Expr
+    right: Expr
+
+    def compile(self, df: DataFrame | None = None) -> Column:
+        return ~(self.left.compile(df) & self.right.compile(df))
+
+
+@dataclass(frozen=True)
+class Not(Expr):
+    inner: Expr
+
+    def compile(self, df: DataFrame | None = None) -> Column:
+        return ~self.inner.compile(df)
+
+
+@dataclass(frozen=True)
+class Always(Expr):
+    value: bool = True
+
+    def compile(self, df: DataFrame | None = None) -> Column:
+        return F.lit(self.value)

@@ -1,0 +1,171 @@
+"""Event model: field-reference paths and sprintf templates as Column expressions.
+
+Reference semantics pinned by:
+- field refs ``[a][b][0]`` — lib/logstash/util/accessors.rb:31-65 (split on
+  brackets, integer tokens index arrays) and util/fieldreference.rb.
+- sprintf ``%{field}``, ``%{[a][b]}``, ``%{+JODA}``, ``%{+%s}`` —
+  lib/logstash/event.rb:224-270: missing field leaves the token verbatim
+  (event.rb:259-260), arrays join on "," (261-262), hashes render as JSON
+  (263-264), ``+FMT`` formats @timestamp via Joda (248-255).
+
+The reference memoizes compiled paths per event (accessors.rb:12-49); here
+compilation happens once at plan build and Catalyst resolves references — the
+runtime cost is zero.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BRACKET = re.compile(r"\[([^\[\]]+)\]")
+
+# The reference's default timestamp field (event.rb:52). We use a plain
+# column name — '@' is legal in Spark but needs backticks everywhere, so the
+# engine's canonical name is 'timestamp' with '@timestamp' accepted as alias.
+TIMESTAMP_FIELD = "@timestamp"
+
+
+def parse_path(ref: str) -> list[str]:
+    """``'[a][b][0]'`` or ``'a'`` -> ``['a','b','0']`` (accessors.rb:31-34)."""
+    ref = ref.strip()
+    if ref.startswith("["):
+        toks = _BRACKET.findall(ref)
+        if not toks:
+            raise ValueError(f"bad field reference: {ref!r}")
+        return toks
+    return [ref]
+
+
+def field_col(ref: str) -> Column:
+    """Compile a field reference to a Column.
+
+    Top level -> ``F.col``; nested tokens -> ``getItem`` (works uniformly for
+    StructType field names, MapType keys and ArrayType integer indexes —
+    mirroring accessors.rb:57,65 where integer-looking tokens index arrays).
+    """
+    toks = parse_path(ref)
+    col = F.col("`" + toks[0].replace("`", "") + "`")
+    for tok in toks[1:]:
+        col = col.getItem(int(tok)) if _is_int(tok) else col.getItem(tok)
+    return col
+
+
+def _is_int(s: str) -> bool:
+    try:
+        int(s)
+        return True
+    except ValueError:
+        return False
+
+
+def top_field(ref: str) -> str:
+    """Top-level column name of a reference (for withColumn targets)."""
+    return parse_path(ref)[0]
+
+
+# ---------------------------------------------------------------------------
+# sprintf templating
+# ---------------------------------------------------------------------------
+
+_SPRINTF_TOKEN = re.compile(r"%\{([^}]+)\}")
+
+# Joda-time -> java.time (Spark datetime pattern) differences that matter.
+# Most letters coincide (yyyy MM dd HH mm ss SSS Z). Joda 'ZZ' = +00:00,
+# java 'xxx'; Joda 'Z' = +0000, java 'xx' (Spark's 'Z' ~ same output on
+# format). 'e' (day of week number) differs but is rare; documented out.
+_JODA_TO_JAVA = [
+    ("ZZ", "xxx"),
+    ("Z", "Z"),
+]
+
+
+def joda_to_java(fmt: str) -> str:
+    for j, jv in _JODA_TO_JAVA:
+        fmt = fmt.replace(j, jv)
+    return fmt
+
+
+def _value_as_string(col: Column, dtype: T.DataType | None) -> Column:
+    """Render a field value the way event.rb:256-266 does."""
+    if isinstance(dtype, T.ArrayType):
+        return F.array_join(col.cast(T.ArrayType(T.StringType())), ",")
+    if isinstance(dtype, (T.MapType, T.StructType)):
+        return F.to_json(col)
+    if isinstance(dtype, T.TimestampType):
+        # ISO8601 ms precision, the reference's serialization
+        # (timestamp.rb:19-20 ISO8601_PRECISION=3).
+        return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    return col.cast("string")
+
+
+def _dtype_of(df: DataFrame | None, ref: str) -> T.DataType | None:
+    if df is None:
+        return None
+    toks = parse_path(ref)
+    try:
+        dtype: T.DataType = df.schema[toks[0]].dataType
+    except KeyError:
+        return None
+    for tok in toks[1:]:
+        if isinstance(dtype, T.StructType):
+            try:
+                dtype = dtype[tok].dataType
+            except KeyError:
+                return None
+        elif isinstance(dtype, T.ArrayType):
+            dtype = dtype.elementType
+        elif isinstance(dtype, T.MapType):
+            dtype = dtype.valueType
+        else:
+            return None
+    return dtype
+
+
+def sprintf_col(
+    template: str,
+    df: DataFrame | None = None,
+    timestamp_field: str = TIMESTAMP_FIELD,
+) -> Column:
+    """Compile a Logstash sprintf template into one Column expression.
+
+    Compiled once at plan time (the reference caches compiled templates,
+    fieldreference.rb:39-43); executes fully JVM-side.
+    """
+    parts: list[Column] = []
+    pos = 0
+    has_field = lambda name: df is not None and top_field(name) in df.columns  # noqa: E731
+    for m in _SPRINTF_TOKEN.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        key = m.group(1)
+        if key.startswith("+"):
+            fmt = key[1:]
+            ts = field_col(timestamp_field) if has_field(timestamp_field) else F.lit(None).cast("timestamp")
+            if fmt == "%s":
+                parts.append(F.unix_timestamp(ts).cast("string"))
+            else:
+                parts.append(F.date_format(ts, joda_to_java(fmt)))
+        else:
+            if df is not None and not has_field(key):
+                # missing field -> token stays verbatim (event.rb:259-260)
+                parts.append(F.lit(m.group(0)))
+            else:
+                rendered = _value_as_string(field_col(key), _dtype_of(df, key))
+                # null at runtime -> verbatim token too
+                parts.append(F.coalesce(rendered, F.lit(m.group(0))))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    if len(parts) == 1:
+        return parts[0]
+    return F.concat(*parts)
+
+
+def is_template(s: str) -> bool:
+    return bool(_SPRINTF_TOKEN.search(s))

@@ -1,0 +1,11 @@
+from logstash_spark.operators import (  # noqa: F401
+    clone_split,
+    date,
+    enrich,
+    fingerprint,
+    grok,
+    metrics,
+    multiline,
+    mutate,
+    parse,
+)

@@ -1,0 +1,78 @@
+"""drop / clone / split — event cancellation and 1→N generation.
+
+Reference semantics:
+- `drop` cancels the event (lib/logstash/event.rb:82-94; cancelled events
+  never reach outputs, pipeline.rb:218) -> model as a filter predicate,
+  never materialized.
+- `clone` emits one copy per configured name with `type` set, original
+  FIRST, and clones flow through subsequent filters/conditionals
+  (spec/core/pipeline_spec.rb:139-194; conditionals_spec.rb:367-426,
+  propagation fix CHANGELOG.md:78-80).
+- `split` turns an array/lines field into one event per element
+  (CHANGELOG.md:78-80).
+
+Spark design: both 1→N ops are a single `explode` over a constructed array —
+narrow transformation, no shuffle, scales linearly. Clone order is made
+deterministic via an explicit `clone_seq` (0 = original), since global row
+order is not a Spark concept (parity is set-equality keyed by url+clone_seq,
+SURVEY §7 risk list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logstash_spark.conditions import Expr
+
+
+def drop(df: DataFrame, when: Expr | Column | None = None, percentage: float | None = None) -> DataFrame:
+    """`drop` filter: remove matching events; optional sampling percentage
+    (keep = deterministic hash bucket, not random — reproducible at scale)."""
+    if when is None:
+        pred = F.lit(True)
+    elif isinstance(when, Expr):
+        pred = when.compile(df)
+    else:
+        pred = when
+    if percentage is not None:
+        # drop only `percentage`% of matching rows, chosen by a stable hash
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:1]]), F.lit(100))
+        pred = pred & (bucket < F.lit(int(percentage)))
+    return df.filter(~pred)
+
+
+def clone(df: DataFrame, clone_types: list[str], type_field: str = "type") -> DataFrame:
+    """`clone` filter: N+1 rows per input row; original first.
+
+    One `explode` of a literal-array struct: no shuffle, and column pruning
+    still applies upstream because the array is built from projected columns.
+    """
+    variants = [F.struct(F.lit(0).alias("clone_seq"), F.col(type_field).cast("string").alias("_t"))] if type_field in df.columns else [
+        F.struct(F.lit(0).alias("clone_seq"), F.lit(None).cast("string").alias("_t"))
+    ]
+    for i, name in enumerate(clone_types, start=1):
+        variants.append(F.struct(F.lit(i).alias("clone_seq"), F.lit(name).alias("_t")))
+    df = df.withColumn("_clone", F.explode(F.array(*variants)))
+    df = df.withColumn("clone_seq", F.col("_clone.clone_seq"))
+    df = df.withColumn(type_field, F.col("_clone._t"))
+    return df.drop("_clone")
+
+
+def split(
+    df: DataFrame,
+    source: str,
+    *,
+    separator: str = "\n",
+    target: str | None = None,
+    is_array: bool = False,
+) -> DataFrame:
+    """`split` filter: one event per element of a split string / array."""
+    import re as _re
+
+    arr = F.col(source) if is_array else F.split(F.col(source), _re.escape(separator))
+    tname = target or source
+    # posexplode: position is the determinism key for parity (clone_seq analog)
+    exploded = df.select("*", F.posexplode_outer(arr).alias("split_seq", "_split_val"))
+    exploded = exploded.withColumn(tname, F.col("_split_val")).drop("_split_val")
+    return exploded

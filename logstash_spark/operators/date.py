@@ -1,0 +1,67 @@
+"""Date filter: parse a string field into the event timestamp.
+
+Reference: `logstash-filter-date` (manifest rakelib/default_plugins.rb:29);
+tutorial usage docs/tutorials/10-minute-walkthrough/apache-parse.conf:20-25
+(``match => ["timestamp", "dd/MMM/yyyy:HH:mm:ss Z"]``); failure semantics
+from lib/logstash/event.rb:280-295 (coercion failure tags
+``_timestampparsefailure`` / date filter tags ``_dateparsefailure`` and
+leaves @timestamp untouched); output precision is UTC ms ISO8601
+(lib/logstash/timestamp.rb:19-23).
+
+Spark design: a ``coalesce(try_to_timestamp(...fmt_i...))`` chain — fully
+JVM-side, codegen'd, no shuffle. Joda patterns translate to java.time
+almost 1:1 (both use yyyy/MM/dd/HH/mm/ss/SSS/Z); divergences handled in
+``event.joda_to_java``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logstash_spark.event import joda_to_java
+from logstash_spark.operators.grok import _append_tag_unless
+
+DATE_FAILURE_TAG = "_dateparsefailure"
+
+# java.time can't parse English month abbreviations unless a text style is
+# present; 'MMM' works with the default locale. Spark's TimestampFormatter
+# uses java.time under legacy-off policy; 'Z' parses '-0700'.
+
+
+def date_parse_col(source: Column, formats: list[str]) -> Column:
+    parsed = [F.try_to_timestamp(source, F.lit(joda_to_java(fmt))) for fmt in formats]
+    # UNIX / UNIX_MS magic formats (public date-filter contract)
+    cols: list[Column] = []
+    for fmt, p in zip(formats, parsed):
+        if fmt == "UNIX":
+            cols.append((source).try_cast("double").cast("timestamp"))
+        elif fmt == "UNIX_MS":
+            cols.append(((source).try_cast("double") / 1000.0).cast("timestamp"))
+        elif fmt == "ISO8601":
+            cols.append(F.try_to_timestamp(source))
+        else:
+            cols.append(p)
+    return F.coalesce(*cols) if len(cols) > 1 else cols[0]
+
+
+def date(
+    df: DataFrame,
+    source: str,
+    formats: list[str],
+    target: str = "@timestamp",
+    tag_on_failure: str = DATE_FAILURE_TAG,
+) -> DataFrame:
+    """Parse ``df[source]`` with the first matching format into ``target``."""
+    src = F.col(source).cast("string")
+    parsed = date_parse_col(src, formats)
+    prev = F.col(target) if target in df.columns else F.lit(None).cast("timestamp")
+    df = df.withColumn(target, F.coalesce(parsed, prev))
+    ok = parsed.isNotNull() | src.isNull()
+    return _append_tag_unless(df, "tags", tag_on_failure, ok)
+
+
+def iso8601_ms(col: Column) -> Column:
+    """Render a timestamp the way the reference serializes @timestamp
+    (timestamp.rb:19-20: ISO8601, millisecond precision, UTC)."""
+    return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")

@@ -1,0 +1,142 @@
+"""Enrichment operators: translate (dictionary), geoip (IP-range), dns, useragent.
+
+The reference's enrichment plugins (manifest rakelib/default_plugins.rb:30,
+33,46; translate lives in the logstash-plugins org) do per-event hash/DB
+lookups. At 100 TB the only sane physical shape is a **broadcast hash join**
+against the dimension:
+
+- `translate`  — exact-key dim, small: broadcast left join + fallback
+  coalesce. One stage, no shuffle of the fact side.
+- `geoip`      — RANGE lookup (ip ∈ [lo,hi]). A naive theta-join is
+  O(n·m); we equi-join on the /16 prefix (dim ranges pre-exploded per
+  prefix) then apply the range filter — broadcastable, no shuffle.
+- `dns` / `useragent` — modeled as pre-resolved dimension joins / regex
+  extraction (no live network IO inside a distributed job — deliberate
+  divergence, documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def translate(
+    df: DataFrame,
+    dim: DataFrame,
+    *,
+    source: str,
+    target: str,
+    dim_key: str = "key",
+    dim_value: str = "value",
+    fallback: str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Broadcast dictionary lookup: df[target] = dim[df[source]] or fallback."""
+    d = dim.select(
+        F.col(dim_key).cast("string").alias("__k"),
+        F.col(dim_value).alias("__v"),
+    )
+    joined = df.join(F.broadcast(d), F.col(source).cast("string") == F.col("__k"), "left")
+    out = F.col("__v")
+    if fallback is not None:
+        out = F.coalesce(out, F.lit(fallback))
+    return joined.withColumn(target, out).drop("__k", "__v")
+
+
+def ip_to_long(col: Column) -> Column:
+    """Dotted-quad IPv4 -> int64, pure JVM arithmetic."""
+    parts = F.split(col, r"\.")
+    return (
+        (parts.getItem(0)).try_cast("bigint") * 16777216
+        + (parts.getItem(1)).try_cast("bigint") * 65536
+        + (parts.getItem(2)).try_cast("bigint") * 256
+        + (parts.getItem(3)).try_cast("bigint")
+    )
+
+
+def explode_ranges_by_prefix16(dim: DataFrame, lo: str = "ip_lo", hi: str = "ip_hi") -> DataFrame:
+    """Pre-explode each [lo,hi] range into one row per /16 prefix it covers,
+    making the geo lookup an equi-join. Done ONCE on the (small) dim side."""
+    prefixes = F.sequence(
+        (F.col(lo) / 65536).cast("bigint"), (F.col(hi) / 65536).cast("bigint")
+    )
+    return dim.withColumn("prefix16", F.explode(prefixes))
+
+
+def geoip(
+    df: DataFrame,
+    geo_dim: DataFrame,
+    *,
+    source: str,
+    fields: list[str] | None = None,
+    target_prefix: str = "geoip_",
+) -> DataFrame:
+    """IP-range enrichment via prefix-bucketed broadcast equi-join.
+
+    ``geo_dim`` columns: ip_lo, ip_hi (int64) + attribute columns. The fact
+    side computes ip_long + prefix16 (cheap exprs); the join is
+    BroadcastHashJoin on prefix16 with a residual range predicate — verify
+    with .explain() that no SortMergeJoin appears.
+    """
+    fields = fields or [c for c in geo_dim.columns if c not in ("ip_lo", "ip_hi", "prefix16")]
+    dim = geo_dim
+    if "prefix16" not in dim.columns:
+        dim = explode_ranges_by_prefix16(dim)
+    dim = dim.select("prefix16", "ip_lo", "ip_hi", *fields)
+
+    ipl = ip_to_long(F.col(source).cast("string"))
+    fact = df.withColumn("__ipl", ipl).withColumn(
+        "__prefix16", (F.col("__ipl") / 65536).cast("bigint")
+    )
+    cond = (
+        (fact["__prefix16"] == dim["prefix16"])
+        & (fact["__ipl"] >= dim["ip_lo"])
+        & (fact["__ipl"] <= dim["ip_hi"])
+    )
+    joined = fact.join(F.broadcast(dim), cond, "left")
+    for f_ in fields:
+        joined = joined.withColumn(target_prefix + f_, dim[f_])
+    return joined.drop("prefix16", "ip_lo", "ip_hi", *fields, "__ipl", "__prefix16")
+
+
+def dns_enrich(df: DataFrame, resolved_dim: DataFrame, *, source: str, target: str = "resolved") -> DataFrame:
+    """`dns` filter analog: broadcast join against a pre-resolved
+    host->address table (no live DNS inside executors)."""
+    return translate(df, resolved_dim, source=source, target=target, dim_key="host", dim_value="address")
+
+
+_UA_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, detect regex, version regex) — order matters (first match wins)
+    ("Chrome", r"Chrome/(\d+)", r"Chrome/(\d+\.[\d.]+)"),
+    ("Firefox", r"Firefox/(\d+)", r"Firefox/(\d+\.[\d.]+)"),
+    ("Safari", r"Version/(\d+).*Safari", r"Version/(\d+\.[\d.]+)"),
+    ("MSIE", r"MSIE (\d+)", r"MSIE (\d+\.[\d.]+)"),
+    ("Other", r".*", r"()"),
+]
+
+_OS_PATTERNS: list[tuple[str, str]] = [
+    ("Windows", r"Windows"),
+    ("iOS", r"(?:iPhone|iPad|iPod)"),
+    ("Mac OS X", r"Mac OS X"),
+    ("Android", r"Android"),
+    ("Linux", r"Linux"),
+    ("Other", r".*"),
+]
+
+
+def useragent(df: DataFrame, source: str, target_prefix: str = "ua_") -> DataFrame:
+    """`useragent` filter: regex classification (JVM-side CASE/rlike chain).
+
+    The reference wraps the ua-parser regex database; this is the same
+    first-match-wins regex cascade with a compact built-in pattern table.
+    """
+    src = F.col(source).cast("string")
+    # coalesce of when-clauses = first-match-wins cascade, all codegen'd
+    name_expr = F.coalesce(*[F.when(src.rlike(d), F.lit(n)) for n, d, _ in _UA_PATTERNS])
+    ver_expr = F.coalesce(*[F.when(src.rlike(d), F.regexp_extract(src, v, 1)) for n, d, v in _UA_PATTERNS])
+    os_expr = F.coalesce(*[F.when(src.rlike(p), F.lit(n)) for n, p in _OS_PATTERNS])
+    df = df.withColumn(target_prefix + "name", name_expr)
+    df = df.withColumn(target_prefix + "version", ver_expr)
+    df = df.withColumn(target_prefix + "os", os_expr)
+    return df

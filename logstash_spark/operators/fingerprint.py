@@ -1,0 +1,78 @@
+"""fingerprint / anonymize / checksum / uuid filters.
+
+Reference plugin surface: rakelib/default_plugins.rb:25,26,32,47. All are
+hash/mask operations -> built-in JVM crypto/hash expressions, codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+_METHODS = {
+    "MD5": lambda c: F.md5(c),
+    "SHA256": lambda c: F.sha2(c, 256),
+    "SHA512": lambda c: F.sha2(c, 512),
+    "SHA1": lambda c: F.sha1(c),
+    "CRC32": lambda c: F.crc32(c.cast("binary")).cast("string"),
+    "MURMUR3": lambda c: F.hash(c).cast("string"),
+    "XX64": lambda c: F.xxhash64(c).cast("string"),
+}
+
+
+def fingerprint(
+    df: DataFrame,
+    sources: list[str],
+    *,
+    target: str = "fingerprint",
+    method: str = "SHA256",
+    key: str | None = None,
+    concatenate_sources: bool = True,
+) -> DataFrame:
+    """`fingerprint` filter: stable content hash of one or more fields.
+
+    ``key`` prepends an HMAC-ish salt (simple keyed concat — the reference
+    uses OpenSSL HMAC; keyed-concat is the deterministic stand-in since
+    no extra libs are available; swap for `F.hmac` if present)."""
+    cols = [F.coalesce(F.col(s).cast("string"), F.lit("")) for s in sources]
+    base = F.concat_ws("|", *cols) if concatenate_sources else cols[0]
+    if key:
+        base = F.concat(F.lit(key), F.lit("|"), base)
+    return df.withColumn(target, _METHODS[method.upper()](base))
+
+
+def anonymize(df: DataFrame, fields: list[str], method: str = "SHA256", key: str | None = None) -> DataFrame:
+    """`anonymize` filter: replace field values with their hash in place."""
+    for name in fields:
+        col = F.col(name).cast("string")
+        if key:
+            col = F.concat(F.lit(key), F.lit("|"), col)
+        df = df.withColumn(name, _METHODS[method.upper()](col))
+    return df
+
+
+def checksum(df: DataFrame, fields: list[str], target: str = "checksum") -> DataFrame:
+    """`checksum` filter: event-level digest over the named fields (sorted
+    field order for stability, mirroring the plugin's keys.sort)."""
+    ordered = sorted(fields)
+    cols = [F.coalesce(F.col(f).cast("string"), F.lit("")) for f in ordered]
+    return df.withColumn(target, F.sha2(F.concat_ws("|", *cols), 256))
+
+
+def uuid(df: DataFrame, target: str = "uuid", deterministic_from: list[str] | None = None) -> DataFrame:
+    """`uuid` filter: unique id per event. For reproducible pipelines pass
+    ``deterministic_from`` to derive a UUIDv5-style name hash instead of
+    the random default."""
+    if deterministic_from:
+        h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in deterministic_from]))
+        formatted = F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        )
+        return df.withColumn(target, formatted)
+    return df.withColumn(target, F.expr("uuid()"))

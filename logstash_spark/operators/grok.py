@@ -1,0 +1,260 @@
+"""Grok: the pattern library compiled to ONE vectorized regex.
+
+Reference behavior (plugin `logstash-filter-grok`, manifest
+rakelib/default_plugins.rb:34; golden fixture docs/tutorials/
+10-minute-walkthrough/apache-parse.conf + step-5-output.txt):
+
+- ``%{NAME:field}`` captures as string; ``%{NAME:field:int}`` / ``:float``
+  cast the capture.
+- multiple match patterns per field: first that matches wins
+  (``break_on_match``-style).
+- no pattern matches -> tag ``_grokparsefailure``, no fields set.
+- captures land as event fields next to existing ones.
+
+Spark design (NOT the reference's per-event Ruby regex loop):
+
+1. The pattern tree is expanded ONCE at plan-build time into a single flat
+   regex with numbered groups (named groups are tracked positionally so the
+   same compiled text works in Python `re`, Java regex, and RE2/DuckDB).
+2. Two physical backends:
+   - ``expr``  — pure JVM: one ``regexp_extract`` per capture group inside
+     whole-stage codegen. Zero Python in the hot path; Catalyst CSE shares
+     the match work. Best when capture count is small.
+   - ``pandas`` — one Arrow-batched ``pandas_udf`` doing a single
+     ``Series.str.extract`` pass (C-level vectorized), returning a struct.
+     Best for wide patterns (COMBINEDAPACHELOG: 11 captures = 1 pass
+     instead of 11 regex scans). Never row-at-a-time Python.
+At 100 TB both backends scale linearly with input partitions; there is no
+shuffle in a grok stage.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from logstash_spark.operators.patterns import BASE_PATTERNS
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.-]+))?(?::(int|float))?\}")
+GROK_FAILURE_TAG = "_grokparsefailure"
+
+
+@dataclass
+class CompiledGrok:
+    """A grok pattern flattened to a single regex.
+
+    ``regex`` uses only numbered groups; ``captures`` maps field name ->
+    (1-based group index, type). Non-capture groups are ``(?:...)`` so group
+    numbering is stable across engines.
+    """
+
+    source: str
+    regex: str
+    captures: list[tuple[str, int, str]] = field(default_factory=list)
+
+    def python_re(self) -> "re.Pattern[str]":
+        return re.compile(self.regex)
+
+
+def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> CompiledGrok:
+    """Expand ``%{NAME:field:type}`` references into one flat regex.
+
+    Capture groups are emitted ONLY for named captures; library expansions
+    become non-capturing. Duplicate capture names keep the first occurrence
+    (the reference's grok keeps all as arrays; our fixed-schema model takes
+    the first match — documented divergence, fine for anchored patterns).
+    """
+    lib = dict(BASE_PATTERNS)
+    if extra_patterns:
+        lib.update(extra_patterns)
+
+    captures: list[tuple[str, int, str]] = []
+    group_counter = [0]
+    seen_names: set[str] = set()
+
+    def expand(pat: str, depth: int) -> str:
+        if depth > 20:
+            raise ValueError(f"grok pattern recursion too deep in {pattern!r}")
+        out: list[str] = []
+        pos = 0
+        for m in _GROK_REF.finditer(pat):
+            out.append(_renumber_plain(pat[pos : m.start()], group_counter))
+            name, fieldname, typ = m.group(1), m.group(2), m.group(3)
+            if name not in lib:
+                raise KeyError(f"unknown grok pattern %{{{name}}}")
+            if fieldname and fieldname not in seen_names:
+                seen_names.add(fieldname)
+                group_counter[0] += 1
+                idx = group_counter[0]
+                captures.append((fieldname, idx, typ or "string"))
+                out.append("(" + expand(lib[name], depth + 1) + ")")
+            else:
+                out.append("(?:" + expand(lib[name], depth + 1) + ")")
+            pos = m.end()
+        out.append(_renumber_plain(pat[pos:], group_counter))
+        return "".join(out)
+
+    regex = expand(pattern, 0)
+    return CompiledGrok(source=pattern, regex=regex, captures=captures)
+
+
+_PLAIN_GROUP = re.compile(r"(?<!\\)\((?!\?)")
+
+
+def _renumber_plain(segment: str, counter: list[int]) -> str:
+    """Convert bare ``(`` groups in raw regex text to non-capturing."""
+    return _PLAIN_GROUP.sub("(?:", segment)
+
+
+def _cast_type(typ: str) -> str:
+    return {"int": "bigint", "float": "double", "string": "string"}[typ]
+
+
+def grok_struct_type(cg: CompiledGrok) -> T.StructType:
+    fields = []
+    for name, _, typ in cg.captures:
+        spark_t = {"int": T.LongType(), "float": T.DoubleType(), "string": T.StringType()}[typ]
+        fields.append(T.StructField(name, spark_t, True))
+    return T.StructType(fields)
+
+
+# ---------------------------------------------------------------------------
+# backends
+# ---------------------------------------------------------------------------
+
+
+def grok_expr_columns(cg: CompiledGrok, source: Column) -> dict[str, Column]:
+    """JVM backend: one regexp_extract per capture (whole-stage codegen).
+
+    regexp_extract returns '' on no-match; grok semantics are null -> use a
+    matched-guard so non-matching rows yield nulls for every capture.
+    """
+    matched = source.rlike(cg.regex)
+    cols: dict[str, Column] = {}
+    for name, idx, typ in cg.captures:
+        c = F.when(matched, F.regexp_extract(source, cg.regex, idx))
+        # '' capture from an optional group -> null, matching reference's
+        # "field not set" for unmatched optional captures.
+        c = F.when(c == "", F.lit(None)).otherwise(c)
+        cols[name] = c.cast(_cast_type(typ))
+    cols["_grok_matched"] = matched
+    return cols
+
+
+def grok_pandas_udf(cg: CompiledGrok):
+    """Arrow backend: single-pass ``Series.str.extract`` into a struct.
+
+    Returns a pandas_udf producing ``struct<captures..., _grok_matched>``.
+    """
+    out_type = grok_struct_type(cg).add("_grok_matched", T.BooleanType())
+    pat = cg.regex
+    caps = list(cg.captures)
+
+    @pandas_udf(out_type)
+    def _grok(s: pd.Series) -> pd.DataFrame:
+        # extract with the numbered-group pattern; result columns are
+        # positional 0..n-1 aligned with group order.
+        ext = s.str.extract(pat, expand=True)
+        out = pd.DataFrame(index=s.index)
+        # group order in `ext` is ALL groups 1..N; ours are a subset when
+        # pattern had non-capturing inner text, but we emitted captures as
+        # the only real groups, so ext columns == capture order.
+        for j, (name, _idx, typ) in enumerate(caps):
+            col = ext.iloc[:, j]
+            col = col.where(col.notna() & (col != ""), None)
+            if typ == "int":
+                col = pd.to_numeric(col, errors="coerce").astype("Int64")
+            elif typ == "float":
+                col = pd.to_numeric(col, errors="coerce")
+            out[name] = col
+        out["_grok_matched"] = ext.iloc[:, 0].notna() if len(caps) else s.str.match(pat)
+        return out
+
+    return _grok
+
+
+def grok(
+    df: DataFrame,
+    source: str,
+    patterns: str | list[str],
+    *,
+    backend: str = "expr",
+    extra_patterns: dict[str, str] | None = None,
+    tag_on_failure: str = GROK_FAILURE_TAG,
+    overwrite_tags: bool = False,
+) -> DataFrame:
+    """Apply grok to ``df[source]``; adds one column per capture + failure tag.
+
+    Multiple patterns implement the reference's first-match-wins list: later
+    patterns only fill fields for rows the earlier ones missed.
+    """
+    pats = [patterns] if isinstance(patterns, str) else list(patterns)
+    compiled = [compile_grok(p, extra_patterns) for p in pats]
+
+    all_fields: list[tuple[str, str]] = []
+    for cg in compiled:
+        for name, _, typ in cg.captures:
+            if name not in [f for f, _ in all_fields]:
+                all_fields.append((name, typ))
+
+    matched_any = F.lit(False)
+    per_pattern: list[dict[str, Column]] = []
+    src = F.col(source)
+    for i, cg in enumerate(compiled):
+        if backend == "pandas":
+            udf = grok_pandas_udf(cg)
+            sname = f"_grok_{i}"
+            df = df.withColumn(sname, udf(src.cast("string")))
+            cols = {name: F.col(sname)[name] for name, _, _ in cg.captures}
+            cols["_grok_matched"] = F.col(sname)["_grok_matched"]
+        else:
+            cols = grok_expr_columns(cg, src.cast("string"))
+        per_pattern.append(cols)
+
+    # first-match-wins merge across the pattern list
+    out_cols: dict[str, Column] = {}
+    for fname, typ in all_fields:
+        chain: Column | None = None
+        for i, cg in enumerate(compiled):
+            names = [n for n, _, _ in cg.captures]
+            if fname not in names:
+                continue
+            this = F.when(per_pattern[i]["_grok_matched"] & ~_matched_before(per_pattern, i), per_pattern[i][fname])
+            chain = this if chain is None else F.coalesce(chain, this)
+        out_cols[fname] = chain.cast(_cast_type(typ))
+
+    for fname, col in out_cols.items():
+        df = df.withColumn(fname, col)
+
+    matched_any = per_pattern[0]["_grok_matched"]
+    for cols in per_pattern[1:]:
+        matched_any = matched_any | cols["_grok_matched"]
+    df = df.withColumn("_grok_matched", matched_any)
+    df = _append_tag_unless(df, "tags", tag_on_failure, matched_any)
+    # drop struct temporaries
+    drop = [c for c in df.columns if c.startswith("_grok_") and c not in ("_grok_matched",)]
+    if drop:
+        df = df.drop(*drop)
+    return df
+
+
+def _matched_before(per_pattern: list[dict[str, Column]], i: int) -> Column:
+    if i == 0:
+        return F.lit(False)
+    acc = per_pattern[0]["_grok_matched"]
+    for j in range(1, i):
+        acc = acc | per_pattern[j]["_grok_matched"]
+    return acc
+
+
+def _append_tag_unless(df: DataFrame, tags_col: str, tag: str, ok: Column) -> DataFrame:
+    """Append ``tag`` to the tags array where NOT ok (filters/base.rb:205-210)."""
+    existing = F.col(tags_col) if tags_col in df.columns else F.lit(None).cast(T.ArrayType(T.StringType()))
+    tagged = F.array_append(F.coalesce(existing, F.array().cast(T.ArrayType(T.StringType()))), F.lit(tag))
+    return df.withColumn(tags_col, F.when(ok, existing).otherwise(tagged))

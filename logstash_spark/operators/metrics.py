@@ -1,0 +1,93 @@
+"""metrics / throttle — in-flow windowed aggregation and rate limiting.
+
+Reference:
+- `metrics` filter (manifest rakelib/default_plugins.rb:37; worked example
+  docs/tutorials/metrics-from-logs.md): meters/timers per `%{name}` key,
+  flushed every interval as new events with rate_1m/5m/15m + percentiles.
+- `throttle` filter (default_plugins.rb:44): tag events whose key exceeds
+  a count within a time period.
+
+Spark design: event-TIME tumbling windows (`F.window`) + hash aggregation —
+partial aggregation map-side, one shuffle on (window,key). The reference
+flushes on processing time (pipeline.rb:159 five-second tick); we use event
+time, which is the correct semantics at replay/backfill scale — documented
+divergence. EWMA 1/5/15m rates are approximated by per-window rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def metrics(
+    df: DataFrame,
+    *,
+    ts: str,
+    key: str,
+    interval: str = "5 minutes",
+    timer_field: str | None = None,
+    percentiles: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Meter (+ optional timer) per key per tumbling window.
+
+    Output: window_start, window_end, key, count, rate (events/sec), and —
+    when ``timer_field`` given — min/max/mean/stddev/percentiles.
+    """
+    secs = _interval_seconds(interval)
+    aggs = [
+        F.count(F.lit(1)).alias("count"),
+        (F.count(F.lit(1)) / F.lit(float(secs))).alias("rate"),
+    ]
+    if timer_field:
+        t = F.col(timer_field)
+        aggs += [
+            F.min(t).alias("min"),
+            F.max(t).alias("max"),
+            F.avg(t).alias("mean"),
+            F.stddev_samp(t).alias("stddev"),
+        ]
+        for p in percentiles:
+            aggs.append(F.percentile_approx(t, p).alias(f"p{int(p * 100)}"))
+    w = F.window(F.col(ts), interval)
+    out = df.groupBy(w.alias("w"), F.col(key).alias("key")).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "key",
+        *[c for c in out.columns if c not in ("w", "key")],
+    )
+
+
+def throttle(
+    df: DataFrame,
+    *,
+    ts: str,
+    key: str,
+    max_count: int,
+    period: str = "1 hour",
+    tag: str = "throttled",
+) -> DataFrame:
+    """Tag events beyond ``max_count`` per key per tumbling period.
+
+    Within-window ordering uses event time (deterministic given distinct
+    timestamps); the over-limit rows get the throttle tag. One shuffle on
+    (window,key) — at scale identical cost to the aggregation it replaces.
+    """
+    from pyspark.sql import Window as W
+
+    win = F.window(F.col(ts), period)
+    order = W.partitionBy(win, F.col(key)).orderBy(F.col(ts))
+    df = df.withColumn("_seq_in_period", F.row_number().over(order))
+    over = F.col("_seq_in_period") > max_count
+    from logstash_spark.operators.grok import _append_tag_unless
+
+    df = _append_tag_unless(df, "tags", tag, ~over)
+    return df.drop("_seq_in_period")
+
+
+def _interval_seconds(interval: str) -> int:
+    qty, unit = interval.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(qty) * mult

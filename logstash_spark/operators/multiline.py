@@ -1,0 +1,86 @@
+"""multiline — stateful join of consecutive lines into one event.
+
+Reference: `multiline` filter/codec (manifest rakelib/default_plugins.rb:38;
+behavior pinned by spec/core/pipeline_spec.rb:118-160: intermediates are
+cancelled, flush emits the pending group; `pattern` + `what: previous|next`).
+
+Batch design (the 100 TB shape): the classic window running-group trick —
+within each (stream, ordered-by-seq) partition, a new group starts on every
+line NOT matching the continuation pattern (`what: previous`), so
+``group_id = sum(is_start) over (partition by src order by seq)``, then one
+groupBy concatenates. Two shuffles (window + agg) on the same key — AQE
+coalesces; the key (source file/stream id) is the natural partitioner, so
+state never crosses partitions.
+
+Streaming design lives in logstash_spark.streaming.stateful
+(applyInPandasWithState) — same grouping semantics with timeout-based flush.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def multiline(
+    df: DataFrame,
+    *,
+    source: str,
+    pattern: str,
+    what: str = "previous",
+    negate: bool = False,
+    stream_key: str | None = None,
+    order_by: str = "seq",
+    joiner: str = "\n",
+) -> DataFrame:
+    """Collapse continuation lines into their anchor event.
+
+    ``what='previous'``: a line matching ``pattern`` (xor ``negate``)
+    belongs to the previous event. ``what='next'``: it belongs to the next.
+    Output: one row per group with ``source`` = joined lines, plus
+    ``multiline_n`` (line count) and the ``multiline`` tag on collapsed rows
+    (reference tags merged events).
+    """
+    matches = F.col(source).rlike(pattern)
+    if negate:
+        matches = ~matches
+    if what == "previous":
+        is_start = ~matches  # a matching line continues the previous one
+    elif what == "next":
+        # a matching line attaches to the NEXT event: a group starts right
+        # after a non-matching line -> start when previous line didn't match
+        part = W.partitionBy(stream_key) if stream_key else W.partitionBy(F.lit(1))
+        prev_match = F.lag(matches, 1, False).over(part.orderBy(order_by))
+        is_start = ~prev_match
+    else:
+        raise ValueError("what must be 'previous' or 'next'")
+
+    part = W.partitionBy(stream_key) if stream_key else W.partitionBy(F.lit(1))
+    running = part.orderBy(order_by).rowsBetween(W.unboundedPreceding, 0)
+    df = df.withColumn("_ml_group", F.sum(is_start.cast("int")).over(running))
+
+    group_cols = ([stream_key] if stream_key else []) + ["_ml_group"]
+    first_cols = [c for c in df.columns if c not in group_cols + [source, order_by]]
+    # collect_list gives no ordering guarantee post-shuffle; collect
+    # (order, line) structs and sort_array for deterministic join order.
+    lines_sorted = F.sort_array(F.collect_list(F.struct(F.col(order_by).alias("o"), F.col(source).alias("l"))))
+    agg = [
+        F.array_join(F.transform(lines_sorted, lambda s: s["l"]), joiner).alias(source),
+        F.count(F.lit(1)).alias("multiline_n"),
+        F.min(order_by).alias(order_by),
+        *[F.min_by(F.col(c), F.col(order_by)).alias(c) for c in first_cols],
+    ]
+    out = df.groupBy(*group_cols).agg(*agg)
+    out = out.withColumn(
+        "tags",
+        F.when(
+            F.col("multiline_n") > 1,
+            F.array_append(
+                F.coalesce(F.col("tags") if "tags" in df.columns else F.lit(None).cast("array<string>"),
+                           F.array().cast("array<string>")),
+                F.lit("multiline"),
+            ),
+        ).otherwise(F.col("tags") if "tags" in df.columns else F.lit(None).cast("array<string>")),
+    )
+    return out.drop("_ml_group")

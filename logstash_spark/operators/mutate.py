@@ -1,0 +1,173 @@
+"""Mutate filter: field rename/convert/gsub/case/strip/split/join/merge/etc.
+
+Reference: `logstash-filter-mutate` (manifest rakelib/default_plugins.rb:? —
+see SURVEY §2.2); used pervasively in core specs
+(spec/core/conditionals_spec.rb:12-16,55-61). Every sub-operation maps to a
+pure Column expression — the whole mutate stage stays inside whole-stage
+codegen with zero Python.
+
+Also here: the universal filter decorators shared by every filter
+(lib/logstash/filters/base.rb:182-218): add_field (append-if-exists),
+add_tag, remove_tag, remove_field.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logstash_spark.event import field_col, is_template, sprintf_col, top_field
+
+
+def _resolve_value(df: DataFrame, value) -> Column:
+    """String values may be sprintf templates (filters/base.rb:184-188)."""
+    if isinstance(value, str) and is_template(value):
+        return sprintf_col(value, df)
+    return F.lit(value)
+
+
+# --- decorators (filters/base.rb) -----------------------------------------
+
+
+def add_field(df: DataFrame, name: str, value) -> DataFrame:
+    """Set field; if it already exists, APPEND making an array
+    (filters/base.rb:187-191)."""
+    target = top_field(name)
+    val = _resolve_value(df, value)
+    if target in df.columns:
+        existing = F.col(target)
+        dtype = df.schema[target].dataType
+        if isinstance(dtype, T.ArrayType):
+            return df.withColumn(target, F.array_append(existing, val))
+        merged = F.when(existing.isNull(), F.array(val)).otherwise(
+            F.array(existing.cast("string"), val.cast("string"))
+        )
+        return df.withColumn(target, merged)
+    return df.withColumn(target, val)
+
+
+def set_field(df: DataFrame, name: str, value) -> DataFrame:
+    """mutate replace/update semantics: plain overwrite."""
+    return df.withColumn(top_field(name), _resolve_value(df, value))
+
+
+def remove_field(df: DataFrame, *names: str) -> DataFrame:
+    return df.drop(*[top_field(n) for n in names])
+
+
+_TAGS_T = T.ArrayType(T.StringType())
+
+
+def _tags_col(df: DataFrame) -> Column:
+    if "tags" in df.columns:
+        return F.coalesce(F.col("tags"), F.array().cast(_TAGS_T))
+    return F.array().cast(_TAGS_T)
+
+
+def add_tag(df: DataFrame, tag: str) -> DataFrame:
+    """Plain append, NO dedup (filters/base.rb:205-210 uses `<<`)."""
+    val = _resolve_value(df, tag)
+    return df.withColumn("tags", F.array_append(_tags_col(df), val))
+
+
+def remove_tag(df: DataFrame, tag: str) -> DataFrame:
+    """Delete all occurrences (filters/base.rb:212-218)."""
+    if "tags" not in df.columns:
+        return df
+    val = _resolve_value(df, tag)
+    return df.withColumn("tags", F.array_remove(F.col("tags"), val))
+
+
+# --- mutate sub-operations --------------------------------------------------
+
+
+def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    for old, new in mapping.items():
+        df = df.withColumnRenamed(top_field(old), top_field(new))
+    return df
+
+
+_CONVERT = {
+    "integer": "bigint",
+    "int": "bigint",
+    "float": "double",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+def convert(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Type coercion; unparseable -> null (reference leaves original —
+    divergence documented: fixed schema can't hold both)."""
+    for name, typ in mapping.items():
+        col = field_col(name)
+        target = _CONVERT[typ]
+        if typ == "boolean":
+            # reference coerces "true"/"false" strings (mixin.rb:417-433)
+            out = (
+                F.when(F.lower(col.cast("string")).isin("true", "t", "yes", "y", "1"), F.lit(True))
+                .when(F.lower(col.cast("string")).isin("false", "f", "no", "n", "0"), F.lit(False))
+                .otherwise(F.lit(None).cast("boolean"))
+            )
+        else:
+            out = col.try_cast(target) if target != "string" else col.cast("string")
+        df = df.withColumn(top_field(name), out)
+    return df
+
+
+def gsub(df: DataFrame, triples: list[tuple[str, str, str]]) -> DataFrame:
+    """[(field, pattern, replacement), ...] — regex replace all."""
+    for name, pat, rep in triples:
+        df = df.withColumn(top_field(name), F.regexp_replace(field_col(name), pat, rep))
+    return df
+
+
+def uppercase(df: DataFrame, *names: str) -> DataFrame:
+    for n in names:
+        df = df.withColumn(top_field(n), F.upper(field_col(n)))
+    return df
+
+
+def lowercase(df: DataFrame, *names: str) -> DataFrame:
+    for n in names:
+        df = df.withColumn(top_field(n), F.lower(field_col(n)))
+    return df
+
+
+def capitalize(df: DataFrame, *names: str) -> DataFrame:
+    for n in names:
+        df = df.withColumn(top_field(n), F.initcap(field_col(n)))
+    return df
+
+
+def strip(df: DataFrame, *names: str) -> DataFrame:
+    for n in names:
+        df = df.withColumn(top_field(n), F.trim(field_col(n)))
+    return df
+
+
+def split_field(df: DataFrame, name: str, separator: str) -> DataFrame:
+    # literal separator (reference uses String#split with a string)
+    import re as _re
+
+    df = df.withColumn(top_field(name), F.split(field_col(name), _re.escape(separator)))
+    return df
+
+
+def join_field(df: DataFrame, name: str, separator: str) -> DataFrame:
+    return df.withColumn(top_field(name), F.array_join(field_col(name), separator))
+
+
+def merge(df: DataFrame, dest: str, src: str) -> DataFrame:
+    """Array-merge two fields (reference merge semantics util.rb:27-61:
+    array merge de-duplicates via `|`). Scalars are promoted to 1-arrays."""
+    d, s = field_col(dest), field_col(src)
+    d_t = df.schema[top_field(dest)].dataType
+    s_t = df.schema[top_field(src)].dataType
+    d_arr = d if isinstance(d_t, T.ArrayType) else F.array(d)
+    s_arr = s if isinstance(s_t, T.ArrayType) else F.array(s)
+    return df.withColumn(
+        top_field(dest),
+        F.array_union(d_arr.cast(_TAGS_T), s_arr.cast(_TAGS_T)),
+    )

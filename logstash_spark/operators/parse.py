@@ -1,0 +1,129 @@
+"""Structured parsers: json, kv, csv, urldecode, syslog_pri, xml (gated).
+
+Reference plugin surface (manifest rakelib/default_plugins.rb:28,35,36,43,
+45,48). All implemented as built-in JVM expressions — these are the
+codec/filter pairs the reference runs as per-event Ruby; here they are
+codegen'd columnar ops with no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logstash_spark.event import top_field
+
+
+def json_parse(
+    df: DataFrame, source: str, schema: T.StructType | str, target: str | None = None
+) -> DataFrame:
+    """`json` filter: parse a JSON string field (default_plugins.rb:35).
+
+    The reference is schemaless; our model requires the parse schema (same
+    trade as the input_hint's fixed projection). Malformed JSON -> null
+    struct + `_jsonparsefailure` tag, mirroring the plugin's contract.
+    """
+    parsed = F.from_json(F.col(source), schema)
+    tname = target or "_json"
+    df = df.withColumn(tname, parsed)
+    ok = F.col(tname).isNotNull() | F.col(source).isNull()
+    from logstash_spark.operators.grok import _append_tag_unless
+
+    df = _append_tag_unless(df, "tags", "_jsonparsefailure", ok)
+    if target is None:
+        # hoist to top level (plugin default: fields land on the event)
+        for f in df.schema[tname].dataType.fieldNames():  # type: ignore[union-attr]
+            df = df.withColumn(f, F.col(tname)[f])
+        df = df.drop(tname)
+    return df
+
+
+def json_field(source: Column, path: str) -> Column:
+    """Cheap single-field extraction (`get_json_object`) — use when only one
+    key is needed; avoids materializing the struct."""
+    return F.get_json_object(source, path)
+
+
+def kv(
+    df: DataFrame,
+    source: str,
+    *,
+    field_split: str = " ",
+    value_split: str = "=",
+    target: str | None = None,
+    include_keys: list[str] | None = None,
+) -> DataFrame:
+    """`kv` filter: parse k=v pairs into a map column (default_plugins.rb:36).
+
+    str_to_map is a single codegen'd expression; with ``include_keys`` we
+    project specific keys to top-level columns (typed pipelines).
+    """
+    m = F.str_to_map(F.col(source), F.lit(field_split), F.lit(value_split))
+    tname = target or "_kv"
+    df = df.withColumn(tname, m)
+    if include_keys:
+        for k in include_keys:
+            df = df.withColumn(k, F.col(tname).getItem(k))
+        if target is None:
+            df = df.drop(tname)
+    return df
+
+
+def csv_parse(
+    df: DataFrame,
+    source: str,
+    columns: list[str],
+    *,
+    separator: str = ",",
+    types: dict[str, str] | None = None,
+) -> DataFrame:
+    """`csv` filter (default_plugins.rb:28): from_csv with a named schema."""
+    schema = ", ".join(f"`{c}` string" for c in columns)
+    parsed = F.from_csv(F.col(source), F.lit(schema), {"sep": separator})
+    df = df.withColumn("_csv", parsed)
+    for c in columns:
+        col = F.col("_csv")[c]
+        if types and c in types:
+            col = col.try_cast(types[c])
+        df = df.withColumn(c, col)
+    return df.drop("_csv")
+
+
+def urldecode(df: DataFrame, *fields: str) -> DataFrame:
+    """`urldecode` filter (default_plugins.rb:45) — try_url_decode JVM-side."""
+    for f_ in fields:
+        df = df.withColumn(top_field(f_), F.try_url_decode(F.col(top_field(f_))))
+    return df
+
+
+def syslog_pri(
+    df: DataFrame, source: str = "syslog_pri", use_labels: bool = True
+) -> DataFrame:
+    """`syslog_pri` filter (default_plugins.rb:43): priority = facility*8 +
+    severity; pure arithmetic + array lookup, zero Python."""
+    pri = (F.col(source)).try_cast("int")
+    severity = pri % 8
+    facility = (pri / 8).cast("int")
+    df = df.withColumn("syslog_severity_code", severity)
+    df = df.withColumn("syslog_facility_code", facility)
+    if use_labels:
+        sev_labels = F.array(*[F.lit(x) for x in [
+            "emergency", "alert", "critical", "error",
+            "warning", "notice", "informational", "debug",
+        ]])
+        fac_labels = F.array(*[F.lit(x) for x in [
+            "kernel", "user-level", "mail", "daemon", "security/authorization",
+            "syslogd", "line printer", "network news", "uucp", "clock",
+            "security/authorization", "ftp", "ntp", "log audit", "log alert",
+            "clock", "local0", "local1", "local2", "local3", "local4",
+            "local5", "local6", "local7",
+        ]])
+        df = df.withColumn("syslog_severity", F.element_at(sev_labels, severity + 1))
+        df = df.withColumn("syslog_facility", F.element_at(fac_labels, facility + 1))
+    return df
+
+
+def xml_parse(df: DataFrame, source: str, schema: str) -> DataFrame:
+    """`xml` filter (default_plugins.rb:48) — Spark 4's from_xml."""
+    return df.withColumn("_xml", F.from_xml(F.col(source), F.lit(schema)))

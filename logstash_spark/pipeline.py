@@ -1,0 +1,131 @@
+"""Pipeline spec → DataFrame plan compiler.
+
+The reference compiles its config DSL to straight-line Ruby
+(lib/logstash/config/config_ast.rb:85-127) and runs it per event over
+SizedQueues (lib/logstash/pipeline.rb). Here the pipeline spec is plain
+Python data (ordered stages + conditional trees — same shape as the parsed
+config AST) compiled ONCE into a chain of DataFrame transformations; the
+"codegen" step is Catalyst + Tungsten.
+
+Spec shape:
+
+    Pipeline(
+      filters=[
+        Stage(op='grok', params={...}),
+        Stage(op='mutate.convert', params={...}, when=Cmp(Field('[x]'),'==',1),
+              add_tag=['parsed'], add_field={'k':'%{v}'}),
+      ],
+      outputs=[
+        Output(name='errors', when=Rx(Field('[response]'), '^5'),
+               sink=ParquetSink(path)),
+      ],
+    )
+
+Conditional filters compile to ``when(cond, transformed).otherwise(orig)``
+per touched column — events not matching a stage's condition pass through
+unchanged, exactly the reference's branch semantics
+(config_ast.rb:375-436), but with no per-event branching cost: the branch
+is a vectorized CASE.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logstash_spark.conditions import Always, Expr
+from logstash_spark.registry import OPERATORS
+
+
+@dataclass
+class Stage:
+    op: str
+    params: dict[str, Any] = dc_field(default_factory=dict)
+    when: Expr | None = None
+    add_field: dict[str, Any] = dc_field(default_factory=dict)
+    add_tag: list[str] = dc_field(default_factory=list)
+    remove_field: list[str] = dc_field(default_factory=list)
+    remove_tag: list[str] = dc_field(default_factory=list)
+
+
+@dataclass
+class Output:
+    name: str
+    sink: "Sink"
+    when: Expr | None = None
+
+
+@dataclass
+class Pipeline:
+    filters: list[Stage] = dc_field(default_factory=list)
+    outputs: list[Output] = dc_field(default_factory=list)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Apply the filter chain (config order, reference semantics)."""
+        for st in self.filters:
+            df = apply_stage(df, st)
+        return df
+
+    def run(self, df: DataFrame) -> dict[str, Any]:
+        """Full parse→route→write over every output. Single scan: the
+        transformed frame is persisted once, each sink writes its routed
+        subset (SURVEY §4 item 3 — reference writes each event to every
+        matching output in one pass; naive Spark would rescan per sink)."""
+        from logstash_spark.sinks import write_outputs
+
+        out = self.transform(df)
+        return write_outputs(out, self.outputs)
+
+    def route(self, df: DataFrame) -> DataFrame:
+        """Add one boolean `_route_<name>` column per output — the routing
+        decision computed once, reused by every sink write."""
+        out = self.transform(df)
+        for o in self.outputs:
+            cond = (o.when or Always()).compile(out)
+            out = out.withColumn(f"_route_{o.name}", cond)
+        return out
+
+
+def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
+    fn = OPERATORS[st.op]
+    if st.when is None:
+        return _apply_decorators(fn(df, **st.params), st)
+    return _conditional_apply(df, st, fn)
+
+
+def _conditional_apply(df: DataFrame, st: Stage, fn: Callable[..., DataFrame]) -> DataFrame:
+    """when(cond) stage: snapshot original columns, run op, CASE-merge."""
+    cond = st.when.compile(df)  # type: ignore[union-attr]
+    snap = {c: f"_orig_{c}" for c in df.columns}
+    snapped = df.withColumn("_cond", cond)
+    for c, s in snap.items():
+        snapped = snapped.withColumn(s, F.col(c))
+    transformed = _apply_decorators(fn(snapped, **st.params), st)
+    out = transformed
+    for c in transformed.columns:
+        if c.startswith("_orig_") or c == "_cond":
+            continue
+        orig_name = snap.get(c)
+        if orig_name:
+            out = out.withColumn(c, F.when(F.col("_cond"), F.col(c)).otherwise(F.col(orig_name)))
+        else:
+            # column created by the op: null where the condition is false
+            out = out.withColumn(c, F.when(F.col("_cond"), F.col(c)))
+    return out.drop("_cond", *snap.values())
+
+
+def _apply_decorators(df: DataFrame, st: Stage) -> DataFrame:
+    from logstash_spark.operators import mutate as M
+
+    for k, v in st.add_field.items():
+        df = M.add_field(df, k, v)
+    for t in st.add_tag:
+        df = M.add_tag(df, t)
+    for f_ in st.remove_field:
+        df = M.remove_field(df, f_)
+    for t in st.remove_tag:
+        df = M.remove_tag(df, t)
+    return df

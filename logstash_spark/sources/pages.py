@@ -1,0 +1,174 @@
+"""Deterministic Common-Crawl-style web-pages table.
+
+BASELINE.json input_hint: ``(url string, warc_ts timestamp, html binary,
+text string, lang string)``. No external data — every value derives from
+integer arithmetic on row ids / the driver's events table, so the same
+table can be synthesized at any scale (bench) and mirrored exactly in
+DuckDB SQL (correctness oracle).
+
+Two generators:
+
+- ``synthetic_pages(spark, n)`` — pure ``spark.range`` + column exprs; used
+  by the bench harness at arbitrary scale. Embeds Apache combined-log lines
+  (the reference's golden corpus shape, docs/tutorials/10-minute-walkthrough/
+  apache_log.1) in ``text`` plus k=v and JSON lines, with a skewed host
+  distribution to exercise salting.
+- ``pages_sql(dialect)`` — ONE logical derivation of pages from the driver's
+  ``events`` table rendered for 'spark' and 'duckdb'; every derived field is
+  recomputable directly from events columns, so oracles can assert grok/date
+  outputs without re-running a regex in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# portable SQL derivation from `events`
+# ---------------------------------------------------------------------------
+
+# Shared (identical text in Spark SQL and DuckDB):
+_COMMON_FIELDS = """
+  'https://host' || CAST(user_id % 40 AS VARCHAR) || '.example.com/p/' || CAST(event_id AS VARCHAR) AS url,
+  ts AS warc_ts,
+  CASE CAST(user_id % 5 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es' ELSE 'zh' END AS lang,
+  '10.' || CAST(user_id % 200 AS VARCHAR) || '.' || CAST(event_id % 250 AS VARCHAR) || '.' || CAST((event_id * 7) % 250 AS VARCHAR) AS clientip,
+  CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' WHEN 2 THEN 'HEAD' ELSE 'PUT' END AS verb,
+  '/p/' || CAST(event_id AS VARCHAR) AS request,
+  CASE CAST(event_id % 5 AS INT) WHEN 0 THEN '200' WHEN 1 THEN '301' WHEN 2 THEN '404' WHEN 3 THEN '500' ELSE '503' END AS response,
+  CAST(CAST(FLOOR(value * 10) AS BIGINT) AS VARCHAR) AS bytes,
+  'http://ref' || CAST(user_id % 10 AS VARCHAR) || '.example.com/' AS referrer,
+  CASE CAST(event_id % 3 AS INT)
+    WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36'
+    WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Mac OS X 10_15) Version/17.0 Safari/605.1.15'
+    ELSE 'Mozilla/5.0 (X11; Linux x86_64) Firefox/115.0' END AS agent,
+  event_id, user_id, ts, value
+"""
+
+# dialect-specific: apache %d/%b/%Y:%H:%M:%S timestamp rendering
+_HTTPTS = {
+    "spark": "date_format(ts, 'dd/MMM/yyyy:HH:mm:ss') || ' +0000'",
+    "duckdb": "strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000'",
+}
+
+
+def pages_sql(dialect: str, events_relation: str = "events") -> str:
+    """SELECT producing the pages view from the events table.
+
+    ``text`` is an Apache combined-log line; every component is also exposed
+    as its own column so oracle SQL can assert parsed values directly.
+    """
+    httpts = _HTTPTS[dialect]
+    sql = f"""
+WITH base AS (
+  SELECT {_COMMON_FIELDS}, {httpts} AS httpts
+  FROM {events_relation}
+)
+SELECT
+  url, warc_ts, lang, clientip, verb, request, response, bytes, referrer,
+  agent, httpts, event_id, user_id, value,
+  clientip || ' - - [' || httpts || '] "' || verb || ' ' || request
+    || ' HTTP/1.1" ' || response || ' ' || bytes || ' "' || referrer
+    || '" "' || agent || '"' AS text
+FROM base
+"""
+    if dialect == "spark":
+        # Spark has no unsized VARCHAR; same semantics as STRING
+        sql = sql.replace("AS VARCHAR)", "AS STRING)")
+    return sql
+
+
+def pages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pages table used by oracle-checked queries."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(pages_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# scale-free generator (bench / unit tests)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_pages(
+    spark: SparkSession,
+    n: int,
+    *,
+    partitions: int | None = None,
+    hot_host_fraction: float = 0.2,
+    include_junk: bool = True,
+) -> DataFrame:
+    """n-row pages table from ``spark.range`` — no data movement, generated
+    in-place per partition, linear at any scale.
+
+    Skew: ``hot_host_fraction`` of rows map to ONE host (host0), the rest
+    spread over 997 hosts — exercises salting/AQE skew handling.
+    Line mix in ``text``: 70% Apache combined, 15% k=v, 10% JSON, 5% junk
+    (FIXTURES.md F2 corpora) unless ``include_junk`` is False.
+    """
+    df = spark.range(0, n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    host = F.when((i % 100) < int(hot_host_fraction * 100), F.lit(0)).otherwise(F.pmod(F.xxhash64(i), F.lit(997)))
+    ts = F.timestamp_seconds(F.lit(1356998400) + i % 31536000)  # 2013 epoch base
+    clientip = F.concat_ws(
+        ".",
+        (F.pmod(i * 131, F.lit(223)) + 1).cast("string"),
+        F.pmod(i * 17, F.lit(256)).cast("string"),
+        F.pmod(i * 7, F.lit(256)).cast("string"),
+        F.pmod(i, F.lit(256)).cast("string"),
+    )
+    verb = F.element_at(F.array(F.lit("GET"), F.lit("POST"), F.lit("HEAD"), F.lit("PUT")), (i % 4 + 1).cast("int"))
+    response = F.element_at(
+        F.array(*[F.lit(x) for x in ["200", "200", "200", "301", "404", "500", "503"]]),
+        (i % 7 + 1).cast("int"),
+    )
+    nbytes = F.pmod(i * 997, F.lit(50000)).cast("string")
+    path = F.concat(F.lit("/p/"), i.cast("string"))
+    referrer = F.concat(F.lit("http://ref"), F.pmod(i, F.lit(10)).cast("string"), F.lit(".example.com/"))
+    agent = F.element_at(
+        F.array(
+            F.lit("Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36"),
+            F.lit("Mozilla/5.0 (Macintosh; Mac OS X 10_15) Version/17.0 Safari/605.1.15"),
+            F.lit("Mozilla/5.0 (X11; Linux x86_64) Firefox/115.0"),
+        ),
+        (i % 3 + 1).cast("int"),
+    )
+    httpts = F.concat(F.date_format(ts, "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000"))
+    apache_line = F.concat(
+        clientip, F.lit(" - - ["), httpts, F.lit('] "'), verb, F.lit(" "), path,
+        F.lit(' HTTP/1.1" '), response, F.lit(" "), nbytes,
+        F.lit(' "'), referrer, F.lit('" "'), agent, F.lit('"'),
+    )
+    kv_line = F.concat(
+        F.lit("src="), clientip, F.lit(" dst=10.0.0."), F.pmod(i, F.lit(250)).cast("string"),
+        F.lit(" action="), F.when(i % 2 == 0, F.lit("allow")).otherwise(F.lit("deny")),
+        F.lit(" bytes="), nbytes,
+    )
+    json_line = F.concat(
+        F.lit('{"user":{"name":"u'), F.pmod(i, F.lit(1000)).cast("string"),
+        F.lit('"},"status":'), response, F.lit(',"tags":["a","b"]}'),
+    )
+    junk_line = F.concat(F.lit("lorem ipsum dolor "), i.cast("string"), F.lit(" sit amet"))
+    bucket = i % 100
+    if include_junk:
+        text = (
+            F.when(bucket < 70, apache_line)
+            .when(bucket < 85, kv_line)
+            .when(bucket < 95, json_line)
+            .otherwise(junk_line)
+        )
+    else:
+        text = apache_line
+    url = F.concat(F.lit("https://host"), host.cast("string"), F.lit(".example.com"), path)
+    html = F.encode(F.concat(F.lit("<html><body><p>"), text, F.lit("</p></body></html>")), "UTF-8")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"), F.lit("zh")),
+        (i % 7 + 1).cast("int"),
+    )
+    return df.select(
+        url.alias("url"),
+        ts.alias("warc_ts"),
+        html.alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )

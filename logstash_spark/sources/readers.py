@@ -1,0 +1,68 @@
+"""Source readers — the engine's input surface.
+
+The reference's input plugins (manifest rakelib/default_plugins.rb:49-76)
+reduce, in a Spark-first design, to table scans + record-oriented parsing:
+
+- file/s3       -> spark.read / readStream over parquet, Iceberg, text, json
+- kafka/bus     -> spark.readStream.format('kafka') (streaming module)
+- generator     -> sources.pages.synthetic_pages
+- the rest (sockets, exec, imap...) are dev-mode inputs with no 100 TB
+  analog; deliberately out of scope (SURVEY §2.2).
+
+Iceberg is the designated table format in the north rule; the runtime here
+has plain parquet, so Iceberg is gated: same call sites, format string
+switches when a catalog is configured.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated table; registers a same-named temp view."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_pages(spark: SparkSession, location: str, *, streaming: bool = False) -> DataFrame:
+    """The production entry: scan the web-pages table.
+
+    On a real deployment ``location`` is an Iceberg table name
+    (catalog.db.pages) and this becomes ``spark.read.table(...)`` /
+    ``spark.readStream.format('iceberg')`` — partition pruning on
+    warc_ts-derived partitions and column pruning of `html` when untouched
+    both come from the format's metadata. Here: parquet path fallback.
+    """
+    if "." in location and "/" not in location:
+        # catalog table name — Iceberg path
+        return (spark.readStream if streaming else spark.read).table(location)
+    if streaming:
+        return spark.readStream.format("parquet").load(location)
+    return spark.read.parquet(location)
+
+
+def write_pages(df: DataFrame, location: str, *, mode: str = "overwrite") -> None:
+    """Write the pages table partitioned for the pipeline's access pattern:
+    day(warc_ts) partitions + url-hash bucketing would apply on Iceberg
+    (`PARTITIONED BY (days(warc_ts), bucket(256, url))`); parquet fallback
+    partitions by date only."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("warc_date", F.to_date("warc_ts"))
+        .write.mode(mode)
+        .partitionBy("warc_date")
+        .parquet(location)
+    )
