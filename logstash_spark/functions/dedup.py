@@ -1,0 +1,234 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding near-dup.
+
+These are the training-data-pipeline extensions (not in the Logstash
+reference). Scale reasoning per operator:
+
+- exact          — one hash-shuffle on the md5 key; row_number keeps the
+                   first doc per group. At 100 TB: standard groupBy, AQE
+                   handles key skew (empty/boilerplate docs are the hot keys).
+- ngram_jaccard  — brute-force pair scoring is O(n²); bounded by a cheap
+                   equi-bucket (here: shared rare-shingle prefix bucket) so
+                   the self-join is bucket-local. The exact Jaccard filter is
+                   array_intersect/union, JVM-side.
+- minhash_lsh    — shingles -> K minhashes via K independent xxhash64 salts
+                   (one pass, no UDF), band into B buckets, self-join within
+                   (band, bucket) — the classic LSH candidate generation with
+                   two shuffles (explode + join). Candidates verified with
+                   exact Jaccard.
+- simhash        — 64-bit sign-sum of per-token hashes. Implemented with
+                   explode + groupBy bit-vote (pure exprs); near-dups = equal
+                   simhash prefix buckets + hamming check via bit_count(xor).
+- embedding      — cosine near-dup over `embeddings.embedding`; see
+                   similarity.py (shares the dot-product kernel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from logstash_spark.functions.text import normalize_text
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", keep: str = "min"
+) -> DataFrame:
+    """Keep one document per normalized-content hash (lowest id wins).
+
+    Adds ``content_key`` (md5 of normalized text) and ``dup_count``.
+    """
+    df = df.withColumn("content_key", F.md5(normalize_text(F.col(text_col))))
+    w = W.partitionBy("content_key")
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    df = df.withColumn("dup_count", F.count(F.lit(1)).over(w))
+    df = df.withColumn("_rn", F.row_number().over(w.orderBy(order)))
+    return df.filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of normalized text, as array<string>.
+    Pure exprs: split -> sequence -> transform(slice) -> array_distinct."""
+    words = F.split(normalize_text(text), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    return F.array_distinct(sh)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (bucketed brute force)
+# ---------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+    bucket_by: str = "first_shingle",
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) with shingle-Jaccard >= threshold.
+
+    Bucketing: documents sharing their lexicographically-first shingle land
+    in one bucket; the self-join is bucket-local (equi-join -> shuffle hash
+    join, never a cartesian). Near-dups with threshold >= ~0.5 share their
+    min-shingle with high probability; exactness is restored by the final
+    Jaccard filter (this is a recall/efficiency trade documented here).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sh = sh.withColumn("bucket", F.array_min("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "bucket")
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+    return pairs.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """K minhash values as array<bigint>: min over xxhash64(shingle, salt_i).
+
+    One expression tree, no UDF: transform over a literal salt range, each
+    element = array_min of the salted hashes.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs verified by exact Jaccard.
+
+    bands×rows layout: 32 hashes / 8 bands = 4 rows per band; collision
+    probability curve s^4 per band. Shuffles: one explode+groupBy-free join
+    on (band, band_hash) — at 100 TB the candidate join dominates; band
+    buckets bound its size.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    base = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # band hash = xxhash64 over the band's slice of the signature
+    bandarr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bidx: F.struct(
+            bidx.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bh"),
+        ),
+    )
+    banded = base.withColumn("b", F.explode(bandarr)).select(
+        "id", "sh", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+    return cand.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", out: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document, pure exprs (no UDF, no shuffle):
+
+    for each bit j: bit_j = 1 iff sum over tokens of sign(bit j of
+    xxhash64(token)) > 0. Implemented with aggregate() over the token array
+    accumulating a 64-long vote vector.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    votes = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.when(F.getbit(F.xxhash64(w), j) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # fold bit 63 .. bit 0 as acc*2 + bit (F.shiftleft needs a literal bit
+    # count, so shift-by-column is expressed as the multiply-accumulate; the
+    # wraparound on the sign bit is deterministic and harmless for a hash)
+    bits = F.aggregate(
+        F.reverse(votes),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 2 + F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return df.withColumn(out, bits)
+
+
+def simhash_near_dups(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top-16-bit prefix, compare
+    within buckets with bit_count(xor) <= max_hamming. (Production variant
+    uses 4 rotated prefix tables for full recall; single-prefix documented
+    as the recall trade.)"""
+    s = simhash(df, text_col=text_col, id_col=id_col)
+    s = s.select(F.col(id_col).alias("id"), "simhash").withColumn(
+        "prefix", F.shiftrightunsigned(F.col("simhash"), 48)
+    )
+    a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "prefix")
+    b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "prefix")
+    pairs = a.join(b, "prefix").filter(F.col("id_a") < F.col("id_b"))
+    pairs = pairs.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+    return pairs.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline extension (not in the Logstash reference): top-k
+nearest neighbors by cosine similarity.
+
+- brute force  — exact baseline: broadcast the (small) query set, score
+  every (query, doc) pair with a JVM dot-product (`aggregate`/`zip_with`),
+  window top-k. One broadcast join + one shuffle for the top-k window.
+  At 100 TB of vectors this is the score-everything path — linear, and the
+  right answer when the query set is small.
+- LSH-bucketed — scale path: random-hyperplane signatures (reusing the
+  deterministic xxhash64-based plane construction), equi-join on bucket,
+  exact re-rank within buckets. Sub-linear candidate count, tunable recall.
+- IVF          — alternative scale path: k-means-style coarse centroids
+  (deterministically seeded sample), route each vector to nearest centroid,
+  probe P nearest lists. Provided as `ivf_assign` building block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: crossJoin(broadcast(queries)) + window row_number.
+
+    Vectors are cast to double before arithmetic so results are reproducible
+    across engines (float-sum order effects stay below the rounding used in
+    parity checks).
+    """
+    d = docs.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).cast("array<double>").alias("qv"))
+    scored = d.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col("nbr_id") != F.col("query_id"))
+    scored = scored.withColumn("cos", cosine(F.col("v"), F.col("qv")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return out.select("query_id", "nbr_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(plane_idx: Column | int, dim_idx: Column, seed: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in {-1,+1} from
+    xxhash64(plane, dim, seed) — no RNG state, identical on every executor."""
+    h = F.xxhash64(F.lit(seed), plane_idx if isinstance(plane_idx, Column) else F.lit(plane_idx), dim_idx)
+    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_signature(vec: Column, num_planes: int = 16, seed: int = 42) -> Column:
+    """num_planes sign bits packed into a bigint bucket id.
+
+    Folded as acc*2 + sign_bit per plane (shift-by-column isn't expressible
+    with F.shiftleft's literal bit count)."""
+
+    def plane_dot(p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, j: x * _plane_component(p, j, seed),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * 2 + F.when(plane_dot(p) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def lsh_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    num_planes: int = 12,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: equi-join on hyperplane bucket, exact re-rank.
+
+    Candidates = docs sharing the query's bucket. Recall is tunable by
+    num_planes (fewer planes -> bigger buckets -> higher recall/cost);
+    multi-probe (flipping low-confidence bits) is the production extension.
+    """
+    d = docs.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    d = d.withColumn("bucket", hyperplane_signature(F.col("v"), num_planes))
+    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).cast("array<double>").alias("qv"))
+    q = q.withColumn("bucket", hyperplane_signature(F.col("qv"), num_planes))
+    cand = d.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        cand = cand.filter(F.col("nbr_id") != F.col("query_id"))
+    cand = cand.withColumn("cos", cosine(F.col("v"), F.col("qv")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    out = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return out.select("query_id", "nbr_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+def ivf_assign(
+    docs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_lists: int = 16,
+) -> DataFrame:
+    """IVF building block: assign each vector to its nearest coarse centroid.
+
+    Centroids = deterministic sample (every (n/num_lists)-th vector by id) —
+    at scale replace with k-means|| via MLlib; the routing/probe machinery is
+    what matters for the engine. Output: (id, list_id) for list-pruned search.
+    """
+    d = docs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    # deterministic coarse centroids: first num_lists vectors by id
+    cents = d.orderBy("id").limit(num_lists).select(
+        F.row_number().over(W.orderBy("id")).alias("list_id"), F.col("v").alias("cv")
+    )
+    scored = d.crossJoin(F.broadcast(cents)).withColumn("cos", cosine(F.col("v"), F.col("cv")))
+    w = W.partitionBy("id").orderBy(F.col("cos").desc(), F.col("list_id").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("id", "list_id")
+    )

@@ -1,0 +1,101 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (SURVEY §2): language-ID, quality scoring,
+token counting, document fingerprinting over the `documents` table. All are
+pure JVM column expressions (regexp counts + arithmetic) so they stay inside
+whole-stage codegen and are exactly mirrorable in the DuckDB oracle — no
+Python in the path, linear scaling, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Per-language marker words (tiny stopword lists). Deliberately ASCII and
+# word-boundary anchored so Java regex, RE2 (DuckDB) and Python agree.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
+    "es": r"\b(el|la|los|las|es|una|con|para|por|del)\b",
+}
+
+
+def marker_counts(text: Column) -> dict[str, Column]:
+    return {lang: F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0)) for lang, pat in LANG_MARKERS.items()}
+
+
+def lang_id(df: DataFrame, source: str = "text", target: str = "lang_pred") -> Column | DataFrame:
+    """N-gram/stopword-heuristic language ID: argmax of marker-word counts,
+    'und' (undetermined) when no marker hits. Deterministic tie-break by
+    language code order (en < de is resolved by fixed comparison chain)."""
+    counts = marker_counts(F.col(source))
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_n = F.lit(0)
+    # fixed-order scan: strictly-greater wins -> first language in LANG_MARKERS
+    # order wins ties; mirrors a deterministic CASE chain in the oracle SQL.
+    for lang in reversed(langs):
+        c = counts[lang]
+        best = F.when(c >= best_n, F.lit(lang)).otherwise(best)
+        best_n = F.when(c >= best_n, c).otherwise(best_n)
+    best = F.when(best_n > 0, best).otherwise(F.lit("und"))
+    return df.withColumn(target, best)
+
+
+def token_count(df: DataFrame, source: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (runs of letters, digits,
+    or single punctuation — the GPT-2 pre-tokenizer shape)."""
+    txt = F.col(source)
+    df = df.withColumn("n_ws_tokens", F.size(F.split(F.trim(txt), r"\s+")))
+    df = df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(txt, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)),
+    )
+    return df
+
+
+def quality_score(df: DataFrame, source: str = "text") -> DataFrame:
+    """Heuristic document-quality features + a composite score in [0,1]:
+    length band, mean word length sanity, alpha ratio, stopword presence.
+    The exact formula is arbitrary but FROZEN — it's an oracle-checked
+    contract, mirrored in SQL."""
+    txt = F.col(source)
+    n_chars = F.length(txt)
+    words = F.split(F.trim(txt), r"\s+")
+    n_words = F.size(words)
+    mean_wlen = (n_chars - (n_words - 1)) / n_words  # chars minus separators
+    n_alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    stop_hits = F.size(F.regexp_extract_all(F.lower(txt), F.lit(LANG_MARKERS["en"]), 0))
+    stop_ratio = stop_hits / F.greatest(n_words, F.lit(1))
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.least(alpha_ratio, F.lit(0.8)) * 0.3125  # 0.25 at ratio 0.8
+        + F.least(stop_ratio * 2.5, F.lit(1.0)) * 0.25
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_wlen, 4))
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 4))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("quality", F.round(score, 4))
+    )
+
+
+def normalize_text(txt: Column) -> Column:
+    """Canonical form for dedup/fingerprint: lowercase, collapse whitespace,
+    strip non-alphanumerics (keeps spaces)."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(txt), r"[^a-z0-9\s]", ""), r"\s+", " "))
+
+
+def doc_fingerprint(df: DataFrame, source: str = "text", target: str = "fp") -> DataFrame:
+    """Content fingerprint = md5 of normalized text (exact-dup key), plus a
+    64-bit rolling-hash-style numeric fingerprint (xxhash64) for cheap
+    bucketing. md5 is oracle-mirrorable; xxhash64 is Spark-internal."""
+    norm = normalize_text(F.col(source))
+    df = df.withColumn(target, F.md5(norm))
+    df = df.withColumn(target + "64", F.xxhash64(norm))
+    return df

@@ -1,0 +1,816 @@
+"""Query registry: every implemented operator as (Spark callable, oracle SQL).
+
+This is the driver-facing correctness surface (see __spark_entry__.py).
+Each entry is one operator/semantic from SURVEY §2 (or a training-data
+extension) expressed twice:
+
+- a Spark callable (spark, sf_dir) -> DataFrame using the engine's operators
+- an ANSI-SQL oracle DuckDB runs over the same parquet views
+
+Column names are aliased identically on both sides; floats are rounded;
+timestamps rendered as strings — the driver compares row count + schema +
+order-insensitive value hash.
+
+The web-page queries run over the deterministic `pages` derivation of the
+driver's events table (logstash_spark.sources.pages.pages_sql) — verified
+byte-identical between engines — so grok/date/route outputs can be asserted
+against DIRECTLY RECOMPUTED expected values, a stronger oracle than running
+a second regex engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logstash_spark.sources.pages import pages_from_events, pages_sql
+from logstash_spark.sources.readers import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# DuckDB-side pages CTE (shared prefix for oracle SQL)
+_PAGES_CTE = f"WITH pages AS ({pages_sql('duckdb')})"
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_from_events(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# grok / date / sprintf
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "grok_parse",
+    f"""{_PAGES_CTE}
+SELECT url, clientip, verb, request, '1.1' AS httpversion,
+       response, bytes, referrer AS ref_url
+FROM pages""",
+)
+def grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grok %{{COMBINEDAPACHELOG}} over the embedded Apache line; captures
+    must equal the directly-recomputed components (reference golden test:
+    docs/tutorials/10-minute-walkthrough/step-5-output.txt)."""
+    from logstash_spark.operators.grok import grok
+
+    p = _pages(spark, sf_dir)
+    g = grok(p.select("url", "text"), "text", "%{COMBINEDAPACHELOG}")
+    return g.select(
+        "url", "clientip", "verb", "request", "httpversion", "response", "bytes",
+        # grok keeps surrounding quotes on QS captures (step-5-output.txt);
+        # strip for comparison with the raw component
+        F.regexp_replace("referrer", '^"|"$', "").alias("ref_url"),
+    )
+
+
+@q(
+    "grok_failure_tags",
+    """SELECT doc_id,
+       CASE WHEN regexp_matches(text, '^\\w+ \\w+') THEN 0 ELSE 1 END AS failed
+FROM documents""",
+)
+def grok_failure_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_grokparsefailure tagging on non-matching rows (filter contract,
+    reference lib/logstash/filters/base.rb tag_on_failure)."""
+    from logstash_spark.operators.grok import grok
+
+    d = load_table(spark, sf_dir, "documents")
+    g = grok(d.select("doc_id", "text"), "text", "^%{WORD:w1} %{WORD:w2}")
+    return g.select(
+        "doc_id",
+        F.when(F.array_contains(F.coalesce(F.col("tags"), F.array().cast("array<string>")), "_grokparsefailure"), 1)
+        .otherwise(0)
+        .alias("failed"),
+    )
+
+
+@q(
+    "date_parse",
+    f"""{_PAGES_CTE}
+SELECT url, strftime(date_trunc('second', warc_ts), '%Y-%m-%dT%H:%M:%S') || '.000Z' AS event_ts
+FROM pages""",
+)
+def date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date filter: parse the grokked HTTPDATE back to a timestamp; render
+    ms-ISO8601 (reference precision, lib/logstash/timestamp.rb:19-20)."""
+    from logstash_spark.operators.date import date, iso8601_ms
+    from logstash_spark.operators.grok import grok
+
+    p = _pages(spark, sf_dir)
+    g = grok(p.select("url", "text"), "text", "%{COMBINEDAPACHELOG}")
+    g = date(g, "timestamp", ["dd/MMM/yyyy:HH:mm:ss Z"])
+    return g.select("url", iso8601_ms(F.col("@timestamp")).alias("event_ts"))
+
+
+@q(
+    "sprintf_format",
+    f"""{_PAGES_CTE}
+SELECT url, verb || '-' || response || '@' || strftime(warc_ts, '%Y.%m.%d') AS routed_key
+FROM pages""",
+)
+def sprintf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sprintf templating %{{field}} + %{{+JODA}} (event.rb:224-270)."""
+    from logstash_spark.event import sprintf_col
+
+    p = _pages(spark, sf_dir).withColumn("@timestamp", F.col("warc_ts"))
+    return p.select(
+        "url", sprintf_col("%{verb}-%{response}@%{+yyyy.MM.dd}", p).alias("routed_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mutate / structured parsers
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "mutate_ops",
+    f"""{_PAGES_CTE}
+SELECT url,
+       upper(verb) AS verb,
+       CAST(bytes AS BIGINT) AS bytes,
+       replace(request, '/p/', '/page/') AS request,
+       lang AS language,
+       trim('  x  ') AS stripped
+FROM pages""",
+)
+def mutate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.operators import mutate as M
+
+    p = _pages(spark, sf_dir).select("url", "verb", "bytes", "request", "lang").withColumn("stripped", F.lit("  x  "))
+    p = M.uppercase(p, "verb")
+    p = M.convert(p, {"bytes": "integer"})
+    p = M.gsub(p, [("request", "/p/", "/page/")])
+    p = M.rename(p, {"lang": "language"})
+    p = M.strip(p, "stripped")
+    return p.select("url", "verb", "bytes", "request", "language", "stripped")
+
+
+@q(
+    "kv_parse",
+    f"""{_PAGES_CTE}
+SELECT url, clientip AS src, 'allow' AS action, bytes AS kv_bytes
+FROM pages""",
+)
+def kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kv filter: construct the k=v line, parse it back (str_to_map)."""
+    from logstash_spark.operators.parse import kv
+
+    p = _pages(spark, sf_dir)
+    p = p.withColumn(
+        "kvline",
+        F.concat(F.lit("src="), F.col("clientip"), F.lit(" action=allow bytes="), F.col("bytes")),
+    )
+    out = kv(p, "kvline", target="kvm")
+    return out.select(
+        "url",
+        F.col("kvm").getItem("src").alias("src"),
+        F.col("kvm").getItem("action").alias("action"),
+        F.col("kvm").getItem("bytes").alias("kv_bytes"),
+    )
+
+
+@q(
+    "json_parse",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events""",
+)
+def json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json filter over the events.props JSON column."""
+    from logstash_spark.operators.parse import json_parse as jp
+
+    e = load_table(spark, sf_dir, "events")
+    out = jp(e, "props", "k bigint", target="j")
+    return out.select("event_id", F.col("j.k").alias("k"))
+
+
+@q(
+    "csv_parse",
+    f"""{_PAGES_CTE}
+SELECT url, CAST(event_id AS BIGINT) AS id_out, verb AS verb_out, CAST(response AS BIGINT) AS resp_out
+FROM pages""",
+)
+def csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.operators.parse import csv_parse as cp
+
+    p = _pages(spark, sf_dir)
+    p = p.withColumn("line", F.concat_ws(",", "event_id", "verb", "response"))
+    out = cp(p, "line", ["id_out", "verb_out", "resp_out"], types={"id_out": "bigint", "resp_out": "bigint"})
+    return out.select("url", "id_out", "verb_out", "resp_out")
+
+
+@q(
+    "urldecode_field",
+    f"""{_PAGES_CTE}
+SELECT url, 'a b/c ' || CAST(event_id AS VARCHAR) AS decoded
+FROM pages""",
+)
+def urldecode_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.operators.parse import urldecode
+
+    p = _pages(spark, sf_dir)
+    p = p.withColumn("decoded", F.concat(F.lit("a%20b%2Fc%20"), F.col("event_id").cast("string")))
+    return urldecode(p, "decoded").select("url", "decoded")
+
+
+@q(
+    "syslog_pri_decode",
+    """SELECT event_id,
+       CAST(event_id % 192 AS INT) % 8 AS syslog_severity_code,
+       CAST(CAST(event_id % 192 AS INT) // 8 AS INT) AS syslog_facility_code,
+       (['emergency','alert','critical','error','warning','notice','informational','debug'])[CAST(event_id % 192 AS INT) % 8 + 1] AS syslog_severity
+FROM events""",
+)
+def syslog_pri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.operators.parse import syslog_pri
+
+    e = load_table(spark, sf_dir, "events")
+    e = e.withColumn("pri", (F.col("event_id") % 192).cast("int"))
+    out = syslog_pri(e, "pri")
+    return out.select("event_id", "syslog_severity_code", "syslog_facility_code", "syslog_severity")
+
+
+# ---------------------------------------------------------------------------
+# flow: drop / clone / split / conditionals / routing
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "drop_filter",
+    f"""{_PAGES_CTE}
+SELECT url, response FROM pages WHERE response <> '200'""",
+)
+def drop_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.conditions import Cmp, Field
+    from logstash_spark.operators.clone_split import drop
+
+    p = _pages(spark, sf_dir)
+    return drop(p, when=Cmp(Field("[response]"), "==", "200")).select("url", "response")
+
+
+@q(
+    "clone_fanout",
+    f"""{_PAGES_CTE}
+SELECT p.url, c.clone_seq, c.type
+FROM pages p
+CROSS JOIN (VALUES (0, NULL), (1, 'archive'), (2, 'audit')) AS c(clone_seq, type)""",
+)
+def clone_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clone filter: original first + one copy per clone type with `type`
+    set (reference spec/core/pipeline_spec.rb:139-194 ordering contract)."""
+    from logstash_spark.operators.clone_split import clone
+
+    p = _pages(spark, sf_dir).select("url")
+    out = clone(p, ["archive", "audit"])
+    return out.select("url", F.col("clone_seq").cast("int").alias("clone_seq"), F.col("type"))
+
+
+@q(
+    "split_explode",
+    f"""{_PAGES_CTE}
+SELECT url, 0 AS split_seq, verb AS part FROM pages
+UNION ALL
+SELECT url, 1 AS split_seq, response AS part FROM pages""",
+)
+def split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.operators.clone_split import split
+
+    p = _pages(spark, sf_dir).withColumn("two_lines", F.concat_ws("\n", "verb", "response"))
+    out = split(p, "two_lines", separator="\n", target="part")
+    return out.select("url", F.col("split_seq").cast("int").alias("split_seq"), "part")
+
+
+@q(
+    "conditional_route",
+    f"""{_PAGES_CTE}
+SELECT url,
+       CASE WHEN response LIKE '5%' THEN 'errors'
+            WHEN response = '301' AND verb = 'GET' THEN 'redirects'
+            ELSE 'ok' END AS route
+FROM pages""",
+)
+def conditional_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional algebra (if / else if / else with and/regex) —
+    reference spec/core/conditionals_spec.rb semantics."""
+    from logstash_spark.conditions import And, Cmp, Field, Rx
+
+    p = _pages(spark, sf_dir)
+    is_err = Rx(Field("[response]"), "^5").compile(p)
+    is_redir = And(Cmp(Field("[response]"), "==", "301"), Cmp(Field("[verb]"), "==", "GET")).compile(p)
+    return p.select(
+        "url",
+        F.when(is_err, "errors").when(is_redir, "redirects").otherwise("ok").alias("route"),
+    )
+
+
+@q(
+    "pipeline_e2e",
+    f"""{_PAGES_CTE}
+SELECT CASE WHEN response LIKE '5%' THEN 'errors' ELSE 'ok' END AS sink,
+       lang,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(bytes AS BIGINT)) AS BIGINT) AS total_bytes
+FROM pages
+GROUP BY 1, 2""",
+)
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full parse -> enrich -> route -> per-sink aggregate. The
+    north rule's headline query: per-sink aggregate counts must match the
+    oracle exactly."""
+    from logstash_spark.operators.date import date
+    from logstash_spark.operators.grok import grok
+    from logstash_spark.operators import mutate as M
+
+    p = _pages(spark, sf_dir)
+    g = grok(p.select("url", "lang", "text"), "text", "%{COMBINEDAPACHELOG}")
+    g = date(g, "timestamp", ["dd/MMM/yyyy:HH:mm:ss Z"])
+    g = M.convert(g, {"bytes": "integer"})
+    route = F.when(F.col("response").rlike("^5"), "errors").otherwise("ok")
+    return (
+        g.withColumn("sink", route)
+        .groupBy("sink", "lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bytes").alias("total_bytes"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# enrichment
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "translate_enrich",
+    f"""{_PAGES_CTE}
+SELECT url, response,
+       CASE response WHEN '200' THEN 'ok' WHEN '301' THEN 'redirect'
+            WHEN '404' THEN 'miss' WHEN '500' THEN 'server_error'
+            WHEN '503' THEN 'server_error' ELSE 'unknown' END AS resp_class
+FROM pages""",
+)
+def translate_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """translate filter = broadcast dictionary join + fallback."""
+    from logstash_spark.operators.enrich import translate
+
+    dim = spark.createDataFrame(
+        [("200", "ok"), ("301", "redirect"), ("404", "miss"), ("500", "server_error"), ("503", "server_error")],
+        "key string, value string",
+    )
+    p = _pages(spark, sf_dir)
+    out = translate(p, dim, source="response", target="resp_class", fallback="unknown")
+    return out.select("url", "response", "resp_class")
+
+
+@q(
+    "geoip_range_join",
+    f"""{_PAGES_CTE}
+SELECT url, clientip, 'C' || CAST(CAST(user_id % 200 AS INT) % 7 AS VARCHAR) AS geoip_country
+FROM pages""",
+)
+def geoip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geoip = IP-range lookup via /16-prefix-bucketed broadcast join. The
+    dim assigns 10.d.0.0/16 -> country C(d%7); the oracle recomputes the
+    country directly from the ip construction."""
+    from logstash_spark.operators.enrich import geoip
+
+    dim = spark.range(200).select(
+        (F.lit(10 * 16777216) + F.col("id") * 65536).alias("ip_lo"),
+        (F.lit(10 * 16777216) + F.col("id") * 65536 + 65535).alias("ip_hi"),
+        F.concat(F.lit("C"), (F.col("id") % 7).cast("string")).alias("country"),
+    )
+    p = _pages(spark, sf_dir)
+    out = geoip(p, dim, source="clientip", fields=["country"])
+    return out.select("url", "clientip", "geoip_country")
+
+
+@q(
+    "useragent_parse",
+    f"""{_PAGES_CTE}
+SELECT url,
+       CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari' ELSE 'Firefox' END AS ua_name,
+       CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X' ELSE 'Linux' END AS ua_os
+FROM pages""",
+)
+def useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.operators.enrich import useragent
+
+    p = _pages(spark, sf_dir)
+    out = useragent(p, "agent")
+    return out.select("url", "ua_name", "ua_os")
+
+
+# ---------------------------------------------------------------------------
+# hashing / identity
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "fingerprint_hash",
+    f"""{_PAGES_CTE}
+SELECT url, sha256(url || '|' || lang) AS fingerprint, md5(clientip) AS ip_md5
+FROM pages""",
+)
+def fingerprint_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.operators.fingerprint import anonymize, fingerprint
+
+    p = _pages(spark, sf_dir)
+    out = fingerprint(p, ["url", "lang"], target="fingerprint", method="SHA256")
+    out = anonymize(out, ["clientip"], method="MD5")
+    return out.select("url", "fingerprint", F.col("clientip").alias("ip_md5"))
+
+
+@q(
+    "uuid_deterministic",
+    f"""{_PAGES_CTE}
+SELECT url,
+       substr(md5(url), 1, 8) || '-' || substr(md5(url), 9, 4) || '-'
+       || substr(md5(url), 13, 4) || '-' || substr(md5(url), 17, 4) || '-'
+       || substr(md5(url), 21, 12) AS uuid
+FROM pages""",
+)
+def uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.operators.fingerprint import uuid
+
+    p = _pages(spark, sf_dir)
+    return uuid(p, deterministic_from=["url"]).select("url", "uuid")
+
+
+# ---------------------------------------------------------------------------
+# in-flow aggregation
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "metrics_window_agg",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+       event_type AS key, COUNT(*) AS count,
+       ROUND(AVG(value), 4) AS mean_value
+FROM events GROUP BY 1, 2""",
+)
+def metrics_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metrics filter: windowed meter+timer per key (tutorial
+    docs/tutorials/metrics-from-logs.md)."""
+    from logstash_spark.operators.metrics import metrics
+
+    e = load_table(spark, sf_dir, "events")
+    out = metrics(e, ts="ts", key="event_type", interval="1 hour", timer_field="value", percentiles=[])
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("window_start"),
+        "key",
+        "count",
+        F.round("mean", 4).alias("mean_value"),
+    )
+
+
+@q(
+    "throttle_tag",
+    """SELECT event_id,
+       CASE WHEN ROW_NUMBER() OVER (
+           PARTITION BY date_trunc('hour', ts), user_id ORDER BY ts, event_id
+       ) > 3 THEN 1 ELSE 0 END AS throttled
+FROM events""",
+)
+def throttle_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    order = W.partitionBy(win, F.col("user_id")).orderBy(F.col("ts"), F.col("event_id"))
+    out = e.withColumn("_seq", F.row_number().over(order))
+    return out.select(
+        "event_id", F.when(F.col("_seq") > 3, 1).otherwise(0).alias("throttled")
+    )
+
+
+@q(
+    "multiline_join",
+    """WITH lines AS (
+  SELECT CAST(user_id % 4 AS INT) AS stream_key, event_id AS seq,
+         CASE WHEN event_id % 3 = 0 THEN 'START ' || CAST(event_id AS VARCHAR)
+              ELSE ' cont ' || CAST(event_id AS VARCHAR) END AS line
+  FROM events
+), grp AS (
+  SELECT stream_key, seq, line,
+         SUM(CASE WHEN line NOT LIKE ' %' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY stream_key ORDER BY seq) AS g
+  FROM lines
+)
+SELECT stream_key,
+       CAST(ROW_NUMBER() OVER (PARTITION BY stream_key ORDER BY MIN(seq)) AS BIGINT) AS mgroup,
+       string_agg(line, chr(10) ORDER BY seq) AS text,
+       COUNT(*) AS multiline_n, MIN(seq) AS seq
+FROM grp GROUP BY stream_key, g""",
+)
+def multiline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline filter (batch): window running-group + ordered concat
+    (reference spec/core/pipeline_spec.rb:118-160 grouping semantics)."""
+    from logstash_spark.operators.multiline import multiline
+
+    e = load_table(spark, sf_dir, "events")
+    lines = e.select(
+        (F.col("user_id") % 4).cast("int").alias("stream_key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 3 == 0, F.concat(F.lit("START "), F.col("event_id").cast("string")))
+        .otherwise(F.concat(F.lit(" cont "), F.col("event_id").cast("string")))
+        .alias("line"),
+    )
+    out = multiline(
+        lines, source="line", pattern=r"^\s", what="previous",
+        stream_key="stream_key", order_by="seq",
+    )
+    # reconstruct group id for comparability: rank of group by its first seq
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("stream_key").orderBy("seq")
+    out = out.withColumn("mgroup", F.row_number().over(w).cast("bigint"))
+    return out.select("stream_key", "mgroup", F.col("line").alias("text"), F.col("multiline_n").cast("bigint").alias("multiline_n"), "seq")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_COUNTS_SQL = """
+  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS c_en,
+  len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b')) AS c_de,
+  len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|des|dans|pour|que)\\b')) AS c_fr,
+  len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|una|con|para|por|del)\\b')) AS c_es
+"""
+
+
+@q(
+    "lang_id",
+    f"""WITH c AS (SELECT doc_id, {_LANG_COUNTS_SQL} FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+            WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+            WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
+            WHEN c_fr >= c_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM c""",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.functions.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return lang_id(d).select("doc_id", "lang_pred")
+
+
+@q(
+    "token_count",
+    """SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+FROM documents""",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_count(d).select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "quality_score",
+    """WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND((n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE), 4) AS mean_word_len,
+       ROUND(n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS alpha_ratio,
+       ROUND(stop_hits / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS stopword_ratio,
+       ROUND(
+         (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+         + least(n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE), 0.8) * 0.3125
+         + least(stop_hits / CAST(greatest(n_words, 1) AS DOUBLE) * 2.5, 1.0) * 0.25, 4) AS quality
+FROM f""",
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_score(d).select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "mean_word_len", "alpha_ratio", "stopword_ratio", "quality",
+    )
+
+
+_NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
+
+@q(
+    "doc_fingerprint",
+    f"""SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents""",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.functions.text import doc_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(d).select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact",
+    f"""WITH keyed AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS content_key FROM documents
+), ranked AS (
+  SELECT doc_id, content_key,
+         COUNT(*) OVER (PARTITION BY content_key) AS dup_count,
+         ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, content_key, CAST(dup_count AS BIGINT) AS dup_count
+FROM ranked WHERE rn = 1""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.functions.dedup import dedup_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup_exact(d)
+    return out.select("doc_id", "content_key", F.col("dup_count").cast("bigint").alias("dup_count"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""WITH sh AS (
+  SELECT doc_id AS id, list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+    i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+  )) AS sh
+  FROM documents
+  WHERE len(string_split({_NORM_SQL}, ' ')) > 0
+), b AS (
+  SELECT id, sh, list_min(sh) AS bucket FROM sh WHERE len(sh) > 0
+)
+SELECT a.id AS id_a, c.id AS id_b,
+       ROUND(len(list_intersect(a.sh, c.sh)) /
+             CAST(greatest(len(list_distinct(list_concat(a.sh, c.sh))), 1) AS DOUBLE), 4) AS jaccard
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+WHERE len(list_intersect(a.sh, c.sh)) /
+      CAST(greatest(len(list_distinct(list_concat(a.sh, c.sh))), 1) AS DOUBLE) >= 0.6""",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.functions.dedup import dedup_ngram_jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ngram_jaccard(d, threshold=0.6)
+
+
+@q("dedup_minhash_lsh")  # xxhash64 has no DuckDB equivalent -> rows-only check
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.functions.dedup import dedup_minhash_lsh
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_minhash_lsh(d, threshold=0.5)
+
+
+@q("dedup_simhash")  # xxhash64-based -> rows-only check
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.functions.dedup import simhash_near_dups
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(d, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ann_cosine_topk",
+    """WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, nbr_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= 5""",
+)
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the ANN baseline). Rank is computed
+    on the ROUNDED similarity in both engines so near-ties are stable."""
+    from logstash_spark.functions.similarity import cosine
+
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(F.col("vec_id").alias("nbr_id"), F.col("embedding").cast("array<double>").alias("v"))
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    scored = d.crossJoin(F.broadcast(qs)).filter(F.col("nbr_id") != F.col("query_id"))
+    scored = scored.withColumn("cos", F.round(cosine(F.col("v"), F.col("qv")), 4))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "nbr_id", "rank", "cos")
+    )
+
+
+@q("ann_lsh_topk")  # hyperplanes derive from xxhash64 -> rows-only check
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.functions.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(e, qs, k=5, num_planes=8)
+
+
+@q("media_features")  # synthetic media + mapInPandas plumbing -> rows-only
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.functions.multimodal import extract_features, synthetic_media
+
+    m = synthetic_media(spark, 200)
+    return extract_features(m)
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (joins/aggregates the enrichment layer builds on)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-aggregate shape check (partial+final agg, AQE coalesce)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "join_order_revenue",
+    """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment""",
+)
+def join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim join: customer broadcasts (dim < threshold)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )

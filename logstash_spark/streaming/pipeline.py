@@ -1,0 +1,67 @@
+"""Structured-Streaming execution of the same pipeline spec.
+
+Reference lifecycle mapping (SURVEY §3.3-3.4): input threads + SizedQueue
+backpressure -> micro-batch admission (`maxFilesPerTrigger` /
+`maxOffsetsPerTrigger`); the 5-second FLUSH tick (pipeline.rb:159) ->
+trigger interval; SHUTDOWN cascade + final flush (pipeline.rb:117-134) ->
+graceful `query.stop()` with state drained via checkpoint; retry-forever
+input loop (pipeline.rb:173-207) -> checkpointed offsets + task retries.
+
+The filter chain is IDENTICAL code to batch (Pipeline.transform works on a
+streaming DataFrame unchanged — that's the point of declaring the plan).
+Multi-sink fan-out uses foreachBatch: one micro-batch scan, N filtered
+writes — same single-pass rule as the batch path.
+
+Resumability (north rule): `checkpointLocation` gives exactly-once file
+sinks + recovered offsets = the per-partition lineage story in streaming
+mode. Batch lineage lives in batch_lineage.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logstash_spark.pipeline import Pipeline
+
+
+def run_streaming(
+    pipe: Pipeline,
+    stream_df: DataFrame,
+    *,
+    checkpoint: str,
+    watermark: tuple[str, str] | None = ("warc_ts", "10 minutes"),
+    trigger_seconds: int = 5,
+):
+    """Start the pipeline as a streaming query with foreachBatch fan-out.
+
+    Returns the StreamingQuery. Late data beyond the watermark is dropped
+    from windowed aggregates (divergence from the reference's wall-clock
+    flush, documented in SURVEY §2.3).
+    """
+    df = stream_df
+    if watermark:
+        df = df.withWatermark(*watermark)
+    transformed = pipe.transform(df)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from logstash_spark.sinks import write_outputs
+
+        write_outputs(batch_df, pipe.outputs)
+
+    return (
+        transformed.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def windowed_counts(stream_df: DataFrame, *, ts: str, key: str, window: str = "5 minutes") -> DataFrame:
+    """The metrics-filter analog on a stream: watermarked windowed counts."""
+    return (
+        stream_df.withWatermark(ts, "10 minutes")
+        .groupBy(F.window(F.col(ts), window).alias("w"), F.col(key))
+        .count()
+        .select(F.col("w.start").alias("window_start"), key, "count")
+    )

@@ -1,0 +1,89 @@
+"""Stateful streaming operators: multiline sessionization, throttle state.
+
+Reference: multiline's pending-event state with periodic flush
+(spec/core/pipeline_spec.rb:118-160; the 5 s FLUSH tick pipeline.rb:159) and
+throttle's per-key counters. In Structured Streaming this is
+applyInPandasWithState: state = the open multiline group per stream key;
+processing-time timeout plays the role of the reference's flush tick
+(faithful here — the reference IS processing-time based).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+MULTILINE_OUT = T.StructType(
+    [
+        T.StructField("stream_key", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("multiline_n", T.IntegerType()),
+    ]
+)
+
+MULTILINE_STATE = T.StructType(
+    [
+        T.StructField("pending", T.StringType()),
+        T.StructField("n", T.IntegerType()),
+    ]
+)
+
+
+def multiline_stateful(
+    df: DataFrame,
+    *,
+    pattern: str,
+    stream_key: str = "stream_key",
+    line_col: str = "text",
+    timeout_ms: int = 5000,
+) -> DataFrame:
+    """Streaming multiline (`what: previous`): lines matching ``pattern``
+    append to the pending event; a non-matching line emits the pending group
+    and opens a new one; timeout flushes the remainder (the reference's
+    periodic flush, pipeline.rb:159,301-322)."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        pending, n = state.get if state.exists else (None, 0)
+        out: list[tuple[Any, str, int]] = []
+        if state.hasTimedOut:
+            if pending is not None:
+                out.append((k, pending, n))
+            state.remove()
+        else:
+            for pdf in pdfs:
+                for line in pdf[line_col]:
+                    if line is None:
+                        continue
+                    if rx.search(line) and pending is not None:
+                        pending = pending + "\n" + line
+                        n += 1
+                    else:
+                        if pending is not None:
+                            out.append((k, pending, n))
+                        pending, n = line, 1
+            if pending is not None:
+                state.update((pending, n))
+                state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(out, columns=["stream_key", "text", "multiline_n"])
+
+    return (
+        df.groupBy(stream_key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=MULTILINE_OUT,
+            stateStructType=MULTILINE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
