@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {"pipeline_e2e": sec, ...}, "sf": 0.1,
+     "docs_per_sec": N, ...}
+
+Each query is forced with a noop sink write (full execution, no driver
+collect). The flagship ``pipeline_e2e`` docs/sec number is also reported —
+the reference's benchmark unit (BASELINE.md: 34-50K eps grok-only/core).
+
+Scaling-evidence mode (the north rule's N vs 4N executor criterion,
+evidenced in-sandbox per the driver's instructions):
+
+    python bench.py --scaling      # runs e2e at local[8] and local[32]
+                                   # and prints both throughputs + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: the full operator surface's hot paths — parse (grok/date),
+# enrich (broadcast + range join), route+aggregate (e2e), stateful (multiline),
+# windowed agg, dedup, similarity, text analysis.
+HEADLINE = [
+    "pipeline_e2e",
+    "grok_parse",
+    "date_parse",
+    "json_parse",
+    "kv_parse",
+    "translate_enrich",
+    "geoip_range_join",
+    "conditional_route",
+    "clone_fanout",
+    "multiline_join",
+    "metrics_window_agg",
+    "throttle_tag",
+    "fingerprint_hash",
+    "lang_id",
+    "token_count",
+    "quality_score",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "agg_pricing_summary",
+    "join_order_revenue",
+]
+
+
+def force(df) -> int:
+    """Execute the full plan without materializing on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_headline(spark, sf_dir: str) -> dict:
+    from logstash_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        force(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def e2e_docs_per_sec(spark, n_docs: int) -> float:
+    """Flagship parse->enrich->route->aggregate over the synthetic pages
+    generator at a fixed doc count — the docs/sec headline metric."""
+    from logstash_spark.queries import QUERIES  # noqa: F401  (registry import side effects)
+    from logstash_spark.bench_pipeline import build_e2e
+
+    df = build_e2e(spark, n_docs)
+    t0 = time.perf_counter()
+    force(df)
+    dt = time.perf_counter() - t0
+    return n_docs / dt, dt
+
+
+def main() -> None:
+    sf = 0.1
+    for tok in SF_DIR.rstrip("/").split("/"):
+        if tok.startswith("sf"):
+            try:
+                sf = float(tok[2:])
+            except ValueError:
+                pass
+
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+
+    from logstash_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + python workers once so timings measure the engine
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings = run_headline(spark, SF_DIR)
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+    dps, e2e_sec = e2e_docs_per_sec(spark, n_docs)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline query suite wall time (parse/enrich/route/aggregate/dedup/ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "e2e_docs": n_docs,
+        "e2e_sec": round(e2e_sec, 3),
+        "docs_per_sec": round(dps),
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    print(json.dumps(out))
+
+
+def run_scaling() -> None:
+    """North-rule scaling evidence: same e2e job at local[8] and local[32];
+    efficiency = (T8/T32)/4 where T is wall time (throughput ratio / core
+    ratio)."""
+    import subprocess
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000000"))
+    results = {}
+    for cores in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_BENCH_DOCS=str(n_docs))
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import json,time;"
+             "from logstash_spark.session import get_spark;"
+             "from logstash_spark.bench_pipeline import build_e2e;"
+             f"spark=get_spark('scale');"
+             "spark.range(1000).selectExpr('sum(id)').collect();"
+             f"df=build_e2e(spark,{n_docs});"
+             "t0=time.perf_counter();"
+             "df.write.format('noop').mode('overwrite').save();"
+             "print(json.dumps({'sec': time.perf_counter()-t0}))"],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)["sec"]
+    t8, t32 = results[8], results[32]
+    eff = (t8 / t32) / 4.0
+    print(json.dumps({
+        "metric": "scaling efficiency local[8] -> local[32] (N -> 4N cores)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "docs": n_docs,
+        "sec_local8": round(t8, 3),
+        "sec_local32": round(t32, 3),
+        "docs_per_sec_local8": round(n_docs / t8),
+        "docs_per_sec_local32": round(n_docs / t32),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,8 @@ Rvalue = Union[Field, str, int, float, bool, list, None]
 def _rv_col(rv: Rvalue, df: DataFrame | None) -> Column:
     if isinstance(rv, Field):
         if df is not None and top_field(rv.ref) not in df.columns:
-            return F.lit(None)
+            # typed null: NullType breaks analysis in array_contains etc.
+            return F.lit(None).cast("string")
         return field_col(rv.ref)
     if isinstance(rv, list):
         return F.array(*[F.lit(x) for x in rv])

@@ -86,6 +86,10 @@ _JODA_TO_JAVA = [
 def joda_to_java(fmt: str) -> str:
     for j, jv in _JODA_TO_JAVA:
         fmt = fmt.replace(j, jv)
+    # Joda 'Y' is year-of-era (== yyyy for CE); java.time 'Y' is WEEK-based
+    # year — silently wrong near year boundaries and rejected by Spark's
+    # non-legacy formatter. Map it unconditionally.
+    fmt = re.sub(r"Y", "y", fmt)
     return fmt
 
 

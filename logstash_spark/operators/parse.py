@@ -24,13 +24,19 @@ def json_parse(
     trade as the input_hint's fixed projection). Malformed JSON -> null
     struct + `_jsonparsefailure` tag, mirroring the plugin's contract.
     """
-    parsed = F.from_json(F.col(source), schema)
+    # PERMISSIVE from_json yields an all-null struct (not a null struct) on
+    # malformed input, so failure detection needs the corrupt-record column.
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)  # type: ignore[attr-defined]
+    schema = T.StructType(list(schema.fields) + [T.StructField("_corrupt", T.StringType(), True)])
+    parsed = F.from_json(F.col(source), schema, {"columnNameOfCorruptRecord": "_corrupt"})
     tname = target or "_json"
     df = df.withColumn(tname, parsed)
-    ok = F.col(tname).isNotNull() | F.col(source).isNull()
+    ok = (F.col(tname).isNotNull() & F.col(tname)["_corrupt"].isNull()) | F.col(source).isNull()
     from logstash_spark.operators.grok import _append_tag_unless
 
     df = _append_tag_unless(df, "tags", "_jsonparsefailure", ok)
+    df = df.withColumn(tname, F.col(tname).dropFields("_corrupt"))
     if target is None:
         # hoist to top level (plugin default: fields land on the event)
         for f in df.schema[tname].dataType.fieldNames():  # type: ignore[union-attr]

@@ -30,10 +30,11 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "mutate.rename": mutate.rename,
     "mutate.convert": mutate.convert,
     "mutate.gsub": mutate.gsub,
-    "mutate.uppercase": mutate.uppercase,
-    "mutate.lowercase": mutate.lowercase,
-    "mutate.capitalize": mutate.capitalize,
-    "mutate.strip": mutate.strip,
+    # varargs ops exposed as `names: list[str]` in pipeline-spec params
+    "mutate.uppercase": lambda df, names: mutate.uppercase(df, *names),
+    "mutate.lowercase": lambda df, names: mutate.lowercase(df, *names),
+    "mutate.capitalize": lambda df, names: mutate.capitalize(df, *names),
+    "mutate.strip": lambda df, names: mutate.strip(df, *names),
     "mutate.split": mutate.split_field,
     "mutate.join": mutate.join_field,
     "mutate.merge": mutate.merge,

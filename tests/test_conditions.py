@@ -1,0 +1,95 @@
+"""Conditional algebra truth table — mirrors spec/core/conditionals_spec.rb."""
+
+from pyspark.sql import Row
+
+from logstash_spark.conditions import And, Cmp, Field, In, Nand, Not, Or, Rx, Truthy, Xor
+
+
+def ev(spark, **fields):
+    return spark.createDataFrame([Row(**fields)])
+
+
+def holds(expr, df) -> bool:
+    return df.filter(expr.compile(df)).count() == 1
+
+
+def test_comparisons(spark):
+    df = ev(spark, foo="sample", n=5)
+    assert holds(Cmp(Field("[foo]"), "==", "sample"), df)
+    assert not holds(Cmp(Field("[foo]"), "!=", "sample"), df)
+    assert holds(Cmp(Field("[n]"), ">", 3), df)
+    assert holds(Cmp(Field("[n]"), "<=", 5), df)
+    # cross-field comparison (conditionals_spec.rb:205-236)
+    df2 = ev(spark, a="x", b="x")
+    assert holds(Cmp(Field("[a]"), "==", Field("[b]")), df2)
+    # missing field: == literal is false, != is true (Ruby nil semantics)
+    assert not holds(Cmp(Field("[missing]"), "==", "x"), df)
+    assert holds(Cmp(Field("[missing]"), "!=", "x"), df)
+    # ordering comparison on missing field -> definite false, not null
+    assert not holds(Cmp(Field("[missing]"), ">", 1), df)
+
+
+def test_regex_match(spark):
+    df = ev(spark, msg="some sample text")
+    assert holds(Rx(Field("[msg]"), "sample"), df)  # unanchored search
+    assert not holds(Rx(Field("[msg]"), "^sample"), df)
+    assert holds(Rx(Field("[msg]"), "nope", negate=True), df)
+    # nil !~ /re/ -> true
+    assert holds(Rx(Field("[missing]"), "x", negate=True), df)
+    assert not holds(Rx(Field("[missing]"), "x"), df)
+
+
+def test_in_membership(spark):
+    df = ev(spark, tag="one", tags=["one", "two"], text="hello world")
+    # string in array field
+    assert holds(In(Field("[tag]"), Field("[tags]")), df)
+    assert not holds(In("three", Field("[tags]")), df)
+    # substring in string field (conditionals_spec.rb:146-178)
+    assert holds(In("hello", Field("[text]")), df)
+    assert not holds(In("goodbye", Field("[text]")), df)
+    # literal list RHS
+    assert holds(In(Field("[tag]"), ["one", "three"]), df)
+
+
+def test_not_in_missing_field_asymmetry(spark):
+    """conditionals_spec.rb:180-203: `not in` on a missing field is TRUE,
+    `in` on a missing field is FALSE."""
+    df = ev(spark, present="x")
+    assert not holds(In("s", Field("[missing]")), df)
+    assert holds(In("s", Field("[missing]"), negate=True), df)
+    assert not holds(In(Field("[missing]"), ["a"]), df)
+    assert holds(In(Field("[missing]"), ["a"], negate=True), df)
+
+
+def test_truthiness(spark):
+    df = spark.createDataFrame(
+        [("x", "", True, False, None)],
+        "s string, empty string, flag_t boolean, flag_f boolean, nothing string",
+    )
+    assert holds(Truthy("[s]"), df)
+    assert holds(Truthy("[empty]"), df)  # Ruby: "" is truthy
+    assert holds(Truthy("[flag_t]"), df)
+    assert not holds(Truthy("[flag_f]"), df)  # false -> falsy
+    assert not holds(Truthy("[nothing]"), df)  # nil -> falsy
+    assert not holds(Truthy("[absent]"), df)
+
+
+def test_connectives(spark):
+    df = ev(spark, a=1, b=2)
+    t = Cmp(Field("[a]"), "==", 1)
+    f = Cmp(Field("[b]"), "==", 99)
+    assert holds(And(t, Not(f)), df)
+    assert holds(Or(f, t), df)
+    assert holds(Xor(t, f), df)
+    assert not holds(Xor(t, t), df)
+    assert holds(Nand(t, f), df)
+    assert not holds(Nand(t, t), df)
+    # operator sugar
+    assert holds(t & ~f, df)
+    assert holds(f | t, df)
+
+
+def test_nested_field_reference(spark):
+    df = spark.createDataFrame([Row(outer=Row(inner="v"), arr=["x", "y"])])
+    assert holds(Cmp(Field("[outer][inner]"), "==", "v"), df)
+    assert holds(Cmp(Field("[arr][1]"), "==", "y"), df)

@@ -1,0 +1,45 @@
+"""date filter: Joda format chains, failure tag, ms-ISO8601 rendering."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from logstash_spark.operators.date import date, iso8601_ms
+
+
+def test_apache_timestamp_to_utc(spark):
+    """The reference golden: '18/Aug/2011:06:00:14 -0700' ->
+    '2011-08-18T13:00:14.000Z' (step-5-output.txt)."""
+    df = spark.createDataFrame([Row(timestamp="18/Aug/2011:06:00:14 -0700")])
+    out = date(df, "timestamp", ["dd/MMM/yyyy:HH:mm:ss Z"])
+    row = out.select(iso8601_ms(F.col("@timestamp")).alias("iso")).collect()[0]
+    assert row["iso"] == "2011-08-18T13:00:14.000Z"
+
+
+def test_format_fallback_chain(spark):
+    df = spark.createDataFrame(
+        [Row(t="2013-01-01 12:00:00"), Row(t="01/Jan/2013:12:00:00 +0000")]
+    )
+    out = date(df, "t", ["dd/MMM/yyyy:HH:mm:ss Z", "yyyy-MM-dd HH:mm:ss"])
+    vals = {r["t"]: r["@timestamp"] for r in out.collect()}
+    assert all(v is not None for v in vals.values())
+    assert vals["2013-01-01 12:00:00"] == vals["01/Jan/2013:12:00:00 +0000"]
+
+
+def test_unix_and_iso_magic_formats(spark):
+    df = spark.createDataFrame([Row(a="1356998400", b="2013-01-01T00:00:00Z")])
+    out_a = date(df, "a", ["UNIX"]).select(iso8601_ms(F.col("@timestamp")).alias("x")).collect()[0]["x"]
+    out_b = date(df, "b", ["ISO8601"]).select(iso8601_ms(F.col("@timestamp")).alias("x")).collect()[0]["x"]
+    assert out_a == "2013-01-01T00:00:00.000Z"
+    assert out_b == "2013-01-01T00:00:00.000Z"
+
+
+def test_failure_tag_and_untouched_target(spark):
+    """Parse failure tags _dateparsefailure and leaves @timestamp as-is
+    (event.rb:280-295 failure contract)."""
+    df = spark.createDataFrame([Row(t="garbage")]).withColumn(
+        "@timestamp", F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    out = date(df, "t", ["yyyy-MM-dd"])
+    row = out.collect()[0]
+    assert "_dateparsefailure" in row["tags"]
+    assert str(row["@timestamp"]).startswith("2000-01-01")

@@ -1,0 +1,63 @@
+"""Enrichment joins: translate / geoip / dns / useragent + physical-plan
+shape (broadcast, never sort-merge — the 100 TB-critical property)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from logstash_spark.operators.enrich import dns_enrich, geoip, ip_to_long, translate, useragent
+from logstash_spark.plans.checks import assert_broadcast_join
+
+
+def test_translate_with_fallback(spark):
+    df = spark.createDataFrame([Row(code="a"), Row(code="z")])
+    dim = spark.createDataFrame([("a", "Alpha")], "key string, value string")
+    out = translate(df, dim, source="code", target="name", fallback="unknown")
+    got = {r["code"]: r["name"] for r in out.collect()}
+    assert got == {"a": "Alpha", "z": "unknown"}
+    assert_broadcast_join(out)
+
+
+def test_ip_to_long(spark):
+    df = spark.createDataFrame([Row(ip="10.1.2.3"), Row(ip="bad")])
+    vals = [r["v"] for r in df.select(ip_to_long(F.col("ip")).alias("v")).collect()]
+    assert vals[0] == 10 * 16777216 + 1 * 65536 + 2 * 256 + 3
+    assert vals[1] is None
+
+
+def test_geoip_range_lookup(spark):
+    # ranges: 10.0.0.0/15 -> R0 (spans TWO /16 prefixes), 10.2.0.0/16 -> R1
+    dim = spark.createDataFrame(
+        [
+            (10 * 16777216, 10 * 16777216 + 2 * 65536 - 1, "R0"),
+            (10 * 16777216 + 2 * 65536, 10 * 16777216 + 3 * 65536 - 1, "R1"),
+        ],
+        "ip_lo long, ip_hi long, region string",
+    )
+    df = spark.createDataFrame(
+        [Row(ip="10.0.0.5"), Row(ip="10.1.255.255"), Row(ip="10.2.0.1"), Row(ip="11.0.0.1")]
+    )
+    out = geoip(df, dim, source="ip", fields=["region"])
+    got = {r["ip"]: r["geoip_region"] for r in out.collect()}
+    assert got == {"10.0.0.5": "R0", "10.1.255.255": "R0", "10.2.0.1": "R1", "11.0.0.1": None}
+    assert_broadcast_join(out)
+
+
+def test_dns_enrich(spark):
+    df = spark.createDataFrame([Row(host="a.example")])
+    dim = spark.createDataFrame([("a.example", "1.2.3.4")], "host string, address string")
+    assert dns_enrich(df, dim, source="host").collect()[0]["resolved"] == "1.2.3.4"
+
+
+def test_useragent_classification(spark):
+    df = spark.createDataFrame(
+        [
+            Row(ua="Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36"),
+            Row(ua="Mozilla/5.0 (Macintosh; Mac OS X 10_15) Version/17.0 Safari/605.1.15"),
+            Row(ua="Mozilla/5.0 (X11; Linux x86_64) Firefox/115.0"),
+        ]
+    )
+    out = {r["ua"][:20]: (r["ua_name"], r["ua_os"]) for r in useragent(df, "ua").collect()}
+    vals = list(out.values())
+    assert ("Chrome", "Windows") in vals
+    assert ("Safari", "Mac OS X") in vals
+    assert ("Firefox", "Linux") in vals

@@ -1,0 +1,67 @@
+"""Event model: field refs + sprintf — mirrors spec/core/event_spec.rb."""
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from logstash_spark.event import field_col, parse_path, sprintf_col
+
+
+def test_parse_path():
+    assert parse_path("foo") == ["foo"]
+    assert parse_path("[foo]") == ["foo"]
+    assert parse_path("[a][b][0]") == ["a", "b", "0"]
+
+
+def test_field_access(spark):
+    df = spark.createDataFrame(
+        [Row(top="t", nested=Row(inner="i"), arr=["a0", "a1"], m={"k": "mv"})]
+    )
+    got = df.select(
+        field_col("[top]").alias("a"),
+        field_col("[nested][inner]").alias("b"),
+        field_col("[arr][1]").alias("c"),
+        field_col("[m][k]").alias("d"),
+    ).collect()[0]
+    assert tuple(got) == ("t", "i", "a1", "mv")
+
+
+def test_sprintf_basic_and_missing(spark):
+    """event_spec.rb:48-94: missing field leaves the token verbatim."""
+    df = spark.createDataFrame([Row(count=1, foo="bar")])
+    out = df.select(
+        sprintf_col("%{count}", df).alias("a"),
+        sprintf_col("hello %{foo} world", df).alias("b"),
+        sprintf_col("%{nope}", df).alias("c"),
+        sprintf_col("no tokens", df).alias("d"),
+    ).collect()[0]
+    assert tuple(out) == ("1", "hello bar world", "%{nope}", "no tokens")
+
+
+def test_sprintf_array_joins_and_hash_json(spark):
+    """event.rb:261-264: array -> join with ',', hash -> JSON."""
+    df = spark.createDataFrame([Row(arr=["a", "b"], h=Row(x=1))])
+    out = df.select(
+        sprintf_col("%{arr}", df).alias("a"),
+        sprintf_col("%{h}", df).alias("b"),
+    ).collect()[0]
+    assert out["a"] == "a,b"
+    assert out["b"] == '{"x":1}'
+
+
+def test_sprintf_timestamp_formats(spark):
+    """%{+FMT} formats @timestamp via Joda; %{+%s} is epoch seconds
+    (event.rb:248-255)."""
+    ts = datetime.datetime(2013, 1, 1, 0, 0, 0, tzinfo=datetime.timezone.utc)
+    df = spark.createDataFrame([Row(x=1)]).withColumn(
+        "@timestamp", F.lit(ts.replace(tzinfo=None)).cast("timestamp")
+    )
+    out = df.select(
+        sprintf_col("%{+YYYY-MM-dd}", df).alias("a"),
+        sprintf_col("%{+%s}", df).alias("b"),
+        sprintf_col("logs-%{+yyyy.MM.dd}", df).alias("c"),
+    ).collect()[0]
+    assert out["a"] == "2013-01-01"
+    assert out["b"] == "1356998400"
+    assert out["c"] == "logs-2013.01.01"

@@ -1,0 +1,72 @@
+"""drop / clone / split + the Pipeline compiler's conditional stages."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from logstash_spark.conditions import Cmp, Field, Rx
+from logstash_spark.operators.clone_split import clone, drop, split
+from logstash_spark.pipeline import Pipeline, Stage
+
+
+def test_drop(spark):
+    df = spark.createDataFrame([Row(v=i) for i in range(10)])
+    out = drop(df, when=Cmp(Field("[v]"), "<", 5))
+    assert sorted(r["v"] for r in out.collect()) == [5, 6, 7, 8, 9]
+
+
+def test_clone_original_first(spark):
+    """pipeline_spec.rb:139-194: original event first, then one clone per
+    name with `type` set."""
+    df = spark.createDataFrame([Row(id=1, type="orig")])
+    out = clone(df, ["shadow", "audit"]).orderBy("clone_seq").collect()
+    assert [(r["clone_seq"], r["type"]) for r in out] == [
+        (0, "orig"), (1, "shadow"), (2, "audit"),
+    ]
+
+
+def test_clones_flow_through_subsequent_filters(spark):
+    """conditionals_spec.rb:367-426: a conditional AFTER clone sees clones."""
+    from logstash_spark.operators import mutate as M
+
+    df = spark.createDataFrame([Row(id=1, type="orig")])
+    out = clone(df, ["t2"])
+    # subsequent conditional keyed on the clone's type
+    cond = Cmp(Field("[type]"), "==", "t2").compile(out)
+    out = out.withColumn("seen", F.when(cond, "clone-branch").otherwise("main"))
+    got = {r["clone_seq"]: r["seen"] for r in out.collect()}
+    assert got == {0: "main", 1: "clone-branch"}
+
+
+def test_split_string_and_array(spark):
+    df = spark.createDataFrame([Row(id=1, body="l1\nl2\nl3", arr=["a", "b"])])
+    s1 = split(df, "body", separator="\n")
+    assert [(r["split_seq"], r["body"]) for r in s1.orderBy("split_seq").collect()] == [
+        (0, "l1"), (1, "l2"), (2, "l3"),
+    ]
+    s2 = split(df, "arr", is_array=True, target="item")
+    assert sorted((r["split_seq"], r["item"]) for r in s2.collect()) == [(0, "a"), (1, "b")]
+
+
+def test_pipeline_conditional_stage_passthrough(spark):
+    """Stage.when: non-matching rows pass through UNCHANGED; matching rows
+    get the op + decorators (config_ast.rb:375-436 branch semantics)."""
+    df = spark.createDataFrame([Row(v="keep me"), Row(v="edit me")])
+    pipe = Pipeline(filters=[
+        Stage(op="mutate.uppercase", params={"names": ("v",)},
+              when=Rx(Field("[v]"), "^edit"), add_tag=["edited"]),
+    ])
+    rows = {r["v"]: r for r in pipe.transform(df).collect()}
+    assert "keep me" in rows and rows["keep me"]["tags"] is None
+    assert rows["EDIT ME"]["tags"] == ["edited"]
+
+
+def test_pipeline_stage_order_and_decorators(spark):
+    df = spark.createDataFrame([Row(raw="a=1 b=2")])
+    pipe = Pipeline(filters=[
+        Stage(op="kv", params={"source": "raw", "target": "kvm"},
+              add_field={"note": "parsed-%{raw}"}, remove_field=["raw"]),
+    ])
+    row = pipe.transform(df).collect()[0]
+    assert row["kvm"] == {"a": "1", "b": "2"}
+    assert row["note"] == "parsed-a=1 b=2"
+    assert "raw" not in row.asDict()

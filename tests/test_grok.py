@@ -1,0 +1,107 @@
+"""Grok golden parity with the reference's own end-to-end fixture.
+
+The reference ships an Apache combined-log corpus and the exact expected
+parse (docs/tutorials/10-minute-walkthrough/apache_log.1 +
+step-5-output.txt). Every asserted value below is copied from
+step-5-output.txt — this is the reference's de-facto oracle.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+GOLDEN_LINE = (
+    '129.92.249.70 - - [18/Aug/2011:06:00:14 -0700] "GET /style2.css HTTP/1.1" '
+    '200 1820 "http://www.semicomplete.com/blog/geekery/bypassing-captive-portals.html" '
+    '"Mozilla/5.0 (iPad; U; CPU OS 4_3_5 like Mac OS X; en-us) AppleWebKit/533.17.9 '
+    '(KHTML, like Gecko) Version/5.0.2 Mobile/8L1 Safari/6533.18.5"'
+)
+
+EXPECTED = {
+    "clientip": "129.92.249.70",
+    "ident": "-",
+    "auth": "-",
+    "timestamp": "18/Aug/2011:06:00:14 -0700",
+    "verb": "GET",
+    "request": "/style2.css",
+    "httpversion": "1.1",
+    "response": "200",
+    "bytes": "1820",
+    "referrer": '"http://www.semicomplete.com/blog/geekery/bypassing-captive-portals.html"',
+}
+
+
+@pytest.mark.parametrize("backend", ["expr", "pandas"])
+def test_combined_apache_golden(spark, backend):
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([Row(message=GOLDEN_LINE)])
+    out = grok(df, "message", "%{COMBINEDAPACHELOG}", backend=backend)
+    row = out.collect()[0].asDict()
+    for k, v in EXPECTED.items():
+        assert row[k] == v, f"{backend}: {k}: {row[k]!r} != {v!r}"
+    # agent keeps surrounding quotes in the reference output
+    assert row["agent"].startswith('"Mozilla/5.0 (iPad;')
+    assert row["tags"] is None or "_grokparsefailure" not in row["tags"]
+
+
+@pytest.mark.parametrize("backend", ["expr", "pandas"])
+def test_grok_failure_tag(spark, backend):
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([Row(message="not an apache line")])
+    out = grok(df, "message", "%{COMBINEDAPACHELOG}", backend=backend)
+    row = out.collect()[0]
+    assert "_grokparsefailure" in row["tags"]
+    assert row["clientip"] is None
+
+
+def test_typed_captures(spark):
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([Row(m="latency=42 load=0.75")])
+    out = grok(df, "m", r"latency=%{INT:lat:int} load=%{NUMBER:load:float}")
+    row = out.collect()[0]
+    assert row["lat"] == 42 and isinstance(row["lat"], int)
+    assert row["load"] == 0.75
+
+
+def test_multiple_patterns_first_match_wins(spark):
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([Row(m="ERROR boom"), Row(m="WARN ouch")])
+    out = grok(df, "m", [r"^ERROR %{GREEDYDATA:msg}", r"^%{WORD:level} %{GREEDYDATA:msg}"])
+    rows = {r["m"]: r.asDict() for r in out.collect()}
+    assert rows["ERROR boom"]["msg"] == "boom"
+    assert rows["ERROR boom"]["level"] is None  # first pattern won; second not applied
+    assert rows["WARN ouch"]["level"] == "WARN" and rows["WARN ouch"]["msg"] == "ouch"
+
+
+def test_custom_pattern_library(spark):
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([Row(m="id=ABC-123")])
+    out = grok(df, "m", "id=%{MYID:the_id}", extra_patterns={"MYID": r"[A-Z]+-\d+"})
+    assert out.collect()[0]["the_id"] == "ABC-123"
+
+
+def test_backends_agree_on_corpus(spark):
+    """expr and pandas backends must produce identical captures over the
+    mixed synthetic corpus (70% apache / 30% other)."""
+    from logstash_spark.operators.grok import grok
+    from logstash_spark.sources.pages import synthetic_pages
+
+    p = synthetic_pages(spark, 500).select("url", "text")
+    cols = ["url", "clientip", "verb", "response", "bytes", "_grok_matched"]
+    a = grok(p, "text", "%{COMBINEDAPACHELOG}", backend="expr").select(cols)
+    b = grok(p, "text", "%{COMBINEDAPACHELOG}", backend="pandas").select(cols)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_no_row_python_in_plan(spark):
+    from logstash_spark.operators.grok import grok
+    from logstash_spark.plans.checks import assert_no_python_udf
+    from logstash_spark.sources.pages import synthetic_pages
+
+    p = synthetic_pages(spark, 10)
+    for backend in ("expr", "pandas"):
+        assert_no_python_udf(grok(p, "text", "%{COMBINEDAPACHELOG}", backend=backend))

@@ -1,0 +1,82 @@
+"""mutate sub-ops + the universal filter decorators (filters/base.rb:182-218)."""
+
+from pyspark.sql import Row
+
+from logstash_spark.operators import mutate as M
+
+
+def one(spark, **fields):
+    return spark.createDataFrame([Row(**fields)])
+
+
+def test_rename_convert_gsub_case(spark):
+    df = one(spark, a="Hello", n="42", s="a-b-c")
+    df = M.rename(df, {"a": "b"})
+    df = M.convert(df, {"n": "integer"})
+    df = M.gsub(df, [("s", "-", "_")])
+    df = M.lowercase(df, "b")
+    row = df.collect()[0].asDict()
+    assert row == {"b": "hello", "n": 42, "s": "a_b_c"}
+
+
+def test_convert_bad_value_nulls(spark):
+    df = M.convert(one(spark, n="not-a-number"), {"n": "integer"})
+    assert df.collect()[0]["n"] is None
+
+
+def test_convert_boolean_coercion(spark):
+    """mixin.rb:417-433 truthy/falsy string table."""
+    df = one(spark, a="true", b="no", c="1", d="maybe")
+    df = M.convert(df, {"a": "boolean", "b": "boolean", "c": "boolean", "d": "boolean"})
+    row = df.collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (True, False, True, None)
+
+
+def test_split_join_merge_strip(spark):
+    df = one(spark, s="a,b,c", t="  pad  ", x="one", y="two")
+    df = M.split_field(df, "s", ",")
+    df = M.strip(df, "t")
+    df = M.merge(df, "x", "y")
+    row = df.collect()[0]
+    assert row["s"] == ["a", "b", "c"]
+    assert row["t"] == "pad"
+    assert row["x"] == ["one", "two"]
+    df = M.join_field(df, "s", "|")
+    assert df.collect()[0]["s"] == "a|b|c"
+
+
+def test_merge_dedups(spark):
+    """util.rb:27-61: array merge uses `|` (set union, order-preserving)."""
+    df = one(spark, x=["a", "b"], y=["b", "c"])
+    assert M.merge(df, "x", "y").collect()[0]["x"] == ["a", "b", "c"]
+
+
+def test_add_field_appends_when_exists(spark):
+    """filters/base.rb:187-191: add_field on an existing field makes an array."""
+    df = one(spark, k="old")
+    df = M.add_field(df, "k", "new")
+    assert df.collect()[0]["k"] == ["old", "new"]
+    df2 = M.add_field(one(spark, other=1), "k", "fresh")
+    assert df2.collect()[0]["k"] == "fresh"
+
+
+def test_add_field_sprintf(spark):
+    df = one(spark, host="h1")
+    df = M.add_field(df, "dest", "from-%{host}")
+    assert df.collect()[0]["dest"] == "from-h1"
+
+
+def test_tags_append_no_dedup_and_remove_all(spark):
+    """add_tag uses plain << (no dedup); remove_tag removes all occurrences."""
+    df = one(spark, x=1)
+    df = M.add_tag(df, "t1")
+    df = M.add_tag(df, "t1")
+    df = M.add_tag(df, "t2")
+    assert df.collect()[0]["tags"] == ["t1", "t1", "t2"]
+    df = M.remove_tag(df, "t1")
+    assert df.collect()[0]["tags"] == ["t2"]
+
+
+def test_remove_field(spark):
+    df = M.remove_field(one(spark, a=1, b=2), "a")
+    assert df.columns == ["b"]

@@ -1,0 +1,71 @@
+"""json / kv / csv / urldecode / syslog_pri / fingerprint family."""
+
+from pyspark.sql import Row
+
+from logstash_spark.operators import fingerprint as FP
+from logstash_spark.operators import parse as P
+
+
+def test_json_parse_hoists_fields(spark):
+    df = spark.createDataFrame([Row(j='{"a": 1, "b": "x"}'), Row(j="not json")])
+    out = P.json_parse(df, "j", "a bigint, b string")
+    rows = {r["j"]: r for r in out.collect()}
+    assert rows['{"a": 1, "b": "x"}']["a"] == 1
+    assert rows['{"a": 1, "b": "x"}']["b"] == "x"
+    assert "_jsonparsefailure" in rows["not json"]["tags"]
+
+
+def test_kv_include_keys(spark):
+    df = spark.createDataFrame([Row(line="src=1.2.3.4 dst=5.6.7.8 action=allow")])
+    out = P.kv(df, "line", include_keys=["src", "action"])
+    row = out.collect()[0]
+    assert row["src"] == "1.2.3.4" and row["action"] == "allow"
+
+
+def test_csv_with_types(spark):
+    df = spark.createDataFrame([Row(line="7,GET,200")])
+    out = P.csv_parse(df, "line", ["id", "verb", "code"], types={"id": "bigint", "code": "int"})
+    row = out.collect()[0]
+    assert (row["id"], row["verb"], row["code"]) == (7, "GET", 200)
+
+
+def test_urldecode(spark):
+    df = spark.createDataFrame([Row(u="a%20b%2Fc")])
+    assert P.urldecode(df, "u").collect()[0]["u"] == "a b/c"
+
+
+def test_syslog_pri(spark):
+    df = spark.createDataFrame([Row(syslog_pri="34")])  # facility 4, severity 2
+    row = P.syslog_pri(df).collect()[0]
+    assert row["syslog_severity_code"] == 2
+    assert row["syslog_facility_code"] == 4
+    assert row["syslog_severity"] == "critical"
+    assert row["syslog_facility"] == "security/authorization"
+
+
+def test_fingerprint_and_anonymize(spark):
+    import hashlib
+
+    df = spark.createDataFrame([Row(a="x", b="y")])
+    out = FP.fingerprint(df, ["a", "b"], method="SHA256")
+    expect = hashlib.sha256(b"x|y").hexdigest()
+    assert out.collect()[0]["fingerprint"] == expect
+
+    anon = FP.anonymize(df, ["a"], method="MD5").collect()[0]
+    assert anon["a"] == hashlib.md5(b"x").hexdigest()
+
+
+def test_checksum_sorted_field_order(spark):
+    df = spark.createDataFrame([Row(b="2", a="1")])
+    c1 = FP.checksum(df, ["a", "b"]).collect()[0]["checksum"]
+    c2 = FP.checksum(df, ["b", "a"]).collect()[0]["checksum"]
+    assert c1 == c2
+
+
+def test_uuid(spark):
+    df = spark.createDataFrame([Row(k="stable")])
+    u1 = FP.uuid(df, deterministic_from=["k"]).collect()[0]["uuid"]
+    u2 = FP.uuid(df, deterministic_from=["k"]).collect()[0]["uuid"]
+    assert u1 == u2 and len(u1) == 36 and u1.count("-") == 4
+    r = FP.uuid(df).collect()[0]["uuid"]
+    assert len(r) == 36

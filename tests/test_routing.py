@@ -1,0 +1,88 @@
+"""Routing invariants from the north rule: routed-row SETS partition the
+input, per-sink aggregate counts match, extracted text byte-identical per
+url, and @metadata/_meta never reaches a sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_spark.conditions import Cmp, Field, Not, Rx
+from logstash_spark.pipeline import Output, Pipeline, Stage
+from logstash_spark.sinks import CollectSink, CountSink, ParquetSink
+from logstash_spark.sources.pages import synthetic_pages
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synthetic_pages(spark, N, include_junk=False).cache()
+
+
+def make_pipeline():
+    return Pipeline(
+        filters=[
+            Stage(op="grok", params={"source": "text", "patterns": "%{COMBINEDAPACHELOG}"}),
+            Stage(op="mutate.convert", params={"mapping": {"bytes": "integer"}}),
+        ],
+        outputs=[
+            Output("errors", CollectSink(), when=Rx(Field("[response]"), "^5")),
+            Output("ok", CollectSink(), when=Not(Rx(Field("[response]"), "^5"))),
+        ],
+    )
+
+
+def test_routed_sets_partition_input(spark, pages):
+    res = make_pipeline().run(pages)
+    err_urls = {r["url"] for r in res["errors"]}
+    ok_urls = {r["url"] for r in res["ok"]}
+    all_urls = {r["url"] for r in pages.select("url").collect()}
+    assert err_urls | ok_urls == all_urls
+    assert err_urls & ok_urls == set()
+    # oracle recomputation: responses 500/503 = ids with id%7 in {5,6}
+    assert len(err_urls) == sum(1 for i in range(N) if i % 7 in (5, 6))
+
+
+def test_per_sink_aggregate_counts(spark, pages):
+    pipe = make_pipeline()
+    pipe.outputs = [
+        Output("errors", CountSink(key="lang"), when=Rx(Field("[response]"), "^5")),
+        Output("ok", CountSink(key="lang"), when=Not(Rx(Field("[response]"), "^5"))),
+    ]
+    res = pipe.run(pages)
+    total = sum(res["errors"].values()) + sum(res["ok"].values())
+    assert total == N
+    # oracle: per-lang error counts recomputed from the generator arithmetic
+    langs = ["en", "en", "en", "de", "fr", "es", "zh"]
+    expected_err = {}
+    for i in range(N):
+        if i % 7 in (5, 6):
+            lang = langs[i % 7]
+            expected_err[lang] = expected_err.get(lang, 0) + 1
+    assert res["errors"] == expected_err
+
+
+def test_text_byte_identical_per_url(spark, pages, tmp_path):
+    """north rule: per-url byte-identical extracted text after a full
+    parse -> route -> sink round trip."""
+    pipe = make_pipeline()
+    out = str(tmp_path / "sink")
+    pipe.outputs = [Output("all", ParquetSink(out))]
+    pipe.run(pages)
+    written = spark.read.parquet(out).select("url", "text")
+    orig = pages.select("url", "text")
+    diff = written.join(orig.withColumnRenamed("text", "t0"), "url").filter(
+        F.col("text") != F.col("t0")
+    )
+    assert written.count() == N
+    assert diff.count() == 0
+
+
+def test_meta_dropped_at_sink(spark, pages, tmp_path):
+    pipe = Pipeline(
+        filters=[Stage(op="mutate.replace", params={"name": "_meta_src", "value": "secret"})],
+        outputs=[Output("all", ParquetSink(str(tmp_path / "m")))],
+    )
+    pipe.run(pages.limit(5))
+    cols = spark.read.parquet(str(tmp_path / "m")).columns
+    assert all(not c.startswith("_meta") for c in cols)
+    assert all(not c.startswith("_route_") for c in cols)

@@ -1,0 +1,69 @@
+"""multiline / metrics / throttle — the stateful operators (batch shape)."""
+
+from pyspark.sql import Row
+
+from logstash_spark.operators.multiline import multiline
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame([Row(src="s1", seq=i, line=l) for i, l in enumerate(rows)])
+
+
+def test_multiline_previous(spark):
+    """pipeline_spec.rb:118-160: continuation lines (here: leading space)
+    join the previous event; intermediates vanish."""
+    df = _lines(spark, ["hello world", "   second line", "another first line"])
+    out = multiline(df, source="line", pattern=r"^\s", what="previous",
+                    stream_key="src", order_by="seq")
+    rows = sorted(((r["seq"], r["line"], r["multiline_n"]) for r in out.collect()))
+    assert rows == [
+        (0, "hello world\n   second line", 2),
+        (2, "another first line", 1),
+    ]
+    tagged = {r["seq"]: r["tags"] for r in out.collect()}
+    assert tagged[0] == ["multiline"] and tagged[2] is None
+
+
+def test_multiline_negate_next(spark):
+    """what=next: matching line attaches to the following event."""
+    df = _lines(spark, ["part1\\", "part2\\", "end", "solo"])
+    out = multiline(df, source="line", pattern=r"\\$", what="next",
+                    stream_key="src", order_by="seq")
+    rows = sorted((r["seq"], r["line"]) for r in out.collect())
+    assert rows == [(0, "part1\\\npart2\\\nend"), (3, "solo")]
+
+
+def test_multiline_respects_stream_isolation(spark):
+    df = spark.createDataFrame(
+        [Row(src="a", seq=0, line="x"), Row(src="b", seq=1, line=" cont")]
+    )
+    out = multiline(df, source="line", pattern=r"^\s", what="previous",
+                    stream_key="src", order_by="seq")
+    # the continuation in stream b has no anchor -> stays its own event
+    assert out.count() == 2
+
+
+def test_metrics_windowed(spark):
+    from logstash_spark.operators.metrics import metrics
+
+    df = spark.createDataFrame(
+        [Row(ts="2013-01-01 00:00:05", k="a", value=1.0),
+         Row(ts="2013-01-01 00:00:30", k="a", value=3.0),
+         Row(ts="2013-01-01 01:00:00", k="b", value=10.0)]
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp"))
+    out = metrics(df, ts="ts", key="k", interval="1 hour", timer_field="value")
+    rows = {(str(r["window_start"]), r["key"]): (r["count"], r["mean"]) for r in out.collect()}
+    assert rows[("2013-01-01 00:00:00", "a")] == (2, 2.0)
+    assert rows[("2013-01-01 01:00:00", "b")] == (1, 10.0)
+
+
+def test_throttle(spark):
+    from logstash_spark.operators.metrics import throttle
+
+    rows = [Row(ts=f"2013-01-01 00:00:{i:02d}", k="u1", id=i) for i in range(5)]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp")
+    )
+    out = throttle(df, ts="ts", key="k", max_count=3, period="1 hour")
+    got = {r["id"]: bool(r["tags"] and "throttled" in r["tags"]) for r in out.collect()}
+    assert got == {0: False, 1: False, 2: False, 3: True, 4: True}

@@ -1,0 +1,110 @@
+"""Training-data pipeline extensions: dedup, similarity, text analysis,
+multimodal plumbing — correctness at toy scale with hand-computed oracles."""
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def docs(spark, texts):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+def test_dedup_exact(spark):
+    from logstash_spark.functions.dedup import dedup_exact
+
+    d = docs(spark, ["Hello,  World!", "hello world", "different doc entirely"])
+    out = dedup_exact(d)
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    # doc 0 and 1 normalize identically; lowest id kept
+    assert rows == {0: 2, 2: 1}
+
+
+def test_ngram_jaccard_pairs(spark):
+    from logstash_spark.functions.dedup import dedup_ngram_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    near = "the quick brown fox jumps over the lazy dog today"
+    far = "completely unrelated text about spark partitions and shuffles"
+    out = dedup_ngram_jaccard(docs(spark, [base, near, far]), threshold=0.5)
+    pairs = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert pairs == [(0, 1)]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from logstash_spark.functions.dedup import dedup_minhash_lsh
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    near = "one two three four five six seven eight nine ten eleven thirteen"
+    far = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    out = dedup_minhash_lsh(docs(spark, [base, near, far]), threshold=0.4)
+    pairs = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert (0, 1) in pairs and len(pairs) == 1
+
+
+def test_simhash_hamming(spark):
+    from logstash_spark.functions.dedup import simhash, simhash_near_dups
+
+    words = [f"word{i}" for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])  # 59/60 tokens shared
+    s = simhash(docs(spark, [base, base]))
+    vals = [r["simhash"] for r in s.collect()]
+    assert vals[0] == vals[1]  # deterministic
+    out = simhash_near_dups(docs(spark, [base, near, "zzz " * 40]), max_hamming=16)
+    assert (0, 1) in [(r["id_a"], r["id_b"]) for r in out.collect()]
+
+
+def test_cosine_kernel(spark):
+    from logstash_spark.functions.similarity import cosine
+
+    df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0])])
+    vals = [r["c"] for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert vals == [1.0, 0.0]
+
+
+def test_brute_force_topk(spark):
+    from logstash_spark.functions.similarity import brute_force_topk
+
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[math.cos(i / 10.0), math.sin(i / 10.0)]) for i in range(20)]
+    )
+    queries = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = brute_force_topk(vecs, queries, k=3)
+    nbrs = [r["nbr_id"] for r in out.orderBy("rank").collect()]
+    assert nbrs == [1, 2, 3]  # angular neighbors of vec 0
+
+
+def test_lang_id_and_quality(spark):
+    from logstash_spark.functions.text import lang_id, quality_score, token_count
+
+    d = docs(spark, [
+        "the cat and the dog went to the house in the morning",
+        "der hund ist nicht mit der katze und das haus",
+        "12345 @#$%",
+    ])
+    out = lang_id(d).collect()
+    got = {r["doc_id"]: r["lang_pred"] for r in out}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "und"
+
+    q = {r["doc_id"]: r for r in quality_score(d).collect()}
+    assert q[0]["quality"] > q[2]["quality"]
+
+    t = {r["doc_id"]: r["n_ws_tokens"] for r in token_count(d).collect()}
+    assert t[0] == 12
+
+
+def test_multimodal_plumbing(spark):
+    """Binary media columns + mapInPandas feature extraction: schema and
+    batch shape are real; decode itself is a deterministic stub."""
+    from logstash_spark.functions.multimodal import extract_features, synthetic_media
+
+    m = synthetic_media(spark, 50)
+    assert dict(m.dtypes)["bytes"] == "binary"
+    out = extract_features(m)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["n_bytes"] > 0 and r["byte_entropy"] > 0 for r in rows)
