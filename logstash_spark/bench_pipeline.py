@@ -49,7 +49,7 @@ def build_e2e(spark: SparkSession, n_docs: int, *, backend: str | None = None) -
     from logstash_spark.operators import mutate as M
     from logstash_spark.operators.enrich import geoip, translate
 
-    backend = backend or os.environ.get("SPARK_GRAFT_GROK_BACKEND", "pandas")
+    backend = backend or os.environ.get("SPARK_GRAFT_GROK_BACKEND", "arrow")
     pages = synthetic_pages(spark, n_docs, include_junk=True)
 
     g = grok(pages, "text", APACHE_PATTERN, backend=backend)

@@ -49,13 +49,16 @@ GROK_FAILURE_TAG = "_grokparsefailure"
 class CompiledGrok:
     """A grok pattern flattened to a single regex.
 
-    ``regex`` uses only numbered groups; ``captures`` maps field name ->
+    ``regex`` uses only numbered groups (portable to Java regex / DuckDB);
+    ``named_regex`` names each capture ``(?P<cN>...)`` positionally (for
+    RE2 / pyarrow ``extract_regex``); ``captures`` maps field name ->
     (1-based group index, type). Non-capture groups are ``(?:...)`` so group
     numbering is stable across engines.
     """
 
     source: str
     regex: str
+    named_regex: str = ""
     captures: list[tuple[str, int, str]] = field(default_factory=list)
 
     def python_re(self) -> "re.Pattern[str]":
@@ -93,15 +96,16 @@ def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> 
                 group_counter[0] += 1
                 idx = group_counter[0]
                 captures.append((fieldname, idx, typ or "string"))
-                out.append("(" + expand(lib[name], depth + 1) + ")")
+                out.append(f"(?P<c{idx}>" + expand(lib[name], depth + 1) + ")")
             else:
                 out.append("(?:" + expand(lib[name], depth + 1) + ")")
             pos = m.end()
         out.append(_renumber_plain(pat[pos:], group_counter))
         return "".join(out)
 
-    regex = expand(pattern, 0)
-    return CompiledGrok(source=pattern, regex=regex, captures=captures)
+    named = expand(pattern, 0)
+    regex = re.sub(r"\(\?P<c\d+>", "(", named)
+    return CompiledGrok(source=pattern, regex=regex, named_regex=named, captures=captures)
 
 
 _PLAIN_GROUP = re.compile(r"(?<!\\)\((?!\?)")
@@ -179,12 +183,47 @@ def grok_pandas_udf(cg: CompiledGrok):
     return _grok
 
 
+def grok_arrow_udf(cg: CompiledGrok):
+    """RE2 backend: pyarrow ``extract_regex`` — single vectorized C++ pass
+    over the Arrow batch, no per-row Python and no pandas object loop. This
+    is the fastest path for wide patterns (COMBINEDAPACHELOG: one RE2 scan
+    extracts all 11 captures)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_type = grok_struct_type(cg).add("_grok_matched", T.BooleanType())
+    pat = cg.named_regex
+    caps = list(cg.captures)
+
+    @pandas_udf(out_type)
+    def _grok(s: pd.Series) -> pd.DataFrame:
+        arr = pa.Array.from_pandas(s, type=pa.string())
+        ext = pc.extract_regex(arr, pat)  # StructArray; null row = no match
+        matched = ext.is_valid()
+        out = pd.DataFrame(index=s.index)
+        for name, idx, typ in caps:
+            col_arr = ext.field(f"c{idx}")
+            # '' from an optional non-participating group -> null (grok
+            # "field not set" semantics, same as the other backends)
+            col_arr = pc.if_else(pc.equal(col_arr, ""), pa.scalar(None, pa.string()), col_arr)
+            col = col_arr.to_pandas().set_axis(s.index)
+            if typ == "int":
+                col = pd.to_numeric(col, errors="coerce").astype("Int64")
+            elif typ == "float":
+                col = pd.to_numeric(col, errors="coerce")
+            out[name] = col
+        out["_grok_matched"] = matched.to_pandas().set_axis(s.index).fillna(False)
+        return out
+
+    return _grok
+
+
 def grok(
     df: DataFrame,
     source: str,
     patterns: str | list[str],
     *,
-    backend: str = "expr",
+    backend: str = "auto",
     extra_patterns: dict[str, str] | None = None,
     tag_on_failure: str = GROK_FAILURE_TAG,
     overwrite_tags: bool = False,
@@ -193,9 +232,17 @@ def grok(
 
     Multiple patterns implement the reference's first-match-wins list: later
     patterns only fill fields for rows the earlier ones missed.
+
+    ``backend='auto'`` (measured on local[32], 4M apache lines): the JVM
+    expr backend rescans once per capture — fine at <=3 captures, 8x slower
+    at 11; wide patterns go to the single-pass Arrow RE2 UDF (~1M rows/s vs
+    ~115k rows/s for expr on COMBINEDAPACHELOG).
     """
     pats = [patterns] if isinstance(patterns, str) else list(patterns)
     compiled = [compile_grok(p, extra_patterns) for p in pats]
+    if backend == "auto":
+        max_caps = max((len(cg.captures) for cg in compiled), default=0)
+        backend = "expr" if max_caps <= 3 else "arrow"
 
     all_fields: list[tuple[str, str]] = []
     for cg in compiled:
@@ -207,8 +254,8 @@ def grok(
     per_pattern: list[dict[str, Column]] = []
     src = F.col(source)
     for i, cg in enumerate(compiled):
-        if backend == "pandas":
-            udf = grok_pandas_udf(cg)
+        if backend in ("pandas", "arrow"):
+            udf = grok_pandas_udf(cg) if backend == "pandas" else grok_arrow_udf(cg)
             sname = f"_grok_{i}"
             df = df.withColumn(sname, udf(src.cast("string")))
             cols = {name: F.col(sname)[name] for name, _, _ in cg.captures}

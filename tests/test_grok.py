@@ -30,7 +30,7 @@ EXPECTED = {
 }
 
 
-@pytest.mark.parametrize("backend", ["expr", "pandas"])
+@pytest.mark.parametrize("backend", ["expr", "pandas", "arrow"])
 def test_combined_apache_golden(spark, backend):
     from logstash_spark.operators.grok import grok
 
@@ -44,7 +44,7 @@ def test_combined_apache_golden(spark, backend):
     assert row["tags"] is None or "_grokparsefailure" not in row["tags"]
 
 
-@pytest.mark.parametrize("backend", ["expr", "pandas"])
+@pytest.mark.parametrize("backend", ["expr", "pandas", "arrow"])
 def test_grok_failure_tag(spark, backend):
     from logstash_spark.operators.grok import grok
 
@@ -94,7 +94,10 @@ def test_backends_agree_on_corpus(spark):
     cols = ["url", "clientip", "verb", "response", "bytes", "_grok_matched"]
     a = grok(p, "text", "%{COMBINEDAPACHELOG}", backend="expr").select(cols)
     b = grok(p, "text", "%{COMBINEDAPACHELOG}", backend="pandas").select(cols)
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    c = grok(p, "text", "%{COMBINEDAPACHELOG}", backend="arrow").select(cols)
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    assert ra == sorted(map(tuple, c.collect()))
 
 
 def test_no_row_python_in_plan(spark):
