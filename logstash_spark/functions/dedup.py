@@ -59,12 +59,31 @@ def dedup_exact(
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of normalized text, as array<string>.
-    Pure exprs: split -> sequence -> transform(slice) -> array_distinct."""
+
+    NOTE: as a single nested expression the `words` subtree sits inside the
+    transform() lambda and gets re-evaluated per element (~30x slowdown,
+    measured). Hot paths use :func:`with_shingles`, which stages the split
+    into its own projection so the lambda only sees a column reference.
+    """
     words = F.split(normalize_text(text), " ")
+    return _shingles_of(words, k)
+
+
+def _shingles_of(words: Column, k: int) -> Column:
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
     return F.array_distinct(sh)
+
+
+def with_shingles(df: DataFrame, text_col: str, k: int, out: str = "sh") -> DataFrame:
+    """Two-projection shingling: the split/normalize runs ONCE per row; the
+    shingle lambda references the materialized `_words` column (Catalyst
+    keeps the projections separate — its CollapseProject rule declines to
+    inline non-cheap multi-referenced exprs, unlike a hand-inlined tree)."""
+    df = df.withColumn("_words", F.split(normalize_text(F.col(text_col)), " "))
+    df = df.withColumn(out, _shingles_of(F.col("_words"), k))
+    return df.drop("_words")
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -95,11 +114,16 @@ def dedup_ngram_jaccard(
     min-shingle with high probability; exactness is restored by the final
     Jaccard filter (this is a recall/efficiency trade documented here).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    sh = sh.withColumn("bucket", F.array_min("sh"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # NOTE the filter comes AFTER persist: predicate pushdown would otherwise
+    # substitute the full shingle expression into the filter condition and
+    # push it below the repartition — re-running the (lambda-inlined, ~30x
+    # slower) shingling on the unparallelized input. The cache is the barrier.
+    sh = with_shingles(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)).repartition(par),
+        text_col, k,
+    ).select("id", "sh").persist()
+    sh = sh.filter(F.size("sh") > 0).withColumn("bucket", F.array_min("sh"))
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "bucket")
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
@@ -144,37 +168,61 @@ def dedup_minhash_lsh(
     buckets bound its size.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    base = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    # band hash = xxhash64 over the band's slice of the signature
-    bandarr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bidx: F.struct(
-            bidx.alias("band"),
-            F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bh"),
-        ),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        # repartition: a small parquet reads as few splits; the per-row
+        # shingle/hash work needs full parallelism regardless of input layout
+        with_shingles(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)).repartition(par),
+            text_col, k,
+        )
+        .select("id", "sh")
+        # persisted: reused by the candidate-verification join below; the
+        # cache also stops predicate pushdown from inlining the shingle
+        # expression into the size() filter below the repartition
+        .persist()
+        .filter(F.size("sh") > 0)
     )
-    banded = base.withColumn("b", F.explode(bandarr)).select(
-        "id", "sh", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    # Signature via explode + k flat min-aggregates, NOT nested HOF lambdas:
+    # Catalyst's projection collapse inlines any expression referenced inside
+    # a transform() lambda and re-evaluates it per element (measured 100x
+    # slowdown re-running the shingle regexes num_hashes times per row).
+    # The relational formulation is also the right 100 TB shape: partial
+    # min() aggregation collapses to one row per doc map-side, so the only
+    # shuffle carries k longs per document.
+    tok = base.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("h")
     )
-    a = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh")
+    sig = tok.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)]
+    )
+    # band hash over the band's slice of the signature (one flat expr each)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    # The band join must shuffle ONLY (id, band, bh) — at 100 TB the shingle
+    # arrays dominate row width; carrying them through the self-join (and
+    # the dedup after it) multiplies shuffle IO by the candidate multiplicity.
+    # Join ids first, dedup, then re-attach shingles for verification.
+    banded = sig.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("id", "sh")
+    cand = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     cand = cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
     return cand.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
@@ -185,35 +233,37 @@ def dedup_minhash_lsh(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", out: str = "simhash") -> DataFrame:
-    """64-bit SimHash per document, pure exprs (no UDF, no shuffle):
+def _simhash_ids(df: DataFrame, *, text_col: str, id_col: str, out: str) -> DataFrame:
+    """(id, simhash) via explode + 64 flat sum-aggregates.
 
-    for each bit j: bit_j = 1 iff sum over tokens of sign(bit j of
-    xxhash64(token)) > 0. Implemented with aggregate() over the token array
-    accumulating a 64-long vote vector.
+    bit_j = 1 iff sum over tokens of sign(bit j of xxhash64(token)) > 0.
+    The relational shape (explode -> partial-agg -> final-agg) keeps every
+    expression flat and codegen'd; a nested aggregate()/zip_with() lambda
+    formulation is interpreted per element and measured ~10x slower. The
+    shuffle carries 64 longs per doc (post partial aggregation).
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    votes = F.aggregate(
-        words,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, w: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda j: F.when(F.getbit(F.xxhash64(w), j) == 1, F.lit(1)).otherwise(F.lit(-1)),
-            ),
-            lambda a, v: a + v,
-        ),
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
+    ).select("id", F.xxhash64("_w").alias("h"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.getbit(F.col("h"), F.lit(j)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+            for j in range(64)
+        ]
     )
-    # fold bit 63 .. bit 0 as acc*2 + bit (F.shiftleft needs a literal bit
-    # count, so shift-by-column is expressed as the multiply-accumulate; the
-    # wraparound on the sign bit is deterministic and harmless for a hash)
-    bits = F.aggregate(
-        F.reverse(votes),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc * 2 + F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-    )
-    return df.withColumn(out, bits)
+    bits = None
+    for j in range(64):
+        term = F.shiftleft(F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
+        bits = term if bits is None else bits + term
+    return votes.select("id", bits.alias(out))
+
+
+def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", out: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document (docs with no tokens hash to 0)."""
+    sims = _simhash_ids(df, text_col=text_col, id_col=id_col, out=out)
+    joined = df.join(sims.withColumnRenamed("id", id_col), id_col, "left")
+    return joined.withColumn(out, F.coalesce(F.col(out), F.lit(0).cast("long")))
 
 
 def simhash_near_dups(
@@ -223,10 +273,9 @@ def simhash_near_dups(
     within buckets with bit_count(xor) <= max_hamming. (Production variant
     uses 4 rotated prefix tables for full recall; single-prefix documented
     as the recall trade.)"""
-    s = simhash(df, text_col=text_col, id_col=id_col)
-    s = s.select(F.col(id_col).alias("id"), "simhash").withColumn(
-        "prefix", F.shiftrightunsigned(F.col("simhash"), 48)
-    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    s = _simhash_ids(df.repartition(par), text_col=text_col, id_col=id_col, out="simhash")
+    s = s.withColumn("prefix", F.shiftrightunsigned(F.col("simhash"), 48))
     a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "prefix")
     b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "prefix")
     pairs = a.join(b, "prefix").filter(F.col("id_a") < F.col("id_b"))
