@@ -1,0 +1,121 @@
+"""Structured Streaming: pipeline fan-out, stateful multiline, windowed
+counts, checkpoint/resume (the north rule's resumability contract)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_spark.conditions import Field, Not, Rx
+from logstash_spark.pipeline import Output, Pipeline, Stage
+from logstash_spark.sinks import ParquetSink
+from logstash_spark.sources.pages import synthetic_pages
+
+
+def test_streaming_pipeline_fanout_and_resume(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    err_out = str(tmp_path / "err")
+    ok_out = str(tmp_path / "ok")
+
+    first = synthetic_pages(spark, 300, include_junk=False)
+    first.coalesce(1).write.mode("append").parquet(src)
+    schema = first.schema
+
+    pipe = Pipeline(
+        filters=[
+            Stage(op="grok", params={"source": "text", "patterns": "%{COMBINEDAPACHELOG}"}),
+        ],
+        outputs=[
+            Output("errors", ParquetSink(err_out, mode="append"), when=Rx(Field("[response]"), "^5")),
+            Output("ok", ParquetSink(ok_out, mode="append"), when=Not(Rx(Field("[response]"), "^5"))),
+        ],
+    )
+
+    from logstash_spark.streaming.pipeline import run_streaming
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_streaming(pipe, stream, checkpoint=ckpt, watermark=None, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    err_n = spark.read.parquet(err_out).count()
+    ok_n = spark.read.parquet(ok_out).count()
+    assert err_n + ok_n == 300
+    assert err_n == sum(1 for i in range(300) if i % 7 in (5, 6))
+
+    # resume from checkpoint: only NEW files are processed (exactly-once)
+    extra = synthetic_pages(spark, 400, include_junk=False).subtract(first)
+    extra.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = run_streaming(pipe, stream2, checkpoint=ckpt, watermark=None, trigger_seconds=1)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    total = spark.read.parquet(err_out).count() + spark.read.parquet(ok_out).count()
+    assert total == 400  # 300 + 100 new, nothing reprocessed
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from logstash_spark.streaming.pipeline import windowed_counts
+
+    src = str(tmp_path / "wsrc")
+    pages = synthetic_pages(spark, 200, include_junk=False)
+    pages.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    agg = windowed_counts(stream, ts="warc_ts", key="lang", window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wcounts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select sum(count) as n from wcounts").collect()[0]["n"]
+        assert got == 200
+    finally:
+        q.stop()
+
+
+def test_multiline_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: the closed group emits with
+    the batch; the open group flushes via the processing-time timeout (the
+    reference's 5 s FLUSH tick, pipeline.rb:159). processAllAvailable never
+    settles under ProcessingTimeTimeout, so poll the memory sink."""
+    from logstash_spark.streaming.stateful import multiline_stateful
+
+    src = str(tmp_path / "msrc")
+    rows = [
+        ("s1", "first event"),
+        ("s1", " continuation 1"),
+        ("s1", " continuation 2"),
+        ("s1", "second event"),
+        ("s1", " cont"),
+    ]
+    df = spark.createDataFrame(rows, "stream_key string, text string")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = multiline_stateful(stream, pattern=r"^\s", timeout_ms=2000)
+    q = out.writeStream.format("memory").queryName("mlout").outputMode("append").start()
+    expected = {
+        "first event\n continuation 1\n continuation 2": 3,
+        "second event\n cont": 2,  # emitted by the timeout flush
+    }
+    try:
+        deadline = time.time() + 90
+        got = {}
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = {r["text"]: r["multiline_n"] for r in spark.sql("select * from mlout").collect()}
+            if got == expected:
+                break
+            time.sleep(1)
+        assert got == expected
+    finally:
+        q.stop()
