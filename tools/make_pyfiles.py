@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""Package logstash_spark for `spark-submit --py-files`.
+
+Produces dist/logstash_spark.zip containing the package at the archive
+root (importable on executors when passed via --py-files).
+
+Usage: python tools/make_pyfiles.py [outdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(outdir: str | None = None) -> str:
+    outdir = outdir or os.path.join(REPO, "dist")
+    os.makedirs(outdir, exist_ok=True)
+    out = os.path.join(outdir, "logstash_spark.zip")
+    pkg = os.path.join(REPO, "logstash_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, REPO)
+                z.write(full, rel)
+    return out
+
+
+if __name__ == "__main__":
+    print(build(sys.argv[1] if len(sys.argv) > 1 else None))
