@@ -1,0 +1,75 @@
+"""Charset normalization: bytes -> valid UTF-8 string.
+
+Reference: LogStash::Util::Charset (lib/logstash/util/charset.rb:13-33):
+inputs declare a charset; bytes are transcoded to UTF-8 with replacement;
+already-UTF-8 input with invalid sequences gets each bad byte escaped via
+inspect-style replacement. Every event string MUST be valid UTF-8
+(event.rb:308-320 validate_value).
+
+Spark design: two paths.
+- `decode_utf8` — pure JVM: Spark's decode() already replaces invalid
+  sequences with U+FFFD; zero Python. Use when the corpus is declared UTF-8.
+- `decode_charset` — Arrow-batched pandas UDF wrapping Python's codec
+  machinery (errors='replace'), for arbitrary declared charsets (cp1252,
+  latin-1, shift_jis...). Python is unavoidable here (the JVM side exposes
+  no per-row charset column decode); batched, never per-row-interpreted.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def decode_utf8(col: Column) -> Column:
+    """binary -> string, invalid sequences replaced with U+FFFD (JVM)."""
+    return F.decode(col, "UTF-8")
+
+
+def _decoder(charset_col_present: bool, default_charset: str):
+    if charset_col_present:
+
+        @pandas_udf("string")
+        def _decode(data: pd.Series, charset: pd.Series) -> pd.Series:
+            out = []
+            for buf, cs in zip(data, charset):
+                if buf is None:
+                    out.append(None)
+                    continue
+                out.append(bytes(buf).decode(cs or default_charset, errors="replace"))
+            return pd.Series(out)
+
+        return _decode
+
+    @pandas_udf("string")
+    def _decode_fixed(data: pd.Series) -> pd.Series:
+        return data.map(lambda b: None if b is None else bytes(b).decode(default_charset, errors="replace"))
+
+    return _decode_fixed
+
+
+def decode_charset(
+    df: DataFrame,
+    source: str,
+    *,
+    target: str | None = None,
+    charset: str = "UTF-8",
+    charset_col: str | None = None,
+) -> DataFrame:
+    """Decode a binary column with a declared (or per-row) charset.
+
+    ``charset_col`` names a string column holding each row's charset (the
+    reference's per-input `codec => plain { charset => ... }`); otherwise
+    ``charset`` applies to all rows. UTF-8 fixed-charset requests take the
+    pure-JVM path.
+    """
+    tname = target or source
+    if charset_col is None and charset.upper().replace("-", "") == "UTF8":
+        return df.withColumn(tname, decode_utf8(F.col(source)))
+    if charset_col is not None:
+        udf = _decoder(True, charset)
+        return df.withColumn(tname, udf(F.col(source), F.col(charset_col)))
+    udf = _decoder(False, charset)
+    return df.withColumn(tname, udf(F.col(source)))

@@ -1,0 +1,77 @@
+"""Codecs: byte/record framing at sources and sinks.
+
+Reference codec surface (manifest rakelib/default_plugins.rb:8,10-24):
+plain, line, json, json_lines, multiline, msgpack, edn, rubydebug, dots...
+A codec turns a byte stream into events (decode) or events into bytes
+(encode) — codecs/base.rb:19-28; chunk framing is BufferedTokenizer
+(util/buftok.rb:37-133: split on delimiter, keep remainder until flush).
+
+Spark sources are already record-oriented (parquet rows, kafka records,
+text-file lines), so codecs reduce to column transformations:
+
+- `lines`      — the line codec / BufferedTokenizer analog over a document
+                 column: split + posexplode (the position is the
+                 determinism key; no cross-row state is needed because the
+                 framing boundary — the document — is already a row).
+- `json_lines` — lines + per-line JSON parse.
+- `plain`      — identity with charset normalization (operators.charset).
+- `encode_json`/`encode_csv` — event -> serialized line for bus sinks.
+- rubydebug/dots — diagnostic sinks (sinks.CollectSink / show()).
+msgpack/edn/fluent/netflow/collectd need codec libraries not present in
+this runtime; their framing is identical to json_lines (byte column ->
+1..N typed events) and they gate behind ImportError at call time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lines(
+    df: DataFrame,
+    source: str,
+    *,
+    delimiter: str = "\n",
+    target: str = "message",
+    keep_empty: bool = False,
+) -> DataFrame:
+    """line codec: one event per delimited line of ``source``."""
+    import re
+
+    arr = F.split(F.col(source), re.escape(delimiter))
+    out = df.select("*", F.posexplode(arr).alias("line_seq", target))
+    if not keep_empty:
+        out = out.filter(F.length(F.col(target)) > 0)
+    return out.drop(source) if source != target else out
+
+
+def json_lines(
+    df: DataFrame,
+    source: str,
+    schema: str,
+    *,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """json_lines codec: NDJSON document -> one typed event per line."""
+    from logstash_spark.operators.parse import json_parse
+
+    out = lines(df, source, delimiter=delimiter, target="_jl")
+    out = json_parse(out, "_jl", schema)
+    return out.drop("_jl")
+
+
+def encode_json(df: DataFrame, *, target: str = "value", drop_fields: bool = True) -> DataFrame:
+    """json codec (encode): serialize the event for a bus sink (kafka
+    `value` column). `_meta`/internal columns excluded (event.rb:298-306)."""
+    from logstash_spark.sinks import strip_internal
+
+    clean = strip_internal(df)
+    cols = clean.columns
+    out = df.withColumn(target, F.to_json(F.struct(*[F.col(c) for c in cols])))
+    return out.select(target) if drop_fields else out
+
+
+def encode_csv(df: DataFrame, columns: list[str], *, target: str = "line", sep: str = ",") -> DataFrame:
+    """csv output codec: selected fields joined into one line."""
+    return df.withColumn(target, F.concat_ws(sep, *[F.col(c).cast("string") for c in columns]))

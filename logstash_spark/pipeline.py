@@ -49,6 +49,12 @@ class Stage:
     add_tag: list[str] = dc_field(default_factory=list)
     remove_field: list[str] = dc_field(default_factory=list)
     remove_tag: list[str] = dc_field(default_factory=list)
+    # legacy gating (filters/base.rb:20-28,222-253 `filter?`): run the filter
+    # only on events whose `type` matches / `tags` are a superset / none of
+    # `exclude_tags` present. Combined (AND) with `when`.
+    type: str | None = None
+    tags: list[str] = dc_field(default_factory=list)
+    exclude_tags: list[str] = dc_field(default_factory=list)
 
 
 @dataclass
@@ -56,6 +62,37 @@ class Output:
     name: str
     sink: "Sink"
     when: Expr | None = None
+    # same gating at sinks (outputs/base.rb:96-123 `output?`)
+    type: str | None = None
+    tags: list[str] = dc_field(default_factory=list)
+    exclude_tags: list[str] = dc_field(default_factory=list)
+
+
+def gating_expr(df: DataFrame, type_: str | None, tags: list[str], exclude_tags: list[str]) -> F.Column | None:
+    """Compile the type/tags/exclude_tags gate to one predicate (None if no
+    gate configured). Missing `type`/`tags` columns fail the respective
+    requirement, matching the reference's nil checks."""
+    conds = []
+    if type_ is not None:
+        if "type" in df.columns:
+            conds.append(F.col("type").eqNullSafe(F.lit(type_)))
+        else:
+            conds.append(F.lit(False))
+    tags_col = (
+        F.coalesce(F.col("tags"), F.array().cast("array<string>"))
+        if "tags" in df.columns
+        else F.array().cast("array<string>")
+    )
+    for t in tags:
+        conds.append(F.array_contains(tags_col, t))
+    for t in exclude_tags:
+        conds.append(~F.array_contains(tags_col, t))
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
 
 
 @dataclass
@@ -84,21 +121,32 @@ class Pipeline:
         decision computed once, reused by every sink write."""
         out = self.transform(df)
         for o in self.outputs:
-            cond = (o.when or Always()).compile(out)
-            out = out.withColumn(f"_route_{o.name}", cond)
+            out = out.withColumn(f"_route_{o.name}", output_predicate(out, o))
         return out
+
+
+def output_predicate(df: DataFrame, o: Output):
+    """Compiled route predicate for an output: conditional AND legacy gate."""
+    cond = (o.when or Always()).compile(df)
+    gate = gating_expr(df, o.type, o.tags, o.exclude_tags)
+    return cond if gate is None else (cond & gate)
 
 
 def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
     fn = OPERATORS[st.op]
-    if st.when is None:
+    gate = gating_expr(df, st.type, st.tags, st.exclude_tags)
+    when_col = st.when.compile(df) if st.when is not None else None
+    if when_col is not None and gate is not None:
+        cond = when_col & gate
+    else:
+        cond = when_col if when_col is not None else gate
+    if cond is None:
         return _apply_decorators(fn(df, **st.params), st)
-    return _conditional_apply(df, st, fn)
+    return _conditional_apply(df, st, fn, cond)
 
 
-def _conditional_apply(df: DataFrame, st: Stage, fn: Callable[..., DataFrame]) -> DataFrame:
+def _conditional_apply(df: DataFrame, st: Stage, fn: Callable[..., DataFrame], cond) -> DataFrame:
     """when(cond) stage: snapshot original columns, run op, CASE-merge."""
-    cond = st.when.compile(df)  # type: ignore[union-attr]
     snap = {c: f"_orig_{c}" for c in df.columns}
     snapped = df.withColumn("_cond", cond)
     for c, s in snap.items():

@@ -814,3 +814,262 @@ def join_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# codecs / charset / gating / decorators (round-1 extensions)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "charset_decode",
+    f"""{_PAGES_CTE}
+SELECT url, text AS decoded FROM pages""",
+)
+def charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset normalization (util/charset.rb): bytes -> UTF-8 string with
+    replacement; round-trips the page text through a binary column."""
+    from logstash_spark.operators.charset import decode_charset
+
+    p = _pages(spark, sf_dir).withColumn("raw", F.encode("text", "UTF-8"))
+    out = decode_charset(p, "raw", target="decoded")
+    return out.select("url", "decoded")
+
+
+@q(
+    "codec_lines",
+    f"""{_PAGES_CTE}
+SELECT url, 0 AS line_seq, verb AS message FROM pages
+UNION ALL SELECT url, 1, response FROM pages
+UNION ALL SELECT url, 2, clientip FROM pages""",
+)
+def codec_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line codec / BufferedTokenizer analog (util/buftok.rb)."""
+    from logstash_spark.operators.codecs import lines
+
+    p = _pages(spark, sf_dir).withColumn("doc", F.concat_ws("\n", "verb", "response", "clientip"))
+    return lines(p, "doc").select("url", "line_seq", "message")
+
+
+@q(
+    "codec_json_lines",
+    f"""{_PAGES_CTE}
+SELECT url, 0 AS line_seq, CAST(event_id AS BIGINT) AS k FROM pages
+UNION ALL SELECT url, 1, CAST(user_id AS BIGINT) FROM pages""",
+)
+def codec_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.operators.codecs import json_lines
+
+    p = _pages(spark, sf_dir).withColumn(
+        "doc",
+        F.concat(F.lit('{"k": '), F.col("event_id").cast("string"), F.lit('}\n{"k": '),
+                 F.col("user_id").cast("string"), F.lit("}")),
+    )
+    return json_lines(p, "doc", "k bigint").select("url", "line_seq", "k")
+
+
+@q(
+    "dns_lookup",
+    f"""{_PAGES_CTE}
+SELECT url,
+       '10.0.0.' || CAST(CAST(user_id % 40 AS INT) AS VARCHAR) AS resolved
+FROM pages""",
+)
+def dns_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dns filter = broadcast join against a pre-resolved host table."""
+    from logstash_spark.operators.enrich import dns_enrich
+
+    dim = spark.range(40).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("10.0.0."), F.col("id").cast("string")).alias("address"),
+    )
+    p = _pages(spark, sf_dir).withColumn(
+        "hostname", F.regexp_extract("url", r"https://([^/]+)/", 1)
+    )
+    return dns_enrich(p, dim, source="hostname").select("url", "resolved")
+
+
+@q(
+    "checksum_event",
+    f"""{_PAGES_CTE}
+SELECT url, sha256(clientip || '|' || response || '|' || verb) AS checksum FROM pages""",
+)
+def checksum_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """checksum filter: digest over sorted field names (clientip<response<verb)."""
+    from logstash_spark.operators.fingerprint import checksum
+
+    p = _pages(spark, sf_dir)
+    return checksum(p, ["verb", "clientip", "response"]).select("url", "checksum")
+
+
+@q(
+    "gate_type_tags",
+    f"""{_PAGES_CTE}
+SELECT url, CASE WHEN verb = 'GET' THEN upper(lang) ELSE lang END AS lang_out FROM pages""",
+)
+def gate_type_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy type-gating (filters/base.rb:222-253): the filter runs only on
+    events whose `type` matches; others pass through untouched."""
+    from logstash_spark.pipeline import Pipeline, Stage
+
+    p = _pages(spark, sf_dir).withColumn("type", F.col("verb"))
+    pipe = Pipeline(filters=[Stage(op="mutate.uppercase", params={"names": ("lang",)}, type="GET")])
+    return pipe.transform(p).select("url", F.col("lang").alias("lang_out"))
+
+
+@q(
+    "decorator_add_field_append",
+    f"""{_PAGES_CTE}
+SELECT url, [lang, 'x-' || verb] AS lang_list, ['parsed', 'parsed'] AS tags FROM pages""",
+)
+def decorator_add_field_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_field on an existing field appends into an array
+    (filters/base.rb:187-191); add_tag never dedups (base.rb:205-210)."""
+    from logstash_spark.operators import mutate as M
+
+    p = _pages(spark, sf_dir)
+    p = M.add_field(p, "lang", "x-%{verb}")
+    p = M.add_tag(p, "parsed")
+    p = M.add_tag(p, "parsed")
+    return p.select("url", F.col("lang").alias("lang_list"), "tags")
+
+
+@q(
+    "multiline_next_mode",
+    """WITH lines AS (
+  SELECT CAST(user_id % 4 AS INT) AS stream_key, event_id AS seq,
+         CASE WHEN event_id % 3 = 2 THEN 'end ' || CAST(event_id AS VARCHAR)
+              ELSE 'cont ' || CAST(event_id AS VARCHAR) || ' \\' END AS line
+  FROM events
+), lagged AS (
+  SELECT stream_key, seq, line,
+         lag(line, 1, 'x') OVER (PARTITION BY stream_key ORDER BY seq) AS prev_line
+  FROM lines
+), grp AS (
+  SELECT stream_key, seq, line,
+         SUM(CASE WHEN prev_line NOT LIKE '% \\' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY stream_key ORDER BY seq) AS g
+  FROM lagged
+)
+SELECT stream_key, string_agg(line, chr(10) ORDER BY seq) AS text,
+       COUNT(*) AS multiline_n, MIN(seq) AS seq
+FROM grp GROUP BY stream_key, g""",
+)
+def multiline_next_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline what=next: a line matching the pattern attaches to the
+    NEXT event (continuation marker at end of line)."""
+    from logstash_spark.operators.multiline import multiline
+
+    e = load_table(spark, sf_dir, "events")
+    lines_df = e.select(
+        (F.col("user_id") % 4).cast("int").alias("stream_key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 3 == 2, F.concat(F.lit("end "), F.col("event_id").cast("string")))
+        .otherwise(F.concat(F.lit("cont "), F.col("event_id").cast("string"), F.lit(" \\")))
+        .alias("line"),
+    )
+    out = multiline(lines_df, source="line", pattern=r"\\$", what="next",
+                    stream_key="stream_key", order_by="seq")
+    return out.select("stream_key", F.col("line").alias("text"),
+                      F.col("multiline_n").cast("bigint").alias("multiline_n"), "seq")
+
+
+@q(
+    "throttle_operator",
+    """SELECT event_id,
+       CASE WHEN ROW_NUMBER() OVER (
+           PARTITION BY date_trunc('hour', ts), user_id ORDER BY ts, event_id
+       ) > 3 THEN 1 ELSE 0 END AS throttled
+FROM events""",
+)
+def throttle_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The throttle FILTER itself (tags over-limit events). Within-window
+    order ties broken by event_id to mirror the oracle deterministically."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    order = W.partitionBy(win, F.col("user_id")).orderBy(F.col("ts"), F.col("event_id"))
+    e = e.withColumn("_seq_in_period", F.row_number().over(order))
+    from logstash_spark.operators.grok import _append_tag_unless
+
+    e = _append_tag_unless(e, "tags", "throttled", ~(F.col("_seq_in_period") > 3))
+    return e.select(
+        "event_id",
+        F.when(F.array_contains(F.coalesce(F.col("tags"), F.array().cast("array<string>")), "throttled"), 1)
+        .otherwise(0).alias("throttled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity extensions
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "embedding_near_dup",
+    """WITH v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+FROM v a JOIN v b ON a.id < b.id
+WHERE list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the embedding leg of the dedup
+    suite). Small-N exact self-join; the scale path buckets by LSH first
+    (see ann_lsh_topk)."""
+    from logstash_spark.functions.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("e").alias("ea"))
+    b = e.select(F.col("id").alias("id_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = pairs.withColumn("_c", cosine(F.col("ea"), F.col("eb")))
+    return (
+        pairs.filter(F.col("_c") >= 0.45)
+        .select("id_a", "id_b", F.round("_c", 4).alias("cos"))
+    )
+
+
+@q(
+    "ivf_assignment",
+    """WITH v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+), c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY id) AS list_id, e AS ce FROM v ORDER BY id LIMIT 16
+), scored AS (
+  SELECT v.id, c.list_id,
+         list_dot_product(v.e, c.ce) /
+         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+  FROM v CROSS JOIN c
+), ranked AS (
+  SELECT id, list_id, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, list_id ASC) AS r
+  FROM scored
+)
+SELECT id, CAST(list_id AS INT) AS list_id FROM ranked WHERE r = 1""",
+)
+def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse routing: nearest deterministic centroid per vector."""
+    from logstash_spark.functions.similarity import ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = ivf_assign(e, num_lists=16)
+    return out.select("id", F.col("list_id").cast("int").alias("list_id"))
+
+
+@q("xml_parse_op")  # DuckDB has no XML functions -> rows-only check
+def xml_parse_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.operators.parse import xml_parse
+
+    p = _pages(spark, sf_dir).withColumn(
+        "xml", F.concat(F.lit("<e><verb>"), F.col("verb"), F.lit("</verb><code>"),
+                        F.col("response"), F.lit("</code></e>")),
+    )
+    out = xml_parse(p, "xml", "verb string, code string")
+    return out.select("url", F.col("_xml.verb").alias("xverb"), F.col("_xml.code").alias("xcode"))

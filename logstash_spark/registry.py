@@ -14,7 +14,19 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from logstash_spark.operators import clone_split, date, enrich, fingerprint, grok, metrics, multiline, mutate, parse
+from logstash_spark.operators import (
+    charset,
+    clone_split,
+    codecs,
+    date,
+    enrich,
+    fingerprint,
+    grok,
+    metrics,
+    multiline,
+    mutate,
+    parse,
+)
 
 OPERATORS: dict[str, Callable[..., DataFrame]] = {
     # parse
@@ -58,4 +70,14 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     # aggregation-in-flow
     "metrics": metrics.metrics,
     "throttle": metrics.throttle,
+    # codecs / charset
+    "charset": charset.decode_charset,
+    "codec.lines": codecs.lines,
+    "codec.json_lines": codecs.json_lines,
+    "codec.encode_json": codecs.encode_json,
+    "codec.encode_csv": codecs.encode_csv,
+    # `sleep` filter (default_plugins.rb:41): a rate-limiting aid with no
+    # batch analog — declared no-op, matching reference semantics of "the
+    # event passes through unchanged"
+    "sleep": lambda df, **_: df,
 }

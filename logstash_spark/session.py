@@ -28,6 +28,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # ANSI off: Logstash semantics are forgiving (bad cast -> null + tag),
     # matching try_* behavior everywhere without per-expression wrapping.
     "spark.sql.ansi.enabled": "false",
+    # decode(binary,'UTF-8') replaces malformed bytes with U+FFFD instead of
+    # throwing — the reference's charset contract (util/charset.rb:23-31
+    # transcodes with replacement; events must still be valid UTF-8).
+    "spark.sql.legacy.codingErrorAction": "true",
     # Broadcast threshold: enrichment dims are small by design.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",

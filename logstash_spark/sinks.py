@@ -106,12 +106,11 @@ def write_outputs(df: DataFrame, outputs: list) -> dict[str, Any]:
     and returns {name: sink result}. Per-sink counts come free off the
     cached frame.
     """
-    from logstash_spark.conditions import Always
+    from logstash_spark.pipeline import output_predicate
 
     routed = df
     for o in outputs:
-        cond = (o.when or Always()).compile(routed)
-        routed = routed.withColumn(f"_route_{o.name}", cond)
+        routed = routed.withColumn(f"_route_{o.name}", output_predicate(routed, o))
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         results: dict[str, Any] = {}

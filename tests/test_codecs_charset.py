@@ -1,0 +1,101 @@
+"""Charset normalization + codec framing (line / json_lines / encode)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from logstash_spark.operators.charset import decode_charset
+from logstash_spark.operators.codecs import encode_csv, encode_json, json_lines, lines
+
+
+def test_decode_utf8_with_replacement(spark):
+    df = spark.createDataFrame(
+        [(bytearray("héllo".encode("utf-8")),), (bytearray(b"bad \xff byte"),)],
+        "b binary",
+    )
+    out = [r["t"] for r in decode_charset(df, "b", target="t").collect()]
+    assert out[0] == "héllo"
+    assert "bad" in out[1] and "�" in out[1]  # invalid byte replaced
+
+
+def test_decode_fixed_charset(spark):
+    df = spark.createDataFrame([(bytearray("café".encode("cp1252")),)], "b binary")
+    out = decode_charset(df, "b", target="t", charset="cp1252").collect()[0]["t"]
+    assert out == "café"
+
+
+def test_decode_per_row_charset(spark):
+    df = spark.createDataFrame(
+        [
+            (bytearray("grüße".encode("latin-1")), "latin-1"),
+            (bytearray("日本".encode("utf-8")), "utf-8"),
+        ],
+        "b binary, cs string",
+    )
+    out = [r["t"] for r in decode_charset(df, "b", target="t", charset_col="cs").collect()]
+    assert out == ["grüße", "日本"]
+
+
+def test_lines_codec(spark):
+    df = spark.createDataFrame([Row(doc_id=1, body="a\nb\n\nc")])
+    out = lines(df, "body", target="message")
+    rows = [(r["line_seq"], r["message"]) for r in out.orderBy("line_seq").collect()]
+    assert rows == [(0, "a"), (1, "b"), (3, "c")]  # empty line skipped
+
+
+def test_json_lines_codec(spark):
+    ndjson = '{"k": 1}\n{"k": 2}\nnot json'
+    df = spark.createDataFrame([Row(doc_id=1, body=ndjson)])
+    out = json_lines(df, "body", "k bigint")
+    rows = sorted((r["line_seq"], r["k"]) for r in out.collect())
+    assert rows == [(0, 1), (1, 2), (2, None)]
+    bad = out.filter(F.array_contains(F.coalesce(F.col("tags"), F.array().cast("array<string>")), "_jsonparsefailure"))
+    assert bad.count() == 1
+
+
+def test_encode_json_excludes_meta(spark):
+    df = spark.createDataFrame([Row(url="u", _meta_secret="x")])
+    out = encode_json(df).collect()[0]["value"]
+    assert '"url":"u"' in out and "_meta" not in out
+
+
+def test_encode_csv(spark):
+    df = spark.createDataFrame([Row(a="x", b=2)])
+    assert encode_csv(df, ["a", "b"]).collect()[0]["line"] == "x,2"
+
+
+def test_stage_gating_type_tags(spark):
+    """filters/base.rb:222-253: type equality, tags superset, exclude_tags."""
+    from logstash_spark.pipeline import Pipeline, Stage
+
+    df = spark.createDataFrame(
+        [
+            ("apache", ["keep"], "a"),
+            ("nginx", ["keep"], "b"),
+            ("apache", ["keep", "skipme"], "c"),
+            ("apache", None, "d"),
+        ],
+        "type string, tags array<string>, v string",
+    )
+    pipe = Pipeline(filters=[
+        Stage(op="mutate.uppercase", params={"names": ("v",)},
+              type="apache", tags=["keep"], exclude_tags=["skipme"]),
+    ])
+    got = {r["type"] + str(r["tags"]): r["v"] for r in pipe.transform(df).collect()}
+    vals = sorted(got.values())
+    assert vals == ["A", "b", "c", "d"]  # only row a matches all gates
+
+
+def test_output_gating(spark):
+    from logstash_spark.pipeline import Output, Pipeline
+    from logstash_spark.sinks import CollectSink
+
+    df = spark.createDataFrame(
+        [("apache", "a"), ("nginx", "b")], "type string, v string"
+    )
+    pipe = Pipeline(outputs=[
+        Output("apache_only", CollectSink(), type="apache"),
+        Output("all", CollectSink()),
+    ])
+    res = pipe.run(df)
+    assert [r["v"] for r in res["apache_only"]] == ["a"]
+    assert sorted(r["v"] for r in res["all"]) == ["a", "b"]
