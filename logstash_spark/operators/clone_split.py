@@ -26,9 +26,19 @@ from pyspark.sql import functions as F
 from logstash_spark.conditions import Expr
 
 
-def drop(df: DataFrame, when: Expr | Column | None = None, percentage: float | None = None) -> DataFrame:
+def drop(
+    df: DataFrame,
+    when: Expr | Column | None = None,
+    percentage: float | None = None,
+    bucket_col: str | None = None,
+) -> DataFrame:
     """`drop` filter: remove matching events; optional sampling percentage
-    (keep = deterministic hash bucket, not random — reproducible at scale)."""
+    (keep = deterministic hash bucket, not random — reproducible at scale).
+
+    ``bucket_col`` names a numeric column whose value mod 100 selects the
+    dropped bucket (fully reproducible across engines); default buckets by
+    xxhash64 of the first column.
+    """
     if when is None:
         pred = F.lit(True)
     elif isinstance(when, Expr):
@@ -37,7 +47,10 @@ def drop(df: DataFrame, when: Expr | Column | None = None, percentage: float | N
         pred = when
     if percentage is not None:
         # drop only `percentage`% of matching rows, chosen by a stable hash
-        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:1]]), F.lit(100))
+        if bucket_col is not None:
+            bucket = F.pmod(F.col(bucket_col).cast("bigint"), F.lit(100))
+        else:
+            bucket = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:1]]), F.lit(100))
         pred = pred & (bucket < F.lit(int(percentage)))
     return df.filter(~pred)
 

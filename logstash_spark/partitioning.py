@@ -1,0 +1,101 @@
+"""Explicit partitioning & skew handling for the pages pipeline.
+
+North rule: "partitions by warc_ts-bucketed url hash with explicit salting
+for skewed hosts, AQE-tuned shuffles". The pieces:
+
+- ``bucket_pages`` — the canonical physical layout: (day(warc_ts),
+  pmod(xxhash64(url), B)). Day pruning serves backfill/resume (lineage runs
+  per day); the url-hash bucket spreads any single day uniformly across the
+  cluster regardless of host skew, and co-locates repeated scans/joins on
+  url. On Iceberg this is `PARTITIONED BY (days(warc_ts), bucket(B, url))`;
+  in-flight it is a repartition by the same two expressions.
+- ``salt_hot_keys`` — explicit salting for skewed aggregation keys (one
+  crawl host can be 20%+ of a web corpus): hot keys get a salt in [0,S),
+  cold keys salt 0, so a groupBy on (key, salt) splits the hot key into S
+  partial groups; ``unsalt_agg`` re-aggregates the partials. Spark's AQE
+  skew handling (enabled in session.DEFAULT_CONFS) covers JOIN skew at
+  runtime; aggregation-key skew needs this plan-level treatment.
+- ``hot_keys`` — find keys above a row-share threshold with one cheap
+  sample-based pass (at 100 TB never a full count per key before deciding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_expr(url: Column, buckets: int) -> Column:
+    return F.pmod(F.xxhash64(url), F.lit(buckets))
+
+
+def bucket_pages(df: DataFrame, *, buckets: int = 256, url: str = "url", ts: str = "warc_ts") -> DataFrame:
+    """Repartition to the canonical (day, url-bucket) layout."""
+    return df.repartition(F.to_date(F.col(ts)), bucket_expr(F.col(url), buckets))
+
+
+def hot_keys(
+    df: DataFrame, key: str, *, threshold: float = 0.01, sample_fraction: float = 0.01, seed: int = 42
+) -> list:
+    """Keys holding more than ``threshold`` of rows, estimated on a sample."""
+    sample = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0 else df
+    total = sample.count()
+    if total == 0:
+        return []
+    rows = (
+        sample.groupBy(key).count().filter(F.col("count") > total * threshold).select(key).collect()
+    )
+    return [r[0] for r in rows]
+
+
+def salt_hot_keys(
+    df: DataFrame,
+    key: str,
+    hot: list,
+    *,
+    salts: int = 16,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Add a salt column: hot keys spread over ``salts`` buckets, others 0.
+
+    Deterministic (hash of a stable uniqueness source would be ideal; a
+    uniform spread via monotonically-increasing-id-free xxhash64 over all
+    columns of the row is overkill — rand-free determinism comes from
+    hashing the key plus a per-row discriminator the caller already has).
+    Here: pmod(xxhash64(all columns), salts) — stable for a fixed row.
+    """
+    hot_set = F.array(*[F.lit(h) for h in hot]) if hot else F.array().cast("array<string>")
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+    salt = F.when(
+        F.array_contains(hot_set, F.col(key).cast("string")), F.pmod(row_hash, F.lit(salts))
+    ).otherwise(F.lit(0))
+    return df.withColumn(salt_col, salt.cast("int"))
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, str],
+    *,
+    hot: list,
+    salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: groupBy(key, salt) partials, then
+    re-aggregate partials per key. ``aggs``: {column: 'sum'|'count'|'min'|'max'}.
+
+    (avg decomposes into sum+count; percentiles need sketches — out of
+    scope for this helper.)
+    """
+    salted = salt_hot_keys(df, key, hot, salts=salts)
+    partial_exprs = []
+    for col, how in aggs.items():
+        if how == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"_p_{col}"))
+        else:
+            partial_exprs.append(getattr(F, how)(col).alias(f"_p_{col}"))
+    partial = salted.groupBy(key, "_salt").agg(*partial_exprs)
+    final_exprs = []
+    for col, how in aggs.items():
+        refold = "sum" if how in ("count", "sum") else how
+        final_exprs.append(getattr(F, refold)(f"_p_{col}").alias(f"{how}_{col}"))
+    return partial.groupBy(key).agg(*final_exprs)

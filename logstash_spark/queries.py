@@ -1073,3 +1073,87 @@ def xml_parse_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = xml_parse(p, "xml", "verb string, code string")
     return out.select("url", F.col("_xml.verb").alias("xverb"), F.col("_xml.code").alias("xcode"))
+
+
+@q(
+    "metrics_percentiles",
+    """SELECT event_type AS key, COUNT(*) AS count,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type""",
+)
+def metrics_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metrics filter timer percentiles — EXACT percentile aggregate
+    (interpolating, matching quantile_cont); percentile_approx is the
+    100 TB path, exact is the parity surface."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@q(
+    "drop_percentage",
+    f"""{_PAGES_CTE}
+SELECT url, response FROM pages
+WHERE NOT (response = '200' AND event_id % 100 < 30)""",
+)
+def drop_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop filter with percentage sampling: drops a deterministic 30% bucket
+    of matching events (reproducible sampling, not rand())."""
+    from logstash_spark.conditions import Cmp, Field
+    from logstash_spark.operators.clone_split import drop
+
+    p = _pages(spark, sf_dir)
+    out = drop(p, when=Cmp(Field("[response]"), "==", "200"), percentage=30, bucket_col="event_id")
+    return out.select("url", "response")
+
+
+@q(
+    "condition_algebra",
+    f"""{_PAGES_CTE}
+SELECT url,
+       CASE WHEN verb IN ('GET', 'PUT') THEN 1 ELSE 0 END AS in_list,
+       CASE WHEN strpos(text, 'HTTP/1.1') > 0 THEN 1 ELSE 0 END AS substr_in,
+       0 AS in_missing,
+       1 AS notin_missing,
+       CASE WHEN NOT (verb = 'GET' AND response = '200') THEN 1 ELSE 0 END AS nand_vr,
+       CASE WHEN (verb = 'GET') <> (response = '200') THEN 1 ELSE 0 END AS xor_vr
+FROM pages""",
+)
+def condition_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional-expression algebra against the reference truth table
+    (spec/core/conditionals_spec.rb): list/substring `in`, the missing-field
+    in/not-in asymmetry, nand, xor."""
+    from logstash_spark.conditions import Cmp, Field, In, Nand, Xor
+
+    p = _pages(spark, sf_dir)
+
+    def b(expr) -> F.Column:  # noqa: ANN001
+        return F.when(expr.compile(p), 1).otherwise(0)
+
+    return p.select(
+        "url",
+        b(In(Field("[verb]"), ["GET", "PUT"])).alias("in_list"),
+        b(In("HTTP/1.1", Field("[text]"))).alias("substr_in"),
+        b(In("x", Field("[nope]"))).alias("in_missing"),
+        b(In("x", Field("[nope]"), negate=True)).alias("notin_missing"),
+        b(Nand(Cmp(Field("[verb]"), "==", "GET"), Cmp(Field("[response]"), "==", "200"))).alias("nand_vr"),
+        b(Xor(Cmp(Field("[verb]"), "==", "GET"), Cmp(Field("[response]"), "==", "200"))).alias("xor_vr"),
+    )
+
+
+@q(
+    "useragent_versions",
+    f"""{_PAGES_CTE}
+SELECT url,
+       CASE CAST(event_id % 3 AS INT) WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '17.0' ELSE '115.0' END AS ua_version
+FROM pages""",
+)
+def useragent_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_spark.operators.enrich import useragent
+
+    p = _pages(spark, sf_dir)
+    return useragent(p, "agent").select("url", "ua_version")

@@ -1,0 +1,44 @@
+"""Explicit partitioning + skew salting (north-rule scale machinery)."""
+
+from pyspark.sql import functions as F
+
+from logstash_spark.partitioning import bucket_pages, hot_keys, salt_hot_keys, salted_agg
+from logstash_spark.sources.pages import synthetic_pages
+
+
+def test_bucket_pages_layout(spark):
+    p = synthetic_pages(spark, 1000)
+    out = bucket_pages(p, buckets=8)
+    # repartition is an exchange on (day, bucket): same data, new layout
+    assert out.count() == 1000
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "simple")
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_hot_key_detection_and_salting(spark):
+    # 20% of synthetic pages hit host0 by construction (hot_host_fraction)
+    p = synthetic_pages(spark, 4000).withColumn(
+        "host", F.regexp_extract("url", r"https://([^.]+)\.", 1)
+    )
+    hot = hot_keys(p, "host", threshold=0.05, sample_fraction=1.0)
+    assert hot == ["host0"]
+
+    salted = salt_hot_keys(p, "host", hot, salts=8)
+    dist = salted.filter(F.col("host") == "host0").select("_salt").distinct().count()
+    assert dist > 1  # hot key spread over multiple salt buckets
+    cold = salted.filter(F.col("host") != "host0").select("_salt").distinct().collect()
+    assert [r["_salt"] for r in cold] == [0]
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    p = synthetic_pages(spark, 2000).withColumn(
+        "host", F.regexp_extract("url", r"https://([^.]+)\.", 1)
+    ).withColumn("one", F.lit(1))
+    hot = ["host0"]
+    out = salted_agg(p, "host", {"one": "sum", "url": "count"}, hot=hot, salts=8)
+    got = {r["host"]: (r["sum_one"], r["count_url"]) for r in out.collect()}
+    plain = {
+        r["host"]: (r["s"], r["c"])
+        for r in p.groupBy("host").agg(F.sum("one").alias("s"), F.count("url").alias("c")).collect()
+    }
+    assert got == plain
