@@ -173,3 +173,25 @@ def sprintf_col(
 
 def is_template(s: str) -> bool:
     return bool(_SPRINTF_TOKEN.search(s))
+
+
+def event_to_json(df, fields: list[str] | None = None, timestamp_field: str = TIMESTAMP_FIELD):
+    """Serialize events the way the reference does (event.rb:181-188
+    to_json): ``@timestamp`` first as ms-ISO8601, ``@version`` "1", then the
+    data fields; ``@metadata``/internal columns excluded (event.rb:298-306).
+
+    Returns a Column producing the JSON string (compact, insertion-ordered —
+    matching JrJackson's rendering of the underlying hash).
+    """
+    from logstash_spark.sinks import strip_internal
+
+    clean = strip_internal(df)
+    names = fields or [c for c in clean.columns if c != timestamp_field]
+    ts = (
+        F.date_format(F.col(timestamp_field), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        if timestamp_field in df.columns
+        else F.lit(None).cast("string")
+    )
+    struct_fields = [ts.alias("@timestamp"), F.lit("1").alias("@version")]
+    struct_fields += [F.col(n) for n in names]
+    return F.to_json(F.struct(*struct_fields))

@@ -75,3 +75,34 @@ def encode_json(df: DataFrame, *, target: str = "value", drop_fields: bool = Tru
 def encode_csv(df: DataFrame, columns: list[str], *, target: str = "line", sep: str = ",") -> DataFrame:
     """csv output codec: selected fields joined into one line."""
     return df.withColumn(target, F.concat_ws(sep, *[F.col(c).cast("string") for c in columns]))
+
+
+def decode_msgpack(df: DataFrame, source: str, schema: str) -> DataFrame:
+    """msgpack codec (default_plugins.rb:16): byte column -> typed events.
+    Framing identical to json_lines; requires the msgpack package."""
+    try:
+        import msgpack  # noqa: F401
+    except ImportError as e:  # pragma: no cover - not in this runtime
+        raise ImportError(
+            "msgpack codec requires the 'msgpack' package (not in this runtime); "
+            "framing contract is identical to codecs.json_lines"
+        ) from e
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(schema)  # type: ignore[attr-defined]
+
+    def batches(it):
+        import msgpack as mp
+
+        for pdf in it:
+            rows = [mp.unpackb(b, raw=False) if b is not None else None for b in pdf[source]]
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def rubydebug(df: DataFrame, n: int = 20) -> None:
+    """rubydebug codec analog: pretty-print events to the console
+    (agent.rb:104 default stdout codec). Diagnostic only."""
+    df.show(n=n, truncate=False, vertical=True)

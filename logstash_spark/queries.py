@@ -1157,3 +1157,23 @@ def useragent_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _pages(spark, sf_dir)
     return useragent(p, "agent").select("url", "ua_version")
+
+
+@q(
+    "event_serialize_json",
+    f"""{_PAGES_CTE}
+SELECT url,
+       to_json(struct_pack(
+         "@timestamp" := strftime(warc_ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z',
+         "@version" := '1',
+         url := url, verb := verb, response := response)) AS event_json
+FROM pages""",
+)
+def event_serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event serialization parity (event.rb:181-188): @timestamp ms-ISO8601
+    first, @version '1', then data fields, @metadata excluded."""
+    from logstash_spark.event import event_to_json
+
+    p = _pages(spark, sf_dir).withColumn("@timestamp", F.col("warc_ts"))
+    sel = p.select("url", "verb", "response", "@timestamp", F.lit("x").alias("_meta_hidden"))
+    return sel.select("url", event_to_json(sel, ["url", "verb", "response"]).alias("event_json"))

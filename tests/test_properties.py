@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the plan-time compilers — these run
+without a SparkSession, so they can explore thousands of cases cheaply.
+
+Mirrors the reference's spec strategy of pinning the event/grok/sprintf
+micro-semantics exhaustively (spec/core/event_spec.rb)."""
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logstash_spark.event import joda_to_java, parse_path
+from logstash_spark.operators.grok import compile_grok
+
+words = st.text(alphabet=string.ascii_letters + string.digits + "_", min_size=1, max_size=12)
+numbers = st.integers(min_value=-10**12, max_value=10**12)
+
+
+@settings(max_examples=200)
+@given(words, words)
+def test_grok_word_captures(a, b):
+    cg = compile_grok("^%{WORD:first} %{WORD:second}$")
+    m = cg.python_re().match(f"{a} {b}")
+    assert m is not None
+    assert m.group(1) == a and m.group(2) == b
+    # named variant agrees
+    nm = re.match(cg.named_regex, f"{a} {b}")
+    assert nm.group("c1") == a and nm.group("c2") == b
+
+
+@settings(max_examples=200)
+@given(numbers, st.floats(allow_nan=False, allow_infinity=False, width=32))
+def test_grok_typed_number_captures(i, f):
+    cg = compile_grok(r"^i=%{INT:i:int} f=%{NUMBER:f:float}$")
+    line = f"i={i} f={abs(f):.6f}"
+    m = cg.python_re().match(line)
+    assert m is not None
+    assert int(m.group(1)) == i
+    assert abs(float(m.group(2)) - abs(f)) < max(1e-6 * abs(f), 1e-6)
+
+
+@settings(max_examples=100)
+@given(st.lists(words, min_size=1, max_size=5))
+def test_field_reference_roundtrip(toks):
+    ref = "".join(f"[{t}]" for t in toks)
+    assert parse_path(ref) == toks
+
+
+@settings(max_examples=100)
+@given(st.ip_addresses(v=4))
+def test_grok_ip_pattern(ip):
+    cg = compile_grok("^%{IP:addr}$")
+    m = cg.python_re().match(str(ip))
+    assert m is not None and m.group(1) == str(ip)
+
+
+def test_grok_group_numbering_stable_with_nested_parens():
+    """Library patterns containing bare parens must not shift capture
+    indexes (the renumber-plain pass)."""
+    cg = compile_grok(
+        "%{PAIR:p} %{WORD:w}", extra_patterns={"PAIR": r"(\d+)-(\d+)"}
+    )
+    m = cg.python_re().match("12-34 tail")
+    assert m.group(1) == "12-34"  # whole PAIR is the capture, inner parens neutralized
+    assert m.group(2) == "tail"
+
+
+@given(st.sampled_from(["YYYY-MM-dd", "yyyy.MM.dd HH:mm:ss", "dd/MMM/YYYY:HH:mm:ss Z", "YYYY"]))
+def test_joda_translation_never_emits_week_year(fmt):
+    out = joda_to_java(fmt)
+    assert "Y" not in out  # java week-year never reachable
+
+
+def test_apache_log_corpus_reference_lines():
+    """Every line of the reference's shipped corpus must parse
+    (docs/tutorials/10-minute-walkthrough/apache_log.1)."""
+    import bz2
+
+    base = "/root/reference/docs/tutorials/10-minute-walkthrough"
+    cg = compile_grok("%{COMBINEDAPACHELOG}")
+    rx = cg.python_re()
+    lines = open(f"{base}/apache_log.1", errors="replace").read().splitlines()
+    lines += bz2.open(f"{base}/apache_log.2.bz2", "rt", errors="replace").read().splitlines()
+    lines = [l for l in lines if l.strip()]
+    failed = [l for l in lines if not rx.search(l)]
+    assert len(lines) > 100
+    assert not failed, f"{len(failed)}/{len(lines)} corpus lines failed, e.g. {failed[0][:200]!r}"
