@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Physical-plan audit over every registered query.
+
+Flags the anti-patterns that kill 100 TB runs:
+- SortMergeJoin where a broadcast was intended
+- BatchEvalPython (row-at-a-time Python)
+- CartesianProduct / BroadcastNestedLoopJoin (unbounded pair blowup)
+
+Queries may declare a waiver when the shape is intentional at bench scale
+(e.g. exact small-N self-joins whose scale path is the LSH variant).
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# exact small-N baselines whose documented scale path is a different query
+WAIVERS: dict[str, set[str]] = {
+    "ann_cosine_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # scale path: ann_lsh_topk
+    "embedding_near_dup": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # scale path: LSH buckets
+    "ivf_assignment": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # centroid table is tiny by construction
+    "clone_fanout": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # oracle-shaped tiny literal cross join
+}
+
+BAD = ("SortMergeJoin", "BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from logstash_spark.plans.checks import physical_plan
+    from logstash_spark.queries import QUERIES
+    from logstash_spark.session import get_spark
+
+    spark = get_spark("plan_audit", cores=4, shuffle_partitions=4)
+    failures = 0
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            plan = physical_plan(fn(spark, sf_dir))
+        except Exception as e:  # pragma: no cover
+            print(f"ERROR {name}: {e}")
+            failures += 1
+            continue
+        hits = [b for b in BAD if b in plan and b not in WAIVERS.get(name, set())]
+        waived = [b for b in BAD if b in plan and b in WAIVERS.get(name, set())]
+        if hits:
+            print(f"FLAG  {name:28s} {','.join(hits)}")
+            failures += 1
+        else:
+            note = f" (waived: {','.join(waived)})" if waived else ""
+            print(f"ok    {name:28s}{note}")
+    print(f"\n{failures} flagged")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
