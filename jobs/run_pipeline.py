@@ -35,6 +35,8 @@ def build_args():
     p.add_argument("--manifest", default=None, help="lineage manifest path (enables resume)")
     p.add_argument("--by-day", action="store_true", help="process per warc_ts day with lineage")
     p.add_argument("--grok-backend", default="arrow", choices=["arrow", "pandas", "expr", "auto"])
+    p.add_argument("--spec", default=None,
+                   help="JSON pipeline spec (logstash_spark.spec) overriding the built-in pipeline")
     return p.parse_args()
 
 
@@ -77,7 +79,12 @@ def main() -> None:
     else:
         pages = read_pages(spark, args.input)
 
-    pipe = build_pipeline(args.out)
+    if args.spec:
+        from logstash_spark.spec import from_file
+
+        pipe = from_file(args.spec)
+    else:
+        pipe = build_pipeline(args.out)
     pm = PipelineMetrics()
 
     def run_slice(df):

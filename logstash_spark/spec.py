@@ -1,0 +1,108 @@
+"""Declarative pipeline specs: dict / JSON -> Pipeline.
+
+The reference's user surface is a config file compiled to a pipeline
+(lib/logstash/config/*). Our primary surface is the Python Pipeline API;
+this module restores the declarative layer: a JSON/dict document with the
+same shape as a parsed config — ordered filter stages with conditionals
+(as condition-language strings, parsed by condparser) and conditional
+outputs — validated and compiled at load time, the reference's
+`--configtest` fail-fast point (agent.rb:142-145; mixin.rb config_init).
+
+    {
+      "filters": [
+        {"op": "grok", "params": {"source": "text", "patterns": "%{COMBINEDAPACHELOG}"}},
+        {"op": "mutate.convert", "params": {"mapping": {"bytes": "integer"}},
+         "when": "[response] =~ /^\\d+$/", "add_tag": ["typed"]}
+      ],
+      "outputs": [
+        {"name": "errors", "when": "[response] =~ /^5/",
+         "sink": {"type": "parquet", "path": "/out/errors"}},
+        {"name": "ok", "sink": {"type": "count", "key": "lang"}}
+      ]
+    }
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from logstash_spark.condparser import parse_condition
+from logstash_spark.pipeline import Output, Pipeline, Stage
+from logstash_spark.registry import OPERATORS
+from logstash_spark.sinks import CollectSink, CountSink, IcebergSink, NullSink, ParquetSink
+
+
+class SpecError(ValueError):
+    pass
+
+
+_SINKS = {
+    "parquet": lambda c: ParquetSink(path=c["path"], mode=c.get("mode", "overwrite"),
+                                     partition_by=tuple(c.get("partition_by", ()))),
+    "iceberg": lambda c: IcebergSink(table=c["table"], fallback_path=c.get("fallback_path")),
+    "count": lambda c: CountSink(key=c["key"]),
+    "collect": lambda c: CollectSink(),
+    "null": lambda c: NullSink(),
+}
+
+
+def _stage(d: dict[str, Any], idx: int) -> Stage:
+    if "op" not in d:
+        raise SpecError(f"filters[{idx}]: missing 'op'")
+    if d["op"] not in OPERATORS:
+        raise SpecError(f"filters[{idx}]: unknown operator {d['op']!r} "
+                        f"(known: {', '.join(sorted(OPERATORS))})")
+    unknown = set(d) - {"op", "params", "when", "add_field", "add_tag",
+                        "remove_field", "remove_tag", "type", "tags", "exclude_tags"}
+    if unknown:
+        raise SpecError(f"filters[{idx}]: unknown keys {sorted(unknown)}")
+    return Stage(
+        op=d["op"],
+        params=d.get("params", {}),
+        when=parse_condition(d["when"]) if d.get("when") else None,
+        add_field=d.get("add_field", {}),
+        add_tag=list(d.get("add_tag", [])),
+        remove_field=list(d.get("remove_field", [])),
+        remove_tag=list(d.get("remove_tag", [])),
+        type=d.get("type"),
+        tags=list(d.get("tags", [])),
+        exclude_tags=list(d.get("exclude_tags", [])),
+    )
+
+
+def _output(d: dict[str, Any], idx: int) -> Output:
+    if "name" not in d or "sink" not in d:
+        raise SpecError(f"outputs[{idx}]: needs 'name' and 'sink'")
+    sink_cfg = d["sink"]
+    stype = sink_cfg.get("type")
+    if stype not in _SINKS:
+        raise SpecError(f"outputs[{idx}]: unknown sink type {stype!r} "
+                        f"(known: {', '.join(sorted(_SINKS))})")
+    return Output(
+        name=d["name"],
+        sink=_SINKS[stype](sink_cfg),
+        when=parse_condition(d["when"]) if d.get("when") else None,
+        type=d.get("type"),
+        tags=list(d.get("tags", [])),
+        exclude_tags=list(d.get("exclude_tags", [])),
+    )
+
+
+def from_dict(doc: dict[str, Any]) -> Pipeline:
+    unknown = set(doc) - {"filters", "outputs"}
+    if unknown:
+        raise SpecError(f"unknown top-level keys {sorted(unknown)}")
+    return Pipeline(
+        filters=[_stage(d, i) for i, d in enumerate(doc.get("filters", []))],
+        outputs=[_output(d, i) for i, d in enumerate(doc.get("outputs", []))],
+    )
+
+
+def from_json(src: str) -> Pipeline:
+    return from_dict(json.loads(src))
+
+
+def from_file(path: str) -> Pipeline:
+    with open(path) as f:
+        return from_json(f.read())

@@ -1,0 +1,98 @@
+"""Condition-language parser + declarative spec loader — the config-DSL
+front end (reference grammar.rb / config compile path)."""
+
+import pytest
+from pyspark.sql import Row
+
+from logstash_spark.condparser import CondSyntaxError, parse_condition
+from logstash_spark.conditions import And, Cmp, Field, In, Nand, Not, Or, Rx, Truthy, Xor
+from logstash_spark.spec import SpecError, from_dict
+
+
+def test_parse_comparisons():
+    assert parse_condition('[foo] == "sample"') == Cmp(Field("[foo]"), "==", "sample")
+    assert parse_condition("[n] >= 5") == Cmp(Field("[n]"), ">=", 5)
+    assert parse_condition("[a] != [b]") == Cmp(Field("[a]"), "!=", Field("[b]"))
+    assert parse_condition("[x] < 1.5") == Cmp(Field("[x]"), "<", 1.5)
+
+
+def test_parse_regex_both_spellings():
+    assert parse_condition("[msg] =~ /^5\\d+/") == Rx(Field("[msg]"), "^5\\d+")
+    assert parse_condition('[msg] =~ "^5"') == Rx(Field("[msg]"), "^5")
+    assert parse_condition("[msg] !~ /x/") == Rx(Field("[msg]"), "x", negate=True)
+
+
+def test_parse_in_and_not_in():
+    assert parse_condition('[tag] in [tags]') == In(Field("[tag]"), Field("[tags]"))
+    assert parse_condition('"hello" in [text]') == In("hello", Field("[text]"))
+    assert parse_condition('[v] in ["a", "b"]') == In(Field("[v]"), ["a", "b"])
+    assert parse_condition('"s" not in [missing]') == In("s", Field("[missing]"), negate=True)
+
+
+def test_parse_connectives_precedence_and_grouping():
+    e = parse_condition('[a] == 1 and [b] == 2 or [c] == 3')
+    assert e == Or(And(Cmp(Field("[a]"), "==", 1), Cmp(Field("[b]"), "==", 2)), Cmp(Field("[c]"), "==", 3))
+    e2 = parse_condition('[a] == 1 and ([b] == 2 or [c] == 3)')
+    assert e2 == And(Cmp(Field("[a]"), "==", 1), Or(Cmp(Field("[b]"), "==", 2), Cmp(Field("[c]"), "==", 3)))
+    assert parse_condition("[a] == 1 xor [b] == 2") == Xor(Cmp(Field("[a]"), "==", 1), Cmp(Field("[b]"), "==", 2))
+    assert parse_condition("[a] == 1 nand [b] == 2") == Nand(Cmp(Field("[a]"), "==", 1), Cmp(Field("[b]"), "==", 2))
+
+
+def test_parse_negation_and_truthiness():
+    assert parse_condition("!([a] == 1)") == Not(Cmp(Field("[a]"), "==", 1))
+    assert parse_condition("[flag]") == Truthy("[flag]")
+    assert parse_condition("[a][b]") == Truthy("[a][b]")
+
+
+def test_parse_nested_selector():
+    assert parse_condition('[outer][inner] == "v"') == Cmp(Field("[outer][inner]"), "==", "v")
+
+
+def test_syntax_errors():
+    for bad in ("[a] ===", "and and", '"dangling', "[a] not [b]", "[a] == "):
+        with pytest.raises(CondSyntaxError):
+            parse_condition(bad)
+
+
+def test_parsed_condition_compiles_and_runs(spark):
+    df = spark.createDataFrame([Row(response="503", verb="GET"), Row(response="200", verb="PUT")])
+    cond = parse_condition('[response] =~ /^5/ and [verb] == "GET"')
+    assert [r["response"] for r in df.filter(cond.compile(df)).collect()] == ["503"]
+
+
+def test_spec_loader_end_to_end(spark, tmp_path):
+    from logstash_spark.sources.pages import synthetic_pages
+
+    doc = {
+        "filters": [
+            {"op": "grok", "params": {"source": "text", "patterns": "%{COMBINEDAPACHELOG}"}},
+            {"op": "mutate.convert", "params": {"mapping": {"bytes": "integer"}}},
+            {"op": "mutate.uppercase", "params": {"names": ["verb"]},
+             "when": '[response] == "200"', "add_tag": ["ok_tagged"]},
+        ],
+        "outputs": [
+            {"name": "errors", "when": "[response] =~ /^5/",
+             "sink": {"type": "parquet", "path": str(tmp_path / "err")}},
+            {"name": "counts", "sink": {"type": "count", "key": "lang"}},
+        ],
+    }
+    pipe = from_dict(doc)
+    pages = synthetic_pages(spark, 140, include_junk=False)
+    res = pipe.run(pages)
+    assert sum(res["counts"].values()) == 140
+    err = spark.read.parquet(str(tmp_path / "err"))
+    assert err.count() == sum(1 for i in range(140) if i % 7 in (5, 6))
+    ok_rows = [r for r in pipe.transform(pages).collect() if r["response"] == "200"]
+    assert all(r["verb"] in ("GET", "POST", "HEAD", "PUT") and r["verb"].isupper() for r in ok_rows)
+    assert all(r["tags"] == ["ok_tagged"] for r in ok_rows)
+
+
+def test_spec_loader_fail_fast():
+    with pytest.raises(SpecError, match="unknown operator"):
+        from_dict({"filters": [{"op": "nope"}]})
+    with pytest.raises(SpecError, match="unknown keys"):
+        from_dict({"filters": [{"op": "grok", "bogus": 1}]})
+    with pytest.raises(SpecError, match="unknown sink"):
+        from_dict({"outputs": [{"name": "x", "sink": {"type": "wat"}}]})
+    with pytest.raises(CondSyntaxError):
+        from_dict({"filters": [{"op": "grok", "when": "[a] =="}]})
