@@ -37,6 +37,8 @@ def build_args():
     p.add_argument("--grok-backend", default="arrow", choices=["arrow", "pandas", "expr", "auto"])
     p.add_argument("--spec", default=None,
                    help="JSON pipeline spec (logstash_spark.spec) overriding the built-in pipeline")
+    p.add_argument("--conf", default=None,
+                   help="Logstash .conf file compiled via logstash_spark.conf (filter+output sections)")
     return p.parse_args()
 
 
@@ -79,7 +81,11 @@ def main() -> None:
     else:
         pages = read_pages(spark, args.input)
 
-    if args.spec:
+    if args.conf:
+        from logstash_spark.conf import compile_file
+
+        pipe, _inputs = compile_file(args.conf, out_dir=args.out)
+    elif args.spec:
         from logstash_spark.spec import from_file
 
         pipe = from_file(args.spec)

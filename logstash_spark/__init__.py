@@ -36,6 +36,10 @@ def __getattr__(name):
         from logstash_spark.condparser import parse_condition
 
         return parse_condition
+    if name in ("compile_config", "compile_file"):
+        import logstash_spark.conf as _c
+
+        return getattr(_c, name)
     raise AttributeError(name)
 
 

@@ -1,0 +1,343 @@
+"""Compile a parsed .conf AST into a Pipeline — the config_ast.rb analog.
+
+The reference compiles the tree to straight-line Ruby closing over plugin
+instances (lib/logstash/config/config_ast.rb:85-127); here each plugin node
+becomes a Stage (with its enclosing conditional folded into `when`, else
+branches as negations of the earlier conditions — config_ast.rb:416-436),
+and the output section becomes routed sinks.
+
+Plugin option names follow the public Logstash plugin contracts; the
+translation table below maps them onto the engine's operators. Unknown
+plugins/options raise ConfCompileError at compile time — the reference's
+configtest fail-fast (agent.rb:142-145).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from logstash_spark.condparser import parse_condition
+from logstash_spark.conditions import And, Expr, Not
+from logstash_spark.confparser import Config, IfNode, PluginNode, parse_config
+from logstash_spark.pipeline import Output, Pipeline, Stage
+from logstash_spark.sinks import CollectSink, CountSink, NullSink, ParquetSink
+
+
+class ConfCompileError(ValueError):
+    pass
+
+
+def _listify(v: Any) -> list:
+    return v if isinstance(v, list) else [v]
+
+
+_COMMON = {"add_field", "add_tag", "remove_field", "remove_tag", "type", "tags", "exclude_tags", "id", "codec"}
+
+
+def _decorators(attrs: dict[str, Any]) -> dict[str, Any]:
+    return dict(
+        add_field=dict(attrs.get("add_field", {})),
+        add_tag=_listify(attrs.get("add_tag", [])),
+        remove_field=_listify(attrs.get("remove_field", [])),
+        remove_tag=_listify(attrs.get("remove_tag", [])),
+        type=attrs.get("type"),
+        tags=_listify(attrs.get("tags", [])),
+        exclude_tags=_listify(attrs.get("exclude_tags", [])),
+    )
+
+
+# Each translator: attrs -> list[(op, params)] (mutate expands to several).
+def _t_grok(a: dict) -> list[tuple[str, dict]]:
+    match = a.get("match")
+    if not isinstance(match, dict) or not match:
+        raise ConfCompileError("grok requires match => { field => pattern }")
+    out = []
+    for fieldname, patterns in match.items():
+        params: dict[str, Any] = {"source": fieldname, "patterns": _listify(patterns)}
+        if "tag_on_failure" in a:
+            params["tag_on_failure"] = _listify(a["tag_on_failure"])[0]
+        if "patterns_dir" in a:
+            params["extra_patterns"] = _load_patterns_dirs(_listify(a["patterns_dir"]))
+        out.append(("grok", params))
+    return out
+
+
+def _load_patterns_dirs(dirs: list[str]) -> dict[str, str]:
+    """Grok pattern files: `NAME regex` lines (the reference's patterns/)."""
+    lib: dict[str, str] = {}
+    for d in dirs:
+        names = [os.path.join(d, f) for f in sorted(os.listdir(d))] if os.path.isdir(d) else [d]
+        for path in names:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    name, _, rx = line.partition(" ")
+                    if name and rx:
+                        lib[name] = rx.strip()
+    return lib
+
+
+def _t_date(a: dict) -> list[tuple[str, dict]]:
+    match = _listify(a.get("match", []))
+    if len(match) < 2:
+        raise ConfCompileError("date requires match => [field, fmt, ...]")
+    params = {"source": match[0], "formats": match[1:]}
+    if "target" in a:
+        params["target"] = a["target"]
+    return [("date", params)]
+
+
+_MUTATE_ORDER = [  # the mutate plugin's documented application order
+    "rename", "update", "replace", "convert", "gsub", "uppercase",
+    "capitalize", "lowercase", "strip", "split", "join", "merge",
+]
+
+
+def _t_mutate(a: dict) -> list[tuple[str, dict]]:
+    out: list[tuple[str, dict]] = []
+    for key in _MUTATE_ORDER:
+        if key not in a:
+            continue
+        v = a[key]
+        if key == "rename":
+            out.append(("mutate.rename", {"mapping": dict(v)}))
+        elif key in ("update", "replace"):
+            for name, val in dict(v).items():
+                out.append((f"mutate.{key}", {"name": name, "value": val}))
+        elif key == "convert":
+            out.append(("mutate.convert", {"mapping": dict(v)}))
+        elif key == "gsub":
+            flat = _listify(v)
+            if len(flat) % 3:
+                raise ConfCompileError("mutate gsub wants flat [field, pattern, replacement] triples")
+            out.append(("mutate.gsub", {"triples": [tuple(flat[i:i + 3]) for i in range(0, len(flat), 3)]}))
+        elif key in ("uppercase", "lowercase", "capitalize", "strip"):
+            out.append((f"mutate.{key}", {"names": _listify(v)}))
+        elif key == "split":
+            for name, sep in dict(v).items():
+                out.append(("mutate.split", {"name": name, "separator": sep}))
+        elif key == "join":
+            for name, sep in dict(v).items():
+                out.append(("mutate.join", {"name": name, "separator": sep}))
+        elif key == "merge":
+            for dest, src in dict(v).items():
+                out.append(("mutate.merge", {"dest": dest, "src": src}))
+    unknown = set(a) - set(_MUTATE_ORDER) - _COMMON
+    if unknown:
+        raise ConfCompileError(f"mutate: unsupported options {sorted(unknown)}")
+    return out
+
+
+def _t_simple(op: str, allowed: dict[str, str], required: tuple[str, ...] = ()):
+    def t(a: dict) -> list[tuple[str, dict]]:
+        params = {}
+        for conf_name, param_name in allowed.items():
+            if conf_name in a:
+                params[param_name] = a[conf_name]
+        for r in required:
+            if r not in params:
+                raise ConfCompileError(f"{op}: missing required option {r!r}")
+        extra = set(a) - set(allowed) - _COMMON
+        if extra:
+            raise ConfCompileError(f"{op}: unsupported options {sorted(extra)}")
+        return [(op, params)]
+
+    return t
+
+
+def _t_json(a: dict) -> list[tuple[str, dict]]:
+    if "source" not in a:
+        raise ConfCompileError("json: missing source")
+    if "schema" not in a:
+        raise ConfCompileError(
+            "json: this engine needs an explicit `schema => \"a bigint, b string\"` "
+            "(fixed-schema model; see SURVEY §1.2)"
+        )
+    params = {"source": a["source"], "schema": a["schema"]}
+    if "target" in a:
+        params["target"] = a["target"]
+    return [("json", params)]
+
+
+def _t_kv(a: dict) -> list[tuple[str, dict]]:
+    params: dict[str, Any] = {"source": a.get("source", "message")}
+    if "field_split" in a:
+        params["field_split"] = a["field_split"]
+    if "value_split" in a:
+        params["value_split"] = a["value_split"]
+    if "target" in a:
+        params["target"] = a["target"]
+    if "include_keys" in a:
+        params["include_keys"] = _listify(a["include_keys"])
+    return [("kv", params)]
+
+
+def _t_drop(a: dict) -> list[tuple[str, dict]]:
+    params = {}
+    if "percentage" in a:
+        params["percentage"] = a["percentage"]
+    return [("drop", params)]
+
+
+def _t_fingerprint(a: dict) -> list[tuple[str, dict]]:
+    params: dict[str, Any] = {"sources": _listify(a.get("source", ["message"]))}
+    if "target" in a:
+        params["target"] = a["target"]
+    if "method" in a:
+        params["method"] = str(a["method"]).upper().replace("SHA-", "SHA")
+    if "key" in a:
+        params["key"] = a["key"]
+    return [("fingerprint", params)]
+
+
+_FILTER_TRANSLATORS = {
+    "grok": _t_grok,
+    "date": _t_date,
+    "mutate": _t_mutate,
+    "json": _t_json,
+    "kv": _t_kv,
+    "drop": _t_drop,
+    "fingerprint": _t_fingerprint,
+    "csv": _t_simple("csv", {"source": "source", "columns": "columns", "separator": "separator"},
+                     required=("source", "columns")),
+    "urldecode": lambda a: [("urldecode", {"fields": tuple(_listify(a.get("field", "message")))})],
+    "syslog_pri": _t_simple("syslog_pri", {"syslog_pri_field_name": "source", "use_labels": "use_labels"}),
+    "useragent": _t_simple("useragent", {"source": "source", "prefix": "target_prefix"}, required=("source",)),
+    "clone": lambda a: [("clone", {"clone_types": _listify(a.get("clones", []))})],
+    "split": lambda a: [("split", {"source": a.get("field", "message"),
+                                   **({"separator": a["terminator"]} if "terminator" in a else {})})],
+    "multiline": _t_simple("multiline", {"pattern": "pattern", "what": "what", "negate": "negate",
+                                         "source": "source", "stream_identity": "stream_key"},
+                           required=("pattern", "what")),
+    "checksum": lambda a: [("checksum", {"fields": _listify(a.get("keys", []))})],
+    "anonymize": lambda a: [("anonymize", {"fields": _listify(a.get("fields", [])),
+                                           **({"method": str(a["algorithm"]).upper()} if "algorithm" in a else {})})],
+    "uuid": lambda a: [("uuid", {**({"target": a["target"]} if "target" in a else {})})],
+    "sleep": lambda a: [("sleep", {})],
+    "throttle": _t_simple("throttle", {"key": "key", "max_count": "max_count", "period": "period",
+                                       "timestamp": "ts"}, required=("key",)),
+}
+
+
+def _compile_items(items: list, inherited: Expr | None, stages: list[Stage]) -> None:
+    for node in items:
+        if isinstance(node, PluginNode):
+            if node.name not in _FILTER_TRANSLATORS:
+                raise ConfCompileError(
+                    f"unsupported filter plugin {node.name!r} "
+                    f"(supported: {', '.join(sorted(_FILTER_TRANSLATORS))})"
+                )
+            deco = _decorators(node.attrs)
+            pieces = _FILTER_TRANSLATORS[node.name](node.attrs)
+            for i, (op, params) in enumerate(pieces):
+                # decorators fire once per plugin (on success), attach to the
+                # last emitted stage so earlier sub-ops ran first
+                d = deco if i == len(pieces) - 1 else {}
+                stages.append(Stage(op=op, params=params, when=inherited, **d))
+        elif isinstance(node, IfNode):
+            negated: Expr | None = None
+            for cond_src, sub in node.branches:
+                this = parse_condition(cond_src) if cond_src is not None else None
+                branch_cond: Expr | None
+                if this is not None and negated is not None:
+                    branch_cond = And(negated, this)
+                elif this is not None:
+                    branch_cond = this
+                else:
+                    branch_cond = negated
+                eff = branch_cond if inherited is None else (
+                    And(inherited, branch_cond) if branch_cond is not None else inherited
+                )
+                _compile_items(sub, eff, stages)
+                if this is not None:
+                    negated = Not(this) if negated is None else And(negated, Not(this))
+        else:  # pragma: no cover
+            raise ConfCompileError(f"unexpected node {node!r}")
+
+
+def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output], out_dir: str) -> None:
+    for node in items:
+        if isinstance(node, IfNode):
+            negated: Expr | None = None
+            for cond_src, sub in node.branches:
+                this = parse_condition(cond_src) if cond_src is not None else None
+                if this is not None and negated is not None:
+                    branch_cond: Expr | None = And(negated, this)
+                elif this is not None:
+                    branch_cond = this
+                else:
+                    branch_cond = negated
+                eff = branch_cond if inherited is None else (
+                    And(inherited, branch_cond) if branch_cond is not None else inherited
+                )
+                _compile_outputs(sub, eff, outputs, out_dir)
+                if this is not None:
+                    negated = Not(this) if negated is None else And(negated, Not(this))
+            continue
+        assert isinstance(node, PluginNode)
+        name = f"{node.name}_{len(outputs)}"
+        deco = _decorators(node.attrs)
+        gate = {k: deco[k] for k in ("type", "tags", "exclude_tags")}
+        if node.name == "file":
+            path = node.attrs.get("path")
+            if not path:
+                raise ConfCompileError("file output requires path")
+            sink = ParquetSink(os.path.join(out_dir, os.path.basename(str(path))), mode="append")
+        elif node.name in ("stdout", "pipe"):
+            sink = CollectSink()
+        elif node.name == "null":
+            sink = NullSink()
+        elif node.name == "statsd":
+            key = None
+            for opt in ("increment", "count", "timing"):
+                if opt in node.attrs:
+                    key = str(_listify(node.attrs[opt])[0])
+                    break
+            sink = CountSink(key=_statsd_key_field(key))
+        elif node.name in ("elasticsearch", "elasticsearch_http", "s3", "kafka", "redis", "csv", "opentsdb"):
+            # durable sinks with no live backend here -> parquet stand-in
+            sink = ParquetSink(os.path.join(out_dir, f"{node.name}_{len(outputs)}"), mode="append")
+        else:
+            raise ConfCompileError(f"unsupported output plugin {node.name!r}")
+        outputs.append(Output(name=name, sink=sink, when=inherited, **gate))
+
+
+def _statsd_key_field(key: str | None) -> str:
+    """statsd increment keys are sprintf-templated (metrics-from-logs.md:34-68:
+    `increment => "apache.response.%{response}"`): count by the embedded
+    field; bare keys count by the key constant."""
+    if key is None:
+        raise ConfCompileError("statsd output requires increment/count/timing")
+    import re as _re
+
+    m = _re.search(r"%\{([^}]+)\}", key)
+    return m.group(1).strip("[]") if m else key
+
+
+def compile_config(
+    src: str,
+    *,
+    out_dir: str = "/tmp/logstash_spark_out",
+) -> tuple[Pipeline, list[PluginNode]]:
+    """.conf source -> (Pipeline, input plugin nodes).
+
+    Input plugins are returned as parsed nodes: the caller binds them to
+    actual Spark sources (tables/streams) — in a cluster engine the input
+    binding is deployment config, not pipeline logic.
+    """
+    cfg: Config = parse_config(src)
+    stages: list[Stage] = []
+    _compile_items(cfg.section("filter"), None, stages)
+    outputs: list[Output] = []
+    _compile_outputs(cfg.section("output"), None, outputs, out_dir)
+    return Pipeline(filters=stages, outputs=outputs), [
+        n for n in cfg.section("input") if isinstance(n, PluginNode)
+    ]
+
+
+def compile_file(path: str, **kw) -> tuple[Pipeline, list[PluginNode]]:
+    with open(path) as f:
+        return compile_config(f.read(), **kw)

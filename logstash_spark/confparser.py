@@ -1,0 +1,278 @@
+"""Parser for the Logstash config-file language (.conf) -> AST.
+
+The reference parses configs with a generated Treetop PEG
+(lib/logstash/config/grammar.rb: rules `config`:42, `plugin_section`:310,
+`plugin`:593, `branch`:1837, `condition`:2311) and compiles the tree via
+lib/logstash/config/config_ast.rb. This is the same language as a
+hand-written recursive-descent parser producing a plain AST:
+
+    Config(sections=[Section(kind='filter', items=[PluginNode|IfNode...])])
+    PluginNode(name='grok', attrs={'match': {...}, 'add_tag': [...]})
+    IfNode(branches=[(cond_src|None, [items])])   # None = else
+
+Attribute values: strings, numbers, barewords, arrays, hashes, and nested
+plugins (codecs: ``codec => json { charset => ... }``). Conditions are
+captured as raw text (they cannot contain '{' outside strings/regexps,
+grammar.rb:2311-2514) and parsed by condparser.
+
+The compile step (conf.py) turns the AST into a Pipeline — the analog of
+config_ast.rb's Ruby codegen, except the target is a DataFrame plan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Union
+
+
+class ConfSyntaxError(ValueError):
+    pass
+
+
+@dataclass
+class PluginNode:
+    name: str
+    attrs: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class IfNode:
+    # ordered (condition_source, items); condition None for the else branch
+    branches: list[tuple[Union[str, None], list]] = field(default_factory=list)
+
+
+@dataclass
+class Section:
+    kind: str  # input | filter | output
+    items: list = field(default_factory=list)
+
+
+@dataclass
+class Config:
+    sections: list[Section] = field(default_factory=list)
+
+    def section(self, kind: str) -> list:
+        out: list = []
+        for s in self.sections:
+            if s.kind == kind:
+                out.extend(s.items)
+        return out
+
+
+class _Lexer:
+    """Cursor over the source with comment/whitespace skipping."""
+
+    def __init__(self, src: str):
+        self.src = src
+        self.pos = 0
+
+    def skip_ws(self) -> None:
+        while self.pos < len(self.src):
+            c = self.src[self.pos]
+            if c in " \t\r\n":
+                self.pos += 1
+            elif c == "#":
+                nl = self.src.find("\n", self.pos)
+                self.pos = len(self.src) if nl < 0 else nl + 1
+            else:
+                return
+
+    def eof(self) -> bool:
+        self.skip_ws()
+        return self.pos >= len(self.src)
+
+    def peek_char(self) -> str:
+        self.skip_ws()
+        return self.src[self.pos] if self.pos < len(self.src) else ""
+
+    def expect_char(self, c: str) -> None:
+        self.skip_ws()
+        if self.pos >= len(self.src) or self.src[self.pos] != c:
+            raise ConfSyntaxError(f"expected {c!r} at ...{self.src[self.pos:self.pos + 30]!r}")
+        self.pos += 1
+
+    _NAME = re.compile(r"[A-Za-z0-9_-]+")
+    _NUMBER = re.compile(r"-?\d+(\.\d+)?")
+
+    def try_name(self) -> str | None:
+        self.skip_ws()
+        m = self._NAME.match(self.src, self.pos)
+        if not m:
+            return None
+        self.pos = m.end()
+        return m.group(0)
+
+    def name(self) -> str:
+        n = self.try_name()
+        if n is None:
+            raise ConfSyntaxError(f"expected name at ...{self.src[self.pos:self.pos + 30]!r}")
+        return n
+
+    def string(self) -> str:
+        self.skip_ws()
+        q = self.src[self.pos]
+        if q not in "\"'":
+            raise ConfSyntaxError(f"expected string at ...{self.src[self.pos:self.pos + 30]!r}")
+        i = self.pos + 1
+        out: list[str] = []
+        while i < len(self.src):
+            c = self.src[i]
+            if c == "\\" and i + 1 < len(self.src):
+                out.append(self.src[i + 1])
+                i += 2
+                continue
+            if c == q:
+                self.pos = i + 1
+                return "".join(out)
+            out.append(c)
+            i += 1
+        raise ConfSyntaxError("unterminated string")
+
+    def condition_text(self) -> str:
+        """Raw condition source up to the body '{' (strings may contain '{')."""
+        self.skip_ws()
+        out: list[str] = []
+        i = self.pos
+        in_q: str | None = None
+        while i < len(self.src):
+            c = self.src[i]
+            if in_q:
+                if c == "\\":
+                    out.append(self.src[i:i + 2])
+                    i += 2
+                    continue
+                if c == in_q:
+                    in_q = None
+                out.append(c)
+                i += 1
+                continue
+            if c in "\"'/":
+                in_q = c
+                out.append(c)
+                i += 1
+                continue
+            if c == "{":
+                self.pos = i
+                cond = "".join(out).strip()
+                if not cond:
+                    raise ConfSyntaxError("empty condition")
+                return cond
+            out.append(c)
+            i += 1
+        raise ConfSyntaxError("condition without body")
+
+
+def parse_config(src: str) -> Config:
+    lx = _Lexer(src)
+    cfg = Config()
+    while not lx.eof():
+        kind = lx.name()
+        if kind not in ("input", "filter", "output"):
+            raise ConfSyntaxError(f"unknown section {kind!r}")
+        lx.expect_char("{")
+        cfg.sections.append(Section(kind=kind, items=_items(lx)))
+    return cfg
+
+
+def _items(lx: _Lexer) -> list:
+    """Plugin/branch list up to the closing '}' (grammar.rb `branch_or_plugin`)."""
+    items: list = []
+    while True:
+        if lx.peek_char() == "}":
+            lx.expect_char("}")
+            return items
+        name = lx.name()
+        if name == "if":
+            items.append(_if_node(lx))
+        else:
+            items.append(_plugin(lx, name))
+
+
+def _if_node(lx: _Lexer) -> IfNode:
+    node = IfNode()
+    cond = lx.condition_text()
+    lx.expect_char("{")
+    node.branches.append((cond, _items(lx)))
+    while True:
+        save = lx.pos
+        word = lx.try_name()
+        if word != "else":
+            lx.pos = save
+            return node
+        nxt_save = lx.pos
+        nxt = lx.try_name()
+        if nxt == "if":
+            cond = lx.condition_text()
+            lx.expect_char("{")
+            node.branches.append((cond, _items(lx)))
+        else:
+            lx.pos = nxt_save
+            lx.expect_char("{")
+            node.branches.append((None, _items(lx)))
+            return node
+
+
+def _plugin(lx: _Lexer, name: str) -> PluginNode:
+    lx.expect_char("{")
+    attrs: dict[str, Any] = {}
+    while True:
+        if lx.peek_char() == "}":
+            lx.expect_char("}")
+            return PluginNode(name=name, attrs=attrs)
+        key = lx.name() if lx.peek_char() not in "\"'" else lx.string()
+        lx.skip_ws()
+        if lx.src.startswith("=>", lx.pos):
+            lx.pos += 2
+            attrs[key] = _value(lx)
+        else:
+            # `name { ... }` with no arrow = nested plugin as bare attribute
+            # (codec shorthand); treat as codec plugin with empty attrs
+            attrs[key] = _plugin(lx, key)
+
+
+def _value(lx: _Lexer) -> Any:
+    c = lx.peek_char()
+    if c in "\"'":
+        return lx.string()
+    if c == "[":
+        lx.expect_char("[")
+        arr: list[Any] = []
+        while True:
+            if lx.peek_char() == "]":
+                lx.expect_char("]")
+                return arr
+            arr.append(_value(lx))
+            if lx.peek_char() == ",":
+                lx.expect_char(",")
+    if c == "{":
+        lx.expect_char("{")
+        h: dict[Any, Any] = {}
+        while True:
+            if lx.peek_char() == "}":
+                lx.expect_char("}")
+                return h
+            k = lx.string() if lx.peek_char() in "\"'" else lx.name()
+            lx.skip_ws()
+            if not lx.src.startswith("=>", lx.pos):
+                raise ConfSyntaxError(f"expected => in hash near ...{lx.src[lx.pos:lx.pos + 30]!r}")
+            lx.pos += 2
+            if k in h:
+                # duplicate keys rejected, matching config_ast.rb:337-362
+                raise ConfSyntaxError(f"duplicate hash key {k!r}")
+            h[k] = _value(lx)
+    m = _Lexer._NUMBER.match(lx.src, lx.pos)
+    if m:
+        lx.pos = m.end()
+        txt = m.group(0)
+        return float(txt) if "." in txt else int(txt)
+    word = lx.try_name()
+    if word is None:
+        raise ConfSyntaxError(f"bad value at ...{lx.src[lx.pos:lx.pos + 30]!r}")
+    lx.skip_ws()
+    if lx.peek_char() == "{":
+        # nested plugin value: codec => json { charset => "UTF-8" }
+        return _plugin(lx, word)
+    if word in ("true", "false"):
+        return word == "true"
+    return word

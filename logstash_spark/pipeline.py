@@ -132,6 +132,14 @@ def output_predicate(df: DataFrame, o: Output):
     return cond if gate is None else (cond & gate)
 
 
+# Ops that change the row count: the CASE-merge conditional wrapper is
+# column-wise and CANNOT express "apply to matching rows only" for these.
+# `drop` takes the predicate natively; the others reject conditions with a
+# clear error (conditional clone/split = wrap the source field in
+# when(cond, value).otherwise(single-element) upstream).
+_ROW_COUNT_OPS = {"drop", "clone", "split", "multiline"}
+
+
 def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
     fn = OPERATORS[st.op]
     gate = gating_expr(df, st.type, st.tags, st.exclude_tags)
@@ -142,6 +150,14 @@ def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
         cond = when_col if when_col is not None else gate
     if cond is None:
         return _apply_decorators(fn(df, **st.params), st)
+    if st.op in _ROW_COUNT_OPS:
+        if st.op == "drop":
+            return _apply_decorators(fn(df, when=cond, **st.params), st)
+        raise NotImplementedError(
+            f"conditional {st.op!r} stage: row-generating ops cannot be "
+            "CASE-merged; restructure so the condition selects the exploded "
+            "source value instead"
+        )
     return _conditional_apply(df, st, fn, cond)
 
 

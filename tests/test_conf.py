@@ -1,0 +1,157 @@
+"""The .conf config-language front end — parsed and compiled against the
+reference's OWN tutorial configs (docs/tutorials/10-minute-walkthrough/)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from logstash_spark.conf import ConfCompileError, compile_config, compile_file
+from logstash_spark.confparser import ConfSyntaxError, IfNode, PluginNode, parse_config
+
+REF = "/root/reference/docs/tutorials/10-minute-walkthrough"
+
+GOLDEN_LINE = (
+    '129.92.249.70 - - [18/Aug/2011:06:00:14 -0700] "GET /style2.css HTTP/1.1" '
+    '200 1820 "http://www.semicomplete.com/blog/geekery/bypassing-captive-portals.html" '
+    '"Mozilla/5.0 (iPad; U; CPU OS 4_3_5 like Mac OS X; en-us) AppleWebKit/533.17.9 '
+    '(KHTML, like Gecko) Version/5.0.2 Mobile/8L1 Safari/6533.18.5"'
+)
+
+
+def test_parse_reference_apache_conf():
+    cfg = parse_config(open(f"{REF}/apache-parse.conf").read())
+    assert [s.kind for s in cfg.sections] == ["input", "filter", "output"]
+    (tcp,) = cfg.section("input")
+    assert tcp.name == "tcp" and tcp.attrs == {"type": "apache", "port": 3333}
+    (branch,) = cfg.section("filter")
+    assert isinstance(branch, IfNode)
+    cond, items = branch.branches[0]
+    assert cond == '[type] == "apache"'
+    assert [p.name for p in items] == ["grok", "date"]
+    assert items[0].attrs["match"] == {"message": "%{COMBINEDAPACHELOG}"}
+    assert items[1].attrs["match"] == ["timestamp", "dd/MMM/yyyy:HH:mm:ss Z"]
+    (stdout,) = cfg.section("output")
+    assert stdout.name == "stdout" and stdout.attrs["codec"] == "rubydebug"
+
+
+def test_run_reference_apache_conf_golden(spark, tmp_path):
+    """Compile the reference's tutorial config and reproduce its published
+    expected event (step-5-output.txt) — the reference's own e2e oracle."""
+    pipe, inputs = compile_file(f"{REF}/apache-parse.conf", out_dir=str(tmp_path))
+    assert inputs[0].name == "tcp"
+
+    df = spark.createDataFrame(
+        [Row(message=GOLDEN_LINE, type="apache"), Row(message=GOLDEN_LINE, type="notapache")]
+    )
+    out = pipe.transform(df)
+    rows = {r["type"]: r.asDict() for r in out.collect()}
+
+    apache = rows["apache"]
+    assert apache["clientip"] == "129.92.249.70"
+    assert apache["ident"] == "-" and apache["auth"] == "-"
+    assert apache["timestamp"] == "18/Aug/2011:06:00:14 -0700"
+    assert apache["verb"] == "GET"
+    assert apache["request"] == "/style2.css"
+    assert apache["httpversion"] == "1.1"
+    assert apache["response"] == "200"
+    assert apache["bytes"] == "1820"
+    iso = out.filter(F.col("type") == "apache").select(
+        F.date_format("@timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("t")
+    ).collect()[0]["t"]
+    assert iso == "2011-08-18T13:00:14.000Z"  # step-5-output.txt @timestamp
+
+    # the conditional gated BOTH filters: the non-apache event is untouched
+    assert rows["notapache"]["clientip"] is None
+    assert rows["notapache"]["@timestamp"] is None
+
+    # stdout output compiled to a collectable sink over every event
+    res = pipe.run(df)
+    assert len(res["stdout_0"]) == 2
+
+
+def test_if_elseif_else_compile(spark, tmp_path):
+    src = """
+filter {
+  if [code] == "a" { mutate { replace => { "out" => "A" } } }
+  else if [code] == "b" { mutate { replace => { "out" => "B" } } }
+  else { mutate { replace => { "out" => "other" } } }
+}
+output { stdout {} }
+"""
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([Row(code=c, out="") for c in ("a", "b", "c")])
+    got = {r["code"]: r["out"] for r in pipe.transform(df).collect()}
+    assert got == {"a": "A", "b": "B", "c": "other"}
+
+
+def test_nested_conditionals_and_decorators(spark, tmp_path):
+    src = """
+filter {
+  if [n] >= 10 {
+    if [n] >= 100 { mutate { replace => { "size" => "big" } add_tag => ["huge"] } }
+    else { mutate { replace => { "size" => "medium" } } }
+  }
+}
+output { null {} }
+"""
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([Row(n=n, size="small") for n in (5, 50, 500)])
+    rows = {r["n"]: (r["size"], r["tags"]) for r in pipe.transform(df).collect()}
+    assert rows[5] == ("small", None)
+    assert rows[50] == ("medium", None)
+    assert rows[500] == ("big", ["huge"])
+
+
+def test_output_routing_and_statsd(spark, tmp_path):
+    src = """
+output {
+  if [response] =~ /^5/ { file { path => "errors" } }
+  statsd { increment => "apache.response.%{response}" }
+}
+"""
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([Row(url=str(i), response=str(200 + 303 * (i % 2))) for i in range(10)])
+    res = pipe.run(df)
+    import os
+
+    errs = spark.read.parquet(os.path.join(str(tmp_path), "errors"))
+    assert errs.count() == 5
+    assert res["statsd_1"] == {"200": 5, "503": 5}
+
+
+def test_conf_syntax_and_compile_errors(tmp_path):
+    with pytest.raises(ConfSyntaxError):
+        parse_config("bogus_section { }")
+    with pytest.raises(ConfSyntaxError):
+        parse_config("filter { grok { match => { 'a' => 'x' 'a' => 'y' } } }")
+    with pytest.raises(ConfSyntaxError):
+        parse_config("filter { grok { match => }")
+    with pytest.raises(ConfCompileError, match="unsupported filter plugin"):
+        compile_config("filter { wat { } }", out_dir=str(tmp_path))
+    with pytest.raises(ConfCompileError, match="requires match"):
+        compile_config("filter { grok { } }", out_dir=str(tmp_path))
+    with pytest.raises(ConfCompileError, match="unsupported options"):
+        compile_config("filter { mutate { frobnicate => 1 } }", out_dir=str(tmp_path))
+
+
+def test_patterns_dir_loading(tmp_path):
+    pfile = tmp_path / "extra.patterns"
+    pfile.write_text("# comment\nMYID [A-Z]+-\\d+\n")
+    src = 'filter { grok { match => { "m" => "id=%{MYID:the_id}" } patterns_dir => ["' + str(pfile) + '"] } }\noutput { null {} }'
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    assert pipe.filters[0].params["extra_patterns"] == {"MYID": r"[A-Z]+-\d+"}
+
+
+def test_multiline_mixed_config_from_reference_spec():
+    """Config shapes from spec/core/config_spec.rb:50-85 (conditionals with
+    multiple operators and regex) must parse."""
+    src = """
+filter {
+  if [type] == "web" { grok { match => { "message" => "%{WORD:verb}" } } }
+  else if [type] in ["foo", "bar"] { mutate { add_tag => ["listed"] } }
+  else if !([type] =~ /^sys/) { drop { } }
+}
+"""
+    cfg = parse_config(src)
+    (branch,) = cfg.section("filter")
+    assert len(branch.branches) == 3
