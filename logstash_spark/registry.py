@@ -80,4 +80,9 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     # batch analog — declared no-op, matching reference semantics of "the
     # event passes through unchanged"
     "sleep": lambda df, **_: df,
+    # `ruby` filter (default_plugins.rb:40): arbitrary user code per event.
+    # The sanctioned escape hatch is Arrow-batched mapInPandas — user code
+    # sees pandas DataFrames, never per-row interpretation; 1->N allowed
+    # (the codec/flatMap contract, filters/base.rb multi_filter).
+    "ruby": lambda df, fn, schema: df.mapInPandas(fn, schema),
 }

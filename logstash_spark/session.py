@@ -22,7 +22,9 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDFs (the grok path) and createDataFrame.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # 50k rows/batch measured ~20% faster than the 10k default for the grok
+    # UDF (fewer Arrow roundtrips); 200k regresses (batch memory pressure).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
     # Deterministic timestamps across engines (oracle = DuckDB, UTC).
     "spark.sql.session.timeZone": "UTC",
     # ANSI off: Logstash semantics are forgiving (bad cast -> null + tag),

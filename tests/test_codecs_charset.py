@@ -99,3 +99,31 @@ def test_output_gating(spark):
     res = pipe.run(df)
     assert [r["v"] for r in res["apache_only"]] == ["a"]
     assert sorted(r["v"] for r in res["all"]) == ["a", "b"]
+
+
+def test_ruby_escape_hatch(spark):
+    """The `ruby` filter analog: user code over Arrow batches via the
+    registry (mapInPandas; 1->N allowed)."""
+    from logstash_spark.pipeline import Pipeline, Stage
+
+    def double_rows(it):
+        for pdf in it:
+            out = pdf.copy()
+            out["v"] = out["v"] * 2
+            yield out
+            yield pdf
+
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    pipe = Pipeline(filters=[Stage(op="ruby", params={"fn": double_rows, "schema": "v long"})])
+    assert sorted(r["v"] for r in pipe.transform(df).collect()) == [1, 2, 2, 4]
+
+
+def test_iceberg_sink_fallback(spark, tmp_path):
+    """No Iceberg catalog in this runtime: IcebergSink falls back to its
+    parquet path (same call sites on a real deployment)."""
+    from logstash_spark.sinks import IcebergSink
+
+    sink = IcebergSink(table="nocatalog.db.t", fallback_path=str(tmp_path / "fb"))
+    got = sink.write(spark.createDataFrame([(1,)], "v long"))
+    assert got == str(tmp_path / "fb")
+    assert spark.read.parquet(got).count() == 1
