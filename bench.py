@@ -80,10 +80,13 @@ def e2e_docs_per_sec(spark, n_docs: int) -> float:
     from logstash_spark.queries import QUERIES  # noqa: F401  (registry import side effects)
     from logstash_spark.bench_pipeline import build_e2e
 
+    build_e2e(spark, 100_000).write.format("noop").mode("overwrite").save()  # warm JIT/workers
     df = build_e2e(spark, n_docs)
-    t0 = time.perf_counter()
-    force(df)
-    dt = time.perf_counter() - t0
+    dt = 1e18
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(df)
+        dt = min(dt, time.perf_counter() - t0)
     return n_docs / dt, dt
 
 
