@@ -1177,3 +1177,25 @@ def event_serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pages(spark, sf_dir).withColumn("@timestamp", F.col("warc_ts"))
     sel = p.select("url", "verb", "response", "@timestamp", F.lit("x").alias("_meta_hidden"))
     return sel.select("url", event_to_json(sel, ["url", "verb", "response"]).alias("event_json"))
+
+
+@q(
+    "host_agg_salted",
+    f"""{_PAGES_CTE}
+SELECT 'host' || CAST(user_id % 40 AS VARCHAR) AS host,
+       COUNT(*) AS n, CAST(SUM(CAST(bytes AS BIGINT)) AS BIGINT) AS sum_bytes
+FROM pages GROUP BY 1""",
+)
+def host_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host aggregate through the explicit skew-salting path
+    (partitioning.salted_agg): hot keys split across salt buckets map-side,
+    partials re-aggregated — result identical to the plain groupBy oracle."""
+    from logstash_spark.partitioning import salted_agg
+
+    p = _pages(spark, sf_dir).withColumn(
+        "host", F.regexp_extract("url", r"https://([^.]+)\.", 1)
+    ).withColumn("bytes_l", F.col("bytes").cast("bigint"))
+    out = salted_agg(p, "host", {"bytes_l": "sum", "url": "count"}, hot=["host0"], salts=8)
+    return out.select(
+        "host", F.col("count_url").alias("n"), F.col("sum_bytes_l").alias("sum_bytes")
+    )
