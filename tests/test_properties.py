@@ -86,3 +86,71 @@ def test_apache_log_corpus_reference_lines():
     failed = [l for l in lines if not rx.search(l)]
     assert len(lines) > 100
     assert not failed, f"{len(failed)}/{len(lines)} corpus lines failed, e.g. {failed[0][:200]!r}"
+
+
+# ---------------------------------------------------------------------------
+# condition-language round trip: render(Expr) -> parse -> same Expr
+# ---------------------------------------------------------------------------
+
+from logstash_spark.condparser import parse_condition  # noqa: E402
+from logstash_spark.conditions import (  # noqa: E402
+    And, Cmp, Field, In, Nand, Not, Or, Rx, Truthy, Xor,
+)
+
+_fields = st.sampled_from(["[foo]", "[response]", "[a][b]", "[tags]"])
+_strings = st.text(alphabet=string.ascii_letters + string.digits + " ._-", max_size=10)
+_scalars = st.one_of(_strings, st.integers(-1000, 1000))
+
+
+def _rv(v):
+    if isinstance(v, Field):
+        return v.ref
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, list):
+        return "[" + ", ".join(_rv(x) for x in v) + "]"
+    return repr(v)
+
+
+def _render(e) -> str:
+    if isinstance(e, Cmp):
+        return f"{_rv(e.left)} {e.op} {_rv(e.right)}"
+    if isinstance(e, Rx):
+        return f"{_rv(e.left)} {'!~' if e.negate else '=~'} /{e.pattern}/"
+    if isinstance(e, In):
+        return f"{_rv(e.item)} {'not in' if e.negate else 'in'} {_rv(e.coll)}"
+    if isinstance(e, Truthy):
+        return e.ref
+    if isinstance(e, Not):
+        return f"!({_render(e.inner)})"
+    if isinstance(e, (And, Or, Xor, Nand)):
+        op = {And: "and", Or: "or", Xor: "xor", Nand: "nand"}[type(e)]
+        return f"({_render(e.left)}) {op} ({_render(e.right)})"
+    raise AssertionError(e)
+
+
+_leaf = st.one_of(
+    st.builds(Cmp, st.builds(Field, _fields), st.sampled_from(["==", "!=", "<", ">", "<=", ">="]), _scalars),
+    st.builds(Rx, st.builds(Field, _fields), st.sampled_from(["^5", "foo.*bar", "a|b"]), st.booleans()),
+    st.builds(In, _strings, st.builds(Field, _fields), st.booleans()),
+    st.builds(In, st.builds(Field, _fields), st.lists(_strings, min_size=1, max_size=3), st.booleans()),
+    st.builds(Truthy, _fields),
+)
+
+_exprs = st.recursive(
+    _leaf,
+    lambda kids: st.one_of(
+        st.builds(And, kids, kids),
+        st.builds(Or, kids, kids),
+        st.builds(Xor, kids, kids),
+        st.builds(Nand, kids, kids),
+        st.builds(Not, kids),
+    ),
+    max_leaves=8,
+)
+
+
+@settings(max_examples=300)
+@given(_exprs)
+def test_condition_language_round_trip(expr):
+    assert parse_condition(_render(expr)) == expr
