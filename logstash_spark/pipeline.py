@@ -162,23 +162,32 @@ def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
 
 
 def _conditional_apply(df: DataFrame, st: Stage, fn: Callable[..., DataFrame], cond) -> DataFrame:
-    """when(cond) stage: snapshot original columns, run op, CASE-merge."""
-    snap = {c: f"_orig_{c}" for c in df.columns}
-    snapped = df.withColumn("_cond", cond)
-    for c, s in snap.items():
-        snapped = snapped.withColumn(s, F.col(c))
+    """when(cond) stage: snapshot original columns, run op, CASE-merge.
+
+    Built as two flat selects (snapshot, merge) rather than per-column
+    withColumn chains — analyzer cost stays linear in column count, and the
+    whole branch remains one vectorized projection after Catalyst collapses
+    it. Caveat (fixed-schema model vs the row engine): a rename inside a
+    conditional drops the old column for ALL rows and non-matching rows get
+    null under the new name — put renames outside conditionals (or use
+    replace) when both branches must survive.
+    """
+    orig_cols = list(df.columns)
+    snapped = df.select(
+        "*", cond.alias("_cond"), *[F.col(c).alias(f"_orig_{c}") for c in orig_cols]
+    )
     transformed = _apply_decorators(fn(snapped, **st.params), st)
-    out = transformed
+    out_cols = []
+    orig_set = set(orig_cols)
     for c in transformed.columns:
         if c.startswith("_orig_") or c == "_cond":
             continue
-        orig_name = snap.get(c)
-        if orig_name:
-            out = out.withColumn(c, F.when(F.col("_cond"), F.col(c)).otherwise(F.col(orig_name)))
+        if c in orig_set:
+            out_cols.append(F.when(F.col("_cond"), F.col(c)).otherwise(F.col(f"_orig_{c}")).alias(c))
         else:
             # column created by the op: null where the condition is false
-            out = out.withColumn(c, F.when(F.col("_cond"), F.col(c)))
-    return out.drop("_cond", *snap.values())
+            out_cols.append(F.when(F.col("_cond"), F.col(c)).alias(c))
+    return transformed.select(*out_cols)
 
 
 def _apply_decorators(df: DataFrame, st: Stage) -> DataFrame:
