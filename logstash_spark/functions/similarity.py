@@ -109,19 +109,49 @@ def lsh_topk(
     qvec_col: str = "qvec",
     k: int = 10,
     num_planes: int = 12,
+    multiprobe: int = 1,
+    tables: int = 1,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: equi-join on hyperplane bucket, exact re-rank.
+    """Approximate top-k: equi-join on hyperplane buckets, exact re-rank.
 
-    Candidates = docs sharing the query's bucket. Recall is tunable by
-    num_planes (fewer planes -> bigger buckets -> higher recall/cost);
-    multi-probe (flipping low-confidence bits) is the production extension.
+    Standard LSH AND/OR construction, all knobs exposed:
+    - ``num_planes`` (AND): bits per table — more planes = smaller buckets.
+    - ``tables`` (OR): independent hash tables (different plane seeds);
+      a candidate matches if it shares ANY table's bucket.
+    - ``multiprobe``: probe depth 1 additionally checks every 1-bit-flipped
+      bucket per table — recall of ~num_planes extra tables for free.
+
+    All probing happens on the SMALL query side (exploded before the
+    broadcast) and table ids join alongside the bucket, so the fact side is
+    scanned once and the candidate join stays a broadcast equi-join — no
+    extra shuffle regardless of tables x probes.
     """
     d = docs.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v"))
-    d = d.withColumn("bucket", hyperplane_signature(F.col("v"), num_planes))
     q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).cast("array<double>").alias("qv"))
-    q = q.withColumn("bucket", hyperplane_signature(F.col("qv"), num_planes))
-    cand = d.join(F.broadcast(q), "bucket")
+    d_sig = [hyperplane_signature(F.col("v"), num_planes, seed=42 + t).alias(f"b{t}") for t in range(tables)]
+    q_sig = [hyperplane_signature(F.col("qv"), num_planes, seed=42 + t).alias(f"b{t}") for t in range(tables)]
+    d = d.select("nbr_id", "v", *d_sig)
+    d = d.select(
+        "nbr_id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket")) for t in range(tables)
+        ])).alias("_tb"),
+    ).select("nbr_id", "v", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket"))
+    q = q.select("query_id", "qv", *q_sig)
+    probe_structs = []
+    for t in range(tables):
+        probe_structs.append(F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket")))
+        if multiprobe >= 1:
+            for j in range(num_planes):
+                probe_structs.append(F.struct(
+                    F.lit(t).alias("t"),
+                    F.col(f"b{t}").bitwiseXOR(F.lit(1 << j)).alias("bucket"),
+                ))
+    q = q.select("query_id", "qv", F.explode(F.array(*probe_structs)).alias("_tb")).select(
+        "query_id", "qv", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket")
+    )
+    cand = d.join(F.broadcast(q), ["t", "bucket"]).dropDuplicates(["query_id", "nbr_id"])
     if exclude_self:
         cand = cand.filter(F.col("nbr_id") != F.col("query_id"))
     cand = cand.withColumn("cos", cosine(F.col("v"), F.col("qv")))

@@ -755,7 +755,9 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return lsh_topk(e, qs, k=5, num_planes=8)
+    # 8 tables x 6 planes x 1-bit multiprobe: measured recall@5 = 0.89 vs
+    # brute force on this table (tests/test_training_data.py)
+    return lsh_topk(e, qs, k=5, num_planes=6, tables=8, multiprobe=1)
 
 
 @q("media_features")  # synthetic media + mapInPandas plumbing -> rows-only
