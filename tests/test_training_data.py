@@ -130,3 +130,23 @@ def test_lsh_multiprobe_recall(spark):
     recall1 = len(approx1 & exact) / len(exact)
     assert recall1 > recall0  # OR-construction + multiprobe improves recall
     assert recall1 >= 0.7     # measured 0.89 on the driver's random vectors
+
+
+def test_minhash_lsh_recall_vs_exhaustive(spark):
+    """MinHash-LSH candidate generation must recover every exhaustive
+    all-pairs Jaccard>=0.5 pair on the driver's documents table (32 hashes /
+    8 bands: collision prob at s=0.5 is 1-(1-0.5^4)^8 = 0.40 per band set —
+    the verified threshold filter keeps precision exact)."""
+    from logstash_spark.functions.dedup import dedup_minhash_lsh, jaccard, with_shingles
+    from logstash_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = with_shingles(d.select(F.col("doc_id").alias("id"), "text"), "text", 3).select("id", "sh")
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    allp = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    exact = {(r["id_a"], r["id_b"]) for r in
+             allp.withColumn("j", jaccard(F.col("sh_a"), F.col("sh_b"))).filter(F.col("j") >= 0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in dedup_minhash_lsh(d, threshold=0.5).collect()}
+    assert exact  # the table does contain near-dups
+    assert lsh == exact  # measured: full recall, exact precision at this scale
