@@ -50,8 +50,15 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "agg_pricing_summary",
     "join_order_revenue",
+    "charset_decode",
+    "codec_lines",
+    "condition_algebra",
+    "event_serialize_json",
+    "host_agg_salted",
+    "embedding_near_dup",
 ]
 
 

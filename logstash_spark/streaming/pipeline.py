@@ -57,6 +57,28 @@ def run_streaming(
     )
 
 
+def progress_stats(query) -> dict:
+    """The pipeline-stats-API mirror for streaming (reference: queue/thread
+    observability, util.rb:12-25, sized_queue.rb): digest of Structured
+    Streaming's progress events — rows in/processed per second, batch
+    durations, state rows — without any extra instrumentation."""
+    recents = query.recentProgress or []
+    last = query.lastProgress or {}
+    total_rows = sum(int(p.get("numInputRows", 0)) for p in recents)
+    durations = [p.get("durationMs", {}).get("triggerExecution") for p in recents]
+    durations = [d for d in durations if d is not None]
+    return {
+        "batches": len(recents),
+        "total_input_rows": total_rows,
+        "last_input_rows_per_sec": last.get("inputRowsPerSecond"),
+        "last_processed_rows_per_sec": last.get("processedRowsPerSecond"),
+        "mean_trigger_ms": (sum(durations) / len(durations)) if durations else None,
+        "state_rows": sum(
+            int(s.get("numRowsTotal", 0)) for s in (last.get("stateOperators") or [])
+        ),
+    }
+
+
 def windowed_counts(stream_df: DataFrame, *, ts: str, key: str, window: str = "5 minutes") -> DataFrame:
     """The metrics-filter analog on a stream: watermarked windowed counts."""
     return (

@@ -47,6 +47,13 @@ def test_streaming_pipeline_fanout_and_resume(spark, tmp_path):
     assert err_n + ok_n == 300
     assert err_n == sum(1 for i in range(300) if i % 7 in (5, 6))
 
+    # stats-API mirror: progress digest counted every input row
+    from logstash_spark.streaming.pipeline import progress_stats
+
+    stats = progress_stats(q)
+    assert stats["total_input_rows"] == 300
+    assert stats["batches"] >= 1
+
     # resume from checkpoint: only NEW files are processed (exactly-once)
     extra = synthetic_pages(spark, 400, include_junk=False).subtract(first)
     extra.coalesce(1).write.mode("append").parquet(src)
