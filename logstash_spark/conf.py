@@ -50,6 +50,10 @@ def _decorators(attrs: dict[str, Any]) -> dict[str, Any]:
 # Each translator: attrs -> list[(op, params)] (mutate expands to several).
 def _t_grok(a: dict) -> list[tuple[str, dict]]:
     match = a.get("match")
+    if match is None and "pattern" in a:
+        # legacy 1.1-era syntax (docs/tutorials/metrics-from-logs.md:41-44):
+        # `pattern => "..."` over the default `message` field
+        match = {"message": _listify(a["pattern"])}
     if not isinstance(match, dict) or not match:
         raise ConfCompileError("grok requires match => { field => pattern }")
     out = []

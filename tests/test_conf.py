@@ -155,3 +155,47 @@ filter {
     cfg = parse_config(src)
     (branch,) = cfg.section("filter")
     assert len(branch.branches) == 3
+
+
+def test_metrics_from_logs_tutorial_config(spark, tmp_path):
+    """The reference's second end-to-end tutorial (docs/tutorials/
+    metrics-from-logs.md:35-53): legacy grok syntax + type gating + statsd
+    counter keyed by a sprintf template."""
+    src = """
+    input {
+      file {
+        path => "/var/log/apache/access.log"
+        type => "apache-access"
+      }
+    }
+
+    filter {
+      grok {
+        type => "apache-access"
+        pattern => "%{COMBINEDAPACHELOG}"
+      }
+    }
+
+    output {
+      statsd {
+        increment => "apache.response.%{response}"
+      }
+    }
+    """
+    from logstash_spark.sources.pages import synthetic_pages
+
+    pipe, inputs = compile_config(src, out_dir=str(tmp_path))
+    assert inputs[0].name == "file" and inputs[0].attrs["type"] == "apache-access"
+    assert pipe.filters[0].type == "apache-access"  # legacy gating honored
+
+    pages = synthetic_pages(spark, 350, include_junk=False).select(
+        F.col("text").alias("message")
+    ).withColumn("type", F.lit("apache-access"))
+    res = pipe.run(pages)
+    counts = res["statsd_0"]
+    # oracle: response distribution of the generator (id%7 -> code table)
+    table = ["200", "200", "200", "301", "404", "500", "503"]
+    expected = {}
+    for i in range(350):
+        expected[table[i % 7]] = expected.get(table[i % 7], 0) + 1
+    assert counts == expected
