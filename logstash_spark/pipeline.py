@@ -152,7 +152,9 @@ def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
         return _apply_decorators(fn(df, **st.params), st)
     if st.op in _ROW_COUNT_OPS:
         if st.op == "drop":
-            return _apply_decorators(fn(df, when=cond, **st.params), st)
+            # no decorators: the reference fires them only on MATCHED events
+            # (filters/base.rb filter_matched), and drop cancels those
+            return fn(df, when=cond, **st.params)
         raise NotImplementedError(
             f"conditional {st.op!r} stage: row-generating ops cannot be "
             "CASE-merged; restructure so the condition selects the exploded "
@@ -179,11 +181,23 @@ def _conditional_apply(df: DataFrame, st: Stage, fn: Callable[..., DataFrame], c
     transformed = _apply_decorators(fn(snapped, **st.params), st)
     out_cols = []
     orig_set = set(orig_cols)
+    t_schema = {f.name: f.dataType for f in transformed.schema.fields}
+    from pyspark.sql import types as T
+
     for c in transformed.columns:
         if c.startswith("_orig_") or c == "_cond":
             continue
         if c in orig_set:
-            out_cols.append(F.when(F.col("_cond"), F.col(c)).otherwise(F.col(f"_orig_{c}")).alias(c))
+            new_c, orig_c = F.col(c), F.col(f"_orig_{c}")
+            new_t, orig_t = t_schema.get(c), t_schema.get(f"_orig_{c}")
+            if new_t != orig_t and isinstance(new_t, T.ArrayType) and not isinstance(orig_t, T.ArrayType):
+                # conditional add_field promoted a scalar column to array:
+                # unify by promoting the unmatched side to a 1-element array
+                # (fixed-schema divergence from the row engine's per-event
+                # union type; scalar reads as [scalar] once any conditional
+                # append targets the column)
+                orig_c = F.array(orig_c.cast(new_t.elementType))
+            out_cols.append(F.when(F.col("_cond"), new_c).otherwise(orig_c).alias(c))
         else:
             # column created by the op: null where the condition is false
             out_cols.append(F.when(F.col("_cond"), F.col(c)).alias(c))

@@ -1,0 +1,162 @@
+"""A row-at-a-time reference engine (~150 lines) mirroring the reference's
+per-event semantics — the independent oracle SURVEY §5 calls for.
+
+Deliberately written in the reference's style (one event dict at a time,
+interpreted) with NO Spark imports, so agreement with the DataFrame engine
+is evidence, not tautology. Covers the surface the differential test
+exercises: flat field access, sprintf, the condition algebra with the
+two-valued null semantics, mutate sub-ops, decorators, drop.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+Event = dict[str, Any]
+
+_TOKEN = re.compile(r"%\{([^}]+)\}")
+
+
+def sprintf(template: str, ev: Event) -> str:
+    def sub(m: re.Match) -> str:
+        key = m.group(1)
+        if key.startswith("+"):
+            return m.group(0)  # timestamp tokens out of scope here
+        name = key.strip("[]")
+        v = ev.get(name)
+        if v is None:
+            return m.group(0)  # missing -> verbatim (event.rb:259-260)
+        if isinstance(v, list):
+            return ",".join(str(x) for x in v)
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    return _TOKEN.sub(sub, template)
+
+
+def _field(ev: Event, ref) -> Any:
+    return ev.get(ref.ref.strip("[]")) if hasattr(ref, "ref") else ref
+
+
+def eval_cond(expr, ev: Event) -> bool:
+    """Evaluate a conditions.Expr tree per event, Ruby-style."""
+    from logstash_spark.conditions import And, Cmp, In, Nand, Not, Or, Rx, Truthy, Xor
+
+    if isinstance(expr, Cmp):
+        left, right = _field(ev, expr.left), _field(ev, expr.right)
+        if expr.op == "==":
+            return left == right
+        if expr.op == "!=":
+            return left != right
+        if left is None or right is None:
+            return False  # missing ordering operand -> definite false
+        try:
+            return {"<": left < right, ">": left > right,
+                    "<=": left <= right, ">=": left >= right}[expr.op]
+        except TypeError:
+            return False
+    if isinstance(expr, Rx):
+        v = _field(ev, expr.left)
+        hit = v is not None and re.search(expr.pattern, str(v)) is not None
+        return (not hit) if expr.negate else hit
+    if isinstance(expr, In):
+        item, coll = _field(ev, expr.item), _field(ev, expr.coll)
+        if coll is None or item is None:
+            hit = False
+        elif isinstance(coll, list):
+            hit = item in coll
+        else:
+            hit = str(item) in str(coll)
+        return (not hit) if expr.negate else hit
+    if isinstance(expr, Truthy):
+        v = ev.get(expr.ref.strip("[]"))
+        return v is not None and v is not False
+    if isinstance(expr, Not):
+        return not eval_cond(expr.inner, ev)
+    if isinstance(expr, And):
+        return eval_cond(expr.left, ev) and eval_cond(expr.right, ev)
+    if isinstance(expr, Or):
+        return eval_cond(expr.left, ev) or eval_cond(expr.right, ev)
+    if isinstance(expr, Xor):
+        return eval_cond(expr.left, ev) != eval_cond(expr.right, ev)
+    if isinstance(expr, Nand):
+        return not (eval_cond(expr.left, ev) and eval_cond(expr.right, ev))
+    raise AssertionError(expr)
+
+
+def apply_op(ev: Event, op: str, params: dict) -> Event | None:
+    """One filter application on one event (None = dropped)."""
+    ev = dict(ev)
+    if op == "mutate.uppercase":
+        for n in params["names"]:
+            if ev.get(n) is not None:
+                ev[n] = str(ev[n]).upper()
+    elif op == "mutate.lowercase":
+        for n in params["names"]:
+            if ev.get(n) is not None:
+                ev[n] = str(ev[n]).lower()
+    elif op == "mutate.strip":
+        for n in params["names"]:
+            if ev.get(n) is not None:
+                ev[n] = str(ev[n]).strip()
+    elif op == "mutate.gsub":
+        for name, pat, rep in params["triples"]:
+            if ev.get(name) is not None:
+                ev[name] = re.sub(pat, rep, str(ev[name]))
+    elif op == "mutate.convert":
+        for name, typ in params["mapping"].items():
+            v = ev.get(name)
+            if v is None:
+                continue
+            try:
+                ev[name] = int(v) if typ in ("integer", "int") else float(v) if typ == "float" else str(v)
+            except (TypeError, ValueError):
+                ev[name] = None
+    elif op == "mutate.rename":
+        for old, new in params["mapping"].items():
+            if old in ev:
+                ev[new] = ev.pop(old)
+    elif op in ("mutate.replace", "mutate.update"):
+        ev[params["name"]] = sprintf(str(params["value"]), ev)
+    elif op == "drop":
+        return None
+    else:
+        raise AssertionError(f"oracle op {op}")
+    return ev
+
+
+def apply_decorators(ev: Event, st) -> Event:
+    for k, v in st.add_field.items():
+        val = sprintf(str(v), ev)
+        if ev.get(k) is not None:
+            prev = ev[k]
+            ev[k] = (prev if isinstance(prev, list) else [str(prev)]) + [val]
+        else:
+            ev[k] = val
+    for t in st.add_tag:
+        ev["tags"] = (ev.get("tags") or []) + [sprintf(t, ev)]
+    for f in st.remove_field:
+        ev.pop(f, None)
+    for t in st.remove_tag:
+        if ev.get("tags"):
+            ev["tags"] = [x for x in ev["tags"] if x != t]
+    return ev
+
+
+def run_pipeline(stages, events: list[Event]) -> list[Event]:
+    out = []
+    for ev in events:
+        cur: Event | None = dict(ev)
+        for st in stages:
+            if cur is None:
+                break
+            if st.when is not None and not eval_cond(st.when, cur):
+                continue
+            cur = apply_op(cur, st.op, st.params)
+            if cur is not None:
+                cur = apply_decorators(cur, st)
+        if cur is not None:
+            out.append(cur)
+    return out

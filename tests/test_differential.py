@@ -1,0 +1,118 @@
+"""Differential testing: the DataFrame engine vs the row-at-a-time oracle
+engine (tests/oracle_engine.py) on hypothesis-generated pipelines + events.
+
+This is the cross-check SURVEY §5 prescribes in place of running the JRuby
+reference: two independent implementations of the same per-event semantics
+must agree on every generated (pipeline, event-batch) pair. Scope: flat
+fields, mutate family, drop, sprintf decorators, the condition algebra.
+Known fixed-schema divergences (conditional rename/remove_field; add_field
+append on a null-valued existing column) are excluded by construction —
+they are documented in pipeline.py.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from logstash_spark.conditions import And, Cmp, Field, In, Not, Or, Rx, Truthy
+from logstash_spark.pipeline import Pipeline, Stage
+
+import oracle_engine as oracle
+
+FIELDS = ["f1", "f2", "nstr"]
+
+_values = st.sampled_from(["alpha", "Beta-Два", "  pad  ", "a-b-c", "42", "-7", "junk1x", "", None])
+_numstr = st.sampled_from(["0", "42", "-7", "9000", "junk", None])
+
+_events = st.lists(
+    st.fixed_dictionaries({"f1": _values, "f2": _values, "nstr": _numstr}),
+    min_size=3, max_size=8,
+)
+
+_conds = st.one_of(
+    st.builds(Cmp, st.just(Field("[f1]")), st.sampled_from(["==", "!="]), st.sampled_from(["alpha", "42", ""])),
+    st.builds(Rx, st.just(Field("[f2]")), st.sampled_from(["a", "^B", r"\d"]), st.booleans()),
+    st.builds(In, st.sampled_from(["a", "pad", "zz"]), st.just(Field("[f1]")), st.booleans()),
+    st.builds(Truthy, st.sampled_from(["[f1]", "[nstr]", "[absent]"])),
+)
+_conds = st.one_of(
+    _conds,
+    st.builds(And, _conds, _conds),
+    st.builds(Or, _conds, _conds),
+    st.builds(Not, _conds),
+)
+
+_decorators = st.fixed_dictionaries({
+    "add_tag": st.lists(st.sampled_from(["t1", "seen-%{f1}"]), max_size=2),
+    "add_field": st.one_of(
+        st.just({}),
+        st.just({"note": "v-%{f2}"}),  # fresh field name only (see module doc)
+    ),
+})
+
+_maybe_cond = st.one_of(st.none(), _conds)
+
+
+def _stage(op, params):
+    return st.builds(
+        lambda when, deco: Stage(op=op, params=params, when=when, **deco),
+        _maybe_cond, _decorators,
+    )
+
+
+_stages = st.one_of(
+    _stage("mutate.uppercase", {"names": ("f1",)}),
+    _stage("mutate.lowercase", {"names": ("f2",)}),
+    _stage("mutate.strip", {"names": ("f1",)}),
+    _stage("mutate.gsub", {"triples": [("f2", "-", "_")]}),
+    _stage("mutate.convert", {"mapping": {"nstr": "integer"}}),
+    _stage("mutate.replace", {"name": "f2", "value": "x-%{f1}"}),
+    st.builds(lambda when: Stage(op="drop", when=when), _conds),
+)
+
+_pipelines = st.lists(_stages, min_size=1, max_size=4)
+
+
+def _normalize(rows: list[dict]) -> dict:
+    out = {}
+    for r in rows:
+        rid = r["id"]
+        vals = {}
+        for k, v in r.items():
+            if k == "id" or v is None:
+                continue
+            if isinstance(v, list):
+                vals[k] = tuple(str(x) for x in v)
+            else:
+                vals[k] = str(v)
+        out[rid] = vals
+    return out
+
+
+@settings(max_examples=int(__import__("os").environ.get("DIFF_EXAMPLES", "25")), deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_pipelines, _events)
+def test_engines_agree(spark, stages, events):
+    # convert hypothesis converts to ints only when the generated pipeline
+    # would: python int('junk') and Spark try_cast both -> null; values are
+    # integral-or-junk strings by construction
+    # uniquify add_field targets per stage: a SECOND conditional append to
+    # the same fresh field hits the documented fixed-schema array-promotion
+    # divergence, which is out of the differential scope
+    stages = [
+        Stage(op=s.op, params=s.params, when=s.when,
+              add_field={f"{k}{i}": v for k, v in s.add_field.items()},
+              add_tag=s.add_tag, remove_field=s.remove_field, remove_tag=s.remove_tag)
+        for i, s in enumerate(stages)
+    ]
+    for i, ev in enumerate(events):
+        ev["id"] = i
+    expected = oracle.run_pipeline(stages, [dict(e) for e in events])
+
+    df = spark.createDataFrame(
+        [(e["f1"], e["f2"], e["nstr"], e["id"]) for e in events],
+        "f1 string, f2 string, nstr string, id long",
+    )
+    got = [r.asDict() for r in Pipeline(filters=list(stages)).transform(df).collect()]
+
+    assert _normalize(got) == _normalize(expected)
