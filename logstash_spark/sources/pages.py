@@ -161,6 +161,9 @@ def synthetic_pages(
         text = apache_line
     url = F.concat(F.lit("https://host"), host.cast("string"), F.lit(".example.com"), path)
     html = F.encode(F.concat(F.lit("<html><body><p>"), text, F.lit("</p></body></html>")), "UTF-8")
+    # ~2% of pages carry invalid UTF-8 bytes (FIXTURES.md F1: the charset
+    # normalization path, util/charset.rb:23-31 — real crawls are dirty)
+    html = F.when(bucket == 97, F.concat(html, F.unhex(F.lit("FFFE80")))).otherwise(html)
     lang = F.element_at(
         F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"), F.lit("zh")),
         (i % 7 + 1).cast("int"),

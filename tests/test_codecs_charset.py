@@ -127,3 +127,16 @@ def test_iceberg_sink_fallback(spark, tmp_path):
     got = sink.write(spark.createDataFrame([(1,)], "v long"))
     assert got == str(tmp_path / "fb")
     assert spark.read.parquet(got).count() == 1
+
+
+def test_synthetic_html_charset_robustness(spark):
+    """The generator plants invalid UTF-8 in ~2% of html payloads; the
+    charset path must decode EVERY row (replacement, never null/crash)."""
+    from logstash_spark.operators.charset import decode_charset
+    from logstash_spark.sources.pages import synthetic_pages
+
+    p = synthetic_pages(spark, 500)
+    out = decode_charset(p, "html", target="decoded")
+    assert out.filter(F.col("decoded").isNull()).count() == 0
+    dirty = out.filter(F.col("decoded").contains("�"))
+    assert 0 < dirty.count() < 500  # the planted rows, and only those-ish
