@@ -74,6 +74,19 @@ def _rv_dtype(rv: Rvalue, df: DataFrame | None) -> T.DataType | None:
     return None
 
 
+def _types_incomparable(lt: T.DataType | None, rt: T.DataType | None) -> bool:
+    """True when Spark would reject the comparison outright (complex vs
+    scalar) — Ruby answers false for such equality instead of erroring."""
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    l_complex = isinstance(lt, complex_types)
+    r_complex = isinstance(rt, complex_types)
+    if l_complex != r_complex:
+        return True
+    if l_complex and r_complex and type(lt) is not type(rt):
+        return True
+    return False
+
+
 # ---------------------------------------------------------------------------
 # expression nodes
 # ---------------------------------------------------------------------------
@@ -103,6 +116,16 @@ class Cmp(Expr):
 
     def compile(self, df: DataFrame | None = None) -> Column:
         lc, rc = _rv_col(self.left, df), _rv_col(self.right, df)
+        # Ruby equality across incompatible types (array vs string...) is
+        # plain false, never an error; Spark analysis would reject the
+        # comparison — resolve to the constant at compile time.
+        lt, rt = _rv_dtype(self.left, df), _rv_dtype(self.right, df)
+        if _types_incomparable(lt, rt):
+            if self.op == "==":
+                return F.lit(False)
+            if self.op == "!=":
+                return F.lit(True)
+            return F.lit(False)  # ordering across types: definite false
         if self.op == "==":
             return lc.eqNullSafe(rc)  # Ruby: nil == nil -> true
         if self.op == "!=":
@@ -154,8 +177,13 @@ class In(Expr):
         item_c = _rv_col(self.item, df)
         coll_c = _rv_col(self.coll, df)
         coll_t = _rv_dtype(self.coll, df)
-        if isinstance(coll_t, T.ArrayType) or isinstance(self.coll, list):
-            inc = F.array_contains(coll_c, item_c)
+        item_t = _rv_dtype(self.item, df)
+        if isinstance(item_t, (T.ArrayType, T.MapType, T.StructType)):
+            # Ruby: collection.include?(array_item) over scalar elements is
+            # simply false — no analysis error
+            inc = F.lit(False)
+        elif isinstance(coll_t, T.ArrayType) or isinstance(self.coll, list):
+            inc = F.array_contains(coll_c, item_c.cast("string"))
         else:
             inc = coll_c.cast("string").contains(item_c.cast("string"))
         if self.negate:

@@ -123,35 +123,54 @@ def gsub(df: DataFrame, triples: list[tuple[str, str, str]]) -> DataFrame:
     return df
 
 
+def _elementwise(df: DataFrame, name: str, fn) -> DataFrame:
+    """Apply a string fn to a field; array fields map per element (the
+    reference's mutate iterates array values in place)."""
+    target = top_field(name)
+    col = field_col(name)
+    dtype = df.schema[target].dataType if target in df.columns else None
+    if isinstance(dtype, T.ArrayType):
+        # single-arg wrapper: transform() inspects lambda arity and would
+        # pass the element INDEX into an optional second param (F.trim's
+        # trim-characters!) if fn were handed over directly
+        return df.withColumn(target, F.transform(col, lambda x: fn(x)))
+    return df.withColumn(target, fn(col))
+
+
 def uppercase(df: DataFrame, *names: str) -> DataFrame:
     for n in names:
-        df = df.withColumn(top_field(n), F.upper(field_col(n)))
+        df = _elementwise(df, n, F.upper)
     return df
 
 
 def lowercase(df: DataFrame, *names: str) -> DataFrame:
     for n in names:
-        df = df.withColumn(top_field(n), F.lower(field_col(n)))
+        df = _elementwise(df, n, F.lower)
     return df
 
 
 def capitalize(df: DataFrame, *names: str) -> DataFrame:
     for n in names:
-        df = df.withColumn(top_field(n), F.initcap(field_col(n)))
+        df = _elementwise(df, n, F.initcap)
     return df
 
 
 def strip(df: DataFrame, *names: str) -> DataFrame:
     for n in names:
-        df = df.withColumn(top_field(n), F.trim(field_col(n)))
+        df = _elementwise(df, n, F.trim)
     return df
 
 
 def split_field(df: DataFrame, name: str, separator: str) -> DataFrame:
-    # literal separator (reference uses String#split with a string)
+    # literal separator (reference uses String#split with a string); a field
+    # that is already an array is skipped (the plugin logs + skips
+    # non-string fields rather than failing)
+    target = top_field(name)
+    if target in df.columns and isinstance(df.schema[target].dataType, T.ArrayType):
+        return df
     import re as _re
 
-    df = df.withColumn(top_field(name), F.split(field_col(name), _re.escape(separator)))
+    df = df.withColumn(target, F.split(field_col(name), _re.escape(separator)))
     return df
 
 

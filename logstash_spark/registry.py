@@ -36,7 +36,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "kv": parse.kv,
     "csv": parse.csv_parse,
     "xml": parse.xml_parse,
-    "urldecode": parse.urldecode,
+    "urldecode": lambda df, fields: parse.urldecode(df, *fields),
     "syslog_pri": parse.syslog_pri,
     # mutate family
     "mutate.rename": mutate.rename,

@@ -63,7 +63,7 @@ def eval_cond(expr, ev: Event) -> bool:
         return (not hit) if expr.negate else hit
     if isinstance(expr, In):
         item, coll = _field(ev, expr.item), _field(ev, expr.coll)
-        if coll is None or item is None:
+        if coll is None or item is None or isinstance(item, list):
             hit = False
         elif isinstance(coll, list):
             hit = item in coll
@@ -89,18 +89,22 @@ def eval_cond(expr, ev: Event) -> bool:
 def apply_op(ev: Event, op: str, params: dict) -> Event | None:
     """One filter application on one event (None = dropped)."""
     ev = dict(ev)
+    def _elementwise(n: str, fn) -> None:
+        v = ev.get(n)
+        if v is None:
+            return
+        # arrays are transformed per element (reference mutate iterates)
+        ev[n] = [fn(str(x)) for x in v] if isinstance(v, list) else fn(str(v))
+
     if op == "mutate.uppercase":
         for n in params["names"]:
-            if ev.get(n) is not None:
-                ev[n] = str(ev[n]).upper()
+            _elementwise(n, str.upper)
     elif op == "mutate.lowercase":
         for n in params["names"]:
-            if ev.get(n) is not None:
-                ev[n] = str(ev[n]).lower()
+            _elementwise(n, str.lower)
     elif op == "mutate.strip":
         for n in params["names"]:
-            if ev.get(n) is not None:
-                ev[n] = str(ev[n]).strip()
+            _elementwise(n, str.strip)
     elif op == "mutate.gsub":
         for name, pat, rep in params["triples"]:
             if ev.get(name) is not None:
@@ -120,6 +124,25 @@ def apply_op(ev: Event, op: str, params: dict) -> Event | None:
                 ev[new] = ev.pop(old)
     elif op in ("mutate.replace", "mutate.update"):
         ev[params["name"]] = sprintf(str(params["value"]), ev)
+    elif op == "mutate.split":
+        v = ev.get(params["name"])
+        if v is not None and not isinstance(v, list):  # arrays skipped
+            ev[params["name"]] = str(v).split(params["separator"])
+    elif op == "mutate.join":
+        v = ev.get(params["name"])
+        if isinstance(v, list):
+            ev[params["name"]] = params["separator"].join(str(x) for x in v)
+    elif op == "fingerprint":
+        import hashlib
+
+        base = "|".join("" if ev.get(s) is None else str(ev[s]) for s in params["sources"])
+        ev[params.get("target", "fingerprint")] = hashlib.sha256(base.encode()).hexdigest()
+    elif op == "urldecode":
+        from urllib.parse import unquote_plus
+
+        for f in params["fields"]:
+            if ev.get(f) is not None:
+                ev[f] = unquote_plus(str(ev[f]))
     elif op == "drop":
         return None
     else:

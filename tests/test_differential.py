@@ -22,7 +22,9 @@ import oracle_engine as oracle
 
 FIELDS = ["f1", "f2", "nstr"]
 
-_values = st.sampled_from(["alpha", "Beta-Два", "  pad  ", "a-b-c", "42", "-7", "junk1x", "", None])
+_values = st.sampled_from(
+    ["alpha", "Beta-Два", "  pad  ", "a-b-c", "42", "-7", "junk1x", "", None, "a%20b+c", "x%2Fy"]
+)
 _numstr = st.sampled_from(["0", "42", "-7", "9000", "junk", None])
 
 _events = st.lists(
@@ -32,8 +34,10 @@ _events = st.lists(
 
 _conds = st.one_of(
     st.builds(Cmp, st.just(Field("[f1]")), st.sampled_from(["==", "!="]), st.sampled_from(["alpha", "42", ""])),
+    st.builds(Cmp, st.just(Field("[f1]")), st.sampled_from(["==", "!="]), st.just(Field("[f2]"))),
     st.builds(Rx, st.just(Field("[f2]")), st.sampled_from(["a", "^B", r"\d"]), st.booleans()),
     st.builds(In, st.sampled_from(["a", "pad", "zz"]), st.just(Field("[f1]")), st.booleans()),
+    st.builds(In, st.just(Field("[f1]")), st.just(["alpha", "42", "a-b-c"]), st.booleans()),
     st.builds(Truthy, st.sampled_from(["[f1]", "[nstr]", "[absent]"])),
 )
 _conds = st.one_of(
@@ -68,6 +72,14 @@ _stages = st.one_of(
     _stage("mutate.gsub", {"triples": [("f2", "-", "_")]}),
     _stage("mutate.convert", {"mapping": {"nstr": "integer"}}),
     _stage("mutate.replace", {"name": "f2", "value": "x-%{f1}"}),
+    # split is unconditional here: a conditional scalar->array op triggers
+    # the documented fixed-schema array promotion for unmatched rows
+    st.builds(lambda deco: Stage(op="mutate.split", params={"name": "f1", "separator": "-"}, **deco),
+              _decorators),
+    # fingerprint sources exclude f1 (split may turn it into an array, whose
+    # string rendering is engine-specific — scalar hashing is the contract)
+    _stage("fingerprint", {"sources": ["f2", "nstr"], "target": "fp"}),
+    _stage("urldecode", {"fields": ("f2",)}),
     st.builds(lambda when: Stage(op="drop", when=when), _conds),
 )
 
