@@ -66,6 +66,10 @@ class Output:
     type: str | None = None
     tags: list[str] = dc_field(default_factory=list)
     exclude_tags: list[str] = dc_field(default_factory=list)
+    # per-sink aggregate (the north star's statsd/graphite analog): group
+    # the routed subset by these keys and count; computed off the SAME
+    # persisted frame as the sink write — no extra scan of the source
+    agg_by: list[str] = dc_field(default_factory=list)
 
 
 def gating_expr(df: DataFrame, type_: str | None, tags: list[str], exclude_tags: list[str]) -> F.Column | None:

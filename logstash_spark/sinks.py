@@ -117,6 +117,11 @@ def write_outputs(df: DataFrame, outputs: list) -> dict[str, Any]:
         for o in outputs:
             subset = routed.filter(F.col(f"_route_{o.name}"))
             results[o.name] = o.sink.write(subset)
+            if getattr(o, "agg_by", None):
+                results[f"{o.name}__agg"] = {
+                    tuple(r[k] for k in o.agg_by): r["n"]
+                    for r in subset.groupBy(*o.agg_by).agg(F.count(F.lit(1)).alias("n")).collect()
+                }
         return results
     finally:
         routed.unpersist()

@@ -86,3 +86,24 @@ def test_meta_dropped_at_sink(spark, pages, tmp_path):
     cols = spark.read.parquet(str(tmp_path / "m")).columns
     assert all(not c.startswith("_meta") for c in cols)
     assert all(not c.startswith("_route_") for c in cols)
+
+
+def test_per_sink_aggregates_first_class(spark, pages):
+    """Output.agg_by: per-sink groupBy counts off the same persisted frame
+    (north star: 'per-sink groupBy aggregates whose counts match')."""
+    from logstash_spark.sinks import NullSink
+
+    pipe = make_pipeline()
+    pipe.outputs = [
+        Output("errors", NullSink(), when=Rx(Field("[response]"), "^5"), agg_by=["lang"]),
+        Output("ok", NullSink(), when=Not(Rx(Field("[response]"), "^5")), agg_by=["lang", "verb"]),
+    ]
+    res = pipe.run(pages)
+    langs = ["en", "en", "en", "de", "fr", "es", "zh"]
+    expected_err = {}
+    for i in range(N):
+        if i % 7 in (5, 6):
+            k = (langs[i % 7],)
+            expected_err[k] = expected_err.get(k, 0) + 1
+    assert res["errors__agg"] == expected_err
+    assert sum(res["ok__agg"].values()) + sum(res["errors__agg"].values()) == N
