@@ -108,3 +108,27 @@ def test_no_row_python_in_plan(spark):
     p = synthetic_pages(spark, 10)
     for backend in ("expr", "pandas"):
         assert_no_python_udf(grok(p, "text", "%{COMBINEDAPACHELOG}", backend=backend))
+
+
+@pytest.mark.parametrize("pattern", [
+    "%{IPV4:ip} %{WORD:w}",
+    r"id=%{INT:n:int}(?: f=%{NUMBER:f:float})?",
+    [r"^ERROR %{GREEDYDATA:m}", r"^%{LOGLEVEL:lvl} %{GREEDYDATA:m}"],
+    "%{TIMESTAMP_ISO8601:ts} %{NOTSPACE:tok}",
+])
+def test_backends_agree_on_mixed_patterns(spark, pattern):
+    """All three backends must produce identical captures for every pattern
+    shape (optional groups, typed captures, multi-pattern lists) over the
+    mixed corpus (70% apache / 15% kv / 10% json / 5% junk)."""
+    from logstash_spark.operators.grok import compile_grok, grok
+    from logstash_spark.sources.pages import synthetic_pages
+
+    p = synthetic_pages(spark, 300).select("url", "text")
+    pats = pattern if isinstance(pattern, list) else [pattern]
+    fields = [n for pat in pats for n, _, _ in compile_grok(pat).captures]
+    cols = ["url", *dict.fromkeys(fields), "_grok_matched"]
+    outs = [
+        sorted(map(tuple, grok(p, "text", pattern, backend=b).select(cols).collect()))
+        for b in ("expr", "pandas", "arrow")
+    ]
+    assert outs[0] == outs[1] == outs[2]

@@ -154,3 +154,101 @@ _exprs = st.recursive(
 @given(_exprs)
 def test_condition_language_round_trip(expr):
     assert parse_condition(_render(expr)) == expr
+
+
+# ---------------------------------------------------------------------------
+# .conf language round trip: render(Config AST) -> parse -> same AST
+# ---------------------------------------------------------------------------
+
+from logstash_spark.confparser import Config, IfNode, PluginNode, Section, parse_config  # noqa: E402
+
+_names = st.sampled_from(["grok", "date", "mutate", "my_plugin", "x1"])
+_attr_names = st.sampled_from(["match", "add_tag", "value", "path", "k_1"])
+_conf_strings = st.text(alphabet=string.ascii_letters + string.digits + " ._-/%{}", max_size=12)
+
+_conf_values = st.recursive(
+    st.one_of(
+        _conf_strings,
+        st.integers(-9999, 9999),
+        st.booleans(),
+    ),
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=3),
+        st.dictionaries(st.sampled_from(["a", "b", "c"]), kids, max_size=3),
+    ),
+    max_leaves=6,
+)
+
+_plugins = st.builds(
+    PluginNode, _names,
+    st.dictionaries(_attr_names, _conf_values, max_size=3),
+)
+
+_cond_srcs = st.sampled_from([
+    '[type] == "apache"', "[n] >= 10", "[msg] =~ /^5/", '"x" in [tags]', "![flag]",
+])
+
+_items = st.recursive(
+    _plugins,
+    lambda kids: st.builds(
+        IfNode,
+        st.lists(
+            st.tuples(_cond_srcs, st.lists(kids, max_size=2)),
+            min_size=1, max_size=2,
+        ).map(lambda bs: [(c, list(items)) for c, items in bs]),
+    ),
+    max_leaves=5,
+)
+
+_configs = st.builds(
+    lambda f_items, o_items: Config(sections=[
+        Section("filter", list(f_items)), Section("output", list(o_items)),
+    ]),
+    st.lists(_items, max_size=3), st.lists(_plugins, max_size=2),
+)
+
+
+def _render_value(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, list):
+        return "[" + ", ".join(_render_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{ " + " ".join(f'"{k}" => {_render_value(x)}' for k, x in v.items()) + " }"
+    raise AssertionError(v)
+
+
+def _render_items(items, indent="  ") -> str:
+    out = []
+    for node in items:
+        if isinstance(node, PluginNode):
+            attrs = " ".join(f"{k} => {_render_value(v)}" for k, v in node.attrs.items())
+            out.append(f"{indent}{node.name} {{ {attrs} }}")
+        else:
+            for i, (cond, sub) in enumerate(node.branches):
+                kw = "if" if i == 0 else ("else if" if cond is not None else "else")
+                cond_txt = f" {cond} " if cond is not None else " "
+                out.append(f"{indent}{kw}{cond_txt}{{")
+                out.append(_render_items(sub, indent + "  "))
+                out.append(f"{indent}}}")
+    return "\n".join(out)
+
+
+def _render_config(cfg: Config) -> str:
+    parts = []
+    for s in cfg.sections:
+        parts.append(f"{s.kind} {{")
+        parts.append(_render_items(s.items))
+        parts.append("}")
+    return "\n".join(parts)
+
+
+@settings(max_examples=150)
+@given(_configs)
+def test_conf_language_round_trip(cfg):
+    parsed = parse_config(_render_config(cfg))
+    assert parsed == cfg
