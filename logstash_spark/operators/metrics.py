@@ -59,6 +59,35 @@ def metrics(
     )
 
 
+def metrics_rates(
+    df: DataFrame,
+    *,
+    ts: str,
+    key: str,
+    tick: str = "1 minute",
+) -> DataFrame:
+    """The meter's rate_1m/5m/15m analog (reference metrics filter emits
+    EWMA rates per flush): per-key per-tick counts with ROLLING rates over
+    trailing 1/5/15-minute ranges. Event-time rolling windows via RANGE
+    frames over the tick timeline — one shuffle on key, then sorted frames;
+    divergence note: trailing-average instead of EWMA decay (documented —
+    replayable/deterministic, same signal shape).
+    """
+    from pyspark.sql import Window as W
+
+    ticks = df.groupBy(F.window(F.col(ts), tick).alias("w"), F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    ticks = ticks.select(F.col("w.start").alias("window_start"), "key", "count")
+    epoch = F.unix_timestamp("window_start")
+    base = W.partitionBy("key").orderBy(epoch.cast("long"))
+    out = ticks
+    for mins in (1, 5, 15):
+        frame = base.rangeBetween(-(mins * 60 - 1), 0)
+        out = out.withColumn(f"rate_{mins}m", F.sum("count").over(frame) / float(mins * 60))
+    return out
+
+
 def throttle(
     df: DataFrame,
     *,

@@ -1201,3 +1201,33 @@ def host_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "host", F.col("count_url").alias("n"), F.col("sum_bytes_l").alias("sum_bytes")
     )
+
+
+@q(
+    "metrics_rolling_rates",
+    """WITH ticks AS (
+  SELECT date_trunc('minute', ts) AS window_start, event_type AS key, COUNT(*) AS count
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, key, count,
+  ROUND(SUM(count) OVER (PARTITION BY key ORDER BY epoch(window_start)
+        RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) / 60.0, 4) AS rate_1m,
+  ROUND(SUM(count) OVER (PARTITION BY key ORDER BY epoch(window_start)
+        RANGE BETWEEN 299 PRECEDING AND CURRENT ROW) / 300.0, 4) AS rate_5m,
+  ROUND(SUM(count) OVER (PARTITION BY key ORDER BY epoch(window_start)
+        RANGE BETWEEN 899 PRECEDING AND CURRENT ROW) / 900.0, 4) AS rate_15m
+FROM ticks""",
+)
+def metrics_rolling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metrics filter rate_1m/5m/15m analog: rolling per-key rates over the
+    tick timeline (trailing windows; EWMA divergence documented)."""
+    from logstash_spark.operators.metrics import metrics_rates
+
+    e = load_table(spark, sf_dir, "events")
+    out = metrics_rates(e, ts="ts", key="event_type", tick="1 minute")
+    return out.select(
+        "window_start", "key", "count",
+        F.round("rate_1m", 4).alias("rate_1m"),
+        F.round("rate_5m", 4).alias("rate_5m"),
+        F.round("rate_15m", 4).alias("rate_15m"),
+    )
