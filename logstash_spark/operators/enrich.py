@@ -32,7 +32,23 @@ def translate(
     fallback: str | None = None,
     exact: bool = True,
 ) -> DataFrame:
-    """Broadcast dictionary lookup: df[target] = dim[df[source]] or fallback."""
+    """Broadcast dictionary lookup: df[target] = dim[df[source]] or fallback.
+
+    ``exact=False`` is the plugin's regex mode: dictionary keys are regex
+    patterns, first match wins in dictionary order. The dictionary is small
+    by contract, so the patterns compile into ONE plan-time rlike cascade
+    (coalesce of when-clauses) — fully codegen'd, no join at all.
+    """
+    if not exact:
+        pairs = [(r["__k"], r["__v"]) for r in dim.select(
+            F.col(dim_key).cast("string").alias("__k"), F.col(dim_value).alias("__v")
+        ).collect()]
+        src = F.col(source).cast("string")
+        branches = [F.when(src.rlike(k), F.lit(v)) for k, v in pairs]
+        out = F.coalesce(*branches, F.lit(fallback)) if fallback is not None else (
+            F.coalesce(*branches) if branches else F.lit(None).cast("string")
+        )
+        return df.withColumn(target, out)
     d = dim.select(
         F.col(dim_key).cast("string").alias("__k"),
         F.col(dim_value).alias("__v"),

@@ -61,3 +61,24 @@ def test_useragent_classification(spark):
     assert ("Chrome", "Windows") in vals
     assert ("Safari", "Mac OS X") in vals
     assert ("Firefox", "Linux") in vals
+
+
+def test_translate_regex_mode(spark):
+    """translate exact=false: dictionary keys are regexes, first match wins
+    in dictionary order; compiles to a join-free rlike cascade."""
+    df = spark.createDataFrame([Row(ua=u) for u in [
+        "Mozilla/5.0 Chrome/120", "curl/8.0", "Googlebot/2.1", "weird"]])
+    dim = spark.createDataFrame(
+        [("bot|Bot", "crawler"), ("^curl", "tool"), ("Chrome|Mozilla", "browser")],
+        "key string, value string",
+    )
+    out = translate(df, dim, source="ua", target="klass", fallback="other", exact=False)
+    got = {r["ua"]: r["klass"] for r in out.collect()}
+    assert got == {
+        "Mozilla/5.0 Chrome/120": "browser",
+        "curl/8.0": "tool",
+        "Googlebot/2.1": "crawler",  # 'bot' pattern listed first wins
+        "weird": "other",
+    }
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "simple")
+    assert "Join" not in plan  # cascade, not a join
