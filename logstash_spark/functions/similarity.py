@@ -18,6 +18,8 @@ nearest neighbors by cosine similarity.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -158,6 +160,60 @@ def lsh_topk(
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     out = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     return out.select("query_id", "nbr_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact, order-stable values).
+
+    Blocked matrix-product design: the (small-by-contract, broadcastable)
+    vector set ships to every executor once as a dense float64 matrix; each
+    partition's row block computes `block @ M.T` in BLAS and emits only the
+    surviving (id_a < id_b) candidate pairs — data through Python is O(n)
+    rows, never the O(n^2 * d) pair materialization a self-join would ship.
+    The few survivors are then re-scored with the JVM expression fold so the
+    emitted values are bit-identical to the SQL oracle regardless of BLAS
+    summation order (1e-6 candidate slack covers the gap). At corpus sizes
+    where M no longer broadcasts, LSH bucketing (lsh_topk) prunes first.
+    """
+    from typing import Iterator
+
+    v = docs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e"))
+    rows = v.collect()  # the broadcastable dimension, same contract as a broadcast join
+    all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    M = np.vstack([np.asarray(r["e"], dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bc = docs.sparkSession.sparkContext.broadcast((all_ids, Mn))
+    slack = threshold - 1e-6
+
+    def block(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_all, mat = bc.value
+        for pdf in it:
+            A = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            S = A @ mat.T
+            ri, ci = np.where(S >= slack)
+            ia = pdf["id"].to_numpy()[ri]
+            ib = ids_all[ci]
+            keep = ia < ib
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    cand = v.repartition(par).mapInPandas(block, "id_a long, id_b long")
+    # exact re-score of the (few) survivors with the expression engine
+    va = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"))
+    exact = cand.join(va, "id_a").join(vb, "id_b").withColumn(
+        "_c", cosine(F.col("ea"), F.col("eb"))
+    )
+    return exact.filter(F.col("_c") >= threshold).select(
+        "id_a", "id_b", F.round("_c", 4).alias("cos")
+    )
 
 
 def ivf_assign(

@@ -1022,21 +1022,12 @@ WHERE list_dot_product(a.e, b.e) /
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the embedding leg of the dedup
-    suite). Small-N exact self-join; the scale path buckets by LSH first
-    (see ann_lsh_topk)."""
-    from logstash_spark.functions.similarity import cosine
+    suite): vectorized numpy scoring + exact JVM re-score of survivors
+    (similarity.near_dup_pairs). Scale path buckets by LSH first."""
+    from logstash_spark.functions.similarity import near_dup_pairs
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("e")
-    )
-    a = e.select(F.col("id").alias("id_a"), F.col("e").alias("ea"))
-    b = e.select(F.col("id").alias("id_b"), F.col("e").alias("eb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    pairs = pairs.withColumn("_c", cosine(F.col("ea"), F.col("eb")))
-    return (
-        pairs.filter(F.col("_c") >= 0.45)
-        .select("id_a", "id_b", F.round("_c", 4).alias("cos"))
-    )
+    e = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs(e, threshold=0.45)
 
 
 @q(
