@@ -101,6 +101,40 @@ def hyperplane_signature(vec: Column, num_planes: int = 16, seed: int = 42) -> C
     )
 
 
+def _hyperplane_buckets(
+    v: DataFrame, *, num_planes: int, tables: int, base_seed: int = 42
+) -> DataFrame:
+    """(id, t, bucket) per vector per table, via explode + flat sum-aggs.
+
+    Same construction as :func:`hyperplane_signature` (xxhash64(seed, plane,
+    dim) sign components; plane 0 = most significant bit) but relational:
+    one explode over dims, then tables*num_planes codegen'd sum aggregates —
+    the nested-HOF expression form is interpreted per element and an order
+    of magnitude slower at volume (same pathology as the minhash rewrite).
+    Partial aggregation collapses map-side; the shuffle carries
+    tables*num_planes doubles per vector.
+    """
+    tok = v.select("id", F.posexplode("e").alias("dim", "val"))
+    aggs = []
+    for t in range(tables):
+        for p in range(num_planes):
+            h = F.xxhash64(F.lit(base_seed + t), F.lit(p), F.col("dim"))
+            signed = F.when(h.bitwiseAND(F.lit(1)) == 1, F.col("val")).otherwise(-F.col("val"))
+            aggs.append(F.sum(signed).alias(f"d_{t}_{p}"))
+    dots = tok.groupBy("id").agg(*aggs)
+    rows = []
+    for t in range(tables):
+        bucket = None
+        for p in range(num_planes):
+            bit = F.when(F.col(f"d_{t}_{p}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            term = F.shiftleft(bit, num_planes - 1 - p)
+            bucket = term if bucket is None else bucket + term
+        rows.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
+    return dots.select("id", F.explode(F.array(*rows)).alias("_tb")).select(
+        "id", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket")
+    )
+
+
 def lsh_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -129,29 +163,26 @@ def lsh_topk(
     scanned once and the candidate join stays a broadcast equi-join — no
     extra shuffle regardless of tables x probes.
     """
-    d = docs.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v"))
-    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).cast("array<double>").alias("qv"))
-    d_sig = [hyperplane_signature(F.col("v"), num_planes, seed=42 + t).alias(f"b{t}") for t in range(tables)]
-    q_sig = [hyperplane_signature(F.col("qv"), num_planes, seed=42 + t).alias(f"b{t}") for t in range(tables)]
-    d = d.select("nbr_id", "v", *d_sig)
-    d = d.select(
-        "nbr_id", "v",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket")) for t in range(tables)
-        ])).alias("_tb"),
-    ).select("nbr_id", "v", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket"))
-    q = q.select("query_id", "qv", *q_sig)
-    probe_structs = []
-    for t in range(tables):
-        probe_structs.append(F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket")))
-        if multiprobe >= 1:
-            for j in range(num_planes):
-                probe_structs.append(F.struct(
-                    F.lit(t).alias("t"),
-                    F.col(f"b{t}").bitwiseXOR(F.lit(1 << j)).alias("bucket"),
-                ))
-    q = q.select("query_id", "qv", F.explode(F.array(*probe_structs)).alias("_tb")).select(
-        "query_id", "qv", F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    d_vec = docs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")).repartition(par)
+    q_vec = queries.select(F.col(qid_col).alias("id"), F.col(qvec_col).cast("array<double>").alias("e"))
+    d_b = _hyperplane_buckets(d_vec, num_planes=num_planes, tables=tables)
+    q_b = _hyperplane_buckets(q_vec, num_planes=num_planes, tables=tables)
+    if multiprobe >= 1:
+        # bucket + every 1-bit flip per table, exploded on the query side only
+        probes = F.array_union(
+            F.array(F.col("bucket")),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_planes - 1)),
+                lambda j: F.col("bucket").bitwiseXOR(F.pow(F.lit(2.0), j.cast("double")).cast("long")),
+            ),
+        )
+        q_b = q_b.withColumn("bucket", F.explode(probes))
+    d = d_vec.select(F.col("id").alias("nbr_id"), F.col("e").alias("v")).join(
+        d_b.select(F.col("id").alias("nbr_id"), "t", "bucket"), "nbr_id"
+    )
+    q = q_vec.select(F.col("id").alias("query_id"), F.col("e").alias("qv")).join(
+        q_b.select(F.col("id").alias("query_id"), "t", "bucket"), "query_id"
     )
     cand = d.join(F.broadcast(q), ["t", "bucket"]).dropDuplicates(["query_id", "nbr_id"])
     if exclude_self:
