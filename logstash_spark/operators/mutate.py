@@ -99,8 +99,11 @@ _CONVERT = {
 
 def convert(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     """Type coercion; unparseable -> null (reference leaves original —
-    divergence documented: fixed schema can't hold both)."""
+    divergence documented: fixed schema can't hold both). Missing columns
+    are skipped."""
     for name, typ in mapping.items():
+        if top_field(name) not in df.columns:
+            continue
         col = field_col(name)
         target = _CONVERT[typ]
         if typ == "boolean":
@@ -117,18 +120,25 @@ def convert(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
 
 
 def gsub(df: DataFrame, triples: list[tuple[str, str, str]]) -> DataFrame:
-    """[(field, pattern, replacement), ...] — regex replace all."""
+    """[(field, pattern, replacement), ...] — regex replace all; missing
+    columns skipped."""
     for name, pat, rep in triples:
+        if top_field(name) not in df.columns:
+            continue
         df = df.withColumn(top_field(name), F.regexp_replace(field_col(name), pat, rep))
     return df
 
 
 def _elementwise(df: DataFrame, name: str, fn) -> DataFrame:
     """Apply a string fn to a field; array fields map per element (the
-    reference's mutate iterates array values in place)."""
+    reference's mutate iterates array values in place); a missing COLUMN is
+    a no-op (the reference skips events without the field — with a fixed
+    schema that is the whole frame)."""
     target = top_field(name)
+    if target not in df.columns:
+        return df
     col = field_col(name)
-    dtype = df.schema[target].dataType if target in df.columns else None
+    dtype = df.schema[target].dataType
     if isinstance(dtype, T.ArrayType):
         # single-arg wrapper: transform() inspects lambda arity and would
         # pass the element INDEX into an optional second param (F.trim's
@@ -166,7 +176,9 @@ def split_field(df: DataFrame, name: str, separator: str) -> DataFrame:
     # that is already an array is skipped (the plugin logs + skips
     # non-string fields rather than failing)
     target = top_field(name)
-    if target in df.columns and isinstance(df.schema[target].dataType, T.ArrayType):
+    if target not in df.columns:
+        return df
+    if isinstance(df.schema[target].dataType, T.ArrayType):
         return df
     import re as _re
 
@@ -175,12 +187,17 @@ def split_field(df: DataFrame, name: str, separator: str) -> DataFrame:
 
 
 def join_field(df: DataFrame, name: str, separator: str) -> DataFrame:
-    return df.withColumn(top_field(name), F.array_join(field_col(name), separator))
+    target = top_field(name)
+    if target not in df.columns or not isinstance(df.schema[target].dataType, T.ArrayType):
+        return df  # reference join skips non-array/missing fields
+    return df.withColumn(target, F.array_join(field_col(name), separator))
 
 
 def merge(df: DataFrame, dest: str, src: str) -> DataFrame:
     """Array-merge two fields (reference merge semantics util.rb:27-61:
     array merge de-duplicates via `|`). Scalars are promoted to 1-arrays."""
+    if top_field(dest) not in df.columns or top_field(src) not in df.columns:
+        return df  # missing operand -> no-op
     d, s = field_col(dest), field_col(src)
     d_t = df.schema[top_field(dest)].dataType
     s_t = df.schema[top_field(src)].dataType

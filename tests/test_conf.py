@@ -199,3 +199,47 @@ def test_metrics_from_logs_tutorial_config(spark, tmp_path):
     for i in range(350):
         expected[table[i % 7]] = expected.get(table[i % 7], 0) + 1
     assert counts == expected
+
+
+def test_conf_compile_fuzz(spark, tmp_path):
+    """Random VALID configs from the supported plugin surface must compile
+    and execute without errors (the configtest contract end-to-end)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    plugin_templates = [
+        'grok { match => { "message" => "%{WORD:w} %{GREEDYDATA:rest}" } }',
+        'mutate { uppercase => ["w"] add_tag => ["m"] }',
+        'mutate { gsub => ["message", "-", "_"] }',
+        'mutate { replace => { "note" => "n-%{w}" } }',
+        'kv { source => "message" target => "kvm" }',
+        'fingerprint { source => ["message"] target => "fp" }',
+        'urldecode { field => "message" }',
+        'uuid { target => "uid" }',
+        'sleep { }',
+        'drop { }',
+    ]
+    conds = ['[w] == "alpha"', "[message] =~ /a/", '"x" in [message]', "![missing]"]
+
+    df = spark.createDataFrame(
+        [("alpha beta-gamma",), ("zz yy",), ("one two three",)], "message string"
+    ).cache()
+
+    for trial in range(25):
+        k = rng.randint(1, 4)
+        parts = []
+        for _ in range(k):
+            plug = rng.choice(plugin_templates)
+            if rng.random() < 0.5:
+                parts.append(f"if {rng.choice(conds)} {{ {plug} }}")
+            else:
+                parts.append(plug)
+        src = "filter {\n" + "\n".join(parts) + "\n}\noutput { null { } }"
+        pipe, _ = compile_config(src, out_dir=str(tmp_path))
+        try:
+            out = pipe.transform(df)
+            assert out.count() >= 0
+        except NotImplementedError:
+            # conditional clone/split/drop guard is an allowed outcome
+            continue
