@@ -48,7 +48,15 @@ def add_field(df: DataFrame, name: str, value) -> DataFrame:
 
 
 def set_field(df: DataFrame, name: str, value) -> DataFrame:
-    """mutate replace/update semantics: plain overwrite."""
+    """mutate `replace`: set the field, creating it if absent."""
+    return df.withColumn(top_field(name), _resolve_value(df, value))
+
+
+def update_field(df: DataFrame, name: str, value) -> DataFrame:
+    """mutate `update`: set ONLY if the field exists (the plugin's
+    update/replace distinction); fixed schema => plan-time column check."""
+    if top_field(name) not in df.columns:
+        return df
     return df.withColumn(top_field(name), _resolve_value(df, value))
 
 

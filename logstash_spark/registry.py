@@ -51,7 +51,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "mutate.join": mutate.join_field,
     "mutate.merge": mutate.merge,
     "mutate.replace": mutate.set_field,
-    "mutate.update": mutate.set_field,
+    "mutate.update": mutate.update_field,
     # flow
     "drop": clone_split.drop,
     "clone": clone_split.clone,

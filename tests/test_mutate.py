@@ -80,3 +80,12 @@ def test_tags_append_no_dedup_and_remove_all(spark):
 def test_remove_field(spark):
     df = M.remove_field(one(spark, a=1, b=2), "a")
     assert df.columns == ["b"]
+
+
+def test_update_vs_replace(spark):
+    """mutate update only touches EXISTING fields; replace creates."""
+    df = one(spark, have="old")
+    assert M.update_field(df, "have", "new").collect()[0]["have"] == "new"
+    out = M.update_field(df, "missing", "x")
+    assert "missing" not in out.columns
+    assert M.set_field(df, "missing", "x").collect()[0]["missing"] == "x"
