@@ -97,9 +97,12 @@ def csv_parse(
 
 
 def urldecode(df: DataFrame, *fields: str) -> DataFrame:
-    """`urldecode` filter (default_plugins.rb:45) — try_url_decode JVM-side."""
+    """`urldecode` filter (default_plugins.rb:45) — try_url_decode JVM-side;
+    an invalid %-sequence leaves the ORIGINAL value (the plugin rescues
+    decode errors and keeps the field untouched)."""
     for f_ in fields:
-        df = df.withColumn(top_field(f_), F.try_url_decode(F.col(top_field(f_))))
+        col = F.col(top_field(f_))
+        df = df.withColumn(top_field(f_), F.coalesce(F.try_url_decode(col), col))
     return df
 
 

@@ -141,8 +141,15 @@ def apply_op(ev: Event, op: str, params: dict) -> Event | None:
         from urllib.parse import unquote_plus
 
         for f in params["fields"]:
-            if ev.get(f) is not None:
-                ev[f] = unquote_plus(str(ev[f]))
+            v = ev.get(f)
+            if v is None:
+                continue
+            s = str(v)
+            # all-or-nothing like the plugin (Ruby URI decode raises on any
+            # invalid %-sequence; the rescue keeps the original value)
+            if re.search(r"%(?![0-9A-Fa-f]{2})", s):
+                continue
+            ev[f] = unquote_plus(s)
     elif op == "drop":
         return None
     else:
@@ -168,6 +175,20 @@ def apply_decorators(ev: Event, st) -> Event:
     return ev
 
 
+def _gate_ok(ev: Event, st) -> bool:
+    """Legacy type/tags/exclude_tags gating (filters/base.rb:222-253)."""
+    if getattr(st, "type", None) is not None and ev.get("type") != st.type:
+        return False
+    tags = ev.get("tags") or []
+    for t in getattr(st, "tags", []):
+        if t not in tags:
+            return False
+    for t in getattr(st, "exclude_tags", []):
+        if t in tags:
+            return False
+    return True
+
+
 def run_pipeline(stages, events: list[Event]) -> list[Event]:
     out = []
     for ev in events:
@@ -175,6 +196,8 @@ def run_pipeline(stages, events: list[Event]) -> list[Event]:
         for st in stages:
             if cur is None:
                 break
+            if not _gate_ok(cur, st):
+                continue
             if st.when is not None and not eval_cond(st.when, cur):
                 continue
             cur = apply_op(cur, st.op, st.params)

@@ -28,7 +28,8 @@ _values = st.sampled_from(
 _numstr = st.sampled_from(["0", "42", "-7", "9000", "junk", None])
 
 _events = st.lists(
-    st.fixed_dictionaries({"f1": _values, "f2": _values, "nstr": _numstr}),
+    st.fixed_dictionaries({"f1": _values, "f2": _values, "nstr": _numstr,
+                           "type": st.sampled_from(["apache", "nginx", None])}),
     min_size=3, max_size=8,
 )
 
@@ -47,7 +48,17 @@ _conds = st.one_of(
     st.builds(Not, _conds),
 )
 
+_decorators_nogate = st.fixed_dictionaries({
+    "add_tag": st.lists(st.sampled_from(["t1", "seen-%{f1}"]), max_size=2),
+    "add_field": st.one_of(
+        st.just({}),
+        st.just({"note": "v-%{f2}"}),  # fresh field name only (see module doc)
+    ),
+})
+
 _decorators = st.fixed_dictionaries({
+    "type": st.sampled_from([None, "apache", "other"]),
+    "exclude_tags": st.lists(st.sampled_from(["t1"]), max_size=1),
     "add_tag": st.lists(st.sampled_from(["t1", "seen-%{f1}"]), max_size=2),
     "add_field": st.one_of(
         st.just({}),
@@ -72,10 +83,11 @@ _stages = st.one_of(
     _stage("mutate.gsub", {"triples": [("f2", "-", "_")]}),
     _stage("mutate.convert", {"mapping": {"nstr": "integer"}}),
     _stage("mutate.replace", {"name": "f2", "value": "x-%{f1}"}),
-    # split is unconditional here: a conditional scalar->array op triggers
-    # the documented fixed-schema array promotion for unmatched rows
+    # split is unconditional AND ungated here: a conditional/gated
+    # scalar->array op triggers the documented fixed-schema array promotion
+    # for unmatched rows
     st.builds(lambda deco: Stage(op="mutate.split", params={"name": "f1", "separator": "-"}, **deco),
-              _decorators),
+              _decorators_nogate),
     # fingerprint sources exclude f1 (split may turn it into an array, whose
     # string rendering is engine-specific — scalar hashing is the contract)
     _stage("fingerprint", {"sources": ["f2", "nstr"], "target": "fp"}),
@@ -114,7 +126,8 @@ def test_engines_agree(spark, stages, events):
     stages = [
         Stage(op=s.op, params=s.params, when=s.when,
               add_field={f"{k}{i}": v for k, v in s.add_field.items()},
-              add_tag=s.add_tag, remove_field=s.remove_field, remove_tag=s.remove_tag)
+              add_tag=s.add_tag, remove_field=s.remove_field, remove_tag=s.remove_tag,
+              type=s.type, tags=s.tags, exclude_tags=s.exclude_tags)
         for i, s in enumerate(stages)
     ]
     for i, ev in enumerate(events):
@@ -122,8 +135,8 @@ def test_engines_agree(spark, stages, events):
     expected = oracle.run_pipeline(stages, [dict(e) for e in events])
 
     df = spark.createDataFrame(
-        [(e["f1"], e["f2"], e["nstr"], e["id"]) for e in events],
-        "f1 string, f2 string, nstr string, id long",
+        [(e["f1"], e["f2"], e["nstr"], e["type"], e["id"]) for e in events],
+        "f1 string, f2 string, nstr string, type string, id long",
     )
     got = [r.asDict() for r in Pipeline(filters=list(stages)).transform(df).collect()]
 
