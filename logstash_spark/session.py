@@ -34,6 +34,11 @@ DEFAULT_CONFS: dict[str, str] = {
     # throwing — the reference's charset contract (util/charset.rb:23-31
     # transcodes with replacement; events must still be valid UTF-8).
     "spark.sql.legacy.codingErrorAction": "true",
+    # str_to_map (the kv filter) THROWS on duplicate keys by default — one
+    # malformed log line would kill a whole job. Last-wins matches the
+    # common kv contract; the reference plugin collects duplicates into an
+    # array (documented divergence — fixed map schema keeps one value).
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     # Broadcast threshold: enrichment dims are small by design.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",

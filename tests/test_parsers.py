@@ -69,3 +69,15 @@ def test_uuid(spark):
     assert u1 == u2 and len(u1) == 36 and u1.count("-") == 4
     r = FP.uuid(df).collect()[0]["uuid"]
     assert len(r) == 36
+
+
+def test_kv_hostile_lines_never_crash(spark):
+    """kv must survive real-log garbage: duplicate keys (LAST_WIN policy —
+    default Spark THROWS), empty tokens, missing '=', trailing separators."""
+    lines = ["a=1 b=2", "a=1 a=2", "  x=1", "a= b=", "", "novalue",
+             "k=v  extra= =weird", "a=1=2 b"]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    out = {r["line"]: r["kvm"] for r in P.kv(df, "line", target="kvm").collect()}
+    assert out["a=1 a=2"]["a"] == "2"  # last wins
+    assert out["a=1 b=2"] == {"a": "1", "b": "2"}
+    assert out["novalue"] == {"novalue": None}
