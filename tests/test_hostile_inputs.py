@@ -1,0 +1,103 @@
+"""Hostile-input sweep: every parse/analysis operator must process (never
+crash on) the garbage a real crawl contains — nulls, empty strings, control
+bytes, 64KB lines, emoji, RTL text, format-string lookalikes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+HOSTILE = [
+    None,
+    "",
+    " ",
+    "\t\n",
+    "\x00null\x00byte",
+    "a" * 65536,                      # 64KB line
+    "👾💥 emoji ʊɳɪ ⚡ ٱلْعَرَبِيَّة 中文",
+    "%{this} %{looks} %{+like} %{sprintf}",
+    "=== ==a== b=c=d ===",
+    '{"unterminated": ',
+    "\\ backslash \\\\ soup \\",
+    "%GG%ZZ%",
+    "192.168.0.999 - - [99/Xxx/9999:99:99:99 +9999] \"NOPE\"",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile(spark):
+    return spark.createDataFrame([(i, s) for i, s in enumerate(HOSTILE)], "id long, s string").cache()
+
+
+N = len(HOSTILE)
+
+
+@pytest.mark.parametrize("backend", ["expr", "pandas", "arrow"])
+def test_grok_hostile(hostile, backend):
+    from logstash_spark.operators.grok import grok
+
+    out = grok(hostile, "s", "%{COMBINEDAPACHELOG}", backend=backend)
+    rows = out.collect()
+    assert len(rows) == N
+    assert all(r["clientip"] is None for r in rows)  # nothing matches
+
+
+def test_parsers_hostile(hostile):
+    from logstash_spark.operators import parse as P
+
+    assert P.kv(hostile, "s", target="kvm").count() == N
+    assert P.json_parse(hostile, "s", "a string", target="j").count() == N
+    assert P.csv_parse(hostile, "s", ["c1", "c2"]).count() == N
+    assert P.urldecode(hostile.withColumn("u", F.col("s")), "u").count() == N
+    assert P.syslog_pri(hostile.withColumn("syslog_pri", F.col("s"))).count() == N
+
+
+def test_date_hostile(hostile):
+    from logstash_spark.operators.date import date
+
+    out = date(hostile, "s", ["dd/MMM/yyyy:HH:mm:ss Z", "ISO8601", "UNIX"])
+    rows = out.collect()
+    assert len(rows) == N
+    # every non-null input fails to parse -> tagged; nulls pass untagged
+    for r in rows:
+        if r["s"] not in (None,) and r["@timestamp"] is None:
+            assert r["tags"] and "_dateparsefailure" in r["tags"]
+
+
+def test_text_analysis_hostile(hostile):
+    from logstash_spark.functions.text import doc_fingerprint, lang_id, quality_score, token_count
+
+    d = hostile.withColumnRenamed("s", "text")
+    assert lang_id(d).count() == N
+    assert token_count(d).count() == N
+    assert quality_score(d).count() == N
+    assert doc_fingerprint(d).count() == N
+
+
+def test_dedup_hostile(hostile):
+    from logstash_spark.functions.dedup import dedup_exact, dedup_minhash_lsh, simhash
+
+    d = hostile.select(F.col("id").alias("doc_id"), F.col("s").alias("text")).fillna({"text": ""})
+    assert dedup_exact(d).count() >= 1
+    assert simhash(d).count() == N
+    dedup_minhash_lsh(d, threshold=0.5).count()  # must complete
+
+
+def test_codecs_charset_hostile(hostile, spark):
+    from logstash_spark.operators.charset import decode_charset
+    from logstash_spark.operators.codecs import encode_json, lines
+
+    assert lines(hostile.withColumn("body", F.col("s")), "body").count() >= 0
+    assert encode_json(hostile).count() == N
+    b = hostile.withColumn("raw", F.encode(F.coalesce(F.col("s"), F.lit("")), "UTF-8"))
+    assert decode_charset(b, "raw", target="t").filter(F.col("t").isNull()).count() == 0
+
+
+def test_mutate_and_conditions_hostile(hostile):
+    from logstash_spark.conditions import Cmp, Field, In, Rx
+    from logstash_spark.operators import mutate as M
+
+    d = M.uppercase(hostile, "s")
+    d = M.gsub(d, [("s", r"\x00", "_")])
+    d = M.split_field(d, "s", " ")
+    assert d.count() == N
+    for cond in (Rx(Field("[s]"), "a"), In("a", Field("[s]")), Cmp(Field("[s]"), "==", "x")):
+        hostile.filter(cond.compile(hostile)).count()  # must compile+run
