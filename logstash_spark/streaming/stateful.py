@@ -87,3 +87,53 @@ def multiline_stateful(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+THROTTLE_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("throttled", T.BooleanType()),
+    ]
+)
+
+THROTTLE_STATE = T.StructType([T.StructField("count", T.IntegerType())])
+
+
+def throttle_stateful(
+    df: DataFrame,
+    *,
+    key_col: str = "key",
+    line_col: str = "text",
+    max_count: int = 3,
+    period_ms: int = 60_000,
+) -> DataFrame:
+    """Streaming `throttle`: per-key counter in state; events beyond
+    ``max_count`` within a period are flagged. The processing-time timeout
+    resets the counter — faithful to the reference's wall-clock period
+    (the throttle plugin counts against processing time, not event time).
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (count,) = state.get if state.exists else (0,)
+        rows = []
+        for pdf in pdfs:
+            for line in pdf[line_col]:
+                count += 1
+                rows.append((k, line, count > max_count))
+        state.update((count,))
+        state.setTimeoutDuration(period_ms)
+        if rows:
+            yield pd.DataFrame(rows, columns=["key", "text", "throttled"])
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=THROTTLE_OUT,
+        stateStructType=THROTTLE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

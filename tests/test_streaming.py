@@ -126,3 +126,32 @@ def test_multiline_stateful(spark, tmp_path):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_throttle_stateful(spark, tmp_path):
+    """Streaming throttle: per-key state counter flags events beyond the
+    limit within a processing-time period."""
+    from logstash_spark.streaming.stateful import throttle_stateful
+
+    src = str(tmp_path / "tsrc")
+    rows = [("u1", f"m{i}") for i in range(5)] + [("u2", "solo")]
+    df = spark.createDataFrame(rows, "key string, text string")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = throttle_stateful(stream, max_count=3, period_ms=60_000)
+    q = out.writeStream.format("memory").queryName("thr").outputMode("append").start()
+    try:
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = {(r["key"], r["text"]): r["throttled"] for r in spark.sql("select * from thr").collect()}
+            if len(got) == 6:
+                break
+            time.sleep(1)
+        assert len(got) == 6
+        assert sum(got[("u1", f"m{i}")] for i in range(5)) == 2  # m3, m4 over limit
+        assert got[("u2", "solo")] is False
+    finally:
+        q.stop()
