@@ -42,6 +42,15 @@ def multiline(
     ``multiline_n`` (line count) and the ``multiline`` tag on collapsed rows
     (reference tags merged events).
     """
+    if stream_key is None:
+        import warnings
+
+        warnings.warn(
+            "multiline without stream_key serializes the WHOLE dataset "
+            "through one partition (global order requirement) — fine for "
+            "tests, fatal at scale; partition by source file/host/stream.",
+            stacklevel=2,
+        )
     matches = F.col(source).rlike(pattern)
     if negate:
         matches = ~matches
