@@ -1222,3 +1222,35 @@ def metrics_rolling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate_5m", 4).alias("rate_5m"),
         F.round("rate_15m", 4).alias("rate_15m"),
     )
+
+
+@q(
+    "conf_compiled_pipeline",
+    f"""{_PAGES_CTE}
+SELECT url,
+       CASE WHEN response LIKE '5%' THEN 'ERR-' || response ELSE verb END AS marker,
+       CAST(bytes AS BIGINT) AS bytes_n
+FROM pages""",
+)
+def conf_compiled_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE .conf front end under the driver's gate: parse the config
+    language, compile to a Pipeline (conditionals folded to negations),
+    execute, match the recomputed oracle."""
+    from logstash_spark.conf import compile_config
+
+    src = """
+    filter {
+      grok { match => { "text" => "%{COMBINEDAPACHELOG}" } }
+      mutate { convert => { "bytes" => "integer" } }
+      if [response] =~ /^5/ {
+        mutate { replace => { "marker" => "ERR-%{response}" } }
+      } else {
+        mutate { replace => { "marker" => "%{verb}" } }
+      }
+    }
+    output { null { } }
+    """
+    pipe, _ = compile_config(src)
+    p = _pages(spark, sf_dir).select("url", "text")
+    out = pipe.transform(p)
+    return out.select("url", "marker", F.col("bytes").alias("bytes_n"))
