@@ -175,16 +175,45 @@ class In(Expr):
 
     def compile(self, df: DataFrame | None = None) -> Column:
         item_c = _rv_col(self.item, df)
-        coll_c = _rv_col(self.coll, df)
         coll_t = _rv_dtype(self.coll, df)
         item_t = _rv_dtype(self.item, df)
         if isinstance(item_t, (T.ArrayType, T.MapType, T.StructType)):
             # Ruby: collection.include?(array_item) over scalar elements is
             # simply false — no analysis error
             inc = F.lit(False)
-        elif isinstance(coll_t, T.ArrayType) or isinstance(self.coll, list):
-            inc = F.array_contains(coll_c, item_c.cast("string"))
+        elif isinstance(self.coll, list):
+            # literal in-list: compare in the literals' own type space so
+            # '[status] in [200, 404]' works on numeric columns. Mixed-type
+            # lists fall back to string space (Ruby would compare per-element
+            # with ==; string space is the usable common denominator).
+            vals = self.coll
+            if vals and all(isinstance(x, bool) for x in vals):
+                coll_c = F.array(*[F.lit(x) for x in vals])
+                inc = F.array_contains(coll_c, item_c.cast("boolean"))
+            elif vals and all(
+                isinstance(x, (int, float)) and not isinstance(x, bool) for x in vals
+            ):
+                coll_c = F.array(*[F.lit(float(x)) for x in vals])
+                inc = F.array_contains(coll_c, item_c.cast("double"))
+            else:
+                coll_c = F.array(*[F.lit(str(x)) for x in vals])
+                inc = F.array_contains(coll_c, item_c.cast("string"))
+        elif isinstance(coll_t, T.ArrayType):
+            # field collection: coerce the item to the collection's element
+            # type — casting everything to string breaks array<int> fields
+            # with DATATYPE_MISMATCH and is only right for array<string>.
+            coll_c = _rv_col(self.coll, df)
+            elem_t = coll_t.elementType
+            if item_t is not None and item_t == elem_t:
+                inc = F.array_contains(coll_c, item_c)
+            elif isinstance(elem_t, T.NumericType) and isinstance(item_t, T.NumericType):
+                inc = F.array_contains(
+                    coll_c.cast(T.ArrayType(T.DoubleType())), item_c.cast("double")
+                )
+            else:
+                inc = F.array_contains(coll_c, item_c.cast(elem_t))
         else:
+            coll_c = _rv_col(self.coll, df)
             inc = coll_c.cast("string").contains(item_c.cast("string"))
         if self.negate:
             return F.coalesce(~inc, F.lit(True))

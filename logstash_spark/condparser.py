@@ -4,9 +4,9 @@ Covers the grammar surface the reference's specs exercise
 (lib/logstash/config/grammar.rb:1837-3396 `branch`/`condition` rules;
 compile semantics lib/logstash/config/config_ast.rb:375-513):
 
-    expr     := or_expr
-    or_expr  := and_expr (('or'|'xor'|'nand') and_expr)*      # grammar.rb:3329-3396
-    and_expr := unary ('and' unary)*
+    expr     := unary (('and'|'or'|'xor'|'nand') unary)*      # grammar.rb:3329-3396
+                # single precedence level, left-associative fold — matches
+                # the reference's flat [op, operand] list join
     unary    := '!' unary | '(' expr ')' | predicate
     predicate:= rvalue op rvalue | rvalue ('=~'|'!~') regexp_or_string
               | rvalue 'not'? 'in' rvalue | selector          # bare truthiness
@@ -95,32 +95,25 @@ class _Parser:
             raise CondSyntaxError(f"expected {kind}, got {k} {v!r}")
         return v
 
-    # expr := and_expr (or-level ops)* — reference gives and/or equal
-    # precedence with left association (grammar folds a flat list); we use
-    # conventional and > or precedence, which matches every spec expression.
+    # expr := unary (('and'|'or'|'xor'|'nand') unary)* — the reference grammar
+    # folds ALL boolean operators left-associatively at ONE precedence level
+    # (grammar.rb:3329-3396 builds a flat [op, operand] list and
+    # config_ast.rb joins it in order), so 'a or b and c' means
+    # '(a or b) and c' upstream. Mirror that exactly.
     def parse(self) -> Expr:
-        e = self.or_expr()
+        e = self.bool_expr()
         self.expect("eof")
         return e
 
-    def or_expr(self) -> Expr:
-        left = self.and_expr()
-        while True:
-            k, v = self.peek()
-            if k == "word" and v in ("or", "xor", "nand"):
-                self.next()
-                right = self.and_expr()
-                left = {"or": Or, "xor": Xor, "nand": Nand}[v](left, right)
-            else:
-                return left
+    _BOOL_OPS = {"and": And, "or": Or, "xor": Xor, "nand": Nand}
 
-    def and_expr(self) -> Expr:
+    def bool_expr(self) -> Expr:
         left = self.unary()
         while True:
             k, v = self.peek()
-            if k == "word" and v == "and":
+            if k == "word" and v in self._BOOL_OPS:
                 self.next()
-                left = And(left, self.unary())
+                left = self._BOOL_OPS[v](left, self.unary())
             else:
                 return left
 
@@ -131,7 +124,7 @@ class _Parser:
             return Not(self.unary())
         if k == "lparen":
             self.next()
-            e = self.or_expr()
+            e = self.bool_expr()
             self.expect("rparen")
             return e
         return self.predicate()

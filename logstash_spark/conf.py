@@ -236,10 +236,19 @@ def _compile_items(items: list, inherited: Expr | None, stages: list[Stage]) -> 
                 )
             deco = _decorators(node.attrs)
             pieces = _FILTER_TRANSLATORS[node.name](node.attrs)
+            if not pieces:
+                # a plugin whose attrs are all decorator options (e.g.
+                # `mutate { add_tag => [...] }`) still runs its decorators
+                pieces = [("noop", {})]
+            # the legacy type/tags/exclude_tags GATING applies to the whole
+            # plugin, so every emitted sub-stage must carry it — attaching it
+            # only to the last stage would run earlier sub-ops ungated on
+            # every event. The add/remove decorators fire once per plugin
+            # (on success), so only the last stage carries those.
+            gate = {k: deco[k] for k in ("type", "tags", "exclude_tags")}
+            post = {k: deco[k] for k in ("add_field", "add_tag", "remove_field", "remove_tag")}
             for i, (op, params) in enumerate(pieces):
-                # decorators fire once per plugin (on success), attach to the
-                # last emitted stage so earlier sub-ops ran first
-                d = deco if i == len(pieces) - 1 else {}
+                d = {**gate, **(post if i == len(pieces) - 1 else {})}
                 stages.append(Stage(op=op, params=params, when=inherited, **d))
         elif isinstance(node, IfNode):
             negated: Expr | None = None

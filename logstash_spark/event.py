@@ -30,14 +30,27 @@ TIMESTAMP_FIELD = "@timestamp"
 
 
 def parse_path(ref: str) -> list[str]:
-    """``'[a][b][0]'`` or ``'a'`` -> ``['a','b','0']`` (accessors.rb:31-34)."""
+    """``'[a][b][0]'`` or ``'a'`` -> ``['a','b','0']`` (accessors.rb:31-34).
+
+    ``[@metadata][x]...`` (event.rb:126-147) maps onto the engine's hidden
+    flat-column convention: top column ``_meta_x`` (stripped at every sink
+    boundary by sinks.strip_internal), remaining tokens nested.
+    """
     ref = ref.strip()
     if ref.startswith("["):
         toks = _BRACKET.findall(ref)
         if not toks:
             raise ValueError(f"bad field reference: {ref!r}")
-        return toks
-    return [ref]
+    else:
+        toks = [ref]
+    if toks[0] == "@metadata":
+        if len(toks) < 2:
+            raise ValueError(
+                "bare [@metadata] is not addressable as a column; "
+                "use [@metadata][name] (engine column _meta_<name>)"
+            )
+        toks = ["_meta_" + toks[1], *toks[2:]]
+    return toks
 
 
 def field_col(ref: str) -> Column:
@@ -65,6 +78,123 @@ def _is_int(s: str) -> bool:
 def top_field(ref: str) -> str:
     """Top-level column name of a reference (for withColumn targets)."""
     return parse_path(ref)[0]
+
+
+# ---------------------------------------------------------------------------
+# nested field WRITES (accessors.rb:118-122 `set` auto-creates intermediate
+# hashes; matrix pinned by spec/core/event_spec.rb:96-153)
+# ---------------------------------------------------------------------------
+
+
+def _q(tok: str) -> str:
+    """Quote a struct field name for withField/dropFields (their path
+    argument treats '.' as nesting)."""
+    return "`" + tok.replace("`", "") + "`"
+
+
+def _build_nested(toks: list[str], value: Column) -> Column:
+    """struct(struct(...value...)) for a fresh path — the reference's
+    auto-created intermediate hashes."""
+    col = value
+    for t in reversed(toks):
+        col = F.struct(col.alias(t))
+    return col
+
+
+def _null_struct(dtype: T.StructType) -> Column:
+    return F.struct(*[F.lit(None).cast(f.dataType).alias(f.name) for f in dtype.fields])
+
+
+def _set_in(col: Column, dtype: T.DataType, toks: list[str], value: Column) -> Column:
+    if not toks:
+        return value
+    tok = toks[0]
+    if isinstance(dtype, T.StructType):
+        # null struct -> materialize an all-null struct first so withField
+        # doesn't propagate the null (reference auto-creates the hash)
+        base = F.when(col.isNull(), _null_struct(dtype)).otherwise(col)
+        if tok in dtype.fieldNames():
+            inner = _set_in(base.getField(tok), dtype[tok].dataType, toks[1:], value)
+        else:
+            inner = _build_nested(toks[1:], value)
+        return base.withField(_q(tok), inner)
+    if isinstance(dtype, T.MapType) and not _is_int(tok):
+        if len(toks) > 1 and not isinstance(dtype.valueType, (T.StructType, T.MapType, T.ArrayType)):
+            raise ValueError(
+                f"cannot write through map value of type {dtype.valueType.simpleString()} "
+                f"at token {tok!r}"
+            )
+        base = F.coalesce(col, F.create_map().cast(dtype))
+        if len(toks) == 1:
+            entry_v = value.cast(dtype.valueType)
+        else:
+            entry_v = _set_in(col.getItem(tok), dtype.valueType, toks[1:], value)
+        keep = F.map_filter(base, lambda k, _v: k != F.lit(tok).cast(dtype.keyType))
+        return F.map_concat(keep, F.create_map(F.lit(tok).cast(dtype.keyType), entry_v))
+    if isinstance(dtype, T.ArrayType) and _is_int(tok):
+        # set-at-index via transform; negative indexes count from the end
+        # (Ruby array semantics). Divergence: the reference EXTENDS the
+        # array with nils when i >= length; a pure transform cannot grow the
+        # array, so out-of-range writes are no-ops here (documented).
+        i = int(tok)
+        idx = F.lit(i) if i >= 0 else F.size(col) + F.lit(i)
+        return F.transform(
+            col,
+            lambda x, pos: F.when(
+                pos == idx, _set_in(x, dtype.elementType, toks[1:], value)
+            ).otherwise(x),
+        )
+    # non-container intermediate: the reference raises per-event when
+    # indexing into a non-hash (accessors.rb); the fixed-schema engine
+    # replaces the subtree with the auto-created struct (documented
+    # divergence — a plan-time raise would reject whole-frame writes that
+    # the row engine only fails on some events).
+    return _build_nested(toks, value)
+
+
+def set_path(df: DataFrame, ref: str, value: Column) -> DataFrame:
+    """Write ``value`` at a (possibly nested) field reference, auto-creating
+    intermediate structs — the reference's Accessors#set
+    (accessors.rb:118-122). Pure Column expressions: withField/transform/
+    map_concat chains, zero Python at runtime."""
+    toks = parse_path(ref)
+    top = toks[0]
+    if len(toks) == 1:
+        return df.withColumn(top, value)
+    if top not in df.columns:
+        return df.withColumn(top, _build_nested(toks[1:], value))
+    return df.withColumn(
+        top, _set_in(F.col(_q(top)), df.schema[top].dataType, toks[1:], value)
+    )
+
+
+def _drop_in(col: Column, dtype: T.DataType, toks: list[str]) -> Column:
+    tok = toks[0]
+    if isinstance(dtype, T.StructType) and tok in dtype.fieldNames():
+        if len(toks) == 1:
+            if len(dtype.fields) == 1:
+                # Spark forbids zero-field structs: removing the only field
+                # nulls the parent (reference leaves an empty hash)
+                return F.lit(None).cast(dtype)
+            return col.dropFields(_q(tok))
+        sub = _drop_in(col.getField(tok), dtype[tok].dataType, toks[1:])
+        return col.withField(_q(tok), sub)
+    if isinstance(dtype, T.MapType) and len(toks) == 1:
+        return F.map_filter(col, lambda k, _v: k != F.lit(tok).cast(dtype.keyType))
+    return col  # missing path -> no-op (reference remove returns nil)
+
+
+def drop_path(df: DataFrame, ref: str) -> DataFrame:
+    """Remove a (possibly nested) field — Accessors#del."""
+    toks = parse_path(ref)
+    top = toks[0]
+    if top not in df.columns:
+        return df
+    if len(toks) == 1:
+        return df.drop(top)
+    return df.withColumn(
+        top, _drop_in(F.col(_q(top)), df.schema[top].dataType, toks[1:])
+    )
 
 
 # ---------------------------------------------------------------------------

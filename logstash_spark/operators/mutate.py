@@ -17,7 +17,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from logstash_spark.event import field_col, is_template, sprintf_col, top_field
+from logstash_spark.event import (
+    _dtype_of,
+    drop_path,
+    field_col,
+    is_template,
+    parse_path,
+    set_path,
+    sprintf_col,
+    top_field,
+)
+
+
+def _resolves(df: DataFrame, name: str) -> bool:
+    """Plan-time: does this (possibly nested) reference address an existing
+    field in the schema?"""
+    toks = parse_path(name)
+    if len(toks) == 1:
+        return toks[0] in df.columns
+    return _dtype_of(df, name) is not None
 
 
 def _resolve_value(df: DataFrame, value) -> Column:
@@ -32,36 +50,39 @@ def _resolve_value(df: DataFrame, value) -> Column:
 
 def add_field(df: DataFrame, name: str, value) -> DataFrame:
     """Set field; if it already exists, APPEND making an array
-    (filters/base.rb:187-191)."""
-    target = top_field(name)
+    (filters/base.rb:187-191). Nested references write through set_path
+    (auto-created intermediate structs, accessors.rb:118-122)."""
     val = _resolve_value(df, value)
-    if target in df.columns:
-        existing = F.col(target)
-        dtype = df.schema[target].dataType
-        if isinstance(dtype, T.ArrayType):
-            return df.withColumn(target, F.array_append(existing, val))
-        merged = F.when(existing.isNull(), F.array(val)).otherwise(
-            F.array(existing.cast("string"), val.cast("string"))
-        )
-        return df.withColumn(target, merged)
-    return df.withColumn(target, val)
+    if not _resolves(df, name):
+        return set_path(df, name, val)
+    existing = field_col(name)
+    dtype = _dtype_of(df, name)
+    if isinstance(dtype, T.ArrayType):
+        return set_path(df, name, F.array_append(existing, val))
+    merged = F.when(existing.isNull(), F.array(val)).otherwise(
+        F.array(existing.cast("string"), val.cast("string"))
+    )
+    return set_path(df, name, merged)
 
 
 def set_field(df: DataFrame, name: str, value) -> DataFrame:
-    """mutate `replace`: set the field, creating it if absent."""
-    return df.withColumn(top_field(name), _resolve_value(df, value))
+    """mutate `replace`: set the field, creating it if absent (nested paths
+    auto-create intermediate structs)."""
+    return set_path(df, name, _resolve_value(df, value))
 
 
 def update_field(df: DataFrame, name: str, value) -> DataFrame:
     """mutate `update`: set ONLY if the field exists (the plugin's
-    update/replace distinction); fixed schema => plan-time column check."""
-    if top_field(name) not in df.columns:
+    update/replace distinction); fixed schema => plan-time check."""
+    if not _resolves(df, name):
         return df
-    return df.withColumn(top_field(name), _resolve_value(df, value))
+    return set_path(df, name, _resolve_value(df, value))
 
 
 def remove_field(df: DataFrame, *names: str) -> DataFrame:
-    return df.drop(*[top_field(n) for n in names])
+    for n in names:
+        df = drop_path(df, n)
+    return df
 
 
 _TAGS_T = T.ArrayType(T.StringType())
@@ -91,8 +112,18 @@ def remove_tag(df: DataFrame, tag: str) -> DataFrame:
 
 
 def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename fields; missing source -> no-op (the plugin skips). Nested
+    references copy-then-delete through set_path/drop_path."""
     for old, new in mapping.items():
-        df = df.withColumnRenamed(top_field(old), top_field(new))
+        o_toks, n_toks = parse_path(old), parse_path(new)
+        if len(o_toks) == 1 and len(n_toks) == 1:
+            if o_toks[0] in df.columns:
+                df = df.withColumnRenamed(o_toks[0], n_toks[0])
+            continue
+        if not _resolves(df, old):
+            continue
+        df = set_path(df, new, field_col(old))
+        df = drop_path(df, old)
     return df
 
 
@@ -110,7 +141,7 @@ def convert(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     divergence documented: fixed schema can't hold both). Missing columns
     are skipped."""
     for name, typ in mapping.items():
-        if top_field(name) not in df.columns:
+        if not _resolves(df, name):
             continue
         col = field_col(name)
         target = _CONVERT[typ]
@@ -123,7 +154,7 @@ def convert(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
             )
         else:
             out = col.try_cast(target) if target != "string" else col.cast("string")
-        df = df.withColumn(top_field(name), out)
+        df = set_path(df, name, out)
     return df
 
 
@@ -131,9 +162,9 @@ def gsub(df: DataFrame, triples: list[tuple[str, str, str]]) -> DataFrame:
     """[(field, pattern, replacement), ...] — regex replace all; missing
     columns skipped."""
     for name, pat, rep in triples:
-        if top_field(name) not in df.columns:
+        if not _resolves(df, name):
             continue
-        df = df.withColumn(top_field(name), F.regexp_replace(field_col(name), pat, rep))
+        df = set_path(df, name, F.regexp_replace(field_col(name), pat, rep))
     return df
 
 
@@ -142,17 +173,16 @@ def _elementwise(df: DataFrame, name: str, fn) -> DataFrame:
     reference's mutate iterates array values in place); a missing COLUMN is
     a no-op (the reference skips events without the field — with a fixed
     schema that is the whole frame)."""
-    target = top_field(name)
-    if target not in df.columns:
+    if not _resolves(df, name):
         return df
     col = field_col(name)
-    dtype = df.schema[target].dataType
+    dtype = _dtype_of(df, name)
     if isinstance(dtype, T.ArrayType):
         # single-arg wrapper: transform() inspects lambda arity and would
         # pass the element INDEX into an optional second param (F.trim's
         # trim-characters!) if fn were handed over directly
-        return df.withColumn(target, F.transform(col, lambda x: fn(x)))
-    return df.withColumn(target, fn(col))
+        return set_path(df, name, F.transform(col, lambda x: fn(x)))
+    return set_path(df, name, fn(col))
 
 
 def uppercase(df: DataFrame, *names: str) -> DataFrame:
@@ -183,35 +213,103 @@ def split_field(df: DataFrame, name: str, separator: str) -> DataFrame:
     # literal separator (reference uses String#split with a string); a field
     # that is already an array is skipped (the plugin logs + skips
     # non-string fields rather than failing)
-    target = top_field(name)
-    if target not in df.columns:
+    if not _resolves(df, name):
         return df
-    if isinstance(df.schema[target].dataType, T.ArrayType):
+    if isinstance(_dtype_of(df, name), T.ArrayType):
         return df
     import re as _re
 
-    df = df.withColumn(target, F.split(field_col(name), _re.escape(separator)))
-    return df
+    return set_path(df, name, F.split(field_col(name), _re.escape(separator)))
 
 
 def join_field(df: DataFrame, name: str, separator: str) -> DataFrame:
-    target = top_field(name)
-    if target not in df.columns or not isinstance(df.schema[target].dataType, T.ArrayType):
+    if not _resolves(df, name) or not isinstance(_dtype_of(df, name), T.ArrayType):
         return df  # reference join skips non-array/missing fields
-    return df.withColumn(target, F.array_join(field_col(name), separator))
+    return set_path(df, name, F.array_join(field_col(name), separator))
 
 
 def merge(df: DataFrame, dest: str, src: str) -> DataFrame:
-    """Array-merge two fields (reference merge semantics util.rb:27-61:
-    array merge de-duplicates via `|`). Scalars are promoted to 1-arrays."""
-    if top_field(dest) not in df.columns or top_field(src) not in df.columns:
-        return df  # missing operand -> no-op
+    """Merge two fields per the reference's hash_merge matrix
+    (lib/logstash/util.rb:27-61; pinned by spec/core/event_spec.rb:172-232):
+
+    - hash + hash   -> RECURSIVE per-key merge (struct fields plan-time)
+    - array + array -> union, de-duplicated via Ruby ``|``
+    - array + scalar-> append unless already included
+    - scalar + array-> ``[d] | s``
+    - scalar + scalar -> ``d == s ? d : [d, s]`` — fixed schema can't hold a
+      per-row scalar/array union type, so scalar results normalize to
+      1-element arrays (documented divergence).
+
+    Missing operand -> no-op (the plugin skips)."""
+    if not _resolves(df, dest) or not _resolves(df, src):
+        return df
     d, s = field_col(dest), field_col(src)
-    d_t = df.schema[top_field(dest)].dataType
-    s_t = df.schema[top_field(src)].dataType
-    d_arr = d if isinstance(d_t, T.ArrayType) else F.array(d)
-    s_arr = s if isinstance(s_t, T.ArrayType) else F.array(s)
-    return df.withColumn(
-        top_field(dest),
-        F.array_union(d_arr.cast(_TAGS_T), s_arr.cast(_TAGS_T)),
+    d_t, s_t = _dtype_of(df, dest), _dtype_of(df, src)
+    return set_path(df, dest, _merge_value(d, s, d_t, s_t))
+
+
+def _is_hashlike(t: T.DataType) -> bool:
+    return isinstance(t, (T.StructType, T.MapType))
+
+
+def _merge_value(d: Column, s: Column, d_t: T.DataType, s_t: T.DataType) -> Column:
+    if isinstance(d_t, T.StructType) and isinstance(s_t, T.StructType):
+        # recursive hash merge: dst field order first, then src-only fields
+        # (util.rb:29-58 iterates src into dst)
+        d_names, s_names = set(d_t.fieldNames()), set(s_t.fieldNames())
+        fields = []
+        for f in d_t.fields:
+            if f.name in s_names:
+                fields.append(
+                    _merge_value(
+                        d.getField(f.name), s.getField(f.name),
+                        f.dataType, s_t[f.name].dataType,
+                    ).alias(f.name)
+                )
+            else:
+                fields.append(d.getField(f.name).alias(f.name))
+        for f in s_t.fields:
+            if f.name not in d_names:
+                fields.append(s.getField(f.name).alias(f.name))
+        return F.struct(*fields)
+    if isinstance(d_t, T.MapType) and isinstance(s_t, T.MapType):
+        # per-key scalar merge in string space; conflicting values render as
+        # a JSON 2-array string (fixed-schema stand-in for Ruby's [d, s])
+        ds = d.cast(T.MapType(T.StringType(), T.StringType()))
+        ss = s.cast(T.MapType(T.StringType(), T.StringType()))
+        return F.map_zip_with(
+            ds, ss,
+            lambda _k, dv, sv: (
+                F.when(sv.isNull(), dv)
+                .when(dv.isNull(), sv)
+                .when(dv.eqNullSafe(sv), dv)
+                .otherwise(F.to_json(F.array(dv, sv)))
+            ),
+        )
+    if _is_hashlike(d_t) != _is_hashlike(s_t) or (
+        _is_hashlike(d_t) and type(d_t) is not type(s_t)
+    ):
+        # hash vs non-hash (or struct vs map): Ruby would build a
+        # hash-in-array union type the fixed schema can't hold — keep dst
+        return d
+    if isinstance(d_t, T.ArrayType) and isinstance(s_t, T.ArrayType):
+        if d_t.elementType == s_t.elementType and not _is_hashlike(d_t.elementType):
+            return F.array_union(F.coalesce(d, F.array().cast(d_t)), s)
+        return F.array_union(
+            F.coalesce(d.cast(_TAGS_T), F.array().cast(_TAGS_T)), s.cast(_TAGS_T)
+        )
+    if isinstance(d_t, T.ArrayType):
+        if s_t == d_t.elementType:
+            d2 = F.coalesce(d, F.array().cast(d_t))
+            return F.when(F.array_contains(d2, s), d2).otherwise(F.array_append(d2, s))
+        d2 = F.coalesce(d.cast(_TAGS_T), F.array().cast(_TAGS_T))
+        s2 = s.cast("string")
+        return F.when(F.array_contains(d2, s2), d2).otherwise(F.array_append(d2, s2))
+    if isinstance(s_t, T.ArrayType):
+        if d_t == s_t.elementType:
+            return F.array_union(F.array(d), s)
+        return F.array_union(F.array(d.cast("string")), s.cast(_TAGS_T))
+    eq = d.eqNullSafe(s) if d_t == s_t else d.cast("string").eqNullSafe(s.cast("string"))
+    return F.when(eq, F.array(d.cast("string"))).otherwise(
+        F.array(d.cast("string"), s.cast("string"))
     )

@@ -922,18 +922,26 @@ def gate_type_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "decorator_add_field_append",
     f"""{_PAGES_CTE}
-SELECT url, [lang, 'x-' || verb] AS lang_list, ['parsed', 'parsed'] AS tags FROM pages""",
+SELECT url, to_json([lang, 'x-' || verb]) AS lang_list, to_json(['parsed', 'parsed']) AS tags FROM pages""",
 )
 def decorator_add_field_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """add_field on an existing field appends into an array
-    (filters/base.rb:187-191); add_tag never dedups (base.rb:205-210)."""
+    (filters/base.rb:187-191); add_tag never dedups (base.rb:205-210).
+
+    Array outputs are serialized with to_json on BOTH sides so the driver's
+    canonicalizer (pandas sort + hash) sees scalars, not unhashable lists.
+    """
     from logstash_spark.operators import mutate as M
 
     p = _pages(spark, sf_dir)
     p = M.add_field(p, "lang", "x-%{verb}")
     p = M.add_tag(p, "parsed")
     p = M.add_tag(p, "parsed")
-    return p.select("url", F.col("lang").alias("lang_list"), "tags")
+    return p.select(
+        "url",
+        F.to_json(F.col("lang")).alias("lang_list"),
+        F.to_json(F.col("tags")).alias("tags"),
+    )
 
 
 @q(

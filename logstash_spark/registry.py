@@ -80,6 +80,9 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     # batch analog — declared no-op, matching reference semantics of "the
     # event passes through unchanged"
     "sleep": lambda df, **_: df,
+    # identity op: carries decorators for plugins whose attrs are ALL
+    # decorator options (e.g. `mutate { add_tag => [...] }`)
+    "noop": lambda df, **_: df,
     # `ruby` filter (default_plugins.rb:40): arbitrary user code per event.
     # The sanctioned escape hatch is Arrow-batched mapInPandas — user code
     # sees pandas DataFrames, never per-row interpretation; 1->N allowed

@@ -93,3 +93,30 @@ def test_nested_field_reference(spark):
     df = spark.createDataFrame([Row(outer=Row(inner="v"), arr=["x", "y"])])
     assert holds(Cmp(Field("[outer][inner]"), "==", "v"), df)
     assert holds(Cmp(Field("[arr][1]"), "==", "y"), df)
+
+
+def test_in_numeric_collections(spark):
+    """'[status] in [200, 404]' must work on numeric columns — casting the
+    item to string breaks array<int> analysis (round-2 regression fix)."""
+    df = spark.createDataFrame(
+        [(200, 200.0, [200, 500], ["a"])],
+        "status int, statusf double, codes array<int>, strs array<string>",
+    )
+    assert holds(In(Field("[status]"), [200, 404]), df)
+    assert not holds(In(Field("[status]"), [301, 404]), df)
+    assert holds(In(Field("[statusf]"), [200, 404]), df)  # double vs int literals
+    # field collection with numeric elements
+    assert holds(In(Field("[status]"), Field("[codes]")), df)
+    assert not holds(In(Field("[statusf]"), Field("[strs]")), df)
+    # string item against numeric field collection coerces via element type
+    assert holds(In("200", Field("[codes]")), df)
+
+
+def test_in_numeric_parsed_condition(spark):
+    """End-to-end through the parser: numbers in the in-list stay numeric."""
+    from logstash_spark.condparser import parse_condition
+
+    df = spark.createDataFrame([(404,)], "status int")
+    assert holds(parse_condition("[status] in [200, 404]"), df)
+    assert not holds(parse_condition("[status] in [200, 500]"), df)
+    assert holds(parse_condition("[status] not in [200, 500]"), df)

@@ -96,3 +96,22 @@ def test_spec_loader_fail_fast():
         from_dict({"outputs": [{"name": "x", "sink": {"type": "wat"}}]})
     with pytest.raises(CondSyntaxError):
         from_dict({"filters": [{"op": "grok", "when": "[a] =="}]})
+
+def test_boolean_operators_single_precedence_left_assoc(spark):
+    """The reference grammar folds and/or/xor/nand left-associatively at ONE
+    precedence level (grammar.rb:3329-3396), so 'a or b and c' is
+    '(a or b) and c' — NOT 'a or (b and c)'."""
+    from logstash_spark.condparser import parse_condition
+
+    # [a]=="x" true, [b]=="q" false, [c]=="q" false:
+    # (T or F) and F = false ; T or (F and F) = true
+    df = spark.createDataFrame([("x", "y", "z")], "a string, b string, c string")
+
+    def holds(src):
+        return df.select(parse_condition(src).compile(df).alias("v")).collect()[0]["v"]
+
+    assert not holds('[a] == "x" or [b] == "q" and [c] == "q"')
+    # parentheses restore conventional grouping
+    assert holds('[a] == "x" or ([b] == "q" and [c] == "q")')
+    # left-assoc chain with xor: ((T or F) xor F) = true
+    assert holds('[a] == "x" or [b] == "q" xor [c] == "q"')

@@ -243,3 +243,38 @@ def test_conf_compile_fuzz(spark, tmp_path):
         except NotImplementedError:
             # conditional clone/split/drop guard is an allowed outcome
             continue
+
+
+def test_multistage_plugin_gating_applies_to_every_substage(spark, tmp_path):
+    """A plugin that expands to several stages (mutate with several ops) must
+    carry the legacy type gate on EVERY emitted sub-stage — not just the last
+    one — or earlier sub-ops run ungated on all events."""
+    src = """
+    filter {
+      mutate {
+        type => "apache"
+        convert => { "n" => "integer" }
+        uppercase => [ "verb" ]
+        add_tag => [ "mutated" ]
+      }
+    }
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    assert len(pipe.filters) >= 2
+    assert all(st.type == "apache" for st in pipe.filters)
+    # decorators only fire once, on the final sub-stage
+    assert pipe.filters[-1].add_tag == ["mutated"]
+    assert all(st.add_tag == [] for st in pipe.filters[:-1])
+    df = spark.createDataFrame(
+        [("apache", "2", "get"), ("other", "3", "post")],
+        "type string, n string, verb string",
+    )
+    rows = {r["type"]: r for r in pipe.transform(df).collect()}
+    # note: a type-CHANGING convert under a conditional CASE-merges back to
+    # the common type (string) — the fixed-schema caveat documented at
+    # pipeline._conditional_apply; the gating semantics are what's pinned here
+    assert rows["apache"]["verb"] == "GET"
+    assert rows["apache"]["tags"] == ["mutated"]
+    # the non-matching event is untouched by every sub-op
+    assert rows["other"]["n"] == "3" and rows["other"]["verb"] == "post"
+    assert not rows["other"]["tags"]

@@ -1,0 +1,225 @@
+"""Nested field-reference WRITES + the hash-merge matrix + [@metadata].
+
+Reference pins:
+- accessors.rb:118-122 `set` auto-creates intermediate hashes; get/set
+  matrix spec/core/event_spec.rb:96-153.
+- util.rb:27-61 hash_merge matrix, pinned by event_spec.rb:172-232.
+- event.rb:126-147 [@metadata][x] addressing; excluded from serialization
+  (event.rb:298-306).
+"""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from logstash_spark.event import drop_path, field_col, set_path
+from logstash_spark.operators import mutate as M
+
+
+def one(spark, **fields):
+    return spark.createDataFrame([Row(**fields)])
+
+
+# --- set_path ---------------------------------------------------------------
+
+
+def test_set_nested_existing_struct(spark):
+    df = one(spark, a=Row(b="x", c=1))
+    out = set_path(df, "[a][b]", F.lit("y")).collect()[0]
+    assert out["a"]["b"] == "y" and out["a"]["c"] == 1
+
+
+def test_set_nested_new_field_in_struct(spark):
+    df = one(spark, a=Row(b="x"))
+    out = set_path(df, "[a][new]", F.lit(7)).collect()[0]
+    assert out["a"]["b"] == "x" and out["a"]["new"] == 7
+
+
+def test_set_nested_autocreates_top(spark):
+    """accessors.rb:118-122: intermediate hashes auto-created."""
+    df = one(spark, other=1)
+    out = set_path(df, "[a][b][c]", F.lit("deep")).collect()[0]
+    assert out["a"]["b"]["c"] == "deep"
+
+
+def test_set_nested_null_struct_materializes(spark):
+    """Writing into a NULL struct creates the hash, not null propagation."""
+    df = spark.createDataFrame([(None,)], "a struct<b:string, c:int>")
+    out = set_path(df, "[a][b]", F.lit("v")).collect()[0]
+    assert out["a"]["b"] == "v" and out["a"]["c"] is None
+
+
+def test_set_map_key(spark):
+    df = one(spark, m={"k1": "v1", "k2": "v2"})
+    rows = set_path(df, "[m][k1]", F.lit("new")).collect()[0]
+    assert rows["m"] == {"k1": "new", "k2": "v2"}
+    rows = set_path(df, "[m][k3]", F.lit("v3")).collect()[0]
+    assert rows["m"]["k3"] == "v3"
+
+
+def test_set_array_index(spark):
+    df = one(spark, arr=["a", "b", "c"])
+    assert set_path(df, "[arr][1]", F.lit("B")).collect()[0]["arr"] == ["a", "B", "c"]
+    # negative index counts from the end (Ruby array semantics)
+    assert set_path(df, "[arr][-1]", F.lit("Z")).collect()[0]["arr"] == ["a", "b", "Z"]
+
+
+def test_set_through_array_of_structs(spark):
+    df = one(spark, arr=[Row(x=1), Row(x=2)])
+    out = set_path(df, "[arr][0][x]", F.lit(9)).collect()[0]
+    assert [r["x"] for r in out["arr"]] == [9, 2]
+
+
+def test_set_clobbers_scalar_intermediate(spark):
+    """Documented divergence: reference raises per-event on non-hash
+    intermediates; fixed schema replaces the subtree."""
+    df = one(spark, a="scalar")
+    out = set_path(df, "[a][b]", F.lit("v")).collect()[0]
+    assert out["a"]["b"] == "v"
+
+
+# --- drop_path --------------------------------------------------------------
+
+
+def test_drop_nested_struct_field(spark):
+    df = one(spark, a=Row(b="x", c=1))
+    out = drop_path(df, "[a][b]")
+    assert "b" not in out.schema["a"].dataType.fieldNames()
+    assert out.collect()[0]["a"]["c"] == 1
+
+
+def test_drop_last_struct_field_nulls_parent(spark):
+    df = one(spark, a=Row(b="x"), keep=1)
+    out = drop_path(df, "[a][b]").collect()[0]
+    assert out["a"] is None and out["keep"] == 1
+
+
+def test_drop_map_key(spark):
+    df = one(spark, m={"k1": "v1", "k2": "v2"})
+    assert drop_path(df, "[m][k1]").collect()[0]["m"] == {"k2": "v2"}
+
+
+def test_drop_missing_is_noop(spark):
+    df = one(spark, a=Row(b="x"))
+    assert drop_path(df, "[a][zz]").collect()[0]["a"]["b"] == "x"
+    assert drop_path(df, "[nope][b]").collect()[0]["a"]["b"] == "x"
+
+
+# --- mutate wiring ----------------------------------------------------------
+
+
+def test_mutate_set_update_nested(spark):
+    df = one(spark, a=Row(b="x"))
+    assert M.set_field(df, "[a][b]", "y").collect()[0]["a"]["b"] == "y"
+    # update only fires when the path resolves
+    assert M.update_field(df, "[a][zz]", "v").collect()[0]["a"].asDict() == {"b": "x"}
+    assert M.update_field(df, "[a][b]", "u").collect()[0]["a"]["b"] == "u"
+
+
+def test_mutate_rename_nested(spark):
+    df = one(spark, a=Row(b="x", c=1))
+    out = M.rename(df, {"[a][b]": "[top]"})
+    row = out.collect()[0]
+    assert row["top"] == "x"
+    assert "b" not in out.schema["a"].dataType.fieldNames()
+    # missing source -> no-op
+    assert M.rename(df, {"[a][zz]": "t2"}).collect()[0]["a"]["b"] == "x"
+
+
+def test_mutate_add_field_nested_append(spark):
+    df = one(spark, a=Row(b="x"))
+    out = M.add_field(df, "[a][b]", "y").collect()[0]
+    assert out["a"]["b"] == ["x", "y"]
+    out2 = M.add_field(df, "[a][fresh]", "v").collect()[0]
+    assert out2["a"]["fresh"] == "v"
+
+
+def test_mutate_ops_on_nested(spark):
+    df = one(spark, a=Row(n="42", s="Hello-World"))
+    df = M.convert(df, {"[a][n]": "integer"})
+    df = M.gsub(df, [("[a][s]", "-", "_")])
+    df = M.lowercase(df, "[a][s]")
+    row = df.collect()[0]
+    assert row["a"]["n"] == 42 and row["a"]["s"] == "hello_world"
+
+
+def test_mutate_remove_field_nested(spark):
+    df = one(spark, a=Row(b="x", c=1))
+    out = M.remove_field(df, "[a][b]")
+    assert "b" not in out.schema["a"].dataType.fieldNames()
+
+
+# --- hash merge matrix (util.rb:27-61) --------------------------------------
+
+
+def test_merge_hash_hash_recursive(spark):
+    df = one(
+        spark,
+        d=Row(shared=Row(x="1"), donly="d"),
+        s=Row(shared=Row(y="2"), sonly="s"),
+    )
+    row = M.merge(df, "d", "s").collect()[0]["d"]
+    assert row["shared"]["x"] == "1" and row["shared"]["y"] == "2"
+    assert row["donly"] == "d" and row["sonly"] == "s"
+
+
+def test_merge_hash_scalar_conflict_arrays(spark):
+    """Per-key scalar conflicts inside a hash: equal keeps one, different
+    makes [d, s] (normalized to 1-arrays under the fixed schema)."""
+    df = one(spark, d=Row(k="same", j="old"), s=Row(k="same", j="new"))
+    row = M.merge(df, "d", "s").collect()[0]["d"]
+    assert row["k"] == ["same"] and row["j"] == ["old", "new"]
+
+
+def test_merge_map_map(spark):
+    df = one(spark, d={"a": "1", "b": "x"}, s={"b": "x", "c": "3"})
+    m = M.merge(df, "d", "s").collect()[0]["d"]
+    assert m["a"] == "1" and m["b"] == "x" and m["c"] == "3"
+
+
+def test_merge_array_scalar_append_unless_included(spark):
+    df = one(spark, d=["a", "b"], s="b")
+    assert M.merge(df, "d", "s").collect()[0]["d"] == ["a", "b"]
+    df2 = one(spark, d=["a", "b"], s="c")
+    assert M.merge(df2, "d", "s").collect()[0]["d"] == ["a", "b", "c"]
+
+
+def test_merge_scalar_array(spark):
+    df = one(spark, d="x", s=["x", "y"])
+    assert M.merge(df, "d", "s").collect()[0]["d"] == ["x", "y"]
+
+
+def test_merge_scalar_scalar_equal_vs_diff(spark):
+    df = one(spark, d="v", s="v")
+    assert M.merge(df, "d", "s").collect()[0]["d"] == ["v"]
+    df2 = one(spark, d="v", s="w")
+    assert M.merge(df2, "d", "s").collect()[0]["d"] == ["v", "w"]
+
+
+def test_merge_hash_vs_scalar_keeps_dst(spark):
+    df = one(spark, d=Row(k="1"), s="scalar")
+    assert M.merge(df, "d", "s").collect()[0]["d"]["k"] == "1"
+
+
+# --- [@metadata] addressing (event.rb:126-147) ------------------------------
+
+
+def test_metadata_ref_maps_to_meta_column(spark):
+    df = one(spark, msg="m")
+    df = M.set_field(df, "[@metadata][dest]", "idx-7")
+    assert "_meta_dest" in df.columns
+    assert df.collect()[0]["_meta_dest"] == "idx-7"
+    # readable back through the same syntax
+    assert df.select(field_col("[@metadata][dest]").alias("v")).collect()[0]["v"] == "idx-7"
+
+
+def test_metadata_stripped_at_sink(spark):
+    from logstash_spark.sinks import strip_internal
+
+    df = M.set_field(one(spark, msg="m"), "[@metadata][x]", "v")
+    assert "_meta_x" not in strip_internal(df).columns
+
+
+def test_metadata_nested(spark):
+    df = one(spark, msg="m")
+    df = M.set_field(df, "[@metadata][a][b]", "deep")
+    assert df.collect()[0]["_meta_a"]["b"] == "deep"
