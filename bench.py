@@ -71,6 +71,8 @@ def force(df) -> int:
 def run_headline(spark, sf_dir: str) -> dict:
     from logstash_spark.queries import QUERIES
 
+    from logstash_spark.functions.dedup import release_cached
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -78,6 +80,7 @@ def run_headline(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         force(df)
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_cached()  # dedup queries persist shingle frames; don't leak
     return timings
 
 

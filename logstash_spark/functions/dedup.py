@@ -31,6 +31,31 @@ from pyspark.sql import Window as W
 
 from logstash_spark.functions.text import normalize_text
 
+# Persist-handle registry: the shingle frames below must stay cached until
+# the RETURNED DataFrame is materialized (the cache doubles as the
+# pushdown barrier), so the functions cannot unpersist before returning.
+# Long-lived sessions call release_cached() between jobs to stop executor
+# storage from leaking across repeated calls (bench.py does).
+_PERSISTED: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    h = df.persist()
+    _PERSISTED.append(h)
+    return h
+
+
+def release_cached() -> int:
+    """Unpersist every frame cached by dedup calls so far; returns count."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -92,6 +117,47 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
+def cap_hot_buckets(df: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
+    """Drop rows in buckets with more than ``cap`` members — the standard
+    LSH hot-band treatment.
+
+    A boilerplate-heavy web corpus concentrates a huge share of docs in a
+    few buckets (empty pages, templated headers); a bucket-local self-join
+    is O(bucket²) PAIRS in one task, which AQE cannot split (skew-join
+    splits partitions, not the pair count). Pairs inside dropped buckets
+    are lost by design (exact duplicates belong to dedup_exact upstream).
+
+    Implemented as a window count over the bucket key: the window's shuffle
+    partitioning is the SAME key the subsequent self-join uses, so Catalyst
+    reuses the exchange — the cap costs no extra shuffle. Dropped-bucket
+    accounting (no-silent-caps rule): use :func:`hot_bucket_stats` — an
+    always-on count would force an extra action on the hot path.
+    """
+    w = W.partitionBy(*bucket_cols)
+    return (
+        df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )
+
+
+def hot_bucket_stats(df: DataFrame, bucket_cols: list[str], cap: int) -> dict:
+    """Accounting for cap_hot_buckets: how many buckets/rows a given cap
+    would drop. Separate action by design — call it when you need the
+    numbers (tests, pipeline health checks), not on the hot path."""
+    agg = (
+        df.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .agg(
+            F.count(F.lit(1)).alias("dropped_buckets"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("dropped_rows"),
+        )
+        .first()
+    )
+    return {"dropped_buckets": agg["dropped_buckets"], "dropped_rows": agg["dropped_rows"]}
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (bucketed brute force)
 # ---------------------------------------------------------------------------
@@ -105,6 +171,7 @@ def dedup_ngram_jaccard(
     k: int = 3,
     threshold: float = 0.6,
     bucket_by: str = "first_shingle",
+    bucket_cap: int = 2048,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) with shingle-Jaccard >= threshold.
 
@@ -113,17 +180,21 @@ def dedup_ngram_jaccard(
     join, never a cartesian). Near-dups with threshold >= ~0.5 share their
     min-shingle with high probability; exactness is restored by the final
     Jaccard filter (this is a recall/efficiency trade documented here).
+    Buckets above ``bucket_cap`` members are dropped before the self-join
+    (see cap_hot_buckets) — otherwise one boilerplate bucket is O(bucket²)
+    pairs in a single task.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     # NOTE the filter comes AFTER persist: predicate pushdown would otherwise
     # substitute the full shingle expression into the filter condition and
     # push it below the repartition — re-running the (lambda-inlined, ~30x
     # slower) shingling on the unparallelized input. The cache is the barrier.
-    sh = with_shingles(
+    sh = _persist_tracked(with_shingles(
         df.select(F.col(id_col).alias("id"), F.col(text_col)).repartition(par),
         text_col, k,
-    ).select("id", "sh").persist()
+    ).select("id", "sh"))
     sh = sh.filter(F.size("sh") > 0).withColumn("bucket", F.array_min("sh"))
+    sh = cap_hot_buckets(sh, ["bucket"], bucket_cap)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "bucket")
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
@@ -172,15 +243,15 @@ def dedup_minhash_lsh(
     base = (
         # repartition: a small parquet reads as few splits; the per-row
         # shingle/hash work needs full parallelism regardless of input layout
-        with_shingles(
-            df.select(F.col(id_col).alias("id"), F.col(text_col)).repartition(par),
-            text_col, k,
+        # persisted (tracked): reused by the candidate-verification join
+        # below; the cache also stops predicate pushdown from inlining the
+        # shingle expression into the size() filter below the repartition
+        _persist_tracked(
+            with_shingles(
+                df.select(F.col(id_col).alias("id"), F.col(text_col)).repartition(par),
+                text_col, k,
+            ).select("id", "sh")
         )
-        .select("id", "sh")
-        # persisted: reused by the candidate-verification join below; the
-        # cache also stops predicate pushdown from inlining the shingle
-        # expression into the size() filter below the repartition
-        .persist()
         .filter(F.size("sh") > 0)
     )
     # Signature via explode + k flat min-aggregates, NOT nested HOF lambdas:
@@ -267,15 +338,19 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", ou
 
 
 def simhash_near_dups(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8,
+    bucket_cap: int = 2048,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top-16-bit prefix, compare
     within buckets with bit_count(xor) <= max_hamming. (Production variant
     uses 4 rotated prefix tables for full recall; single-prefix documented
-    as the recall trade.)"""
+    as the recall trade.) Prefix buckets above ``bucket_cap`` members are
+    dropped before the self-join (cap_hot_buckets — near-identical
+    boilerplate all lands on one prefix and goes quadratic otherwise)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     s = _simhash_ids(df.repartition(par), text_col=text_col, id_col=id_col, out="simhash")
     s = s.withColumn("prefix", F.shiftrightunsigned(F.col("simhash"), 48))
+    s = cap_hot_buckets(s, ["prefix"], bucket_cap)
     a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "prefix")
     b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "prefix")
     pairs = a.join(b, "prefix").filter(F.col("id_a") < F.col("id_b"))

@@ -193,28 +193,54 @@ def lsh_topk(
     return out.select("query_id", "nbr_id", "rank", F.round("cos", 4).alias("cos"))
 
 
+#: hard cap on the driver-collected vector count in near_dup_pairs: above
+#: this the collect is a driver OOM at scale, so the call auto-routes
+#: through the distributed LSH-bucketed path (or raises, per on_overflow).
+NEAR_DUP_COLLECT_CAP = 1_000_000
+
+
 def near_dup_pairs(
     docs: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float,
+    max_collect: int = NEAR_DUP_COLLECT_CAP,
+    on_overflow: str = "lsh",
 ) -> DataFrame:
     """All pairs with cosine >= threshold (exact, order-stable values).
 
-    Blocked matrix-product design: the (small-by-contract, broadcastable)
-    vector set ships to every executor once as a dense float64 matrix; each
+    Blocked matrix-product design: the (small, broadcastable) vector set
+    ships to every executor once as a dense float64 matrix; each
     partition's row block computes `block @ M.T` in BLAS and emits only the
     surviving (id_a < id_b) candidate pairs — data through Python is O(n)
     rows, never the O(n^2 * d) pair materialization a self-join would ship.
     The few survivors are then re-scored with the JVM expression fold so the
     emitted values are bit-identical to the SQL oracle regardless of BLAS
-    summation order (1e-6 candidate slack covers the gap). At corpus sizes
-    where M no longer broadcasts, LSH bucketing (lsh_topk) prunes first.
+    summation order (1e-6 candidate slack covers the gap).
+
+    The broadcast contract is ENFORCED, not assumed: a cheap limit-probe
+    counts up to ``max_collect``+1 rows first. Above the cap the call either
+    routes through :func:`near_dup_pairs_lsh` (``on_overflow='lsh'``, the
+    distributed hyperplane-bucketed path — approximate candidate recall,
+    exact re-score) or raises (``on_overflow='error'``).
     """
     from typing import Iterator
 
     v = docs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e"))
+    # limit-probe: stops scanning after max_collect+1 rows, so the guard is
+    # O(cap) not O(corpus)
+    n_probe = v.limit(max_collect + 1).count()
+    if n_probe > max_collect:
+        if on_overflow == "lsh":
+            return near_dup_pairs_lsh(
+                docs, id_col=id_col, vec_col=vec_col, threshold=threshold
+            )
+        raise ValueError(
+            f"near_dup_pairs: vector set exceeds max_collect={max_collect} "
+            "(driver-collect would OOM at scale); use on_overflow='lsh' or "
+            "call near_dup_pairs_lsh directly"
+        )
     rows = v.collect()  # the broadcastable dimension, same contract as a broadcast join
     all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
     M = np.vstack([np.asarray(r["e"], dtype=np.float64) for r in rows])
@@ -237,6 +263,55 @@ def near_dup_pairs(
     par = docs.sparkSession.sparkContext.defaultParallelism
     cand = v.repartition(par).mapInPandas(block, "id_a long, id_b long")
     # exact re-score of the (few) survivors with the expression engine
+    va = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"))
+    exact = cand.join(va, "id_a").join(vb, "id_b").withColumn(
+        "_c", cosine(F.col("ea"), F.col("eb"))
+    )
+    return exact.filter(F.col("_c") >= threshold).select(
+        "id_a", "id_b", F.round("_c", 4).alias("cos")
+    )
+
+
+def near_dup_pairs_lsh(
+    docs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float,
+    num_planes: int = 12,
+    tables: int = 4,
+    bucket_cap: int = 2048,
+) -> DataFrame:
+    """Distributed near-dup pairs: hyperplane-bucketed candidates, exact
+    re-score — the 100 TB path (no driver collect, no cartesian).
+
+    OR over ``tables`` independent hyperplane tables bounds the recall loss
+    (a pair at cosine c collides in one table with p = 1-(theta/pi)^planes…
+    amplified across tables); candidates are exact-rescored so precision is
+    exact. The candidate self-join ships ids only; vectors re-attach after
+    dedup. Buckets above ``bucket_cap`` members are dropped (hot-band
+    treatment — boilerplate corpora concentrate in a few buckets and make
+    the bucket-local join quadratic); exact duplicates belong to
+    dedup_exact upstream.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    v = docs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
+    ).repartition(par)
+    b = _hyperplane_buckets(v, num_planes=num_planes, tables=tables)
+    wb = W.partitionBy("t", "bucket")
+    b = b.withColumn("_bn", F.count(F.lit(1)).over(wb)).filter(
+        F.col("_bn") <= bucket_cap
+    ).drop("_bn")
+    a_side = b.select(F.col("id").alias("id_a"), "t", "bucket")
+    b_side = b.select(F.col("id").alias("id_b"), "t", "bucket")
+    cand = (
+        a_side.join(b_side, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     va = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"))
     vb = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"))
     exact = cand.join(va, "id_a").join(vb, "id_b").withColumn(

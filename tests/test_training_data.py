@@ -150,3 +150,95 @@ def test_minhash_lsh_recall_vs_exhaustive(spark):
     lsh = {(r["id_a"], r["id_b"]) for r in dedup_minhash_lsh(d, threshold=0.5).collect()}
     assert exact  # the table does contain near-dups
     assert lsh == exact  # measured: full recall, exact precision at this scale
+
+
+# --- round-2 scale guards ---------------------------------------------------
+
+
+def test_near_dup_pairs_guard_raises_and_reroutes(spark):
+    from logstash_spark.functions.similarity import near_dup_pairs
+
+    import numpy as np
+    import pytest
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    vecs = []
+    for i in range(30):
+        if i % 3 == 0:
+            v = base + rng.randn(8) * 0.01  # tight near-dup cluster
+        else:
+            v = rng.randn(8)
+        vecs.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    exact = near_dup_pairs(df, threshold=0.98)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert exact_pairs  # cluster members pair up
+
+    with pytest.raises(ValueError, match="max_collect"):
+        near_dup_pairs(df, threshold=0.98, max_collect=10, on_overflow="error")
+
+    # over the cap with on_overflow='lsh': distributed path, no collect;
+    # candidates are approximate but precision is exact (re-scored)
+    rerouted = near_dup_pairs(df, threshold=0.98, max_collect=10, on_overflow="lsh")
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in rerouted.collect()}
+    assert lsh_pairs <= exact_pairs
+    # with 4 OR-tables at 12 planes, the tight cluster must mostly survive
+    assert len(lsh_pairs) >= len(exact_pairs) * 0.7
+
+
+def test_hot_bucket_cap_bounds_quadratic_blowup(spark):
+    """10k identical-prefix docs: without the cap the bucket self-join is
+    ~100M pairs in one task; with it the query finishes and the dropped
+    bucket is accounted for by hot_bucket_stats."""
+    from logstash_spark.functions.dedup import (
+        dedup_ngram_jaccard,
+        hot_bucket_stats,
+        release_cached,
+        simhash_near_dups,
+        with_shingles,
+    )
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit page %d"
+    texts = [boiler % (i % 5) for i in range(10_000)]
+    texts += ["completely different unique document standing alone here kind one",
+              "completely different unique document standing alone here kind two"]
+    d = docs(spark, texts)
+
+    out = dedup_ngram_jaccard(d, threshold=0.5, bucket_cap=64)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # boilerplate bucket dropped; the two unique near-dups survive
+    assert (10_000, 10_001) in pairs
+    assert len(pairs) < 1000
+
+    sh = with_shingles(d.select(F.col("doc_id").alias("id"), "text"), "text", 3)
+    sh = sh.filter(F.size("sh") > 0).withColumn("bucket", F.array_min("sh"))
+    stats = hot_bucket_stats(sh, ["bucket"], 64)
+    assert stats["dropped_rows"] >= 10_000 and stats["dropped_buckets"] >= 1
+
+    out2 = simhash_near_dups(d, max_hamming=4, bucket_cap=64)
+    assert out2.count() < 5000  # bounded, finishes
+    release_cached()
+
+
+def test_bucket_cap_no_change_on_normal_corpus(spark):
+    """Default cap (2048) leaves the testdata corpus untouched — pairs
+    output identical with and without the cap."""
+    from logstash_spark.functions.dedup import dedup_ngram_jaccard, release_cached
+
+    texts = [f"doc {i} the quick brown fox jumps over lazy dog variant {i % 7}" for i in range(200)]
+    d = docs(spark, texts)
+    with_cap = {(r["id_a"], r["id_b"]) for r in dedup_ngram_jaccard(d, threshold=0.5).collect()}
+    without = {(r["id_a"], r["id_b"]) for r in dedup_ngram_jaccard(d, threshold=0.5, bucket_cap=10**9).collect()}
+    assert with_cap == without
+    release_cached()
+
+
+def test_release_cached_unpersists(spark):
+    from logstash_spark.functions.dedup import dedup_ngram_jaccard, release_cached
+
+    d = docs(spark, ["a b c d e f", "a b c d e g"])
+    dedup_ngram_jaccard(d, threshold=0.1).collect()
+    assert release_cached() >= 1
+    assert release_cached() == 0
