@@ -230,6 +230,7 @@ def dedup_minhash_lsh(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs verified by exact Jaccard.
 
@@ -237,6 +238,11 @@ def dedup_minhash_lsh(
     probability curve s^4 per band. Shuffles: one explode+groupBy-free join
     on (band, band_hash) — at 100 TB the candidate join dominates; band
     buckets bound its size.
+
+    ``hash_fn``: 'xxhash64' (production default — cheapest JVM hash) or
+    'md5' (hex-string minhashes via md5(shingle|salt), string min; exists
+    so the construction is value-verifiable against DuckDB, which has md5
+    but not xxhash64 — same algorithm, same banding, different hash family).
     """
     rows_per_band = num_hashes // bands
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -261,17 +267,28 @@ def dedup_minhash_lsh(
     # The relational formulation is also the right 100 TB shape: partial
     # min() aggregation collapses to one row per doc map-side, so the only
     # shuffle carries k longs per document.
-    tok = base.select("id", F.explode("sh").alias("s")).select(
-        "id", F.xxhash64("s").alias("h")
-    )
-    sig = tok.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)]
-    )
+    if hash_fn == "md5":
+        tok = base.select("id", F.explode("sh").alias("s"))
+        sig = tok.groupBy("id").agg(
+            *[
+                F.min(F.md5(F.concat_ws("|", F.col("s"), F.lit(str(i))))).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        band_hash = lambda cols: F.md5(F.concat_ws("|", *cols))  # noqa: E731
+    else:
+        tok = base.select("id", F.explode("sh").alias("s")).select(
+            "id", F.xxhash64("s").alias("h")
+        )
+        sig = tok.groupBy("id").agg(
+            *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)]
+        )
+        band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
     # band hash over the band's slice of the signature (one flat expr each)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]).alias("bh"),
+            band_hash([F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]).alias("bh"),
         )
         for b in range(bands)
     ]
@@ -304,22 +321,43 @@ def dedup_minhash_lsh(
 # ---------------------------------------------------------------------------
 
 
-def _simhash_ids(df: DataFrame, *, text_col: str, id_col: str, out: str) -> DataFrame:
+def _simhash_ids(
+    df: DataFrame, *, text_col: str, id_col: str, out: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """(id, simhash) via explode + 64 flat sum-aggregates.
 
-    bit_j = 1 iff sum over tokens of sign(bit j of xxhash64(token)) > 0.
+    bit_j = 1 iff sum over tokens of sign(bit j of hash(token)) > 0.
     The relational shape (explode -> partial-agg -> final-agg) keeps every
     expression flat and codegen'd; a nested aggregate()/zip_with() lambda
     formulation is interpreted per element and measured ~10x slower. The
     shuffle carries 64 longs per doc (post partial aggregation).
+
+    ``hash_fn='md5'``: token bits come from the first 16 hex chars of
+    md5(token), decoded nibble-wise (conv of one hex digit) — the DuckDB-
+    verifiable family (see dedup_minhash_lsh); 'xxhash64' is production.
     """
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_w"),
-    ).select("id", F.xxhash64("_w").alias("h"))
+    )
+    if hash_fn == "md5":
+        tok = tok.select("id", F.md5("_w").alias("hx"))
+
+        def bit(j: int):
+            # nibble j//4 counted from the LEAST significant end of the
+            # 64-bit value = hex char at 1-based position 16 - j//4
+            nib = F.conv(F.substring(F.col("hx"), 16 - j // 4, 1), 16, 10).cast("int")
+            return F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
+
+    else:
+        tok = tok.select("id", F.xxhash64("_w").alias("h"))
+
+        def bit(j: int):
+            return F.getbit(F.col("h"), F.lit(j))
+
     votes = tok.groupBy("id").agg(
         *[
-            F.sum(F.when(F.getbit(F.col("h"), F.lit(j)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+            F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"v{j}")
             for j in range(64)
         ]
     )
@@ -339,7 +377,7 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", ou
 
 def simhash_near_dups(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8,
-    bucket_cap: int = 2048,
+    bucket_cap: int = 2048, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top-16-bit prefix, compare
     within buckets with bit_count(xor) <= max_hamming. (Production variant
@@ -348,7 +386,9 @@ def simhash_near_dups(
     dropped before the self-join (cap_hot_buckets — near-identical
     boilerplate all lands on one prefix and goes quadratic otherwise)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    s = _simhash_ids(df.repartition(par), text_col=text_col, id_col=id_col, out="simhash")
+    s = _simhash_ids(
+        df.repartition(par), text_col=text_col, id_col=id_col, out="simhash", hash_fn=hash_fn
+    )
     s = s.withColumn("prefix", F.shiftrightunsigned(F.col("simhash"), 48))
     s = cap_hot_buckets(s, ["prefix"], bucket_cap)
     a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "prefix")

@@ -102,7 +102,8 @@ def hyperplane_signature(vec: Column, num_planes: int = 16, seed: int = 42) -> C
 
 
 def _hyperplane_buckets(
-    v: DataFrame, *, num_planes: int, tables: int, base_seed: int = 42
+    v: DataFrame, *, num_planes: int, tables: int, base_seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, t, bucket) per vector per table, via explode + flat sum-aggs.
 
@@ -118,8 +119,22 @@ def _hyperplane_buckets(
     aggs = []
     for t in range(tables):
         for p in range(num_planes):
-            h = F.xxhash64(F.lit(base_seed + t), F.lit(p), F.col("dim"))
-            signed = F.when(h.bitwiseAND(F.lit(1)) == 1, F.col("val")).otherwise(-F.col("val"))
+            if hash_fn == "md5":
+                # DuckDB-verifiable plane family: sign bit = parity of the
+                # first hex digit of md5("seed|plane|dim")
+                hx = F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(base_seed + t)),
+                        F.lit(str(p)),
+                        F.col("dim").cast("string"),
+                    )
+                )
+                parity = F.conv(F.substring(hx, 1, 1), 16, 10).cast("int").bitwiseAND(F.lit(1))
+            else:
+                h = F.xxhash64(F.lit(base_seed + t), F.lit(p), F.col("dim"))
+                parity = h.bitwiseAND(F.lit(1))
+            signed = F.when(parity == 1, F.col("val")).otherwise(-F.col("val"))
             aggs.append(F.sum(signed).alias(f"d_{t}_{p}"))
     dots = tok.groupBy("id").agg(*aggs)
     rows = []
@@ -148,6 +163,8 @@ def lsh_topk(
     multiprobe: int = 1,
     tables: int = 1,
     exclude_self: bool = True,
+    hash_fn: str = "xxhash64",
+    round_before_rank: bool = False,
 ) -> DataFrame:
     """Approximate top-k: equi-join on hyperplane buckets, exact re-rank.
 
@@ -166,8 +183,8 @@ def lsh_topk(
     par = docs.sparkSession.sparkContext.defaultParallelism
     d_vec = docs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")).repartition(par)
     q_vec = queries.select(F.col(qid_col).alias("id"), F.col(qvec_col).cast("array<double>").alias("e"))
-    d_b = _hyperplane_buckets(d_vec, num_planes=num_planes, tables=tables)
-    q_b = _hyperplane_buckets(q_vec, num_planes=num_planes, tables=tables)
+    d_b = _hyperplane_buckets(d_vec, num_planes=num_planes, tables=tables, hash_fn=hash_fn)
+    q_b = _hyperplane_buckets(q_vec, num_planes=num_planes, tables=tables, hash_fn=hash_fn)
     if multiprobe >= 1:
         # bucket + every 1-bit flip per table, exploded on the query side only
         probes = F.array_union(
@@ -188,6 +205,10 @@ def lsh_topk(
     if exclude_self:
         cand = cand.filter(F.col("nbr_id") != F.col("query_id"))
     cand = cand.withColumn("cos", cosine(F.col("v"), F.col("qv")))
+    if round_before_rank:
+        # rank on the ROUNDED similarity so near-ties order identically
+        # across engines (same convention as the ann_cosine_topk oracle)
+        cand = cand.withColumn("cos", F.round("cos", 4))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     out = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     return out.select("query_id", "nbr_id", "rank", F.round("cos", 4).alias("cos"))

@@ -686,20 +686,98 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ngram_jaccard(d, threshold=0.6)
 
 
-@q("dedup_minhash_lsh")  # xxhash64 has no DuckDB equivalent -> rows-only check
+def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """DuckDB replica of dedup_minhash_lsh(hash_fn='md5'): hex-string
+    minhashes (md5(shingle|salt), lexicographic min — identical ordering in
+    both engines), banded with md5 over the band slice."""
+    rpb = num_hashes // bands
+    mh_aggs = ",\n         ".join(
+        f"min(md5(s || '|' || '{i}')) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b, concat=" || '|' || ".join(f"mh{b * rpb + j}" for j in range(rpb))
+        )
+        for b in range(bands)
+    )
+    return f"""WITH sh0 AS (
+  SELECT doc_id AS id, list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+    i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+  )) AS sh
+  FROM documents
+), base AS (
+  SELECT id, sh FROM sh0 WHERE len(sh) > 0
+), tok AS (
+  SELECT id, unnest(sh) AS s FROM base
+), sig AS (
+  SELECT id, {mh_aggs}
+  FROM tok GROUP BY id
+), banded AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+  FROM banded a JOIN banded c ON a.band = c.band AND a.bh = c.bh AND a.id < c.id
+)
+SELECT cand.id_a, cand.id_b,
+       ROUND(len(list_intersect(x.sh, y.sh)) /
+             CAST(greatest(len(list_distinct(list_concat(x.sh, y.sh))), 1) AS DOUBLE), 4) AS jaccard
+FROM cand JOIN base x ON x.id = cand.id_a JOIN base y ON y.id = cand.id_b
+WHERE len(list_intersect(x.sh, y.sh)) /
+      CAST(greatest(len(list_distinct(list_concat(x.sh, y.sh))), 1) AS DOUBLE) >= {threshold}"""
+
+
+@q("dedup_minhash_lsh", _minhash_md5_oracle())
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate configuration runs hash_fn='md5' so DuckDB can value-verify the
+    whole LSH construction (xxhash64 — the production default — has no
+    DuckDB equivalent; same algorithm either way)."""
     from logstash_spark.functions.dedup import dedup_minhash_lsh
 
     d = load_table(spark, sf_dir, "documents")
-    return dedup_minhash_lsh(d, threshold=0.5)
+    return dedup_minhash_lsh(d, threshold=0.5, hash_fn="md5")
 
 
-@q("dedup_simhash")  # xxhash64-based -> rows-only check
+def _simhash_md5_oracle(max_hamming: int = 8) -> str:
+    """DuckDB replica of simhash_near_dups(hash_fn='md5'): token bits from
+    the first 16 hex chars of md5(token), nibble-decoded; 64 bit-votes;
+    top-16-bit prefix buckets; hamming via bit_count(xor)."""
+    vote_aggs = ",\n         ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1) >> {sh}) & 1 = 1 "
+        "THEN 1 ELSE -1 END) AS v{j}".format(pos=16 - j // 4, sh=j % 4, j=j)
+        for j in range(64)
+    )
+    # j=63 sets the sign bit: DuckDB raises on (1::BIGINT << 63), so add the
+    # two's-complement value directly (Spark's shiftleft wraps to the same)
+    bit_terms = " + ".join(
+        f"((CASE WHEN v{j} > 0 THEN 1 ELSE 0 END)::BIGINT << {j})" for j in range(63)
+    ) + " + (CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    return f"""WITH tokens AS (
+  SELECT doc_id AS id, unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+), th AS (
+  SELECT id, md5(w) AS hx FROM tokens
+), votes AS (
+  SELECT id, {vote_aggs}
+  FROM th GROUP BY id
+), sims AS (
+  SELECT id, {bit_terms} AS simhash FROM votes
+), s AS (
+  SELECT id, simhash, (simhash >> 48) & 65535 AS prefix FROM sims
+)
+SELECT a.id AS id_a, c.id AS id_b,
+       CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+FROM s a JOIN s c ON a.prefix = c.prefix AND a.id < c.id
+WHERE bit_count(xor(a.simhash, c.simhash)) <= {max_hamming}"""
+
+
+@q("dedup_simhash", _simhash_md5_oracle())
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate configuration runs hash_fn='md5' (DuckDB-verifiable bit family);
+    production default stays xxhash64."""
     from logstash_spark.functions.dedup import simhash_near_dups
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_dups(d, max_hamming=8)
+    return simhash_near_dups(d, max_hamming=8, hash_fn="md5")
 
 
 # ---------------------------------------------------------------------------
@@ -747,17 +825,73 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ann_lsh_topk")  # hyperplanes derive from xxhash64 -> rows-only check
+def _ann_md5_oracle(num_planes: int = 6, tables: int = 8, k: int = 5, seed: int = 42) -> str:
+    """DuckDB replica of lsh_topk(hash_fn='md5', round_before_rank=True):
+    hyperplane sign = parity of the first hex digit of md5('seed|plane|dim'),
+    bucket bits MSB-first, OR over tables, 1-bit multiprobe on the query
+    side, exact cosine re-rank on the ROUNDED similarity."""
+    dot_aggs = ",\n         ".join(
+        "SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5('{s}' || '|' || '{p}' || '|' || dim), 1, 1)) - 1) & 1 = 1 "
+        "THEN val ELSE -val END) AS d_{t}_{p}".format(s=seed + t, p=p, t=t)
+        for t in range(tables)
+        for p in range(num_planes)
+    )
+    bucket_selects = "\n  UNION ALL\n  ".join(
+        "SELECT id, {t} AS t, {bits} AS bucket FROM dots".format(
+            t=t,
+            bits=" + ".join(
+                f"((CASE WHEN d_{t}_{p} > 0 THEN 1 ELSE 0 END)::BIGINT << {num_planes - 1 - p})"
+                for p in range(num_planes)
+            ),
+        )
+        for t in range(tables)
+    )
+    return f"""WITH docs AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+), dims AS (
+  SELECT id, unnest(e) AS val, unnest(range(0, len(e))) AS dim FROM docs
+), dots AS (
+  SELECT id, {dot_aggs}
+  FROM dims GROUP BY id
+), buckets AS (
+  {bucket_selects}
+), probes AS (
+  SELECT id, t, unnest(list_prepend(bucket,
+    list_transform(range(0, {num_planes}), j -> xor(bucket, (1::BIGINT << j))))) AS bucket
+  FROM buckets WHERE id < 5
+), cand AS (
+  SELECT DISTINCT p.id AS query_id, d.id AS nbr_id
+  FROM buckets d JOIN probes p ON d.t = p.t AND d.bucket = p.bucket
+  WHERE d.id <> p.id
+), scored AS (
+  SELECT c.query_id, c.nbr_id,
+         ROUND(list_dot_product(dv.e, qv.e) /
+               (sqrt(list_dot_product(dv.e, dv.e)) * sqrt(list_dot_product(qv.e, qv.e))), 4) AS cos
+  FROM cand c JOIN docs dv ON dv.id = c.nbr_id JOIN docs qv ON qv.id = c.query_id
+), ranked AS (
+  SELECT query_id, nbr_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= {k}"""
+
+
+@q("ann_lsh_topk", _ann_md5_oracle())
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate configuration runs hash_fn='md5' + rank-on-rounded-cos so DuckDB
+    can value-verify bucketing, multiprobe and re-rank; production default
+    is xxhash64 planes. 8 tables x 6 planes x 1-bit multiprobe: measured
+    recall@5 = 0.89 vs brute force (tests/test_training_data.py)."""
     from logstash_spark.functions.similarity import lsh_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    # 8 tables x 6 planes x 1-bit multiprobe: measured recall@5 = 0.89 vs
-    # brute force on this table (tests/test_training_data.py)
-    return lsh_topk(e, qs, k=5, num_planes=6, tables=8, multiprobe=1)
+    return lsh_topk(
+        e, qs, k=5, num_planes=6, tables=8, multiprobe=1,
+        hash_fn="md5", round_before_rank=True,
+    )
 
 
 @q("media_features")  # synthetic media + mapInPandas plumbing -> rows-only

@@ -242,3 +242,40 @@ def test_release_cached_unpersists(spark):
     dedup_ngram_jaccard(d, threshold=0.1).collect()
     assert release_cached() >= 1
     assert release_cached() == 0
+
+
+def test_md5_hash_family_modes(spark):
+    """hash_fn='md5' (the DuckDB-verifiable gate family) finds the same
+    near-dup structure as the production xxhash64 family."""
+    from logstash_spark.functions.dedup import (
+        dedup_minhash_lsh,
+        release_cached,
+        simhash_near_dups,
+    )
+    from logstash_spark.functions.similarity import lsh_topk
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    near = "one two three four five six seven eight nine ten eleven thirteen"
+    far = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = docs(spark, [base, near, far])
+    pairs = [(r["id_a"], r["id_b"]) for r in dedup_minhash_lsh(d, threshold=0.4, hash_fn="md5").collect()]
+    assert (0, 1) in pairs and len(pairs) == 1
+    release_cached()
+
+    words = [f"word{i}" for i in range(60)]
+    d2 = docs(spark, [" ".join(words), " ".join(words[:-1] + ["changed"]), "zzz " * 40])
+    out = simhash_near_dups(d2, max_hamming=16, hash_fn="md5")
+    assert (0, 1) in [(r["id_a"], r["id_b"]) for r in out.collect()]
+
+    import numpy as np
+    rng = np.random.RandomState(3)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = lsh_topk(df, qs, k=3, num_planes=4, tables=4, hash_fn="md5", round_before_rank=True)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r["nbr_id"])
+    assert set(by_q) == {0, 1, 2} and all(len(v) == 3 for v in by_q.values())
