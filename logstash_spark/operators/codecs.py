@@ -106,3 +106,290 @@ def rubydebug(df: DataFrame, n: int = 20) -> None:
     """rubydebug codec analog: pretty-print events to the console
     (agent.rb:104 default stdout codec). Diagnostic only."""
     df.show(n=n, truncate=False, vertical=True)
+
+
+# ---------------------------------------------------------------------------
+# graphite codec (default_plugins.rb:13) — pure exprs both directions
+# ---------------------------------------------------------------------------
+
+
+def decode_graphite(df: DataFrame, source: str = "message") -> DataFrame:
+    """graphite line protocol decode: ``metric value timestamp`` per line ->
+    (metric string, value double, graphite_ts timestamp). Malformed lines
+    yield nulls (the codec logs+skips; fixed schema keeps the row)."""
+    parts = F.split(F.trim(F.col(source)), r"\s+")
+    return (
+        df.withColumn("metric", parts.getItem(0))
+        .withColumn("value", parts.getItem(1).try_cast("double"))
+        .withColumn(
+            "graphite_ts", F.timestamp_seconds(parts.getItem(2).try_cast("bigint"))
+        )
+    )
+
+
+def encode_graphite(
+    df: DataFrame,
+    *,
+    metric: str,
+    value: str,
+    ts: str = "@timestamp",
+    target: str = "line",
+) -> DataFrame:
+    """graphite line protocol encode: ``metric value epoch_seconds``."""
+    ts_col = (
+        F.unix_timestamp(F.col(ts))
+        if ts in df.columns
+        else F.unix_timestamp(F.current_timestamp())
+    )
+    return df.withColumn(
+        target,
+        F.concat_ws(
+            " ",
+            F.col(metric).cast("string"),
+            F.col(value).cast("string"),
+            ts_col.cast("string"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oldlogstashjson codec (default_plugins.rb:18) — the pre-1.2 "@fields"
+# wire format mapped onto the modern flat event
+# ---------------------------------------------------------------------------
+
+# old name -> new name for the envelope fields (the codec's documented map)
+_OLD_JSON_MAP = {
+    "@message": "message",
+    "@timestamp": "@timestamp",
+    "@tags": "tags",
+    "@type": "type",
+    "@source_host": "host",
+    "@source_path": "path",
+}
+
+
+def decode_oldlogstashjson(
+    df: DataFrame, source: str, fields_schema: str | None = None
+) -> DataFrame:
+    """Decode the pre-1.2 JSON envelope: ``@message/@timestamp/@tags/@type/
+    @source_host/@source_path`` map to their modern names; the ``@fields``
+    hash flattens into top-level columns (typed by ``fields_schema``)."""
+    envelope = (
+        "`@message` string, `@timestamp` string, `@tags` array<string>, "
+        "`@type` string, `@source_host` string, `@source_path` string"
+        + (f", `@fields` struct<{fields_schema}>" if fields_schema else "")
+    )
+    parsed = df.withColumn("_old", F.from_json(F.col(source), envelope))
+    for old, new in _OLD_JSON_MAP.items():
+        col = F.col("_old").getItem(old)
+        if new == "@timestamp":
+            col = F.to_timestamp(col)
+        parsed = parsed.withColumn(new, col)
+    if fields_schema:
+        from pyspark.sql import types as T
+
+        struct_t = T._parse_datatype_string(f"struct<{fields_schema}>")
+        for f_ in struct_t.fields:  # type: ignore[union-attr]
+            parsed = parsed.withColumn(
+                f_.name, F.col("_old").getItem("@fields").getItem(f_.name)
+            )
+    return parsed.drop("_old")
+
+
+def encode_oldlogstashjson(
+    df: DataFrame,
+    *,
+    fields: list[str] | None = None,
+    target: str = "value",
+    timestamp_field: str = "@timestamp",
+) -> DataFrame:
+    """Encode the modern flat event back into the pre-1.2 envelope: mapped
+    names restored, everything in ``fields`` nested under ``@fields``."""
+    struct_fields = []
+    for old, new in _OLD_JSON_MAP.items():
+        if new not in df.columns:
+            continue
+        col = F.col(new)
+        if new == timestamp_field:
+            col = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        struct_fields.append(col.alias(old))
+    data = fields or [
+        c
+        for c in df.columns
+        if c not in _OLD_JSON_MAP.values() and not c.startswith("_")
+    ]
+    if data:
+        struct_fields.append(F.struct(*[F.col(c) for c in data]).alias("@fields"))
+    return df.withColumn(target, F.to_json(F.struct(*struct_fields)))
+
+
+# ---------------------------------------------------------------------------
+# edn / edn_lines codecs (default_plugins.rb:10-11) — pure-Python EDN reader
+# in mapInPandas (no external library; EDN is a small public grammar)
+# ---------------------------------------------------------------------------
+
+
+class EdnSyntaxError(ValueError):
+    pass
+
+
+def _edn_read(s: str):
+    """Parse ONE EDN value from the string (public EDN grammar: nil, bools,
+    ints/floats, strings, keywords, symbols, vectors, lists, sets, maps;
+    commas are whitespace). Returns (value, rest-index)."""
+    i = _edn_ws(s, 0)
+    v, i = _edn_value(s, i)
+    return v
+
+
+def _edn_ws(s: str, i: int) -> int:
+    while i < len(s):
+        c = s[i]
+        if c in " \t\n\r,":
+            i += 1
+        elif c == ";":  # line comment
+            while i < len(s) and s[i] != "\n":
+                i += 1
+        else:
+            break
+    return i
+
+
+_EDN_DELIMS = ' \t\n\r,()[]{}";'
+
+
+def _edn_value(s: str, i: int):
+    if i >= len(s):
+        raise EdnSyntaxError("unexpected end of EDN input")
+    c = s[i]
+    if c == "{":
+        return _edn_map(s, i + 1)
+    if c == "[":
+        return _edn_seq(s, i + 1, "]")
+    if c == "(":
+        return _edn_seq(s, i + 1, ")")
+    if c == "#":
+        if s.startswith("#{", i):
+            v, j = _edn_seq(s, i + 2, "}")
+            return set(map(_hashable, v)), j
+        # tagged literal: read and discard the tag, return the value
+        j = i + 1
+        while j < len(s) and s[j] not in _EDN_DELIMS:
+            j += 1
+        return _edn_value(s, _edn_ws(s, j))
+    if c == '"':
+        return _edn_string(s, i + 1)
+    if c == ":":
+        j = i + 1
+        while j < len(s) and s[j] not in _EDN_DELIMS:
+            j += 1
+        return s[i + 1 : j], j  # keyword -> bare name
+    # number / symbol / nil / bool
+    j = i
+    while j < len(s) and s[j] not in _EDN_DELIMS:
+        j += 1
+    tok = s[i:j]
+    if tok == "nil":
+        return None, j
+    if tok == "true":
+        return True, j
+    if tok == "false":
+        return False, j
+    try:
+        if any(ch in tok for ch in ".eE") and not tok.lstrip("+-").startswith("."):
+            return float(tok), j
+        return int(tok), j
+    except ValueError:
+        return tok, j  # symbol kept as its name
+
+
+def _edn_string(s: str, i: int):
+    out = []
+    while i < len(s):
+        c = s[i]
+        if c == "\\":
+            nxt = s[i + 1] if i + 1 < len(s) else ""
+            out.append({"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}.get(nxt, nxt))
+            i += 2
+        elif c == '"':
+            return "".join(out), i + 1
+        else:
+            out.append(c)
+            i += 1
+    raise EdnSyntaxError("unterminated EDN string")
+
+
+def _edn_seq(s: str, i: int, close: str):
+    out = []
+    while True:
+        i = _edn_ws(s, i)
+        if i >= len(s):
+            raise EdnSyntaxError(f"unterminated EDN collection (wanted {close!r})")
+        if s[i] == close:
+            return out, i + 1
+        v, i = _edn_value(s, i)
+        out.append(v)
+
+
+def _edn_map(s: str, i: int):
+    out = {}
+    while True:
+        i = _edn_ws(s, i)
+        if i >= len(s):
+            raise EdnSyntaxError("unterminated EDN map")
+        if s[i] == "}":
+            return out, i + 1
+        k, i = _edn_value(s, i)
+        i = _edn_ws(s, i)
+        v, i = _edn_value(s, i)
+        out[_hashable(k)] = v
+
+
+def _hashable(v):
+    return tuple(v) if isinstance(v, (list, dict, set)) else v
+
+
+def decode_edn(df: DataFrame, source: str, schema: str) -> DataFrame:
+    """edn codec: one EDN map per row -> typed event columns (keyword keys
+    become column names). Arrow-batched mapInPandas; unparseable rows
+    yield all-null columns plus the reference's _edndecodefailure-style
+    signal via a null row (fixed schema cannot carry a tags column here —
+    pair with json-style failure tagging upstream if needed)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(schema)  # type: ignore[attr-defined]
+    names = [f_.name for f_ in out_schema.fields]
+    # event pass-through: decoded fields append to the event (collisions
+    # resolve to the decoded value), mirroring json_parse's behavior
+    keep = [f_ for f_ in df.schema.fields if f_.name not in names]
+    keep_names = [f_.name for f_ in keep]
+    full_schema = T.StructType(keep + list(out_schema.fields))
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for raw in pdf[source]:
+                try:
+                    v = _edn_read(raw) if raw is not None else None
+                    if not isinstance(v, dict):
+                        v = None
+                except EdnSyntaxError:
+                    v = None
+                rows.append([None] * len(names) if v is None else [v.get(n) for n in names])
+            yield pd.concat(
+                [
+                    pdf[keep_names].reset_index(drop=True),
+                    pd.DataFrame(rows, columns=names),
+                ],
+                axis=1,
+            )
+
+    return df.mapInPandas(batches, full_schema)
+
+
+def decode_edn_lines(df: DataFrame, source: str, schema: str, *, delimiter: str = "\n") -> DataFrame:
+    """edn_lines codec: newline-delimited EDN maps -> one event per line."""
+    out = lines(df, source, delimiter=delimiter, target="_el")
+    out = decode_edn(out, "_el", schema)
+    return out

@@ -65,3 +65,49 @@ def iso8601_ms(col: Column) -> Column:
     """Render a timestamp the way the reference serializes @timestamp
     (timestamp.rb:19-20: ISO8601, millisecond precision, UTC)."""
     return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+
+TIMESTAMP_FAILURE_TAG = "_timestampparsefailure"
+
+
+def init_timestamp(
+    df: DataFrame,
+    source: str = "@timestamp",
+    *,
+    target: str = "@timestamp",
+    fallback: Column | None = None,
+) -> DataFrame:
+    """@timestamp coercion at event creation (lib/logstash/event.rb:55-56,
+    280-295): an incoming ``@timestamp`` value that can't be parsed tags the
+    event ``_timestampparsefailure``, STASHES the raw value in ``_@timestamp``
+    (engine column ``_at_timestamp`` — '@' needs backticks everywhere), and
+    falls back to now (``Timestamp.now`` upstream; here
+    ``current_timestamp()``, constant per query for determinism — pass
+    ``fallback`` to pin it).
+
+    Accepts timestamp-typed columns as-is; strings parse as ISO8601 /
+    epoch-seconds (the Timestamp.coerce surface).
+    """
+    from pyspark.sql import types as T
+
+    if source not in df.columns:
+        return df.withColumn(
+            target, fallback if fallback is not None else F.current_timestamp()
+        )
+    dtype = df.schema[source].dataType
+    if isinstance(dtype, T.TimestampType):
+        if source != target:
+            df = df.withColumn(target, F.col(source))
+        return df
+    src = F.col(source).cast("string")
+    parsed = F.coalesce(
+        F.try_to_timestamp(src),
+        # epoch seconds (Timestamp.coerce accepts numerics)
+        F.when(src.rlike(r"^\d+(\.\d+)?$"), src.try_cast("double").cast("timestamp")),
+    )
+    now = fallback if fallback is not None else F.current_timestamp()
+    failed = parsed.isNull() & src.isNotNull()
+    df = df.withColumn("_at_timestamp", F.when(failed, src))
+    df = df.withColumn(target, F.coalesce(parsed, now))
+    ok = ~failed
+    return _append_tag_unless(df, "tags", TIMESTAMP_FAILURE_TAG, ok)

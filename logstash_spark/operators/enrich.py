@@ -122,22 +122,68 @@ def dns_enrich(df: DataFrame, resolved_dim: DataFrame, *, source: str, target: s
     return translate(df, resolved_dim, source=source, target=target, dim_key="host", dim_value="address")
 
 
+# (name, detect regex, version regex) — FIRST MATCH WINS, so specific
+# families come before general ones exactly as in the public ua-parser
+# regexes.yaml ordering (bots, then tools, then derived browsers like Edge/
+# Opera/Samsung before their Chrome base, mobile variants before desktop).
+# ~30 core entries covering the large majority of real traffic; the
+# reference wraps the full ua-parser DB — same cascade, compact table.
 _UA_PATTERNS: list[tuple[str, str, str]] = [
-    # (name, detect regex, version regex) — order matters (first match wins)
-    ("Chrome", r"Chrome/(\d+)", r"Chrome/(\d+\.[\d.]+)"),
-    ("Firefox", r"Firefox/(\d+)", r"Firefox/(\d+\.[\d.]+)"),
-    ("Safari", r"Version/(\d+).*Safari", r"Version/(\d+\.[\d.]+)"),
-    ("MSIE", r"MSIE (\d+)", r"MSIE (\d+\.[\d.]+)"),
+    # crawlers / bots
+    ("Googlebot", r"Googlebot", r"Googlebot/(\d+\.[\d.]+)"),
+    ("bingbot", r"bingbot", r"bingbot/(\d+\.[\d.]+)"),
+    ("Yahoo! Slurp", r"Yahoo! Slurp", r"()"),
+    ("DuckDuckBot", r"DuckDuckBot", r"DuckDuckBot/(\d+\.[\d.]+)"),
+    ("Baiduspider", r"Baiduspider", r"Baiduspider/(\d+\.[\d.]+)"),
+    ("YandexBot", r"YandexBot", r"YandexBot/(\d+\.[\d.]+)"),
+    ("FacebookBot", r"facebookexternalhit", r"facebookexternalhit/(\d+\.[\d.]+)"),
+    ("Twitterbot", r"Twitterbot", r"Twitterbot/(\d+\.[\d.]+)"),
+    ("Applebot", r"Applebot", r"Applebot/(\d+\.[\d.]+)"),
+    # programmatic clients
+    ("curl", r"^curl/", r"curl/(\d+\.[\d.]+)"),
+    ("Wget", r"^Wget/", r"Wget/(\d+\.[\d.]+)"),
+    ("Python Requests", r"python-requests", r"python-requests/(\d+\.[\d.]+)"),
+    ("Python-urllib", r"Python-urllib", r"Python-urllib/(\d+\.[\d.]+)"),
+    ("Go-http-client", r"Go-http-client", r"Go-http-client/(\d+\.[\d.]+)"),
+    ("okhttp", r"okhttp", r"okhttp/(\d+\.[\d.]+)"),
+    ("Java", r"^Java/", r"Java/(\d+\.[\d.]+)"),
+    # derived browsers BEFORE their Chrome/Safari base token
+    ("Edge", r"Edge?/\d", r"Edge?/(\d+\.[\d.]+)"),
+    ("Opera", r"OPR/", r"OPR/(\d+\.[\d.]+)"),
+    ("Opera", r"Opera[/ ]", r"Opera[/ ](\d+\.[\d.]+)"),
+    ("Yandex Browser", r"YaBrowser", r"YaBrowser/(\d+\.[\d.]+)"),
+    ("Vivaldi", r"Vivaldi", r"Vivaldi/(\d+\.[\d.]+)"),
+    ("Samsung Internet", r"SamsungBrowser", r"SamsungBrowser/(\d+\.[\d.]+)"),
+    ("UC Browser", r"UCBrowser", r"UCBrowser/(\d+\.[\d.]+)"),
+    ("HeadlessChrome", r"HeadlessChrome", r"HeadlessChrome/(\d+\.[\d.]+)"),
+    ("Chrome Mobile", r"Chrome/\d[\d.]* Mobile", r"Chrome/(\d+\.[\d.]+)"),
+    ("Chromium", r"Chromium/", r"Chromium/(\d+\.[\d.]+)"),
+    ("Chrome", r"Chrome/", r"Chrome/(\d+\.[\d.]+)"),
+    ("Firefox Mobile", r"(?:Android|Mobile).*Firefox/", r"Firefox/(\d+\.[\d.]+)"),
+    ("Firefox", r"Firefox/", r"Firefox/(\d+\.[\d.]+)"),
+    ("Mobile Safari", r"Version/\d[\d.]* Mobile.*Safari", r"Version/(\d+\.[\d.]+)"),
+    ("Safari", r"Version/\d[\d.]*.*Safari", r"Version/(\d+\.[\d.]+)"),
+    ("IE", r"Trident.*rv[: ]?11", r"rv[: ]?(11\.[\d.]+)"),
+    ("IE", r"MSIE \d", r"MSIE (\d+\.[\d.]+)"),
+    ("SeaMonkey", r"SeaMonkey", r"SeaMonkey/(\d+\.[\d.]+)"),
+    ("Konqueror", r"Konqueror", r"Konqueror/(\d+\.[\d.]+)"),
     ("Other", r".*", r"()"),
 ]
 
-_OS_PATTERNS: list[tuple[str, str]] = [
-    ("Windows", r"Windows"),
-    ("iOS", r"(?:iPhone|iPad|iPod)"),
-    ("Mac OS X", r"Mac OS X"),
-    ("Android", r"Android"),
-    ("Linux", r"Linux"),
-    ("Other", r".*"),
+# (name, detect regex, version regex with one capture; '_' separators in
+# Apple versions normalize to '.')
+_OS_PATTERNS: list[tuple[str, str, str]] = [
+    ("Windows Phone", r"Windows Phone", r"Windows Phone (?:OS )?([\d.]+)"),
+    ("iOS", r"(?:iPhone|iPad|iPod)", r"(?:iPhone )?OS (\d+[_\d]*)"),
+    ("Android", r"Android", r"Android (\d+[.\d]*)"),
+    ("Mac OS X", r"Mac OS X", r"Mac OS X (\d+[_.\d]*)"),
+    ("Chrome OS", r"CrOS", r"CrOS [\w]+ ([\d.]+)"),
+    ("Windows", r"Windows NT", r"Windows NT ([\d.]+)"),
+    ("Windows", r"Windows", r"()"),
+    ("Ubuntu", r"Ubuntu", r"()"),
+    ("Linux", r"Linux", r"()"),
+    ("FreeBSD", r"FreeBSD", r"()"),
+    ("Other", r".*", r"()"),
 ]
 
 
@@ -145,14 +191,31 @@ def useragent(df: DataFrame, source: str, target_prefix: str = "ua_") -> DataFra
     """`useragent` filter: regex classification (JVM-side CASE/rlike chain).
 
     The reference wraps the ua-parser regex database; this is the same
-    first-match-wins regex cascade with a compact built-in pattern table.
-    """
+    first-match-wins regex cascade with the ~30-entry core of that table.
+    Emits name, version, major, minor, os, os_version under the prefix
+    (the plugin's documented field set, minus device)."""
     src = F.col(source).cast("string")
     # coalesce of when-clauses = first-match-wins cascade, all codegen'd
     name_expr = F.coalesce(*[F.when(src.rlike(d), F.lit(n)) for n, d, _ in _UA_PATTERNS])
-    ver_expr = F.coalesce(*[F.when(src.rlike(d), F.regexp_extract(src, v, 1)) for n, d, v in _UA_PATTERNS])
-    os_expr = F.coalesce(*[F.when(src.rlike(p), F.lit(n)) for n, p in _OS_PATTERNS])
+    ver_expr = F.coalesce(
+        *[F.when(src.rlike(d), F.regexp_extract(src, v, 1)) for _, d, v in _UA_PATTERNS]
+    )
+    os_expr = F.coalesce(*[F.when(src.rlike(d), F.lit(n)) for n, d, _ in _OS_PATTERNS])
+    os_ver_expr = F.regexp_replace(
+        F.coalesce(
+            *[F.when(src.rlike(d), F.regexp_extract(src, v, 1)) for _, d, v in _OS_PATTERNS]
+        ),
+        "_", ".",
+    )
     df = df.withColumn(target_prefix + "name", name_expr)
     df = df.withColumn(target_prefix + "version", ver_expr)
+    df = df.withColumn(
+        target_prefix + "major", F.split(ver_expr, r"\.").getItem(0)
+    )
+    df = df.withColumn(
+        target_prefix + "minor",
+        F.when(F.size(F.split(ver_expr, r"\.")) > 1, F.split(ver_expr, r"\.").getItem(1)),
+    )
     df = df.withColumn(target_prefix + "os", os_expr)
+    df = df.withColumn(target_prefix + "os_version", os_ver_expr)
     return df

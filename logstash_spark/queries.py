@@ -400,16 +400,32 @@ def geoip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "useragent_parse",
     f"""{_PAGES_CTE}
 SELECT url,
-       CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari' ELSE 'Firefox' END AS ua_name,
-       CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X' ELSE 'Linux' END AS ua_os
+       CASE CAST(event_id % 12 AS INT)
+         WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari' WHEN 2 THEN 'Firefox'
+         WHEN 3 THEN 'Edge' WHEN 4 THEN 'Opera' WHEN 5 THEN 'Chrome Mobile'
+         WHEN 6 THEN 'Mobile Safari' WHEN 7 THEN 'Samsung Internet'
+         WHEN 8 THEN 'IE' WHEN 9 THEN 'Googlebot' WHEN 10 THEN 'curl'
+         ELSE 'Python Requests' END AS ua_name,
+       CASE CAST(event_id % 12 AS INT)
+         WHEN 0 THEN 'Windows' WHEN 1 THEN 'Mac OS X' WHEN 2 THEN 'Linux'
+         WHEN 3 THEN 'Windows' WHEN 4 THEN 'Windows' WHEN 5 THEN 'Android'
+         WHEN 6 THEN 'iOS' WHEN 7 THEN 'Android' WHEN 8 THEN 'Windows'
+         ELSE 'Other' END AS ua_os,
+       CASE CAST(event_id % 12 AS INT)
+         WHEN 0 THEN '10.0' WHEN 1 THEN '10.15.7' WHEN 3 THEN '10.0'
+         WHEN 4 THEN '10.0' WHEN 5 THEN '13' WHEN 6 THEN '17.1'
+         WHEN 7 THEN '13' WHEN 8 THEN '6.1' ELSE '' END AS ua_os_version
 FROM pages""",
 )
 def useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """useragent over a 12-way agent mix incl. derived browsers (Edge/Opera/
+    Samsung before their Chrome base), mobile variants, bots and tools —
+    the ua-parser-core ordering semantics."""
     from logstash_spark.operators.enrich import useragent
 
     p = _pages(spark, sf_dir)
     out = useragent(p, "agent")
-    return out.select("url", "ua_name", "ua_os")
+    return out.select("url", "ua_name", "ua_os", "ua_os_version")
 
 
 # ---------------------------------------------------------------------------
@@ -1005,6 +1021,73 @@ def codec_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "codec_graphite",
+    f"""{_PAGES_CTE}
+SELECT url, 'apache.bytes.' || verb AS metric, CAST(bytes AS DOUBLE) AS value,
+       CAST(floor(epoch(warc_ts)) AS BIGINT) AS graphite_epoch
+FROM pages""",
+)
+def codec_graphite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite line codec round-trip: encode the event as 'metric value ts'
+    then decode it back (default_plugins.rb:13); the decoded triple must
+    match the direct computation."""
+    from logstash_spark.operators.codecs import decode_graphite, encode_graphite
+
+    p = _pages(spark, sf_dir).withColumn("metric_name", F.concat(F.lit("apache.bytes."), F.col("verb")))
+    enc = encode_graphite(p, metric="metric_name", value="bytes", ts="warc_ts", target="line")
+    dec = decode_graphite(enc.select("url", "line"), source="line")
+    return dec.select(
+        "url", "metric",
+        F.col("value"),
+        F.unix_timestamp("graphite_ts").alias("graphite_epoch"),
+    )
+
+
+@q(
+    "codec_oldlogstashjson",
+    f"""{_PAGES_CTE}
+SELECT url, text AS message, 'apache' AS type, 'host-' || CAST(user_id % 50 AS VARCHAR) AS host,
+       CAST(response AS BIGINT) AS status
+FROM pages""",
+)
+def codec_oldlogstashjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oldlogstashjson codec round-trip (default_plugins.rb:18): modern
+    event -> pre-1.2 envelope JSON -> decoded back; envelope mapping
+    (@message/@type/@source_host/@fields) must be lossless."""
+    from logstash_spark.operators.codecs import (
+        decode_oldlogstashjson,
+        encode_oldlogstashjson,
+    )
+
+    p = _pages(spark, sf_dir).select(
+        "url",
+        F.col("text").alias("message"),
+        F.lit("apache").alias("type"),
+        F.concat(F.lit("host-"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        F.col("response").cast("bigint").alias("status"),
+    )
+    enc = encode_oldlogstashjson(p, fields=["status"], target="wire")
+    dec = decode_oldlogstashjson(enc.select("url", "wire"), "wire", "status bigint")
+    return dec.select("url", "message", "type", "host", "status")
+
+
+@q("codec_edn_lines")  # EDN parsing has no DuckDB equivalent -> rows-only
+def codec_edn_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edn_lines codec: events rendered as EDN maps, decoded back via the
+    pure-Python EDN reader (default_plugins.rb:10-11)."""
+    from logstash_spark.operators.codecs import decode_edn_lines
+
+    p = _pages(spark, sf_dir).withColumn(
+        "doc",
+        F.concat(
+            F.lit('{:verb "'), F.col("verb"), F.lit('" :status '), F.col("response"),
+            F.lit("}\n{:verb \"x\" :status 0}"),
+        ),
+    )
+    return decode_edn_lines(p.select("url", "doc"), "doc", "verb string, status long")
+
+
+@q(
     "dns_lookup",
     f"""{_PAGES_CTE}
 SELECT url,
@@ -1284,14 +1367,30 @@ def condition_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     "useragent_versions",
     f"""{_PAGES_CTE}
 SELECT url,
-       CASE CAST(event_id % 3 AS INT) WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '17.0' ELSE '115.0' END AS ua_version
+       CASE CAST(event_id % 12 AS INT)
+         WHEN 0 THEN '120.0.0.0' WHEN 1 THEN '17.0' WHEN 2 THEN '115.0'
+         WHEN 3 THEN '120.0.2210.91' WHEN 4 THEN '105.0.4970.21'
+         WHEN 5 THEN '119.0.6045.163' WHEN 6 THEN '17.1' WHEN 7 THEN '23.0'
+         WHEN 8 THEN '9.0' WHEN 9 THEN '2.1' WHEN 10 THEN '8.4.0'
+         ELSE '2.31.0' END AS ua_version,
+       CASE CAST(event_id % 12 AS INT)
+         WHEN 0 THEN '120' WHEN 1 THEN '17' WHEN 2 THEN '115'
+         WHEN 3 THEN '120' WHEN 4 THEN '105' WHEN 5 THEN '119'
+         WHEN 6 THEN '17' WHEN 7 THEN '23' WHEN 8 THEN '9' WHEN 9 THEN '2'
+         WHEN 10 THEN '8' ELSE '2' END AS ua_major,
+       CASE CAST(event_id % 12 AS INT)
+         WHEN 0 THEN '0' WHEN 1 THEN '0' WHEN 2 THEN '0' WHEN 3 THEN '0'
+         WHEN 4 THEN '0' WHEN 5 THEN '0' WHEN 6 THEN '1' WHEN 7 THEN '0'
+         WHEN 8 THEN '0' WHEN 9 THEN '1' WHEN 10 THEN '4'
+         ELSE '31' END AS ua_minor
 FROM pages""",
 )
 def useragent_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full version/major/minor capture across the 12-way agent mix."""
     from logstash_spark.operators.enrich import useragent
 
     p = _pages(spark, sf_dir)
-    return useragent(p, "agent").select("url", "ua_version")
+    return useragent(p, "agent").select("url", "ua_version", "ua_major", "ua_minor")
 
 
 @q(
@@ -1312,6 +1411,53 @@ def event_serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pages(spark, sf_dir).withColumn("@timestamp", F.col("warc_ts"))
     sel = p.select("url", "verb", "response", "@timestamp", F.lit("x").alias("_meta_hidden"))
     return sel.select("url", event_to_json(sel, ["url", "verb", "response"]).alias("event_json"))
+
+
+@q(
+    "timestamp_coercion",
+    f"""{_PAGES_CTE}
+, raw AS (
+  SELECT url,
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN '2024-01-02 03:04:05'
+      WHEN 1 THEN '1700000000'
+      ELSE 'not-a-date-' || CAST(event_id AS VARCHAR) END AS rawts
+  FROM pages
+), coerced AS (
+  SELECT url, rawts,
+    COALESCE(try_cast(rawts AS TIMESTAMP),
+             CASE WHEN regexp_matches(rawts, '^[0-9]+(\\.[0-9]+)?$')
+                  THEN to_timestamp(CAST(rawts AS DOUBLE)) END) AS parsed
+  FROM raw
+)
+SELECT url,
+       strftime(COALESCE(parsed, TIMESTAMP '2000-01-01 00:00:00'), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS ts_out,
+       CASE WHEN parsed IS NULL THEN rawts END AS stash,
+       CASE WHEN parsed IS NULL THEN to_json(['_timestampparsefailure']) ELSE to_json([]::VARCHAR[]) END AS tags_json
+FROM coerced""",
+)
+def timestamp_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """@timestamp coercion at event creation (event.rb:55-56, 280-295):
+    unparseable input tags _timestampparsefailure, stashes the raw value in
+    the _@timestamp field, and falls back (pinned here for determinism)."""
+    from logstash_spark.operators.date import init_timestamp, iso8601_ms
+
+    p = _pages(spark, sf_dir).withColumn(
+        "rawts",
+        F.when(F.col("event_id") % 3 == 0, F.lit("2024-01-02 03:04:05"))
+        .when(F.col("event_id") % 3 == 1, F.lit("1700000000"))
+        .otherwise(F.concat(F.lit("not-a-date-"), F.col("event_id").cast("string"))),
+    ).select("url", "rawts")
+    out = init_timestamp(
+        p, "rawts", target="@timestamp",
+        fallback=F.lit("2000-01-01 00:00:00").cast("timestamp"),
+    )
+    return out.select(
+        "url",
+        iso8601_ms(F.col("@timestamp")).alias("ts_out"),
+        F.col("_at_timestamp").alias("stash"),
+        F.to_json(F.coalesce(F.col("tags"), F.array().cast("array<string>"))).alias("tags_json"),
+    )
 
 
 @q(

@@ -32,6 +32,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     # parse
     "grok": grok.grok,
     "date": date.date,
+    "init_timestamp": date.init_timestamp,
     "json": parse.json_parse,
     "kv": parse.kv,
     "csv": parse.csv_parse,
@@ -76,6 +77,12 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "codec.json_lines": codecs.json_lines,
     "codec.encode_json": codecs.encode_json,
     "codec.encode_csv": codecs.encode_csv,
+    "codec.graphite": codecs.decode_graphite,
+    "codec.encode_graphite": codecs.encode_graphite,
+    "codec.oldlogstashjson": codecs.decode_oldlogstashjson,
+    "codec.encode_oldlogstashjson": codecs.encode_oldlogstashjson,
+    "codec.edn": codecs.decode_edn,
+    "codec.edn_lines": codecs.decode_edn_lines,
     # `sleep` filter (default_plugins.rb:41): a rate-limiting aid with no
     # batch analog — declared no-op, matching reference semantics of "the
     # event passes through unchanged"

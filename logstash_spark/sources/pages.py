@@ -39,10 +39,19 @@ _COMMON_FIELDS = """
   CASE CAST(event_id % 5 AS INT) WHEN 0 THEN '200' WHEN 1 THEN '301' WHEN 2 THEN '404' WHEN 3 THEN '500' ELSE '503' END AS response,
   CAST(CAST(FLOOR(value * 10) AS BIGINT) AS VARCHAR) AS bytes,
   'http://ref' || CAST(user_id % 10 AS VARCHAR) || '.example.com/' AS referrer,
-  CASE CAST(event_id % 3 AS INT)
-    WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36'
-    WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Mac OS X 10_15) Version/17.0 Safari/605.1.15'
-    ELSE 'Mozilla/5.0 (X11; Linux x86_64) Firefox/115.0' END AS agent,
+  CASE CAST(event_id % 12 AS INT)
+    WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36'
+    WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15'
+    WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:115.0) Gecko/20100101 Firefox/115.0'
+    WHEN 3 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91'
+    WHEN 4 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.4970.21'
+    WHEN 5 THEN 'Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36'
+    WHEN 6 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1'
+    WHEN 7 THEN 'Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36'
+    WHEN 8 THEN 'Mozilla/5.0 (compatible; MSIE 9.0; Windows NT 6.1; Trident/5.0)'
+    WHEN 9 THEN 'Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)'
+    WHEN 10 THEN 'curl/8.4.0'
+    ELSE 'python-requests/2.31.0' END AS agent,
   event_id, user_id, ts, value
 """
 
@@ -127,11 +136,14 @@ def synthetic_pages(
     referrer = F.concat(F.lit("http://ref"), F.pmod(i, F.lit(10)).cast("string"), F.lit(".example.com/"))
     agent = F.element_at(
         F.array(
-            F.lit("Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36"),
-            F.lit("Mozilla/5.0 (Macintosh; Mac OS X 10_15) Version/17.0 Safari/605.1.15"),
-            F.lit("Mozilla/5.0 (X11; Linux x86_64) Firefox/115.0"),
+            F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"),
+            F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15"),
+            F.lit("Mozilla/5.0 (X11; Linux x86_64; rv:115.0) Gecko/20100101 Firefox/115.0"),
+            F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91"),
+            F.lit("Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36"),
+            F.lit("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"),
         ),
-        (i % 3 + 1).cast("int"),
+        (i % 6 + 1).cast("int"),
     )
     httpts = F.concat(F.date_format(ts, "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000"))
     apache_line = F.concat(

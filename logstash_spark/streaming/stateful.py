@@ -97,7 +97,12 @@ THROTTLE_OUT = T.StructType(
     ]
 )
 
-THROTTLE_STATE = T.StructType([T.StructField("count", T.IntegerType())])
+THROTTLE_STATE = T.StructType(
+    [
+        T.StructField("count", T.IntegerType()),
+        T.StructField("period_start", T.LongType()),
+    ]
+)
 
 
 def throttle_stateful(
@@ -109,24 +114,34 @@ def throttle_stateful(
     period_ms: int = 60_000,
 ) -> DataFrame:
     """Streaming `throttle`: per-key counter in state; events beyond
-    ``max_count`` within a period are flagged. The processing-time timeout
-    resets the counter — faithful to the reference's wall-clock period
-    (the throttle plugin counts against processing time, not event time).
+    ``max_count`` within a period are flagged (processing-time period,
+    matching the reference plugin's wall clock).
+
+    The period start is STORED IN STATE and the counter resets when
+    ``now - period_start >= period_ms`` — an inactivity timeout alone
+    would be pushed back by every arrival, so under continuous traffic the
+    counter would grow forever and everything would eventually be flagged.
+    The GroupState timeout is only idle-key GC (2x period).
     """
 
     def fn(key, pdfs, state: GroupState):
+        import time
+
         (k,) = key
         if state.hasTimedOut:
             state.remove()
             return
-        (count,) = state.get if state.exists else (0,)
+        now_ms = int(time.time() * 1000)
+        count, period_start = state.get if state.exists else (0, now_ms)
+        if now_ms - period_start >= period_ms:
+            count, period_start = 0, now_ms  # fixed-period reset
         rows = []
         for pdf in pdfs:
             for line in pdf[line_col]:
                 count += 1
                 rows.append((k, line, count > max_count))
-        state.update((count,))
-        state.setTimeoutDuration(period_ms)
+        state.update((count, period_start))
+        state.setTimeoutDuration(period_ms * 2)
         if rows:
             yield pd.DataFrame(rows, columns=["key", "text", "throttled"])
 

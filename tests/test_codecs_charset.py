@@ -140,3 +140,96 @@ def test_synthetic_html_charset_robustness(spark):
     assert out.filter(F.col("decoded").isNull()).count() == 0
     dirty = out.filter(F.col("decoded").contains("�"))
     assert 0 < dirty.count() < 500  # the planted rows, and only those-ish
+
+
+# --- round-2 codecs: graphite, oldlogstashjson, edn -------------------------
+
+
+def test_graphite_codec_roundtrip(spark):
+    """graphite line protocol: 'metric value epoch' both directions
+    (default_plugins.rb:13)."""
+    from logstash_spark.operators.codecs import decode_graphite, encode_graphite
+
+    df = spark.createDataFrame(
+        [("foo.bar.baz 42.5 1700000000",), ("cpu.load 0.93 1700000060",), ("garbage",)],
+        "message string",
+    )
+    out = decode_graphite(df).collect()
+    assert out[0]["metric"] == "foo.bar.baz" and out[0]["value"] == 42.5
+    assert out[1]["graphite_ts"] is not None
+    assert out[2]["value"] is None  # malformed -> nulls, row kept
+
+    enc = encode_graphite(
+        spark.createDataFrame([("a.b", 1.5)], "m string, v double"),
+        metric="m", value="v", ts="missing",
+    ).collect()[0]["line"]
+    parts = enc.split(" ")
+    assert parts[0] == "a.b" and parts[1] == "1.5" and parts[2].isdigit()
+
+
+def test_oldlogstashjson_decode_encode(spark):
+    """pre-1.2 envelope: @message/@tags/@type/@source_host map to modern
+    names, @fields flattens (default_plugins.rb:18)."""
+    from logstash_spark.operators.codecs import (
+        decode_oldlogstashjson,
+        encode_oldlogstashjson,
+    )
+
+    import json as J
+
+    raw = J.dumps({
+        "@message": "hello", "@timestamp": "2024-01-02T03:04:05.000Z",
+        "@tags": ["a", "b"], "@type": "apache", "@source_host": "h1",
+        "@fields": {"status": 200, "verb": "GET"},
+    })
+    df = spark.createDataFrame([(raw,)], "value string")
+    row = decode_oldlogstashjson(df, "value", "status int, verb string").collect()[0]
+    assert row["message"] == "hello" and row["type"] == "apache"
+    assert row["host"] == "h1" and row["tags"] == ["a", "b"]
+    assert row["status"] == 200 and row["verb"] == "GET"
+    assert row["@timestamp"].year == 2024
+
+    back = encode_oldlogstashjson(
+        spark.createDataFrame(
+            [("hello", "apache", "h1", 200)],
+            "message string, type string, host string, status int",
+        ),
+        fields=["status"],
+    ).collect()[0]["value"]
+    obj = J.loads(back)
+    assert obj["@message"] == "hello" and obj["@fields"] == {"status": 200}
+
+
+def test_edn_reader_values():
+    from logstash_spark.operators.codecs import EdnSyntaxError, _edn_read
+
+    import pytest
+
+    assert _edn_read('{:a 1, :b "two" :c [1 2 3] :d nil :e true}') == {
+        "a": 1, "b": "two", "c": [1, 2, 3], "d": None, "e": True}
+    assert _edn_read("[1 2.5 -3]") == [1, 2.5, -3]
+    assert _edn_read('#{:x :y}') == {"x", "y"}
+    assert _edn_read('#inst "2024-01-01"') == "2024-01-01"  # tag discarded
+    assert _edn_read('{:s "esc\\"q\\n"}') == {"s": 'esc"q\n'}
+    assert _edn_read("; comment\n 42") == 42
+    with pytest.raises(EdnSyntaxError):
+        _edn_read('{:a')
+
+
+def test_edn_codec_decode(spark):
+    from logstash_spark.operators.codecs import decode_edn, decode_edn_lines
+
+    df = spark.createDataFrame(
+        [(1, '{:host "h1" :status 200}'), (2, '{:host "h2" :status 500}'), (3, "not edn {")],
+        "id int, raw string",
+    )
+    rows = {r["id"]: r for r in decode_edn(df, "raw", "host string, status long").collect()}
+    assert rows[1]["host"] == "h1" and rows[2]["status"] == 500
+    assert rows[3]["host"] is None  # unparseable -> nulls, row kept
+    assert rows[1]["id"] == 1  # pass-through columns preserved
+
+    nd = spark.createDataFrame(
+        [('{:m "a"}\n{:m "b"}',)], "doc string"
+    )
+    out = decode_edn_lines(nd, "doc", "m string")
+    assert sorted(r["m"] for r in out.collect()) == ["a", "b"]

@@ -43,3 +43,37 @@ def test_failure_tag_and_untouched_target(spark):
     row = out.collect()[0]
     assert "_dateparsefailure" in row["tags"]
     assert str(row["@timestamp"]).startswith("2000-01-01")
+
+
+def test_init_timestamp_coercion_matrix(spark):
+    """event.rb:280-295: unparseable @timestamp input -> tag
+    _timestampparsefailure + raw value stashed in _@timestamp + fallback;
+    parseable strings (ISO / epoch) coerce; timestamp columns pass through."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.date import init_timestamp
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-02 03:04:05"), (2, "1700000000"), (3, "garbage"), (4, None)],
+        "id int, rawts string",
+    )
+    pinned = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    out = {r["id"]: r for r in init_timestamp(df, "rawts", fallback=pinned).collect()}
+    assert out[1]["@timestamp"].year == 2024 and out[1]["_at_timestamp"] is None
+    assert out[2]["@timestamp"].year == 2023  # epoch seconds
+    assert out[3]["@timestamp"].year == 2000
+    assert out[3]["_at_timestamp"] == "garbage"
+    assert "_timestampparsefailure" in (out[3]["tags"] or [])
+    assert not out[1]["tags"] and not out[2]["tags"]
+    # null input: no tag, fallback applies
+    assert out[4]["@timestamp"].year == 2000 and not out[4]["tags"]
+
+    # timestamp-typed column passes through untouched
+    t = spark.createDataFrame([("2020-05-05 01:02:03",)], "s string").select(
+        F.col("s").cast("timestamp").alias("@timestamp")
+    )
+    assert init_timestamp(t).collect()[0]["@timestamp"].year == 2020
+
+    # missing source -> now (non-null)
+    m = spark.createDataFrame([(1,)], "id int")
+    assert init_timestamp(m, "@timestamp").collect()[0]["@timestamp"] is not None

@@ -82,3 +82,52 @@ def test_translate_regex_mode(spark):
     }
     plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "simple")
     assert "Join" not in plan  # cascade, not a join
+
+
+def test_useragent_core_table_ordering(spark):
+    """First-match-wins ordering mirrors ua-parser: derived browsers (Edge,
+    Opera, Samsung) classify BEFORE their Chrome base token; bots and
+    programmatic clients before everything; mobile variants split out."""
+    from logstash_spark.operators.enrich import useragent
+
+    cases = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+         "Edge", "120.0.2210.91", "Windows", "10.0"),
+        ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.4970.21",
+         "Opera", "105.0.4970.21", "Windows", "10.0"),
+        ("Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+         "Samsung Internet", "23.0", "Android", "13"),
+        ("Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36",
+         "Chrome Mobile", "119.0.6045.163", "Android", "13"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+         "Mobile Safari", "17.1", "iOS", "17.1"),
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:109.0) Gecko/20100101 Firefox/119.0",
+         "Firefox", "119.0", "Windows", "10.0"),
+        ("Mozilla/5.0 (Android 13; Mobile; rv:109.0) Gecko/119.0 Firefox/119.0",
+         "Firefox Mobile", "119.0", "Android", "13"),
+        ("Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko",
+         "IE", "11.0", "Windows", "6.1"),
+        ("Mozilla/5.0 (compatible; MSIE 9.0; Windows NT 6.1; Trident/5.0)",
+         "IE", "9.0", "Windows", "6.1"),
+        ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+         "Googlebot", "2.1", "Other", ""),
+        ("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
+         "bingbot", "2.0", "Other", ""),
+        ("curl/8.4.0", "curl", "8.4.0", "Other", ""),
+        ("python-requests/2.31.0", "Python Requests", "2.31.0", "Other", ""),
+        ("Go-http-client/2.0", "Go-http-client", "2.0", "Other", ""),
+        ("Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+         "Chrome", "120.0.0.0", "Chrome OS", "14541.0.0"),
+        ("weird thing nobody ships", "Other", "", "Other", ""),
+    ]
+    df = spark.createDataFrame([(i, ua) for i, (ua, *_ ) in enumerate(cases)], "i int, agent string")
+    got = {r["i"]: r for r in useragent(df, "agent").collect()}
+    for i, (_ua, name, ver, os_, os_ver) in enumerate(cases):
+        r = got[i]
+        assert r["ua_name"] == name, (i, r["ua_name"], name)
+        assert r["ua_version"] == ver, (i, r["ua_version"], ver)
+        assert r["ua_os"] == os_, (i, r["ua_os"], os_)
+        assert r["ua_os_version"] == os_ver, (i, r["ua_os_version"], os_ver)
+    # major/minor split
+    assert got[0]["ua_major"] == "120" and got[0]["ua_minor"] == "0"
+    assert got[15]["ua_major"] == "" and got[15]["ua_minor"] is None

@@ -155,3 +155,44 @@ def test_throttle_stateful(spark, tmp_path):
         assert got[("u2", "solo")] is False
     finally:
         q.stop()
+
+
+def test_throttle_period_resets_under_continuous_traffic(spark, tmp_path):
+    """The counter resets when a PERIOD elapses even though events keep
+    arriving — an inactivity timeout alone would be pushed back by every
+    batch and eventually flag everything (round-2 fix)."""
+    from logstash_spark.streaming.stateful import throttle_stateful
+
+    src = str(tmp_path / "tsrc2")
+    schema = "key string, text string"
+    spark.createDataFrame([("u1", f"a{i}") for i in range(4)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = throttle_stateful(stream, max_count=3, period_ms=1500)
+    q = out.writeStream.format("memory").queryName("thr2").outputMode("append").start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = {r["text"]: r["throttled"] for r in spark.sql("select * from thr2").collect()}
+            if len(got) == 4:
+                break
+            time.sleep(0.5)
+        assert got == {"a0": False, "a1": False, "a2": False, "a3": True}
+        time.sleep(2.0)  # > period: the stored period_start must roll over
+        spark.createDataFrame([("u1", f"b{i}") for i in range(2)], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = {r["text"]: r["throttled"] for r in spark.sql("select * from thr2").collect()}
+            if len(got) == 6:
+                break
+            time.sleep(0.5)
+        # fresh period: b0/b1 are counts 1-2, NOT throttled (the buggy
+        # inactivity-reset version would flag them as counts 5-6)
+        assert got["b0"] is False and got["b1"] is False
+    finally:
+        q.stop()
