@@ -223,6 +223,43 @@ def joda_to_java(fmt: str) -> str:
     return fmt
 
 
+def ruby_float_str(col: Column) -> Column:
+    """Render a double the way Ruby's Float#to_s does (event.rb:61-64,
+    225-230 sprintf renders via to_s): plain decimal for |v| in
+    [1e-4, 1e16), scientific with signed two-digit-min exponent outside.
+
+    Java's Double.toString (what a plain string cast gives) switches to
+    scientific at 1e7 — so '%{bytes}' on 10000000.0 would render '1.0E7'
+    instead of the reference's '10000000.0'. Pure string surgery on the
+    shortest-repr Java rendering: no precision loss, no UDF.
+    """
+    s = col.cast("string")
+    sign = F.regexp_extract(s, r"^(-?)", 1)
+    d0 = F.regexp_extract(s, r"^-?(\d)\.", 1)
+    frac = F.regexp_extract(s, r"^-?\d\.(\d+)E", 1)
+    exp_str = F.regexp_extract(s, r"E(-?\d+)$", 1)
+    exp = exp_str.try_cast("int")
+    digits = F.concat(d0, frac)
+    # positive exponent < 16: expand to plain decimal (Ruby threshold)
+    intpart = F.substring(F.rpad(digits, exp + 1, "0"), 1, exp + 1)
+    decpart = F.coalesce(F.nullif(F.substring(digits, exp + 2, 64), F.lit("")), F.lit("0"))
+    expanded = F.concat(sign, intpart, F.lit("."), decpart)
+    # otherwise: Ruby scientific form — lowercase e, explicit sign,
+    # exponent at least two digits ('1.0e+20', '1.0e-05')
+    exp_abs = F.abs(exp).cast("string")
+    ruby_exp = F.concat(
+        F.when(exp < 0, F.lit("-")).otherwise(F.lit("+")),
+        F.when(F.length(exp_abs) < 2, F.lpad(exp_abs, 2, "0")).otherwise(exp_abs),
+    )
+    sci = F.concat(sign, d0, F.lit("."), frac, F.lit("e"), ruby_exp)
+    is_sci = s.rlike(r"^-?\d\.\d+E-?\d+$")
+    return (
+        F.when(~is_sci, s)
+        .when((exp >= 0) & (exp < 16), expanded)
+        .otherwise(sci)
+    )
+
+
 def _value_as_string(col: Column, dtype: T.DataType | None) -> Column:
     """Render a field value the way event.rb:256-266 does."""
     if isinstance(dtype, T.ArrayType):
@@ -233,6 +270,8 @@ def _value_as_string(col: Column, dtype: T.DataType | None) -> Column:
         # ISO8601 ms precision, the reference's serialization
         # (timestamp.rb:19-20 ISO8601_PRECISION=3).
         return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return ruby_float_str(col.cast("double"))
     return col.cast("string")
 
 

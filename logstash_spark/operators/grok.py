@@ -69,9 +69,9 @@ def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> 
     """Expand ``%{NAME:field:type}`` references into one flat regex.
 
     Capture groups are emitted ONLY for named captures; library expansions
-    become non-capturing. Duplicate capture names keep the first occurrence
-    (the reference's grok keeps all as arrays; our fixed-schema model takes
-    the first match — documented divergence, fine for anchored patterns).
+    become non-capturing. Duplicate capture names each get their OWN group —
+    the reference's grok keeps every occurrence and the field becomes an
+    array (mirrored by the backends via capture_groups()).
     """
     lib = dict(BASE_PATTERNS)
     if extra_patterns:
@@ -79,7 +79,6 @@ def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> 
 
     captures: list[tuple[str, int, str]] = []
     group_counter = [0]
-    seen_names: set[str] = set()
 
     def expand(pat: str, depth: int) -> str:
         if depth > 20:
@@ -91,8 +90,7 @@ def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> 
             name, fieldname, typ = m.group(1), m.group(2), m.group(3)
             if name not in lib:
                 raise KeyError(f"unknown grok pattern %{{{name}}}")
-            if fieldname and fieldname not in seen_names:
-                seen_names.add(fieldname)
+            if fieldname:
                 group_counter[0] += 1
                 idx = group_counter[0]
                 captures.append((fieldname, idx, typ or "string"))
@@ -108,6 +106,16 @@ def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> 
     return CompiledGrok(source=pattern, regex=regex, named_regex=named, captures=captures)
 
 
+def capture_groups(cg: CompiledGrok) -> dict[str, list[tuple[int, str]]]:
+    """field name -> [(group index, type), ...] in occurrence order.
+    More than one entry means the reference's duplicate-name semantics:
+    the field collects ALL occurrences as an array."""
+    d: dict[str, list[tuple[int, str]]] = {}
+    for name, idx, typ in cg.captures:
+        d.setdefault(name, []).append((idx, typ))
+    return d
+
+
 _PLAIN_GROUP = re.compile(r"(?<!\\)\((?!\?)")
 
 
@@ -120,11 +128,16 @@ def _cast_type(typ: str) -> str:
     return {"int": "bigint", "float": "double", "string": "string"}[typ]
 
 
+_SPARK_T = {"int": T.LongType(), "float": T.DoubleType(), "string": T.StringType()}
+
+
 def grok_struct_type(cg: CompiledGrok) -> T.StructType:
     fields = []
-    for name, _, typ in cg.captures:
-        spark_t = {"int": T.LongType(), "float": T.DoubleType(), "string": T.StringType()}[typ]
-        fields.append(T.StructField(name, spark_t, True))
+    for name, occ in capture_groups(cg).items():
+        base = _SPARK_T[occ[0][1]]
+        fields.append(
+            T.StructField(name, T.ArrayType(base) if len(occ) > 1 else base, True)
+        )
     return T.StructType(fields)
 
 
@@ -140,13 +153,23 @@ def grok_expr_columns(cg: CompiledGrok, source: Column) -> dict[str, Column]:
     matched-guard so non-matching rows yield nulls for every capture.
     """
     matched = source.rlike(cg.regex)
-    cols: dict[str, Column] = {}
-    for name, idx, typ in cg.captures:
+
+    def one(idx: int, typ: str) -> Column:
         c = F.when(matched, F.regexp_extract(source, cg.regex, idx))
         # '' capture from an optional group -> null, matching reference's
         # "field not set" for unmatched optional captures.
         c = F.when(c == "", F.lit(None)).otherwise(c)
-        cols[name] = c.cast(_cast_type(typ))
+        return c.cast(_cast_type(typ))
+
+    cols: dict[str, Column] = {}
+    for name, occ in capture_groups(cg).items():
+        if len(occ) == 1:
+            cols[name] = one(*occ[0])
+        else:
+            # duplicate capture name: all occurrences collect into an array
+            # (reference grok semantics); no occurrence -> null, not []
+            arr = F.array_compact(F.array(*[one(i, t) for i, t in occ]))
+            cols[name] = F.when(F.size(arr) > 0, arr)
     cols["_grok_matched"] = matched
     return cols
 
@@ -160,24 +183,39 @@ def grok_pandas_udf(cg: CompiledGrok):
     pat = cg.regex
     caps = list(cg.captures)
 
+    # ext columns are positional 0..n-1 in capture-occurrence order
+    pos_of = {idx: j for j, (_n, idx, _t) in enumerate(caps)}
+    groups = capture_groups(cg)
+
     @pandas_udf(out_type)
     def _grok(s: pd.Series) -> pd.DataFrame:
-        # extract with the numbered-group pattern; result columns are
-        # positional 0..n-1 aligned with group order.
+        # extract with the numbered-group pattern; we emitted captures as
+        # the only real groups, so ext columns == capture order.
         ext = s.str.extract(pat, expand=True)
         out = pd.DataFrame(index=s.index)
-        # group order in `ext` is ALL groups 1..N; ours are a subset when
-        # pattern had non-capturing inner text, but we emitted captures as
-        # the only real groups, so ext columns == capture order.
-        for j, (name, _idx, typ) in enumerate(caps):
+
+        def clean(j: int, typ: str) -> pd.Series:
             col = ext.iloc[:, j]
             col = col.where(col.notna() & (col != ""), None)
             if typ == "int":
                 col = pd.to_numeric(col, errors="coerce").astype("Int64")
             elif typ == "float":
                 col = pd.to_numeric(col, errors="coerce")
-            out[name] = col
-        out["_grok_matched"] = ext.iloc[:, 0].notna() if len(caps) else s.str.match(pat)
+            return col
+
+        for name, occ in groups.items():
+            if len(occ) == 1:
+                out[name] = clean(pos_of[occ[0][0]], occ[0][1])
+            else:
+                subs = [clean(pos_of[i], t) for i, t in occ]
+                out[name] = [
+                    ([v for v in row if v is not None and v is not pd.NA] or None)
+                    for row in zip(*subs)
+                ]
+        if len(caps):
+            out["_grok_matched"] = ext.iloc[:, 0].notna()
+        else:
+            out["_grok_matched"] = s.str.match(pat)
         return out
 
     return _grok
@@ -202,13 +240,16 @@ def grok_arrow_udf(cg: CompiledGrok):
     pat = cg.named_regex
     caps = list(cg.captures)
 
+    groups = capture_groups(cg)
+
     @pandas_udf(out_type)
     def _grok(s: pd.Series) -> pd.DataFrame:
         arr = pa.Array.from_pandas(s, type=pa.string())
         ext = pc.extract_regex(arr, pat)  # StructArray; null row = no match
         matched = ext.is_valid()
         out = pd.DataFrame(index=s.index)
-        for name, idx, typ in caps:
+
+        def clean(idx: int, typ: str) -> pd.Series:
             col_arr = ext.field(f"c{idx}")
             # '' from an optional non-participating group -> null (grok
             # "field not set" semantics, same as the other backends)
@@ -218,7 +259,18 @@ def grok_arrow_udf(cg: CompiledGrok):
                 col = pd.to_numeric(col, errors="coerce").astype("Int64")
             elif typ == "float":
                 col = pd.to_numeric(col, errors="coerce")
-            out[name] = col
+            return col
+
+        for name, occ in groups.items():
+            if len(occ) == 1:
+                out[name] = clean(*occ[0])
+            else:
+                # duplicate capture name -> array of all occurrences
+                subs = [clean(i, t) for i, t in occ]
+                out[name] = [
+                    ([v for v in row if v is not None and v is not pd.NA] or None)
+                    for row in zip(*subs)
+                ]
         out["_grok_matched"] = matched.to_pandas().set_axis(s.index).fillna(False)
         return out
 
@@ -251,11 +303,20 @@ def grok(
         max_caps = max((len(cg.captures) for cg in compiled), default=0)
         backend = "expr" if max_caps <= 3 else "arrow"
 
-    all_fields: list[tuple[str, str]] = []
+    # (name, type, is_array): a field duplicated inside ANY pattern becomes
+    # an array everywhere (the reference's per-event union type is
+    # unrepresentable in a fixed schema; scalar matches wrap in 1-arrays)
+    all_fields: list[tuple[str, str, bool]] = []
+    field_pos = {}
     for cg in compiled:
-        for name, _, typ in cg.captures:
-            if name not in [f for f, _ in all_fields]:
-                all_fields.append((name, typ))
+        for name, occ in capture_groups(cg).items():
+            is_arr = len(occ) > 1
+            if name not in field_pos:
+                field_pos[name] = len(all_fields)
+                all_fields.append((name, occ[0][1], is_arr))
+            elif is_arr and not all_fields[field_pos[name]][2]:
+                n, t, _ = all_fields[field_pos[name]]
+                all_fields[field_pos[name]] = (n, t, True)
 
     matched_any = F.lit(False)
     per_pattern: list[dict[str, Column]] = []
@@ -273,15 +334,20 @@ def grok(
 
     # first-match-wins merge across the pattern list
     out_cols: dict[str, Column] = {}
-    for fname, typ in all_fields:
+    for fname, typ, is_arr in all_fields:
         chain: Column | None = None
         for i, cg in enumerate(compiled):
-            names = [n for n, _, _ in cg.captures]
-            if fname not in names:
+            groups_i = capture_groups(cg)
+            if fname not in groups_i:
                 continue
-            this = F.when(per_pattern[i]["_grok_matched"] & ~_matched_before(per_pattern, i), per_pattern[i][fname])
+            val = per_pattern[i][fname]
+            if is_arr and len(groups_i[fname]) == 1:
+                # field is an array overall but scalar in this pattern
+                val = F.when(val.isNotNull(), F.array(val))
+            this = F.when(per_pattern[i]["_grok_matched"] & ~_matched_before(per_pattern, i), val)
             chain = this if chain is None else F.coalesce(chain, this)
-        out_cols[fname] = chain.cast(_cast_type(typ))
+        target_t = f"array<{_cast_type(typ)}>" if is_arr else _cast_type(typ)
+        out_cols[fname] = chain.cast(target_t)
 
     for fname, col in out_cols.items():
         df = df.withColumn(fname, col)

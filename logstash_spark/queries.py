@@ -1414,6 +1414,37 @@ def event_serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "nested_field_write",
+    f"""{_PAGES_CTE}
+SELECT url,
+       to_json(struct_pack(
+         geo := struct_pack(city := 'c-' || lang, host := 'host' || CAST(user_id AS VARCHAR)),
+         verb := verb)) AS doc_json,
+       to_json(struct_pack(geo := struct_pack(host := 'host' || CAST(user_id AS VARCHAR)))) AS pruned_json
+FROM pages""",
+)
+def nested_field_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested field-reference WRITES (accessors.rb:118-122 auto-created
+    intermediate hashes; spec/core/event_spec.rb:96-153): set_field creates
+    [doc][geo][city] and [doc][geo][host] structs from scratch, then
+    remove_field drops a nested leaf — round-tripped as JSON for hashing."""
+    from logstash_spark.operators import mutate as M
+
+    p = _pages(spark, sf_dir)
+    p = M.set_field(p, "[doc][geo][city]", "c-%{lang}")
+    p = M.set_field(p, "[doc][geo][host]", "host%{user_id}")
+    p = M.set_field(p, "[doc][verb]", "%{verb}")
+    p = p.withColumn("doc2", F.col("doc"))
+    p = M.remove_field(p, "[doc2][geo][city]")
+    p = M.remove_field(p, "[doc2][verb]")
+    return p.select(
+        "url",
+        F.to_json(F.col("doc")).alias("doc_json"),
+        F.to_json(F.col("doc2")).alias("pruned_json"),
+    )
+
+
+@q(
     "timestamp_coercion",
     f"""{_PAGES_CTE}
 , raw AS (

@@ -1,2 +1,8 @@
 from logstash_spark.sources.pages import pages_from_events, pages_sql, synthetic_pages  # noqa: F401
 from logstash_spark.sources.readers import load_table, load_tables  # noqa: F401
+from logstash_spark.sources.bus import (  # noqa: F401
+    decode_kafka_records,
+    encode_kafka_records,
+    kafka_source,
+    kafka_wire_shim,
+)

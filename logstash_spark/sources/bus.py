@@ -1,0 +1,109 @@
+"""Kafka/bus source + sink mapping — and a file-backed wire shim so the
+contract is TESTED even though no broker runs in this sandbox.
+
+Reference: the kafka/rabbitmq/redis bus plugins (manifest
+rakelib/default_plugins.rb:49-76) move serialized events over a keyed
+topic. Spark-first mapping:
+
+- source: ``spark.readStream.format('kafka')`` yields the fixed wire
+  schema (key/value binary, topic, partition, offset, timestamp);
+  :func:`decode_kafka_records` turns it into typed events (json codec by
+  default — same decode path as codecs.json_lines).
+- sink: :func:`encode_kafka_records` produces (key, value, topic) —
+  exactly what ``df.write.format('kafka')`` consumes; keys come from a
+  sprintf template so partitioning-by-key matches the reference's
+  ``message_key`` option.
+- shim: :func:`kafka_wire_shim` re-wraps any event frame in the wire
+  schema (as if it had been read back from a broker), so the round-trip
+  encode -> wire -> decode is pinned by tests with no broker present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KAFKA_WIRE_COLUMNS = ["key", "value", "topic", "partition", "offset", "timestamp"]
+
+
+def kafka_source(
+    spark: SparkSession,
+    *,
+    brokers: str,
+    topic: str,
+    value_schema: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """readStream from a kafka topic -> typed events (needs a broker; the
+    sandbox tests exercise decode_kafka_records via kafka_wire_shim)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_kafka_records(raw, value_schema)
+
+
+def decode_kafka_records(raw: DataFrame, value_schema: str) -> DataFrame:
+    """Kafka wire schema -> events: value decodes as JSON into
+    ``value_schema`` columns; key + provenance columns ride along under
+    kafka_* names (the reference's [@metadata][kafka] fields)."""
+    ev = raw.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("topic").alias("kafka_topic"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
+        F.col("timestamp").alias("kafka_ts"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("_v"),
+    )
+    return ev.select(
+        "kafka_key", "kafka_topic", "kafka_partition", "kafka_offset", "kafka_ts", "_v.*"
+    )
+
+
+def encode_kafka_records(
+    df: DataFrame,
+    *,
+    topic: str,
+    key_template: str | None = None,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Events -> (key, value, topic), the frame ``.write.format('kafka')``
+    consumes. value = JSON-serialized event (internal columns stripped);
+    key from a sprintf template (``message_key``) or null."""
+    from logstash_spark.event import sprintf_col
+    from logstash_spark.sinks import strip_internal
+
+    clean = strip_internal(df)
+    cols = fields or clean.columns
+    value = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    key = sprintf_col(key_template, df) if key_template else F.lit(None).cast("string")
+    return df.select(
+        key.alias("key"), value.alias("value"), F.lit(topic).alias("topic")
+    )
+
+
+def kafka_wire_shim(encoded: DataFrame, *, partitions: int = 4) -> DataFrame:
+    """Wrap an encode_kafka_records frame in the FULL kafka wire schema —
+    what readStream.format('kafka') would deliver after a broker round
+    trip. Partition = hash(key) % N (null keys -> partition 0, standing in
+    for round-robin deterministically); offset = row_number per partition.
+    """
+    from pyspark.sql import Window as W
+
+    part = F.when(
+        F.col("key").isNull(), F.lit(0)
+    ).otherwise(F.pmod(F.xxhash64(F.col("key")), F.lit(partitions))).cast("int")
+    w = W.partitionBy("partition").orderBy("value")
+    return (
+        encoded.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            "topic",
+            part.alias("partition"),
+        )
+        .withColumn("offset", F.row_number().over(w).cast("long") - 1)
+        .withColumn("timestamp", F.current_timestamp())
+    )

@@ -65,3 +65,40 @@ def test_sprintf_timestamp_formats(spark):
     assert out["a"] == "2013-01-01"
     assert out["b"] == "1356998400"
     assert out["c"] == "logs-2013.01.01"
+
+
+def test_ruby_float_rendering(spark):
+    """sprintf float rendering follows Ruby Float#to_s (event.rb:61-64):
+    plain decimal up to 1e16, scientific with signed 2-digit exponent
+    outside — Java's Double.toString goes scientific at 1e7."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.event import ruby_float_str
+
+    cases = [
+        (1234.5, "1234.5"),
+        (0.25, "0.25"),
+        (10000000.0, "10000000.0"),        # Java: '1.0E7'
+        (123456789.25, "123456789.25"),    # Java: '1.2345678925E8'
+        (1.5e15, "1500000000000000.0"),    # Java: '1.5E15'
+        (1e20, "1.0e+20"),                 # Ruby scientific
+        (1e-5, "1.0e-05"),                 # 2-digit-min exponent
+        (-2.5e7, "-25000000.0"),
+        (-1.25e-7, "-1.25e-07"),
+        (0.0, "0.0"),
+        (1e16, "1.0e+16"),                 # Ruby threshold: 1e16 is scientific
+    ]
+    df = spark.createDataFrame([(i, v) for i, (v, _) in enumerate(cases)], "i int, v double")
+    got = {r["i"]: r["s"] for r in df.select("i", ruby_float_str(F.col("v")).alias("s")).collect()}
+    for i, (v, want) in enumerate(cases):
+        assert got[i] == want, (v, got[i], want)
+
+
+def test_sprintf_renders_floats_ruby_style(spark):
+    from pyspark.sql import functions as F
+
+    from logstash_spark.event import sprintf_col
+
+    df = spark.createDataFrame([(10000000.0,)], "bytes double")
+    out = df.select(sprintf_col("size=%{bytes}", df).alias("s")).collect()[0]["s"]
+    assert out == "size=10000000.0"

@@ -132,3 +132,37 @@ def test_backends_agree_on_mixed_patterns(spark, pattern):
         for b in ("expr", "pandas", "arrow")
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_duplicate_capture_names_collect_arrays(spark):
+    """Reference grok keeps EVERY occurrence of a duplicated capture name —
+    the field becomes an array (round-2: all three backends)."""
+    from logstash_spark.operators.grok import grok
+
+    import pytest
+
+    df = spark.createDataFrame([("alpha beta gamma",), ("nomatch!!!",)], "text string")
+    for backend in ("expr", "pandas", "arrow"):
+        out = {r["text"]: r for r in grok(
+            df, "text", r"%{WORD:w} %{WORD:w} %{WORD:last}", backend=backend
+        ).collect()}
+        row = out["alpha beta gamma"]
+        assert row["w"] == ["alpha", "beta"], (backend, row["w"])
+        assert row["last"] == "gamma"
+        miss = out["nomatch!!!"]
+        assert miss["w"] is None and "_grokparsefailure" in miss["tags"]
+
+
+def test_duplicate_captures_typed_and_multi_pattern(spark):
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([("1 2",), ("solo 7",)], "text string")
+    # pattern 1 duplicates n (typed int); pattern 2 captures n once ->
+    # promoted to array overall, scalar matches wrap in 1-arrays
+    out = {r["text"]: r for r in grok(
+        df, "text",
+        [r"^%{INT:n:int} %{INT:n:int}$", r"^%{WORD:word} %{INT:n:int}$"],
+        backend="expr",
+    ).collect()}
+    assert out["1 2"]["n"] == [1, 2]
+    assert out["solo 7"]["n"] == [7] and out["solo 7"]["word"] == "solo"
