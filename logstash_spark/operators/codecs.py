@@ -224,6 +224,87 @@ def encode_oldlogstashjson(
 
 
 # ---------------------------------------------------------------------------
+# es_bulk codec (default_plugins.rb:12) — Elasticsearch bulk NDJSON:
+# alternating action lines and source docs; pure exprs both directions
+# ---------------------------------------------------------------------------
+
+
+def decode_es_bulk(df: DataFrame, source: str, schema: str) -> DataFrame:
+    """es_bulk decode: pair each action line with its following source doc.
+    Emits one event per source doc (index/create/update) with
+    bulk_action/bulk_index/bulk_id provenance columns plus the doc fields
+    (typed by ``schema``); delete actions (no source line) emit an event
+    with null doc fields. The action->doc pairing is a per-payload window
+    over line position — one shuffle on the payload id, everything else
+    pure exprs."""
+    from pyspark.sql import Window as W
+
+    base = df.withColumn("_brow", F.monotonically_increasing_id())
+    out = lines(base, source, target="_bl", keep_empty=False)
+    action_s = (
+        "struct<index:struct<_index:string,_id:string>,"
+        "create:struct<_index:string,_id:string>,"
+        "update:struct<_index:string,_id:string>,"
+        "delete:struct<_index:string,_id:string>>"
+    )
+    kinds = ("index", "create", "update", "delete")
+    out = out.withColumn("_act", F.from_json(F.col("_bl"), action_s))
+    out = out.withColumn(
+        "_kind",
+        F.coalesce(*[F.when(F.col(f"_act.{k}").isNotNull(), F.lit(k)) for k in kinds]),
+    )
+    out = out.withColumn(
+        "_actmeta", F.coalesce(*[F.col(f"_act.{k}") for k in kinds])
+    )
+    w = W.partitionBy("_brow").orderBy("line_seq")
+    out = out.withColumn("bulk_action", F.last("_kind", ignorenulls=True).over(w))
+    out = out.withColumn(
+        "_m",
+        F.last(F.when(F.col("_kind").isNotNull(), F.col("_actmeta")), ignorenulls=True).over(w),
+    )
+    is_action = F.col("_kind").isNotNull()
+    events = out.filter(~is_action | (F.col("_kind") == "delete"))
+    events = events.withColumn(
+        "_doc",
+        F.when(F.col("_kind").isNull(), F.from_json(F.col("_bl"), schema)),
+    )
+    return events.select(
+        *[c for c in df.columns if c != source],
+        "bulk_action",
+        F.col("_m._index").alias("bulk_index"),
+        F.col("_m._id").alias("bulk_id"),
+        F.col("_doc.*"),
+    )
+
+
+def encode_es_bulk(
+    df: DataFrame,
+    *,
+    index: str,
+    id_field: str | None = None,
+    fields: list[str] | None = None,
+    target: str = "bulk",
+    action: str = "index",
+) -> DataFrame:
+    """es_bulk encode: '{"index":{"_index":...,"_id":...}}\\n{doc}' per
+    event — the wire format an Elasticsearch bulk sink ships. ``index`` may
+    be a sprintf template (the reference's index naming, e.g.
+    'logstash-%{+yyyy.MM.dd}')."""
+    from logstash_spark.event import is_template, sprintf_col
+    from logstash_spark.sinks import strip_internal
+
+    clean = strip_internal(df)
+    cols = fields or clean.columns
+    idx_col = sprintf_col(index, df) if is_template(index) else F.lit(index)
+    meta_fields = [idx_col.alias("_index")]
+    if id_field:
+        meta_fields.append(F.col(id_field).cast("string").alias("_id"))
+    action_line = F.to_json(F.struct(F.struct(*meta_fields).alias(action)))
+    doc_line = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    return df.withColumn(target, F.concat(action_line, F.lit("\n"), doc_line))
+
+
+# ---------------------------------------------------------------------------
 # edn / edn_lines codecs (default_plugins.rb:10-11) — pure-Python EDN reader
 # in mapInPandas (no external library; EDN is a small public grammar)
 # ---------------------------------------------------------------------------

@@ -748,10 +748,16 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate configuration runs hash_fn='md5' so DuckDB can value-verify the
     whole LSH construction (xxhash64 — the production default — has no
     DuckDB equivalent; same algorithm either way)."""
+    import os
+
     from logstash_spark.functions.dedup import dedup_minhash_lsh
 
     d = load_table(spark, sf_dir, "documents")
-    return dedup_minhash_lsh(d, threshold=0.5, hash_fn="md5")
+    # gate default: md5 (oracle-verifiable). bench.py sets
+    # SPARK_GRAFT_HASH_FN=xxhash64 so timings measure the production hash.
+    return dedup_minhash_lsh(
+        d, threshold=0.5, hash_fn=os.environ.get("SPARK_GRAFT_HASH_FN", "md5")
+    )
 
 
 def _simhash_md5_oracle(max_hamming: int = 8) -> str:
@@ -790,10 +796,14 @@ WHERE bit_count(xor(a.simhash, c.simhash)) <= {max_hamming}"""
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate configuration runs hash_fn='md5' (DuckDB-verifiable bit family);
     production default stays xxhash64."""
+    import os
+
     from logstash_spark.functions.dedup import simhash_near_dups
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_dups(d, max_hamming=8, hash_fn="md5")
+    return simhash_near_dups(
+        d, max_hamming=8, hash_fn=os.environ.get("SPARK_GRAFT_HASH_FN", "md5")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -904,9 +914,12 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
+    import os
+
     return lsh_topk(
         e, qs, k=5, num_planes=6, tables=8, multiprobe=1,
-        hash_fn="md5", round_before_rank=True,
+        hash_fn=os.environ.get("SPARK_GRAFT_HASH_FN", "md5"),
+        round_before_rank=True,
     )
 
 
@@ -1069,6 +1082,28 @@ def codec_oldlogstashjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = encode_oldlogstashjson(p, fields=["status"], target="wire")
     dec = decode_oldlogstashjson(enc.select("url", "wire"), "wire", "status bigint")
     return dec.select("url", "message", "type", "host", "status")
+
+
+@q(
+    "codec_es_bulk",
+    f"""{_PAGES_CTE}
+SELECT url, 'index' AS bulk_action, 'logs-' || verb AS bulk_index,
+       url AS bulk_id, verb, CAST(response AS BIGINT) AS status
+FROM pages""",
+)
+def codec_es_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """es_bulk codec round-trip (default_plugins.rb:12): event -> action+doc
+    NDJSON pair (sprintf index template) -> decoded back with provenance."""
+    from logstash_spark.operators.codecs import decode_es_bulk, encode_es_bulk
+
+    p = _pages(spark, sf_dir).select(
+        "url", "verb", F.col("response").cast("bigint").alias("status")
+    )
+    enc = encode_es_bulk(p, index="logs-%{verb}", id_field="url",
+                         fields=["url", "verb", "status"])
+    dec = decode_es_bulk(enc.select(F.col("bulk").alias("doc")), "doc",
+                         "url string, verb string, status bigint")
+    return dec.select("url", "bulk_action", "bulk_index", "bulk_id", "verb", "status")
 
 
 @q("codec_edn_lines")  # EDN parsing has no DuckDB equivalent -> rows-only

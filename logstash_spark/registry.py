@@ -81,6 +81,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "codec.encode_graphite": codecs.encode_graphite,
     "codec.oldlogstashjson": codecs.decode_oldlogstashjson,
     "codec.encode_oldlogstashjson": codecs.encode_oldlogstashjson,
+    "codec.es_bulk": codecs.decode_es_bulk,
+    "codec.encode_es_bulk": codecs.encode_es_bulk,
     "codec.edn": codecs.decode_edn,
     "codec.edn_lines": codecs.decode_edn_lines,
     # `sleep` filter (default_plugins.rb:41): a rate-limiting aid with no

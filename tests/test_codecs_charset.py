@@ -233,3 +233,55 @@ def test_edn_codec_decode(spark):
     )
     out = decode_edn_lines(nd, "doc", "m string")
     assert sorted(r["m"] for r in out.collect()) == ["a", "b"]
+
+
+def test_es_bulk_roundtrip(spark):
+    """es_bulk codec (default_plugins.rb:12): action+source NDJSON pairs,
+    encode and decode, incl. sprintf index templates and delete actions."""
+    import json as J
+
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.codecs import decode_es_bulk, encode_es_bulk
+
+    events = spark.createDataFrame(
+        [(1, "GET", 200), (2, "POST", 500)], "id long, verb string, status int"
+    )
+    enc = encode_es_bulk(events, index="logs-%{verb}", id_field="id", fields=["verb", "status"])
+    rows = {r["id"]: r["bulk"] for r in enc.collect()}
+    a1, d1 = rows[1].split("\n")
+    assert J.loads(a1) == {"index": {"_index": "logs-GET", "_id": "1"}}
+    assert J.loads(d1) == {"verb": "GET", "status": 200}
+
+    payload = "\n".join([
+        '{"index":{"_index":"web","_id":"a"}}',
+        '{"verb":"GET","status":200}',
+        '{"create":{"_index":"web","_id":"b"}}',
+        '{"verb":"PUT","status":201}',
+        '{"delete":{"_index":"web","_id":"c"}}',
+        '{"index":{"_index":"web2","_id":"d"}}',
+        '{"verb":"HEAD","status":301}',
+    ])
+    df = spark.createDataFrame([(payload,)], "doc string")
+    out = {r["bulk_id"]: r for r in decode_es_bulk(df, "doc", "verb string, status int").collect()}
+    assert len(out) == 4
+    assert out["a"]["bulk_action"] == "index" and out["a"]["verb"] == "GET"
+    assert out["b"]["bulk_action"] == "create" and out["b"]["status"] == 201
+    assert out["c"]["bulk_action"] == "delete" and out["c"]["verb"] is None
+    assert out["d"]["bulk_index"] == "web2" and out["d"]["verb"] == "HEAD"
+
+
+def test_es_bulk_roundtrip_self(spark):
+    """encode -> concat payload -> decode recovers the events."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.codecs import decode_es_bulk, encode_es_bulk
+
+    events = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, payload string"
+    )
+    enc = encode_es_bulk(events, index="t", id_field="id", fields=["id", "payload"])
+    # each row's bulk string is its own payload document
+    dec = decode_es_bulk(enc.select(F.col("bulk").alias("doc")), "doc", "id long, payload string")
+    got = {r["id"]: r["payload"] for r in dec.collect()}
+    assert got == {i: f"v{i}" for i in range(10)}
