@@ -197,8 +197,67 @@ def _t_fingerprint(a: dict) -> list[tuple[str, dict]]:
     return [("fingerprint", params)]
 
 
+def _t_translate(a: dict) -> list[tuple[str, dict]]:
+    """translate plugin (community; named in the north star): inline
+    ``dictionary => {...}`` compiles to a literal map lookup / rlike
+    cascade — no join. The DataFrame-dimension form stays on the library
+    API (enrich.translate)."""
+    if "dictionary" not in a or not isinstance(a["dictionary"], dict):
+        raise ConfCompileError(
+            "translate: needs an inline dictionary => { ... } "
+            "(file-backed dictionaries: use enrich.translate with a dim DataFrame)"
+        )
+    src = a.get("field") or a.get("source")
+    if not src:
+        raise ConfCompileError("translate: missing field")
+    params: dict[str, Any] = {
+        "source": src,
+        "target": a.get("destination", "translation"),
+        "dictionary": dict(a["dictionary"]),
+    }
+    if "fallback" in a:
+        params["fallback"] = a["fallback"]
+    if str(a.get("regex", "")).lower() in ("true", "1"):
+        params["regex"] = True
+    return [("translate_dict", params)]
+
+
+def _t_metrics(a: dict) -> list[tuple[str, dict]]:
+    """metrics plugin: ``meter => "prefix.%{field}"`` counts by the embedded
+    field per flush window (metrics-from-logs.md)."""
+    meter = _listify(a.get("meter", []))
+    if not meter:
+        raise ConfCompileError("metrics: needs meter => [sprintf key]")
+    import re as _re
+
+    m = _re.search(r"%\{([^}]+)\}", str(meter[0]))
+    key = m.group(1).strip("[]") if m else str(meter[0])
+    params: dict[str, Any] = {"key": key, "ts": a.get("timestamp_field", "@timestamp")}
+    if "flush_interval" in a:
+        params["interval"] = f"{int(a['flush_interval'])} seconds"
+    if "timer" in a:
+        timer = a["timer"]
+        field = list(dict(timer).values())[0] if isinstance(timer, dict) else _listify(timer)[-1]
+        params["timer_field"] = field
+    return [("metrics", params)]
+
+
+def _t_xml(a: dict) -> list[tuple[str, dict]]:
+    if "source" not in a:
+        raise ConfCompileError("xml: missing source")
+    if "schema" not in a:
+        raise ConfCompileError(
+            "xml: this engine needs an explicit `schema => \"...\"` "
+            "(fixed-schema model, same contract as the json filter)"
+        )
+    return [("xml", {"source": a["source"], "schema": a["schema"]})]
+
+
 _FILTER_TRANSLATORS = {
     "grok": _t_grok,
+    "translate": _t_translate,
+    "metrics": _t_metrics,
+    "xml": _t_xml,
     "date": _t_date,
     "mutate": _t_mutate,
     "json": _t_json,

@@ -116,6 +116,33 @@ def geoip(
     return joined.drop("prefix16", "ip_lo", "ip_hi", *fields, "__ipl", "__prefix16")
 
 
+def translate_literal(
+    df: DataFrame,
+    *,
+    source: str,
+    target: str,
+    dictionary: dict,
+    fallback: str | None = None,
+    regex: bool = False,
+) -> DataFrame:
+    """translate with an INLINE dictionary (the plugin's ``dictionary =>
+    {...}`` form, the common .conf usage): compiles to a literal
+    ``create_map`` lookup (exact) or a first-match-wins rlike cascade
+    (regex) — pure expressions, no dimension DataFrame, no join."""
+    src = F.col(source).cast("string")
+    if regex:
+        branches = [F.when(src.rlike(str(k)), F.lit(v)) for k, v in dictionary.items()]
+        out = F.coalesce(*branches) if branches else F.lit(None).cast("string")
+    else:
+        m = F.create_map(
+            *[F.lit(x) for kv in dictionary.items() for x in (str(kv[0]), kv[1])]
+        )
+        out = m.getItem(src)
+    if fallback is not None:
+        out = F.coalesce(out, F.lit(fallback))
+    return df.withColumn(target, out)
+
+
 def dns_enrich(df: DataFrame, resolved_dim: DataFrame, *, source: str, target: str = "resolved") -> DataFrame:
     """`dns` filter analog: broadcast join against a pre-resolved
     host->address table (no live DNS inside executors)."""

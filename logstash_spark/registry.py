@@ -65,6 +65,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "uuid": fingerprint.uuid,
     # enrichment
     "translate": enrich.translate,
+    "translate_dict": enrich.translate_literal,
     "geoip": enrich.geoip,
     "dns": enrich.dns_enrich,
     "useragent": enrich.useragent,

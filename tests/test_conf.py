@@ -278,3 +278,55 @@ def test_multistage_plugin_gating_applies_to_every_substage(spark, tmp_path):
     # the non-matching event is untouched by every sub-op
     assert rows["other"]["n"] == "3" and rows["other"]["verb"] == "post"
     assert not rows["other"]["tags"]
+
+
+def test_translate_inline_dictionary(spark, tmp_path):
+    """translate with inline dictionary compiles to a literal map lookup
+    (exact) or rlike cascade (regex) — no join in the plan."""
+    src = """
+    filter {
+      translate {
+        field => "response"
+        destination => "status_name"
+        dictionary => { "200" => "ok"  "404" => "missing"  "500" => "error" }
+        fallback => "other"
+      }
+      translate {
+        field => "agent"
+        destination => "is_bot"
+        regex => true
+        dictionary => { "Googlebot|bingbot" => "bot" }
+        fallback => "human"
+      }
+    }
+    output { null { } }
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame(
+        [("200", "Mozilla Chrome"), ("500", "Googlebot/2.1"), ("301", "x")],
+        "response string, agent string",
+    )
+    rows = {r["response"]: r for r in pipe.transform(df).collect()}
+    assert rows["200"]["status_name"] == "ok"
+    assert rows["500"]["status_name"] == "error" and rows["500"]["is_bot"] == "bot"
+    assert rows["301"]["status_name"] == "other" and rows["301"]["is_bot"] == "human"
+
+
+def test_metrics_and_xml_translators(spark, tmp_path):
+    src = """
+    filter {
+      metrics { meter => "apache.%{verb}" flush_interval => 60 timestamp_field => "ts" }
+    }
+    output { null { } }
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("GET",), ("GET",), ("POST",)], "verb string"
+    ).withColumn("ts", F.lit("2024-01-01 00:00:30").cast("timestamp"))
+    out = {r["key"]: r["count"] for r in pipe.transform(df).collect()}
+    assert out == {"GET": 2, "POST": 1}
+
+    with pytest.raises(ConfCompileError, match="schema"):
+        compile_config('filter { xml { source => "x" } } output { null {} }', out_dir=str(tmp_path))
