@@ -102,6 +102,42 @@ def decode_msgpack(df: DataFrame, source: str, schema: str) -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+def decode_fluent(df: DataFrame, source: str, schema: str) -> DataFrame:
+    """fluent codec (default_plugins.rb:19): msgpack-framed
+    ``[tag, time, record]`` entries. Framing contract: unpack each binary
+    row as the 3-tuple, flatten ``record`` into ``schema`` columns plus
+    fluent_tag/fluent_time. Gated on the msgpack package (absent here),
+    same as decode_msgpack."""
+    try:
+        import msgpack  # noqa: F401
+    except ImportError as e:  # pragma: no cover - not in this runtime
+        raise ImportError(
+            "fluent codec requires the 'msgpack' package (not in this runtime); "
+            "framing: per-row [tag, time, record] msgpack tuples -> events"
+        ) from e
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(
+        f"fluent_tag string, fluent_time bigint, {schema}"
+    )
+    names = [f_.name for f_ in out_schema.fields]
+
+    def batches(it):
+        import msgpack as mp
+
+        for pdf in it:
+            rows = []
+            for b in pdf[source]:
+                if b is None:
+                    continue
+                tag, ts, record = mp.unpackb(bytes(b), raw=False)
+                rows.append([tag, int(ts)] + [record.get(n) for n in names[2:]])
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def rubydebug(df: DataFrame, n: int = 20) -> None:
     """rubydebug codec analog: pretty-print events to the console
     (agent.rb:104 default stdout codec). Diagnostic only."""
@@ -221,6 +257,182 @@ def encode_oldlogstashjson(
     if data:
         struct_fields.append(F.struct(*[F.col(c) for c in data]).alias("@fields"))
     return df.withColumn(target, F.to_json(F.struct(*struct_fields)))
+
+
+# ---------------------------------------------------------------------------
+# netflow v5 codec (default_plugins.rb:17) — fixed binary layout: 24-byte
+# header + N x 48-byte flow records; stdlib struct in mapInPandas (the
+# packet grammar is public; no external lib needed)
+# ---------------------------------------------------------------------------
+
+NETFLOW5_SCHEMA = (
+    "flow_seq bigint, unix_secs bigint, src_addr string, dst_addr string, "
+    "src_port int, dst_port int, protocol int, tos int, tcp_flags int, "
+    "in_pkts bigint, in_bytes bigint, first_switched bigint, last_switched bigint"
+)
+
+
+def decode_netflow5(df: DataFrame, source: str = "bytes") -> DataFrame:
+    """netflow v5 decode: one event per flow record in each packet (binary
+    column). Non-v5 / truncated packets are skipped (the codec logs+skips).
+    """
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(NETFLOW5_SCHEMA)
+    names = [f_.name for f_ in out_schema.fields]
+
+    def ip(n: int) -> str:
+        return f"{(n >> 24) & 255}.{(n >> 16) & 255}.{(n >> 8) & 255}.{n & 255}"
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for raw in pdf[source]:
+                if raw is None or len(raw) < 24:
+                    continue
+                buf = bytes(raw)
+                version, count, _uptime, unix_secs = struct.unpack_from(">HHII", buf, 0)
+                (flow_seq,) = struct.unpack_from(">I", buf, 16)
+                if version != 5 or len(buf) < 24 + count * 48:
+                    continue
+                for i in range(count):
+                    off = 24 + i * 48
+                    (src, dst, _nh) = struct.unpack_from(">III", buf, off)
+                    in_pkts, in_bytes, first_sw, last_sw = struct.unpack_from(
+                        ">IIII", buf, off + 16
+                    )
+                    sport, dport = struct.unpack_from(">HH", buf, off + 32)
+                    tcp_flags, proto, tos = struct.unpack_from(">BBB", buf, off + 37)
+                    rows.append(
+                        (flow_seq, unix_secs, ip(src), ip(dst), sport, dport,
+                         proto, tos, tcp_flags, in_pkts, in_bytes, first_sw, last_sw)
+                    )
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def encode_netflow5(records: list[tuple]) -> bytes:
+    """Build one netflow v5 packet from (src_ip, dst_ip, sport, dport,
+    proto, pkts, bytes) tuples — the test-side fixture builder (there is no
+    netflow SINK in the reference's manifest; export is collector-side)."""
+    import struct
+
+    def ip2n(s: str) -> int:
+        a, b, c, d = (int(x) for x in s.split("."))
+        return (a << 24) | (b << 16) | (c << 8) | d
+
+    hdr = struct.pack(">HHIIIIBBH", 5, len(records), 0, 1700000000, 0, 7, 0, 0, 0)
+    body = b""
+    for src, dst, sport, dport, proto, pkts, nbytes in records:
+        body += struct.pack(
+            ">IIIHHIIIIHHBBBBHHBBH",
+            ip2n(src), ip2n(dst), 0,  # nexthop
+            0, 0,  # input/output iface
+            pkts, nbytes, 0, 0,  # first/last switched
+            sport, dport,
+            0, 2, proto, 0,  # pad, tcp_flags, proto, tos
+            0, 0, 0, 0, 0,  # AS/masks/pad
+        )
+    return hdr + body
+
+
+# ---------------------------------------------------------------------------
+# collectd codec (default_plugins.rb:24) — TLV "parts" binary protocol:
+# (type uint16, length uint16, payload); stdlib struct in mapInPandas
+# ---------------------------------------------------------------------------
+
+COLLECTD_SCHEMA = (
+    "host string, collectd_time bigint, plugin string, plugin_instance string, "
+    "collectd_type string, type_instance string, values array<double>"
+)
+
+_CD_HOST, _CD_TIME, _CD_PLUGIN, _CD_PLUGIN_INST = 0x0000, 0x0001, 0x0002, 0x0003
+_CD_TYPE, _CD_TYPE_INST, _CD_VALUES, _CD_TIME_HR = 0x0004, 0x0005, 0x0006, 0x0008
+
+
+def decode_collectd(df: DataFrame, source: str = "bytes") -> DataFrame:
+    """collectd binary protocol decode: string/time parts set context;
+    every VALUES part emits one event with the accumulated context (the
+    protocol's documented stateful-parts semantics)."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(COLLECTD_SCHEMA)
+    names = [f_.name for f_ in out_schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for raw in pdf[source]:
+                if raw is None:
+                    continue
+                buf, off = bytes(raw), 0
+                ctx = {"host": None, "time": None, "plugin": None,
+                       "plugin_instance": None, "type": None, "type_instance": None}
+                while off + 4 <= len(buf):
+                    ptype, plen = struct.unpack_from(">HH", buf, off)
+                    if plen < 4 or off + plen > len(buf):
+                        break
+                    payload = buf[off + 4 : off + plen]
+                    off += plen
+                    if ptype in (_CD_HOST, _CD_PLUGIN, _CD_PLUGIN_INST, _CD_TYPE, _CD_TYPE_INST):
+                        s = payload.rstrip(b"\x00").decode("utf-8", "replace")
+                        key = {_CD_HOST: "host", _CD_PLUGIN: "plugin",
+                               _CD_PLUGIN_INST: "plugin_instance", _CD_TYPE: "type",
+                               _CD_TYPE_INST: "type_instance"}[ptype]
+                        ctx[key] = s
+                    elif ptype == _CD_TIME:
+                        (ctx["time"],) = struct.unpack(">Q", payload)
+                    elif ptype == _CD_TIME_HR:
+                        (t_hr,) = struct.unpack(">Q", payload)
+                        ctx["time"] = t_hr >> 30  # 2^-30 s resolution
+                    elif ptype == _CD_VALUES:
+                        (n,) = struct.unpack_from(">H", payload, 0)
+                        kinds = payload[2 : 2 + n]
+                        vals = []
+                        for i in range(n):
+                            chunk = payload[2 + n + i * 8 : 2 + n + (i + 1) * 8]
+                            if len(chunk) < 8:
+                                break
+                            if kinds[i] == 1:  # GAUGE: little-endian double
+                                vals.append(struct.unpack("<d", chunk)[0])
+                            else:  # COUNTER/DERIVE/ABSOLUTE: BE (u)int64
+                                vals.append(float(struct.unpack(">q", chunk)[0]))
+                        rows.append(
+                            (ctx["host"], ctx["time"], ctx["plugin"],
+                             ctx["plugin_instance"], ctx["type"],
+                             ctx["type_instance"], vals)
+                        )
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def encode_collectd_packet(host: str, time_s: int, metrics: list[tuple]) -> bytes:
+    """Test-side fixture builder: (plugin, type, type_instance, [values])
+    tuples -> one collectd packet."""
+    import struct
+
+    def spart(ptype: int, s: str) -> bytes:
+        b = s.encode() + b"\x00"
+        return struct.pack(">HH", ptype, 4 + len(b)) + b
+
+    out = spart(_CD_HOST, host) + struct.pack(">HHQ", _CD_TIME, 12, time_s)
+    for plugin, typ, tinst, vals in metrics:
+        out += spart(_CD_PLUGIN, plugin) + spart(_CD_TYPE, typ)
+        if tinst:
+            out += spart(_CD_TYPE_INST, tinst)
+        payload = struct.pack(">H", len(vals)) + bytes([1] * len(vals))
+        for v in vals:
+            payload += struct.pack("<d", float(v))
+        out += struct.pack(">HH", _CD_VALUES, 4 + len(payload)) + payload
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "codec.encode_oldlogstashjson": codecs.encode_oldlogstashjson,
     "codec.es_bulk": codecs.decode_es_bulk,
     "codec.encode_es_bulk": codecs.encode_es_bulk,
+    "codec.netflow": codecs.decode_netflow5,
+    "codec.collectd": codecs.decode_collectd,
     "codec.edn": codecs.decode_edn,
     "codec.edn_lines": codecs.decode_edn_lines,
     # `sleep` filter (default_plugins.rb:41): a rate-limiting aid with no

@@ -285,3 +285,39 @@ def test_es_bulk_roundtrip_self(spark):
     dec = decode_es_bulk(enc.select(F.col("bulk").alias("doc")), "doc", "id long, payload string")
     got = {r["id"]: r["payload"] for r in dec.collect()}
     assert got == {i: f"v{i}" for i in range(10)}
+
+
+def test_netflow5_codec(spark):
+    """netflow v5 decode (default_plugins.rb:17): 24-byte header + 48-byte
+    records, one event per flow."""
+    from logstash_spark.operators.codecs import decode_netflow5, encode_netflow5
+
+    pkt = encode_netflow5([
+        ("10.0.0.1", "10.0.0.2", 1234, 80, 6, 10, 5000),
+        ("192.168.1.9", "8.8.8.8", 5353, 53, 17, 2, 128),
+    ])
+    df = spark.createDataFrame([(bytearray(pkt),), (bytearray(b"short"),)], "bytes binary")
+    rows = sorted(decode_netflow5(df).collect(), key=lambda r: r["src_port"])
+    assert len(rows) == 2  # truncated packet skipped
+    a, b = rows
+    assert a["src_addr"] == "10.0.0.1" and a["dst_port"] == 80 and a["protocol"] == 6
+    assert a["in_pkts"] == 10 and a["in_bytes"] == 5000 and a["tcp_flags"] == 2
+    assert b["src_addr"] == "192.168.1.9" and b["protocol"] == 17
+    assert a["flow_seq"] == 7 and a["unix_secs"] == 1700000000
+
+
+def test_collectd_codec(spark):
+    """collectd TLV decode (default_plugins.rb:24): string/time parts carry
+    context; each VALUES part emits one event."""
+    from logstash_spark.operators.codecs import decode_collectd, encode_collectd_packet
+
+    pkt = encode_collectd_packet("web01", 1700000100, [
+        ("cpu", "percent", "user", [42.5]),
+        ("load", "load", "", [0.5, 0.7, 0.9]),
+    ])
+    df = spark.createDataFrame([(bytearray(pkt),)], "bytes binary")
+    rows = {r["plugin"]: r for r in decode_collectd(df).collect()}
+    assert rows["cpu"]["host"] == "web01" and rows["cpu"]["collectd_time"] == 1700000100
+    assert rows["cpu"]["type_instance"] == "user" and rows["cpu"]["values"] == [42.5]
+    assert rows["load"]["values"] == [0.5, 0.7, 0.9]
+    assert rows["load"]["collectd_type"] == "load"
