@@ -1,0 +1,109 @@
+"""Typed config-value coercion — the plugin mixin's validate/coerce table
+(reference lib/logstash/config/mixin.rb:333-493: :string, :number,
+:boolean, :array, :hash, :password, :path, :bytes).
+
+Used by the .conf front end and the spec loader at compile time — the
+reference's ``--configtest`` fail-fast point. Bad values raise
+CoerceError with the option name, never surface as runtime analysis
+errors.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+
+class CoerceError(ValueError):
+    pass
+
+
+class Password:
+    """Opaque secret wrapper (mixin.rb :password): renders masked
+    everywhere; the raw value is only reachable via .value — so configs
+    and error messages never leak it."""
+
+    def __init__(self, value: str):
+        self.value = str(value)
+
+    def __repr__(self) -> str:  # pragma: no cover - trivial
+        return "<password>"
+
+    __str__ = __repr__
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Password) and other.value == self.value
+
+
+_BYTES_RX = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([kmgtp]?i?b?)\s*$", re.IGNORECASE)
+_BYTE_MULT = {
+    "": 1, "b": 1,
+    "k": 1024, "kb": 1024, "kib": 1024,
+    "m": 1024**2, "mb": 1024**2, "mib": 1024**2,
+    "g": 1024**3, "gb": 1024**3, "gib": 1024**3,
+    "t": 1024**4, "tb": 1024**4, "tib": 1024**4,
+    "p": 1024**5, "pb": 1024**5, "pib": 1024**5,
+}
+
+
+def coerce(value: Any, typ: str, name: str = "option") -> Any:
+    """Coerce one config value to the declared type; raise CoerceError on
+    anything the reference's validator would reject."""
+    if typ == "string":
+        if isinstance(value, (list, dict)):
+            raise CoerceError(f"{name}: expected string, got {type(value).__name__}")
+        return str(value)
+    if typ == "number":
+        if isinstance(value, bool):
+            raise CoerceError(f"{name}: expected number, got boolean")
+        if isinstance(value, (int, float)):
+            return value
+        try:
+            s = str(value)
+            return float(s) if "." in s else int(s)
+        except ValueError:
+            raise CoerceError(f"{name}: expected number, got {value!r}") from None
+    if typ == "boolean":
+        if isinstance(value, bool):
+            return value
+        s = str(value).lower()
+        if s == "true":
+            return True
+        if s == "false":
+            return False
+        raise CoerceError(f"{name}: expected boolean, got {value!r}")
+    if typ == "array":
+        return value if isinstance(value, list) else [value]
+    if typ == "hash":
+        if not isinstance(value, dict):
+            raise CoerceError(f"{name}: expected hash, got {type(value).__name__}")
+        return dict(value)
+    if typ == "password":
+        return value if isinstance(value, Password) else Password(str(value))
+    if typ == "path":
+        if isinstance(value, (list, dict)):
+            raise CoerceError(f"{name}: expected path, got {type(value).__name__}")
+        return str(value)
+    if typ == "bytes":
+        if isinstance(value, bool):
+            raise CoerceError(f"{name}: expected bytes, got boolean")
+        if isinstance(value, (int, float)):
+            return int(value)
+        m = _BYTES_RX.match(str(value))
+        if not m:
+            raise CoerceError(f"{name}: expected a byte size like '10kb', got {value!r}")
+        num, unit = float(m.group(1)), m.group(2).lower()
+        if unit not in _BYTE_MULT:
+            raise CoerceError(f"{name}: unknown byte unit {unit!r}")
+        return int(num * _BYTE_MULT[unit])
+    raise CoerceError(f"{name}: unknown config type {typ!r}")
+
+
+def coerce_options(attrs: dict[str, Any], types: dict[str, str], name: str = "plugin") -> dict[str, Any]:
+    """Coerce every declared option in ``attrs`` per its ``types`` entry;
+    undeclared options pass through untouched."""
+    out = dict(attrs)
+    for opt, typ in types.items():
+        if opt in out:
+            out[opt] = coerce(out[opt], typ, f"{name}.{opt}")
+    return out

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
+from logstash_spark.coerce import CoerceError, coerce_options
 from logstash_spark.condparser import parse_condition
 from logstash_spark.conditions import And, Expr, Not
 from logstash_spark.confparser import Config, IfNode, PluginNode, parse_config
@@ -33,6 +34,26 @@ def _listify(v: Any) -> list:
 
 
 _COMMON = {"add_field", "add_tag", "remove_field", "remove_tag", "type", "tags", "exclude_tags", "id", "codec"}
+
+# per-plugin option TYPE declarations (the mixin.rb:333-493 validate table):
+# values coerce at compile time, bad values fail fast with the option name
+_OPTION_TYPES: dict[str, dict[str, str]] = {
+    "drop": {"percentage": "number"},
+    "throttle": {"max_count": "number", "period": "number", "key": "string"},
+    "multiline": {"negate": "boolean", "pattern": "string"},
+    "grok": {"patterns_dir": "array", "tag_on_failure": "array"},
+    "metrics": {"flush_interval": "number", "meter": "array"},
+    "translate": {"regex": "boolean", "dictionary": "hash", "fallback": "string"},
+    "clone": {"clones": "array"},
+    "csv": {"columns": "array", "separator": "string"},
+    "split": {"terminator": "string"},
+    "fingerprint": {"key": "password"},
+    "anonymize": {"fields": "array", "key": "password"},
+    "file": {"path": "path"},
+    "s3": {"size_file": "bytes", "time_file": "number"},
+    "tcp": {"port": "number"},
+    "udp": {"port": "number"},
+}
 
 
 def _decorators(attrs: dict[str, Any]) -> dict[str, Any]:
@@ -294,7 +315,11 @@ def _compile_items(items: list, inherited: Expr | None, stages: list[Stage]) -> 
                     f"(supported: {', '.join(sorted(_FILTER_TRANSLATORS))})"
                 )
             deco = _decorators(node.attrs)
-            pieces = _FILTER_TRANSLATORS[node.name](node.attrs)
+            try:
+                attrs = coerce_options(node.attrs, _OPTION_TYPES.get(node.name, {}), node.name)
+            except CoerceError as e:
+                raise ConfCompileError(str(e)) from None
+            pieces = _FILTER_TRANSLATORS[node.name](attrs)
             if not pieces:
                 # a plugin whose attrs are all decorator options (e.g.
                 # `mutate { add_tag => [...] }`) still runs its decorators
@@ -351,6 +376,10 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
             continue
         assert isinstance(node, PluginNode)
         name = f"{node.name}_{len(outputs)}"
+        try:
+            node = PluginNode(node.name, coerce_options(node.attrs, _OPTION_TYPES.get(node.name, {}), node.name))
+        except CoerceError as e:
+            raise ConfCompileError(str(e)) from None
         deco = _decorators(node.attrs)
         gate = {k: deco[k] for k in ("type", "tags", "exclude_tags")}
         if node.name == "file":

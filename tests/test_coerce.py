@@ -1,0 +1,63 @@
+"""Typed config coercion — the mixin.rb:333-493 validate table."""
+
+import pytest
+
+from logstash_spark.coerce import CoerceError, Password, coerce, coerce_options
+
+
+def test_bytes_units():
+    assert coerce("10kb", "bytes") == 10240
+    assert coerce("1.5MB", "bytes") == int(1.5 * 1024 * 1024)
+    assert coerce("2GiB", "bytes") == 2 * 1024**3
+    assert coerce("123", "bytes") == 123
+    assert coerce(4096, "bytes") == 4096
+    with pytest.raises(CoerceError, match="byte size"):
+        coerce("lots", "bytes")
+
+
+def test_password_masks():
+    p = coerce("hunter2", "password")
+    assert isinstance(p, Password)
+    assert "hunter2" not in repr(p) and "hunter2" not in str(p)
+    assert p.value == "hunter2"
+
+
+def test_number_boolean_path():
+    assert coerce("42", "number") == 42
+    assert coerce("4.5", "number") == 4.5
+    with pytest.raises(CoerceError):
+        coerce("nan-ish-word", "number")
+    assert coerce("true", "boolean") is True
+    assert coerce(False, "boolean") is False
+    with pytest.raises(CoerceError):
+        coerce("yes", "boolean")
+    assert coerce("/var/log/x", "path") == "/var/log/x"
+
+
+def test_coerce_options_table():
+    out = coerce_options(
+        {"max_count": "3", "key": 7, "other": "untouched"},
+        {"max_count": "number", "key": "string"},
+        "throttle",
+    )
+    assert out == {"max_count": 3, "key": "7", "other": "untouched"}
+    with pytest.raises(CoerceError, match="throttle.max_count"):
+        coerce_options({"max_count": "many"}, {"max_count": "number"}, "throttle")
+
+
+def test_conf_compile_coercion(spark, tmp_path):
+    """Bad typed options fail at compile time with the option name — the
+    reference's --configtest fail-fast."""
+    from logstash_spark.conf import ConfCompileError, compile_config
+
+    with pytest.raises(ConfCompileError, match="drop.percentage"):
+        compile_config(
+            'filter { drop { percentage => "half" } } output { null {} }',
+            out_dir=str(tmp_path),
+        )
+    # good values coerce: string numbers become numbers
+    pipe, _ = compile_config(
+        'filter { throttle { key => "k" max_count => "3" } } output { null {} }',
+        out_dir=str(tmp_path),
+    )
+    assert pipe.filters[0].params["max_count"] == 3
