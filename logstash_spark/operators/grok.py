@@ -80,13 +80,28 @@ def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> 
     captures: list[tuple[str, int, str]] = []
     group_counter = [0]
 
+    def raw(segment: str) -> str:
+        """Raw regex text between %{} refs: bare ``(`` groups become
+        non-capturing; Oniguruma-style INLINE NAMED CAPTURES
+        ``(?<name>...)`` (the reference grok's second capture syntax)
+        become tracked capture groups."""
+
+        def named_cap(m: re.Match) -> str:
+            group_counter[0] += 1
+            idx = group_counter[0]
+            captures.append((m.group(1), idx, "string"))
+            return f"(?P<c{idx}>"
+
+        segment = _INLINE_NAMED.sub(named_cap, segment)
+        return _PLAIN_GROUP.sub("(?:", segment)
+
     def expand(pat: str, depth: int) -> str:
         if depth > 20:
             raise ValueError(f"grok pattern recursion too deep in {pattern!r}")
         out: list[str] = []
         pos = 0
         for m in _GROK_REF.finditer(pat):
-            out.append(_renumber_plain(pat[pos : m.start()], group_counter))
+            out.append(raw(pat[pos : m.start()]))
             name, fieldname, typ = m.group(1), m.group(2), m.group(3)
             if name not in lib:
                 raise KeyError(f"unknown grok pattern %{{{name}}}")
@@ -98,7 +113,7 @@ def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> 
             else:
                 out.append("(?:" + expand(lib[name], depth + 1) + ")")
             pos = m.end()
-        out.append(_renumber_plain(pat[pos:], group_counter))
+        out.append(raw(pat[pos:]))
         return "".join(out)
 
     named = expand(pattern, 0)
@@ -117,11 +132,8 @@ def capture_groups(cg: CompiledGrok) -> dict[str, list[tuple[int, str]]]:
 
 
 _PLAIN_GROUP = re.compile(r"(?<!\\)\((?!\?)")
-
-
-def _renumber_plain(segment: str, counter: list[int]) -> str:
-    """Convert bare ``(`` groups in raw regex text to non-capturing."""
-    return _PLAIN_GROUP.sub("(?:", segment)
+# (?<name>...) but NOT lookbehinds (?<= / (?<!
+_INLINE_NAMED = re.compile(r"(?<!\\)\(\?<(?![=!])([A-Za-z][\w@.\[\]]*)>")
 
 
 def _cast_type(typ: str) -> str:
@@ -286,11 +298,15 @@ def grok(
     extra_patterns: dict[str, str] | None = None,
     tag_on_failure: str = GROK_FAILURE_TAG,
     overwrite_tags: bool = False,
+    break_on_match: bool = True,
 ) -> DataFrame:
     """Apply grok to ``df[source]``; adds one column per capture + failure tag.
 
     Multiple patterns implement the reference's first-match-wins list: later
     patterns only fill fields for rows the earlier ones missed.
+    ``break_on_match=False`` (the plugin option) instead applies EVERY
+    pattern — each matching pattern contributes its fields (first
+    non-null value wins per field, the plugin's no-overwrite default).
 
     ``backend='auto'`` (measured on local[32], 4M apache lines): the JVM
     expr backend rescans once per capture — fine at <=3 captures, 8x slower
@@ -344,7 +360,10 @@ def grok(
             if is_arr and len(groups_i[fname]) == 1:
                 # field is an array overall but scalar in this pattern
                 val = F.when(val.isNotNull(), F.array(val))
-            this = F.when(per_pattern[i]["_grok_matched"] & ~_matched_before(per_pattern, i), val)
+            gate = per_pattern[i]["_grok_matched"]
+            if break_on_match:
+                gate = gate & ~_matched_before(per_pattern, i)
+            this = F.when(gate, val)
             chain = this if chain is None else F.coalesce(chain, this)
         target_t = f"array<{_cast_type(typ)}>" if is_arr else _cast_type(typ)
         out_cols[fname] = chain.cast(target_t)

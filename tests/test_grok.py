@@ -166,3 +166,37 @@ def test_duplicate_captures_typed_and_multi_pattern(spark):
     ).collect()}
     assert out["1 2"]["n"] == [1, 2]
     assert out["solo 7"]["n"] == [7] and out["solo 7"]["word"] == "solo"
+
+
+def test_inline_named_captures(spark):
+    """Oniguruma-style (?<name>...) inline captures — the reference grok's
+    second capture syntax (e.g. (?<queue_id>[0-9A-F]{10,11}))."""
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([("queue 4F2A9BC01D five",), ("nope",)], "text string")
+    for backend in ("expr", "pandas", "arrow"):
+        out = {r["text"]: r for r in grok(
+            df, "text", r"queue (?<queue_id>[0-9A-F]{10,11}) %{WORD:w}", backend=backend
+        ).collect()}
+        assert out["queue 4F2A9BC01D five"]["queue_id"] == "4F2A9BC01D", backend
+        assert out["queue 4F2A9BC01D five"]["w"] == "five"
+        assert out["nope"]["queue_id"] is None
+    # lookbehind syntax must NOT be mistaken for a named group
+    out2 = grok(df, "text", r"(?<=queue )%{WORD:qword}", backend="expr").collect()
+    got = {r["text"]: r["qword"] for r in out2}
+    assert got["queue 4F2A9BC01D five"] == "4F2A9BC01D"
+
+
+def test_break_on_match_false_merges_patterns(spark):
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([("a=1 b=2",), ("a=9 only",)], "text string")
+    pats = [r"a=%{INT:a:int}", r"b=%{INT:b:int}"]
+    # default: first-match-wins — pattern 2 never fires on row 1
+    first = {r["text"]: r for r in grok(df, "text", pats, backend="expr").collect()}
+    assert first["a=1 b=2"]["a"] == 1 and first["a=1 b=2"]["b"] is None
+    # break_on_match false: every pattern contributes its fields
+    both = {r["text"]: r for r in grok(df, "text", pats, backend="expr", break_on_match=False).collect()}
+    assert both["a=1 b=2"]["a"] == 1 and both["a=1 b=2"]["b"] == 2
+    assert both["a=9 only"]["a"] == 9 and both["a=9 only"]["b"] is None
+    assert "_grokparsefailure" not in (both["a=9 only"]["tags"] or [])
