@@ -59,6 +59,12 @@ HEADLINE = [
     "event_serialize_json",
     "host_agg_salted",
     "embedding_near_dup",
+    # round-2 additions
+    "nested_field_write",
+    "timestamp_coercion",
+    "codec_graphite",
+    "codec_es_bulk",
+    "useragent_parse",
 ]
 
 

@@ -41,7 +41,7 @@ _OPTION_TYPES: dict[str, dict[str, str]] = {
     "drop": {"percentage": "number"},
     "throttle": {"max_count": "number", "period": "number", "key": "string"},
     "multiline": {"negate": "boolean", "pattern": "string"},
-    "grok": {"patterns_dir": "array", "tag_on_failure": "array"},
+    "grok": {"patterns_dir": "array", "tag_on_failure": "array", "break_on_match": "boolean"},
     "metrics": {"flush_interval": "number", "meter": "array"},
     "translate": {"regex": "boolean", "dictionary": "hash", "fallback": "string"},
     "clone": {"clones": "array"},
@@ -82,6 +82,8 @@ def _t_grok(a: dict) -> list[tuple[str, dict]]:
         params: dict[str, Any] = {"source": fieldname, "patterns": _listify(patterns)}
         if "tag_on_failure" in a:
             params["tag_on_failure"] = _listify(a["tag_on_failure"])[0]
+        if "break_on_match" in a:
+            params["break_on_match"] = a["break_on_match"]
         if "patterns_dir" in a:
             params["extra_patterns"] = _load_patterns_dirs(_listify(a["patterns_dir"]))
         out.append(("grok", params))

@@ -1316,8 +1316,16 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("list_id").cast("int").alias("list_id"))
 
 
-@q("xml_parse_op")  # DuckDB has no XML functions -> rows-only check
+@q(
+    "xml_parse_op",
+    f"""{_PAGES_CTE}
+SELECT url, verb AS xverb, response AS xcode FROM pages""",
+)
 def xml_parse_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xml filter round-trip oracle: the XML document is BUILT from known
+    columns, so DuckDB (no XML functions) asserts the parsed fields by
+    recomputing the components directly — Spark must actually parse the
+    XML to match."""
     from logstash_spark.operators.parse import xml_parse
 
     p = _pages(spark, sf_dir).withColumn(
