@@ -22,7 +22,7 @@ from logstash_spark.condparser import parse_condition
 from logstash_spark.conditions import And, Expr, Not
 from logstash_spark.confparser import Config, IfNode, PluginNode, parse_config
 from logstash_spark.pipeline import Output, Pipeline, Stage
-from logstash_spark.sinks import CollectSink, CountSink, NullSink, ParquetSink
+from logstash_spark.sinks import CollectSink, CountSink, EsBulkSink, NullSink, ParquetSink
 
 
 class ConfCompileError(ValueError):
@@ -400,7 +400,15 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                     key = str(_listify(node.attrs[opt])[0])
                     break
             sink = CountSink(key=_statsd_key_field(key))
-        elif node.name in ("elasticsearch", "elasticsearch_http", "s3", "kafka", "redis", "csv", "opentsdb"):
+        elif node.name in ("elasticsearch", "elasticsearch_http"):
+            # no live cluster here, but the WIRE format is real: es_bulk
+            # action+doc NDJSON text, one POST away from a _bulk endpoint
+            sink = EsBulkSink(
+                os.path.join(out_dir, f"{node.name}_{len(outputs)}"),
+                index=str(node.attrs.get("index", "logstash-%{+yyyy.MM.dd}")),
+                id_field=node.attrs.get("document_id"),
+            )
+        elif node.name in ("s3", "kafka", "redis", "csv", "opentsdb"):
             # durable sinks with no live backend here -> parquet stand-in
             sink = ParquetSink(os.path.join(out_dir, f"{node.name}_{len(outputs)}"), mode="append")
         else:

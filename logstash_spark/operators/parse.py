@@ -106,6 +106,38 @@ def urldecode(df: DataFrame, *fields: str) -> DataFrame:
     return df
 
 
+SYSLOG_LINE_PATTERN = (
+    r"^(?:<%{POSINT:syslog_pri}>)?%{SYSLOGTIMESTAMP:syslog_timestamp} "
+    r"%{IPORHOST:logsource} %{SYSLOGPROG}: %{GREEDYDATA:syslog_message}"
+)
+
+
+def syslog_decode(
+    df: DataFrame, source: str = "message", *, year: int | None = None
+) -> DataFrame:
+    """The syslog INPUT's decode path (manifest logstash-input-syslog):
+    RFC3164 line -> grok(SYSLOGLINE) -> syslog_pri facility/severity ->
+    @timestamp from the (year-less) syslog timestamp.
+
+    The reference assumes the current year for the year-less RFC3164
+    timestamp; pass ``year`` to pin it (tests/oracles do — current-year
+    inference is wall-clock-dependent and breaks replay determinism).
+    """
+    from logstash_spark.operators.date import date as date_op
+    from logstash_spark.operators.grok import grok
+
+    out = grok(df, source, SYSLOG_LINE_PATTERN, backend="arrow")
+    out = syslog_pri(out, source="syslog_pri")
+    if year is not None:
+        out = out.withColumn(
+            "_syslog_ts_y",
+            F.concat(F.lit(str(year)), F.lit(" "), F.col("syslog_timestamp")),
+        )
+        out = date_op(out, "_syslog_ts_y", ["yyyy MMM  d HH:mm:ss", "yyyy MMM d HH:mm:ss"])
+        out = out.drop("_syslog_ts_y")
+    return out
+
+
 def syslog_pri(
     df: DataFrame, source: str = "syslog_pri", use_labels: bool = True
 ) -> DataFrame:

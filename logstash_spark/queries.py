@@ -1488,6 +1488,48 @@ def nested_field_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "syslog_input_decode",
+    f"""{_PAGES_CTE}
+, pri AS (
+  SELECT url, CAST(30 + (event_id % 8) AS INT) AS p, verb,
+         'host' || CAST(user_id % 40 AS VARCHAR) AS h, event_id
+  FROM pages
+)
+SELECT url,
+       CAST(p AS VARCHAR) AS syslog_pri,
+       h AS logsource,
+       'sshd' AS program,
+       CAST(event_id % 30000 AS VARCHAR) AS pid,
+       'session for ' || verb AS syslog_message,
+       p % 8 AS syslog_severity_code,
+       CAST(floor(p / 8) AS INT) AS syslog_facility_code,
+       strftime(TIMESTAMP '2024-03-05 04:05:06', '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS ts_out
+FROM pri""",
+)
+def syslog_input_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The syslog input's decode path: RFC3164 line built from known
+    components -> grok SYSLOGLINE + pri arithmetic + year-pinned timestamp;
+    the oracle recomputes every component directly."""
+    from logstash_spark.operators.date import iso8601_ms
+    from logstash_spark.operators.parse import syslog_decode
+
+    p = _pages(spark, sf_dir)
+    pri = (F.lit(30) + F.col("event_id") % 8).cast("int")
+    line = F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">Mar  5 04:05:06 "),
+        F.concat(F.lit("host"), (F.col("user_id") % 40).cast("string")),
+        F.lit(" sshd["), (F.col("event_id") % 30000).cast("string"),
+        F.lit("]: session for "), F.col("verb"),
+    )
+    out = syslog_decode(p.select("url", line.alias("message")), year=2024)
+    return out.select(
+        "url", "syslog_pri", "logsource", "program", "pid", "syslog_message",
+        "syslog_severity_code", "syslog_facility_code",
+        iso8601_ms(F.col("@timestamp")).alias("ts_out"),
+    )
+
+
+@q(
     "timestamp_coercion",
     f"""{_PAGES_CTE}
 , raw AS (

@@ -39,6 +39,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "xml": parse.xml_parse,
     "urldecode": lambda df, fields: parse.urldecode(df, *fields),
     "syslog_pri": parse.syslog_pri,
+    "syslog": parse.syslog_decode,
     # mutate family
     "mutate.rename": mutate.rename,
     "mutate.convert": mutate.convert,

@@ -76,6 +76,27 @@ class IcebergSink(Sink):
 
 
 @dataclass
+class EsBulkSink(Sink):
+    """Elasticsearch-output stand-in that produces the REAL wire format:
+    es_bulk action+doc NDJSON (codecs.encode_es_bulk) written as text files
+    — a downstream `_bulk` POST away from a live cluster. ``index`` takes
+    the plugin's sprintf templates (e.g. 'logstash-%{+yyyy.MM.dd}')."""
+
+    path: str
+    index: str = "logstash"
+    id_field: str | None = None
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.operators.codecs import encode_es_bulk
+
+        out = encode_es_bulk(
+            strip_internal(df), index=self.index, id_field=self.id_field, target="bulk"
+        )
+        out.select("bulk").write.mode("append").text(self.path)
+        return self.path
+
+
+@dataclass
 class CollectSink(Sink):
     """Testing sink: materializes (the stdout/rubydebug analog)."""
 
