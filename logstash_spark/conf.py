@@ -43,7 +43,7 @@ _OPTION_TYPES: dict[str, dict[str, str]] = {
     "multiline": {"negate": "boolean", "pattern": "string"},
     "grok": {"patterns_dir": "array", "tag_on_failure": "array", "break_on_match": "boolean"},
     "metrics": {"flush_interval": "number", "meter": "array"},
-    "translate": {"regex": "boolean", "dictionary": "hash", "fallback": "string"},
+    "translate": {"regex": "boolean", "dictionary": "hash", "fallback": "string", "override": "boolean"},
     "clone": {"clones": "array"},
     "csv": {"columns": "array", "separator": "string"},
     "split": {"terminator": "string"},
@@ -114,6 +114,8 @@ def _t_date(a: dict) -> list[tuple[str, dict]]:
     params = {"source": match[0], "formats": match[1:]}
     if "target" in a:
         params["target"] = a["target"]
+    if "timezone" in a:
+        params["timezone"] = a["timezone"]
     return [("date", params)]
 
 
@@ -199,6 +201,9 @@ def _t_kv(a: dict) -> list[tuple[str, dict]]:
         params["target"] = a["target"]
     if "include_keys" in a:
         params["include_keys"] = _listify(a["include_keys"])
+    for opt in ("trim_key", "trim_value", "prefix"):
+        if opt in a:
+            params[opt] = a[opt]
     return [("kv", params)]
 
 
@@ -242,6 +247,8 @@ def _t_translate(a: dict) -> list[tuple[str, dict]]:
         params["fallback"] = a["fallback"]
     if str(a.get("regex", "")).lower() in ("true", "1"):
         params["regex"] = True
+    if str(a.get("override", "")).lower() == "false" or a.get("override") is False:
+        params["override"] = False
     return [("translate_dict", params)]
 
 

@@ -51,10 +51,19 @@ def date(
     formats: list[str],
     target: str = "@timestamp",
     tag_on_failure: str = DATE_FAILURE_TAG,
+    timezone: str | None = None,
 ) -> DataFrame:
-    """Parse ``df[source]`` with the first matching format into ``target``."""
+    """Parse ``df[source]`` with the first matching format into ``target``.
+
+    ``timezone`` is the plugin's option for formats WITHOUT a zone token:
+    the wall-clock value is interpreted in that zone and converted to UTC
+    (the session runs UTC, so a naive parse would read it as UTC —
+    to_utc_timestamp applies the offset, DST-aware via the JVM tz db).
+    """
     src = F.col(source).cast("string")
     parsed = date_parse_col(src, formats)
+    if timezone is not None:
+        parsed = F.to_utc_timestamp(parsed, timezone)
     prev = F.col(target) if target in df.columns else F.lit(None).cast("timestamp")
     df = df.withColumn(target, F.coalesce(parsed, prev))
     ok = parsed.isNotNull() | src.isNull()

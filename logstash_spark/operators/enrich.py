@@ -124,6 +124,7 @@ def translate_literal(
     dictionary: dict,
     fallback: str | None = None,
     regex: bool = False,
+    override: bool = True,
 ) -> DataFrame:
     """translate with an INLINE dictionary (the plugin's ``dictionary =>
     {...}`` form, the common .conf usage): compiles to a literal
@@ -140,6 +141,9 @@ def translate_literal(
         out = m.getItem(src)
     if fallback is not None:
         out = F.coalesce(out, F.lit(fallback))
+    if not override and target in df.columns:
+        # plugin `override => false`: keep an existing non-null destination
+        out = F.coalesce(F.col(target), out)
     return df.withColumn(target, out)
 
 

@@ -59,13 +59,37 @@ def kv(
     value_split: str = "=",
     target: str | None = None,
     include_keys: list[str] | None = None,
+    trim_key: str | None = None,
+    trim_value: str | None = None,
+    prefix: str | None = None,
 ) -> DataFrame:
     """`kv` filter: parse k=v pairs into a map column (default_plugins.rb:36).
 
     str_to_map is a single codegen'd expression; with ``include_keys`` we
     project specific keys to top-level columns (typed pipelines).
+    ``trim_key``/``trim_value`` strip the given character set from both
+    ends (the plugin's options; quotes/brackets cleanup); ``prefix``
+    prepends to every key.
     """
     m = F.str_to_map(F.col(source), F.lit(field_split), F.lit(value_split))
+    # leading/trailing/doubled separators yield empty-string keys from
+    # str_to_map; the reference's kv never emits them
+    m = F.map_filter(m, lambda k, _v: k != "")
+    if trim_key or trim_value or prefix:
+        import re as _re
+
+        def _trim(col, chars):
+            cls = "[" + _re.escape(chars) + "]"
+            return F.regexp_replace(F.regexp_replace(col, f"^{cls}+", ""), f"{cls}+$", "")
+
+        def entry_k(k):
+            out = _trim(k, trim_key) if trim_key else k
+            return F.concat(F.lit(prefix), out) if prefix else out
+
+        m = F.map_from_arrays(
+            F.transform(F.map_keys(m), entry_k),
+            F.transform(F.map_values(m), lambda v: _trim(v, trim_value) if trim_value else v),
+        )
     tname = target or "_kv"
     df = df.withColumn(tname, m)
     if include_keys:

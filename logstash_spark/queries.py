@@ -471,10 +471,15 @@ def uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "metrics_window_agg",
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
-       event_type AS key, COUNT(*) AS count,
-       ROUND(AVG(value), 4) AS mean_value
-FROM events GROUP BY 1, 2""",
+    """WITH g AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+         event_type AS key, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS micro
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, key, n AS count,
+       ((2 * micro * 10000 + n * 1000000) // (2 * n * 1000000)) / 10000.0 AS mean_value
+FROM g""",
 )
 def metrics_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """metrics filter: windowed meter+timer per key (tutorial
@@ -482,12 +487,23 @@ def metrics_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.operators.metrics import metrics
 
     e = load_table(spark, sf_dir, "events")
-    out = metrics(e, ts="ts", key="event_type", interval="1 hour", timer_field="value", percentiles=[])
+    out = metrics(
+        e, ts="ts", key="event_type", interval="1 hour", timer_field="value",
+        percentiles=[], decimal_stable_mean=True,
+    )
+    # half-up rounding of the EXACT rational sum/count in integer space —
+    # double avg is addition-order-dependent and decimal division scales
+    # differ across engines; this replays identically anywhere (the sf0.1
+    # sweep caught 3/3600 groups flipping the 4th decimal otherwise)
+    v4 = F.expr(
+        "(2 * CAST(`sum` * 1000000 AS BIGINT) * 10000 + `count` * 1000000) "
+        "DIV (2 * `count` * 1000000)"
+    )
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:00").alias("window_start"),
         "key",
         "count",
-        F.round("mean", 4).alias("mean_value"),
+        (v4.cast("double") / 10000.0).alias("mean_value"),
     )
 
 

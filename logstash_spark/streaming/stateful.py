@@ -40,14 +40,23 @@ def multiline_stateful(
     stream_key: str = "stream_key",
     line_col: str = "text",
     timeout_ms: int = 5000,
+    what: str = "previous",
+    negate: bool = False,
 ) -> DataFrame:
-    """Streaming multiline (`what: previous`): lines matching ``pattern``
-    append to the pending event; a non-matching line emits the pending group
-    and opens a new one; timeout flushes the remainder (the reference's
-    periodic flush, pipeline.rb:159,301-322)."""
+    """Streaming multiline: ``what='previous'`` — lines matching
+    ``pattern`` append to the pending event; a non-matching line emits the
+    pending group and opens a new one. ``what='next'`` — a matching line
+    (e.g. a trailing continuation marker) attaches to the NEXT line; the
+    first non-matching line closes and emits the group. ``negate`` inverts
+    the match, both modes (the plugin's option). Timeout flushes the
+    remainder (the reference's periodic flush, pipeline.rb:159,301-322)."""
     import re
 
     rx = re.compile(pattern)
+
+    def matches(line: str) -> bool:
+        hit = rx.search(line) is not None
+        return (not hit) if negate else hit
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -64,16 +73,32 @@ def multiline_stateful(
                 for line in pdf[line_col]:
                     if line is None:
                         continue
-                    if rx.search(line) and pending is not None:
-                        pending = pending + "\n" + line
-                        n += 1
-                    else:
-                        if pending is not None:
-                            out.append((k, pending, n))
-                        pending, n = line, 1
+                    if what == "next":
+                        if matches(line):
+                            # attaches to whatever comes NEXT: keep buffering
+                            pending = line if pending is None else pending + "\n" + line
+                            n += 1
+                        else:
+                            # closes the group (or stands alone)
+                            if pending is None:
+                                out.append((k, line, 1))
+                            else:
+                                out.append((k, pending + "\n" + line, n + 1))
+                            pending, n = None, 0
+                    else:  # previous
+                        if matches(line) and pending is not None:
+                            pending = pending + "\n" + line
+                            n += 1
+                        else:
+                            if pending is not None:
+                                out.append((k, pending, n))
+                            pending, n = line, 1
             if pending is not None:
                 state.update((pending, n))
                 state.setTimeoutDuration(timeout_ms)
+            else:
+                if state.exists:
+                    state.remove()
         if out:
             yield pd.DataFrame(out, columns=["stream_key", "text", "multiline_n"])
 

@@ -77,3 +77,28 @@ def test_init_timestamp_coercion_matrix(spark):
     # missing source -> now (non-null)
     m = spark.createDataFrame([(1,)], "id int")
     assert init_timestamp(m, "@timestamp").collect()[0]["@timestamp"] is not None
+
+
+def test_date_timezone_option(spark):
+    """date filter `timezone`: zone-less formats interpret in the given
+    zone and convert to UTC (DST-aware)."""
+    from logstash_spark.operators.date import date
+
+    df = spark.createDataFrame(
+        [("winter", "2024-01-15 12:00:00"), ("summer", "2024-07-15 12:00:00")],
+        "season string, t string",
+    )
+    out = {r["season"]: r["@timestamp"] for r in date(
+        df, "t", ["yyyy-MM-dd HH:mm:ss"], timezone="America/Los_Angeles"
+    ).collect()}
+    assert out["winter"].hour == 20  # PST = UTC-8
+    assert out["summer"].hour == 19  # PDT = UTC-7
+
+    # conf pass-through
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'filter { date { match => ["t", "yyyy-MM-dd HH:mm:ss"] timezone => "America/Los_Angeles" } } output { null {} }',
+        out_dir="/tmp/lsd",
+    )
+    assert pipe.filters[0].params["timezone"] == "America/Los_Angeles"

@@ -131,3 +131,16 @@ def test_useragent_core_table_ordering(spark):
     # major/minor split
     assert got[0]["ua_major"] == "120" and got[0]["ua_minor"] == "0"
     assert got[15]["ua_major"] == "" and got[15]["ua_minor"] is None
+
+
+def test_translate_literal_override_false(spark):
+    from logstash_spark.operators.enrich import translate_literal
+
+    df = spark.createDataFrame(
+        [("200", "keepme"), ("404", None)], "code string, name string"
+    )
+    out = {r["code"]: r["name"] for r in translate_literal(
+        df, source="code", target="name",
+        dictionary={"200": "ok", "404": "missing"}, override=False,
+    ).collect()}
+    assert out == {"200": "keepme", "404": "missing"}

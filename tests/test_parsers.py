@@ -81,3 +81,17 @@ def test_kv_hostile_lines_never_crash(spark):
     assert out["a=1 a=2"]["a"] == "2"  # last wins
     assert out["a=1 b=2"] == {"a": "1", "b": "2"}
     assert out["novalue"] == {"novalue": None}
+
+
+def test_kv_trim_and_prefix(spark):
+    """kv trim_key/trim_value/prefix options (plugin surface): strip the
+    char set from both ends, prefix every key."""
+    from logstash_spark.operators.parse import kv
+
+    df = spark.createDataFrame([(' src="1.2.3.4" dst="5.6.7.8" ',)], "m string")
+    out = kv(df, "m", trim_value='"', prefix="fw_", target="kvm").collect()[0]["kvm"]
+    assert out == {"fw_src": "1.2.3.4", "fw_dst": "5.6.7.8"}
+
+    df2 = spark.createDataFrame([("[a]=1 [b]=2",)], "m string")
+    out2 = kv(df2, "m", trim_key="[]", target="kvm").collect()[0]["kvm"]
+    assert out2 == {"a": "1", "b": "2"}

@@ -196,3 +196,75 @@ def test_throttle_period_resets_under_continuous_traffic(spark, tmp_path):
         assert got["b0"] is False and got["b1"] is False
     finally:
         q.stop()
+
+
+def test_streaming_batch_routed_set_parity(spark, tmp_path):
+    """North-rule routed-row equality, streaming mode: the SAME pipeline
+    spec run as micro-batches must route exactly the same url sets to each
+    sink as the batch run (order-free set comparison per the survey)."""
+    src = str(tmp_path / "psrc")
+    pages = synthetic_pages(spark, 600, include_junk=True)
+    pages.coalesce(2).write.parquet(src)
+    stored = spark.read.parquet(src)
+
+    pipe = Pipeline(
+        filters=[
+            Stage(op="grok", params={"source": "text", "patterns": "%{COMBINEDAPACHELOG}"}),
+        ],
+        outputs=[
+            Output("errors", ParquetSink(str(tmp_path / "s_err"), mode="append"),
+                   when=Rx(Field("[response]"), "^5")),
+            Output("rest", ParquetSink(str(tmp_path / "s_rest"), mode="append"),
+                   when=Not(Rx(Field("[response]"), "^5"))),
+        ],
+    )
+
+    # batch routing decision
+    routed = pipe.route(stored)
+    batch_err = {r["url"] for r in routed.filter(F.col("_route_errors")).select("url").collect()}
+    batch_rest = {r["url"] for r in routed.filter(F.col("_route_rest")).select("url").collect()}
+
+    from logstash_spark.streaming.pipeline import run_streaming
+
+    stream = spark.readStream.schema(stored.schema).parquet(src)
+    q = run_streaming(pipe, stream, checkpoint=str(tmp_path / "pck"), watermark=None)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_err = {r["url"] for r in spark.read.parquet(str(tmp_path / "s_err")).select("url").collect()}
+    stream_rest = {r["url"] for r in spark.read.parquet(str(tmp_path / "s_rest")).select("url").collect()}
+    assert stream_err == batch_err
+    assert stream_rest == batch_rest
+    assert len(stream_err) + len(stream_rest) == 600
+
+
+def test_multiline_stateful_next_mode(spark, tmp_path):
+    """Streaming multiline what=next: continuation-marker lines attach to
+    the NEXT line; the first plain line closes the group."""
+    from logstash_spark.streaming.stateful import multiline_stateful
+
+    src = str(tmp_path / "mlnext")
+    rows = [("s1", 0, "part1 \\"), ("s1", 1, "part2 \\"), ("s1", 2, "end"),
+            ("s1", 3, "solo"), ("s2", 0, "alone")]
+    df = spark.createDataFrame(rows, "stream_key string, seq int, text string")
+    df.orderBy("seq").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = multiline_stateful(stream, pattern=r"\\$", what="next")
+    q = out.writeStream.format("memory").queryName("mlnext").outputMode("append").start()
+    try:
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = {(r["stream_key"], r["text"]): r["multiline_n"]
+                   for r in spark.sql("select * from mlnext").collect()}
+            if len(got) == 3:
+                break
+            time.sleep(0.5)
+        assert got[("s1", "part1 \\\npart2 \\\nend")] == 3
+        assert got[("s1", "solo")] == 1
+        assert got[("s2", "alone")] == 1
+    finally:
+        q.stop()
