@@ -345,6 +345,113 @@ def near_dup_pairs_lsh(
     )
 
 
+def ivf_train(
+    docs: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_lists: int = 16,
+    iters: int = 5,
+) -> DataFrame:
+    """Train IVF coarse centroids with Lloyd iterations, fully relational —
+    the k-means|| analog without MLlib: deterministic init (first k vectors
+    by id), then ``iters`` rounds of assign (broadcast centroids, k is
+    small) + elementwise mean per list (posexplode -> groupBy(list, dim)
+    avg -> array rebuild). Each round is one broadcast join + one shuffle
+    on (list, dim) — linear in corpus size, independent of k beyond the
+    broadcast. Returns (list_id, cv: array<double>).
+    """
+    d = _persist_sim(
+        docs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    )
+    cents = d.orderBy("id").limit(num_lists).select(
+        F.row_number().over(W.orderBy("id")).alias("list_id"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        scored = d.crossJoin(F.broadcast(cents)).withColumn(
+            "cos", cosine(F.col("v"), F.col("cv"))
+        )
+        w = W.partitionBy("id").orderBy(F.col("cos").desc(), F.col("list_id").asc())
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("id", "list_id", "v")
+        )
+        dims = assigned.select("list_id", F.posexplode("v").alias("dim", "val"))
+        means = dims.groupBy("list_id", "dim").agg(F.avg("val").alias("m"))
+        cents = (
+            means.groupBy("list_id")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("_dm"))
+            .select("list_id", F.transform(F.col("_dm"), lambda x: x["m"]).alias("cv"))
+        )
+    return cents
+
+
+def ivf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN search: docs route to their nearest list once; each query
+    probes its ``nprobe`` nearest lists; candidates equi-join on list_id
+    and exact-rerank by cosine. The scan side shuffles once on list_id;
+    recall is tunable via nprobe (the standard IVF trade)."""
+    d = docs.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).cast("array<double>").alias("qv"))
+    d_assign = (
+        d.crossJoin(F.broadcast(centroids))
+        .withColumn("cos_c", cosine(F.col("v"), F.col("cv")))
+        .withColumn("_r", F.row_number().over(
+            W.partitionBy("nbr_id").orderBy(F.col("cos_c").desc(), F.col("list_id").asc())))
+        .filter(F.col("_r") == 1)
+        .select("nbr_id", "v", "list_id")
+    )
+    q_assign = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("cos_c", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("_r", F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("list_id").asc())))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    cand = d_assign.join(F.broadcast(q_assign), "list_id")
+    if exclude_self:
+        cand = cand.filter(F.col("nbr_id") != F.col("query_id"))
+    cand = cand.withColumn("cos", F.round(cosine(F.col("v"), F.col("qv")), 4))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    out = cand.withColumn("rank", F.row_number().over(w).cast("int")).filter(F.col("rank") <= k)
+    return out.select("query_id", "nbr_id", "rank", "cos")
+
+
+_SIM_PERSISTED: list = []
+
+
+def _persist_sim(df: DataFrame) -> DataFrame:
+    h = df.persist()
+    _SIM_PERSISTED.append(h)
+    return h
+
+
+def release_cached() -> int:
+    """Unpersist frames cached by similarity training calls."""
+    n = 0
+    while _SIM_PERSISTED:
+        try:
+            _SIM_PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def ivf_assign(
     docs: DataFrame,
     *,

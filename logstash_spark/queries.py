@@ -939,6 +939,23 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("ann_ivf_topk")  # Lloyd-trained centroids (float avg) -> rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN path: relational k-means training + nprobe search,
+    exact re-rank. Recall vs brute force pinned by pytest
+    (test_training_data::test_ivf_train_and_topk_recall)."""
+    from logstash_spark.functions.similarity import ivf_topk, ivf_train, release_cached
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cents = ivf_train(e, num_lists=8, iters=3)
+    out = ivf_topk(e, qs, cents, k=5, nprobe=3)
+    release_cached()
+    return out
+
+
 @q("media_features")  # synthetic media + mapInPandas plumbing -> rows-only
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.functions.multimodal import extract_features, synthetic_media

@@ -279,3 +279,36 @@ def test_md5_hash_family_modes(spark):
     for r in got.collect():
         by_q.setdefault(r["query_id"], []).append(r["nbr_id"])
     assert set(by_q) == {0, 1, 2} and all(len(v) == 3 for v in by_q.values())
+
+
+def test_ivf_train_and_topk_recall(spark):
+    """Full IVF path: Lloyd-trained coarse centroids + nprobe search must
+    beat nprobe=1 and reach usable recall vs brute force on the driver's
+    embeddings table."""
+    from logstash_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_train,
+        release_cached,
+    )
+    from logstash_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = e.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cents = ivf_train(e, num_lists=8, iters=3)
+    assert cents.count() == 8
+    dims = {len(r["cv"]) for r in cents.collect()}
+    assert dims == {64}
+
+    exact = {(r["query_id"], r["nbr_id"]) for r in brute_force_topk(e, qs, k=5).collect()}
+    low = {(r["query_id"], r["nbr_id"])
+           for r in ivf_topk(e, qs, cents, k=5, nprobe=1).collect()}
+    high = {(r["query_id"], r["nbr_id"])
+            for r in ivf_topk(e, qs, cents, k=5, nprobe=4).collect()}
+    r_low = len(low & exact) / len(exact)
+    r_high = len(high & exact) / len(exact)
+    assert r_high > r_low  # probing more lists improves recall
+    assert r_high >= 0.6
+    release_cached()
