@@ -283,8 +283,42 @@ def _t_xml(a: dict) -> list[tuple[str, dict]]:
     return [("xml", {"source": a["source"], "schema": a["schema"]})]
 
 
+def _t_geoip(a: dict) -> list[tuple[str, dict]]:
+    """geoip plugin: needs `database => path` (csv/parquet range table —
+    the live MaxMind .dat reader is a binary-format concern outside the
+    engine; export it to CSV once)."""
+    if "source" not in a:
+        raise ConfCompileError("geoip: missing source")
+    if "database" not in a:
+        raise ConfCompileError(
+            "geoip: needs database => path to a csv/parquet ip-range table "
+            "(columns ip_lo, ip_hi + attributes; dotted-quad or int64)"
+        )
+    params: dict[str, Any] = {"source": a["source"], "database": a["database"]}
+    if "fields" in a:
+        params["fields"] = _listify(a["fields"])
+    return [("geoip_db", params)]
+
+
+def _t_dns(a: dict) -> list[tuple[str, dict]]:
+    if "database" not in a:
+        raise ConfCompileError(
+            "dns: needs database => path to a (host,address) csv/parquet "
+            "(no live DNS inside a distributed job — resolve once, ship the dim)"
+        )
+    src_field = _listify(a.get("resolve") or a.get("reverse") or [])
+    if not src_field:
+        raise ConfCompileError("dns: needs resolve => [field] (or reverse)")
+    params: dict[str, Any] = {"source": src_field[0], "database": a["database"]}
+    if "action" in a:
+        params["action"] = a["action"]
+    return [("dns_db", params)]
+
+
 _FILTER_TRANSLATORS = {
     "grok": _t_grok,
+    "geoip": _t_geoip,
+    "dns": _t_dns,
     "translate": _t_translate,
     "metrics": _t_metrics,
     "xml": _t_xml,
@@ -312,6 +346,11 @@ _FILTER_TRANSLATORS = {
     "sleep": lambda a: [("sleep", {})],
     "throttle": _t_simple("throttle", {"key": "key", "max_count": "max_count", "period": "period",
                                        "timestamp": "ts"}, required=("key",)),
+    "ruby": lambda a: (_ for _ in ()).throw(ConfCompileError(
+        "ruby: arbitrary per-event code cannot compile from .conf; use the "
+        "library API — registry op 'ruby' is the Arrow-batched mapInPandas "
+        "escape hatch (fn(iterator_of_pandas) -> iterator_of_pandas, schema)"
+    )),
 }
 
 

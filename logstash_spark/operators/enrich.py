@@ -116,6 +116,58 @@ def geoip(
     return joined.drop("prefix16", "ip_lo", "ip_hi", *fields, "__ipl", "__prefix16")
 
 
+def geoip_db(
+    df: DataFrame,
+    *,
+    source: str,
+    database: str,
+    fields: list[str] | None = None,
+    target_prefix: str = "geoip_",
+) -> DataFrame:
+    """geoip with a FILE-backed range database — the .conf surface
+    (``database => path``). The file is a csv/parquet table with ip_lo,
+    ip_hi (int64 or dotted-quad strings) + attribute columns (the MaxMind
+    CSV shape); loaded once at plan build, prefix-exploded, broadcast —
+    same physical shape as :func:`geoip`."""
+    spark = df.sparkSession
+    if database.endswith(".parquet") or database.endswith(".pq"):
+        dim = spark.read.parquet(database)
+    else:
+        dim = spark.read.option("header", "true").option("inferSchema", "true").csv(database)
+    from pyspark.sql import types as T
+
+    for c in ("ip_lo", "ip_hi"):
+        if c not in dim.columns:
+            raise ValueError(f"geoip database {database!r} needs columns ip_lo, ip_hi")
+        if isinstance(dim.schema[c].dataType, T.StringType):
+            dim = dim.withColumn(c, ip_to_long(F.col(c)))
+    return geoip(df, dim, source=source, fields=fields, target_prefix=target_prefix)
+
+
+def dns_db(
+    df: DataFrame,
+    *,
+    source: str,
+    database: str,
+    target: str | None = None,
+    action: str = "replace",
+) -> DataFrame:
+    """dns filter, .conf surface: broadcast lookup against a FILE-backed
+    pre-resolved (host, address) table — the engine's documented stance
+    (no live DNS inside a distributed job; resolve once, ship the dim).
+    ``action => replace`` overwrites the source field like the plugin;
+    anything else writes to ``target`` (default '<source>_resolved')."""
+    spark = df.sparkSession
+    if database.endswith(".parquet") or database.endswith(".pq"):
+        dim = spark.read.parquet(database)
+    else:
+        dim = spark.read.option("header", "true").csv(database)
+    tgt = source if action == "replace" else (target or f"{source}_resolved")
+    out = translate(df, dim, source=source, target="_dns_v", dim_key="host", dim_value="address")
+    col = F.coalesce(F.col("_dns_v"), F.col(source)) if action == "replace" else F.col("_dns_v")
+    return out.withColumn(tgt, col).drop("_dns_v")
+
+
 def translate_literal(
     df: DataFrame,
     *,

@@ -68,7 +68,9 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "translate": enrich.translate,
     "translate_dict": enrich.translate_literal,
     "geoip": enrich.geoip,
+    "geoip_db": enrich.geoip_db,
     "dns": enrich.dns_enrich,
+    "dns_db": enrich.dns_db,
     "useragent": enrich.useragent,
     # aggregation-in-flow
     "metrics": metrics.metrics,

@@ -357,3 +357,42 @@ def test_elasticsearch_output_writes_bulk_wire_format(spark, tmp_path):
     assert {a["index"]["_index"] for a in actions} == {"web-en", "web-de"}
     assert {a["index"]["_id"] for a in actions} == {"u1", "u2"}
     assert {d["url"] for d in docs} == {"u1", "u2"}
+
+
+def test_geoip_conf_with_database_file(spark, tmp_path):
+    """geoip from .conf: database => csv range table, broadcast prefix
+    range join, fields projected under geoip_."""
+    db = tmp_path / "geo.csv"
+    db.write_text(
+        "ip_lo,ip_hi,country,city\n"
+        "10.0.0.0,10.0.255.255,US,NYC\n"
+        "10.1.0.0,10.1.255.255,DE,Berlin\n"
+    )
+    src = f"""
+    filter {{ geoip {{ source => "clientip" database => "{db}" }} }}
+    output {{ null {{ }} }}
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame(
+        [("10.0.12.7",), ("10.1.200.9",), ("192.168.1.1",)], "clientip string"
+    )
+    rows = {r["clientip"]: r for r in pipe.transform(df).collect()}
+    assert rows["10.0.12.7"]["geoip_city"] == "NYC"
+    assert rows["10.1.200.9"]["geoip_country"] == "DE"
+    assert rows["192.168.1.1"]["geoip_city"] is None
+
+    with pytest.raises(ConfCompileError, match="database"):
+        compile_config('filter { geoip { source => "ip" } } output { null {} }', out_dir=str(tmp_path))
+
+
+def test_dns_conf_with_database_file(spark, tmp_path):
+    db = tmp_path / "hosts.csv"
+    db.write_text("host,address\nweb01,10.0.0.5\ndb01,10.0.0.9\n")
+    src = f"""
+    filter {{ dns {{ resolve => ["hostname"] database => "{db}" action => "replace" }} }}
+    output {{ null {{ }} }}
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([("web01",), ("unknown",)], "hostname string")
+    rows = {r["hostname"] for r in pipe.transform(df).collect()}
+    assert rows == {"10.0.0.5", "unknown"}  # resolved replaces; miss keeps original
