@@ -60,12 +60,19 @@ def date(
     (the session runs UTC, so a naive parse would read it as UTC —
     to_utc_timestamp applies the offset, DST-aware via the JVM tz db).
     """
-    src = F.col(source).cast("string")
+    from logstash_spark.event import _dtype_of, field_col, set_path
+
+    src = field_col(source).cast("string")
     parsed = date_parse_col(src, formats)
     if timezone is not None:
         parsed = F.to_utc_timestamp(parsed, timezone)
-    prev = F.col(target) if target in df.columns else F.lit(None).cast("timestamp")
-    df = df.withColumn(target, F.coalesce(parsed, prev))
+    target_exists = (
+        _dtype_of(df, target) is not None
+        if target.startswith("[")
+        else target in df.columns
+    )
+    prev = field_col(target) if target_exists else F.lit(None).cast("timestamp")
+    df = set_path(df, target, F.coalesce(parsed, prev))
     ok = parsed.isNotNull() | src.isNull()
     return _append_tag_unless(df, "tags", tag_on_failure, ok)
 

@@ -368,8 +368,15 @@ def grok(
         target_t = f"array<{_cast_type(typ)}>" if is_arr else _cast_type(typ)
         out_cols[fname] = chain.cast(target_t)
 
+    from logstash_spark.event import set_path
+
     for fname, col in out_cols.items():
-        df = df.withColumn(fname, col)
+        if fname.startswith("["):
+            # nested field-reference capture target `%{WORD:[a][b]}`
+            # (reference grok supports field refs as capture names)
+            df = set_path(df, fname, col)
+        else:
+            df = df.withColumn(fname, col)
 
     matched_any = per_pattern[0]["_grok_matched"]
     for cols in per_pattern[1:]:

@@ -102,3 +102,15 @@ def test_date_timezone_option(spark):
         out_dir="/tmp/lsd",
     )
     assert pipe.filters[0].params["timezone"] == "America/Los_Angeles"
+
+
+def test_date_nested_source_and_target(spark):
+    from pyspark.sql import Row
+
+    from logstash_spark.operators.date import date
+
+    df = spark.createDataFrame([Row(ev=Row(raw="2024-02-03 04:05:06"))])
+    out = date(df, "[ev][raw]", ["yyyy-MM-dd HH:mm:ss"], target="[ev][parsed]")
+    row = out.collect()[0]
+    assert row["ev"]["parsed"].year == 2024
+    assert not row["tags"]

@@ -200,3 +200,14 @@ def test_break_on_match_false_merges_patterns(spark):
     assert both["a=1 b=2"]["a"] == 1 and both["a=1 b=2"]["b"] == 2
     assert both["a=9 only"]["a"] == 9 and both["a=9 only"]["b"] is None
     assert "_grokparsefailure" not in (both["a=9 only"]["tags"] or [])
+
+
+def test_nested_capture_targets(spark):
+    """%{PATTERN:[a][b]} — field-reference capture targets land as nested
+    struct fields via set_path (reference grok supports ref names)."""
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([("GET 200",)], "text string")
+    out = grok(df, "text", r"%{WORD:[http][verb]} %{INT:[http][code]:int}", backend="expr")
+    row = out.collect()[0]
+    assert row["http"]["verb"] == "GET" and row["http"]["code"] == 200
