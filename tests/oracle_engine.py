@@ -16,6 +16,35 @@ from typing import Any
 Event = dict[str, Any]
 
 _TOKEN = re.compile(r"%\{([^}]+)\}")
+_BRACKET = re.compile(r"\[([^\[\]]+)\]")
+
+
+def get_path(ev: Event, ref: str):
+    """Nested field-reference read: '[a][b]' walks dicts; flat names read
+    directly (accessors.rb get semantics)."""
+    toks = _BRACKET.findall(ref) if ref.startswith("[") else [ref]
+    cur = ev
+    for t in toks:
+        if not isinstance(cur, dict):
+            return None
+        cur = cur.get(t)
+        if cur is None:
+            return None
+    return cur
+
+
+def set_path(ev: Event, ref: str, val) -> None:
+    """Nested write with auto-created intermediate hashes
+    (accessors.rb:118-122)."""
+    toks = _BRACKET.findall(ref) if ref.startswith("[") else [ref]
+    cur = ev
+    for t in toks[:-1]:
+        nxt = cur.get(t)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            cur[t] = nxt
+        cur = nxt
+    cur[toks[-1]] = val
 
 
 def sprintf(template: str, ev: Event) -> str:
@@ -23,6 +52,13 @@ def sprintf(template: str, ev: Event) -> str:
         key = m.group(1)
         if key.startswith("+"):
             return m.group(0)  # timestamp tokens out of scope here
+        if key.startswith("["):
+            v = get_path(ev, key)
+            if v is None:
+                return m.group(0)
+            if isinstance(v, list):
+                return ",".join(str(x) for x in v)
+            return str(v)
         name = key.strip("[]")
         v = ev.get(name)
         if v is None:
@@ -37,7 +73,10 @@ def sprintf(template: str, ev: Event) -> str:
 
 
 def _field(ev: Event, ref) -> Any:
-    return ev.get(ref.ref.strip("[]")) if hasattr(ref, "ref") else ref
+    if not hasattr(ref, "ref"):
+        return ref
+    r = ref.ref
+    return get_path(ev, r) if r.startswith("[") and r.count("[") > 1 else ev.get(r.strip("[]"))
 
 
 def eval_cond(expr, ev: Event) -> bool:
@@ -90,11 +129,11 @@ def apply_op(ev: Event, op: str, params: dict) -> Event | None:
     """One filter application on one event (None = dropped)."""
     ev = dict(ev)
     def _elementwise(n: str, fn) -> None:
-        v = ev.get(n)
+        v = get_path(ev, n)
         if v is None:
             return
         # arrays are transformed per element (reference mutate iterates)
-        ev[n] = [fn(str(x)) for x in v] if isinstance(v, list) else fn(str(v))
+        set_path(ev, n, [fn(str(x)) for x in v] if isinstance(v, list) else fn(str(v)))
 
     if op == "mutate.uppercase":
         for n in params["names"]:
@@ -107,8 +146,9 @@ def apply_op(ev: Event, op: str, params: dict) -> Event | None:
             _elementwise(n, str.strip)
     elif op == "mutate.gsub":
         for name, pat, rep in params["triples"]:
-            if ev.get(name) is not None:
-                ev[name] = re.sub(pat, rep, str(ev[name]))
+            v = get_path(ev, name)
+            if v is not None:
+                set_path(ev, name, re.sub(pat, rep, str(v)))
     elif op == "mutate.convert":
         for name, typ in params["mapping"].items():
             v = ev.get(name)
@@ -123,7 +163,9 @@ def apply_op(ev: Event, op: str, params: dict) -> Event | None:
             if old in ev:
                 ev[new] = ev.pop(old)
     elif op in ("mutate.replace", "mutate.update"):
-        ev[params["name"]] = sprintf(str(params["value"]), ev)
+        # update's exists-check is PLAN-TIME schema presence in the engine;
+        # every generated event carries the full schema, so both ops set
+        set_path(ev, params["name"], sprintf(str(params["value"]), ev))
     elif op == "mutate.split":
         v = ev.get(params["name"])
         if v is not None and not isinstance(v, list):  # arrays skipped

@@ -29,7 +29,8 @@ _numstr = st.sampled_from(["0", "42", "-7", "9000", "junk", None])
 
 _events = st.lists(
     st.fixed_dictionaries({"f1": _values, "f2": _values, "nstr": _numstr,
-                           "type": st.sampled_from(["apache", "nginx", None])}),
+                           "type": st.sampled_from(["apache", "nginx", None]),
+                           "nest": st.fixed_dictionaries({"x": _values, "y": _values})}),
     min_size=3, max_size=8,
 )
 
@@ -40,6 +41,8 @@ _conds = st.one_of(
     st.builds(In, st.sampled_from(["a", "pad", "zz"]), st.just(Field("[f1]")), st.booleans()),
     st.builds(In, st.just(Field("[f1]")), st.just(["alpha", "42", "a-b-c"]), st.booleans()),
     st.builds(Truthy, st.sampled_from(["[f1]", "[nstr]", "[absent]"])),
+    st.builds(Cmp, st.just(Field("[nest][x]")), st.sampled_from(["==", "!="]), st.sampled_from(["alpha", ""])),
+    st.builds(Rx, st.just(Field("[nest][y]")), st.sampled_from(["a", r"\d"]), st.booleans()),
 )
 _conds = st.one_of(
     _conds,
@@ -92,6 +95,10 @@ _stages = st.one_of(
     # string rendering is engine-specific — scalar hashing is the contract)
     _stage("fingerprint", {"sources": ["f2", "nstr"], "target": "fp"}),
     _stage("urldecode", {"fields": ("f2",)}),
+    # nested-path mutate family (round-2 set_path machinery)
+    _stage("mutate.replace", {"name": "[nest][x]", "value": "nx-%{[nest][y]}"}),
+    _stage("mutate.uppercase", {"names": ("[nest][y]",)}),
+    _stage("mutate.gsub", {"triples": [("[nest][x]", "-", "_")]}),
     st.builds(lambda when: Stage(op="drop", when=when), _conds),
 )
 
@@ -106,8 +113,17 @@ def _normalize(rows: list[dict]) -> dict:
         for k, v in r.items():
             if k == "id" or v is None:
                 continue
-            if isinstance(v, list):
-                vals[k] = tuple(str(x) for x in v)
+            if isinstance(v, (list, dict)):
+                import json as _j
+
+                def _canon(x):
+                    if isinstance(x, dict):
+                        return {kk: _canon(xx) for kk, xx in x.items() if xx is not None}
+                    if isinstance(x, list):
+                        return [str(xx) for xx in x]
+                    return str(x)
+
+                vals[k] = _j.dumps(_canon(v), sort_keys=True, ensure_ascii=False)
             else:
                 vals[k] = str(v)
         out[rid] = vals
@@ -135,9 +151,11 @@ def test_engines_agree(spark, stages, events):
     expected = oracle.run_pipeline(stages, [dict(e) for e in events])
 
     df = spark.createDataFrame(
-        [(e["f1"], e["f2"], e["nstr"], e["type"], e["id"]) for e in events],
-        "f1 string, f2 string, nstr string, type string, id long",
+        [(e["f1"], e["f2"], e["nstr"], e["type"], e["id"],
+          (e["nest"]["x"], e["nest"]["y"])) for e in events],
+        "f1 string, f2 string, nstr string, type string, id long, "
+        "nest struct<x:string, y:string>",
     )
-    got = [r.asDict() for r in Pipeline(filters=list(stages)).transform(df).collect()]
+    got = [r.asDict(recursive=True) for r in Pipeline(filters=list(stages)).transform(df).collect()]
 
     assert _normalize(got) == _normalize(expected)
