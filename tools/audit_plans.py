@@ -23,6 +23,7 @@ WAIVERS: dict[str, set[str]] = {
     "ann_cosine_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # scale path: ann_lsh_topk
     "embedding_near_dup": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # scale path: LSH buckets
     "ivf_assignment": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # centroid table is tiny by construction
+    "ann_ivf_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # broadcast centroid assignment (k rows)
     "clone_fanout": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # oracle-shaped tiny literal cross join
 }
 
