@@ -182,8 +182,9 @@ def _t_json(a: dict) -> list[tuple[str, dict]]:
         raise ConfCompileError("json: missing source")
     if "schema" not in a:
         raise ConfCompileError(
-            "json: this engine needs an explicit `schema => \"a bigint, b string\"` "
-            "(fixed-schema model; see SURVEY §1.2)"
+            "json: this engine needs `schema => \"a bigint, b string\"` "
+            "(fixed-schema model; see SURVEY §1.2) or `schema => \"auto\"` "
+            "(plan-time inference from a bounded sample)"
         )
     params = {"source": a["source"], "schema": a["schema"]}
     if "target" in a:

@@ -26,6 +26,8 @@ def json_parse(
     """
     # PERMISSIVE from_json yields an all-null struct (not a null struct) on
     # malformed input, so failure detection needs the corrupt-record column.
+    if schema == "auto":
+        schema = infer_json_schema(df, source)
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)  # type: ignore[attr-defined]
     schema = T.StructType(list(schema.fields) + [T.StructField("_corrupt", T.StringType(), True)])
@@ -43,6 +45,32 @@ def json_parse(
             df = df.withColumn(f, F.col(tname)[f])
         df = df.drop(tname)
     return df
+
+
+def infer_json_schema(df: DataFrame, source: str, sample: int = 100) -> T.StructType:
+    """``schema => "auto"``: infer the parse schema ONCE at plan-build time
+    from a bounded sample (the reference is schemaless per event; the
+    fixed-schema engine freezes the union of the sampled shapes instead).
+    One driver-side collect of ≤``sample`` strings — plan-time only, never
+    per batch. Fields absent from the sample read as null downstream;
+    pass an explicit schema for production pipelines (documented trade).
+    """
+    rows = (
+        df.select(F.col(source).cast("string").alias("j"))
+        .filter(F.col("j").isNotNull())
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"json schema inference: no non-null rows in {source!r}")
+    spark = df.sparkSession
+    # spark.read.json over an in-memory string dataset: the canonical
+    # schema-union inference, bounded to the sample (plan-time RDD use is
+    # the sanctioned exception — no per-row RDD work in any hot path)
+    inferred = spark.read.json(
+        spark.sparkContext.parallelize([r["j"] for r in rows], 1)
+    )
+    return inferred.schema
 
 
 def json_field(source: Column, path: str) -> Column:

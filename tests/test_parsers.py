@@ -95,3 +95,22 @@ def test_kv_trim_and_prefix(spark):
     df2 = spark.createDataFrame([("[a]=1 [b]=2",)], "m string")
     out2 = kv(df2, "m", trim_key="[]", target="kvm").collect()[0]["kvm"]
     assert out2 == {"a": "1", "b": "2"}
+
+
+def test_json_schema_auto_inference(spark):
+    """schema => 'auto': plan-time inference from a bounded sample (the
+    schemaless reference's usability, frozen into the fixed-schema model)."""
+    from logstash_spark.operators.parse import json_parse
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": "x"}',), ('{"a": 2, "c": true}',), ("broken {",)],
+        "j string",
+    )
+    out = json_parse(df, "j", "auto")
+    rows = out.collect()
+    by_a = {r["a"]: r for r in rows if r["a"] is not None}
+    assert by_a[1]["b"] == "x" and by_a[2]["c"] is True
+    # union of sampled shapes: b null where absent
+    assert by_a[2]["b"] is None
+    bad = [r for r in rows if r["a"] is None][0]
+    assert "_jsonparsefailure" in bad["tags"]
