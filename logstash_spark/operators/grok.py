@@ -338,14 +338,26 @@ def grok(
     per_pattern: list[dict[str, Column]] = []
     src = F.col(source)
     for i, cg in enumerate(compiled):
+        this_src = src.cast("string")
+        if break_on_match and i > 0:
+            # rows an earlier pattern already matched are first-match-won:
+            # NULL the input so later patterns' regex engines skip them
+            # instead of scanning every row with every pattern (UDFs are
+            # evaluated unconditionally — a when() around the CALL wouldn't
+            # help, masking the INPUT does)
+            this_src = F.when(
+                _matched_before(per_pattern, i), F.lit(None)
+            ).otherwise(this_src)
         if backend in ("pandas", "arrow"):
             udf = grok_pandas_udf(cg) if backend == "pandas" else grok_arrow_udf(cg)
             sname = f"_grok_{i}"
-            df = df.withColumn(sname, udf(src.cast("string")))
+            df = df.withColumn(sname, udf(this_src))
             cols = {name: F.col(sname)[name] for name, _, _ in cg.captures}
             cols["_grok_matched"] = F.col(sname)["_grok_matched"]
         else:
-            cols = grok_expr_columns(cg, src.cast("string"))
+            cols = grok_expr_columns(cg, this_src)
+            # masked (null) input -> rlike null: settle to definite false
+            cols["_grok_matched"] = F.coalesce(cols["_grok_matched"], F.lit(False))
         per_pattern.append(cols)
 
     # first-match-wins merge across the pattern list
