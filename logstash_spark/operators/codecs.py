@@ -144,6 +144,17 @@ def rubydebug(df: DataFrame, n: int = 20) -> None:
     df.show(n=n, truncate=False, vertical=True)
 
 
+def dots(df: DataFrame) -> int:
+    """dots codec (default_plugins.rb:9): one '.' per event — the
+    throughput eyeball check. Batch analog: count remotely (no event data
+    moves), print that many dots bounded to a terminal-width line."""
+    import sys
+
+    n = df.count()
+    sys.stdout.write("." * min(n, 80) + (f" ({n} events)\n" if n > 80 else "\n"))
+    return n
+
+
 # ---------------------------------------------------------------------------
 # graphite codec (default_plugins.rb:13) — pure exprs both directions
 # ---------------------------------------------------------------------------

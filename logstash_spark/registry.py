@@ -91,6 +91,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "codec.collectd": codecs.decode_collectd,
     "codec.edn": codecs.decode_edn,
     "codec.edn_lines": codecs.decode_edn_lines,
+    "codec.dots": codecs.dots,
     # `sleep` filter (default_plugins.rb:41): a rate-limiting aid with no
     # batch analog — declared no-op, matching reference semantics of "the
     # event passes through unchanged"

@@ -66,3 +66,22 @@ def write_pages(df: DataFrame, location: str, *, mode: str = "overwrite") -> Non
         .partitionBy("warc_date")
         .parquet(location)
     )
+
+
+def heartbeat_stream(spark: SparkSession, *, interval_seconds: int = 1, host: str = "heartbeat"):
+    """`heartbeat` input (manifest logstash-input-heartbeat): periodic
+    liveness events. Streaming: the rate source (one row per tick) mapped
+    onto the plugin's event shape (host, @timestamp, clock sequence)."""
+    from pyspark.sql import functions as F
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", max(1, int(1 / max(interval_seconds, 1e-9))))
+        .load()
+    )
+    return rate.select(
+        F.lit(host).alias("host"),
+        F.col("timestamp").alias("@timestamp"),
+        F.col("value").alias("clock"),
+        F.lit("ok").alias("message"),
+    )

@@ -268,3 +268,24 @@ def test_multiline_stateful_next_mode(spark, tmp_path):
         assert got[("s2", "alone")] == 1
     finally:
         q.stop()
+
+
+def test_heartbeat_stream(spark, tmp_path):
+    from logstash_spark.sources.readers import heartbeat_stream
+
+    hb = heartbeat_stream(spark, interval_seconds=1)
+    assert set(hb.columns) == {"host", "@timestamp", "clock", "message"}
+    q = hb.writeStream.format("memory").queryName("hb").outputMode("append").start()
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) n from hb").collect()[0]["n"]
+            if n >= 2:
+                break
+            time.sleep(0.5)
+        assert n >= 2
+        row = spark.sql("select * from hb limit 1").collect()[0]
+        assert row["host"] == "heartbeat" and row["message"] == "ok"
+    finally:
+        q.stop()
