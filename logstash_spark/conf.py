@@ -499,3 +499,80 @@ def compile_config(
 def compile_file(path: str, **kw) -> tuple[Pipeline, list[PluginNode]]:
     with open(path) as f:
         return compile_config(f.read(), **kw)
+
+
+# ---------------------------------------------------------------------------
+# input binding — the agent's input->queue step (pipeline.rb:147-151).
+# Deployment-grade sources (Iceberg paths, kafka brokers) are bound by the
+# caller; this covers the common .conf inputs so compile+run is end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def bind_input(spark, node: PluginNode):
+    """PluginNode from the input section -> DataFrame (batch) with the
+    input `decorate` applied (type/tags/add_field, filters/base.rb)."""
+    from pyspark.sql import functions as F
+
+    a = node.attrs
+    if node.name == "generator":
+        # generator { message => "..." count => N } (conditionals_spec.rb:29-34)
+        count = int(a.get("count", 1000))
+        message = str(a.get("message", "Hello world!"))
+        df = spark.range(count).select(
+            F.lit(message).alias("message"), F.col("id").alias("sequence")
+        )
+    elif node.name in ("file", "s3"):
+        path = str(_listify(a.get("path", [None]))[0])
+        if not path:
+            raise ConfCompileError(f"{node.name} input requires path")
+        codec = a.get("codec", "plain")
+        if path.endswith(".parquet") or codec == "parquet":
+            df = spark.read.parquet(path)
+        else:
+            df = spark.read.text(path).withColumnRenamed("value", "message")
+            if codec in ("json", "json_lines"):
+                from logstash_spark.operators.parse import json_parse
+
+                df = json_parse(df, "message", str(a.get("schema", "auto")))
+    elif node.name == "heartbeat":
+        from logstash_spark.sources.readers import heartbeat_stream
+
+        df = heartbeat_stream(spark, interval_seconds=int(a.get("interval", 1)))
+    elif node.name == "kafka":
+        from logstash_spark.sources.bus import kafka_source
+
+        df = kafka_source(
+            spark,
+            brokers=str(a.get("bootstrap_servers", a.get("zk_connect", "localhost:9092"))),
+            topic=str(_listify(a.get("topic_id", a.get("topics", "logstash")))[0]),
+            value_schema=str(a.get("schema", "message string")),
+        )
+    elif node.name == "stdin":
+        raise ConfCompileError("stdin input: interactive; bind a DataFrame yourself")
+    else:
+        raise ConfCompileError(
+            f"input plugin {node.name!r} has no sandbox binding "
+            "(sockets/daemons are deployment concerns; pass your own DataFrame)"
+        )
+    # input decorate (filters/base.rb decorate): type/tags/add_field
+    if a.get("type") is not None:
+        df = df.withColumn("type", F.lit(a["type"]))
+    tags = _listify(a.get("tags", []))
+    if tags:
+        df = df.withColumn("tags", F.array(*[F.lit(t) for t in tags]))
+    for k, v in dict(a.get("add_field", {})).items():
+        df = df.withColumn(k, F.lit(v))
+    return df
+
+
+def run_conf_file(spark, path: str, *, out_dir: str, input_df=None) -> dict:
+    """compile_file + bind the first input + run — one call from a .conf
+    to written sinks (pass ``input_df`` to override the input binding)."""
+    pipe, inputs = compile_file(path, out_dir=out_dir)
+    if input_df is None:
+        if not inputs:
+            raise ConfCompileError("config has no input section; pass input_df")
+        input_df = bind_input(spark, inputs[0])
+        for extra in inputs[1:]:
+            input_df = input_df.unionByName(bind_input(spark, extra), allowMissingColumns=True)
+    return pipe.run(input_df)

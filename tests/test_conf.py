@@ -396,3 +396,42 @@ def test_dns_conf_with_database_file(spark, tmp_path):
     df = spark.createDataFrame([("web01",), ("unknown",)], "hostname string")
     rows = {r["hostname"] for r in pipe.transform(df).collect()}
     assert rows == {"10.0.0.5", "unknown"}  # resolved replaces; miss keeps original
+
+
+def test_run_conf_file_end_to_end(spark, tmp_path):
+    """One call from .conf to written sinks: generator input binding,
+    decorate, filters, routed outputs."""
+    log = tmp_path / "app.log"
+    log.write_text("alpha 1\nbeta 2\ngamma 3\n")
+    conf = tmp_path / "p.conf"
+    conf.write_text(f"""
+    input {{
+      file {{ path => "{log}" type => "applog" tags => ["raw"] }}
+    }}
+    filter {{
+      grok {{ match => {{ "message" => "%{{WORD:word}} %{{INT:n:int}}" }} }}
+    }}
+    output {{
+      if [n] > 1 {{ file {{ path => "big" }} }}
+      null {{ }}
+    }}
+    """)
+    from logstash_spark.conf import run_conf_file
+
+    res = run_conf_file(spark, str(conf), out_dir=str(tmp_path))
+    big = spark.read.parquet(str(tmp_path / "big"))
+    rows = {r["word"]: r for r in big.collect()}
+    assert set(rows) == {"beta", "gamma"}
+    assert rows["beta"]["type"] == "applog" and rows["beta"]["tags"] == ["raw"]
+
+
+def test_bind_input_generator_and_errors(spark):
+    from logstash_spark.conf import bind_input
+    from logstash_spark.confparser import PluginNode
+
+    df = bind_input(spark, PluginNode("generator", {"count": 5, "message": "hi", "type": "gen"}))
+    rows = df.collect()
+    assert len(rows) == 5 and rows[0]["message"] == "hi" and rows[0]["type"] == "gen"
+
+    with pytest.raises(ConfCompileError, match="no sandbox binding"):
+        bind_input(spark, PluginNode("tcp", {"port": 3333}))
