@@ -22,7 +22,7 @@ from logstash_spark.condparser import parse_condition
 from logstash_spark.conditions import And, Expr, Not
 from logstash_spark.confparser import Config, IfNode, PluginNode, parse_config
 from logstash_spark.pipeline import Output, Pipeline, Stage
-from logstash_spark.sinks import CollectSink, CountSink, EsBulkSink, NullSink, ParquetSink
+from logstash_spark.sinks import CollectSink, CountSink, EsBulkSink, JsonLinesSink, NullSink, ParquetSink
 
 
 class ConfCompileError(ValueError):
@@ -435,9 +435,15 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
             path = node.attrs.get("path")
             if not path:
                 raise ConfCompileError("file output requires path")
-            sink = ParquetSink(os.path.join(out_dir, os.path.basename(str(path))), mode="append")
+            target = os.path.join(out_dir, os.path.basename(str(path)))
+            codec = node.attrs.get("codec", "parquet")
+            if codec in ("json", "json_lines"):
+                sink = JsonLinesSink(target)
+            else:
+                sink = ParquetSink(target, mode="append")
         elif node.name in ("stdout", "pipe"):
-            sink = CollectSink()
+            # codec => dots: liveness count, no event data to the driver
+            sink = NullSink() if node.attrs.get("codec") == "dots" else CollectSink()
         elif node.name == "null":
             sink = NullSink()
         elif node.name == "statsd":

@@ -76,6 +76,20 @@ class IcebergSink(Sink):
 
 
 @dataclass
+class JsonLinesSink(Sink):
+    """file output with ``codec => json_lines``: NDJSON text files (the
+    reference's wire-faithful file format) instead of the parquet default."""
+
+    path: str
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.operators.codecs import encode_json
+
+        encode_json(strip_internal(df), target="value").write.mode("append").text(self.path)
+        return self.path
+
+
+@dataclass
 class EsBulkSink(Sink):
     """Elasticsearch-output stand-in that produces the REAL wire format:
     es_bulk action+doc NDJSON (codecs.encode_es_bulk) written as text files

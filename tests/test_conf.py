@@ -435,3 +435,23 @@ def test_bind_input_generator_and_errors(spark):
 
     with pytest.raises(ConfCompileError, match="no sandbox binding"):
         bind_input(spark, PluginNode("tcp", {"port": 3333}))
+
+
+def test_file_output_json_lines_codec(spark, tmp_path):
+    import json as J
+    import os
+
+    src = """
+    output {
+      file { path => "nd" codec => "json_lines" }
+      stdout { codec => "dots" }
+    }
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    res = pipe.run(df)
+    nd_dir = os.path.join(str(tmp_path), "nd")
+    lines = [J.loads(l) for f in os.listdir(nd_dir) if not f.startswith((".", "_"))
+             for l in open(os.path.join(nd_dir, f)).read().splitlines() if l]
+    assert sorted(lines, key=lambda d: d["k"]) == [{"k": "a", "v": 1}, {"k": "b", "v": 2}]
+    assert res["stdout_1"] == 2  # dots codec: count only
