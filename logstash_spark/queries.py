@@ -1489,6 +1489,57 @@ def event_serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("url", event_to_json(sel, ["url", "verb", "response"]).alias("event_json"))
 
 
+def _ewma_oracle(tick_s: int = 60, horizon: int = 30) -> str:
+    """DuckDB replica of metrics_ewma_rates' exact INTEGER components: the
+    SAME Python-precomputed e10-scaled weight constants, an ordered window
+    list, and a 64-bit sum — bit-identical across engines by construction
+    (double folds were measured to split hashes two different ways: libm
+    ulps AND double->decimal rounding conventions)."""
+    from logstash_spark.operators.metrics import ewma_weight_table_e10
+
+    pieces = []
+    for mins in (1, 5):
+        w = ewma_weight_table_e10(mins * 60, tick_s, horizon)
+        lits = "[" + ", ".join(str(x) for x in w) + "]"
+        pieces.append(
+            f"CAST(list_sum(list_transform(hist, x -> x.c * list_extract({lits}, "
+            f"CAST((e - x.e) / {tick_s} AS INT) + 1))) AS BIGINT) AS ewma_wsum_e10_{mins}m"
+        )
+    sel = ",\n  ".join(pieces)
+    return f"""WITH ticks AS (
+  SELECT event_type AS key, date_trunc('minute', ts) AS wstart, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT key, wstart, c, CAST(epoch(wstart) AS BIGINT) AS e,
+    list(struct_pack(e := CAST(epoch(wstart) AS BIGINT), c := c))
+      OVER (PARTITION BY key ORDER BY CAST(epoch(wstart) AS BIGINT)
+            RANGE BETWEEN {horizon * tick_s - 1} PRECEDING AND CURRENT ROW) AS hist
+  FROM h0
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start, key, c AS count,
+  {sel}
+FROM h""".replace("FROM h0", "FROM ticks")
+
+
+@q("metrics_ewma", _ewma_oracle())
+def metrics_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful EWMA meter rates (metriks-style exponential decay — closes
+    the trailing-average divergence note). The gate compares the EXACT
+    decimal weighted sums; both engines use identical precomputed weight
+    literals, so even libm differences cannot split them."""
+    from logstash_spark.operators.metrics import metrics_ewma_rates
+
+    e = load_table(spark, sf_dir, "events")
+    out = metrics_ewma_rates(e, ts="ts", key="event_type", tick="1 minute")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "key",
+        "count",
+        "ewma_wsum_e10_1m",
+        "ewma_wsum_e10_5m",
+    )
+
+
 @q(
     "nested_field_write",
     f"""{_PAGES_CTE}

