@@ -40,7 +40,7 @@ _COMMON = {"add_field", "add_tag", "remove_field", "remove_tag", "type", "tags",
 _OPTION_TYPES: dict[str, dict[str, str]] = {
     "drop": {"percentage": "number"},
     "throttle": {"max_count": "number", "period": "number", "key": "string"},
-    "multiline": {"negate": "boolean", "pattern": "string"},
+    "multiline": {"negate": "boolean", "pattern": "string", "max_lines": "number"},
     "grok": {"patterns_dir": "array", "tag_on_failure": "array", "break_on_match": "boolean"},
     "metrics": {"flush_interval": "number", "meter": "array"},
     "translate": {"regex": "boolean", "dictionary": "hash", "fallback": "string", "override": "boolean"},
@@ -338,7 +338,8 @@ _FILTER_TRANSLATORS = {
     "split": lambda a: [("split", {"source": a.get("field", "message"),
                                    **({"separator": a["terminator"]} if "terminator" in a else {})})],
     "multiline": _t_simple("multiline", {"pattern": "pattern", "what": "what", "negate": "negate",
-                                         "source": "source", "stream_identity": "stream_key"},
+                                         "source": "source", "stream_identity": "stream_key",
+                                         "max_lines": "max_lines"},
                            required=("pattern", "what")),
     "checksum": lambda a: [("checksum", {"fields": _listify(a.get("keys", []))})],
     "anonymize": lambda a: [("anonymize", {"fields": _listify(a.get("fields", [])),

@@ -33,6 +33,7 @@ def multiline(
     stream_key: str | None = None,
     order_by: str = "seq",
     joiner: str = "\n",
+    max_lines: int | None = None,
 ) -> DataFrame:
     """Collapse continuation lines into their anchor event.
 
@@ -41,6 +42,11 @@ def multiline(
     Output: one row per group with ``source`` = joined lines, plus
     ``multiline_n`` (line count) and the ``multiline`` tag on collapsed rows
     (reference tags merged events).
+
+    ``max_lines`` (the codec's runaway-group cap, scale-critical: one
+    never-terminating group otherwise accumulates unbounded state): groups
+    split every ``max_lines`` lines; capped/overflow pieces carry the
+    codec's ``multiline_codec_max_lines_reached`` tag.
     """
     if stream_key is None:
         import warnings
@@ -70,6 +76,12 @@ def multiline(
     df = df.withColumn("_ml_group", F.sum(is_start.cast("int")).over(running))
 
     group_cols = ([stream_key] if stream_key else []) + ["_ml_group"]
+    if max_lines is not None:
+        pos = F.row_number().over(
+            (W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))).orderBy(order_by)
+        ) - 1
+        df = df.withColumn("_ml_sub", (pos / F.lit(max_lines)).cast("int"))
+        group_cols = group_cols + ["_ml_sub"]
     first_cols = [c for c in df.columns if c not in group_cols + [source, order_by]]
     # collect_list gives no ordering guarantee post-shuffle; collect
     # (order, line) structs and sort_array for deterministic join order.
@@ -92,4 +104,16 @@ def multiline(
             ),
         ).otherwise(F.col("tags") if "tags" in df.columns else F.lit(None).cast("array<string>")),
     )
+    if max_lines is not None:
+        capped = (F.col("_ml_sub") > 0) | (F.col("multiline_n") >= max_lines)
+        out = out.withColumn(
+            "tags",
+            F.when(
+                capped,
+                F.array_append(
+                    F.coalesce(F.col("tags"), F.array().cast("array<string>")),
+                    F.lit("multiline_codec_max_lines_reached"),
+                ),
+            ).otherwise(F.col("tags")),
+        ).drop("_ml_sub")
     return out.drop("_ml_group")

@@ -42,6 +42,7 @@ def multiline_stateful(
     timeout_ms: int = 5000,
     what: str = "previous",
     negate: bool = False,
+    max_lines: int | None = None,
 ) -> DataFrame:
     """Streaming multiline: ``what='previous'`` — lines matching
     ``pattern`` append to the pending event; a non-matching line emits the
@@ -87,8 +88,14 @@ def multiline_stateful(
                             pending, n = None, 0
                     else:  # previous
                         if matches(line) and pending is not None:
-                            pending = pending + "\n" + line
-                            n += 1
+                            if max_lines is not None and n >= max_lines:
+                                # runaway-group cap: flush and restart (the
+                                # codec's max_lines bound on pending state)
+                                out.append((k, pending, n))
+                                pending, n = line, 1
+                            else:
+                                pending = pending + "\n" + line
+                                n += 1
                         else:
                             if pending is not None:
                                 out.append((k, pending, n))

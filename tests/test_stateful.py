@@ -100,3 +100,25 @@ def test_metrics_ewma_decay(spark):
     # monotone approach from the first tick (no oscillation)
     rates = [r for _, r in b]
     assert all(abs(x - 0.1) >= abs(y - 0.1) - 1e-12 for x, y in zip(rates, rates[1:]))
+
+
+def test_multiline_max_lines_cap(spark):
+    """max_lines splits runaway groups and tags the capped pieces —
+    unbounded group state is the multiline scale-killer."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.multiline import multiline
+
+    rows = [("s1", 0, "start big")] + [("s1", i, f"  cont {i}") for i in range(1, 10)]
+    rows += [("s1", 10, "start small"), ("s1", 11, "  cont 11")]
+    df = spark.createDataFrame(rows, "sk string, seq int, text string")
+    out = multiline(
+        df, source="text", pattern=r"^\s", what="previous",
+        stream_key="sk", max_lines=4,
+    ).orderBy("seq")
+    groups = out.collect()
+    # 10-line group split into 4+4+2; 2-line group intact
+    assert [g["multiline_n"] for g in groups] == [4, 4, 2, 2]
+    capped = [bool(g["tags"] and "multiline_codec_max_lines_reached" in g["tags"]) for g in groups]
+    assert capped == [True, True, True, False]
+    assert groups[0]["text"].count("\n") == 3
