@@ -278,26 +278,44 @@ def useragent(df: DataFrame, source: str, target_prefix: str = "ua_") -> DataFra
     Emits name, version, major, minor, os, os_version under the prefix
     (the plugin's documented field set, minus device)."""
     src = F.col(source).cast("string")
-    # coalesce of when-clauses = first-match-wins cascade, all codegen'd
-    name_expr = F.coalesce(*[F.when(src.rlike(d), F.lit(n)) for n, d, _ in _UA_PATTERNS])
-    ver_expr = F.coalesce(
-        *[F.when(src.rlike(d), F.regexp_extract(src, v, 1)) for _, d, v in _UA_PATTERNS]
+    # the MATCH INDEX is computed once (one rlike cascade); name/version
+    # dispatch on it — a naive per-output cascade re-evaluates every detect
+    # regex for every output column (~4x the regex work, measured)
+    ua_idx = F.coalesce(
+        *[F.when(src.rlike(d), F.lit(i)) for i, (_n, d, _v) in enumerate(_UA_PATTERNS)]
     )
-    os_expr = F.coalesce(*[F.when(src.rlike(d), F.lit(n)) for n, d, _ in _OS_PATTERNS])
-    os_ver_expr = F.regexp_replace(
-        F.coalesce(
-            *[F.when(src.rlike(d), F.regexp_extract(src, v, 1)) for _, d, v in _OS_PATTERNS]
-        ),
-        "_", ".",
+    name_expr = F.element_at(
+        F.array(*[F.lit(n) for n, _, _ in _UA_PATTERNS]), ua_idx + 1
     )
+    ver_chain = None
+    for i, (_n, _d, v) in enumerate(_UA_PATTERNS):
+        branch = F.when(ua_idx == i, F.regexp_extract(src, v, 1))
+        ver_chain = branch if ver_chain is None else ver_chain.when(
+            ua_idx == i, F.regexp_extract(src, v, 1)
+        )
+    ver_expr = ver_chain
+
+    os_idx = F.coalesce(
+        *[F.when(src.rlike(d), F.lit(i)) for i, (_n, d, _v) in enumerate(_OS_PATTERNS)]
+    )
+    os_expr = F.element_at(
+        F.array(*[F.lit(n) for n, _, _ in _OS_PATTERNS]), os_idx + 1
+    )
+    os_ver_chain = None
+    for i, (_n, _d, v) in enumerate(_OS_PATTERNS):
+        os_ver_chain = (
+            F.when(os_idx == i, F.regexp_extract(src, v, 1))
+            if os_ver_chain is None
+            else os_ver_chain.when(os_idx == i, F.regexp_extract(src, v, 1))
+        )
+    os_ver_expr = F.regexp_replace(os_ver_chain, "_", ".")
     df = df.withColumn(target_prefix + "name", name_expr)
     df = df.withColumn(target_prefix + "version", ver_expr)
-    df = df.withColumn(
-        target_prefix + "major", F.split(ver_expr, r"\.").getItem(0)
-    )
+    vcol = F.col(target_prefix + "version")
+    df = df.withColumn(target_prefix + "major", F.split(vcol, r"\.").getItem(0))
     df = df.withColumn(
         target_prefix + "minor",
-        F.when(F.size(F.split(ver_expr, r"\.")) > 1, F.split(ver_expr, r"\.").getItem(1)),
+        F.when(F.size(F.split(vcol, r"\.")) > 1, F.split(vcol, r"\.").getItem(1)),
     )
     df = df.withColumn(target_prefix + "os", os_expr)
     df = df.withColumn(target_prefix + "os_version", os_ver_expr)
