@@ -101,3 +101,51 @@ def test_mutate_and_conditions_hostile(hostile):
     assert d.count() == N
     for cond in (Rx(Field("[s]"), "a"), In("a", Field("[s]")), Cmp(Field("[s]"), "==", "x")):
         hostile.filter(cond.compile(hostile)).count()  # must compile+run
+
+
+def test_new_codecs_hostile(hostile, spark):
+    """Round-2 codecs must survive the hostile corpus: nulls, control
+    bytes, 64KB lines, emoji, broken structures."""
+    from logstash_spark.operators.codecs import (
+        decode_collectd,
+        decode_edn,
+        decode_es_bulk,
+        decode_graphite,
+        decode_netflow5,
+        decode_oldlogstashjson,
+    )
+
+    assert decode_graphite(hostile, "s").count() == N
+    assert decode_oldlogstashjson(hostile, "s", "x int").count() == N
+    assert decode_edn(hostile, "s", "a string").count() == N
+    # es_bulk: every line either action-parses or doc-parses to null
+    decode_es_bulk(hostile, "s", "a string").count()  # must not raise
+
+    # binary codecs over garbage bytes
+    bin_df = hostile.select("id", F.encode(F.coalesce(F.col("s"), F.lit("")), "UTF-8").alias("bytes"))
+    assert decode_netflow5(bin_df).count() == 0  # nothing valid, nothing crashes
+    assert decode_collectd(bin_df).count() == 0
+
+
+def test_nested_writes_hostile(spark):
+    """set_path with hostile field names: dots, backticks, unicode, spaces —
+    quoting must hold everywhere."""
+    from logstash_spark.event import drop_path, field_col, set_path
+
+    df = spark.createDataFrame([(1,)], "id int")
+    for name in ["a.b", "sp ace", "uni中文", "da-sh", "@at"]:
+        out = set_path(df, f"[outer][{name}]", F.lit("v"))
+        got = out.select(field_col(f"[outer][{name}]").alias("v")).collect()[0]["v"]
+        assert got == "v", name
+        assert drop_path(out, f"[outer][{name}]").collect()  # no crash
+
+    # backticks are stripped from names (cannot be quoted) — documented
+    out = set_path(df, "[outer][ba`ck]", F.lit("v"))
+    assert out.collect()
+
+
+def test_syslog_decode_hostile(hostile):
+    from logstash_spark.operators.parse import syslog_decode
+
+    out = syslog_decode(hostile, "s", year=2024)
+    assert out.count() == N  # unparseable lines keep rows, tags failure
