@@ -1139,10 +1139,17 @@ def codec_es_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select("url", "bulk_action", "bulk_index", "bulk_id", "verb", "status")
 
 
-@q("codec_edn_lines")  # EDN parsing has no DuckDB equivalent -> rows-only
+@q(
+    "codec_edn_lines",
+    f"""{_PAGES_CTE}
+SELECT url, 0 AS line_seq, verb AS everb, CAST(response AS BIGINT) AS status FROM pages
+UNION ALL
+SELECT url, 1, 'x', 0 FROM pages""",
+)
 def codec_edn_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """edn_lines codec: events rendered as EDN maps, decoded back via the
-    pure-Python EDN reader (default_plugins.rb:10-11)."""
+    """edn_lines codec round-trip oracle: EDN maps BUILT from known columns
+    and decoded by the pure-Python EDN reader (default_plugins.rb:10-11);
+    DuckDB (no EDN) recomputes the components directly."""
     from logstash_spark.operators.codecs import decode_edn_lines
 
     p = _pages(spark, sf_dir).withColumn(
@@ -1152,7 +1159,8 @@ def codec_edn_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("}\n{:verb \"x\" :status 0}"),
         ),
     )
-    return decode_edn_lines(p.select("url", "doc"), "doc", "verb string, status long")
+    out = decode_edn_lines(p.select("url", "doc"), "doc", "verb string, status long")
+    return out.select("url", "line_seq", F.col("verb").alias("everb"), "status")
 
 
 @q(
