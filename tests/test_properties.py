@@ -252,3 +252,49 @@ def _render_config(cfg: Config) -> str:
 def test_conf_language_round_trip(cfg):
     parsed = parse_config(_render_config(cfg))
     assert parsed == cfg
+
+
+def _edn_render(v) -> str:
+    """Minimal EDN renderer for the round-trip property (reader lives in
+    codecs._edn_read)."""
+    if v is None:
+        return "nil"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n") + '"'
+    if isinstance(v, list):
+        return "[" + " ".join(_edn_render(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + " ".join(f":{k} {_edn_render(x)}" for k, x in v.items()) + "}"
+    raise AssertionError(type(v))
+
+
+@given(
+    st.dictionaries(
+        st.from_regex(r"[a-z][a-z0-9_-]{0,8}", fullmatch=True),
+        st.recursive(
+            st.one_of(
+                st.none(), st.booleans(), st.integers(-10**9, 10**9),
+                st.floats(allow_nan=False, allow_infinity=False, width=32),
+                st.text(max_size=20),
+            ),
+            lambda inner: st.lists(inner, max_size=4),
+            max_leaves=8,
+        ),
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_edn_reader_roundtrip(value):
+    """render -> _edn_read must reproduce any generated EDN map (the codec's
+    reader is hand-written; the property pins the full value grammar)."""
+    from logstash_spark.operators.codecs import _edn_read
+
+    assert _edn_read(_edn_render(value)) == value
