@@ -81,7 +81,7 @@ def _t_grok(a: dict) -> list[tuple[str, dict]]:
     for fieldname, patterns in match.items():
         params: dict[str, Any] = {"source": fieldname, "patterns": _listify(patterns)}
         if "tag_on_failure" in a:
-            params["tag_on_failure"] = _listify(a["tag_on_failure"])[0]
+            params["tag_on_failure"] = _listify(a["tag_on_failure"])
         if "break_on_match" in a:
             params["break_on_match"] = a["break_on_match"]
         if "patterns_dir" in a:

@@ -296,7 +296,7 @@ def grok(
     *,
     backend: str = "auto",
     extra_patterns: dict[str, str] | None = None,
-    tag_on_failure: str = GROK_FAILURE_TAG,
+    tag_on_failure: str | list[str] = GROK_FAILURE_TAG,
     overwrite_tags: bool = False,
     break_on_match: bool = True,
 ) -> DataFrame:
@@ -394,7 +394,10 @@ def grok(
     for cols in per_pattern[1:]:
         matched_any = matched_any | cols["_grok_matched"]
     df = df.withColumn("_grok_matched", matched_any)
-    df = _append_tag_unless(df, "tags", tag_on_failure, matched_any)
+    # the plugin's tag_on_failure is an ARRAY (default [_grokparsefailure]);
+    # every listed tag appends on failure
+    for t in ([tag_on_failure] if isinstance(tag_on_failure, str) else list(tag_on_failure)):
+        df = _append_tag_unless(df, "tags", t, matched_any)
     # drop struct temporaries
     drop = [c for c in df.columns if c.startswith("_grok_") and c not in ("_grok_matched",)]
     if drop:

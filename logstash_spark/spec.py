@@ -30,7 +30,15 @@ from typing import Any
 from logstash_spark.condparser import parse_condition
 from logstash_spark.pipeline import Output, Pipeline, Stage
 from logstash_spark.registry import OPERATORS
-from logstash_spark.sinks import CollectSink, CountSink, IcebergSink, NullSink, ParquetSink
+from logstash_spark.sinks import (
+    CollectSink,
+    CountSink,
+    EsBulkSink,
+    IcebergSink,
+    JsonLinesSink,
+    NullSink,
+    ParquetSink,
+)
 
 
 class SpecError(ValueError):
@@ -42,6 +50,9 @@ _SINKS = {
                                      partition_by=tuple(c.get("partition_by", ()))),
     "iceberg": lambda c: IcebergSink(table=c["table"], fallback_path=c.get("fallback_path")),
     "count": lambda c: CountSink(key=c["key"]),
+    "json_lines": lambda c: JsonLinesSink(path=c["path"]),
+    "es_bulk": lambda c: EsBulkSink(path=c["path"], index=c.get("index", "logstash"),
+                                    id_field=c.get("id_field")),
     "collect": lambda c: CollectSink(),
     "null": lambda c: NullSink(),
 }

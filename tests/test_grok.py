@@ -211,3 +211,15 @@ def test_nested_capture_targets(spark):
     out = grok(df, "text", r"%{WORD:[http][verb]} %{INT:[http][code]:int}", backend="expr")
     row = out.collect()[0]
     assert row["http"]["verb"] == "GET" and row["http"]["code"] == 200
+
+
+def test_tag_on_failure_list(spark):
+    """tag_on_failure is an ARRAY in the plugin (default
+    ['_grokparsefailure']); every listed tag appends on failure."""
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([("no match here!!!",)], "text string")
+    out = grok(df, "text", r"^%{INT:n:int}$", backend="expr",
+               tag_on_failure=["_grokparsefailure", "bad_event"])
+    tags = out.collect()[0]["tags"]
+    assert tags == ["_grokparsefailure", "bad_event"]
