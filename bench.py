@@ -65,6 +65,7 @@ HEADLINE = [
     "codec_graphite",
     "codec_es_bulk",
     "useragent_parse",
+    "corpus_clean_pipeline",
 ]
 
 

@@ -939,6 +939,62 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "corpus_clean_pipeline",
+    f"""WITH keyed AS (
+  SELECT doc_id, text, md5({_NORM_SQL}) AS content_key FROM documents
+), survivors AS (
+  SELECT doc_id, text, content_key,
+         ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+  FROM keyed
+), uniq AS (
+  SELECT doc_id, text, content_key FROM survivors WHERE rn = 1
+), langed AS (
+  SELECT doc_id, text, content_key, {_LANG_COUNTS_SQL}
+  FROM uniq
+), scored AS (
+  SELECT doc_id, text, content_key,
+         CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+              WHEN c_en >= greatest(c_de, c_fr, c_es) THEN 'en'
+              WHEN c_de >= greatest(c_fr, c_es) THEN 'de'
+              WHEN c_fr >= c_es THEN 'fr'
+              ELSE 'es' END AS lang_pred,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS stop_hits
+  FROM langed
+), final AS (
+  SELECT doc_id, content_key, lang_pred, CAST(n_words AS BIGINT) AS n_tokens,
+         ROUND(
+           (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+           + least(n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE), 0.8) * 0.3125
+           + least(stop_hits / CAST(greatest(n_words, 1) AS DOUBLE) * 2.5, 1.0) * 0.25, 4) AS quality
+  FROM scored
+)
+SELECT doc_id, content_key, lang_pred, n_tokens, quality
+FROM final WHERE quality >= 0.5""",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data prep pipeline COMPOSED end-to-end:
+    exact dedup -> language ID -> quality scoring -> token counting ->
+    quality gate — one plan, one scan of the corpus, shuffles only at the
+    dedup groupBy (the classic corpus-cleaning job shape at 100 TB)."""
+    from logstash_spark.functions.dedup import dedup_exact
+    from logstash_spark.functions.text import lang_id, quality_score, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    d = dedup_exact(d)
+    d = lang_id(d)
+    d = quality_score(d)
+    d = token_count(d)
+    return d.filter(F.col("quality") >= 0.5).select(
+        "doc_id", "content_key", "lang_pred",
+        F.col("n_ws_tokens").cast("bigint").alias("n_tokens"), "quality",
+    )
+
+
 @q("ann_ivf_topk")  # Lloyd-trained centroids (float avg) -> rows-only check
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF ANN path: relational k-means training + nprobe search,
