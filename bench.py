@@ -66,6 +66,7 @@ HEADLINE = [
     "codec_es_bulk",
     "useragent_parse",
     "corpus_clean_pipeline",
+    "html_text_extract",
 ]
 
 

@@ -940,6 +940,36 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "html_text_extract",
+    f"""{_PAGES_CTE}
+SELECT url, text AS extracted, text || ' & footer "q"' AS extracted_ent FROM pages""",
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-rule invariant: per-url BYTE-IDENTICAL extracted text.
+    The page html is built around the known text (script/style blocks,
+    nested tags, entities); extraction must recover the text exactly —
+    the oracle supplies the expected bytes directly."""
+    from logstash_spark.functions.text import html_to_text_col
+
+    p = _pages(spark, sf_dir)
+    html1 = F.concat(
+        F.lit("<html><head><script>var x = '<p>trap</p>';</script>"
+              "<style>p { color: red; }</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    html2 = F.concat(
+        F.lit('<div class="main"><span>'), F.col("text"),
+        F.lit("</span> &amp; footer &quot;q&quot;</div>"),
+    )
+    return p.select(
+        "url",
+        html_to_text_col(html1).alias("extracted"),
+        html_to_text_col(html2).alias("extracted_ent"),
+    )
+
+
+@q(
     "corpus_clean_pipeline",
     f"""WITH keyed AS (
   SELECT doc_id, text, md5({_NORM_SQL}) AS content_key FROM documents

@@ -312,3 +312,25 @@ def test_ivf_train_and_topk_recall(spark):
     assert r_high > r_low  # probing more lists improves recall
     assert r_high >= 0.6
     release_cached()
+
+
+def test_html_extraction_byte_identical_on_pages(spark):
+    """THE north-rule per-row invariant: extracting text back out of the
+    synthetic_pages html recovers the original text BYTE-IDENTICALLY for
+    every clean page (the ~2% charset-junk rows exercise charset decode
+    instead and are excluded by construction)."""
+    from logstash_spark.functions.text import html_to_text
+    from logstash_spark.sources.pages import synthetic_pages
+
+    pages = synthetic_pages(spark, 2000)
+    # exclude the deliberate invalid-UTF-8 rows (generator bucket 97)
+    clean = pages.filter(~F.expr("substr(url, 1, 100) IS NULL"))  # keep all; filter below on decode
+    out = html_to_text(clean, source="html", target="ext")
+    mismatch = out.filter(
+        (F.col("ext") != F.col("text"))
+        & ~F.col("ext").contains("�")  # junk rows decode with replacement chars
+    )
+    assert mismatch.count() == 0
+    total = out.count()
+    identical = out.filter(F.col("ext") == F.col("text")).count()
+    assert identical >= total * 0.97  # everything except the junk-byte rows
