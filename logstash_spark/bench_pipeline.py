@@ -41,9 +41,17 @@ def geo_dim(spark: SparkSession, n_ranges: int = 4096) -> DataFrame:
     )
 
 
-def build_e2e(spark: SparkSession, n_docs: int, *, backend: str | None = None) -> DataFrame:
+def build_e2e(
+    spark: SparkSession, n_docs: int, *, backend: str | None = None,
+    from_html: bool = False,
+) -> DataFrame:
     """Full pipeline plan over n synthetic docs; returns the per-sink
-    aggregate frame (small — forcing it executes the whole DAG once)."""
+    aggregate frame (small — forcing it executes the whole DAG once).
+
+    ``from_html=True`` runs the north star's full shape: the parse input
+    is EXTRACTED from the html binary column (decode + tag strip) instead
+    of the pre-extracted text column — one more regex cascade per doc.
+    """
     from logstash_spark.operators.date import date
     from logstash_spark.operators.grok import grok
     from logstash_spark.operators import mutate as M
@@ -52,7 +60,14 @@ def build_e2e(spark: SparkSession, n_docs: int, *, backend: str | None = None) -
     backend = backend or os.environ.get("SPARK_GRAFT_GROK_BACKEND", "arrow")
     pages = synthetic_pages(spark, n_docs, include_junk=True)
 
-    g = grok(pages, "text", APACHE_PATTERN, backend=backend)
+    text_col = "text"
+    if from_html:
+        from logstash_spark.functions.text import html_to_text
+
+        pages = html_to_text(pages, source="html", target="text_x")
+        text_col = "text_x"
+
+    g = grok(pages, text_col, APACHE_PATTERN, backend=backend)
     g = date(g, "timestamp", ["dd/MMM/yyyy:HH:mm:ss Z"])
     g = M.convert(g, {"bytes": "integer"})
     g = translate(g, resp_class_dim(spark), source="response",
