@@ -298,3 +298,42 @@ def test_edn_reader_roundtrip(value):
     from logstash_spark.operators.codecs import _edn_read
 
     assert _edn_read(_edn_render(value)) == value
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.from_regex(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3} [A-Z]{3,5} /[a-z/]{0,10} [0-9]{3}", fullmatch=True),
+            st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60),
+            st.just(""),
+            st.none(),
+        ),
+        min_size=2, max_size=6,
+    ),
+    st.sampled_from([
+        r"%{IP:ip} %{WORD:verb} %{URIPATH:path} %{INT:code:int}",
+        r"%{IP:ip} %{WORD:w} %{GREEDYDATA:rest}",
+        r"^%{WORD:a}\s+%{WORD:a}",          # duplicate capture -> array
+        r"(?<inline>[A-Z]{3,5}) %{INT:n:int}",
+    ]),
+)
+@settings(max_examples=40, deadline=None)
+def test_grok_backends_agree(spark, lines, pattern):
+    """expr (JVM regex), pandas (Python re) and arrow (RE2) are three
+    INDEPENDENT regex engines running the same compiled pattern — they
+    must produce identical captures, match flags and failure tags on
+    arbitrary input."""
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lines)], "id long, text string"
+    ).cache()
+    results = {}
+    for backend in ("expr", "pandas", "arrow"):
+        rows = grok(df, "text", pattern, backend=backend).collect()
+        results[backend] = {
+            r["id"]: {k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in r.asDict().items() if k != "_grok_matched"}
+            for r in rows
+        }
+    assert results["expr"] == results["pandas"] == results["arrow"]
