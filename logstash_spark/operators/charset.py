@@ -50,6 +50,39 @@ def _decoder(charset_col_present: bool, default_charset: str):
     return _decode_fixed
 
 
+def decode_with_fallback(
+    df: DataFrame,
+    source: str,
+    *,
+    target: str | None = None,
+    fallback: str = "ISO-8859-1",
+) -> DataFrame:
+    """The crawl-grade charset treatment: decode as UTF-8; rows whose bytes
+    are NOT valid UTF-8 re-decode with ``fallback`` (latin-1/cp1252 never
+    fail — every byte maps). Detection is pure JVM: a UTF-8 decode that
+    produced U+FFFD marks the row invalid (real crawls carry no actual
+    U+FFFD; the reference replaces invalid bytes the same way, so the
+    marker is faithful). Adds ``charset_used`` for lineage.
+
+    Everything stays codegen'd except the fallback re-decode, and latin-1
+    byte->codepoint is expressible JVM-side too (decode handles it) — zero
+    Python on this path.
+    """
+    tname = target or source
+    utf8 = F.decode(F.col(source), "UTF-8")
+    bad = utf8.contains("�")
+    fb = F.decode(F.col(source), fallback)
+    return (
+        df.withColumn(tname, F.when(bad, fb).otherwise(utf8))
+        .withColumn(
+            "charset_used",
+            F.when(F.col(source).isNull(), F.lit(None).cast("string"))
+            .when(bad, F.lit(fallback))
+            .otherwise(F.lit("UTF-8")),
+        )
+    )
+
+
 def decode_charset(
     df: DataFrame,
     source: str,

@@ -77,6 +77,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "throttle": metrics.throttle,
     # codecs / charset
     "charset": charset.decode_charset,
+    "charset_fallback": charset.decode_with_fallback,
     "codec.lines": codecs.lines,
     "codec.json_lines": codecs.json_lines,
     "codec.encode_json": codecs.encode_json,

@@ -321,3 +321,22 @@ def test_collectd_codec(spark):
     assert rows["cpu"]["type_instance"] == "user" and rows["cpu"]["values"] == [42.5]
     assert rows["load"]["values"] == [0.5, 0.7, 0.9]
     assert rows["load"]["collectd_type"] == "load"
+
+
+def test_charset_fallback_detection(spark):
+    """UTF-8-first decode with latin-1 fallback for invalid byte rows —
+    the crawl-grade treatment; charset_used records the decision."""
+    from logstash_spark.operators.charset import decode_with_fallback
+
+    rows = [
+        (1, bytearray("héllo".encode("utf-8"))),
+        (2, bytearray("caf\xe9 latin".encode("latin-1"))),  # invalid as UTF-8
+        (3, bytearray(b"plain ascii")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, raw binary")
+    got = {r["id"]: r for r in decode_with_fallback(df, "raw", target="txt").collect()}
+    assert got[1]["txt"] == "héllo" and got[1]["charset_used"] == "UTF-8"
+    assert got[2]["txt"] == "café latin" and got[2]["charset_used"] == "ISO-8859-1"
+    assert got[3]["charset_used"] == "UTF-8"
+    assert got[4]["txt"] is None and got[4]["charset_used"] is None
