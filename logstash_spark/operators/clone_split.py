@@ -55,18 +55,35 @@ def drop(
     return df.filter(~pred)
 
 
-def clone(df: DataFrame, clone_types: list[str], type_field: str = "type") -> DataFrame:
+def clone(
+    df: DataFrame,
+    clone_types: list[str],
+    type_field: str = "type",
+    when: Expr | Column | None = None,
+) -> DataFrame:
     """`clone` filter: N+1 rows per input row; original first.
 
     One `explode` of a literal-array struct: no shuffle, and column pruning
     still applies upstream because the array is built from projected columns.
+
+    ``when``: the conditional form (conditionals_spec.rb:367-426 — clones
+    emitted only for matching events, non-matching rows pass through as the
+    single original): the exploded array holds just the original for
+    non-matching rows.
     """
-    variants = [F.struct(F.lit(0).alias("clone_seq"), F.col(type_field).cast("string").alias("_t"))] if type_field in df.columns else [
-        F.struct(F.lit(0).alias("clone_seq"), F.lit(None).cast("string").alias("_t"))
-    ]
+    orig = (
+        F.struct(F.lit(0).alias("clone_seq"), F.col(type_field).cast("string").alias("_t"))
+        if type_field in df.columns
+        else F.struct(F.lit(0).alias("clone_seq"), F.lit(None).cast("string").alias("_t"))
+    )
+    variants = [orig]
     for i, name in enumerate(clone_types, start=1):
         variants.append(F.struct(F.lit(i).alias("clone_seq"), F.lit(name).alias("_t")))
-    df = df.withColumn("_clone", F.explode(F.array(*variants)))
+    arr = F.array(*variants)
+    if when is not None:
+        pred = when.compile(df) if isinstance(when, Expr) else when
+        arr = F.when(pred, arr).otherwise(F.array(orig))
+    df = df.withColumn("_clone", F.explode(arr))
     df = df.withColumn("clone_seq", F.col("_clone.clone_seq"))
     df = df.withColumn(type_field, F.col("_clone._t"))
     return df.drop("_clone")
@@ -79,11 +96,22 @@ def split(
     separator: str = "\n",
     target: str | None = None,
     is_array: bool = False,
+    when: Expr | Column | None = None,
 ) -> DataFrame:
-    """`split` filter: one event per element of a split string / array."""
+    """`split` filter: one event per element of a split string / array.
+
+    ``when``: conditional form — non-matching rows pass through as ONE
+    event carrying the unsplit value."""
     import re as _re
 
     arr = F.col(source) if is_array else F.split(F.col(source), _re.escape(separator))
+    if when is not None:
+        pred = when.compile(df) if isinstance(when, Expr) else when
+        single = F.array(F.col(source)) if is_array else F.array(F.col(source))
+        # non-matching rows: a single element holding the original value
+        arr = F.when(pred, arr).otherwise(
+            F.array(F.col(source).cast("string")) if not is_array else F.array(F.concat_ws(separator, F.col(source)))
+        )
     tname = target or source
     # posexplode: position is the determinism key for parity (clone_seq analog)
     exploded = df.select("*", F.posexplode_outer(arr).alias("split_seq", "_split_val"))

@@ -155,14 +155,31 @@ def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
     if cond is None:
         return _apply_decorators(fn(df, **st.params), st)
     if st.op in _ROW_COUNT_OPS:
-        if st.op == "drop":
-            # no decorators: the reference fires them only on MATCHED events
-            # (filters/base.rb filter_matched), and drop cancels those
-            return fn(df, when=cond, **st.params)
+        if st.op in ("drop", "clone", "split"):
+            # these take the predicate NATIVELY (drop filters on it; clone/
+            # split explode a conditional array — non-matching rows pass
+            # through as the single original). Decorators are skipped for
+            # drop (reference fires them only on matched events, which drop
+            # cancels) and applied on matched rows for clone/split.
+            out = fn(df, when=cond, **st.params)
+            if st.op == "drop":
+                return out
+            if not (st.add_field or st.add_tag or st.remove_field or st.remove_tag):
+                return out
+            # decorators fire on MATCHED rows only (filters/base.rb
+            # filter_matched): recurse through a noop stage carrying just
+            # the decorators — the normal conditional CASE-merge applies
+            # them where the (re-compiled, explode-stable) condition holds
+            deco_stage = Stage(
+                op="noop", params={}, when=st.when,
+                add_field=st.add_field, add_tag=st.add_tag,
+                remove_field=st.remove_field, remove_tag=st.remove_tag,
+                type=st.type, tags=st.tags, exclude_tags=st.exclude_tags,
+            )
+            return apply_stage(out, deco_stage)
         raise NotImplementedError(
-            f"conditional {st.op!r} stage: row-generating ops cannot be "
-            "CASE-merged; restructure so the condition selects the exploded "
-            "source value instead"
+            f"conditional {st.op!r} stage: row-count ops other than "
+            "drop/clone/split cannot be CASE-merged; restructure upstream"
         )
     return _conditional_apply(df, st, fn, cond)
 

@@ -70,3 +70,47 @@ def test_pipeline_stage_order_and_decorators(spark):
     assert row["kvm"] == {"a": "1", "b": "2"}
     assert row["note"] == "parsed-a=1 b=2"
     assert "raw" not in row.asDict()
+
+
+def test_conditional_clone_and_split(spark):
+    """Conditional clone (conditionals_spec.rb:367-426): clones emitted
+    only for matching events; non-matching rows pass through single.
+    Decorators fire on matched rows only."""
+    from logstash_spark.conditions import Cmp, Field
+    from logstash_spark.pipeline import Pipeline, Stage
+
+    df = spark.createDataFrame(
+        [("apache", "a"), ("nginx", "b")], "type string, msg string"
+    )
+    pipe = Pipeline(filters=[
+        Stage(op="clone", params={"clone_types": ["copy1", "copy2"]},
+              when=Cmp(Field("[type]"), "==", "apache"), add_tag=["cloned"]),
+    ])
+    rows = pipe.transform(df).collect()
+    apache = sorted([r for r in rows if r["msg"] == "a"], key=lambda r: r["clone_seq"])
+    nginx = [r for r in rows if r["msg"] == "b"]
+    assert len(apache) == 3 and len(nginx) == 1
+    assert [r["type"] for r in apache] == ["apache", "copy1", "copy2"]
+    assert nginx[0]["clone_seq"] == 0 and nginx[0]["type"] == "nginx"
+    # decorator fired only on rows matching the ORIGINAL condition: the
+    # clones' type changed, so only the original-apache row keeps matching
+    assert apache[0]["tags"] == ["cloned"]
+    assert not nginx[0]["tags"]
+
+
+def test_conditional_split(spark):
+    from logstash_spark.conditions import Cmp, Field
+    from logstash_spark.pipeline import Pipeline, Stage
+
+    df = spark.createDataFrame(
+        [("multi", "x|y|z"), ("single", "keep|as|is")], "kind string, v string"
+    )
+    pipe = Pipeline(filters=[
+        Stage(op="split", params={"source": "v", "separator": "|"},
+              when=Cmp(Field("[kind]"), "==", "multi")),
+    ])
+    rows = pipe.transform(df).collect()
+    multi = sorted([r["v"] for r in rows if r["kind"] == "multi"])
+    single = [r["v"] for r in rows if r["kind"] == "single"]
+    assert multi == ["x", "y", "z"]
+    assert single == ["keep|as|is"]
