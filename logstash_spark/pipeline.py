@@ -138,9 +138,9 @@ def output_predicate(df: DataFrame, o: Output):
 
 # Ops that change the row count: the CASE-merge conditional wrapper is
 # column-wise and CANNOT express "apply to matching rows only" for these.
-# `drop` takes the predicate natively; the others reject conditions with a
-# clear error (conditional clone/split = wrap the source field in
-# when(cond, value).otherwise(single-element) upstream).
+# drop/clone/split take the predicate NATIVELY (filter / conditional
+# explode array); multiline still rejects conditions (a conditional
+# regrouping has no single-pass columnar form — restructure upstream).
 _ROW_COUNT_OPS = {"drop", "clone", "split", "multiline"}
 
 

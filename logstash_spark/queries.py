@@ -940,6 +940,28 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "conditional_clone",
+    f"""{_PAGES_CTE}
+, base AS (
+  SELECT url, verb, 0 AS clone_seq, verb AS ctype FROM pages
+  UNION ALL SELECT url, verb, 1, 'shadow' FROM pages WHERE verb = 'GET'
+  UNION ALL SELECT url, verb, 2, 'audit' FROM pages WHERE verb = 'GET'
+)
+SELECT url, verb, clone_seq, ctype FROM base""",
+)
+def conditional_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional clone (conditionals_spec.rb:367-426): clones only for
+    matching events, original first, non-matching rows single."""
+    from logstash_spark.conditions import Cmp, Field
+    from logstash_spark.operators.clone_split import clone
+
+    p = _pages(spark, sf_dir).withColumn("ctype", F.col("verb"))
+    out = clone(p, ["shadow", "audit"], type_field="ctype",
+                when=Cmp(Field("[verb]"), "==", "GET"))
+    return out.select("url", "verb", "clone_seq", "ctype")
+
+
+@q(
     "html_text_extract",
     f"""{_PAGES_CTE}
 SELECT url, text AS extracted, text || ' & footer "q"' AS extracted_ent FROM pages""",
