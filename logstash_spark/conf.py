@@ -267,9 +267,16 @@ def _t_metrics(a: dict) -> list[tuple[str, dict]]:
     if "flush_interval" in a:
         params["interval"] = f"{int(a['flush_interval'])} seconds"
     if "timer" in a:
+        # timer => ["name", "%{duration}"] / { name => "%{duration}" }: the
+        # VALUE is a sprintf template naming the timed field
         timer = a["timer"]
-        field = list(dict(timer).values())[0] if isinstance(timer, dict) else _listify(timer)[-1]
-        params["timer_field"] = field
+        tmpl = str(
+            list(dict(timer).values())[0] if isinstance(timer, dict) else _listify(timer)[-1]
+        )
+        import re as _re
+
+        tm = _re.search(r"%\{([^}]+)\}", tmpl)
+        params["timer_field"] = tm.group(1).strip("[]") if tm else tmpl
     return [("metrics", params)]
 
 
@@ -529,9 +536,10 @@ def bind_input(spark, node: PluginNode):
             F.lit(message).alias("message"), F.col("id").alias("sequence")
         )
     elif node.name in ("file", "s3"):
-        path = str(_listify(a.get("path", [None]))[0])
-        if not path:
+        raw_path = _listify(a.get("path", []))
+        if not raw_path or raw_path[0] is None:
             raise ConfCompileError(f"{node.name} input requires path")
+        path = str(raw_path[0])
         codec = a.get("codec", "plain")
         if path.endswith(".parquet") or codec == "parquet":
             df = spark.read.parquet(path)

@@ -252,10 +252,20 @@ def ruby_float_str(col: Column) -> Column:
         F.when(F.length(exp_abs) < 2, F.lpad(exp_abs, 2, "0")).otherwise(exp_abs),
     )
     sci = F.concat(sign, d0, F.lit("."), frac, F.lit("e"), ruby_exp)
+    # negative exponent >= -4 is still in Ruby's plain range: 1.0E-4 ->
+    # '0.0001', 1.23E-4 -> '0.000123' (leading zeros, trailing zeros of the
+    # mantissa stripped; digits start with d0 >= 1 so never all-stripped)
+    neg_expanded = F.concat(
+        sign,
+        F.lit("0."),
+        F.repeat(F.lit("0"), -exp - 1),
+        F.regexp_replace(digits, "0+$", ""),
+    )
     is_sci = s.rlike(r"^-?\d\.\d+E-?\d+$")
     return (
         F.when(~is_sci, s)
         .when((exp >= 0) & (exp < 16), expanded)
+        .when((exp < 0) & (exp >= -4), neg_expanded)
         .otherwise(sci)
     )
 

@@ -249,22 +249,27 @@ def near_dup_pairs(
     from typing import Iterator
 
     v = docs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e"))
-    # guard BEFORE the collect: a parallel count(*) (column-pruned scan,
-    # partial aggregation, nothing shipped to the driver) — NOT
-    # limit(cap).collect/count, whose global CollectLimit coalesces to a
-    # single serial task and was measured 3x slower than the count
-    n = v.count()
-    if n > max_collect:
-        if on_overflow == "lsh":
-            return near_dup_pairs_lsh(
-                docs, id_col=id_col, vec_col=vec_col, threshold=threshold
+    # guard BEFORE the collect: a parallel count(*) (partial aggregation,
+    # nothing shipped to the driver) — NOT limit(cap).collect/count, whose
+    # global CollectLimit coalesces to a single serial task (measured 3x
+    # slower). The frame is PERSISTED across guard+collect so an expensive
+    # upstream lineage (a full parse) runs once, not twice.
+    v = v.persist()
+    try:
+        n = v.count()
+        if n > max_collect:
+            if on_overflow == "lsh":
+                return near_dup_pairs_lsh(
+                    docs, id_col=id_col, vec_col=vec_col, threshold=threshold
+                )
+            raise ValueError(
+                f"near_dup_pairs: vector set has {n} rows > max_collect={max_collect} "
+                "(driver-collect would OOM at scale); use on_overflow='lsh' or "
+                "call near_dup_pairs_lsh directly"
             )
-        raise ValueError(
-            f"near_dup_pairs: vector set has {n} rows > max_collect={max_collect} "
-            "(driver-collect would OOM at scale); use on_overflow='lsh' or "
-            "call near_dup_pairs_lsh directly"
-        )
-    rows = v.collect()  # bounded by the cap just proven
+        rows = v.collect()  # bounded by the cap just proven
+    finally:
+        v.unpersist()  # the driver copy is what the kernel broadcasts
     all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
     M = np.vstack([np.asarray(r["e"], dtype=np.float64) for r in rows])
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)

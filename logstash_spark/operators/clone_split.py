@@ -106,12 +106,16 @@ def split(
 
     arr = F.col(source) if is_array else F.split(F.col(source), _re.escape(separator))
     if when is not None:
+        if is_array:
+            raise NotImplementedError(
+                "conditional split over an ARRAY field: non-matching rows "
+                "would need the field to stay array-typed while matching "
+                "rows carry elements — a per-row union type the fixed "
+                "schema cannot hold; filter + union the two subsets upstream"
+            )
         pred = when.compile(df) if isinstance(when, Expr) else when
-        single = F.array(F.col(source)) if is_array else F.array(F.col(source))
         # non-matching rows: a single element holding the original value
-        arr = F.when(pred, arr).otherwise(
-            F.array(F.col(source).cast("string")) if not is_array else F.array(F.concat_ws(separator, F.col(source)))
-        )
+        arr = F.when(pred, arr).otherwise(F.array(F.col(source).cast("string")))
     tname = target or source
     # posexplode: position is the determinism key for parity (clone_seq analog)
     exploded = df.select("*", F.posexplode_outer(arr).alias("split_seq", "_split_val"))

@@ -224,10 +224,10 @@ def grok_pandas_udf(cg: CompiledGrok):
                     ([v for v in row if v is not None and v is not pd.NA] or None)
                     for row in zip(*subs)
                 ]
-        if len(caps):
-            out["_grok_matched"] = ext.iloc[:, 0].notna()
-        else:
-            out["_grok_matched"] = s.str.match(pat)
+        # matched = actual regex SEARCH, not first-capture non-null — a
+        # pattern whose first capture sits in an optional group (e.g.
+        # '^(?:<%{POSINT:pri}>)?...') matches with that capture absent
+        out["_grok_matched"] = s.str.contains(pat, regex=True, na=False)
         return out
 
     return _grok

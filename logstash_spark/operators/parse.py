@@ -114,9 +114,23 @@ def kv(
             out = _trim(k, trim_key) if trim_key else k
             return F.concat(F.lit(prefix), out) if prefix else out
 
-        m = F.map_from_arrays(
-            F.transform(F.map_keys(m), entry_k),
-            F.transform(F.map_values(m), lambda v: _trim(v, trim_value) if trim_value else v),
+        # rebuild via a fold with overwrite: trimming can COLLAPSE distinct
+        # raw keys onto one name ('a' and '"a"' with trim_key='"'), and
+        # map_from_arrays raises DUPLICATE_MAP_KEY — the plugin's behavior
+        # is last-wins overwrite
+        entries = F.arrays_zip(
+            F.transform(F.map_keys(m), entry_k).alias("k"),
+            F.transform(
+                F.map_values(m), lambda v: _trim(v, trim_value) if trim_value else v
+            ).alias("v"),
+        )
+        m = F.aggregate(
+            entries,
+            F.create_map().cast("map<string,string>"),
+            lambda acc, e: F.map_concat(
+                F.map_filter(acc, lambda k, _x: k != e["k"]),
+                F.create_map(e["k"], e["v"]),
+            ),
         )
     tname = target or "_kv"
     df = df.withColumn(tname, m)

@@ -161,22 +161,23 @@ def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
             # through as the single original). Decorators are skipped for
             # drop (reference fires them only on matched events, which drop
             # cancels) and applied on matched rows for clone/split.
-            out = fn(df, when=cond, **st.params)
             if st.op == "drop":
-                return out
-            if not (st.add_field or st.add_tag or st.remove_field or st.remove_tag):
-                return out
-            # decorators fire on MATCHED rows only (filters/base.rb
-            # filter_matched): recurse through a noop stage carrying just
-            # the decorators — the normal conditional CASE-merge applies
-            # them where the (re-compiled, explode-stable) condition holds
-            deco_stage = Stage(
-                op="noop", params={}, when=st.when,
-                add_field=st.add_field, add_tag=st.add_tag,
-                remove_field=st.remove_field, remove_tag=st.remove_tag,
-                type=st.type, tags=st.tags, exclude_tags=st.exclude_tags,
-            )
-            return apply_stage(out, deco_stage)
+                return fn(df, when=cond, **st.params)
+            # capture the match decision PRE-explode: clone/split rewrite
+            # the very columns the condition may reference (clone sets
+            # type, split replaces the source field), so re-evaluating it
+            # post-explode silently flips (reference filter_matched is
+            # decided on the INPUT event and applies to every produced row)
+            df2 = df.withColumn("_filter_matched", cond)
+            out = fn(df2, when=F.col("_filter_matched"), **st.params)
+            if st.add_field or st.add_tag or st.remove_field or st.remove_tag:
+                deco_stage = Stage(
+                    op="noop", params={},
+                    add_field=st.add_field, add_tag=st.add_tag,
+                    remove_field=st.remove_field, remove_tag=st.remove_tag,
+                )
+                out = _conditional_apply(out, deco_stage, OPERATORS["noop"], F.col("_filter_matched"))
+            return out.drop("_filter_matched")
         raise NotImplementedError(
             f"conditional {st.op!r} stage: row-count ops other than "
             "drop/clone/split cannot be CASE-merged; restructure upstream"

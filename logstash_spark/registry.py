@@ -92,7 +92,9 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "codec.collectd": codecs.decode_collectd,
     "codec.edn": codecs.decode_edn,
     "codec.edn_lines": codecs.decode_edn_lines,
-    "codec.dots": codecs.dots,
+    # codecs.dots is a SINK-side diagnostic (returns a count, not a frame)
+    # — deliberately NOT an operator; conf stdout{codec=>dots} maps to a
+    # count-only sink instead
     # `sleep` filter (default_plugins.rb:41): a rate-limiting aid with no
     # batch analog — declared no-op, matching reference semantics of "the
     # event passes through unchanged"

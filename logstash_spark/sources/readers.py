@@ -74,14 +74,15 @@ def heartbeat_stream(spark: SparkSession, *, interval_seconds: int = 1, host: st
     onto the plugin's event shape (host, @timestamp, clock sequence)."""
     from pyspark.sql import functions as F
 
-    rate = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", max(1, int(1 / max(interval_seconds, 1e-9))))
-        .load()
-    )
-    return rate.select(
+    # the rate source cannot tick slower than 1 row/sec: generate at 1/sec
+    # and keep every interval-th row (value is the monotonically increasing
+    # tick counter), so interval => 10 really means one beat per 10s
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    iv = max(1, int(interval_seconds))
+    beats = rate.filter(F.pmod(F.col("value"), F.lit(iv)) == 0)
+    return beats.select(
         F.lit(host).alias("host"),
         F.col("timestamp").alias("@timestamp"),
-        F.col("value").alias("clock"),
+        (F.col("value") / iv).cast("long").alias("clock"),
         F.lit("ok").alias("message"),
     )

@@ -102,3 +102,18 @@ def test_sprintf_renders_floats_ruby_style(spark):
     df = spark.createDataFrame([(10000000.0,)], "bytes double")
     out = df.select(sprintf_col("size=%{bytes}", df).alias("s")).collect()[0]["s"]
     assert out == "size=10000000.0"
+
+
+def test_ruby_float_small_magnitude_plain(spark):
+    """[1e-4, 1) renders plain decimal (code-review fix: the negative-
+    exponent side of Ruby's plain range)."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.event import ruby_float_str
+
+    cases = [(1e-4, "0.0001"), (1.23e-4, "0.000123"), (2.5e-3, "0.0025"),
+             (-1e-4, "-0.0001"), (9.99e-5, "9.99e-05"), (0.001, "0.001")]
+    df = spark.createDataFrame([(i, v) for i, (v, _) in enumerate(cases)], "i int, v double")
+    got = {r["i"]: r["s"] for r in df.select("i", ruby_float_str(F.col("v")).alias("s")).collect()}
+    for i, (v, want) in enumerate(cases):
+        assert got[i] == want, (v, got[i], want)

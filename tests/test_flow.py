@@ -92,9 +92,9 @@ def test_conditional_clone_and_split(spark):
     assert len(apache) == 3 and len(nginx) == 1
     assert [r["type"] for r in apache] == ["apache", "copy1", "copy2"]
     assert nginx[0]["clone_seq"] == 0 and nginx[0]["type"] == "nginx"
-    # decorator fired only on rows matching the ORIGINAL condition: the
-    # clones' type changed, so only the original-apache row keeps matching
-    assert apache[0]["tags"] == ["cloned"]
+    # filter_matched is decided on the INPUT event and applies to every
+    # produced row — clones included, even though their type changed
+    assert all(r["tags"] == ["cloned"] for r in apache)
     assert not nginx[0]["tags"]
 
 
