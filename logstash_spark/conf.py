@@ -253,30 +253,38 @@ def _t_translate(a: dict) -> list[tuple[str, dict]]:
     return [("translate_dict", params)]
 
 
+def _sprintf_field(tmpl: str) -> str:
+    """The field a sprintf template references: '%{verb}' -> 'verb',
+    '%{[req][duration]}' -> '[req][duration]' (nested refs stay WHOLE —
+    operators resolve them through event.field_col); a template with no
+    token returns itself (a bare field name)."""
+    import re as _re
+
+    m = _re.search(r"%\{([^}]+)\}", str(tmpl))
+    if not m:
+        return str(tmpl)
+    inner = m.group(1)
+    return inner if inner.startswith("[") else inner.strip("[]")
+
+
 def _t_metrics(a: dict) -> list[tuple[str, dict]]:
     """metrics plugin: ``meter => "prefix.%{field}"`` counts by the embedded
     field per flush window (metrics-from-logs.md)."""
     meter = _listify(a.get("meter", []))
     if not meter:
         raise ConfCompileError("metrics: needs meter => [sprintf key]")
-    import re as _re
-
-    m = _re.search(r"%\{([^}]+)\}", str(meter[0]))
-    key = m.group(1).strip("[]") if m else str(meter[0])
-    params: dict[str, Any] = {"key": key, "ts": a.get("timestamp_field", "@timestamp")}
+    params: dict[str, Any] = {
+        "key": _sprintf_field(meter[0]),
+        "ts": a.get("timestamp_field", "@timestamp"),
+    }
     if "flush_interval" in a:
         params["interval"] = f"{int(a['flush_interval'])} seconds"
     if "timer" in a:
         # timer => ["name", "%{duration}"] / { name => "%{duration}" }: the
         # VALUE is a sprintf template naming the timed field
         timer = a["timer"]
-        tmpl = str(
-            list(dict(timer).values())[0] if isinstance(timer, dict) else _listify(timer)[-1]
-        )
-        import re as _re
-
-        tm = _re.search(r"%\{([^}]+)\}", tmpl)
-        params["timer_field"] = tm.group(1).strip("[]") if tm else tmpl
+        tmpl = list(dict(timer).values())[0] if isinstance(timer, dict) else _listify(timer)[-1]
+        params["timer_field"] = _sprintf_field(tmpl)
     return [("metrics", params)]
 
 
@@ -483,10 +491,7 @@ def _statsd_key_field(key: str | None) -> str:
     field; bare keys count by the key constant."""
     if key is None:
         raise ConfCompileError("statsd output requires increment/count/timing")
-    import re as _re
-
-    m = _re.search(r"%\{([^}]+)\}", key)
-    return m.group(1).strip("[]") if m else key
+    return _sprintf_field(key)
 
 
 def compile_config(
@@ -537,7 +542,7 @@ def bind_input(spark, node: PluginNode):
         )
     elif node.name in ("file", "s3"):
         raw_path = _listify(a.get("path", []))
-        if not raw_path or raw_path[0] is None:
+        if not raw_path or raw_path[0] is None or not str(raw_path[0]).strip():
             raise ConfCompileError(f"{node.name} input requires path")
         path = str(raw_path[0])
         codec = a.get("codec", "plain")

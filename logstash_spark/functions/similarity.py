@@ -254,7 +254,12 @@ def near_dup_pairs(
     # global CollectLimit coalesces to a single serial task (measured 3x
     # slower). The frame is PERSISTED across guard+collect so an expensive
     # upstream lineage (a full parse) runs once, not twice.
-    v = v.persist()
+    # persisted for the guard count + collect + the candidate scan and the
+    # two re-score joins in the RETURNED lazy frame — unpersisting before
+    # the caller's action would recompute the upstream lineage ~3 times,
+    # so the handle is TRACKED (release_cached()) like the other training
+    # ops, not dropped in a finally
+    v = _persist_sim(v)
     try:
         n = v.count()
         if n > max_collect:
@@ -267,9 +272,10 @@ def near_dup_pairs(
                 "(driver-collect would OOM at scale); use on_overflow='lsh' or "
                 "call near_dup_pairs_lsh directly"
             )
-        rows = v.collect()  # bounded by the cap just proven
-    finally:
-        v.unpersist()  # the driver copy is what the kernel broadcasts
+    except Exception:
+        release_cached()
+        raise
+    rows = v.collect()  # bounded by the cap just proven
     all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
     M = np.vstack([np.asarray(r["e"], dtype=np.float64) for r in rows])
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)

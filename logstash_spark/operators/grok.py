@@ -224,10 +224,22 @@ def grok_pandas_udf(cg: CompiledGrok):
                     ([v for v in row if v is not None and v is not pd.NA] or None)
                     for row in zip(*subs)
                 ]
-        # matched = actual regex SEARCH, not first-capture non-null — a
-        # pattern whose first capture sits in an optional group (e.g.
-        # '^(?:<%{POSINT:pri}>)?...') matches with that capture absent
-        out["_grok_matched"] = s.str.contains(pat, regex=True, na=False)
+        # matched: any capture present is proof of a match (free — ext is
+        # already computed); rows with NO captures might still match when
+        # every capture sits in optional groups, so only THOSE re-check
+        # with a real regex search (avoids a second full-series regex pass
+        # and pandas' match-groups warning on the common path)
+        any_cap = ext.notna().any(axis=1) if len(caps) else pd.Series(False, index=s.index)
+        recheck = (~any_cap) & s.notna()
+        if recheck.any():
+            import re as _re2
+
+            rxp = _re2.compile(pat)
+            any_cap = any_cap.copy()
+            any_cap[recheck] = s[recheck].map(
+                lambda x: isinstance(x, str) and rxp.search(x) is not None
+            )
+        out["_grok_matched"] = any_cap
         return out
 
     return _grok

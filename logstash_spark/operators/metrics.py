@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from logstash_spark.event import field_col
+
 
 def metrics(
     df: DataFrame,
@@ -48,7 +50,7 @@ def metrics(
         (F.count(F.lit(1)) / F.lit(float(secs))).alias("rate"),
     ]
     if timer_field:
-        t = F.col(timer_field)
+        t = field_col(timer_field)  # accepts nested refs ([req][duration])
         if decimal_stable_mean:
             dsum = F.sum(t.cast("decimal(38,6)"))
             aggs.append(dsum.alias("sum"))  # exact; exposed for replayable rounding
@@ -63,8 +65,8 @@ def metrics(
         ]
         for p in percentiles:
             aggs.append(F.percentile_approx(t, p).alias(f"p{int(p * 100)}"))
-    w = F.window(F.col(ts), interval)
-    out = df.groupBy(w.alias("w"), F.col(key).alias("key")).agg(*aggs)
+    w = F.window(field_col(ts), interval)
+    out = df.groupBy(w.alias("w"), field_col(key).alias("key")).agg(*aggs)
     return out.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),

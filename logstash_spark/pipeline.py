@@ -168,16 +168,19 @@ def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
             # type, split replaces the source field), so re-evaluating it
             # post-explode silently flips (reference filter_matched is
             # decided on the INPUT event and applies to every produced row)
-            df2 = df.withColumn("_filter_matched", cond)
-            out = fn(df2, when=F.col("_filter_matched"), **st.params)
+            flag = "_filter_matched"
+            while flag in df.columns:  # collision-proof carrier name
+                flag += "_"
+            df2 = df.withColumn(flag, cond)
+            out = fn(df2, when=F.col(flag), **st.params)
             if st.add_field or st.add_tag or st.remove_field or st.remove_tag:
                 deco_stage = Stage(
                     op="noop", params={},
                     add_field=st.add_field, add_tag=st.add_tag,
                     remove_field=st.remove_field, remove_tag=st.remove_tag,
                 )
-                out = _conditional_apply(out, deco_stage, OPERATORS["noop"], F.col("_filter_matched"))
-            return out.drop("_filter_matched")
+                out = _conditional_apply(out, deco_stage, OPERATORS["noop"], F.col(flag))
+            return out.drop(flag)
         raise NotImplementedError(
             f"conditional {st.op!r} stage: row-count ops other than "
             "drop/clone/split cannot be CASE-merged; restructure upstream"
