@@ -83,7 +83,8 @@ def run_headline(spark, sf_dir: str) -> dict:
     os.environ.setdefault("SPARK_GRAFT_HASH_FN", "xxhash64")
     from logstash_spark.queries import QUERIES
 
-    from logstash_spark.functions.dedup import release_cached
+    from logstash_spark.functions import dedup as _dd
+    from logstash_spark.functions import similarity as _sim
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -92,7 +93,9 @@ def run_headline(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         force(df)
         timings[name] = round(time.perf_counter() - t0, 3)
-        release_cached()  # dedup queries persist shingle frames; don't leak
+        # dedup/similarity queries persist intermediate frames; don't leak
+        _dd.release_cached()
+        _sim.release_cached()
     return timings
 
 
