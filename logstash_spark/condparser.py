@@ -181,7 +181,9 @@ class _Parser:
 
 def _unquote(s: str) -> str:
     body = s[1:-1]
-    return re.sub(r"\\(.)", r"\1", body)
+    # only quote/backslash escapes unwrap (1.x reference semantics);
+    # other sequences like \n stay literal backslash+char
+    return re.sub(r"\\([\"'\\\\])", r"\1", body)
 
 
 def parse_condition(src: str) -> Expr:

@@ -69,7 +69,22 @@ def _decorators(attrs: dict[str, Any]) -> dict[str, Any]:
 
 
 # Each translator: attrs -> list[(op, params)] (mutate expands to several).
+def _check_opts(plugin: str, a: dict, allowed: set, noop: set = frozenset()) -> None:
+    """Fail-fast on unknown plugin options (the module-header contract);
+    ``noop`` lists REAL plugin options this engine accepts without effect
+    because its behavior already matches (documented per call site)."""
+    extra = set(a) - allowed - noop - _COMMON
+    if extra:
+        raise ConfCompileError(f"{plugin}: unsupported options {sorted(extra)}")
+
+
 def _t_grok(a: dict) -> list[tuple[str, dict]]:
+    # noop-accepted: overwrite (this engine ALWAYS overwrites — identical to
+    # listing every field), named_captures_only (we only capture named,
+    # the default), keep_empty_captures (empties null, the default),
+    # singles (legacy no-op upstream too)
+    _check_opts("grok", a, {"match", "pattern", "tag_on_failure", "patterns_dir", "break_on_match"},
+                {"overwrite", "named_captures_only", "keep_empty_captures", "singles"})
     match = a.get("match")
     if match is None and "pattern" in a:
         # legacy 1.1-era syntax (docs/tutorials/metrics-from-logs.md:41-44):
@@ -108,6 +123,7 @@ def _load_patterns_dirs(dirs: list[str]) -> dict[str, str]:
 
 
 def _t_date(a: dict) -> list[tuple[str, dict]]:
+    _check_opts("date", a, {"match", "target", "timezone"}, {"locale"})
     match = _listify(a.get("match", []))
     if len(match) < 2:
         raise ConfCompileError("date requires match => [field, fmt, ...]")
@@ -178,6 +194,7 @@ def _t_simple(op: str, allowed: dict[str, str], required: tuple[str, ...] = ()):
 
 
 def _t_json(a: dict) -> list[tuple[str, dict]]:
+    _check_opts("json", a, {"source", "schema", "target"})
     if "source" not in a:
         raise ConfCompileError("json: missing source")
     if "schema" not in a:
@@ -193,6 +210,8 @@ def _t_json(a: dict) -> list[tuple[str, dict]]:
 
 
 def _t_kv(a: dict) -> list[tuple[str, dict]]:
+    _check_opts("kv", a, {"source", "field_split", "value_split", "target", "include_keys",
+                          "trim_key", "trim_value", "prefix"})
     params: dict[str, Any] = {"source": a.get("source", "message")}
     if "field_split" in a:
         params["field_split"] = a["field_split"]
@@ -216,6 +235,7 @@ def _t_drop(a: dict) -> list[tuple[str, dict]]:
 
 
 def _t_fingerprint(a: dict) -> list[tuple[str, dict]]:
+    _check_opts("fingerprint", a, {"source", "target", "method", "key"}, {"base64encode", "concatenate_sources"})
     params: dict[str, Any] = {"sources": _listify(a.get("source", ["message"]))}
     if "target" in a:
         params["target"] = a["target"]
@@ -227,6 +247,8 @@ def _t_fingerprint(a: dict) -> list[tuple[str, dict]]:
 
 
 def _t_translate(a: dict) -> list[tuple[str, dict]]:
+    _check_opts("translate", a, {"field", "source", "destination", "dictionary", "fallback",
+                                 "regex", "override"}, {"exact", "refresh_interval", "dictionary_path"})
     """translate plugin (community; named in the north star): inline
     ``dictionary => {...}`` compiles to a literal map lookup / rlike
     cascade — no join. The DataFrame-dimension form stays on the library
@@ -253,6 +275,12 @@ def _t_translate(a: dict) -> list[tuple[str, dict]]:
     return [("translate_dict", params)]
 
 
+def _has_sprintf_token(tmpl: str) -> bool:
+    import re as _re
+
+    return bool(_re.search(r"%\{[^}]+\}", str(tmpl)))
+
+
 def _sprintf_field(tmpl: str) -> str:
     """The field a sprintf template references: '%{verb}' -> 'verb',
     '%{[req][duration]}' -> '[req][duration]' (nested refs stay WHOLE —
@@ -268,6 +296,8 @@ def _sprintf_field(tmpl: str) -> str:
 
 
 def _t_metrics(a: dict) -> list[tuple[str, dict]]:
+    _check_opts("metrics", a, {"meter", "timer", "flush_interval", "timestamp_field"},
+                {"rates", "percentiles", "clear_interval", "ignore_older_than"})
     """metrics plugin: ``meter => "prefix.%{field}"`` counts by the embedded
     field per flush window (metrics-from-logs.md)."""
     meter = _listify(a.get("meter", []))
@@ -277,6 +307,9 @@ def _t_metrics(a: dict) -> list[tuple[str, dict]]:
         "key": _sprintf_field(meter[0]),
         "ts": a.get("timestamp_field", "@timestamp"),
     }
+    if not _has_sprintf_token(meter[0]):
+        # bare meter name = count-by-constant (the plugin's literal meter)
+        params["key_is_literal"] = True
     if "flush_interval" in a:
         params["interval"] = f"{int(a['flush_interval'])} seconds"
     if "timer" in a:
@@ -299,7 +332,56 @@ def _t_xml(a: dict) -> list[tuple[str, dict]]:
     return [("xml", {"source": a["source"], "schema": a["schema"]})]
 
 
+def _t_throttle(a: dict) -> list[tuple[str, dict]]:
+    _check_opts("throttle", a, {"key", "max_count", "period", "timestamp", "timestamp_field"},
+                {"before_count", "after_count", "max_age"})
+    """throttle plugin: key is a sprintf template (key => "%{host}"),
+    period is SECONDS (number), the event-time column defaults to
+    @timestamp — every documented config shape must compile to working
+    operator params (a naive pass-through broke all three)."""
+    if "key" not in a:
+        raise ConfCompileError("throttle: missing required option 'key'")
+    params: dict[str, Any] = {
+        "key": _sprintf_field(a["key"]),
+        "ts": a.get("timestamp", a.get("timestamp_field", "@timestamp")),
+    }
+    if "max_count" in a:
+        params["max_count"] = int(a["max_count"])
+    elif "after_count" in a:
+        params["max_count"] = int(a["after_count"])
+    if "period" in a:
+        p = a["period"]
+        params["period"] = f"{int(p)} seconds" if isinstance(p, (int, float)) or str(p).isdigit() else str(p)
+    return [("throttle", params)]
+
+
+def _t_multiline(a: dict) -> list[tuple[str, dict]]:
+    _check_opts("multiline", a, {"pattern", "what", "negate", "source", "stream_identity",
+                                 "order_by", "max_lines"}, {"max_bytes", "periodic_flush"})
+    """multiline: source defaults to the plugin's 'message'; an explicit
+    order column is required only when the frame has none — the operator
+    falls back to ingestion order otherwise."""
+    for r in ("pattern", "what"):
+        if r not in a:
+            raise ConfCompileError(f"multiline: missing required option {r!r}")
+    params: dict[str, Any] = {
+        "source": a.get("source", "message"),
+        "pattern": a["pattern"],
+        "what": a["what"],
+    }
+    if "negate" in a:
+        params["negate"] = a["negate"]
+    if "stream_identity" in a:
+        params["stream_key"] = _sprintf_field(a["stream_identity"])
+    if "order_by" in a:
+        params["order_by"] = a["order_by"]
+    if "max_lines" in a:
+        params["max_lines"] = int(a["max_lines"])
+    return [("multiline", params)]
+
+
 def _t_geoip(a: dict) -> list[tuple[str, dict]]:
+    _check_opts("geoip", a, {"source", "database", "fields"}, {"target", "lru_cache_size"})
     """geoip plugin: needs `database => path` (csv/parquet range table —
     the live MaxMind .dat reader is a binary-format concern outside the
     engine; export it to CSV once)."""
@@ -317,6 +399,8 @@ def _t_geoip(a: dict) -> list[tuple[str, dict]]:
 
 
 def _t_dns(a: dict) -> list[tuple[str, dict]]:
+    _check_opts("dns", a, {"resolve", "reverse", "database", "action"},
+                {"nameserver", "timeout", "max_retries"})
     if "database" not in a:
         raise ConfCompileError(
             "dns: needs database => path to a (host,address) csv/parquet "
@@ -352,17 +436,13 @@ _FILTER_TRANSLATORS = {
     "clone": lambda a: [("clone", {"clone_types": _listify(a.get("clones", []))})],
     "split": lambda a: [("split", {"source": a.get("field", "message"),
                                    **({"separator": a["terminator"]} if "terminator" in a else {})})],
-    "multiline": _t_simple("multiline", {"pattern": "pattern", "what": "what", "negate": "negate",
-                                         "source": "source", "stream_identity": "stream_key",
-                                         "max_lines": "max_lines"},
-                           required=("pattern", "what")),
+    "multiline": _t_multiline,
     "checksum": lambda a: [("checksum", {"fields": _listify(a.get("keys", []))})],
     "anonymize": lambda a: [("anonymize", {"fields": _listify(a.get("fields", [])),
                                            **({"method": str(a["algorithm"]).upper()} if "algorithm" in a else {})})],
     "uuid": lambda a: [("uuid", {**({"target": a["target"]} if "target" in a else {})})],
     "sleep": lambda a: [("sleep", {})],
-    "throttle": _t_simple("throttle", {"key": "key", "max_count": "max_count", "period": "period",
-                                       "timestamp": "ts"}, required=("key",)),
+    "throttle": _t_throttle,
     "ruby": lambda a: (_ for _ in ()).throw(ConfCompileError(
         "ruby: arbitrary per-event code cannot compile from .conf; use the "
         "library API — registry op 'ruby' is the Arrow-batched mapInPandas "
@@ -468,7 +548,9 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 if opt in node.attrs:
                     key = str(_listify(node.attrs[opt])[0])
                     break
-            sink = CountSink(key=_statsd_key_field(key))
+            if key is None:
+                raise ConfCompileError("statsd output requires increment/count/timing")
+            sink = CountSink(key=_statsd_key_field(key), literal=not _has_sprintf_token(key))
         elif node.name in ("elasticsearch", "elasticsearch_http"):
             # no live cluster here, but the WIRE format is real: es_bulk
             # action+doc NDJSON text, one POST away from a _bulk endpoint
@@ -542,14 +624,16 @@ def bind_input(spark, node: PluginNode):
         )
     elif node.name in ("file", "s3"):
         raw_path = _listify(a.get("path", []))
-        if not raw_path or raw_path[0] is None or not str(raw_path[0]).strip():
+        paths = [str(x) for x in raw_path if x is not None and str(x).strip()]
+        if not paths:
             raise ConfCompileError(f"{node.name} input requires path")
-        path = str(raw_path[0])
         codec = a.get("codec", "plain")
-        if path.endswith(".parquet") or codec == "parquet":
-            df = spark.read.parquet(path)
+        if paths[0].endswith(".parquet") or codec == "parquet":
+            df = spark.read.parquet(*paths)
         else:
-            df = spark.read.text(path).withColumnRenamed("value", "message")
+            # EVERY configured path binds (a prior version silently read
+            # only the first — silent data loss on multi-path inputs)
+            df = spark.read.text(paths).withColumnRenamed("value", "message")
             if codec in ("json", "json_lines"):
                 from logstash_spark.operators.parse import json_parse
 

@@ -119,7 +119,13 @@ class _Lexer:
         while i < len(self.src):
             c = self.src[i]
             if c == "\\" and i + 1 < len(self.src):
-                out.append(self.src[i + 1])
+                # the 1.x reference does NOT interpret escapes in config
+                # strings (support_escapes arrived later, default false):
+                # only quote/backslash escapes unwrap; '\\n' stays the TWO
+                # characters backslash+n (a prior version collapsed it to
+                # 'n', mangling every \\n terminator/pattern)
+                nxt = self.src[i + 1]
+                out.append(nxt if nxt in "\"'\\" else c + nxt)
                 i += 2
                 continue
             if c == q:

@@ -329,9 +329,13 @@ def sprintf_col(
             fmt = key[1:]
             ts = field_col(timestamp_field) if has_field(timestamp_field) else F.lit(None).cast("timestamp")
             if fmt == "%s":
-                parts.append(F.unix_timestamp(ts).cast("string"))
+                rendered_ts = F.unix_timestamp(ts).cast("string")
             else:
-                parts.append(F.date_format(ts, joda_to_java(fmt)))
+                rendered_ts = F.date_format(ts, joda_to_java(fmt))
+            # null/missing @timestamp -> token stays VERBATIM, same as a
+            # missing plain field (otherwise concat() nulls the whole
+            # template and e.g. the es_bulk index becomes null)
+            parts.append(F.coalesce(rendered_ts, F.lit(m.group(0))))
         else:
             if df is not None and not has_field(key):
                 # missing field -> token stays verbatim (event.rb:259-260)

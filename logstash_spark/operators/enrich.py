@@ -99,7 +99,13 @@ def geoip(
     dim = geo_dim
     if "prefix16" not in dim.columns:
         dim = explode_ranges_by_prefix16(dim)
-    dim = dim.select("prefix16", "ip_lo", "ip_hi", *fields)
+    # ALIAS dim attributes before the join: dropping by bare name after an
+    # ambiguous join removes a same-named FACT column too (user's own
+    # 'country' silently disappeared when the dim also had one)
+    dim = dim.select(
+        "prefix16", "ip_lo", "ip_hi",
+        *[F.col(f_).alias(f"__geo_{f_}") for f_ in fields],
+    )
 
     ipl = ip_to_long(F.col(source).cast("string"))
     fact = df.withColumn("__ipl", ipl).withColumn(
@@ -112,8 +118,11 @@ def geoip(
     )
     joined = fact.join(F.broadcast(dim), cond, "left")
     for f_ in fields:
-        joined = joined.withColumn(target_prefix + f_, dim[f_])
-    return joined.drop("prefix16", "ip_lo", "ip_hi", *fields, "__ipl", "__prefix16")
+        joined = joined.withColumn(target_prefix + f_, F.col(f"__geo_{f_}"))
+    return joined.drop(
+        "prefix16", "ip_lo", "ip_hi",
+        *[f"__geo_{f_}" for f_ in fields], "__ipl", "__prefix16",
+    )
 
 
 def geoip_db(

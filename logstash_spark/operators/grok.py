@@ -348,9 +348,19 @@ def grok(
 
     matched_any = F.lit(False)
     per_pattern: list[dict[str, Column]] = []
-    src = F.col(source)
+    # SNAPSHOT the source: a capture named after the source column (e.g.
+    # '%{WORD:verb} %{GREEDYDATA:message}' over 'message') overwrites it,
+    # and the expr backend's unanchored Column expressions would re-resolve
+    # against the overwritten value — corrupting later captures and the
+    # failure tag. The temp column pins the original text for every
+    # backend and pattern.
+    snap = "_grok_src"
+    while snap in df.columns:
+        snap += "_"
+    df = df.withColumn(snap, F.col(source).cast("string"))
+    src = F.col(snap)
     for i, cg in enumerate(compiled):
-        this_src = src.cast("string")
+        this_src = src
         if break_on_match and i > 0:
             # rows an earlier pattern already matched are first-match-won:
             # NULL the input so later patterns' regex engines skip them
@@ -359,7 +369,7 @@ def grok(
             # help, masking the INPUT does)
             this_src = F.when(
                 _matched_before(per_pattern, i), F.lit(None)
-            ).otherwise(this_src)
+            ).otherwise(src)
         if backend in ("pandas", "arrow"):
             udf = grok_pandas_udf(cg) if backend == "pandas" else grok_arrow_udf(cg)
             sname = f"_grok_{i}"
@@ -412,6 +422,7 @@ def grok(
         df = _append_tag_unless(df, "tags", t, matched_any)
     # drop struct temporaries
     drop = [c for c in df.columns if c.startswith("_grok_") and c not in ("_grok_matched",)]
+    # (includes the source snapshot _grok_src*)
     if drop:
         df = df.drop(*drop)
     return df

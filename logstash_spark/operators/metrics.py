@@ -31,6 +31,7 @@ def metrics(
     timer_field: str | None = None,
     percentiles: list[float] = (0.5, 0.95, 0.99),
     decimal_stable_mean: bool = False,
+    key_is_literal: bool = False,
 ) -> DataFrame:
     """Meter (+ optional timer) per key per tumbling window.
 
@@ -66,7 +67,8 @@ def metrics(
         for p in percentiles:
             aggs.append(F.percentile_approx(t, p).alias(f"p{int(p * 100)}"))
     w = F.window(field_col(ts), interval)
-    out = df.groupBy(w.alias("w"), field_col(key).alias("key")).agg(*aggs)
+    key_expr = F.lit(key) if key_is_literal else field_col(key)
+    out = df.groupBy(w.alias("w"), key_expr.alias("key")).agg(*aggs)
     return out.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -202,8 +204,8 @@ def throttle(
     """
     from pyspark.sql import Window as W
 
-    win = F.window(F.col(ts), period)
-    order = W.partitionBy(win, F.col(key)).orderBy(F.col(ts))
+    win = F.window(field_col(ts), period)
+    order = W.partitionBy(win, field_col(key)).orderBy(field_col(ts))
     df = df.withColumn("_seq_in_period", F.row_number().over(order))
     over = F.col("_seq_in_period") > max_count
     from logstash_spark.operators.grok import _append_tag_unless

@@ -48,6 +48,18 @@ def multiline(
     split every ``max_lines`` lines; capped/overflow pieces carry the
     codec's ``multiline_codec_max_lines_reached`` tag.
     """
+    if order_by not in df.columns:
+        import warnings
+
+        warnings.warn(
+            f"multiline: no {order_by!r} column — falling back to INGESTION "
+            "order (monotonically_increasing_id): correct for ordered file "
+            "splits, unspecified after any shuffle; provide an explicit "
+            "order column for replayable grouping.",
+            stacklevel=2,
+        )
+        order_by = "_ml_order"
+        df = df.withColumn(order_by, F.monotonically_increasing_id())
     if stream_key is None:
         import warnings
 
@@ -116,4 +128,4 @@ def multiline(
                 ),
             ).otherwise(F.col("tags")),
         ).drop("_ml_sub")
-    return out.drop("_ml_group")
+    return out.drop("_ml_group", "_ml_order")

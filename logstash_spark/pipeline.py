@@ -141,7 +141,14 @@ def output_predicate(df: DataFrame, o: Output):
 # drop/clone/split take the predicate NATIVELY (filter / conditional
 # explode array); multiline still rejects conditions (a conditional
 # regrouping has no single-pass columnar form — restructure upstream).
-_ROW_COUNT_OPS = {"drop", "clone", "split", "multiline"}
+_ROW_COUNT_OPS = {
+    "drop", "clone", "split", "multiline",
+    # row-generating codecs + aggregating ops: a conditional CASE-merge
+    # would duplicate non-matching rows per produced row (or lose the
+    # snapshot columns across the groupBy) — reject with the clear error
+    "codec.lines", "codec.json_lines", "codec.edn_lines", "codec.es_bulk",
+    "codec.netflow", "codec.collectd", "metrics",
+}
 
 
 def apply_stage(df: DataFrame, st: Stage) -> DataFrame:

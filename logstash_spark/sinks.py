@@ -120,12 +120,22 @@ class CollectSink(Sink):
 
 @dataclass
 class CountSink(Sink):
-    """Metrics-style sink: per-key counts (statsd increment analog)."""
+    """Metrics-style sink: per-key counts (statsd increment analog).
+
+    ``literal=True`` is the plugin's bare-key form (increment =>
+    "apache.hits"): count EVERYTHING under that constant name instead of
+    grouping by a column — a dotted bare key would otherwise misparse as
+    a nested column reference."""
 
     key: str
+    literal: bool = False
 
     def write(self, df: DataFrame) -> Any:
-        return {r["k"]: r["n"] for r in df.groupBy(F.col(self.key).alias("k")).agg(F.count(F.lit(1)).alias("n")).collect()}
+        if self.literal:
+            return {self.key: df.count()}
+        from logstash_spark.event import field_col
+
+        return {r["k"]: r["n"] for r in df.groupBy(field_col(self.key).alias("k")).agg(F.count(F.lit(1)).alias("n")).collect()}
 
 
 @dataclass

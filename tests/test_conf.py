@@ -455,3 +455,58 @@ def test_file_output_json_lines_codec(spark, tmp_path):
              for l in open(os.path.join(nd_dir, f)).read().splitlines() if l]
     assert sorted(lines, key=lambda d: d["k"]) == [{"k": "a", "v": 1}, {"k": "b", "v": 2}]
     assert res["stdout_1"] == 2  # dots codec: count only
+
+
+def test_throttle_and_multiline_conf_shapes(spark, tmp_path):
+    """Every documented throttle/multiline .conf shape compiles AND runs
+    (review fix: these previously crashed at plan/transform time)."""
+    src = """
+    filter {
+      throttle { key => "%{host}" max_count => 2 period => 3600 }
+      multiline { pattern => "^\\\\s" what => "previous" }
+    }
+    output { null { } }
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame(
+        [("h1", "start", "2024-01-01 00:00:0%d" % i) for i in range(4)],
+        "host string, message string, tstr string",
+    ).select("host", "message", F.col("tstr").cast("timestamp").alias("@timestamp"))
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rows = pipe.transform(df).collect()
+    assert rows  # compiles and executes end-to-end
+    throttled = [r for r in rows if r["tags"] and "throttled" in r["tags"]]
+    assert len(throttled) >= 1  # 4 events, max_count 2 in one period
+
+
+def test_unknown_options_fail_fast_everywhere(tmp_path):
+    """The configtest contract holds for every hand-written translator
+    (review fix: several silently dropped unknown options)."""
+    bad = [
+        'filter { grok { match => { "m" => "%{WORD:w}" } frobnicate => 1 } }',
+        'filter { date { match => ["t", "ISO8601"] bogus => 1 } }',
+        'filter { kv { source => "m" wat => 1 } }',
+        'filter { translate { field => "f" dictionary => { "a" => "b" } nope => 1 } }',
+        'filter { metrics { meter => ["m"] zzz => 1 } }',
+    ]
+    for src in bad:
+        with pytest.raises(ConfCompileError, match="unsupported options"):
+            compile_config(src + " output { null {} }", out_dir=str(tmp_path))
+    # REAL plugin options the engine matches by default are accepted no-ops
+    pipe, _ = compile_config(
+        'filter { grok { match => { "m" => "%{WORD:w}" } overwrite => ["m"] '
+        'named_captures_only => true } } output { null {} }',
+        out_dir=str(tmp_path),
+    )
+    assert pipe.filters
+
+
+def test_statsd_bare_key_counts_constant(spark, tmp_path):
+    src = 'output { statsd { increment => "apache.hits" } }'
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([(i,) for i in range(7)], "n int")
+    res = pipe.run(df)
+    assert res["statsd_0"] == {"apache.hits": 7}

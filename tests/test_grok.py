@@ -223,3 +223,19 @@ def test_tag_on_failure_list(spark):
                tag_on_failure=["_grokparsefailure", "bad_event"])
     tags = out.collect()[0]["tags"]
     assert tags == ["_grokparsefailure", "bad_event"]
+
+
+def test_capture_named_after_source_column(spark):
+    """'%{WORD:verb} %{GREEDYDATA:message}' over 'message': overwriting the
+    source must not corrupt later captures or the failure tag (the expr
+    backend's unanchored expressions once re-resolved the overwritten
+    column — fixed via a source snapshot)."""
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([("GET /x",), ("###",)], "message string")
+    for backend in ("expr", "pandas", "arrow"):
+        rows = grok(df, "message", r"%{WORD:verb} %{GREEDYDATA:message}", backend=backend).collect()
+        ok = [r for r in rows if r["verb"] == "GET"][0]
+        assert ok["message"] == "/x" and not ok["tags"], backend
+        bad = [r for r in rows if r["verb"] is None][0]
+        assert "_grokparsefailure" in bad["tags"], backend
