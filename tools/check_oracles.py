@@ -66,6 +66,20 @@ def main() -> int:
             print(f"FAIL  {name:24s} spark error: {type(e).__name__}: {str(e)[:200]}")
             failures.append(name)
             continue
+        # DRIVER-canonicalizer emulation: the driver sorts a pandas frame by
+        # every column before hashing — unhashable cell types (lists/dicts)
+        # crash THERE even when the local stringifying hash passes (exactly
+        # how round 1's only red row slipped through). Reproduce that sort.
+        try:
+            import pandas as _pd
+
+            if rows:
+                _pdf = _pd.DataFrame(rows, columns=cols)
+                _pdf.sort_values(by=list(cols))
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:24s} driver-canonicalizer hazard: {type(e).__name__}: {str(e)[:120]}")
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"rows  {name:24s} rows={s_n} (no oracle — rows-only check)")
             if s_n == 0:
