@@ -510,3 +510,50 @@ def test_statsd_bare_key_counts_constant(spark, tmp_path):
     df = spark.createDataFrame([(i,) for i in range(7)], "n int")
     res = pipe.run(df)
     assert res["statsd_0"] == {"apache.hits": 7}
+
+
+def test_realworld_syslog_pipeline_end_to_end(spark, tmp_path):
+    """A production-shaped .conf: file input -> grok SYSLOG + pri decode +
+    date -> conditional routing to elasticsearch (real es_bulk wire) and a
+    severity counter — one run_conf_file call."""
+    import json as J
+    import os
+
+    log = tmp_path / "syslog.log"
+    lines = []
+    for i in range(20):
+        pri = 30 + (i % 8)  # daemon facility, varying severity
+        lines.append(
+            f"<{pri}>Mar  5 04:05:{i:02d} web{i % 3} sshd[{100 + i}]: "
+            f"session event {i}"
+        )
+    log.write_text("\n".join(lines) + "\n")
+    conf = tmp_path / "syslog.conf"
+    conf.write_text(f"""
+    input {{ file {{ path => "{log}" type => "syslog" }} }}
+    filter {{
+      grok {{
+        match => {{ "message" => "^<%{{POSINT:syslog_pri}}>%{{SYSLOGTIMESTAMP:ts_raw}} %{{IPORHOST:logsource}} %{{SYSLOGPROG}}: %{{GREEDYDATA:msg}}" }}
+      }}
+      syslog_pri {{ }}
+    }}
+    output {{
+      if [syslog_severity_code] <= 4 {{
+        elasticsearch {{ index => "errors-%{{logsource}}" document_id => "msg" }}
+      }}
+      statsd {{ increment => "sev.%{{syslog_severity_code}}" }}
+    }}
+    """)
+    from logstash_spark.conf import run_conf_file
+
+    res = run_conf_file(spark, str(conf), out_dir=str(tmp_path))
+    # severity counter covers every event
+    assert sum(res["statsd_1"].values()) == 20
+    # severities 0-4 of the pri%8 cycle routed to the ES wire sink
+    es_dir = os.path.join(str(tmp_path), "elasticsearch_0")
+    doc_lines = [J.loads(l) for f in os.listdir(es_dir) if not f.startswith((".", "_"))
+                 for l in open(os.path.join(es_dir, f)).read().splitlines()
+                 if l and '"_index"' not in l]
+    expected = sum(1 for i in range(20) if (30 + i % 8) % 8 <= 4)
+    assert len(doc_lines) == expected
+    assert all(d["program"] == "sshd" for d in doc_lines)
