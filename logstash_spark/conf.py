@@ -628,16 +628,40 @@ def bind_input(spark, node: PluginNode):
         if not paths:
             raise ConfCompileError(f"{node.name} input requires path")
         codec = a.get("codec", "plain")
-        if paths[0].endswith(".parquet") or codec == "parquet":
+        codec_name = codec.name if isinstance(codec, PluginNode) else str(codec)
+        if paths[0].endswith(".parquet") or codec_name == "parquet":
             df = spark.read.parquet(*paths)
         else:
             # EVERY configured path binds (a prior version silently read
             # only the first — silent data loss on multi-path inputs)
             df = spark.read.text(paths).withColumnRenamed("value", "message")
-            if codec in ("json", "json_lines"):
+            if codec_name in ("json", "json_lines"):
                 from logstash_spark.operators.parse import json_parse
 
-                df = json_parse(df, "message", str(a.get("schema", "auto")))
+                schema = (
+                    codec.attrs.get("schema") if isinstance(codec, PluginNode) else a.get("schema")
+                )
+                df = json_parse(df, "message", str(schema or "auto"))
+            elif codec_name == "multiline":
+                # `codec => multiline { pattern => ... what => ... }` — the
+                # classic stack-trace input shape; codec options drive the
+                # batch multiline op over ingestion order
+                if not isinstance(codec, PluginNode) or "pattern" not in codec.attrs:
+                    raise ConfCompileError("multiline codec needs pattern/what options")
+                from logstash_spark.operators.multiline import multiline as _ml
+
+                import warnings as _w
+
+                with _w.catch_warnings():
+                    _w.simplefilter("ignore")  # ingestion-order fallback is intended here
+                    df = _ml(
+                        df,
+                        source="message",
+                        pattern=str(codec.attrs["pattern"]),
+                        what=str(codec.attrs.get("what", "previous")),
+                        negate=bool(codec.attrs.get("negate", False)),
+                        max_lines=int(codec.attrs["max_lines"]) if "max_lines" in codec.attrs else None,
+                    )
     elif node.name == "heartbeat":
         from logstash_spark.sources.readers import heartbeat_stream
 

@@ -557,3 +557,28 @@ def test_realworld_syslog_pipeline_end_to_end(spark, tmp_path):
     expected = sum(1 for i in range(20) if (30 + i % 8) % 8 <= 4)
     assert len(doc_lines) == expected
     assert all(d["program"] == "sshd" for d in doc_lines)
+
+
+def test_multiline_input_codec_binding(spark, tmp_path):
+    """input { file { codec => multiline { ... } } } — the stack-trace
+    shape: continuation lines join BEFORE the filter section."""
+    log = tmp_path / "app2.log"
+    log.write_text(
+        "ERROR boom\n  at Foo.java:1\n  at Bar.java:2\nINFO fine\n"
+    )
+    conf = tmp_path / "ml.conf"
+    conf.write_text(f"""
+    input {{
+      file {{
+        path => "{log}"
+        codec => multiline {{ pattern => "^\\\\s" what => "previous" }}
+      }}
+    }}
+    output {{ null {{ }} }}
+    """)
+    from logstash_spark.conf import run_conf_file, bind_input, compile_file
+
+    pipe, inputs = compile_file(str(conf), out_dir=str(tmp_path))
+    df = bind_input(spark, inputs[0])
+    msgs = sorted(r["message"] for r in df.collect())
+    assert msgs == ["ERROR boom\n  at Foo.java:1\n  at Bar.java:2", "INFO fine"]
