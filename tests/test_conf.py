@@ -582,3 +582,23 @@ def test_multiline_input_codec_binding(spark, tmp_path):
     df = bind_input(spark, inputs[0])
     msgs = sorted(r["message"] for r in df.collect())
     assert msgs == ["ERROR boom\n  at Foo.java:1\n  at Bar.java:2", "INFO fine"]
+
+
+def test_run_conf_file_unions_multiple_inputs(spark, tmp_path):
+    a = tmp_path / "a.log"; a.write_text("one 1\ntwo 2\n")
+    b = tmp_path / "b.log"; b.write_text("three 3\n")
+    conf = tmp_path / "multi.conf"
+    conf.write_text(f"""
+    input {{
+      file {{ path => "{a}" type => "alpha" }}
+      file {{ path => "{b}" type => "beta" }}
+    }}
+    filter {{ grok {{ match => {{ "message" => "%{{WORD:w}} %{{INT:n:int}}" }} }} }}
+    output {{ file {{ path => "all" }} }}
+    """)
+    from logstash_spark.conf import run_conf_file
+
+    run_conf_file(spark, str(conf), out_dir=str(tmp_path))
+    out = spark.read.parquet(str(tmp_path / "all"))
+    got = {(r["type"], r["w"], r["n"]) for r in out.collect()}
+    assert got == {("alpha", "one", 1), ("alpha", "two", 2), ("beta", "three", 3)}
