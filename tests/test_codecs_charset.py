@@ -340,3 +340,22 @@ def test_charset_fallback_detection(spark):
     assert got[2]["txt"] == "café latin" and got[2]["charset_used"] == "ISO-8859-1"
     assert got[3]["charset_used"] == "UTF-8"
     assert got[4]["txt"] is None and got[4]["charset_used"] is None
+
+
+def test_charset_fallback_on_synthetic_junk_pages(spark):
+    """The generator's ~2% invalid-UTF-8 pages (FIXTURES F1) decode through
+    the fallback path; clean pages stay UTF-8 — end-to-end over the real
+    corpus shape."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.charset import decode_with_fallback
+    from logstash_spark.sources.pages import synthetic_pages
+
+    pages = synthetic_pages(spark, 1000)
+    out = decode_with_fallback(pages, "html", target="html_text")
+    by_cs = {r["charset_used"]: r["n"] for r in
+             out.groupBy("charset_used").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_cs.get("UTF-8", 0) == 990   # buckets != 97
+    assert by_cs.get("ISO-8859-1", 0) == 10  # the junk-byte rows
+    # no decoded page is null
+    assert out.filter(F.col("html_text").isNull()).count() == 0
