@@ -638,30 +638,51 @@ def bind_input(spark, node: PluginNode):
             if codec_name in ("json", "json_lines"):
                 from logstash_spark.operators.parse import json_parse
 
+                # block form's schema wins; plugin-level schema is the
+                # string-form fallback so both spellings behave identically
                 schema = (
-                    codec.attrs.get("schema") if isinstance(codec, PluginNode) else a.get("schema")
+                    (codec.attrs.get("schema") if isinstance(codec, PluginNode) else None)
+                    or a.get("schema")
                 )
                 df = json_parse(df, "message", str(schema or "auto"))
             elif codec_name == "multiline":
                 # `codec => multiline { pattern => ... what => ... }` — the
-                # classic stack-trace input shape; codec options drive the
-                # batch multiline op over ingestion order
+                # classic stack-trace input shape. Codec options go through
+                # the SAME validation/coercion as the filter-path multiline
+                # (negate => "false" must be False, typos must fail fast).
                 if not isinstance(codec, PluginNode) or "pattern" not in codec.attrs:
                     raise ConfCompileError("multiline codec needs pattern/what options")
+                _check_opts(
+                    "multiline codec", codec.attrs,
+                    {"pattern", "what", "negate", "max_lines"}, {"charset", "auto_flush_interval"},
+                )
+                try:
+                    cattrs = coerce_options(
+                        codec.attrs, _OPTION_TYPES["multiline"], "multiline codec"
+                    )
+                except CoerceError as e:
+                    raise ConfCompileError(str(e)) from None
                 from logstash_spark.operators.multiline import multiline as _ml
 
+                # per-FILE grouping: continuation lines must never merge
+                # across file boundaries on multi-path inputs, and the file
+                # key keeps the window parallel instead of single-partition
+                df = df.withColumn("_src_file", F.input_file_name())
                 import warnings as _w
 
                 with _w.catch_warnings():
-                    _w.simplefilter("ignore")  # ingestion-order fallback is intended here
+                    # only the ingestion-order fallback warning is expected
+                    _w.filterwarnings("ignore", message=".*INGESTION.*")
                     df = _ml(
                         df,
                         source="message",
-                        pattern=str(codec.attrs["pattern"]),
-                        what=str(codec.attrs.get("what", "previous")),
-                        negate=bool(codec.attrs.get("negate", False)),
-                        max_lines=int(codec.attrs["max_lines"]) if "max_lines" in codec.attrs else None,
+                        pattern=str(cattrs["pattern"]),
+                        what=str(cattrs.get("what", "previous")),
+                        negate=bool(cattrs.get("negate", False)),
+                        stream_key="_src_file",
+                        max_lines=int(cattrs["max_lines"]) if "max_lines" in cattrs else None,
                     )
+                df = df.drop("_src_file")
     elif node.name == "heartbeat":
         from logstash_spark.sources.readers import heartbeat_stream
 
@@ -687,7 +708,16 @@ def bind_input(spark, node: PluginNode):
         df = df.withColumn("type", F.lit(a["type"]))
     tags = _listify(a.get("tags", []))
     if tags:
-        df = df.withColumn("tags", F.array(*[F.lit(t) for t in tags]))
+        # decorate APPENDS (filters/base.rb): a codec may already have
+        # tagged rows (multiline) — never clobber the existing tags column
+        new_tags = F.array(*[F.lit(t) for t in tags])
+        if "tags" in df.columns:
+            df = df.withColumn(
+                "tags",
+                F.concat(F.coalesce(F.col("tags"), F.array().cast("array<string>")), new_tags),
+            )
+        else:
+            df = df.withColumn("tags", new_tags)
     for k, v in dict(a.get("add_field", {})).items():
         df = df.withColumn(k, F.lit(v))
     return df

@@ -602,3 +602,43 @@ def test_run_conf_file_unions_multiple_inputs(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "all"))
     got = {(r["type"], r["w"], r["n"]) for r in out.collect()}
     assert got == {("alpha", "one", 1), ("alpha", "two", 2), ("beta", "three", 3)}
+
+
+def test_multiline_codec_validation_and_per_file_grouping(spark, tmp_path):
+    """Codec options validate/coerce like the filter path; continuation
+    lines never merge across file boundaries; decorate APPENDS tags."""
+    a = tmp_path / "m1.log"; a.write_text("start A\n  cont A\n")
+    b = tmp_path / "m2.log"; b.write_text("  leading cont B\nplain B\n")
+    conf = tmp_path / "mc.conf"
+    conf.write_text(f"""
+    input {{
+      file {{
+        path => ["{a}", "{b}"]
+        tags => ["raw"]
+        codec => multiline {{ pattern => "^\\\\s" what => "previous" negate => "false" }}
+      }}
+    }}
+    output {{ null {{ }} }}
+    """)
+    from logstash_spark.conf import bind_input, compile_file
+
+    pipe, inputs = compile_file(str(conf), out_dir=str(tmp_path))
+    df = bind_input(spark, inputs[0])
+    rows = {r["message"]: r for r in df.collect()}
+    # b's leading continuation must NOT attach to a's last event
+    assert "start A\n  cont A" in rows
+    assert "  leading cont B" in rows and "plain B" in rows
+    # codec's multiline tag survives AND decorate appended 'raw'
+    joined = rows["start A\n  cont A"]["tags"]
+    assert "multiline" in joined and "raw" in joined
+
+    # quoted "false" coerces to False; typo'd options fail fast
+    with pytest.raises(ConfCompileError, match="unsupported options"):
+        bad = tmp_path / "bad.conf"
+        bad.write_text(f"""
+        input {{ file {{ path => "{a}"
+          codec => multiline {{ pattern => "x" what => "previous" negat => true }} }} }}
+        output {{ null {{ }} }}
+        """)
+        pipe2, inputs2 = compile_file(str(bad), out_dir=str(tmp_path))
+        bind_input(spark, inputs2[0])
