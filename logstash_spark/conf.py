@@ -428,7 +428,8 @@ _FILTER_TRANSLATORS = {
     "kv": _t_kv,
     "drop": _t_drop,
     "fingerprint": _t_fingerprint,
-    "csv": _t_simple("csv", {"source": "source", "columns": "columns", "separator": "separator"},
+    "csv": _t_simple("csv", {"source": "source", "columns": "columns", "separator": "separator",
+                             "quote_char": "quote_char", "target": "target"},
                      required=("source", "columns")),
     "urldecode": lambda a: [("urldecode", {"fields": tuple(_listify(a.get("field", "message")))})],
     "syslog_pri": _t_simple("syslog_pri", {"syslog_pri_field_name": "source", "use_labels": "use_labels"}),

@@ -148,11 +148,19 @@ def csv_parse(
     columns: list[str],
     *,
     separator: str = ",",
+    quote_char: str = '"',
     types: dict[str, str] | None = None,
+    target: str | None = None,
 ) -> DataFrame:
-    """`csv` filter (default_plugins.rb:28): from_csv with a named schema."""
+    """`csv` filter (default_plugins.rb:28): from_csv with a named schema.
+    ``quote_char`` and ``target`` mirror the plugin's options (fields land
+    top-level by default, under a struct column when targeted)."""
     schema = ", ".join(f"`{c}` string" for c in columns)
-    parsed = F.from_csv(F.col(source), F.lit(schema), {"sep": separator})
+    parsed = F.from_csv(
+        F.col(source), F.lit(schema), {"sep": separator, "quote": quote_char}
+    )
+    if target:
+        return df.withColumn(target, parsed)
     df = df.withColumn("_csv", parsed)
     for c in columns:
         col = F.col("_csv")[c]

@@ -114,3 +114,14 @@ def test_json_schema_auto_inference(spark):
     assert by_a[2]["b"] is None
     bad = [r for r in rows if r["a"] is None][0]
     assert "_jsonparsefailure" in bad["tags"]
+
+
+def test_csv_quote_char_and_target(spark):
+    from logstash_spark.operators.parse import csv_parse
+
+    df = spark.createDataFrame([("a|'x|y'|c",)], "line string")
+    out = csv_parse(df, "line", ["f1", "f2", "f3"], separator="|", quote_char="'").collect()[0]
+    assert out["f2"] == "x|y" and out["f3"] == "c"
+    t = csv_parse(df, "line", ["f1", "f2", "f3"], separator="|", quote_char="'",
+                  target="csv").collect()[0]
+    assert t["csv"]["f2"] == "x|y"
