@@ -334,3 +334,27 @@ def test_html_extraction_byte_identical_on_pages(spark):
     total = out.count()
     identical = out.filter(F.col("ext") == F.col("text")).count()
     assert identical >= total * 0.97  # everything except the junk-byte rows
+
+
+def test_crawl_decode_extract_chain(spark):
+    """The full crawl intake chain: binary html -> charset fallback decode
+    -> text extraction, including a latin-1 page — extraction recovers the
+    page text for both charsets."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.functions.text import html_to_text_col
+    from logstash_spark.operators.charset import decode_with_fallback
+
+    pages = [
+        (1, "<html><body><p>héllo utf8 page</p></body></html>".encode("utf-8"), "héllo utf8 page"),
+        (2, "<html><body><p>café latin page</p></body></html>".encode("latin-1"), "café latin page"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b), want) for i, b, want in pages],
+        "id int, html binary, want string",
+    )
+    out = decode_with_fallback(df, "html", target="html_str")
+    out = out.withColumn("extracted", html_to_text_col(F.col("html_str")))
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["extracted"] == rows[1]["want"] and rows[1]["charset_used"] == "UTF-8"
+    assert rows[2]["extracted"] == rows[2]["want"] and rows[2]["charset_used"] == "ISO-8859-1"
