@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Agent CLI — the reference's `bin/logstash agent` surface
+(lib/logstash/agent.rb) on the Spark engine.
+
+Flag parity (agent.rb:10-43):
+  -e CONFIG_STRING        inline config (agent.rb:14-16)
+  -f / --config PATH      config file, directory, or glob; a directory reads
+                          every file sorted, skipping editor temp files
+                          (agent.rb:288-312 local_config)
+  -t / --configtest       compile + plan-validate only, no execution
+                          (agent.rb:42-43,156)
+  -w / --filterworkers N  parallelism — maps to local[N] partitions (the
+                          engine's worker analog, SURVEY §2.1)
+
+Semantics mirrored exactly from agent.rb:85-106:
+  * -e and -f combine: the file contents APPEND to the inline string;
+  * with NO -f, a missing input section injects `input { stdin { type =>
+    stdin } }` and a missing output section injects `output { stdout {
+    codec => rubydebug } }`;
+  * neither flag -> usage error.
+
+Batch analog of stdin: the process's stdin is read to EOF and bound as the
+message column (`echo 'line' | python jobs/agent.py -e 'filter {...}'`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as _glob
+import os
+import re
+import sys
+
+
+class AgentError(SystemExit):
+    pass
+
+
+def load_config(path: str) -> str:
+    """agent.rb:288-312 local_config: directory -> every file under it,
+    sorted; editor temp files (trailing ~) skipped; empty match fails."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "*")
+    files = sorted(_glob.glob(path))
+    files = [f for f in files if os.path.isfile(f) and not f.endswith("~")]
+    if not files:
+        raise AgentError(f"No config files found: {path}")
+    out = []
+    for f in files:
+        with open(f, "r", encoding="utf-8") as fh:
+            out.append(fh.read())
+    return "\n".join(out) + "\n"
+
+
+def build_config_string(config_string: str | None, config_path: str | None) -> str:
+    """agent.rb:85-106: combine -e and -f; default stdin/stdout injection
+    applies ONLY when no -f was given (same guard as the reference)."""
+    if config_string is None and config_path is None:
+        raise AgentError("You must specify a config via -e or -f. Usage: agent.py -e CONFIG | -f PATH")
+    cfg = config_string or ""
+    if config_path:
+        cfg = cfg + load_config(config_path)
+    else:
+        if not re.search(r"input *{", cfg):
+            cfg += "input { stdin { type => stdin } }"
+        if not re.search(r"output *{", cfg):
+            cfg += "output { stdout { codec => rubydebug } }"
+    return cfg
+
+
+def configtest(cfg: str, out_dir: str) -> bool:
+    """-t: compile the config AND plan-validate the filter chain against a
+    schema-bearing empty frame (catches unresolved columns/casts that a
+    parse-only check misses), without executing anything."""
+    from logstash_spark.conf import ConfCompileError, compile_config
+    from logstash_spark.session import get_spark
+
+    try:
+        pipe, inputs = compile_config(cfg, out_dir=out_dir)
+    except ConfCompileError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return False
+    # plan-validate: build the logical plan over a representative empty
+    # frame; analysis errors surface here, execution never starts
+    spark = get_spark("agent-configtest", cores=2)
+    probe = spark.createDataFrame(
+        [], "message string, type string, host string, tags array<string>"
+    )
+    try:
+        pipe.transform(probe).schema  # forces analysis, zero jobs
+    except Exception as e:  # AnalysisException and friends
+        print(f"Error: config compiled but does not analyze: {e}", file=sys.stderr)
+        return False
+    print("Configuration OK")
+    return True
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("-e", dest="config_string", default=None, metavar="CONFIG_STRING")
+    p.add_argument("-f", "--config", dest="config_path", default=None, metavar="CONFIG_PATH")
+    p.add_argument("-t", "--configtest", action="store_true")
+    p.add_argument("-w", "--filterworkers", type=int, default=None, metavar="COUNT")
+    p.add_argument("--out", default="agent_out", help="sink output directory")
+    args = p.parse_args(argv)
+
+    cfg = build_config_string(args.config_string, args.config_path)
+    if args.configtest:
+        return 0 if configtest(cfg, args.out) else 1
+
+    from logstash_spark.conf import ConfCompileError, compile_config, bind_input
+    from logstash_spark.session import get_spark
+
+    spark = get_spark("agent", cores=args.filterworkers)
+    try:
+        pipe, inputs = compile_config(cfg, out_dir=args.out)
+    except ConfCompileError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    if not inputs:
+        print("Error: config has no input section", file=sys.stderr)
+        return 1
+    stdin_lines = None
+    if any(n.name == "stdin" for n in inputs):
+        stdin_lines = [l.rstrip("\n") for l in sys.stdin]
+    df = bind_input(spark, inputs[0], stdin_lines=stdin_lines)
+    for extra in inputs[1:]:
+        df = df.unionByName(
+            bind_input(spark, extra, stdin_lines=stdin_lines), allowMissingColumns=True
+        )
+    results = pipe.run(df)
+    for name, res in results.items():
+        print(f"{name}: {res}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

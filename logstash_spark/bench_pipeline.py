@@ -43,7 +43,7 @@ def geo_dim(spark: SparkSession, n_ranges: int = 4096) -> DataFrame:
 
 def build_e2e(
     spark: SparkSession, n_docs: int, *, backend: str | None = None,
-    from_html: bool = False,
+    from_html: bool = False, input_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full pipeline plan over n synthetic docs; returns the per-sink
     aggregate frame (small — forcing it executes the whole DAG once).
@@ -51,6 +51,10 @@ def build_e2e(
     ``from_html=True`` runs the north star's full shape: the parse input
     is EXTRACTED from the html binary column (decode + tag strip) instead
     of the pre-extracted text column — one more regex cascade per doc.
+
+    ``input_df`` replaces the in-job generator with a pre-materialized
+    pages frame (e.g. a parquet scan) — the bench's generator-excluded
+    metric, and the production shape (scan -> pipeline).
     """
     from logstash_spark.operators.date import date
     from logstash_spark.operators.grok import grok
@@ -58,7 +62,7 @@ def build_e2e(
     from logstash_spark.operators.enrich import geoip, translate
 
     backend = backend or os.environ.get("SPARK_GRAFT_GROK_BACKEND", "arrow")
-    pages = synthetic_pages(spark, n_docs, include_junk=True)
+    pages = input_df if input_df is not None else synthetic_pages(spark, n_docs, include_junk=True)
 
     text_col = "text"
     if from_html:

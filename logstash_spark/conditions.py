@@ -188,13 +188,23 @@ class In(Expr):
             # with ==; string space is the usable common denominator).
             vals = self.coll
             if vals and all(isinstance(x, bool) for x in vals):
-                coll_c = F.array(*[F.lit(x) for x in vals])
-                inc = F.array_contains(coll_c, item_c.cast("boolean"))
+                if item_t is not None and not isinstance(item_t, T.BooleanType):
+                    # Ruby Array#include? uses typed ==: [true].include?("true")
+                    # is false — never coerce a non-boolean column.
+                    inc = F.lit(False)
+                else:
+                    coll_c = F.array(*[F.lit(x) for x in vals])
+                    inc = F.array_contains(coll_c, item_c.cast("boolean"))
             elif vals and all(
                 isinstance(x, (int, float)) and not isinstance(x, bool) for x in vals
             ):
-                coll_c = F.array(*[F.lit(float(x)) for x in vals])
-                inc = F.array_contains(coll_c, item_c.cast("double"))
+                if item_t is not None and isinstance(item_t, T.StringType):
+                    # typed ==: [200, 404].include?("200") is FALSE in Ruby —
+                    # a string-typed field never matches numeric literals.
+                    inc = F.lit(False)
+                else:
+                    coll_c = F.array(*[F.lit(float(x)) for x in vals])
+                    inc = F.array_contains(coll_c, item_c.cast("double"))
             else:
                 coll_c = F.array(*[F.lit(str(x)) for x in vals])
                 inc = F.array_contains(coll_c, item_c.cast("string"))

@@ -176,6 +176,16 @@ class _Parser:
                 items.append(self.rvalue())
                 if self.peek()[0] == "comma":
                     self.next()
+        if k == "word" and v not in _KEYWORDS and self.peek()[0] == "lparen":
+            # grammar.rb:2919-3075 defines a `method_call` rule, but the
+            # reference ships NO methods — any use fails there too. Name the
+            # construct so users know it's the grammar rule, not a typo.
+            raise CondSyntaxError(
+                f"method_call {v!r}(...) is not supported: the reference grammar "
+                "defines method calls (grammar.rb:2919-3075) but ships no "
+                "callable methods; rewrite the condition with selectors, "
+                "literals and operators"
+            )
         raise CondSyntaxError(f"bad rvalue {v!r}")
 
 

@@ -79,12 +79,14 @@ def _check_opts(plugin: str, a: dict, allowed: set, noop: set = frozenset()) -> 
 
 
 def _t_grok(a: dict) -> list[tuple[str, dict]]:
-    # noop-accepted: overwrite (this engine ALWAYS overwrites — identical to
-    # listing every field), named_captures_only (we only capture named,
-    # the default), keep_empty_captures (empties null, the default),
-    # singles (legacy no-op upstream too)
-    _check_opts("grok", a, {"match", "pattern", "tag_on_failure", "patterns_dir", "break_on_match"},
-                {"overwrite", "named_captures_only", "keep_empty_captures", "singles"})
+    # noop-accepted: named_captures_only (we only capture named, the
+    # default), keep_empty_captures (empties null, the default), singles
+    # (legacy no-op upstream too). overwrite is REAL: captures landing on
+    # existing fields append into arrays by default (filters/base.rb:
+    # 182-196); overwrite => [...] lists the fields that replace instead.
+    _check_opts("grok", a, {"match", "pattern", "tag_on_failure", "patterns_dir",
+                            "break_on_match", "overwrite"},
+                {"named_captures_only", "keep_empty_captures", "singles"})
     match = a.get("match")
     if match is None and "pattern" in a:
         # legacy 1.1-era syntax (docs/tutorials/metrics-from-logs.md:41-44):
@@ -99,6 +101,8 @@ def _t_grok(a: dict) -> list[tuple[str, dict]]:
             params["tag_on_failure"] = _listify(a["tag_on_failure"])
         if "break_on_match" in a:
             params["break_on_match"] = a["break_on_match"]
+        if "overwrite" in a:
+            params["overwrite"] = _listify(a["overwrite"])
         if "patterns_dir" in a:
             params["extra_patterns"] = _load_patterns_dirs(_listify(a["patterns_dir"]))
         out.append(("grok", params))
@@ -310,6 +314,10 @@ def _t_metrics(a: dict) -> list[tuple[str, dict]]:
     if not _has_sprintf_token(meter[0]):
         # bare meter name = count-by-constant (the plugin's literal meter)
         params["key_is_literal"] = True
+    else:
+        # templated meter: the grouping key is the FULL rendered name
+        # ('apache.%{response}' -> 'apache.200'), not the bare field value
+        params["key_template"] = meter[0]
     if "flush_interval" in a:
         params["interval"] = f"{int(a['flush_interval'])} seconds"
     if "timer" in a:
@@ -343,7 +351,10 @@ def _t_throttle(a: dict) -> list[tuple[str, dict]]:
         raise ConfCompileError("throttle: missing required option 'key'")
     params: dict[str, Any] = {
         "key": _sprintf_field(a["key"]),
-        "ts": a.get("timestamp", a.get("timestamp_field", "@timestamp")),
+        # timestamp may arrive as a sprintf template (timestamp => "%{ts}")
+        # exactly like key — resolve it to the referenced field, else the
+        # raw '%{ts}' string hits the plan as an unresolved column
+        "ts": _sprintf_field(a.get("timestamp", a.get("timestamp_field", "@timestamp"))),
     }
     if "max_count" in a:
         params["max_count"] = int(a["max_count"])
@@ -551,7 +562,11 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                     break
             if key is None:
                 raise ConfCompileError("statsd output requires increment/count/timing")
-            sink = CountSink(key=_statsd_key_field(key), literal=not _has_sprintf_token(key))
+            sink = CountSink(
+                key=_statsd_key_field(key),
+                literal=not _has_sprintf_token(key),
+                template=key if _has_sprintf_token(key) else None,
+            )
         elif node.name in ("elasticsearch", "elasticsearch_http"):
             # no live cluster here, but the WIRE format is real: es_bulk
             # action+doc NDJSON text, one POST away from a _bulk endpoint
@@ -610,9 +625,11 @@ def compile_file(path: str, **kw) -> tuple[Pipeline, list[PluginNode]]:
 # ---------------------------------------------------------------------------
 
 
-def bind_input(spark, node: PluginNode):
+def bind_input(spark, node: PluginNode, *, stdin_lines=None):
     """PluginNode from the input section -> DataFrame (batch) with the
-    input `decorate` applied (type/tags/add_field, filters/base.rb)."""
+    input `decorate` applied (type/tags/add_field, filters/base.rb).
+    ``stdin_lines``: the agent CLI feeds the process's stdin here so the
+    reference's default `input { stdin {} }` (agent.rb:99-101) binds."""
     from pyspark.sql import functions as F
 
     a = node.attrs
@@ -698,7 +715,12 @@ def bind_input(spark, node: PluginNode):
             value_schema=str(a.get("schema", "message string")),
         )
     elif node.name == "stdin":
-        raise ConfCompileError("stdin input: interactive; bind a DataFrame yourself")
+        if stdin_lines is None:
+            raise ConfCompileError(
+                "stdin input: interactive; bind a DataFrame yourself "
+                "(jobs/agent.py feeds it from the process stdin)"
+            )
+        df = spark.createDataFrame([(str(l),) for l in stdin_lines], "message string")
     else:
         raise ConfCompileError(
             f"input plugin {node.name!r} has no sandbox binding "

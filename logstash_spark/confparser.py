@@ -119,11 +119,15 @@ class _Lexer:
         while i < len(self.src):
             c = self.src[i]
             if c == "\\" and i + 1 < len(self.src):
-                # the 1.x reference does NOT interpret escapes in config
-                # strings (support_escapes arrived later, default false):
-                # only quote/backslash escapes unwrap; '\\n' stays the TWO
-                # characters backslash+n (a prior version collapsed it to
-                # 'n', mangling every \\n terminator/pattern)
+                # DELIBERATE DIVERGENCE from the 1.x reference (documented in
+                # COVERAGE.md): 1.x String#compile is text_value[1...-1] with
+                # NO unescaping — even '\"' keeps its backslash in the value.
+                # We unwrap quote/backslash escapes (the later
+                # support_escapes-style quote handling) because a quote is
+                # otherwise inexpressible inside a quoted option; everything
+                # else stays literal — '\\n' remains the TWO characters
+                # backslash+n (a prior version collapsed it to 'n', mangling
+                # every \\n terminator/pattern)
                 nxt = self.src[i + 1]
                 out.append(nxt if nxt in "\"'\\" else c + nxt)
                 i += 2

@@ -52,16 +52,27 @@ except ImportError:
 
 
 def synthetic_media(spark, n: int = 100) -> DataFrame:
-    """Deterministic fake media table: `bytes` = seeded pseudo-image payload
-    (width*height bytes from a hash), real metadata. Lets every downstream
-    stage run for real with fake pixels."""
+    """Deterministic media table: `bytes` = a REAL binary P6 PPM image
+    (ASCII header + raster) whose raster bytes derive from md5(media_id) —
+    decodable by the stdlib parser below AND regenerable in SQL (repeat/
+    substr/md5 are DuckDB builtins), which is what makes the downstream
+    decode stage value-oracle-able."""
     df = spark.range(n)
     i = F.col("id")
     w = (F.pmod(i, F.lit(4)) * 16 + 16).cast("int")
     h = (F.pmod(i, F.lit(3)) * 16 + 16).cast("int")
-    payload = F.encode(F.repeat(F.md5(i.cast("string")), 8), "UTF-8")
+    # raster: md5 hex (32 chars) tiled to exactly w*h*3 bytes (max 64*48*3
+    # = 9216 = 32*288); every byte lands in ASCII '0'-'9'/'a'-'f'
+    raster = F.substring(F.repeat(F.md5(i.cast("string")), 288), F.lit(1), w * h * 3)
+    payload = F.encode(
+        F.concat(
+            F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+            F.lit("\n255\n"), raster,
+        ),
+        "UTF-8",
+    )
     meta = F.struct(
-        F.lit("image/fake").alias("mime"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
         w.alias("width"),
         h.alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
@@ -69,7 +80,119 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
     return df.select(i.alias("media_id"), payload.alias("bytes"), meta.alias("meta"))
 
 
+# ---------------------------------------------------------------------------
+# stdlib image decode (no PIL needed): P6 PPM + uncompressed BMP headers
+# ---------------------------------------------------------------------------
+
+
+def parse_ppm(buf: bytes):
+    """Parse a binary P6 PPM: returns (width, height, raster bytes) or None.
+    Handles '#' comments and arbitrary whitespace per the netpbm spec —
+    pure stdlib, same no-external-codec trick as decode_netflow5."""
+    if buf is None or not buf.startswith(b"P6"):
+        return None
+    pos, toks = 2, []
+    while len(toks) < 3 and pos < len(buf):
+        c = buf[pos:pos + 1]
+        if c == b"#":
+            nl = buf.find(b"\n", pos)
+            pos = len(buf) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(buf) and not buf[end:end + 1].isspace():
+                end += 1
+            toks.append(buf[pos:end])
+            pos = end
+    if len(toks) < 3:
+        return None
+    try:
+        w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval <= 0 or maxval > 255:
+        return None
+    raster = buf[pos + 1 : pos + 1 + w * h * 3]  # single whitespace after maxval
+    if len(raster) < w * h * 3:
+        return None
+    return w, h, raster
+
+
+def parse_bmp(buf: bytes):
+    """Parse an uncompressed 24bpp BMP (BITMAPINFOHEADER) via struct:
+    returns (width, height, raster bytes) or None."""
+    import struct
+
+    if buf is None or len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<IiI", buf, 14)
+    bpp, compression = struct.unpack_from("<HI", buf, 28)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        return None
+    row = ((w * 3 + 3) // 4) * 4  # rows padded to 4 bytes
+    raster = buf[data_off : data_off + row * h]
+    if len(raster) < row * h:
+        return None
+    # strip padding, un-flip bottom-up row order
+    rows = [raster[r * row : r * row + w * 3] for r in range(h - 1, -1, -1)]
+    return w, int(h), b"".join(rows)
+
+
+def decode_media(buf: bytes):
+    """Sniff + decode: (fmt, width, height, raster) or None."""
+    if buf is None:
+        return None
+    if buf.startswith(b"P6"):
+        p = parse_ppm(buf)
+        return ("ppm", *p) if p else None
+    if buf.startswith(b"BM"):
+        p = parse_bmp(buf)
+        return ("bmp", *p) if p else None
+    return None
+
+
 _FEATURE_SCHEMA = "media_id long, n_bytes int, byte_mean double, byte_entropy double"
+
+_DECODE_FEATURE_SCHEMA = (
+    "media_id long, fmt string, width int, height int, n_pix int, "
+    "px_mean double, px_entropy double"
+)
+
+
+def media_decode_features(df: DataFrame) -> DataFrame:
+    """REAL decode -> feature extraction: parse the image header (stdlib
+    PPM/BMP above), then compute raster statistics on the DECODED pixels —
+    the production decode->embed stage with the codec swapped for a
+    deterministic stdlib parser. Arrow batches in, one numpy pass per image;
+    undecodable rows drop (the corrupt-media filter every crawl needs)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["bytes"]):
+                d = decode_media(buf)
+                if d is None:
+                    continue
+                fmt, w, h, raster = d
+                arr = np.frombuffer(raster, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256) / len(arr)
+                nz = counts[counts > 0]
+                ent = float(-(nz * np.log2(nz)).sum())
+                # no Python round() here: it's half-to-EVEN, while SQL ROUND
+                # is half-away — rounding happens JVM-side below for parity
+                rows.append((mid, fmt, w, h, len(arr), float(arr.mean()), ent))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "width", "height", "n_pix",
+                         "px_mean", "px_entropy"],
+            )
+
+    out = df.select("media_id", "bytes").mapInPandas(batches, _DECODE_FEATURE_SCHEMA)
+    return out.withColumn("px_mean", F.round("px_mean", 4)).withColumn(
+        "px_entropy", F.round("px_entropy", 4)
+    )
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -104,25 +227,33 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def decode_image(df: DataFrame, *, target_size: tuple[int, int] = (64, 64)) -> DataFrame:
-    """Decode + resize. REAL decode requires PIL, absent here — the Spark
-    plumbing (schema: array<array<int>> pixels) runs with a deterministic
-    fake decoder so the stage is testable end-to-end."""
+    """Decode + nearest-neighbor resize to ``target_size`` grayscale.
+
+    The decode is the REAL stdlib PPM/BMP parser above (no PIL needed);
+    rich formats (JPEG/PNG) would slot into :func:`decode_media` behind the
+    same signature — the Spark plumbing (Arrow batches, array<int> pixels
+    schema, partition sizing) is identical either way. Undecodable payloads
+    come back decoded=false with null pixels (keep-and-flag, so a corrupt
+    blob doesn't silently shrink the corpus)."""
     out_schema = "media_id long, pixels array<int>, decoded boolean"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tw, th = target_size
         for pdf in it:
-            if _HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError("real decode path: wire PIL here")
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["bytes"]):
-                if buf is None:
+                d = decode_media(buf)
+                if d is None:
                     rows.append((mid, None, False))
                     continue
-                # deterministic fake decode: tile the bytes to tw*th
-                arr = np.frombuffer(buf, dtype=np.uint8)
-                tiled = np.resize(arr, tw * th).astype("int32")
-                rows.append((mid, tiled.tolist(), True))
+                _fmt, w, h, raster = d
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+                gray = px.mean(axis=2)
+                # nearest-neighbor resample to (th, tw)
+                yi = (np.arange(th) * h) // th
+                xi = (np.arange(tw) * w) // tw
+                small = gray[np.ix_(yi, xi)].astype("int32")
+                rows.append((mid, small.ravel().tolist(), True))
             yield pd.DataFrame(rows, columns=["media_id", "pixels", "decoded"])
 
     return df.select("media_id", "bytes").mapInPandas(batches, out_schema)

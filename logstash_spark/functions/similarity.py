@@ -363,6 +363,8 @@ def ivf_train(
     vec_col: str = "embedding",
     num_lists: int = 16,
     iters: int = 5,
+    round_centroids: int | None = None,
+    round_cos: int | None = None,
 ) -> DataFrame:
     """Train IVF coarse centroids with Lloyd iterations, fully relational —
     the k-means|| analog without MLlib: deterministic init (first k vectors
@@ -371,6 +373,18 @@ def ivf_train(
     avg -> array rebuild). Each round is one broadcast join + one shuffle
     on (list, dim) — linear in corpus size, independent of k beyond the
     broadcast. Returns (list_id, cv: array<double>).
+
+    ``round_centroids``/``round_cos`` pin the float-order-sensitive steps
+    (centroid means, assignment similarities) to a rounded decimal grid so
+    the identical Lloyd rounds replay bit-equal in another engine (the
+    DuckDB parity oracle); production leaves both None.
+
+    Each round ends in ``localCheckpoint()`` — num_lists rows — so the
+    centroid plan stays ONE round deep instead of stacking iters
+    join+window+agg layers (O(iters^2) lineage, recomputed wholesale on any
+    retry). On a real cluster prefer ``spark.sparkContext.setCheckpointDir``
+    + ``checkpoint()`` for executor-loss safety; the payload is tiny either
+    way.
     """
     d = _persist_sim(
         docs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
@@ -382,6 +396,8 @@ def ivf_train(
         scored = d.crossJoin(F.broadcast(cents)).withColumn(
             "cos", cosine(F.col("v"), F.col("cv"))
         )
+        if round_cos is not None:
+            scored = scored.withColumn("cos", F.round(F.col("cos"), round_cos))
         w = W.partitionBy("id").orderBy(F.col("cos").desc(), F.col("list_id").asc())
         assigned = (
             scored.withColumn("_r", F.row_number().over(w))
@@ -390,11 +406,14 @@ def ivf_train(
         )
         dims = assigned.select("list_id", F.posexplode("v").alias("dim", "val"))
         means = dims.groupBy("list_id", "dim").agg(F.avg("val").alias("m"))
+        if round_centroids is not None:
+            means = means.withColumn("m", F.round(F.col("m"), round_centroids))
         cents = (
             means.groupBy("list_id")
             .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("_dm"))
             .select("list_id", F.transform(F.col("_dm"), lambda x: x["m"]).alias("cv"))
         )
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 
@@ -410,16 +429,23 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 4,
     exclude_self: bool = True,
+    round_cos: int | None = None,
 ) -> DataFrame:
     """IVF ANN search: docs route to their nearest list once; each query
     probes its ``nprobe`` nearest lists; candidates equi-join on list_id
     and exact-rerank by cosine. The scan side shuffles once on list_id;
-    recall is tunable via nprobe (the standard IVF trade)."""
+    recall is tunable via nprobe (the standard IVF trade). ``round_cos``
+    rounds the centroid-routing similarity before ranking so probe choice
+    replays identically in the DuckDB parity oracle."""
     d = docs.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v"))
     q = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).cast("array<double>").alias("qv"))
+
+    def _rc(c):
+        return F.round(c, round_cos) if round_cos is not None else c
+
     d_assign = (
         d.crossJoin(F.broadcast(centroids))
-        .withColumn("cos_c", cosine(F.col("v"), F.col("cv")))
+        .withColumn("cos_c", _rc(cosine(F.col("v"), F.col("cv"))))
         .withColumn("_r", F.row_number().over(
             W.partitionBy("nbr_id").orderBy(F.col("cos_c").desc(), F.col("list_id").asc())))
         .filter(F.col("_r") == 1)
@@ -427,7 +453,7 @@ def ivf_topk(
     )
     q_assign = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("cos_c", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_c", _rc(cosine(F.col("qv"), F.col("cv"))))
         .withColumn("_r", F.row_number().over(
             W.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("list_id").asc())))
         .filter(F.col("_r") <= nprobe)

@@ -33,19 +33,25 @@ def _decoder(charset_col_present: bool, default_charset: str):
 
         @pandas_udf("string")
         def _decode(data: pd.Series, charset: pd.Series) -> pd.Series:
-            out = []
-            for buf, cs in zip(data, charset):
-                if buf is None:
-                    out.append(None)
-                    continue
-                out.append(bytes(buf).decode(cs or default_charset, errors="replace"))
-            return pd.Series(out)
+            # group rows by charset WITHIN the Arrow batch and decode each
+            # group with one vectorized Series.str.decode call — real
+            # mixed-charset inputs carry a handful of distinct charsets per
+            # batch, so this is ~len(distinct) decode calls instead of a
+            # Python-level row loop (ADVICE r2 item; micro-bench in
+            # BENCH.md: mixed-charset within 2x of the fixed path)
+            cs = charset.fillna(default_charset)
+            out = pd.Series([None] * len(data), index=data.index, dtype=object)
+            for c, idx in cs.groupby(cs).groups.items():
+                sub = data.loc[idx]
+                out.loc[idx] = sub.str.decode(str(c), errors="replace")
+            return out
 
         return _decode
 
     @pandas_udf("string")
     def _decode_fixed(data: pd.Series) -> pd.Series:
-        return data.map(lambda b: None if b is None else bytes(b).decode(default_charset, errors="replace"))
+        # one vectorized decode over the whole batch (C-level loop)
+        return data.str.decode(default_charset, errors="replace")
 
     return _decode_fixed
 

@@ -77,44 +77,101 @@ def encode_csv(df: DataFrame, columns: list[str], *, target: str = "line", sep: 
     return df.withColumn(target, F.concat_ws(sep, *[F.col(c).cast("string") for c in columns]))
 
 
+def _msgpack_unpackb():
+    """Best unpacker available: the C msgpack package when present, else the
+    vendored pure-Python reader (logstash_spark.vendor_msgpack, written from
+    the public spec — same vendoring approach as the EDN reader below)."""
+    try:  # pragma: no cover - package not in this runtime
+        import msgpack as mp
+
+        return lambda b: mp.unpackb(b, raw=False)
+    except ImportError:
+        from logstash_spark.vendor_msgpack import unpackb
+
+        return unpackb
+
+
 def decode_msgpack(df: DataFrame, source: str, schema: str) -> DataFrame:
     """msgpack codec (default_plugins.rb:16): byte column -> typed events.
-    Framing identical to json_lines; requires the msgpack package."""
-    try:
-        import msgpack  # noqa: F401
-    except ImportError as e:  # pragma: no cover - not in this runtime
-        raise ImportError(
-            "msgpack codec requires the 'msgpack' package (not in this runtime); "
-            "framing contract is identical to codecs.json_lines"
-        ) from e
-    import pandas as pd  # noqa: F401
+    Framing identical to json_lines (one map per row); malformed rows drop
+    with the corrupt-record contract of the other binary codecs."""
+    import pandas as pd
     from pyspark.sql import types as T
 
     out_schema = T._parse_datatype_string(schema)  # type: ignore[attr-defined]
+    names = [f.name for f in out_schema.fields]
 
     def batches(it):
-        import msgpack as mp
-
+        unpack = _msgpack_unpackb()
         for pdf in it:
-            rows = [mp.unpackb(b, raw=False) if b is not None else None for b in pdf[source]]
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            rows = []
+            for b in pdf[source]:
+                if b is None:
+                    continue
+                try:
+                    obj = unpack(bytes(b))
+                except (ValueError, TypeError):  # MsgpackError is a ValueError
+                    continue
+                if isinstance(obj, dict):
+                    rows.append([obj.get(n) for n in names])
+            yield pd.DataFrame(rows, columns=names)
 
     return df.mapInPandas(batches, out_schema)
+
+
+def encode_msgpack(df: DataFrame, *, target: str = "value") -> DataFrame:
+    """msgpack codec (encode): event -> one msgpack map per row (binary),
+    the mirror of decode_msgpack. Arrow batches in/out; internal columns
+    stripped like encode_json."""
+    import pandas as pd
+    from logstash_spark.sinks import strip_internal
+
+    clean = strip_internal(df)
+    cols = clean.columns
+
+    def batches(it):
+        from logstash_spark.vendor_msgpack import packb
+
+        for pdf in it:
+            vals = [
+                packb({c: (None if pd.isna(row[c]) else row[c]) for c in cols})
+                for _, row in pdf.iterrows()
+            ]
+            yield pd.DataFrame({target: vals})
+
+    return df.select(*cols).mapInPandas(batches, f"{target} binary")
+
+
+def encode_fluent(
+    df: DataFrame, *, tag: str, time_col: str, fields: list[str], target: str = "value"
+) -> DataFrame:
+    """fluent codec (encode): event -> msgpack ``[tag, time, record]``
+    frame, the forwarder wire entry decode_fluent consumes."""
+    import pandas as pd
+
+    def batches(it):
+        from logstash_spark.vendor_msgpack import packb
+
+        for pdf in it:
+            vals = [
+                packb([tag, int(row[time_col]),
+                       {c: (None if pd.isna(row[c]) else row[c]) for c in fields}])
+                for _, row in pdf.iterrows()
+            ]
+            out = pdf[[c for c in pdf.columns if c not in (target,)]].copy()
+            out[target] = vals
+            yield out
+
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(batches, f"{out_fields}, {target} binary")
 
 
 def decode_fluent(df: DataFrame, source: str, schema: str) -> DataFrame:
     """fluent codec (default_plugins.rb:19): msgpack-framed
     ``[tag, time, record]`` entries. Framing contract: unpack each binary
     row as the 3-tuple, flatten ``record`` into ``schema`` columns plus
-    fluent_tag/fluent_time. Gated on the msgpack package (absent here),
-    same as decode_msgpack."""
-    try:
-        import msgpack  # noqa: F401
-    except ImportError as e:  # pragma: no cover - not in this runtime
-        raise ImportError(
-            "fluent codec requires the 'msgpack' package (not in this runtime); "
-            "framing: per-row [tag, time, record] msgpack tuples -> events"
-        ) from e
+    fluent_tag/fluent_time. Runs on the vendored msgpack reader when the C
+    package is absent."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -124,14 +181,16 @@ def decode_fluent(df: DataFrame, source: str, schema: str) -> DataFrame:
     names = [f_.name for f_ in out_schema.fields]
 
     def batches(it):
-        import msgpack as mp
-
+        unpack = _msgpack_unpackb()
         for pdf in it:
             rows = []
             for b in pdf[source]:
                 if b is None:
                     continue
-                tag, ts, record = mp.unpackb(bytes(b), raw=False)
+                try:
+                    tag, ts, record = unpack(bytes(b))
+                except (ValueError, TypeError):
+                    continue
                 rows.append([tag, int(ts)] + [record.get(n) for n in names[2:]])
             yield pd.DataFrame(rows, columns=names)
 
@@ -349,6 +408,145 @@ def encode_netflow5(records: list[tuple]) -> bytes:
             0, 0, 0, 0, 0,  # AS/masks/pad
         )
     return hdr + body
+
+
+# ---------------------------------------------------------------------------
+# netflow v9 (RFC 3954) — template-described records: template FlowSets
+# (id 0) define per-(source_id, template_id) field layouts; data FlowSets
+# (id > 255) carry records in that layout. Stateful template cache per
+# stream inside mapInPandas (same shape as collectd's parts context).
+# ---------------------------------------------------------------------------
+
+NETFLOW9_SCHEMA = (
+    "flow_seq bigint, source_id bigint, unix_secs bigint, src_addr string, "
+    "dst_addr string, src_port int, dst_port int, protocol int, "
+    "in_pkts bigint, in_bytes bigint, first_switched bigint, last_switched bigint"
+)
+
+# RFC 3954 §8 field types we surface as named columns
+_NF9_FIELDS = {
+    1: "in_bytes", 2: "in_pkts", 4: "protocol", 7: "src_port",
+    8: "src_addr", 11: "dst_port", 12: "dst_addr",
+    21: "last_switched", 22: "first_switched",
+}
+_NF9_IP_FIELDS = {"src_addr", "dst_addr"}
+
+
+def decode_netflow9(
+    df: DataFrame, source: str = "bytes", stream_key: str | None = None,
+    order_by: str | None = None,
+) -> DataFrame:
+    """netflow v9 decode with TEMPLATE state: template FlowSets seen earlier
+    in the stream describe later data FlowSets (RFC 3954). The template
+    cache is keyed (stream, source_id, template_id) and lives for the
+    partition — pass ``stream_key`` (exporter address) so packets of one
+    exporter stay together; data records whose template has not arrived yet
+    are skipped, exactly like the plugin (it logs+waits for the template).
+
+    Scale shape: one repartition on stream_key (when given) so each
+    exporter's packet sequence lands in one task in arrival order; decode
+    is then a single stateful pass per partition — no shuffle afterwards.
+    """
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(NETFLOW9_SCHEMA)
+    names = [f_.name for f_ in out_schema.fields]
+
+    def ip(raw: bytes) -> str:
+        return ".".join(str(b) for b in raw[:4])
+
+    def batches(it):
+        templates: dict[tuple, list[tuple[int, int]]] = {}
+        for pdf in it:
+            rows = []
+            keys = pdf[stream_key] if stream_key and stream_key in pdf.columns else [None] * len(pdf)
+            for raw, skey in zip(pdf[source], keys):
+                if raw is None or len(raw) < 20:
+                    continue
+                buf = bytes(raw)
+                version, _count, _uptime, unix_secs, flow_seq, source_id = struct.unpack_from(
+                    ">HHIIII", buf, 0
+                )
+                if version != 9:
+                    continue
+                pos = 20
+                while pos + 4 <= len(buf):
+                    set_id, set_len = struct.unpack_from(">HH", buf, pos)
+                    if set_len < 4 or pos + set_len > len(buf):
+                        break  # corrupt set length: stop parsing the packet
+                    body, end = pos + 4, pos + set_len
+                    if set_id == 0:  # template FlowSet
+                        p = body
+                        while p + 4 <= end:
+                            tid, fcount = struct.unpack_from(">HH", buf, p)
+                            p += 4
+                            if p + fcount * 4 > end:
+                                break
+                            fields = [struct.unpack_from(">HH", buf, p + j * 4) for j in range(fcount)]
+                            p += fcount * 4
+                            templates[(skey, source_id, tid)] = fields
+                    elif set_id == 1:
+                        pass  # options template: no event data
+                    elif set_id > 255:  # data FlowSet
+                        tmpl = templates.get((skey, source_id, set_id))
+                        if tmpl is None:
+                            pass  # template not yet seen: skip (plugin behavior)
+                        else:
+                            rec_len = sum(fl for _ft, fl in tmpl)
+                            p = body
+                            while rec_len > 0 and p + rec_len <= end:
+                                ev = {"flow_seq": flow_seq, "source_id": source_id,
+                                      "unix_secs": unix_secs}
+                                q = p
+                                for ft, fl in tmpl:
+                                    name = _NF9_FIELDS.get(ft)
+                                    if name is not None:
+                                        if name in _NF9_IP_FIELDS:
+                                            ev[name] = ip(buf[q:q + fl])
+                                        else:
+                                            ev[name] = int.from_bytes(buf[q:q + fl], "big")
+                                    q += fl
+                                rows.append(tuple(ev.get(n) for n in names))
+                                p += rec_len
+                    pos = end
+            yield pd.DataFrame(rows, columns=names)
+
+    if stream_key:
+        # one task per exporter stream; order_by (capture seq) restores
+        # arrival order after the shuffle so templates precede their data
+        df = df.repartition(stream_key)
+        if order_by:
+            df = df.sortWithinPartitions(stream_key, order_by)
+    return df.mapInPandas(batches, out_schema)
+
+
+def encode_netflow9_template(source_id: int, template_id: int, fields: list[tuple[int, int]],
+                             seq: int = 0) -> bytes:
+    """Test-side builder: one v9 packet holding one template FlowSet."""
+    import struct
+
+    body = struct.pack(">HH", template_id, len(fields))
+    for ft, fl in fields:
+        body += struct.pack(">HH", ft, fl)
+    fset = struct.pack(">HH", 0, 4 + len(body)) + body
+    hdr = struct.pack(">HHIIII", 9, 1, 0, 1700000000, seq, source_id)
+    return hdr + fset
+
+
+def encode_netflow9_data(source_id: int, template_id: int, records: list[bytes],
+                         seq: int = 0) -> bytes:
+    """Test-side builder: one v9 packet holding one data FlowSet of
+    pre-packed records (pad to a 4-byte boundary per RFC 3954 §5.3)."""
+    import struct
+
+    body = b"".join(records)
+    pad = (-len(body)) % 4
+    fset = struct.pack(">HH", template_id, 4 + len(body) + pad) + body + b"\x00" * pad
+    hdr = struct.pack(">HHIIII", 9, len(records), 0, 1700000000, seq, source_id)
+    return hdr + fset
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ def metrics(
     percentiles: list[float] = (0.5, 0.95, 0.99),
     decimal_stable_mean: bool = False,
     key_is_literal: bool = False,
+    key_template: str | None = None,
 ) -> DataFrame:
     """Meter (+ optional timer) per key per tumbling window.
 
@@ -67,7 +68,15 @@ def metrics(
         for p in percentiles:
             aggs.append(F.percentile_approx(t, p).alias(f"p{int(p * 100)}"))
     w = F.window(field_col(ts), interval)
-    key_expr = F.lit(key) if key_is_literal else field_col(key)
+    if key_template is not None:
+        # meter => "apache.%{response}" emits the FULL sprintf'd name
+        # ('apache.200'), not just the embedded field ('200') — downstream
+        # consumers key on the metric name (metrics-from-logs.md:34-68)
+        from logstash_spark.event import sprintf_col
+
+        key_expr = sprintf_col(key_template, df)
+    else:
+        key_expr = F.lit(key) if key_is_literal else field_col(key)
     out = df.groupBy(w.alias("w"), key_expr.alias("key")).agg(*aggs)
     return out.select(
         F.col("w.start").alias("window_start"),

@@ -1047,29 +1047,148 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ann_ivf_topk")  # Lloyd-trained centroids (float avg) -> rows-only check
+def _ivf_lloyd_oracle(
+    num_lists: int = 8, iters: int = 3, nprobe: int = 3, k: int = 5,
+    round_centroids: int = 6, round_cos: int = 9,
+) -> str:
+    """DuckDB replica of ivf_train(round_centroids, round_cos) + ivf_topk:
+    the Lloyd rounds are UNROLLED as CTE chains (assign -> per-dim avg ->
+    centroid rebuild), float-order-sensitive steps pinned to a rounded
+    decimal grid in BOTH engines so assignment/probe choice replays
+    bit-equal. Init = first num_lists vectors by id, ties broken by
+    list_id asc everywhere (same as the Spark plan)."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {round_cos})"
+        )
+
+    parts = [
+        "WITH docs AS (\n  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings\n)",
+        f"cents0 AS (\n  SELECT ROW_NUMBER() OVER (ORDER BY id) AS list_id, v AS cv\n"
+        f"  FROM (SELECT id, v FROM docs ORDER BY id LIMIT {num_lists})\n)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cents{i - 1}"
+        parts.append(
+            f"""assign{i} AS (
+  SELECT id, v, list_id FROM (
+    SELECT d.id, d.v, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY d.id
+             ORDER BY {cos('d.v', 'c.cv')} DESC, c.list_id ASC) AS rn
+    FROM docs d CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"dims{i} AS (\n  SELECT list_id, unnest(v) AS val, unnest(range(0, len(v))) AS dim FROM assign{i}\n)"
+        )
+        parts.append(
+            f"means{i} AS (\n  SELECT list_id, dim, ROUND(AVG(val), {round_centroids}) AS m"
+            f" FROM dims{i} GROUP BY list_id, dim\n)"
+        )
+        parts.append(
+            f"cents{i} AS (\n  SELECT list_id, list(m ORDER BY dim) AS cv FROM means{i} GROUP BY list_id\n)"
+        )
+    fin = f"cents{iters}"
+    parts.append(
+        f"""d_assign AS (
+  SELECT id AS nbr_id, v, list_id FROM (
+    SELECT d.id, d.v, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY d.id
+             ORDER BY {cos('d.v', 'c.cv')} DESC, c.list_id ASC) AS rn
+    FROM docs d CROSS JOIN {fin} c
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""q_assign AS (
+  SELECT id AS query_id, v AS qv, list_id FROM (
+    SELECT d.id, d.v, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY d.id
+             ORDER BY {cos('d.v', 'c.cv')} DESC, c.list_id ASC) AS rn
+    FROM docs d CROSS JOIN {fin} c
+    WHERE d.id < 5
+  ) WHERE rn <= {nprobe}
+)"""
+    )
+    parts.append(
+        """scored AS (
+  SELECT q.query_id, d.nbr_id,
+         ROUND(list_dot_product(d.v, q.qv) /
+               (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+  FROM d_assign d JOIN q_assign q ON d.list_id = q.list_id
+  WHERE d.nbr_id <> q.query_id
+)"""
+    )
+    parts.append(
+        """ranked AS (
+  SELECT query_id, nbr_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM scored
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT query_id, nbr_id, CAST(rank AS INT) AS rank, cos FROM ranked WHERE rank <= {k}"
+    )
+
+
+@q("ann_ivf_topk", _ivf_lloyd_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF ANN path: relational k-means training + nprobe search,
-    exact re-rank. Recall vs brute force pinned by pytest
-    (test_training_data::test_ivf_train_and_topk_recall)."""
+    exact re-rank — now with a FULL DuckDB value oracle (the Lloyd rounds
+    mirrored as unrolled CTEs; centroid means and routing similarities
+    rounded identically in both engines). Recall vs brute force pinned by
+    pytest (test_training_data::test_ivf_train_and_topk_recall)."""
     from logstash_spark.functions.similarity import ivf_topk, ivf_train, release_cached
 
     e = load_table(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    cents = ivf_train(e, num_lists=8, iters=3)
-    out = ivf_topk(e, qs, cents, k=5, nprobe=3)
+    cents = ivf_train(e, num_lists=8, iters=3, round_centroids=6, round_cos=9)
+    out = ivf_topk(e, qs, cents, k=5, nprobe=3, round_cos=9)
     release_cached()
     return out
 
 
-@q("media_features")  # synthetic media + mapInPandas plumbing -> rows-only
+_MEDIA_ORACLE = """WITH m AS (
+  SELECT id AS media_id,
+         CAST((id % 4) * 16 + 16 AS INT) AS width,
+         CAST((id % 3) * 16 + 16 AS INT) AS height
+  FROM range(200) t(id)
+), px AS (
+  SELECT media_id, width, height,
+         substr(repeat(md5(CAST(media_id AS VARCHAR)), 288), 1, width * height * 3) AS pix
+  FROM m
+), chars AS (
+  SELECT media_id, unnest(string_split(pix, '')) AS c FROM px
+), stats AS (
+  SELECT media_id, COUNT(*) AS n, AVG(ascii(c)) AS mu FROM chars GROUP BY media_id
+), freq AS (
+  SELECT media_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt FROM chars GROUP BY media_id, c
+), ent AS (
+  SELECT f.media_id, -SUM((cnt / s.n) * log2(cnt / s.n)) AS h
+  FROM freq f JOIN stats s ON f.media_id = s.media_id GROUP BY f.media_id
+)
+SELECT m.media_id, 'ppm' AS fmt, m.width, m.height,
+       CAST(s.n AS INT) AS n_pix,
+       ROUND(s.mu, 4) AS px_mean, ROUND(e.h, 4) AS px_entropy
+FROM m JOIN stats s ON m.media_id = s.media_id JOIN ent e ON m.media_id = e.media_id"""
+
+
+@q("media_features", _MEDIA_ORACLE)
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logstash_spark.functions.multimodal import extract_features, synthetic_media
+    """REAL image decode via the stdlib P6 PPM parser (multimodal.parse_ppm)
+    over synthetic-but-valid image binaries, then raster statistics — fully
+    value-oracled: DuckDB regenerates the identical PPM payloads (md5/
+    repeat/substr are builtins) and computes the same stats in SQL."""
+    from logstash_spark.functions.multimodal import media_decode_features, synthetic_media
 
     m = synthetic_media(spark, 200)
-    return extract_features(m)
+    return media_decode_features(m)
 
 
 # ---------------------------------------------------------------------------
@@ -1269,6 +1388,71 @@ def codec_edn_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = decode_edn_lines(p.select("url", "doc"), "doc", "verb string, status long")
     return out.select("url", "line_seq", F.col("verb").alias("everb"), "status")
+
+
+@q(
+    "grok_append_existing",
+    f"""{_PAGES_CTE}
+SELECT url, verb || '|' || verb AS verb_merged, 2 AS n_verb FROM pages""",
+)
+def grok_append_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok append-to-existing default (filters/base.rb:182-196): the
+    COMBINEDAPACHELOG verb capture lands on the page's EXISTING verb column
+    and appends -> [existing, captured] (equal values here, proving the
+    merge shape and order; joined to a scalar for the driver compare)."""
+    from logstash_spark.operators.grok import grok
+
+    p = _pages(spark, sf_dir).select("url", "verb", "text")
+    g = grok(p, "text", "%{COMBINEDAPACHELOG}")
+    return g.select(
+        "url",
+        F.array_join(F.col("verb"), "|").alias("verb_merged"),
+        F.size(F.col("verb")).alias("n_verb"),
+    )
+
+
+@q(
+    "codec_msgpack",
+    f"""{_PAGES_CTE}
+SELECT url, verb AS everb, CAST(response AS BIGINT) AS status FROM pages""",
+)
+def codec_msgpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """msgpack codec round-trip (default_plugins.rb:16) on the VENDORED
+    pure-Python reader (vendor_msgpack.py, written from the public spec):
+    event -> binary msgpack map -> typed columns. DuckDB (no msgpack)
+    recomputes the fields directly — equality proves pack+unpack identity."""
+    from logstash_spark.operators.codecs import decode_msgpack, encode_msgpack
+
+    p = _pages(spark, sf_dir).select(
+        "url", "verb", F.col("response").cast("bigint").alias("status")
+    )
+    enc = encode_msgpack(p, target="wire")
+    dec = decode_msgpack(enc, "wire", "url string, verb string, status bigint")
+    return dec.select("url", F.col("verb").alias("everb"), "status")
+
+
+@q(
+    "codec_fluent",
+    f"""{_PAGES_CTE}
+SELECT url, 'web.access' AS fluent_tag, CAST(user_id AS BIGINT) AS fluent_time,
+       verb AS everb, CAST(response AS BIGINT) AS status
+FROM pages""",
+)
+def codec_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fluent codec round-trip (default_plugins.rb:19): [tag, time, record]
+    msgpack frames on the vendored reader, tag/time surfaced as columns."""
+    from logstash_spark.operators.codecs import decode_fluent, encode_fluent
+
+    p = _pages(spark, sf_dir).select(
+        "url", "verb", F.col("user_id").cast("bigint").alias("ts"),
+        F.col("response").cast("bigint").alias("status"),
+    )
+    enc = encode_fluent(p, tag="web.access", time_col="ts",
+                        fields=["url", "verb", "status"], target="wire")
+    dec = decode_fluent(enc.select("wire"), "wire",
+                        "url string, verb string, status bigint")
+    return dec.select("url", "fluent_tag", "fluent_time",
+                      F.col("verb").alias("everb"), "status")
 
 
 @q(

@@ -129,13 +129,17 @@ class CountSink(Sink):
 
     key: str
     literal: bool = False
+    template: str | None = None
 
     def write(self, df: DataFrame) -> Any:
         if self.literal:
             return {self.key: df.count()}
-        from logstash_spark.event import field_col
+        from logstash_spark.event import field_col, sprintf_col
 
-        return {r["k"]: r["n"] for r in df.groupBy(field_col(self.key).alias("k")).agg(F.count(F.lit(1)).alias("n")).collect()}
+        # templated key ('apache.%{response}') counts under the FULL
+        # rendered metric name, matching the statsd plugin's wire names
+        k = sprintf_col(self.template, df) if self.template else field_col(self.key)
+        return {r["k"]: r["n"] for r in df.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n")).collect()}
 
 
 @dataclass

@@ -76,9 +76,21 @@ def multiline_stateful(
                         continue
                     if what == "next":
                         if matches(line):
-                            # attaches to whatever comes NEXT: keep buffering
-                            pending = line if pending is None else pending + "\n" + line
-                            n += 1
+                            if (
+                                pending is not None
+                                and max_lines is not None
+                                and n >= max_lines
+                            ):
+                                # runaway-group cap, next mode: a continuous
+                                # run of matching lines must not grow pending
+                                # unboundedly — flush and restart (same bound
+                                # as the previous-mode branch below)
+                                out.append((k, pending, n))
+                                pending, n = line, 1
+                            else:
+                                # attaches to whatever comes NEXT: keep buffering
+                                pending = line if pending is None else pending + "\n" + line
+                                n += 1
                         else:
                             # closes the group (or stands alone)
                             if pending is None:

@@ -1,0 +1,91 @@
+"""Agent CLI (jobs/agent.py) — flag parity with lib/logstash/agent.rb:
+-e inline configs, -f file/directory merge, default stdin/stdout injection,
+-t configtest. The reference's own tutorial configs drive the CLI path."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+import agent as agent_cli
+
+WALKTHROUGH = "/root/reference/docs/tutorials/10-minute-walkthrough"
+
+
+def test_build_config_string_defaults_and_combination(tmp_path):
+    # agent.rb:99-105 — -e only: missing input/output sections injected
+    cfg = agent_cli.build_config_string('filter { mutate { uppercase => ["message"] } }', None)
+    assert "input { stdin { type => stdin } }" in cfg
+    assert "output { stdout { codec => rubydebug } }" in cfg
+    # sections present -> NOT injected
+    cfg2 = agent_cli.build_config_string(
+        "input { generator { count => 1 } } output { null {} }", None)
+    assert "stdin" not in cfg2 and "rubydebug" not in cfg2
+    # -e + -f combine: file contents APPEND to the inline string (agent.rb:92-96)
+    f = tmp_path / "x.conf"
+    f.write_text("output { null {} }")
+    cfg3 = agent_cli.build_config_string("input { generator { count => 1 } }", str(f))
+    assert cfg3.index("generator") < cfg3.index("null")
+    # with -f given, defaults are NOT injected even if sections are missing
+    assert "stdin" not in cfg3
+    # neither flag -> usage error
+    with pytest.raises(SystemExit):
+        agent_cli.build_config_string(None, None)
+
+
+def test_load_config_directory_merge_sorted_skips_temps(tmp_path):
+    """agent.rb:288-312: directory reads every file sorted; editor temp
+    files (trailing ~) skipped; no match fails."""
+    d = tmp_path / "conf.d"
+    d.mkdir()
+    (d / "20-filter.conf").write_text("filter { mutate { uppercase => [\"message\"] } }\n")
+    (d / "10-input.conf").write_text("input { generator { count => 2 } }\n")
+    (d / "30-output.conf").write_text("output { null {} }\n")
+    (d / "90-junk.conf~").write_text("THIS IS A TEMP FILE {{{")
+    merged = agent_cli.load_config(str(d))
+    assert "TEMP FILE" not in merged
+    assert merged.index("generator") < merged.index("uppercase") < merged.index("null")
+    with pytest.raises(SystemExit):
+        agent_cli.load_config(str(tmp_path / "missing.d"))
+
+
+def test_agent_runs_hello_conf_from_stdin(spark, tmp_path, monkeypatch, capsys):
+    """The reference's first tutorial config (hello.conf: stdin -> stdout
+    rubydebug) through the real CLI entry point with piped stdin."""
+    monkeypatch.setattr(sys, "stdin", io.StringIO("hello world\nsecond line\n"))
+    rc = agent_cli.main(["-f", os.path.join(WALKTHROUGH, "hello.conf"),
+                         "--out", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "hello world" in out  # rubydebug printed the events
+
+
+def test_agent_configtest_tutorial_configs(tmp_path, spark, capsys):
+    """-t compiles + plan-validates the walkthrough's apache-parse.conf
+    (grok+date inside a conditional) without executing."""
+    rc = agent_cli.main(["-f", os.path.join(WALKTHROUGH, "apache-parse.conf"),
+                         "-t", "--out", str(tmp_path)])
+    assert rc == 0
+    assert "Configuration OK" in capsys.readouterr().out
+
+
+def test_agent_configtest_catches_bad_config(tmp_path, capsys):
+    rc = agent_cli.main(["-e", "filter { grok { zzz => 1 } } output { null {} }",
+                         "-t", "--out", str(tmp_path)])
+    assert rc == 1
+    assert "Error" in capsys.readouterr().err
+
+
+def test_agent_e2e_inline_config_with_injected_stdin(spark, tmp_path, monkeypatch, capsys):
+    """-e with only a filter section: stdin input and stdout output are
+    injected, the mutate runs over piped lines."""
+    monkeypatch.setattr(sys, "stdin", io.StringIO("abc\n"))
+    rc = agent_cli.main(["-e", 'filter { mutate { uppercase => ["message"] } }',
+                         "--out", str(tmp_path)])
+    assert rc == 0
+    assert "ABC" in capsys.readouterr().out

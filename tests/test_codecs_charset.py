@@ -359,3 +359,89 @@ def test_charset_fallback_on_synthetic_junk_pages(spark):
     assert by_cs.get("ISO-8859-1", 0) == 10  # the junk-byte rows
     # no decoded page is null
     assert out.filter(F.col("html_text").isNull()).count() == 0
+
+
+def test_msgpack_codec_roundtrip_and_hostile(spark):
+    """Vendored pure-Python msgpack (public spec): encode->decode identity
+    on Spark; corrupt frames drop instead of failing the job."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.codecs import decode_msgpack, encode_msgpack
+    from logstash_spark.vendor_msgpack import packb
+
+    df = spark.createDataFrame(
+        [("a", 1), ("é-unicode", -7), (None, 2**40)], "name string, v long"
+    )
+    enc = encode_msgpack(df, target="wire")
+    got = {r["v"]: r["name"] for r in
+           decode_msgpack(enc, "wire", "name string, v long").collect()}
+    assert got == {1: "a", -7: "é-unicode", 2**40: None}
+
+    hostile = [
+        (bytearray(b"\xc1"),),          # reserved byte
+        (bytearray(b"\xdc\xff"),),      # truncated array16 header
+        (bytearray(b""),),              # empty
+        (bytearray(packb([1, 2])),),    # valid msgpack but not a map
+        (bytearray(packb({"name": "ok", "v": 5})),),
+    ]
+    hdf = spark.createDataFrame(hostile, "wire binary")
+    rows = decode_msgpack(hdf, "wire", "name string, v long").collect()
+    assert [(r["name"], r["v"]) for r in rows] == [("ok", 5)]
+
+
+def test_fluent_codec_roundtrip(spark):
+    from logstash_spark.operators.codecs import decode_fluent, encode_fluent
+
+    df = spark.createDataFrame([("u1", 100, "GET"), ("u2", 200, "POST")],
+                               "url string, ts long, verb string")
+    enc = encode_fluent(df, tag="t.app", time_col="ts", fields=["url", "verb"],
+                        target="wire")
+    rows = {r["url"]: r for r in
+            decode_fluent(enc.select("wire"), "wire", "url string, verb string").collect()}
+    assert rows["u1"]["fluent_tag"] == "t.app" and rows["u1"]["fluent_time"] == 100
+    assert rows["u2"]["verb"] == "POST"
+
+
+def test_netflow9_template_decode(spark):
+    """netflow v9 (RFC 3954): template FlowSet defines the record layout;
+    later data FlowSets decode through the cached template; data arriving
+    BEFORE its template is skipped like the plugin."""
+    import struct
+
+    from logstash_spark.operators.codecs import (
+        decode_netflow9, encode_netflow9_data, encode_netflow9_template,
+    )
+
+    # template 256: src_addr(8,4) dst_addr(12,4) sport(7,2) dport(11,2)
+    # proto(4,1) in_pkts(2,4) in_bytes(1,4)
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (2, 4), (1, 4)]
+    tmpl_pkt = encode_netflow9_template(source_id=7, template_id=256, fields=fields)
+
+    def rec(src, dst, sp, dp, proto, pkts, nbytes):
+        return (bytes(int(x) for x in src.split(".")) + bytes(int(x) for x in dst.split("."))
+                + struct.pack(">HHB", sp, dp, proto) + struct.pack(">II", pkts, nbytes))
+
+    data_pkt = encode_netflow9_data(7, 256, [
+        rec("10.0.0.1", "10.0.0.2", 1234, 80, 6, 10, 5000),
+        rec("10.0.0.3", "10.0.0.4", 5353, 53, 17, 2, 120),
+    ], seq=1)
+    early_pkt = encode_netflow9_data(99, 256, [rec("1.1.1.1", "2.2.2.2", 1, 2, 6, 1, 1)])
+
+    df = spark.createDataFrame(
+        [("e1", 0, bytearray(tmpl_pkt)), ("e1", 1, bytearray(data_pkt)),
+         ("e2", 0, bytearray(early_pkt))],  # e2: data before any template
+        "exporter string, seq int, bytes binary",
+    ).coalesce(1).sortWithinPartitions("exporter", "seq")
+    rows = decode_netflow9(df, "bytes").collect()
+    assert len(rows) == 2  # the template-less e2 record skipped
+    by_src = {r["src_addr"]: r for r in rows}
+    r1 = by_src["10.0.0.1"]
+    assert (r1["dst_addr"], r1["src_port"], r1["dst_port"], r1["protocol"],
+            r1["in_pkts"], r1["in_bytes"]) == ("10.0.0.2", 1234, 80, 6, 10, 5000)
+    assert by_src["10.0.0.3"]["protocol"] == 17
+    assert all(r["source_id"] == 7 and r["unix_secs"] == 1700000000 for r in rows)
+
+    # truncated/corrupt packets never raise
+    junk = spark.createDataFrame(
+        [(bytearray(b"\x00\x09short"),), (bytearray(tmpl_pkt[:10]),)], "bytes binary")
+    assert decode_netflow9(junk, "bytes").count() == 0

@@ -120,3 +120,16 @@ def test_in_numeric_parsed_condition(spark):
     assert holds(parse_condition("[status] in [200, 404]"), df)
     assert not holds(parse_condition("[status] in [200, 500]"), df)
     assert holds(parse_condition("[status] not in [200, 500]"), df)
+
+
+def test_in_typed_equality_string_field_vs_numeric_list(spark):
+    """Ruby Array#include? uses typed ==: '[status] in [200, 404]' is FALSE
+    when the field is a STRING '200' (ADVICE r2); boolean lists likewise
+    never coerce a non-boolean column."""
+    df = spark.createDataFrame([("200", 200, "true")], "s string, n int, b string")
+    assert not holds(In(Field("[s]"), [200, 404]), df)
+    assert holds(In(Field("[s]"), [200, 404], negate=True), df)
+    assert holds(In(Field("[n]"), [200, 404]), df)  # typed match still works
+    assert not holds(In(Field("[b]"), [True]), df)
+    # string list with string field: unchanged
+    assert holds(In(Field("[s]"), ["200", "404"]), df)

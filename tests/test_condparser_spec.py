@@ -115,3 +115,17 @@ def test_boolean_operators_single_precedence_left_assoc(spark):
     assert holds('[a] == "x" or ([b] == "q" and [c] == "q")')
     # left-assoc chain with xor: ((T or F) xor F) = true
     assert holds('[a] == "x" or [b] == "q" xor [c] == "q"')
+
+
+def test_method_call_rejected_by_name():
+    """grammar.rb:2919-3075 defines method_call but the reference ships no
+    callable methods — the parser must NAME the construct, not emit a
+    generic syntax error."""
+    import pytest
+
+    from logstash_spark.condparser import CondSyntaxError, parse_condition
+
+    with pytest.raises(CondSyntaxError, match="method_call 'sprintf'"):
+        parse_condition('sprintf("x") == "x"')
+    with pytest.raises(CondSyntaxError, match="method_call"):
+        parse_condition('[f] == lookup([g])')

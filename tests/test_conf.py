@@ -116,7 +116,8 @@ output {
 
     errs = spark.read.parquet(os.path.join(str(tmp_path), "errors"))
     assert errs.count() == 5
-    assert res["statsd_1"] == {"200": 5, "503": 5}
+    # counts keyed by the full sprintf'd statsd metric name
+    assert res["statsd_1"] == {"apache.response.200": 5, "apache.response.503": 5}
 
 
 def test_conf_syntax_and_compile_errors(tmp_path):
@@ -193,11 +194,13 @@ def test_metrics_from_logs_tutorial_config(spark, tmp_path):
     ).withColumn("type", F.lit("apache-access"))
     res = pipe.run(pages)
     counts = res["statsd_0"]
-    # oracle: response distribution of the generator (id%7 -> code table)
+    # oracle: response distribution of the generator (id%7 -> code table),
+    # counted under the FULL sprintf'd statsd metric name
     table = ["200", "200", "200", "301", "404", "500", "503"]
     expected = {}
     for i in range(350):
-        expected[table[i % 7]] = expected.get(table[i % 7], 0) + 1
+        k = f"apache.response.{table[i % 7]}"
+        expected[k] = expected.get(k, 0) + 1
     assert counts == expected
 
 
@@ -326,7 +329,9 @@ def test_metrics_and_xml_translators(spark, tmp_path):
         [("GET",), ("GET",), ("POST",)], "verb string"
     ).withColumn("ts", F.lit("2024-01-01 00:00:30").cast("timestamp"))
     out = {r["key"]: r["count"] for r in pipe.transform(df).collect()}
-    assert out == {"GET": 2, "POST": 1}
+    # the meter key is the FULL sprintf'd metric name (metrics-from-logs.md:
+    # 'apache.200'), not the bare embedded field value
+    assert out == {"apache.GET": 2, "apache.POST": 1}
 
     with pytest.raises(ConfCompileError, match="schema"):
         compile_config('filter { xml { source => "x" } } output { null {} }', out_dir=str(tmp_path))

@@ -148,7 +148,11 @@ def test_engines_agree(spark, stages, events):
     ]
     for i, ev in enumerate(events):
         ev["id"] = i
-    expected = oracle.run_pipeline(stages, [dict(e) for e in events])
+    # deep copy: dict(e) is shallow and the oracle's set_path would mutate
+    # the SHARED nested 'nest' dict before the Spark input is built
+    import copy
+
+    expected = oracle.run_pipeline(stages, [copy.deepcopy(e) for e in events])
 
     df = spark.createDataFrame(
         [(e["f1"], e["f2"], e["nstr"], e["type"], e["id"],

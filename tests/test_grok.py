@@ -226,16 +226,45 @@ def test_tag_on_failure_list(spark):
 
 
 def test_capture_named_after_source_column(spark):
-    """'%{WORD:verb} %{GREEDYDATA:message}' over 'message': overwriting the
-    source must not corrupt later captures or the failure tag (the expr
-    backend's unanchored expressions once re-resolved the overwritten
-    column — fixed via a source snapshot)."""
+    """'%{WORD:verb} %{GREEDYDATA:message}' over 'message' with
+    overwrite => ["message"]: replacing the source must not corrupt later
+    captures or the failure tag (the expr backend's unanchored expressions
+    once re-resolved the overwritten column — fixed via a source
+    snapshot)."""
     from logstash_spark.operators.grok import grok
 
     df = spark.createDataFrame([("GET /x",), ("###",)], "message string")
     for backend in ("expr", "pandas", "arrow"):
-        rows = grok(df, "message", r"%{WORD:verb} %{GREEDYDATA:message}", backend=backend).collect()
+        rows = grok(df, "message", r"%{WORD:verb} %{GREEDYDATA:message}",
+                    backend=backend, overwrite=["message"]).collect()
         ok = [r for r in rows if r["verb"] == "GET"][0]
         assert ok["message"] == "/x" and not ok["tags"], backend
         bad = [r for r in rows if r["verb"] is None][0]
         assert "_grokparsefailure" in bad["tags"], backend
+
+
+def test_grok_append_to_existing_field_default(spark):
+    """Reference default (filters/base.rb:182-196): a capture landing on an
+    EXISTING field appends into an array [existing, captured]; overwrite
+    opts out per field; failed rows keep the existing value (1-wrapped
+    under the engine's fixed-schema array promotion)."""
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame([("GET /x", "orig"), ("###", "keep")],
+                               "message string, verb string")
+    for backend in ("expr", "pandas", "arrow"):
+        rows = {r["message"][0] if isinstance(r["message"], list) else r["message"]: r
+                for r in grok(df, "message", r"%{WORD:verb} %{GREEDYDATA:message}",
+                              backend=backend).collect()}
+        ok = rows["GET /x"]
+        # both verb (existing 'orig') and message (the source) append
+        assert ok["verb"] == ["orig", "GET"], backend
+        assert ok["message"] == ["GET /x", "/x"], backend
+        bad = rows["###"]
+        assert bad["verb"] == ["keep"] and bad["message"] == ["###"], backend
+        assert "_grokparsefailure" in bad["tags"], backend
+
+    # typed append unifies numerically when types agree, else string space
+    df2 = spark.createDataFrame([(7, "n=9")], "n long, text string")
+    r = grok(df2, "text", r"n=%{INT:n:int}", backend="expr").collect()[0]
+    assert r["n"] == [7, 9]

@@ -289,3 +289,37 @@ def test_heartbeat_stream(spark, tmp_path):
         assert row["host"] == "heartbeat" and row["message"] == "ok"
     finally:
         q.stop()
+
+
+def test_multiline_stateful_next_mode_max_lines_cap(spark, tmp_path):
+    """what=next runaway-group cap (ADVICE r2): a continuous run of
+    matching (continuation) lines flushes at max_lines instead of growing
+    pending state unboundedly."""
+    from logstash_spark.streaming.stateful import multiline_stateful
+
+    src = str(tmp_path / "mlcap")
+    rows = [("s1", i, f"part{i} \\") for i in range(5)] + [("s1", 5, "end")]
+    df = spark.createDataFrame(rows, "stream_key string, seq int, text string")
+    df.orderBy("seq").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = multiline_stateful(stream, pattern=r"\\$", what="next", max_lines=2)
+    q = out.writeStream.format("memory").queryName("mlcap").outputMode("append").start()
+    try:
+        deadline = time.time() + 60
+        got = {}
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = {r["text"]: r["multiline_n"]
+                   for r in spark.sql("select * from mlcap").collect()}
+            if len(got) == 3:
+                break
+            time.sleep(0.5)
+        # groups of exactly max_lines flush early; the remainder closes on 'end'
+        assert got == {
+            "part0 \\\npart1 \\": 2,
+            "part2 \\\npart3 \\": 2,
+            "part4 \\\nend": 2,
+        }
+    finally:
+        q.stop()

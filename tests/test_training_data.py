@@ -358,3 +358,74 @@ def test_crawl_decode_extract_chain(spark):
     rows = {r["id"]: r for r in out.collect()}
     assert rows[1]["extracted"] == rows[1]["want"] and rows[1]["charset_used"] == "UTF-8"
     assert rows[2]["extracted"] == rows[2]["want"] and rows[2]["charset_used"] == "ISO-8859-1"
+
+
+def test_ppm_bmp_stdlib_decode(spark):
+    """REAL stdlib decode (no PIL): synthetic_media emits valid P6 PPMs the
+    parser round-trips exactly; the BMP branch parses a hand-built 24bpp
+    bitmap including bottom-up row order and 4-byte row padding."""
+    import hashlib
+    import struct
+
+    from logstash_spark.functions.multimodal import (
+        decode_media, media_decode_features, parse_bmp, parse_ppm, synthetic_media,
+    )
+
+    m = synthetic_media(spark, 12)
+    bufs = {r["media_id"]: bytes(r["bytes"]) for r in m.collect()}
+    for mid, buf in bufs.items():
+        w_exp = (mid % 4) * 16 + 16
+        h_exp = (mid % 3) * 16 + 16
+        parsed = parse_ppm(buf)
+        assert parsed is not None
+        w, h, raster = parsed
+        assert (w, h) == (w_exp, h_exp)
+        assert raster == (hashlib.md5(str(mid).encode()).hexdigest() * 288)[: w * h * 3].encode()
+
+    # comments + arbitrary whitespace per the netpbm spec
+    assert parse_ppm(b"P6 # c\n# full line\n 2\t1\n255\n" + b"abcdef") == (2, 1, b"abcdef")
+    assert parse_ppm(b"P5\n1 1\n255\n" + b"xxx") is None  # not P6
+    assert parse_ppm(b"P6\n2 2\n255\n" + b"short") is None  # truncated raster
+
+    # hand-built 2x2 24bpp BMP: rows bottom-up, padded to 4 bytes (2*3=6 -> 8)
+    px_rows = [b"\x01\x02\x03\x04\x05\x06", b"\x07\x08\x09\x0a\x0b\x0c"]  # top, bottom
+    raster = px_rows[1] + b"\x00\x00" + px_rows[0] + b"\x00\x00"  # stored bottom-up
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    bmp = header + info + raster
+    assert parse_bmp(bmp) == (2, 2, px_rows[0] + px_rows[1])
+    assert decode_media(bmp)[0] == "bmp"
+    assert decode_media(b"\xff\xd8junk") is None
+
+    feats = {r["media_id"]: r for r in media_decode_features(m).collect()}
+    assert len(feats) == 12
+    assert all(f["fmt"] == "ppm" and f["n_pix"] == f["width"] * f["height"] * 3
+               for f in feats.values())
+
+
+def test_decode_image_resize(spark):
+    from logstash_spark.functions.multimodal import decode_image, synthetic_media
+
+    m = synthetic_media(spark, 6)
+    out = {r["media_id"]: r for r in decode_image(m, target_size=(8, 8)).collect()}
+    assert all(r["decoded"] and len(r["pixels"]) == 64 for r in out.values())
+    assert all(0 <= p <= 255 for p in out[0]["pixels"])
+
+
+def test_ivf_train_constant_plan_depth(spark):
+    """ivf_train localCheckpoints the (tiny) centroid frame each Lloyd round
+    — the returned plan is a leaf scan regardless of iters, not an
+    O(iters)-deep join/agg stack (VERDICT r2 scale-killer fix)."""
+    from logstash_spark.functions.similarity import ivf_train, release_cached
+    from logstash_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plans = []
+    for iters in (1, 4):
+        cents = ivf_train(e, num_lists=4, iters=iters)
+        p = cents._jdf.queryExecution().optimizedPlan().toString()
+        plans.append(p)
+        release_cached()
+    assert "Join" not in plans[1]
+    # plan size must not grow with iteration count (leaf after checkpoint)
+    assert abs(len(plans[0]) - len(plans[1])) < 200
