@@ -575,6 +575,26 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 index=str(node.attrs.get("index", "logstash-%{+yyyy.MM.dd}")),
                 id_field=node.attrs.get("document_id"),
             )
+        elif node.name == "graphite":
+            # real carbon line protocol to text files (one socket write from
+            # a live daemon); metrics => { "name.tmpl" => "%{value_field}" }
+            m = node.attrs.get("metrics")
+            if not isinstance(m, dict) or not m:
+                raise ConfCompileError(
+                    "graphite output requires metrics => { \"name\" => \"%{field}\" }"
+                )
+            name_t, value_t = next(iter(dict(m).items()))
+            sink = GraphiteSink(
+                os.path.join(out_dir, f"graphite_{len(outputs)}"),
+                metric=str(name_t), value=_sprintf_field(str(value_t)),
+            )
+        elif node.name == "csv" and node.attrs.get("fields"):
+            sink = CsvSink(
+                os.path.join(out_dir, f"csv_{len(outputs)}"),
+                fields=tuple(str(f) for f in _listify(node.attrs["fields"])),
+                separator=str(node.attrs.get("csv_options", {}).get("col_sep", ","))
+                if isinstance(node.attrs.get("csv_options"), dict) else ",",
+            )
         elif node.name in ("s3", "kafka", "redis", "csv", "opentsdb"):
             # durable sinks with no live backend here -> parquet stand-in
             sink = ParquetSink(os.path.join(out_dir, f"{node.name}_{len(outputs)}"), mode="append")

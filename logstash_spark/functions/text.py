@@ -85,6 +85,32 @@ def quality_score(df: DataFrame, source: str = "text") -> DataFrame:
     )
 
 
+def repetition_ratio(
+    df: DataFrame, source: str = "text", n: int = 2, target: str = "rep_ratio"
+) -> DataFrame:
+    """Within-document duplicate n-gram fraction — the standard repetition
+    signal of published corpus-cleaning rules (Gopher/MassiveText-style
+    filters drop documents whose duplicate-2-gram fraction is high):
+    ``1 - distinct_ngrams / total_ngrams`` over word n-grams.
+
+    Pure JVM: split -> transform(sequence) n-gram build -> array_distinct;
+    no Python, no shuffle, linear per row — survives 100 TB as a map."""
+    words = F.split(F.trim(F.col(source)), r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    # sequence(1, k) only evaluates on the k>0 branch (CASE short-circuits
+    # per row), so short docs never build a descending sequence
+    ratio = F.when(
+        k > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / k.cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("n_ngrams", F.greatest(k, F.lit(0))).withColumn(
+        target, F.round(ratio, 4)
+    )
+
+
 def normalize_text(txt: Column) -> Column:
     """Canonical form for dedup/fingerprint: lowercase, collapse whitespace,
     strip non-alphanumerics (keeps spaces)."""

@@ -139,8 +139,9 @@ def output_predicate(df: DataFrame, o: Output):
 # Ops that change the row count: the CASE-merge conditional wrapper is
 # column-wise and CANNOT express "apply to matching rows only" for these.
 # drop/clone/split take the predicate NATIVELY (filter / conditional
-# explode array); multiline still rejects conditions (a conditional
-# regrouping has no single-pass columnar form — restructure upstream).
+# explode array); multiline splits the frame (matched rows regroup, the
+# rest pass through untouched, union back — reference config_ast.rb:
+# 375-436 compiles a per-branch filter instance with the same effect).
 _ROW_COUNT_OPS = {
     "drop", "clone", "split", "multiline",
     # row-generating codecs + aggregating ops: a conditional CASE-merge
@@ -188,9 +189,27 @@ def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
                 )
                 out = _conditional_apply(out, deco_stage, OPERATORS["noop"], F.col(flag))
             return out.drop(flag)
+        if st.op != "metrics":
+            # split-apply-union: ONLY matching rows enter the row-count op
+            # (multiline regroup, codec explode/decode — the reference
+            # compiles a filter instance inside the branch,
+            # config_ast.rb:375-436; non-matching events pass through
+            # untouched); the union is by name so op-created columns
+            # (multiline_n, parsed fields, tags) null-fill on the
+            # pass-through side
+            flag = "_rc_cond"
+            while flag in df.columns:
+                flag += "_"
+            df2 = df.withColumn(flag, F.coalesce(cond, F.lit(False)))
+            matched = df2.filter(F.col(flag)).drop(flag)
+            unmatched = df2.filter(~F.col(flag)).drop(flag)
+            out = _apply_decorators(fn(matched, **st.params), st)
+            return out.unionByName(unmatched, allowMissingColumns=True)
         raise NotImplementedError(
-            f"conditional {st.op!r} stage: row-count ops other than "
-            "drop/clone/split cannot be CASE-merged; restructure upstream"
+            "conditional 'metrics' stage: the batch metrics op REPLACES the "
+            "flow with its aggregates (documented divergence from the "
+            "flush-events-alongside row engine), so a conditional form "
+            "would silently drop the non-matching rows; filter upstream"
         )
     return _conditional_apply(df, st, fn, cond)
 

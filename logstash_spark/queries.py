@@ -652,6 +652,31 @@ def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "repetition_ratio",
+    """WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+), g AS (
+  SELECT doc_id, len(words) - 1 AS k,
+         list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                        i -> array_to_string(list_slice(words, i, i + 1), ' ')) AS grams
+  FROM w
+)
+SELECT doc_id, CAST(greatest(k, 0) AS INT) AS n_ngrams,
+       CASE WHEN k > 0
+            THEN ROUND(1.0 - len(list_distinct(grams)) / CAST(k AS DOUBLE), 4)
+            ELSE 0.0 END AS rep_ratio
+FROM g""",
+)
+def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate word-2-gram fraction per document (the Gopher-style
+    repetition filter signal) — pure JVM n-gram build, mirrored in SQL."""
+    from logstash_spark.functions.text import repetition_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_ratio(d).select("doc_id", "n_ngrams", "rep_ratio")
+
+
 _NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
 

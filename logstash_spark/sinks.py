@@ -111,6 +111,51 @@ class EsBulkSink(Sink):
 
 
 @dataclass
+class GraphiteSink(Sink):
+    """graphite output with the REAL line protocol (``metric value
+    epoch_seconds`` text lines via codecs.encode_graphite) — one socket
+    write away from a live carbon daemon. ``metric`` takes the plugin's
+    sprintf templates."""
+
+    path: str
+    metric: str
+    value: str
+    ts: str = "@timestamp"
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.event import sprintf_col
+        from logstash_spark.operators.codecs import encode_graphite
+
+        d = strip_internal(df)
+        mcol = self.metric
+        if "%{" in self.metric:
+            mcol = "_graphite_metric"
+            d = d.withColumn(mcol, sprintf_col(self.metric, d))
+        out = encode_graphite(d, metric=mcol, value=self.value, ts=self.ts, target="line")
+        out.select("line").write.mode("append").text(self.path)
+        return self.path
+
+
+@dataclass
+class CsvSink(Sink):
+    """csv output writing REAL delimited text lines (codecs.encode_csv),
+    not a parquet stand-in — the plugin's `fields` + `csv_options`
+    separator surface."""
+
+    path: str
+    fields: tuple
+    separator: str = ","
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.operators.codecs import encode_csv
+
+        out = encode_csv(strip_internal(df), list(self.fields), target="line",
+                         sep=self.separator)
+        out.select("line").write.mode("append").text(self.path)
+        return self.path
+
+
+@dataclass
 class CollectSink(Sink):
     """Testing sink: materializes (the stdout/rubydebug analog)."""
 

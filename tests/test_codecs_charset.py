@@ -445,3 +445,29 @@ def test_netflow9_template_decode(spark):
     junk = spark.createDataFrame(
         [(bytearray(b"\x00\x09short"),), (bytearray(tmpl_pkt[:10]),)], "bytes binary")
     assert decode_netflow9(junk, "bytes").count() == 0
+
+
+def test_ipfix_decode(spark):
+    """IPFIX / netflow v10 (RFC 7011): 16-byte header, template set id 2,
+    enterprise-bit IEs skipped by length, data set decoded through the
+    cached template."""
+    import struct
+
+    from logstash_spark.operators.codecs import decode_netflow9, encode_ipfix
+
+    # template 300 in set 2: src_addr(8,4), sport(7,2), enterprise IE
+    # (0x8000|99, len 8, enterprise 4242) ignored by name, in_bytes(1,4)
+    tmpl_body = struct.pack(">HH", 300, 4) + struct.pack(
+        ">HH", 8, 4) + struct.pack(">HH", 7, 2) + struct.pack(
+        ">HHI", 0x8000 | 99, 8, 4242) + struct.pack(">HH", 1, 4)
+    rec = bytes([10, 1, 2, 3]) + struct.pack(">H", 8080) + b"\x00" * 8 + struct.pack(">I", 777)
+    pkt_t = encode_ipfix(5, [(2, tmpl_body)])
+    pkt_d = encode_ipfix(5, [(300, rec + rec)], seq=1)
+    df = spark.createDataFrame(
+        [(0, bytearray(pkt_t)), (1, bytearray(pkt_d))], "seq int, bytes binary"
+    ).coalesce(1).sortWithinPartitions("seq")
+    rows = decode_netflow9(df, "bytes").collect()
+    assert len(rows) == 2
+    assert all(r["src_addr"] == "10.1.2.3" and r["src_port"] == 8080
+               and r["in_bytes"] == 777 and r["source_id"] == 5
+               and r["unix_secs"] == 1700000000 for r in rows)

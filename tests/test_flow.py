@@ -114,3 +114,34 @@ def test_conditional_split(spark):
     single = [r["v"] for r in rows if r["kind"] == "single"]
     assert multi == ["x", "y", "z"]
     assert single == ["keep|as|is"]
+
+
+def test_conditional_codec_lines_split_apply_union(spark):
+    """A row-generating codec inside a conditional: matching rows explode
+    into lines, non-matching pass through as single rows (split-apply-union
+    like the reference's per-branch filter instances)."""
+    from logstash_spark.conditions import Cmp, Field
+    from logstash_spark.pipeline import Pipeline, Stage
+
+    df = spark.createDataFrame(
+        [("a\nb\nc", "multi"), ("x\ny", "single")], "message string, kind string"
+    )
+    st = Stage(op="codec.lines", params={"source": "message"},
+               when=Cmp(Field("[kind]"), "==", "multi"))
+    rows = Pipeline(filters=[st]).transform(df).collect()
+    multi = sorted(r["message"] for r in rows if r["kind"] == "multi")
+    single = [r["message"] for r in rows if r["kind"] == "single"]
+    assert multi == ["a", "b", "c"]
+    assert single == ["x\ny"]  # untouched: the condition was false
+
+
+def test_conditional_metrics_still_rejected(spark):
+    from logstash_spark.conditions import Truthy
+    from logstash_spark.pipeline import Pipeline, Stage
+
+    df = spark.createDataFrame([("a",)], "key string")
+    st = Stage(op="metrics", params={"ts": "key", "key": "key"}, when=Truthy("[key]"))
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="metrics"):
+        Pipeline(filters=[st]).transform(df)

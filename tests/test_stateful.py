@@ -122,3 +122,30 @@ def test_multiline_max_lines_cap(spark):
     capped = [bool(g["tags"] and "multiline_codec_max_lines_reached" in g["tags"]) for g in groups]
     assert capped == [True, True, True, False]
     assert groups[0]["text"].count("\n") == 3
+
+
+def test_conditional_multiline_split_apply_union(spark):
+    """multiline inside a conditional (reference config_ast.rb:375-436
+    compiles a per-branch filter instance): ONLY matching rows regroup;
+    the rest pass through untouched with null multiline_n."""
+    from pyspark.sql import Row
+
+    from logstash_spark.conditions import Cmp, Field
+    from logstash_spark.pipeline import Pipeline, Stage
+
+    df = spark.createDataFrame([
+        Row(src="s1", seq=0, line="app start", type="app"),
+        Row(src="s1", seq=1, line="   app cont", type="app"),
+        Row(src="s1", seq=2, line="other solo", type="other"),
+        Row(src="s1", seq=3, line="   other indent kept", type="other"),
+    ])
+    st = Stage(op="multiline",
+               params={"source": "line", "pattern": r"^\s", "what": "previous",
+                       "stream_key": "src", "order_by": "seq"},
+               when=Cmp(Field("[type]"), "==", "app"))
+    rows = {r["seq"]: r for r in Pipeline(filters=[st]).transform(df).collect()}
+    assert len(rows) == 3
+    assert rows[0]["line"] == "app start\n   app cont" and rows[0]["multiline_n"] == 2
+    # non-matching rows pass through untouched — even the indented one
+    assert rows[2]["line"] == "other solo" and rows[2]["multiline_n"] is None
+    assert rows[3]["line"] == "   other indent kept" and rows[3]["multiline_n"] is None

@@ -429,3 +429,18 @@ def test_ivf_train_constant_plan_depth(spark):
     assert "Join" not in plans[1]
     # plan size must not grow with iteration count (leaf after checkpoint)
     assert abs(len(plans[0]) - len(plans[1])) < 200
+
+
+def test_repetition_ratio_hand_computed(spark):
+    from logstash_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"),   # 2-grams: ab ba ab ba -> 2 distinct of 4 -> 0.5
+         (1, "x y z"),       # xy yz -> all distinct -> 0.0
+         (2, "solo"),        # k=0 -> 0.0
+         (3, "w w w w")],    # ww ww ww -> 1 of 3 -> 0.6667
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_ngrams"], r["rep_ratio"])
+           for r in repetition_ratio(df).collect()}
+    assert out == {0: (4, 0.5), 1: (2, 0.0), 2: (0, 0.0), 3: (3, 0.6667)}
