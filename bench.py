@@ -71,6 +71,12 @@ HEADLINE = [
     "ann_ivf_topk",
     "media_features",
     "codec_msgpack",
+    # round-3 corpus hygiene
+    "pii_redact",
+    "url_canonicalize",
+    "dedup_lines",
+    "decontaminate",
+    "stratified_sample",
 ]
 
 

@@ -78,6 +78,125 @@ def dedup_exact(
 
 
 # ---------------------------------------------------------------------------
+# line-level exact dedup (C4-style: one occurrence of each exact line
+# SURVIVES across the whole corpus; later occurrences are cut out of their
+# documents)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Cross-corpus exact LINE dedup (the C4 cleaning rule): every distinct
+    non-empty line keeps its globally-first occurrence — ordered by
+    (doc_id, position) — and every later occurrence is removed from its
+    document; documents are reassembled from their surviving lines in
+    original order.
+
+    Returns (id_col, text_deduped, n_lines, n_lines_kept).
+
+    Scale shape: posexplode -> ONE shuffle on the line hash (min_by keeps
+    the first (doc_id, pos) — partial aggregation collapses duplicates
+    map-side, so the shuffle carries one row per distinct line per
+    partition, not per occurrence) -> join winners back on (line_key,
+    doc_id, pos) -> groupBy doc to reassemble (second shuffle, keyed on the
+    id). Boilerplate lines (the skew risk: empty/nav lines repeated 10^9
+    times) collapse map-side in the same partial agg, so no salting is
+    needed. Lines shuffle as md5 keys + (id, pos), never full text."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    ).filter(F.length(F.trim(F.col("line"))) >= min_line_chars)
+    keyed = lines.withColumn("lk", F.md5(F.col("line")))
+    winners = keyed.groupBy("lk").agg(
+        F.min(F.struct("id", "pos")).alias("w"),
+        F.count(F.lit(1)).alias("n_occ"),
+    ).select("lk", F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+    kept = keyed.join(winners, ["lk", "id", "pos"])  # inner: only the winner rows
+    docs = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]),
+            line_sep,
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    out = totals.join(docs, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        "n_lines",
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval/benchmark pool —
+# the standard pre-training hygiene step: drop training docs that contain
+# benchmark material)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Flag corpus documents sharing >= ``min_overlap`` distinct word
+    ``k``-grams with the benchmark pool (the union of all benchmark docs'
+    grams — per-benchmark-doc attribution is a groupBy away but the drop
+    decision only needs the pool).
+
+    Returns every corpus row's (id_col, n_shared, contaminated).
+
+    Scale shape: the benchmark side is SMALL by construction (eval suites,
+    not the corpus) — its distinct gram set is broadcast, so the corpus is
+    scanned ONCE: explode_outer grams -> broadcast LEFT join marker ->
+    groupBy doc counting matched grams. One shuffle total (keyed on the doc
+    id, partial count map-side); gram text never shuffles (md5 keys).
+
+    explode_outer (not explode) is load-bearing twice over: (a) every doc
+    id survives to the aggregate (a null-gram row groups to n_shared 0), so
+    no second join is needed to restore zero-count docs; (b) Catalyst's
+    InferFiltersFromGenerate only fires on non-outer generates — with plain
+    explode it pushes a `size(shingles) > 0` filter below the Generate,
+    INLINING the whole shingle expression a second time (2x the map cost;
+    verified in the physical plan)."""
+    from pyspark.sql.functions import broadcast
+
+    corpus_grams = with_shingles(
+        df.select(F.col(id_col).alias("id"), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)),
+        text_col, k,
+    ).select("id", F.explode_outer("sh").alias("g")).select("id", F.md5("g").alias("gk"))
+    bench_grams = (
+        with_shingles(bench.select(F.col(text_col)), text_col, k)
+        .select(F.explode("sh").alias("g"))
+        .select(F.md5("g").alias("gk"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    out = (
+        corpus_grams.join(broadcast(bench_grams), "gk", "left")
+        .groupBy("id")
+        .agg(F.count_distinct(F.when(F.col("_hit").isNotNull(), F.col("gk"))).alias("n_shared"))
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("n_shared"),
+        (F.col("n_shared") >= min_overlap).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingling (shared)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,63 @@
+"""Deterministic sampling for mixture balancing.
+
+A 100 TB corpus is never trained on uniformly: the mixture recipe assigns
+each stratum (language, domain, source) a keep rate. ``rand()`` sampling is
+non-reproducible across retries/stages — a retried task would sample a
+DIFFERENT subset, corrupting exactly-once sinks. The standard fix is
+hash-threshold sampling: keep a row iff a stable hash of its id falls under
+the stratum's threshold. Same input -> same sample, on any cluster, any
+retry, any engine (md5 makes it DuckDB-verifiable — same trick as
+dedup_minhash_lsh's hash-family mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_key(id_col: Column) -> Column:
+    """First 4 hex chars of md5 of the DECIMAL-STRING id — a uniform draw
+    from 65536 buckets, identical in any engine with md5."""
+    return F.substring(F.md5(id_col.cast("string")), 1, 4)
+
+
+def _thr_hex(rate: float) -> str | None:
+    """4-digit lowercase hex threshold; None = keep everything (a 5-char
+    '10000' would compare LEXICOGRAPHICALLY against 4-char keys and break)."""
+    t = int(rate * 65536)
+    if t >= 65536:
+        return None
+    return format(max(t, 0), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str = "lang",
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row of stratum ``s`` with probability ``rates[s]``
+    (deterministically — the decision is a pure function of ``id_col``).
+
+    Adds ``skey`` (the hex draw) so the decision is auditable per row.
+
+    Scale shape: a pure per-row filter — no shuffle, no UDF, pushes to the
+    scan when ``strata_col`` is a partition column (a `lang`-partitioned
+    corpus prunes rate-0 strata entirely at plan time via the CASE
+    collapsing to false)."""
+    key = sample_key(F.col(id_col))
+    cond = None
+    for s, r in rates.items():
+        thr = _thr_hex(r)
+        keep_s = F.lit(True) if thr is None else key < F.lit(thr)
+        branch = (F.col(strata_col) == s) & keep_s
+        cond = branch if cond is None else cond | branch
+    dthr = _thr_hex(default_rate)
+    default_keep = F.lit(True) if dthr is None else key < F.lit(dthr)
+    # null strata are "other" (isin on NULL yields NULL, which would drop)
+    others = F.coalesce(~F.col(strata_col).isin(*rates.keys()), F.lit(True)) & default_keep
+    cond = others if cond is None else cond | others
+    return df.withColumn("skey", key).filter(cond)

@@ -111,6 +111,89 @@ def repetition_ratio(
     )
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (corpus-cleaning staple: strip emails/IPs/SSNs/phones before
+# training). Regexes are chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backrefs, ASCII \b word boundaries.
+# ---------------------------------------------------------------------------
+
+# category -> (pattern, replacement token); ORDER MATTERS and is part of the
+# frozen contract: email first (its local part can contain digits a later
+# phone pass would eat), SSN before phone (a bare SSN also matches loose
+# phone shapes), IP last (nothing else contains dotted quads).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(df: DataFrame, source: str = "text", target: str = "text_redacted") -> DataFrame:
+    """Redact PII spans and count them per category (``n_email`` ...).
+
+    Counts are measured STAGE-WISE — each category counts on the text
+    after the previous categories were already replaced — so one span is
+    attributed to exactly one category (an email's digits never also count
+    as a phone). Pure JVM regexp cascade: zero Python, no shuffle, linear
+    per row; at 100 TB this composes with html_to_text in the same
+    codegen'd map stage."""
+    cur = F.col(source)
+    out = df
+    for name, pat, tok in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        )
+        cur = F.regexp_replace(cur, pat, tok)
+    return out.withColumn(target, cur)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + domain extraction (web-corpus dedup/blocklists key
+# on the canonical URL, mixture stats on the registered domain).
+# ---------------------------------------------------------------------------
+
+_TRACKING_PARAM = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def canonicalize_url(df: DataFrame, source: str = "url", target: str = "canon_url") -> DataFrame:
+    """Canonical URL + host + registered domain, all JVM regex:
+
+    - scheme and host lowercased (path/query case is significant, kept)
+    - fragment dropped; tracking params (utm_*, fbclid, gclid, ref) dropped
+      with their separators, then a dangling '?'/'&' is trimmed
+    - default ports (:80 http, :443 https) dropped
+    - trailing slash trimmed (except a bare root, normalized to no slash)
+
+    ``host`` = the authority as written (lowercased); ``domain`` = the last
+    two labels (the e-TLD+1 of generic TLDs; a public-suffix table slots in
+    as a broadcast dim where precision matters)."""
+    u = F.col(source)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
+    host = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    tail = F.regexp_replace(rest, r"^[^/?]+", "")
+    # tracking params: strip "key=value&" / "key=value" then dangling ? / &
+    tail = F.regexp_replace(tail, _TRACKING_PARAM + r"&", "")
+    tail = F.regexp_replace(tail, r"[?&]" + _TRACKING_PARAM, "")
+    tail = F.regexp_replace(tail, r"\?$", "")
+    host_n = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+    # path-final slash trims both at end-of-url and before the query
+    # (two literal passes — no backreference, so Java and RE2 agree)
+    tail = F.regexp_replace(F.regexp_replace(tail, r"/\?", "?"), r"/$", "")
+    canon = F.concat(scheme, F.lit("://"), host_n, tail)
+    bare_host = F.regexp_replace(host_n, r":\d+$", "")
+    domain = F.regexp_extract(bare_host, r"([^.]+\.[^.]+)$", 1)
+    return (
+        df.withColumn(target, canon)
+        .withColumn("host", bare_host)
+        .withColumn("domain", domain)
+    )
+
+
 def normalize_text(txt: Column) -> Column:
     """Canonical form for dedup/fingerprint: lowercase, collapse whitespace,
     strip non-alphanumerics (keeps spaces)."""

@@ -2067,3 +2067,206 @@ def conf_compiled_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pages(spark, sf_dir).select("url", "text")
     out = pipe.transform(p)
     return out.select("url", "marker", F.col("bytes").alias("bytes_n"))
+
+
+# ---------------------------------------------------------------------------
+# Round 3: corpus-hygiene operators (PII, URL canonicalization, C4 line
+# dedup, benchmark decontamination, deterministic mixture sampling)
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# deterministic PII salting shared by both engines: logs carry real client
+# IPs already; emails/SSNs/phones are appended per response class so every
+# category has live rows in the gate
+_PII_SALT_SQL = """CASE WHEN response = '200' THEN text || ' contact bob@example.com'
+     WHEN response = '404' THEN text || ' call 555-123-4567'
+     WHEN response = '301' THEN text || ' ssn 123-45-6789'
+     ELSE text END"""
+
+
+@q(
+    "pii_redact",
+    f"""{_PAGES_CTE},
+s0 AS (SELECT url, {_PII_SALT_SQL} AS t0 FROM pages),
+s1 AS (SELECT url, len(regexp_extract_all(t0, '{_PII_EMAIL}')) AS n_email,
+              regexp_replace(t0, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM s0),
+s2 AS (SELECT url, n_email, len(regexp_extract_all(t1, '{_PII_SSN}')) AS n_ssn,
+              regexp_replace(t1, '{_PII_SSN}', '<SSN>', 'g') AS t2 FROM s1),
+s3 AS (SELECT url, n_email, n_ssn, len(regexp_extract_all(t2, '{_PII_PHONE}')) AS n_phone,
+              regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') AS t3 FROM s2)
+SELECT url, n_email, n_ssn, n_phone,
+       len(regexp_extract_all(t3, '{_PII_IP}')) AS n_ip,
+       regexp_replace(t3, '{_PII_IP}', '<IP>', 'g') AS text_redacted
+FROM s3""",
+)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/SSNs/phones/IPs) with stage-wise counts — the
+    corpus-cleaning privacy pass, pure JVM regexp cascade."""
+    from logstash_spark.functions.text import pii_redact
+
+    p = _pages(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("response") == "200", F.concat("text", F.lit(" contact bob@example.com")))
+        .when(F.col("response") == "404", F.concat("text", F.lit(" call 555-123-4567")))
+        .when(F.col("response") == "301", F.concat("text", F.lit(" ssn 123-45-6789")))
+        .otherwise(F.col("text")),
+    )
+    out = pii_redact(p, source="text")
+    return out.select("url", "n_email", "n_ssn", "n_phone", "n_ip", "text_redacted")
+
+
+# deterministic URL dirtying shared by both engines (tracking params,
+# fragments, uppercased hosts, default ports, trailing slashes) keyed on the
+# page number embedded in the url
+_DIRTY_URL_SQL = """CASE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS INT) % 5
+  WHEN 0 THEN url || '?utm_source=feed&id=7#frag'
+  WHEN 1 THEN replace(url, 'host', 'HOST') || '/'
+  WHEN 2 THEN replace(url, '.com/', '.com:443/') || '?gclid=x1&q=a'
+  WHEN 3 THEN url || '?q=a&utm_campaign=c&r=2'
+  ELSE url END"""
+
+
+@q(
+    "url_canonicalize",
+    f"""{_PAGES_CTE},
+d AS (SELECT url, {_DIRTY_URL_SQL} AS dirty FROM pages),
+c AS (SELECT url, dirty,
+        lower(regexp_extract(dirty, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(regexp_replace(dirty, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+      FROM d),
+h AS (SELECT url, dirty, scheme,
+        lower(regexp_extract(rest, '^([^/?]+)', 1)) AS host0,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace(rest, '^[^/?]+', ''),
+                           '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '', 'g'),
+            '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+          '\\?$', '') AS tail
+      FROM c),
+n AS (SELECT url, dirty, scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             ELSE host0 END AS host_n, tail
+      FROM h)
+SELECT url, dirty,
+       scheme || '://' || host_n ||
+         regexp_replace(regexp_replace(tail, '/\\?', '?'), '/$', '') AS canon_url,
+       regexp_replace(host_n, ':\\d+$', '') AS host,
+       regexp_extract(regexp_replace(host_n, ':\\d+$', ''), '([^.]+\\.[^.]+)$', 1) AS domain
+FROM n""",
+)
+def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + domain extraction over deterministically
+    dirtied page URLs (tracking params, fragments, case, default ports)."""
+    from logstash_spark.functions.text import canonicalize_url
+
+    p = _pages(spark, sf_dir)
+    pn = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("int") % 5
+    p = p.withColumn(
+        "dirty",
+        F.when(pn == 0, F.concat("url", F.lit("?utm_source=feed&id=7#frag")))
+        .when(pn == 1, F.concat(F.regexp_replace("url", "host", "HOST"), F.lit("/")))
+        .when(pn == 2, F.concat(F.regexp_replace("url", r"\.com/", ".com:443/"), F.lit("?gclid=x1&q=a")))
+        .when(pn == 3, F.concat("url", F.lit("?q=a&utm_campaign=c&r=2")))
+        .otherwise(F.col("url")),
+    )
+    out = canonicalize_url(p, source="dirty")
+    return out.select("url", "dirty", "canon_url", "host", "domain")
+
+
+@q(
+    "dedup_lines",
+    """WITH d AS (
+  SELECT doc_id, string_split(replace(text, ' the ', chr(10)), chr(10)) AS ls FROM documents
+), l AS (
+  SELECT doc_id, t.i AS pos, ls[t.i] AS line
+  FROM d, unnest(generate_series(1, len(d.ls))) AS t(i)
+  WHERE len(trim(ls[t.i])) >= 1
+), w AS (
+  SELECT md5(line) AS lk, min(struct_pack(id := doc_id, pos := pos)) AS w FROM l GROUP BY lk
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM l JOIN w
+    ON md5(l.line) = w.lk AND l.doc_id = w.w.id AND l.pos = w.w.pos
+), docs AS (
+  SELECT doc_id, array_to_string(list_transform(list_sort(list(struct_pack(pos := pos, line := line))), s -> s.line), chr(10)) AS text_deduped,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id, coalesce(docs.text_deduped, '') AS text_deduped,
+       count(*) AS n_lines, CAST(coalesce(any_value(docs.n_lines_kept), 0) AS BIGINT) AS n_lines_kept
+FROM l LEFT JOIN docs ON l.doc_id = docs.doc_id
+GROUP BY l.doc_id, docs.text_deduped""",
+)
+def dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus exact line dedup: each distinct line keeps its
+    globally-first (doc_id, pos) occurrence; docs reassemble from surviving
+    lines. The synthetic docs are single-line, so line structure is derived
+    deterministically (' the ' -> newline) on BOTH engines."""
+    from logstash_spark.functions.dedup import dedup_lines
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", " the ", "\n")
+    )
+    return dedup_lines(d)
+
+
+@q(
+    "decontaminate",
+    f"""WITH grams AS (
+  SELECT doc_id AS id, list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+    i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+  )) AS sh
+  FROM documents
+), bench_pool AS (
+  SELECT DISTINCT md5(g.gram) AS gk FROM grams, unnest(grams.sh) AS g(gram)
+  WHERE grams.id % 17 = 0
+), corpus AS (
+  SELECT id, md5(g.gram) AS gk FROM grams, unnest(grams.sh) AS g(gram)
+  WHERE id % 17 <> 0
+), hits AS (
+  SELECT id, count(DISTINCT corpus.gk) AS n_shared
+  FROM corpus JOIN bench_pool ON corpus.gk = bench_pool.gk GROUP BY id
+)
+SELECT doc_id, CAST(coalesce(hits.n_shared, 0) AS BIGINT) AS n_shared,
+       coalesce(hits.n_shared, 0) >= 2 AS contaminated
+FROM documents LEFT JOIN hits ON documents.doc_id = hits.id
+WHERE doc_id % 17 <> 0""",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= 2 distinct
+    word 3-grams with the benchmark pool (docs with id % 17 == 0 stand in
+    for the eval suite; broadcast-joined on md5 gram keys)."""
+    from logstash_spark.functions.dedup import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(corpus, bench, k=3, min_overlap=2)
+
+
+@q(
+    "stratified_sample",
+    """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS skey
+FROM documents
+WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+   OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+   OR (lang = 'fr')
+   OR (lang NOT IN ('en', 'de', 'fr')
+       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1000')""",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold mixture sampling: en 50%, de 25%,
+    fr 100%, everything else 1/16 — reproducible on any engine/retry
+    (md5-of-id draw, no rand())."""
+    from logstash_spark.functions.sample import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, strata_col="lang", rates={"en": 0.5, "de": 0.25, "fr": 1.0}, default_rate=0.0625
+    )
+    return out.select("doc_id", "lang", "skey")

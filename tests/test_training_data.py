@@ -444,3 +444,103 @@ def test_repetition_ratio_hand_computed(spark):
     out = {r["doc_id"]: (r["n_ngrams"], r["rep_ratio"])
            for r in repetition_ratio(df).collect()}
     assert out == {0: (4, 0.5), 1: (2, 0.0), 2: (0, 0.0), 3: (3, 0.6667)}
+
+
+def test_pii_redact_hand_computed(spark):
+    from logstash_spark.functions.text import pii_redact
+
+    df = spark.createDataFrame(
+        [(0, "write bob@x.co or jo.an+1@sub.dom.org now"),
+         (1, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.1"),
+         (2, "clean text, no pii 12345")],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in pii_redact(df).collect()}
+    assert out[0]["text_redacted"] == "write <EMAIL> or <EMAIL> now"
+    assert (out[0]["n_email"], out[0]["n_ssn"], out[0]["n_phone"], out[0]["n_ip"]) == (2, 0, 0, 0)
+    assert out[1]["text_redacted"] == "ssn <SSN> phone <PHONE> ip <IP>"
+    # stage-wise attribution: the SSN is NOT double-counted as a phone
+    assert (out[1]["n_ssn"], out[1]["n_phone"], out[1]["n_ip"]) == (1, 1, 1)
+    assert out[2]["text_redacted"] == "clean text, no pii 12345"
+    assert (out[2]["n_email"], out[2]["n_ssn"], out[2]["n_phone"], out[2]["n_ip"]) == (0, 0, 0, 0)
+
+
+def test_canonicalize_url_hand_computed(spark):
+    from logstash_spark.functions.text import canonicalize_url
+
+    cases = [
+        ("HTTPS://Ex.COM:443/a/?utm_source=x&q=1#top", "https://ex.com/a?q=1", "ex.com", "ex.com"),
+        ("http://www.Site.org:80/p/", "http://www.site.org/p", "www.site.org", "site.org"),
+        ("http://h.io:8080/x?ref=r", "http://h.io:8080/x", "h.io", "h.io"),
+        ("https://a.b.co.uk/", "https://a.b.co.uk", "a.b.co.uk", "co.uk"),
+        ("https://d.com/x?a=1&utm_campaign=c", "https://d.com/x?a=1", "d.com", "d.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, *_rest) in enumerate(cases)], "id long, url string")
+    out = {r["id"]: r for r in canonicalize_url(df).collect()}
+    for i, (_u, canon, host, domain) in enumerate(cases):
+        assert out[i]["canon_url"] == canon, (i, out[i]["canon_url"])
+        assert out[i]["host"] == host
+        assert out[i]["domain"] == domain
+
+
+def test_dedup_lines_c4_semantics(spark):
+    from logstash_spark.functions.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(0, "alpha\nshared line\nbeta"),
+         (1, "shared line\ngamma\nshared line"),   # both occurrences lose to doc 0
+         (2, "shared line"),                        # whole doc was boilerplate
+         (3, "delta\n\n  \ndelta")],                # empties dropped; self-dup within doc
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[0]["text_deduped"] == "alpha\nshared line\nbeta"
+    assert out[1]["text_deduped"] == "gamma" and out[1]["n_lines"] == 3 and out[1]["n_lines_kept"] == 1
+    assert out[2]["text_deduped"] == "" and out[2]["n_lines_kept"] == 0
+    # within-doc duplicate: first position wins, blank lines not counted
+    assert out[3]["text_deduped"] == "delta" and out[3]["n_lines"] == 2 and out[3]["n_lines_kept"] == 1
+
+
+def test_decontaminate_hand_computed(spark):
+    from logstash_spark.functions.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(0, "a quick brown fox ran off"),            # grams: quick brown fox + brown fox ran... shared: 1
+         (1, "the quick brown fox jumps high today"), # shares >= 3 grams
+         (2, "completely unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, bench, k=3, min_overlap=2).collect()}
+    assert out[0]["n_shared"] == 1 and not out[0]["contaminated"]
+    assert out[1]["n_shared"] >= 2 and out[1]["contaminated"]
+    assert out[2]["n_shared"] == 0 and not out[2]["contaminated"]
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from logstash_spark.functions.sample import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else ("fr" if i % 4 == 1 else "zh")) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = stratified_sample(df, strata_col="lang", rates={"en": 0.5, "fr": 1.0}, default_rate=0.0)
+    got1 = sorted(r["doc_id"] for r in out1.collect())
+    got2 = sorted(r["doc_id"] for r in out1.collect())
+    assert got1 == got2  # pure function of the id: stable across runs
+    by_lang = {l: 0 for l in ("en", "fr", "zh")}
+    for r in out1.collect():
+        by_lang[r["lang"]] += 1
+    assert by_lang["zh"] == 0            # default rate 0 drops the stratum
+    assert by_lang["fr"] == 1000         # rate 1.0 keeps everything
+    assert 850 <= by_lang["en"] <= 1150  # ~50% of 2000, hash-uniform
+
+
+def test_decontaminate_broadcasts_bench_pool(spark):
+    from logstash_spark.functions.dedup import decontaminate
+
+    bench = spark.createDataFrame([(9, "one two three four")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(0, "one two three five")], "doc_id long, text string")
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
