@@ -77,6 +77,10 @@ HEADLINE = [
     "dedup_lines",
     "decontaminate",
     "stratified_sample",
+    "dedup_cluster_cc",
+    "ngram_counts",
+    "tfidf_topk",
+    "deterministic_shuffle",
 ]
 
 

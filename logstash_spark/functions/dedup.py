@@ -197,6 +197,98 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# connected components over near-dup pairs (the step between LSH candidate
+# pairs and an actual deduped corpus: pairs chain — A~B, B~C — so "keep one
+# per pair" under-dedups; the keep-set is one doc per CONNECTED COMPONENT)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph: returns
+    ``(node, component)`` where ``component`` is the MIN node id in the
+    node's component (only nodes that appear in an edge are returned —
+    isolated docs are their own component by definition; see
+    :func:`dedup_clusters`).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds. Near-dup graphs are dense star/clique-ish
+    clusters (diameter 2-4 in practice), so this beats the O(log n)
+    large-star/small-star construction on constant factors while having
+    the same shuffle shape per round: one equi-join edges⋈labels (keyed on
+    the node id) + one groupBy-min (partial agg map-side — a hot hub node's
+    messages collapse before the shuffle, which is the skew story).
+
+    Scale hygiene (the ivf_train lesson, similarity.py:416): every round
+    ends in ``localCheckpoint(eager=True)`` so plan depth stays CONSTANT in
+    the iteration count — without it each round's plan stacks another
+    join+agg and a task retry at round k recomputes rounds 1..k-1. The
+    edge list is checkpointed once up front (it is re-scanned every round).
+    Convergence is detected with a ``limit(1).count()`` probe on the
+    improved-label set — a cheap short-circuit job against the checkpointed
+    frames, not a full scan of lineage.
+    """
+    e = edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+    bidir = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    bidir = bidir.localCheckpoint(eager=True)
+    labels = (
+        bidir.select(F.col("s").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        msgs = bidir.join(labels, bidir["s"] == labels["node"]).select(
+            F.col("d").alias("node"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        improved = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if improved == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Assign every document its near-dup cluster id (min doc id of its
+    connected component; singletons cluster to themselves) and mark the one
+    canonical survivor per cluster.
+
+    Returns ``(id_col, cluster, is_canonical)`` — the keep-set is
+    ``is_canonical``; the mapping rows double as the redirect table
+    (dup -> canonical) a training pipeline writes alongside the corpus.
+
+    Scale shape: the component table is |docs-in-any-pair| rows — tiny
+    relative to the corpus (dup rate × corpus) but NOT assumed
+    broadcastable; the attach is a plain equi-join on the id (one shuffle,
+    AQE converts it to broadcast when the pair set is actually small)."""
+    cc = connected_components(pairs, src=src, dst=dst).withColumnRenamed("node", id_col)
+    out = df.select(F.col(id_col).cast("long")).join(cc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
+    )
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster"))
+
+
+# ---------------------------------------------------------------------------
 # shingling (shared)
 # ---------------------------------------------------------------------------
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def sample_key(id_col: Column) -> Column:
@@ -29,6 +30,57 @@ def _thr_hex(rate: float) -> str | None:
     if t >= 65536:
         return None
     return format(max(t, 0), "04x")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Global training-order shuffle: a total order that is a pure function
+    of the id (``rand()`` ordering changes on every retry — a resumed
+    training run would see a different epoch order).
+
+    Returns ``(id_col, skey, shard, global_pos)`` where ``global_pos`` is
+    the 1-based position in the md5-key total order (ties impossible: the
+    id is the final sort key) and ``shard`` is the hex prefix group.
+
+    Scale shape — the naive `row_number() OVER (ORDER BY skey)` is a
+    single-partition window (one task sorts the corpus: non-starter).
+    Two-phase rank instead:
+
+    1. rank WITHIN each hex-prefix shard — `partition by shard` window,
+       16^prefix_len-way parallel (raise ``prefix_len`` to 3-4 at 100 TB
+       for 4096-65536 shards; md5 prefixes are uniform so shards balance),
+    2. shard row counts -> cumulative offsets (a shards-sized frame:
+       window over 16..65536 rows, trivial) broadcast-joined back,
+    3. global_pos = offset + rank_in_shard.
+
+    Two shuffles total, both on the shard key (Catalyst reuses the
+    exchange between the window and the count agg). Writing out with
+    `repartitionByRange(skey)` then makes file order == shuffle order."""
+    key = sample_key(F.col(id_col))
+    rows = df.select(F.col(id_col), key.alias("skey")).withColumn(
+        "shard", F.substring("skey", 1, prefix_len)
+    )
+    w = W.partitionBy("shard").orderBy("skey", id_col)
+    ranked = rows.withColumn("_rn", F.row_number().over(w))
+    counts = rows.groupBy("shard").agg(F.count(F.lit(1)).alias("_n"))
+    offs = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("shard", "_off")
+    return (
+        ranked.join(F.broadcast(offs), "shard")
+        .withColumn("global_pos", F.col("_off") + F.col("_rn"))
+        .select(id_col, "skey", "shard", "global_pos")
+    )
 
 
 def stratified_sample(

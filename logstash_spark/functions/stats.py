@@ -1,0 +1,143 @@
+"""Corpus-level statistics for LM training pipelines: global n-gram
+counts, per-document TF-IDF top-k terms, and source/domain mixture stats.
+
+These are the "what is in my 100 TB corpus" queries a data team runs
+before/after every cleaning pass. All three are pure relational plans
+(no UDFs); the scale notes are per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from logstash_spark.functions.text import normalize_text
+
+
+def _occurrence_ngrams(words: Column, k: int) -> Column:
+    """All k-gram OCCURRENCES (not distinct — LM counts need multiplicity).
+
+    Guarded with `when`: Spark's sequence(1, n-k+1) generates a DESCENDING
+    sequence when n < k (sequence(1,0) == [1,0]), which would fabricate
+    grams from out-of-range slices; short docs must yield an empty array.
+    """
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 2,
+    min_count: int = 2,
+) -> DataFrame:
+    """Global k-gram occurrence counts over the corpus, thresholded at
+    ``min_count`` (a deterministic result SET — unlike top-N-with-ties,
+    which is nondeterministic under limit).
+
+    Returns ``(gram, n)``.
+
+    Scale shape: ONE shuffle (groupBy gram) with map-side partial
+    aggregation — the load-bearing property under Zipf skew: "of the" at
+    10^10 occurrences arrives at the reducer as one partial count per map
+    partition, not 10^10 rows. The gram build is a two-projection split +
+    transform (the with_shingles lambda-inlining lesson, dedup.py) and the
+    explode is non-outer (empty docs contribute nothing)."""
+    words = df.select(F.split(normalize_text(F.col(text_col)), " ").alias("_w"))
+    grams = words.select(F.explode(_occurrence_ngrams(F.col("_w"), k)).alias("gram"))
+    out = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    return out.filter(F.col("n") >= min_count)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Per-document top-``top_n`` terms by a TF-IDF-style score.
+
+    Score = ``tf * N / df`` (N = corpus size, df = docs containing the
+    term) — the log-free idf proxy. Deliberate: IEEE-754 multiply/divide
+    are correctly-rounded and bit-identical across engines, `ln` is NOT
+    (libm-dependent last-ulp) — so the score is value-hash comparable
+    against DuckDB without rounding games. Rank order is identical to
+    classic tf·log(N/df) within a document wherever df differs; ties break
+    on the term text, pinned in the window order.
+
+    Returns ``(id_col, term, tf, df_docs, score, rank)``.
+
+    Scale shape: three shuffles, each on the natural key — (a) groupBy
+    (doc, term) for tf with map-side combine, (b) groupBy term for df
+    (partial agg absorbs stopword skew), (c) window per doc for the top-k.
+    The term→df attach is an equi-join on the term; the df side is
+    vocabulary-sized — often broadcastable, NOT assumed (AQE decides). The
+    corpus count N rides in via a 1-row cross join (broadcast-nested-loop
+    of one row, free)."""
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.length("term") >= min_term_len)
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_total")).cast("double") / F.col("df_docs"),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    return ranked.select(
+        F.col("id").alias(id_col), "term", "tf", "df_docs", "score", "rank"
+    )
+
+
+def domain_mixture(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    group_col: str = "host",
+) -> DataFrame:
+    """Mixture statistics per source host/domain: document count, token
+    sum, and corpus share — the table a mixture recipe (and the stratified
+    sampler, sample.py) is tuned against.
+
+    Returns ``(group_col, n_docs, n_tokens, doc_share)``.
+
+    Scale shape: canonicalize + tokenize are per-row JVM maps fused into
+    the scan stage; ONE shuffle on the group key (partial agg absorbs the
+    hot-host skew this corpus deliberately has — the salting story lives in
+    host_agg_salted for the count-distinct case; plain sum/count partials
+    need none). The total for the share is a 1-row broadcast cross join,
+    and the share division is IEEE-deterministic (no rounding needed for
+    the cross-engine hash)."""
+    from logstash_spark.functions.text import canonicalize_url
+
+    rows = canonicalize_url(df, source=url_col).withColumn(
+        "_toks", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    per = rows.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_toks").alias("n_tokens"),
+    )
+    total = per.select(F.sum("n_docs").alias("n_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("doc_share", F.col("n_docs").cast("double") / F.col("n_total"))
+        .select(group_col, "n_docs", "n_tokens", "doc_share")
+    )

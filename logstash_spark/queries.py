@@ -2270,3 +2270,154 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, strata_col="lang", rates={"en": 0.5, "de": 0.25, "fr": 1.0}, default_rate=0.0625
     )
     return out.select("doc_id", "lang", "skey")
+
+
+# ---------------------------------------------------------------------------
+# Round 3b: corpus analytics (connected-component dedup clusters, global
+# n-gram counts, TF-IDF top-k, domain mixture, deterministic shuffle order)
+# ---------------------------------------------------------------------------
+
+# the ngram-jaccard pair derivation, shared with dedup_ngram_jaccard's oracle
+_JACCARD_PAIRS_CTES = f"""sh AS (
+  SELECT doc_id AS id, list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+    i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+  )) AS sh
+  FROM documents
+  WHERE len(string_split({_NORM_SQL}, ' ')) > 0
+), b AS (
+  SELECT id, sh, list_min(sh) AS bucket FROM sh WHERE len(sh) > 0
+), pairs AS (
+  SELECT a.id AS id_a, c.id AS id_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+  WHERE len(list_intersect(a.sh, c.sh)) /
+        CAST(greatest(len(list_distinct(list_concat(a.sh, c.sh))), 1) AS DOUBLE) >= 0.6
+)"""
+
+
+@q(
+    "dedup_cluster_cc",
+    f"""WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.comp FROM reach r JOIN edges e ON r.node = e.s
+),
+cc AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster,
+       d.doc_id = coalesce(cc.comp, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""",
+)
+def dedup_cluster_cc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (n-gram Jaccard >= 0.6) chained into connected
+    components; every doc gets cluster = min id of its component and the
+    canonical survivor is marked. The iterative min-label propagation
+    (localCheckpoint per round) is mirrored by a DuckDB recursive CTE."""
+    from logstash_spark.functions.dedup import dedup_clusters, dedup_ngram_jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(d, threshold=0.6)
+    return dedup_clusters(d, pairs)
+
+
+@q(
+    "ngram_counts",
+    f"""WITH t AS (
+  SELECT string_split({_NORM_SQL}, ' ') AS ws FROM documents
+), g AS (
+  SELECT array_to_string(ws[i.i:i.i+1], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(ws) - 1)) AS i(i)
+)
+SELECT gram, count(*) AS n FROM g GROUP BY gram HAVING count(*) >= 2""",
+)
+def ngram_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global bigram occurrence counts (LM-style, multiplicity kept) with a
+    min-count threshold; one Zipf-skew-safe shuffle (map-side partials)."""
+    from logstash_spark.functions.stats import ngram_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_counts(d, k=2, min_count=2)
+
+
+@q(
+    "tfidf_topk",
+    f"""WITH terms AS (
+  SELECT doc_id AS id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+), t2 AS (
+  SELECT id, term FROM terms WHERE length(term) >= 2
+), tf AS (
+  SELECT id, term, count(*) AS tf FROM t2 GROUP BY id, term
+), dfreq AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_total FROM documents),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf, dfreq.df_docs,
+         CAST(tf.tf * n.n_total AS DOUBLE) / dfreq.df_docs AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT id AS doc_id, term, tf, df_docs, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3""",
+)
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf*N/df (the log-free idf proxy — IEEE
+    multiply/divide is bit-identical cross-engine, ln is not)."""
+    from logstash_spark.functions.stats import tfidf_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(d, top_n=3)
+
+
+@q(
+    "domain_mixture",
+    f"""{_PAGES_CTE},
+h AS (
+  SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         len(string_split_regex(trim(text), '\\s+')) AS toks
+  FROM pages
+), per AS (
+  SELECT host, count(*) AS n_docs, sum(toks) AS n_tokens FROM h GROUP BY host
+), tot AS (SELECT sum(n_docs) AS n_total FROM per)
+SELECT host, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_docs AS DOUBLE) / n_total AS doc_share
+FROM per CROSS JOIN tot""",
+)
+def domain_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host mixture stats (docs, tokens, corpus share) over the pages
+    table — the table a mixture recipe is tuned against."""
+    from logstash_spark.functions.stats import domain_mixture
+
+    p = _pages(spark, sf_dir)
+    return domain_mixture(p)
+
+
+@q(
+    "deterministic_shuffle",
+    """WITH s AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS skey,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS rn FROM s
+), c AS (SELECT shard, count(*) AS n FROM s GROUP BY shard),
+o AS (
+  SELECT shard, coalesce(sum(n) OVER (ORDER BY shard
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM c
+)
+SELECT r.doc_id, r.skey, r.shard, CAST(o.off + r.rn AS BIGINT) AS global_pos
+FROM r JOIN o USING (shard)""",
+)
+def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-stable global training order: two-phase rank (per-hex-shard
+    window + broadcast cumulative offsets) — never a single-partition
+    global window."""
+    from logstash_spark.functions.sample import deterministic_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(d)

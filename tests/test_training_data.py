@@ -544,3 +544,90 @@ def test_decontaminate_broadcasts_bench_pool(spark):
     plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from logstash_spark.functions.dedup import connected_components, dedup_clusters
+
+    # chain 1-2, 2-3 plus island 7-9: two components; 5 never appears
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 7)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster"], r["is_canonical"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   5: (5, True), 7: (7, True), 9: (7, False)}
+
+
+def test_connected_components_long_path_converges(spark):
+    from logstash_spark.functions.dedup import connected_components
+
+    # a 12-node path: worst case for min-label propagation (diameter 11)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], "id_a long, id_b long")
+    cc = connected_components(pairs)
+    assert {r["component"] for r in cc.collect()} == {0}
+    assert cc.count() == 12
+
+
+def test_ngram_counts_multiplicity(spark):
+    from logstash_spark.functions.stats import ngram_counts
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["gram"]: r["n"] for r in ngram_counts(df, k=2, min_count=2).collect()}
+    # "a b" occurs 2x in doc 0 (multiplicity!) + 1x in doc 1; "b a" and
+    # "b c" occur once -> filtered; empty and 1-word docs contribute nothing
+    assert out == {"a b": 3}
+
+
+def test_tfidf_topk_ordering(spark):
+    from logstash_spark.functions.stats import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(0, "apple apple banana common"), (1, "banana common"), (2, "common cherry")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk(df, top_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    # doc 0: apple tf=2 df=1 -> 6.0 beats banana tf=1 df=2 -> 1.5
+    assert sorted(by_doc[0])[0] == (1, "apple", 6.0)
+    assert sorted(by_doc[0])[1] == (2, "banana", 1.5)
+    # doc 2: cherry (df=1, 3.0) above common (df=3, 1.0)
+    assert sorted(by_doc[2]) == [(1, "cherry", 3.0), (2, "common", 1.0)]
+
+
+def test_deterministic_shuffle_is_total_order(spark):
+    from logstash_spark.functions.sample import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(777)], "doc_id long")
+    out = deterministic_shuffle(df).collect()
+    assert sorted(r["global_pos"] for r in out) == list(range(1, 778))
+    # two-phase rank must equal the naive global ordering by (skey, id)
+    naive = [r["doc_id"] for r in sorted(out, key=lambda r: (r["skey"], r["doc_id"]))]
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["global_pos"])]
+    assert naive == ranked
+    # stable across runs (pure function of the id)
+    again = {r["doc_id"]: r["global_pos"] for r in deterministic_shuffle(df).collect()}
+    assert all(again[r["doc_id"]] == r["global_pos"] for r in out)
+
+
+def test_domain_mixture_shares_sum_to_one(spark):
+    from logstash_spark.functions.stats import domain_mixture
+
+    df = spark.createDataFrame(
+        [(0, "https://a.com/x", "one two three"),
+         (1, "https://a.com/y", "four five"),
+         (2, "http://b.org/z", "six")],
+        "id long, url string, text string",
+    )
+    out = {r["host"]: r for r in domain_mixture(df).collect()}
+    assert out["a.com"]["n_docs"] == 2 and out["a.com"]["n_tokens"] == 5
+    assert out["b.org"]["n_docs"] == 1 and out["b.org"]["n_tokens"] == 1
+    assert abs(sum(r["doc_share"] for r in out.values()) - 1.0) < 1e-12
