@@ -196,3 +196,40 @@ def throttle_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "10 minutes",
+    key_col: str = "content_key",
+) -> DataFrame:
+    """Streaming exact dedup — the incremental-intake counterpart of
+    ``functions.dedup.dedup_exact``: the FIRST document with a given
+    normalized-content hash passes, every later arrival is dropped, and
+    the state store forgets keys once the watermark passes them.
+
+    Built on ``dropDuplicatesWithinWatermark`` (Spark 3.5+): the engine's
+    own HDFS/RocksDB-backed dedup state — no custom applyInPandasWithState
+    needed, and state eviction is exactly the watermark contract a crawl
+    intake wants (a re-crawl within the horizon dedups; a months-later
+    re-crawl is a new version by design). Scale shape: one shuffle on the
+    content key per micro-batch; state is (key -> expiry) only, never the
+    document text.
+
+    Batch frames take the plain ``dropDuplicates`` path (same key
+    semantics) so the function is pipeline-position agnostic.
+    """
+    from logstash_spark.functions.text import normalize_text
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn(key_col, F.md5(normalize_text(F.col(text_col))))
+    if not keyed.isStreaming:
+        return keyed.dropDuplicates([key_col])
+    wm = keyed.withWatermark(ts_col, watermark)
+    try:
+        return wm.dropDuplicatesWithinWatermark([key_col])
+    except Exception:  # pragma: no cover - pre-3.5 fallback keeps key+time state
+        return wm.dropDuplicates([key_col, ts_col])

@@ -323,3 +323,40 @@ def test_multiline_stateful_next_mode_max_lines_cap(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_dedup_stream_first_occurrence_wins(spark, tmp_path):
+    import datetime as dt
+
+    from logstash_spark.streaming.stateful import dedup_stream
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, t0, "alpha body"),
+        (1, t0 + dt.timedelta(seconds=10), "Alpha   BODY!"),   # same normalized content
+        (2, t0 + dt.timedelta(seconds=20), "beta body"),
+        (3, t0 + dt.timedelta(seconds=30), "alpha body"),      # exact dup again
+        (4, t0 + dt.timedelta(seconds=40), "gamma body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, warc_ts timestamp, text string")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = dedup_stream(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dds").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.sql("select * from dds").collect()}
+    # one survivor per content key; ids 1 and 3 are dups of 0
+    assert 0 in got or 1 in got or 3 in got
+    assert len(got) == 3, got
+
+    # batch path: same key semantics via dropDuplicates
+    b = dedup_stream(df, watermark="1 hour")
+    assert b.count() == 3 and "content_key" in b.columns

@@ -631,3 +631,86 @@ def test_domain_mixture_shares_sum_to_one(spark):
     assert out["a.com"]["n_docs"] == 2 and out["a.com"]["n_tokens"] == 5
     assert out["b.org"]["n_docs"] == 1 and out["b.org"]["n_tokens"] == 1
     assert abs(sum(r["doc_share"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Property: the distributed min-label propagation equals a plain
+    union-find on random graphs (including multi-component + hub shapes)."""
+    import random
+
+    from logstash_spark.functions.dedup import connected_components
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(1, n * 2))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        # canonical label = min node of the component
+        comp_min: dict[int, int] = {}
+        for v in touched:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = {v: comp_min[find(v)] for v in touched}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_dedup_lines_matches_python_reference(spark):
+    """Property: C4 line dedup equals a sequential first-occurrence scan
+    ordered by (doc_id, pos)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = []
+    for i in range(40):
+        lines = [" ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+                 for _ in range(rng.randint(0, 6))]
+        if rng.random() < 0.3:
+            lines.insert(rng.randrange(len(lines) + 1), "   ")  # blank-ish
+        docs.append((i, "\n".join(lines)))
+
+    seen: set[str] = set()
+    expected = {}
+    for doc_id, text in sorted(docs):
+        kept, total = [], 0
+        for line in text.split("\n"):
+            if len(line.strip()) < 1:
+                continue
+            total += 1
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        expected[doc_id] = ("\n".join(kept), total, len(kept))
+
+    from logstash_spark.functions.dedup import dedup_lines
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_lines"], r["n_lines_kept"])
+        for r in dedup_lines(df).collect()
+    }
+    # docs whose every line was blank produce no exploded rows at all
+    expected = {k: v for k, v in expected.items() if v[1] > 0}
+    assert got == expected

@@ -25,6 +25,14 @@ WAIVERS: dict[str, set[str]] = {
     "ivf_assignment": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # centroid table is tiny by construction
     "ann_ivf_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # broadcast centroid assignment (k rows)
     "clone_fanout": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # oracle-shaped tiny literal cross join
+    # 1-ROW broadcast total cross join (corpus count / group total): BNLJ of
+    # a single broadcast row is the intended plan at any scale
+    "tfidf_topk": {"BroadcastNestedLoopJoin"},
+    "domain_mixture": {"BroadcastNestedLoopJoin"},
+    # docs ⋈ component-table attach: the dup set CAN be corpus-scale in the
+    # worst case, so the static plan is a keyed SMJ by design; AQE converts
+    # to broadcast at runtime whenever the pair graph is actually small
+    "dedup_cluster_cc": {"SortMergeJoin"},
 }
 
 BAD = ("SortMergeJoin", "BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
