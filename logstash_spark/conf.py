@@ -330,12 +330,21 @@ def _t_metrics(a: dict) -> list[tuple[str, dict]]:
 
 
 def _t_xml(a: dict) -> list[tuple[str, dict]]:
+    _check_opts("xml", a, {"source", "schema", "xpath"}, {"store_xml", "target"})
     if "source" not in a:
         raise ConfCompileError("xml: missing source")
+    if "xpath" in a:
+        # xpath => { "expr" => "dest", ... } — ElementTree-subset evaluation,
+        # arrays per dest field (logstash-filter-xml semantics)
+        xp = a["xpath"]
+        if not isinstance(xp, dict) or not xp:
+            raise ConfCompileError("xml: xpath must be a hash of expr => dest_field")
+        return [("xml_xpath", {"source": a["source"], "xpath": dict(xp)})]
     if "schema" not in a:
         raise ConfCompileError(
             "xml: this engine needs an explicit `schema => \"...\"` "
-            "(fixed-schema model, same contract as the json filter)"
+            "(fixed-schema model, same contract as the json filter) or an "
+            "`xpath => {...}` hash"
         )
     return [("xml", {"source": a["source"], "schema": a["schema"]})]
 

@@ -242,3 +242,93 @@ def syslog_pri(
 def xml_parse(df: DataFrame, source: str, schema: str) -> DataFrame:
     """`xml` filter (default_plugins.rb:48) — Spark 4's from_xml."""
     return df.withColumn("_xml", F.from_xml(F.col(source), F.lit(schema)))
+
+
+def xml_xpath(df: DataFrame, source: str, xpath: dict[str, str]) -> DataFrame:
+    """The xml filter's ``xpath => {"expr" => "dest_field"}`` mode: each
+    expression is evaluated against the document and the matches land in
+    ``dest_field`` as an ARRAY of strings (the plugin always stores arrays
+    — logstash-filter-xml stores each nokogiri match per field).
+
+    Engine note: the plugin uses nokogiri (full XPath 1.0); this kernel is
+    stdlib ``xml.etree`` running the ElementTree subset — element paths
+    (``.//item``, ``/root/a/b``, ``tag[@attr='v']`` predicates) plus two
+    pragmatic extensions resolved here: a trailing ``/text()`` returns
+    element text (as nokogiri does) and a trailing ``/@attr`` returns that
+    attribute. Unmatched/unparseable docs yield null and tag
+    ``_xmlparsefailure`` (plugin behavior).
+
+    Scale shape: parsing XML is genuinely non-columnar → Arrow-batched
+    mapInPandas, one pass for ALL expressions (the document is parsed once
+    per row however many xpath entries there are), schema fixed up front so
+    the operator composes in a fixed-schema pipeline.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(dest, T.ArrayType(T.StringType())) for dest in xpath.values()]
+        + ([] if "tags" in df.columns else [T.StructField("tags", T.ArrayType(T.StringType()))])
+    )
+    exprs = list(xpath.items())
+    had_tags = "tags" in df.columns
+
+    def run(batches):
+        import xml.etree.ElementTree as ET
+
+        def eval_one(doc: str):
+            vals: list = []
+            try:
+                root = ET.fromstring(doc) if doc else None
+            except ET.ParseError:
+                root = None
+            if root is None:
+                return [None] * len(exprs), True
+            for expr, _dest in exprs:
+                attr = None
+                path = expr
+                if "/@" in path:
+                    path, attr = path.rsplit("/@", 1)
+                if path.endswith("/text()"):
+                    path = path[: -len("/text()")]
+                # ElementTree rejects absolute paths; '/root/x' -> x relative
+                # to root when the first segment names the root element
+                if path.startswith("/"):
+                    segs = [s for s in path.split("/") if s]
+                    if segs and segs[0] == root.tag:
+                        path = "./" + "/".join(segs[1:]) if len(segs) > 1 else "."
+                    else:
+                        path = ".//" + "/".join(segs)
+                try:
+                    nodes = root.findall(path) if path not in (".", "") else [root]
+                except SyntaxError:
+                    nodes = []
+                if attr is not None:
+                    got = [n.get(attr) for n in nodes if n.get(attr) is not None]
+                else:
+                    got = [(n.text or "") for n in nodes]
+                vals.append(got if got else None)
+            return vals, False
+
+        for pdf in batches:
+            cols: list[list] = [[] for _ in exprs]
+            failed: list[bool] = []
+            for doc in pdf[source].tolist():
+                vals, bad = eval_one(doc)
+                failed.append(bad)
+                for i, v in enumerate(vals):
+                    cols[i].append(v)
+            for (_e, dest), vs in zip(exprs, cols):
+                pdf[dest] = vs
+            base = pdf["tags"].tolist() if had_tags else [None] * len(pdf)
+            new_tags = []
+            for t, bad in zip(base, failed):
+                cur = list(t) if t is not None else None
+                if bad:
+                    new_tags.append((cur or []) + ["_xmlparsefailure"])
+                else:
+                    new_tags.append(cur)
+            pdf["tags"] = pd.Series(new_tags, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -46,7 +46,16 @@ def q(name: str, oracle: str | None = None):
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pages_from_events(spark, sf_dir)
+    p = pages_from_events(spark, sf_dir)
+    # The local testdata is one single-row-group parquet file, which Spark
+    # cannot split — every map-heavy pages query would run as ONE task. A
+    # real corpus scan arrives pre-partitioned (thousands of files/row
+    # groups), so this repartition is conditional: it only fires when the
+    # scan's own parallelism is below the cluster's, i.e. never at scale.
+    par = spark.sparkContext.defaultParallelism
+    if par > 1 and p.rdd.getNumPartitions() < par:
+        p = p.repartition(par)
+    return p
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "kv": parse.kv,
     "csv": parse.csv_parse,
     "xml": parse.xml_parse,
+    "xml_xpath": parse.xml_xpath,
     "urldecode": lambda df, fields: parse.urldecode(df, *fields),
     "syslog_pri": parse.syslog_pri,
     "syslog": parse.syslog_decode,

@@ -647,3 +647,49 @@ def test_multiline_codec_validation_and_per_file_grouping(spark, tmp_path):
         """)
         pipe2, inputs2 = compile_file(str(bad), out_dir=str(tmp_path))
         bind_input(spark, inputs2[0])
+
+
+def test_xml_xpath_elementtree_subset(spark):
+    from logstash_spark.operators.parse import xml_xpath
+
+    df = spark.createDataFrame(
+        [
+            (0, '<log level="warn"><msg>disk full</msg><msg>retrying</msg><host>web1</host></log>', None),
+            (1, '<log level="info"><host>web2</host></log>', ["seen"]),
+            (2, "not xml <<<", None),
+            (3, None, None),
+        ],
+        "id long, raw string, tags array<string>",
+    )
+    out = xml_xpath(
+        df,
+        "raw",
+        {
+            ".//msg/text()": "messages",
+            "/log/host": "hosts",
+            "/log/@level": "levels",
+        },
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[0]["messages"] == ["disk full", "retrying"]
+    assert rows[0]["hosts"] == ["web1"] and rows[0]["levels"] == ["warn"]
+    assert rows[0]["tags"] is None
+    assert rows[1]["messages"] is None and rows[1]["hosts"] == ["web2"]
+    assert rows[1]["tags"] == ["seen"]  # success keeps existing tags
+    assert rows[2]["messages"] is None and rows[2]["tags"] == ["_xmlparsefailure"]
+    assert rows[3]["tags"] == ["_xmlparsefailure"]
+
+
+def test_xml_xpath_conf_translation(spark, tmp_path):
+    from logstash_spark.conf import compile_config
+
+    pipe, _inputs = compile_config(
+        'filter { xml { source => "raw" xpath => { "//item/text()" => "items" } } } '
+        "output { null {} }",
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame(
+        [(0, "<r><item>a</item><item>b</item></r>")], "id long, raw string"
+    )
+    out = pipe.transform(df)
+    assert out.collect()[0]["items"] == ["a", "b"]
