@@ -81,6 +81,9 @@ HEADLINE = [
     "ngram_counts",
     "tfidf_topk",
     "deterministic_shuffle",
+    "sequence_pack",
+    "chunk_text",
+    "xml_xpath_extract",
 ]
 
 

@@ -1,0 +1,134 @@
+"""Training-sequence packing: map a document corpus onto fixed-length
+context windows.
+
+LLM pretraining consumes documents as a single token stream cut into
+``capacity``-token sequences (concat-then-chunk — docs straddle sequence
+boundaries; the alternative greedy no-straddle bin packing is inherently
+sequential and retry-unstable, so the streaming concat form is what
+production pipelines use). The packing plan is a pure function of the
+corpus: given a deterministic total order (the same md5-key order as
+``sample.deterministic_shuffle``) and per-doc token counts, each document's
+global token offset — and therefore the first/last sequence it lands in —
+is a prefix sum.
+
+Scale shape (the whole point): the naive ``sum() OVER (ORDER BY key)`` is
+a single-partition global window — one task scans the corpus. Instead the
+same two-phase trick as deterministic_shuffle:
+
+1. token prefix-sum WITHIN each md5-hex-prefix shard (16^prefix_len-way
+   parallel window; md5 prefixes are uniform so shards balance),
+2. per-shard token totals -> cumulative shard offsets (a 16..65536-row
+   frame) broadcast back,
+3. global offset = shard offset + in-shard prefix sum.
+
+Two shuffles, both keyed on the shard prefix (Catalyst reuses the exchange
+between the window and the aggregate). No Python, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from logstash_spark.functions.sample import sample_key
+
+
+def sequence_pack(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    capacity: int = 2048,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Assign every document its slice of the packed token stream.
+
+    Returns ``(id_col, n_tokens, start_off, seq_first, seq_last)`` where
+    ``start_off`` is the document's 0-based offset in the concatenated
+    stream (md5-key order, id as tiebreak — retry/engine stable),
+    ``seq_first``/``seq_last`` are the first and last ``capacity``-token
+    sequences the document overlaps. A downstream writer groups by
+    sequence id (``seq_first..seq_last`` exploded) to materialize shards.
+    """
+    if capacity <= 0:
+        raise ValueError("sequence_pack: capacity must be positive")
+    key = sample_key(F.col(id_col))
+    rows = df.select(
+        F.col(id_col), F.col(tokens_col).cast("long").alias("n_tokens"), key.alias("skey")
+    ).withColumn("shard", F.substring("skey", 1, prefix_len))
+    w = W.partitionBy("shard").orderBy("skey", id_col)
+    # prefix sum EXCLUSIVE of the current row = this doc's start offset
+    ranked = rows.withColumn(
+        "_local_off",
+        F.coalesce(F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)),
+    )
+    totals = rows.groupBy("shard").agg(F.sum("n_tokens").alias("_tot"))
+    offs = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_tot").over(W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("shard", "_off")
+    out = (
+        ranked.join(F.broadcast(offs), "shard")
+        .withColumn("start_off", F.col("_off") + F.col("_local_off"))
+        .withColumn("seq_first", F.floor(F.col("start_off") / capacity))
+        .withColumn(
+            "seq_last",
+            # last token sits at start_off + n_tokens - 1; empty docs
+            # (n_tokens = 0) occupy no sequence -> seq_last < seq_first
+            F.floor((F.col("start_off") + F.col("n_tokens") - 1) / capacity),
+        )
+        .select(id_col, "n_tokens", "start_off", "seq_first", "seq_last")
+    )
+    return out
+
+
+def chunk_text(
+    df: DataFrame,
+    *,
+    source: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking for retrieval/embedding corpora: split the
+    document into whitespace tokens and emit overlapping windows of
+    ``chunk_tokens`` tokens every ``stride`` tokens (overlap =
+    chunk_tokens - stride). The final window is the shorter tail; a
+    document shorter than one window yields exactly one chunk.
+
+    Returns ``(id_col, chunk_id, n_chunk_tokens, chunk)``.
+
+    Scale shape: pure per-row JVM — split once, then ``sequence`` +
+    ``transform``(slice + array_join) + ``posexplode``. No Python, no
+    shuffle; the 1->N fan-out happens inside the scan stage, so this
+    composes with dedup/embedding stages downstream without its own
+    exchange. Fan-out is bounded by ceil(doc_tokens/stride).
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_text: chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(source)), r"\s+")
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... strictly below n (and at
+    # least one window for empty/short docs)
+    n_wins = F.greatest(F.ceil(n / F.lit(stride)).cast("int"), F.lit(1))
+    starts = F.sequence(F.lit(0), (n_wins - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        # slice() is 1-based; length caps at the tail
+        lambda s: F.array_join(F.slice(toks, s + 1, F.lit(chunk_tokens)), " "),
+    )
+    out = df.select(
+        F.col(id_col), n.alias("_n_toks"), F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.least(
+            F.lit(chunk_tokens), F.col("_n_toks") - F.col("chunk_id") * stride
+        ).alias("n_chunk_tokens"),
+        "chunk",
+    )

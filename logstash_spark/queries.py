@@ -2430,3 +2430,102 @@ def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return deterministic_shuffle(d)
+
+
+@q(
+    "sequence_pack",
+    """WITH s AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS skey
+  FROM documents
+), o AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM s
+)
+SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       CAST(floor(start_off / 256.0) AS BIGINT) AS seq_first,
+       CAST(floor((start_off + n_tokens - 1) / 256.0) AS BIGINT) AS seq_last
+FROM o""",
+)
+def sequence_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk training-sequence packing: every doc's slice of
+    the packed 256-token stream, via two-phase sharded prefix sums (the
+    oracle's single global window is exactly the shape the engine avoids)."""
+    from logstash_spark.functions.pack import sequence_pack
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return sequence_pack(d, capacity=256)
+
+
+@q(
+    "chunk_text",
+    """WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, len(toks) AS n, toks,
+         unnest(generate_series(0,
+           CAST(greatest(ceil(len(toks) / 8.0), 1) AS BIGINT) - 1)) AS cid
+  FROM t
+)
+SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+       CAST(least(12, n - cid * 8) AS INT) AS n_chunk_tokens,
+       array_to_string(toks[CAST(cid * 8 + 1 AS INT):CAST(cid * 8 + 12 AS INT)], ' ') AS chunk
+FROM w""",
+)
+def chunk_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (12-token windows every 8 tokens) for
+    retrieval/embedding corpora — pure JVM sequence/transform/posexplode,
+    1->N fan-out inside the scan stage."""
+    from logstash_spark.functions.pack import chunk_text
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_text(d, chunk_tokens=12, stride=8)
+
+
+@q(
+    "xml_xpath_extract",
+    """SELECT event_id,
+       CASE CAST(event_id % 3 AS INT)
+         WHEN 0 THEN NULL
+         WHEN 1 THEN 'm' || CAST(event_id AS VARCHAR)
+         ELSE 'm' || CAST(event_id AS VARCHAR) || '|n' || CAST(event_id AS VARCHAR)
+       END AS msgs,
+       'h' || CAST(user_id AS VARCHAR) AS hosts,
+       event_type AS levels
+FROM events""",
+)
+def xml_xpath_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xpath mode of the xml filter over synthesized per-event documents:
+    ground truth is reconstructible from the same columns the XML was built
+    from, so every extracted array is value-hash-checked (arrays flattened
+    with '|' for the compare, null = no match)."""
+    from logstash_spark.operators.parse import xml_xpath
+
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('<log level="'), F.col("event_type"), F.lit('">'),
+        F.when(F.col("event_id") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("<msg>m"), F.col("event_id").cast("string"), F.lit("</msg>"))
+        ),
+        F.when(F.col("event_id") % 3 == 2,
+               F.concat(F.lit("<msg>n"), F.col("event_id").cast("string"), F.lit("</msg>"))
+               ).otherwise(F.lit("")),
+        F.lit("<host>h"), F.col("user_id").cast("string"), F.lit("</host></log>"),
+    )
+    x = xml_xpath(
+        ev.select("event_id", doc.alias("raw")),
+        "raw",
+        {".//msg/text()": "msgs_a", "/log/host": "hosts_a", "/log/@level": "levels_a"},
+    )
+    return x.select(
+        "event_id",
+        F.array_join(F.col("msgs_a"), "|").alias("msgs"),
+        F.array_join(F.col("hosts_a"), "|").alias("hosts"),
+        F.array_join(F.col("levels_a"), "|").alias("levels"),
+    )

@@ -1,0 +1,75 @@
+"""Sequence packing + sliding-window chunking (functions/pack.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_spark.functions.pack import chunk_text, sequence_pack
+
+
+def test_sequence_pack_offsets_partition_token_stream(spark):
+    df = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(50)], "doc_id long, n_tokens long"
+    )
+    out = sequence_pack(df, capacity=32).collect()
+    assert len(out) == 50
+    # offsets tile the stream exactly: sorted by start_off, each doc begins
+    # where the previous ended, and the total equals the token sum
+    rows = sorted(out, key=lambda r: r["start_off"])
+    pos = 0
+    for r in rows:
+        assert r["start_off"] == pos
+        pos += r["n_tokens"]
+    assert pos == sum(10 + i % 7 for i in range(50))
+    for r in rows:
+        assert r["seq_first"] == r["start_off"] // 32
+        assert r["seq_last"] == (r["start_off"] + r["n_tokens"] - 1) // 32
+        assert r["seq_last"] >= r["seq_first"]
+
+
+def test_sequence_pack_is_retry_stable_pure_function(spark):
+    df = spark.createDataFrame([(i, 5) for i in range(40)], "doc_id long, n_tokens long")
+    a = {r["doc_id"]: r["start_off"] for r in sequence_pack(df, capacity=16).collect()}
+    b = {
+        r["doc_id"]: r["start_off"]
+        for r in sequence_pack(df.repartition(7), capacity=16).collect()
+    }
+    assert a == b  # order is a pure function of ids, not of partitioning
+
+
+def test_sequence_pack_empty_doc_occupies_no_sequence(spark):
+    df = spark.createDataFrame([(1, 0), (2, 8)], "doc_id long, n_tokens long")
+    rows = {r["doc_id"]: r for r in sequence_pack(df, capacity=4).collect()}
+    assert rows[1]["seq_last"] < rows[1]["seq_first"]  # zero-width slice
+
+
+def test_sequence_pack_rejects_bad_capacity(spark):
+    df = spark.createDataFrame([(1, 1)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        sequence_pack(df, capacity=0)
+
+
+def test_chunk_text_windows_and_tail(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_text(df, chunk_tokens=4, stride=3).collect(), key=lambda r: r["chunk_id"]
+    )
+    # 10 tokens, stride 3 -> starts 0,3,6,9 -> 4 windows, last is the 1-token tail
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["chunk"] == "w0 w1 w2 w3"
+    assert rows[1]["chunk"] == "w3 w4 w5 w6"
+    assert rows[3]["chunk"] == "w9"
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 1]
+
+
+def test_chunk_text_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    rows = chunk_text(df, chunk_tokens=8, stride=6).collect()
+    assert len(rows) == 1 and rows[0]["chunk"] == "a b" and rows[0]["n_chunk_tokens"] == 2
+
+
+def test_chunk_text_plan_has_no_python_and_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
