@@ -128,8 +128,12 @@ def e2e_docs_per_sec(spark, n_docs: int) -> float:
     from logstash_spark.queries import QUERIES  # noqa: F401  (registry import side effects)
     from logstash_spark.bench_pipeline import build_e2e
 
-    build_e2e(spark, 100_000).write.format("noop").mode("overwrite").save()  # warm JIT/workers
     df = build_e2e(spark, n_docs)
+    # warm at FULL size, untimed: measured ramp on identical reruns is
+    # 38s -> 20s -> 4.8s -> 3.7s (Python-worker pool + C2 JIT + Arrow path
+    # warm over the first full-size executions; a 100k warmup was not
+    # enough) — the timed best-of-3 below starts at steady state
+    force(df)
     dt = 1e18
     # best-of-3: the sandbox machine shows heavy co-tenant noise (measured
     # 3x run-to-run swing on identical code); min is the engine's number
@@ -297,8 +301,11 @@ def run_scaling() -> None:
         "from logstash_spark.session import get_spark;"
         "from logstash_spark.bench_pipeline import build_e2e;"
         "spark=get_spark('scale');"
-        "build_e2e(spark,200000).write.format('noop').mode('overwrite').save();"
         f"df=build_e2e(spark,{n_docs});"
+        # full-size untimed warmup: worker pool + C2 JIT ramp over the first
+        # full-size execution (measured 38s->20s->4.8s->3.7s); small warmups
+        # under-warm and bias the SLOWER core counts upward
+        "df.write.format('noop').mode('overwrite').save();"
         "best=1e18\n"
         "for _ in range(2):\n"
         "    t0=time.perf_counter()\n"
