@@ -84,6 +84,9 @@ HEADLINE = [
     "sequence_pack",
     "chunk_text",
     "xml_xpath_extract",
+    "pack_manifest",
+    "unigram_score",
+    "filter_funnel",
 ]
 
 

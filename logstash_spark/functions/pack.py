@@ -132,3 +132,48 @@ def chunk_text(
         ).alias("n_chunk_tokens"),
         "chunk",
     )
+
+
+def pack_manifest(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    capacity: int = 2048,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """The writer-side view of ``sequence_pack``: one row per
+    (sequence, document-slice) — which token range of which document fills
+    which span of each training sequence.
+
+    Returns ``(seq_id, id_col, tok_lo, tok_hi, seq_off)``: document tokens
+    ``[tok_lo, tok_hi)`` land at offset ``seq_off`` of sequence ``seq_id``.
+    Invariants (pinned by tests): slices tile each sequence exactly
+    (sum(tok_hi-tok_lo) == capacity for every sequence but the last), and
+    per-doc slices tile the document.
+
+    Scale shape: sequence_pack's two shuffles, then a pure per-row explode
+    (a doc spans ceil(n_tokens/capacity)+1 sequences at most — the fan-out
+    is tiny and happens map-side). A writer groups this by
+    ``repartitionByRange(seq_id)`` so shard files come out in stream order.
+    """
+    packed = sequence_pack(
+        df, id_col=id_col, tokens_col=tokens_col, capacity=capacity, prefix_len=prefix_len
+    )
+    # empty docs (seq_last < seq_first) must yield no rows: sequence() would
+    # generate a DESCENDING range for them
+    seqs = F.when(
+        F.col("n_tokens") > 0, F.sequence(F.col("seq_first"), F.col("seq_last"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    e = packed.select(
+        id_col, "n_tokens", "start_off", F.explode(seqs).alias("seq_id")
+    )
+    g_lo = F.greatest(F.col("start_off"), F.col("seq_id") * capacity)
+    g_hi = F.least(F.col("start_off") + F.col("n_tokens"), (F.col("seq_id") + 1) * capacity)
+    return e.select(
+        "seq_id",
+        id_col,
+        (g_lo - F.col("start_off")).alias("tok_lo"),
+        (g_hi - F.col("start_off")).alias("tok_hi"),
+        (g_lo - F.col("seq_id") * capacity).alias("seq_off"),
+    )

@@ -141,3 +141,91 @@ def domain_mixture(
         .withColumn("doc_share", F.col("n_docs").cast("double") / F.col("n_total"))
         .select(group_col, "n_docs", "n_tokens", "doc_share")
     )
+
+
+def unigram_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Perplexity-proxy quality score (CCNet-style): how "surprising" a
+    document is under the corpus's own unigram distribution. The LM is the
+    corpus unigram table thresholded at ``min_count`` (a deterministic
+    SET — never top-N-with-ties); each in-vocab token contributes
+    ``floor(scale / count)`` (rare token -> large rarity), out-of-vocab
+    tokens contribute the maximum ``scale``. High score = rare-token-heavy
+    (gibberish / boilerplate-free / OOD), exactly the axis perplexity
+    filters threshold on.
+
+    Returns ``(id_col, n_tokens, n_oov, rarity_sum, rarity_avg)``.
+
+    Determinism: rarities are LONGS, so per-doc sums are order-independent
+    and bit-identical cross-engine (a float ``avg(log p)`` would differ by
+    summation order; same trick as tfidf's log-free idf). rarity_avg is a
+    single exactly-rounded long/long division at the end.
+
+    Scale shape: vocab build is one Zipf-safe shuffle (map-side partials
+    absorb "the"); scoring is explode -> token-keyed join -> id-keyed agg.
+    The vocab after min-count thresholding is millions of rows at web
+    scale — broadcastable when small; this implementation leaves the join
+    strategy to AQE (the token join key is the same Zipf distribution the
+    partial aggs already flattened, and the vocab side arrives
+    pre-aggregated: one row per token)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    scored = toks.join(vocab, "tok", "left").select(
+        id_col,
+        F.coalesce(
+            F.floor(F.lit(float(scale)) / F.col("cnt")), F.lit(scale).cast("long")
+        ).alias("rarity"),
+        F.col("cnt").isNull().cast("long").alias("oov"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").alias("n_oov"),
+        F.sum("rarity").alias("rarity_sum"),
+        F.floor(F.sum("rarity") / F.count(F.lit(1))).alias("rarity_avg"),
+    )
+
+
+def filter_funnel(
+    df: DataFrame,
+    gates: list[tuple[str, Column]],
+) -> DataFrame:
+    """Removal accounting for a cleaning pipeline: how many documents
+    survive each gate CUMULATIVELY (gate k counts docs passing gates
+    1..k). The "no silent caps" table every corpus-cleaning report leads
+    with — which stage ate the data.
+
+    ``gates`` is ordered ``[(stage_name, boolean Column), ...]``.
+    Returns ``(stage, n_kept, n_removed_here)`` — one row per gate plus
+    the 'input' row.
+
+    Scale shape: ONE pass — every cumulative gate is a conditional-sum
+    column in a single aggregate (no per-stage jobs, no cache); the 100 TB
+    scan happens once and the result is len(gates)+1 rows."""
+    aggs = [F.count(F.lit(1)).alias("_n_input")]
+    cum = None
+    for name, cond in gates:
+        cum = cond if cum is None else (cum & cond)
+        aggs.append(F.sum(cum.cast("long")).alias(f"_n_{name}"))
+    row = df.agg(*aggs).collect()[0]  # len(gates)+1 longs — driver-safe
+    spark = df.sparkSession
+    counts = [("input", int(row["_n_input"]))] + [
+        (name, int(row[f"_n_{name}"])) for name, _ in gates
+    ]
+    out = []
+    for i, (name, n) in enumerate(counts):
+        prev = counts[i - 1][1] if i else n
+        out.append((i, name, n, prev - n))
+    return spark.createDataFrame(
+        out, "stage_idx int, stage string, n_kept bigint, n_removed_here bigint"
+    )

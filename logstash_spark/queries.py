@@ -2529,3 +2529,102 @@ def xml_xpath_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("hosts_a"), "|").alias("hosts"),
         F.array_join(F.col("levels_a"), "|").alias("levels"),
     )
+
+
+@q(
+    "unigram_score",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok HAVING count(*) >= 3
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.cnt IS NULL THEN 1000000
+                ELSE CAST(floor(1000000.0 / v.cnt) AS BIGINT) END) AS BIGINT) AS rarity_sum,
+       CAST(floor(sum(CASE WHEN v.cnt IS NULL THEN 1000000
+                ELSE CAST(floor(1000000.0 / v.cnt) AS BIGINT) END) * 1.0 / count(*)) AS BIGINT)
+         AS rarity_avg
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.doc_id""",
+)
+def unigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy quality score under the corpus's own
+    unigram LM — integer rarity space so per-doc sums are order-independent
+    and bit-identical cross-engine."""
+    from logstash_spark.functions.stats import unigram_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_score(d, min_count=3)
+
+
+@q(
+    "pack_manifest",
+    """WITH s AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS skey
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM s
+), e AS (
+  SELECT doc_id, n_tokens, start_off,
+         unnest(generate_series(CAST(floor(start_off / 256.0) AS BIGINT),
+                                CAST(floor((start_off + n_tokens - 1) / 256.0) AS BIGINT))) AS seq_id
+  FROM o WHERE n_tokens > 0
+)
+SELECT seq_id, doc_id,
+       CAST(greatest(start_off, seq_id * 256) - start_off AS BIGINT) AS tok_lo,
+       CAST(least(start_off + n_tokens, (seq_id + 1) * 256) - start_off AS BIGINT) AS tok_hi,
+       CAST(greatest(start_off, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_off
+FROM e""",
+)
+def pack_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side packing manifest: (sequence, doc-slice) rows tiling each
+    256-token training sequence; sharded prefix sums + map-side explode."""
+    from logstash_spark.functions.pack import pack_manifest
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return pack_manifest(d, capacity=256)
+
+
+@q(
+    "filter_funnel",
+    """WITH d AS (
+  SELECT n_chars, len(string_split_regex(trim(text), '\\s+')) AS toks, lang
+  FROM documents
+), a AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN n_chars >= 60 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN n_chars >= 60 AND toks >= 12 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN n_chars >= 60 AND toks >= 12
+                   AND lang IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS n3
+  FROM d
+)
+SELECT 0 AS stage_idx, 'input' AS stage, CAST(n0 AS BIGINT) AS n_kept,
+       CAST(0 AS BIGINT) AS n_removed_here FROM a
+UNION ALL SELECT 1, 'min_chars', CAST(n1 AS BIGINT), CAST(n0 - n1 AS BIGINT) FROM a
+UNION ALL SELECT 2, 'min_tokens', CAST(n2 AS BIGINT), CAST(n1 - n2 AS BIGINT) FROM a
+UNION ALL SELECT 3, 'lang_latin', CAST(n3 AS BIGINT), CAST(n2 - n3 AS BIGINT) FROM a""",
+)
+def filter_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-funnel removal accounting: cumulative survivors per gate in
+    ONE conditional-sum aggregate pass (the 'which stage ate the data'
+    table; no per-stage jobs)."""
+    from logstash_spark.functions.stats import filter_funnel
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return filter_funnel(
+        d,
+        [
+            ("min_chars", F.col("n_chars") >= 60),
+            ("min_tokens", toks >= 12),
+            ("lang_latin", F.col("lang").isin("en", "de", "fr", "es")),
+        ],
+    )

@@ -73,3 +73,70 @@ def test_chunk_text_plan_has_no_python_and_no_shuffle(spark):
     plan = chunk_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_pack_manifest_tiles_sequences_and_docs(spark):
+    from logstash_spark.functions.pack import pack_manifest
+
+    df = spark.createDataFrame(
+        [(i, 7 + (i * 3) % 11) for i in range(60)] + [(999, 0)],
+        "doc_id long, n_tokens long",
+    )
+    m = pack_manifest(df, capacity=16).collect()
+    assert all(r["doc_id"] != 999 for r in m)  # empty doc -> no slices
+    # per-sequence tiling: every sequence except the last is exactly full
+    by_seq = {}
+    for r in m:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    total = sum(7 + (i * 3) % 11 for i in range(60))
+    last = max(by_seq)
+    for sid, rows in by_seq.items():
+        width = sum(r["tok_hi"] - r["tok_lo"] for r in rows)
+        assert width == (16 if sid != last else total - 16 * last)
+        # slices are contiguous within the sequence
+        spans = sorted((r["seq_off"], r["seq_off"] + (r["tok_hi"] - r["tok_lo"])) for r in rows)
+        pos = 0
+        for lo, hi in spans:
+            assert lo == pos
+            pos = hi
+    # per-doc tiling: slices cover [0, n_tokens) without gaps
+    by_doc = {}
+    for r in m:
+        by_doc.setdefault(r["doc_id"], []).append((r["tok_lo"], r["tok_hi"]))
+    for i in range(60):
+        spans = sorted(by_doc[i])
+        assert spans[0][0] == 0 and spans[-1][1] == 7 + (i * 3) % 11
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c
+
+
+def test_unigram_score_rarity_math(spark):
+    from logstash_spark.functions.stats import unigram_score
+
+    # 'common' appears 4x (in vocab at min_count=3); 'rare'/'once' are OOV
+    df = spark.createDataFrame(
+        [(1, "common common rare"), (2, "common common once")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_score(df, min_count=3).collect()}
+    for i in (1, 2):
+        r = rows[i]
+        assert r["n_tokens"] == 3 and r["n_oov"] == 1
+        assert r["rarity_sum"] == 2 * (1_000_000 // 4) + 1_000_000
+        assert r["rarity_avg"] == r["rarity_sum"] // 3
+
+
+def test_filter_funnel_cumulative_accounting(spark):
+    from pyspark.sql import functions as F
+    from logstash_spark.functions.stats import filter_funnel
+
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 3, "en"), (3, 10, "zz"), (4, 10, "en")],
+        "id long, n long, lang string",
+    )
+    rows = {r["stage"]: r for r in filter_funnel(
+        df, [("min_n", F.col("n") >= 5), ("lang", F.col("lang") == "en")]
+    ).collect()}
+    assert rows["input"]["n_kept"] == 4
+    assert rows["min_n"]["n_kept"] == 3 and rows["min_n"]["n_removed_here"] == 1
+    assert rows["lang"]["n_kept"] == 2 and rows["lang"]["n_removed_here"] == 1
