@@ -87,6 +87,7 @@ HEADLINE = [
     "pack_manifest",
     "unigram_score",
     "filter_funnel",
+    "elapsed_pairing",
 ]
 
 

@@ -40,6 +40,8 @@ _COMMON = {"add_field", "add_tag", "remove_field", "remove_tag", "type", "tags",
 _OPTION_TYPES: dict[str, dict[str, str]] = {
     "drop": {"percentage": "number"},
     "throttle": {"max_count": "number", "period": "number", "key": "string"},
+    "elapsed": {"start_tag": "string", "end_tag": "string",
+                "unique_id_field": "string", "timeout": "number"},
     "multiline": {"negate": "boolean", "pattern": "string", "max_lines": "number"},
     "grok": {"patterns_dir": "array", "tag_on_failure": "array", "break_on_match": "boolean"},
     "metrics": {"flush_interval": "number", "meter": "array"},
@@ -435,6 +437,25 @@ def _t_dns(a: dict) -> list[tuple[str, dict]]:
     return [("dns_db", params)]
 
 
+def _t_elapsed(a: dict) -> list[tuple[str, dict]]:
+    """elapsed plugin (logstash-filter-elapsed): start/end tag pairing by
+    unique_id_field; timeout expires starts."""
+    _check_opts("elapsed", a, {"start_tag", "end_tag", "unique_id_field"},
+                {"timeout", "timestamp_field"})
+    for req in ("start_tag", "end_tag", "unique_id_field"):
+        if req not in a:
+            raise ConfCompileError(f"elapsed: missing required option '{req}'")
+    params: dict[str, Any] = {
+        "start_tag": str(a["start_tag"]),
+        "end_tag": str(a["end_tag"]),
+        "unique_id_field": _sprintf_field(a["unique_id_field"]),
+        "ts": a.get("timestamp_field", "@timestamp"),
+    }
+    if "timeout" in a:
+        params["timeout"] = int(a["timeout"])
+    return [("elapsed", params)]
+
+
 _FILTER_TRANSLATORS = {
     "grok": _t_grok,
     "geoip": _t_geoip,
@@ -464,6 +485,7 @@ _FILTER_TRANSLATORS = {
     "uuid": lambda a: [("uuid", {**({"target": a["target"]} if "target" in a else {})})],
     "sleep": lambda a: [("sleep", {})],
     "throttle": _t_throttle,
+    "elapsed": _t_elapsed,
     "ruby": lambda a: (_ for _ in ()).throw(ConfCompileError(
         "ruby: arbitrary per-event code cannot compile from .conf; use the "
         "library API — registry op 'ruby' is the Arrow-batched mapInPandas "

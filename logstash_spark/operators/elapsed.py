@@ -1,0 +1,139 @@
+"""``elapsed`` filter: time between a start and an end event correlated by
+a unique id (plugin manifest: logstash-filter-elapsed; semantics from the
+plugin docs — the reference repo ships plugins out-of-tree).
+
+Row-engine semantics being reproduced: a start event is REMEMBERED per id
+(a newer start overwrites an older unmatched one); the next end event for
+that id CONSUMES it — the end event gains ``elapsed_ms`` (the plugin emits
+float seconds; milliseconds keep the value integral and cross-engine
+exact), ``elapsed_start_ts`` and tag ``elapsed_end_with_match``; an end
+with no pending start gets ``elapsed_end_without_match``. Start events and
+other rows pass through untouched.
+
+Spark design (NOT a port of the plugin's driver-side hash): the pairing is
+two running extrema over an event-time window per correlation id —
+
+- ``last_start_ts`` = max start timestamp seen so far,
+- ``prev_end_ts``   = max end timestamp STRICTLY BEFORE this row;
+
+an end row matches iff a start exists and it is newer than the previous
+end (ends partition each id's timeline, which is exactly
+overwrite-and-consume when rows are processed in time order). Both extrema
+come from ONE window spec, so Catalyst computes them in a single
+WindowExec over a single exchange on the id.
+
+Scale: one shuffle on the correlation key; per-id sequential semantics are
+inherently per-key ordered, so the parallelism unit is the key (billions
+of ids at web scale — fine). A single pathological hot id serializes only
+its own partition-local sort; that is the semantics' price, not a plan
+defect. Batch uses event time where the row engine used arrival order —
+documented divergence (deterministic and retry-stable, which arrival
+order is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def elapsed(
+    df: DataFrame,
+    *,
+    start_when: Column,
+    end_when: Column,
+    unique_id_field: str,
+    ts: str = "@timestamp",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Adds ``elapsed_ms`` / ``elapsed_start_ts`` to matched end events and
+    the plugin's match/no-match tags; all other rows pass through.
+
+    ``start_when`` / ``end_when`` are boolean Columns (the .conf front end
+    compiles the plugin's ``start_tag``/``end_tag`` options to tag
+    membership tests). ``order_tiebreak`` resolves equal timestamps
+    deterministically (defaults to the timestamp only)."""
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = W.partitionBy(unique_id_field).orderBy(*order)
+    tsv = F.col(ts)
+    last_start = F.max(F.when(start_when, tsv)).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.when(end_when, tsv)).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    matched = end_when & last_start.isNotNull() & (
+        prev_end.isNull() | (last_start > prev_end)
+    )
+    # per-timestamp ms truncation (NOT timestamp_diff, which truncates the
+    # DIFFERENCE — off by one when sub-ms digits straddle; this matches any
+    # epoch-ms-based consumer). NTZ columns cast through the session zone,
+    # which the engine pins to UTC (session.py) — no DST hazard.
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # noqa: E731
+    out = df.withColumn(
+        "elapsed_start_ts", F.when(matched, last_start)
+    ).withColumn(
+        "elapsed_ms",
+        F.when(matched, ms(tsv) - ms(F.col("elapsed_start_ts"))),
+    )
+    tag = (
+        F.when(matched, F.array(F.lit("elapsed"), F.lit("elapsed_end_with_match")))
+        .when(end_when, F.array(F.lit("elapsed"), F.lit("elapsed_end_without_match")))
+    )
+    if "tags" in out.columns:
+        new_tags = F.when(
+            tag.isNotNull(),
+            F.concat(F.coalesce(F.col("tags"), F.array().cast("array<string>")), tag),
+        ).otherwise(F.col("tags"))
+    else:
+        new_tags = tag
+    return out.withColumn("tags", new_tags)
+
+
+def elapsed_tags(
+    df: DataFrame,
+    *,
+    start_tag: str,
+    end_tag: str,
+    unique_id_field: str,
+    ts: str = "@timestamp",
+    timeout: int | None = None,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """The plugin's documented config shape: start/end selected by tag
+    membership; ``timeout`` (seconds) expires a start — an end arriving
+    more than ``timeout`` after the remembered start does NOT match (the
+    plugin emits the expired start as an error event from its flusher
+    thread; a batch plan marks the end unmatched instead — documented)."""
+    tags_col = F.coalesce(F.col("tags"), F.array().cast("array<string>"))
+    start_when = F.array_contains(tags_col, start_tag)
+    end_when = F.array_contains(tags_col, end_tag)
+    out = elapsed(
+        df,
+        start_when=start_when,
+        end_when=end_when,
+        unique_id_field=unique_id_field,
+        ts=ts,
+        order_tiebreak=order_tiebreak,
+    )
+    if timeout is not None:
+        expired = F.col("elapsed_ms") > int(timeout) * 1000
+        out = (
+            out.withColumn(
+                "tags",
+                F.when(
+                    expired,
+                    F.concat(
+                        F.array_remove(
+                            F.array_remove(F.col("tags"), "elapsed_end_with_match"),
+                            "elapsed",
+                        ),
+                        F.array(F.lit("elapsed"), F.lit("elapsed_end_without_match")),
+                    ),
+                ).otherwise(F.col("tags")),
+            )
+            .withColumn("elapsed_start_ts", F.when(~F.coalesce(expired, F.lit(False)), F.col("elapsed_start_ts")))
+            .withColumn("elapsed_ms", F.when(~F.coalesce(expired, F.lit(False)), F.col("elapsed_ms")))
+        )
+    return out

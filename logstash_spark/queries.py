@@ -2628,3 +2628,52 @@ def filter_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lang_latin", F.col("lang").isin("en", "de", "fr", "es")),
         ],
     )
+
+
+@q(
+    "elapsed_pairing",
+    """WITH t AS (
+  SELECT event_id, ts, user_id, event_type,
+    max(CASE WHEN event_type = 'view' THEN ts END) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_start,
+    max(CASE WHEN event_type = 'purchase' THEN ts END) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM events
+)
+SELECT event_id, user_id,
+  CASE WHEN last_start IS NOT NULL AND (prev_end IS NULL OR last_start > prev_end)
+       THEN epoch_ms(ts) - epoch_ms(last_start) END AS elapsed_ms,
+  CASE WHEN last_start IS NOT NULL AND (prev_end IS NULL OR last_start > prev_end)
+       THEN 'elapsed_end_with_match' ELSE 'elapsed_end_without_match' END AS status
+FROM t WHERE event_type = 'purchase'""",
+)
+def elapsed_pairing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """elapsed filter (logstash-filter-elapsed): view->purchase latency per
+    user via overwrite-and-consume pairing expressed as two running extrema
+    over ONE window spec (single exchange on the correlation id)."""
+    from logstash_spark.operators.elapsed import elapsed_tags
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tagged = ev.withColumn(
+        "tags",
+        F.when(F.col("event_type") == "view", F.array(F.lit("taskStarted")))
+        .when(F.col("event_type") == "purchase", F.array(F.lit("taskEnded"))),
+    )
+    e = elapsed_tags(
+        tagged,
+        start_tag="taskStarted",
+        end_tag="taskEnded",
+        unique_id_field="user_id",
+        ts="ts",
+        order_tiebreak="event_id",
+    )
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "elapsed_ms",
+        F.element_at(F.col("tags"), -1).alias("status"),
+    )

@@ -19,6 +19,7 @@ from logstash_spark.operators import (
     clone_split,
     codecs,
     date,
+    elapsed,
     enrich,
     fingerprint,
     grok,
@@ -76,6 +77,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     # aggregation-in-flow
     "metrics": metrics.metrics,
     "throttle": metrics.throttle,
+    "elapsed": elapsed.elapsed_tags,
     # codecs / charset
     "charset": charset.decode_charset,
     "charset_fallback": charset.decode_with_fallback,

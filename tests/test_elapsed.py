@@ -1,0 +1,108 @@
+"""elapsed filter: overwrite-and-consume start/end pairing semantics
+(logstash-filter-elapsed), expressed as per-id running extrema."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from logstash_spark.operators.elapsed import elapsed_tags
+
+
+def _mk(spark, rows):
+    # rows: (event_id, second, task, tag)
+    data = [
+        (i, datetime(2024, 1, 1, 0, 0, s), task, [tag] if tag else None)
+        for (i, s, task, tag) in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, task string, tags array<string>"
+    )
+
+
+def _run(spark, rows, **kw):
+    df = _mk(spark, rows)
+    out = elapsed_tags(
+        df, start_tag="s", end_tag="e", unique_id_field="task", ts="ts",
+        order_tiebreak="event_id", **kw,
+    )
+    return {r["event_id"]: r for r in out.collect()}
+
+
+def test_basic_match_and_elapsed_ms(spark):
+    got = _run(spark, [(1, 0, "a", "s"), (2, 10, "a", "e")])
+    assert got[2]["elapsed_ms"] == 10_000
+    assert got[2]["tags"][-2:] == ["elapsed", "elapsed_end_with_match"]
+    assert got[1]["elapsed_ms"] is None  # start passes through untouched
+    assert got[1]["tags"] == ["s"]
+
+
+def test_newer_start_overwrites_older(spark):
+    got = _run(spark, [(1, 0, "a", "s"), (2, 5, "a", "s"), (3, 12, "a", "e")])
+    assert got[3]["elapsed_ms"] == 7_000  # measured from the SECOND start
+
+
+def test_end_consumes_start_second_end_unmatched(spark):
+    got = _run(spark, [(1, 0, "a", "s"), (2, 4, "a", "e"), (3, 9, "a", "e")])
+    assert got[2]["elapsed_ms"] == 4_000
+    assert got[3]["elapsed_ms"] is None
+    assert got[3]["tags"][-1] == "elapsed_end_without_match"
+
+
+def test_end_without_any_start(spark):
+    got = _run(spark, [(1, 3, "a", "e")])
+    assert got[1]["elapsed_ms"] is None
+    assert got[1]["tags"] == ["e", "elapsed", "elapsed_end_without_match"]
+
+
+def test_ids_are_independent(spark):
+    got = _run(spark, [(1, 0, "a", "s"), (2, 2, "b", "e"), (3, 6, "a", "e")])
+    assert got[2]["elapsed_ms"] is None  # b's end cannot see a's start
+    assert got[3]["elapsed_ms"] == 6_000
+
+
+def test_timeout_expires_start(spark):
+    got = _run(
+        spark,
+        [(1, 0, "a", "s"), (2, 50, "a", "e"), (3, 55, "a", "s"), (4, 58, "a", "e")],
+        timeout=30,
+    )
+    assert got[2]["elapsed_ms"] is None  # 50s > 30s timeout -> expired
+    assert got[2]["tags"][-1] == "elapsed_end_without_match"
+    assert got[4]["elapsed_ms"] == 3_000  # fresh pair unaffected
+
+
+def test_other_rows_pass_through(spark):
+    got = _run(spark, [(1, 0, "a", None), (2, 1, "a", "x")])
+    assert got[1]["tags"] is None and got[2]["tags"] == ["x"]
+    assert got[1]["elapsed_ms"] is None
+
+
+def test_conf_translation_end_to_end(spark, tmp_path):
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'filter { elapsed { start_tag => "s" end_tag => "e" '
+        'unique_id_field => "task" timestamp_field => "ts" timeout => 60 } } '
+        "output { null {} }",
+        out_dir=str(tmp_path),
+    )
+    df = _mk(spark, [(1, 0, "a", "s"), (2, 10, "a", "e")])
+    got = {r["event_id"]: r for r in pipe.transform(df).collect()}
+    assert got[2]["elapsed_ms"] == 10_000
+
+
+def test_conf_rejects_unknown_and_missing_options(spark, tmp_path):
+    import pytest
+    from logstash_spark.conf import ConfCompileError, compile_config
+
+    with pytest.raises(ConfCompileError):
+        compile_config(
+            'filter { elapsed { start_tag => "s" } } output { null {} }',
+            out_dir=str(tmp_path),
+        )
+    with pytest.raises(ConfCompileError):
+        compile_config(
+            'filter { elapsed { start_tag => "s" end_tag => "e" '
+            'unique_id_field => "t" bogus => 1 } } output { null {} }',
+            out_dir=str(tmp_path),
+        )
