@@ -233,3 +233,90 @@ def dedup_stream(
         return wm.dropDuplicatesWithinWatermark([key_col])
     except Exception:  # pragma: no cover - pre-3.5 fallback keeps key+time state
         return wm.dropDuplicates([key_col, ts_col])
+
+
+ELAPSED_OUT = T.StructType(
+    [
+        T.StructField("task", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("elapsed_ms", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+ELAPSED_STATE = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("start_event_id", T.LongType()),
+    ]
+)
+
+
+def elapsed_stateful(
+    df: DataFrame,
+    *,
+    id_col: str = "task",
+    ts_col: str = "ts",
+    event_id_col: str = "event_id",
+    tags_col: str = "tags",
+    start_tag: str = "taskStarted",
+    end_tag: str = "taskEnded",
+    timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Streaming ``elapsed`` — the incremental counterpart of
+    ``operators.elapsed``: per-id state holds the one pending start
+    (overwrite-and-consume, exactly the plugin's hash entry). Unlike the
+    batch plan, the streaming form CAN emit the plugin's flusher-thread
+    product: a pending start that times out produces an
+    ``elapsed_expired_error`` row (the batch form can only mark the
+    eventual end unmatched — documented divergence, closed here).
+
+    Elapsed time is EVENT time (the row's ``ts_col``); the GroupState
+    processing-time timeout drives expiry emission, like the plugin's
+    wall-clock flusher. State per id is two longs — never event payloads.
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:
+            start_ms, start_eid = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(k, start_eid, None, "elapsed_expired_error")],
+                columns=["task", "event_id", "elapsed_ms", "status"],
+            )
+            return
+        pending = state.get if state.exists else None
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([ts_col, event_id_col])
+        for _, r in batch.iterrows():
+            tags = r[tags_col] if r[tags_col] is not None else []
+            ms = int(r[ts_col].value // 1_000_000)  # pandas Timestamp -> epoch ms
+            eid = int(r[event_id_col])
+            if start_tag in tags:
+                pending = (ms, eid)
+            elif end_tag in tags:
+                if pending is not None and ms - pending[0] > timeout_ms:
+                    rows.append((k, pending[1], None, "elapsed_expired_error"))
+                    pending = None
+                if pending is None:
+                    rows.append((k, eid, None, "elapsed_end_without_match"))
+                else:
+                    rows.append((k, eid, ms - pending[0], "elapsed_end_with_match"))
+                    pending = None
+        if pending is not None:
+            state.update(tuple(pending))
+            state.setTimeoutDuration(timeout_ms)
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=["task", "event_id", "elapsed_ms", "status"])
+
+    return df.groupBy(id_col).applyInPandasWithState(
+        fn,
+        outputStructType=ELAPSED_OUT,
+        stateStructType=ELAPSED_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -360,3 +360,46 @@ def test_dedup_stream_first_occurrence_wins(spark, tmp_path):
     # batch path: same key semantics via dropDuplicates
     b = dedup_stream(df, watermark="1 hour")
     assert b.count() == 3 and "content_key" in b.columns
+
+
+def test_elapsed_stateful_match_and_expiry(spark, tmp_path):
+    """Streaming elapsed: end consumes the pending start (event-time
+    elapsed); an unmatched pending start expires via the processing-time
+    timeout and emits the plugin's flusher product, an
+    elapsed_expired_error row."""
+    from datetime import datetime
+
+    from logstash_spark.streaming.stateful import elapsed_stateful
+
+    src = str(tmp_path / "esrc")
+    rows = [
+        ("a", 1, datetime(2024, 1, 1, 0, 0, 0), ["taskStarted"]),
+        ("a", 2, datetime(2024, 1, 1, 0, 0, 2), ["taskEnded"]),
+        ("b", 3, datetime(2024, 1, 1, 0, 0, 1), ["taskEnded"]),   # no start
+        ("c", 4, datetime(2024, 1, 1, 0, 0, 2), ["taskStarted"]),  # never ends
+    ]
+    df = spark.createDataFrame(
+        rows, "task string, event_id long, ts timestamp, tags array<string>"
+    )
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = elapsed_stateful(stream, timeout_ms=5000)
+    q = out.writeStream.format("memory").queryName("elap").outputMode("append").start()
+    try:
+        deadline = time.time() + 90
+        got = {}
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = {
+                r["event_id"]: (r["elapsed_ms"], r["status"])
+                for r in spark.sql("select * from elap").collect()
+            }
+            if len(got) == 3:
+                break
+            time.sleep(1)
+        assert got[2] == (2_000, "elapsed_end_with_match")
+        assert got[3] == (None, "elapsed_end_without_match")
+        assert got[4] == (None, "elapsed_expired_error")  # timeout flush
+    finally:
+        q.stop()
