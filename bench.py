@@ -88,6 +88,7 @@ HEADLINE = [
     "unigram_score",
     "filter_funnel",
     "elapsed_pairing",
+    "aggregate_task_map",
 ]
 
 

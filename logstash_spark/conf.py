@@ -486,6 +486,13 @@ _FILTER_TRANSLATORS = {
     "sleep": lambda a: [("sleep", {})],
     "throttle": _t_throttle,
     "elapsed": _t_elapsed,
+    "aggregate": lambda a: (_ for _ in ()).throw(ConfCompileError(
+        "aggregate: the plugin's `code =>` is arbitrary per-event Ruby and "
+        "cannot compile from .conf; the library op 'aggregate' "
+        "(operators.aggregate.aggregate_task) covers the documented "
+        "accumulator patterns (sum/min/max/count per task, emitted on the "
+        "end event); arbitrary code goes through the 'ruby' escape hatch"
+    )),
     "ruby": lambda a: (_ for _ in ()).throw(ConfCompileError(
         "ruby: arbitrary per-event code cannot compile from .conf; use the "
         "library API — registry op 'ruby' is the Arrow-batched mapInPandas "

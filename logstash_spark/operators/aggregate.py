@@ -1,0 +1,78 @@
+"""``aggregate`` filter: accumulate values across the events of a task and
+attach the totals to the task's end event (plugin manifest:
+logstash-filter-aggregate; semantics from the plugin's documented example
+patterns — the reference repo ships plugins out-of-tree).
+
+Row-engine semantics being reproduced (the plugin's example #1 shape): every
+event of a ``task_id`` updates a per-task map (``map['sum'] += duration``);
+the task's END event receives the map and the map is deleted — so a new
+run of the same task_id starts a fresh map. The plugin executes arbitrary
+Ruby per event; this operator compiles the documented ACCUMULATOR subset
+(sum/min/max/count over a numeric field) — arbitrary code goes through the
+``ruby`` escape hatch like everywhere else in this engine.
+
+Spark design (NOT the plugin's driver-side map): "delete map on end" means
+end events PARTITION each task's timeline into segments. Two window passes
+over ONE exchange on the task id:
+
+1. ``seg``  = count of end events STRICTLY BEFORE this row (running count,
+   rows-preceding frame) — the segment number;
+2. the accumulators = running conditional aggregates over
+   ``(task_id, seg)`` up to and including the current row — so the end
+   row (the segment's last row by construction) carries exactly its
+   segment's totals, and pass-through rows keep their running view (the
+   plugin's map is also visible mid-task).
+
+Catalyst plans both windows over a single Exchange(task_id) because the
+partition key of window 2 is a superset prefix of window 1's ordering
+state — verified in tests (exactly one Exchange).
+
+Scale: one shuffle on the task key; parallelism unit = the key, same
+contract (and same hot-key caveat) as ``elapsed``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_ACCS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": lambda c: F.count(c),
+}
+
+
+def aggregate_task(
+    df: DataFrame,
+    *,
+    task_id: str,
+    end_when: Column,
+    field: str,
+    accumulators: tuple[str, ...] = ("sum", "count"),
+    ts: str = "@timestamp",
+    order_tiebreak: str | None = None,
+    prefix: str = "agg_",
+) -> DataFrame:
+    """Adds ``<prefix><acc>`` running-accumulator columns per task segment;
+    the end event of each segment carries the segment totals (the plugin's
+    emitted map). Rows keep flowing — filter ``end_when`` downstream to get
+    only the emitted aggregates."""
+    bad = [a for a in accumulators if a not in _ACCS]
+    if bad:
+        raise ValueError(f"aggregate: unknown accumulators {bad}; supported: {sorted(_ACCS)}")
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w_id = W.partitionBy(task_id).orderBy(*order)
+    seg = F.coalesce(
+        F.sum(end_when.cast("long")).over(w_id.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    out = df.withColumn("_agg_seg", seg)
+    w_seg = W.partitionBy(task_id, "_agg_seg").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    for acc in accumulators:
+        out = out.withColumn(f"{prefix}{acc}", _ACCS[acc](F.col(field)).over(w_seg))
+    return out.drop("_agg_seg")

@@ -2677,3 +2677,49 @@ def elapsed_pairing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "elapsed_ms",
         F.element_at(F.col("tags"), -1).alias("status"),
     )
+
+
+@q(
+    "aggregate_task_map",
+    """WITH t AS (
+  SELECT event_id, ts, user_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+  FROM events
+), a AS (
+  SELECT event_id, user_id, event_type,
+    sum(cents) OVER w AS agg_sum,
+    count(cents) OVER w AS agg_count,
+    max(cents) OVER w AS agg_max
+  FROM t
+  WINDOW w AS (PARTITION BY user_id, seg ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, CAST(agg_sum AS BIGINT) AS agg_sum,
+       CAST(agg_count AS BIGINT) AS agg_count, CAST(agg_max AS BIGINT) AS agg_max
+FROM a WHERE event_type = 'purchase'""",
+)
+def aggregate_task_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate filter (logstash-filter-aggregate): per-task accumulator
+    map emitted on the task's end event; end events partition each task's
+    timeline into segments (= 'delete map on end'), two window passes over
+    one exchange."""
+    from logstash_spark.operators.aggregate import aggregate_task
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    a = aggregate_task(
+        ev,
+        task_id="user_id",
+        end_when=F.col("event_type") == "purchase",
+        field="cents",
+        accumulators=("sum", "count", "max"),
+        ts="ts",
+        order_tiebreak="event_id",
+    )
+    return a.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "agg_sum", "agg_count", "agg_max"
+    )

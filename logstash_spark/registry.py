@@ -15,6 +15,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 from logstash_spark.operators import (
+    aggregate,
     charset,
     clone_split,
     codecs,
@@ -78,6 +79,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "metrics": metrics.metrics,
     "throttle": metrics.throttle,
     "elapsed": elapsed.elapsed_tags,
+    "aggregate": aggregate.aggregate_task,
     # codecs / charset
     "charset": charset.decode_charset,
     "charset_fallback": charset.decode_with_fallback,

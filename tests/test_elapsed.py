@@ -106,3 +106,71 @@ def test_conf_rejects_unknown_and_missing_options(spark, tmp_path):
             'unique_id_field => "t" bogus => 1 } } output { null {} }',
             out_dir=str(tmp_path),
         )
+
+
+# --------------------------------------------------------------------------
+# aggregate filter (same stateful-correlation family)
+# --------------------------------------------------------------------------
+
+
+def test_aggregate_task_segments_and_totals(spark):
+    from datetime import datetime
+    from logstash_spark.operators.aggregate import aggregate_task
+
+    rows = [
+        # task a, segment 0: 3+5 emitted on first end; segment 1: 7 on second
+        (1, datetime(2024, 1, 1, 0, 0, 0), "a", 3, False),
+        (2, datetime(2024, 1, 1, 0, 0, 1), "a", 5, True),
+        (3, datetime(2024, 1, 1, 0, 0, 2), "a", 7, True),
+        # task b never ends: running view only
+        (4, datetime(2024, 1, 1, 0, 0, 3), "b", 11, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, task string, v long, is_end boolean"
+    )
+    out = aggregate_task(
+        df, task_id="task", end_when=F.col("is_end"), field="v",
+        accumulators=("sum", "count", "max"), ts="ts", order_tiebreak="event_id",
+    )
+    got = {r["event_id"]: r for r in out.collect()}
+    assert (got[2]["agg_sum"], got[2]["agg_count"], got[2]["agg_max"]) == (8, 2, 5)
+    # fresh map after the end event consumed segment 0
+    assert (got[3]["agg_sum"], got[3]["agg_count"], got[3]["agg_max"]) == (7, 1, 7)
+    assert got[4]["agg_sum"] == 11  # running view mid-task
+    assert got[1]["agg_sum"] == 3   # pass-through rows see the running map
+
+
+def test_aggregate_task_single_exchange(spark):
+    from logstash_spark.operators.aggregate import aggregate_task
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "a", 2, True)], "event_id long, ts double, task string, v long, is_end boolean"
+    )
+    out = aggregate_task(
+        df, task_id="task", end_when=F.col("is_end"), field="v", ts="ts"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # both windows share one shuffle
+
+
+def test_aggregate_task_rejects_unknown_accumulator(spark):
+    import pytest
+    from logstash_spark.operators.aggregate import aggregate_task
+
+    df = spark.createDataFrame([(1, 1.0, "a", 2, True)],
+                               "event_id long, ts double, task string, v long, is_end boolean")
+    with pytest.raises(ValueError):
+        aggregate_task(df, task_id="task", end_when=F.col("is_end"),
+                       field="v", accumulators=("median",), ts="ts")
+
+
+def test_aggregate_conf_rejects_code_with_pointer(spark, tmp_path):
+    import pytest
+    from logstash_spark.conf import ConfCompileError, compile_config
+
+    with pytest.raises(ConfCompileError, match="escape hatch"):
+        compile_config(
+            'filter { aggregate { task_id => "%{t}" code => "map[:x] += 1" } } '
+            "output { null {} }",
+            out_dir=str(tmp_path),
+        )
