@@ -89,6 +89,7 @@ HEADLINE = [
     "filter_funnel",
     "elapsed_pairing",
     "aggregate_task_map",
+    "alter_prune_fields",
 ]
 
 

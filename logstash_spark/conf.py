@@ -437,6 +437,36 @@ def _t_dns(a: dict) -> list[tuple[str, dict]]:
     return [("dns_db", params)]
 
 
+def _t_prune(a: dict) -> list[tuple[str, dict]]:
+    """prune plugin: field-NAME pruning compiles to plan-time column
+    selection; value-based pruning (whitelist_values/interpolate) needs
+    per-row schemas — rejected by _check_opts with the option name."""
+    _check_opts("prune", a, {"whitelist_names", "blacklist_names"}, set())
+    params: dict[str, Any] = {}
+    if "whitelist_names" in a:
+        params["whitelist_names"] = _listify(a["whitelist_names"])
+    if "blacklist_names" in a:
+        params["blacklist_names"] = _listify(a["blacklist_names"])
+    if not params:
+        raise ConfCompileError("prune: needs whitelist_names and/or blacklist_names")
+    return [("prune", params)]
+
+
+def _t_alter(a: dict) -> list[tuple[str, dict]]:
+    """alter plugin: each option is its own sub-stage (mutate-style)."""
+    _check_opts("alter", a, {"condrewrite", "condrewriteother", "coalesce"}, set())
+    out: list[tuple[str, dict]] = []
+    if "condrewrite" in a:
+        out.append(("alter.condrewrite", {"triples": _listify(a["condrewrite"])}))
+    if "condrewriteother" in a:
+        out.append(("alter.condrewriteother", {"quads": _listify(a["condrewriteother"])}))
+    if "coalesce" in a:
+        out.append(("alter.coalesce", {"target_and_sources": _listify(a["coalesce"])}))
+    if not out:
+        raise ConfCompileError("alter: needs condrewrite/condrewriteother/coalesce")
+    return out
+
+
 def _t_elapsed(a: dict) -> list[tuple[str, dict]]:
     """elapsed plugin (logstash-filter-elapsed): start/end tag pairing by
     unique_id_field; timeout expires starts."""
@@ -486,6 +516,8 @@ _FILTER_TRANSLATORS = {
     "sleep": lambda a: [("sleep", {})],
     "throttle": _t_throttle,
     "elapsed": _t_elapsed,
+    "prune": _t_prune,
+    "alter": _t_alter,
     "aggregate": lambda a: (_ for _ in ()).throw(ConfCompileError(
         "aggregate: the plugin's `code =>` is arbitrary per-event Ruby and "
         "cannot compile from .conf; the library op 'aggregate' "

@@ -1,0 +1,104 @@
+"""``prune`` and ``alter`` filters (plugin manifest: logstash-filter-prune,
+logstash-filter-alter — the reference ships plugins out-of-tree).
+
+prune: keep/drop event fields whose NAMES match regex patterns. The row
+engine walks each event's hash at runtime; a fixed-schema engine does it
+at PLAN time — the pruned columns never materialize, and upstream of a
+parquet scan the pruning becomes column pruning in the scan itself
+(ReadSchema shrinks — free at 100 TB). interpolate/value-pruning variants
+would need per-row schemas and are rejected (fixed-schema contract, same
+as the json filter's).
+
+alter: declarative field rewrites —
+- ``condrewrite``: set field to value X iff its current value equals Y
+  (list of [field, expected, replacement] triples),
+- ``condrewriteother``: set field X iff ANOTHER field equals Y
+  ([test_field, expected, target_field, replacement]),
+- ``coalesce``: first non-null of a list of fields/sprintf values into a
+  target.
+All pure JVM column expressions: zero Python, no shuffle, codegen'd into
+whatever map stage surrounds them.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# columns the engine manages; prune never touches them (the plugin also
+# exempts @timestamp/@version and tags stay unless explicitly matched)
+_PROTECTED = {"@timestamp", "@version", "tags"}
+
+
+def prune(
+    df: DataFrame,
+    *,
+    whitelist_names: list[str] | None = None,
+    blacklist_names: list[str] | None = None,
+) -> DataFrame:
+    """Keep columns matching any whitelist pattern (plus protected engine
+    columns), then drop columns matching any blacklist pattern. Patterns
+    are UNANCHORED regexes on the field name (plugin semantics)."""
+    cols = list(df.columns)
+    keep = cols
+    if whitelist_names:
+        wl = [re.compile(p) for p in whitelist_names]
+        keep = [
+            c for c in cols
+            if c in _PROTECTED or c.startswith("_meta_")
+            or any(r.search(c) for r in wl)
+        ]
+    if blacklist_names:
+        bl = [re.compile(p) for p in blacklist_names]
+        keep = [
+            c for c in keep
+            if c in _PROTECTED or c.startswith("_meta_")
+            or not any(r.search(c) for r in bl)
+        ]
+    if not keep:
+        raise ValueError("prune: every column would be dropped")
+    return df.select(*keep)
+
+
+def alter_condrewrite(df: DataFrame, triples: list[list[str]]) -> DataFrame:
+    """``condrewrite => ["field", "expected", "replacement", ...]`` — the
+    plugin flattens triples into one list; value compare is string equality
+    on the rendered value (alter docs)."""
+    if len(triples) and isinstance(triples[0], str):
+        flat = list(triples)
+        triples = [flat[i : i + 3] for i in range(0, len(flat), 3)]
+    for field, expected, replacement in triples:
+        df = df.withColumn(
+            field,
+            F.when(
+                F.col(field).cast("string") == expected, F.lit(replacement)
+            ).otherwise(F.col(field)),
+        )
+    return df
+
+
+def alter_condrewriteother(df: DataFrame, quads: list[list[str]]) -> DataFrame:
+    """``condrewriteother => [test_field, expected, target, value, ...]``."""
+    if len(quads) and isinstance(quads[0], str):
+        flat = list(quads)
+        quads = [flat[i : i + 4] for i in range(0, len(flat), 4)]
+    for test_field, expected, target, value in quads:
+        base = F.col(target) if target in df.columns else F.lit(None).cast("string")
+        df = df.withColumn(
+            target,
+            F.when(F.col(test_field).cast("string") == expected, F.lit(value)).otherwise(base),
+        )
+    return df
+
+
+def alter_coalesce(df: DataFrame, target_and_sources: list[str]) -> DataFrame:
+    """``coalesce => ["dest", "src_a", "src_b", ...]`` — first non-null
+    source lands in dest (missing columns contribute null)."""
+    dest, *sources = target_and_sources
+    cols = [
+        F.col(s).cast("string") if s in df.columns else F.lit(None).cast("string")
+        for s in sources
+    ]
+    return df.withColumn(dest, F.coalesce(*cols) if cols else F.lit(None).cast("string"))

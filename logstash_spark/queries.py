@@ -2723,3 +2723,29 @@ def aggregate_task_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "agg_sum", "agg_count", "agg_max"
     )
+
+
+@q(
+    "alter_prune_fields",
+    f"""{_PAGES_CTE}
+SELECT url,
+       CASE WHEN response = '404' THEN 'not_found' ELSE response END AS response,
+       coalesce(CASE WHEN verb = 'HEAD' THEN 'light' END, verb) AS req_class
+FROM pages""",
+)
+def alter_prune_fields_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alter (condrewrite / condrewriteother / coalesce) + prune
+    (name-regex column selection at PLAN time — upstream of a parquet scan
+    this becomes ReadSchema pruning, free at 100 TB)."""
+    from logstash_spark.operators.alter_prune import (
+        alter_coalesce,
+        alter_condrewrite,
+        alter_condrewriteother,
+        prune,
+    )
+
+    p = _pages(spark, sf_dir).select("url", "verb", "response")
+    p = alter_condrewrite(p, ["response", "404", "not_found"])
+    p = alter_condrewriteother(p, ["verb", "HEAD", "verb_class", "light"])
+    p = alter_coalesce(p, ["req_class", "verb_class", "verb"])
+    return prune(p, blacklist_names=[r"^verb"])

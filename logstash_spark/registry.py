@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 
 from logstash_spark.operators import (
     aggregate,
+    alter_prune,
     charset,
     clone_split,
     codecs,
@@ -80,6 +81,10 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "throttle": metrics.throttle,
     "elapsed": elapsed.elapsed_tags,
     "aggregate": aggregate.aggregate_task,
+    "prune": alter_prune.prune,
+    "alter.condrewrite": alter_prune.alter_condrewrite,
+    "alter.condrewriteother": alter_prune.alter_condrewriteother,
+    "alter.coalesce": alter_prune.alter_coalesce,
     # codecs / charset
     "charset": charset.decode_charset,
     "charset_fallback": charset.decode_with_fallback,

@@ -89,3 +89,63 @@ def test_update_vs_replace(spark):
     out = M.update_field(df, "missing", "x")
     assert "missing" not in out.columns
     assert M.set_field(df, "missing", "x").collect()[0]["missing"] == "x"
+
+
+# --------------------------------------------------------------------------
+# prune / alter (logstash-filter-prune, logstash-filter-alter)
+# --------------------------------------------------------------------------
+
+
+def test_prune_whitelist_keeps_protected_columns(spark):
+    from logstash_spark.operators.alter_prune import prune
+
+    df = spark.createDataFrame(
+        [("m", "h", ["t"], "2024")],
+        "message string, host string, tags array<string>, `@timestamp` string",
+    )
+    out = prune(df, whitelist_names=["^mess"])
+    assert set(out.columns) == {"message", "tags", "@timestamp"}
+
+
+def test_prune_blacklist_and_unanchored_regex(spark):
+    from logstash_spark.operators.alter_prune import prune
+
+    df = spark.createDataFrame([("a", "b", "c")], "foo string, xfoo string, bar string")
+    out = prune(df, blacklist_names=["foo"])  # unanchored: matches xfoo too
+    assert out.columns == ["bar"]
+
+
+def test_prune_refuses_to_drop_everything(spark):
+    import pytest
+    from logstash_spark.operators.alter_prune import prune
+
+    df = spark.createDataFrame([("a",)], "foo string")
+    with pytest.raises(ValueError):
+        prune(df, blacklist_names=["."])
+
+
+def test_alter_conf_end_to_end(spark, tmp_path):
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'filter { alter { condrewrite => ["status", "404", "missing"] '
+        'coalesce => ["best", "alt", "status"] } '
+        'prune { blacklist_names => ["^alt$"] } } output { null {} }',
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame(
+        [(1, "404", None), (2, "200", "x")], "id long, status string, alt string"
+    )
+    got = {r["id"]: r for r in pipe.transform(df).collect()}
+    assert got[1]["status"] == "missing" and got[1]["best"] == "missing"
+    assert got[2]["status"] == "200" and got[2]["best"] == "x"
+    assert "alt" not in pipe.transform(df).columns
+
+
+def test_alter_condrewriteother_creates_missing_target(spark):
+    from logstash_spark.operators.alter_prune import alter_condrewriteother
+
+    df = spark.createDataFrame([("HEAD",), ("GET",)], "verb string")
+    got = alter_condrewriteother(df, ["verb", "HEAD", "cls", "light"]).collect()
+    vals = {r["verb"]: r["cls"] for r in got}
+    assert vals == {"HEAD": "light", "GET": None}
