@@ -90,6 +90,7 @@ HEADLINE = [
     "elapsed_pairing",
     "aggregate_task_map",
     "alter_prune_fields",
+    "misc_filters_chain",
 ]
 
 

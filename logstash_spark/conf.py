@@ -437,6 +437,20 @@ def _t_dns(a: dict) -> list[tuple[str, dict]]:
     return [("dns_db", params)]
 
 
+def _raise_conf(msg: str):
+    raise ConfCompileError(msg)
+
+
+def _group_flat(vals: list, n: int, what: str) -> list[list]:
+    """The 1.x config idiom: a flat list that means groups of ``n``
+    (range's [field, min, max, action, field, ...])."""
+    if vals and isinstance(vals[0], list):
+        return [list(v) for v in vals]
+    if len(vals) % n != 0:
+        raise ConfCompileError(f"{what}: expected groups of {n}, got {len(vals)} items")
+    return [list(vals[i : i + n]) for i in range(0, len(vals), n)]
+
+
 def _t_prune(a: dict) -> list[tuple[str, dict]]:
     """prune plugin: field-NAME pruning compiles to plan-time column
     selection; value-based pruning (whitelist_values/interpolate) needs
@@ -518,6 +532,25 @@ _FILTER_TRANSLATORS = {
     "elapsed": _t_elapsed,
     "prune": _t_prune,
     "alter": _t_alter,
+    "range": lambda a: (_check_opts("range", a, {"ranges"}, {"negate"}) or
+                        [("range", {"ranges": _group_flat(_listify(a.get("ranges", [])), 4, "range.ranges")})]),
+    "punct": _t_simple("punct", {"source": "source", "target": "target"}),
+    "extractnumbers": _t_simple("extractnumbers", {"source": "source"}),
+    "json_encode": _t_simple("json_encode", {"source": "source", "target": "target"},
+                             required=("source",)),
+    # NOTE: the row plugin's add_tag fires through filter_matched (tag only
+    # on match); the engine's cidr op owns the match tag (default
+    # 'network_match') and the common add_tag decorator keeps its standard
+    # per-plugin semantics — custom match tags via the library op.
+    "cidr": lambda a: (_check_opts("cidr", a, {"address", "network", "networks"}) or
+                       [("cidr", {
+        "address": (_sprintf_field(_listify(a["address"])[0]) if "address" in a
+                    else _raise_conf("cidr: missing required option 'address'")),
+        "networks": _listify(a.get("network", a.get("networks", []))) or
+                    _raise_conf("cidr: missing required option 'network'"),
+    })]),
+    "math": lambda a: (_check_opts("math", a, {"calculate"}) or
+                       [("math", {"calculations": _group_flat(_listify(a.get("calculate", [])), 4, "math.calculate")})]),
     "aggregate": lambda a: (_ for _ in ()).throw(ConfCompileError(
         "aggregate: the plugin's `code =>` is arbitrary per-event Ruby and "
         "cannot compile from .conf; the library op 'aggregate' "

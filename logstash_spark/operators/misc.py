@@ -1,0 +1,169 @@
+"""Small classic filters: range, punct, extractnumbers, json_encode,
+cidr, math (plugin manifest: logstash-filter-{range,punct,extractnumbers,
+json_encode,cidr,math} — the reference ships plugins out-of-tree).
+
+All six compile to pure JVM column expressions: zero Python, no shuffle,
+codegen'd into the surrounding map stage — at 100 TB they are free riders
+on whatever scan/parse stage already touches the row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logstash_spark.operators.enrich import ip_to_long
+
+
+# ---------------------------------------------------------------------------
+# range
+# ---------------------------------------------------------------------------
+
+
+def range_check(df: DataFrame, ranges: list[list]) -> DataFrame:
+    """``ranges => [[field, min, max, action], ...]`` — when the numeric
+    field value falls inside [min, max], apply the action:
+    ``"tag:name"`` appends a tag, ``"field:name:value"`` sets a field
+    (the plugin's two non-drop actions; drop composes with the engine's
+    drop operator)."""
+    for spec in ranges:
+        field, lo, hi, action = spec
+        within = F.col(field).cast("double").between(float(lo), float(hi))
+        kind, _, rest = str(action).partition(":")
+        if kind == "tag":
+            tags = F.coalesce(F.col("tags"), F.array().cast("array<string>")) \
+                if "tags" in df.columns else F.array().cast("array<string>")
+            df = df.withColumn(
+                "tags", F.when(within, F.concat(tags, F.array(F.lit(rest)))).otherwise(
+                    F.col("tags") if "tags" in df.columns else F.lit(None).cast("array<string>")
+                )
+            )
+        elif kind == "field":
+            name, _, value = rest.partition(":")
+            base = F.col(name) if name in df.columns else F.lit(None).cast("string")
+            df = df.withColumn(name, F.when(within, F.lit(value)).otherwise(base))
+        else:
+            raise ValueError(f"range: unknown action {action!r} (tag:... or field:...)")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# punct
+# ---------------------------------------------------------------------------
+
+
+def punct(df: DataFrame, source: str = "message", target: str = "punct") -> DataFrame:
+    """Strip alphanumerics and whitespace, leaving the punctuation
+    signature — the classic log-template clustering key (two structurally
+    identical log lines share a punct signature regardless of values)."""
+    return df.withColumn(
+        target, F.regexp_replace(F.col(source), r"[a-zA-Z0-9 \t\n]", "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# extractnumbers
+# ---------------------------------------------------------------------------
+
+
+def extractnumbers(
+    df: DataFrame, source: str = "message", int_target: str = "ints",
+    float_target: str = "floats",
+) -> DataFrame:
+    """Extract every number in the string: integers (no decimal point)
+    into ``ints`` (array<bigint>), decimals into ``floats``
+    (array<double>). The row plugin writes intN/floatN fields — arrays are
+    the fixed-schema rendering of the same data (documented divergence)."""
+    nums = F.regexp_extract_all(F.col(source), F.lit(r"-?\d+(?:\.\d+)?"), 0)
+    is_float = lambda x: x.contains(".")  # noqa: E731
+    return df.withColumn(
+        int_target,
+        F.transform(F.filter(nums, lambda x: ~is_float(x)), lambda x: x.cast("bigint")),
+    ).withColumn(
+        float_target,
+        F.transform(F.filter(nums, is_float), lambda x: x.cast("double")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# json_encode
+# ---------------------------------------------------------------------------
+
+
+def json_encode(df: DataFrame, source: str, target: str | None = None) -> DataFrame:
+    """Render a field's VALUE as a JSON string (scalar -> JSON scalar,
+    struct/array -> JSON object/array). Scalars ride through
+    ``to_json(array(col))`` with the brackets stripped — to_json only
+    accepts container types, and this keeps quoting/escaping identical to
+    the engine's other JSON surfaces."""
+    target = target or source
+    arr = F.to_json(F.array(F.col(source)))
+    return df.withColumn(target, F.substring(arr, 2, F.length(arr) - 2))
+
+
+# ---------------------------------------------------------------------------
+# cidr
+# ---------------------------------------------------------------------------
+
+
+def cidr(
+    df: DataFrame, *, address: str, networks: list[str], add_tag: str = "network_match"
+) -> DataFrame:
+    """Tag events whose IPv4 ``address`` falls in any of the CIDR
+    ``networks`` ("a.b.c.d/k"). Prefix compare in integer space:
+    ``ip >> (32-k) == net >> (32-k)`` — same arithmetic the geoip
+    range-join uses, inlined because a config's network list is small
+    (plan-time OR chain); a large list becomes a broadcast dim exactly
+    like geoip_db."""
+    ipl = ip_to_long(F.col(address).cast("string"))
+    cond = F.lit(False)
+    for net in networks:
+        base, _, k = net.partition("/")
+        k = int(k or 32)
+        parts = [int(p) for p in base.split(".")]
+        net_int = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+        shift = 32 - k
+        cond = cond | (F.shiftright(ipl, shift) == (net_int >> shift))
+    tags = F.coalesce(F.col("tags"), F.array().cast("array<string>")) \
+        if "tags" in df.columns else F.array().cast("array<string>")
+    return df.withColumn(
+        "tags",
+        F.when(cond, F.concat(tags, F.array(F.lit(add_tag)))).otherwise(
+            F.col("tags") if "tags" in df.columns else F.lit(None).cast("array<string>")
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# math
+# ---------------------------------------------------------------------------
+
+_MATH_OPS = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+}
+
+
+def math_calc(df: DataFrame, calculations: list[list[str]]) -> DataFrame:
+    """``calculate => [[op, operand_a, operand_b, target], ...]`` — operands
+    are field names or numeric literals; sequential evaluation so a later
+    calculation can consume an earlier target (plugin contract)."""
+
+    def operand(x: str) -> Column:
+        s = str(x)
+        if s in df.columns:
+            return F.col(s).cast("double")
+        try:
+            return F.lit(float(s))
+        except ValueError:
+            # forward reference to a target created earlier in THIS call
+            # (operand closes over df, which is rebound per calculation)
+            return F.col(s).cast("double")
+
+    for op, a, b, target in calculations:
+        if op not in _MATH_OPS:
+            raise ValueError(f"math: unknown op {op!r} (supported: {sorted(_MATH_OPS)})")
+        df = df.withColumn(target, _MATH_OPS[op](operand(a), operand(b)))
+    return df

@@ -2749,3 +2749,63 @@ def alter_prune_fields_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = alter_condrewriteother(p, ["verb", "HEAD", "verb_class", "light"])
     p = alter_coalesce(p, ["req_class", "verb_class", "verb"])
     return prune(p, blacklist_names=[r"^verb"])
+
+
+@q(
+    "misc_filters_chain",
+    f"""{_PAGES_CTE},
+m AS (
+  SELECT url, text, verb, bytes, clientip, user_id, event_id,
+         (10 * 16777216 + (user_id % 200) * 65536
+          + (event_id % 250) * 256 + (event_id * 7) % 250) AS ipl
+  FROM pages
+)
+SELECT url,
+  regexp_replace(text, '[a-zA-Z0-9 \\t\\n]', '', 'g') AS punct,
+  array_to_string(list_transform(
+    list_filter(regexp_extract_all(text, '-?\\d+(?:\\.\\d+)?'), x -> NOT contains(x, '.')),
+    x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS ints_joined,
+  CASE WHEN CAST(bytes AS DOUBLE) BETWEEN 0 AND 500 THEN 'small' END AS size_tag,
+  CASE WHEN CAST(bytes AS DOUBLE) BETWEEN 500.5 AND 1e9 THEN 'big' END AS size_class,
+  CASE WHEN floor(ipl / 8388608.0) = 20 OR floor(ipl / 4194304.0) = 42
+       THEN 'internal' END AS net_tag,
+  CAST(bytes AS DOUBLE) * 2.0 AS bytes2,
+  (CAST(bytes AS DOUBLE) * 2.0) / 8.0 AS bytes_q,
+  '"' || verb || '"' AS verb_json
+FROM m""",
+)
+def misc_filters_chain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range + punct + extractnumbers + cidr + math + json_encode composed
+    in one map stage — all six are JVM column expressions (zero Python, no
+    shuffle; free riders on the scan)."""
+    from logstash_spark.operators.misc import (
+        cidr,
+        extractnumbers,
+        json_encode,
+        math_calc,
+        punct,
+        range_check,
+    )
+
+    p = _pages(spark, sf_dir).select("url", "text", "verb", "bytes", "clientip")
+    p = punct(p, source="text", target="punct")
+    p = extractnumbers(p, source="text")
+    p = p.drop("tags") if "tags" in p.columns else p
+    p = range_check(p, [["bytes", 0, 500, "tag:small"],
+                        ["bytes", 500.5, 1e9, "field:size_class:big"]])
+    p = p.withColumnRenamed("tags", "range_tags")
+    p = cidr(p, address="clientip", networks=["10.0.0.0/9", "10.128.0.0/10"],
+             add_tag="internal")
+    p = math_calc(p, [["mul", "bytes", "2", "bytes2"], ["div", "bytes2", "8", "bytes_q"]])
+    p = json_encode(p, "verb", "verb_json")
+    return p.select(
+        "url",
+        "punct",
+        F.array_join(F.transform(F.col("ints"), lambda x: x.cast("string")), ",").alias("ints_joined"),
+        F.element_at(F.col("range_tags"), 1).alias("size_tag"),
+        F.col("size_class"),
+        F.element_at(F.col("tags"), 1).alias("net_tag"),
+        "bytes2",
+        "bytes_q",
+        "verb_json",
+    )

@@ -18,6 +18,7 @@ from logstash_spark.operators import (
     aggregate,
     alter_prune,
     charset,
+    misc,
     clone_split,
     codecs,
     date,
@@ -82,6 +83,12 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "elapsed": elapsed.elapsed_tags,
     "aggregate": aggregate.aggregate_task,
     "prune": alter_prune.prune,
+    "range": misc.range_check,
+    "punct": misc.punct,
+    "extractnumbers": misc.extractnumbers,
+    "json_encode": misc.json_encode,
+    "cidr": misc.cidr,
+    "math": misc.math_calc,
     "alter.condrewrite": alter_prune.alter_condrewrite,
     "alter.condrewriteother": alter_prune.alter_condrewriteother,
     "alter.coalesce": alter_prune.alter_coalesce,

@@ -1,0 +1,117 @@
+"""range / punct / extractnumbers / json_encode / cidr / math filters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_spark.operators import misc
+
+
+def test_punct_signature(spark):
+    df = spark.createDataFrame(
+        [('1.2.3.4 - - [x] "GET /p HTTP/1.1" 200',)], "message string"
+    )
+    got = misc.punct(df).collect()[0]["punct"]
+    assert got == '...--[]"//."'
+
+
+def test_extractnumbers_ints_and_floats(spark):
+    df = spark.createDataFrame([("took 12ms, score -3.5, retry 2",)], "message string")
+    r = misc.extractnumbers(df).collect()[0]
+    assert r["ints"] == [12, 2] and r["floats"] == [-3.5]
+
+
+def test_range_tag_and_field_actions(spark):
+    df = spark.createDataFrame([(1, 100), (2, 900)], "id long, n long")
+    out = misc.range_check(
+        df, [["n", 0, 500, "tag:small"], ["n", 501, 10_000, "field:cls:big"]]
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["tags"] == ["small"] and got[1]["cls"] is None
+    assert got[2]["tags"] is None and got[2]["cls"] == "big"
+
+
+def test_range_rejects_unknown_action(spark):
+    df = spark.createDataFrame([(1,)], "n long")
+    with pytest.raises(ValueError):
+        misc.range_check(df, [["n", 0, 1, "drop"]])
+
+
+def test_json_encode_scalar_and_complex(spark):
+    df = spark.createDataFrame([("a\"b", 3, [1, 2])], "s string, n long, arr array<int>")
+    out = misc.json_encode(misc.json_encode(misc.json_encode(df, "s", "sj"), "n", "nj"), "arr", "aj")
+    r = out.collect()[0]
+    assert r["sj"] == '"a\\"b"'  # escaping matches the engine's JSON surfaces
+    assert r["nj"] == "3"
+    assert r["aj"] == "[1,2]"
+
+
+def test_cidr_prefix_match(spark):
+    df = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.127.255.1"), (3, "10.192.0.1"), (4, "11.0.0.1")],
+        "id long, ip string",
+    )
+    out = misc.cidr(df, address="ip", networks=["10.0.0.0/9"], add_tag="int")
+    got = {r["id"]: r["tags"] for r in out.collect()}
+    assert got[1] == ["int"] and got[2] == ["int"]
+    assert got[3] is None and got[4] is None  # 10.192 is outside /9
+
+
+def test_math_forward_reference_and_ops(spark):
+    df = spark.createDataFrame([(10.0, 4.0)], "a double, b double")
+    out = misc.math_calc(
+        df,
+        [["add", "a", "b", "s"], ["mul", "s", "2", "s2"], ["div", "s2", "b", "q"],
+         ["sub", "q", "1", "qm"]],
+    )
+    r = out.collect()[0]
+    assert (r["s"], r["s2"], r["q"], r["qm"]) == (14.0, 28.0, 7.0, 6.0)
+
+
+def test_misc_conf_end_to_end(spark, tmp_path):
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'filter { punct { source => "message" } '
+        'extractnumbers { source => "message" } '
+        'range { ranges => ["n", 0, 5, "tag:low"] } '
+        'cidr { address => "%{ip}" network => "192.168.0.0/16" } '
+        'math { calculate => ["mul", "n", "3", "n3"] } '
+        'json_encode { source => "message" target => "mj" } } '
+        "output { null {} }",
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame(
+        [(1, "x 3 y", 3, "192.168.9.9")], "id long, message string, n long, ip string"
+    )
+    r = pipe.transform(df).collect()[0]
+    assert r["punct"] == "" and r["ints"] == [3]
+    assert "low" in r["tags"] and "network_match" in r["tags"]
+    assert r["n3"] == 9.0 and r["mj"] == '"x 3 y"'
+
+
+def test_misc_conf_rejects_unknown_options(spark, tmp_path):
+    from logstash_spark.conf import ConfCompileError, compile_config
+
+    with pytest.raises(ConfCompileError):
+        compile_config(
+            'filter { math { calculate => ["add","a","b","c"] bogus => 1 } } '
+            "output { null {} }", out_dir=str(tmp_path),
+        )
+    with pytest.raises(ConfCompileError):
+        compile_config(
+            'filter { range { ranges => ["a", 1, 2] } } output { null {} }',
+            out_dir=str(tmp_path),
+        )
+
+
+def test_misc_chain_stays_jvm_and_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "m 5", 5, "10.0.0.1")],
+                               "id long, message string, n long, ip string")
+    out = misc.math_calc(
+        misc.cidr(misc.extractnumbers(misc.punct(df)), address="ip",
+                  networks=["10.0.0.0/8"]),
+        [["mul", "n", "2", "n2"]],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
