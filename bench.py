@@ -91,6 +91,7 @@ HEADLINE = [
     "aggregate_task_map",
     "alter_prune_fields",
     "misc_filters_chain",
+    "metricize_tld",
 ]
 
 

@@ -549,6 +549,15 @@ _FILTER_TRANSLATORS = {
         "networks": _listify(a.get("network", a.get("networks", []))) or
                     _raise_conf("cidr: missing required option 'network'"),
     })]),
+    "metricize": lambda a: (_check_opts("metricize", a, {"metrics", "metric_field_name", "value_field_name"}) or
+                            [("metricize", {
+        "metrics": _listify(a.get("metrics", [])) or _raise_conf("metricize: missing required option 'metrics'"),
+        **({"metric_field": a["metric_field_name"]} if "metric_field_name" in a else {}),
+        **({"value_field": a["value_field_name"]} if "value_field_name" in a else {}),
+    })]),
+    "tld": lambda a: (_check_opts("tld", a, {"source", "prefix"}) or
+                      [("tld", {**({"source": a["source"]} if "source" in a else {}),
+                                **({"prefix": a["prefix"]} if "prefix" in a else {})})]),
     "math": lambda a: (_check_opts("math", a, {"calculate"}) or
                        [("math", {"calculations": _group_flat(_listify(a.get("calculate", [])), 4, "math.calculate")})]),
     "aggregate": lambda a: (_ for _ in ()).throw(ConfCompileError(

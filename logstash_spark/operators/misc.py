@@ -167,3 +167,60 @@ def math_calc(df: DataFrame, calculations: list[list[str]]) -> DataFrame:
             raise ValueError(f"math: unknown op {op!r} (supported: {sorted(_MATH_OPS)})")
         df = df.withColumn(target, _MATH_OPS[op](operand(a), operand(b)))
     return df
+
+
+# ---------------------------------------------------------------------------
+# metricize
+# ---------------------------------------------------------------------------
+
+
+def metricize(
+    df: DataFrame, *, metrics: list[str], metric_field: str = "metric",
+    value_field: str = "value", drop_null: bool = True,
+) -> DataFrame:
+    """Split one multi-metric event into one event per metric
+    (logstash-filter-metricize): each output row carries ``metric_field`` =
+    the metric's name and ``value_field`` = its value; the original metric
+    columns are removed (plugin contract). Rows where a metric is absent
+    produce no event for it when ``drop_null`` (plugin default).
+
+    Scale shape: a map-side 1->N explode over a plan-time array of
+    (name, value) structs — no Python, no shuffle; same fan-out mechanics
+    as the split filter."""
+    pairs = F.array(*[
+        F.struct(F.lit(m).alias("k"), F.col(m).cast("double").alias("v"))
+        for m in metrics
+    ])
+    if drop_null:
+        pairs = F.filter(pairs, lambda p: p["v"].isNotNull())
+    keep = [c for c in df.columns if c not in metrics]
+    e = df.select(*keep, F.explode(pairs).alias("_kv"))
+    return e.select(
+        *keep,
+        F.col("_kv.k").alias(metric_field),
+        F.col("_kv.v").alias(value_field),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tld
+# ---------------------------------------------------------------------------
+
+
+def tld(df: DataFrame, *, source: str = "message", prefix: str = "tld_") -> DataFrame:
+    """Split a hostname into tld / sld (registered name) / domain /
+    subdomain (logstash-filter-tld). Generic-TLD regex model — the same
+    last-two-labels assumption as functions.text.canonicalize_url, where a
+    public-suffix broadcast dim is the documented precision upgrade. Pure
+    JVM regex; zero Python, no shuffle."""
+    host = F.lower(F.trim(F.col(source)))
+    tld_c = F.regexp_extract(host, r"\.([^.]+)$", 1)
+    sld = F.regexp_extract(host, r"([^.]+)\.[^.]+$", 1)
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    sub = F.regexp_replace(host, r"\.?[^.]+\.[^.]+$", "")
+    return (
+        df.withColumn(prefix + "tld", tld_c)
+        .withColumn(prefix + "sld", sld)
+        .withColumn(prefix + "domain", domain)
+        .withColumn(prefix + "subdomain", sub)
+    )

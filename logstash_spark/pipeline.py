@@ -143,7 +143,7 @@ def output_predicate(df: DataFrame, o: Output):
 # rest pass through untouched, union back — reference config_ast.rb:
 # 375-436 compiles a per-branch filter instance with the same effect).
 _ROW_COUNT_OPS = {
-    "drop", "clone", "split", "multiline",
+    "drop", "clone", "split", "multiline", "metricize",
     # row-generating codecs + aggregating ops: a conditional CASE-merge
     # would duplicate non-matching rows per produced row (or lose the
     # snapshot columns across the groupBy) — reject with the clear error

@@ -2809,3 +2809,40 @@ def misc_filters_chain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bytes_q",
         "verb_json",
     )
+
+
+@q(
+    "metricize_tld",
+    f"""{_PAGES_CTE},
+u AS (
+  SELECT url, lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+         CAST(bytes AS DOUBLE) AS b, CAST(response AS DOUBLE) AS r
+  FROM pages
+), m AS (
+  SELECT url, host, 'bytes' AS metric, b AS value FROM u
+  UNION ALL
+  SELECT url, host, 'response' AS metric, r AS value FROM u
+)
+SELECT url, metric, value,
+       regexp_extract(host, '\\.([^.]+)$', 1) AS tld_tld,
+       regexp_extract(host, '([^.]+)\\.[^.]+$', 1) AS tld_sld,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS tld_domain,
+       regexp_replace(host, '\\.?[^.]+\\.[^.]+$', '') AS tld_subdomain
+FROM m""",
+)
+def metricize_tld_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metricize (1->N per-metric explode, map-side) + tld (hostname part
+    extraction, generic-TLD model) — DuckDB mirrors the explode as a
+    UNION ALL."""
+    from logstash_spark.operators.misc import metricize, tld
+
+    p = _pages(spark, sf_dir).select(
+        "url",
+        F.lower(F.regexp_extract(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)).alias("host"),
+        F.col("bytes").cast("double").alias("bytes_m"),
+        F.col("response").cast("double").alias("response_m"),
+    )
+    m = metricize(p, metrics=["bytes_m", "response_m"])
+    m = m.withColumn("metric", F.regexp_replace(F.col("metric"), "_m$", ""))
+    t = tld(m, source="host")
+    return t.select("url", "metric", "value", "tld_tld", "tld_sld", "tld_domain", "tld_subdomain")

@@ -89,6 +89,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "json_encode": misc.json_encode,
     "cidr": misc.cidr,
     "math": misc.math_calc,
+    "metricize": misc.metricize,
+    "tld": misc.tld,
     "alter.condrewrite": alter_prune.alter_condrewrite,
     "alter.condrewriteother": alter_prune.alter_condrewriteother,
     "alter.coalesce": alter_prune.alter_coalesce,

@@ -115,3 +115,46 @@ def test_misc_chain_stays_jvm_and_shuffle_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_metricize_per_metric_events_and_null_drop(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, None, "h"), (2, 1.0, 3.0, "h")],
+        "id long, cpu double, mem double, host string",
+    )
+    out = misc.metricize(df, metrics=["cpu", "mem"]).collect()
+    got = {(r["id"], r["metric"]): r["value"] for r in out}
+    assert got == {(1, "cpu"): 2.5, (2, "cpu"): 1.0, (2, "mem"): 3.0}
+    assert all("cpu" not in r.asDict() for r in out)  # originals removed
+    assert all(r["host"] == "h" for r in out)  # other fields carried
+
+
+def test_metricize_conditional_split_apply_union(spark, tmp_path):
+    # 1->N op inside if: matching rows explode, the rest pass through
+    # (split-apply-union; _ROW_COUNT_OPS membership keeps it off the
+    # CASE-merge path, which would duplicate non-matching rows)
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'filter { if [kind] == "m" { metricize { metrics => ["cpu"] } } } '
+        "output { null {} }", out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame(
+        [(1, "m", 2.5), (2, "other", 9.0)], "id long, kind string, cpu double"
+    )
+    rows = {r["id"]: r for r in pipe.transform(df).collect()}
+    assert len(rows) == 2
+    assert rows[1]["metric"] == "cpu" and rows[1]["value"] == 2.5
+    assert rows[2]["metric"] is None and rows[2]["cpu"] == 9.0  # untouched
+
+
+def test_tld_parts(spark):
+    df = spark.createDataFrame(
+        [("www.example.co",), ("example.com",), ("a.b.example.org",)], "message string"
+    )
+    rows = {r["message"]: r for r in misc.tld(df).collect()}
+    r = rows["www.example.co"]
+    assert (r["tld_tld"], r["tld_sld"], r["tld_domain"], r["tld_subdomain"]) == (
+        "co", "example", "example.co", "www")
+    assert rows["example.com"]["tld_subdomain"] == ""
+    assert rows["a.b.example.org"]["tld_subdomain"] == "a.b"
