@@ -337,3 +337,48 @@ def test_grok_backends_agree(spark, lines, pattern):
             for r in rows
         }
     assert results["expr"] == results["pandas"] == results["arrow"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=64))
+def test_sequence_pack_tiles_stream_for_any_corpus(spark, token_counts, capacity):
+    """Property: offsets tile the concatenated token stream exactly (no
+    gaps, no overlaps) and sequence ids are the floor-division of the
+    offsets, for ANY corpus shape and capacity."""
+    from logstash_spark.functions.pack import sequence_pack
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(token_counts)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(sequence_pack(df, capacity=capacity).collect(),
+                  key=lambda r: r["start_off"])
+    pos = 0
+    for r in rows:
+        assert r["start_off"] == pos
+        pos += r["n_tokens"]
+        assert r["seq_first"] == r["start_off"] // capacity
+        assert r["seq_last"] == (r["start_off"] + r["n_tokens"] - 1) // capacity
+    assert pos == sum(token_counts)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=4), min_size=0, max_size=25),
+       st.integers(min_value=1, max_value=8))
+def test_chunk_text_strides_reconstruct_document(spark, tokens, stride):
+    """Property: concatenating each chunk's first `stride` tokens (all of
+    the last chunk) reproduces the document's token sequence — windows
+    cover everything, in order, for any doc length and stride."""
+    from logstash_spark.functions.pack import chunk_text
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(chunk_text(df, chunk_tokens=stride + 2, stride=stride).collect(),
+                    key=lambda r: r["chunk_id"])
+    rebuilt = []
+    for i, r in enumerate(chunks):
+        toks = r["chunk"].split(" ") if r["chunk"] else [""]
+        rebuilt.extend(toks if i == len(chunks) - 1 else toks[:stride])
+    expected = text.strip().split(" ") if text.strip() else [""]
+    # trailing duplicate from the final overlapping window folds away
+    assert rebuilt[: len(expected)] == expected
