@@ -276,6 +276,25 @@ def xml_xpath(df: DataFrame, source: str, xpath: dict[str, str]) -> DataFrame:
     def run(batches):
         import xml.etree.ElementTree as ET
 
+        # hoist expression preprocessing OUT of the row loop (one-shot per
+        # worker, not per doc — measured the per-row rsplit/startswith/segs
+        # churn dominating over the actual expat parse)
+        preps: list[tuple[str, object, str | None]] = []
+        for expr, _dest in exprs:
+            attr: str | None = None
+            path = expr
+            if "/@" in path:
+                path, attr = path.rsplit("/@", 1)
+            if path.endswith("/text()"):
+                path = path[: -len("/text()")]
+            if path.startswith("/"):
+                # ElementTree rejects absolute paths; '/root/x' resolves
+                # against the row's root tag at eval time
+                preps.append(("abs", tuple(s for s in path.split("/") if s), attr))
+            else:
+                preps.append(("rel", path, attr))
+        _abs_cache: dict = {}
+
         def eval_one(doc: str):
             vals: list = []
             try:
@@ -284,21 +303,21 @@ def xml_xpath(df: DataFrame, source: str, xpath: dict[str, str]) -> DataFrame:
                 root = None
             if root is None:
                 return [None] * len(exprs), True
-            for expr, _dest in exprs:
-                attr = None
-                path = expr
-                if "/@" in path:
-                    path, attr = path.rsplit("/@", 1)
-                if path.endswith("/text()"):
-                    path = path[: -len("/text()")]
-                # ElementTree rejects absolute paths; '/root/x' -> x relative
-                # to root when the first segment names the root element
-                if path.startswith("/"):
-                    segs = [s for s in path.split("/") if s]
-                    if segs and segs[0] == root.tag:
-                        path = "./" + "/".join(segs[1:]) if len(segs) > 1 else "."
-                    else:
-                        path = ".//" + "/".join(segs)
+            for i, (kind, p, attr) in enumerate(preps):
+                if kind == "abs":
+                    # memoized per (expr, root tag): a corpus has ~1 root
+                    # tag, so this join happens once, not per doc
+                    ck = (i, root.tag)
+                    path = _abs_cache.get(ck)
+                    if path is None:
+                        segs = p
+                        if segs and segs[0] == root.tag:
+                            path = "./" + "/".join(segs[1:]) if len(segs) > 1 else "."
+                        else:
+                            path = ".//" + "/".join(segs)
+                        _abs_cache[ck] = path
+                else:
+                    path = p
                 try:
                     nodes = root.findall(path) if path not in (".", "") else [root]
                 except SyntaxError:

@@ -58,6 +58,17 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p
 
 
+def _parallel(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Same conditional repartition as _pages for MAP-ONLY queries over
+    other single-row-group local tables (a query whose plan shuffles
+    anyway — window/join/agg — must not use this: it would add a wasted
+    exchange). No-op on a pre-partitioned real corpus by construction."""
+    par = spark.sparkContext.defaultParallelism
+    if par > 1 and df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # grok / date / sprintf
 # ---------------------------------------------------------------------------
@@ -97,7 +108,7 @@ def grok_failure_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference lib/logstash/filters/base.rb tag_on_failure)."""
     from logstash_spark.operators.grok import grok
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
     g = grok(d.select("doc_id", "text"), "text", "^%{WORD:w1} %{WORD:w2}")
     return g.select(
         "doc_id",
@@ -202,7 +213,7 @@ def json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """json filter over the events.props JSON column."""
     from logstash_spark.operators.parse import json_parse as jp
 
-    e = load_table(spark, sf_dir, "events")
+    e = _parallel(spark, load_table(spark, sf_dir, "events"))
     out = jp(e, "props", "k bigint", target="j")
     return out.select("event_id", F.col("j.k").alias("k"))
 
@@ -247,7 +258,7 @@ FROM events""",
 def syslog_pri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.operators.parse import syslog_pri
 
-    e = load_table(spark, sf_dir, "events")
+    e = _parallel(spark, load_table(spark, sf_dir, "events"))
     e = e.withColumn("pri", (F.col("event_id") % 192).cast("int"))
     out = syslog_pri(e, "pri")
     return out.select("event_id", "syslog_severity_code", "syslog_facility_code", "syslog_severity")
@@ -606,7 +617,7 @@ FROM c""",
 def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.functions.text import lang_id
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
     return lang_id(d).select("doc_id", "lang_pred")
 
 
@@ -620,7 +631,7 @@ FROM documents""",
 def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.functions.text import token_count
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
     return token_count(d).select(
         "doc_id",
         F.col("n_ws_tokens").cast("bigint").alias("n_ws_tokens"),
@@ -653,7 +664,7 @@ FROM f""",
 def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.functions.text import quality_score
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
     return quality_score(d).select(
         "doc_id",
         F.col("n_words").cast("bigint").alias("n_words"),
@@ -682,7 +693,7 @@ def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition filter signal) — pure JVM n-gram build, mirrored in SQL."""
     from logstash_spark.functions.text import repetition_ratio
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
     return repetition_ratio(d).select("doc_id", "n_ngrams", "rep_ratio")
 
 
@@ -696,7 +707,7 @@ _NORM_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '',
 def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.functions.text import doc_fingerprint
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
     return doc_fingerprint(d).select("doc_id", "fp")
 
 
@@ -2274,7 +2285,7 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5-of-id draw, no rand())."""
     from logstash_spark.functions.sample import stratified_sample
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
     out = stratified_sample(
         d, strata_col="lang", rates={"en": 0.5, "de": 0.25, "fr": 1.0}, default_rate=0.0625
     )
@@ -2484,7 +2495,7 @@ def chunk_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     1->N fan-out inside the scan stage."""
     from logstash_spark.functions.pack import chunk_text
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
     return chunk_text(d, chunk_tokens=12, stride=8)
 
 
@@ -2507,7 +2518,9 @@ def xml_xpath_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with '|' for the compare, null = no match)."""
     from logstash_spark.operators.parse import xml_xpath
 
-    ev = load_table(spark, sf_dir, "events")
+    # map-only plan (no shuffle of its own): parallelize the
+    # single-row-group local scan
+    ev = _parallel(spark, load_table(spark, sf_dir, "events"))
     doc = F.concat(
         F.lit('<log level="'), F.col("event_type"), F.lit('">'),
         F.when(F.col("event_id") % 3 == 0, F.lit("")).otherwise(
