@@ -532,8 +532,9 @@ _FILTER_TRANSLATORS = {
     "elapsed": _t_elapsed,
     "prune": _t_prune,
     "alter": _t_alter,
-    "range": lambda a: (_check_opts("range", a, {"ranges"}, {"negate"}) or
-                        [("range", {"ranges": _group_flat(_listify(a.get("ranges", [])), 4, "range.ranges")})]),
+    "range": lambda a: (_check_opts("range", a, {"ranges", "negate"}) or
+                        [("range", {"ranges": _group_flat(_listify(a.get("ranges", [])), 4, "range.ranges"),
+                                    **({"negate": bool(a["negate"])} if "negate" in a else {})})]),
     "punct": _t_simple("punct", {"source": "source", "target": "target"}),
     "extractnumbers": _t_simple("extractnumbers", {"source": "source"}),
     "json_encode": _t_simple("json_encode", {"source": "source", "target": "target"},

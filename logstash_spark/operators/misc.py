@@ -20,15 +20,19 @@ from logstash_spark.operators.enrich import ip_to_long
 # ---------------------------------------------------------------------------
 
 
-def range_check(df: DataFrame, ranges: list[list]) -> DataFrame:
+def range_check(df: DataFrame, ranges: list[list], negate: bool = False) -> DataFrame:
     """``ranges => [[field, min, max, action], ...]`` — when the numeric
-    field value falls inside [min, max], apply the action:
-    ``"tag:name"`` appends a tag, ``"field:name:value"`` sets a field
-    (the plugin's two non-drop actions; drop composes with the engine's
-    drop operator)."""
+    field value falls inside [min, max] (OUTSIDE it with ``negate``, the
+    plugin's option), apply the action: ``"tag:name"`` appends a tag,
+    ``"field:name:value"`` sets a field (the plugin's two non-drop
+    actions; drop composes with the engine's drop operator)."""
     for spec in ranges:
         field, lo, hi, action = spec
         within = F.col(field).cast("double").between(float(lo), float(hi))
+        if negate:
+            # null field stays non-matching in BOTH polarities (Ruby nil
+            # comparisons raise -> the plugin skips; ~null would be null)
+            within = ~F.coalesce(within, F.lit(True))
         kind, _, rest = str(action).partition(":")
         if kind == "tag":
             tags = F.coalesce(F.col("tags"), F.array().cast("array<string>")) \

@@ -158,3 +158,12 @@ def test_tld_parts(spark):
         "co", "example", "example.co", "www")
     assert rows["example.com"]["tld_subdomain"] == ""
     assert rows["a.b.example.org"]["tld_subdomain"] == "a.b"
+
+
+def test_range_negate_inverts_and_null_safe(spark):
+    df = spark.createDataFrame([(1, 100), (2, 900), (3, None)], "id long, n long")
+    out = misc.range_check(df, [["n", 0, 500, "tag:outside"]], negate=True)
+    got = {r["id"]: r["tags"] for r in out.collect()}
+    assert got[1] is None          # inside -> no tag under negate
+    assert got[2] == ["outside"]   # outside -> tagged
+    assert got[3] is None          # null field never matches, either polarity
