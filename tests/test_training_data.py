@@ -714,3 +714,34 @@ def test_dedup_lines_matches_python_reference(spark):
     # docs whose every line was blank produce no exploded rows at all
     expected = {k: v for k, v in expected.items() if v[1] > 0}
     assert got == expected
+
+
+def test_fast_regex_classes_match_portable_negations(spark):
+    """The engine writes hot-path character classes as Java intersections
+    ([\\S&&[^a-z0-9]]) because the equivalent negated multi-range class
+    ([^a-z0-9\\s]) is a measured 40x JDK regex slow path; the DuckDB
+    oracles keep the portable negated form. Pin that the two forms agree
+    char-for-char on hostile input so the perf rewrite can never drift
+    from the oracle contract."""
+    rows = [
+        ("Hello, World! 123",), ("tabs\there\nnewlines\r\nmixed",),
+        ("unicode: café über 中文 ☃",),
+        ("punct !@#$%^&*()_+-=[]{}|;':\",./<>?",),
+        ("  leading  and   trailing   ",),
+        (" nbsp  ls  ps",),  # non-ASCII whitespace: NOT Java \s
+        ("digits 0123456789 end",), ("",), ("\t\n\x0b\f\r ",),
+        ("a1b2c3 4d5e",), ("UPPER lower MiXeD",),
+    ]
+    df = spark.createDataFrame(rows, ["s"])
+    low = F.lower(F.col("s"))
+    checks = [
+        # normalize_text strip class (engine) vs oracle form
+        (F.regexp_replace(low, r"[\S&&[^a-z0-9]]", ""),
+         F.regexp_replace(low, r"[^a-z0-9\s]", "")),
+        # token_count BPE punctuation branch
+        (F.regexp_extract_all(F.col("s"), F.lit(r"[A-Za-z]+|[0-9]|[\S&&[^A-Za-z0-9]]"), F.lit(0)),
+         F.regexp_extract_all(F.col("s"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))),
+    ]
+    for i, (fast, portable) in enumerate(checks):
+        bad = df.select(fast.alias("a"), portable.alias("b")).filter("a != b").count()
+        assert bad == 0, f"fast/portable class divergence in check {i}"

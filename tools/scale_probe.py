@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Scale-headroom probe: run the key training-data operators at N
+synthetic documents (default 1M — 20x the sf0.1 correctness gate, 2000x
+sf0.01) and print per-op wall time + rows/sec.
+
+The point is EVIDENCE, not a benchmark record: the same plans that pass
+the DuckDB gates hold their shape when the input grows two orders of
+magnitude — no broadcast flips to sort-merge, no bucket blowup, no
+driver collect. Usage:
+
+    python tools/scale_probe.py [n_docs] [--ops op1,op2,...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from logstash_spark.session import get_spark  # noqa: E402
+
+
+def synth_docs(spark, n: int):
+    """Deterministic document corpus: Zipf-ish vocabulary, ~1% exact dups,
+    boilerplate shared prefixes (the skew shapes that break naive dedup)."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # 0.99n distinct bodies; every 100th doc repeats an earlier body
+        F.when(F.col("id") % 100 == 0, F.col("id") / 100)
+        .otherwise(F.col("id")).cast("long").alias("_seed"),
+    )
+    word = lambda k: F.concat(F.lit("w"), ((F.col("_seed") * k) % (1 + k * 997)).cast("string"))  # noqa: E731
+    words = [word(k) for k in range(1, 24)]
+    return base.select(
+        "doc_id",
+        F.concat_ws(" ", F.lit("the quick corpus"), *words).alias("text"),
+    )
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 1_000_000
+    spark = get_spark("scale_probe")
+    docs = synth_docs(spark, n)
+    docs = docs.withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+    docs.persist()
+    docs.count()
+
+    from logstash_spark.functions import dedup as dd
+    from logstash_spark.functions.pack import sequence_pack
+    from logstash_spark.functions.stats import unigram_score
+    from logstash_spark.functions.text import lang_id, pii_redact, quality_score
+    from logstash_spark.functions.sample import deterministic_shuffle
+
+    ops = {
+        "dedup_exact": lambda: dd.dedup_exact(docs),
+        "dedup_minhash_lsh": lambda: dd.dedup_minhash_lsh(docs, hash_fn="xxhash64"),
+        "sequence_pack": lambda: sequence_pack(docs, capacity=2048, prefix_len=2),
+        "unigram_score": lambda: unigram_score(docs, min_count=10),
+        "deterministic_shuffle": lambda: deterministic_shuffle(docs, prefix_len=2),
+        "lang_quality_pii_map": lambda: pii_redact(quality_score(lang_id(docs))),
+    }
+    wanted = None
+    for a in sys.argv[2:]:
+        if a.startswith("--ops"):
+            wanted = set(a.split("=", 1)[1].split(","))
+    out = {}
+    for name, build in ops.items():
+        if wanted and name not in wanted:
+            continue
+        dt = 1e18
+        for _ in range(2):  # best-of-2: first run soaks codegen/JIT warmup
+            t0 = time.perf_counter()
+            force(build())
+            dt = min(dt, time.perf_counter() - t0)
+            dd.release_cached()
+        out[name] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt)}
+        print(f"{name:24s} {dt:7.2f}s  {n / dt / 1000:8.0f}k rows/s", file=sys.stderr)
+    print(json.dumps({"n_docs": n, "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
