@@ -92,6 +92,9 @@ HEADLINE = [
     "alter_prune_fields",
     "misc_filters_chain",
     "metricize_tld",
+    "semdedup",
+    "quality_classifier",
+    "sessionize_events",
 ]
 
 

@@ -468,6 +468,62 @@ def ivf_topk(
     return out.select("query_id", "nbr_id", "rank", "cos")
 
 
+def semdedup(
+    docs: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.5,
+    round_cos: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., 2023): route every
+    vector to its nearest k-means centroid, then compare pairs ONLY within
+    a cluster and mark as duplicate any vector with a lower-id in-cluster
+    neighbor at cosine >= tau (the deterministic greedy keep-first rule,
+    same convention as the text near-dup suite).
+
+    100 TB shape: centroids broadcast (k rows), so routing is a map; the
+    only all-corpus shuffle is the equi-join on list_id, and pairwise work
+    is bounded per cluster — num_lists is sized so n/num_lists stays in
+    the 1-10k range. Unlike shingle buckets (boilerplate-skewed), k-means
+    balances cluster mass, and a hot cluster splits by raising num_lists,
+    not by a cap heuristic. Output: (id, list_id, is_dup) for EVERY input
+    vector — the caller filters is_dup to prune.
+
+    ``round_cos`` pins routing + pair similarities to a decimal grid so
+    the DuckDB parity oracle replays assignment and threshold decisions
+    bit-equal (production leaves it None).
+    """
+    d = docs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+
+    def _rc(c):
+        return F.round(c, round_cos) if round_cos is not None else c
+
+    assigned = _persist_sim(
+        d.crossJoin(F.broadcast(centroids))
+        .withColumn("cos_c", _rc(cosine(F.col("v"), F.col("cv"))))
+        .withColumn("_r", F.row_number().over(
+            W.partitionBy("id").orderBy(F.col("cos_c").desc(), F.col("list_id").asc())))
+        .filter(F.col("_r") == 1)
+        .select("id", "v", "list_id")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dup_ids = (
+        a.join(b, "list_id")
+        .filter(F.col("a.id") > F.col("b.id"))
+        .withColumn("cos", F.round(cosine(F.col("a.v"), F.col("b.v")), 4))
+        .filter(F.col("cos") >= F.lit(tau))
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids.withColumn("_dup", F.lit(True)), "id", "left")
+        .select("id", "list_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
+    )
+
+
 _SIM_PERSISTED: list = []
 
 

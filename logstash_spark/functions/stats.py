@@ -229,3 +229,37 @@ def filter_funnel(
     return spark.createDataFrame(
         out, "stage_idx int, stage string, n_kept bigint, n_removed_here bigint"
     )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+    gap_sec: int = 1800,
+    out: str = "session_n",
+) -> DataFrame:
+    """Gap-based sessionization: within each key, a new session starts when
+    the time since the previous event exceeds ``gap_sec`` (the classic
+    web/log-analytics operator; the reference ecosystem reaches it via the
+    aggregate filter's task_id correlation — this is the declarative form).
+
+    lag + cumulative-sum over one window: exactly ONE shuffle on the key,
+    both window functions share the same sort. At 100 TB the key is the
+    partition axis — skewed keys (one bot user with 10^9 events) degrade a
+    single partition; pre-split such keys on a day boundary upstream (the
+    host-salting recipe, host_agg_salted) since sessions never span the
+    split in practice. Timestamps compare at whole-second resolution
+    (floor), mirrorable across engines.
+
+    ``order_cols`` breaks ordering ties deterministically (default: the
+    timestamp only — pass a unique id column when events share seconds).
+    """
+    tsec = F.unix_timestamp(F.col(ts_col))
+    order = [tsec] + [F.col(c) for c in (order_cols or [])]
+    w = W.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(tsec).over(w)
+    brk = F.when(prev.isNull() | ((tsec - prev) > gap_sec), 1).otherwise(0)
+    cum = W.partitionBy(key_col).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn(out, F.sum(brk).over(cum).cast("int"))

@@ -256,6 +256,49 @@ def doc_fingerprint(df: DataFrame, source: str = "text", target: str = "fp") -> 
     return df
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    *,
+    source: str = "text",
+    target: str = "clf_score",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Linear bag-of-words quality classifier applied at corpus scale — the
+    plan shape of a fasttext-style filter: tokenize, look up a weight per
+    token, mean, squash to (0,1). Weights here are hash-derived (keeps the
+    oracle external-data-free); a learned vocabulary swaps in as a
+    broadcast map lookup with the identical plan (map-side, zero shuffle,
+    whole-stage codegen — the per-doc cost is one hash per token).
+
+    Determinism across engines: per-token weights are INTEGER units in
+    [-1000, 1000] (integer sum is order-independent, unlike float sums) and
+    the squash is the rational fast-sigmoid 0.5 + x/(2(1+|x|)) — IEEE-exact
+    division, no libm exp whose last ulp differs between JVM and C.
+
+    ``hash_fn='md5'``: units from the first 4 hex chars of md5(token)
+    (DuckDB-verifiable family, same trick as dedup_minhash_lsh);
+    'xxhash64' is production.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(source)), r"\s+"), lambda t: t != F.lit("")
+    )
+    if hash_fn == "md5":
+        unit = lambda t: (  # noqa: E731
+            F.pmod(F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"), F.lit(2001))
+            - F.lit(1000)
+        )
+    else:
+        unit = lambda t: F.pmod(F.xxhash64(t), F.lit(2001)) - F.lit(1000)  # noqa: E731
+    units = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + unit(t))
+    n = F.size(toks)
+    x = units / (F.lit(1000.0) * n)
+    score = F.lit(0.5) + x / (F.lit(2.0) * (F.lit(1.0) + F.abs(x)))
+    return df.withColumn(
+        target,
+        F.when(n > 0, F.round(score, 6)).otherwise(F.lit(0.5)),
+    ).withColumn(target + "_n_tokens", n.cast("bigint"))
+
+
 _HTML_ENTITIES = [
     ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
     ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),  # &amp; LAST (double-escape safety)

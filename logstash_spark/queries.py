@@ -673,6 +673,43 @@ def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "quality_classifier",
+    """WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents
+  ) WHERE t <> ''
+), u AS (
+  SELECT doc_id,
+         (((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)) % 2001) - 1000 AS w
+  FROM toks
+), s AS (
+  SELECT doc_id, SUM(w) AS units, COUNT(*) AS n FROM u GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(ROUND(0.5 + (s.units / (1000.0 * s.n))
+                / (2.0 * (1.0 + abs(s.units / (1000.0 * s.n)))), 6), 0.5) AS clf_score,
+       COALESCE(s.n, 0) AS clf_score_n_tokens
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+)
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear bag-of-words classifier score (fasttext-proxy plan
+    shape) — gate configuration runs the md5 weight family; production
+    default is xxhash64."""
+    import os
+
+    from logstash_spark.functions.text import hashed_linear_score
+
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
+    out = hashed_linear_score(
+        d, source="text", hash_fn=os.environ.get("SPARK_GRAFT_HASH_FN", "md5")
+    )
+    return out.select("doc_id", "clf_score", "clf_score_n_tokens")
+
+
+@q(
     "repetition_ratio",
     """WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
@@ -1092,16 +1129,17 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_lloyd_oracle(
-    num_lists: int = 8, iters: int = 3, nprobe: int = 3, k: int = 5,
-    round_centroids: int = 6, round_cos: int = 9,
-) -> str:
-    """DuckDB replica of ivf_train(round_centroids, round_cos) + ivf_topk:
-    the Lloyd rounds are UNROLLED as CTE chains (assign -> per-dim avg ->
-    centroid rebuild), float-order-sensitive steps pinned to a rounded
-    decimal grid in BOTH engines so assignment/probe choice replays
-    bit-equal. Init = first num_lists vectors by id, ties broken by
-    list_id asc everywhere (same as the Spark plan)."""
+def _lloyd_prefix_parts(
+    num_lists: int, iters: int, round_centroids: int, round_cos: int
+):
+    """Shared DuckDB CTE chain replicating ivf_train + final assignment
+    (used by both the IVF-ANN and the SemDeDup oracles): the Lloyd rounds
+    are UNROLLED as CTE chains (assign -> per-dim avg -> centroid rebuild),
+    float-order-sensitive steps pinned to a rounded decimal grid in BOTH
+    engines so assignment replays bit-equal. Init = first num_lists vectors
+    by id, ties broken by list_id asc everywhere (same as the Spark plan).
+    Returns (parts, cos_fn); the last part is `d_assign(nbr_id, v, list_id)`.
+    """
 
     def cos(a: str, b: str) -> str:
         return (
@@ -1147,6 +1185,16 @@ def _ivf_lloyd_oracle(
   ) WHERE rn = 1
 )"""
     )
+    return parts, cos
+
+
+def _ivf_lloyd_oracle(
+    num_lists: int = 8, iters: int = 3, nprobe: int = 3, k: int = 5,
+    round_centroids: int = 6, round_cos: int = 9,
+) -> str:
+    """DuckDB replica of ivf_train + ivf_topk (see _lloyd_prefix_parts)."""
+    parts, cos = _lloyd_prefix_parts(num_lists, iters, round_centroids, round_cos)
+    fin = f"cents{iters}"
     parts.append(
         f"""q_assign AS (
   SELECT id AS query_id, v AS qv, list_id FROM (
@@ -1195,6 +1243,81 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = ivf_train(e, num_lists=8, iters=3, round_centroids=6, round_cos=9)
     out = ivf_topk(e, qs, cents, k=5, nprobe=3, round_cos=9)
+    release_cached()
+    return out
+
+
+@q(
+    "sessionize_events",
+    """WITH e AS (
+  SELECT user_id, event_id, ts, value, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+  FROM events
+), l AS (
+  SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev FROM e
+), n AS (
+  SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 900 THEN 1 ELSE 0 END AS brk FROM l
+), s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INT) AS session_n
+  FROM n
+)
+SELECT user_id, session_n, COUNT(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
+       ROUND(SUM(value), 4) AS sess_value
+FROM s GROUP BY user_id, session_n""",
+)
+def sessionize_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (15-min gap) + per-session rollup over the
+    events table — the classic log-analytics operator; one shuffle on
+    user_id shared by the window pair and the final aggregate."""
+    from logstash_spark.functions.stats import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, key_col="user_id", ts_col="ts", order_cols=["event_id"], gap_sec=900)
+    return s.groupBy("user_id", "session_n").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+        F.round(F.sum("value"), 4).alias("sess_value"),
+    )
+
+
+def _semdedup_oracle(
+    num_lists: int = 8, iters: int = 2, tau: float = 0.45,
+    round_centroids: int = 6, round_cos: int = 9,
+) -> str:
+    """DuckDB replica of ivf_train + semdedup: the shared Lloyd CTE chain,
+    then within-cluster pairs only; a vector is a duplicate iff a lower-id
+    vector in the SAME cluster sits at rounded cosine >= tau."""
+    parts, _cos = _lloyd_prefix_parts(num_lists, iters, round_centroids, round_cos)
+    parts.append(
+        f"""dups AS (
+  SELECT DISTINCT a.nbr_id AS id
+  FROM d_assign a JOIN d_assign b ON a.list_id = b.list_id AND a.nbr_id > b.nbr_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {tau}
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT d.nbr_id AS id, CAST(d.list_id AS INT) AS list_id,"
+        + " (dp.id IS NOT NULL) AS is_dup"
+        + "\nFROM d_assign d LEFT JOIN dups dp ON d.nbr_id = dp.id"
+    )
+
+
+@q("semdedup", _semdedup_oracle())
+def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune semantic dedup): k-means routing via
+    the relational Lloyd trainer, within-cluster cosine pruning with the
+    deterministic keep-lowest-id rule. Full DuckDB value oracle (Lloyd
+    rounds unrolled as CTEs — shared with ann_ivf_topk's oracle)."""
+    from logstash_spark.functions.similarity import ivf_train, release_cached, semdedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(e, num_lists=8, iters=2, round_centroids=6, round_cos=9)
+    out = semdedup(e, cents, tau=0.45, round_cos=9)
     release_cached()
     return out
 

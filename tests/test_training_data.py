@@ -745,3 +745,63 @@ def test_fast_regex_classes_match_portable_negations(spark):
     for i, (fast, portable) in enumerate(checks):
         bad = df.select(fast.alias("a"), portable.alias("b")).filter("a != b").count()
         assert bad == 0, f"fast/portable class divergence in check {i}"
+
+
+def test_semdedup_marks_exact_copies(spark):
+    """Identical vectors always co-cluster (same routing scores), so the
+    keep-lowest-id rule must flag exactly the higher id of each pair."""
+    from logstash_spark.functions.similarity import ivf_train, release_cached, semdedup
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),  # dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.6, 0.0, 0.8, 0.0]),  # cos vs 4 = 0.8 < tau: kept
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = ivf_train(df, num_lists=2, iters=2)
+    out = {r.id: r.is_dup for r in semdedup(df, cents, tau=0.95).collect()}
+    release_cached()
+    assert out == {0: False, 1: True, 2: False, 3: True, 4: False, 5: False}
+
+
+def test_hashed_linear_score_bounds_and_mean_semantics(spark):
+    from logstash_spark.functions.text import hashed_linear_score
+
+    rows = [(0, "the quick brown fox"), (1, ""), (2, "   "), (3, "the the the"), (4, "the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam in ("xxhash64", "md5"):
+        out = {
+            r.doc_id: (r.clf_score, r.clf_score_n_tokens)
+            for r in hashed_linear_score(df, hash_fn=fam).collect()
+        }
+        assert out[1] == (0.5, 0) and out[2] == (0.5, 0)  # empty -> neutral
+        assert 0.0 < out[0][0] < 1.0 and out[0][1] == 4
+        # mean semantics: a repeated token scores the same as one occurrence
+        assert out[3][0] == out[4][0] and out[3][1] == 3
+
+
+def test_sessionize_gap_boundaries(spark):
+    """New session strictly AFTER gap_sec; equal-gap events stay joined."""
+    import datetime as dt
+
+    from logstash_spark.functions.stats import sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, base),
+        (1, 2, base + dt.timedelta(seconds=899)),        # gap 899 <= 900: same
+        (1, 3, base + dt.timedelta(seconds=1800)),       # gap 901 > 900: new
+        (2, 4, base),                                    # other key independent
+        (1, 5, base + dt.timedelta(seconds=2700)),       # gap exactly 900: same
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {
+        r.event_id: r.session_n
+        for r in sessionize(
+            df, key_col="user_id", ts_col="ts", order_cols=["event_id"], gap_sec=900
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2}
