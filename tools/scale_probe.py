@@ -56,7 +56,12 @@ def main() -> None:
     from logstash_spark.functions import dedup as dd
     from logstash_spark.functions.pack import sequence_pack
     from logstash_spark.functions.stats import unigram_score
-    from logstash_spark.functions.text import lang_id, pii_redact, quality_score
+    from logstash_spark.functions.text import (
+        hashed_linear_score,
+        lang_id,
+        pii_redact,
+        quality_score,
+    )
     from logstash_spark.functions.sample import deterministic_shuffle
 
     ops = {
@@ -66,6 +71,7 @@ def main() -> None:
         "unigram_score": lambda: unigram_score(docs, min_count=10),
         "deterministic_shuffle": lambda: deterministic_shuffle(docs, prefix_len=2),
         "lang_quality_pii_map": lambda: pii_redact(quality_score(lang_id(docs))),
+        "quality_classifier": lambda: hashed_linear_score(docs, hash_fn="xxhash64"),
     }
     wanted = None
     for a in sys.argv[2:]:
