@@ -87,3 +87,44 @@ def windowed_counts(stream_df: DataFrame, *, ts: str, key: str, window: str = "5
         .count()
         .select(F.col("w.start").alias("window_start"), key, "count")
     )
+
+
+def session_rollup(
+    stream_df: DataFrame,
+    *,
+    ts: str,
+    key: str,
+    gap: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming gap-based sessionization via the engine's NATIVE session
+    windows (`F.session_window`): a session extends while events for a key
+    arrive within ``gap``; the watermark closes sessions whose gap has
+    definitively passed, so state is bounded and results are append-able.
+
+    This is the streaming twin of `stats.sessionize` (batch lag+cumsum):
+    the batch form numbers sessions 1..n per key for replayable oracles;
+    the native session window keys sessions by [start, end) — the right
+    shape when the stream never ends. State: one (key, open-session) row
+    per active key, merged by the state store; no applyInPandas needed —
+    session merge is engine-side JVM code.
+
+    Works on batch frames too (session_window is a grouping expression),
+    where it degenerates to the same rollup as sessionize+groupBy modulo
+    session numbering vs bounds keying.
+    """
+    # Watermarks demand TIMESTAMP (with tz); parquet written by other engines
+    # commonly carries TIMESTAMP_NTZ — normalize (no-op when already ok)
+    if dict(stream_df.dtypes).get(ts) == "timestamp_ntz":
+        stream_df = stream_df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "n_events",
+        )
+    )

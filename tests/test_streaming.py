@@ -403,3 +403,46 @@ def test_elapsed_stateful_match_and_expiry(spark, tmp_path):
         assert got[4] == (None, "elapsed_expired_error")  # timeout flush
     finally:
         q.stop()
+
+
+def test_session_rollup_stream_matches_batch_sessionize(spark, tmp_path):
+    """Native session_window rollup on a stream produces the same per-key
+    session structure as the batch lag+cumsum sessionize (gaps chosen off
+    the boundary: session_window closes at last_ts+gap exclusive, batch
+    breaks strictly after gap)."""
+    import datetime as dt
+    from collections import Counter
+
+    from logstash_spark.functions.stats import sessionize
+    from logstash_spark.streaming.pipeline import session_rollup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(5):
+        t = base + dt.timedelta(minutes=u)
+        for i in range(10):
+            t = t + dt.timedelta(minutes=20 if i % 4 == 3 else 5)
+            rows.append((u, u * 100 + i, t))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    src = str(tmp_path / "sesssrc")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = session_rollup(stream, ts="ts", key="user_id", gap="15 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessroll")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from sessroll").collect()
+    finally:
+        q.stop()
+    assert sum(r.n_events for r in got) == len(rows)  # every event in exactly one session
+    batch = sessionize(df, key_col="user_id", ts_col="ts", order_cols=["event_id"], gap_sec=900)
+    sc_batch = Counter((r.user_id, r.session_n) for r in batch.collect())
+    # same number of sessions per user, same event counts per session
+    stream_counts = sorted((r.user_id, r.n_events) for r in got)
+    batch_counts = sorted((u, n) for (u, _s), n in sc_batch.items())
+    assert stream_counts == batch_counts
