@@ -25,6 +25,15 @@ from pyspark.sql import functions as F
 from logstash_spark.pipeline import Pipeline
 
 
+def ensure_event_time(df: DataFrame, ts: str) -> DataFrame:
+    """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP (no-op
+    otherwise): watermarks reject NTZ, and parquet written by other engines
+    (including the driver's testdata) commonly carries it."""
+    if dict(df.dtypes).get(ts) == "timestamp_ntz":
+        df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return df
+
+
 def run_streaming(
     pipe: Pipeline,
     stream_df: DataFrame,
@@ -41,6 +50,7 @@ def run_streaming(
     """
     df = stream_df
     if watermark:
+        df = ensure_event_time(df, watermark[0])
         df = df.withWatermark(*watermark)
     transformed = pipe.transform(df)
 
@@ -82,7 +92,7 @@ def progress_stats(query) -> dict:
 def windowed_counts(stream_df: DataFrame, *, ts: str, key: str, window: str = "5 minutes") -> DataFrame:
     """The metrics-filter analog on a stream: watermarked windowed counts."""
     return (
-        stream_df.withWatermark(ts, "10 minutes")
+        ensure_event_time(stream_df, ts).withWatermark(ts, "10 minutes")
         .groupBy(F.window(F.col(ts), window).alias("w"), F.col(key))
         .count()
         .select(F.col("w.start").alias("window_start"), key, "count")
@@ -113,10 +123,7 @@ def session_rollup(
     where it degenerates to the same rollup as sessionize+groupBy modulo
     session numbering vs bounds keying.
     """
-    # Watermarks demand TIMESTAMP (with tz); parquet written by other engines
-    # commonly carries TIMESTAMP_NTZ — normalize (no-op when already ok)
-    if dict(stream_df.dtypes).get(ts) == "timestamp_ntz":
-        stream_df = stream_df.withColumn(ts, F.col(ts).cast("timestamp"))
+    stream_df = ensure_event_time(stream_df, ts)
     return (
         stream_df.withWatermark(ts, watermark)
         .groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))

@@ -228,7 +228,9 @@ def dedup_stream(
     keyed = df.withColumn(key_col, F.md5(normalize_text(F.col(text_col))))
     if not keyed.isStreaming:
         return keyed.dropDuplicates([key_col])
-    wm = keyed.withWatermark(ts_col, watermark)
+    from logstash_spark.streaming.pipeline import ensure_event_time
+
+    wm = ensure_event_time(keyed, ts_col).withWatermark(ts_col, watermark)
     try:
         return wm.dropDuplicatesWithinWatermark([key_col])
     except Exception:  # pragma: no cover - pre-3.5 fallback keeps key+time state
