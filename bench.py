@@ -95,6 +95,7 @@ HEADLINE = [
     "semdedup",
     "quality_classifier",
     "sessionize_events",
+    "per_key_cap",
 ]
 
 

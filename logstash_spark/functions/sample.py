@@ -113,3 +113,38 @@ def stratified_sample(
     others = F.coalesce(~F.col(strata_col).isin(*rates.keys()), F.lit(True)) & default_keep
     cond = others if cond is None else cond | others
     return df.withColumn("skey", key).filter(cond)
+
+
+def per_key_cap(
+    df: DataFrame,
+    *,
+    key_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    rank_out: str = "key_rank",
+) -> DataFrame:
+    """Per-key quota retention (the "domain cap" of crawl curation: no
+    single domain may contribute more than ``cap`` documents). Which rows
+    survive is DETERMINISTIC — rank by the md5 sample key, so the kept set
+    is a uniform pseudo-random but replayable choice, stable across
+    retries, partitionings and engines (the unique id breaks the rare
+    16-bit key collisions).
+
+    Scale shape: one shuffle on the key, rank + filter. Top-cap-per-key is
+    partial-aggregation-friendly only for small caps; at Zipf-skewed web
+    scale the hot key's partition holds only that DOMAIN's rows (bounded by
+    the biggest domain, not the corpus). If one domain alone exceeds a
+    partition, pre-filter it with stratified_sample first — the accounting
+    stays exact because ranks are recomputed after.
+
+    Adds ``rank_out`` (1-based rank within the key) for audit; output rows
+    are the survivors only.
+    """
+    from pyspark.sql import Window as W
+
+    key = sample_key(F.col(id_col))
+    w = W.partitionBy(key_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn(rank_out, F.row_number().over(w))
+        .filter(F.col(rank_out) <= cap)
+    )

@@ -2415,6 +2415,29 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "skey")
 
 
+@q(
+    "per_key_cap",
+    """WITH r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+         ) AS INT) AS key_rank
+  FROM documents
+)
+SELECT doc_id, source, key_rank FROM r WHERE key_rank <= 15""",
+)
+def per_key_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota retention (crawl-curation cap): at most 15 docs per
+    source, survivor set a deterministic md5-keyed draw — replayable across
+    engines and retries."""
+    from logstash_spark.functions.sample import per_key_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    out = per_key_cap(d, key_col="source", cap=15, id_col="doc_id")
+    return out.select("doc_id", "source", F.col("key_rank").cast("int").alias("key_rank"))
+
+
 # ---------------------------------------------------------------------------
 # Round 3b: corpus analytics (connected-component dedup clusters, global
 # n-gram counts, TF-IDF top-k, domain mixture, deterministic shuffle order)

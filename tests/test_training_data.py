@@ -805,3 +805,22 @@ def test_sessionize_gap_boundaries(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2}
+
+
+def test_per_key_cap_quota_and_determinism(spark):
+    from logstash_spark.functions.sample import per_key_cap
+    from logstash_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = per_key_cap(d, key_col="source", cap=5, id_col="doc_id")
+    per = out.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 5 for r in per)
+    # deterministic survivor set across re-evaluation and repartitioning
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in per_key_cap(d.repartition(7), key_col="source", cap=5, id_col="doc_id").collect()}
+    assert a == b
+    # a saturated key keeps exactly cap rows
+    counts = dict((r["source"], r["count"]) for r in d.groupBy("source").count().collect())
+    sat = [s for s, n in counts.items() if n >= 5]
+    kept = dict((r["source"], r["count"]) for r in per)
+    assert all(kept[s] == 5 for s in sat)
