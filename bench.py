@@ -96,6 +96,7 @@ HEADLINE = [
     "quality_classifier",
     "sessionize_events",
     "per_key_cap",
+    "dedup_incremental",
 ]
 
 

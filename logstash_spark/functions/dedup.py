@@ -77,6 +77,31 @@ def dedup_exact(
     return df.filter(F.col("_rn") == 1).drop("_rn")
 
 
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_keys: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup for continuous intake: first dedup the new
+    batch internally (first occurrence wins), then drop every row whose
+    normalized-content key already exists in the seen corpus.
+
+    ``seen_keys`` needs only a ``content_key`` column — at 10^12-doc scale
+    the seen side is a key-only table (16 bytes/row), never the documents
+    themselves. The anti-join shuffles on the key; AQE broadcasts the new
+    batch's side when a micro-batch is small. (A bloom filter over seen
+    keys can pre-filter the scan to cut the shuffle further; it's an
+    OPTIMIZATION with false-positive drops, so the exact anti-join stays
+    the semantics.) Survivors keep ``content_key`` so the caller can append
+    them to the seen table — the loop that makes intake incremental.
+    """
+    batch = dedup_exact(new_df, text_col=text_col, id_col=id_col)
+    seen = seen_keys.select("content_key").distinct()
+    return batch.join(seen, "content_key", "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # line-level exact dedup (C4-style: one occurrence of each exact line
 # SURVIVES across the whole corpus; later occurrences are cut out of their

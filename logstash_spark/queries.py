@@ -775,6 +775,38 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_incremental",
+    f"""WITH keyed AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS content_key FROM documents
+), seen AS (
+  SELECT DISTINCT content_key FROM keyed WHERE doc_id % 3 = 0
+), batch AS (
+  SELECT doc_id, content_key,
+         COUNT(*) OVER (PARTITION BY content_key) AS dup_count,
+         ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+  FROM keyed WHERE doc_id % 3 <> 0
+)
+SELECT b.doc_id, b.content_key, CAST(b.dup_count AS BIGINT) AS dup_count
+FROM batch b LEFT JOIN seen s ON b.content_key = s.content_key
+WHERE b.rn = 1 AND s.content_key IS NULL""",
+)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental intake dedup: docs with id % 3 == 0 stand in for the
+    already-ingested corpus (key-only table); the rest arrive as the new
+    batch and survive only if internally-first AND unseen."""
+    from logstash_spark.functions.dedup import dedup_incremental
+    from logstash_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(normalize_text(F.col("text"))).alias("content_key")
+    )
+    new = d.filter(F.col("doc_id") % 3 != 0)
+    out = dedup_incremental(new, seen)
+    return out.select("doc_id", "content_key", F.col("dup_count").cast("bigint").alias("dup_count"))
+
+
+@q(
     "dedup_ngram_jaccard",
     f"""WITH sh AS (
   SELECT doc_id AS id, list_distinct(list_transform(

@@ -824,3 +824,19 @@ def test_per_key_cap_quota_and_determinism(spark):
     sat = [s for s, n in counts.items() if n >= 5]
     kept = dict((r["source"], r["count"]) for r in per)
     assert all(kept[s] == 5 for s in sat)
+
+
+def test_dedup_incremental_inbatch_and_seen(spark):
+    from logstash_spark.functions.dedup import dedup_incremental
+
+    new = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "Alpha  beta!"),  # in-batch dups after normalize
+         (2, "gamma"), (3, "delta"), (4, "epsilon")],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame([("delta",)], "text string").select(
+        F.md5(F.col("text")).alias("content_key")  # normalize('delta') == 'delta'
+    )
+    out = {r.doc_id for r in dedup_incremental(new, seen).collect()}
+    # 0 wins the in-batch pair; 3 is already seen; 2/4 are fresh
+    assert out == {0, 2, 4}
