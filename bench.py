@@ -97,6 +97,7 @@ HEADLINE = [
     "sessionize_events",
     "per_key_cap",
     "dedup_incremental",
+    "media_ahash",
 ]
 
 

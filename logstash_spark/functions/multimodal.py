@@ -195,6 +195,57 @@ def media_decode_features(df: DataFrame) -> DataFrame:
     )
 
 
+def media_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: 64 pixels sampled on a
+    fixed stride across the decoded raster, bit j set iff that pixel's
+    RGB-sum beats the 64-sample mean. Near-identical images (re-encodes,
+    tiny edits) land at small hamming distance — pairing then reuses the
+    simhash machinery verbatim (prefix buckets + bit_count(xor), see
+    dedup.simhash_near_dups).
+
+    All-integer math (64*gsum > total, never a float mean) so the hash is
+    bit-identical in any engine; DuckDB can regenerate the synthetic PPM
+    raster AND this hash in SQL, giving the decode->hash path a full value
+    oracle. Undecodable rows drop (corrupt-media filter).
+
+    Scale: Arrow batches in, one numpy pass per image, no shuffle — the
+    same map-stage cost profile as media_decode_features.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["bytes"]):
+                d = decode_media(buf)
+                if d is None:
+                    continue
+                _fmt, w, h, raster = d
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3)
+                npix = w * h
+                j = np.arange(64, dtype=np.int64)
+                stride = npix // 64
+                # intra-stride offset j%stride de-aliases the sample grid
+                # from any periodic raster structure (tiled textures,
+                # repeating banners) while staying inside bit j's stripe
+                if stride > 0:
+                    idx = j * stride + j % stride
+                else:  # image smaller than 64 px: clamp
+                    idx = np.minimum(j, npix - 1)
+                gsum = px[idx].sum(axis=1).astype(np.int64)  # r+g+b, exact
+                total = int(gsum.sum())
+                bits = (64 * gsum) > total
+                v = 0
+                for j in range(64):
+                    if bits[j]:
+                        v |= 1 << j
+                if v >= 1 << 63:  # two's-complement into BIGINT
+                    v -= 1 << 64
+                rows.append((mid, v))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return df.select("media_id", "bytes").mapInPandas(batches, "media_id long, ahash long")
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Feature extraction over media bytes via mapInPandas (Arrow batches).
 

@@ -1391,6 +1391,50 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_features(m)
 
 
+_AHASH_BITS = " + ".join(
+    f"((CASE WHEN b{j} THEN 1 ELSE 0 END)::BIGINT << {j})" for j in range(63)
+) + " + (CASE WHEN b63 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+
+_AHASH_ORACLE = f"""WITH m AS (
+  SELECT id AS media_id,
+         CAST((id % 4) * 16 + 16 AS INT) AS width,
+         CAST((id % 3) * 16 + 16 AS INT) AS height
+  FROM range(200) t(id)
+), px AS (
+  SELECT media_id, width * height AS npix,
+         substr(repeat(md5(CAST(media_id AS VARCHAR)), 288), 1, width * height * 3) AS pix
+  FROM m
+), g AS (
+  -- pixel sampled for bit j = j*stride + j%stride (stride = npix/64, exact:
+  -- npix is a multiple of 256); the intra-stride offset de-aliases periodic
+  -- rasters — mirrors multimodal.media_ahash
+  SELECT media_id, s.j,
+         ascii(substr(pix, 3 * CAST(j * (npix / 64) + (j % (npix / 64)) AS BIGINT) + 1, 1))
+       + ascii(substr(pix, 3 * CAST(j * (npix / 64) + (j % (npix / 64)) AS BIGINT) + 2, 1))
+       + ascii(substr(pix, 3 * CAST(j * (npix / 64) + (j % (npix / 64)) AS BIGINT) + 3, 1)) AS gsum
+  FROM px, generate_series(0, 63) s(j)
+), tot AS (
+  SELECT media_id, SUM(gsum) AS total FROM g GROUP BY media_id
+), bits AS (
+  SELECT g.media_id,
+         {', '.join(f'BOOL_OR(j = {j} AND 64 * gsum > total) AS b{j}' for j in range(64))}
+  FROM g JOIN tot ON g.media_id = tot.media_id GROUP BY g.media_id
+)
+SELECT media_id, {_AHASH_BITS} AS ahash FROM bits"""
+
+
+@q("media_ahash", _AHASH_ORACLE)
+def media_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL decoded rasters (stdlib PPM parse
+    -> 64-sample integer aHash). DuckDB regenerates raster AND hash in SQL
+    — the decode->perceptual-hash path carries a full value oracle; hamming
+    pairing reuses the simhash prefix-bucket machinery."""
+    from logstash_spark.functions.multimodal import media_ahash, synthetic_media
+
+    m = synthetic_media(spark, 200)
+    return media_ahash(m)
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (joins/aggregates the enrichment layer builds on)
 # ---------------------------------------------------------------------------

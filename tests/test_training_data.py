@@ -840,3 +840,29 @@ def test_dedup_incremental_inbatch_and_seen(spark):
     out = {r.doc_id for r in dedup_incremental(new, seen).collect()}
     # 0 wins the in-batch pair; 3 is already seen; 2/4 are fresh
     assert out == {0, 2, 4}
+
+
+def test_media_ahash_perceptual_locality(spark):
+    """Identical rasters hash identically; a one-byte edit moves only the
+    few bits whose sampled pixel sits near the mean threshold."""
+    from logstash_spark.functions.multimodal import media_ahash
+
+    w = h = 16
+    base = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    edited = bytearray(base)
+    edited[0] = (edited[0] + 1) % 256
+    header = b"P6\n16 16\n255\n"
+    df = spark.createDataFrame(
+        [(1, header + base), (2, header + base), (3, header + bytes(edited)),
+         (4, header + bytes(reversed(base))), (5, b"not an image")],
+        "media_id long, bytes binary",
+    )
+    out = {r.media_id: r.ahash for r in media_ahash(df).collect()}
+    assert 5 not in out  # corrupt media drops
+    assert out[1] == out[2]  # identical raster -> identical hash
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out[1], out[3]) <= 4  # tiny edit -> near-identical
+    assert ham(out[1], out[4]) > 4   # different image -> far
