@@ -866,3 +866,49 @@ def test_media_ahash_perceptual_locality(spark):
 
     assert ham(out[1], out[3]) <= 4  # tiny edit -> near-identical
     assert ham(out[1], out[4]) > 4   # different image -> far
+
+
+def test_assign_numpy_matches_hof_router(spark):
+    """The production numpy centroid router must produce the identical
+    clustering as the exact JVM HOF path on tie-free vectors (top-1 and
+    top-n probes)."""
+    from logstash_spark.functions.similarity import (
+        _assign_numpy,
+        cosine,
+        ivf_train,
+        release_cached,
+    )
+    from logstash_spark.sources.readers import load_table
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_train(e, num_lists=8, iters=1)
+    d = e.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    fast = {(r.id, r.list_id) for r in _assign_numpy(d, cents).collect()}
+    w = W.partitionBy("id").orderBy(F.col("c").desc(), F.col("list_id").asc())
+    slow_df = (
+        d.crossJoin(F.broadcast(cents))
+        .withColumn("c", cosine(F.col("v"), F.col("cv")))
+        .withColumn("_r", F.row_number().over(w))
+    )
+    slow1 = {(r.id, r.list_id) for r in slow_df.filter("_r = 1").select("id", "list_id").collect()}
+    assert fast == slow1
+    fast3 = {(r.id, r.list_id) for r in _assign_numpy(d, cents, topn=3).collect()}
+    slow3 = {(r.id, r.list_id) for r in slow_df.filter("_r <= 3").select("id", "list_id").collect()}
+    release_cached()
+    assert fast3 == slow3
+
+
+def test_semdedup_production_path_matches_oracle_path(spark):
+    """The numpy fast path (round_cos=None) and the exact-JVM rounded path
+    must agree on the driver's embeddings (no routing/threshold near-ties
+    at 1e-9 on this data)."""
+    from logstash_spark.functions.similarity import ivf_train, release_cached, semdedup
+    from logstash_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_train(e, num_lists=8, iters=2, round_centroids=6, round_cos=9)
+    fast = {(r.id, r.list_id, r.is_dup) for r in semdedup(e, cents, tau=0.45).collect()}
+    slow = {(r.id, r.list_id, r.is_dup) for r in semdedup(e, cents, tau=0.45, round_cos=9).collect()}
+    release_cached()
+    assert fast == slow

@@ -41,6 +41,23 @@ def synth_docs(spark, n: int):
     )
 
 
+
+
+def synth_vecs(spark, n: int, dim: int = 32):
+    """Deterministic embedding table: components hash-derived per (seed, d);
+    ~1% planted near-exact duplicates (id % 97 == 0 copies id - 1) so the
+    semantic-dedup probe has structure to find."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.when((F.col("id") % 97 == 0) & (F.col("id") > 0), F.col("id") - 1)
+        .otherwise(F.col("id")).alias("_seed"),
+    )
+    comp = lambda d: (F.pmod(F.xxhash64(F.col("_seed"), F.lit(d)), F.lit(2000)) / 1000.0 - 1.0)  # noqa: E731
+    return base.select(
+        "vec_id", F.array(*[comp(d) for d in range(dim)]).alias("embedding")
+    )
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -63,6 +80,16 @@ def main() -> None:
         quality_score,
     )
     from logstash_spark.functions.sample import deterministic_shuffle
+    from logstash_spark.functions import similarity as sim
+
+    n_vec = max(n // 10, 10_000)
+    vecs = synth_vecs(spark, n_vec)
+    vecs.persist()
+    vecs.count()
+
+    def _semdedup():
+        cents = sim.ivf_train(vecs, num_lists=512, iters=1)
+        return sim.semdedup(vecs, cents, tau=0.98)
 
     ops = {
         "dedup_exact": lambda: dd.dedup_exact(docs),
@@ -72,6 +99,7 @@ def main() -> None:
         "deterministic_shuffle": lambda: deterministic_shuffle(docs, prefix_len=2),
         "lang_quality_pii_map": lambda: pii_redact(quality_score(lang_id(docs))),
         "quality_classifier": lambda: hashed_linear_score(docs, hash_fn="xxhash64"),
+        "semdedup_vec": _semdedup,
     }
     wanted = None
     for a in sys.argv[2:]:
@@ -87,8 +115,10 @@ def main() -> None:
             force(build())
             dt = min(dt, time.perf_counter() - t0)
             dd.release_cached()
-        out[name] = {"sec": round(dt, 2), "rows_per_sec": round(n / dt)}
-        print(f"{name:24s} {dt:7.2f}s  {n / dt / 1000:8.0f}k rows/s", file=sys.stderr)
+            sim.release_cached()
+        rows = n_vec if name == "semdedup_vec" else n
+        out[name] = {"sec": round(dt, 2), "rows_per_sec": round(rows / dt)}
+        print(f"{name:24s} {dt:7.2f}s  {rows / dt / 1000:8.0f}k rows/s", file=sys.stderr)
     print(json.dumps({"n_docs": n, "ops": out}))
 
 
