@@ -241,7 +241,8 @@ def _t_drop(a: dict) -> list[tuple[str, dict]]:
 
 
 def _t_fingerprint(a: dict) -> list[tuple[str, dict]]:
-    _check_opts("fingerprint", a, {"source", "target", "method", "key"}, {"base64encode", "concatenate_sources"})
+    _check_opts("fingerprint", a,
+                {"source", "target", "method", "key", "base64encode", "concatenate_sources"})
     params: dict[str, Any] = {"sources": _listify(a.get("source", ["message"]))}
     if "target" in a:
         params["target"] = a["target"]
@@ -249,6 +250,11 @@ def _t_fingerprint(a: dict) -> list[tuple[str, dict]]:
         params["method"] = str(a["method"]).upper().replace("SHA-", "SHA")
     if "key" in a:
         params["key"] = a["key"]
+    if str(a.get("base64encode", "")).lower() in ("true", "1"):
+        params["base64encode"] = True
+    if str(a.get("concatenate_sources", "")).lower() in ("true", "1"):
+        # plugin semantics: one digest over '|name|value' pairs of ALL sources
+        params["include_names"] = True
     return [("fingerprint", params)]
 
 
@@ -332,23 +338,34 @@ def _t_metrics(a: dict) -> list[tuple[str, dict]]:
 
 
 def _t_xml(a: dict) -> list[tuple[str, dict]]:
-    _check_opts("xml", a, {"source", "schema", "xpath"}, {"store_xml", "target"})
+    _check_opts("xml", a, {"source", "schema", "xpath", "store_xml", "target"})
     if "source" not in a:
         raise ConfCompileError("xml: missing source")
+    store_xml = str(a.get("store_xml", "true")).lower() not in ("false", "0")
+    ops: list[tuple[str, dict]] = []
     if "xpath" in a:
         # xpath => { "expr" => "dest", ... } — ElementTree-subset evaluation,
         # arrays per dest field (logstash-filter-xml semantics)
         xp = a["xpath"]
         if not isinstance(xp, dict) or not xp:
             raise ConfCompileError("xml: xpath must be a hash of expr => dest_field")
-        return [("xml_xpath", {"source": a["source"], "xpath": dict(xp)})]
+        ops.append(("xml_xpath", {"source": a["source"], "xpath": dict(xp)}))
+        if not store_xml or "schema" not in a:
+            # plugin default is store_xml=true, but without a schema the
+            # fixed-schema engine has nothing to store — xpath-only form
+            return ops
     if "schema" not in a:
         raise ConfCompileError(
             "xml: this engine needs an explicit `schema => \"...\"` "
             "(fixed-schema model, same contract as the json filter) or an "
             "`xpath => {...}` hash"
         )
-    return [("xml", {"source": a["source"], "schema": a["schema"]})]
+    if store_xml:
+        params: dict[str, Any] = {"source": a["source"], "schema": a["schema"]}
+        if "target" in a:
+            params["target"] = a["target"]
+        ops.append(("xml", params))
+    return ops
 
 
 def _t_throttle(a: dict) -> list[tuple[str, dict]]:
@@ -403,7 +420,7 @@ def _t_multiline(a: dict) -> list[tuple[str, dict]]:
 
 
 def _t_geoip(a: dict) -> list[tuple[str, dict]]:
-    _check_opts("geoip", a, {"source", "database", "fields"}, {"target", "lru_cache_size"})
+    _check_opts("geoip", a, {"source", "database", "fields", "target"}, {"lru_cache_size"})
     """geoip plugin: needs `database => path` (csv/parquet range table —
     the live MaxMind .dat reader is a binary-format concern outside the
     engine; export it to CSV once)."""
@@ -417,6 +434,8 @@ def _t_geoip(a: dict) -> list[tuple[str, dict]]:
     params: dict[str, Any] = {"source": a["source"], "database": a["database"]}
     if "fields" in a:
         params["fields"] = _listify(a["fields"])
+    if "target" in a:
+        params["target"] = a["target"]
     return [("geoip_db", params)]
 
 

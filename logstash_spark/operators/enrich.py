@@ -87,8 +87,13 @@ def geoip(
     source: str,
     fields: list[str] | None = None,
     target_prefix: str = "geoip_",
+    target: str | None = None,
 ) -> DataFrame:
     """IP-range enrichment via prefix-bucketed broadcast equi-join.
+
+    ``target`` (the plugin's default event shape, geoip filter docs) nests
+    every looked-up attribute in ONE struct column of that name instead of
+    the library's flat ``target_prefix``-ed columns.
 
     ``geo_dim`` columns: ip_lo, ip_hi (int64) + attribute columns. The fact
     side computes ip_long + prefix16 (cheap exprs); the join is
@@ -117,8 +122,15 @@ def geoip(
         & (fact["__ipl"] <= dim["ip_hi"])
     )
     joined = fact.join(F.broadcast(dim), cond, "left")
-    for f_ in fields:
-        joined = joined.withColumn(target_prefix + f_, F.col(f"__geo_{f_}"))
+    if target is not None:
+        # plugin default shape: one HASH field (event['geoip'][attr]) —
+        # a struct column named `target` holding every looked-up attribute
+        joined = joined.withColumn(
+            target, F.struct(*[F.col(f"__geo_{f_}").alias(f_) for f_ in fields])
+        )
+    else:
+        for f_ in fields:
+            joined = joined.withColumn(target_prefix + f_, F.col(f"__geo_{f_}"))
     return joined.drop(
         "prefix16", "ip_lo", "ip_hi",
         *[f"__geo_{f_}" for f_ in fields], "__ipl", "__prefix16",
@@ -132,6 +144,7 @@ def geoip_db(
     database: str,
     fields: list[str] | None = None,
     target_prefix: str = "geoip_",
+    target: str | None = None,
 ) -> DataFrame:
     """geoip with a FILE-backed range database — the .conf surface
     (``database => path``). The file is a csv/parquet table with ip_lo,
@@ -150,7 +163,8 @@ def geoip_db(
             raise ValueError(f"geoip database {database!r} needs columns ip_lo, ip_hi")
         if isinstance(dim.schema[c].dataType, T.StringType):
             dim = dim.withColumn(c, ip_to_long(F.col(c)))
-    return geoip(df, dim, source=source, fields=fields, target_prefix=target_prefix)
+    return geoip(df, dim, source=source, fields=fields,
+                 target_prefix=target_prefix, target=target)
 
 
 def dns_db(

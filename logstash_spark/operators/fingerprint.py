@@ -21,6 +21,12 @@ _METHODS = {
 }
 
 
+# methods whose hex output can be re-encoded as base64 of the raw digest
+# (the plugin's base64encode option applies to the digest bytes, not the
+# hex string — base64(unhex(hex)) reproduces it exactly)
+_HEX_DIGESTS = {"MD5", "SHA1", "SHA256", "SHA512"}
+
+
 def fingerprint(
     df: DataFrame,
     sources: list[str],
@@ -29,17 +35,37 @@ def fingerprint(
     method: str = "SHA256",
     key: str | None = None,
     concatenate_sources: bool = True,
+    include_names: bool = False,
+    base64encode: bool = False,
 ) -> DataFrame:
     """`fingerprint` filter: stable content hash of one or more fields.
 
     ``key`` prepends an HMAC-ish salt (simple keyed concat — the reference
     uses OpenSSL HMAC; keyed-concat is the deterministic stand-in since
-    no extra libs are available; swap for `F.hmac` if present)."""
-    cols = [F.coalesce(F.col(s).cast("string"), F.lit("")) for s in sources]
-    base = F.concat_ws("|", *cols) if concatenate_sources else cols[0]
+    no extra libs are available; swap for `F.hmac` if present).
+
+    ``include_names=True`` reproduces the plugin's ``concatenate_sources``
+    string shape — ``|name1|value1|name2|value2`` over the source fields in
+    the given order — instead of the library's bare value join.
+
+    ``base64encode=True`` (plugin option) emits the digest bytes base64-
+    encoded instead of hex, for the MD5/SHA* methods; hash-int methods
+    (CRC32/MURMUR3/XX64) have no byte digest and keep their decimal form.
+    """
+    if include_names:
+        base = F.concat(*[
+            F.concat(F.lit("|" + s + "|"), F.coalesce(F.col(s).cast("string"), F.lit("")))
+            for s in sources
+        ])
+    else:
+        cols = [F.coalesce(F.col(s).cast("string"), F.lit("")) for s in sources]
+        base = F.concat_ws("|", *cols) if concatenate_sources else cols[0]
     if key:
         base = F.concat(F.lit(key), F.lit("|"), base)
-    return df.withColumn(target, _METHODS[method.upper()](base))
+    out = _METHODS[method.upper()](base)
+    if base64encode and method.upper() in _HEX_DIGESTS:
+        out = F.base64(F.unhex(out))
+    return df.withColumn(target, out)
 
 
 def anonymize(df: DataFrame, fields: list[str], method: str = "SHA256", key: str | None = None) -> DataFrame:

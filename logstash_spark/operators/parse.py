@@ -239,9 +239,11 @@ def syslog_pri(
     return df
 
 
-def xml_parse(df: DataFrame, source: str, schema: str) -> DataFrame:
-    """`xml` filter (default_plugins.rb:48) — Spark 4's from_xml."""
-    return df.withColumn("_xml", F.from_xml(F.col(source), F.lit(schema)))
+def xml_parse(df: DataFrame, source: str, schema: str, target: str = "_xml") -> DataFrame:
+    """`xml` filter (default_plugins.rb:48) — Spark 4's from_xml.
+    ``target`` names the struct column the parsed document lands in
+    (the plugin's target option; library default keeps '_xml')."""
+    return df.withColumn(target, F.from_xml(F.col(source), F.lit(schema)))
 
 
 def xml_xpath(df: DataFrame, source: str, xpath: dict[str, str]) -> DataFrame:

@@ -417,6 +417,36 @@ def geoip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "geoip_struct_target",
+    f"""{_PAGES_CTE}
+SELECT url,
+       'C' || CAST(CAST(user_id % 200 AS INT) % 7 AS VARCHAR) AS country,
+       'R' || CAST(CAST(user_id % 200 AS INT) % 3 AS VARCHAR) AS region
+FROM pages""",
+)
+def geoip_struct_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geoip with the plugin's default event shape: ``target => "geo"``
+    nests every looked-up attribute in one struct column (the reference
+    stores a geoip HASH on the event). Same /16-prefix broadcast join as
+    geoip_range_join; the oracle reads the nested fields back out."""
+    from logstash_spark.operators.enrich import geoip
+
+    dim = spark.range(200).select(
+        (F.lit(10 * 16777216) + F.col("id") * 65536).alias("ip_lo"),
+        (F.lit(10 * 16777216) + F.col("id") * 65536 + 65535).alias("ip_hi"),
+        F.concat(F.lit("C"), (F.col("id") % 7).cast("string")).alias("country"),
+        F.concat(F.lit("R"), (F.col("id") % 3).cast("string")).alias("region"),
+    )
+    p = _pages(spark, sf_dir)
+    out = geoip(p, dim, source="clientip", target="geo")
+    return out.select(
+        "url",
+        F.col("geo.country").alias("country"),
+        F.col("geo.region").alias("region"),
+    )
+
+
+@q(
     "useragent_parse",
     f"""{_PAGES_CTE}
 SELECT url,
@@ -466,6 +496,30 @@ def fingerprint_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fingerprint(p, ["url", "lang"], target="fingerprint", method="SHA256")
     out = anonymize(out, ["clientip"], method="MD5")
     return out.select("url", "fingerprint", F.col("clientip").alias("ip_md5"))
+
+
+@q(
+    "fingerprint_base64_concat",
+    f"""{_PAGES_CTE}
+SELECT url,
+       to_base64(unhex(sha256('|url|' || url || '|lang|' || lang))) AS fp_b64,
+       to_base64(unhex(md5('|lang|' || lang))) AS fp_md5_b64
+FROM pages""",
+)
+def fingerprint_base64_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fingerprint plugin options done for real: ``concatenate_sources``
+    hashes ONE '|name|value|name|value' string over all sources (plugin
+    string shape), ``base64encode`` emits the digest bytes base64-encoded
+    instead of hex. Oracle recomputes both digests byte-for-byte in DuckDB
+    (to_base64(unhex(...)) over the same concat)."""
+    from logstash_spark.operators.fingerprint import fingerprint
+
+    p = _pages(spark, sf_dir)
+    out = fingerprint(p, ["url", "lang"], target="fp_b64", method="SHA256",
+                      include_names=True, base64encode=True)
+    out = fingerprint(out, ["lang"], target="fp_md5_b64", method="MD5",
+                      include_names=True, base64encode=True)
+    return out.select("url", "fp_b64", "fp_md5_b64")
 
 
 @q(

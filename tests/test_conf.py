@@ -390,6 +390,26 @@ def test_geoip_conf_with_database_file(spark, tmp_path):
         compile_config('filter { geoip { source => "ip" } } output { null {} }', out_dir=str(tmp_path))
 
 
+def test_geoip_conf_target_struct(spark, tmp_path):
+    """geoip target => nests attributes in ONE struct column (the plugin's
+    default event['geoip'] hash shape); misses give a null struct field."""
+    db = tmp_path / "geo.csv"
+    db.write_text(
+        "ip_lo,ip_hi,country,city\n"
+        "10.0.0.0,10.0.255.255,US,NYC\n"
+    )
+    src = f"""
+    filter {{ geoip {{ source => "clientip" database => "{db}" target => "geoip" }} }}
+    output {{ null {{ }} }}
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([("10.0.12.7",), ("192.168.1.1",)], "clientip string")
+    rows = {r["clientip"]: r for r in pipe.transform(df).collect()}
+    assert rows["10.0.12.7"]["geoip"]["country"] == "US"
+    assert rows["10.0.12.7"]["geoip"]["city"] == "NYC"
+    assert rows["192.168.1.1"]["geoip"]["country"] is None
+
+
 def test_dns_conf_with_database_file(spark, tmp_path):
     db = tmp_path / "hosts.csv"
     db.write_text("host,address\nweb01,10.0.0.5\ndb01,10.0.0.9\n")
@@ -693,3 +713,48 @@ def test_xml_xpath_conf_translation(spark, tmp_path):
     )
     out = pipe.transform(df)
     assert out.collect()[0]["items"] == ["a", "b"]
+
+
+def test_xml_conf_target_and_store_xml(spark, tmp_path):
+    """xml target => names the parsed-struct column; store_xml => false
+    with an xpath hash skips the document store entirely (plugin options)."""
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'filter { xml { source => "raw" schema => "msg string" target => "doc" } } '
+        "output { null {} }",
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame([(0, "<r><msg>hi</msg></r>")], "id long, raw string")
+    row = pipe.transform(df).collect()[0]
+    assert row["doc"]["msg"] == "hi"
+
+    pipe2, _ = compile_config(
+        'filter { xml { source => "raw" store_xml => false '
+        'xpath => { "//msg/text()" => "msgs" } } } output { null {} }',
+        out_dir=str(tmp_path),
+    )
+    out2 = pipe2.transform(df)
+    assert out2.collect()[0]["msgs"] == ["hi"]
+    assert "_xml" not in out2.columns and "doc" not in out2.columns
+
+
+def test_fingerprint_conf_base64_concat(spark, tmp_path):
+    """fingerprint base64encode + concatenate_sources from .conf: one
+    digest over '|name|value' pairs, base64 of the digest BYTES."""
+    import base64
+    import hashlib
+
+    from logstash_spark.conf import compile_config
+
+    src = """
+    filter { fingerprint { source => ["a", "b"] method => "SHA256"
+                           concatenate_sources => true base64encode => true
+                           target => "fp" } }
+    output { null { } }
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    got = pipe.transform(df).collect()[0]["fp"]
+    want = base64.b64encode(hashlib.sha256(b"|a|x|b|y").digest()).decode()
+    assert got == want
