@@ -873,10 +873,58 @@ def bind_input(spark, node: PluginNode, *, stdin_lines=None):
                 "(jobs/agent.py feeds it from the process stdin)"
             )
         df = spark.createDataFrame([(str(l),) for l in stdin_lines], "message string")
+    elif node.name in ("tcp", "udp", "syslog"):
+        # bounded socket capture (mode => server, the plugin default).
+        # max_events/idle_timeout bound the batch plan; the live streaming
+        # form is sources.sockets.tcp_socket_stream.
+        from logstash_spark.sources import sockets as _sk
+
+        if "port" not in a:
+            raise ConfCompileError(f"{node.name} input requires port")
+        kw = dict(
+            host=str(a.get("host", "127.0.0.1")),
+            port=int(a["port"]),
+            max_events=int(a["max_events"]) if "max_events" in a else None,
+            idle_timeout=float(a.get("idle_timeout", 5.0)),
+        )
+        if node.name == "syslog":
+            df = _sk.syslog_capture(spark, protocol=str(a.get("protocol", "tcp")), **kw)
+        elif node.name == "tcp":
+            df = _sk.tcp_capture(spark, **kw)
+        else:
+            df = _sk.udp_capture(spark, **kw)
+    elif node.name == "exec":
+        from logstash_spark.sources.pull import exec_input
+
+        if "command" not in a:
+            raise ConfCompileError("exec input requires command")
+        df = exec_input(spark, str(a["command"]), count=int(a.get("count", 1)))
+    elif node.name == "pipe":
+        from logstash_spark.sources.pull import pipe_input
+
+        if "command" not in a:
+            raise ConfCompileError("pipe input requires command")
+        df = pipe_input(
+            spark,
+            str(a["command"]),
+            max_events=int(a["max_events"]) if "max_events" in a else None,
+        )
+    elif node.name == "elasticsearch":
+        from logstash_spark.sources.pull import elasticsearch_input
+
+        path = a.get("export") or a.get("path")
+        if not path or "schema" not in a:
+            raise ConfCompileError(
+                "elasticsearch input: live scroll is out of sandbox scope; "
+                "needs export => path to a scroll-export NDJSON + schema => "
+                "(file-backed wire contract, same stance as the kafka shim)"
+            )
+        df = elasticsearch_input(spark, str(path), schema=str(a["schema"]))
     else:
         raise ConfCompileError(
             f"input plugin {node.name!r} has no sandbox binding "
-            "(sockets/daemons are deployment concerns; pass your own DataFrame)"
+            "(daemon inputs like irc/xmpp/imap are deployment concerns; "
+            "pass your own DataFrame)"
         )
     # input decorate (filters/base.rb decorate): type/tags/add_field
     if a.get("type") is not None:

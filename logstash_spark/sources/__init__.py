@@ -6,3 +6,14 @@ from logstash_spark.sources.bus import (  # noqa: F401
     kafka_source,
     kafka_wire_shim,
 )
+from logstash_spark.sources.sockets import (  # noqa: F401
+    syslog_capture,
+    tcp_capture,
+    tcp_socket_stream,
+    udp_capture,
+)
+from logstash_spark.sources.pull import (  # noqa: F401
+    elasticsearch_input,
+    exec_input,
+    pipe_input,
+)

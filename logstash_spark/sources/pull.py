@@ -1,0 +1,105 @@
+"""Pull/exec inputs — exec, pipe, elasticsearch (reference manifest
+rakelib/default_plugins.rb:49-76).
+
+These are *control-plane* inputs: the reference runs one subprocess / one
+HTTP scroll on the pipeline thread and feeds the queue. The Spark-first
+mapping keeps that honest — the pull happens once on the driver (a single
+command cannot be distributed), and distribution starts at the first
+transformation, the same boundary the reference has.
+
+- exec:  run ``command`` ``count`` times; the WHOLE stdout of each run is
+  one event (plugin semantics: one message per interval tick, field
+  ``command`` recorded). ``interval`` is a scheduling concern — batch runs
+  execute the ticks back-to-back; the streaming path belongs to a
+  collector tier at scale.
+- pipe:  run a long-lived ``command``; every stdout LINE is one event
+  (plugin semantics), bounded by ``max_events``/process exit.
+- elasticsearch: the plugin scrolls a query and re-emits ``_source``
+  documents. The live-HTTP client is out of scope in this sandbox; the
+  binding reads a scroll-export in the documented wire shape — NDJSON of
+  hit objects (``{"_index":...,"_id":...,"_source":{...}}``) or of bare
+  ``_source`` docs — the same file-backed wire-contract stance as the
+  kafka shim (sources/bus.py).
+"""
+
+from __future__ import annotations
+
+import subprocess
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def exec_input(
+    spark: SparkSession,
+    command: str,
+    *,
+    count: int = 1,
+    timeout: float = 30.0,
+) -> DataFrame:
+    """``input { exec { command => ... interval => N } }`` — one event per
+    run holding the run's entire stdout in ``message`` plus the plugin's
+    ``command`` field."""
+    rows = []
+    for _ in range(count):
+        out = subprocess.run(
+            command, shell=True, capture_output=True, timeout=timeout
+        )
+        rows.append((out.stdout.decode("utf-8", "replace"), command))
+    return spark.createDataFrame(rows, "message string, command string")
+
+
+def pipe_input(
+    spark: SparkSession,
+    command: str,
+    *,
+    max_events: int | None = None,
+    timeout: float = 30.0,
+) -> DataFrame:
+    """``input { pipe { command => ... } }`` — each stdout LINE of the
+    long-running command is one event."""
+    proc = subprocess.Popen(
+        command, shell=True, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
+    )
+    lines: list[str] = []
+    try:
+        assert proc.stdout is not None
+        for raw in proc.stdout:
+            lines.append(raw.decode("utf-8", "replace").rstrip("\r\n"))
+            if max_events is not None and len(lines) >= max_events:
+                break
+    finally:
+        proc.kill()
+        proc.wait(timeout=timeout)
+    return spark.createDataFrame([(l,) for l in lines], "message string")
+
+
+def elasticsearch_input(
+    spark: SparkSession,
+    export_path: str,
+    *,
+    schema: str,
+) -> DataFrame:
+    """``input { elasticsearch { ... } }`` against a scroll-export NDJSON
+    file. Each line is either a full hit object (``_source`` unwrapped,
+    ``_index``/``_type``/``_id`` surfaced as ``[@metadata]``-style columns,
+    mirroring the plugin's docinfo option) or a bare source document.
+
+    ``schema`` types the ``_source`` document (fixed-schema engine, same
+    contract as the json filter). The scan itself is a distributed
+    spark.read — only the query/scroll step is shimmed to a file.
+    """
+    raw = spark.read.text(export_path)
+    hit_schema = f"_index string, _id string, _source struct<{schema}>"
+    parsed = raw.select(
+        F.from_json(F.col("value"), hit_schema).alias("h"),
+        F.from_json(F.col("value"), f"struct<{schema}>").alias("bare"),
+    )
+    doc = F.when(F.col("h._source").isNotNull(), F.col("h._source")).otherwise(
+        F.col("bare")
+    )
+    return parsed.select(
+        doc.alias("doc"),
+        F.col("h._index").alias("_meta_input_index"),
+        F.col("h._id").alias("_meta_input_id"),
+    ).select("doc.*", "_meta_input_index", "_meta_input_id")

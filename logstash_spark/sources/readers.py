@@ -6,8 +6,10 @@ reduce, in a Spark-first design, to table scans + record-oriented parsing:
 - file/s3       -> spark.read / readStream over parquet, Iceberg, text, json
 - kafka/bus     -> spark.readStream.format('kafka') (streaming module)
 - generator     -> sources.pages.synthetic_pages
-- the rest (sockets, exec, imap...) are dev-mode inputs with no 100 TB
-  analog; deliberately out of scope (SURVEY §2.2).
+- tcp/udp/syslog -> sources.sockets (Spark socket stream + bounded capture)
+- exec/pipe/elasticsearch -> sources.pull (driver-side control-plane pulls)
+- daemon inputs (irc, xmpp, imap...) are deployment concerns; out of scope
+  (SURVEY §2.2).
 
 Iceberg is the designated table format in the north rule; the runtime here
 has plain parquet, so Iceberg is gated: same call sites, format string

@@ -1,0 +1,141 @@
+"""Socket inputs — tcp / udp / syslog (reference manifest
+rakelib/default_plugins.rb:49-76; syslog input combines a socket listener
+with RFC3164 priority+timestamp parsing).
+
+Spark-first mapping. Sockets are single-node *intake* surfaces, not a
+100 TB scan path — the reference's own tcp/udp inputs are one listener
+thread feeding the pipeline queue. Here:
+
+- streaming form: :func:`tcp_socket_stream` binds Spark's built-in
+  ``socket`` Structured-Streaming source (a TCP *client* reading
+  line-framed text), so a live feed runs through the same foreachBatch
+  pipeline as every other stream.
+- batch form: :func:`tcp_capture` / :func:`udp_capture` run a bounded
+  listener (the .conf ``input { tcp { port => ... } }`` binding —
+  mode => server, like the plugin default), spool the received lines,
+  and hand back a DataFrame. The capture is driver-side by design: one
+  socket cannot be distributed; distribution starts at the very next
+  stage, exactly like the reference's single input thread.
+- :func:`syslog_capture` = tcp/udp capture + the engine's existing
+  RFC3164 decode (operators.parse.syslog_decode), matching the syslog
+  input plugin (socket + grok-style PRI/timestamp/host extraction).
+
+At production scale the socket tier is a fleet of collectors writing to
+kafka/object storage (SURVEY's mapping); these bindings exist so every
+reference .conf compiles and runs, and so small live feeds work.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def tcp_socket_stream(
+    spark: SparkSession, *, host: str = "localhost", port: int
+) -> DataFrame:
+    """Streaming tcp input (mode => client): Spark's ``socket`` source.
+
+    Line-framed text, one row per line in column ``message`` — the same
+    event shape as the tcp plugin with the default line codec.
+    """
+    df = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return df.withColumnRenamed("value", "message")
+
+
+class _LineServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+def tcp_capture(
+    spark: SparkSession,
+    *,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_events: int | None = None,
+    idle_timeout: float = 5.0,
+    ready: threading.Event | None = None,
+) -> DataFrame:
+    """Batch tcp input (mode => server, the plugin default): accept
+    connections, read newline-framed events until ``max_events`` arrive
+    or the listener has been idle for ``idle_timeout`` seconds, then
+    return the captured lines as a DataFrame.
+
+    ``port=0`` binds an ephemeral port; the chosen ``(host, port)`` is
+    published on the returned server object before ``ready`` is set, so
+    tests can connect without racing. Bounded by construction — a batch
+    plan cannot block forever on a socket.
+    """
+    lines: list[str] = []
+    done = threading.Event()
+    lock = threading.Lock()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self) -> None:
+            for raw in self.rfile:
+                with lock:
+                    lines.append(raw.decode("utf-8", "replace").rstrip("\r\n"))
+                    if max_events is not None and len(lines) >= max_events:
+                        done.set()
+                        return
+
+    srv = _LineServer((host, port), Handler)
+    tcp_capture.last_address = srv.server_address  # type: ignore[attr-defined]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    if ready is not None:
+        ready.set()
+    done.wait(timeout=idle_timeout)
+    srv.shutdown()
+    srv.server_close()
+    return spark.createDataFrame([(l,) for l in lines], "message string")
+
+
+def udp_capture(
+    spark: SparkSession,
+    *,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_events: int | None = None,
+    idle_timeout: float = 5.0,
+    ready: threading.Event | None = None,
+) -> DataFrame:
+    """Batch udp input: one datagram = one event (the udp plugin's
+    framing), bounded the same way as :func:`tcp_capture`."""
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind((host, port))
+    sock.settimeout(idle_timeout)
+    udp_capture.last_address = sock.getsockname()  # type: ignore[attr-defined]
+    if ready is not None:
+        ready.set()
+    lines: list[str] = []
+    try:
+        while max_events is None or len(lines) < max_events:
+            try:
+                data, _addr = sock.recvfrom(65535)
+            except socket.timeout:
+                break
+            lines.append(data.decode("utf-8", "replace").rstrip("\r\n"))
+    finally:
+        sock.close()
+    return spark.createDataFrame([(l,) for l in lines], "message string")
+
+
+def syslog_capture(spark: SparkSession, *, protocol: str = "tcp", **kw) -> DataFrame:
+    """syslog input = socket listener + RFC3164 decode (PRI -> facility/
+    severity, timestamp, host, program/pid), the plugin's documented
+    behavior. Decode happens in the distributed plan, not the listener."""
+    from logstash_spark.operators.parse import syslog_decode
+
+    cap = tcp_capture if protocol == "tcp" else udp_capture
+    df = cap(spark, **kw)
+    return syslog_decode(df, source="message")

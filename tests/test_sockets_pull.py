@@ -1,0 +1,206 @@
+"""Socket (tcp/udp/syslog) and pull (exec/pipe/elasticsearch) inputs.
+
+Reference manifest rakelib/default_plugins.rb:49-76 — these were the last
+two input groups without a binding. Tests run real sockets / subprocesses.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+
+import pytest
+
+from logstash_spark.sources.pull import elasticsearch_input, exec_input, pipe_input
+from logstash_spark.sources.sockets import (
+    syslog_capture,
+    tcp_capture,
+    tcp_socket_stream,
+    udp_capture,
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _send_tcp_when_ready(ready: threading.Event, getter, payload: bytes) -> threading.Thread:
+    def run():
+        ready.wait(5)
+        host, port = getter()
+        for _ in range(50):
+            try:
+                c = socket.create_connection((host, port), timeout=1)
+                c.sendall(payload)
+                c.close()
+                return
+            except OSError:
+                time.sleep(0.05)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
+def test_tcp_capture_lines(spark):
+    ready = threading.Event()
+    _send_tcp_when_ready(
+        ready, lambda: tcp_capture.last_address, b"alpha\nbeta\ngamma\n"
+    )
+    df = tcp_capture(spark, port=0, max_events=3, idle_timeout=10.0, ready=ready)
+    assert sorted(r["message"] for r in df.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_udp_capture_datagrams(spark):
+    ready = threading.Event()
+
+    def send():
+        ready.wait(5)
+        host, port = udp_capture.last_address
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for m in (b"one", b"two"):
+            s.sendto(m, (host, port))
+        s.close()
+
+    threading.Thread(target=send, daemon=True).start()
+    df = udp_capture(spark, port=0, max_events=2, idle_timeout=10.0, ready=ready)
+    assert sorted(r["message"] for r in df.collect()) == ["one", "two"]
+
+
+def test_syslog_capture_decodes_rfc3164(spark):
+    ready = threading.Event()
+    line = b"<34>Oct 11 22:14:15 web01 sshd[123]: Failed password for root\n"
+    _send_tcp_when_ready(ready, lambda: tcp_capture.last_address, line)
+    df = syslog_capture(
+        spark, protocol="tcp", port=0, max_events=1, idle_timeout=10.0, ready=ready
+    )
+    row = df.collect()[0]
+    # PRI 34 = facility 4 (auth), severity 2 (critical)
+    assert row["syslog_facility_code"] == 4
+    assert row["syslog_severity_code"] == 2
+    assert row["logsource"] == "web01"
+    assert row["program"] == "sshd"
+
+
+def test_tcp_conf_binding_e2e(spark, tmp_path):
+    """input { tcp { port => N max_events => 2 } } through compile_config
+    + bind_input, with the input decorate (type) applied."""
+    from logstash_spark.conf import bind_input, compile_config
+
+    port = _free_port()
+    src = f"""
+    input {{ tcp {{ port => {port} max_events => 2 idle_timeout => 10 type => "net" }} }}
+    filter {{ mutate {{ uppercase => ["message"] }} }}
+    output {{ null {{ }} }}
+    """
+
+    def send():
+        for _ in range(100):
+            try:
+                c = socket.create_connection(("127.0.0.1", port), timeout=1)
+                c.sendall(b"hello\nworld\n")
+                c.close()
+                return
+            except OSError:
+                time.sleep(0.05)
+
+    threading.Thread(target=send, daemon=True).start()
+    pipe, inputs = compile_config(src, out_dir=str(tmp_path))
+    df = bind_input(spark, inputs[0])
+    out = pipe.transform(df)
+    rows = out.collect()
+    assert sorted(r["message"] for r in rows) == ["HELLO", "WORLD"]
+    assert all(r["type"] == "net" for r in rows)
+
+
+def test_tcp_socket_stream_source(spark):
+    """Streaming form: Spark's socket source fed by a local line server."""
+    port = _free_port()
+    stop = threading.Event()
+
+    def serve():
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", port))
+        srv.listen(1)
+        srv.settimeout(15)
+        try:
+            conn, _ = srv.accept()
+            conn.sendall(b"s1\ns2\ns3\n")
+            stop.wait(15)
+            conn.close()
+        except socket.timeout:
+            pass
+        finally:
+            srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    df = tcp_socket_stream(spark, port=port)
+    assert df.isStreaming and df.columns == ["message"]
+    q = df.writeStream.format("memory").queryName("sockmem").start()
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.sql("select * from sockmem").count() >= 3:
+                break
+            time.sleep(0.3)
+        got = sorted(r["message"] for r in spark.sql("select * from sockmem").collect())
+        assert got == ["s1", "s2", "s3"]
+    finally:
+        stop.set()
+        q.stop()
+
+
+def test_exec_input_whole_stdout_per_run(spark):
+    df = exec_input(spark, "printf 'a\\nb\\n'", count=2)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(r["message"] == "a\nb\n" for r in rows)
+    assert all(r["command"].startswith("printf") for r in rows)
+
+
+def test_pipe_input_line_per_event(spark):
+    df = pipe_input(spark, "printf 'x\\ny\\nz\\n'", max_events=3)
+    assert sorted(r["message"] for r in df.collect()) == ["x", "y", "z"]
+
+
+def test_elasticsearch_input_scroll_export(spark, tmp_path):
+    exp = tmp_path / "scroll.ndjson"
+    exp.write_text(
+        json.dumps({"_index": "logs", "_id": "1", "_source": {"msg": "a", "n": 1}})
+        + "\n"
+        + json.dumps({"msg": "b", "n": 2})  # bare _source form
+        + "\n"
+    )
+    df = elasticsearch_input(spark, str(exp), schema="msg string, n int")
+    rows = {r["msg"]: r for r in df.collect()}
+    assert rows["a"]["n"] == 1 and rows["a"]["_meta_input_index"] == "logs"
+    assert rows["b"]["n"] == 2 and rows["b"]["_meta_input_index"] is None
+
+
+def test_elasticsearch_conf_binding(spark, tmp_path):
+    from logstash_spark.conf import ConfCompileError, bind_input, compile_config
+
+    exp = tmp_path / "scroll.ndjson"
+    exp.write_text(json.dumps({"_source": {"msg": "hi"}}) + "\n")
+    src = f"""
+    input {{ elasticsearch {{ export => "{exp}" schema => "msg string" }} }}
+    output {{ null {{ }} }}
+    """
+    _pipe, inputs = compile_config(src, out_dir=str(tmp_path))
+    assert bind_input(spark, inputs[0]).collect()[0]["msg"] == "hi"
+
+    _pipe2, inputs2 = compile_config(
+        'input { elasticsearch { host => "x" } } output { null {} }',
+        out_dir=str(tmp_path),
+    )
+    with pytest.raises(ConfCompileError, match="scroll"):
+        bind_input(spark, inputs2[0])
