@@ -160,6 +160,124 @@ def dedup_lines(
     return out
 
 
+def dup_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    stride: int = 1,
+    min_docs: int = 2,
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection — the k-gram formulation of
+    ExactSubstr ('Deduplicating Training Data Makes Language Models
+    Better', Lee et al. 2022): hash every k-token window; a window whose
+    hash occurs in >= ``min_docs`` distinct documents is a duplicated
+    span. Returns one row per duplicated-window occurrence:
+    (id_col, pos, gram_hash, n_docs), pos 1-based in token space.
+
+    Relational plan (the suffix-array of the paper is a single-machine
+    structure; the k-gram inverted index is its shuffle-native analog):
+      1. tokenize JVM-side (split), window-hash via transform+slice —
+         md5 over the joined window, zero Python;
+      2. explode to (id, pos, gh) — ~one row per token at stride 1; the
+         text itself never shuffles, only 16-byte keys + ints;
+      3. groupBy gh with countDistinct(id) — partial aggregation collapses
+         boilerplate grams map-side, so the classic skew key (a nav bar
+         repeated 10^9 times) arrives at the reducer once per map
+         partition, not per occurrence;
+      4. join occurrences back on gh (ids only).
+    At 100 TB: stride trades recall for an s-fold explode reduction
+    (stride <= k/2 still catches every duplicated run of >= 2k tokens);
+    ``hot_cap`` drops grams with more than that many occurrences before
+    the join-back (boilerplate a human would strip by rule, not by pair
+    enumeration) — account for drops with :func:`hot_bucket_stats`.
+    """
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("l")
+    )
+    npos = F.size("l") - F.lit(k - 1)
+    seq = F.when(npos >= 1, F.sequence(F.lit(1), npos, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                seq,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice(F.col("l"), i, k), " ")).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    grams = _persist_tracked(grams)
+    counts = grams.groupBy("gh").agg(
+        F.countDistinct("id").alias("n_docs"), F.count(F.lit(1)).alias("n_occ")
+    )
+    dup = counts.filter(F.col("n_docs") >= min_docs)
+    if hot_cap is not None:
+        dup = dup.filter(F.col("n_occ") <= hot_cap)
+    dup = dup.drop("n_occ")
+    return grams.join(dup, "gh").select(
+        F.col("id").alias(id_col), "pos", F.col("gh").alias("gram_hash"), "n_docs"
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    stride: int = 1,
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """ExactSubstr REMOVAL: every duplicated k-token window keeps its
+    globally-first occurrence — ordered by (doc_id, pos), same rule as
+    :func:`dedup_lines` — and every later occurrence's tokens are cut
+    from their document. Returns (id_col, text_deduped, n_tokens,
+    n_tokens_cut).
+
+    The cut itself is columnar: the loser span-starts per doc come back
+    as one array; kept tokens are `filter(sequence(1, n), i -> no span
+    covers i)` — nested-lambda JVM exprs, no Python, no extra shuffle
+    beyond dup_spans' two.
+    """
+    # min_docs=1 keeps every occurrence; duplicated = hash seen more than
+    # once ANYWHERE (same or cross doc) via the window count below —
+    # rank 1 survives, later occurrences are cut
+    spans = dup_spans(
+        df, text_col=text_col, id_col=id_col, k=k, stride=stride,
+        min_docs=1, hot_cap=hot_cap,
+    )
+    w = W.partitionBy("gram_hash").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    ranked = spans.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy("gram_hash"))
+    )
+    losers = ranked.filter((F.col("_n") >= 2) & (F.col("_rk") >= 2))
+    cuts = losers.groupBy(id_col).agg(F.collect_list("pos").alias("cut_starts"))
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("l")
+    ).join(cuts, id_col, "left")
+    starts = F.coalesce(F.col("cut_starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("l")),
+        lambda i: ~F.exists(starts, lambda p: (p <= i) & (i < p + F.lit(k))),
+    )
+    out = base.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at(F.col("l"), i)), " "
+        ).alias("text_deduped"),
+        F.size("l").alias("n_tokens"),
+        (F.size("l") - F.size(kept)).alias("n_tokens_cut"),
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap against an eval/benchmark pool —
 # the standard pre-training hygiene step: drop training docs that contain

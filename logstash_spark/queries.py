@@ -808,6 +808,79 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_substring_spans",
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(l, i, i+7), ' ')) AS gram_hash
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-7, 0), 1)) AS i) g
+), dup AS (
+  SELECT gram_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM grams GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, gram_hash, n_docs
+FROM grams JOIN dup USING (gram_hash)""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr detection (Lee et al. 2022, k-gram formulation): every
+    duplicated 8-token window occurrence, value-oracled against DuckDB's
+    replay of the same tokenize/window/md5/count plan."""
+    from logstash_spark.functions.dedup import dup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    out = dup_spans(d, k=8, min_docs=2)
+    return out.select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "gram_hash",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+@q(
+    "dedup_substring_removal",
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(l, i, i+7), ' ')) AS gh
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-7, 0), 1)) AS i) g
+), ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rk,
+         count(*) OVER (PARTITION BY gh) AS n
+  FROM grams
+), cuts AS (
+  SELECT doc_id, list(pos) AS cut_starts FROM ranked WHERE n >= 2 AND rk >= 2 GROUP BY doc_id
+), base AS (
+  SELECT t.doc_id, t.l, coalesce(c.cut_starts, CAST([] AS BIGINT[])) AS cs
+  FROM toks t LEFT JOIN cuts c USING (doc_id)
+), kept AS (
+  SELECT doc_id, l,
+         list_filter(generate_series(1, len(l)),
+                     i -> len(list_filter(cs, p -> p <= i AND i < p + 8)) = 0) AS ki
+  FROM base
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(ki, i -> l[i]), ' '), '') AS text_deduped,
+       CAST(len(l) AS BIGINT) AS n_tokens, CAST(len(l) - len(ki) AS BIGINT) AS n_tokens_cut
+FROM kept""",
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal: duplicated 8-token windows keep their globally
+    first occurrence (ordered by doc_id, pos — same rule as the C4 line
+    dedup); later occurrences' tokens are cut columnar-side. Full value
+    oracle: DuckDB rebuilds the cleaned text with the same nested-lambda
+    interval mask."""
+    from logstash_spark.functions.dedup import remove_dup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    out = remove_dup_spans(d, k=8)
+    return out.select(
+        "doc_id", "text_deduped",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_tokens_cut").cast("bigint").alias("n_tokens_cut"),
+    )
+
+
+@q(
     "dedup_exact",
     f"""WITH keyed AS (
   SELECT doc_id, md5({_NORM_SQL}) AS content_key FROM documents

@@ -912,3 +912,72 @@ def test_semdedup_production_path_matches_oracle_path(spark):
     slow = {(r.id, r.list_id, r.is_dup) for r in semdedup(e, cents, tau=0.45, round_cos=9).collect()}
     release_cached()
     assert fast == slow
+
+
+def test_dup_spans_detection_and_stride(spark):
+    """ExactSubstr k-gram detection: cross-doc duplicated windows found;
+    same-doc repeats don't count toward min_docs; stride subsamples
+    positions but keeps hits whose start aligns."""
+    from logstash_spark.functions.dedup import dup_spans, release_cached
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),          # window at pos 1..3
+            (2, "x a b c d e f g h i z"),        # same 8-gram at pos 2
+            (3, "q q q q q q q q q q q q q q q q"),  # self-repeat only
+        ],
+        "doc_id long, text string",
+    )
+    spans = dup_spans(df, k=8, min_docs=2)
+    got = {(r.doc_id, r.pos) for r in spans.collect()}
+    release_cached()
+    # shared windows: (a..h)@1/2, (b..i)@2/3 — doc3's self-repeated gram is
+    # one distinct doc, excluded by min_docs=2
+    assert got == {(1, 1), (2, 2), (1, 2), (2, 3)}
+    assert all(r.n_docs == 2 for r in spans.collect())
+
+    s2 = dup_spans(df, k=8, min_docs=2, stride=2)
+    got2 = {(r.doc_id, r.pos) for r in s2.collect()}
+    release_cached()
+    # stride 2 keeps odd positions only: doc1@1 survives; its partner
+    # occurrence doc2@2 is not sampled, but hashes still match cross-doc
+    # when both sampled positions collide — here only (1,1),(1,3),(2,3)...
+    assert got2 <= got | {(1, 3)}
+
+
+def test_dup_spans_hot_cap_accounting(spark):
+    """hot_cap drops boilerplate grams; the survivors are unaffected."""
+    from logstash_spark.functions.dedup import dup_spans, release_cached
+
+    rows = [(i, "nav bar home about contact login search footer tail%d x" % i) for i in range(10)]
+    rows.append((100, "unique one two three four five six seven eight nine"))
+    rows.append((101, "also unique one two three four five six seven eight nine"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    all_spans = dup_spans(df, k=8, min_docs=2)
+    n_all = all_spans.count()
+    release_cached()
+    capped = dup_spans(df, k=8, min_docs=2, hot_cap=5)
+    n_capped = capped.count()
+    got = {(r.doc_id, r.pos) for r in capped.collect()}
+    release_cached()
+    assert n_capped < n_all            # the 10-doc boilerplate gram dropped
+    assert (100, 2) in got and (101, 3) in got  # the rare pair survives
+
+
+def test_remove_dup_spans_first_occurrence_wins(spark):
+    from logstash_spark.functions.dedup import release_cached, remove_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x a b c d e f g h z"),
+            (3, "q w e r t y u i o p"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(df, k=8).collect()}
+    release_cached()
+    assert out[1].text_deduped == "a b c d e f g h i j" and out[1].n_tokens_cut == 0
+    assert out[2].text_deduped == "x z" and out[2].n_tokens_cut == 8
+    assert out[3].n_tokens_cut == 0
+    assert all(out[i].n_tokens == 10 for i in (1, 2, 3))
