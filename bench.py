@@ -98,6 +98,8 @@ HEADLINE = [
     "per_key_cap",
     "dedup_incremental",
     "media_ahash",
+    "dedup_substring_spans",
+    "dedup_substring_removal",
 ]
 
 

@@ -258,17 +258,72 @@ def _t_fingerprint(a: dict) -> list[tuple[str, dict]]:
     return [("fingerprint", params)]
 
 
+def _load_dictionary_path(path: str) -> dict:
+    """translate's ``dictionary_path``: YAML / CSV / JSON lookup file ->
+    plain dict at COMPILE time (the plugin loads it once at register and
+    broadcasts; here the literal map compiles straight into the plan).
+    YAML support is the flat `key: value` subset the plugin documents —
+    nested YAML raises (no yaml package in this runtime; the flat form
+    covers the documented usage)."""
+    import json as _json
+
+    try:
+        raw = open(path, encoding="utf-8").read()
+    except OSError as e:
+        raise ConfCompileError(f"translate: dictionary_path unreadable: {e}") from None
+    if path.endswith(".json"):
+        d = _json.loads(raw)
+        if not isinstance(d, dict):
+            raise ConfCompileError("translate: dictionary_path json must be an object")
+        return {str(k): str(v) for k, v in d.items()}
+    if path.endswith(".csv"):
+        import csv as _csv
+        import io as _io
+
+        out = {}
+        for row in _csv.reader(_io.StringIO(raw)):
+            if len(row) >= 2:
+                out[row[0]] = row[1]
+        return out
+    # YAML flat subset: `key: value`, optional quotes, # comments
+    out = {}
+    for ln in raw.splitlines():
+        s = ln.strip()
+        if not s or s.startswith("#"):
+            continue
+        if ":" not in s or s.endswith(":") or s.startswith("-"):
+            raise ConfCompileError(
+                f"translate: dictionary_path yaml line {ln!r} is not flat "
+                "'key: value' (nested YAML unsupported in this runtime)"
+            )
+        k, v = s.split(":", 1)
+
+        def unq(x: str) -> str:
+            x = x.strip()
+            if len(x) >= 2 and x[0] == x[-1] and x[0] in "\"'":
+                return x[1:-1]
+            return x
+
+        out[unq(k)] = unq(v)
+    return out
+
+
 def _t_translate(a: dict) -> list[tuple[str, dict]]:
     _check_opts("translate", a, {"field", "source", "destination", "dictionary", "fallback",
-                                 "regex", "override"}, {"exact", "refresh_interval", "dictionary_path"})
+                                 "regex", "override", "dictionary_path"},
+                {"exact", "refresh_interval"})
     """translate plugin (community; named in the north star): inline
-    ``dictionary => {...}`` compiles to a literal map lookup / rlike
-    cascade — no join. The DataFrame-dimension form stays on the library
-    API (enrich.translate)."""
+    ``dictionary => {...}`` or ``dictionary_path => file`` compiles to a
+    literal map lookup / rlike cascade — no join. The DataFrame-dimension
+    form stays on the library API (enrich.translate)."""
+    if "dictionary" not in a and "dictionary_path" in a:
+        a = dict(a)
+        a["dictionary"] = _load_dictionary_path(str(a.pop("dictionary_path")))
     if "dictionary" not in a or not isinstance(a["dictionary"], dict):
         raise ConfCompileError(
-            "translate: needs an inline dictionary => { ... } "
-            "(file-backed dictionaries: use enrich.translate with a dim DataFrame)"
+            "translate: needs an inline dictionary => { ... } or "
+            "dictionary_path => yaml/csv/json file "
+            "(DataFrame dims: use enrich.translate)"
         )
     src = a.get("field") or a.get("source")
     if not src:

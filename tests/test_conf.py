@@ -762,3 +762,36 @@ def test_fingerprint_conf_base64_concat(spark, tmp_path):
     got = pipe.transform(df).collect()[0]["fp"]
     want = base64.b64encode(hashlib.sha256(b"|a|x|b|y").digest()).decode()
     assert got == want
+
+
+def test_translate_dictionary_path_formats(spark, tmp_path):
+    """dictionary_path => yaml/csv/json files load at compile time into
+    the same literal-map plan as the inline dictionary."""
+    from logstash_spark.conf import compile_config
+
+    y = tmp_path / "d.yml"
+    y.write_text('# status names\n"200": OK\n"404": "Not Found"\n500: Error\n')
+    c = tmp_path / "d.csv"
+    c.write_text("200,OK\n404,Not Found\n")
+    j = tmp_path / "d.json"
+    j.write_text('{"200": "OK", "404": "Not Found"}')
+
+    df = spark.createDataFrame([("200",), ("404",), ("999",)], "code string")
+    for path in (y, c, j):
+        src = f"""
+        filter {{ translate {{ field => "code" dictionary_path => "{path}"
+                               destination => "name" fallback => "?" }} }}
+        output {{ null {{ }} }}
+        """
+        pipe, _ = compile_config(src, out_dir=str(tmp_path))
+        rows = {r["code"]: r["name"] for r in pipe.transform(df).collect()}
+        assert rows == {"200": "OK", "404": "Not Found", "999": "?"}, (path, rows)
+
+    bad = tmp_path / "nested.yml"
+    bad.write_text("a:\n  b: 1\n")
+    with pytest.raises(ConfCompileError, match="flat"):
+        compile_config(
+            f'filter {{ translate {{ field => "x" dictionary_path => "{bad}" }} }} '
+            "output { null {} }",
+            out_dir=str(tmp_path),
+        )

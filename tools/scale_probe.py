@@ -100,6 +100,9 @@ def main() -> None:
         "lang_quality_pii_map": lambda: pii_redact(quality_score(lang_id(docs))),
         "quality_classifier": lambda: hashed_linear_score(docs, hash_fn="xxhash64"),
         "semdedup_vec": _semdedup,
+        # stride 4 = the documented recall/cost point for runs >= 2k tokens;
+        # hot_cap bounds the boilerplate-gram join-back
+        "dedup_substring_spans": lambda: dd.dup_spans(docs, k=8, stride=4, hot_cap=10_000),
     }
     wanted = None
     for a in sys.argv[2:]:
