@@ -100,6 +100,7 @@ HEADLINE = [
     "media_ahash",
     "dedup_substring_spans",
     "dedup_substring_removal",
+    "gopher_rules",
 ]
 
 

@@ -114,6 +114,79 @@ def quality_score(df: DataFrame, source: str = "text") -> DataFrame:
     )
 
 
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, source: str = "text") -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, 'Scaling
+    Language Models: ... Gopher', Appendix A — the MassiveWeb heuristics),
+    as staged JVM column expressions:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#' or '...') <= 0.1
+    - <= 90% of lines start with a bullet; <= 30% end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct stop words from {the, be, to, of, and, that, have, with}
+
+    Emits the individual signals + ``gopher_pass``. Counting is via
+    length-difference / list ops (no complement-class regex — see the
+    quality_score staging note for the measured JVM regex cliff).
+    """
+    txt = F.col(source)
+    words = F.split(F.trim(txt), r"\s+")
+    lines = F.split(txt, "\n")
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3 + (
+        F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    )
+    out = df.withColumns({
+        "n_words": F.size(words),
+        "_g_nonspace": F.length(F.regexp_replace(txt, r"\s+", "")),
+        "_g_sym": (n_hash + n_ell).cast("double"),
+        "_g_alpha_words": F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))),
+        "_g_bullet": F.size(
+            F.filter(lines, lambda l: l.rlike(r"^\s*(\-|\*|•) "))
+        ),
+        "_g_ellend": F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))),
+        "_g_nlines": F.size(lines),
+        "_g_stops": F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(words, F.lower)),
+                F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+            )
+        ),
+    })
+    n_words = F.greatest(F.col("n_words"), F.lit(1))
+    n_lines = F.greatest(F.col("_g_nlines"), F.lit(1))
+    mean_wlen = F.col("_g_nonspace") / n_words
+    sym_ratio = F.col("_g_sym") / n_words
+    alpha_frac = F.col("_g_alpha_words") / n_words
+    bullet_frac = F.col("_g_bullet") / n_lines
+    ell_frac = F.col("_g_ellend") / n_lines
+    ok = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (mean_wlen >= 3) & (mean_wlen <= 10)
+        & (sym_ratio <= 0.1)
+        & (bullet_frac <= 0.9) & (ell_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (F.col("_g_stops") >= 2)
+    )
+    return (
+        out.withColumn("mean_word_len_g", F.round(mean_wlen, 4))
+        .withColumn("symbol_ratio", F.round(sym_ratio, 4))
+        .withColumn("alpha_word_frac", F.round(alpha_frac, 4))
+        .withColumn("bullet_line_frac", F.round(bullet_frac, 4))
+        .withColumn("ellipsis_line_frac", F.round(ell_frac, 4))
+        .withColumn("n_stop_words", F.col("_g_stops"))
+        .withColumn("gopher_pass", ok)
+        .drop("_g_nonspace", "_g_sym", "_g_alpha_words", "_g_bullet",
+              "_g_ellend", "_g_nlines", "_g_stops")
+    )
+
+
 def repetition_ratio(
     df: DataFrame, source: str = "text", n: int = 2, target: str = "rep_ratio"
 ) -> DataFrame:

@@ -694,6 +694,63 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "gopher_rules",
+    """WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS w,
+         string_split(text, chr(10)) AS ln
+  FROM documents WHERE text IS NOT NULL
+), f AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3
+           + (length(text) - length(replace(text, '…', ''))) AS sym,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_words,
+         len(list_filter(ln, x -> regexp_matches(x, '^\\s*(\\-|\\*|•) '))) AS bullets,
+         len(list_filter(ln, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS ellends,
+         len(ln) AS n_lines,
+         len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+                            ['the','be','to','of','and','that','have','with'])) AS stops
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       ROUND(nonspace / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS mean_word_len_g,
+       ROUND(sym / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS symbol_ratio,
+       ROUND(alpha_words / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS alpha_word_frac,
+       ROUND(bullets / CAST(greatest(n_lines, 1) AS DOUBLE), 4) AS bullet_line_frac,
+       ROUND(ellends / CAST(greatest(n_lines, 1) AS DOUBLE), 4) AS ellipsis_line_frac,
+       CAST(stops AS INT) AS n_stop_words,
+       (n_words BETWEEN 50 AND 100000)
+         AND (nonspace / CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3 AND 10)
+         AND (sym / CAST(greatest(n_words, 1) AS DOUBLE) <= 0.1)
+         AND (bullets / CAST(greatest(n_lines, 1) AS DOUBLE) <= 0.9)
+         AND (ellends / CAST(greatest(n_lines, 1) AS DOUBLE) <= 0.3)
+         AND (alpha_words / CAST(greatest(n_words, 1) AS DOUBLE) >= 0.8)
+         AND (stops >= 2) AS gopher_pass
+FROM f""",
+)
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveWeb quality rules (Rae et al. 2021 App. A) — each
+    signal and the composite pass flag value-oracled against DuckDB's
+    replay over the same split/list-filter features."""
+    from logstash_spark.functions.text import gopher_rules
+
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
+    out = gopher_rules(d.filter(F.col("text").isNotNull()))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        "mean_word_len_g", "symbol_ratio", "alpha_word_frac",
+        "bullet_line_frac", "ellipsis_line_frac",
+        F.col("n_stop_words").cast("int").alias("n_stop_words"),
+        "gopher_pass",
+    )
+
+
+@q(
     "quality_score",
     """WITH f AS (
   SELECT doc_id,

@@ -981,3 +981,33 @@ def test_remove_dup_spans_first_occurrence_wins(spark):
     assert out[2].text_deduped == "x z" and out[2].n_tokens_cut == 8
     assert out[3].n_tokens_cut == 0
     assert all(out[i].n_tokens == 10 for i in (1, 2, 3))
+
+
+def test_gopher_rules_signals(spark):
+    from logstash_spark.functions.text import gopher_rules
+
+    good = "the quick brown fox jumps over that lazy dog and then it sat down to rest with a friend of mine be cause " * 3
+    bullets = "\n".join("- item %d here" % i for i in range(10))
+    symbols = " ".join("word#" for _ in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, good.strip()),          # passes everything
+            (2, bullets),               # 100% bullet lines -> fail
+            (3, symbols),               # symbol ratio 1.0 -> fail
+            (4, "tiny doc"),            # word count < 50 -> fail
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].gopher_pass is True
+    assert out[1].n_stop_words >= 2
+    assert out[2].gopher_pass is False and out[2].bullet_line_frac == 1.0
+    assert out[3].gopher_pass is False and out[3].symbol_ratio >= 0.1
+    assert out[4].gopher_pass is False and out[4].n_words < 50
+    # ellipsis rule: >30% of lines ending with ...
+    df2 = spark.createDataFrame(
+        [(5, "\n".join(["this line trails off..."] * 4 + ["a normal line"] * 4))],
+        "doc_id long, text string",
+    )
+    row = gopher_rules(df2).collect()[0]
+    assert row.ellipsis_line_frac == 0.5 and row.gopher_pass is False
