@@ -169,6 +169,7 @@ def dup_spans(
     stride: int = 1,
     min_docs: int = 2,
     hot_cap: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Exact duplicated-SUBSTRING detection — the k-gram formulation of
     ExactSubstr ('Deduplicating Training Data Makes Language Models
@@ -193,7 +194,11 @@ def dup_spans(
     ``hot_cap`` drops grams with more than that many occurrences before
     the join-back (boilerplate a human would strip by rule, not by pair
     enumeration) — account for drops with :func:`hot_bucket_stats`.
+    ``hash_fn``: 'md5' (gate default — DuckDB replays it) or 'xxhash64'
+    (production: 8-byte bigint keys instead of 32-char hex — the explode
+    and both shuffles carry a quarter of the bytes).
     """
+    hasher = F.xxhash64 if hash_fn == "xxhash64" else F.md5
     toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("l")
     )
@@ -208,7 +213,7 @@ def dup_spans(
                 seq,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.md5(F.array_join(F.slice(F.col("l"), i, k), " ")).alias("gh"),
+                    hasher(F.array_join(F.slice(F.col("l"), i, k), " ")).alias("gh"),
                 ),
             )
         ).alias("g"),
@@ -234,6 +239,7 @@ def remove_dup_spans(
     k: int = 8,
     stride: int = 1,
     hot_cap: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """ExactSubstr REMOVAL: every duplicated k-token window keeps its
     globally-first occurrence — ordered by (doc_id, pos), same rule as
@@ -251,7 +257,7 @@ def remove_dup_spans(
     # rank 1 survives, later occurrences are cut
     spans = dup_spans(
         df, text_col=text_col, id_col=id_col, k=k, stride=stride,
-        min_docs=1, hot_cap=hot_cap,
+        min_docs=1, hot_cap=hot_cap, hash_fn=hash_fn,
     )
     w = W.partitionBy("gram_hash").orderBy(F.col(id_col).asc(), F.col("pos").asc())
     ranked = spans.withColumn("_rk", F.row_number().over(w)).withColumn(

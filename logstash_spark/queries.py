@@ -882,10 +882,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr detection (Lee et al. 2022, k-gram formulation): every
     duplicated 8-token window occurrence, value-oracled against DuckDB's
     replay of the same tokenize/window/md5/count plan."""
+    import os
+
     from logstash_spark.functions.dedup import dup_spans
 
     d = load_table(spark, sf_dir, "documents")
-    out = dup_spans(d, k=8, min_docs=2)
+    out = dup_spans(d, k=8, min_docs=2,
+                    hash_fn=os.environ.get("SPARK_GRAFT_HASH_FN", "md5"))
     return out.select(
         "doc_id", F.col("pos").cast("int").alias("pos"), "gram_hash",
         F.col("n_docs").cast("bigint").alias("n_docs"),
@@ -926,10 +929,13 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup); later occurrences' tokens are cut columnar-side. Full value
     oracle: DuckDB rebuilds the cleaned text with the same nested-lambda
     interval mask."""
+    import os
+
     from logstash_spark.functions.dedup import remove_dup_spans
 
     d = load_table(spark, sf_dir, "documents")
-    out = remove_dup_spans(d, k=8)
+    out = remove_dup_spans(d, k=8,
+                           hash_fn=os.environ.get("SPARK_GRAFT_HASH_FN", "md5"))
     return out.select(
         "doc_id", "text_deduped",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),

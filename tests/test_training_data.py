@@ -1011,3 +1011,23 @@ def test_gopher_rules_signals(spark):
     )
     row = gopher_rules(df2).collect()[0]
     assert row.ellipsis_line_frac == 0.5 and row.gopher_pass is False
+
+
+def test_dup_spans_hash_families_agree(spark):
+    """md5 (gate family) and xxhash64 (production family) must find the
+    same duplicated-span structure — same positions, same removal."""
+    from logstash_spark.functions.dedup import dup_spans, release_cached, remove_dup_spans
+
+    df = spark.createDataFrame(
+        [(i, "shared prefix one two three four five six tail%d a b" % (i % 3))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    a = {(r.doc_id, r.pos) for r in dup_spans(df, k=8, hash_fn="md5").collect()}
+    b = {(r.doc_id, r.pos) for r in dup_spans(df, k=8, hash_fn="xxhash64").collect()}
+    release_cached()
+    assert a == b and a
+    ra = {(r.doc_id, r.text_deduped) for r in remove_dup_spans(df, k=8, hash_fn="md5").collect()}
+    rb = {(r.doc_id, r.text_deduped) for r in remove_dup_spans(df, k=8, hash_fn="xxhash64").collect()}
+    release_cached()
+    assert ra == rb

@@ -102,7 +102,7 @@ def main() -> None:
         "semdedup_vec": _semdedup,
         # stride 4 = the documented recall/cost point for runs >= 2k tokens;
         # hot_cap bounds the boilerplate-gram join-back
-        "dedup_substring_spans": lambda: dd.dup_spans(docs, k=8, stride=4, hot_cap=10_000),
+        "dedup_substring_spans": lambda: dd.dup_spans(docs, k=8, stride=4, hot_cap=10_000, hash_fn="xxhash64"),
     }
     wanted = None
     for a in sys.argv[2:]:
