@@ -22,7 +22,20 @@ from logstash_spark.condparser import parse_condition
 from logstash_spark.conditions import And, Expr, Not
 from logstash_spark.confparser import Config, IfNode, PluginNode, parse_config
 from logstash_spark.pipeline import Output, Pipeline, Stage
-from logstash_spark.sinks import CollectSink, CountSink, EsBulkSink, JsonLinesSink, NullSink, ParquetSink
+from logstash_spark.sinks import (
+    CollectSink,
+    CountSink,
+    CsvSink,
+    EsBulkSink,
+    GelfSink,
+    GraphiteSink,
+    JsonLinesSink,
+    NullSink,
+    OpentsdbSink,
+    ParquetSink,
+    TcpSink,
+    UdpSink,
+)
 
 
 class ConfCompileError(ValueError):
@@ -782,7 +795,35 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 separator=str(node.attrs.get("csv_options", {}).get("col_sep", ","))
                 if isinstance(node.attrs.get("csv_options"), dict) else ",",
             )
-        elif node.name in ("s3", "kafka", "redis", "csv", "opentsdb"):
+        elif node.name in ("tcp", "udp"):
+            if "port" not in node.attrs:
+                raise ConfCompileError(f"{node.name} output requires port")
+            codec = node.attrs.get("codec", "json_lines")
+            codec = codec.name if isinstance(codec, PluginNode) else str(codec)
+            cls = TcpSink if node.name == "tcp" else UdpSink
+            sink = cls(
+                host=str(node.attrs.get("host", "127.0.0.1")),
+                port=int(node.attrs["port"]),
+                codec=codec,
+            )
+        elif node.name == "gelf":
+            sink = GelfSink(
+                os.path.join(out_dir, f"gelf_{len(outputs)}"),
+                host_field=str(node.attrs.get("sender", "host")),
+                level=int(node.attrs["level"]) if str(node.attrs.get("level", "")).isdigit() else 6,
+            )
+        elif node.name == "opentsdb":
+            m = node.attrs.get("metrics")
+            if not isinstance(m, dict) or not m:
+                raise ConfCompileError(
+                    "opentsdb output requires metrics => { \"name\" => \"%{field}\" }"
+                )
+            name_t, value_t = next(iter(dict(m).items()))
+            sink = OpentsdbSink(
+                os.path.join(out_dir, f"opentsdb_{len(outputs)}"),
+                metric=str(name_t), value=_sprintf_field(str(value_t)),
+            )
+        elif node.name in ("s3", "kafka", "redis", "csv"):
             # durable sinks with no live backend here -> parquet stand-in
             sink = ParquetSink(os.path.join(out_dir, f"{node.name}_{len(outputs)}"), mode="append")
         else:

@@ -127,10 +127,14 @@ class GraphiteSink(Sink):
         from logstash_spark.operators.codecs import encode_graphite
 
         d = strip_internal(df)
-        mcol = self.metric
-        if "%{" in self.metric:
-            mcol = "_graphite_metric"
-            d = d.withColumn(mcol, sprintf_col(self.metric, d))
+        # metric is a NAME template: sprintf if templated, else the literal
+        # carbon path (a bare name is NOT a column reference — the plugin's
+        # metrics keys are metric names)
+        mcol = "_graphite_metric"
+        d = d.withColumn(
+            mcol,
+            sprintf_col(self.metric, d) if "%{" in self.metric else F.lit(self.metric),
+        )
         out = encode_graphite(d, metric=mcol, value=self.value, ts=self.ts, target="line")
         out.select("line").write.mode("append").text(self.path)
         return self.path
@@ -152,6 +156,142 @@ class CsvSink(Sink):
         out = encode_csv(strip_internal(df), list(self.fields), target="line",
                          sep=self.separator)
         out.select("line").write.mode("append").text(self.path)
+        return self.path
+
+
+@dataclass
+class TcpSink(Sink):
+    """tcp output: newline-framed events over real sockets. Scale-honest
+    shape: EACH PARTITION opens its own connection and streams its rows
+    (foreachPartition — the many-collectors pattern), so there is no
+    driver collect and no single-socket bottleneck; the receiving tier is
+    expected to load-balance, exactly like a fleet of logstash shippers.
+    ``codec='json_lines'`` sends event JSON; 'line' sends the message
+    column."""
+
+    host: str
+    port: int
+    codec: str = "json_lines"
+
+    def write(self, df: DataFrame) -> Any:
+        out = _frame_lines(strip_internal(df), self.codec)
+        host, port = self.host, self.port
+
+        def send(rows) -> None:
+            import socket as _s
+
+            buf = []
+            for r in rows:
+                if r[0] is not None:
+                    buf.append(r[0])
+            if not buf:
+                return
+            c = _s.create_connection((host, port), timeout=30)
+            try:
+                c.sendall(("\n".join(buf) + "\n").encode("utf-8"))
+            finally:
+                c.close()
+
+        out.foreachPartition(send)
+        return f"tcp://{host}:{port}"
+
+
+@dataclass
+class UdpSink(Sink):
+    """udp output: one datagram per event, sent from each partition."""
+
+    host: str
+    port: int
+    codec: str = "json_lines"
+
+    def write(self, df: DataFrame) -> Any:
+        out = _frame_lines(strip_internal(df), self.codec)
+        host, port = self.host, self.port
+
+        def send(rows) -> None:
+            import socket as _s
+
+            sock = _s.socket(_s.AF_INET, _s.SOCK_DGRAM)
+            try:
+                for r in rows:
+                    if r[0] is not None:
+                        sock.sendto(r[0].encode("utf-8"), (host, port))
+            finally:
+                sock.close()
+
+        out.foreachPartition(send)
+        return f"udp://{host}:{port}"
+
+
+def _frame_lines(df: DataFrame, codec: str) -> DataFrame:
+    """One string column '_line' per event for the socket sinks."""
+    if codec in ("line", "plain"):
+        return df.select(F.col("message").cast("string").alias("_line"))
+    from logstash_spark.event import event_to_json
+
+    return df.select(event_to_json(df).alias("_line"))
+
+
+@dataclass
+class GelfSink(Sink):
+    """gelf output with the REAL GELF 1.1 JSON wire shape (version, host,
+    short_message, epoch timestamp, level, custom fields prefixed '_'),
+    written as NDJSON text — one UDP/TCP send away from a Graylog
+    endpoint (same file-backed stance as EsBulkSink)."""
+
+    path: str
+    host_field: str = "host"
+    message_field: str = "message"
+    level: int = 6
+
+    def write(self, df: DataFrame) -> Any:
+        d = strip_internal(df)
+        std = {self.host_field, self.message_field, "@timestamp"}
+        custom = [c for c in d.columns if c not in std]
+        fields = [
+            F.lit("1.1").alias("version"),
+            (F.col(self.host_field).cast("string") if self.host_field in d.columns
+             else F.lit("unknown")).alias("host"),
+            F.col(self.message_field).cast("string").alias("short_message"),
+            (F.unix_timestamp(F.col("@timestamp")).cast("double")
+             if "@timestamp" in d.columns else F.lit(None).cast("double")).alias("timestamp"),
+            F.lit(self.level).alias("level"),
+        ] + [F.col(c).alias(f"_{c}") for c in custom]
+        out = d.select(F.to_json(F.struct(*fields), {"ignoreNullFields": "false"}).alias("line"))
+        out.write.mode("append").text(self.path)
+        return self.path
+
+
+@dataclass
+class OpentsdbSink(Sink):
+    """opentsdb output with the REAL telnet-style line protocol
+    (``put <metric> <epoch> <value> tag=v ...``) written as text —
+    one socket write away from a live TSD. ``metric`` takes sprintf
+    templates like the graphite output."""
+
+    path: str
+    metric: str
+    value: str
+    tags: dict | None = None
+    ts: str = "@timestamp"
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.event import sprintf_col
+
+        d = strip_internal(df)
+        mcol = (
+            sprintf_col(self.metric, d) if "%{" in self.metric else F.lit(self.metric)
+        )
+        parts = [
+            F.lit("put"), mcol,
+            F.unix_timestamp(F.col(self.ts)).cast("string"),
+            F.col(self.value).cast("string"),
+        ]
+        for k, v in (self.tags or {}).items():
+            tv = sprintf_col(str(v), d) if "%{" in str(v) else F.lit(str(v))
+            parts.append(F.concat(F.lit(f"{k}="), tv))
+        out = d.select(F.concat_ws(" ", *parts).alias("line"))
+        out.write.mode("append").text(self.path)
         return self.path
 
 

@@ -1,0 +1,113 @@
+"""tcp/udp/gelf/opentsdb outputs — real sockets and real wire formats.
+
+Also regression-covers the graphite/csv .conf output branches (a missing
+import made them NameError at compile; the sinks themselves were tested
+only via the library API)."""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+
+from logstash_spark.conf import compile_config
+
+
+def _line_server(collected, n_expect):
+    done = threading.Event()
+
+    class H(socketserver.StreamRequestHandler):
+        def handle(self):
+            for raw in self.rfile:
+                collected.append(raw.decode().rstrip("\n"))
+                if len(collected) >= n_expect:
+                    done.set()
+
+    class S(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    srv = S(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, done
+
+
+def test_tcp_output_per_partition_sockets(spark, tmp_path):
+    got: list[str] = []
+    srv, done = _line_server(got, 6)
+    port = srv.server_address[1]
+    src = f"""
+    output {{ tcp {{ host => "127.0.0.1" port => {port} codec => "line" }} }}
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([(f"m{i}",) for i in range(6)], "message string").repartition(3)
+    pipe.run(df)
+    done.wait(20)
+    srv.shutdown(); srv.server_close()
+    assert sorted(got) == [f"m{i}" for i in range(6)]
+
+
+def test_udp_output_datagrams_json_lines(spark, tmp_path):
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(20)
+    port = sock.getsockname()[1]
+    src = f"""
+    output {{ udp {{ host => "127.0.0.1" port => {port} }} }}
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "message string, n long")
+    pipe.run(df)
+    got = []
+    while len(got) < 2:
+        data, _ = sock.recvfrom(65535)
+        got.append(json.loads(data.decode()))
+    sock.close()
+    assert sorted(d["message"] for d in got) == ["a", "b"]
+    assert {d["n"] for d in got} == {1, 2}
+
+
+def test_gelf_output_wire_shape(spark, tmp_path):
+    src = 'output { gelf { } }'
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame(
+        [("web1", "disk full", "prod")], "host string, message string, env string"
+    )
+    pipe.run(df)
+    import glob
+
+    lines = []
+    for f in glob.glob(f"{tmp_path}/gelf_0/part-*"):
+        lines += [json.loads(l) for l in open(f) if l.strip()]
+    (g,) = lines
+    assert g["version"] == "1.1" and g["host"] == "web1"
+    assert g["short_message"] == "disk full" and g["level"] == 6
+    assert g["_env"] == "prod"          # custom fields get the '_' prefix
+
+
+def test_opentsdb_and_graphite_conf_outputs(spark, tmp_path):
+    """opentsdb line protocol + the (previously dead) graphite branch."""
+    src = """
+    output {
+      opentsdb { metrics => { "sys.cpu.%{host}" => "%{load}" } }
+      graphite { metrics => { "carbon.load" => "%{load}" } }
+      csv { path => "out" fields => ["host", "load"] }
+    }
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame(
+        [("web1", 0.5, "2015-06-01 12:00:00")],
+        "host string, load double, ts string",
+    ).withColumn("@timestamp", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    pipe.run(df)
+    import glob
+
+    tsdb = [l.strip() for f in glob.glob(f"{tmp_path}/opentsdb_0/part-*") for l in open(f) if l.strip()]
+    assert len(tsdb) == 1
+    parts = tsdb[0].split(" ")
+    assert parts[0] == "put" and parts[1] == "sys.cpu.web1" and parts[3] == "0.5"
+    carbon = [l.strip() for f in glob.glob(f"{tmp_path}/graphite_1/part-*") for l in open(f) if l.strip()]
+    assert len(carbon) == 1 and carbon[0].startswith("carbon.load 0.5 ")
+    csvs = [l.strip() for f in glob.glob(f"{tmp_path}/csv_2/part-*") for l in open(f) if l.strip()]
+    assert csvs == ["web1,0.5"]
