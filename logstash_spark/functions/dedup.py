@@ -102,6 +102,96 @@ def dedup_incremental(
     return batch.join(seen, "content_key", "left_anti")
 
 
+def dedup_bloom(
+    new_df: DataFrame,
+    seen_keys: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Incremental dedup with a BLOOM-FILTER pre-filter: same exact
+    semantics as :func:`dedup_incremental` (first-in-batch AND unseen
+    survive), but only the rows the bloom flags as *maybe seen* ever join
+    against the seen-keys table. Bloom-negative rows — the overwhelming
+    majority in steady-state intake — are provably new (no false
+    negatives) and skip the anti-join shuffle entirely.
+
+    Construction is relational end-to-end so DuckDB can replay it
+    bit-for-bit: each seen key sets ``num_hashes`` positions
+    ``conv(substr(md5(key|i), 1, 6), 16, 10) % m_bits``; positions pack
+    into 32-bit words (``word_idx = pos >> 5``, ``bit = pos % 32``) via
+    one ``bit_or`` aggregation — the filter materializes as a
+    ``m_bits/32``-row (word_idx, word) table, NOT driver state. Probing
+    is a broadcast join on word_idx (the words table is ~16 bytes/row:
+    2^20 bits -> 32 Ki rows -> <1 MB). 32-bit words keep every shift in
+    [0, 31] (DuckDB raises on ``1::BIGINT << 63``; Spark wraps — 32-bit
+    words make the two engines agree without a sign-bit special case).
+
+    Output: survivors of the exact semantics, with ``bloom_hit`` exposing
+    the false positives (bloom_hit=true rows that still survived the
+    exact anti-join).
+
+    100 TB shape: the words table scales with the SEEN set, not the
+    batch — 10 bits/key. Up to ~10^9-10^10 seen keys that is single-digit
+    GB and broadcastable; at the full 10^12-key corpus the bloom is
+    ~1.25 TB and must stay distributed — the words join degrades to a
+    shuffle join on word_idx that carries (id, pos) pairs only (24
+    B/probe), still far below shuffling the batch against a 16 TB seen
+    table, and per-key-range partial blooms restore the broadcast. The
+    anti-join then runs on hits only: at a steady-state duplicate rate d
+    and bloom FP rate p (~2% at 10 bits/key, k=4), the shuffled fraction
+    is d + p instead of 1.0.
+    """
+    batch = dedup_exact(new_df, text_col=text_col, id_col=id_col)
+    seen = seen_keys.select("content_key").distinct()
+
+    idx = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i")
+    pos = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.col("content_key"), F.col("i"))), 1, 6), 16, 10)
+        .cast("long") % F.lit(m_bits)
+    ).alias("pos")
+
+    words = (
+        seen.select("content_key", idx)
+        .select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 5).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").alias("w"))
+    )
+
+    probes = batch.select(F.col(id_col).alias("_bid"), "content_key", idx).select(
+        "_bid", "content_key", pos
+    ).withColumn("word_idx", F.shiftright(F.col("pos"), 5))
+
+    probed = (
+        probes.join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("w").isNotNull()
+                & (F.expr("shiftright(w, CAST(pos % 32 AS INT)) & 1") == 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("_bid")
+        .agg(F.min("hit").alias("_allhit"))
+    )
+
+    flagged = batch.join(
+        probed, batch[id_col] == probed["_bid"], "inner"
+    ).drop("_bid").withColumn("bloom_hit", F.col("_allhit") == 1).drop("_allhit")
+
+    misses = flagged.filter(~F.col("bloom_hit"))
+    hits_new = flagged.filter(F.col("bloom_hit")).join(seen, "content_key", "left_anti")
+    cols = [id_col, "content_key", "dup_count", "bloom_hit"]
+    return misses.select(*cols).unionByName(hits_new.select(*cols))
+
+
 # ---------------------------------------------------------------------------
 # line-level exact dedup (C4-style: one occurrence of each exact line
 # SURVIVES across the whole corpus; later occurrences are cut out of their

@@ -996,6 +996,75 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "content_key", F.col("dup_count").cast("bigint").alias("dup_count"))
 
 
+def _bloom_pos_sql(h: str, m_bits: int) -> str:
+    """Nibble-decode the first 6 hex chars of md5 expr ``h`` to an int mod
+    ``m_bits`` — DuckDB replica of Spark's conv(substr(md5, 1, 6), 16, 10)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1) * {16 ** (5 - j)}"
+        for j in range(6)
+    )
+    return f"(({terms}) % {m_bits})"
+
+
+def _bloom_oracle(m_bits: int = 1 << 20, num_hashes: int = 4) -> str:
+    pos_seen = _bloom_pos_sql("md5(content_key || '|' || i)", m_bits)
+    pos_b = _bloom_pos_sql("md5(b.content_key || '|' || i)", m_bits)
+    return f"""WITH keyed AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS content_key FROM documents
+), seen AS (
+  SELECT DISTINCT content_key FROM keyed WHERE doc_id % 3 = 0
+), batch AS (
+  SELECT doc_id, content_key,
+         COUNT(*) OVER (PARTITION BY content_key) AS dup_count,
+         ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+  FROM keyed WHERE doc_id % 3 <> 0
+), b AS (
+  SELECT doc_id, content_key, dup_count FROM batch WHERE rn = 1
+), hs AS (
+  SELECT i FROM generate_series(0, {num_hashes - 1}) t(i)
+), words AS (
+  SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS w
+  FROM (SELECT {pos_seen} AS pos FROM seen CROSS JOIN hs)
+  GROUP BY 1
+), probes AS (
+  SELECT b.doc_id, {pos_b} AS pos FROM b CROSS JOIN hs
+), probed AS (
+  SELECT p.doc_id,
+         MIN(CASE WHEN w.w IS NOT NULL
+                   AND ((w.w >> CAST(p.pos % 32 AS INT)) & 1) = 1
+             THEN 1 ELSE 0 END) AS allhit
+  FROM probes p LEFT JOIN words w ON CAST(p.pos // 32 AS BIGINT) = w.word_idx
+  GROUP BY 1
+)
+SELECT b.doc_id, b.content_key, CAST(b.dup_count AS BIGINT) AS dup_count,
+       (pr.allhit = 1) AS bloom_hit
+FROM b JOIN probed pr ON b.doc_id = pr.doc_id
+LEFT JOIN seen s ON b.content_key = s.content_key
+WHERE pr.allhit = 0 OR s.content_key IS NULL"""
+
+
+@q("dedup_bloom", _bloom_oracle())
+def dedup_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered incremental dedup: exact semantics of
+    dedup_incremental, but only bloom-hit rows shuffle against the seen
+    table; bloom_hit exposes the filter's false positives (survivors with
+    bloom_hit=true). Same split as dedup_incremental: id % 3 == 0 is the
+    seen corpus, the rest the new batch."""
+    from logstash_spark.functions.dedup import dedup_bloom
+    from logstash_spark.functions.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(normalize_text(F.col("text"))).alias("content_key")
+    )
+    new = d.filter(F.col("doc_id") % 3 != 0)
+    out = dedup_bloom(new, seen)
+    return out.select(
+        "doc_id", "content_key", F.col("dup_count").cast("bigint").alias("dup_count"), "bloom_hit"
+    )
+
+
 @q(
     "dedup_ngram_jaccard",
     f"""WITH sh AS (

@@ -842,6 +842,31 @@ def test_dedup_incremental_inbatch_and_seen(spark):
     assert out == {0, 2, 4}
 
 
+def test_dedup_bloom_matches_exact_and_no_false_negatives(spark):
+    """Bloom-prefiltered incremental dedup keeps the exact anti-join
+    semantics: survivors identical to dedup_incremental, and every row
+    whose key IS in the seen set must be bloom-flagged (no false
+    negatives by construction)."""
+    from logstash_spark.functions.dedup import dedup_bloom, dedup_incremental
+
+    rows = [(i, f"doc number {i} body") for i in range(40)]
+    rows += [(100, "doc number 3 body"), (101, "doc number 7 body")]  # in-batch dups
+    new = spark.createDataFrame(rows, "doc_id long, text string")
+    seen = spark.createDataFrame(
+        [(f"doc number {i} body",) for i in range(0, 40, 5)], "text string"
+    ).select(F.md5(F.col("text")).alias("content_key"))
+
+    exact = {r.doc_id for r in dedup_incremental(new, seen).collect()}
+    bloom = dedup_bloom(new, seen).collect()
+    assert {r.doc_id for r in bloom} == exact
+    # a tiny filter (2^10 bits) forces collisions: survivors may carry
+    # bloom_hit=true (false positives), but no seen key may survive
+    tight = dedup_bloom(new, seen, m_bits=1 << 10, num_hashes=2).collect()
+    assert {r.doc_id for r in tight} == exact
+    seen_keys = {r.content_key for r in seen.collect()}
+    assert all(r.content_key not in seen_keys for r in tight)
+
+
 def test_media_ahash_perceptual_locality(spark):
     """Identical rasters hash identically; a one-byte edit moves only the
     few bits whose sampled pixel sits near the mean threshold."""
