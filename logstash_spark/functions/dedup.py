@@ -147,13 +147,17 @@ def dedup_bloom(
     batch = dedup_exact(new_df, text_col=text_col, id_col=id_col)
     seen = seen_keys.select("content_key").distinct()
 
+    def pos_col(i: int) -> Column:
+        h = F.md5(F.concat_ws("|", F.col("content_key"), F.lit(str(i))))
+        return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % F.lit(m_bits)
+
     idx = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i")
     pos = (
         F.conv(F.substring(F.md5(F.concat_ws("|", F.col("content_key"), F.col("i"))), 1, 6), 16, 10)
         .cast("long") % F.lit(m_bits)
     ).alias("pos")
 
-    words = (
+    words = _persist_tracked(
         seen.select("content_key", idx)
         .select(pos)
         .select(
@@ -162,29 +166,34 @@ def dedup_bloom(
         )
         .groupBy("word_idx")
         .agg(F.bit_or("b").alias("w"))
-    )
+    )  # one bit_or pass over the seen keys, reused by all k probe joins
 
-    probes = batch.select(F.col(id_col).alias("_bid"), "content_key", idx).select(
-        "_bid", "content_key", pos
-    ).withColumn("word_idx", F.shiftright(F.col("pos"), 5))
-
-    probed = (
-        probes.join(F.broadcast(words), "word_idx", "left")
-        .withColumn(
-            "hit",
-            F.when(
-                F.col("w").isNotNull()
-                & (F.expr("shiftright(w, CAST(pos % 32 AS INT)) & 1") == 1),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
+    # Probe with ZERO batch-side shuffles: the k positions are plain
+    # columns (no explode -> no regroup -> no join-back), each tested via
+    # its own broadcast map-join against the same <1 MB words table. The
+    # batch flows through k map-side joins in one stage.
+    flagged = batch
+    hit_cols = []
+    for i in range(num_hashes):
+        p = f"_bp{i}"
+        flagged = flagged.withColumn(p, pos_col(i)).withColumn(
+            f"_bw{i}", F.shiftright(F.col(p), 5)
         )
-        .groupBy("_bid")
-        .agg(F.min("hit").alias("_allhit"))
-    )
-
-    flagged = batch.join(
-        probed, batch[id_col] == probed["_bid"], "inner"
-    ).drop("_bid").withColumn("bloom_hit", F.col("_allhit") == 1).drop("_allhit")
+        w = words.withColumnRenamed("word_idx", f"_bw{i}").withColumnRenamed("w", f"_w{i}")
+        flagged = flagged.join(F.broadcast(w), f"_bw{i}", "left")
+        hit_cols.append(
+            F.col(f"_w{i}").isNotNull()
+            & (F.expr(f"shiftright(_w{i}, CAST(_bp{i} % 32 AS INT)) & 1") == 1)
+        )
+    all_hit = hit_cols[0]
+    for h in hit_cols[1:]:
+        all_hit = all_hit & h
+    flagged = _persist_tracked(
+        flagged.withColumn("bloom_hit", all_hit).drop(
+            *[c for i in range(num_hashes) for c in (f"_bp{i}", f"_bw{i}", f"_w{i}")]
+        )
+    )  # barrier: the misses/hits branches below each scan this once
+    # instead of recomputing batch-dedup + k probe joins per branch
 
     misses = flagged.filter(~F.col("bloom_hit"))
     hits_new = flagged.filter(F.col("bloom_hit")).join(seen, "content_key", "left_anti")

@@ -91,6 +91,19 @@ def main() -> None:
         cents = sim.ivf_train(vecs, num_lists=512, iters=1)
         return sim.semdedup(vecs, cents, tau=0.98)
 
+    # incremental-intake pair: same exact semantics, with and without the
+    # bloom pre-filter — the probe shows the anti-join shuffle saving.
+    # Seen side = even ids (key-only), new batch = odd ids; m sized at
+    # ~10 bits/seen-key (n/2 keys -> next pow2).
+    from logstash_spark.functions.text import normalize_text
+
+    seen_keys = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(normalize_text(F.col("text"))).alias("content_key"))
+    )
+    new_batch = docs.filter(F.col("doc_id") % 2 != 0)
+    m_bits = 1 << max(10, (5 * n).bit_length())  # >= 10 bits per seen key
+
     ops = {
         "dedup_exact": lambda: dd.dedup_exact(docs),
         "dedup_minhash_lsh": lambda: dd.dedup_minhash_lsh(docs, hash_fn="xxhash64"),
@@ -103,6 +116,8 @@ def main() -> None:
         # stride 4 = the documented recall/cost point for runs >= 2k tokens;
         # hot_cap bounds the boilerplate-gram join-back
         "dedup_substring_spans": lambda: dd.dup_spans(docs, k=8, stride=4, hot_cap=10_000, hash_fn="xxhash64"),
+        "dedup_incremental": lambda: dd.dedup_incremental(new_batch, seen_keys),
+        "dedup_bloom": lambda: dd.dedup_bloom(new_batch, seen_keys, m_bits=m_bits),
     }
     wanted = None
     for a in sys.argv[2:]:
