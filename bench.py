@@ -97,6 +97,7 @@ HEADLINE = [
     "sessionize_events",
     "per_key_cap",
     "dedup_incremental",
+    "dedup_bloom",
     "media_ahash",
     "dedup_substring_spans",
     "dedup_substring_removal",

@@ -3340,3 +3340,64 @@ def metricize_tld_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = m.withColumn("metric", F.regexp_replace(F.col("metric"), "_m$", ""))
     t = tld(m, source="host")
     return t.select("url", "metric", "value", "tld_tld", "tld_sld", "tld_domain", "tld_subdomain")
+
+
+@q(
+    "warc_intake",
+    f"""{_PAGES_CTE}
+SELECT url,
+       date_trunc('second', warc_ts) AS warc_ts,
+       200 AS http_status,
+       'text/html' AS content_type,
+       md5('<html><body><p>' || text || '</p></body></html>') AS payload_md5,
+       CAST(strlen('<html><body><p>' || text || '</p></body></html>') AS INT) AS payload_len
+FROM pages""",
+)
+def warc_intake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container round-trip: pages render into multi-record WARC
+    files (the Common-Crawl .warc layout, ~200 records/file here), then
+    ``decode_warc`` recovers one row per response record — url from
+    WARC-Target-URI, timestamp from WARC-Date, status/content-type from
+    the HTTP envelope, payload bytes exactly. The oracle asserts the
+    recovered fields against the pages derivation directly (DuckDB never
+    parses WARC — byte-exactness rides on md5 of the payload).
+
+    Production shape: ``spark.read.format('binaryFile')`` over .warc/.gz
+    segments -> decode_warc -> the engine's pages schema; one ~1 GiB file
+    per task (sources/warc.py docstring)."""
+    import pandas as pd
+
+    from logstash_spark.sources.warc import decode_warc, encode_warc
+
+    pages = _pages(spark, sf_dir)
+    recs = pages.select(
+        (F.col("event_id") % 50).alias("bucket"),
+        "event_id",
+        "url",
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("wdate"),
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("event_id")
+        buf = encode_warc(
+            [
+                {"url": u, "warc_date": d, "payload": bytes(p)}
+                for u, d, p in zip(pdf["url"], pdf["wdate"], pdf["payload"])
+            ]
+        )
+        return pd.DataFrame({"content": [buf]})
+
+    files = recs.groupBy("bucket").applyInPandas(build, "content binary")
+    out = decode_warc(files)
+    return out.select(
+        "url",
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        F.col("http_status"),
+        "content_type",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.length(F.col("payload")).cast("int").alias("payload_len"),
+    )

@@ -1,0 +1,201 @@
+"""WARC (ISO 28500) container intake — the format Common-Crawl-style
+corpora actually arrive in (the reference's `file`/`s3` inputs + codec
+layer play this role for log files; for the north-star web-page table the
+container is WARC; reference file input: rakelib/default_plugins.rb:54,
+codec decode contract: lib/logstash/codecs/base.rb:19-28).
+
+Design (Spark-first):
+- One row in = one WARC FILE (binary column, e.g. from
+  ``spark.read.format("binaryFile")``), one row out per *response*
+  record — a 1->N stateless decode, so it is a ``mapInPandas`` batch
+  parser like the netflow/collectd codecs (operators/codecs.py), zero
+  per-row Python UDF calls.
+- Both the plain and the per-member-gzip layout (how Common Crawl ships
+  .warc.gz: each record its own gzip member) decode; gzip members are
+  inflated with stdlib zlib in the same Arrow batch.
+- Malformed records / non-response record types (warcinfo, request,
+  metadata) are skipped, matching the codec log+skip contract.
+
+100 TB shape: WARC files are ~1 GiB each, so a 100 TB crawl is ~100k
+input rows; parallelism = files. ``binaryFile`` materializes a whole
+file per row — at the standard 1 GiB segment size that is exactly one
+task's working set (set ``spark.sql.files.maxPartitionBytes`` >= the
+file size so a file never splits). The decode itself is streaming within
+the buffer (no re-scan), and the emitted pages flow straight into the
+``warc_ts``-bucketed url-hash partitioning the rest of the engine uses.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+WARC_SCHEMA = (
+    "url string, warc_date string, warc_type string, record_id string, "
+    "http_status int, content_type string, payload binary"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_members(buf: bytes) -> bytes:
+    """Inflate a concatenation of gzip members (the .warc.gz layout)."""
+    out = []
+    pos = 0
+    while pos < len(buf):
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(buf[pos:]))
+        consumed = len(buf) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
+def _parse_headers(block: bytes) -> dict:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+    return headers
+
+
+def parse_warc(buf: bytes) -> Iterator[tuple]:
+    """Yield (url, warc_date, warc_type, record_id, status, ctype, body)
+    per well-formed record; malformed tails stop the scan (log+skip)."""
+    if buf[:2] == b"\x1f\x8b":
+        try:
+            buf = _gunzip_members(buf)
+        except zlib.error:
+            return
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # tolerate inter-record padding
+        while pos < n and buf[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if not buf[pos : pos + 5] == b"WARC/":
+            return
+        hdr_end = buf.find(_CRLF2, pos)
+        if hdr_end < 0:
+            return
+        headers = _parse_headers(buf[pos:hdr_end])
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            return
+        payload = buf[body_start : body_start + clen]
+        pos = body_start + clen
+        wtype = headers.get("warc-type", "")
+        url = headers.get("warc-target-uri")
+        status = None
+        ctype = None
+        body = payload
+        if wtype == "response" and payload[:5] == b"HTTP/":
+            http_end = payload.find(_CRLF2)
+            if http_end >= 0:
+                status_line, _, rest = payload[:http_end].partition(b"\r\n")
+                parts = status_line.split(b" ", 2)
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                ctype = _parse_headers(rest).get("content-type")
+                body = payload[http_end + 4 :]
+        yield (
+            url,
+            headers.get("warc-date"),
+            wtype,
+            headers.get("warc-record-id"),
+            status,
+            ctype,
+            body,
+        )
+
+
+def decode_warc(
+    df: DataFrame,
+    source: str = "content",
+    *,
+    response_only: bool = True,
+) -> DataFrame:
+    """1->N decode of WARC file bytes into page rows (mapInPandas, Arrow
+    batches; stdlib-only like the netflow/collectd codecs).
+
+    ``response_only`` keeps the crawl-intake shape (one row per fetched
+    page); pass False to surface warcinfo/request/metadata records too.
+    """
+    import pandas as pd
+
+    out_schema = T._parse_datatype_string(WARC_SCHEMA)
+    names = [f_.name for f_ in out_schema.fields]
+
+    def batches(it: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for raw in pdf[source]:
+                if raw is None:
+                    continue
+                for rec in parse_warc(bytes(raw)):
+                    if response_only and rec[2] != "response":
+                        continue
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# encode side (test builders + the intake round-trip oracle)
+# ---------------------------------------------------------------------------
+
+
+def encode_warc_record(
+    url: str,
+    warc_date: str,
+    payload: bytes,
+    *,
+    warc_type: str = "response",
+    record_id: str | None = None,
+    http_status: int = 200,
+    content_type: str = "text/html",
+) -> bytes:
+    """One WARC record; response payloads get an HTTP/1.1 envelope."""
+    if warc_type == "response":
+        http = (
+            f"HTTP/1.1 {http_status} OK\r\nContent-Type: {content_type}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload
+    else:
+        http = payload
+    import hashlib
+
+    # md5, not hash(): record ids must be deterministic across processes
+    rid = record_id or "<urn:uuid:" + hashlib.md5(f"{url}|{warc_date}".encode()).hexdigest() + ">"
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: {warc_type}\r\nWARC-Record-ID: {rid}\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        + (f"WARC-Target-URI: {url}\r\n" if url else "")
+        + f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return hdr + http + b"\r\n\r\n"
+
+
+def encode_warc(records: list[dict], *, gzip_members: bool = False) -> bytes:
+    """Test-side builder: records -> one WARC file (optionally the
+    .warc.gz per-member-gzip layout). Keys: url, warc_date, payload,
+    plus encode_warc_record's keyword options."""
+    members = [encode_warc_record(**r) for r in records]
+    if gzip_members:
+
+        def _gz(m: bytes) -> bytes:
+            c = zlib.compressobj(wbits=31)
+            return c.compress(m) + c.flush()
+
+        return b"".join(_gz(m) for m in members)
+    return b"".join(members)

@@ -471,3 +471,52 @@ def test_ipfix_decode(spark):
     assert all(r["src_addr"] == "10.1.2.3" and r["src_port"] == 8080
                and r["in_bytes"] == 777 and r["source_id"] == 5
                and r["unix_secs"] == 1700000000 for r in rows)
+
+
+def test_warc_decode_roundtrip_plain_and_gzip(spark):
+    """WARC container intake: response records recover url/date/status/
+    content-type/payload exactly, in both the plain and the per-member
+    gzip (.warc.gz) layout; warcinfo/request records are skipped."""
+    from logstash_spark.sources.warc import decode_warc, encode_warc
+
+    recs = [
+        {"url": None, "warc_date": "2013-01-01T00:00:00Z", "payload": b"software: c",
+         "warc_type": "warcinfo"},
+        {"url": "https://a.example.com/1", "warc_date": "2013-01-01T00:00:01Z",
+         "payload": b"GET /1 HTTP/1.1\r\n", "warc_type": "request"},
+        {"url": "https://a.example.com/1", "warc_date": "2013-01-01T00:00:01Z",
+         "payload": b"<html>one</html>", "http_status": 200},
+        {"url": "https://b.example.com/2", "warc_date": "2013-01-02T03:04:05Z",
+         "payload": b"<html>two</html>", "http_status": 404,
+         "content_type": "text/plain"},
+    ]
+    for gz in (False, True):
+        buf = encode_warc(recs, gzip_members=gz)
+        df = spark.createDataFrame([(buf,)], "content binary")
+        rows = {r.url: r for r in decode_warc(df).collect()}
+        assert set(rows) == {"https://a.example.com/1", "https://b.example.com/2"}
+        a = rows["https://a.example.com/1"]
+        assert (a.http_status, a.content_type, bytes(a.payload)) == (200, "text/html", b"<html>one</html>")
+        b = rows["https://b.example.com/2"]
+        assert (b.http_status, b.content_type, b.warc_date) == (404, "text/plain", "2013-01-02T03:04:05Z")
+    # response_only=False surfaces all record types
+    df = spark.createDataFrame([(encode_warc(recs),)], "content binary")
+    types = sorted(r.warc_type for r in decode_warc(df, response_only=False).collect())
+    assert types == ["request", "response", "response", "warcinfo"]
+
+
+def test_warc_decode_malformed_and_truncated(spark):
+    """Codec log+skip contract: garbage rows emit nothing; a truncated
+    final record stops the scan but keeps the complete records before it."""
+    from logstash_spark.sources.warc import decode_warc, encode_warc
+
+    good = encode_warc([{"url": "https://x/1", "warc_date": "2013-01-01T00:00:00Z",
+                         "payload": b"<p>ok</p>"}])
+    truncated = good + good[: len(good) // 2]
+    df = spark.createDataFrame(
+        [(b"not a warc at all",), (b"",), (None,), (truncated,),
+         (b"\x1f\x8b broken gzip header",)],
+        "content binary",
+    )
+    rows = decode_warc(df).collect()
+    assert len(rows) == 1 and rows[0].url == "https://x/1"
