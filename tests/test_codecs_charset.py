@@ -520,3 +520,26 @@ def test_warc_decode_malformed_and_truncated(spark):
     )
     rows = decode_warc(df).collect()
     assert len(rows) == 1 and rows[0].url == "https://x/1"
+
+
+def test_read_warc_pages_from_disk(spark, tmp_path):
+    """Production intake path: real .warc / .warc.gz files on disk ->
+    binaryFile scan -> pages schema with parsed warc_ts."""
+    from logstash_spark.sources.readers import read_warc_pages
+    from logstash_spark.sources.warc import encode_warc
+
+    (tmp_path / "seg1.warc").write_bytes(encode_warc(
+        [{"url": f"https://s1/{i}", "warc_date": f"2013-01-01T00:00:0{i}Z",
+          "payload": f"<p>{i}</p>".encode()} for i in range(3)]))
+    (tmp_path / "seg2.warc.gz").write_bytes(encode_warc(
+        [{"url": "https://s2/0", "warc_date": "2013-02-03T04:05:06Z",
+          "payload": b"<p>gz</p>"}], gzip_members=True))
+    (tmp_path / "ignore.txt").write_bytes(b"not warc")
+
+    pages = read_warc_pages(spark, str(tmp_path))
+    rows = {r.url: r for r in pages.collect()}
+    assert set(rows) == {"https://s1/0", "https://s1/1", "https://s1/2", "https://s2/0"}
+    assert rows["https://s2/0"].text == "<p>gz</p>"
+    assert str(rows["https://s2/0"].warc_ts) == "2013-02-03 04:05:06"
+    assert bytes(rows["https://s1/1"].html) == b"<p>1</p>"
+    assert pages.schema.simpleString() == "struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>"

@@ -62,6 +62,33 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _warc_roundtrip(docs):
+    """Container intake probe: pack the corpus into ~1000-record WARC
+    files, then decode them back — times the full encode+decode loop
+    (the decode side is what a real crawl intake pays)."""
+    import pandas as pd
+
+    from logstash_spark.sources.warc import decode_warc, encode_warc
+
+    recs = docs.select(
+        (F.col("doc_id") % 1000).alias("bucket"),
+        "doc_id",
+        F.concat(F.lit("https://h/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2013-01-01T00:00:00Z").alias("wdate"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+    def build(pdf):
+        pdf = pdf.sort_values("doc_id")
+        return pd.DataFrame({"content": [encode_warc(
+            [{"url": u, "warc_date": d, "payload": bytes(p)}
+             for u, d, p in zip(pdf["url"], pdf["wdate"], pdf["payload"])]
+        )]})
+
+    files = recs.groupBy("bucket").applyInPandas(build, "content binary")
+    return decode_warc(files)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 1_000_000
     spark = get_spark("scale_probe")
@@ -118,6 +145,7 @@ def main() -> None:
         "dedup_substring_spans": lambda: dd.dup_spans(docs, k=8, stride=4, hot_cap=10_000, hash_fn="xxhash64"),
         "dedup_incremental": lambda: dd.dedup_incremental(new_batch, seen_keys),
         "dedup_bloom": lambda: dd.dedup_bloom(new_batch, seen_keys, m_bits=m_bits),
+        "warc_roundtrip": lambda: _warc_roundtrip(docs),
     }
     wanted = None
     for a in sys.argv[2:]:
