@@ -89,6 +89,17 @@ def configtest(cfg: str, out_dir: str) -> bool:
     try:
         pipe.transform(probe).schema  # forces analysis, zero jobs
     except Exception as e:  # AnalysisException and friends
+        # unresolved columns are NOT a config error: event fields are
+        # runtime data the probe frame cannot know (an input may declare
+        # any schema; the reference's configtest never validates field
+        # existence, agent.rb:142-145 stops after plugin construction).
+        # Everything else — bad casts, malformed expressions, broken
+        # lookup files — still fails the test.
+        msg = str(e)
+        if "UNRESOLVED_COLUMN" in msg or "cannot be resolved" in msg:
+            print("Configuration OK (references fields the probe schema "
+                  "does not carry; resolved at runtime)")
+            return True
         print(f"Error: config compiled but does not analyze: {e}", file=sys.stderr)
         return False
     print("Configuration OK")

@@ -783,10 +783,11 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 raise ConfCompileError(
                     "graphite output requires metrics => { \"name\" => \"%{field}\" }"
                 )
-            name_t, value_t = next(iter(dict(m).items()))
+            pairs = [(str(k), _sprintf_field(str(v))) for k, v in dict(m).items()]
             sink = GraphiteSink(
                 os.path.join(out_dir, f"graphite_{len(outputs)}"),
-                metric=str(name_t), value=_sprintf_field(str(value_t)),
+                metric=pairs[0][0], value=pairs[0][1],
+                metrics=tuple(pairs[1:]),  # EVERY entry of the hash emits
             )
         elif node.name == "csv" and node.attrs.get("fields"):
             sink = CsvSink(
@@ -818,10 +819,11 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 raise ConfCompileError(
                     "opentsdb output requires metrics => { \"name\" => \"%{field}\" }"
                 )
-            name_t, value_t = next(iter(dict(m).items()))
+            pairs = [(str(k), _sprintf_field(str(v))) for k, v in dict(m).items()]
             sink = OpentsdbSink(
                 os.path.join(out_dir, f"opentsdb_{len(outputs)}"),
-                metric=str(name_t), value=_sprintf_field(str(value_t)),
+                metric=pairs[0][0], value=pairs[0][1],
+                metrics=tuple(pairs[1:]),  # EVERY entry of the hash emits
             )
         elif node.name in ("s3", "kafka", "redis", "csv"):
             # durable sinks with no live backend here -> parquet stand-in

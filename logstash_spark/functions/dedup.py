@@ -364,7 +364,10 @@ def remove_dup_spans(
     )
     losers = ranked.filter((F.col("_n") >= 2) & (F.col("_rk") >= 2))
     cuts = losers.groupBy(id_col).agg(F.collect_list("pos").alias("cut_starts"))
-    base = df.select(
+    # same null-text filter as dup_spans' gram base: a null document would
+    # otherwise emit (id, '', n_tokens=-1) garbage rows (size(null) = -1)
+    # and diverge from the oracle, which starts from text IS NOT NULL
+    base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("l")
     ).join(cuts, id_col, "left")
     starts = F.coalesce(F.col("cut_starts"), F.array().cast("array<int>"))
@@ -505,6 +508,15 @@ def connected_components(
         labels = new
         if improved == 0:
             break
+    else:
+        # no silent caps: returning partially-propagated labels would split
+        # one real cluster into several "components" (and so KEEP duplicate
+        # canonical docs) with nothing in the output saying so
+        raise ValueError(
+            f"connected_components: not converged after max_iters={max_iters} "
+            "rounds (graph diameter exceeds the budget) — raise max_iters; "
+            "labels would be silently wrong otherwise"
+        )
     return labels.select("node", F.col("comp").alias("component"))
 
 

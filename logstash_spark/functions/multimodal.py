@@ -131,6 +131,11 @@ def parse_bmp(buf: bytes):
     bpp, compression = struct.unpack_from("<HI", buf, 28)
     if hdr_size < 40 or bpp != 24 or compression != 0:
         return None
+    # width is SIGNED in the header: a corrupt negative width gave row=0,
+    # raster=b'' and slipped past the length check (0 < 0 is False),
+    # crashing the consumers downstream instead of dropping the row here
+    if w <= 0 or h <= 0 or w > (1 << 20) or h > (1 << 20):
+        return None
     row = ((w * 3 + 3) // 4) * 4  # rows padded to 4 bytes
     raster = buf[data_off : data_off + row * h]
     if len(raster) < row * h:

@@ -276,7 +276,10 @@ def near_dup_pairs(
         release_cached()
         raise
     rows = v.collect()  # bounded by the cap just proven
-    all_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    # ids keep their own dtype (string/uuid ids are legal; forcing int64
+    # crashed the broadcast on non-numeric ids)
+    all_ids = np.array([r["id"] for r in rows])
+    id_type = v.schema["id"].dataType.simpleString()
     M = np.vstack([np.asarray(r["e"], dtype=np.float64) for r in rows])
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     bc = docs.sparkSession.sparkContext.broadcast((all_ids, Mn))
@@ -295,7 +298,7 @@ def near_dup_pairs(
             yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
 
     par = docs.sparkSession.sparkContext.defaultParallelism
-    cand = v.repartition(par).mapInPandas(block, "id_a long, id_b long")
+    cand = v.repartition(par).mapInPandas(block, f"id_a {id_type}, id_b {id_type}")
     # exact re-score of the (few) survivors with the expression engine
     va = v.select(F.col("id").alias("id_a"), F.col("e").alias("ea"))
     vb = v.select(F.col("id").alias("id_b"), F.col("e").alias("eb"))
@@ -387,7 +390,11 @@ def _assign_numpy(
     C = np.array([cv for _, cv in rows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
-    out_schema = f"{id_name} long, list_id int"
+    # preserve the caller's id type (string/uuid ids are legal — the JVM
+    # path this replaced never constrained them; a hardcoded `long` made
+    # the Arrow writer fail at runtime on non-long ids)
+    id_type = d.schema[id_name].dataType.simpleString()
+    out_schema = f"{id_name} {id_type}, list_id int"
     if keep_vec:
         out_schema += ", v array<double>"
 
@@ -598,8 +605,9 @@ def semdedup(
                 {"id": ids, "list_id": int(key[0]), "is_dup": dup}
             )
 
+        id_type = d.schema["id"].dataType.simpleString()
         return assigned.groupBy("list_id").applyInPandas(
-            _cluster_dups, "id long, list_id int, is_dup boolean"
+            _cluster_dups, f"id {id_type}, list_id int, is_dup boolean"
         )
     else:
         assigned = _persist_sim(

@@ -284,8 +284,13 @@ def canonicalize_url(df: DataFrame, source: str = "url", target: str = "canon_ur
     rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
     host = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
     tail = F.regexp_replace(rest, r"^[^/?]+", "")
-    # tracking params: strip "key=value&" / "key=value" then dangling ? / &
-    tail = F.regexp_replace(tail, _TRACKING_PARAM + r"&", "")
+    # tracking params, LEFT-ANCHORED on the separator (an unanchored pass
+    # corrupted params merely ENDING in a tracking name: 'aref=1' lost its
+    # 'ref=1'): pass 1 collapses a RUN of tracking params that have a
+    # following param, keeping the leading separator; pass 2 drops a final
+    # tracking param with its separator. No lookbehind — RE2 (the DuckDB
+    # oracle) has none.
+    tail = F.regexp_replace(tail, r"([?&])(?:" + _TRACKING_PARAM + r"&)+", "$1")
     tail = F.regexp_replace(tail, r"[?&]" + _TRACKING_PARAM, "")
     tail = F.regexp_replace(tail, r"\?$", "")
     host_n = F.when(

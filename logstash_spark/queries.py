@@ -2604,7 +2604,7 @@ _DIRTY_URL_SQL = """CASE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS INT) % 5
   WHEN 0 THEN url || '?utm_source=feed&id=7#frag'
   WHEN 1 THEN replace(url, 'host', 'HOST') || '/'
   WHEN 2 THEN replace(url, '.com/', '.com:443/') || '?gclid=x1&q=a'
-  WHEN 3 THEN url || '?q=a&utm_campaign=c&r=2'
+  WHEN 3 THEN url || '?aref=1&utm_campaign=c&r=2'
   ELSE url END"""
 
 
@@ -2621,7 +2621,7 @@ h AS (SELECT url, dirty, scheme,
         regexp_replace(
           regexp_replace(
             regexp_replace(regexp_replace(rest, '^[^/?]+', ''),
-                           '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '', 'g'),
+                           '([?&])(?:(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&)+', '\\1', 'g'),
             '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
           '\\?$', '') AS tail
       FROM c),
@@ -2649,7 +2649,7 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(pn == 0, F.concat("url", F.lit("?utm_source=feed&id=7#frag")))
         .when(pn == 1, F.concat(F.regexp_replace("url", "host", "HOST"), F.lit("/")))
         .when(pn == 2, F.concat(F.regexp_replace("url", r"\.com/", ".com:443/"), F.lit("?gclid=x1&q=a")))
-        .when(pn == 3, F.concat("url", F.lit("?q=a&utm_campaign=c&r=2")))
+        .when(pn == 3, F.concat("url", F.lit("?aref=1&utm_campaign=c&r=2")))
         .otherwise(F.col("url")),
     )
     out = canonicalize_url(p, source="dirty")

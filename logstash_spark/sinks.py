@@ -121,6 +121,9 @@ class GraphiteSink(Sink):
     metric: str
     value: str
     ts: str = "@timestamp"
+    # additional (metric_template, value_field) pairs — the plugin's
+    # metrics hash may hold several; all emit, one line per pair per event
+    metrics: tuple = ()
 
     def write(self, df: DataFrame) -> Any:
         from logstash_spark.event import sprintf_col
@@ -130,12 +133,26 @@ class GraphiteSink(Sink):
         # metric is a NAME template: sprintf if templated, else the literal
         # carbon path (a bare name is NOT a column reference — the plugin's
         # metrics keys are metric names)
-        mcol = "_graphite_metric"
-        d = d.withColumn(
-            mcol,
-            sprintf_col(self.metric, d) if "%{" in self.metric else F.lit(self.metric),
-        )
-        out = encode_graphite(d, metric=mcol, value=self.value, ts=self.ts, target="line")
+        pairs = [(self.metric, self.value)] + [tuple(p) for p in self.metrics]
+
+        def name_col(t: str):
+            return sprintf_col(t, d) if "%{" in t else F.lit(t)
+
+        if len(pairs) == 1:
+            mcol = "_graphite_metric"
+            d = d.withColumn(mcol, name_col(self.metric))
+            out = encode_graphite(d, metric=mcol, value=self.value, ts=self.ts, target="line")
+        else:
+            # one line per (metric, value) pair per event: explode a
+            # struct array — single pass, map-side only
+            d = d.withColumn(
+                "_g",
+                F.explode(F.array(*[
+                    F.struct(name_col(m).alias("m"), F.col(v).cast("string").alias("v"))
+                    for m, v in pairs
+                ])),
+            ).withColumn("_g_m", F.col("_g.m")).withColumn("_g_v", F.col("_g.v"))
+            out = encode_graphite(d, metric="_g_m", value="_g_v", ts=self.ts, target="line")
         out.select("line").write.mode("append").text(self.path)
         return self.path
 
@@ -274,18 +291,29 @@ class OpentsdbSink(Sink):
     value: str
     tags: dict | None = None
     ts: str = "@timestamp"
+    # additional (metric_template, value_field) pairs from the metrics hash
+    metrics: tuple = ()
 
     def write(self, df: DataFrame) -> Any:
         from logstash_spark.event import sprintf_col
 
         d = strip_internal(df)
-        mcol = (
-            sprintf_col(self.metric, d) if "%{" in self.metric else F.lit(self.metric)
+
+        def name_col(t: str):
+            return sprintf_col(t, d) if "%{" in t else F.lit(t)
+
+        pairs = [(self.metric, self.value)] + [tuple(p) for p in self.metrics]
+        d = d.withColumn(
+            "_t",
+            F.explode(F.array(*[
+                F.struct(name_col(m).alias("m"), F.col(v).cast("string").alias("v"))
+                for m, v in pairs
+            ])),
         )
         parts = [
-            F.lit("put"), mcol,
+            F.lit("put"), F.col("_t.m"),
             F.unix_timestamp(F.col(self.ts)).cast("string"),
-            F.col(self.value).cast("string"),
+            F.col("_t.v"),
         ]
         for k, v in (self.tags or {}).items():
             tv = sprintf_col(str(v), d) if "%{" in str(v) else F.lit(str(v))

@@ -30,6 +30,7 @@ from __future__ import annotations
 import socket
 import socketserver
 import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -78,12 +79,14 @@ def tcp_capture(
     lines: list[str] = []
     done = threading.Event()
     lock = threading.Lock()
+    last_rx = [time.monotonic()]  # true IDLE semantics: active senders reset it
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self) -> None:
             for raw in self.rfile:
                 with lock:
                     lines.append(raw.decode("utf-8", "replace").rstrip("\r\n"))
+                    last_rx[0] = time.monotonic()
                     if max_events is not None and len(lines) >= max_events:
                         done.set()
                         return
@@ -94,7 +97,16 @@ def tcp_capture(
     t.start()
     if ready is not None:
         ready.set()
-    done.wait(timeout=idle_timeout)
+    # per-activity idle wait (a single fixed done.wait(idle_timeout) cut
+    # off active senders mid-stream after idle_timeout TOTAL seconds,
+    # while udp_capture resets its deadline on every datagram — the two
+    # captures must agree on what the .conf option means)
+    while not done.is_set():
+        with lock:
+            remaining = idle_timeout - (time.monotonic() - last_rx[0])
+        if remaining <= 0:
+            break
+        done.wait(timeout=min(remaining, 0.2))
     srv.shutdown()
     srv.server_close()
     return spark.createDataFrame([(l,) for l in lines], "message string")

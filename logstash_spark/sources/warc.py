@@ -41,17 +41,30 @@ WARC_SCHEMA = (
 _CRLF2 = b"\r\n\r\n"
 
 
-def _gunzip_members(buf: bytes) -> bytes:
-    """Inflate a concatenation of gzip members (the .warc.gz layout)."""
+def _gunzip_members(buf: bytes, chunk: int = 1 << 22) -> bytes:
+    """Inflate a concatenation of gzip members (the .warc.gz layout).
+
+    Each member is fed bounded memoryview chunks until its EOF, so work is
+    O(filesize) with at most one <=4 MiB ``unused_data`` copy per member.
+    (Passing the whole remaining tail per member — the obvious loop — is
+    O(members x filesize): a 1 GiB Common Crawl segment holds ~50k
+    members, which would memcpy ~25 PB.)"""
     out = []
+    mv = memoryview(buf)
     pos = 0
-    while pos < len(buf):
+    n = len(buf)
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(buf[pos:]))
-        consumed = len(buf) - pos - len(d.unused_data)
-        if consumed <= 0:
+        start = pos
+        while pos < n and not d.eof:
+            piece = mv[pos : pos + chunk]
+            out.append(d.decompress(piece))
+            pos += len(piece)
+        if not d.eof:
+            break  # truncated final member: keep what inflated cleanly
+        pos -= len(d.unused_data)  # rewind past-member bytes of the last chunk
+        if pos <= start:
             break
-        pos += consumed
     return b"".join(out)
 
 

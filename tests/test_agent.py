@@ -81,6 +81,19 @@ def test_agent_configtest_catches_bad_config(tmp_path, capsys):
     assert "Error" in capsys.readouterr().err
 
 
+def test_agent_configtest_accepts_runtime_defined_fields(tmp_path, capsys):
+    """-t must not false-fail a valid config whose filters reference
+    fields an INPUT defines (the probe frame cannot know them; the
+    reference's configtest never validates field existence)."""
+    rc = agent_cli.main(
+        ["-e",
+         'filter { mutate { uppercase => ["clientip"] } } output { null {} }',
+         "-t", "--out", str(tmp_path)],
+    )
+    assert rc == 0
+    assert "Configuration OK" in capsys.readouterr().out
+
+
 def test_agent_e2e_inline_config_with_injected_stdin(spark, tmp_path, monkeypatch, capsys):
     """-e with only a filter section: stdin input and stdout output are
     injected, the mutate runs over piped lines."""

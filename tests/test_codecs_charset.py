@@ -543,3 +543,24 @@ def test_read_warc_pages_from_disk(spark, tmp_path):
     assert str(rows["https://s2/0"].warc_ts) == "2013-02-03 04:05:06"
     assert bytes(rows["https://s1/1"].html) == b"<p>1</p>"
     assert pages.schema.simpleString() == "struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>"
+
+
+def test_msgpack_encode_array_and_null_columns(spark):
+    """Event frames carry array columns (`tags`) and nulls — the encoder
+    must not trip pandas' elementwise isna on them (regression: ValueError
+    'truth value of an array is ambiguous' killed the task)."""
+    from logstash_spark.operators.codecs import decode_msgpack, encode_msgpack
+
+    df = spark.createDataFrame(
+        [("a", ["t1", "t2"], 1.5, None),
+         ("b", None, float("nan"), {"k": "v"}),
+         (None, [], 2.0, {"k": None})],
+        "msg string, tags array<string>, score double, meta map<string,string>",
+    )
+    enc = encode_msgpack(df, target="wire")
+    dec = decode_msgpack(enc, "wire", "msg string, tags array<string>, score double")
+    rows = sorted(dec.collect(), key=lambda r: (r.msg is None, r.msg or ""))
+    assert [r.msg for r in rows] == ["a", "b", None]
+    assert rows[0].tags == ["t1", "t2"] and rows[0].score == 1.5
+    assert rows[1].tags is None and rows[1].score is None  # NaN -> nil
+    assert rows[2].tags == []

@@ -111,3 +111,28 @@ def test_opentsdb_and_graphite_conf_outputs(spark, tmp_path):
     assert len(carbon) == 1 and carbon[0].startswith("carbon.load 0.5 ")
     csvs = [l.strip() for f in glob.glob(f"{tmp_path}/csv_2/part-*") for l in open(f) if l.strip()]
     assert csvs == ["web1,0.5"]
+
+
+def test_graphite_opentsdb_multi_metric_hash(spark, tmp_path):
+    """A metrics hash with several entries emits EVERY metric (regression:
+    only the first entry of the hash reached the wire)."""
+    src = """
+    output {
+      graphite { metrics => { "sys.load" => "%{load}" "sys.mem" => "%{mem}" } }
+      opentsdb { metrics => { "t.load" => "%{load}" "t.mem" => "%{mem}" } }
+    }
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame(
+        [("web1", 0.5, 7.0, "2015-06-01 12:00:00")],
+        "host string, load double, mem double, ts string",
+    ).withColumn("@timestamp", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    pipe.run(df)
+    import glob
+
+    carbon = sorted(l.strip() for f in glob.glob(f"{tmp_path}/graphite_0/part-*") for l in open(f) if l.strip())
+    assert len(carbon) == 2
+    assert carbon[0].startswith("sys.load 0.5 ") and carbon[1].startswith("sys.mem 7.0 ")
+    tsdb = sorted(l.strip() for f in glob.glob(f"{tmp_path}/opentsdb_1/part-*") for l in open(f) if l.strip())
+    assert [t.split(" ")[1] for t in tsdb] == ["t.load", "t.mem"]
+    assert [t.split(" ")[3] for t in tsdb] == ["0.5", "7.0"]

@@ -474,6 +474,13 @@ def test_canonicalize_url_hand_computed(spark):
         ("http://h.io:8080/x?ref=r", "http://h.io:8080/x", "h.io", "h.io"),
         ("https://a.b.co.uk/", "https://a.b.co.uk", "a.b.co.uk", "co.uk"),
         ("https://d.com/x?a=1&utm_campaign=c", "https://d.com/x?a=1", "d.com", "d.com"),
+        # params merely ENDING in a tracking name must survive intact
+        # (an unanchored strip once turned aref=1&b=2 into ab=2)
+        ("http://x.com/p?aref=1&b=2", "http://x.com/p?aref=1&b=2", "x.com", "x.com"),
+        ("http://x.com/p?xgclid=9", "http://x.com/p?xgclid=9", "x.com", "x.com"),
+        # runs of consecutive tracking params collapse in one pass
+        ("http://x.com/p?utm_a=1&utm_b=2&keep=3", "http://x.com/p?keep=3", "x.com", "x.com"),
+        ("http://x.com/p?keep=1&ref=r&gclid=g", "http://x.com/p?keep=1", "x.com", "x.com"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, *_rest) in enumerate(cases)], "id long, url string")
     out = {r["id"]: r for r in canonicalize_url(df).collect()}
@@ -1056,3 +1063,74 @@ def test_dup_spans_hash_families_agree(spark):
     rb = {(r.doc_id, r.text_deduped) for r in remove_dup_spans(df, k=8, hash_fn="xxhash64").collect()}
     release_cached()
     assert ra == rb
+
+
+def test_similarity_paths_accept_string_ids(spark):
+    """IVF assign/search, semdedup, and the broadcast near-dup path must
+    preserve the caller's id type (regression: three mapInPandas schemas
+    hardcoded `id long`, crashing the Arrow writer on string/uuid ids)."""
+    from logstash_spark.functions import similarity as sim
+
+    vecs = spark.range(120).select(
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("vec_id"),
+        F.array(*[(F.pmod(F.xxhash64("id", F.lit(d)), F.lit(2000)) / 1000.0 - 1.0)
+                  for d in range(8)]).alias("embedding"),
+    )
+    try:
+        cents = sim.ivf_train(vecs, num_lists=4, iters=1, id_col="vec_id")
+        q = vecs.limit(2).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+        rows = sim.ivf_topk(vecs, q, cents, k=3, id_col="vec_id").collect()
+        assert rows and all(isinstance(r[0], str) for r in rows)
+        sd = sim.semdedup(vecs, cents, tau=0.9, id_col="vec_id").collect()
+        assert sd and all(isinstance(r.id, str) for r in sd)
+        nd = sim.near_dup_pairs(vecs, id_col="vec_id", vec_col="embedding", threshold=0.95)
+        nd.collect()  # string ids through the broadcast matmul path
+    finally:
+        sim.release_cached()
+
+
+def test_media_corrupt_bmp_negative_width_drops(spark):
+    """A BMP header with negative biWidth must drop as corrupt media, not
+    crash the task (regression: row stride 0 slipped past the raster
+    length check and IndexError'd media_ahash)."""
+    import struct
+
+    from logstash_spark.functions.multimodal import decode_media, media_ahash
+
+    bad = bytearray(b"BM" + b"\x00" * 60)
+    struct.pack_into("<I", bad, 10, 54)          # data offset
+    struct.pack_into("<IiI", bad, 14, 40, -1, 4)  # hdr, width=-1, height
+    struct.pack_into("<HI", bad, 28, 24, 0)       # 24bpp, uncompressed
+    assert decode_media(bytes(bad)) is None
+    df = spark.createDataFrame([(1, bytes(bad))], "media_id long, bytes binary")
+    assert media_ahash(df).collect() == []  # dropped, no crash
+
+
+def test_remove_dup_spans_null_text_dropped(spark):
+    """Null documents drop instead of emitting n_tokens=-1 garbage rows
+    (regression: the removal variant lost dup_spans' null filter)."""
+    from logstash_spark.functions.dedup import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "a b c d e f g h x y"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_dup_spans(df, k=8, stride=1).collect()}
+    assert 2 not in out
+    assert all(r.n_tokens >= 0 for r in out.values())
+
+
+def test_connected_components_raises_on_iteration_budget(spark):
+    """A chain longer than max_iters must raise, not silently return
+    split components (the no-silent-caps rule)."""
+    import pytest
+
+    from logstash_spark.functions.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="not converged"):
+        connected_components(chain, max_iters=2)
+    ok = connected_components(chain, max_iters=10)
+    assert {r.component for r in ok.collect()} == {0}
