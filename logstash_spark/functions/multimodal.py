@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -182,12 +184,22 @@ def media_decode_features(df: DataFrame) -> DataFrame:
                     continue
                 fmt, w, h, raster = d
                 arr = np.frombuffer(raster, dtype=np.uint8)
-                counts = np.bincount(arr, minlength=256) / len(arr)
-                nz = counts[counts > 0]
-                ent = float(-(nz * np.log2(nz)).sum())
+                n = len(arr)
+                # entropy via H = log2(N) - (1/N) * SUM(cnt*log2(cnt)):
+                # each cnt*log2(cnt) term is rounded to an INTEGER number
+                # of 1e-4 bits before summing, so the sum is exact integer
+                # arithmetic — an order-sensitive double fold here diverged
+                # between numpy (pairwise) and the DuckDB oracle (left
+                # fold) at ROUND boundaries (the _ewma_oracle lesson)
+                cnt = np.bincount(arr, minlength=256).astype(np.float64)
+                nz = cnt[cnt > 1]  # cnt==1 contributes log2(1)=0 exactly
+                s_mb = int(np.floor(nz * np.log2(nz) * 10000.0 + 0.5).sum())
+                ent = math.log2(n) - (s_mb / 10000.0) / n
                 # no Python round() here: it's half-to-EVEN, while SQL ROUND
                 # is half-away — rounding happens JVM-side below for parity
-                rows.append((mid, fmt, w, h, len(arr), float(arr.mean()), ent))
+                # n_pix = PIXELS (w*h), not raster bytes (w*h*3 — a shared
+                # 3x-off constant both engines previously agreed on)
+                rows.append((mid, fmt, w, h, w * h, float(arr.mean()), ent))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "fmt", "width", "height", "n_pix",

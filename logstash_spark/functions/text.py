@@ -227,7 +227,10 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
-    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # octets bounded to 0-255: the naive \d{1,3} quad redacted version
+    # strings like '537.36.1.15' as <IP> (false positives on UA/version
+    # tokens all over web text)
+    ("ip", r"\b(25[0-5]|2[0-4]\d|1?\d?\d)(\.(25[0-5]|2[0-4]\d|1?\d?\d)){3}\b", "<IP>"),
 ]
 
 

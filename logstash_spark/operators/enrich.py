@@ -284,6 +284,16 @@ _OS_PATTERNS: list[tuple[str, str, str]] = [
     ("Android", r"Android", r"Android (\d+[.\d]*)"),
     ("Mac OS X", r"Mac OS X", r"Mac OS X (\d+[_.\d]*)"),
     ("Chrome OS", r"CrOS", r"CrOS [\w]+ ([\d.]+)"),
+    # uap-core maps NT kernel tokens to the MARKETING version ('Windows NT
+    # 6.1' -> Windows 7, NT 10.0 -> Windows 10); emitting the raw kernel
+    # version was a silent divergence from the ua-parser table the plugin
+    # wraps. '=' marks a literal (non-captured) version value.
+    ("Windows", r"Windows NT 10\.0", "=10"),
+    ("Windows", r"Windows NT 6\.3", "=8.1"),
+    ("Windows", r"Windows NT 6\.2", "=8"),
+    ("Windows", r"Windows NT 6\.1", "=7"),
+    ("Windows", r"Windows NT 6\.0", "=Vista"),
+    ("Windows", r"Windows NT 5\.1", "=XP"),
     ("Windows", r"Windows NT", r"Windows NT ([\d.]+)"),
     ("Windows", r"Windows", r"()"),
     ("Ubuntu", r"Ubuntu", r"()"),
@@ -326,10 +336,11 @@ def useragent(df: DataFrame, source: str, target_prefix: str = "ua_") -> DataFra
     )
     os_ver_chain = None
     for i, (_n, _d, v) in enumerate(_OS_PATTERNS):
+        vexpr = F.lit(v[1:]) if v.startswith("=") else F.regexp_extract(src, v, 1)
         os_ver_chain = (
-            F.when(os_idx == i, F.regexp_extract(src, v, 1))
+            F.when(os_idx == i, vexpr)
             if os_ver_chain is None
-            else os_ver_chain.when(os_idx == i, F.regexp_extract(src, v, 1))
+            else os_ver_chain.when(os_idx == i, vexpr)
         )
     os_ver_expr = F.regexp_replace(os_ver_chain, "_", ".")
     df = df.withColumn(target_prefix + "name", name_expr)

@@ -45,8 +45,10 @@ def fingerprint(
     no extra libs are available; swap for `F.hmac` if present).
 
     ``include_names=True`` reproduces the plugin's ``concatenate_sources``
-    string shape — ``|name1|value1|name2|value2`` over the source fields in
-    the given order — instead of the library's bare value join.
+    string shape — ``|name1|value1|name2|value2|`` over the source fields
+    in SORTED name order with a trailing ``|`` (the plugin does
+    ``@source.sort.each { |k| to_string << "|#{k}|#{event[k]}" }`` then
+    ``to_string << "|"``) — instead of the library's bare value join.
 
     ``base64encode=True`` (plugin option) emits the digest bytes base64-
     encoded instead of hex, for the MD5/SHA* methods; hash-int methods
@@ -55,8 +57,8 @@ def fingerprint(
     if include_names:
         base = F.concat(*[
             F.concat(F.lit("|" + s + "|"), F.coalesce(F.col(s).cast("string"), F.lit("")))
-            for s in sources
-        ])
+            for s in sorted(sources)
+        ], F.lit("|"))
     else:
         cols = [F.coalesce(F.col(s).cast("string"), F.lit("")) for s in sources]
         base = F.concat_ws("|", *cols) if concatenate_sources else cols[0]

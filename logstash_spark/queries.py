@@ -100,15 +100,27 @@ def grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "grok_failure_tags",
     """SELECT doc_id,
-       CASE WHEN regexp_matches(text, '^\\w+ \\w+') THEN 0 ELSE 1 END AS failed
+       CASE WHEN regexp_matches(
+              CASE WHEN doc_id % 7 = 0 THEN '!!' || text ELSE text END,
+              '^\\w+ \\w+') THEN 0 ELSE 1 END AS failed
 FROM documents""",
 )
 def grok_failure_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_grokparsefailure tagging on non-matching rows (filter contract,
-    reference lib/logstash/filters/base.rb tag_on_failure)."""
+    reference lib/logstash/filters/base.rb tag_on_failure).
+
+    Every 7th doc gets a '!!' prefix so the FAILURE branch is actually
+    exercised — the raw corpus matches '^\\w+ \\w+' on all 500 rows, which
+    left the tag path invisible to the gate (a dead tagging path scored
+    failed=0 everywhere in both engines)."""
     from logstash_spark.operators.grok import grok
 
     d = _parallel(spark, load_table(spark, sf_dir, "documents"))
+    d = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("!!"), F.col("text")))
+        .otherwise(F.col("text")),
+    )
     g = grok(d.select("doc_id", "text"), "text", "^%{WORD:w1} %{WORD:w2}")
     return g.select(
         "doc_id",
@@ -462,15 +474,18 @@ SELECT url,
          WHEN 6 THEN 'iOS' WHEN 7 THEN 'Android' WHEN 8 THEN 'Windows'
          ELSE 'Other' END AS ua_os,
        CASE CAST(event_id % 12 AS INT)
-         WHEN 0 THEN '10.0' WHEN 1 THEN '10.15.7' WHEN 3 THEN '10.0'
-         WHEN 4 THEN '10.0' WHEN 5 THEN '13' WHEN 6 THEN '17.1'
-         WHEN 7 THEN '13' WHEN 8 THEN '6.1' ELSE '' END AS ua_os_version
+         WHEN 0 THEN '10' WHEN 1 THEN '10.15.7' WHEN 3 THEN '10'
+         WHEN 4 THEN '10' WHEN 5 THEN '13' WHEN 6 THEN '17.1'
+         WHEN 7 THEN '13' WHEN 8 THEN '7' ELSE '' END AS ua_os_version
 FROM pages""",
 )
 def useragent_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """useragent over a 12-way agent mix incl. derived browsers (Edge/Opera/
     Samsung before their Chrome base), mobile variants, bots and tools —
-    the ua-parser-core ordering semantics."""
+    the ua-parser-core ordering semantics. Windows versions are the
+    uap-core MARKETING versions (NT 6.1 -> '7', NT 10.0 -> '10'), not the
+    raw NT kernel tokens — these constants come from the ua-parser table,
+    NOT from replaying the implementation."""
     from logstash_spark.operators.enrich import useragent
 
     p = _pages(spark, sf_dir)
@@ -502,16 +517,18 @@ def fingerprint_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprint_base64_concat",
     f"""{_PAGES_CTE}
 SELECT url,
-       to_base64(unhex(sha256('|url|' || url || '|lang|' || lang))) AS fp_b64,
-       to_base64(unhex(md5('|lang|' || lang))) AS fp_md5_b64
+       to_base64(unhex(sha256('|lang|' || lang || '|url|' || url || '|'))) AS fp_b64,
+       to_base64(unhex(md5('|lang|' || lang || '|'))) AS fp_md5_b64
 FROM pages""",
 )
 def fingerprint_base64_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fingerprint plugin options done for real: ``concatenate_sources``
-    hashes ONE '|name|value|name|value' string over all sources (plugin
-    string shape), ``base64encode`` emits the digest bytes base64-encoded
-    instead of hex. Oracle recomputes both digests byte-for-byte in DuckDB
-    (to_base64(unhex(...)) over the same concat)."""
+    hashes ONE '|name|value|name|value|' string over the sources in
+    SORTED name order with a trailing pipe (the plugin's exact shape —
+    lang sorts before url here), ``base64encode`` emits the digest bytes
+    base64-encoded instead of hex. Oracle recomputes both digests
+    byte-for-byte in DuckDB (to_base64(unhex(...)) over the same
+    concat)."""
     from logstash_spark.operators.fingerprint import fingerprint
 
     p = _pages(spark, sf_dir)
@@ -695,11 +712,19 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "gopher_rules",
-    """WITH base AS (
+    """WITH salted AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN text || chr(10) || '- bullet point one' || chr(10) || '* second item' || chr(10) || '• third'
+           WHEN 1 THEN text || chr(10) || 'to be continued...' || chr(10) || 'more text…'
+           WHEN 2 THEN text || ' ## symbols ### and more...'
+           ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL
+), base AS (
   SELECT doc_id, text,
          string_split_regex(trim(text), '\\s+') AS w,
          string_split(text, chr(10)) AS ln
-  FROM documents WHERE text IS NOT NULL
+  FROM salted
 ), f AS (
   SELECT doc_id,
          len(w) AS n_words,
@@ -735,11 +760,27 @@ FROM f""",
 def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveWeb quality rules (Rae et al. 2021 App. A) — each
     signal and the composite pass flag value-oracled against DuckDB's
-    replay over the same split/list-filter features."""
+    replay over the same split/list-filter features.
+
+    The fixture is SALTED with bullet lines ('-', '*', '•'), ellipsis
+    line-ends ('...', '…') and '#' runs on deterministic doc_id strata —
+    the raw corpus is single-line prose where those three signals (and
+    their Java-vs-RE2 multibyte regexes) were identically zero in both
+    engines, i.e. unverified."""
     from logstash_spark.functions.text import gopher_rules
 
     d = _parallel(spark, load_table(spark, sf_dir, "documents"))
-    out = gopher_rules(d.filter(F.col("text").isNotNull()))
+    d = d.filter(F.col("text").isNotNull()).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat("text", F.lit("\n- bullet point one\n* second item\n• third")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat("text", F.lit("\nto be continued...\nmore text…")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat("text", F.lit(" ## symbols ### and more...")))
+        .otherwise(F.col("text")),
+    )
+    out = gopher_rules(d)
     return out.select(
         "doc_id",
         F.col("n_words").cast("int").alias("n_words"),
@@ -1076,6 +1117,7 @@ def dedup_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
   WHERE len(string_split({_NORM_SQL}, ' ')) > 0
 ), b AS (
   SELECT id, sh, list_min(sh) AS bucket FROM sh WHERE len(sh) > 0
+  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 3
 )
 SELECT a.id AS id_a, c.id AS id_b,
        ROUND(len(list_intersect(a.sh, c.sh)) /
@@ -1085,10 +1127,15 @@ WHERE len(list_intersect(a.sh, c.sh)) /
       CAST(greatest(len(list_distinct(list_concat(a.sh, c.sh))), 1) AS DOUBLE) >= 0.6""",
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate runs bucket_cap=3 so the hot-bucket drop is OBSERVABLE (the
+    production default 2048 never fired at gate scale, leaving the cap's
+    pair-loss semantics unverified): the oracle's QUALIFY mirrors
+    cap_hot_buckets' whole-bucket drop — 4 of 25 pairs at sf0.01 exist
+    only in over-cap buckets and must be absent from BOTH engines."""
     from logstash_spark.functions.dedup import dedup_ngram_jaccard
 
     d = load_table(spark, sf_dir, "documents")
-    return dedup_ngram_jaccard(d, threshold=0.6)
+    return dedup_ngram_jaccard(d, threshold=0.6, bucket_cap=3)
 
 
 def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
@@ -1555,7 +1602,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, session_n, COUNT(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
-       ROUND(SUM(value), 4) AS sess_value
+       -- decimal-pinned sum: DECIMAL(28,6) addition is exact integer
+       -- arithmetic, so per-session totals cannot drift with fold order
+       -- across engines (the double-SUM + ROUND(4) hazard)
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sess_value
 FROM s GROUP BY user_id, session_n""",
 )
 def sessionize_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1570,7 +1620,7 @@ def sessionize_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
-        F.round(F.sum("value"), 4).alias("sess_value"),
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4).alias("sess_value"),
     )
 
 
@@ -1629,13 +1679,19 @@ _MEDIA_ORACLE = """WITH m AS (
 ), freq AS (
   SELECT media_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt FROM chars GROUP BY media_id, c
 ), ent AS (
-  SELECT f.media_id, -SUM((cnt / s.n) * log2(cnt / s.n)) AS h
-  FROM freq f JOIN stats s ON f.media_id = s.media_id GROUP BY f.media_id
+  -- H = log2(N) - (1/N)*SUM(cnt*log2(cnt)); each term rounded to integer
+  -- 1e-4 bits BEFORE summing so the SUM is exact integer arithmetic and
+  -- cannot diverge from numpy's pairwise double fold at ROUND boundaries
+  SELECT f.media_id,
+         SUM(CAST(floor(cnt * log2(cnt) * 10000.0 + 0.5) AS BIGINT)) AS s_mb
+  FROM freq f WHERE cnt > 1 GROUP BY f.media_id
 )
 SELECT m.media_id, 'ppm' AS fmt, m.width, m.height,
-       CAST(s.n AS INT) AS n_pix,
-       ROUND(s.mu, 4) AS px_mean, ROUND(e.h, 4) AS px_entropy
-FROM m JOIN stats s ON m.media_id = s.media_id JOIN ent e ON m.media_id = e.media_id"""
+       CAST(m.width * m.height AS INT) AS n_pix,
+       ROUND(s.mu, 4) AS px_mean,
+       ROUND(log2(s.n) - (coalesce(e.s_mb, 0) / 10000.0) / s.n, 4) AS px_entropy
+FROM m JOIN stats s ON m.media_id = s.media_id
+       LEFT JOIN ent e ON m.media_id = e.media_id"""
 
 
 @q("media_features", _MEDIA_ORACLE)
@@ -2182,7 +2238,14 @@ FROM events GROUP BY event_type""",
 def metrics_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """metrics filter timer percentiles — EXACT percentile aggregate
     (interpolating, matching quantile_cont); percentile_approx is the
-    100 TB path, exact is the parity surface."""
+    100 TB path, exact is the parity surface.
+
+    Rounding-stability note: the interpolation is a fixed two-operand
+    expression over the same two sorted values in both engines (not an
+    order-dependent fold like a SUM), so the residual cross-engine risk
+    is a single 1-ulp associativity difference under ROUND(.,4) —
+    accepted; the order-sensitive folds elsewhere (sessionize sums,
+    media entropy) are integer/decimal-pinned instead."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy(F.col("event_type").alias("key")).agg(
         F.count(F.lit(1)).alias("count"),
@@ -2555,7 +2618,9 @@ def conf_compiled_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
 _PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
-_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# octets bounded 0-255 (mirrors text.PII_PATTERNS): the \d{1,3} quad
+# redacted version strings like '537.36.1.15' as <IP>
+_PII_IP = r"\b(25[0-5]|2[0-4]\d|1?\d?\d)(\.(25[0-5]|2[0-4]\d|1?\d?\d)){3}\b"
 
 # deterministic PII salting shared by both engines: logs carry real client
 # IPs already; emails/SSNs/phones are appended per response class so every
@@ -2563,6 +2628,8 @@ _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_SALT_SQL = """CASE WHEN response = '200' THEN text || ' contact bob@example.com'
      WHEN response = '404' THEN text || ' call 555-123-4567'
      WHEN response = '301' THEN text || ' ssn 123-45-6789'
+     WHEN response = '500' THEN text || ' ring 555.123.4567 or 555 123 4567'
+     WHEN response = '503' THEN text || ' ua build 537.36.1.15 stays'
      ELSE text END"""
 
 
@@ -2591,6 +2658,8 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("response") == "200", F.concat("text", F.lit(" contact bob@example.com")))
         .when(F.col("response") == "404", F.concat("text", F.lit(" call 555-123-4567")))
         .when(F.col("response") == "301", F.concat("text", F.lit(" ssn 123-45-6789")))
+        .when(F.col("response") == "500", F.concat("text", F.lit(" ring 555.123.4567 or 555 123 4567")))
+        .when(F.col("response") == "503", F.concat("text", F.lit(" ua build 537.36.1.15 stays")))
         .otherwise(F.col("text")),
     )
     out = pii_redact(p, source="text")
@@ -2788,6 +2857,7 @@ _JACCARD_PAIRS_CTES = f"""sh AS (
   WHERE len(string_split({_NORM_SQL}, ' ')) > 0
 ), b AS (
   SELECT id, sh, list_min(sh) AS bucket FROM sh WHERE len(sh) > 0
+  QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 3
 ), pairs AS (
   SELECT a.id AS id_a, c.id AS id_b
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
@@ -2820,7 +2890,7 @@ def dedup_cluster_cc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.functions.dedup import dedup_clusters, dedup_ngram_jaccard
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup_ngram_jaccard(d, threshold=0.6)
+    pairs = dedup_ngram_jaccard(d, threshold=0.6, bucket_cap=3)
     return dedup_clusters(d, pairs)
 
 

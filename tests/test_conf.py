@@ -760,7 +760,8 @@ def test_fingerprint_conf_base64_concat(spark, tmp_path):
     pipe, _ = compile_config(src, out_dir=str(tmp_path))
     df = spark.createDataFrame([("x", "y")], "a string, b string")
     got = pipe.transform(df).collect()[0]["fp"]
-    want = base64.b64encode(hashlib.sha256(b"|a|x|b|y").digest()).decode()
+    # plugin shape: sources in SORTED name order + trailing pipe
+    want = base64.b64encode(hashlib.sha256(b"|a|x|b|y|").digest()).decode()
     assert got == want
 
 

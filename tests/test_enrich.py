@@ -92,9 +92,9 @@ def test_useragent_core_table_ordering(spark):
 
     cases = [
         ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
-         "Edge", "120.0.2210.91", "Windows", "10.0"),
+         "Edge", "120.0.2210.91", "Windows", "10"),
         ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.4970.21",
-         "Opera", "105.0.4970.21", "Windows", "10.0"),
+         "Opera", "105.0.4970.21", "Windows", "10"),
         ("Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
          "Samsung Internet", "23.0", "Android", "13"),
         ("Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36",
@@ -102,13 +102,13 @@ def test_useragent_core_table_ordering(spark):
         ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
          "Mobile Safari", "17.1", "iOS", "17.1"),
         ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:109.0) Gecko/20100101 Firefox/119.0",
-         "Firefox", "119.0", "Windows", "10.0"),
+         "Firefox", "119.0", "Windows", "10"),
         ("Mozilla/5.0 (Android 13; Mobile; rv:109.0) Gecko/119.0 Firefox/119.0",
          "Firefox Mobile", "119.0", "Android", "13"),
         ("Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko",
-         "IE", "11.0", "Windows", "6.1"),
+         "IE", "11.0", "Windows", "7"),
         ("Mozilla/5.0 (compatible; MSIE 9.0; Windows NT 6.1; Trident/5.0)",
-         "IE", "9.0", "Windows", "6.1"),
+         "IE", "9.0", "Windows", "7"),
         ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
          "Googlebot", "2.1", "Other", ""),
         ("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",

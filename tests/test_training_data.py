@@ -399,7 +399,8 @@ def test_ppm_bmp_stdlib_decode(spark):
 
     feats = {r["media_id"]: r for r in media_decode_features(m).collect()}
     assert len(feats) == 12
-    assert all(f["fmt"] == "ppm" and f["n_pix"] == f["width"] * f["height"] * 3
+    # n_pix = PIXELS (w*h), not raster bytes (w*h*3)
+    assert all(f["fmt"] == "ppm" and f["n_pix"] == f["width"] * f["height"]
                for f in feats.values())
 
 
@@ -1134,3 +1135,25 @@ def test_connected_components_raises_on_iteration_budget(spark):
         connected_components(chain, max_iters=2)
     ok = connected_components(chain, max_iters=10)
     assert {r.component for r in ok.collect()} == {0}
+
+
+def test_pii_redact_ip_bounds_and_phone_variants(spark):
+    """Bounded IP octets: version strings like 537.36.1.15 must NOT
+    redact; dotted/spaced phone separators do; stage-wise attribution
+    keeps a dotted phone out of the IP count."""
+    from logstash_spark.functions.text import pii_redact
+
+    df = spark.createDataFrame(
+        [(0, "build 537.36.1.15 here"),
+         (1, "srv 10.2.250.255 up"),
+         (2, "ring 555.123.4567 now"),
+         (3, "ring 555 123 4567 now"),
+         (4, "edge 256.1.1.1 nope")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert out[0].n_ip == 0 and "537.36.1.15" in out[0].text_redacted
+    assert out[1].n_ip == 1 and "<IP>" in out[1].text_redacted
+    assert out[2].n_phone == 1 and out[2].n_ip == 0  # phone stage wins
+    assert out[3].n_phone == 1
+    assert out[4].n_ip == 0  # 256 is not an octet
