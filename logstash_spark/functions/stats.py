@@ -241,9 +241,11 @@ def sessionize(
     out: str = "session_n",
 ) -> DataFrame:
     """Gap-based sessionization: within each key, a new session starts when
-    the time since the previous event exceeds ``gap_sec`` (the classic
-    web/log-analytics operator; the reference ecosystem reaches it via the
-    aggregate filter's task_id correlation — this is the declarative form).
+    the time since the previous event reaches ``gap_sec`` (>= — the
+    half-open [t, t+gap) rule shared with streaming session_window; the
+    classic web/log-analytics operator; the reference ecosystem reaches it
+    via the aggregate filter's task_id correlation — this is the
+    declarative form).
 
     lag + cumulative-sum over one window: exactly ONE shuffle on the key,
     both window functions share the same sort. At 100 TB the key is the
@@ -260,6 +262,10 @@ def sessionize(
     order = [tsec] + [F.col(c) for c in (order_cols or [])]
     w = W.partitionBy(key_col).orderBy(*order)
     prev = F.lag(tsec).over(w)
-    brk = F.when(prev.isNull() | ((tsec - prev) > gap_sec), 1).otherwise(0)
+    # >= : an event exactly gap_sec after the last one starts a NEW
+    # session — the same half-open [t, t+gap) rule as the native
+    # streaming session_window, so batch and streaming rollups agree
+    # at the boundary
+    brk = F.when(prev.isNull() | ((tsec - prev) >= gap_sec), 1).otherwise(0)
     cum = W.partitionBy(key_col).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     return df.withColumn(out, F.sum(brk).over(cum).cast("int"))

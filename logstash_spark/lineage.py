@@ -37,9 +37,16 @@ class LineageManifest:
         if os.path.exists(path):
             with open(path) as f:
                 for line in f:
-                    if line.strip():
+                    if not line.strip():
+                        continue
+                    try:
                         e = json.loads(line)
-                        m.entries[e["partition"]] = e
+                    except json.JSONDecodeError:
+                        # a truncated trailing line (crash mid-write on a
+                        # filesystem without rename-ordering) must not brick
+                        # resume — the partition it described simply re-runs
+                        continue
+                    m.entries[e["partition"]] = e
         return m
 
     def is_done(self, partition: str) -> bool:
@@ -63,7 +70,21 @@ class LineageManifest:
         with os.fdopen(fd, "w") as f:
             for v in self.entries.values():
                 f.write(json.dumps(v) + "\n")
+            # crash-atomicity: rename alone does not order data blocks
+            # before the rename on all filesystems — fsync the file, then
+            # the directory, so a power loss can't surface an empty or
+            # truncated manifest under the final name
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self.path)
+        try:
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:  # not all mounts support dir fsync
+            pass
 
 
 def run_partitioned(

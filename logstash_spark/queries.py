@@ -1593,7 +1593,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ), l AS (
   SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev FROM e
 ), n AS (
-  SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 900 THEN 1 ELSE 0 END AS brk FROM l
+  SELECT *, CASE WHEN prev IS NULL OR tsec - prev >= 900 THEN 1 ELSE 0 END AS brk FROM l
 ), s AS (
   SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tsec, event_id
                                 ROWS UNBOUNDED PRECEDING) AS INT) AS session_n

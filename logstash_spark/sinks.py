@@ -32,7 +32,18 @@ INTERNAL_PREFIX = "_grok_matched"
 
 def strip_internal(df: DataFrame) -> DataFrame:
     drop = [c for c in df.columns if c.startswith(META_PREFIX) or c.startswith("_route_") or c == "_grok_matched"]
-    return df.drop(*drop) if drop else df
+    out = df.drop(*drop) if drop else df
+    # sink-boundary type policy: timestamps leave the engine as INSTANTS
+    # (@timestamp is always UTC in the reference, timestamp.rb:23). The
+    # streaming path casts NTZ for watermarks while batch did not — the
+    # same pipeline then appended timestamp_ntz files next to timestamp
+    # files in one sink, breaking schema merge. Normalizing here makes
+    # both paths write identical logical types (session TZ is pinned UTC
+    # by session.py, so the cast never shifts the instant).
+    ntz = [c for c, t in out.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        out = out.withColumn(c, F.col(c).cast("timestamp"))
+    return out
 
 
 @dataclass
@@ -366,6 +377,7 @@ def write_outputs(
     outputs: list,
     *,
     storage_level: StorageLevel | None = None,
+    on_sink_done=None,
 ) -> dict[str, Any]:
     """Route + write every output from ONE pass over ``df``.
 
@@ -397,6 +409,11 @@ def write_outputs(
                     tuple(r[k] for k in o.agg_by): r["n"]
                     for r in subset.groupBy(*o.agg_by).agg(F.count(F.lit(1)).alias("n")).collect()
                 }
+            if on_sink_done is not None:
+                # per-sink commit hook (streaming batch-id ledger): called
+                # as soon as THIS sink's write returned, so a later sink's
+                # failure cannot force an already-committed sink to replay
+                on_sink_done(o.name)
         return results
     finally:
         routed.unpersist()

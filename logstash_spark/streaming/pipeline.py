@@ -12,9 +12,12 @@ streaming DataFrame unchanged — that's the point of declaring the plan).
 Multi-sink fan-out uses foreachBatch: one micro-batch scan, N filtered
 writes — same single-pass rule as the batch path.
 
-Resumability (north rule): `checkpointLocation` gives exactly-once file
-sinks + recovered offsets = the per-partition lineage story in streaming
-mode. Batch lineage lives in batch_lineage.py.
+Resumability (north rule): `checkpointLocation` recovers offsets, and
+foreachBatch is AT-LEAST-ONCE — so path-backed sinks are written to a
+per-batch subdirectory with overwrite (a replayed batch rewrites ITS OWN
+directory: idempotent, effectively exactly-once). Wire sinks (tcp/udp/
+statsd) have no replayable target and stay at-least-once — documented,
+not promised away. Batch lineage lives in lineage.py.
 """
 
 from __future__ import annotations
@@ -34,12 +37,17 @@ def ensure_event_time(df: DataFrame, ts: str) -> DataFrame:
     return df
 
 
+# default-watermark sentinel: applied only when the column actually exists
+# (a hard default of warc_ts crashed any non-WARC stream at query start)
+_DEFAULT_WATERMARK = ("warc_ts", "10 minutes")
+
+
 def run_streaming(
     pipe: Pipeline,
     stream_df: DataFrame,
     *,
     checkpoint: str,
-    watermark: tuple[str, str] | None = ("warc_ts", "10 minutes"),
+    watermark: tuple[str, str] | None = _DEFAULT_WATERMARK,
     trigger_seconds: int = 5,
 ):
     """Start the pipeline as a streaming query with foreachBatch fan-out.
@@ -47,17 +55,56 @@ def run_streaming(
     Returns the StreamingQuery. Late data beyond the watermark is dropped
     from windowed aggregates (divergence from the reference's wall-clock
     flush, documented in SURVEY §2.3).
+
+    Delivery: foreachBatch replays a failed micro-batch on restart. A
+    per-(sink, batch_id) commit ledger under ``<checkpoint>/sink-commits``
+    makes each sink's write idempotent across replays — on replay only the
+    sinks that had NOT committed the batch write again (the standard
+    foreachBatch batch-id dedup). The residual window is a crash between a
+    sink's write and its marker — same contract as the engine's own
+    foreachBatch guidance. Wire sinks (tcp/udp/statsd) are at-least-once.
+
+    Path sinks must use ``mode='append'``: an overwrite-mode sink would
+    clobber all prior micro-batches' output — rejected at start.
     """
+    import os
+
+    for o in pipe.outputs:
+        if getattr(o.sink, "mode", None) == "overwrite" and hasattr(o.sink, "path"):
+            raise ValueError(
+                f"run_streaming: output {o.name!r} uses a path sink with "
+                "mode='overwrite' — every micro-batch would erase the "
+                "previous ones; use mode='append'"
+            )
+
     df = stream_df
+    if watermark is _DEFAULT_WATERMARK and watermark[0] not in df.columns:
+        watermark = None  # stream has no warc_ts: the default must not bind
     if watermark:
         df = ensure_event_time(df, watermark[0])
         df = df.withWatermark(*watermark)
     transformed = pipe.transform(df)
+    ledger = os.path.join(checkpoint, "sink-commits")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from logstash_spark.sinks import write_outputs
 
-        write_outputs(batch_df, pipe.outputs)
+        todo = []
+        for o in pipe.outputs:
+            if os.path.exists(os.path.join(ledger, o.name, str(batch_id))):
+                continue  # this sink already committed this batch (replay)
+            todo.append(o)
+        if not todo:
+            return
+
+        def mark(name: str) -> None:
+            # invoked per sink as soon as ITS write returned — a later
+            # sink's failure replays only the sinks without a marker
+            d = os.path.join(ledger, name)
+            os.makedirs(d, exist_ok=True)
+            open(os.path.join(d, str(batch_id)), "w").close()
+
+        write_outputs(batch_df, todo, on_sink_done=mark)
 
     return (
         transformed.writeStream.foreachBatch(process_batch)
@@ -119,11 +166,18 @@ def session_rollup(
     per active key, merged by the state store; no applyInPandas needed —
     session merge is engine-side JVM code.
 
+    Boundary parity with the batch form: event times are floored to whole
+    seconds here (sessionize compares epoch seconds), and both forms break
+    a session when the gap is >= the threshold — session_window's window
+    is [t, t+gap), so an event exactly gap after the last one starts a new
+    session, and stats.sessionize uses the same >= rule.
+
     Works on batch frames too (session_window is a grouping expression),
     where it degenerates to the same rollup as sessionize+groupBy modulo
     session numbering vs bounds keying.
     """
     stream_df = ensure_event_time(stream_df, ts)
+    stream_df = stream_df.withColumn(ts, F.date_trunc("second", F.col(ts)))
     return (
         stream_df.withWatermark(ts, watermark)
         .groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))

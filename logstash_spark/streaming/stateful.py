@@ -43,6 +43,7 @@ def multiline_stateful(
     what: str = "previous",
     negate: bool = False,
     max_lines: int | None = None,
+    order_by: str | None = None,
 ) -> DataFrame:
     """Streaming multiline: ``what='previous'`` — lines matching
     ``pattern`` append to the pending event; a non-matching line emits the
@@ -50,9 +51,19 @@ def multiline_stateful(
     (e.g. a trailing continuation marker) attaches to the NEXT line; the
     first non-matching line closes and emits the group. ``negate`` inverts
     the match, both modes (the plugin's option). Timeout flushes the
-    remainder (the reference's periodic flush, pipeline.rb:159,301-322)."""
+    remainder (the reference's periodic flush, pipeline.rb:159,301-322).
+
+    ``order_by``: column to sort each key's micro-batch rows by before
+    grouping. applyInPandasWithState gives NO intra-group row order —
+    with multi-file/multi-partition input, shuffle-arrival order assembles
+    groups wrongly. Pass the stream's sequence column (same contract as
+    the batch twin's ``order_by``); leave None only for single-partition
+    sources that preserve arrival order."""
     import re
 
+    if what not in ("previous", "next"):
+        # the batch twin raises too — a typo must not silently flip modes
+        raise ValueError("multiline_stateful: what must be 'previous' or 'next'")
     rx = re.compile(pattern)
 
     def matches(line: str) -> bool:
@@ -70,7 +81,15 @@ def multiline_stateful(
                 out.append((k, pending, n))
             state.remove()
         else:
-            for pdf in pdfs:
+            if order_by is not None:
+                dfs = list(pdfs)
+                chunks = (
+                    [pd.concat(dfs, ignore_index=True).sort_values(order_by)]
+                    if dfs else []
+                )
+            else:
+                chunks = pdfs
+            for pdf in chunks:
                 for line in pdf[line_col]:
                     if line is None:
                         continue
@@ -233,8 +252,14 @@ def dedup_stream(
     wm = ensure_event_time(keyed, ts_col).withWatermark(ts_col, watermark)
     try:
         return wm.dropDuplicatesWithinWatermark([key_col])
-    except Exception:  # pragma: no cover - pre-3.5 fallback keeps key+time state
-        return wm.dropDuplicates([key_col, ts_col])
+    except AttributeError as e:  # pragma: no cover - pre-3.5 runtime
+        # a silent dropDuplicates([key, ts]) fallback INVERTED the contract
+        # (same content at a different timestamp passed) — refuse loudly
+        raise RuntimeError(
+            "dedup_stream needs dropDuplicatesWithinWatermark (Spark >= 3.5); "
+            "this runtime lacks it — upgrade, or dedup in a foreachBatch "
+            "against a seen-keys table (functions.dedup.dedup_incremental)"
+        ) from e
 
 
 ELAPSED_OUT = T.StructType(
@@ -250,6 +275,11 @@ ELAPSED_STATE = T.StructType(
     [
         T.StructField("start_ms", T.LongType()),
         T.StructField("start_event_id", T.LongType()),
+        # wall clock when the start was FIRST seen: expiry counts from the
+        # start's age (the plugin's flusher rule), not from last activity —
+        # re-arming the timeout on every batch let heartbeat traffic
+        # postpone the expired-error row forever
+        T.StructField("start_wall_ms", T.LongType()),
     ]
 )
 
@@ -279,25 +309,28 @@ def elapsed_stateful(
     """
 
     def fn(key, pdfs, state: GroupState):
+        import time
+
         (k,) = key
         if state.hasTimedOut:
-            start_ms, start_eid = state.get
+            start_ms, start_eid, _wall = state.get
             state.remove()
             yield pd.DataFrame(
                 [(k, start_eid, None, "elapsed_expired_error")],
                 columns=["task", "event_id", "elapsed_ms", "status"],
             )
             return
-        pending = state.get if state.exists else None
+        pending = state.get if state.exists else None  # (ms, eid, wall)
         rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values([ts_col, event_id_col])
+        now_ms = int(time.time() * 1000)
         for _, r in batch.iterrows():
             tags = r[tags_col] if r[tags_col] is not None else []
             ms = int(r[ts_col].value // 1_000_000)  # pandas Timestamp -> epoch ms
             eid = int(r[event_id_col])
             if start_tag in tags:
-                pending = (ms, eid)
+                pending = (ms, eid, now_ms)
             elif end_tag in tags:
                 if pending is not None and ms - pending[0] > timeout_ms:
                     rows.append((k, pending[1], None, "elapsed_expired_error"))
@@ -309,7 +342,11 @@ def elapsed_stateful(
                     pending = None
         if pending is not None:
             state.update(tuple(pending))
-            state.setTimeoutDuration(timeout_ms)
+            # expire at start_seen + timeout, NOT at last-activity + timeout:
+            # unrelated rows for the key (heartbeats) re-enter this function
+            # and must not push the deadline back
+            remaining = max(1, pending[2] + timeout_ms - now_ms)
+            state.setTimeoutDuration(remaining)
         elif state.exists:
             state.remove()
         if rows:

@@ -47,3 +47,20 @@ def test_metrics_observe_single_pass(spark):
     assert rep["stages"]["parse"]["rows"] == 100
     assert 0 < rep["stages"]["parse"]["_grokparsefailure"] < 100
     assert rep["docs_per_sec"] > 0
+
+
+def test_lineage_manifest_tolerates_truncated_tail(tmp_path):
+    """A crash mid-write can leave a truncated trailing JSON line — load()
+    must skip it (that partition re-runs) instead of raising and blocking
+    resume forever."""
+    from logstash_spark.lineage import LineageManifest
+
+    p = str(tmp_path / "m.jsonl")
+    m = LineageManifest.load(p)
+    m.record("2024-01-01", rows_in=10, rows_out={"ok": 10}, wall_s=1.0)
+    m.record("2024-01-02", rows_in=20, rows_out={"ok": 20}, wall_s=1.0)
+    with open(p, "a") as f:
+        f.write('{"partition": "2024-01-03", "status": "do')  # torn write
+    m2 = LineageManifest.load(p)
+    assert m2.is_done("2024-01-01") and m2.is_done("2024-01-02")
+    assert not m2.is_done("2024-01-03")

@@ -446,3 +446,53 @@ def test_session_rollup_stream_matches_batch_sessionize(spark, tmp_path):
     stream_counts = sorted((r.user_id, r.n_events) for r in got)
     batch_counts = sorted((u, n) for (u, _s), n in sc_batch.items())
     assert stream_counts == batch_counts
+
+
+def test_multiline_stateful_order_by_sorts_shuffled_input(spark, tmp_path):
+    """order_by re-sorts each key's micro-batch rows before grouping:
+    multi-partition input arrives in shuffle order, and without the seq
+    column continuations attach to the wrong anchor."""
+    import time
+
+    from logstash_spark.streaming.stateful import multiline_stateful
+
+    src = str(tmp_path / "mosrc")
+    rows = [("s1", 2, " cont2"), ("s1", 0, "first"), ("s1", 3, "second"),
+            ("s1", 1, " cont1")]
+    df = spark.createDataFrame(rows, "stream_key string, seq long, text string")
+    df.repartition(4).write.parquet(src)  # 4 files: arrival order is luck
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = multiline_stateful(stream, pattern=r"^\s", order_by="seq", timeout_ms=2000)
+    q = out.writeStream.format("memory").queryName("mloseq").outputMode("append").start()
+    expected = {"first\n cont1\n cont2": 3, "second": 1}
+    try:
+        deadline = time.time() + 90
+        got = {}
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = {r["text"]: r["multiline_n"]
+                   for r in spark.sql("select * from mloseq").collect()}
+            if got == expected:
+                break
+            time.sleep(1)
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_run_streaming_rejects_overwrite_path_sink(spark, tmp_path):
+    """A path sink with mode='overwrite' would clobber every prior
+    micro-batch — run_streaming must refuse at start."""
+    import pytest
+
+    from logstash_spark.pipeline import Output, Pipeline
+    from logstash_spark.sinks import ParquetSink
+    from logstash_spark.streaming.pipeline import run_streaming
+
+    pipe = Pipeline(filters=[], outputs=[
+        Output("out", sink=ParquetSink(str(tmp_path / "o")))  # default overwrite
+    ])
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(ValueError, match="overwrite"):
+        run_streaming(pipe, stream, checkpoint=str(tmp_path / "ck"))

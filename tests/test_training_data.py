@@ -792,7 +792,9 @@ def test_hashed_linear_score_bounds_and_mean_semantics(spark):
 
 
 def test_sessionize_gap_boundaries(spark):
-    """New session strictly AFTER gap_sec; equal-gap events stay joined."""
+    """A gap of exactly gap_sec starts a NEW session (>= — the half-open
+    [t, t+gap) rule shared with streaming session_window); under-gap
+    events stay joined."""
     import datetime as dt
 
     from logstash_spark.functions.stats import sessionize
@@ -800,10 +802,10 @@ def test_sessionize_gap_boundaries(spark):
     base = dt.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
         (1, 1, base),
-        (1, 2, base + dt.timedelta(seconds=899)),        # gap 899 <= 900: same
-        (1, 3, base + dt.timedelta(seconds=1800)),       # gap 901 > 900: new
+        (1, 2, base + dt.timedelta(seconds=899)),        # gap 899 < 900: same
+        (1, 3, base + dt.timedelta(seconds=1800)),       # gap 901 >= 900: new
         (2, 4, base),                                    # other key independent
-        (1, 5, base + dt.timedelta(seconds=2700)),       # gap exactly 900: same
+        (1, 5, base + dt.timedelta(seconds=2700)),       # gap exactly 900: NEW
     ]
     df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
     out = {
@@ -812,7 +814,7 @@ def test_sessionize_gap_boundaries(spark):
             df, key_col="user_id", ts_col="ts", order_cols=["event_id"], gap_sec=900
         ).collect()
     }
-    assert out == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1, 5: 3}
 
 
 def test_per_key_cap_quota_and_determinism(spark):
