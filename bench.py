@@ -98,6 +98,7 @@ HEADLINE = [
     "per_key_cap",
     "dedup_incremental",
     "dedup_bloom",
+    "warc_intake",
     "media_ahash",
     "dedup_substring_spans",
     "dedup_substring_removal",
