@@ -75,9 +75,26 @@ def coerce(value: Any, typ: str, name: str = "option") -> Any:
     if typ == "array":
         return value if isinstance(value, list) else [value]
     if typ == "hash":
-        if not isinstance(value, dict):
-            raise CoerceError(f"{name}: expected hash, got {type(value).__name__}")
-        return dict(value)
+        if isinstance(value, dict):
+            return dict(value)
+        if isinstance(value, list):
+            # reference mixin :hash validator (mixin.rb:367-390) converts
+            # even-length arrays by pairing — the canonical 1.5 form
+            # `match => ["message", pat]` / `dictionary => [k, v, ...]`
+            if len(value) % 2:
+                raise CoerceError(f"{name}: hash from array needs an even number of elements, got {len(value)}")
+            if any(isinstance(x, (list, dict)) for x in value):
+                raise CoerceError(f"{name}: hash-from-array elements must be scalars")
+            out: dict = {}
+            for k, v in zip(value[0::2], value[1::2]):
+                k = str(k)
+                if k in out:  # repeated key accumulates (hash_merge_with_dups)
+                    prev = out[k]
+                    out[k] = (prev if isinstance(prev, list) else [prev]) + [v]
+                else:
+                    out[k] = v
+            return out
+        raise CoerceError(f"{name}: expected hash, got {type(value).__name__}")
     if typ == "password":
         return value if isinstance(value, Password) else Password(str(value))
     if typ == "path":

@@ -75,14 +75,24 @@ def _rv_dtype(rv: Rvalue, df: DataFrame | None) -> T.DataType | None:
 
 
 def _types_incomparable(lt: T.DataType | None, rt: T.DataType | None) -> bool:
-    """True when Spark would reject the comparison outright (complex vs
-    scalar) — Ruby answers false for such equality instead of erroring."""
+    """True when the comparison is cross-type in Ruby's eyes: complex vs
+    scalar (Spark would reject it outright) OR string vs number — Ruby
+    typed equality answers false for both instead of erroring/coercing.
+    Spark's implicit cast would make '200' == 200 TRUE (both to double),
+    silently diverging from the reference on the classic grok-string
+    gotcha; the In node already pins the same rule for membership."""
     complex_types = (T.ArrayType, T.MapType, T.StructType)
     l_complex = isinstance(lt, complex_types)
     r_complex = isinstance(rt, complex_types)
     if l_complex != r_complex:
         return True
     if l_complex and r_complex and type(lt) is not type(rt):
+        return True
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType)
+    l_str, r_str = isinstance(lt, T.StringType), isinstance(rt, T.StringType)
+    l_num, r_num = isinstance(lt, numeric), isinstance(rt, numeric)
+    if (l_str and r_num) or (l_num and r_str):
         return True
     return False
 
@@ -296,3 +306,18 @@ class Always(Expr):
 
     def compile(self, df: DataFrame | None = None) -> Column:
         return F.lit(self.value)
+
+
+@dataclass(frozen=True)
+class ColRef(Expr):
+    """Reference to a precomputed boolean column — branch-condition
+    SNAPSHOTS: the reference evaluates a branch's condition once per event
+    at branch entry (config_ast.rb:375-436), so a stage that edits a field
+    its own branch condition reads must not disable the branch's later
+    stages; the conf compiler materializes the decision into a column and
+    every sub-stage gates on this reference instead of re-deriving it."""
+
+    name: str
+
+    def compile(self, df: DataFrame | None = None) -> Column:
+        return F.col(self.name)

@@ -19,7 +19,10 @@ from typing import Any
 
 from logstash_spark.coerce import CoerceError, coerce_options
 from logstash_spark.condparser import parse_condition
-from logstash_spark.conditions import And, Expr, Not
+from logstash_spark.conditions import And, ColRef, Expr, Not
+
+# branch-snapshot column counter (unique names across one compile)
+_BRANCH_SEQ = 0
 from logstash_spark.confparser import Config, IfNode, PluginNode, parse_config
 from logstash_spark.pipeline import Output, Pipeline, Stage
 from logstash_spark.sinks import (
@@ -56,7 +59,11 @@ _OPTION_TYPES: dict[str, dict[str, str]] = {
     "elapsed": {"start_tag": "string", "end_tag": "string",
                 "unique_id_field": "string", "timeout": "number"},
     "multiline": {"negate": "boolean", "pattern": "string", "max_lines": "number"},
-    "grok": {"patterns_dir": "array", "tag_on_failure": "array", "break_on_match": "boolean"},
+    # grok match: hash form is canonical, but the 1.5 tutorial form is the
+    # array pair form `match => ["message", pat]` — the :hash coercion
+    # converts it (NOT applicable to date's match, which is [field, fmt...])
+    "grok": {"patterns_dir": "array", "tag_on_failure": "array", "break_on_match": "boolean",
+             "match": "hash"},
     "metrics": {"flush_interval": "number", "meter": "array"},
     "translate": {"regex": "boolean", "dictionary": "hash", "fallback": "string", "override": "boolean"},
     "clone": {"clones": "array"},
@@ -72,8 +79,15 @@ _OPTION_TYPES: dict[str, dict[str, str]] = {
 
 
 def _decorators(attrs: dict[str, Any]) -> dict[str, Any]:
+    from logstash_spark.coerce import CoerceError, coerce
+
+    try:
+        # add_field accepts the array pair form too (mixin :hash validator)
+        add_field = coerce(attrs.get("add_field", {}), "hash", "add_field")
+    except CoerceError as e:
+        raise ConfCompileError(str(e)) from None
     return dict(
-        add_field=dict(attrs.get("add_field", {})),
+        add_field=add_field,
         add_tag=_listify(attrs.get("add_tag", [])),
         remove_field=_listify(attrs.get("remove_field", [])),
         remove_tag=_listify(attrs.get("remove_tag", [])),
@@ -109,19 +123,54 @@ def _t_grok(a: dict) -> list[tuple[str, dict]]:
         match = {"message": _listify(a["pattern"])}
     if not isinstance(match, dict) or not match:
         raise ConfCompileError("grok requires match => { field => pattern }")
-    out = []
-    for fieldname, patterns in match.items():
+
+    def base_params(fieldname: str, patterns: Any) -> dict[str, Any]:
         params: dict[str, Any] = {"source": fieldname, "patterns": _listify(patterns)}
-        if "tag_on_failure" in a:
-            params["tag_on_failure"] = _listify(a["tag_on_failure"])
         if "break_on_match" in a:
             params["break_on_match"] = a["break_on_match"]
         if "overwrite" in a:
             params["overwrite"] = _listify(a["overwrite"])
         if "patterns_dir" in a:
             params["extra_patterns"] = _load_patterns_dirs(_listify(a["patterns_dir"]))
-        out.append(("grok", params))
-    return out
+        return params
+
+    if len(match) == 1:
+        ((fieldname, patterns),) = match.items()
+        params = base_params(fieldname, patterns)
+        if "tag_on_failure" in a:
+            params["tag_on_failure"] = _listify(a["tag_on_failure"])
+        return [("grok", params)]
+
+    # MULTI-FIELD match is ONE filter instance in the reference: the match
+    # entries share a single filter_matched — break_on_match (default true)
+    # stops after the first matching entry, and the failure tag appends
+    # only when NO entry matched. Compiling each field independently
+    # tagged _grokparsefailure whenever ANY field missed, misrouting
+    # successfully parsed events.
+    break_on = a.get("break_on_match", True)
+    fail_tags = _listify(a.get("tag_on_failure", ["_grokparsefailure"]))
+    from logstash_spark.conditions import ColRef as _CR
+    from logstash_spark.conditions import Not as _Not
+    from logstash_spark.conditions import Or as _Or
+
+    pieces: list = []
+    accs: list[str] = []
+    any_expr = None
+    for i, (fieldname, patterns) in enumerate(match.items()):
+        col = f"_gmf{i}"
+        params = base_params(fieldname, patterns)
+        params["tag_on_failure"] = []  # the COMPOSITE tags, not each field
+        params["matched_col"] = col
+        extra = _Not(any_expr) if (break_on and any_expr is not None) else None
+        pieces.append(("grok", params, extra))
+        accs.append(col)
+        any_expr = _CR(col) if any_expr is None else _Or(any_expr, _CR(col))
+    pieces.append(("tags.append", {"values": fail_tags}, _Not(any_expr)))
+    # last piece carries the plugin's decorators (compiler contract) —
+    # gated on ANY-field-matched = the reference's filter_matched; it also
+    # drops the per-field flag carriers
+    pieces.append(("branch.exit", {"names": accs}, any_expr))
+    return pieces
 
 
 def _load_patterns_dirs(dirs: list[str]) -> dict[str, str]:
@@ -387,7 +436,11 @@ def _t_metrics(a: dict) -> list[tuple[str, dict]]:
         "key": _sprintf_field(meter[0]),
         "ts": a.get("timestamp_field", "@timestamp"),
     }
-    if not _has_sprintf_token(meter[0]):
+    if len(meter) > 1:
+        # EVERY meter entry counts (the plugin loops @meter) — meter[0]-only
+        # silently dropped the other metric families
+        params["meters"] = [str(m) for m in meter]
+    elif not _has_sprintf_token(meter[0]):
         # bare meter name = count-by-constant (the plugin's literal meter)
         params["key_is_literal"] = True
     else:
@@ -452,6 +505,12 @@ def _t_throttle(a: dict) -> list[tuple[str, dict]]:
         # raw '%{ts}' string hits the plan as an unresolved column
         "ts": _sprintf_field(a.get("timestamp", a.get("timestamp_field", "@timestamp"))),
     }
+    if not _has_sprintf_token(str(a["key"])):
+        # constant key = ONE global bucket (the plugin sprintf-renders the
+        # key per event; a bare string renders to itself) — compiling it as
+        # a column reference hit UNRESOLVED_COLUMN at run time
+        params["key"] = str(a["key"])
+        params["key_is_literal"] = True
     if "max_count" in a:
         params["max_count"] = int(a["max_count"])
     elif "after_count" in a:
@@ -688,13 +747,40 @@ def _compile_items(items: list, inherited: Expr | None, stages: list[Stage]) -> 
             # (on success), so only the last stage carries those.
             gate = {k: deco[k] for k in ("type", "tags", "exclude_tags")}
             post = {k: deco[k] for k in ("add_field", "add_tag", "remove_field", "remove_tag")}
-            for i, (op, params) in enumerate(pieces):
+            for i, piece in enumerate(pieces):
+                op, params = piece[0], piece[1]
+                # optional 3rd element: an EXTRA per-piece condition the
+                # translator computed (the multi-field grok composite's
+                # break-on-match / shared-failure-tag gating)
+                extra = piece[2] if len(piece) > 2 else None
+                if extra is None:
+                    when = inherited
+                elif inherited is None:
+                    when = extra
+                else:
+                    when = And(inherited, extra)
                 d = {**gate, **(post if i == len(pieces) - 1 else {})}
-                stages.append(Stage(op=op, params=params, when=inherited, **d))
+                stages.append(Stage(op=op, params=params, when=when, **d))
         elif isinstance(node, IfNode):
+            # Branch conditions are SNAPSHOT into boolean columns at branch
+            # entry (config_ast.rb:375-436 evaluates them once per event):
+            # without the snapshot, a stage that edits a field its own
+            # condition reads silently disabled every LATER stage in the
+            # same branch (the when Expr recompiled against the mutated
+            # frame). The snapshot also fixes else-if: Not(cond_i) must use
+            # the value cond_i had at ITS entry, not a re-evaluation.
             negated: Expr | None = None
+            snap_cols: list[str] = []
             for cond_src, sub in node.branches:
-                this = parse_condition(cond_src) if cond_src is not None else None
+                this: Expr | None = None
+                if cond_src is not None:
+                    parsed = parse_condition(cond_src)
+                    global _BRANCH_SEQ
+                    _BRANCH_SEQ += 1
+                    col = f"_br_{_BRANCH_SEQ}"
+                    snap_cols.append(col)
+                    stages.append(Stage(op="branch.enter", params={"name": col, "cond": parsed}))
+                    this = ColRef(col)
                 branch_cond: Expr | None
                 if this is not None and negated is not None:
                     branch_cond = And(negated, this)
@@ -708,8 +794,40 @@ def _compile_items(items: list, inherited: Expr | None, stages: list[Stage]) -> 
                 _compile_items(sub, eff, stages)
                 if this is not None:
                     negated = Not(this) if negated is None else And(negated, Not(this))
+            if snap_cols:
+                stages.append(Stage(op="branch.exit", params={"names": snap_cols}))
         else:  # pragma: no cover
             raise ConfCompileError(f"unexpected node {node!r}")
+
+
+# gating + plumbing options every output accepts (outputs/base.rb config)
+_OUTPUT_COMMON = {"type", "tags", "exclude_tags", "codec", "workers"}
+
+# per-plugin allowed option names; a plugin absent here (the parquet
+# stand-in buses) skips the check
+_OUTPUT_OPTS: dict[str, set] = {
+    "file": {"path", "message_format", "flush_interval", "gzip"},
+    "stdout": {"debug"},
+    "pipe": {"command", "ttl"},
+    "null": set(),
+    "statsd": {"increment", "decrement", "count", "timing", "gauge", "set",
+               "host", "port", "namespace", "sender", "sample_rate", "debug"},
+    "elasticsearch": {"index", "document_id", "host", "port", "cluster",
+                      "embedded", "protocol", "flush_size", "idle_flush_time",
+                      "template", "template_overwrite", "manage_template",
+                      "index_type", "node_name"},
+    "elasticsearch_http": {"index", "document_id", "host", "port",
+                           "flush_size", "idle_flush_time", "index_type"},
+    "graphite": {"metrics", "host", "port", "reconnect_interval",
+                 "fields_are_metrics", "include_metrics", "exclude_metrics",
+                 "metrics_format"},
+    "csv": {"path", "fields", "csv_options", "flush_interval", "gzip"},
+    "tcp": {"host", "port", "mode", "message_format"},
+    "udp": {"host", "port"},
+    "gelf": {"sender", "level", "host", "port", "facility", "full_message",
+             "short_message", "ship_metadata", "ship_tags", "custom_fields"},
+    "opentsdb": {"metrics", "host", "port"},
+}
 
 
 def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output], out_dir: str) -> None:
@@ -737,6 +855,18 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
             node = PluginNode(node.name, coerce_options(node.attrs, _OPTION_TYPES.get(node.name, {}), node.name))
         except CoerceError as e:
             raise ConfCompileError(str(e)) from None
+        allowed = _OUTPUT_OPTS.get(node.name)
+        if allowed is not None:
+            # reference outputs fail registration on unknown settings
+            # (mixin.rb validate); silently dropping a typo'd option (or a
+            # filter-only decorator — 1.5 outputs have no add_field/add_tag)
+            # is run-time misbehavior the compiler must catch
+            unknown = set(node.attrs) - allowed - _OUTPUT_COMMON
+            if unknown:
+                raise ConfCompileError(
+                    f"{node.name} output: unsupported options {sorted(unknown)} "
+                    f"(allowed: {sorted(allowed | _OUTPUT_COMMON)})"
+                )
         deco = _decorators(node.attrs)
         gate = {k: deco[k] for k in ("type", "tags", "exclude_tags")}
         if node.name == "file":

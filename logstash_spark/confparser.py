@@ -223,6 +223,20 @@ def _if_node(lx: _Lexer) -> IfNode:
             return node
 
 
+def _merge_attr(old: Any, new: Any) -> Any:
+    """Reference duplicate-attribute merge (util.rb:69-106
+    hash_merge_with_dups): hashes deep-merge (colliding hash keys
+    accumulate into arrays), everything else concatenates into an array."""
+    if isinstance(old, dict) and isinstance(new, dict):
+        out = dict(old)
+        for k, v in new.items():
+            out[k] = _merge_attr(out[k], v) if k in out else v
+        return out
+    left = old if isinstance(old, list) else [old]
+    right = new if isinstance(new, list) else [new]
+    return left + right
+
+
 def _plugin(lx: _Lexer, name: str) -> PluginNode:
     lx.expect_char("{")
     attrs: dict[str, Any] = {}
@@ -234,7 +248,15 @@ def _plugin(lx: _Lexer, name: str) -> PluginNode:
         lx.skip_ws()
         if lx.src.startswith("=>", lx.pos):
             lx.pos += 2
-            attrs[key] = _value(lx)
+            v = _value(lx)
+            if key in attrs:
+                # duplicate attribute names MERGE (config_ast.rb:224-227 via
+                # Util.hash_merge_many): hash+hash deep-merges, anything
+                # else accumulates into an array — overwriting silently
+                # dropped the first `match`/`add_tag` line
+                attrs[key] = _merge_attr(attrs[key], v)
+            else:
+                attrs[key] = v
         else:
             # `name { ... }` with no arrow = nested plugin as bare attribute
             # (codec shorthand); treat as codec plugin with empty attrs

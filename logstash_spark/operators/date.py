@@ -74,6 +74,10 @@ def date(
     prev = field_col(target) if target_exists else F.lit(None).cast("timestamp")
     df = set_path(df, target, F.coalesce(parsed, prev))
     ok = parsed.isNotNull() | src.isNull()
+    # success flag consumed by the pipeline's decorator gating (the
+    # reference fires add_field/add_tag only via filter_matched on a
+    # successful parse, date.rb); dropped at sinks like _grok_matched
+    df = df.withColumn("_date_matched", ok)
     return _append_tag_unless(df, "tags", tag_on_failure, ok)
 
 

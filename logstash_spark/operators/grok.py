@@ -312,6 +312,7 @@ def grok(
     overwrite_tags: bool = False,
     break_on_match: bool = True,
     overwrite: list[str] | None = None,
+    matched_col: str = "_grok_matched",
 ) -> DataFrame:
     """Apply grok to ``df[source]``; adds one column per capture + failure tag.
 
@@ -435,13 +436,15 @@ def grok(
     matched_any = per_pattern[0]["_grok_matched"]
     for cols in per_pattern[1:]:
         matched_any = matched_any | cols["_grok_matched"]
-    df = df.withColumn("_grok_matched", matched_any)
+    # matched_col: the multi-field .conf composite gives each field its own
+    # flag name so the compiler can OR them into ONE filter_matched
+    df = df.withColumn(matched_col, matched_any)
     # the plugin's tag_on_failure is an ARRAY (default [_grokparsefailure]);
     # every listed tag appends on failure
     for t in ([tag_on_failure] if isinstance(tag_on_failure, str) else list(tag_on_failure)):
         df = _append_tag_unless(df, "tags", t, matched_any)
     # drop struct temporaries
-    drop = [c for c in df.columns if c.startswith("_grok_") and c not in ("_grok_matched",)]
+    drop = [c for c in df.columns if c.startswith("_grok_") and c not in (matched_col,)]
     # (includes the source snapshot _grok_src*)
     if drop:
         df = df.drop(*drop)

@@ -33,6 +33,7 @@ def metrics(
     decimal_stable_mean: bool = False,
     key_is_literal: bool = False,
     key_template: str | None = None,
+    meters: list[str] | None = None,
 ) -> DataFrame:
     """Meter (+ optional timer) per key per tumbling window.
 
@@ -68,7 +69,18 @@ def metrics(
         for p in percentiles:
             aggs.append(F.percentile_approx(t, p).alias(f"p{int(p * 100)}"))
     w = F.window(field_col(ts), interval)
-    if key_template is not None:
+    if meters:
+        # the plugin counts EVERY meter entry: one map-side explode to one
+        # row per (event, meter name), then the same single shuffle — using
+        # only meter[0] silently lost every other metric family
+        from logstash_spark.event import sprintf_col
+
+        key_cols = [
+            sprintf_col(m, df) if "%{" in m else F.lit(m) for m in meters
+        ]
+        df = df.withColumn("_meter_key", F.explode(F.array(*key_cols)))
+        key_expr = F.col("_meter_key")
+    elif key_template is not None:
         # meter => "apache.%{response}" emits the FULL sprintf'd name
         # ('apache.200'), not just the embedded field ('200') — downstream
         # consumers key on the metric name (metrics-from-logs.md:34-68)
@@ -204,17 +216,23 @@ def throttle(
     max_count: int,
     period: str = "1 hour",
     tag: str = "throttled",
+    key_is_literal: bool = False,
 ) -> DataFrame:
     """Tag events beyond ``max_count`` per key per tumbling period.
 
     Within-window ordering uses event time (deterministic given distinct
     timestamps); the over-limit rows get the throttle tag. One shuffle on
     (window,key) — at scale identical cost to the aggregation it replaces.
+
+    ``key_is_literal``: the plugin's key is a sprintf template; a constant
+    key (``key => "login"``) is ONE global bucket, not a column reference
+    (same rule as the metrics/statsd literal-meter case).
     """
     from pyspark.sql import Window as W
 
+    key_c = F.lit(key) if key_is_literal else field_col(key)
     win = F.window(field_col(ts), period)
-    order = W.partitionBy(win, field_col(key)).orderBy(field_col(ts))
+    order = W.partitionBy(win, key_c).orderBy(field_col(ts))
     df = df.withColumn("_seq_in_period", F.row_number().over(order))
     over = F.col("_seq_in_period") > max_count
     from logstash_spark.operators.grok import _append_tag_unless

@@ -161,7 +161,18 @@ def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
     else:
         cond = when_col if when_col is not None else gate
     if cond is None:
-        return _apply_decorators(fn(df, **st.params), st)
+        if st.op == "clone" and (st.add_field or st.add_tag or st.remove_field or st.remove_tag):
+            # clone decorates ONLY the clones (clone.rb calls filter_matched
+            # per clone inside the loop; the original is never decorated) —
+            # clone_seq 0 marks the original row post-explode
+            out = fn(df, **st.params)
+            deco_stage = Stage(
+                op="noop", params={},
+                add_field=st.add_field, add_tag=st.add_tag,
+                remove_field=st.remove_field, remove_tag=st.remove_tag,
+            )
+            return _conditional_apply(out, deco_stage, OPERATORS["noop"], F.col("clone_seq") > 0)
+        return _success_decorators(fn(df, **st.params), st)
     if st.op in _ROW_COUNT_OPS:
         if st.op in ("drop", "clone", "split"):
             # these take the predicate NATIVELY (drop filters on it; clone/
@@ -187,7 +198,12 @@ def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
                     add_field=st.add_field, add_tag=st.add_tag,
                     remove_field=st.remove_field, remove_tag=st.remove_tag,
                 )
-                out = _conditional_apply(out, deco_stage, OPERATORS["noop"], F.col(flag))
+                deco_cond = F.col(flag)
+                if st.op == "clone":
+                    # only the CLONES are decorated (clone.rb filter_matched
+                    # runs per clone; the original passes through untouched)
+                    deco_cond = deco_cond & (F.col("clone_seq") > 0)
+                out = _conditional_apply(out, deco_stage, OPERATORS["noop"], deco_cond)
             return out.drop(flag)
         if st.op != "metrics":
             # split-apply-union: ONLY matching rows enter the row-count op
@@ -203,7 +219,7 @@ def apply_stage(df: DataFrame, st: Stage) -> DataFrame:
             df2 = df.withColumn(flag, F.coalesce(cond, F.lit(False)))
             matched = df2.filter(F.col(flag)).drop(flag)
             unmatched = df2.filter(~F.col(flag)).drop(flag)
-            out = _apply_decorators(fn(matched, **st.params), st)
+            out = _success_decorators(fn(matched, **st.params), st)
             return out.unionByName(unmatched, allowMissingColumns=True)
         raise NotImplementedError(
             "conditional 'metrics' stage: the batch metrics op REPLACES the "
@@ -229,7 +245,7 @@ def _conditional_apply(df: DataFrame, st: Stage, fn: Callable[..., DataFrame], c
     snapped = df.select(
         "*", cond.alias("_cond"), *[F.col(c).alias(f"_orig_{c}") for c in orig_cols]
     )
-    transformed = _apply_decorators(fn(snapped, **st.params), st)
+    transformed = _success_decorators(fn(snapped, **st.params), st)
     out_cols = []
     orig_set = set(orig_cols)
     t_schema = {f.name: f.dataType for f in transformed.schema.fields}
@@ -267,3 +283,48 @@ def _apply_decorators(df: DataFrame, st: Stage) -> DataFrame:
     for t in st.remove_tag:
         df = M.remove_tag(df, t)
     return df
+
+
+# ops whose output carries a per-row SUCCESS flag: decorators fire only on
+# success (filter_matched, filters/base.rb:182-218 — firing them on failed
+# rows tagged 'parsed' junk the reference leaves untagged)
+_SUCCESS_COLS = {"grok": "_grok_matched", "date": "_date_matched"}
+
+
+def _gated_decorators(df: DataFrame, st: Stage, gate) -> DataFrame:
+    """Apply the stage's decorators only where ``gate`` holds: snapshot,
+    decorate, CASE-merge (the _conditional_apply shape with its own
+    prefix, so it nests inside an enclosing conditional snapshot)."""
+    from pyspark.sql import types as T
+
+    orig_cols = list(df.columns)
+    snapped = df.select(
+        "*", gate.alias("_deco_cond"),
+        *[F.col(c).alias(f"_deco_orig_{c}") for c in orig_cols],
+    )
+    dec = _apply_decorators(snapped, st)
+    t_schema = {f.name: f.dataType for f in dec.schema.fields}
+    orig_set = set(orig_cols)
+    out_cols = []
+    for c in dec.columns:
+        if c.startswith("_deco_orig_") or c == "_deco_cond":
+            continue
+        if c in orig_set:
+            new_c, orig_c = F.col(c), F.col(f"_deco_orig_{c}")
+            new_t, orig_t = t_schema.get(c), t_schema.get(f"_deco_orig_{c}")
+            if new_t != orig_t and isinstance(new_t, T.ArrayType) and not isinstance(orig_t, T.ArrayType):
+                orig_c = F.array(orig_c.cast(new_t.elementType))
+            out_cols.append(F.when(F.col("_deco_cond"), new_c).otherwise(orig_c).alias(c))
+        else:
+            out_cols.append(F.when(F.col("_deco_cond"), F.col(c)).alias(c))
+    return dec.select(*out_cols)
+
+
+def _success_decorators(out: DataFrame, st: Stage) -> DataFrame:
+    """Decorator dispatch: gate on the op's success flag when it has one."""
+    if not (st.add_field or st.add_tag or st.remove_field or st.remove_tag):
+        return out
+    s = _SUCCESS_COLS.get(st.op)
+    if s and s in out.columns:
+        return _gated_decorators(out, st, F.col(s))
+    return _apply_decorators(out, st)

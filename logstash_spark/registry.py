@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from logstash_spark.operators import (
     aggregate,
@@ -31,6 +32,14 @@ from logstash_spark.operators import (
     mutate,
     parse,
 )
+
+def _tags_append(df: DataFrame, values: list[str]) -> DataFrame:
+    from logstash_spark.operators import mutate as M
+
+    for t in values:
+        df = M.add_tag(df, t)
+    return df
+
 
 OPERATORS: dict[str, Callable[..., DataFrame]] = {
     # parse
@@ -121,6 +130,15 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     # identity op: carries decorators for plugins whose attrs are ALL
     # decorator options (e.g. `mutate { add_tag => [...] }`)
     "noop": lambda df, **_: df,
+    # branch-condition snapshots (conditions.ColRef): the conf compiler
+    # materializes each if/else-if decision ONCE at branch entry
+    "branch.enter": lambda df, *, name, cond: df.withColumn(
+        name, F.coalesce(cond.compile(df), F.lit(False))),
+    "branch.exit": lambda df, *, names: df.drop(*names),
+    # append a tag list (the multi-field grok composite's shared failure
+    # tag — gated by the stage's `when`, so it fires only where NO field
+    # matched)
+    "tags.append": lambda df, *, values: _tags_append(df, values),
     # `ruby` filter (default_plugins.rb:40): arbitrary user code per event.
     # The sanctioned escape hatch is Arrow-batched mapInPandas — user code
     # sees pandas DataFrames, never per-row interpretation; 1->N allowed

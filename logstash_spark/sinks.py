@@ -31,7 +31,8 @@ INTERNAL_PREFIX = "_grok_matched"
 
 
 def strip_internal(df: DataFrame) -> DataFrame:
-    drop = [c for c in df.columns if c.startswith(META_PREFIX) or c.startswith("_route_") or c == "_grok_matched"]
+    drop = [c for c in df.columns if c.startswith(META_PREFIX) or c.startswith("_route_")
+            or c in ("_grok_matched", "_date_matched")]
     out = df.drop(*drop) if drop else df
     # sink-boundary type policy: timestamps leave the engine as INSTANTS
     # (@timestamp is always UTC in the reference, timestamp.rb:23). The

@@ -133,3 +133,20 @@ def test_in_typed_equality_string_field_vs_numeric_list(spark):
     assert not holds(In(Field("[b]"), [True]), df)
     # string list with string field: unchanged
     assert holds(In(Field("[s]"), ["200", "404"]), df)
+
+
+def test_cmp_string_field_vs_numeric_literal_is_typed(spark):
+    """Ruby typed equality: '200' == 200 is FALSE (the classic grok-string
+    gotcha); Spark's implicit double cast must not leak through."""
+    from logstash_spark.conditions import Cmp, Field
+
+    df = spark.createDataFrame([("200",), ("abc",)], "response string")
+    eq = df.select(Cmp(Field("[response]"), "==", 200).compile(df).alias("x")).collect()
+    assert [r.x for r in eq] == [False, False]
+    ne = df.select(Cmp(Field("[response]"), "!=", 200).compile(df).alias("x")).collect()
+    assert [r.x for r in ne] == [True, True]
+    lt = df.select(Cmp(Field("[response]"), "<", 300).compile(df).alias("x")).collect()
+    assert [r.x for r in lt] == [False, False]  # cross-type ordering: false
+    # string-vs-string still compares
+    s = df.select(Cmp(Field("[response]"), "==", "200").compile(df).alias("x")).collect()
+    assert [r.x for r in s] == [True, False]

@@ -796,3 +796,122 @@ def test_translate_dictionary_path_formats(spark, tmp_path):
             "output { null {} }",
             out_dir=str(tmp_path),
         )
+
+
+def test_throttle_literal_key_single_bucket(spark, tmp_path):
+    """throttle { key => "login" }: a constant key is ONE global bucket,
+    not a column reference (regression: UNRESOLVED_COLUMN at run time)."""
+    import pyspark.sql.functions as SF
+
+    from logstash_spark.conf import compile_config
+
+    src = 'filter { throttle { key => "login" max_count => 2 period => 3600 } } output { null {} }'
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, "2015-06-01 12:00:00") for i in range(5)], "i long, ts string"
+    ).withColumn("@timestamp", SF.to_timestamp("ts"))
+    out = pipe.transform(df).collect()
+    throttled = [r.i for r in out if r.tags and "throttled" in r.tags]
+    assert len(throttled) == 3  # 5 events, one global bucket, max 2
+
+
+def test_output_unknown_options_rejected(tmp_path):
+    """Misspelled output options and filter-only decorators fail compile
+    (the reference aborts registration on unknown settings) instead of
+    being silently dropped."""
+    with pytest.raises(ConfCompileError, match="unsupported options.*gzpi"):
+        compile_config('output { file { path => "o" gzpi => true } }', out_dir=str(tmp_path))
+    with pytest.raises(ConfCompileError, match="unsupported options.*add_tag"):
+        compile_config('output { file { path => "o" add_tag => ["x"] } }', out_dir=str(tmp_path))
+    # gating + codec stay accepted on every output
+    compile_config('output { file { path => "o" codec => json_lines type => "t" } }', out_dir=str(tmp_path))
+
+
+def test_grok_array_match_and_array_add_field(spark, tmp_path):
+    """The canonical 1.5 forms: grok match => ["message", pat] and
+    add_field => [k, v] (mixin.rb:367-390 pairs even arrays into hashes)."""
+    src = """
+    filter {
+      grok { match => [ "message", "%{WORD:verb} %{URIPATHPARAM:req}" ]
+             add_field => [ "source", "%{verb}-src" ] }
+    }
+    output { null {} }
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([Row(message="GET /index.html")])
+    r = pipe.transform(df).collect()[0]
+    assert r["verb"] == "GET" and r["req"] == "/index.html"
+    assert r["source"] == "GET-src"
+    # odd-length arrays are a compile error, not silent garbage
+    with pytest.raises(ConfCompileError, match="even number"):
+        compile_config('filter { mutate { add_field => ["a", "b", "c"] } } output { null {} }',
+                       out_dir=str(tmp_path))
+
+
+def test_metrics_multiple_meters_all_count(spark, tmp_path):
+    """metrics { meter => [a, b] }: EVERY meter family emits (regression:
+    only meter[0] reached the aggregate)."""
+    src = 'filter { metrics { meter => ["http.%{response}", "verb.%{verb}"] } } output { null {} }'
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame(
+        [("200", "GET", "2015-06-01 12:00:00"), ("503", "PUT", "2015-06-01 12:00:01")],
+        "response string, verb string, ts string",
+    ).withColumn("@timestamp", F.to_timestamp("ts"))
+    keys = {r["key"] for r in pipe.transform(df).collect()}
+    assert keys == {"http.200", "http.503", "verb.GET", "verb.PUT"}
+
+
+def test_branch_condition_snapshot_survives_self_edit(spark, tmp_path):
+    """config_ast.rb:375-436: a branch condition is evaluated ONCE per
+    event at branch entry — a stage that rewrites the very field the
+    condition reads must not disable the branch's later stages."""
+    src = """
+    filter {
+      if [level] == "debug" {
+        mutate { replace => { "level" => "trace" } }
+        mutate { add_tag => ["was_debug"] }
+      }
+      else { mutate { add_tag => ["not_debug"] } }
+    }
+    output { null {} }
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame([("debug",), ("info",)], "level string")
+    rows = {r.level: r for r in pipe.transform(df).collect()}
+    assert rows["trace"].tags == ["was_debug"]       # stage 2 still ran
+    assert rows["info"].tags == ["not_debug"]        # else untouched
+    # snapshot columns are dropped at branch exit
+    assert not [c for c in pipe.transform(df).columns if c.startswith("_br_")]
+
+
+def test_grok_multi_field_match_single_filter_instance(spark, tmp_path):
+    """A multi-entry match hash is ONE filter instance: break_on_match
+    stops after the first matching field, and _grokparsefailure appends
+    only when NO entry matched (regression: per-field compilation tagged
+    failure whenever ANY field missed)."""
+    src = """
+    filter {
+      grok { match => { "message" => "n=%{NUMBER:n}" "alt" => "w=%{WORD:w}" }
+             add_tag => ["parsed"] }
+    }
+    output { null {} }
+    """
+    pipe, _ = compile_config(src, out_dir=str(tmp_path))
+    df = spark.createDataFrame(
+        [("n=5", None), (None, "w=x"), ("junk", "junk"), ("n=7", "w=y")],
+        "message string, alt string",
+    )
+    rows = {(r.message, r.alt): r for r in pipe.transform(df).collect()}
+    # message matched -> no failure tag even though alt missed
+    r1 = rows[("n=5", None)]
+    assert r1.n == "5" and "parsed" in r1.tags and "_grokparsefailure" not in r1.tags
+    # only alt matched
+    r2 = rows[(None, "w=x")]
+    assert r2.w == "x" and "parsed" in r2.tags and "_grokparsefailure" not in r2.tags
+    # neither matched: ONE failure tag, no decorators
+    r3 = rows[("junk", "junk")]
+    assert r3.tags == ["_grokparsefailure"]
+    # break_on_match (default true): first field matched -> alt NOT parsed
+    r4 = rows[("n=7", "w=y")]
+    assert r4.n == "7" and r4.w is None and "parsed" in r4.tags
+    assert not [c for c in pipe.transform(df).columns if c.startswith("_gmf")]

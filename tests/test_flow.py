@@ -92,9 +92,10 @@ def test_conditional_clone_and_split(spark):
     assert len(apache) == 3 and len(nginx) == 1
     assert [r["type"] for r in apache] == ["apache", "copy1", "copy2"]
     assert nginx[0]["clone_seq"] == 0 and nginx[0]["type"] == "nginx"
-    # filter_matched is decided on the INPUT event and applies to every
-    # produced row — clones included, even though their type changed
-    assert all(r["tags"] == ["cloned"] for r in apache)
+    # filter_matched runs per CLONE (clone.rb calls it inside the loop);
+    # the matched ORIGINAL passes through undecorated
+    assert apache[0]["tags"] is None or "cloned" not in (apache[0]["tags"] or [])
+    assert all(r["tags"] == ["cloned"] for r in apache[1:])
     assert not nginx[0]["tags"]
 
 
@@ -145,3 +146,34 @@ def test_conditional_metrics_still_rejected(spark):
 
     with pytest.raises(NotImplementedError, match="metrics"):
         Pipeline(filters=[st]).transform(df)
+
+
+def test_decorators_fire_only_on_filter_success(spark):
+    """filter_matched semantics (filters/base.rb:182-218): grok/date
+    add_tag/add_field fire ONLY on rows the filter matched — failed rows
+    keep just the failure tag (regression: unparsed junk got tagged
+    'parsed' and rode the parsed routing path)."""
+    from logstash_spark.conditions import Cmp, Field
+    from logstash_spark.pipeline import Stage, apply_stage
+
+    df = spark.createDataFrame([("n=5",), ("junk!",)], "message string")
+    st = Stage(op="grok", params={"source": "message", "patterns": "n=%{NUMBER:n}"},
+               add_tag=["parsed"], add_field={"src": "grokked"})
+    rows = {r.message: r for r in apply_stage(df, st).collect()}
+    assert "parsed" in rows["n=5"].tags and rows["n=5"].src == "grokked"
+    assert rows["junk!"].tags == ["_grokparsefailure"]
+    assert rows["junk!"].src is None
+
+    # same under a conditional (both rows match the when)
+    st2 = Stage(op="grok", params={"source": "message", "patterns": "n=%{NUMBER:n2}"},
+                when=Cmp(Field("[message]"), "!=", "zzz"), add_tag=["p2"])
+    rows2 = {r.message: r for r in apply_stage(df, st2).collect()}
+    assert "p2" in rows2["n=5"].tags and "p2" not in (rows2["junk!"].tags or [])
+
+    # date: failure keeps _dateparsefailure only
+    ddf = spark.createDataFrame([("18/Aug/2011:06:00:14 -0700",), ("not a date",)], "ts string")
+    st3 = Stage(op="date", params={"source": "ts", "formats": ["dd/MMM/yyyy:HH:mm:ss Z"]},
+                add_tag=["dated"])
+    rows3 = {r.ts: r for r in apply_stage(ddf, st3).collect()}
+    assert "dated" in rows3["18/Aug/2011:06:00:14 -0700"].tags
+    assert rows3["not a date"].tags == ["_dateparsefailure"]

@@ -125,3 +125,24 @@ def test_csv_quote_char_and_target(spark):
     t = csv_parse(df, "line", ["f1", "f2", "f3"], separator="|", quote_char="'",
                   target="csv").collect()[0]
     assert t["csv"]["f2"] == "x|y"
+
+
+def test_confparser_duplicate_attributes_merge():
+    """Duplicate attribute names merge per the reference's
+    hash_merge_with_dups (config_ast.rb:224-227): hashes deep-merge,
+    scalars/arrays accumulate — overwriting dropped config silently."""
+    from logstash_spark.confparser import parse_config
+
+    cfg = parse_config("""
+    filter {
+      grok {
+        match => { "message" => "p1" }
+        match => { "alt" => "p2" }
+        add_tag => ["t1"]
+        add_tag => ["t2"]
+      }
+    }
+    """)
+    (g,) = cfg.section("filter")
+    assert g.attrs["match"] == {"message": "p1", "alt": "p2"}
+    assert g.attrs["add_tag"] == ["t1", "t2"]

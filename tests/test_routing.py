@@ -107,3 +107,17 @@ def test_per_sink_aggregates_first_class(spark, pages):
             expected_err[k] = expected_err.get(k, 0) + 1
     assert res["errors__agg"] == expected_err
     assert sum(res["ok__agg"].values()) + sum(res["errors__agg"].values()) == N
+
+
+def test_clone_decorates_only_clones(spark):
+    """clone.rb calls filter_matched(clone) per CLONE — the original event
+    is never decorated (regression: the original got the add_tag too and
+    tag-based routing sent it down the clone-only path)."""
+    from logstash_spark.pipeline import Stage, apply_stage
+
+    df = spark.createDataFrame([(1, "orig")], "i long, type string")
+    st = Stage(op="clone", params={"clone_types": ["copy"]}, add_tag=["cloned"])
+    rows = {r.clone_seq: r for r in apply_stage(df, st).collect()}
+    assert rows[0].tags is None or "cloned" not in (rows[0].tags or [])
+    assert "cloned" in rows[1].tags
+    assert rows[1].type == "copy" and rows[0].type == "orig"
