@@ -399,8 +399,10 @@ def _t_translate(a: dict) -> list[tuple[str, dict]]:
         params["fallback"] = a["fallback"]
     if str(a.get("regex", "")).lower() in ("true", "1"):
         params["regex"] = True
-    if str(a.get("override", "")).lower() == "false" or a.get("override") is False:
-        params["override"] = False
+    if str(a.get("override", "")).lower() == "true" or a.get("override") is True:
+        # plugin default is override => false (keep existing destination);
+        # only an explicit true clobbers
+        params["override"] = True
     return [("translate_dict", params)]
 
 

@@ -63,7 +63,17 @@ def field_col(ref: str) -> Column:
     toks = parse_path(ref)
     col = F.col("`" + toks[0].replace("`", "") + "`")
     for tok in toks[1:]:
-        col = col.getItem(int(tok)) if _is_int(tok) else col.getItem(tok)
+        if _is_int(tok):
+            # F.get, NOT getItem: under Spark's default ANSI mode getItem
+            # throws INVALID_ARRAY_INDEX at runtime on any out-of-range
+            # index, killing the task — the reference returns nil
+            # (accessors.rb:57). Negative indices read from the end (Ruby
+            # array semantics: [-1] is the last element).
+            i = int(tok)
+            idx = F.lit(i) if i >= 0 else F.size(col) + F.lit(i)
+            col = F.get(col, idx)
+        else:
+            col = col.getItem(tok)
     return col
 
 
@@ -118,7 +128,11 @@ def _set_in(col: Column, dtype: T.DataType, toks: list[str], value: Column) -> C
         else:
             inner = _build_nested(toks[1:], value)
         return base.withField(_q(tok), inner)
-    if isinstance(dtype, T.MapType) and not _is_int(tok):
+    # a MapType container takes the token as a KEY even when it looks like
+    # an integer (accessors dispatch on the CONTAINER type, not the token:
+    # only Arrays integer-index) — falling through to _build_nested here
+    # replaced the whole map with a struct, destroying every other key
+    if isinstance(dtype, T.MapType):
         if len(toks) > 1 and not isinstance(dtype.valueType, (T.StructType, T.MapType, T.ArrayType)):
             raise ValueError(
                 f"cannot write through map value of type {dtype.valueType.simpleString()} "
@@ -339,6 +353,11 @@ def sprintf_col(
         else:
             if df is not None and not has_field(key):
                 # missing field -> token stays verbatim (event.rb:259-260)
+                parts.append(F.lit(m.group(0)))
+            elif df is not None and _dtype_of(df, key) is None and top_field(key) in df.columns and "[" in key:
+                # nested ref whose LEAF does not resolve (struct exists but
+                # lacks the field): same verbatim rule — compiling the
+                # access would be a plan-time FIELD_NOT_FOUND crash
                 parts.append(F.lit(m.group(0)))
             else:
                 rendered = _value_as_string(field_col(key), _dtype_of(df, key))

@@ -31,8 +31,12 @@ def translate(
     dim_value: str = "value",
     fallback: str | None = None,
     exact: bool = True,
+    override: bool = False,
 ) -> DataFrame:
     """Broadcast dictionary lookup: df[target] = dim[df[source]] or fallback.
+
+    ``override`` follows the plugin default FALSE: an existing non-null
+    destination value is kept (translation skipped for that event).
 
     ``exact=False`` is the plugin's regex mode: dictionary keys are regex
     patterns, first match wins in dictionary order. The dictionary is small
@@ -48,6 +52,8 @@ def translate(
         out = F.coalesce(*branches, F.lit(fallback)) if fallback is not None else (
             F.coalesce(*branches) if branches else F.lit(None).cast("string")
         )
+        if not override and target in df.columns:
+            out = F.coalesce(F.col(target), out)
         return df.withColumn(target, out)
     d = dim.select(
         F.col(dim_key).cast("string").alias("__k"),
@@ -57,18 +63,29 @@ def translate(
     out = F.col("__v")
     if fallback is not None:
         out = F.coalesce(out, F.lit(fallback))
+    if not override and target in df.columns:
+        out = F.coalesce(F.col(target), out)
     return joined.withColumn(target, out).drop("__k", "__v")
 
 
 def ip_to_long(col: Column) -> Column:
-    """Dotted-quad IPv4 -> int64, pure JVM arithmetic."""
-    parts = F.split(col, r"\.")
-    return (
-        (parts.getItem(0)).try_cast("bigint") * 16777216
-        + (parts.getItem(1)).try_cast("bigint") * 65536
-        + (parts.getItem(2)).try_cast("bigint") * 256
-        + (parts.getItem(3)).try_cast("bigint")
+    """Dotted-quad IPv4 -> int64, pure JVM arithmetic.
+
+    Malformed input must yield NULL (lookup misses, no enrichment — the
+    reference geoip rescues per event): unguarded part indexing was an
+    ANSI INVALID_ARRAY_INDEX task kill on '1.2', and unbounded octets
+    silently ALIASED ('1.2.3.300' == '1.2.4.44' — false-positive geo)."""
+    valid = col.cast("string").rlike(
+        r"^(25[0-5]|2[0-4]\d|1?\d?\d)(\.(25[0-5]|2[0-4]\d|1?\d?\d)){3}$"
     )
+    parts = F.split(col, r"\.")
+    val = (
+        F.get(parts, 0).try_cast("bigint") * 16777216
+        + F.get(parts, 1).try_cast("bigint") * 65536
+        + F.get(parts, 2).try_cast("bigint") * 256
+        + F.get(parts, 3).try_cast("bigint")
+    )
+    return F.when(valid, val)
 
 
 def explode_ranges_by_prefix16(dim: DataFrame, lo: str = "ip_lo", hi: str = "ip_hi") -> DataFrame:
@@ -199,7 +216,7 @@ def translate_literal(
     dictionary: dict,
     fallback: str | None = None,
     regex: bool = False,
-    override: bool = True,
+    override: bool = False,  # the plugin default: never clobber existing
 ) -> DataFrame:
     """translate with an INLINE dictionary (the plugin's ``dictionary =>
     {...}`` form, the common .conf usage): compiles to a literal

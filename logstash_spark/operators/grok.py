@@ -62,7 +62,12 @@ class CompiledGrok:
     captures: list[tuple[str, int, str]] = field(default_factory=list)
 
     def python_re(self) -> "re.Pattern[str]":
-        return re.compile(self.regex)
+        # re.ASCII: Python's \w/\b/\d/\s are UNICODE by default, but the
+        # JVM expr backend, RE2 (arrow backend + the DuckDB oracles) and
+        # Ruby's Oniguruma (the reference) all treat them as ASCII — a '¹'
+        # matched \w only on the pandas backend (hypothesis-found
+        # three-backend divergence)
+        return re.compile(self.regex, re.ASCII)
 
 
 def compile_grok(pattern: str, extra_patterns: dict[str, str] | None = None) -> CompiledGrok:
@@ -192,7 +197,10 @@ def grok_pandas_udf(cg: CompiledGrok):
     Returns a pandas_udf producing ``struct<captures..., _grok_matched>``.
     """
     out_type = grok_struct_type(cg).add("_grok_matched", T.BooleanType())
-    pat = cg.regex
+    # re.ASCII: match the JVM/RE2/Oniguruma ASCII \w/\d/\s semantics
+    # (str.extract's internal compile defaulted to Unicode classes,
+    # diverging from the other two backends on non-ASCII word chars)
+    pat = re.compile(cg.regex, re.ASCII)
     caps = list(cg.captures)
 
     # ext columns are positional 0..n-1 in capture-occurrence order
@@ -232,9 +240,7 @@ def grok_pandas_udf(cg: CompiledGrok):
         any_cap = ext.notna().any(axis=1) if len(caps) else pd.Series(False, index=s.index)
         recheck = (~any_cap) & s.notna()
         if recheck.any():
-            import re as _re2
-
-            rxp = _re2.compile(pat)
+            rxp = pat
             any_cap = any_cap.copy()
             any_cap[recheck] = s[recheck].map(
                 lambda x: isinstance(x, str) and rxp.search(x) is not None

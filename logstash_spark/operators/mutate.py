@@ -143,17 +143,33 @@ def convert(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     for name, typ in mapping.items():
         if not _resolves(df, name):
             continue
+        if typ not in _CONVERT:
+            # a bare KeyError from the table is not a config error message
+            raise ValueError(
+                f"mutate convert: unknown type {typ!r} for field {name!r} "
+                f"(supported: {', '.join(sorted(_CONVERT))})"
+            )
         col = field_col(name)
         target = _CONVERT[typ]
-        if typ == "boolean":
-            # reference coerces "true"/"false" strings (mixin.rb:417-433)
-            out = (
-                F.when(F.lower(col.cast("string")).isin("true", "t", "yes", "y", "1"), F.lit(True))
-                .when(F.lower(col.cast("string")).isin("false", "f", "no", "n", "0"), F.lit(False))
-                .otherwise(F.lit(None).cast("boolean"))
-            )
+
+        def conv_one(c):
+            if typ == "boolean":
+                # reference coerces "true"/"false" strings (mixin.rb:417-433)
+                return (
+                    F.when(F.lower(c.cast("string")).isin("true", "t", "yes", "y", "1"), F.lit(True))
+                    .when(F.lower(c.cast("string")).isin("false", "f", "no", "n", "0"), F.lit(False))
+                    .otherwise(F.lit(None).cast("boolean"))
+                )
+            return c.try_cast(target) if target != "string" else c.cast("string")
+
+        dtype = _dtype_of(df, name)
+        if isinstance(dtype, T.ArrayType):
+            # the plugin converts each array ELEMENT; a direct cast of the
+            # array column is a plan-time AnalysisException (and to-string
+            # would mash the array into one '[a, b]' string)
+            out = F.transform(col, conv_one)
         else:
-            out = col.try_cast(target) if target != "string" else col.cast("string")
+            out = conv_one(col)
         df = set_path(df, name, out)
     return df
 
@@ -164,7 +180,16 @@ def gsub(df: DataFrame, triples: list[tuple[str, str, str]]) -> DataFrame:
     for name, pat, rep in triples:
         if not _resolves(df, name):
             continue
-        df = set_path(df, name, F.regexp_replace(field_col(name), pat, rep))
+        dtype = _dtype_of(df, name)
+        if isinstance(dtype, T.ArrayType):
+            # the plugin gsubs each array element; regexp_replace on the
+            # array column is a plan-time AnalysisException
+            df = set_path(
+                df, name,
+                F.transform(field_col(name), lambda x: F.regexp_replace(x, pat, rep)),
+            )
+        else:
+            df = set_path(df, name, F.regexp_replace(field_col(name), pat, rep))
     return df
 
 

@@ -99,10 +99,30 @@ def kv(
     ends (the plugin's options; quotes/brackets cleanup); ``prefix``
     prepends to every key.
     """
-    m = F.str_to_map(F.col(source), F.lit(field_split), F.lit(value_split))
-    # leading/trailing/doubled separators yield empty-string keys from
-    # str_to_map; the reference's kv never emits them
-    m = F.map_filter(m, lambda k, _v: k != "")
+    # NOT str_to_map: under the default mapKeyDedupPolicy=EXCEPTION a
+    # repeated key ('a=1 b=2 a=3' — one bad log line) throws
+    # DUPLICATED_MAP_KEY and kills the task. Build entries and fold with
+    # LAST-WINS overwrite instead (the plugin accumulates repeated keys
+    # into arrays; a fixed map<string,string> schema can't hold mixed
+    # scalar/array values, so last-wins is the documented stand-in — same
+    # rule the trim path already uses for keys that collapse after trim).
+    raw_pairs = F.filter(F.split(F.col(source), field_split), lambda p: p != "")
+    ent = F.transform(
+        raw_pairs,
+        lambda p: F.struct(
+            F.get(F.split(p, value_split, 2), 0).alias("k"),
+            F.get(F.split(p, value_split, 2), 1).alias("v"),
+        ),
+    )
+    ent = F.filter(ent, lambda e: e["v"].isNotNull() & (e["k"] != ""))
+    m = F.aggregate(
+        ent,
+        F.create_map().cast("map<string,string>"),
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, _x: k != e["k"]),
+            F.create_map(e["k"], e["v"]),
+        ),
+    )
     if trim_key or trim_value or prefix:
         import re as _re
 
@@ -173,10 +193,21 @@ def csv_parse(
 def urldecode(df: DataFrame, *fields: str) -> DataFrame:
     """`urldecode` filter (default_plugins.rb:45) — try_url_decode JVM-side;
     an invalid %-sequence leaves the ORIGINAL value (the plugin rescues
-    decode errors and keeps the field untouched)."""
+    decode errors and keeps the field untouched). Nested refs resolve to
+    the LEAF (a raw F.col on '[a][b]' silently targeted the whole struct),
+    and array fields decode per element (the plugin iterates values)."""
+    from pyspark.sql import types as T
+
+    from logstash_spark.event import _dtype_of, field_col, set_path
+
     for f_ in fields:
-        col = F.col(top_field(f_))
-        df = df.withColumn(top_field(f_), F.coalesce(F.try_url_decode(col), col))
+        col = field_col(f_)
+        dt = _dtype_of(df, f_)
+        if isinstance(dt, T.ArrayType):
+            dec = F.transform(col, lambda x: F.coalesce(F.try_url_decode(x), x))
+        else:
+            dec = F.coalesce(F.try_url_decode(col), col)
+        df = set_path(df, f_, dec)
     return df
 
 
@@ -216,8 +247,19 @@ def syslog_pri(
     df: DataFrame, source: str = "syslog_pri", use_labels: bool = True
 ) -> DataFrame:
     """`syslog_pri` filter (default_plugins.rb:43): priority = facility*8 +
-    severity; pure arithmetic + array lookup, zero Python."""
-    pri = (F.col(source)).try_cast("int")
+    severity; pure arithmetic + array lookup, zero Python.
+
+    Plugin defaults: a MISSING/null priority field defaults to 13
+    (facility user-level, severity notice) — an unguarded F.col was a
+    plan-time UNRESOLVED_COLUMN crash on frames without the field and
+    emitted null codes/labels on rows where grok missed. A non-null
+    unparsable value follows Ruby String#to_i: leading integer, else 0."""
+    src = F.col(source) if source in df.columns else F.lit(None).cast("string")
+    pri = F.when(
+        src.isNull(), F.lit(13)
+    ).otherwise(
+        F.coalesce(F.regexp_extract(src, r"^\s*([+-]?\d+)", 1).try_cast("int"), F.lit(0))
+    )
     severity = pri % 8
     facility = (pri / 8).cast("int")
     df = df.withColumn("syslog_severity_code", severity)

@@ -144,3 +144,37 @@ def test_translate_literal_override_false(spark):
         dictionary={"200": "ok", "404": "missing"}, override=False,
     ).collect()}
     assert out == {"200": "keepme", "404": "missing"}
+
+
+def test_ip_to_long_malformed_and_bounds(spark):
+    """Malformed IPs yield NULL (lookup miss) — not a task kill, not an
+    aliased false-positive ('1.2.3.300' once equaled '1.2.4.44')."""
+    from logstash_spark.operators.enrich import ip_to_long
+
+    df = spark.createDataFrame(
+        [("abc",), ("1.2",), ("1.2.3.300",), ("10.0.0.1",), (None,)], "ip string"
+    )
+    got = {r.ip: r.v for r in df.select("ip", ip_to_long(F.col("ip")).alias("v")).collect()}
+    assert got["abc"] is None and got["1.2"] is None and got["1.2.3.300"] is None
+    assert got["10.0.0.1"] == 10 * 16777216 + 1
+    assert got[None] is None
+
+
+def test_translate_override_default_keeps_existing(spark):
+    """Plugin default override => false: an existing destination value is
+    never clobbered; override=True replaces."""
+    from logstash_spark.operators.enrich import translate, translate_literal
+
+    df = spark.createDataFrame(
+        [("200", "preset"), ("404", None)], "code string, level string"
+    )
+    dim = spark.createDataFrame([("200", "ok"), ("404", "missing")], "key string, value string")
+    got = {r.code: r.level for r in translate(df, dim, source="code", target="level").collect()}
+    assert got == {"200": "preset", "404": "missing"}
+    got2 = {r.code: r.level for r in
+            translate(df, dim, source="code", target="level", override=True).collect()}
+    assert got2 == {"200": "ok", "404": "missing"}
+    got3 = {r.code: r.level for r in
+            translate_literal(df, source="code", target="level",
+                              dictionary={"200": "ok", "404": "missing"}).collect()}
+    assert got3 == {"200": "preset", "404": "missing"}

@@ -117,3 +117,28 @@ def test_ruby_float_small_magnitude_plain(spark):
     got = {r["i"]: r["s"] for r in df.select("i", ruby_float_str(F.col("v")).alias("s")).collect()}
     for i, (v, want) in enumerate(cases):
         assert got[i] == want, (v, got[i], want)
+
+
+def test_array_index_read_oob_and_negative(spark):
+    """accessors.rb:57: out-of-range array reads are nil (getItem under
+    ANSI was a task-killing INVALID_ARRAY_INDEX); negative indices read
+    from the end (Ruby semantics)."""
+    from logstash_spark.event import field_col, sprintf_col
+
+    df = spark.createDataFrame([(["a", "b"],), ([],), (None,)], "tags array<string>")
+    vals = [r.v for r in df.select(field_col("[tags][5]").alias("v")).collect()]
+    assert vals == [None, None, None]
+    neg = [r.v for r in df.select(field_col("[tags][-1]").alias("v")).collect()]
+    assert neg == ["b", None, None]
+    s = [r.s for r in df.select(sprintf_col("x-%{[tags][0]}", df).alias("s")).collect()]
+    assert s == ["x-a", "x-%{[tags][0]}", "x-%{[tags][0]}"]
+
+
+def test_sprintf_nested_missing_leaf_verbatim(spark):
+    """event.rb:259-260: a nested ref whose leaf does not resolve renders
+    the token VERBATIM (was a plan-time FIELD_NOT_FOUND crash)."""
+    from logstash_spark.event import sprintf_col
+
+    df = spark.createDataFrame([((1,),)], "a struct<x: bigint>")
+    out = df.select(sprintf_col("v-%{[a][missing]}", df).alias("s")).collect()[0].s
+    assert out == "v-%{[a][missing]}"

@@ -149,3 +149,21 @@ def test_alter_condrewriteother_creates_missing_target(spark):
     got = alter_condrewriteother(df, ["verb", "HEAD", "cls", "light"]).collect()
     vals = {r["verb"]: r["cls"] for r in got}
     assert vals == {"HEAD": "light", "GET": None}
+
+
+def test_convert_and_gsub_on_array_fields(spark):
+    """mutate converts/gsubs each array ELEMENT (the plugin iterates);
+    a direct cast/replace on the array column was a plan-time crash."""
+    from logstash_spark.operators import mutate as M
+
+    df = spark.createDataFrame(
+        [(["80", "443"], ["a-b", "c-d"])], "ports array<string>, names array<string>"
+    )
+    out = M.convert(df, {"ports": "integer"}).collect()[0]
+    assert out.ports == [80, 443]
+    out2 = M.gsub(df, [("names", "-", "_")]).collect()[0]
+    assert out2.names == ["a_b", "c_d"]
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown type"):
+        M.convert(df, {"ports": "datetime"})

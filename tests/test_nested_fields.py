@@ -223,3 +223,14 @@ def test_metadata_nested(spark):
     df = one(spark, msg="m")
     df = M.set_field(df, "[@metadata][a][b]", "deep")
     assert df.collect()[0]["_meta_a"]["b"] == "deep"
+
+
+def test_set_path_map_integer_looking_key(spark):
+    """A MapType container takes '[m][0]' as the KEY '0' (accessors
+    dispatch on container type, not token shape) — the fallthrough once
+    replaced the whole map with a struct, destroying other keys."""
+    from logstash_spark.event import set_path
+
+    df = spark.createDataFrame([({"0": "a", "x": "b"},)], "m map<string,string>")
+    out = set_path(df, "[m][0]", F.lit("c")).collect()[0].m
+    assert out == {"0": "c", "x": "b"}

@@ -80,7 +80,11 @@ def test_kv_hostile_lines_never_crash(spark):
     out = {r["line"]: r["kvm"] for r in P.kv(df, "line", target="kvm").collect()}
     assert out["a=1 a=2"]["a"] == "2"  # last wins
     assert out["a=1 b=2"] == {"a": "1", "b": "2"}
-    assert out["novalue"] == {"novalue": None}
+    # a token with no value separator creates NO field (the plugin only
+    # emits fields for matched k=v pairs; str_to_map's null-valued entry
+    # was an engine artifact)
+    assert out["novalue"] == {}
+    assert out["a=1=2 b"] == {"a": "1=2"}  # split at FIRST separator; 'b' ignored
 
 
 def test_kv_trim_and_prefix(spark):
