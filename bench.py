@@ -103,6 +103,8 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_substring_removal",
     "gopher_rules",
+    "yaml_parse",
+    "dsir_select",
 ]
 
 

@@ -277,6 +277,24 @@ def _t_json(a: dict) -> list[tuple[str, dict]]:
     return [("json", params)]
 
 
+def _t_yaml(a: dict) -> list[tuple[str, dict]]:
+    """yaml filter (logstash-filter-yaml, the manifest's last structured
+    parser): same fixed-schema contract as json."""
+    _check_opts("yaml", a, {"source", "schema", "target"})
+    if "source" not in a:
+        raise ConfCompileError("yaml: missing source")
+    if "schema" not in a:
+        raise ConfCompileError(
+            "yaml: this engine needs `schema => \"a bigint, b string\"` "
+            "(fixed-schema model, same contract as the json filter) or "
+            "`schema => \"auto\"` (plan-time inference from a bounded sample)"
+        )
+    params = {"source": a["source"], "schema": a["schema"]}
+    if "target" in a:
+        params["target"] = a["target"]
+    return [("yaml", params)]
+
+
 def _t_kv(a: dict) -> list[tuple[str, dict]]:
     _check_opts("kv", a, {"source", "field_split", "value_split", "target", "include_keys",
                           "trim_key", "trim_value", "prefix"})
@@ -658,6 +676,7 @@ _FILTER_TRANSLATORS = {
     "date": _t_date,
     "mutate": _t_mutate,
     "json": _t_json,
+    "yaml": _t_yaml,
     "kv": _t_kv,
     "drop": _t_drop,
     "fingerprint": _t_fingerprint,

@@ -1,0 +1,191 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Implements Data Selection via Importance Resampling (Xie et al., 2023 —
+public method: arXiv:2302.03169) relationally: documents are featurized as
+bags of hashed unigrams+bigrams over ``n_buckets`` buckets; bucket-level
+unigram distributions are fit for a small curated *target* subset (p) and
+the *raw* corpus (q); each document's importance weight is
+``log w(x) = Σ_b c_b(x) · (ln p_b − ln q_b)``; resampling draws without
+replacement via the Gumbel top-k trick (score = log w + Gumbel noise,
+keep the top fraction).
+
+Scale design (100 TB):
+- featurize is one stateless JVM map (split + slice window grams + hash
+  bucket) — the same zero-Python k-gram construction as
+  :func:`logstash_spark.functions.dedup.dup_spans`; the text itself never
+  shuffles, only (id, bucket:int) pairs.
+- the distribution fit is ONE groupBy over ``n_buckets`` keys — partial
+  aggregation collapses occurrences map-side, the reduce side is B rows
+  (B ≈ 10⁴–10⁵), which then BROADCAST back to the per-document scoring
+  join. No persist on the exploded grams: tokenize+hash is a map-only
+  lineage and re-running it costs less than caching a corpus of token
+  arrays (two full scans, zero storage pressure).
+- per-document weight is one groupBy(id) sum — the only corpus-sized
+  shuffle, uniformly keyed by document id (no skew by construction).
+- selection at scale takes the keep-threshold from a sampled
+  approxQuantile (:func:`dsir_threshold`), never a global sort.
+
+Cross-engine determinism (the DuckDB value gate): every float step is
+pinned to the e6 integer grid — ``λ_e6[b] = ⌊1e6·ln(t_b+1)⌋ − ⌊1e6·ln(s_b+1)⌋
++ ⌊1e6·ln(S+B)⌋ − ⌊1e6·ln(T+B)⌋`` (each ⌊·⌋ is a single ln of an INTEGER,
+so engines can only disagree if a value lands within ~1e-9 of the floor
+boundary), per-document sums are exact 64-bit integer adds
+(order-independent), and the Gumbel draw is the deterministic hash-uniform
+``u = (nibbles(md5(id))+1)/(2²⁴+1)`` pushed through the same e6 floor.
+
+``hash_fn``: 'md5' (gate default — DuckDB replays bucket assignment
+nibble-for-nibble) or 'xxhash64' (production: one 8-byte hash, no hex
+decode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+E6 = 1_000_000
+_U_DEN = (1 << 24) + 1  # 16^6 + 1: uniform draw denominator
+
+
+def _bucket(col: Column, n_buckets: int, hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+    return (
+        F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+
+
+def hashed_ngrams(df: DataFrame, *, text_col: str, id_col: str) -> DataFrame:
+    """(id, gram) — lowercased whitespace unigrams + bigrams, one row per
+    occurrence. Pure JVM (split + window slices)."""
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("l"),
+    )
+    nbig = F.size("l") - F.lit(1)
+    bigrams = F.when(
+        nbig >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nbig),
+            lambda i: F.array_join(F.slice(F.col("l"), i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        "id", F.explode(F.concat(F.col("l"), bigrams)).alias("gram")
+    ).filter(F.col("gram") != "")
+
+
+def _ln_e6(x: Column) -> Column:
+    return F.floor(F.log(x.cast("double")) * E6).cast("long")
+
+
+def dsir_weights(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "is_target",
+    n_buckets: int = 4096,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight on the e6 integer grid.
+
+    ``df`` must carry ``target_col`` (boolean: member of the curated target
+    sample). Returns (id_col, logw_e6:long).
+    """
+    # carry the target flag through the featurize itself (one bool riding
+    # the stateless map) — re-joining it after the explode would add a
+    # corpus-sized shuffle for a flag the source row already has
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).alias("_t"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("l"),
+    )
+    nbig = F.size("l") - F.lit(1)
+    bigrams = F.when(
+        nbig >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nbig),
+            lambda i: F.array_join(F.slice(F.col("l"), i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        toks.select("id", "_t", F.explode(F.concat(F.col("l"), bigrams)).alias("gram"))
+        .filter(F.col("gram") != "")
+        .select("id", _bucket(F.col("gram"), n_buckets, hash_fn).alias("b"), "_t")
+    )
+
+    bt = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t_b"),
+        F.count(F.lit(1)).alias("s_b"),
+    )
+    tot = bt.agg(F.sum("t_b").alias("t_tot"), F.sum("s_b").alias("s_tot"))
+    lam = (
+        bt.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                _ln_e6(F.col("t_b") + 1)
+                - _ln_e6(F.col("s_b") + 1)
+                + _ln_e6(F.col("s_tot") + n_buckets)
+                - _ln_e6(F.col("t_tot") + n_buckets)
+            ).alias("lam_e6"),
+        )
+    )
+    scored = grams.join(F.broadcast(lam), "b").groupBy("id").agg(
+        F.sum("lam_e6").alias("logw_e6")
+    )
+    return scored.select(F.col("id").alias(id_col), "logw_e6")
+
+
+def gumbel_e6(id_col: Column, seed: str = "dsir") -> Column:
+    """Deterministic Gumbel(0,1) draw on the e6 grid: u from the first six
+    md5 nibbles of (seed|id), g = −ln(−ln(u))."""
+    u_num = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), id_col.cast("string"))), 1, 6), 16, 10
+    ).cast("long")
+    u = (u_num + 1).cast("double") / F.lit(float(_U_DEN))
+    return F.floor(-F.log(-F.log(u)) * E6).cast("long")
+
+
+def dsir_select(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "is_target",
+    n_buckets: int = 4096,
+    hash_fn: str = "md5",
+    seed: str = "dsir",
+    tau_e6: int | None = None,
+) -> DataFrame:
+    """Gumbel-top-k DSIR selection: (id, logw_e6, gumbel_e6, score_e6,
+    keep). ``tau_e6`` is the keep threshold on the score grid; leave None
+    to return scores only (keep = NULL) and size the cut with
+    :func:`dsir_threshold`."""
+    w = dsir_weights(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        target_col=target_col,
+        n_buckets=n_buckets,
+        hash_fn=hash_fn,
+    )
+    out = w.select(
+        F.col(id_col),
+        "logw_e6",
+        gumbel_e6(F.col(id_col), seed).alias("gumbel_e6"),
+    ).withColumn("score_e6", F.col("logw_e6") + F.col("gumbel_e6"))
+    if tau_e6 is None:
+        return out.withColumn("keep", F.lit(None).cast("int"))
+    return out.withColumn(
+        "keep", F.when(F.col("score_e6") >= tau_e6, 1).otherwise(0)
+    )
+
+
+def dsir_threshold(scores: DataFrame, keep_frac: float, *, col: str = "score_e6") -> int:
+    """Production threshold selection: approxQuantile over the score column
+    (one pass, sample-bounded) — the scalable stand-in for a global top-k
+    sort. Returns the e6 score at the (1−keep_frac) quantile."""
+    q = scores.stat.approxQuantile(col, [1.0 - keep_frac], 0.001)
+    return int(q[0])

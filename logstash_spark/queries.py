@@ -231,6 +231,56 @@ def json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "yaml_parse",
+    f"""{_PAGES_CTE}
+SELECT url,
+       request AS req,
+       CAST(response AS BIGINT) AS resp,
+       CAST(bytes AS BIGINT) AS nb,
+       lang AS tag2,
+       0 AS failed
+FROM pages""",
+)
+def yaml_parse_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """yaml filter (logstash-filter-yaml): synthesize a nested block-YAML
+    document per page from known columns, parse it back typed, and let the
+    oracle recompute every field directly from the source columns — full
+    value parity for nested maps, block sequences, and core-schema ints."""
+    from logstash_spark.operators.yamlfilter import yaml_parse
+
+    p = _pages(spark, sf_dir)
+    p = p.withColumn(
+        "ydoc",
+        F.concat(
+            F.lit("# synthetic crawl record\nrequest: "), F.col("request"),
+            F.lit("\nresponse: "), F.col("response"),
+            F.lit("\nnested:\n  bytes: "), F.col("bytes"),
+            F.lit("\n  tags:\n    - web\n    - "), F.col("lang"),
+        ),
+    )
+    out = yaml_parse(
+        p,
+        "ydoc",
+        "request string, response bigint, nested struct<bytes: bigint, tags: array<string>>",
+        target="y",
+    )
+    return out.select(
+        "url",
+        F.col("y.request").alias("req"),
+        F.col("y.response").alias("resp"),
+        F.col("y.nested.bytes").alias("nb"),
+        F.element_at("y.nested.tags", 2).alias("tag2"),
+        F.when(
+            F.array_contains(
+                F.coalesce(F.col("tags"), F.array().cast("array<string>")),
+                "_yamlparsefailure",
+            ),
+            1,
+        ).otherwise(0).alias("failed"),
+    )
+
+
+@q(
     "csv_parse",
     f"""{_PAGES_CTE}
 SELECT url, CAST(event_id AS BIGINT) AS id_out, verb AS verb_out, CAST(response AS BIGINT) AS resp_out
@@ -3471,3 +3521,73 @@ def warc_intake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("payload")).alias("payload_md5"),
         F.length(F.col("payload")).cast("int").alias("payload_len"),
     )
+
+
+def _dsir_oracle(n_buckets: int = 4096, tau_e6: int = -60_000_000) -> str:
+    """DuckDB replica of the DSIR pipeline (functions/selection.py): same
+    md5-nibble bucket assignment, the same e6-floored single-integer ln
+    terms, exact 64-bit per-doc sums, and the same hash-uniform Gumbel
+    draw — every float is pinned to the e6 grid in BOTH engines."""
+    bkt = _bloom_pos_sql("md5(gram)", n_buckets)
+    u_g = _bloom_pos_sql("md5('dsir|' || CAST(doc_id AS VARCHAR))", 1 << 24)
+    return f"""WITH docs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l,
+         (doc_id % 17 = 0) AS tgt
+  FROM documents WHERE text IS NOT NULL
+), uni AS (
+  SELECT doc_id, tgt, unnest(l) AS gram FROM docs
+), bigidx AS (
+  SELECT doc_id, tgt, l, unnest(generate_series(1, len(l) - 1)) AS i
+  FROM docs WHERE len(l) > 1
+), big AS (
+  SELECT doc_id, tgt, l[i] || ' ' || l[i + 1] AS gram FROM bigidx
+), grams AS (
+  SELECT doc_id, tgt, {bkt} AS b FROM uni WHERE gram <> ''
+  UNION ALL
+  SELECT doc_id, tgt, {bkt} AS b FROM big WHERE gram <> ''
+), bt AS (
+  SELECT b, CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+         CAST(COUNT(*) AS BIGINT) AS s_b
+  FROM grams GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(t_b) AS BIGINT) AS t_tot, CAST(SUM(s_b) AS BIGINT) AS s_tot FROM bt
+), lam AS (
+  SELECT b,
+         CAST(floor(ln(t_b + 1) * 1000000) - floor(ln(s_b + 1) * 1000000)
+            + floor(ln(s_tot + {n_buckets}) * 1000000)
+            - floor(ln(t_tot + {n_buckets}) * 1000000) AS BIGINT) AS lam_e6
+  FROM bt, tot
+), w AS (
+  SELECT doc_id, CAST(SUM(lam_e6) AS BIGINT) AS logw_e6
+  FROM grams JOIN lam USING (b) GROUP BY doc_id
+), g AS (
+  SELECT doc_id, logw_e6,
+         CAST(floor(-ln(-ln(({u_g} + 1) / 16777217.0)) * 1000000) AS BIGINT) AS gumbel_e6
+  FROM w
+)
+SELECT doc_id, logw_e6, gumbel_e6, logw_e6 + gumbel_e6 AS score_e6,
+       CASE WHEN logw_e6 + gumbel_e6 >= {tau_e6} THEN 1 ELSE 0 END AS keep
+FROM g"""
+
+
+@q("dsir_select", _dsir_oracle())
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023) over the documents
+    table: hashed unigram+bigram bucket distributions fit against a
+    deterministic curated-target subset (doc_id % 17), per-doc importance
+    log-weights on the e6 integer grid, Gumbel-top-k selection at a fixed
+    threshold (-60e6 on the e6 grid ≈ the corpus median score, so keep
+    splits the corpus instead of being a constant column). Full value oracle — DuckDB replays buckets, lns, sums, and
+    the Gumbel draw bit-for-bit (see functions/selection.py for the 100 TB
+    plan: stateless featurize, B-row broadcast weights, one id-keyed
+    shuffle)."""
+    import os
+
+    from logstash_spark.functions.selection import dsir_select
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("is_target", F.col("doc_id") % 17 == 0)
+    out = dsir_select(
+        d, hash_fn=os.environ.get("SPARK_GRAFT_HASH_FN", "md5"), tau_e6=-60_000_000
+    )
+    return out.select("doc_id", "logw_e6", "gumbel_e6", "score_e6", "keep")

@@ -41,12 +41,19 @@ def _tags_append(df: DataFrame, values: list[str]) -> DataFrame:
     return df
 
 
+def _yaml_parse_lazy(df: DataFrame, **kw) -> DataFrame:
+    from logstash_spark.operators.yamlfilter import yaml_parse
+
+    return yaml_parse(df, **kw)
+
+
 OPERATORS: dict[str, Callable[..., DataFrame]] = {
     # parse
     "grok": grok.grok,
     "date": date.date,
     "init_timestamp": date.init_timestamp,
     "json": parse.json_parse,
+    "yaml": _yaml_parse_lazy,
     "kv": parse.kv,
     "csv": parse.csv_parse,
     "xml": parse.xml_parse,

@@ -1159,3 +1159,64 @@ def test_pii_redact_ip_bounds_and_phone_variants(spark):
     assert out[2].n_phone == 1 and out[2].n_ip == 0  # phone stage wins
     assert out[3].n_phone == 1
     assert out[4].n_ip == 0  # 256 is not an octet
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (functions/selection.py)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_corpus(spark):
+    # two vocabularies: "wiki-like" (target-ish) and "spam-like"
+    wiki = "the quick study of history and science reveals careful analysis"
+    spam = "buy cheap now click here win free prize money fast"
+    rows = []
+    for i in range(40):
+        rows.append((i, wiki if i % 2 == 0 else spam, i % 10 == 0 and i % 2 == 0))
+    # target sample = a subset of the wiki-like docs only
+    return spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from logstash_spark.functions.selection import dsir_weights
+
+    df = _dsir_corpus(spark)
+    w = {r.doc_id: r.logw_e6 for r in dsir_weights(df).collect()}
+    wiki_scores = [w[i] for i in range(40) if i % 2 == 0]
+    spam_scores = [w[i] for i in range(40) if i % 2 == 1]
+    # every wiki-like doc must outweigh every spam-like doc
+    assert min(wiki_scores) > max(spam_scores)
+
+
+def test_dsir_select_threshold_and_determinism(spark):
+    from logstash_spark.functions.selection import dsir_select, dsir_threshold
+
+    df = _dsir_corpus(spark)
+    scores = dsir_select(df)  # tau=None -> keep is NULL
+    rows = scores.collect()
+    assert all(r.keep is None for r in rows)
+    tau = dsir_threshold(scores, keep_frac=0.5)
+    kept = dsir_select(df, tau_e6=tau).filter("keep = 1").count()
+    assert 0 < kept <= 40
+    # deterministic: a second run returns identical scores
+    again = {r.doc_id: r.score_e6 for r in dsir_select(df).collect()}
+    assert again == {r.doc_id: r.score_e6 for r in rows}
+
+
+def test_dsir_production_hash_family(spark):
+    from logstash_spark.functions.selection import dsir_weights
+
+    df = _dsir_corpus(spark)
+    w = dsir_weights(df, hash_fn="xxhash64")
+    assert w.schema.simpleString() == "struct<doc_id:bigint,logw_e6:bigint>"
+    wiki = {r.doc_id: r.logw_e6 for r in w.collect()}
+    assert min(wiki[i] for i in range(0, 40, 2)) > max(wiki[i] for i in range(1, 40, 2))
+
+
+def test_dsir_plan_is_broadcast_and_python_free(spark):
+    from logstash_spark.functions.selection import dsir_weights
+
+    df = _dsir_corpus(spark)
+    plan = dsir_weights(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # B-row weight table broadcasts
