@@ -105,6 +105,7 @@ HEADLINE = [
     "gopher_rules",
     "yaml_parse",
     "dsir_select",
+    "ann_q8_topk",
 ]
 
 

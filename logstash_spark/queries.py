@@ -3591,3 +3591,43 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, hash_fn=os.environ.get("SPARK_GRAFT_HASH_FN", "md5"), tau_e6=-60_000_000
     )
     return out.select("doc_id", "logw_e6", "gumbel_e6", "score_e6", "keep")
+
+
+@q(
+    "ann_q8_topk",
+    """WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+), qz AS (
+  SELECT vec_id,
+         CASE WHEN n = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+              ELSE list_transform(v, x -> floor(x * 127.0 / n)) END AS q
+  FROM base
+), qs AS (
+  SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 5
+), scored AS (
+  SELECT qs.query_id, e.vec_id AS nbr_id,
+         CAST(list_dot_product(e.q, qs.qq) AS BIGINT) AS dot_q8
+  FROM qz e CROSS JOIN qs WHERE e.vec_id <> qs.query_id
+), ranked AS (
+  SELECT query_id, nbr_id, dot_q8,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot_q8 DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, dot_q8 FROM ranked WHERE rank <= 5""",
+)
+def ann_q8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN top-k: vectors quantized to
+    floor(127·v/‖v‖) so the integer dot is a monotone cosine proxy —
+    ranking is an EXACT 64-bit integer order (no float ties), 4× less
+    vector bandwidth than float32 at scale. DuckDB replays quantization
+    and the integer dot bit-for-bit (functions/similarity.py:quantize_q8).
+    Recall vs the exact float baseline is pinned by pytest."""
+    from logstash_spark.functions.similarity import q8_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return q8_topk(e, qs, k=5)

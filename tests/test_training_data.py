@@ -1220,3 +1220,31 @@ def test_dsir_plan_is_broadcast_and_python_free(spark):
     plan = dsir_weights(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # B-row weight table broadcasts
+
+
+def test_q8_quantization_recall_and_range(spark):
+    """int8 scalar quantization: recall@5 vs exact float cosine on the
+    driver's embeddings table; quantized components bounded to [-127,127];
+    zero vectors quantize to all-zero instead of dividing by zero."""
+    from logstash_spark.functions.similarity import brute_force_topk, q8_topk, quantize_q8
+    from logstash_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r["query_id"], r["nbr_id"])
+             for r in brute_force_topk(e, qs, k=5).collect()}
+    q8 = {(r["query_id"], r["nbr_id"]) for r in q8_topk(e, qs, k=5).collect()}
+    recall = len(q8 & exact) / len(exact)
+    assert recall >= 0.8  # measured on the driver's random vectors
+
+    qz = e.select(quantize_q8(F.col("embedding").cast("array<double>")).alias("q"))
+    mx = qz.select(F.greatest(F.array_max("q"), -F.array_min("q")).alias("m")).agg(
+        F.max("m")
+    ).collect()[0][0]
+    assert mx <= 127
+
+    zero = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "vec_id long, v array<double>")
+    zq = zero.select(quantize_q8(F.col("v")).alias("q")).collect()[0]["q"]
+    assert list(zq) == [0, 0, 0]

@@ -21,6 +21,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 # exact small-N baselines whose documented scale path is a different query
 WAIVERS: dict[str, set[str]] = {
     "ann_cosine_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # scale path: ann_lsh_topk
+    "ann_q8_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # same broadcast-query shape; composes with LSH/IVF for sub-linear scan
     "embedding_near_dup": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # scale path: LSH buckets
     "ivf_assignment": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # centroid table is tiny by construction
     "ann_ivf_topk": {"BroadcastNestedLoopJoin", "CartesianProduct"},  # broadcast centroid assignment (k rows)
