@@ -149,3 +149,33 @@ def test_syslog_decode_hostile(hostile):
 
     out = syslog_decode(hostile, "s", year=2024)
     assert out.count() == N  # unparseable lines keep rows, tags failure
+
+
+def test_yaml_hostile(hostile):
+    """yaml filter: every hostile doc either parses or fails closed into
+    the tag — never a task crash, never a silent misparse."""
+    from logstash_spark.operators.yamlfilter import yaml_parse
+
+    out = yaml_parse(hostile, "s", "a string", target="y")
+    rows = out.collect()
+    assert len(rows) == N
+    for r in rows:
+        tags = r["tags"] or []
+        if r["s"] is None:
+            assert "_yamlparsefailure" not in tags
+        else:
+            # hostile scalars/garbage -> tagged; the k=v-ish line parses
+            assert r["y"] is not None or "_yamlparsefailure" in tags
+
+
+def test_dsir_hostile(hostile):
+    """DSIR featurize over hostile text: empty/whitespace docs drop out of
+    the weight table (no grams), everything else gets a finite weight."""
+    from logstash_spark.functions.selection import dsir_weights
+
+    df = hostile.select(
+        F.col("id").alias("doc_id"), F.col("s").alias("text"), (F.col("id") % 2 == 0).alias("is_target")
+    )
+    rows = dsir_weights(df).collect()
+    assert 0 < len(rows) <= N
+    assert all(r["logw_e6"] is not None for r in rows)

@@ -118,6 +118,12 @@ def main() -> None:
         cents = sim.ivf_train(vecs, num_lists=512, iters=1)
         return sim.semdedup(vecs, cents, tau=0.98)
 
+    def _dsir():
+        from logstash_spark.functions.selection import dsir_select
+
+        d = docs.withColumn("is_target", F.col("doc_id") % 17 == 0)
+        return dsir_select(d, hash_fn="xxhash64", tau_e6=-60_000_000)
+
     # incremental-intake pair: same exact semantics, with and without the
     # bloom pre-filter — the probe shows the anti-join shuffle saving.
     # Seen side = even ids (key-only), new batch = odd ids; m sized at
@@ -146,6 +152,17 @@ def main() -> None:
         "dedup_incremental": lambda: dd.dedup_incremental(new_batch, seen_keys),
         "dedup_bloom": lambda: dd.dedup_bloom(new_batch, seen_keys, m_bits=m_bits),
         "warc_roundtrip": lambda: _warc_roundtrip(docs),
+        # DSIR: target = every 17th doc (same shape as the gate query);
+        # production hash family
+        "dsir_select": _dsir,
+        # q8 ANN: 100 broadcast queries against the full vec table
+        "ann_q8_topk": lambda: sim.q8_topk(
+            vecs,
+            vecs.filter(F.col("vec_id") < 100).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+            ),
+            k=5,
+        ),
     }
     wanted = None
     for a in sys.argv[2:]:
