@@ -71,4 +71,50 @@ BASE_PATTERNS: dict[str, str] = {
     ),
     "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
     "QS": r"%{QUOTEDSTRING}",
+    # --- email / mac (public base-set names) ---
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+=:-]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER": r"(?:%{EMAILADDRESS}|%{USER})",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    # --- numbers ---
+    "BASE16FLOAT": r"[+-]?(?:0[xX])?(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?|\.[0-9A-Fa-f]+)",
+    # --- extra date/time shapes ---
+    "MONTHNUM2": r"(?:0[1-9]|1[0-2])",
+    "TZ": r"(?:[APMCE][SD]T|UTC|GMT)",
+    "DATE": r"(?:%{DATE_US}|%{DATE_EU})",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG": r"%{YEAR}%{MONTHNUM2}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
+    "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
+    "CISCOTIMESTAMP": r"%{MONTH} +%{MONTHDAY}(?: %{YEAR})? %{TIME}",
+    # --- paths / tty / urn ---
+    # WINPATH: no atomic group (the public set uses (?>...)) so the same
+    # text stays valid in Python re, Java regex AND RE2 (module contract)
+    "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
+    "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
+    "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+)?",
+    "URN": r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:(?:%[0-9a-fA-F]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+",
+    # --- syslog line anatomy ---
+    "PROG": r"[\w._/%-]+",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    # --- apache error logs ---
+    "HTTPD20_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{LOGLEVEL:loglevel}\] "
+        r"(?:\[client %{IPORHOST:clientip}\] )?%{GREEDYDATA:message}"
+    ),
+    "HTTPD24_ERRORLOG": (
+        r"\[%{HTTPDERROR_DATE:timestamp}\] \[(?:%{WORD:module}:)?%{LOGLEVEL:loglevel}\] "
+        r"\[pid %{POSINT:pid}(?::tid %{NUMBER:tid})?\] "
+        r"(?:\[client %{IPORHOST:clientip}:%{POSINT:clientport}\] )?%{GREEDYDATA:message}"
+    ),
+    # --- cron ---
+    "CRON_ACTION": r"[A-Z ]+",
+    "CRONLOG": r"%{SYSLOGBASE} \(%{USER:user}\) %{CRON_ACTION:action} \(%{DATA:cron_message}\)",
 }

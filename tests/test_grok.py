@@ -268,3 +268,64 @@ def test_grok_append_to_existing_field_default(spark):
     df2 = spark.createDataFrame([(7, "n=9")], "n long, text string")
     r = grok(df2, "text", r"n=%{INT:n:int}", backend="expr").collect()[0]
     assert r["n"] == [7, 9]
+
+
+# Extended base-set patterns (the public grok base file beyond the apache
+# subset): each sample must match — and extract identically — on ALL THREE
+# backends (Python re / Java regex / RE2 share the pattern text).
+_EXTENDED = [
+    ("EMAILADDRESS", "john.doe+tag@mail.example.com"),
+    ("HTTPDUSER", "bob@example.com"),
+    ("MAC", "00:1b:44:11:3a:b7"),
+    ("CISCOMAC", "001b.4411.3ab7"),
+    ("WINDOWSMAC", "00-1B-44-11-3A-B7"),
+    ("DATESTAMP", "12/31/2023 23:59:59"),
+    ("DATESTAMP_RFC822", "Tue Mar 12 2024 10:15:32 PST"),
+    ("DATESTAMP_RFC2822", "Tue, 12 Mar 2024 10:15:32 +0100"),
+    ("DATESTAMP_EVENTLOG", "20240312101532"),
+    ("WINPATH", "C:\\Users\\me\\file.txt"),
+    ("PATH", "/var/log/syslog"),
+    ("TTY", "/dev/pts/3"),
+    ("URN", "urn:isbn:0451450523"),
+    ("BASE16FLOAT", "0x1A.F"),
+    ("CISCOTIMESTAMP", "Mar 12 2024 10:15:32"),
+]
+
+
+@pytest.mark.parametrize("backend", ["expr", "pandas", "arrow"])
+def test_extended_base_patterns_all_backends(spark, backend):
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.grok import grok
+
+    # frame with non-word chars only on the LEFT: grok search is UNANCHORED,
+    # so a word like 'pre' would itself satisfy USER-ish alternations before
+    # the payload; no right frame because WINPATH legitimately contains
+    # spaces (so does the public pattern) and would swallow a suffix
+    rows = [(i, f"### {s}") for i, (_, s) in enumerate(_EXTENDED)]
+    df = spark.createDataFrame(rows, "id long, message string")
+    for i, (name, s) in enumerate(_EXTENDED):
+        out = grok(
+            df.filter(F.col("id") == i), "message", "%{" + name + ":x}", backend=backend
+        ).collect()[0]
+        assert out["x"] == s, f"{backend}/{name}: {out['x']!r} != {s!r}"
+
+
+@pytest.mark.parametrize("backend", ["expr", "pandas", "arrow"])
+def test_syslogbase_and_errorlog_captures(spark, backend):
+    from logstash_spark.operators.grok import grok
+
+    df = spark.createDataFrame(
+        [
+            (0, "Mar 12 10:15:32 host1 sshd[4123]: Accepted publickey"),
+            (1, "[Tue Mar 12 10:15:32 2024] [core:error] [pid 100:tid 200] [client 1.2.3.4:5555] oops"),
+        ],
+        "id long, message string",
+    )
+    base = grok(df.filter("id = 0"), "message", "%{SYSLOGBASE} %{GREEDYDATA:msg}", backend=backend).collect()[0]
+    assert base["logsource"] == "host1" and base["program"] == "sshd" and base["pid"] == "4123"
+    assert base["msg"] == "Accepted publickey"
+    err = grok(df.filter("id = 1"), "message", "%{HTTPD24_ERRORLOG}", backend=backend).collect()[0]
+    assert err["module"] == "core" and err["loglevel"] == "error"
+    assert err["clientip"] == "1.2.3.4" and err["clientport"] == "5555"
+    assert err["message_1"] if "message_1" in err.asDict() else err["message"]
