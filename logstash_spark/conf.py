@@ -1158,6 +1158,21 @@ def bind_input(spark, node: PluginNode, *, stdin_lines=None):
             str(a["command"]),
             max_events=int(a["max_events"]) if "max_events" in a else None,
         )
+    elif node.name == "gelf":
+        # live UDP daemon is a deployment concern; the sandbox binding
+        # decodes a CAPTURED datagram table (parquet with a binary column)
+        # through the real GELF wire decoder — chunk reassembly, zlib/gzip
+        # inflate, '_'-field stripping — the same file-backed wire-contract
+        # stance as the kafka/elasticsearch shims.
+        from logstash_spark.operators.codecs import decode_gelf
+
+        path = a.get("export") or a.get("path")
+        if not path:
+            raise ConfCompileError(
+                "gelf input: needs export => parquet of captured datagrams "
+                "(binary column, default name 'bytes')"
+            )
+        df = decode_gelf(spark.read.parquet(str(path)), str(a.get("source", "bytes")))
     elif node.name == "elasticsearch":
         from logstash_spark.sources.pull import elasticsearch_input
 

@@ -966,3 +966,195 @@ def decode_edn_lines(df: DataFrame, source: str, schema: str, *, delimiter: str 
     out = lines(df, source, delimiter=delimiter, target="_el")
     out = decode_edn(out, "_el", schema)
     return out
+
+
+# ---------------------------------------------------------------------------
+# GELF (Graylog Extended Log Format) — input gelf + output gelf
+# (default_plugins.rb:56,100). Wire contract (public Graylog GELF 1.1 spec,
+# the gelf/gelfd gems the reference plugins wrap): a JSON payload, optionally
+# zlib- or gzip-compressed; datagrams above the MTU are CHUNKED:
+# magic 0x1e 0x0f + 8-byte message id + seq byte + total byte + part bytes
+# (max 128 chunks). The input strips the leading '_' off additional fields
+# and maps short_message -> message.
+# ---------------------------------------------------------------------------
+
+GELF_MAGIC = b"\x1e\x0f"
+GELF_FIELDS = ("version string, host string, short_message string, "
+               "full_message string, timestamp double, level int, "
+               "facility string")
+
+
+def decode_gelf(df: DataFrame, source: str = "bytes") -> DataFrame:
+    """gelf input decode over a binary datagram column.
+
+    Scale design: chunk REASSEMBLY IS RELATIONAL — one groupBy on the
+    8-byte message id. The gelfd gem reassembles per-socket in arrival
+    order; in a batch capture the chunks of one message land in different
+    files/partitions, so arrival-order state does not exist — the shuffle
+    is the correct primitive (and whole datagrams, the overwhelming
+    majority at scale, take the group-of-1 fast path through the same
+    plan). Decompress (zlib/gzip/plain sniffed from magic bytes) is ONE
+    Arrow-batched pass; JSON field extraction stays JVM (`from_json`).
+    Incomplete chunk groups are dropped (gelfd discards on timeout).
+    """
+    import pandas as pd
+
+    src = F.col(source)
+    is_chunk = (F.length(src) > 12) & (F.substring(src, 1, 2) == F.lit(GELF_MAGIC))
+    classified = df.where(src.isNotNull() & (F.length(src) > 0)).select(
+        F.when(is_chunk, F.hex(F.substring(src, 3, 8)))
+         .otherwise(F.concat(F.lit("w"), F.monotonically_increasing_id().cast("string")))
+         .alias("_gelf_mid"),
+        F.when(is_chunk, F.conv(F.hex(F.substring(src, 11, 1)), 16, 10).cast("int"))
+         .otherwise(F.lit(0)).alias("_gelf_seq"),
+        F.when(is_chunk, F.conv(F.hex(F.substring(src, 12, 1)), 16, 10).cast("int"))
+         .otherwise(F.lit(1)).alias("_gelf_total"),
+        F.when(is_chunk, F.expr(f"substring({source}, 13, length({source}))"))
+         .otherwise(src).alias("_gelf_part"),
+    )
+    assembled = (
+        classified.groupBy("_gelf_mid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_gelf_seq", "_gelf_part"))).alias("_p"),
+            F.max("_gelf_total").alias("_t"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") == F.col("_t"))
+        .select(
+            F.aggregate(
+                "_p",
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x["_gelf_part"]),
+            ).alias("_gelf_payload")
+        )
+    )
+
+    def inflate(it):
+        import gzip as _gzip
+        import zlib as _zlib
+
+        for pdf in it:
+            out = []
+            for raw in pdf["_gelf_payload"]:
+                if raw is None:
+                    continue
+                buf = bytes(raw)
+                try:
+                    if buf[:1] == b"\x78":
+                        buf = _zlib.decompress(buf)
+                    elif buf[:2] == b"\x1f\x8b":
+                        buf = _gzip.decompress(buf)
+                    out.append(buf.decode("utf-8"))
+                except Exception:
+                    continue  # corrupt datagram: the input logs + skips
+            yield pd.DataFrame({"_gelf_json": out})
+
+    js = assembled.mapInPandas(inflate, "_gelf_json string")
+    typed = F.from_json(F.col("_gelf_json"), GELF_FIELDS)
+    extras = F.map_filter(
+        F.from_json(F.col("_gelf_json"), "map<string,string>"),
+        lambda k, _v: k.startswith("_"),
+    )
+    return js.select(
+        typed.alias("_t"),
+        F.transform_keys(extras, lambda k, _v: F.substring(k, 2, 2147483647)).alias("extra"),
+    ).where(
+        # short_message is MANDATORY in the GELF spec; non-JSON payloads
+        # (from_json PERMISSIVE -> all-null struct) and JSON without it are
+        # skipped — the input gem's behavior on undecodable datagrams
+        F.col("_t.short_message").isNotNull()
+    ).select(
+        F.col("_t.host").alias("host"),
+        # input gelf remaps short_message -> message (strict mode would
+        # also accept 'message'; short_message is what the output writes)
+        F.col("_t.short_message").alias("message"),
+        F.col("_t.full_message").alias("full_message"),
+        F.timestamp_seconds(F.col("_t.timestamp")).alias("@timestamp"),
+        F.col("_t.level").alias("level"),
+        F.col("_t.facility").alias("facility"),
+        "extra",
+    )
+
+
+def gelf_json(df: DataFrame, *, host_field: str = "host",
+              message_field: str = "message", level: int = 6,
+              full_message_field: str | None = None,
+              custom_fields: tuple = ()) -> "F.Column":
+    """The GELF 1.1 JSON payload as a Column (shared by GelfSink and
+    encode_gelf). ``custom_fields`` are (gelf_name, column) pairs emitted
+    with the additional-field '_' prefix."""
+    cols = set(df.columns)
+    fields = [
+        F.lit("1.1").alias("version"),
+        (F.col(host_field).cast("string") if host_field in cols
+         else F.lit("unknown")).alias("host"),
+        F.col(message_field).cast("string").alias("short_message"),
+        (F.unix_timestamp(F.col("@timestamp")).cast("double")
+         if "@timestamp" in cols else F.lit(None).cast("double")).alias("timestamp"),
+        F.lit(level).alias("level"),
+    ]
+    if full_message_field and full_message_field in cols:
+        fields.append(F.col(full_message_field).cast("string").alias("full_message"))
+    for name, col in custom_fields:
+        fields.append(F.col(col).cast("string").alias(f"_{name}"))
+    return F.to_json(F.struct(*fields), {"ignoreNullFields": "true"})
+
+
+def encode_gelf(
+    df: DataFrame,
+    *,
+    host_field: str = "host",
+    message_field: str = "message",
+    level: int = 6,
+    custom_fields: tuple = (),
+    compress: str = "zlib",
+    chunk_size: int = 8192,
+    target: str = "datagram",
+) -> DataFrame:
+    """gelf output encode: one or more wire datagrams (binary) per event.
+
+    The JSON payload builds JVM-side (to_json); ONE Arrow pass compresses
+    (zlib, the output plugin's default) and chunks payloads above
+    ``chunk_size`` into magic+id+seq+total framed datagrams. The 8-byte
+    message id is xxhash64(payload, row-id) — the real plugin draws a
+    random id; salting the hash with monotonically_increasing_id keeps ids
+    unique across identical events (two equal payloads must NOT merge at
+    the decoder) without an RNG, and is computed JVM-side so the Python
+    pass stays a pure byte transform. Map-only: no shuffle, linear at any
+    scale.
+    """
+    import pandas as pd
+
+    payload = gelf_json(df, host_field=host_field, message_field=message_field,
+                        level=level, custom_fields=custom_fields)
+    staged = df.select(payload.alias("_gelf_json"),
+                       F.xxhash64(payload, F.monotonically_increasing_id()).alias("_gelf_mid"))
+
+    def deflate(it):
+        import struct as _struct
+        import zlib as _zlib
+
+        for pdf in it:
+            out = []
+            for js, mid in zip(pdf["_gelf_json"], pdf["_gelf_mid"]):
+                if js is None:
+                    continue
+                buf = js.encode("utf-8")
+                if compress == "zlib":
+                    buf = _zlib.compress(buf)
+                elif compress == "gzip":
+                    import gzip as _gzip
+
+                    buf = _gzip.compress(buf, mtime=0)
+                if len(buf) <= chunk_size:
+                    out.append(buf)
+                    continue
+                parts = [buf[i:i + chunk_size] for i in range(0, len(buf), chunk_size)]
+                if len(parts) > 128:  # spec cap: the output drops the event
+                    continue
+                mid_b = _struct.pack(">q", int(mid))
+                for i, p in enumerate(parts):
+                    out.append(GELF_MAGIC + mid_b + bytes([i, len(parts)]) + p)
+            yield pd.DataFrame({target: out})
+
+    return staged.mapInPandas(deflate, f"{target} binary")

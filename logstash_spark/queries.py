@@ -3631,3 +3631,39 @@ def ann_q8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return q8_topk(e, qs, k=5)
+
+
+@q(
+    "codec_gelf",
+    f"""{_PAGES_CTE}
+SELECT url, clientip AS host, text AS message,
+       date_trunc('second', warc_ts) AS ts, 6 AS level
+FROM pages""",
+)
+def codec_gelf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GELF codec round-trip (input gelf / output gelf,
+    default_plugins.rb:56,100): events encode to REAL GELF 1.1 wire
+    datagrams — zlib-compressed JSON, CHUNKED above chunk_size into
+    magic+msgid+seq+total frames — then decode_gelf reassembles the chunks
+    relationally (groupBy message id), inflates in one Arrow pass, and
+    recovers the fields. chunk_size=180 forces most events multi-chunk so
+    reassembly is exercised for real; DuckDB (no zlib) asserts the decoded
+    fields against the pages derivation directly — the same
+    never-parse-the-wire-twice oracle shape as warc_intake."""
+    from logstash_spark.operators.codecs import decode_gelf, encode_gelf
+
+    p = _pages(spark, sf_dir).select(
+        "url",
+        F.col("clientip").alias("host"),
+        F.col("text").alias("message"),
+        F.col("warc_ts").alias("@timestamp"),
+    )
+    wire = encode_gelf(p, custom_fields=(("url", "url"),), chunk_size=180)
+    dec = decode_gelf(wire, "datagram")
+    return dec.select(
+        F.col("extra")["url"].alias("url"),
+        "host",
+        "message",
+        F.date_trunc("second", F.col("@timestamp")).alias("ts"),
+        "level",
+    )

@@ -125,6 +125,8 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "codec.encode_es_bulk": codecs.encode_es_bulk,
     "codec.netflow": codecs.decode_netflow5,
     "codec.collectd": codecs.decode_collectd,
+    "codec.gelf": codecs.decode_gelf,
+    "codec.encode_gelf": codecs.encode_gelf,
     "codec.edn": codecs.decode_edn,
     "codec.edn_lines": codecs.decode_edn_lines,
     # codecs.dots is a SINK-side diagnostic (returns a count, not a frame)

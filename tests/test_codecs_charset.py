@@ -564,3 +564,73 @@ def test_msgpack_encode_array_and_null_columns(spark):
     assert rows[0].tags == ["t1", "t2"] and rows[0].score == 1.5
     assert rows[1].tags is None and rows[1].score is None  # NaN -> nil
     assert rows[2].tags == []
+
+
+def test_gelf_roundtrip_chunked_and_whole(spark):
+    """encode_gelf -> decode_gelf recovers fields; chunking actually fires
+    (datagrams > events) and whole-datagram (big chunk_size) also decodes."""
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.codecs import decode_gelf, encode_gelf
+
+    df = spark.createDataFrame(
+        [("h1", "short msg", "2024-01-01 00:00:05"),
+         ("h2", "y" * 600, "2024-01-02 12:30:00")],
+        "host string, message string, ts string",
+    ).withColumn("@timestamp", F.to_timestamp("ts")).drop("ts")
+
+    wire = encode_gelf(df, chunk_size=64, custom_fields=(("orig_host", "host"),))
+    n_datagrams = wire.count()
+    assert n_datagrams > 2  # the 600-char message must have chunked
+    dec = decode_gelf(wire, "datagram").orderBy("host")
+    rows = dec.collect()
+    assert [r["host"] for r in rows] == ["h1", "h2"]
+    assert rows[1]["message"] == "y" * 600
+    assert rows[0]["extra"]["orig_host"] == "h1"
+    assert rows[0]["level"] == 6
+    assert str(rows[0]["@timestamp"]).startswith("2024-01-01 00:00:05")
+
+    whole = encode_gelf(df, chunk_size=65536)
+    assert whole.count() == 2  # no chunk framing below the threshold
+    assert decode_gelf(whole, "datagram").count() == 2
+
+
+def test_gelf_decode_hostile_inputs(spark):
+    """Corrupt zlib, truncated chunk headers, missing chunks, empty and
+    null datagrams all drop without failing the job (the input logs+skips)."""
+    import struct
+    import zlib
+
+    from logstash_spark.operators.codecs import GELF_MAGIC, decode_gelf
+
+    good = zlib.compress(b'{"version":"1.1","host":"ok","short_message":"m"}')
+    mid = struct.pack(">q", 42)
+    rows = [
+        (None,),
+        (b"",),
+        (b"\x78\x01corrupt-zlib-stream",),          # bad zlib
+        (GELF_MAGIC + b"\x01",),                     # truncated chunk header
+        (GELF_MAGIC + mid + bytes([0, 2]) + b"ha",)  # chunk 1 of 2: partner missing
+        ,
+        (good,),                                     # one whole good datagram
+        (b"not json at all",),                       # plain but non-JSON: from_json nulls
+    ]
+    df = spark.createDataFrame(rows, "bytes binary")
+    out = decode_gelf(df, "bytes").collect()
+    hosts = [r["host"] for r in out]
+    assert hosts == ["ok"]  # every hostile row drops; only the good one lands
+
+
+def test_gelf_gzip_and_plain_payloads(spark):
+    """decode_gelf sniffs gzip and uncompressed JSON payloads too (the
+    input gem's three accepted wire forms)."""
+    import gzip
+
+    from logstash_spark.operators.codecs import decode_gelf
+
+    plain = b'{"version":"1.1","host":"p","short_message":"sp","level":3}'
+    gz = gzip.compress(b'{"version":"1.1","host":"g","short_message":"sg"}')
+    df = spark.createDataFrame([(plain,), (gz,)], "bytes binary")
+    out = {r["host"]: r for r in decode_gelf(df, "bytes").collect()}
+    assert out["p"]["message"] == "sp" and out["p"]["level"] == 3
+    assert out["g"]["message"] == "sg"

@@ -915,3 +915,24 @@ def test_grok_multi_field_match_single_filter_instance(spark, tmp_path):
     r4 = rows[("n=7", "w=y")]
     assert r4.n == "7" and r4.w is None and "parsed" in r4.tags
     assert not [c for c in pipe.transform(df).columns if c.startswith("_gmf")]
+
+
+def test_gelf_input_binding(spark, tmp_path):
+    """input gelf { export => ... } decodes captured wire datagrams through
+    the real GELF decoder (chunk reassembly + inflate)."""
+    import zlib
+
+    from logstash_spark.conf import bind_input
+    from logstash_spark.confparser import PluginNode
+
+    buf = zlib.compress(
+        b'{"version":"1.1","host":"web1","short_message":"hello",'
+        b'"_facility":"t"}'
+    )
+    p = str(tmp_path / "capture.parquet")
+    spark.createDataFrame([(buf,)], "bytes binary").write.parquet(p)
+    df = bind_input(spark, PluginNode("gelf", {"export": p, "type": "gelfed"}))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["host"] == "web1" and rows[0]["message"] == "hello"
+    assert rows[0]["type"] == "gelfed"
