@@ -1173,6 +1173,26 @@ def bind_input(spark, node: PluginNode, *, stdin_lines=None):
                 "(binary column, default name 'bytes')"
             )
         df = decode_gelf(spark.read.parquet(str(path)), str(a.get("source", "bytes")))
+    elif node.name == "lumberjack":
+        # forwarder streams captured to a parquet of binary stream blobs;
+        # same file-backed wire-contract stance as the gelf/kafka shims
+        from logstash_spark.operators.codecs import decode_lumberjack
+
+        path = a.get("export") or a.get("path")
+        if not path:
+            raise ConfCompileError(
+                "lumberjack input: needs export => parquet of captured "
+                "client streams (binary column, default name 'stream')"
+            )
+        df = decode_lumberjack(spark.read.parquet(str(path)), str(a.get("source", "stream")))
+        # the plugin surfaces the forwarder's fields as top-level event
+        # fields; 'line' is the message
+        df = df.select(
+            "lj_seq",
+            F.col("fields")["line"].alias("message"),
+            F.col("fields")["host"].alias("host"),
+            "fields",
+        )
     elif node.name == "elasticsearch":
         from logstash_spark.sources.pull import elasticsearch_input
 

@@ -1158,3 +1158,118 @@ def encode_gelf(
             yield pd.DataFrame({target: out})
 
     return staged.mapInPandas(deflate, f"{target} binary")
+
+
+# ---------------------------------------------------------------------------
+# lumberjack protocol (input lumberjack / output lumberjack,
+# default_plugins.rb:61,92) — the logstash-forwarder wire format (public
+# PROTOCOL.md of elastic/logstash-forwarder, the ruby-lumberjack gem the
+# plugins wrap). Version-1 frames over one stream:
+#   '1W' u32 window-size
+#   '1D' u32 seq, u32 n-pairs, then n x (u32 klen, key, u32 vlen, value)
+#   '1C' u32 payload-len, zlib payload of concatenated '1D' frames
+#   '1A' u32 seq (ack; server->client, absent from a client capture)
+# ---------------------------------------------------------------------------
+
+
+def decode_lumberjack(df: DataFrame, source: str = "stream") -> DataFrame:
+    """lumberjack input decode: captured client stream blobs (binary
+    column) -> one event per data frame: (lj_seq long, fields
+    map<string,string>). Nested compressed frames inflate recursively;
+    truncated/garbage trailing bytes drop the remainder of that blob (the
+    gem closes the connection on protocol errors). Map-only Arrow pass —
+    each stream blob is self-contained, so no shuffle, linear at scale."""
+    import pandas as pd
+
+    def parse(it):
+        import struct as _struct
+        import zlib as _zlib
+
+        def frames(buf: bytes, out: list) -> None:
+            pos = 0
+            while pos + 2 <= len(buf):
+                ver, typ = buf[pos:pos + 1], buf[pos + 1:pos + 2]
+                pos += 2
+                if ver != b"1":
+                    return  # protocol error: drop remainder
+                if typ == b"W" or typ == b"A":
+                    if pos + 4 > len(buf):
+                        return
+                    pos += 4
+                elif typ == b"C":
+                    if pos + 4 > len(buf):
+                        return
+                    (plen,) = _struct.unpack_from(">I", buf, pos)
+                    pos += 4
+                    if pos + plen > len(buf):
+                        return
+                    try:
+                        inner = _zlib.decompress(buf[pos:pos + plen])
+                    except _zlib.error:
+                        return
+                    frames(inner, out)
+                    pos += plen
+                elif typ == b"D":
+                    if pos + 8 > len(buf):
+                        return
+                    seq, npairs = _struct.unpack_from(">II", buf, pos)
+                    pos += 8
+                    kv = {}
+                    ok = True
+                    for _ in range(npairs):
+                        if pos + 4 > len(buf):
+                            ok = False
+                            break
+                        (klen,) = _struct.unpack_from(">I", buf, pos)
+                        pos += 4
+                        key = buf[pos:pos + klen]
+                        pos += klen
+                        if pos + 4 > len(buf) or len(key) != klen:
+                            ok = False
+                            break
+                        (vlen,) = _struct.unpack_from(">I", buf, pos)
+                        pos += 4
+                        val = buf[pos:pos + vlen]
+                        pos += vlen
+                        if len(val) != vlen:
+                            ok = False
+                            break
+                        kv[key.decode("utf-8", "replace")] = val.decode("utf-8", "replace")
+                    if not ok:
+                        return
+                    out.append((seq, kv))
+                else:
+                    return  # unknown frame type
+
+        for pdf in it:
+            rows: list = []
+            for raw in pdf[source]:
+                if raw is None:
+                    continue
+                frames(bytes(raw), rows)
+            yield pd.DataFrame(rows, columns=["lj_seq", "fields"])
+
+    return df.mapInPandas(parse, "lj_seq long, fields map<string,string>")
+
+
+def encode_lumberjack(records: list[dict], *, compress: bool = True,
+                      start_seq: int = 1) -> bytes:
+    """Build one lumberjack client stream from field dicts — window frame
+    + (optionally zlib-compressed) data frames, the bytes a forwarder
+    sends. Plain function (like encode_netflow5/encode_collectd_packet):
+    callers batch events per stream with groupBy().applyInPandas."""
+    import struct as _struct
+    import zlib as _zlib
+
+    body = b""
+    for i, rec in enumerate(records):
+        pairs = b""
+        for k, v in rec.items():
+            kb, vb = str(k).encode("utf-8"), str(v).encode("utf-8")
+            pairs += _struct.pack(">I", len(kb)) + kb + _struct.pack(">I", len(vb)) + vb
+        body += b"1D" + _struct.pack(">II", start_seq + i, len(rec)) + pairs
+    out = b"1W" + _struct.pack(">I", len(records))
+    if compress:
+        z = _zlib.compress(body)
+        return out + b"1C" + _struct.pack(">I", len(z)) + z
+    return out + body

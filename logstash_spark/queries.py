@@ -3667,3 +3667,46 @@ def codec_gelf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", F.col("@timestamp")).alias("ts"),
         "level",
     )
+
+
+@q(
+    "codec_lumberjack",
+    f"""{_PAGES_CTE}
+SELECT url, clientip AS host, text AS line,
+       CAST(event_id AS VARCHAR) AS file_offset
+FROM pages""",
+)
+def codec_lumberjack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lumberjack protocol round-trip (input/output lumberjack,
+    default_plugins.rb:61,92): events pack into REAL forwarder client
+    streams — window frame + zlib-compressed data frames, ~200 events per
+    stream — and decode_lumberjack recovers one event per data frame with
+    its key/value fields. DuckDB (no lumberjack) asserts the recovered
+    fields against the pages derivation directly (warc_intake's oracle
+    shape)."""
+    import pandas as pd
+
+    from logstash_spark.operators.codecs import decode_lumberjack, encode_lumberjack
+
+    p = _pages(spark, sf_dir).select(
+        (F.col("event_id") % 50).alias("bucket"), "event_id", "url", "clientip", "text"
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("event_id")
+        buf = encode_lumberjack(
+            [
+                {"url": u, "host": h, "line": t, "file_offset": str(e)}
+                for u, h, t, e in zip(pdf["url"], pdf["clientip"], pdf["text"], pdf["event_id"])
+            ]
+        )
+        return pd.DataFrame({"stream": [buf]})
+
+    streams = p.groupBy("bucket").applyInPandas(build, "stream binary")
+    out = decode_lumberjack(streams, "stream")
+    return out.select(
+        F.col("fields")["url"].alias("url"),
+        F.col("fields")["host"].alias("host"),
+        F.col("fields")["line"].alias("line"),
+        F.col("fields")["file_offset"].alias("file_offset"),
+    )

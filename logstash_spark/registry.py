@@ -127,6 +127,7 @@ OPERATORS: dict[str, Callable[..., DataFrame]] = {
     "codec.collectd": codecs.decode_collectd,
     "codec.gelf": codecs.decode_gelf,
     "codec.encode_gelf": codecs.encode_gelf,
+    "codec.lumberjack": codecs.decode_lumberjack,
     "codec.edn": codecs.decode_edn,
     "codec.edn_lines": codecs.decode_edn_lines,
     # codecs.dots is a SINK-side diagnostic (returns a count, not a frame)

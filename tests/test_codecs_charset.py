@@ -634,3 +634,37 @@ def test_gelf_gzip_and_plain_payloads(spark):
     out = {r["host"]: r for r in decode_gelf(df, "bytes").collect()}
     assert out["p"]["message"] == "sp" and out["p"]["level"] == 3
     assert out["g"]["message"] == "sg"
+
+
+def test_lumberjack_roundtrip_and_hostile(spark):
+    """encode_lumberjack -> decode_lumberjack recovers seq + fields for
+    compressed AND plain streams; garbage / truncated streams drop cleanly."""
+    import struct
+    import zlib
+
+    from logstash_spark.operators.codecs import decode_lumberjack, encode_lumberjack
+
+    recs = [{"line": "a b c", "host": "h1"}, {"line": "x" * 500, "host": "h2"}]
+    plain = encode_lumberjack(recs, compress=False)
+    comp = encode_lumberjack(recs, compress=True, start_seq=10)
+    df = spark.createDataFrame([(plain,), (comp,)], "stream binary")
+    rows = decode_lumberjack(df, "stream").collect()
+    assert len(rows) == 4
+    by_seq = sorted((r["lj_seq"], r["fields"]["host"]) for r in rows)
+    assert by_seq == [(1, "h1"), (2, "h2"), (10, "h1"), (11, "h2")]
+    assert all(r["fields"]["line"] in ("a b c", "x" * 500) for r in rows)
+
+    # hostile: bad version, truncated D frame, corrupt zlib in C frame,
+    # unknown type, empty, null — all drop without failing the task
+    bad = [
+        (b"2Dgarbage",),
+        (b"1D" + struct.pack(">II", 1, 3) + struct.pack(">I", 100) + b"ab",),
+        (b"1C" + struct.pack(">I", 8) + b"notzlib!",),
+        (b"1Z\x00\x00",),
+        (b"",),
+        (None,),
+        # good frame AFTER a bad one in the same stream stays dropped
+        (b"2X" + encode_lumberjack([{"k": "v"}], compress=False),),
+    ]
+    hostile = spark.createDataFrame(bad, "stream binary")
+    assert decode_lumberjack(hostile, "stream").count() == 0

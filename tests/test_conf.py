@@ -936,3 +936,17 @@ def test_gelf_input_binding(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["host"] == "web1" and rows[0]["message"] == "hello"
     assert rows[0]["type"] == "gelfed"
+
+
+def test_lumberjack_input_binding(spark, tmp_path):
+    from logstash_spark.conf import bind_input
+    from logstash_spark.confparser import PluginNode
+    from logstash_spark.operators.codecs import encode_lumberjack
+
+    buf = encode_lumberjack([{"line": "l1", "host": "fw1", "file": "/var/log/x"}])
+    p = str(tmp_path / "lj.parquet")
+    spark.createDataFrame([(buf,)], "stream binary").write.parquet(p)
+    df = bind_input(spark, PluginNode("lumberjack", {"export": p}))
+    r = df.collect()[0]
+    assert r["message"] == "l1" and r["host"] == "fw1"
+    assert r["fields"]["file"] == "/var/log/x"
