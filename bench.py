@@ -106,6 +106,8 @@ HEADLINE = [
     "yaml_parse",
     "dsir_select",
     "ann_q8_topk",
+    "codec_gelf",
+    "codec_lumberjack",
 ]
 
 
