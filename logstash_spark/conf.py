@@ -33,6 +33,7 @@ from logstash_spark.sinks import (
     GelfSink,
     GraphiteSink,
     JsonLinesSink,
+    LumberjackSink,
     NullSink,
     OpentsdbSink,
     ParquetSink,
@@ -848,6 +849,8 @@ _OUTPUT_OPTS: dict[str, set] = {
     "gelf": {"sender", "level", "host", "port", "facility", "full_message",
              "short_message", "ship_metadata", "ship_tags", "custom_fields"},
     "opentsdb": {"metrics", "host", "port"},
+    "lumberjack": {"hosts", "port", "ssl_certificate", "flush_size",
+                   "idle_flush_time", "window_size"},
 }
 
 
@@ -975,6 +978,13 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 os.path.join(out_dir, f"opentsdb_{len(outputs)}"),
                 metric=pairs[0][0], value=pairs[0][1],
                 metrics=tuple(pairs[1:]),  # EVERY entry of the hash emits
+            )
+        elif node.name == "lumberjack":
+            # hosts/port/ssl_certificate are the live-socket options; the
+            # file-backed form writes the same wire bytes as stream blobs
+            sink = LumberjackSink(
+                os.path.join(out_dir, f"lumberjack_{len(outputs)}"),
+                flush_size=int(node.attrs.get("flush_size", 1024)),
             )
         elif node.name in ("s3", "kafka", "redis", "csv"):
             # durable sinks with no live backend here -> parquet stand-in

@@ -950,3 +950,40 @@ def test_lumberjack_input_binding(spark, tmp_path):
     r = df.collect()[0]
     assert r["message"] == "l1" and r["host"] == "fw1"
     assert r["fields"]["file"] == "/var/log/x"
+
+
+def test_lumberjack_output_roundtrip(spark, tmp_path):
+    """output lumberjack -> input lumberjack round-trips the v1 wire
+    protocol: the sink's stream blobs decode back to the original events
+    (message -> 'line' rename, None fields omitted)."""
+    from logstash_spark.conf import compile_file
+    from logstash_spark.confparser import PluginNode
+    from logstash_spark.conf import bind_input
+    from logstash_spark.sinks import LumberjackSink
+
+    df = spark.createDataFrame(
+        [("hello a", "h1", None), ("hello b", "h2", "/var/log/m")],
+        "message string, host string, file string",
+    )
+    sink = LumberjackSink(str(tmp_path / "lj_out"), flush_size=1)
+    sink.write(df)
+
+    back = bind_input(spark, PluginNode("lumberjack", {"export": str(tmp_path / "lj_out")}))
+    rows = sorted((r["message"], r["host"], r["fields"].get("file")) for r in back.collect())
+    assert rows == [("hello a", "h1", None), ("hello b", "h2", "/var/log/m")]
+
+
+def test_lumberjack_output_conf_binding(spark, tmp_path):
+    from logstash_spark.conf import compile_config
+    from logstash_spark.operators.codecs import decode_lumberjack
+
+    pipe, inputs = compile_config(
+        'output { lumberjack { hosts => ["idx1"] port => 5043 '
+        'ssl_certificate => "/tmp/ca.crt" flush_size => 500 } }',
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame([("m1", "h1")], "message string, host string")
+    pipe.run(df)
+    out = decode_lumberjack(spark.read.parquet(str(tmp_path / "lumberjack_0")), "stream")
+    r = out.collect()[0]
+    assert r["fields"]["line"] == "m1" and r["fields"]["host"] == "h1"
