@@ -108,6 +108,7 @@ HEADLINE = [
     "ann_q8_topk",
     "codec_gelf",
     "codec_lumberjack",
+    "broker_redis",
 ]
 
 

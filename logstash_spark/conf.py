@@ -35,6 +35,7 @@ from logstash_spark.sinks import (
     JsonLinesSink,
     LumberjackSink,
     NullSink,
+    RedisSink,
     OpentsdbSink,
     ParquetSink,
     TcpSink,
@@ -851,6 +852,8 @@ _OUTPUT_OPTS: dict[str, set] = {
     "opentsdb": {"metrics", "host", "port"},
     "lumberjack": {"hosts", "port", "ssl_certificate", "flush_size",
                    "idle_flush_time", "window_size"},
+    "redis": {"key", "data_type", "host", "port", "db", "password",
+              "batch", "batch_events", "batch_timeout"},
 }
 
 
@@ -986,7 +989,14 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 os.path.join(out_dir, f"lumberjack_{len(outputs)}"),
                 flush_size=int(node.attrs.get("flush_size", 1024)),
             )
-        elif node.name in ("s3", "kafka", "redis", "csv"):
+        elif node.name == "redis":
+            if str(node.attrs.get("data_type", "list")) not in ("list", "channel"):
+                raise ConfCompileError("redis output: data_type must be list or channel")
+            sink = RedisSink(
+                os.path.join(out_dir, f"redis_{len(outputs)}"),
+                key=str(node.attrs.get("key", "logstash")),
+            )
+        elif node.name in ("s3", "kafka", "csv"):
             # durable sinks with no live backend here -> parquet stand-in
             sink = ParquetSink(os.path.join(out_dir, f"{node.name}_{len(outputs)}"), mode="append")
         else:
@@ -1203,6 +1213,45 @@ def bind_input(spark, node: PluginNode, *, stdin_lines=None):
             F.col("fields")["host"].alias("host"),
             "fields",
         )
+    elif node.name == "redis":
+        # the broker hop of the reference's shipper->redis->indexer
+        # architecture; live BLPOP is a deployment concern — the binding
+        # decodes a captured list export (the exact frame RedisSink
+        # writes), same file-backed wire-contract stance as kafka/gelf
+        from logstash_spark.sources.bus import decode_redis_records
+
+        path = a.get("export") or a.get("path")
+        if not path or "schema" not in a:
+            raise ConfCompileError(
+                "redis input: needs export => parquet of the list capture "
+                "(key, list_index, value) + schema => for the json events "
+                "(file-backed wire contract, same stance as the kafka shim)"
+            )
+        df = decode_redis_records(spark.read.parquet(str(path)), str(a["schema"]))
+    elif node.name == "graphite":
+        # graphite line-protocol listener: decode captured lines (text
+        # export) or a live tcp capture through the graphite codec
+        from logstash_spark.operators.codecs import decode_graphite
+
+        path = a.get("export") or a.get("path")
+        if path:
+            raw = spark.read.text(str(path)).withColumnRenamed("value", "message")
+        elif "port" in a:
+            from logstash_spark.sources import sockets as _sk
+
+            raw = _sk.tcp_capture(
+                spark,
+                host=str(a.get("host", "127.0.0.1")),
+                port=int(a["port"]),
+                max_events=int(a["max_events"]) if "max_events" in a else None,
+                idle_timeout=float(a.get("idle_timeout", 5.0)),
+            )
+        else:
+            raise ConfCompileError(
+                "graphite input: needs export => text file of protocol "
+                "lines, or port => for a live capture"
+            )
+        df = decode_graphite(raw, "message")
     elif node.name == "elasticsearch":
         from logstash_spark.sources.pull import elasticsearch_input
 

@@ -3710,3 +3710,33 @@ def codec_lumberjack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fields")["line"].alias("line"),
         F.col("fields")["file_offset"].alias("file_offset"),
     )
+
+
+@q(
+    "broker_redis",
+    f"""{_PAGES_CTE}
+SELECT 'logstash-' || lang AS redis_key,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY url) - 1 AS BIGINT)
+           AS redis_index,
+       url, clientip
+FROM pages""",
+)
+def broker_redis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """redis broker hop round-trip (input/output redis — the reference's
+    canonical shipper->redis-list->indexer architecture): events
+    json-serialize under a sprintf'd list key (logstash-%{lang}),
+    redis_wire_shim assigns per-key list positions, decode_redis_records
+    recovers the typed fields. The per-key index is made oracle-able by
+    serializing ONLY (url, clientip): url leads the JSON value, so the
+    shim's order-by-value equals DuckDB's ROW_NUMBER() ... ORDER BY url."""
+    from logstash_spark.sources.bus import (
+        decode_redis_records,
+        encode_redis_records,
+        redis_wire_shim,
+    )
+
+    p = _pages(spark, sf_dir).select("url", "clientip", "lang")
+    wire = redis_wire_shim(
+        encode_redis_records(p, key="logstash-%{lang}", fields=["url", "clientip"])
+    )
+    return decode_redis_records(wire, "url string, clientip string")

@@ -380,6 +380,25 @@ class LumberjackSink(Sink):
 
 
 @dataclass
+class RedisSink(Sink):
+    """redis output with the REAL broker wire contract (the reference's
+    canonical shipper->redis-list->indexer stage): events json-serialize
+    and land under a sprintf-able list key — written as a parquet of
+    (key, list_index, value), the exact shape `input redis { export => }`
+    decodes, so output->input round-trips the broker hop."""
+
+    path: str
+    key: str = "logstash"
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.sources.bus import encode_redis_records, redis_wire_shim
+
+        wire = redis_wire_shim(encode_redis_records(df, key=self.key))
+        wire.write.mode("append").parquet(self.path)
+        return self.path
+
+
+@dataclass
 class CollectSink(Sink):
     """Testing sink: materializes (the stdout/rubydebug analog)."""
 

@@ -107,3 +107,62 @@ def kafka_wire_shim(encoded: DataFrame, *, partitions: int = 4) -> DataFrame:
         .withColumn("offset", F.row_number().over(w).cast("long") - 1)
         .withColumn("timestamp", F.current_timestamp())
     )
+
+
+# ---------------------------------------------------------------------------
+# redis broker (default_plugins.rb redis input/output) — the reference's
+# canonical shipper -> redis list -> indexer architecture (its getting-
+# started docs stage every multi-box deployment through a redis list).
+# Wire contract: the output json-serializes each event and RPUSHes it to
+# a sprintf-able list key; the input BLPOPs and json-decodes. Same
+# file-backed shim stance as the kafka contract above.
+# ---------------------------------------------------------------------------
+
+REDIS_WIRE_COLUMNS = ["key", "list_index", "value"]
+
+
+def encode_redis_records(
+    df: DataFrame,
+    *,
+    key: str,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Events -> (key, value): value = JSON-serialized event (internal
+    columns stripped), key from a sprintf template (``key =>
+    "logstash-%{type}"``). This is the frame an RPUSH pipeline consumes;
+    one shuffle-free projection."""
+    from logstash_spark.event import sprintf_col
+    from logstash_spark.sinks import strip_internal
+
+    clean = strip_internal(df)
+    cols = fields or clean.columns
+    value = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    k = sprintf_col(key, df) if "%{" in key else F.lit(key)
+    return df.select(k.alias("key"), value.alias("value"))
+
+
+def redis_wire_shim(encoded: DataFrame) -> DataFrame:
+    """Wrap an encode_redis_records frame in the full list wire schema —
+    what a consumer sees popping the list: per-key list_index in push
+    order (deterministic stand-in: ordered by value, as a batch capture
+    has no arrival clock)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("key").orderBy("value")
+    return encoded.select(
+        "key",
+        (F.row_number().over(w).cast("long") - 1).alias("list_index"),
+        "value",
+    )
+
+
+def decode_redis_records(raw: DataFrame, value_schema: str) -> DataFrame:
+    """Redis list wire schema -> events: value decodes as JSON into
+    ``value_schema`` columns; the list key + position ride along under
+    redis_* names."""
+    ev = raw.select(
+        F.col("key").alias("redis_key"),
+        F.col("list_index").alias("redis_index"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("_v"),
+    )
+    return ev.select("redis_key", "redis_index", "_v.*")

@@ -987,3 +987,49 @@ def test_lumberjack_output_conf_binding(spark, tmp_path):
     out = decode_lumberjack(spark.read.parquet(str(tmp_path / "lumberjack_0")), "stream")
     r = out.collect()[0]
     assert r["fields"]["line"] == "m1" and r["fields"]["host"] == "h1"
+
+
+def test_redis_broker_roundtrip(spark, tmp_path):
+    """output redis -> input redis round-trips the broker hop: json
+    events under a sprintf'd list key, list_index in pop order."""
+    from logstash_spark.conf import bind_input, compile_config
+    from logstash_spark.confparser import PluginNode
+
+    pipe, _ = compile_config(
+        'output { redis { host => "broker1" data_type => "list" '
+        'key => "logstash-%{type}" } }',
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame(
+        [("m1", "web"), ("m2", "db"), ("m3", "web")], "message string, type string"
+    )
+    pipe.run(df)
+
+    back = bind_input(spark, PluginNode("redis", {
+        "export": str(tmp_path / "redis_0"), "schema": "message string, type string",
+    }))
+    rows = sorted((r["redis_key"], r["redis_index"], r["message"]) for r in back.collect())
+    assert rows == [("logstash-db", 0, "m2"), ("logstash-web", 0, "m1"),
+                    ("logstash-web", 1, "m3")]
+
+
+def test_redis_output_rejects_bad_data_type(tmp_path):
+    import pytest as _pt
+
+    from logstash_spark.conf import ConfCompileError, compile_config
+
+    with _pt.raises(ConfCompileError, match="data_type"):
+        compile_config('output { redis { data_type => "hash" } }', out_dir=str(tmp_path))
+
+
+def test_graphite_input_decodes_lines(spark, tmp_path):
+    from logstash_spark.conf import bind_input
+    from logstash_spark.confparser import PluginNode
+
+    p = tmp_path / "carbon.txt"
+    p.write_text("apache.bytes 1024 1356998400\nbad line\napache.hits 3 1356998401\n")
+    df = bind_input(spark, PluginNode("graphite", {"export": str(p)}))
+    rows = {r["metric"]: (r["value"], str(r["graphite_ts"])) for r in df.collect()}
+    assert rows["apache.bytes"] == (1024.0, "2013-01-01 00:00:00")
+    assert rows["apache.hits"][0] == 3.0
+    assert rows["bad"] == (None, "None")  # malformed line -> nulls, row kept
