@@ -36,6 +36,7 @@ from logstash_spark.sinks import (
     LumberjackSink,
     NullSink,
     RedisSink,
+    SprintfFileSink,
     OpentsdbSink,
     ParquetSink,
     TcpSink,
@@ -900,12 +901,20 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
             path = node.attrs.get("path")
             if not path:
                 raise ConfCompileError("file output requires path")
-            target = os.path.join(out_dir, os.path.basename(str(path)))
             codec = node.attrs.get("codec", "parquet")
-            if codec in ("json", "json_lines"):
-                sink = JsonLinesSink(target)
+            if "%{" in str(path):
+                # per-event path template -> partitioned write (one dir per
+                # rendered path, the scale-safe form of one-file-per-key)
+                sink = SprintfFileSink(
+                    os.path.join(out_dir, f"file_{len(outputs)}"),
+                    template=str(path),
+                )
             else:
-                sink = ParquetSink(target, mode="append")
+                target = os.path.join(out_dir, os.path.basename(str(path)))
+                if codec in ("json", "json_lines"):
+                    sink = JsonLinesSink(target)
+                else:
+                    sink = ParquetSink(target, mode="append")
         elif node.name in ("stdout", "pipe"):
             # codec => dots: liveness count, no event data to the driver
             sink = NullSink() if node.attrs.get("codec") == "dots" else CollectSink()

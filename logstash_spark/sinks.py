@@ -102,6 +102,31 @@ class JsonLinesSink(Sink):
 
 
 @dataclass
+class SprintfFileSink(Sink):
+    """file output with a sprintf path template (``path =>
+    "/logs/%{type}-%{+yyyy.MM.dd}.log"``): the reference opens one file
+    handle per rendered path; the Spark-first mapping renders the
+    template as a PARTITION column and writes one directory per rendered
+    value — parallel writers within each partition, no per-file driver
+    loop, so a high-cardinality template (per-host, per-day) scales to
+    any key count the shuffle can carry instead of exhausting file
+    handles. Events serialize as NDJSON (the plugin's json_lines wire)."""
+
+    base: str
+    template: str
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.event import sprintf_col
+        from logstash_spark.operators.codecs import encode_json
+
+        enc = encode_json(df, target="value", drop_fields=False) \
+            .withColumn("_ls_path", sprintf_col(self.template, df))
+        enc.select("value", "_ls_path").write.mode("append") \
+            .partitionBy("_ls_path").text(self.base)
+        return self.base
+
+
+@dataclass
 class EsBulkSink(Sink):
     """Elasticsearch-output stand-in that produces the REAL wire format:
     es_bulk action+doc NDJSON (codecs.encode_es_bulk) written as text files

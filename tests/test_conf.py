@@ -1033,3 +1033,31 @@ def test_graphite_input_decodes_lines(spark, tmp_path):
     assert rows["apache.bytes"] == (1024.0, "2013-01-01 00:00:00")
     assert rows["apache.hits"][0] == 3.0
     assert rows["bad"] == (None, "None")  # malformed line -> nulls, row kept
+
+
+def test_file_output_sprintf_path_partitions(spark, tmp_path):
+    """path => "...%{lang}-%{+yyyy.MM.dd}.log": the reference opens one
+    file per rendered path; the engine writes one PARTITION dir per
+    rendered value (scale-safe one-file-per-key), NDJSON within."""
+    import json
+
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'output { file { path => "/logs/%{lang}-%{+yyyy.MM.dd}.log" } }',
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame(
+        [("m1", "en", "2013-01-01 10:00:00"), ("m2", "de", "2013-01-02 10:00:00"),
+         ("m3", "en", "2013-01-01 23:00:00")],
+        "message string, lang string, ts string",
+    ).withColumn("@timestamp", F.col("ts").cast("timestamp")).drop("ts")
+    pipe.run(df)
+
+    back = spark.read.text(str(tmp_path / "file_0"))
+    rows = [(r["_ls_path"], json.loads(r["value"])["message"]) for r in back.collect()]
+    assert sorted(rows) == [
+        ("/logs/de-2013.01.02.log", "m2"),
+        ("/logs/en-2013.01.01.log", "m1"),
+        ("/logs/en-2013.01.01.log", "m3"),
+    ]
