@@ -1171,6 +1171,17 @@ def bind_input(spark, node: PluginNode, *, stdin_lines=None):
             df = _sk.tcp_capture(spark, **kw)
         else:
             df = _sk.udp_capture(spark, **kw)
+    elif node.name == "unix":
+        from logstash_spark.sources import sockets as _sk
+
+        if "path" not in a:
+            raise ConfCompileError("unix input requires path")
+        df = _sk.unix_capture(
+            spark,
+            path=str(a["path"]),
+            max_events=int(a["max_events"]) if "max_events" in a else None,
+            idle_timeout=float(a.get("idle_timeout", 5.0)),
+        )
     elif node.name == "exec":
         from logstash_spark.sources.pull import exec_input
 

@@ -151,3 +151,55 @@ def syslog_capture(spark: SparkSession, *, protocol: str = "tcp", **kw) -> DataF
     cap = tcp_capture if protocol == "tcp" else udp_capture
     df = cap(spark, **kw)
     return syslog_decode(df, source="message")
+
+class _UnixLineServer(socketserver.ThreadingMixIn, socketserver.UnixStreamServer):
+    daemon_threads = True
+
+
+def unix_capture(
+    spark: SparkSession,
+    *,
+    path: str,
+    max_events: int | None = None,
+    idle_timeout: float = 5.0,
+    ready: threading.Event | None = None,
+) -> DataFrame:
+    """Batch unix-socket input (input unix, mode => server): accept
+    connections on an AF_UNIX path, read newline-framed events, bounded
+    exactly like :func:`tcp_capture` (max_events / per-activity idle)."""
+    import os as _os
+
+    if _os.path.exists(path):
+        _os.unlink(path)
+    lines: list[str] = []
+    done = threading.Event()
+    lock = threading.Lock()
+    last_rx = [time.monotonic()]
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self) -> None:
+            for raw in self.rfile:
+                with lock:
+                    lines.append(raw.decode("utf-8", "replace").rstrip("\r\n"))
+                    last_rx[0] = time.monotonic()
+                    if max_events is not None and len(lines) >= max_events:
+                        done.set()
+                        return
+
+    srv = _UnixLineServer(path, Handler)
+    unix_capture.last_address = path  # type: ignore[attr-defined]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    if ready is not None:
+        ready.set()
+    while not done.is_set():
+        with lock:
+            remaining = idle_timeout - (time.monotonic() - last_rx[0])
+        if remaining <= 0:
+            break
+        done.wait(timeout=min(remaining, 0.2))
+    srv.shutdown()
+    srv.server_close()
+    if _os.path.exists(path):
+        _os.unlink(path)
+    return spark.createDataFrame([(l,) for l in lines], "message string")

@@ -204,3 +204,50 @@ def test_elasticsearch_conf_binding(spark, tmp_path):
     )
     with pytest.raises(ConfCompileError, match="scroll"):
         bind_input(spark, inputs2[0])
+
+
+def test_unix_capture_lines(spark, tmp_path):
+    """input unix (mode => server): newline-framed events over an AF_UNIX
+    path, bounded like tcp_capture."""
+    from logstash_spark.sources.sockets import unix_capture
+
+    sock_path = str(tmp_path / "ls.sock")
+    ready = threading.Event()
+
+    def send():
+        ready.wait(5)
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        s.connect(sock_path)
+        s.sendall(b"alpha\nbeta\n")
+        s.close()
+
+    threading.Thread(target=send, daemon=True).start()
+    df = unix_capture(spark, path=sock_path, max_events=2, idle_timeout=10.0, ready=ready)
+    assert sorted(r["message"] for r in df.collect()) == ["alpha", "beta"]
+    assert not __import__("os").path.exists(sock_path)  # socket file cleaned up
+
+
+def test_unix_conf_binding(spark, tmp_path):
+    from logstash_spark.conf import bind_input
+    from logstash_spark.confparser import PluginNode
+
+    sock_path = str(tmp_path / "conf.sock")
+
+    def send():
+        import time as _t
+
+        for _ in range(100):  # wait for the listener to bind
+            try:
+                s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                s.connect(sock_path)
+                s.sendall(b"hello\n")
+                s.close()
+                return
+            except OSError:
+                _t.sleep(0.05)
+
+    threading.Thread(target=send, daemon=True).start()
+    df = bind_input(spark, PluginNode("unix", {
+        "path": sock_path, "max_events": "1", "idle_timeout": "10",
+    }))
+    assert [r["message"] for r in df.collect()] == ["hello"]
