@@ -34,6 +34,7 @@ from logstash_spark.sinks import (
     GraphiteSink,
     JsonLinesSink,
     LumberjackSink,
+    HttpSink,
     NullSink,
     RedisSink,
     SprintfFileSink,
@@ -855,6 +856,8 @@ _OUTPUT_OPTS: dict[str, set] = {
                    "idle_flush_time", "window_size"},
     "redis": {"key", "data_type", "host", "port", "db", "password",
               "batch", "batch_events", "batch_timeout"},
+    "http": {"url", "http_method", "content_type", "format", "headers",
+             "mapping"},
 }
 
 
@@ -997,6 +1000,15 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
             sink = LumberjackSink(
                 os.path.join(out_dir, f"lumberjack_{len(outputs)}"),
                 flush_size=int(node.attrs.get("flush_size", 1024)),
+            )
+        elif node.name == "http":
+            if "url" not in node.attrs:
+                raise ConfCompileError("http output requires url")
+            sink = HttpSink(
+                os.path.join(out_dir, f"http_{len(outputs)}"),
+                url=str(node.attrs["url"]),
+                http_method=str(node.attrs.get("http_method", "post")),
+                content_type=str(node.attrs.get("content_type", "application/json")),
             )
         elif node.name == "redis":
             if str(node.attrs.get("data_type", "list")) not in ("list", "channel"):
@@ -1171,6 +1183,18 @@ def bind_input(spark, node: PluginNode, *, stdin_lines=None):
             df = _sk.tcp_capture(spark, **kw)
         else:
             df = _sk.udp_capture(spark, **kw)
+    elif node.name == "http":
+        from logstash_spark.sources import sockets as _sk
+
+        if "port" not in a:
+            raise ConfCompileError("http input requires port")
+        df = _sk.http_capture(
+            spark,
+            host=str(a.get("host", "127.0.0.1")),
+            port=int(a["port"]),
+            max_events=int(a["max_events"]) if "max_events" in a else None,
+            idle_timeout=float(a.get("idle_timeout", 5.0)),
+        )
     elif node.name == "unix":
         from logstash_spark.sources import sockets as _sk
 

@@ -405,6 +405,35 @@ class LumberjackSink(Sink):
 
 
 @dataclass
+class HttpSink(Sink):
+    """http output with the REAL request wire shape: one request per
+    event — (method, url, content_type, body) with the event
+    json-serialized as the body, url sprintf-able — written as parquet
+    (the file-backed wire-contract stance; a live sender replays the
+    frame with any http client). Shuffle-free projection."""
+
+    path: str
+    url: str
+    http_method: str = "post"
+    content_type: str = "application/json"
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.event import sprintf_col
+        from logstash_spark.operators.codecs import encode_json
+
+        enc = encode_json(df, target="body", drop_fields=False)
+        u = sprintf_col(self.url, df) if "%{" in self.url else F.lit(self.url)
+        out = enc.select(
+            F.lit(self.http_method.upper()).alias("method"),
+            u.alias("url"),
+            F.lit(self.content_type).alias("content_type"),
+            "body",
+        )
+        out.write.mode("append").parquet(self.path)
+        return self.path
+
+
+@dataclass
 class RedisSink(Sink):
     """redis output with the REAL broker wire contract (the reference's
     canonical shipper->redis-list->indexer stage): events json-serialize

@@ -203,3 +203,66 @@ def unix_capture(
     if _os.path.exists(path):
         _os.unlink(path)
     return spark.createDataFrame([(l,) for l in lines], "message string")
+
+
+def http_capture(
+    spark: SparkSession,
+    *,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_events: int | None = None,
+    idle_timeout: float = 5.0,
+    ready: threading.Event | None = None,
+) -> DataFrame:
+    """Batch http input (input http): accept POST/PUT requests, one event
+    per request body (the plugin's default; NDJSON bodies split into one
+    event per line), with http_method / http_path / content_type
+    provenance columns — bounded like :func:`tcp_capture`."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    rows: list[tuple] = []
+    done = threading.Event()
+    lock = threading.Lock()
+    last_rx = [time.monotonic()]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a) -> None:  # quiet
+            pass
+
+        def _take(self) -> None:
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode("utf-8", "replace")
+            ct = self.headers.get("Content-Type", "text/plain")
+            with lock:
+                for line in body.split("\n"):
+                    if line.strip():
+                        rows.append((line, self.command, self.path, ct))
+                last_rx[0] = time.monotonic()
+                full = max_events is not None and len(rows) >= max_events
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"ok")
+            if full:
+                done.set()
+
+        do_POST = _take
+        do_PUT = _take
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    http_capture.last_address = srv.server_address  # type: ignore[attr-defined]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    if ready is not None:
+        ready.set()
+    while not done.is_set():
+        with lock:
+            remaining = idle_timeout - (time.monotonic() - last_rx[0])
+        if remaining <= 0:
+            break
+        done.wait(timeout=min(remaining, 0.2))
+    srv.shutdown()
+    srv.server_close()
+    return spark.createDataFrame(
+        rows, "message string, http_method string, http_path string, content_type string"
+    )

@@ -251,3 +251,73 @@ def test_unix_conf_binding(spark, tmp_path):
         "path": sock_path, "max_events": "1", "idle_timeout": "10",
     }))
     assert [r["message"] for r in df.collect()] == ["hello"]
+
+
+def test_http_capture_and_output_wire(spark, tmp_path):
+    """input http: one event per NDJSON body line with method/path/
+    content-type provenance. output http: (method, url, content_type,
+    body) wire frame, url sprintf'd per event."""
+    import urllib.request
+
+    from logstash_spark.sources.sockets import http_capture
+    from logstash_spark.sinks import HttpSink
+
+    ready = threading.Event()
+
+    def send():
+        ready.wait(5)
+        host, port = http_capture.last_address
+        req = urllib.request.Request(
+            f"http://{host}:{port}/ingest",
+            data=b'{"m":"a"}\n{"m":"b"}\n',
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=5).read()
+
+    threading.Thread(target=send, daemon=True).start()
+    df = http_capture(spark, port=0, max_events=2, idle_timeout=10.0, ready=ready)
+    rows = sorted((r["message"], r["http_method"], r["http_path"]) for r in df.collect())
+    assert rows == [('{"m":"a"}', "POST", "/ingest"), ('{"m":"b"}', "POST", "/ingest")]
+
+    sink = HttpSink(str(tmp_path / "http_out"), url="http://idx/%{type}", http_method="put")
+    ev = spark.createDataFrame([("m1", "web")], "message string, type string")
+    sink.write(ev)
+    out = spark.read.parquet(str(tmp_path / "http_out")).collect()[0]
+    assert out["method"] == "PUT" and out["url"] == "http://idx/web"
+    assert '"message":"m1"' in out["body"]
+
+
+def test_http_conf_bindings(spark, tmp_path):
+    import urllib.request
+
+    from logstash_spark.conf import bind_input, compile_config
+    from logstash_spark.confparser import PluginNode
+    from logstash_spark.sources.sockets import http_capture  # noqa: F401
+
+    pipe, _ = compile_config(
+        'output { http { url => "http://collector/e" content_type => "application/json" } }',
+        out_dir=str(tmp_path),
+    )
+    pipe.run(spark.createDataFrame([("x",)], "message string"))
+    assert spark.read.parquet(str(tmp_path / "http_0")).count() == 1
+
+    port = _free_port()
+
+    def send():
+        import time as _t
+
+        for _ in range(100):
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/", data=b"hi", method="POST")
+                urllib.request.urlopen(req, timeout=2).read()
+                return
+            except OSError:
+                _t.sleep(0.05)
+
+    threading.Thread(target=send, daemon=True).start()
+    df = bind_input(spark, PluginNode("http", {
+        "port": str(port), "max_events": "1", "idle_timeout": "10",
+    }))
+    assert [r["message"] for r in df.collect()] == ["hi"]
