@@ -35,7 +35,9 @@ from logstash_spark.sinks import (
     JsonLinesSink,
     LumberjackSink,
     HttpSink,
+    NagiosSink,
     NullSink,
+    PagerdutySink,
     RedisSink,
     SprintfFileSink,
     OpentsdbSink,
@@ -858,6 +860,9 @@ _OUTPUT_OPTS: dict[str, set] = {
               "batch", "batch_events", "batch_timeout"},
     "http": {"url", "http_method", "content_type", "format", "headers",
              "mapping"},
+    "nagios": {"commandfile", "host", "service", "nagios_level"},
+    "pagerduty": {"service_key", "description", "incident_key", "event_type",
+                  "details"},
 }
 
 
@@ -1009,6 +1014,22 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 url=str(node.attrs["url"]),
                 http_method=str(node.attrs.get("http_method", "post")),
                 content_type=str(node.attrs.get("content_type", "application/json")),
+            )
+        elif node.name == "nagios":
+            sink = NagiosSink(
+                os.path.join(out_dir, f"nagios_{len(outputs)}"),
+                level=int(node.attrs["nagios_level"])
+                if str(node.attrs.get("nagios_level", "")).isdigit() else 2,
+            )
+        elif node.name == "pagerduty":
+            if "service_key" not in node.attrs:
+                raise ConfCompileError("pagerduty output requires service_key")
+            sink = PagerdutySink(
+                os.path.join(out_dir, f"pagerduty_{len(outputs)}"),
+                service_key=str(node.attrs["service_key"]),
+                description=str(node.attrs.get("description", "Logstash event")),
+                incident_key=str(node.attrs.get("incident_key", "logstash/%{host}")),
+                event_type=str(node.attrs.get("event_type", "trigger")),
             )
         elif node.name == "redis":
             if str(node.attrs.get("data_type", "list")) not in ("list", "channel"):

@@ -453,6 +453,70 @@ class RedisSink(Sink):
 
 
 @dataclass
+class NagiosSink(Sink):
+    """nagios output with the REAL external-command wire line
+    (``[epoch] PROCESS_SERVICE_CHECK_RESULT;host;service;level;message``)
+    written as text — the exact bytes the plugin appends to the nagios
+    command file. host/service come from the plugin's documented event
+    fields (nagios_host / nagios_service), level is the check severity."""
+
+    path: str
+    host_field: str = "nagios_host"
+    service_field: str = "nagios_service"
+    level: int = 2  # CRITICAL — the plugin's default for alert-shaped events
+
+    def write(self, df: DataFrame) -> Any:
+        d = strip_internal(df)
+        epoch = (
+            F.unix_timestamp(F.col("@timestamp")) if "@timestamp" in d.columns
+            else F.unix_timestamp(F.current_timestamp())
+        )
+        line = F.concat(
+            F.lit("["), epoch.cast("string"), F.lit("] PROCESS_SERVICE_CHECK_RESULT;"),
+            F.col(self.host_field).cast("string"), F.lit(";"),
+            F.col(self.service_field).cast("string"), F.lit(";"),
+            F.lit(str(self.level)), F.lit(";"),
+            F.col("message").cast("string"),
+        )
+        d.select(line.alias("line")).write.mode("append").text(self.path)
+        return self.path
+
+
+@dataclass
+class PagerdutySink(Sink):
+    """pagerduty output with the REAL events-API payload (service_key,
+    event_type, incident_key, description, details = the full event) as
+    NDJSON — one POST body per event, sprintf-able description and
+    incident_key."""
+
+    path: str
+    service_key: str
+    description: str = "Logstash event"
+    incident_key: str = "logstash/%{host}"
+    event_type: str = "trigger"
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.event import sprintf_col
+        from logstash_spark.operators.codecs import encode_json
+
+        d = strip_internal(df)
+
+        def render(t: str):
+            return sprintf_col(t, d) if "%{" in t else F.lit(t)
+
+        enc = encode_json(df, target="_details", drop_fields=False)
+        payload = F.to_json(F.struct(
+            F.lit(self.service_key).alias("service_key"),
+            F.lit(self.event_type).alias("event_type"),
+            render(self.incident_key).alias("incident_key"),
+            render(self.description).alias("description"),
+            F.col("_details").alias("details"),
+        ))
+        enc.select(payload.alias("line")).write.mode("append").text(self.path)
+        return self.path
+
+
+@dataclass
 class CollectSink(Sink):
     """Testing sink: materializes (the stdout/rubydebug analog)."""
 

@@ -136,3 +136,38 @@ def test_graphite_opentsdb_multi_metric_hash(spark, tmp_path):
     tsdb = sorted(l.strip() for f in glob.glob(f"{tmp_path}/opentsdb_1/part-*") for l in open(f) if l.strip())
     assert [t.split(" ")[1] for t in tsdb] == ["t.load", "t.mem"]
     assert [t.split(" ")[3] for t in tsdb] == ["0.5", "7.0"]
+
+
+def test_nagios_and_pagerduty_outputs(spark, tmp_path):
+    """nagios: the external-command wire line; pagerduty: the events-API
+    payload with sprintf'd incident_key/description and full-event
+    details."""
+    import json
+
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'output {\n'
+        '  nagios { nagios_level => 1 }\n'
+        '  pagerduty { service_key => "sk1" incident_key => "ls/%{host}" '
+        'description => "%{message}" }\n'
+        '}',
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame(
+        [("disk full", "web1", "check_disk", "2013-01-01 00:00:00")],
+        "message string, nagios_host string, nagios_service string, ts string",
+    )
+    df = df.withColumn("@timestamp", df["ts"].cast("timestamp")).drop("ts") \
+           .withColumn("host", df["nagios_host"])
+    pipe.run(df)
+
+    nag = spark.read.text(str(tmp_path / "nagios_0")).collect()[0]["value"]
+    assert nag == "[1356998400] PROCESS_SERVICE_CHECK_RESULT;web1;check_disk;1;disk full"
+
+    pd_line = json.loads(spark.read.text(str(tmp_path / "pagerduty_1")).collect()[0]["value"])
+    assert pd_line["service_key"] == "sk1"
+    assert pd_line["incident_key"] == "ls/web1"
+    assert pd_line["description"] == "disk full"
+    assert pd_line["event_type"] == "trigger"
+    assert json.loads(pd_line["details"])["nagios_service"] == "check_disk"
