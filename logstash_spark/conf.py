@@ -38,6 +38,7 @@ from logstash_spark.sinks import (
     NagiosSink,
     NullSink,
     PagerdutySink,
+    RabbitmqSink,
     RedisSink,
     SprintfFileSink,
     OpentsdbSink,
@@ -861,6 +862,8 @@ _OUTPUT_OPTS: dict[str, set] = {
     "http": {"url", "http_method", "content_type", "format", "headers",
              "mapping"},
     "nagios": {"commandfile", "host", "service", "nagios_level"},
+    "rabbitmq": {"exchange", "exchange_type", "key", "host", "port", "user",
+                 "password", "vhost", "durable", "persistent"},
     "pagerduty": {"service_key", "description", "incident_key", "event_type",
                   "details"},
 }
@@ -1014,6 +1017,14 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 url=str(node.attrs["url"]),
                 http_method=str(node.attrs.get("http_method", "post")),
                 content_type=str(node.attrs.get("content_type", "application/json")),
+            )
+        elif node.name == "rabbitmq":
+            if "exchange" not in node.attrs:
+                raise ConfCompileError("rabbitmq output requires exchange")
+            sink = RabbitmqSink(
+                os.path.join(out_dir, f"rabbitmq_{len(outputs)}"),
+                exchange=str(node.attrs["exchange"]),
+                key=str(node.attrs["key"]) if "key" in node.attrs else None,
             )
         elif node.name == "nagios":
             sink = NagiosSink(
@@ -1317,6 +1328,32 @@ def bind_input(spark, node: PluginNode, *, stdin_lines=None):
                 "lines, or port => for a live capture"
             )
         df = decode_graphite(raw, "message")
+    elif node.name == "couchdb_changes":
+        from logstash_spark.sources.pull import couchdb_changes_input
+
+        path = a.get("export") or a.get("path")
+        if not path or "schema" not in a:
+            raise ConfCompileError(
+                "couchdb_changes input: live feed tail is out of sandbox "
+                "scope; needs export => NDJSON of the _changes feed + "
+                "schema => for the docs (file-backed contract, same stance "
+                "as the elasticsearch shim)"
+            )
+        df = couchdb_changes_input(spark, str(path), schema=str(a["schema"]))
+    elif node.name == "rabbitmq":
+        # AMQP payloads map onto the kafka wire contract (exchange ->
+        # topic, routing key -> key) — the documented bus mapping; the
+        # binding decodes a captured queue export
+        from logstash_spark.sources.bus import decode_kafka_records
+
+        path = a.get("export") or a.get("path")
+        if not path or "schema" not in a:
+            raise ConfCompileError(
+                "rabbitmq input: needs export => parquet of the queue "
+                "capture (kafka wire columns; exchange->topic, routing "
+                "key->key) + schema => for the json payloads"
+            )
+        df = decode_kafka_records(spark.read.parquet(str(path)), str(a["schema"]))
     elif node.name == "elasticsearch":
         from logstash_spark.sources.pull import elasticsearch_input
 

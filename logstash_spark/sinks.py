@@ -453,6 +453,27 @@ class RedisSink(Sink):
 
 
 @dataclass
+class RabbitmqSink(Sink):
+    """rabbitmq output mapped onto the kafka wire contract (exchange ->
+    topic, routing key -> key, json payload -> value): writes the full
+    wire frame a consumer binding (`input rabbitmq { export => }`)
+    decodes — file-backed AMQP stand-in, same stance as the kafka shim."""
+
+    path: str
+    exchange: str
+    key: str | None = None
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.sources.bus import encode_kafka_records, kafka_wire_shim
+
+        wire = kafka_wire_shim(
+            encode_kafka_records(df, topic=self.exchange, key_template=self.key)
+        )
+        wire.write.mode("append").parquet(self.path)
+        return self.path
+
+
+@dataclass
 class NagiosSink(Sink):
     """nagios output with the REAL external-command wire line
     (``[epoch] PROCESS_SERVICE_CHECK_RESULT;host;service;level;message``)

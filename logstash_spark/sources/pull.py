@@ -103,3 +103,35 @@ def elasticsearch_input(
         F.col("h._index").alias("_meta_input_index"),
         F.col("h._id").alias("_meta_input_id"),
     ).select("doc.*", "_meta_input_index", "_meta_input_id")
+
+
+def couchdb_changes_input(
+    spark: SparkSession,
+    export_path: str,
+    *,
+    schema: str,
+) -> DataFrame:
+    """``input { couchdb_changes { ... } }`` against a ``_changes``-feed
+    NDJSON export (the continuous feed the plugin tails, one change
+    object per line: ``{"seq":N,"id":"...","changes":[{"rev":".."}],
+    "doc":{...},"deleted":true}``). ``schema`` types the doc
+    (fixed-schema engine, same contract as the elasticsearch shim).
+    Deleted changes keep the row with doc fields null and
+    couchdb_deleted=true (the plugin emits a delete action); the doc's
+    _id/_rev surface as provenance columns, mirroring the plugin's
+    [@metadata] fields. Distributed spark.read.text scan — only the
+    feed tail is shimmed to a file."""
+    raw = spark.read.text(export_path)
+    change_schema = (
+        "seq string, id string, deleted boolean, "
+        f"changes array<struct<rev string>>, doc struct<{schema}>"
+    )
+    parsed = raw.select(F.from_json(F.col("value"), change_schema).alias("c"))
+    parsed = parsed.filter(F.col("c.id").isNotNull())  # skip last_seq/garbage lines
+    return parsed.select(
+        F.col("c.id").alias("couchdb_id"),
+        F.col("c.seq").alias("couchdb_seq"),
+        F.element_at(F.col("c.changes"), 1)["rev"].alias("couchdb_rev"),
+        F.coalesce(F.col("c.deleted"), F.lit(False)).alias("couchdb_deleted"),
+        F.col("c.doc.*"),
+    )

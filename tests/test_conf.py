@@ -1061,3 +1061,43 @@ def test_file_output_sprintf_path_partitions(spark, tmp_path):
         ("/logs/en-2013.01.01.log", "m1"),
         ("/logs/en-2013.01.01.log", "m3"),
     ]
+
+
+def test_couchdb_changes_input(spark, tmp_path):
+    import json
+
+    from logstash_spark.conf import bind_input
+    from logstash_spark.confparser import PluginNode
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "changes.ndjson").write_text("\n".join([
+        json.dumps({"seq": "1-a", "id": "d1", "changes": [{"rev": "1-x"}],
+                    "doc": {"name": "alpha", "n": 3}}),
+        json.dumps({"seq": "2-b", "id": "d2", "changes": [{"rev": "2-y"}],
+                    "deleted": True}),
+        json.dumps({"last_seq": "2-b"}),
+    ]))
+    df = bind_input(spark, PluginNode("couchdb_changes", {
+        "export": str(feed), "schema": "name string, n int"}))
+    rows = sorted((r["couchdb_id"], r["couchdb_deleted"], r["name"]) for r in df.collect())
+    assert rows == [("d1", False, "alpha"), ("d2", True, None)]
+
+
+def test_rabbitmq_broker_roundtrip(spark, tmp_path):
+    """output rabbitmq -> input rabbitmq: AMQP mapped onto the kafka wire
+    contract (exchange->topic, routing key->key)."""
+    from logstash_spark.conf import bind_input, compile_config
+    from logstash_spark.confparser import PluginNode
+
+    pipe, _ = compile_config(
+        'output { rabbitmq { exchange => "logs" key => "%{type}" } }',
+        out_dir=str(tmp_path),
+    )
+    pipe.run(spark.createDataFrame([("m1", "web")], "message string, type string"))
+
+    back = bind_input(spark, PluginNode("rabbitmq", {
+        "export": str(tmp_path / "rabbitmq_0"),
+        "schema": "message string, type string"}))
+    r = back.collect()[0]
+    assert r["message"] == "m1" and r["kafka_topic"] == "logs" and r["kafka_key"] == "web"
