@@ -29,6 +29,7 @@ from logstash_spark.sinks import (
     CollectSink,
     CountSink,
     CsvSink,
+    EmailSink,
     EsBulkSink,
     GelfSink,
     GraphiteSink,
@@ -40,7 +41,9 @@ from logstash_spark.sinks import (
     PagerdutySink,
     RabbitmqSink,
     RedisSink,
+    SnsSink,
     SprintfFileSink,
+    SqsSink,
     OpentsdbSink,
     ParquetSink,
     TcpSink,
@@ -866,6 +869,12 @@ _OUTPUT_OPTS: dict[str, set] = {
                  "password", "vhost", "durable", "persistent"},
     "pagerduty": {"service_key", "description", "incident_key", "event_type",
                   "details"},
+    "email": {"to", "from", "subject", "body", "htmlbody", "via", "options",
+              "match", "attachments", "contenttype"},
+    "sns": {"arn", "subject", "region", "format",
+            "access_key_id", "secret_access_key"},
+    "sqs": {"queue", "region", "batch", "batch_events", "batch_timeout",
+            "access_key_id", "secret_access_key"},
 }
 
 
@@ -1017,6 +1026,31 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 url=str(node.attrs["url"]),
                 http_method=str(node.attrs.get("http_method", "post")),
                 content_type=str(node.attrs.get("content_type", "application/json")),
+            )
+        elif node.name == "email":
+            if "to" not in node.attrs:
+                raise ConfCompileError("email output requires to")
+            sink = EmailSink(
+                os.path.join(out_dir, f"email_{len(outputs)}"),
+                to=str(node.attrs["to"]),
+                from_addr=str(node.attrs.get("from", "logstash.alert@example.com")),
+                subject=str(node.attrs.get("subject", "")),
+                body=str(node.attrs.get("body", "")),
+            )
+        elif node.name == "sns":
+            if "arn" not in node.attrs:
+                raise ConfCompileError("sns output requires arn")
+            sink = SnsSink(
+                os.path.join(out_dir, f"sns_{len(outputs)}"),
+                arn=str(node.attrs["arn"]),
+                subject=str(node.attrs.get("subject", "%{host}")),
+            )
+        elif node.name == "sqs":
+            if "queue" not in node.attrs:
+                raise ConfCompileError("sqs output requires queue")
+            sink = SqsSink(
+                os.path.join(out_dir, f"sqs_{len(outputs)}"),
+                queue=str(node.attrs["queue"]),
             )
         elif node.name == "rabbitmq":
             if "exchange" not in node.attrs:
@@ -1340,6 +1374,20 @@ def bind_input(spark, node: PluginNode, *, stdin_lines=None):
                 "as the elasticsearch shim)"
             )
         df = couchdb_changes_input(spark, str(path), schema=str(a["schema"]))
+    elif node.name == "sqs":
+        # queue capture of (queue, body) json frames — the frame SqsSink
+        # writes; same file-backed bus stance as kafka/redis
+        path = a.get("export") or a.get("path")
+        if not path or "schema" not in a:
+            raise ConfCompileError(
+                "sqs input: needs export => parquet of the queue capture "
+                "(queue, body) + schema => for the json events"
+            )
+        raw = spark.read.parquet(str(path))
+        df = raw.select(
+            F.col("queue").alias("sqs_queue"),
+            F.from_json(F.col("body"), str(a["schema"])).alias("_v"),
+        ).select("sqs_queue", "_v.*")
     elif node.name == "rabbitmq":
         # AMQP payloads map onto the kafka wire contract (exchange ->
         # topic, routing key -> key) — the documented bus mapping; the

@@ -538,6 +538,81 @@ class PagerdutySink(Sink):
 
 
 @dataclass
+class EmailSink(Sink):
+    """email output with the REAL RFC822 message text (From/To/Subject
+    headers + body, all sprintf-able — the plugin's alerting shape),
+    written as parquet rows (to, subject, rfc822): one SMTP send away."""
+
+    path: str
+    to: str
+    from_addr: str = "logstash.alert@example.com"
+    subject: str = ""
+    body: str = ""
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.event import event_to_json, sprintf_col
+
+        d = strip_internal(df)
+
+        def render(t: str):
+            return sprintf_col(t, d) if "%{" in t else F.lit(t)
+
+        body = render(self.body) if self.body else event_to_json(d)
+        rfc822 = F.concat(
+            F.lit(f"From: {self.from_addr}\r\n"),
+            F.lit("To: "), render(self.to), F.lit("\r\n"),
+            F.lit("Subject: "), render(self.subject), F.lit("\r\n\r\n"),
+            body,
+        )
+        out = d.select(render(self.to).alias("to"),
+                       render(self.subject).alias("subject"),
+                       rfc822.alias("rfc822"))
+        out.write.mode("append").parquet(self.path)
+        return self.path
+
+
+@dataclass
+class SnsSink(Sink):
+    """sns output: (topic_arn, subject, message) publish frames — the
+    plugin's json-event message under a sprintf-able subject."""
+
+    path: str
+    arn: str
+    subject: str = "%{host}"
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.event import event_to_json, sprintf_col
+
+        d = strip_internal(df)
+        subj = sprintf_col(self.subject, d) if "%{" in self.subject else F.lit(self.subject)
+        out = d.select(
+            F.lit(self.arn).alias("topic_arn"),
+            subj.alias("subject"),
+            event_to_json(d).alias("message"),
+        )
+        out.write.mode("append").parquet(self.path)
+        return self.path
+
+
+@dataclass
+class SqsSink(Sink):
+    """sqs output: (queue, body) send frames — json-serialized events,
+    the wire `input sqs { export => }` decodes (bus-shim stance)."""
+
+    path: str
+    queue: str
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.event import event_to_json
+
+        d = strip_internal(df)
+        out = d.select(F.lit(self.queue).alias("queue"),
+                       event_to_json(d).alias("body"))
+        out.write.mode("append").parquet(self.path)
+        return self.path
+
+
+@dataclass
 class CollectSink(Sink):
     """Testing sink: materializes (the stdout/rubydebug analog)."""
 

@@ -171,3 +171,39 @@ def test_nagios_and_pagerduty_outputs(spark, tmp_path):
     assert pd_line["description"] == "disk full"
     assert pd_line["event_type"] == "trigger"
     assert json.loads(pd_line["details"])["nagios_service"] == "check_disk"
+
+
+def test_email_sns_sqs_outputs(spark, tmp_path):
+    """email: RFC822 message with sprintf'd To/Subject; sns: publish
+    frame; sqs: (queue, body) frame that input sqs round-trips."""
+    from logstash_spark.conf import bind_input, compile_config
+    from logstash_spark.confparser import PluginNode
+
+    pipe, _ = compile_config(
+        'output {\n'
+        '  email { to => "ops-%{team}@example.com" subject => "ALERT %{message}" '
+        'body => "%{message} on %{host}" }\n'
+        '  sns { arn => "arn:aws:sns:us-east-1:1:alerts" subject => "%{host}" }\n'
+        '  sqs { queue => "events" }\n'
+        '}',
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame(
+        [("disk full", "web1", "infra")], "message string, host string, team string"
+    )
+    pipe.run(df)
+
+    em = spark.read.parquet(str(tmp_path / "email_0")).collect()[0]
+    assert em["to"] == "ops-infra@example.com"
+    assert em["subject"] == "ALERT disk full"
+    assert em["rfc822"].startswith("From: logstash.alert@example.com\r\nTo: ops-infra@example.com\r\n")
+    assert em["rfc822"].endswith("\r\n\r\ndisk full on web1")
+
+    sns = spark.read.parquet(str(tmp_path / "sns_1")).collect()[0]
+    assert sns["subject"] == "web1" and '"message":"disk full"' in sns["message"]
+
+    back = bind_input(spark, PluginNode("sqs", {
+        "export": str(tmp_path / "sqs_2"),
+        "schema": "message string, host string, team string"}))
+    r = back.collect()[0]
+    assert r["sqs_queue"] == "events" and r["message"] == "disk full"
