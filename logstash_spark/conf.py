@@ -26,6 +26,7 @@ _BRANCH_SEQ = 0
 from logstash_spark.confparser import Config, IfNode, PluginNode, parse_config
 from logstash_spark.pipeline import Output, Pipeline, Stage
 from logstash_spark.sinks import (
+    CloudwatchSink,
     CollectSink,
     CountSink,
     CsvSink,
@@ -871,6 +872,9 @@ _OUTPUT_OPTS: dict[str, set] = {
                   "details"},
     "email": {"to", "from", "subject", "body", "htmlbody", "via", "options",
               "match", "attachments", "contenttype"},
+    "cloudwatch": {"namespace", "metricname", "unit", "value", "field_value",
+                   "timeframe", "region", "queue_size",
+                   "access_key_id", "secret_access_key"},
     "sns": {"arn", "subject", "region", "format",
             "access_key_id", "secret_access_key"},
     "sqs": {"queue", "region", "batch", "batch_events", "batch_timeout",
@@ -1026,6 +1030,17 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 url=str(node.attrs["url"]),
                 http_method=str(node.attrs.get("http_method", "post")),
                 content_type=str(node.attrs.get("content_type", "application/json")),
+            )
+        elif node.name == "cloudwatch":
+            tf = node.attrs.get("timeframe", "60")
+            sink = CloudwatchSink(
+                os.path.join(out_dir, f"cloudwatch_{len(outputs)}"),
+                namespace=str(node.attrs.get("namespace", "Logstash")),
+                metricname=str(node.attrs.get("metricname", "EventCount")),
+                unit=str(node.attrs.get("unit", "Count")),
+                value_field=_sprintf_field(str(node.attrs["field_value"]))
+                if "field_value" in node.attrs else None,
+                timeframe=f"{int(tf)} seconds" if str(tf).isdigit() else str(tf),
             )
         elif node.name == "email":
             if "to" not in node.attrs:

@@ -613,6 +613,52 @@ class SqsSink(Sink):
 
 
 @dataclass
+class CloudwatchSink(Sink):
+    """cloudwatch output: the plugin BUFFERS events and flushes
+    AGGREGATED datapoints per (namespace, metric, unit, timeframe) —
+    count/sum/min/max per window, not one API call per event. The
+    Spark-first mapping is exactly that contract as a windowed
+    aggregate: one shuffle on the datapoint key, map-side partial aggs,
+    emitted as PutMetricData-shaped rows. Scales as any groupBy —
+    datapoint cardinality, not event cardinality, leaves the executors."""
+
+    path: str
+    namespace: str = "Logstash"
+    metricname: str = "EventCount"
+    unit: str = "Count"
+    value_field: str | None = None  # None -> each event contributes 1.0
+    timeframe: str = "60 seconds"
+
+    def write(self, df: DataFrame) -> Any:
+        d = strip_internal(df)
+        val = (
+            F.col(self.value_field).cast("double")
+            if self.value_field and self.value_field in d.columns
+            else F.lit(1.0)
+        )
+        ts = F.col("@timestamp") if "@timestamp" in d.columns else F.current_timestamp()
+        out = (
+            d.select(F.window(ts, self.timeframe).start.alias("timestamp"),
+                     val.alias("_v"))
+            .groupBy("timestamp")
+            .agg(
+                F.count("_v").alias("sample_count"),
+                F.sum("_v").alias("sum"),
+                F.min("_v").alias("minimum"),
+                F.max("_v").alias("maximum"),
+            )
+            .select(
+                F.lit(self.namespace).alias("namespace"),
+                F.lit(self.metricname).alias("metric_name"),
+                F.lit(self.unit).alias("unit"),
+                "timestamp", "sample_count", "sum", "minimum", "maximum",
+            )
+        )
+        out.write.mode("append").parquet(self.path)
+        return self.path
+
+
+@dataclass
 class CollectSink(Sink):
     """Testing sink: materializes (the stdout/rubydebug analog)."""
 

@@ -207,3 +207,30 @@ def test_email_sns_sqs_outputs(spark, tmp_path):
         "schema": "message string, host string, team string"}))
     r = back.collect()[0]
     assert r["sqs_queue"] == "events" and r["message"] == "disk full"
+
+
+def test_cloudwatch_output_aggregates_datapoints(spark, tmp_path):
+    """cloudwatch buffers and flushes AGGREGATED datapoints per timeframe
+    (count/sum/min/max), not one call per event — exactly a windowed
+    aggregate in Spark."""
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'output { cloudwatch { namespace => "App" metricname => "Bytes" '
+        'unit => "Bytes" field_value => "%{nbytes}" timeframe => 60 } }',
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame(
+        [("2013-01-01 00:00:10", 100), ("2013-01-01 00:00:50", 300),
+         ("2013-01-01 00:01:10", 50)],
+        "ts string, nbytes int",
+    )
+    df = df.withColumn("@timestamp", df["ts"].cast("timestamp")).drop("ts")
+    pipe.run(df)
+
+    rows = {str(r["timestamp"]): r for r in
+            spark.read.parquet(str(tmp_path / "cloudwatch_0")).collect()}
+    w1 = rows["2013-01-01 00:00:00"]
+    assert (w1["sample_count"], w1["sum"], w1["minimum"], w1["maximum"]) == (2, 400.0, 100.0, 300.0)
+    assert rows["2013-01-01 00:01:00"]["sum"] == 50.0
+    assert w1["namespace"] == "App" and w1["metric_name"] == "Bytes" and w1["unit"] == "Bytes"
