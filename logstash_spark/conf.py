@@ -37,6 +37,7 @@ from logstash_spark.sinks import (
     JsonLinesSink,
     LumberjackSink,
     HttpSink,
+    IrcSink,
     NagiosSink,
     NullSink,
     PagerdutySink,
@@ -866,6 +867,8 @@ _OUTPUT_OPTS: dict[str, set] = {
     "http": {"url", "http_method", "content_type", "format", "headers",
              "mapping"},
     "nagios": {"commandfile", "host", "service", "nagios_level"},
+    "irc": {"host", "port", "nick", "user", "real", "password", "channels",
+            "format", "secure"},
     "rabbitmq": {"exchange", "exchange_type", "key", "host", "port", "user",
                  "password", "vhost", "durable", "persistent"},
     "pagerduty": {"service_key", "description", "incident_key", "event_type",
@@ -1074,6 +1077,14 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 os.path.join(out_dir, f"rabbitmq_{len(outputs)}"),
                 exchange=str(node.attrs["exchange"]),
                 key=str(node.attrs["key"]) if "key" in node.attrs else None,
+            )
+        elif node.name == "irc":
+            if "channels" not in node.attrs:
+                raise ConfCompileError("irc output requires channels")
+            sink = IrcSink(
+                os.path.join(out_dir, f"irc_{len(outputs)}"),
+                channels=tuple(str(c) for c in _listify(node.attrs["channels"])),
+                format=str(node.attrs.get("format", "%{message}")),
             )
         elif node.name == "nagios":
             sink = NagiosSink(

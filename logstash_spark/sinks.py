@@ -613,6 +613,30 @@ class SqsSink(Sink):
 
 
 @dataclass
+class IrcSink(Sink):
+    """irc output with the REAL client protocol line
+    (``PRIVMSG #channel :<formatted event>``) per event, one text line
+    per (channel × event) — the bytes an IRC session writes; format is
+    the plugin's sprintf message template."""
+
+    path: str
+    channels: tuple[str, ...] = ("#logstash",)
+    format: str = "%{message}"
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.event import sprintf_col
+
+        d = strip_internal(df)
+        msg = sprintf_col(self.format, d) if "%{" in self.format else F.lit(self.format)
+        out = d.select(
+            F.explode(F.array(*[F.lit(c) for c in self.channels])).alias("_ch"),
+            msg.alias("_m"),
+        ).select(F.concat(F.lit("PRIVMSG "), F.col("_ch"), F.lit(" :"), F.col("_m")).alias("line"))
+        out.write.mode("append").text(self.path)
+        return self.path
+
+
+@dataclass
 class CloudwatchSink(Sink):
     """cloudwatch output: the plugin BUFFERS events and flushes
     AGGREGATED datapoints per (namespace, metric, unit, timeframe) —

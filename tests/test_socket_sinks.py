@@ -234,3 +234,15 @@ def test_cloudwatch_output_aggregates_datapoints(spark, tmp_path):
     assert (w1["sample_count"], w1["sum"], w1["minimum"], w1["maximum"]) == (2, 400.0, 100.0, 300.0)
     assert rows["2013-01-01 00:01:00"]["sum"] == 50.0
     assert w1["namespace"] == "App" and w1["metric_name"] == "Bytes" and w1["unit"] == "Bytes"
+
+
+def test_irc_output_privmsg_lines(spark, tmp_path):
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'output { irc { channels => ["#ops", "#alerts"] format => "%{host}: %{message}" } }',
+        out_dir=str(tmp_path),
+    )
+    pipe.run(spark.createDataFrame([("down", "web1")], "message string, host string"))
+    lines = sorted(r["value"] for r in spark.read.text(str(tmp_path / "irc_0")).collect())
+    assert lines == ["PRIVMSG #alerts :web1: down", "PRIVMSG #ops :web1: down"]
