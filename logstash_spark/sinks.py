@@ -637,6 +637,110 @@ class IrcSink(Sink):
 
 
 @dataclass
+class GangliaSink(Sink):
+    """ganglia output with the REAL gmetric 3.1 XDR packets (metadata +
+    string-value pair per event, the bytes the plugin's gmetric gem puts
+    on the UDP wire) written as a parquet of binary ``packet`` blobs —
+    the exact shape ``input ganglia { export => }`` decodes, so
+    output->input round-trips the protocol. metric/value take sprintf
+    templates. Map-only Arrow pass, no shuffle."""
+
+    path: str
+    metric: str
+    value: str
+    units: str = ""
+    ganglia_type: str = "uint8"
+    slope: int = 3
+    lifetime: int = 0     # plugin: dmax
+    max_interval: int = 60  # plugin: tmax
+    host_field: str = "host"
+
+    def write(self, df: DataFrame) -> Any:
+        import pandas as pd
+
+        from logstash_spark.event import sprintf_col
+        from logstash_spark.operators.netproto import encode_ganglia
+
+        d = strip_internal(df)
+
+        def render(t: str):
+            return sprintf_col(t, d) if "%{" in t else F.lit(t)
+
+        host = (F.col(self.host_field).cast("string") if self.host_field in d.columns
+                else F.lit("unknown"))
+        proj = d.select(host.alias("h"), render(self.metric).alias("m"),
+                        render(self.value).cast("string").alias("v"))
+        gt, un, sl, tm, dm = (self.ganglia_type, self.units, self.slope,
+                              self.max_interval, self.lifetime)
+
+        def pack(it):
+            for pdf in it:
+                blobs = []
+                for h, m, v in zip(pdf["h"], pdf["m"], pdf["v"]):
+                    meta, val = encode_ganglia(
+                        h or "unknown", m, v if v is not None else "",
+                        ganglia_type=gt, units=un, slope=sl, tmax=tm, dmax=dm)
+                    blobs.append(meta)
+                    blobs.append(val)
+                # column named 'bytes' = the capture-table convention every
+                # binary input decoder defaults to (gelf/snmptrap/ganglia)
+                yield pd.DataFrame({"bytes": blobs})
+
+        proj.mapInPandas(pack, "bytes binary").write.mode("append").parquet(self.path)
+        return self.path
+
+
+@dataclass
+class NagiosNscaSink(Sink):
+    """nagios_nsca output with the REAL NSCA v3 720-byte data_packet
+    frames (version, crc32, timestamp, return code, fixed-width
+    host/service/output — the bytes send_nsca puts on the wire after the
+    handshake, encryption mode 0 so the frame is deterministic), written
+    as a parquet of binary ``frame`` blobs that ``decode_nsca``
+    round-trips. host/service/status/message are the plugin's
+    sprintf-able options."""
+
+    path: str
+    nagios_host: str = "%{host}"
+    nagios_service: str = "LogstashAlert"
+    nagios_status: str = "2"
+    message_format: str = "%{@timestamp} %{host}: %{message}"
+
+    def write(self, df: DataFrame) -> Any:
+        import pandas as pd
+
+        from logstash_spark.event import sprintf_col
+        from logstash_spark.operators.netproto import encode_nsca
+
+        d = strip_internal(df)
+
+        def render(t: str):
+            return sprintf_col(t, d) if "%{" in t else F.lit(t)
+
+        ts = (F.unix_timestamp(F.col("@timestamp")) if "@timestamp" in d.columns
+              else F.lit(0)).cast("long")
+        proj = d.select(
+            render(self.nagios_host).alias("h"),
+            render(self.nagios_service).alias("s"),
+            render(self.nagios_status).cast("int").alias("c"),
+            render(self.message_format).alias("o"),
+            ts.alias("t"),
+        )
+
+        def pack(it):
+            for pdf in it:
+                frames = [
+                    encode_nsca(h or "", s or "", int(c) if c == c and c is not None else 3,
+                                o or "", timestamp=int(t) if t == t and t is not None else 0)
+                    for h, s, c, o, t in zip(pdf["h"], pdf["s"], pdf["c"], pdf["o"], pdf["t"])
+                ]
+                yield pd.DataFrame({"frame": frames})
+
+        proj.mapInPandas(pack, "frame binary").write.mode("append").parquet(self.path)
+        return self.path
+
+
+@dataclass
 class CloudwatchSink(Sink):
     """cloudwatch output: the plugin BUFFERS events and flushes
     AGGREGATED datapoints per (namespace, metric, unit, timeframe) —

@@ -1,0 +1,153 @@
+"""ganglia XDR / nagios_nsca NSCA-frame / snmptrap BER wire protocols:
+encode->decode round trips, .conf compile-and-run, hostile input."""
+import struct
+
+import pytest
+
+from logstash_spark.operators.netproto import (
+    NSCA_SIZE,
+    decode_ganglia,
+    decode_nsca,
+    decode_snmptrap,
+    encode_ganglia,
+    encode_nsca,
+    encode_snmp_trap,
+)
+
+
+def test_ganglia_round_trip(spark):
+    meta, val = encode_ganglia(
+        "web1", "cpu_load", "0.75", ganglia_type="float", units="pct",
+        slope=3, tmax=60, dmax=120)
+    # metadata packet precedes value packet, as gmond sends them
+    df = spark.createDataFrame([(meta,), (val,)], "bytes binary")
+    rows = decode_ganglia(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["host"], r["name"], r["val"]) == ("web1", "cpu_load", "0.75")
+    assert (r["ganglia_type"], r["units"], r["slope"], r["tmax"], r["dmax"]) == (
+        "float", "pct", 3, 60, 120)
+
+
+def test_ganglia_value_without_metadata_still_emits(spark):
+    _, val = encode_ganglia("db1", "qps", "123")
+    df = spark.createDataFrame([(val,), (b"\x00\x01junk",), (None,)], "bytes binary")
+    rows = decode_ganglia(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["val"] == "123" and rows[0]["ganglia_type"] is None
+
+
+def test_ganglia_conf_output_input_round_trip(spark, tmp_path):
+    from logstash_spark.conf import bind_input, compile_config
+    from logstash_spark.confparser import parse_config
+
+    pipe, _ = compile_config(
+        'output { ganglia { metric => "apache.%{vhost}" value => "%{bytes}" '
+        'units => "b" ganglia_type => "uint32" slope => "positive" } }',
+        out_dir=str(tmp_path),
+    )
+    pipe.run(spark.createDataFrame(
+        [("a.example", "512", "h1"), ("b.example", "1024", "h2")],
+        "vhost string, bytes string, host string"))
+    packets = str(tmp_path / "ganglia_0")
+    assert spark.read.parquet(packets).count() == 4  # meta+value per event
+
+    cfg = parse_config(
+        'input { ganglia { export => "%s" } }' % packets)
+    got = {(r["name"], r["val"], r["units"], r["slope"])
+           for r in bind_input(spark, cfg.section("input")[0]).collect()}
+    assert got == {("apache.a.example", "512", "b", 1),
+                   ("apache.b.example", "1024", "b", 1)}
+
+
+def test_nsca_frame_shape_and_round_trip(spark):
+    frame = encode_nsca("web1", "disk", 2, "DISK CRITICAL /var 96%",
+                        timestamp=1700000000)
+    assert len(frame) == NSCA_SIZE == 720
+    assert struct.unpack_from(">h", frame, 0)[0] == 3  # packet_version
+    df = spark.createDataFrame([(frame,), (b"short",)], "bytes binary")
+    rows = decode_nsca(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["nagios_host"], r["nagios_service"], r["return_code"]) == (
+        "web1", "disk", 2)
+    assert r["output"] == "DISK CRITICAL /var 96%"
+    assert r["timestamp"] == 1700000000 and r["crc_ok"]
+
+
+def test_nsca_corrupt_crc_flagged(spark):
+    frame = bytearray(encode_nsca("h", "s", 1, "warn"))
+    frame[100] ^= 0xFF  # flip a byte inside host_name
+    rows = decode_nsca(
+        spark.createDataFrame([(bytes(frame),)], "bytes binary")).collect()
+    assert len(rows) == 1 and rows[0]["crc_ok"] is False
+
+
+def test_nagios_nsca_conf_output(spark, tmp_path):
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'output { nagios_nsca { nagios_host => "%{host}" '
+        'nagios_service => "app" nagios_status => "%{level}" '
+        'message_format => "%{message}" } }',
+        out_dir=str(tmp_path),
+    )
+    pipe.run(spark.createDataFrame(
+        [("web1", "2", "it broke")], "host string, level string, message string"))
+    rows = decode_nsca(
+        spark.read.parquet(str(tmp_path / "nagios_nsca_0")), "frame").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["nagios_host"], r["nagios_service"], r["return_code"], r["output"]) == (
+        "web1", "app", 2, "it broke")
+    assert r["crc_ok"]
+
+
+def test_snmptrap_v2c_decode(spark):
+    pkt = encode_snmp_trap(
+        version=1, community="public", trap_oid="1.3.6.1.4.1.8072.2.3.0.1",
+        uptime=4242, varbinds={"1.3.6.1.4.1.8072.2.3.2.1": "too hot"})
+    rows = decode_snmptrap(
+        spark.createDataFrame([(pkt,)], "bytes binary")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["version"] == 1 and r["community"] == "public"
+    assert r["trap_oid"] == "1.3.6.1.4.1.8072.2.3.0.1"
+    assert r["timestamp"] == 4242
+    assert r["varbinds"]["1.3.6.1.4.1.8072.2.3.2.1"] == "too hot"
+    assert r["tags"] == []
+
+
+def test_snmptrap_v1_decode(spark):
+    pkt = encode_snmp_trap(
+        version=0, community="priv", trap_oid="1.3.6.1.4.1.9",
+        uptime=99, agent_addr="192.168.1.7", generic=6, specific=33,
+        varbinds={"1.3.6.1.2.1.1.5.0": "router1"})
+    r = decode_snmptrap(
+        spark.createDataFrame([(pkt,)], "bytes binary")).collect()[0]
+    assert r["version"] == 0 and r["community"] == "priv"
+    assert r["trap_oid"] == "1.3.6.1.4.1.9"
+    assert r["agent_addr"] == "192.168.1.7"
+    assert (r["generic_trap"], r["specific_trap"], r["timestamp"]) == (6, 33, 99)
+    assert r["varbinds"]["1.3.6.1.2.1.1.5.0"] == "router1"
+
+
+@pytest.mark.parametrize("junk", [b"", b"\x30\x02\x02", b"\xff" * 40,
+                                  b"\x30\x84\xff\xff\xff\xff rest"])
+def test_snmptrap_hostile_bytes_tagged(spark, junk):
+    r = decode_snmptrap(
+        spark.createDataFrame([(junk,)], "bytes binary")).collect()[0]
+    assert r["tags"] == ["_snmptrapparsefailure"]
+    assert r["varbinds"] == {}
+
+
+def test_snmptrap_conf_input(spark, tmp_path):
+    from logstash_spark.conf import bind_input
+    from logstash_spark.confparser import parse_config
+
+    pkt = encode_snmp_trap(version=1, varbinds={"1.3.6.1.2.1.1.1.0": "ok"})
+    cap = str(tmp_path / "traps")
+    spark.createDataFrame([(pkt,)], "bytes binary").write.parquet(cap)
+    cfg = parse_config('input { snmptrap { export => "%s" } }' % cap)
+    rows = bind_input(spark, cfg.section("input")[0]).collect()
+    assert len(rows) == 1 and rows[0]["varbinds"]["1.3.6.1.2.1.1.1.0"] == "ok"
