@@ -70,6 +70,7 @@ HEADLINE = [
     # round-3 additions
     "ann_ivf_topk",
     "media_features",
+    "audio_features",
     "codec_msgpack",
     # round-3 corpus hygiene
     "pii_redact",

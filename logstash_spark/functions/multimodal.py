@@ -336,3 +336,115 @@ def frame_sample(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames)).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAV PCM — stdlib struct, the same no-external-codec stance as
+# parse_ppm/parse_bmp. The synthetic waveform is a closed-form function of
+# (media_id, sample index), so DuckDB regenerates the exact samples and the
+# decode stage carries a FULL value oracle (all features are integer-exact:
+# peak / sum of squares / negative-sample count — no float drift).
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """Build a real RIFF/WAVE file: 16-bit little-endian PCM."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(buf: bytes):
+    """Parse RIFF/WAVE (PCM 16-bit): returns (sample_rate, channels,
+    samples list[int]) or None. Chunk-walks the container (fmt /data may
+    be preceded by LIST etc.); truncated/odd chunks -> None."""
+    import struct
+
+    if buf is None or len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8:pos + 8 + sz]
+        if len(body) < sz:
+            return None
+        if cid == b"fmt " and sz >= 16:
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 1:  # PCM only
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks pad to even
+    if rate is None or data is None or bits != 16 or not channels:
+        return None
+    n = len(data) // 2
+    return rate, channels, list(struct.unpack(f"<{n}h", data[: n * 2]))
+
+
+def synthetic_audio(spark, n: int = 200) -> DataFrame:
+    """Deterministic audio table: `bytes` = a REAL mono 16-bit WAV whose
+    k-th sample is ((media_id*37 + k*11) % 2048) - 1024 — decodable by
+    parse_wav AND regenerable in closed form by the SQL oracle.
+    sample_rate and length vary by id so duration math is exercised."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rate = 8000 + (i % 3) * 4000
+                ns = 256 + (i % 5) * 64
+                samples = [((i * 37 + k * 11) % 2048) - 1024 for k in range(ns)]
+                rows.append((i, encode_wav(samples, rate),
+                             ("audio/wav", rate, ns)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "meta"])
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "media_id bigint, bytes binary, "
+        "meta struct<mime:string, sample_rate:int, n_samples:int>",
+    )
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL WAV decode + integer-exact signal features: peak amplitude,
+    energy (sum of squares), negative-sample count, duration. Arrow-batched
+    map-only pass (one packet in, one row out, no shuffle — linear at any
+    corpus size); unparseable bytes are skipped (netflow stance)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(
+        "media_id bigint, sample_rate int, channels int, n_samples int, "
+        "duration_ms int, peak_amp int, sum_sq bigint, n_neg int")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["bytes"]):
+                parsed = parse_wav(bytes(raw) if raw is not None else None)
+                if parsed is None:
+                    continue
+                rate, channels, s = parsed
+                n = len(s)
+                rows.append((
+                    int(mid), rate, channels, n,
+                    n * 1000 // (rate * channels) if rate else 0,
+                    max((abs(v) for v in s), default=0),
+                    sum(v * v for v in s),
+                    sum(1 for v in s if v < 0),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "channels",
+                               "n_samples", "duration_ms", "peak_amp",
+                               "sum_sq", "n_neg"])
+
+    return df.select("media_id", "bytes").mapInPandas(batches, out_schema)

@@ -1800,6 +1800,40 @@ def media_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_ahash(m)
 
 
+_AUDIO_ORACLE = """WITH m AS (
+  SELECT id AS media_id, CAST(8000 + (id % 3) * 4000 AS INT) AS rate,
+         CAST(256 + (id % 5) * 64 AS INT) AS n
+  FROM range(200) t(id)
+), s AS (
+  -- the synthetic waveform in closed form (multimodal.synthetic_audio);
+  -- generate_series can't take a lateral bound here, so over-generate to
+  -- the max length (512) and filter — sf-bounded, 200 x 512 rows
+  SELECT media_id, rate, n, ((media_id * 37 + g.k * 11) % 2048) - 1024 AS v
+  FROM m, generate_series(0, 511) g(k) WHERE g.k < m.n
+)
+SELECT media_id,
+       MAX(rate) AS sample_rate, CAST(1 AS INT) AS channels,
+       MAX(n) AS n_samples,
+       CAST(FLOOR(MAX(n) * 1000.0 / MAX(rate)) AS INT) AS duration_ms,
+       CAST(MAX(ABS(v)) AS INT) AS peak_amp,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS INT) AS n_neg
+FROM s GROUP BY media_id"""
+
+
+@q("audio_features", _AUDIO_ORACLE)
+def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode via the stdlib RIFF/WAV PCM parser
+    (multimodal.parse_wav) over synthetic-but-valid WAV binaries, then
+    integer-exact signal features (peak / energy / negative-sample count /
+    duration) — fully value-oracled: the waveform is a closed-form function
+    of (media_id, k) that DuckDB regenerates sample-by-sample."""
+    from logstash_spark.functions.multimodal import audio_features, synthetic_audio
+
+    a = synthetic_audio(spark, 200)
+    return audio_features(a)
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (joins/aggregates the enrichment layer builds on)
 # ---------------------------------------------------------------------------

@@ -1248,3 +1248,52 @@ def test_q8_quantization_recall_and_range(spark):
     zero = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "vec_id long, v array<double>")
     zq = zero.select(quantize_q8(F.col("v")).alias("q")).collect()[0]["q"]
     assert list(zq) == [0, 0, 0]
+
+
+def test_wav_encode_parse_round_trip():
+    from logstash_spark.functions.multimodal import encode_wav, parse_wav
+
+    s = [0, 100, -100, 32767, -32768, 7]
+    rate, ch, out = parse_wav(encode_wav(s, 44100))
+    assert (rate, ch, out) == (44100, 1, s)
+    # chunk walking: a LIST chunk before fmt/data must not break the parse
+    import struct
+    b = encode_wav(s, 8000)
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    b2 = b"RIFF" + struct.pack("<I", len(b) - 8 + 12) + b"WAVE" + lst + b[12:]
+    assert parse_wav(b2) == (8000, 1, s)
+    # hostile: truncation, wrong magic, non-PCM fmt
+    assert parse_wav(b[:20]) is None
+    assert parse_wav(b"RIFF\x00\x00\x00\x00JUNK") is None
+    nonpcm = bytearray(b)
+    nonpcm[20] = 3  # fmt_tag = IEEE float
+    assert parse_wav(bytes(nonpcm)) is None
+
+
+def test_audio_features_hand_computed(spark):
+    from logstash_spark.functions.multimodal import audio_features, encode_wav
+
+    s = [10, -20, 0, 5, -1]
+    df = spark.createDataFrame([(1, encode_wav(s, 1000)), (2, b"garbage")],
+                               "media_id long, bytes binary")
+    rows = audio_features(df).collect()
+    assert len(rows) == 1  # garbage skipped
+    r = rows[0]
+    assert (r["sample_rate"], r["channels"], r["n_samples"]) == (1000, 1, 5)
+    assert r["duration_ms"] == 5  # 5 samples at 1 kHz
+    assert r["peak_amp"] == 20
+    assert r["sum_sq"] == 100 + 400 + 0 + 25 + 1
+    assert r["n_neg"] == 2
+
+
+def test_synthetic_audio_matches_closed_form(spark):
+    from logstash_spark.functions.multimodal import parse_wav, synthetic_audio
+
+    rows = synthetic_audio(spark, 7).collect()
+    assert len(rows) == 7
+    for r in rows:
+        i = r["media_id"]
+        rate, ch, s = parse_wav(bytes(r["bytes"]))
+        assert rate == 8000 + (i % 3) * 4000 and ch == 1
+        assert len(s) == 256 + (i % 5) * 64
+        assert s[3] == ((i * 37 + 33) % 2048) - 1024
