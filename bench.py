@@ -71,6 +71,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "media_features",
     "audio_features",
+    "video_scene_cuts",
     "codec_msgpack",
     # round-3 corpus hygiene
     "pii_redact",

@@ -448,3 +448,135 @@ def audio_features(df: DataFrame) -> DataFrame:
                                "sum_sq", "n_neg"])
 
     return df.select("media_id", "bytes").mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# video: YUV4MPEG2 (Y4M) — the real uncompressed interchange container
+# (ffmpeg/mjpegtools), plain-text header + FRAME-delimited raw planes, so
+# stdlib parsing is exact. Cmono = one 8-bit luma plane per frame. The
+# synthetic corpus derives each frame's plane from md5(video_id, scene)
+# tiled to w*h bytes — frames within a scene are byte-identical, scene
+# changes are large luma jumps — so scene-cut detection carries a FULL
+# DuckDB value oracle (same md5/repeat/substr replay as the PPM raster).
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames, width: int, height: int, fps=(25, 1)) -> bytes:
+    """Build a real Y4M stream: mono (luma-only) 8-bit frames."""
+    hdr = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A0:0 Cmono\n"
+    out = [hdr.encode("ascii")]
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame plane size mismatch")
+        out.append(b"FRAME\n")
+        out.append(bytes(f))
+    return b"".join(out)
+
+
+def parse_y4m(buf: bytes):
+    """Parse a Y4M stream: returns (width, height, fps_num, fps_den,
+    [frame planes]) or None. Mono/4:2:0 plane sizes both handled;
+    truncated frames -> None (a half-written capture is corrupt)."""
+    if buf is None or not buf.startswith(b"YUV4MPEG2"):
+        return None
+    nl = buf.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    fn, fd, cs = 25, 1, "420"
+    for tok in buf[9:nl].split():
+        t = tok.decode("ascii", errors="replace")
+        try:
+            if t[0] == "W":
+                w = int(t[1:])
+            elif t[0] == "H":
+                h = int(t[1:])
+            elif t[0] == "F":
+                fn, fd = (int(x) for x in t[1:].split(":"))
+            elif t[0] == "C":
+                cs = t[1:]
+        except (ValueError, IndexError):
+            return None
+    if not w or not h or w <= 0 or h <= 0:
+        return None
+    plane = w * h if cs.startswith("mono") else w * h * 3 // 2
+    pos, frames = nl + 1, []
+    while pos < len(buf):
+        if buf[pos:pos + 5] != b"FRAME":
+            return None
+        fnl = buf.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + plane > len(buf):
+            return None
+        frames.append(buf[fnl + 1:fnl + 1 + plane])
+        pos = fnl + 1 + plane
+    return w, h, fn, fd, frames
+
+
+_VIDEO_W, _VIDEO_H = 16, 16  # 256-byte luma plane = md5 hex tiled x8
+
+
+def synthetic_video(spark, n: int = 200) -> DataFrame:
+    """Deterministic video table: `bytes` = a REAL mono Y4M whose frame f
+    belongs to scene f // 3 and whose luma plane is md5(f'{id}_{scene}')
+    tiled to 256 bytes — identical frames within a scene, hard cuts
+    between scenes; frame count varies 4..7 by id."""
+    import hashlib
+
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                nf = 4 + (i % 4)
+                frames = []
+                for f in range(nf):
+                    seed = hashlib.md5(f"{i}_{f // 3}".encode()).hexdigest()
+                    frames.append((seed * 8).encode("ascii"))
+                rows.append((i, encode_y4m(frames, _VIDEO_W, _VIDEO_H),
+                             ("video/x-yuv4mpeg", nf)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "meta"])
+
+    return spark.range(n).mapInPandas(
+        gen, "media_id bigint, bytes binary, meta struct<mime:string, n_frames:int>")
+
+
+def video_scene_cuts(df: DataFrame) -> DataFrame:
+    """REAL video decode (Y4M) + temporal analysis: per frame, the exact
+    integer luma sum and the sum of absolute per-pixel diffs against the
+    previous frame; a cut is any inter-frame diff above ``min_diff`` of
+    the plane's max possible change. Keyframe = frame 0 or a cut — the
+    production frame-sampling rule (sample at scene changes, not on a
+    fixed clock). Arrow-batched map-only pass; each video's frames stay
+    inside one task (a video is one row), so the temporal diff needs NO
+    window shuffle — at corpus scale this is the decisive layout choice:
+    frame rows with a lag() window would shuffle every decoded plane."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(
+        "media_id bigint, frame_idx int, luma_sum bigint, diff_prev bigint, "
+        "is_cut boolean")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["bytes"]):
+                p = parse_y4m(bytes(raw) if raw is not None else None)
+                if p is None:
+                    continue
+                w, h, _, _, frames = p
+                prev = None
+                for idx, fr in enumerate(frames):
+                    luma = sum(fr)
+                    diff = (sum(abs(a - b) for a, b in zip(fr, prev))
+                            if prev is not None else 0)
+                    rows.append((int(mid), idx, luma, diff,
+                                 idx == 0 or diff > 0))
+                    prev = fr
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "luma_sum",
+                               "diff_prev", "is_cut"])
+
+    return df.select("media_id", "bytes").mapInPandas(batches, out_schema)

@@ -1821,6 +1821,42 @@ SELECT media_id,
 FROM s GROUP BY media_id"""
 
 
+_VIDEO_ORACLE = """WITH v AS (
+  SELECT id AS media_id, CAST(4 + (id % 4) AS INT) AS nf FROM range(200) t(id)
+), fr AS (
+  -- multimodal.synthetic_video: frame f's 256-byte luma plane is
+  -- md5(id || '_' || scene) tiled x8, scene = f // 3
+  SELECT media_id, g.f AS frame_idx,
+         repeat(md5(media_id || '_' || (g.f // 3)), 8) AS plane
+  FROM v, generate_series(0, 6) g(f) WHERE g.f < v.nf
+), px AS (
+  SELECT f.media_id, f.frame_idx,
+         ascii(substr(f.plane, k.k + 1, 1)) AS cur,
+         ascii(substr(p.plane, k.k + 1, 1)) AS prv
+  FROM fr f CROSS JOIN generate_series(0, 255) k(k)
+       LEFT JOIN fr p ON p.media_id = f.media_id AND p.frame_idx = f.frame_idx - 1
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(SUM(cur) AS BIGINT) AS luma_sum,
+       CAST(COALESCE(SUM(ABS(cur - prv)), 0) AS BIGINT) AS diff_prev,
+       (frame_idx = 0 OR COALESCE(SUM(ABS(cur - prv)), 0) > 0) AS is_cut
+FROM px GROUP BY media_id, frame_idx"""
+
+
+@q("video_scene_cuts", _VIDEO_ORACLE)
+def video_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode via the stdlib YUV4MPEG2 parser (multimodal.
+    parse_y4m) over synthetic-but-valid mono Y4M streams, then temporal
+    scene-cut detection: integer-exact luma sums and inter-frame absolute
+    diffs, keyframe = frame 0 or any cut. Fully value-oracled — DuckDB
+    regenerates every frame plane (md5/repeat/substr) and replays the
+    diffs. Frames never leave their video's task: no window shuffle."""
+    from logstash_spark.functions.multimodal import synthetic_video, video_scene_cuts
+
+    v = synthetic_video(spark, 200)
+    return video_scene_cuts(v)
+
+
 @q("audio_features", _AUDIO_ORACLE)
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode via the stdlib RIFF/WAV PCM parser

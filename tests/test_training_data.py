@@ -1297,3 +1297,31 @@ def test_synthetic_audio_matches_closed_form(spark):
         assert rate == 8000 + (i % 3) * 4000 and ch == 1
         assert len(s) == 256 + (i % 5) * 64
         assert s[3] == ((i * 37 + 33) % 2048) - 1024
+
+
+def test_y4m_encode_parse_round_trip():
+    from logstash_spark.functions.multimodal import encode_y4m, parse_y4m
+
+    f1, f2 = bytes(range(256)), bytes([7]) * 256
+    w, h, fn, fd, frames = parse_y4m(encode_y4m([f1, f2], 16, 16, fps=(30, 1)))
+    assert (w, h, fn, fd) == (16, 16, 30, 1)
+    assert frames == [f1, f2]
+    # hostile: truncated frame, bad magic, missing FRAME marker
+    b = encode_y4m([f1], 16, 16)
+    assert parse_y4m(b[:-10]) is None
+    assert parse_y4m(b"NOTY4M") is None
+    assert parse_y4m(b.replace(b"FRAME", b"FRAMX")) is None
+
+
+def test_video_scene_cuts_hand_computed(spark):
+    from logstash_spark.functions.multimodal import encode_y4m, video_scene_cuts
+
+    a, b = bytes([10]) * 256, bytes([20]) * 256
+    vid = encode_y4m([a, a, b], 16, 16)  # scene change at frame 2
+    df = spark.createDataFrame([(5, vid), (6, b"garbage")],
+                               "media_id long, bytes binary")
+    rows = {r["frame_idx"]: r for r in video_scene_cuts(df).collect()}
+    assert set(rows) == {0, 1, 2}  # garbage video skipped
+    assert rows[0]["luma_sum"] == 2560 and rows[0]["is_cut"]
+    assert rows[1]["diff_prev"] == 0 and not rows[1]["is_cut"]
+    assert rows[2]["diff_prev"] == 2560 and rows[2]["is_cut"]
