@@ -110,6 +110,9 @@ HEADLINE = [
     "ann_q8_topk",
     "codec_gelf",
     "codec_lumberjack",
+    "codec_ganglia",
+    "codec_nsca",
+    "codec_snmptrap",
     "broker_redis",
 ]
 

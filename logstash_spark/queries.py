@@ -3783,6 +3783,122 @@ def codec_lumberjack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "codec_ganglia",
+    f"""{_PAGES_CTE}
+SELECT clientip AS host, 'req.' || lang AS name,
+       CAST(event_id AS VARCHAR) AS val,
+       'uint32' AS ganglia_type, 'req' AS units, CAST(1 AS INT) AS slope
+FROM pages""",
+)
+def codec_ganglia_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ganglia gmetric round-trip (input/output ganglia,
+    default_plugins.rb:53,85): every event encodes to the REAL 3.1 XDR
+    packet pair (metadata + string value), decode_ganglia re-pairs them
+    relationally (broadcast join of the (host, metric) metadata dim) and
+    recovers the fields. DuckDB (no XDR) asserts the decoded rows against
+    the pages derivation directly — the warc_intake oracle shape."""
+    import pandas as pd
+
+    from logstash_spark.operators.netproto import decode_ganglia, encode_ganglia
+
+    p = _pages(spark, sf_dir).select("clientip", "lang", "event_id")
+
+    def pack(it):
+        for pdf in it:
+            blobs = []
+            for h, lang, eid in zip(pdf["clientip"], pdf["lang"], pdf["event_id"]):
+                meta, val = encode_ganglia(
+                    h, f"req.{lang}", str(eid),
+                    ganglia_type="uint32", units="req", slope=1)
+                blobs.append(meta)
+                blobs.append(val)
+            yield pd.DataFrame({"bytes": blobs})
+
+    wire = p.mapInPandas(pack, "bytes binary")
+    return decode_ganglia(wire).select(
+        "host", "name", "val", "ganglia_type", "units", "slope")
+
+
+@q(
+    "codec_nsca",
+    f"""{_PAGES_CTE}
+SELECT clientip AS nagios_host, 'svc-' || lang AS nagios_service,
+       CAST(event_id % 4 AS INT) AS return_code,
+       'check ' || event_id AS output,
+       CAST(epoch(date_trunc('second', warc_ts)) AS BIGINT) AS ts,
+       TRUE AS crc_ok
+FROM pages""",
+)
+def codec_nsca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSCA v3 frame round-trip (output nagios_nsca,
+    default_plugins.rb:95): events encode to the REAL 720-byte
+    data_packet (crc32 over the zeroed field) and decode_nsca recovers
+    host/service/code/output/timestamp with the CRC verified TRUE on
+    every frame — a corrupt frame would surface as crc_ok=false and
+    break the value hash."""
+    import pandas as pd
+
+    from logstash_spark.operators.netproto import decode_nsca, encode_nsca
+
+    p = _pages(spark, sf_dir).select(
+        "clientip", "lang", "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("warc_ts"))).alias("ts"))
+
+    def pack(it):
+        for pdf in it:
+            frames = [
+                encode_nsca(h, f"svc-{lang}", int(eid) % 4, f"check {eid}",
+                            timestamp=int(ts))
+                for h, lang, eid, ts in zip(pdf["clientip"], pdf["lang"],
+                                            pdf["event_id"], pdf["ts"])
+            ]
+            yield pd.DataFrame({"bytes": frames})
+
+    wire = p.mapInPandas(pack, "bytes binary")
+    return decode_nsca(wire).select(
+        "nagios_host", "nagios_service", "return_code", "output",
+        F.col("timestamp").alias("ts"), "crc_ok")
+
+
+@q(
+    "codec_snmptrap",
+    f"""{_PAGES_CTE}
+SELECT CAST(1 AS INT) AS version, 'c' || (event_id % 3) AS community,
+       '1.3.6.1.4.1.' || (event_id % 100) AS trap_oid,
+       CAST(event_id AS BIGINT) AS uptime, clientip AS sysname
+FROM pages""",
+)
+def codec_snmptrap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNMPv2c trap round-trip (input snmptrap, default_plugins.rb:69):
+    events encode to REAL BER trap messages (sysUpTime + snmpTrapOID +
+    a sysName varbind) and the pure-Python X.690 reader recovers
+    version/community/trap OID/uptime/varbinds."""
+    import pandas as pd
+
+    from logstash_spark.operators.netproto import decode_snmptrap, encode_snmp_trap
+
+    p = _pages(spark, sf_dir).select("clientip", "event_id")
+
+    def pack(it):
+        for pdf in it:
+            pkts = [
+                encode_snmp_trap(
+                    version=1, community=f"c{int(eid) % 3}",
+                    trap_oid=f"1.3.6.1.4.1.{int(eid) % 100}",
+                    uptime=int(eid),
+                    varbinds={"1.3.6.1.2.1.1.5.0": h})
+                for h, eid in zip(pdf["clientip"], pdf["event_id"])
+            ]
+            yield pd.DataFrame({"bytes": pkts})
+
+    wire = p.mapInPandas(pack, "bytes binary")
+    return decode_snmptrap(wire).select(
+        "version", "community", "trap_oid",
+        F.col("timestamp").alias("uptime"),
+        F.element_at("varbinds", "1.3.6.1.2.1.1.5.0").alias("sysname"))
+
+
+@q(
     "broker_redis",
     f"""{_PAGES_CTE}
 SELECT 'logstash-' || lang AS redis_key,
