@@ -151,3 +151,73 @@ def test_snmptrap_conf_input(spark, tmp_path):
     cfg = parse_config('input { snmptrap { export => "%s" } }' % cap)
     rows = bind_input(spark, cfg.section("input")[0]).collect()
     assert len(rows) == 1 and rows[0]["varbinds"]["1.3.6.1.2.1.1.1.0"] == "ok"
+
+
+# ---------------------------------------------------------------------------
+# never-throw fuzz: every wire parser must fail CLOSED (None / skip), never
+# raise, on arbitrary bytes and on mutated valid packets — same contract the
+# hostile-input suite pins for the text codecs. Pure Python, no Spark.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logstash_spark.operators.netproto import _parse_trap
+from logstash_spark.functions.multimodal import (
+    encode_wav,
+    encode_y4m,
+    parse_wav,
+    parse_y4m,
+)
+
+
+def _safe_trap(buf):
+    try:
+        _parse_trap(buf)
+    except (ValueError, IndexError, struct.error):
+        pass  # the decode wrapper catches exactly these -> failure tag
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_fuzz_parsers_never_crash(buf):
+    from logstash_spark.operators.netproto import decode_ganglia  # noqa: F401
+    from logstash_spark.operators.netproto import _xdr_read_string
+
+    _safe_trap(buf)
+    assert parse_wav(buf) is None or isinstance(parse_wav(buf), tuple)
+    assert parse_y4m(buf) is None or isinstance(parse_y4m(buf), tuple)
+    try:
+        _xdr_read_string(buf, 0)
+    except (ValueError, struct.error, IndexError):
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_fuzz_mutated_valid_packets(data):
+    """Flip bytes inside VALID packets: parsers must return a result or
+    fail closed — mutation never raises an uncaught exception."""
+    kind = data.draw(st.sampled_from(["wav", "y4m", "trap", "ganglia"]))
+    if kind == "wav":
+        base = encode_wav([5, -5, 100], 8000)
+    elif kind == "y4m":
+        base = encode_y4m([bytes([9]) * 256], 16, 16)
+    elif kind == "trap":
+        base = encode_snmp_trap(version=1, varbinds={"1.3.6.1.2.1.1.1.0": "x"})
+    else:
+        base = encode_ganglia("h", "m", "1")[0]
+    b = bytearray(base)
+    for _ in range(data.draw(st.integers(1, 4))):
+        i = data.draw(st.integers(0, len(b) - 1))
+        b[i] = data.draw(st.integers(0, 255))
+    buf = bytes(b)
+    parse_wav(buf)
+    parse_y4m(buf)
+    _safe_trap(buf)
+    try:
+        from logstash_spark.operators.netproto import _xdr_read_string
+        s, off = _xdr_read_string(buf, 4)
+        _xdr_read_string(buf, off)
+    except (ValueError, struct.error, IndexError):
+        pass
