@@ -35,7 +35,9 @@ class Password:
         return isinstance(other, Password) and other.value == self.value
 
 
-_BYTES_RX = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([kmgtp]?i?b?)\s*$", re.IGNORECASE)
+# at most ONE space between number and unit — "10  kib" is a
+# ConfigurationError in the reference (spec/core/config_mixin_spec.rb:59-66)
+_BYTES_RX = re.compile(r"^(\d+(?:\.\d+)?) ?([kmgtp]?i?b?)$", re.IGNORECASE)
 _BYTE_MULT = {
     "": 1, "b": 1,
     "k": 1024, "kb": 1024, "kib": 1024,

@@ -195,6 +195,12 @@ def _drop_in(col: Column, dtype: T.DataType, toks: list[str]) -> Column:
         return col.withField(_q(tok), sub)
     if isinstance(dtype, T.MapType) and len(toks) == 1:
         return F.map_filter(col, lambda k, _v: k != F.lit(tok).cast(dtype.keyType))
+    if isinstance(dtype, T.ArrayType) and _is_int(tok) and len(toks) == 1:
+        # array-element delete (accessors_spec.rb:163-169: del '[geocoords][0]'
+        # on [4, 2] leaves [2]); negative indexes count from the end
+        i = int(tok)
+        idx = F.lit(i) if i >= 0 else F.size(col) + F.lit(i)
+        return F.filter(col, lambda _x, j: j != idx)
     return col  # missing path -> no-op (reference remove returns nil)
 
 

@@ -127,7 +127,13 @@ def init_timestamp(
     )
     now = fallback if fallback is not None else F.current_timestamp()
     failed = parsed.isNull() & src.isNotNull()
-    df = df.withColumn("_at_timestamp", F.when(failed, src))
+    # materialize the failure flag BEFORE overwriting target: when
+    # target == source the coalesce below rewrites the very column the
+    # late-bound `failed` expression reads, silently flipping it to
+    # "parsed fine" and losing the tag (caught by the spec-parity suite,
+    # timestamp_spec.rb:29-31)
+    df = df.withColumn("_ts_failed", failed)
+    df = df.withColumn("_at_timestamp", F.when(F.col("_ts_failed"), src))
     df = df.withColumn(target, F.coalesce(parsed, now))
-    ok = ~failed
-    return _append_tag_unless(df, "tags", TIMESTAMP_FAILURE_TAG, ok)
+    out = _append_tag_unless(df, "tags", TIMESTAMP_FAILURE_TAG, ~F.col("_ts_failed"))
+    return out.drop("_ts_failed")
