@@ -1111,16 +1111,28 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
         elif node.name == "ganglia":
             if "metric" not in node.attrs or "value" not in node.attrs:
                 raise ConfCompileError("ganglia output requires metric and value")
+            slope_s = str(node.attrs.get("slope", "both"))
+            slopes = {"zero": 0, "positive": 1, "negative": 2, "both": 3}
+            if slope_s not in slopes:
+                # the plugin enum-validates slope; fail fast like coerce.py
+                raise ConfCompileError(
+                    f"ganglia output: slope must be one of {sorted(slopes)}, "
+                    f"got {slope_s!r}")
+            try:
+                lifetime = int(node.attrs.get("lifetime", 0))
+                max_interval = int(node.attrs.get("max_interval", 60))
+            except (TypeError, ValueError):
+                raise ConfCompileError(
+                    "ganglia output: lifetime/max_interval must be integers")
             sink = GangliaSink(
                 os.path.join(out_dir, f"ganglia_{len(outputs)}"),
                 metric=str(node.attrs["metric"]),
                 value=str(node.attrs["value"]),
                 units=str(node.attrs.get("units", "")),
                 ganglia_type=str(node.attrs.get("ganglia_type", "uint8")),
-                slope={"zero": 0, "positive": 1, "negative": 2, "both": 3}.get(
-                    str(node.attrs.get("slope", "both")), 3),
-                lifetime=int(node.attrs.get("lifetime", 0) or 0),
-                max_interval=int(node.attrs.get("max_interval", 60) or 60),
+                slope=slopes[slope_s],
+                lifetime=lifetime,
+                max_interval=max_interval,
             )
         elif node.name == "pagerduty":
             if "service_key" not in node.attrs:

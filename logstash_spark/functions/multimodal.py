@@ -542,16 +542,20 @@ def synthetic_video(spark, n: int = 200) -> DataFrame:
         gen, "media_id bigint, bytes binary, meta struct<mime:string, n_frames:int>")
 
 
-def video_scene_cuts(df: DataFrame) -> DataFrame:
+def video_scene_cuts(df: DataFrame, *, min_diff: int = 1) -> DataFrame:
     """REAL video decode (Y4M) + temporal analysis: per frame, the exact
-    integer luma sum and the sum of absolute per-pixel diffs against the
-    previous frame; a cut is any inter-frame diff above ``min_diff`` of
-    the plane's max possible change. Keyframe = frame 0 or a cut — the
-    production frame-sampling rule (sample at scene changes, not on a
-    fixed clock). Arrow-batched map-only pass; each video's frames stay
-    inside one task (a video is one row), so the temporal diff needs NO
-    window shuffle — at corpus scale this is the decisive layout choice:
-    frame rows with a lag() window would shuffle every decoded plane."""
+    integer luma sum and the sum of absolute per-pixel LUMA diffs against
+    the previous frame; a cut is frame 0 or any inter-frame diff >=
+    ``min_diff`` (default 1 = any change; real footage with sensor noise
+    should raise it toward a fraction of w*h*255). Only the Y plane
+    participates — a 4:2:0 stream's U/V planes are sliced off so chroma
+    motion never inflates the luma statistics. Keyframe = frame 0 or a
+    cut — the production frame-sampling rule (sample at scene changes,
+    not on a fixed clock). Arrow-batched map-only pass; each video's
+    frames stay inside one task (a video is one row), so the temporal
+    diff needs NO window shuffle — at corpus scale this is the decisive
+    layout choice: frame rows with a lag() window would shuffle every
+    decoded plane."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -567,14 +571,16 @@ def video_scene_cuts(df: DataFrame) -> DataFrame:
                 if p is None:
                     continue
                 w, h, _, _, frames = p
+                npix = w * h  # Y plane leads each frame buffer (mono or 420)
                 prev = None
                 for idx, fr in enumerate(frames):
-                    luma = sum(fr)
-                    diff = (sum(abs(a - b) for a, b in zip(fr, prev))
+                    y = fr[:npix]
+                    luma = sum(y)
+                    diff = (sum(abs(a - b) for a, b in zip(y, prev))
                             if prev is not None else 0)
                     rows.append((int(mid), idx, luma, diff,
-                                 idx == 0 or diff > 0))
-                    prev = fr
+                                 idx == 0 or diff >= min_diff))
+                    prev = y
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "luma_sum",
                                "diff_prev", "is_cut"])

@@ -45,6 +45,12 @@ __all__ = [
 
 _GMETADATA_FULL = 128
 _GMETRIC_STRING = 133
+# typed value packets (gm_protocol.x): ushort/short/int/uint ride XDR
+# 4-byte ints; float/double are IEEE BE. All render into the string `val`
+# column (the plugin's event field is the formatted value).
+_GMETRIC_INTS = {129, 130, 131, 132}
+_GMETRIC_FLOAT = 134
+_GMETRIC_DOUBLE = 135
 
 
 def _xdr_string(s: str) -> bytes:
@@ -146,12 +152,26 @@ def decode_ganglia(df: DataFrame, source: str = "bytes") -> DataFrame:
                         slope, tmax, dmax = struct.unpack_from(">III", buf, off)
                         rows.append(("m", host, name, None, gtype, units,
                                      _SLOPES.get(slope, 3), tmax, dmax))
-                    elif magic == _GMETRIC_STRING:
+                    elif magic == _GMETRIC_STRING or magic in _GMETRIC_INTS \
+                            or magic in (_GMETRIC_FLOAT, _GMETRIC_DOUBLE):
                         host, off = _xdr_read_string(buf, 4)
                         name, off = _xdr_read_string(buf, off)
                         off += 4  # spoof
                         _, off = _xdr_read_string(buf, off)  # fmt
-                        val, off = _xdr_read_string(buf, off)
+                        if magic == _GMETRIC_STRING:
+                            val, off = _xdr_read_string(buf, off)
+                        elif magic in _GMETRIC_INTS:
+                            # u/short/int ride XDR 4-byte ints; 132 (uint)
+                            # is the only unsigned read
+                            kind = ">I" if magic == 132 else ">i"
+                            (n,) = struct.unpack_from(kind, buf, off)
+                            val = str(n)
+                        elif magic == _GMETRIC_FLOAT:
+                            (f_,) = struct.unpack_from(">f", buf, off)
+                            val = repr(f_)
+                        else:
+                            (f_,) = struct.unpack_from(">d", buf, off)
+                            val = repr(f_)
                         rows.append(("v", host, name, val,
                                      None, None, None, None, None))
                 except (struct.error, ValueError):
@@ -195,6 +215,13 @@ def encode_nsca(
     def cfix(s: str, n: int) -> bytes:
         return s.encode("utf-8", errors="replace")[: n - 1]  # NUL-terminated
 
+    # clamp event-derived numerics to the struct's ranges — hostile data
+    # must never abort the whole write with a struct.error: out-of-range
+    # status becomes 3 (UNKNOWN, nagios semantics), timestamps clamp to
+    # the u32 epoch window
+    if not 0 <= return_code <= 3:
+        return_code = 3
+    timestamp = min(max(int(timestamp), 0), 0xFFFFFFFF)
     frame = struct.pack(
         _NSCA_FMT, 3, 0, timestamp, return_code,
         cfix(host, 64), cfix(service, 128), cfix(output, 512),
@@ -279,17 +306,32 @@ def _ber_tlv(buf: bytes, off: int) -> tuple[int, bytes, int]:
 
 
 def _ber_oid(body: bytes) -> str:
+    """X.690 8.19: subidentifiers are base-128 with continuation bits; the
+    FIRST subidentifier encodes arc1*40+arc2 and may itself be multi-byte
+    (joint-iso-itu-t arcs >= 40 encode values >= 120, e.g. 2.49 -> 129).
+    An unterminated trailing subid is a truncated OID -> reject (the
+    decode wrapper turns this into the parse-failure tag)."""
     if not body:
         return ""
-    first = body[0]
-    parts = [str(first // 40), str(first % 40)]
+    subids: list[int] = []
     val = 0
-    for b in body[1:]:
+    pending = False
+    for b in body:
         val = (val << 7) | (b & 0x7F)
-        if not b & 0x80:
-            parts.append(str(val))
+        pending = bool(b & 0x80)
+        if not pending:
+            subids.append(val)
             val = 0
-    return ".".join(parts)
+    if pending:
+        raise ValueError("truncated OID subidentifier")
+    first = subids[0]
+    if first < 40:
+        parts = [0, first]
+    elif first < 80:
+        parts = [1, first - 40]
+    else:
+        parts = [2, first - 80]
+    return ".".join(str(x) for x in parts + subids[1:])
 
 
 def _ber_int(body: bytes) -> int:
@@ -410,14 +452,19 @@ def _ber_wrap(tag: int, body: bytes) -> bytes:
 
 def _ber_enc_oid(oid: str) -> bytes:
     parts = [int(x) for x in oid.split(".")]
-    out = bytes([parts[0] * 40 + parts[1]])
-    for p in parts[2:]:
+
+    def base128(p: int) -> bytes:
         chunk = bytes([p & 0x7F])
         p >>= 7
         while p:
             chunk = bytes([0x80 | (p & 0x7F)]) + chunk
             p >>= 7
-        out += chunk
+        return chunk
+
+    # first subid is arc1*40+arc2 and may be multi-byte (2.49 -> 129)
+    out = base128(parts[0] * 40 + parts[1])
+    for p in parts[2:]:
+        out += base128(p)
     return _ber_wrap(0x06, out)
 
 

@@ -221,3 +221,71 @@ def test_fuzz_mutated_valid_packets(data):
         _xdr_read_string(buf, off)
     except (ValueError, struct.error, IndexError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# review-pass fixes (round 3): typed gmetric values, NSCA clamping,
+# multi-byte first OID subidentifier, ganglia slope validation
+# ---------------------------------------------------------------------------
+
+
+def test_ganglia_typed_value_packets(spark):
+    """Real gmond sends TYPED value packets (magics 129-135), not just the
+    gem's string packets — each must decode with its value rendered."""
+    import struct as _s
+
+    from logstash_spark.operators.netproto import _xdr_string
+
+    def typed(magic, host, name, payload):
+        return (_s.pack(">I", magic) + _xdr_string(host) + _xdr_string(name)
+                + _s.pack(">I", 0) + _xdr_string("%u") + payload)
+
+    pkts = [
+        typed(131, "h", "m_int", _s.pack(">i", -42)),
+        typed(132, "h", "m_uint", _s.pack(">I", 4000000000)),
+        typed(134, "h", "m_float", _s.pack(">f", 0.5)),
+        typed(135, "h", "m_double", _s.pack(">d", 2.25)),
+    ]
+    df = spark.createDataFrame([(p,) for p in pkts], "bytes binary")
+    got = {r["name"]: r["val"] for r in decode_ganglia(df).collect()}
+    assert got == {"m_int": "-42", "m_uint": "4000000000",
+                   "m_float": "0.5", "m_double": "2.25"}
+
+
+def test_nsca_out_of_range_values_clamped():
+    """Hostile event data must never struct.error the whole write: status
+    outside 0..3 becomes 3 (UNKNOWN), timestamps clamp to the u32 window."""
+    frame = encode_nsca("h", "s", 40000, "x", timestamp=-5)
+    assert len(frame) == NSCA_SIZE
+    ver, crc, ts, code = struct.unpack_from(">hxxIIh", frame, 0)
+    assert code == 3 and ts == 0
+    frame2 = encode_nsca("h", "s", -1, "x", timestamp=2**40)
+    _, _, ts2, code2 = struct.unpack_from(">hxxIIh", frame2, 0)
+    assert code2 == 3 and ts2 == 0xFFFFFFFF
+
+
+def test_snmp_oid_multibyte_first_subidentifier(spark):
+    """X.690 8.19: 2.49.1 encodes its first subid as multi-byte (129) —
+    round-trips exactly; a truncated trailing subid fails closed."""
+    pkt = encode_snmp_trap(version=1, trap_oid="2.49.1",
+                           varbinds={"2.999.3": "itu"})
+    r = decode_snmptrap(
+        spark.createDataFrame([(pkt,)], "bytes binary")).collect()[0]
+    assert r["trap_oid"] == "2.49.1"
+    assert r["varbinds"]["2.999.3"] == "itu"
+    from logstash_spark.operators.netproto import _ber_oid
+    with pytest.raises(ValueError):
+        _ber_oid(b"\x81")  # continuation bit set, no terminator
+
+
+def test_ganglia_conf_rejects_bad_slope_and_lifetime(tmp_path):
+    from logstash_spark.conf import ConfCompileError, compile_config
+
+    with pytest.raises(ConfCompileError, match="slope"):
+        compile_config(
+            'output { ganglia { metric => "m" value => "1" slope => "posative" } }',
+            out_dir=str(tmp_path))
+    with pytest.raises(ConfCompileError, match="lifetime"):
+        compile_config(
+            'output { ganglia { metric => "m" value => "1" lifetime => "3.5x" } }',
+            out_dir=str(tmp_path))

@@ -1325,3 +1325,20 @@ def test_video_scene_cuts_hand_computed(spark):
     assert rows[0]["luma_sum"] == 2560 and rows[0]["is_cut"]
     assert rows[1]["diff_prev"] == 0 and not rows[1]["is_cut"]
     assert rows[2]["diff_prev"] == 2560 and rows[2]["is_cut"]
+
+
+def test_video_scene_cuts_c420_uses_luma_plane_only(spark):
+    """A 4:2:0 stream's U/V planes must not leak into luma_sum/diff_prev —
+    two frames with identical Y but different chroma are NOT a cut."""
+    from logstash_spark.functions.multimodal import video_scene_cuts
+
+    w = h = 16
+    y = bytes([50]) * (w * h)
+    f1 = y + bytes([10]) * (w * h // 2)
+    f2 = y + bytes([200]) * (w * h // 2)  # chroma-only change
+    hdr = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A0:0 C420\n".encode()
+    vid = hdr + b"FRAME\n" + f1 + b"FRAME\n" + f2
+    rows = {r["frame_idx"]: r for r in video_scene_cuts(
+        spark.createDataFrame([(1, vid)], "media_id long, bytes binary")).collect()}
+    assert rows[0]["luma_sum"] == 50 * w * h
+    assert rows[1]["diff_prev"] == 0 and not rows[1]["is_cut"]
