@@ -9,6 +9,15 @@ spec/core/config_spec.rb -> test_conf; spec/logstash/agent_spec.rb ->
 test_agent). This module closes the SMALL spec files that had no
 dedicated mirror: accessors, fieldeval, charset, timestamp, json,
 config_mixin, util.
+
+Not mirrored (no engine analog, by design): spec/core/plugin_spec.rb,
+runner_spec.rb, environment_spec.rb, plugin_version_spec.rb,
+gemfile_spec.rb and spec/{filters,inputs,outputs}/base_spec.rb's class
+API cases — JRuby plugin-registry/milestone/threadable plumbing; the
+engine's registry equivalent (registry.py dispatch, option validation,
+decorator semantics) is pinned by test_conf + test_coerce + test_mutate.
+filters/base_spec.rb's multi_filter semantics ARE mirrored
+(test_routing's clone/split fan-out cases).
 """
 import pytest
 
