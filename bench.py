@@ -72,6 +72,7 @@ HEADLINE = [
     "media_features",
     "audio_features",
     "video_scene_cuts",
+    "video_keyframe_ahash",
     "codec_msgpack",
     # round-3 corpus hygiene
     "pii_redact",

@@ -586,3 +586,52 @@ def video_scene_cuts(df: DataFrame, *, min_diff: int = 1) -> DataFrame:
                                "diff_prev", "is_cut"])
 
     return df.select("media_id", "bytes").mapInPandas(batches, out_schema)
+
+
+def video_keyframe_ahash(df: DataFrame, *, min_diff: int = 1) -> DataFrame:
+    """Cross-video temporal dedup key: perceptual aHash of each KEYFRAME
+    (frame 0 + scene cuts, same rule as video_scene_cuts). Two videos
+    sharing footage collide on keyframe hashes at small hamming distance
+    — pairing then reuses the simhash machinery (prefix buckets +
+    bit_count(xor)), exactly like media_ahash for stills. All-integer
+    math (64*y > total) over the luma plane, same fixed-stride 64-sample
+    grid as media_ahash; bit-identical in any engine, so the decode ->
+    keyframe-select -> hash path carries a full DuckDB value oracle.
+    Map-only Arrow pass, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(
+        "media_id bigint, frame_idx int, ahash bigint")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["bytes"]):
+                p = parse_y4m(bytes(raw) if raw is not None else None)
+                if p is None:
+                    continue
+                w, h, _, _, frames = p
+                npix = w * h
+                stride = npix // 64
+                if stride == 0:
+                    continue  # sub-64-pixel frames carry no 64-bit hash
+                prev = None
+                for idx, fr in enumerate(frames):
+                    y = fr[:npix]
+                    diff = (sum(abs(a - b) for a, b in zip(y, prev))
+                            if prev is not None else 0)
+                    if idx == 0 or diff >= min_diff:
+                        samples = [y[j * stride + j % stride] for j in range(64)]
+                        total = sum(samples)
+                        u = 0
+                        for j, s in enumerate(samples):
+                            if 64 * s > total:
+                                u |= 1 << j
+                        if u >= 1 << 63:
+                            u -= 1 << 64
+                        rows.append((int(mid), idx, u))
+                    prev = y
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ahash"])
+
+    return df.select("media_id", "bytes").mapInPandas(batches, out_schema)

@@ -1857,6 +1857,49 @@ def video_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_scene_cuts(v)
 
 
+def _video_keyframe_oracle() -> str:
+    # keyframes in the synthetic corpus are exactly the scene-leading
+    # frames (f % 3 == 0): within a scene the planes are byte-identical so
+    # diff_prev = 0, and distinct md5 planes always differ somewhere.
+    # aHash sample j reads luma byte j*stride + j%stride, stride = 256/64.
+    return f"""WITH v AS (
+  SELECT id AS media_id, CAST(4 + (id % 4) AS INT) AS nf FROM range(200) t(id)
+), fr AS (
+  SELECT media_id, g.f AS frame_idx,
+         repeat(md5(media_id || '_' || (g.f // 3)), 8) AS plane
+  FROM v, generate_series(0, 6) g(f) WHERE g.f < v.nf AND g.f % 3 = 0
+), g AS (
+  SELECT media_id, frame_idx, s.j,
+         ascii(substr(plane, (s.j * 4 + s.j % 4) + 1, 1)) AS y
+  FROM fr, generate_series(0, 63) s(j)
+), tot AS (
+  SELECT media_id, frame_idx, SUM(y) AS total FROM g GROUP BY media_id, frame_idx
+), bits AS (
+  SELECT g.media_id, g.frame_idx,
+         {', '.join(f'BOOL_OR(j = {j} AND 64 * y > total) AS b{j}' for j in range(64))}
+  FROM g JOIN tot ON g.media_id = tot.media_id AND g.frame_idx = tot.frame_idx
+  GROUP BY g.media_id, g.frame_idx
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, {_AHASH_BITS} AS ahash
+FROM bits"""
+
+
+@q("video_keyframe_ahash", _video_keyframe_oracle())
+def video_keyframe_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video dedup key: perceptual aHash of every KEYFRAME (frame 0
+    + scene cuts) from the real Y4M decode — the temporal analog of
+    media_ahash; hamming pairing across videos reuses the simhash
+    machinery. All-integer hash math, full DuckDB value oracle (frame
+    planes + keyframe rule + hash all replayed in SQL)."""
+    from logstash_spark.functions.multimodal import (
+        synthetic_video,
+        video_keyframe_ahash,
+    )
+
+    v = synthetic_video(spark, 200)
+    return video_keyframe_ahash(v)
+
+
 @q("audio_features", _AUDIO_ORACLE)
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode via the stdlib RIFF/WAV PCM parser

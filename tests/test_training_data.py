@@ -1342,3 +1342,32 @@ def test_video_scene_cuts_c420_uses_luma_plane_only(spark):
         spark.createDataFrame([(1, vid)], "media_id long, bytes binary")).collect()}
     assert rows[0]["luma_sum"] == 50 * w * h
     assert rows[1]["diff_prev"] == 0 and not rows[1]["is_cut"]
+
+
+def test_video_keyframe_ahash_locality(spark):
+    """Keyframes only (frame 0 + cuts) get hashed; identical scene planes
+    across two videos produce identical hashes (the cross-video dedup
+    property), and the hash matches a hand evaluation."""
+    from logstash_spark.functions.multimodal import (
+        encode_y4m,
+        video_keyframe_ahash,
+    )
+
+    a = bytes(range(256))          # varied plane
+    b = bytes([128]) * 256         # flat plane
+    v1 = encode_y4m([a, a, b], 16, 16)   # keyframes: 0, 2
+    v2 = encode_y4m([a], 16, 16)         # same opening scene as v1
+    df = spark.createDataFrame([(1, v1), (2, v2)], "media_id long, bytes binary")
+    rows = {(r["media_id"], r["frame_idx"]): r["ahash"]
+            for r in video_keyframe_ahash(df).collect()}
+    assert set(rows) == {(1, 0), (1, 2), (2, 0)}
+    assert rows[(1, 0)] == rows[(2, 0)]  # shared footage -> same key
+    # hand-evaluate plane `a`: sample j = byte at 4j + j%4; bit = 64*y > total
+    samples = [a[4 * j + j % 4] for j in range(64)]
+    total = sum(samples)
+    u = sum(1 << j for j, s in enumerate(samples) if 64 * s > total)
+    if u >= 1 << 63:
+        u -= 1 << 64
+    assert rows[(1, 0)] == u
+    # flat plane: no sample beats the mean -> hash 0
+    assert rows[(1, 2)] == 0
