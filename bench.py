@@ -73,6 +73,7 @@ HEADLINE = [
     "audio_features",
     "video_scene_cuts",
     "video_keyframe_ahash",
+    "video_shared_footage",
     "codec_msgpack",
     # round-3 corpus hygiene
     "pii_redact",

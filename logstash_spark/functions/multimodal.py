@@ -635,3 +635,69 @@ def video_keyframe_ahash(df: DataFrame, *, min_diff: int = 1) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ahash"])
 
     return df.select("media_id", "bytes").mapInPandas(batches, out_schema)
+
+
+def synthetic_video_shared(spark, n: int = 200, *, share_mod: int = 50) -> DataFrame:
+    """Shared-footage variant of synthetic_video for cross-video dedup:
+    the scene seed is (media_id % share_mod), so videos i, i+share_mod, …
+    carry byte-identical scenes (re-uploads/mirrors of the same footage).
+    Each 256-byte plane concatenates 8 DISTINCT md5 digests — full-entropy
+    keyframe hashes (the x8-tiled plane of synthetic_video repeats every
+    32 bytes, which folds the aHash sample grid onto 8 effective bits;
+    fine for the hash oracle, degenerate as a dedup key)."""
+    import hashlib
+
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                nf = 4 + (i % 4)
+                seed = i % share_mod
+                frames = []
+                for f in range(nf):
+                    s = f // 3
+                    plane = "".join(
+                        hashlib.md5(f"{seed}_{s}_{b}".encode()).hexdigest()
+                        for b in range(8)
+                    ).encode("ascii")
+                    frames.append(plane)
+                rows.append((i, encode_y4m(frames, _VIDEO_W, _VIDEO_H),
+                             ("video/x-yuv4mpeg", nf)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "meta"])
+
+    return spark.range(n).mapInPandas(
+        gen, "media_id bigint, bytes binary, meta struct<mime:string, n_frames:int>")
+
+
+def video_near_dups(
+    df: DataFrame, *, max_hamming: int = 0, bucket_cap: int = 2048,
+    min_diff: int = 1,
+) -> DataFrame:
+    """Cross-video shared-footage pairs: keyframe aHashes bucket on their
+    16-bit prefix and pair within buckets at bit_count(xor) <= max_hamming,
+    then aggregate to the video-pair level (n_shared keyframe matches +
+    min hamming). The decoded planes never leave their task — only
+    (media_id, frame_idx, 64-bit hash) rows enter the shuffle, and hot
+    prefix buckets are capped before the self-join (the simhash hot-bucket
+    treatment; intros/logo cards concentrate on a few hashes at corpus
+    scale and go quadratic otherwise)."""
+    from logstash_spark.functions.dedup import cap_hot_buckets
+
+    h = video_keyframe_ahash(df, min_diff=min_diff)
+    h = h.withColumn("prefix", F.shiftrightunsigned(F.col("ahash"), 48))
+    h = cap_hot_buckets(h, ["prefix"], bucket_cap)
+    a = h.select(F.col("media_id").alias("id_a"), F.col("ahash").alias("ha"), "prefix")
+    b = h.select(F.col("media_id").alias("id_b"), F.col("ahash").alias("hb"), "prefix")
+    pairs = (
+        a.join(b, "prefix")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.min("hamming").alias("min_hamming"),
+    )

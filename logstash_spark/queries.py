@@ -1900,6 +1900,54 @@ def video_keyframe_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_keyframe_ahash(v)
 
 
+def _video_shared_oracle() -> str:
+    plane = " || ".join(
+        f"md5(seed || '_' || (g.f // 3) || '_{b}')" for b in range(8))
+    return f"""WITH v AS (
+  SELECT id AS media_id, CAST(4 + (id % 4) AS INT) AS nf,
+         id % 50 AS seed
+  FROM range(200) t(id)
+), fr AS (
+  SELECT media_id, g.f AS frame_idx, {plane} AS plane
+  FROM v, generate_series(0, 6) g(f) WHERE g.f < v.nf AND g.f % 3 = 0
+), g AS (
+  SELECT media_id, frame_idx, s.j,
+         ascii(substr(plane, (s.j * 4 + s.j % 4) + 1, 1)) AS y
+  FROM fr, generate_series(0, 63) s(j)
+), tot AS (
+  SELECT media_id, frame_idx, SUM(y) AS total FROM g GROUP BY media_id, frame_idx
+), bits AS (
+  SELECT g.media_id, g.frame_idx,
+         {', '.join(f'BOOL_OR(j = {j} AND 64 * y > total) AS b{j}' for j in range(64))}
+  FROM g JOIN tot ON g.media_id = tot.media_id AND g.frame_idx = tot.frame_idx
+  GROUP BY g.media_id, g.frame_idx
+), hashes AS (
+  SELECT media_id, frame_idx, {_AHASH_BITS} AS ahash FROM bits
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared, CAST(0 AS INT) AS min_hamming
+FROM hashes a JOIN hashes b ON a.ahash = b.ahash AND a.media_id < b.media_id
+GROUP BY a.media_id, b.media_id"""
+
+
+@q("video_shared_footage", _video_shared_oracle())
+def video_shared_footage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-video dedup path END-TO-END: Y4M decode -> keyframe
+    selection -> perceptual aHash -> prefix-bucketed hash pairing ->
+    video-pair aggregate (n_shared keyframes, min hamming). Run over a
+    shared-footage corpus (videos i, i+50, ... are re-uploads of the same
+    scenes); only (id, hash) rows ever shuffle. Full DuckDB value oracle:
+    planes, keyframe rule, hash bits and the equality pairing all replay
+    in SQL (max_hamming=0 <=> hash equality)."""
+    from logstash_spark.functions.multimodal import (
+        synthetic_video_shared,
+        video_near_dups,
+    )
+
+    v = synthetic_video_shared(spark, 200, share_mod=50)
+    return video_near_dups(v, max_hamming=0)
+
+
 @q("audio_features", _AUDIO_ORACLE)
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode via the stdlib RIFF/WAV PCM parser

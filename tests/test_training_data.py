@@ -1371,3 +1371,22 @@ def test_video_keyframe_ahash_locality(spark):
     assert rows[(1, 0)] == u
     # flat plane: no sample beats the mean -> hash 0
     assert rows[(1, 2)] == 0
+
+
+def test_video_shared_footage_pairs(spark):
+    """Re-uploads (same scene planes) pair with n_shared = common
+    keyframes and min_hamming 0; unrelated videos never pair."""
+    from logstash_spark.functions.multimodal import (
+        synthetic_video_shared,
+        video_near_dups,
+    )
+
+    v = synthetic_video_shared(spark, 8, share_mod=4)  # pairs: (i, i+4)
+    rows = {(r["id_a"], r["id_b"]): r for r in
+            video_near_dups(v, max_hamming=0).collect()}
+    assert set(rows) == {(0, 4), (1, 5), (2, 6), (3, 7)}
+    for (a, b), r in rows.items():
+        # common keyframes: {0, 3} always; {6} iff both have 7 frames
+        nf_a, nf_b = 4 + a % 4, 4 + b % 4
+        expect = 2 + (1 if min(nf_a, nf_b) > 6 else 0)
+        assert r["n_shared"] == expect and r["min_hamming"] == 0
