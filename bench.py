@@ -74,6 +74,7 @@ HEADLINE = [
     "video_scene_cuts",
     "video_keyframe_ahash",
     "video_shared_footage",
+    "audio_shared_recording",
     "codec_msgpack",
     # round-3 corpus hygiene
     "pii_redact",

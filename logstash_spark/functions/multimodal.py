@@ -701,3 +701,95 @@ def video_near_dups(
         F.count(F.lit(1)).alias("n_shared"),
         F.min("hamming").alias("min_hamming"),
     )
+
+
+def synthetic_audio_shared(spark, n: int = 200, *, share_mod: int = 50) -> DataFrame:
+    """Shared-recording variant of synthetic_audio for cross-audio dedup:
+    sample content derives from seed = media_id % share_mod (videos' 
+    shared-footage analog — re-encodes/mirrors of the same recording at
+    DIFFERENT sample rates), so i, i+share_mod, … fingerprint equal.
+    Samples are the ascii codes of 16 chained md5 digests (512 values),
+    truncated to the seed-determined length — SQL-replayable."""
+    import hashlib
+
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                seed = i % share_mod
+                rate = 8000 + (i % 3) * 4000
+                ns = 256 + (seed % 5) * 64
+                chars = "".join(
+                    hashlib.md5(f"{seed}_{b}".encode()).hexdigest()
+                    for b in range(16))
+                samples = [ord(c) for c in chars[:ns]]
+                rows.append((i, encode_wav(samples, rate),
+                             ("audio/wav", rate, ns)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "meta"])
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "media_id bigint, bytes binary, "
+        "meta struct<mime:string, sample_rate:int, n_samples:int>")
+
+
+def audio_fingerprint(df: DataFrame, *, windows: int = 65) -> DataFrame:
+    """64-bit energy-delta audio fingerprint (the chromaprint IDEA with a
+    deterministic integer feature): split the PCM stream into ``windows``
+    equal windows, bit j = energy(window j+1) > energy(window j). Robust
+    to sample-rate relabeling and amplitude-preserving container changes;
+    all-integer math so the hash is engine-exact. Map-only Arrow pass."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T._parse_datatype_string(
+        "media_id bigint, fp bigint, n_samples int")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, raw in zip(pdf["media_id"], pdf["bytes"]):
+                p = parse_wav(bytes(raw) if raw is not None else None)
+                if p is None:
+                    continue
+                _rate, _ch, s = p
+                n = len(s)
+                win = n // windows
+                if win == 0:
+                    continue
+                en = [sum(s[w * win:(w + 1) * win]) for w in range(windows)]
+                u = 0
+                for j in range(windows - 1):
+                    if en[j + 1] > en[j]:
+                        u |= 1 << j
+                if u >= 1 << 63:
+                    u -= 1 << 64
+                rows.append((int(mid), u, n))
+            yield pd.DataFrame(rows, columns=["media_id", "fp", "n_samples"])
+
+    return df.select("media_id", "bytes").mapInPandas(batches, out_schema)
+
+
+def audio_near_dups(
+    df: DataFrame, *, max_hamming: int = 0, bucket_cap: int = 2048,
+) -> DataFrame:
+    """Cross-audio duplicate pairs by fingerprint: prefix-bucketed
+    self-join at bit_count(xor) <= max_hamming — the video_near_dups
+    recipe with one hash per recording. Only (id, fp) rows shuffle."""
+    from logstash_spark.functions.dedup import cap_hot_buckets
+
+    h = audio_fingerprint(df)
+    h = h.withColumn("prefix", F.shiftrightunsigned(F.col("fp"), 48))
+    h = cap_hot_buckets(h, ["prefix"], bucket_cap)
+    a = h.select(F.col("media_id").alias("id_a"), F.col("fp").alias("fa"), "prefix")
+    b = h.select(F.col("media_id").alias("id_b"), F.col("fp").alias("fb"), "prefix")
+    return (
+        a.join(b, "prefix")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

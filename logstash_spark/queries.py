@@ -1948,6 +1948,51 @@ def video_shared_footage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_near_dups(v, max_hamming=0)
 
 
+def _audio_shared_oracle() -> str:
+    plane = " || ".join(f"md5(seed || '_{b}')" for b in range(16))
+    return f"""WITH v AS (
+  SELECT id AS media_id, id % 50 AS seed FROM range(200) t(id)
+), m AS (
+  SELECT media_id, seed, {plane} AS plane,
+         (256 + (seed % 5) * 64) // 65 AS win
+  FROM v
+), en AS (
+  -- energy of window w = sum of its win ascii samples (win varies 3..7;
+  -- over-generate k to 7 and filter — the lateral-bound workaround)
+  SELECT media_id, w.w AS w,
+         SUM(ascii(substr(plane, (w.w * win + k.k) + 1, 1))) AS e
+  FROM m, generate_series(0, 64) w(w), generate_series(0, 7) k(k)
+  WHERE k.k < m.win
+  GROUP BY media_id, w.w
+), bits AS (
+  SELECT a.media_id,
+         {', '.join(f'BOOL_OR(a.w = {j} AND b.e > a.e) AS b{j}' for j in range(64))}
+  FROM en a JOIN en b ON b.media_id = a.media_id AND b.w = a.w + 1
+  GROUP BY a.media_id
+), fp AS (
+  SELECT media_id, {_AHASH_BITS} AS fp FROM bits
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b, CAST(0 AS INT) AS hamming
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.media_id < b.media_id"""
+
+
+@q("audio_shared_recording", _audio_shared_oracle())
+def audio_shared_recording_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-audio dedup END-TO-END: WAV decode -> 64-bit energy-delta
+    fingerprint (windowed integer energies, bit j = e[j+1] > e[j]) ->
+    prefix-bucketed pairing. Re-encodes of the same recording at
+    different sample rates pair at hamming 0; only (id, fp) rows
+    shuffle. Full DuckDB value oracle (samples, window energies,
+    fingerprint bits and the equality pairing all replayed in SQL)."""
+    from logstash_spark.functions.multimodal import (
+        audio_near_dups,
+        synthetic_audio_shared,
+    )
+
+    a = synthetic_audio_shared(spark, 200, share_mod=50)
+    return audio_near_dups(a, max_hamming=0)
+
+
 @q("audio_features", _AUDIO_ORACLE)
 def audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode via the stdlib RIFF/WAV PCM parser

@@ -1390,3 +1390,31 @@ def test_video_shared_footage_pairs(spark):
         nf_a, nf_b = 4 + a % 4, 4 + b % 4
         expect = 2 + (1 if min(nf_a, nf_b) > 6 else 0)
         assert r["n_shared"] == expect and r["min_hamming"] == 0
+
+
+def test_audio_fingerprint_and_shared_recording(spark):
+    """Re-encodes of the same recording at different sample rates share a
+    fingerprint; distinct recordings don't; hand-check the bit rule."""
+    from logstash_spark.functions.multimodal import (
+        audio_fingerprint,
+        audio_near_dups,
+        encode_wav,
+        synthetic_audio_shared,
+    )
+
+    s = list(range(130))  # strictly rising energies -> all 64 bits set
+    df = spark.createDataFrame(
+        [(1, encode_wav(s, 8000)), (2, encode_wav(s, 16000)),
+         (3, encode_wav(list(reversed(s)), 8000))],
+        "media_id long, bytes binary")
+    fps = {r["media_id"]: r["fp"] for r in audio_fingerprint(df).collect()}
+    assert fps[1] == fps[2]          # rate relabel: same content, same fp
+    assert fps[1] != fps[3]
+    assert fps[1] == -1              # 64 ones = -1 in signed int64
+    assert fps[3] == 0               # falling energies: no bit set
+    pairs = audio_near_dups(df, max_hamming=0).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+    v = synthetic_audio_shared(spark, 6, share_mod=3)  # groups {0,3},{1,4},{2,5}
+    got = {(r["id_a"], r["id_b"]) for r in audio_near_dups(v).collect()}
+    assert got == {(0, 3), (1, 4), (2, 5)}
