@@ -462,6 +462,9 @@ _NF9_FIELDS = {
     1: "in_bytes", 2: "in_pkts", 4: "protocol", 7: "src_port",
     8: "src_addr", 11: "dst_port", 12: "dst_addr",
     21: "last_switched", 22: "first_switched",
+    # IPv6 flows (RFC 3954 §8 types 27/28) land in the same address
+    # columns, rendered in colon-hex by the length-aware ip() helper
+    27: "src_addr", 28: "dst_addr",
 }
 _NF9_IP_FIELDS = {"src_addr", "dst_addr"}
 
@@ -492,6 +495,10 @@ def decode_netflow9(
     names = [f_.name for f_ in out_schema.fields]
 
     def ip(raw: bytes) -> str:
+        if len(raw) == 16:  # IPv6 IE (types 27/28)
+            import ipaddress
+
+            return str(ipaddress.IPv6Address(raw))
         return ".".join(str(b) for b in raw[:4])
 
     def batches(it):

@@ -668,3 +668,28 @@ def test_lumberjack_roundtrip_and_hostile(spark):
     ]
     hostile = spark.createDataFrame(bad, "stream binary")
     assert decode_lumberjack(hostile, "stream").count() == 0
+
+
+def test_netflow9_ipv6_fields_decode(spark):
+    """RFC 3954 §8 types 27/28 (IPV6_SRC/DST_ADDR) render colon-hex into
+    the same address columns as their IPv4 twins."""
+    import ipaddress
+    import struct as _s
+
+    from logstash_spark.operators.codecs import (
+        decode_netflow9, encode_netflow9_data, encode_netflow9_template,
+    )
+
+    fields = [(27, 16), (28, 16), (7, 2), (11, 2)]
+    tmpl = encode_netflow9_template(source_id=3, template_id=260, fields=fields)
+    src = ipaddress.IPv6Address("2001:db8::1").packed
+    dst = ipaddress.IPv6Address("::ffff:10.0.0.1").packed
+    rec = src + dst + _s.pack(">HH", 443, 51000)
+    data = encode_netflow9_data(source_id=3, template_id=260, records=[rec])
+    df = spark.createDataFrame([(tmpl,), (data,)], "bytes binary").coalesce(1)
+    rows = decode_netflow9(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["src_addr"] == "2001:db8::1"
+    assert r["dst_addr"] == "::ffff:a00:1"
+    assert (r["src_port"], r["dst_port"]) == (443, 51000)
