@@ -36,8 +36,11 @@ class Password:
 
 
 # at most ONE space between number and unit — "10  kib" is a
-# ConfigurationError in the reference (spec/core/config_mixin_spec.rb:59-66)
-_BYTES_RX = re.compile(r"^(\d+(?:\.\d+)?) ?([kmgtp]?i?b?)$", re.IGNORECASE)
+# ConfigurationError in the reference (spec/core/config_mixin_spec.rb:59-66) —
+# but SURROUNDING whitespace is tolerated: the bare-number path goes through
+# Ruby's Integer()/Float(), which strip leading/trailing space, so " 10 "
+# must coerce where "10  kib" must not.
+_BYTES_RX = re.compile(r"^\s*(\d+(?:\.\d+)?) ?([kmgtp]?i?b?)\s*$", re.IGNORECASE)
 _BYTE_MULT = {
     "": 1, "b": 1,
     "k": 1024, "kb": 1024, "kib": 1024,

@@ -1119,11 +1119,13 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                     f"ganglia output: slope must be one of {sorted(slopes)}, "
                     f"got {slope_s!r}")
             try:
-                lifetime = int(node.attrs.get("lifetime", 0))
-                max_interval = int(node.attrs.get("max_interval", 60))
+                # plugin declares :number — '3.5' is accepted and the XDR
+                # packers take ints, so coerce float->int like the gem does
+                lifetime = int(float(node.attrs.get("lifetime", 300)))
+                max_interval = int(float(node.attrs.get("max_interval", 60)))
             except (TypeError, ValueError):
                 raise ConfCompileError(
-                    "ganglia output: lifetime/max_interval must be integers")
+                    "ganglia output: lifetime/max_interval must be numbers")
             sink = GangliaSink(
                 os.path.join(out_dir, f"ganglia_{len(outputs)}"),
                 metric=str(node.attrs["metric"]),

@@ -739,7 +739,9 @@ def synthetic_audio_shared(spark, n: int = 200, *, share_mod: int = 50) -> DataF
 def audio_fingerprint(df: DataFrame, *, windows: int = 65) -> DataFrame:
     """64-bit energy-delta audio fingerprint (the chromaprint IDEA with a
     deterministic integer feature): split the PCM stream into ``windows``
-    equal windows, bit j = energy(window j+1) > energy(window j). Robust
+    equal windows, bit j = energy(window j+1) > energy(window j), where
+    energy is the TRUE sum of squared samples — silence-heavy or
+    DC-shifted windows therefore track power, not mean amplitude. Robust
     to sample-rate relabeling and amplitude-preserving container changes;
     all-integer math so the hash is engine-exact. Map-only Arrow pass."""
     import pandas as pd
@@ -760,7 +762,8 @@ def audio_fingerprint(df: DataFrame, *, windows: int = 65) -> DataFrame:
                 win = n // windows
                 if win == 0:
                     continue
-                en = [sum(s[w * win:(w + 1) * win]) for w in range(windows)]
+                en = [sum(v * v for v in s[w * win:(w + 1) * win])
+                      for w in range(windows)]
                 u = 0
                 for j in range(windows - 1):
                     if en[j + 1] > en[j]:

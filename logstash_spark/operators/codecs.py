@@ -570,7 +570,14 @@ def decode_netflow9(
                                     name = _NF9_FIELDS.get(ft)
                                     if name is not None:
                                         if name in _NF9_IP_FIELDS:
-                                            ev[name] = ip(buf[q:q + fl])
+                                            # types 8/12 (IPv4) and 27/28
+                                            # (IPv6) share a column; a
+                                            # template carrying BOTH keeps
+                                            # the FIRST-seen address so the
+                                            # family is deterministic per
+                                            # template order, never a silent
+                                            # later-field overwrite
+                                            ev.setdefault(name, ip(buf[q:q + fl]))
                                         else:
                                             ev[name] = int.from_bytes(buf[q:q + fl], "big")
                                     q += fl

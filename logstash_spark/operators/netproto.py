@@ -180,14 +180,19 @@ def decode_ganglia(df: DataFrame, source: str = "bytes") -> DataFrame:
 
     parsed = df.mapInPandas(batches, parse_schema)
     vals = parsed.filter(F.col("kind") == "v").select("host", "name", "val")
+    # one WHOLE metadata record per key: column-wise max could blend fields
+    # from different packets if a metric's metadata changed mid-capture
+    # (units from one packet, slope from another). max_by on the full struct
+    # under a deterministic ordering keeps the record atomic.
     meta = (
         parsed.filter(F.col("kind") == "m")
         .groupBy("host", "name")
-        .agg(F.max("ganglia_type").alias("ganglia_type"),
-             F.max("units").alias("units"),
-             F.max("slope").alias("slope"),
-             F.max("tmax").alias("tmax"),
-             F.max("dmax").alias("dmax"))
+        .agg(F.max_by(
+            F.struct("ganglia_type", "units", "slope", "tmax", "dmax"),
+            F.struct("ganglia_type", "units", "slope", "tmax", "dmax"),
+        ).alias("_m"))
+        .select("host", "name", "_m.ganglia_type", "_m.units",
+                "_m.slope", "_m.tmax", "_m.dmax")
     )
     return vals.join(F.broadcast(meta), ["host", "name"], "left").select(
         "host", "name", "val", "ganglia_type", "units", "slope", "tmax", "dmax")

@@ -1957,10 +1957,12 @@ def _audio_shared_oracle() -> str:
          (256 + (seed % 5) * 64) // 65 AS win
   FROM v
 ), en AS (
-  -- energy of window w = sum of its win ascii samples (win varies 3..7;
-  -- over-generate k to 7 and filter — the lateral-bound workaround)
+  -- energy of window w = sum of SQUARED ascii samples (true power, not
+  -- mean amplitude; win varies 3..7 — over-generate k to 7 and filter,
+  -- the lateral-bound workaround)
   SELECT media_id, w.w AS w,
-         SUM(ascii(substr(plane, (w.w * win + k.k) + 1, 1))) AS e
+         SUM(ascii(substr(plane, (w.w * win + k.k) + 1, 1))
+             * ascii(substr(plane, (w.w * win + k.k) + 1, 1))) AS e
   FROM m, generate_series(0, 64) w(w), generate_series(0, 7) k(k)
   WHERE k.k < m.win
   GROUP BY media_id, w.w

@@ -651,7 +651,7 @@ class GangliaSink(Sink):
     units: str = ""
     ganglia_type: str = "uint8"
     slope: int = 3
-    lifetime: int = 0     # plugin: dmax
+    lifetime: int = 300   # plugin: dmax, defaults 300 in logstash-output-ganglia
     max_interval: int = 60  # plugin: tmax
     host_field: str = "host"
 

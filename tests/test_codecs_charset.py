@@ -693,3 +693,26 @@ def test_netflow9_ipv6_fields_decode(spark):
     assert r["src_addr"] == "2001:db8::1"
     assert r["dst_addr"] == "::ffff:a00:1"
     assert (r["src_port"], r["dst_port"]) == (443, 51000)
+
+
+def test_netflow9_mixed_family_first_seen_wins(spark):
+    """A template carrying BOTH an IPv4 (type 8) and an IPv6 (type 27)
+    source-address IE keeps the FIRST-seen field per record — the family
+    is deterministic by template order, never a silent later overwrite."""
+    import ipaddress
+    import struct as _s
+
+    from logstash_spark.operators.codecs import (
+        decode_netflow9, encode_netflow9_data, encode_netflow9_template,
+    )
+
+    fields = [(8, 4), (27, 16), (11, 2)]  # IPv4 src first, then IPv6 src
+    tmpl = encode_netflow9_template(source_id=4, template_id=261, fields=fields)
+    v4 = bytes([10, 1, 2, 3])
+    v6 = ipaddress.IPv6Address("2001:db8::9").packed
+    rec = v4 + v6 + _s.pack(">H", 80)
+    data = encode_netflow9_data(source_id=4, template_id=261, records=[rec])
+    df = spark.createDataFrame([(tmpl,), (data,)], "bytes binary").coalesce(1)
+    rows = decode_netflow9(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["src_addr"] == "10.1.2.3"  # first-seen (IPv4), not 2001:db8::9

@@ -13,6 +13,12 @@ def test_bytes_units():
     assert coerce(4096, "bytes") == 4096
     with pytest.raises(CoerceError, match="byte size"):
         coerce("lots", "bytes")
+    # surrounding whitespace tolerated (Ruby Integer() strips it on the
+    # bare-number path) — but still at most ONE space before the unit
+    assert coerce(" 10 ", "bytes") == 10
+    assert coerce("  1.5MB\t", "bytes") == int(1.5 * 1024 * 1024)
+    with pytest.raises(CoerceError):
+        coerce("10  kib", "bytes")
 
 
 def test_password_masks():

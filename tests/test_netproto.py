@@ -289,3 +289,47 @@ def test_ganglia_conf_rejects_bad_slope_and_lifetime(tmp_path):
         compile_config(
             'output { ganglia { metric => "m" value => "1" lifetime => "3.5x" } }',
             out_dir=str(tmp_path))
+
+
+def test_ganglia_conf_number_coercion_and_default_lifetime(tmp_path):
+    """plugin declares lifetime/max_interval as :number — '3.5' is valid
+    (floor'd for the XDR int), and unconfigured lifetime defaults to 300
+    (dmax) like logstash-output-ganglia."""
+    from logstash_spark.conf import compile_config
+
+    pipe, _ = compile_config(
+        'output { ganglia { metric => "m" value => "1" lifetime => "3.5" } }',
+        out_dir=str(tmp_path))
+    # locate the GangliaSink regardless of wrapper shape
+    from logstash_spark.sinks import GangliaSink
+    sinks = [s for s in _iter_sinks(pipe) if isinstance(s, GangliaSink)]
+    assert sinks and sinks[0].lifetime == 3
+
+    pipe2, _ = compile_config(
+        'output { ganglia { metric => "m" value => "1" } }',
+        out_dir=str(tmp_path))
+    sinks2 = [s for s in _iter_sinks(pipe2) if isinstance(s, GangliaSink)]
+    assert sinks2 and sinks2[0].lifetime == 300 and sinks2[0].max_interval == 60
+
+
+def _iter_sinks(pipe):
+    for o in getattr(pipe, "outputs", []):
+        s = getattr(o, "sink", o)
+        yield s
+
+
+def test_ganglia_metadata_change_keeps_whole_record(spark):
+    """if a metric's metadata changed mid-capture, the decode keeps ONE
+    whole metadata record — never units from one packet blended with
+    slope from another (column-wise max would)."""
+    meta1, val1 = encode_ganglia("h1", "m", "1", ganglia_type="uint32",
+                                 units="b", slope=1, tmax=60, dmax=0)
+    meta2, _ = encode_ganglia("h1", "m", "2", ganglia_type="float",
+                              units="a", slope=3, tmax=20, dmax=300)
+    df = spark.createDataFrame([(meta1,), (meta2,), (val1,)], "bytes binary")
+    rows = decode_ganglia(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    got = (r["ganglia_type"], r["units"], r["slope"], r["tmax"], r["dmax"])
+    # must be EXACTLY one of the two records, not a column-wise blend
+    assert got in {("uint32", "b", 1, 60, 0), ("float", "a", 3, 20, 300)}
