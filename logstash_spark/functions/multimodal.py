@@ -1,9 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 Training-data-pipeline extension. The container has no codec libraries
-(PIL/ffmpeg/librosa), so the DECODE step is stubbed behind a clearly-marked
-gate — but everything Spark-side is real and tested: schemas, Arrow batch
-shapes, mapInPandas plumbing, partition sizing.
+(PIL/ffmpeg/librosa), so the decoders here are written fresh from the
+public container specs on stdlib alone: P6 PPM, uncompressed BMP, PNG
+(zlib inflate + filter reconstruction, all 8-bit color types), RIFF/WAV
+PCM, and YUV4MPEG2 — each fail-closed on hostile bytes. JPEG (entropy
+coding) stays out of scope; everything Spark-side is real and tested:
+schemas, Arrow batch shapes, mapInPandas plumbing, partition sizing.
 
 Design notes for 100 TB of media:
 - media bytes ride in a `binary` column next to typed metadata
@@ -82,8 +85,39 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
     return df.select(i.alias("media_id"), payload.alias("bytes"), meta.alias("meta"))
 
 
+def synthetic_media_png(spark, n: int = 100) -> DataFrame:
+    """Deterministic PNG media table: `bytes` = a REAL spec-valid PNG
+    (zlib-deflated, CRC'd chunks) whose DECODED raster is the identical
+    md5-tiling closed form as synthetic_media's PPM — so the existing SQL
+    oracle replays the decoded content without DuckDB ever inflating a
+    byte (the WAV/Y4M oracle trick applied to a compressed container).
+    Scanline filters cycle (id + y) % 5, so decoding the table exercises
+    ALL five reconstruction paths while the output raster stays fixed."""
+    import hashlib
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = (i % 4) * 16 + 16
+                h = (i % 3) * 16 + 16
+                hexs = hashlib.md5(str(i).encode()).hexdigest()
+                raster = (hexs * 288).encode()[: w * h * 3]
+                buf = encode_png(w, h, raster,
+                                 filters=[(i + y) % 5 for y in range(h)])
+                rows.append((i, buf, ("image/png", w, h, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "meta"])
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "media_id bigint, bytes binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>")
+
+
 # ---------------------------------------------------------------------------
 # stdlib image decode (no PIL needed): P6 PPM + uncompressed BMP headers
+# + PNG (zlib) below
 # ---------------------------------------------------------------------------
 
 
@@ -147,6 +181,197 @@ def parse_bmp(buf: bytes):
     return w, int(h), b"".join(rows)
 
 
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib only — no PIL): the real-web image format. Full spec
+# subset: 8-bit depth, color types 0/2/3/4/6, filters 0-4, non-interlaced.
+# Written fresh from the public PNG spec (RFC 2083 / W3C PNG); CRC-checked
+# and size-bounded so hostile bytes drop instead of throwing or ballooning.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# bytes per pixel in the CODED stream, keyed by color type (8-bit depth)
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_MAX_PIXELS = 1 << 26  # 64 Mpx decode ceiling: zip-bomb guard
+
+
+def parse_png(buf: bytes):
+    """Parse a PNG: returns (width, height, RGB raster bytes) or None.
+
+    Strict/fail-closed (the netflow stance — corrupt media must DROP, not
+    throw): signature, chunk CRCs, IHDR-first, 8-bit depth only, color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    interlace 0 only; the inflate is capped at the exact expected
+    scanline-stream size so a deflate bomb can't balloon memory. Output is
+    normalized to w*h*3 RGB (gray replicated, palette resolved, alpha
+    dropped) — the same raster contract as parse_ppm/parse_bmp, so every
+    downstream consumer (features/aHash/near-dup) inherits PNG for free.
+    """
+    import struct
+    import zlib
+
+    if buf is None or len(buf) < 8 + 25 or not buf.startswith(_PNG_SIG):
+        return None
+    pos = 8
+    w = h = color = None
+    plte = b""
+    idat = []
+    first = True
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4:pos + 8]
+        body = buf[pos + 8:pos + 8 + ln]
+        if len(body) < ln or pos + 12 + ln > len(buf):
+            return None  # truncated chunk
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + ln)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk
+        if first:
+            if ctype != b"IHDR" or ln != 13:
+                return None
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if (depth != 8 or color not in _PNG_BPP or comp != 0
+                    or filt != 0 or interlace != 0):
+                return None  # 16-bit / Adam7 / unknown: out of subset
+            if w == 0 or h == 0 or w * h > _PNG_MAX_PIXELS:
+                return None
+            first = False
+        elif ctype == b"PLTE":
+            if ln % 3 or ln > 768:
+                return None
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        # ancillary chunks (tEXt/gAMA/...) skip — CRC already verified
+        pos += 12 + ln
+    if first or not idat:
+        return None
+    bpp = _PNG_BPP[color]
+    stride = w * bpp
+    expected = h * (1 + stride)
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(b"".join(idat), expected)
+    except zlib.error:
+        return None
+    if len(raw) != expected or d.decompress(b"", 1):
+        return None  # short stream, or bomb with MORE data than the header says
+    # defilter (spec §6): per scanline, byte 0 = filter, then stride bytes
+    prev = bytearray(stride)
+    out = bytearray(h * stride)
+    for y in range(h):
+        base = y * (1 + stride)
+        f = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up — no intra-line dependency: one numpy add
+            line = bytearray(
+                (np.frombuffer(bytes(line), dtype=np.uint8)
+                 + np.frombuffer(bytes(prev), dtype=np.uint8)).tobytes())
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            return None  # unknown filter type
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    # normalize to RGB via one vectorized numpy pass (hot path: this runs
+    # per image inside Arrow batches — no per-pixel Python)
+    arr = np.frombuffer(bytes(out), dtype=np.uint8)
+    if color == 2:
+        rgb = arr
+    elif color == 0:
+        rgb = np.repeat(arr, 3)
+    elif color == 4:
+        rgb = np.repeat(arr.reshape(-1, 2)[:, 0], 3)
+    elif color == 6:
+        rgb = arr.reshape(-1, 4)[:, :3].reshape(-1)
+    else:  # palette
+        if not plte:
+            return None
+        pal = np.frombuffer(plte.ljust(768, b"\x00"), dtype=np.uint8).reshape(256, 3)
+        rgb = pal[arr].reshape(-1)
+    return int(w), int(h), rgb.tobytes()
+
+
+def encode_png(width: int, height: int, raster: bytes, *, color_type: int = 2,
+               filters=None) -> bytes:
+    """Test-side builder: a REAL spec-valid PNG from packed 8-bit samples
+    (len = w*h*bpp for the color type). ``filters`` picks the per-scanline
+    filter (int or list, default 0) — the encoder applies the filter
+    transform so parse_png must run the matching reconstruction, which is
+    how the tests exercise all five filter paths against one known raster."""
+    import struct
+    import zlib
+
+    bpp = _PNG_BPP[color_type]
+    stride = width * bpp
+    if len(raster) != height * stride:
+        raise ValueError("raster length != h*w*bpp")
+    if filters is None:
+        filters = [0] * height
+    elif isinstance(filters, int):
+        filters = [filters] * height
+    lines = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        cur = raster[y * stride:(y + 1) * stride]
+        f = filters[y]
+        lines.append(f)
+        if f == 0:
+            lines += cur
+        elif f == 1:  # Sub
+            lines += bytes((cur[i] - (cur[i - bpp] if i >= bpp else 0)) & 0xFF
+                           for i in range(stride))
+        elif f == 2:  # Up
+            lines += bytes((cur[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:  # Average
+            lines += bytes(
+                (cur[i] - (((cur[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride))
+        elif f == 4:  # Paeth
+            out = bytearray()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((cur[i] - pr) & 0xFF)
+            lines += out
+        else:
+            raise ValueError(f"unknown filter {f}")
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    parts = [_PNG_SIG, chunk(b"IHDR", ihdr)]
+    if color_type == 3:
+        # identity-ish palette: index i -> (i, i, i) gray ramp
+        parts.append(chunk(b"PLTE", bytes(v for i in range(256) for v in (i, i, i))))
+    parts.append(chunk(b"IDAT", zlib.compress(bytes(lines), 6)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
 def decode_media(buf: bytes):
     """Sniff + decode: (fmt, width, height, raster) or None."""
     if buf is None:
@@ -157,6 +382,9 @@ def decode_media(buf: bytes):
     if buf.startswith(b"BM"):
         p = parse_bmp(buf)
         return ("bmp", *p) if p else None
+    if buf.startswith(_PNG_SIG):
+        p = parse_png(buf)
+        return ("png", *p) if p else None
     return None
 
 
@@ -297,9 +525,9 @@ def extract_features(df: DataFrame) -> DataFrame:
 def decode_image(df: DataFrame, *, target_size: tuple[int, int] = (64, 64)) -> DataFrame:
     """Decode + nearest-neighbor resize to ``target_size`` grayscale.
 
-    The decode is the REAL stdlib PPM/BMP parser above (no PIL needed);
-    rich formats (JPEG/PNG) would slot into :func:`decode_media` behind the
-    same signature — the Spark plumbing (Arrow batches, array<int> pixels
+    The decode is the REAL stdlib PPM/BMP/PNG parser above (no PIL
+    needed); JPEG would slot into :func:`decode_media` behind the same
+    signature — the Spark plumbing (Arrow batches, array<int> pixels
     schema, partition sizing) is identical either way. Undecodable payloads
     come back decoded=false with null pixels (keep-and-flag, so a corrupt
     blob doesn't silently shrink the corpus)."""

@@ -1713,7 +1713,10 @@ def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_MEDIA_ORACLE = """WITH m AS (
+# fmt is the ONLY difference between the PPM and PNG feature oracles: the
+# PNG table's DECODED raster is the identical md5-tiling closed form, so
+# the SQL replays decoded content and never needs to inflate the container
+_MEDIA_ORACLE_FMT = """WITH m AS (
   SELECT id AS media_id,
          CAST((id % 4) * 16 + 16 AS INT) AS width,
          CAST((id % 3) * 16 + 16 AS INT) AS height
@@ -1736,7 +1739,7 @@ _MEDIA_ORACLE = """WITH m AS (
          SUM(CAST(floor(cnt * log2(cnt) * 10000.0 + 0.5) AS BIGINT)) AS s_mb
   FROM freq f WHERE cnt > 1 GROUP BY f.media_id
 )
-SELECT m.media_id, 'ppm' AS fmt, m.width, m.height,
+SELECT m.media_id, '{fmt}' AS fmt, m.width, m.height,
        CAST(m.width * m.height AS INT) AS n_pix,
        ROUND(s.mu, 4) AS px_mean,
        ROUND(log2(s.n) - (coalesce(e.s_mb, 0) / 10000.0) / s.n, 4) AS px_entropy
@@ -1744,7 +1747,7 @@ FROM m JOIN stats s ON m.media_id = s.media_id
        LEFT JOIN ent e ON m.media_id = e.media_id"""
 
 
-@q("media_features", _MEDIA_ORACLE)
+@q("media_features", _MEDIA_ORACLE_FMT.format(fmt="ppm"))
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode via the stdlib P6 PPM parser (multimodal.parse_ppm)
     over synthetic-but-valid image binaries, then raster statistics — fully
@@ -1753,6 +1756,23 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.functions.multimodal import media_decode_features, synthetic_media
 
     m = synthetic_media(spark, 200)
+    return media_decode_features(m)
+
+
+@q("media_features_png", _MEDIA_ORACLE_FMT.format(fmt="png"))
+def media_features_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WEB image decode: spec-valid PNGs (zlib-deflated, CRC'd chunks,
+    scanline filters cycling through all five types) decoded by the stdlib
+    parse_png, then the same raster statistics. Full value oracle: the
+    decoded raster is the md5-tiling closed form, so DuckDB replays the
+    decoded CONTENT in SQL — the compressed container never needs a SQL
+    inflate (the WAV/Y4M oracle trick on a deflate stream)."""
+    from logstash_spark.functions.multimodal import (
+        media_decode_features,
+        synthetic_media_png,
+    )
+
+    m = synthetic_media_png(spark, 200)
     return media_decode_features(m)
 
 
@@ -1797,6 +1817,18 @@ def media_ahash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.functions.multimodal import media_ahash, synthetic_media
 
     m = synthetic_media(spark, 200)
+    return media_ahash(m)
+
+
+@q("media_ahash_png", _AHASH_ORACLE)
+def media_ahash_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual aHash over DECODED PNG rasters — byte-for-byte the same
+    hash as the PPM table (same decoded content), proving container
+    invariance end-to-end: a re-encode of the same image in a different
+    format lands at hamming 0. Shares the PPM aHash oracle verbatim."""
+    from logstash_spark.functions.multimodal import media_ahash, synthetic_media_png
+
+    m = synthetic_media_png(spark, 200)
     return media_ahash(m)
 
 

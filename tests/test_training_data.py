@@ -1418,3 +1418,122 @@ def test_audio_fingerprint_and_shared_recording(spark):
     v = synthetic_audio_shared(spark, 6, share_mod=3)  # groups {0,3},{1,4},{2,5}
     got = {(r["id_a"], r["id_b"]) for r in audio_near_dups(v).collect()}
     assert got == {(0, 3), (1, 4), (2, 5)}
+
+
+def test_png_encode_parse_round_trip_all_filters_and_color_types():
+    """parse_png reconstructs every scanline filter (0-4) and normalizes
+    every 8-bit color type (gray/RGB/palette/gray+alpha/RGBA) to the same
+    w*h*3 RGB raster contract as parse_ppm — written fresh from the public
+    PNG spec (RFC 2083), stdlib zlib only."""
+    import hashlib
+
+    from logstash_spark.functions.multimodal import encode_png, parse_png
+
+    raster = (hashlib.md5(b"7").hexdigest() * 288).encode()[:32 * 16 * 3]
+    for f in range(5):
+        w, h, out = parse_png(encode_png(32, 16, raster, filters=f))
+        assert (w, h, out) == (32, 16, raster), f"filter {f}"
+    # per-row mixed filters reconstruct too
+    assert parse_png(encode_png(32, 16, raster,
+                                filters=[y % 5 for y in range(16)]))[2] == raster
+
+    gray = bytes(range(256)) * 2  # 32x16
+    rgb_of_gray = b"".join(bytes([v, v, v]) for v in gray)
+    assert parse_png(encode_png(32, 16, gray, color_type=0, filters=4))[2] == rgb_of_gray
+    assert parse_png(encode_png(32, 16, gray, color_type=3))[2] == rgb_of_gray
+    ga = b"".join(bytes([v, 0x33]) for v in gray)
+    assert parse_png(encode_png(32, 16, ga, color_type=4, filters=1))[2] == rgb_of_gray
+    rgba = b"".join(raster[i * 3:i * 3 + 3] + b"\x80" for i in range(32 * 16))
+    assert parse_png(encode_png(32, 16, rgba, color_type=6, filters=2))[2] == raster
+
+
+def test_png_hostile_inputs_never_throw():
+    """Corrupt PNGs DROP (return None), never raise: truncations at every
+    structural boundary, CRC-breaking bit flips, Adam7 interlace, 16-bit
+    depth, zero dims, oversize dims, deflate bombs carrying more scanline
+    data than the IHDR admits, and random garbage."""
+    import struct
+    import zlib
+
+    from logstash_spark.functions.multimodal import encode_png, parse_png
+
+    ok = encode_png(32, 16, bytes(32 * 16 * 3))
+    for cut in (0, 4, 8, 12, 20, 33, 40, len(ok) // 2, len(ok) - 1):
+        assert parse_png(ok[:cut]) is None
+    flipped = bytearray(ok)
+    flipped[50] ^= 0xFF
+    assert parse_png(bytes(flipped)) is None  # chunk CRC catches it
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def hdr(w, h, depth=8, color=2, interlace=0):
+        return chunk(b"IHDR",
+                     struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+
+    assert parse_png(sig + hdr(32, 16, interlace=1)) is None      # Adam7
+    assert parse_png(sig + hdr(32, 16, depth=16)) is None          # 16-bit
+    assert parse_png(sig + hdr(0, 16)) is None                     # zero dim
+    assert parse_png(sig + hdr(1 << 16, 1 << 16)) is None          # 4 Gpx
+    # deflate bomb: stream inflates past the declared scanline size
+    bomb = zlib.compress(bytes(16 * (1 + 96)) + b"\x00" * 10000)
+    assert parse_png(sig + hdr(32, 16) + chunk(b"IDAT", bomb)
+                     + chunk(b"IEND", b"")) is None
+    # short stream: fewer bytes than h*(1+stride)
+    short = zlib.compress(bytes(5 * (1 + 96)))
+    assert parse_png(sig + hdr(32, 16) + chunk(b"IDAT", short)
+                     + chunk(b"IEND", b"")) is None
+    # unknown filter type 9
+    raw = bytearray(bytes(16 * (1 + 96)))
+    raw[0] = 9
+    assert parse_png(sig + hdr(32, 16)
+                     + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                     + chunk(b"IEND", b"")) is None
+    # palette image missing its PLTE
+    assert parse_png(sig + hdr(32, 16, color=3)
+                     + chunk(b"IDAT", zlib.compress(bytes(16 * (1 + 32))))
+                     + chunk(b"IEND", b"")) is None
+    assert parse_png(b"\x89PNG\r\n\x1a\nnot chunks at all and then some!") is None
+    assert parse_png(None) is None
+    assert parse_png(b"") is None
+
+
+def test_png_container_invariance_same_ahash_as_ppm(spark):
+    """The PNG table decodes to the same raster as the PPM table, so the
+    perceptual hash is IDENTICAL per media_id — a re-encode of the same
+    image in a different container lands at hamming 0 (the cross-format
+    near-dup guarantee real crawl dedup needs)."""
+    from logstash_spark.functions.multimodal import (
+        media_ahash,
+        synthetic_media,
+        synthetic_media_png,
+    )
+
+    a = {r["media_id"]: r["ahash"]
+         for r in media_ahash(synthetic_media(spark, 24)).collect()}
+    b = {r["media_id"]: r["ahash"]
+         for r in media_ahash(synthetic_media_png(spark, 24)).collect()}
+    assert a == b and len(a) == 24
+
+
+def test_decode_media_sniffs_mixed_format_corpus(spark):
+    """One table carrying PPM + PNG rows side by side: decode_media sniffs
+    per row and every row decodes — the real-crawl shape where container
+    format is data, not schema."""
+    from logstash_spark.functions.multimodal import (
+        media_decode_features,
+        synthetic_media,
+        synthetic_media_png,
+    )
+
+    mixed = synthetic_media(spark, 10).union(
+        synthetic_media_png(spark, 10).withColumn(
+            "media_id", F.col("media_id") + 100))
+    rows = media_decode_features(mixed).collect()
+    assert len(rows) == 20
+    fmts = {r["media_id"]: r["fmt"] for r in rows}
+    assert all(fmts[i] == "ppm" for i in range(10))
+    assert all(fmts[i + 100] == "png" for i in range(10))
