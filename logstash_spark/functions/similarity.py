@@ -628,6 +628,7 @@ def semdedup(
     vec_col: str = "embedding",
     tau: float = 0.5,
     round_cos: int | None = None,
+    max_cluster_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al., 2023): route every
     vector to its nearest k-means centroid, then compare pairs ONLY within
@@ -638,14 +639,25 @@ def semdedup(
     100 TB shape: centroids broadcast (k rows), so routing is a map; the
     only all-corpus shuffle is the equi-join on list_id, and pairwise work
     is bounded per cluster — num_lists is sized so n/num_lists stays in
-    the 1-10k range. Unlike shingle buckets (boilerplate-skewed), k-means
-    balances cluster mass, and a hot cluster splits by raising num_lists,
-    not by a cap heuristic. Output: (id, list_id, is_dup) for EVERY input
+    the 1-10k range, and ``max_cluster_rows`` ENFORCES that bound even on
+    an adversarial corpus (all-near-identical embeddings collapse k-means
+    into one cluster, and a second-level k-means or LSH re-route collapses
+    right back with it — only a content-blind hash split guarantees the
+    task bound there). Clusters above the bound are hash-split into
+    ceil(n/max) sub-buckets, deduped sub-bucket-locally, and the survivors
+    (one local keep per sub-bucket) get one refinement round against each
+    other: in the degenerate corpus survivors shrink ~max× per round, so
+    refinement restores exact unsplit semantics; in the general case any
+    survivor-vs-survivor pair still split apart in round 2 is the
+    documented approximation — size it with :func:`semdedup_cluster_stats`
+    (the no-silent-caps accounting twin, same pattern as
+    hot_bucket_stats). Output: (id, list_id, is_dup) for EVERY input
     vector — the caller filters is_dup to prune.
 
     ``round_cos`` pins routing + pair similarities to a decimal grid so
     the DuckDB parity oracle replays assignment and threshold decisions
-    bit-equal (production leaves it None).
+    bit-equal (production leaves it None; the rounded oracle path keeps
+    the pure-join formulation and does not split).
     """
     d = docs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
 
@@ -679,9 +691,36 @@ def semdedup(
             )
 
         id_type = d.schema["id"].dataType.simpleString()
-        return assigned.groupBy("list_id").applyInPandas(
-            _cluster_dups, f"id {id_type}, list_id int, is_dup boolean"
+        out_schema = f"id {id_type}, list_id int, is_dup boolean"
+        if max_cluster_rows is None:
+            return assigned.groupBy("list_id").applyInPandas(_cluster_dups, out_schema)
+
+        # enforce the per-cluster task bound: clusters above max_cluster_rows
+        # are hash-split (content-blind — the only split a degenerate corpus
+        # cannot defeat), deduped sub-locally, then sub-bucket survivors get
+        # one refinement round with a fresh hash seed. `assigned` feeds both
+        # rounds, so persist it once.
+        assigned = _persist_sim(assigned)
+        round1 = _split_by_cluster(assigned, max_cluster_rows, seed=1).groupBy(
+            "list_id", "_sub"
+        ).applyInPandas(_cluster_dups, out_schema)
+        nsub = _cluster_nsub(assigned, max_cluster_rows)
+        round1 = round1.join(F.broadcast(nsub), "list_id")
+        intact = round1.filter(F.col("_nsub") == 1).select("id", "list_id", "is_dup")
+        split_dup = (
+            round1.filter((F.col("_nsub") > 1) & F.col("is_dup"))
+            .select("id", "list_id", "is_dup")
         )
+        survivors = (
+            round1.filter((F.col("_nsub") > 1) & ~F.col("is_dup"))
+            .select("id")
+            .join(assigned, "id")
+            .select("id", "v", "list_id")
+        )
+        round2 = _split_by_cluster(survivors, max_cluster_rows, seed=2).groupBy(
+            "list_id", "_sub"
+        ).applyInPandas(_cluster_dups, out_schema)
+        return intact.unionByName(split_dup).unionByName(round2)
     else:
         assigned = _persist_sim(
             d.crossJoin(F.broadcast(centroids))
@@ -705,6 +744,63 @@ def semdedup(
         assigned.join(dup_ids.withColumn("_dup", F.lit(True)), "id", "left")
         .select("id", "list_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
     )
+
+
+def _cluster_nsub(assigned: DataFrame, max_rows: int) -> DataFrame:
+    """Per-cluster sub-bucket count: ceil(cluster_size / max_rows), min 1.
+    k rows — always broadcast-joined back onto the corpus."""
+    return (
+        assigned.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("_csz"))
+        .select(
+            "list_id",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_csz") / F.lit(max_rows)).cast("int")
+            ).alias("_nsub"),
+        )
+    )
+
+
+def _split_by_cluster(assigned: DataFrame, max_rows: int, *, seed: int) -> DataFrame:
+    """Tag every row of an oversized cluster with a hash sub-bucket id so the
+    downstream applyInPandas task holds ~max_rows vectors regardless of how
+    adversarial the embedding distribution is. Hash balance is statistical,
+    not exact (sub-buckets concentrate near max_rows w.h.p.), which is the
+    point: content-blind, so no corpus can concentrate one task. Small
+    clusters (_nsub == 1) get _sub 0 and pass through untouched."""
+    nsub = _cluster_nsub(assigned, max_rows)
+    return assigned.join(F.broadcast(nsub), "list_id").withColumn(
+        "_sub", F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.col("_nsub")).cast("int")
+    )
+
+
+def semdedup_cluster_stats(
+    docs: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int = 100_000,
+) -> dict:
+    """Accounting for semdedup's cluster-size enforcement (no-silent-caps
+    rule, same contract as dedup.hot_bucket_stats): how many clusters/rows
+    exceed the bound and would be hash-split — i.e. where the approximation
+    (survivor pairs split apart in the refinement round) can live. Separate
+    action by design; call it from tests / pipeline health checks, not the
+    hot path."""
+    d = docs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = _assign_numpy(d, centroids, keep_vec=False)
+    agg = (
+        assigned.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_cluster_rows)
+        .agg(
+            F.count(F.lit(1)).alias("split_clusters"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("split_rows"),
+        )
+        .first()
+    )
+    return {"split_clusters": agg["split_clusters"], "split_rows": agg["split_rows"]}
 
 
 _SIM_PERSISTED: list = []

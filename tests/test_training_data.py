@@ -775,6 +775,51 @@ def test_semdedup_marks_exact_copies(spark):
     assert out == {0: False, 1: True, 2: False, 3: True, 4: False, 5: False}
 
 
+def test_semdedup_cluster_bound_on_degenerate_corpus(spark):
+    """Adversarial corpus: every embedding near-identical, so k-means (and
+    any second-level k-means/LSH re-route) collapses to ONE cluster — the
+    case the enforced max_cluster_rows exists for. The hash split + survivor
+    refinement must (a) keep every applyInPandas task near the bound and
+    (b) reproduce the exact unsplit semantics here: survivors shrink ~max×
+    per round, so round 2 sees them all in one sub-bucket."""
+    from logstash_spark.functions import similarity as sim
+
+    n = 48
+    vecs = [(i, [1.0, 0.5, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = sim.ivf_train(df, num_lists=4, iters=2)
+
+    stats = sim.semdedup_cluster_stats(df, cents, max_cluster_rows=8)
+    assert stats["split_clusters"] >= 1 and stats["split_rows"] == n
+
+    # the split machinery itself: no sub-bucket wildly above the bound
+    d = df.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    assigned = sim._assign_numpy(d, cents, keep_vec=True).select("id", "v", "list_id")
+    split = sim._split_by_cluster(assigned, 8, seed=1)
+    sizes = [r.n for r in split.groupBy("list_id", "_sub").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) >= 4 and max(sizes) <= 16  # hash balance, not one 48-row task
+
+    bounded = {(r.id, r.is_dup) for r in sim.semdedup(df, cents, tau=0.95, max_cluster_rows=8).collect()}
+    unbounded = {(r.id, r.is_dup) for r in sim.semdedup(df, cents, tau=0.95, max_cluster_rows=None).collect()}
+    sim.release_cached()
+    assert bounded == unbounded
+    assert sum(1 for _, dup in bounded if not dup) == 1  # only the global min survives
+
+
+def test_semdedup_bound_default_is_invisible_on_small_clusters(spark):
+    """With every cluster under the default bound the enforced path must be
+    byte-identical to the unsplit plan's output."""
+    from logstash_spark.functions.similarity import ivf_train, release_cached, semdedup
+    from logstash_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_train(e, num_lists=8, iters=2)
+    bounded = {(r.id, r.list_id, r.is_dup) for r in semdedup(e, cents, tau=0.45).collect()}
+    unbounded = {(r.id, r.list_id, r.is_dup) for r in semdedup(e, cents, tau=0.45, max_cluster_rows=None).collect()}
+    release_cached()
+    assert bounded == unbounded
+
+
 def test_hashed_linear_score_bounds_and_mean_semantics(spark):
     from logstash_spark.functions.text import hashed_linear_score
 
