@@ -245,121 +245,89 @@ def dns_enrich(df: DataFrame, resolved_dim: DataFrame, *, source: str, target: s
     return translate(df, resolved_dim, source=source, target=target, dim_key="host", dim_value="address")
 
 
-# (name, detect regex, version regex) — FIRST MATCH WINS, so specific
-# families come before general ones exactly as in the public ua-parser
-# regexes.yaml ordering (bots, then tools, then derived browsers like Edge/
-# Opera/Samsung before their Chrome base, mobile variants before desktop).
-# ~30 core entries covering the large majority of real traffic; the
-# reference wraps the full ua-parser DB — same cascade, compact table.
-_UA_PATTERNS: list[tuple[str, str, str]] = [
-    # crawlers / bots
-    ("Googlebot", r"Googlebot", r"Googlebot/(\d+\.[\d.]+)"),
-    ("bingbot", r"bingbot", r"bingbot/(\d+\.[\d.]+)"),
-    ("Yahoo! Slurp", r"Yahoo! Slurp", r"()"),
-    ("DuckDuckBot", r"DuckDuckBot", r"DuckDuckBot/(\d+\.[\d.]+)"),
-    ("Baiduspider", r"Baiduspider", r"Baiduspider/(\d+\.[\d.]+)"),
-    ("YandexBot", r"YandexBot", r"YandexBot/(\d+\.[\d.]+)"),
-    ("FacebookBot", r"facebookexternalhit", r"facebookexternalhit/(\d+\.[\d.]+)"),
-    ("Twitterbot", r"Twitterbot", r"Twitterbot/(\d+\.[\d.]+)"),
-    ("Applebot", r"Applebot", r"Applebot/(\d+\.[\d.]+)"),
-    # programmatic clients
-    ("curl", r"^curl/", r"curl/(\d+\.[\d.]+)"),
-    ("Wget", r"^Wget/", r"Wget/(\d+\.[\d.]+)"),
-    ("Python Requests", r"python-requests", r"python-requests/(\d+\.[\d.]+)"),
-    ("Python-urllib", r"Python-urllib", r"Python-urllib/(\d+\.[\d.]+)"),
-    ("Go-http-client", r"Go-http-client", r"Go-http-client/(\d+\.[\d.]+)"),
-    ("okhttp", r"okhttp", r"okhttp/(\d+\.[\d.]+)"),
-    ("Java", r"^Java/", r"Java/(\d+\.[\d.]+)"),
-    # derived browsers BEFORE their Chrome/Safari base token
-    ("Edge", r"Edge?/\d", r"Edge?/(\d+\.[\d.]+)"),
-    ("Opera", r"OPR/", r"OPR/(\d+\.[\d.]+)"),
-    ("Opera", r"Opera[/ ]", r"Opera[/ ](\d+\.[\d.]+)"),
-    ("Yandex Browser", r"YaBrowser", r"YaBrowser/(\d+\.[\d.]+)"),
-    ("Vivaldi", r"Vivaldi", r"Vivaldi/(\d+\.[\d.]+)"),
-    ("Samsung Internet", r"SamsungBrowser", r"SamsungBrowser/(\d+\.[\d.]+)"),
-    ("UC Browser", r"UCBrowser", r"UCBrowser/(\d+\.[\d.]+)"),
-    ("HeadlessChrome", r"HeadlessChrome", r"HeadlessChrome/(\d+\.[\d.]+)"),
-    ("Chrome Mobile", r"Chrome/\d[\d.]* Mobile", r"Chrome/(\d+\.[\d.]+)"),
-    ("Chromium", r"Chromium/", r"Chromium/(\d+\.[\d.]+)"),
-    ("Chrome", r"Chrome/", r"Chrome/(\d+\.[\d.]+)"),
-    ("Firefox Mobile", r"(?:Android|Mobile).*Firefox/", r"Firefox/(\d+\.[\d.]+)"),
-    ("Firefox", r"Firefox/", r"Firefox/(\d+\.[\d.]+)"),
-    ("Mobile Safari", r"Version/\d[\d.]* Mobile.*Safari", r"Version/(\d+\.[\d.]+)"),
-    ("Safari", r"Version/\d[\d.]*.*Safari", r"Version/(\d+\.[\d.]+)"),
-    ("IE", r"Trident.*rv[: ]?11", r"rv[: ]?(11\.[\d.]+)"),
-    ("IE", r"MSIE \d", r"MSIE (\d+\.[\d.]+)"),
-    ("SeaMonkey", r"SeaMonkey", r"SeaMonkey/(\d+\.[\d.]+)"),
-    ("Konqueror", r"Konqueror", r"Konqueror/(\d+\.[\d.]+)"),
-    ("Other", r".*", r"()"),
-]
 
-# (name, detect regex, version regex with one capture; '_' separators in
-# Apple versions normalize to '.')
-_OS_PATTERNS: list[tuple[str, str, str]] = [
-    ("Windows Phone", r"Windows Phone", r"Windows Phone (?:OS )?([\d.]+)"),
-    ("iOS", r"(?:iPhone|iPad|iPod)", r"(?:iPhone )?OS (\d+[_\d]*)"),
-    ("Android", r"Android", r"Android (\d+[.\d]*)"),
-    ("Mac OS X", r"Mac OS X", r"Mac OS X (\d+[_.\d]*)"),
-    ("Chrome OS", r"CrOS", r"CrOS [\w]+ ([\d.]+)"),
-    # uap-core maps NT kernel tokens to the MARKETING version ('Windows NT
-    # 6.1' -> Windows 7, NT 10.0 -> Windows 10); emitting the raw kernel
-    # version was a silent divergence from the ua-parser table the plugin
-    # wraps. '=' marks a literal (non-captured) version value.
-    ("Windows", r"Windows NT 10\.0", "=10"),
-    ("Windows", r"Windows NT 6\.3", "=8.1"),
-    ("Windows", r"Windows NT 6\.2", "=8"),
-    ("Windows", r"Windows NT 6\.1", "=7"),
-    ("Windows", r"Windows NT 6\.0", "=Vista"),
-    ("Windows", r"Windows NT 5\.1", "=XP"),
-    ("Windows", r"Windows NT", r"Windows NT ([\d.]+)"),
-    ("Windows", r"Windows", r"()"),
-    ("Ubuntu", r"Ubuntu", r"()"),
-    ("Linux", r"Linux", r"()"),
-    ("FreeBSD", r"FreeBSD", r"()"),
-    ("Other", r".*", r"()"),
-]
+def _uap_cascade(src, parsers: list[dict], *, version_norm: bool = False):
+    """Compile an ORDERED uap-core-shaped parser table (see
+    operators/ua_tables.py) into (family_expr, version_expr): one JVM-side
+    rlike cascade computing the first-match INDEX once, then dispatching
+    family/version on it — a naive per-output cascade re-evaluates every
+    detect regex for every output column (~4x the regex work, measured).
+
+    Family templates may contain '$1' (detect-regex group 1); version is a
+    single-capture regex, literal v1[.v2], or '.'-joined detect groups
+    (uap-core groups 2..4). version_norm rewrites '_' separators to '.'
+    (Apple OS tokens)."""
+    idx = F.coalesce(
+        *[F.when(src.rlike(p["regex"]), F.lit(i)) for i, p in enumerate(parsers)]
+    )
+    fam_chain = None
+    ver_chain = None
+    for i, p in enumerate(parsers):
+        fam = p["family"]
+        if "$1" in fam:
+            pre, _, post = fam.partition("$1")
+            g1 = F.regexp_extract(src, p["regex"], 1)
+            fexpr = F.concat(F.lit(pre), g1, F.lit(post)) if (pre or post) else g1
+        else:
+            fexpr = F.lit(fam)
+        if "v1" in p:
+            vexpr = F.lit(p["v1"] + ("." + p["v2"] if "v2" in p else ""))
+        elif "version" in p:
+            vexpr = F.regexp_extract(src, p["version"], 1)
+        elif "v_groups" in p:
+            # concat_ws skips nulls; nullif('') drops empty trailing groups
+            vexpr = F.concat_ws(
+                ".",
+                *[
+                    F.nullif(F.regexp_extract(src, p["regex"], g), F.lit(""))
+                    for g in p["v_groups"]
+                ],
+            )
+        else:
+            vexpr = F.lit("")
+        fam_chain = (
+            F.when(idx == i, fexpr) if fam_chain is None else fam_chain.when(idx == i, fexpr)
+        )
+        ver_chain = (
+            F.when(idx == i, vexpr) if ver_chain is None else ver_chain.when(idx == i, vexpr)
+        )
+    if version_norm:
+        ver_chain = F.regexp_replace(ver_chain, "_", ".")
+    return fam_chain, ver_chain
 
 
-def useragent(df: DataFrame, source: str, target_prefix: str = "ua_") -> DataFrame:
+def useragent(
+    df: DataFrame,
+    source: str,
+    target_prefix: str = "ua_",
+    *,
+    tables: dict | None = None,
+) -> DataFrame:
     """`useragent` filter: regex classification (JVM-side CASE/rlike chain).
 
-    The reference wraps the ua-parser regex database; this is the same
-    first-match-wins regex cascade with the ~30-entry core of that table.
-    Emits name, version, major, minor, os, os_version under the prefix
-    (the plugin's documented field set, minus device)."""
-    src = F.col(source).cast("string")
-    # the MATCH INDEX is computed once (one rlike cascade); name/version
-    # dispatch on it — a naive per-output cascade re-evaluates every detect
-    # regex for every output column (~4x the regex work, measured)
-    ua_idx = F.coalesce(
-        *[F.when(src.rlike(d), F.lit(i)) for i, (_n, d, _v) in enumerate(_UA_PATTERNS)]
+    The reference wraps the public ua-parser database (default_plugins.rb:45);
+    this is the same first-match-wins cascade over the vendored uap-core-shaped
+    tables in operators/ua_tables.py (~140 UA / ~40 OS / ~17 device entries
+    covering bots, tools, in-app webviews, derived browsers and legacy
+    families). Pass `tables=load_uap_parsers("regexes.yaml")` to swap in the
+    full public database without a code change. Emits name, version, major,
+    minor, os, os_version, device under the prefix — the plugin's documented
+    field set."""
+    from logstash_spark.operators.ua_tables import (
+        DEVICE_PARSERS,
+        OS_PARSERS,
+        UA_PARSERS,
     )
-    name_expr = F.element_at(
-        F.array(*[F.lit(n) for n, _, _ in _UA_PATTERNS]), ua_idx + 1
-    )
-    ver_chain = None
-    for i, (_n, _d, v) in enumerate(_UA_PATTERNS):
-        branch = F.when(ua_idx == i, F.regexp_extract(src, v, 1))
-        ver_chain = branch if ver_chain is None else ver_chain.when(
-            ua_idx == i, F.regexp_extract(src, v, 1)
-        )
-    ver_expr = ver_chain
 
-    os_idx = F.coalesce(
-        *[F.when(src.rlike(d), F.lit(i)) for i, (_n, d, _v) in enumerate(_OS_PATTERNS)]
-    )
-    os_expr = F.element_at(
-        F.array(*[F.lit(n) for n, _, _ in _OS_PATTERNS]), os_idx + 1
-    )
-    os_ver_chain = None
-    for i, (_n, _d, v) in enumerate(_OS_PATTERNS):
-        vexpr = F.lit(v[1:]) if v.startswith("=") else F.regexp_extract(src, v, 1)
-        os_ver_chain = (
-            F.when(os_idx == i, vexpr)
-            if os_ver_chain is None
-            else os_ver_chain.when(os_idx == i, vexpr)
-        )
-    os_ver_expr = F.regexp_replace(os_ver_chain, "_", ".")
+    ua_tab = (tables or {}).get("ua", UA_PARSERS)
+    os_tab = (tables or {}).get("os", OS_PARSERS)
+    dev_tab = (tables or {}).get("device", DEVICE_PARSERS)
+
+    src = F.col(source).cast("string")
+    name_expr, ver_expr = _uap_cascade(src, ua_tab)
+    os_expr, os_ver_expr = _uap_cascade(src, os_tab, version_norm=True)
+    dev_expr, _ = _uap_cascade(src, dev_tab)
+
     df = df.withColumn(target_prefix + "name", name_expr)
     df = df.withColumn(target_prefix + "version", ver_expr)
     vcol = F.col(target_prefix + "version")
@@ -370,4 +338,5 @@ def useragent(df: DataFrame, source: str, target_prefix: str = "ua_") -> DataFra
     )
     df = df.withColumn(target_prefix + "os", os_expr)
     df = df.withColumn(target_prefix + "os_version", os_ver_expr)
+    df = df.withColumn(target_prefix + "device", dev_expr)
     return df

@@ -2625,6 +2625,73 @@ def useragent_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return useragent(p, "agent").select("url", "ua_version", "ua_major", "ua_minor")
 
 
+# agents the pre-r4 ~30-entry core table collapsed to 'Other' — Gecko forks,
+# iOS alternate browsers, in-app webviews, AI crawlers, the generic
+# '<Name>bot/x.y' $1-template path, consoles — plus the device axis.
+_RARE_AGENTS: list[tuple[str, tuple[str, str, str, str, str]]] = [
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:102.0) Gecko/20100101 Goanna/6.3 Firefox/102.0 PaleMoon/32.5.1",
+     ("Pale Moon", "32.5.1", "Windows", "10", "Other")),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/119.0.6045.169 Mobile/15E148 Safari/604.1",
+     ("Chrome Mobile iOS", "119.0.6045.169", "iOS", "17.1", "iPhone")),
+    ("Mozilla/5.0 (Linux; U; Android 13; en-US; V2171A Build/TP1A.220624.014) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/110.0.5481.154 UCBrowser/15.5.6.1312 Mobile Safari/537.36",
+     ("UC Browser", "15.5.6.1312", "Android", "13", "Generic Smartphone")),
+    ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; GPTBot/1.2; +https://openai.com/gptbot)",
+     ("GPTBot", "1.2", "Other", "", "Spider")),
+    ("Mozilla/5.0 (compatible; ObscureSearchBot/3.1; +http://example.org)",
+     ("ObscureSearchBot", "3.1", "Other", "", "Spider")),
+    ("Mozilla/5.0 (Linux; U; Android 11; KFTRWI Build/RS8332) AppleWebKit/537.36 (KHTML, like Gecko) Silk/112.5.1 like Chrome/112.0.5615.213 Safari/537.36",
+     ("Amazon Silk", "112.5.1", "Android", "11", "Kindle")),
+    ("Lynx/2.9.0dev.10 libwww-FM/2.14 SSL-MM/1.4.1 OpenSSL/1.1.1k",
+     ("Lynx", "2.9.0", "Other", "", "Other")),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 MicroMessenger/8.0.43(0x18002b2c) NetType/WIFI Language/zh_CN",
+     ("WeChat", "8.0.43", "iOS", "17.0", "iPhone")),
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/20G81 [FBAN/FBIOS;FBAV/438.0.0.34.116;FBBV/535645143]",
+     ("Facebook", "438.0.0.34.116", "iOS", "16.6", "iPhone")),
+    ("Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit/605.1.15 (KHTML, like Gecko)",
+     ("PlayStation Browser", "", "PlayStation", "5", "PlayStation")),
+]
+
+
+def _rare_case(col: str, idx: int) -> str:
+    vals = [exp[idx] for _a, exp in _RARE_AGENTS]
+    whens = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(vals[:-1]))
+    return (
+        f"CASE CAST(event_id % {len(vals)} AS INT) {whens} "
+        f"ELSE '{vals[-1]}' END AS {col}"
+    )
+
+
+@q(
+    "useragent_rare",
+    f"""{_PAGES_CTE}
+SELECT url,
+       {_rare_case("ua_name", 0)},
+       {_rare_case("ua_version", 1)},
+       {_rare_case("ua_os", 2)},
+       {_rare_case("ua_os_version", 3)},
+       {_rare_case("ua_device", 4)}
+FROM pages""",
+)
+def useragent_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """useragent over a 10-way RARE agent mix (Gecko forks, iOS alternate
+    browsers, in-app webviews, AI crawlers, the generic bot $1 template,
+    consoles) plus the device axis — the families the full ua-parser DB
+    resolves and a reduced core table cannot. Oracle constants are pinned
+    from the PUBLIC uap-core family conventions, not from replaying the
+    implementation (reference: default_plugins.rb:45)."""
+    from logstash_spark.operators.enrich import useragent
+
+    p = _pages(spark, sf_dir)
+    agent2 = F.element_at(
+        F.array(*[F.lit(a) for a, _exp in _RARE_AGENTS]),
+        (F.col("event_id") % len(_RARE_AGENTS) + 1).cast("int"),
+    )
+    out = useragent(p.withColumn("agent", agent2), "agent")
+    return out.select(
+        "url", "ua_name", "ua_version", "ua_os", "ua_os_version", "ua_device"
+    )
+
+
 @q(
     "event_serialize_json",
     f"""{_PAGES_CTE}

