@@ -43,7 +43,9 @@ from logstash_spark.sinks import (
     NagiosSink,
     NullSink,
     PagerdutySink,
+    PipeSink,
     RabbitmqSink,
+    ZeromqSink,
     RedisSink,
     SnsSink,
     SprintfFileSink,
@@ -843,7 +845,6 @@ _OUTPUT_COMMON = {"type", "tags", "exclude_tags", "codec", "workers"}
 _OUTPUT_OPTS: dict[str, set] = {
     "file": {"path", "message_format", "flush_interval", "gzip"},
     "stdout": {"debug"},
-    "pipe": {"command", "ttl"},
     "null": set(),
     "statsd": {"increment", "decrement", "count", "timing", "gauge", "set",
                "host", "port", "namespace", "sender", "sample_rate", "debug"},
@@ -878,6 +879,8 @@ _OUTPUT_OPTS: dict[str, set] = {
             "format", "secure"},
     "rabbitmq": {"exchange", "exchange_type", "key", "host", "port", "user",
                  "password", "vhost", "durable", "persistent"},
+    "zeromq": {"topology", "topic", "address", "mode", "sockopts"},
+    "pipe": {"command", "message_format", "ttl"},
     "pagerduty": {"service_key", "description", "incident_key", "event_type",
                   "details"},
     "email": {"to", "from", "subject", "body", "htmlbody", "via", "options",
@@ -949,7 +952,7 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                     sink = JsonLinesSink(target)
                 else:
                     sink = ParquetSink(target, mode="append")
-        elif node.name in ("stdout", "pipe"):
+        elif node.name == "stdout":
             # codec => dots: liveness count, no event data to the driver
             sink = NullSink() if node.attrs.get("codec") == "dots" else CollectSink()
         elif node.name == "null":
@@ -1084,6 +1087,27 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 os.path.join(out_dir, f"rabbitmq_{len(outputs)}"),
                 exchange=str(node.attrs["exchange"]),
                 key=str(node.attrs["key"]) if "key" in node.attrs else None,
+            )
+        elif node.name == "pipe":
+            if "command" not in node.attrs:
+                raise ConfCompileError("pipe output requires command")
+            sink = PipeSink(
+                command=str(node.attrs["command"]),
+                message_format=(
+                    str(node.attrs["message_format"])
+                    if "message_format" in node.attrs else None
+                ),
+            )
+        elif node.name == "zeromq":
+            topo = str(node.attrs.get("topology", "pushpull"))
+            if topo not in ("pushpull", "pubsub", "pair"):
+                raise ConfCompileError(
+                    "zeromq output: topology must be pushpull, pubsub or pair"
+                )
+            sink = ZeromqSink(
+                os.path.join(out_dir, f"zeromq_{len(outputs)}"),
+                topology=topo,
+                topic=str(node.attrs["topic"]) if "topic" in node.attrs else None,
             )
         elif node.name == "irc":
             if "channels" not in node.attrs:
@@ -1434,6 +1458,25 @@ def bind_input(spark, node: PluginNode, *, stdin_lines=None):
                 "(file-backed wire contract, same stance as the kafka shim)"
             )
         df = decode_redis_records(spark.read.parquet(str(path)), str(a["schema"]))
+    elif node.name == "zeromq":
+        # brokerless socket capture (docs/tutorials/zeromq.md): decode a
+        # captured frame export (the exact parquet ZeromqSink writes) with
+        # the documented SUB-side topic-PREFIX filter; live sockets are a
+        # deployment concern — same file-backed stance as kafka/redis
+        from logstash_spark.sources.bus import decode_zeromq_records
+
+        path = a.get("export") or a.get("path")
+        if not path or "schema" not in a:
+            raise ConfCompileError(
+                "zeromq input: needs export => parquet of the frame capture "
+                "(topic, value, peer, seq) + schema => for the json events "
+                "(file-backed wire contract, same stance as the kafka shim)"
+            )
+        df = decode_zeromq_records(
+            spark.read.parquet(str(path)),
+            str(a["schema"]),
+            topic_filter=str(a["topic"]) if "topic" in a else None,
+        )
     elif node.name == "graphite":
         # graphite line-protocol listener: decode captured lines (text
         # export) or a live tcp capture through the graphite codec

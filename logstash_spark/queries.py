@@ -4163,3 +4163,41 @@ def broker_redis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_redis_records(p, key="logstash-%{lang}", fields=["url", "clientip"])
     )
     return decode_redis_records(wire, "url string, clientip string")
+
+
+@q(
+    "broker_zeromq",
+    f"""{_PAGES_CTE},
+wire AS (
+  SELECT 'logs.' || lang AS zmq_topic,
+         0 AS zmq_peer,
+         CAST(ROW_NUMBER() OVER (ORDER BY url) - 1 AS BIGINT) AS zmq_seq,
+         url, clientip, lang
+  FROM pages)
+SELECT zmq_topic, zmq_peer, zmq_seq, url, clientip
+FROM wire WHERE zmq_topic LIKE 'logs.e%'""",
+)
+def broker_zeromq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zeromq pubsub socket hop round-trip (input/output zeromq,
+    docs/tutorials/zeromq.md): events json-serialize into the documented
+    MULTIPART frame (sprintf'd topic 'logs.%{{lang}}' first, event second);
+    the SUB side receives ALL frames and keeps topic PREFIX matches
+    ('logs.e' -> en+es, demonstrating first-bytes — not equality —
+    semantics), so zmq_seq still reflects position among ALL deliveries.
+    Same oracle-able ordering trick as broker_redis: url leads the JSON
+    value, so order-by-value equals ORDER BY url."""
+    from logstash_spark.sources.bus import (
+        decode_zeromq_records,
+        encode_zeromq_records,
+        zeromq_wire_shim,
+    )
+
+    p = _pages(spark, sf_dir).select("url", "clientip", "lang")
+    wire = zeromq_wire_shim(
+        encode_zeromq_records(
+            p, topology="pubsub", topic="logs.%{lang}", fields=["url", "clientip"]
+        ),
+        topology="pubsub",
+    )
+    out = decode_zeromq_records(wire, "url string, clientip string", topic_filter="logs.e")
+    return out.select("zmq_topic", "zmq_peer", "zmq_seq", "url", "clientip")

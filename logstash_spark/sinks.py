@@ -287,6 +287,77 @@ def _frame_lines(df: DataFrame, codec: str) -> DataFrame:
 
 
 @dataclass
+class PipeSink(Sink):
+    """pipe output (logstash-output-pipe, default_plugins.rb:97): stream
+    events as lines into the stdin of a shell command. The plugin
+    sprintf-expands ``command`` per event and keeps a pipe cache keyed by
+    the expanded command; scale-honest mapping: EACH PARTITION groups its
+    rows by expanded command and opens ONE subprocess per distinct command
+    (foreachPartition — never a process per event, never a driver
+    collect). ``message_format`` templates each line; default is the json
+    event, the plugin's documented fallback. Command cardinality is
+    expected to be low (it is a routing key, not a row value); a per-task
+    cap guards against an unbounded sprintf (fail loud, not fork-bomb)."""
+
+    command: str
+    message_format: str | None = None
+    max_commands_per_task: int = 64
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.event import event_to_json, sprintf_col
+
+        clean = strip_internal(df)
+        line = (
+            sprintf_col(self.message_format, df)
+            if self.message_format
+            else event_to_json(clean)
+        )
+        cmd = (
+            sprintf_col(self.command, df)
+            if "%{" in self.command
+            else F.lit(self.command)
+        )
+        out = df.select(cmd.alias("_cmd"), line.alias("_line"))
+        cap = self.max_commands_per_task
+
+        def feed(rows) -> None:
+            import subprocess as _sp
+
+            procs: dict[str, _sp.Popen] = {}
+            try:
+                for r in rows:
+                    if r["_cmd"] is None or r["_line"] is None:
+                        continue
+                    p = procs.get(r["_cmd"])
+                    if p is None:
+                        if len(procs) >= cap:
+                            raise RuntimeError(
+                                f"pipe output: >{cap} distinct commands in one "
+                                "task — command template expands per-row; use a "
+                                "routing key with bounded cardinality"
+                            )
+                        p = _sp.Popen(
+                            r["_cmd"], shell=True, stdin=_sp.PIPE,
+                            stdout=_sp.DEVNULL, stderr=_sp.DEVNULL,
+                        )
+                        procs[r["_cmd"]] = p
+                    assert p.stdin is not None
+                    p.stdin.write(r["_line"].encode("utf-8") + b"\n")
+            finally:
+                failed = []
+                for c, p in procs.items():
+                    if p.stdin is not None:
+                        p.stdin.close()
+                    if p.wait(timeout=60) != 0:
+                        failed.append((c, p.returncode))
+                if failed:
+                    raise RuntimeError(f"pipe output: commands failed: {failed}")
+
+        out.foreachPartition(feed)
+        return self.command
+
+
+@dataclass
 class GelfSink(Sink):
     """gelf output with the REAL GELF 1.1 JSON wire shape (version, host,
     short_message, epoch timestamp, level, custom fields prefixed '_'),
@@ -468,6 +539,32 @@ class RabbitmqSink(Sink):
 
         wire = kafka_wire_shim(
             encode_kafka_records(df, topic=self.exchange, key_template=self.key)
+        )
+        wire.write.mode("append").parquet(self.path)
+        return self.path
+
+
+@dataclass
+class ZeromqSink(Sink):
+    """zeromq output (docs/tutorials/zeromq.md): brokerless socket pair in
+    pushpull / pubsub / pair topology. pubsub writes the documented
+    MULTIPART frame — first part the sprintf'd topic, second the json
+    event — which `input zeromq { export => }` decodes with SUB-side
+    topic-prefix filtering; file-backed wire contract, same stance as the
+    kafka/redis shims."""
+
+    path: str
+    topology: str = "pushpull"
+    topic: str | None = None
+    peers: int = 1
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.sources.bus import encode_zeromq_records, zeromq_wire_shim
+
+        wire = zeromq_wire_shim(
+            encode_zeromq_records(df, topology=self.topology, topic=self.topic),
+            topology=self.topology,
+            peers=self.peers,
         )
         wire.write.mode("append").parquet(self.path)
         return self.path

@@ -166,3 +166,89 @@ def decode_redis_records(raw: DataFrame, value_schema: str) -> DataFrame:
         F.from_json(F.col("value").cast("string"), value_schema).alias("_v"),
     )
     return ev.select("redis_key", "redis_index", "_v.*")
+
+
+# ---------------------------------------------------------------------------
+# zeromq (default_plugins.rb:75 input, :7 output; docs/tutorials/zeromq.md)
+# — brokerless socket pairs in three topologies: pushpull (load-balanced
+# workers), pubsub (broadcast + subscriber-side TOPIC PREFIX filter), pair
+# (one-to-one). The documented wire shape for pubsub is a MULTIPART
+# message: first part = sprintf'd topic, second part = json event; the SUB
+# side compares the first bytes of the message against its topic (prefix
+# match, not equality). Same file-backed wire-contract stance as the
+# kafka/redis shims above — live sockets are a deployment concern.
+# ---------------------------------------------------------------------------
+
+ZEROMQ_WIRE_COLUMNS = ["topic", "value", "peer", "seq"]
+
+_ZMQ_TOPOLOGIES = ("pushpull", "pubsub", "pair")
+
+
+def encode_zeromq_records(
+    df: DataFrame,
+    *,
+    topology: str = "pushpull",
+    topic: str | None = None,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Events -> zeromq frames. pubsub emits the multipart (topic, value)
+    with a sprintf-able topic (``topic => "logs.production.%{host}"``);
+    pushpull/pair emit a single-part message (topic = null). One
+    shuffle-free projection."""
+    from logstash_spark.event import sprintf_col
+    from logstash_spark.sinks import strip_internal
+
+    if topology not in _ZMQ_TOPOLOGIES:
+        raise ValueError(f"zeromq topology must be one of {_ZMQ_TOPOLOGIES}")
+    clean = strip_internal(df)
+    cols = fields or clean.columns
+    value = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    if topology == "pubsub":
+        t = sprintf_col(topic, df) if topic and "%{" in topic else F.lit(topic or "")
+    else:
+        t = F.lit(None).cast("string")
+    return df.select(t.alias("topic"), value.alias("value"))
+
+
+def zeromq_wire_shim(
+    encoded: DataFrame, *, topology: str = "pushpull", peers: int = 1
+) -> DataFrame:
+    """Wrap an encode_zeromq_records frame in the delivered wire schema.
+    pushpull load-balances across connected peers (deterministic stand-in:
+    hash(value) % peers — 0mq's fair-queuing has no arrival clock in a
+    batch capture, and a hash spread avoids a global-order window);
+    pubsub/pair deliver every message to the one captured socket (peer 0).
+    seq = delivery position per peer (per-peer window, same bounded shape
+    as the kafka shim's per-partition offsets)."""
+    from pyspark.sql import Window as W
+
+    if topology not in _ZMQ_TOPOLOGIES:
+        raise ValueError(f"zeromq topology must be one of {_ZMQ_TOPOLOGIES}")
+    if topology == "pushpull" and peers > 1:
+        peer = F.pmod(F.xxhash64(F.col("value")), F.lit(peers)).cast("int")
+    else:
+        peer = F.lit(0)
+    with_peer = encoded.select("topic", "value", peer.alias("peer"))
+    w_peer = W.partitionBy("peer").orderBy("value")
+    return with_peer.withColumn(
+        "seq", F.row_number().over(w_peer).cast("long") - 1
+    )
+
+
+def decode_zeromq_records(
+    raw: DataFrame, value_schema: str, *, topic_filter: str | None = None
+) -> DataFrame:
+    """zeromq wire schema -> events. topic_filter applies the documented
+    SUB-side semantics: the subscriber receives ALL messages and keeps
+    those whose topic's FIRST BYTES match (prefix, not equality). Topic +
+    delivery metadata ride along under zmq_* names."""
+    ev = raw
+    if topic_filter is not None:
+        ev = ev.filter(F.col("topic").startswith(topic_filter))
+    ev = ev.select(
+        F.col("topic").alias("zmq_topic"),
+        F.col("peer").alias("zmq_peer"),
+        F.col("seq").alias("zmq_seq"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("_v"),
+    )
+    return ev.select("zmq_topic", "zmq_peer", "zmq_seq", "_v.*")

@@ -1101,3 +1101,80 @@ def test_rabbitmq_broker_roundtrip(spark, tmp_path):
         "schema": "message string, type string"}))
     r = back.collect()[0]
     assert r["message"] == "m1" and r["kafka_topic"] == "logs" and r["kafka_key"] == "web"
+
+
+def test_zeromq_pubsub_roundtrip(spark, tmp_path):
+    """output zeromq(pubsub) -> input zeromq round-trips the socket hop
+    with the documented multipart (topic, json-event) frame and SUB-side
+    topic PREFIX filtering (docs/tutorials/zeromq.md: the subscriber
+    compares the FIRST BYTES of the message against its topic)."""
+    from logstash_spark.conf import bind_input, compile_config
+    from logstash_spark.confparser import PluginNode
+
+    pipe, _ = compile_config(
+        'output { zeromq { topology => "pubsub" '
+        'topic => "logs.production.%{host}" } }',
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame(
+        [("m1", "db1"), ("m2", "db2"), ("m3", "web1")], "message string, host string"
+    )
+    pipe.run(df)
+
+    # SUB with a topic prefix: 'logs.production.db' sees db1+db2, not web1
+    back = bind_input(spark, PluginNode("zeromq", {
+        "export": str(tmp_path / "zeromq_0"),
+        "schema": "message string, host string",
+        "topic": "logs.production.db",
+    }))
+    rows = sorted((r["zmq_topic"], r["message"]) for r in back.collect())
+    assert rows == [("logs.production.db1", "m1"), ("logs.production.db2", "m2")]
+
+    # no filter -> all three, with per-peer delivery sequence
+    allback = bind_input(spark, PluginNode("zeromq", {
+        "export": str(tmp_path / "zeromq_0"),
+        "schema": "message string, host string",
+    }))
+    got = allback.collect()
+    assert len(got) == 3 and sorted(r["zmq_seq"] for r in got) == [0, 1, 2]
+    assert {r["zmq_peer"] for r in got} == {0}
+
+
+def test_zeromq_pushpull_load_balances(spark, tmp_path):
+    """pushpull fans events across peers (no peer sees another's message)
+    and emits single-part frames (topic null)."""
+    from logstash_spark.sources.bus import (
+        decode_zeromq_records,
+        encode_zeromq_records,
+        zeromq_wire_shim,
+    )
+
+    df = spark.createDataFrame([(f"m{i}",) for i in range(40)], "message string")
+    wire = zeromq_wire_shim(
+        encode_zeromq_records(df, topology="pushpull"), topology="pushpull", peers=4
+    )
+    rows = wire.collect()
+    assert all(r["topic"] is None for r in rows)
+    peers = {r["peer"] for r in rows}
+    assert peers <= {0, 1, 2, 3} and len(peers) > 1  # actually spread
+    # disjoint delivery: message count preserved, each exactly once
+    back = decode_zeromq_records(wire, "message string")
+    msgs = sorted(r["message"] for r in back.collect())
+    assert msgs == sorted(f"m{i}" for i in range(40))
+    # per-peer seq is dense from 0
+    by_peer = {}
+    for r in rows:
+        by_peer.setdefault(r["peer"], []).append(r["seq"])
+    for seqs in by_peer.values():
+        assert sorted(seqs) == list(range(len(seqs)))
+
+
+def test_zeromq_rejects_bad_topology(tmp_path):
+    import pytest as _pt
+
+    from logstash_spark.conf import ConfCompileError, compile_config
+
+    with _pt.raises(ConfCompileError, match="topology"):
+        compile_config(
+            'output { zeromq { topology => "reqrep" } }', out_dir=str(tmp_path)
+        )

@@ -246,3 +246,70 @@ def test_irc_output_privmsg_lines(spark, tmp_path):
     pipe.run(spark.createDataFrame([("down", "web1")], "message string, host string"))
     lines = sorted(r["value"] for r in spark.read.text(str(tmp_path / "irc_0")).collect())
     assert lines == ["PRIVMSG #alerts :web1: down", "PRIVMSG #ops :web1: down"]
+
+
+def test_pipe_sink_cat_roundtrip(spark, tmp_path):
+    """pipe output through a real `cat` subprocess: every event line
+    arrives on the command's stdin; one subprocess per distinct expanded
+    command per partition ($$ = subprocess PID proves process identity)."""
+    from logstash_spark.sinks import PipeSink
+
+    d = tmp_path / "pipeout"
+    d.mkdir()
+    df = spark.createDataFrame(
+        [(f"m{i}",) for i in range(20)], "message string"
+    ).repartition(4)
+    PipeSink(command=f"cat > {d}/part-$$.txt", message_format="%{message}").write(df)
+    files = sorted(d.glob("part-*.txt"))
+    assert 1 <= len(files) <= 4  # one process per non-empty partition
+    lines = []
+    for f in files:
+        lines += f.read_text().splitlines()
+    assert sorted(lines) == sorted(f"m{i}" for i in range(20))
+
+
+def test_pipe_sink_gzip_and_sprintf_command(spark, tmp_path):
+    """sprintf'd command routes events to per-key subprocesses (the
+    plugin's pipe-cache-by-expanded-command semantics) through a real
+    gzip; json default message_format."""
+    import gzip
+    import json
+
+    from logstash_spark.sinks import PipeSink
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    df = spark.createDataFrame(
+        [("m1", "web"), ("m2", "db"), ("m3", "web")], "message string, type string"
+    ).repartition(1)
+    PipeSink(command=f"gzip -c >> {d}/%{{type}}.gz").write(df)
+    got = {}
+    for f in d.glob("*.gz"):
+        with gzip.open(f, "rt") as fh:
+            got[f.name] = sorted(json.loads(l)["message"] for l in fh)
+    assert got == {"web.gz": ["m1", "m3"], "db.gz": ["m2"]}
+
+
+def test_pipe_sink_fails_loud_on_bad_command(spark):
+    import pytest as _pt
+
+    from logstash_spark.sinks import PipeSink
+
+    df = spark.createDataFrame([("x",)], "message string").coalesce(1)
+    with _pt.raises(Exception, match="pipe output|commands failed"):
+        PipeSink(command="false", message_format="%{message}").write(df)
+
+
+def test_pipe_conf_binding(spark, tmp_path):
+    from logstash_spark.conf import compile_config
+
+    d = tmp_path / "conf"
+    d.mkdir()
+    pipe, _ = compile_config(
+        f'output {{ pipe {{ command => "cat >> {d}/all.txt" '
+        'message_format => "%{type}:%{message}" } }',
+        out_dir=str(tmp_path),
+    )
+    df = spark.createDataFrame([("m1", "web")], "message string, type string").coalesce(1)
+    pipe.run(df)
+    assert (d / "all.txt").read_text() == "web:m1\n"
