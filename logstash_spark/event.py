@@ -147,13 +147,25 @@ def _set_in(col: Column, dtype: T.DataType, toks: list[str], value: Column) -> C
         return F.map_concat(keep, F.create_map(F.lit(tok).cast(dtype.keyType), entry_v))
     if isinstance(dtype, T.ArrayType) and _is_int(tok):
         # set-at-index via transform; negative indexes count from the end
-        # (Ruby array semantics). Divergence: the reference EXTENDS the
-        # array with nils when i >= length; a pure transform cannot grow the
-        # array, so out-of-range writes are no-ops here (documented).
+        # (Ruby array semantics). A write PAST the end extends the array
+        # with nils first (Ruby `arr[5] = x` -> [.., nil, nil, x];
+        # accessors.rb:118-122 auto-create) — pad to i+1 before the
+        # positional write. Out-of-range NEGATIVE index stays a no-op
+        # (Ruby raises IndexError per event; a whole-frame transform
+        # cannot raise per row — documented).
         i = int(tok)
-        idx = F.lit(i) if i >= 0 else F.size(col) + F.lit(i)
+        if i >= 0:
+            base = F.coalesce(col, F.array().cast(dtype))
+            pad_n = F.greatest(F.lit(0), F.lit(i + 1) - F.size(base))
+            base = F.concat(
+                base, F.array_repeat(F.lit(None).cast(dtype.elementType), pad_n)
+            )
+            idx = F.lit(i)
+        else:
+            base = col
+            idx = F.size(col) + F.lit(i)
         return F.transform(
-            col,
+            base,
             lambda x, pos: F.when(
                 pos == idx, _set_in(x, dtype.elementType, toks[1:], value)
             ).otherwise(x),

@@ -2795,6 +2795,34 @@ def nested_field_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "nested_array_extend",
+    f"""{_PAGES_CTE}
+SELECT url,
+       CAST(4 AS INT) AS tags_len,
+       lang AS t0,
+       CAST(NULL AS VARCHAR) AS t2,
+       verb AS t3
+FROM pages""",
+)
+def nested_array_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-index write PAST the end extends with nils (Ruby
+    `arr[3] = x` on a 1-element array -> [a, nil, nil, x];
+    accessors.rb:118-122 auto-create): [tags] starts as [lang], writing
+    [tags][3] pads positions 1-2 with nulls then sets position 3."""
+    from logstash_spark.event import set_path
+
+    p = _pages(spark, sf_dir).withColumn("tags", F.array(F.col("lang")))
+    p = set_path(p, "[tags][3]", F.col("verb"))
+    return p.select(
+        "url",
+        F.size("tags").alias("tags_len"),
+        F.element_at("tags", 1).alias("t0"),
+        F.element_at("tags", 3).alias("t2"),
+        F.element_at("tags", 4).alias("t3"),
+    )
+
+
+@q(
     "syslog_input_decode",
     f"""{_PAGES_CTE}
 , pri AS (

@@ -63,6 +63,29 @@ def test_set_array_index(spark):
     assert set_path(df, "[arr][-1]", F.lit("Z")).collect()[0]["arr"] == ["a", "b", "Z"]
 
 
+def test_set_array_index_past_end_extends_with_nils(spark):
+    """Ruby `arr[5] = x` extends with nils (accessors.rb:118-122
+    auto-create); writes past the end pad to i+1 then set."""
+    df = one(spark, arr=["a", "b"])
+    assert set_path(df, "[arr][4]", F.lit("E")).collect()[0]["arr"] == [
+        "a", "b", None, None, "E"]
+    # exactly-at-end == append
+    assert set_path(df, "[arr][2]", F.lit("c")).collect()[0]["arr"] == ["a", "b", "c"]
+    # null array auto-creates ([nil, x] for index 1)
+    dfn = spark.createDataFrame([(None,)], "arr array<string>")
+    assert set_path(dfn, "[arr][1]", F.lit("x")).collect()[0]["arr"] == [None, "x"]
+    # out-of-range NEGATIVE index stays a no-op (reference raises per event)
+    assert set_path(df, "[arr][-5]", F.lit("Z")).collect()[0]["arr"] == ["a", "b"]
+
+
+def test_set_array_index_past_end_struct_elements(spark):
+    """Padding + positional write composes with nested writes through the
+    new nil elements (the nil struct materializes on write)."""
+    df = one(spark, arr=[Row(x=1)])
+    out = set_path(df, "[arr][2][x]", F.lit(7)).collect()[0]
+    assert [r and r["x"] for r in out["arr"]] == [1, None, 7]
+
+
 def test_set_through_array_of_structs(spark):
     df = one(spark, arr=[Row(x=1), Row(x=2)])
     out = set_path(df, "[arr][0][x]", F.lit(9)).collect()[0]
