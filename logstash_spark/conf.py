@@ -1458,6 +1458,22 @@ def bind_input(spark, node: PluginNode, *, stdin_lines=None):
                 "(file-backed wire contract, same stance as the kafka shim)"
             )
         df = decode_redis_records(spark.read.parquet(str(path)), str(a["schema"]))
+    elif node.name == "log4j":
+        # log4j v1 SocketAppender capture: each file is one connection's
+        # serialized LoggingEvent stream; vendored Java-serialization
+        # reader (operators/javaser.py), file-backed capture stance
+        from logstash_spark.operators.javaser import decode_log4j
+
+        path = a.get("export") or a.get("path")
+        if not path:
+            raise ConfCompileError(
+                "log4j input: needs export => captured SocketAppender "
+                "stream file(s) (read via binaryFile)"
+            )
+        raw = spark.read.format("binaryFile").load(str(path)).select(
+            F.col("content").alias("bytes")
+        )
+        df = decode_log4j(raw, "bytes")
     elif node.name == "zeromq":
         # brokerless socket capture (docs/tutorials/zeromq.md): decode a
         # captured frame export (the exact parquet ZeromqSink writes) with

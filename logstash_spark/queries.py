@@ -4164,6 +4164,54 @@ def codec_snmptrap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "codec_log4j",
+    f"""{_PAGES_CTE}
+SELECT 'app.' || lang AS logger,
+       CASE WHEN response LIKE '5%' THEN 'ERROR'
+            WHEN response LIKE '4%' THEN 'WARN'
+            ELSE 'INFO' END AS level,
+       'worker-' || CAST(user_id % 4 AS VARCHAR) AS thread,
+       verb || ' ' || request AS message,
+       CAST(event_id * 1000 + 123 AS BIGINT) AS timestamp_ms
+FROM pages""",
+)
+def codec_log4j_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log4j v1 SocketAppender round-trip (input log4j,
+    default_plugins.rb:60): events encode to REAL Java-serialization
+    LoggingEvent streams (published serialVersionUID, canonical field
+    order — encoder verified byte-compatible against a live
+    ObjectOutputStream capture) and the vendored reader
+    (operators/javaser.py) recovers logger/level/thread/message/ts."""
+    import pandas as pd
+
+    from logstash_spark.operators.javaser import decode_log4j, encode_log4j_event
+
+    p = _pages(spark, sf_dir).select(
+        "lang", "response", "verb", "request", "user_id", "event_id"
+    )
+
+    def pack(it):
+        for pdf in it:
+            pkts = []
+            for lang, resp, verb, req, uid, eid in zip(
+                pdf["lang"], pdf["response"], pdf["verb"], pdf["request"],
+                pdf["user_id"], pdf["event_id"],
+            ):
+                r = str(resp)
+                lvl = 40000 if r.startswith("5") else (
+                    30000 if r.startswith("4") else 20000)
+                pkts.append(encode_log4j_event(
+                    f"app.{lang}", lvl, f"{verb} {req}",
+                    f"worker-{int(uid) % 4}", int(eid) * 1000 + 123))
+            yield pd.DataFrame({"bytes": pkts})
+
+    wire = p.mapInPandas(pack, "bytes binary")
+    return decode_log4j(wire).select(
+        "logger", "level", "thread", "message", "timestamp_ms"
+    )
+
+
+@q(
     "broker_redis",
     f"""{_PAGES_CTE}
 SELECT 'logstash-' || lang AS redis_key,

@@ -333,3 +333,94 @@ def test_ganglia_metadata_change_keeps_whole_record(spark):
     got = (r["ganglia_type"], r["units"], r["slope"], r["tmax"], r["dmax"])
     # must be EXACTLY one of the two records, not a column-wise blend
     assert got in {("uint32", "b", 1, 60, 0), ("float", "a", 3, 20, 300)}
+
+
+# ---------------------------------------------------------------------------
+# log4j v1 SocketAppender (vendored Java-serialization reader, javaser.py)
+# ---------------------------------------------------------------------------
+
+# Golden stream produced by a REAL JVM (java.io.ObjectOutputStream over a
+# serialized-form reconstruction of log4j 1.2's LoggingEvent/LocationInfo/
+# ThrowableInformation with the published serialVersionUIDs): three events —
+# minimal, full graph (MDC Hashtable + NDC + location + throwable String[]),
+# and one after an oos.reset() (TC_RESET mid-stream, fresh class descs).
+_LOG4J_GOLDEN_HEX = (
+    "aced0005737200216f72672e6170616368652e6c6f67346a2e7370692e4c6f6767696e674576656e74f3f2b923740bb53f0300084a000974696d655374616d704c000c63617465676f72794e616d657400124c6a6176612f6c616e672f537472696e673b4c000c6c6f636174696f6e496e666f7400234c6f72672f6170616368652f6c6f67346a2f7370692f4c6f636174696f6e496e666f3b4c00076d6463436f70797400154c6a6176612f7574696c2f486173687461626c653b4c00036e646371007e00014c000f72656e64657265644d65737361676571007e00014c000a7468726561644e616d6571007e00014c000d7468726f7761626c65496e666f74002b4c6f72672f6170616368652f6c6f67346a2f7370692f5468726f7761626c65496e666f726d6174696f6e3b78700000018bcfe5687b7400076170702e77656270707074000b68656c6c6f20776f726c647400046d61696e70770400004e2070787371007e00000000018bcfe654287400066170702e6462737200216f72672e6170616368652e6c6f67346a2e7370692e4c6f636174696f6e496e666fed99bbe14a91a57c0200014c000866756c6c496e666f71007e0001787074001a636f6d2e782e44616f2e72756e2844616f2e6a6176613a383829737200136a6176612e7574696c2e486173687461626c6513bb0f25214ae4b803000246000a6c6f6164466163746f724900097468726573686f6c6478703f4000000000000877080000000b0000000274000475736572740005616c69636574000372657174000234327874000574786e3a3974000c7175657279206661696c6564740008776f726b65722d33737200296f72672e6170616368652e6c6f67346a2e7370692e5468726f7761626c65496e666f726d6174696f6ebe18fee081720f510200015b00037265707400135b4c6a6176612f6c616e672f537472696e673b7870757200135b4c6a6176612e6c616e672e537472696e673badd256e7e91d7b4702000078700000000274001b6a6176612e73716c2e53514c457863657074696f6e3a20626f6f6d74001e09617420636f6d2e782e44616f2e72756e2844616f2e6a6176613a383829770400009c40707879737200216f72672e6170616368652e6c6f67346a2e7370692e4c6f6767696e674576656e74f3f2b923740bb53f0300084a000974696d655374616d704c000c63617465676f72794e616d657400124c6a6176612f6c616e672f537472696e673b4c000c6c6f636174696f6e496e666f7400234c6f72672f6170616368652f6c6f67346a2f7370692f4c6f636174696f6e496e666f3b4c00076d6463436f70797400154c6a6176612f7574696c2f486173687461626c653b4c00036e646371007e00014c000f72656e64657265644d65737361676571007e00014c000a7468726561644e616d6571007e00014c000d7468726f7761626c65496e666f74002b4c6f72672f6170616368652f6c6f67346a2f7370692f5468726f7761626c65496e666f726d6174696f6e3b78700000018bcfe73fd57400076170702e77656270707074000c736c6f7720726571756573747400046d61696e707704000075307078"
+)
+
+
+def test_log4j_golden_real_jvm_stream():
+    from logstash_spark.operators.javaser import parse_log4j_stream
+
+    buf = bytes.fromhex(_LOG4J_GOLDEN_HEX)
+    evs = parse_log4j_stream(buf)
+    assert len(evs) == 3
+    e1, e2, e3 = evs
+    assert (e1["logger"], e1["level"], e1["message"], e1["thread"],
+            e1["timestamp_ms"]) == ("app.web", "INFO", "hello world", "main",
+                                    1700000000123)
+    assert e1["mdc"] == {} and e1["ndc"] is None and e1["throwable"] == []
+    assert (e2["logger"], e2["level"], e2["thread"], e2["ndc"]) == (
+        "app.db", "ERROR", "worker-3", "txn:9")
+    assert e2["mdc"] == {"user": "alice", "req": "42"}
+    assert e2["location"] == "com.x.Dao.run(Dao.java:88)"
+    assert e2["throwable"] == [
+        "java.sql.SQLException: boom", "	at com.x.Dao.run(Dao.java:88)"]
+    # event 3 decoded AFTER a TC_RESET cleared the handle table
+    assert (e3["logger"], e3["level"], e3["message"]) == (
+        "app.web", "WARN", "slow request")
+
+
+def test_log4j_encoder_decoder_roundtrip():
+    from logstash_spark.operators.javaser import (
+        encode_log4j_event,
+        parse_log4j_stream,
+    )
+
+    b = encode_log4j_event("a.b", 10000, "m", "t", 123, ndc="n")
+    (e,) = parse_log4j_stream(b)
+    assert (e["logger"], e["level"], e["message"], e["thread"],
+            e["timestamp_ms"], e["ndc"]) == ("a.b", "DEBUG", "m", "t", 123, "n")
+
+
+def test_log4j_hostile_never_throws():
+    """Truncation at EVERY byte offset of the real-JVM stream + random
+    corruption: the reader returns the prefix it could parse, never
+    raises (netproto fuzz bar)."""
+    import random
+
+    from logstash_spark.operators.javaser import parse_log4j_stream
+
+    buf = bytes.fromhex(_LOG4J_GOLDEN_HEX)
+    for i in range(len(buf)):
+        evs = parse_log4j_stream(buf[:i])
+        assert isinstance(evs, list) and len(evs) <= 3
+    rng = random.Random(7)
+    for _ in range(300):
+        mutated = bytearray(buf)
+        for _k in range(rng.randint(1, 8)):
+            mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        assert isinstance(parse_log4j_stream(bytes(mutated)), list)
+    for junk in (b"", b"\x00", b"\xac\xed", b"\xac\xed\x00\x05\x99",
+                 bytes(500), b"\xac\xed\x00\x05" + bytes([0x75] * 50)):
+        assert isinstance(parse_log4j_stream(junk), list)
+
+
+def test_log4j_spark_decode_and_conf_binding(spark, tmp_path):
+    from logstash_spark.conf import bind_input
+    from logstash_spark.confparser import PluginNode
+    from logstash_spark.operators.javaser import encode_log4j_event
+
+    cap = tmp_path / "l4j"
+    cap.mkdir()
+    (cap / "conn1.bin").write_bytes(
+        bytes.fromhex(_LOG4J_GOLDEN_HEX))
+    (cap / "conn2.bin").write_bytes(
+        encode_log4j_event("x.y", 50000, "fatal!", "t9", 1700000999000))
+    df = bind_input(spark, PluginNode("log4j", {"export": str(cap)}))
+    rows = {(r["logger"], r["level"]): r for r in df.collect()}
+    assert len(rows) == 4
+    assert rows[("x.y", "FATAL")]["message"] == "fatal!"
+    assert rows[("app.db", "ERROR")]["mdc"]["user"] == "alice"
+    # 1700000999000 ms = 2023-11-14T22:29:59Z (session-tz rendering varies)
+    assert str(rows[("x.y", "FATAL")]["@timestamp"]).startswith("2023-11-1")

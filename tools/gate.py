@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""The exactness ratchet: ONE command that fails the build on any oracle
+miss, at BOTH scales, plus the plan audit and the pytest suite.
+
+The driver's per-round CORRECTNESS gate samples ~50 of the registry
+queries; everything else rides on this local gate — run it before landing
+any operator change so every round's driver sample is drawn from a
+fully-green pool (VERDICT r3 "Next round" #7).
+
+Usage:
+    python tools/gate.py            # oracles @ sf0.01 + sf0.1, plan audit
+    python tools/gate.py --full     # also the full pytest suite
+    python tools/gate.py --quick    # oracles @ sf0.01 only
+
+Exit code: 0 iff every stage passed.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+STAGES_DEFAULT = [
+    ("oracles sf0.01", [sys.executable, "tools/check_oracles.py", "/root/testdata/sf0.01"]),
+    ("oracles sf0.1", [sys.executable, "tools/check_oracles.py", "/root/testdata/sf0.1"]),
+    ("plan audit", [sys.executable, "tools/audit_plans.py", "/root/testdata/sf0.001"]),
+]
+
+
+def main(argv: list[str]) -> int:
+    stages = list(STAGES_DEFAULT)
+    if "--quick" in argv:
+        stages = [stages[0]]
+    if "--full" in argv:
+        stages.append(
+            ("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+        )
+    failed = []
+    for name, cmd in stages:
+        t0 = time.time()
+        print(f"=== gate: {name} ===", flush=True)
+        rc = subprocess.run(cmd).returncode
+        print(f"=== gate: {name} -> {'OK' if rc == 0 else f'FAIL rc={rc}'} "
+              f"({time.time() - t0:.0f}s) ===", flush=True)
+        if rc != 0:
+            failed.append(name)
+    if failed:
+        print(f"GATE FAILED: {failed}", flush=True)
+        return 1
+    print("GATE GREEN: all stages passed", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
