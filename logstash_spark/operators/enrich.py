@@ -246,30 +246,40 @@ def dns_enrich(df: DataFrame, resolved_dim: DataFrame, *, source: str, target: s
 
 
 
-def _uap_cascade(src, parsers: list[dict], *, version_norm: bool = False):
-    """Compile an ORDERED uap-core-shaped parser table (see
-    operators/ua_tables.py) into (family_expr, version_expr): one JVM-side
-    rlike cascade computing the first-match INDEX once, then dispatching
-    family/version on it — a naive per-output cascade re-evaluates every
-    detect regex for every output column (~4x the regex work, measured).
+def _uap_idx(src, parsers: list[dict]):
+    """First-match index over the ordered parser table: ONE lazy rlike
+    cascade (coalesce of whens evaluates until the first hit)."""
+    return F.coalesce(
+        *[F.when(src.rlike(p["regex"]), F.lit(i)) for i, p in enumerate(parsers)]
+    )
+
+
+def _uap_dispatch(src, idx, parsers: list[dict], *, version_norm: bool = False):
+    """(family_expr, version_expr) dispatching on a MATERIALIZED match
+    index column. `idx` must be a real column (withColumn), not the
+    _uap_idx expression itself: referencing the 140-when coalesce from
+    every dispatch branch inlines it O(N^2) — ~20k expression nodes per
+    output column, which stalls analysis/codegen. As a multiply-referenced
+    non-trivial alias it survives CollapseProject, so each row computes
+    the index once and the tree stays linear in the table size.
 
     Family templates may contain '$1' (detect-regex group 1); version is a
     single-capture regex, literal v1[.v2], or '.'-joined detect groups
     (uap-core groups 2..4). version_norm rewrites '_' separators to '.'
-    (Apple OS tokens)."""
-    idx = F.coalesce(
-        *[F.when(src.rlike(p["regex"]), F.lit(i)) for i, p in enumerate(parsers)]
+    (Apple OS tokens). All-literal families dispatch via element_at (one
+    array lookup); $1 templates overlay a short when-chain."""
+    fam = F.element_at(
+        F.array(*[F.lit(p["family"]) for p in parsers]), idx + 1
     )
-    fam_chain = None
+    for i, p in enumerate(parsers):
+        if "$1" not in p["family"]:
+            continue
+        pre, _, post = p["family"].partition("$1")
+        g1 = F.regexp_extract(src, p["regex"], 1)
+        fexpr = F.concat(F.lit(pre), g1, F.lit(post)) if (pre or post) else g1
+        fam = F.when(idx == i, fexpr).otherwise(fam)
     ver_chain = None
     for i, p in enumerate(parsers):
-        fam = p["family"]
-        if "$1" in fam:
-            pre, _, post = fam.partition("$1")
-            g1 = F.regexp_extract(src, p["regex"], 1)
-            fexpr = F.concat(F.lit(pre), g1, F.lit(post)) if (pre or post) else g1
-        else:
-            fexpr = F.lit(fam)
         if "v1" in p:
             vexpr = F.lit(p["v1"] + ("." + p["v2"] if "v2" in p else ""))
         elif "version" in p:
@@ -284,16 +294,16 @@ def _uap_cascade(src, parsers: list[dict], *, version_norm: bool = False):
                 ],
             )
         else:
-            vexpr = F.lit("")
-        fam_chain = (
-            F.when(idx == i, fexpr) if fam_chain is None else fam_chain.when(idx == i, fexpr)
-        )
+            continue  # no version -> fall through to the '' default
         ver_chain = (
-            F.when(idx == i, vexpr) if ver_chain is None else ver_chain.when(idx == i, vexpr)
+            F.when(idx == i, vexpr)
+            if ver_chain is None
+            else ver_chain.when(idx == i, vexpr)
         )
+    ver = F.coalesce(ver_chain, F.lit("")) if ver_chain is not None else F.lit("")
     if version_norm:
-        ver_chain = F.regexp_replace(ver_chain, "_", ".")
-    return fam_chain, ver_chain
+        ver = F.regexp_replace(ver, "_", ".")
+    return fam, ver
 
 
 def useragent(
@@ -324,9 +334,15 @@ def useragent(
     dev_tab = (tables or {}).get("device", DEVICE_PARSERS)
 
     src = F.col(source).cast("string")
-    name_expr, ver_expr = _uap_cascade(src, ua_tab)
-    os_expr, os_ver_expr = _uap_cascade(src, os_tab, version_norm=True)
-    dev_expr, _ = _uap_cascade(src, dev_tab)
+    # match indexes as real columns — see _uap_dispatch for why
+    df = df.withColumn("_uai", _uap_idx(src, ua_tab))
+    df = df.withColumn("_osi", _uap_idx(src, os_tab))
+    df = df.withColumn("_devi", _uap_idx(src, dev_tab))
+    name_expr, ver_expr = _uap_dispatch(src, F.col("_uai"), ua_tab)
+    os_expr, os_ver_expr = _uap_dispatch(
+        src, F.col("_osi"), os_tab, version_norm=True
+    )
+    dev_expr, _ = _uap_dispatch(src, F.col("_devi"), dev_tab)
 
     df = df.withColumn(target_prefix + "name", name_expr)
     df = df.withColumn(target_prefix + "version", ver_expr)
@@ -339,4 +355,4 @@ def useragent(
     df = df.withColumn(target_prefix + "os", os_expr)
     df = df.withColumn(target_prefix + "os_version", os_ver_expr)
     df = df.withColumn(target_prefix + "device", dev_expr)
-    return df
+    return df.drop("_uai", "_osi", "_devi")
