@@ -115,6 +115,41 @@ def synthetic_media_png(spark, n: int = 100) -> DataFrame:
         "meta struct<mime:string, width:int, height:int, duration_ms:int>")
 
 
+def synthetic_media_jpeg(spark, n: int = 100) -> DataFrame:
+    """Deterministic JPEG media table: `bytes` = a REAL baseline JFIF JPEG
+    (functions/jpegcodec.py) of a SOLID printable-ASCII gray v = 32 +
+    (id*37)%95 — the one raster class whose lossy round trip is PROVABLY
+    bit-exact (constant block -> DC-only; |reconstruction error| <=
+    q00/16 < 0.5 at quality 90, chroma identically 128), so the decoded
+    content has a closed form DuckDB can replay: repeat(chr(v), w*h*3).
+    Subsampling alternates 4:4:4 / 4:2:0 and restart intervals cycle
+    0/2/7, so the ORACLE-GATED decode exercises the interleave, upsample
+    and RSTn resync paths — not just the happy path."""
+    from logstash_spark.functions.jpegcodec import encode_jpeg
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = (i % 4) * 16 + 16
+                h = (i % 3) * 16 + 16
+                v = 32 + (i * 37) % 95
+                rgb = bytes([v]) * (w * h * 3)
+                buf = encode_jpeg(
+                    w, h, rgb, quality=90,
+                    subsampling="420" if i % 2 else "444",
+                    restart_interval=(0, 2, 7)[i % 3],
+                )
+                rows.append((i, buf, ("image/jpeg", w, h, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "meta"])
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "media_id bigint, bytes binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>")
+
+
 # ---------------------------------------------------------------------------
 # stdlib image decode (no PIL needed): P6 PPM + uncompressed BMP headers
 # + PNG (zlib) below
@@ -385,6 +420,11 @@ def decode_media(buf: bytes):
     if buf.startswith(_PNG_SIG):
         p = parse_png(buf)
         return ("png", *p) if p else None
+    if buf.startswith(b"\xff\xd8"):
+        from logstash_spark.functions.jpegcodec import parse_jpeg
+
+        p = parse_jpeg(buf)
+        return ("jpeg", *p) if p else None
     return None
 
 

@@ -1776,6 +1776,57 @@ def media_features_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_features(m)
 
 
+# JPEG is lossy, so the md5-tiling trick cannot survive the round trip;
+# the table is built from the ONE raster class whose decode is provably
+# bit-exact (solid printable-ASCII gray, see synthetic_media_jpeg), which
+# gives the decoded content the closed form repeat(chr(v), w*h*3) — same
+# stats tail as the PPM/PNG oracle.
+_MEDIA_JPEG_ORACLE = """WITH m AS (
+  SELECT id AS media_id,
+         CAST((id % 4) * 16 + 16 AS INT) AS width,
+         CAST((id % 3) * 16 + 16 AS INT) AS height,
+         CAST(32 + (id * 37) % 95 AS INT) AS v
+  FROM range(200) t(id)
+), px AS (
+  SELECT media_id, width, height,
+         repeat(chr(v), width * height * 3) AS pix
+  FROM m
+), chars AS (
+  SELECT media_id, unnest(string_split(pix, '')) AS c FROM px
+), stats AS (
+  SELECT media_id, COUNT(*) AS n, AVG(ascii(c)) AS mu FROM chars GROUP BY media_id
+), freq AS (
+  SELECT media_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt FROM chars GROUP BY media_id, c
+), ent AS (
+  SELECT f.media_id,
+         SUM(CAST(floor(cnt * log2(cnt) * 10000.0 + 0.5) AS BIGINT)) AS s_mb
+  FROM freq f WHERE cnt > 1 GROUP BY f.media_id
+)
+SELECT m.media_id, 'jpeg' AS fmt, m.width, m.height,
+       CAST(m.width * m.height AS INT) AS n_pix,
+       ROUND(s.mu, 4) AS px_mean,
+       ROUND(log2(s.n) - (coalesce(e.s_mb, 0) / 10000.0) / s.n, 4) AS px_entropy
+FROM m JOIN stats s ON m.media_id = s.media_id
+       LEFT JOIN ent e ON m.media_id = e.media_id"""
+
+
+@q("media_features_jpeg", _MEDIA_JPEG_ORACLE)
+def media_features_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WEB image decode #2: baseline JFIF JPEGs (functions/jpegcodec
+    — Huffman entropy decode, dequantize/dezigzag, 8x8 IDCT, chroma
+    upsample, YCbCr->RGB; 4:4:4 and 4:2:0 alternating, restart markers
+    cycling 0/2/7) decoded by the vendored T.81 reader, then the same
+    raster statistics. Value-oracled through the provably-exact solid-
+    gray raster class (see synthetic_media_jpeg)."""
+    from logstash_spark.functions.multimodal import (
+        media_decode_features,
+        synthetic_media_jpeg,
+    )
+
+    m = synthetic_media_jpeg(spark, 200)
+    return media_decode_features(m)
+
+
 _AHASH_BITS = " + ".join(
     f"((CASE WHEN b{j} THEN 1 ELSE 0 END)::BIGINT << {j})" for j in range(63)
 ) + " + (CASE WHEN b63 THEN (-9223372036854775807 - 1) ELSE 0 END)"

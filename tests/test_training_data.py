@@ -1582,3 +1582,104 @@ def test_decode_media_sniffs_mixed_format_corpus(spark):
     fmts = {r["media_id"]: r["fmt"] for r in rows}
     assert all(fmts[i] == "ppm" for i in range(10))
     assert all(fmts[i + 100] == "png" for i in range(10))
+
+
+# ---------------------------------------------------------------------------
+# JPEG (functions/jpegcodec.py — baseline T.81 subset)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_color_bit_exact_all_paths():
+    """Solid rasters are DC-only and provably survive quantization at
+    q90 — bit-exact through 4:4:4, 4:2:0, grayscale, and restart markers
+    (the oracle table's foundation)."""
+    import numpy as np
+
+    from logstash_spark.functions.jpegcodec import encode_jpeg, parse_jpeg
+
+    for i in (0, 1, 5, 11, 38, 199):
+        w, h = (i % 4) * 16 + 16, (i % 3) * 16 + 16
+        v = 32 + (i * 37) % 95
+        rgb = bytes([v]) * (w * h * 3)
+        for sub in ("444", "420", "gray"):
+            for ri in (0, 2, 7):
+                out = parse_jpeg(encode_jpeg(
+                    w, h, rgb, quality=90, subsampling=sub, restart_interval=ri))
+                assert out is not None and out[:2] == (w, h), (i, sub, ri)
+                arr = np.frombuffer(out[2], dtype=np.uint8)
+                assert (arr == v).all(), (i, sub, ri, np.unique(arr))
+
+
+def test_jpeg_gradient_round_trip_error_bound():
+    """Smooth-content round trip stays within a small measured bound in
+    every supported sampling mode, and odd (non-multiple-of-16) sizes
+    exercise the edge-replicate padding."""
+    import numpy as np
+
+    from logstash_spark.functions.jpegcodec import encode_jpeg, parse_jpeg
+
+    w, h = 70, 52
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.stack(
+        [(xx * 255 // w), (yy * 255 // h), ((xx + yy) * 255 // (w + h))],
+        axis=-1,
+    ).astype(np.uint8)
+    for sub, bound in (("444", 8), ("420", 12), ("gray", 8)):
+        out = parse_jpeg(encode_jpeg(w, h, img.tobytes(), quality=90,
+                                     subsampling=sub, restart_interval=3))
+        assert out is not None and out[:2] == (w, h)
+        dec = np.frombuffer(out[2], dtype=np.uint8).reshape(h, w, 3)
+        ref = np.stack([img[..., 0]] * 3, -1) if sub == "gray" else img
+        # gray encodes only luma: compare against the Y-projected original
+        if sub == "gray":
+            y = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                 + 0.114 * img[..., 2])
+            ref = np.stack([y] * 3, -1)
+        err = np.abs(dec.astype(float) - ref.astype(float))
+        assert err.mean() < bound / 3 and err.max() <= bound * 4, (
+            sub, err.mean(), err.max())
+
+
+def test_jpeg_hostile_inputs_never_throw():
+    """Truncation at every offset + mutation fuzz + out-of-subset modes
+    (progressive SOF2) return None, never raise."""
+    import random
+
+    from logstash_spark.functions.jpegcodec import encode_jpeg, parse_jpeg
+
+    base = encode_jpeg(32, 16, bytes([90]) * (32 * 16 * 3), quality=80,
+                       subsampling="420", restart_interval=2)
+    for i in range(0, len(base), 7):
+        r = parse_jpeg(base[:i])
+        assert r is None or isinstance(r, tuple)
+    rng = random.Random(11)
+    for _ in range(200):
+        m = bytearray(base)
+        for _k in range(rng.randint(1, 6)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        r = parse_jpeg(bytes(m))
+        assert r is None or isinstance(r, tuple)
+    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2) -> fail closed
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2")
+    assert parse_jpeg(prog) is None
+    for junk in (b"", b"\xff\xd8", b"\xff\xd8\xff\xd9", bytes(100),
+                 b"\xff\xd8" + b"\xff" * 50):
+        assert parse_jpeg(junk) is None or isinstance(parse_jpeg(junk), tuple)
+
+
+def test_decode_media_sniffs_jpeg(spark):
+    """decode_media dispatches FFD8 -> the T.81 reader; the JPEG media
+    table flows through the SAME feature stage as PPM/PNG (container
+    invariance at the pipeline level)."""
+    from logstash_spark.functions.multimodal import (
+        media_decode_features,
+        synthetic_media_jpeg,
+    )
+
+    out = media_decode_features(synthetic_media_jpeg(spark, 24)).collect()
+    assert len(out) == 24
+    for r in out:
+        assert r["fmt"] == "jpeg"
+        v = 32 + (r["media_id"] * 37) % 95
+        assert abs(r["px_mean"] - v) < 1e-9  # solid raster -> exact mean
+        assert r["px_entropy"] == 0.0
