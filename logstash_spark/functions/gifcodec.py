@@ -1,0 +1,263 @@
+"""GIF87a/89a codec on pure stdlib — the third real-web image format.
+
+Written fresh from the public GIF specification (GIF89a spec + the LZW
+variable-code-width scheme it defines): logical screen descriptor, global/
+local color tables, extension blocks (graphic control parsed for
+transparency, others skipped), image descriptor with interlace handling,
+and the GIF flavor of LZW (clear/EOI codes, code width growth to 12 bits,
+sub-block framing). First image frame -> RGB raster; animated GIFs yield
+frame 1 (the representative a crawl pipeline indexes). Fail-closed on
+hostile bytes, decode-bomb ceiling — same stance as the PNG/JPEG readers.
+
+GIF is LOSSLESS over palette images, so `encode_gif` (the fixture/oracle
+builder) round-trips bit-exact for any raster with <= 256 distinct
+colors: the media_features_gif oracle replays the decoded content in SQL
+through a 16-color closed-form palette (see synthetic_media_gif).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAX_PIXELS = 1 << 26  # decode-bomb ceiling, same as PNG/JPEG
+
+
+def parse_gif(buf: bytes):
+    """GIF -> (width, height, RGB raster bytes of the FIRST frame) or None."""
+    try:
+        return _parse_gif(buf)
+    except Exception:
+        return None
+
+
+def _parse_gif(buf: bytes):
+    if buf is None or len(buf) < 13 or buf[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = buf[i:i + 3 * n]
+        if len(gct) < 3 * n:
+            return None
+        i += 3 * n
+    transparent = None
+    while i < len(buf):
+        b = buf[i]
+        if b == 0x3B:  # trailer
+            return None  # no image block seen
+        if b == 0x21:  # extension
+            if i + 2 > len(buf):
+                return None
+            label = buf[i + 1]
+            i += 2
+            if label == 0xF9 and i < len(buf) and buf[i] >= 4:
+                # graphic control: flags byte bit0 = transparency on
+                if buf[i + 1] & 1:
+                    transparent = buf[i + 4]
+            # skip sub-blocks
+            while i < len(buf) and buf[i] != 0:
+                i += 1 + buf[i]
+            i += 1  # block terminator
+            continue
+        if b == 0x2C:  # image descriptor
+            if i + 10 > len(buf):
+                return None
+            _lx, _ly, w, h, iflags = struct.unpack("<HHHHB", buf[i + 1:i + 10])
+            i += 10
+            if w == 0 or h == 0 or w * h > _MAX_PIXELS:
+                return None
+            ct = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                ct = buf[i:i + 3 * n]
+                if len(ct) < 3 * n:
+                    return None
+                i += 3 * n
+            if ct is None:
+                return None
+            interlaced = bool(iflags & 0x40)
+            if i >= len(buf):
+                return None
+            min_code = buf[i]
+            i += 1
+            # collect LZW data from sub-blocks
+            data = bytearray()
+            while i < len(buf) and buf[i] != 0:
+                n = buf[i]
+                data += buf[i + 1:i + 1 + n]
+                i += 1 + n
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            idx = idx[:w * h]
+            if interlaced:
+                idx = _deinterlace(idx, w, h)
+            ncol = len(ct) // 3
+            raster = bytearray(w * h * 3)
+            for p, ix in enumerate(idx):
+                if ix >= ncol:
+                    return None
+                # transparency renders as the palette color (no backdrop
+                # to composite against in a pipeline); index stays valid
+                raster[3 * p:3 * p + 3] = ct[3 * ix:3 * ix + 3]
+            return w, h, bytes(raster)
+        return None  # unknown block
+    return None
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int):
+    """GIF-flavor LZW: variable code width, CLEAR resets the table, codes
+    grow to 12 bits; table entries are index strings."""
+    if not (2 <= min_code <= 11):
+        return None
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code + 1, None
+
+    table, width, prev = reset()
+    next_code = eoi + 1
+    while bitpos + width <= nbits:
+        # LSB-first bit packing
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, width, prev = reset()
+            next_code = eoi + 1
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if len(out) > max_pixels:
+            return None
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    out = bytearray(w * h)
+    src = 0
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        for y in range(start, h, step):
+            out[y * w:(y + 1) * w] = idx[src:src + w]
+            src += w
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# encoder — fixture/oracle builder (lossless over <=256-color rasters)
+# ---------------------------------------------------------------------------
+
+
+def encode_gif(width: int, height: int, rgb: bytes, *, interlace: bool = False) -> bytes:
+    """RGB raster -> GIF89a. Builds the palette from the distinct colors
+    (first-seen order, <=256 or ValueError) and LZW-compresses; exact
+    round trip by construction."""
+    pix = [rgb[3 * p:3 * p + 3] for p in range(width * height)]
+    palette: dict[bytes, int] = {}
+    for c in pix:
+        if c not in palette:
+            if len(palette) == 256:
+                raise ValueError("encode_gif: more than 256 distinct colors")
+            palette[c] = len(palette)
+    idx = bytes(palette[c] for c in pix)
+    if interlace:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order += list(range(start, height, step))
+        idx = b"".join(idx[y * width:(y + 1) * width] for y in order)
+    size_exp = 0
+    while (2 << size_exp) < max(len(palette), 2):
+        size_exp += 1
+    ncol = 2 << size_exp
+    ct = b"".join(sorted(palette, key=palette.get)) + b"\x00" * (3 * (ncol - len(palette)))
+    min_code = max(2, size_exp + 1)
+    lzw = _lzw_encode(idx, min_code)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | size_exp, 0, 0)
+    out += ct
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height,
+                       0x40 if interlace else 0)
+    out.append(min_code)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _lzw_encode(idx: bytes, min_code: int) -> bytes:
+    clear = 1 << min_code
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    acc = 0
+    nacc = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    cur = b""
+    for b in idx:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # the decoder lags the encoder by ONE table add (it can't add
+            # until it has read the next code — hence the KwKwK case), so
+            # its next_code==2^w trigger fires one code-position later in
+            # the stream; the encoder must therefore grow at 2^w + 1 to
+            # keep emitted codes and the conventional (giflib-style)
+            # reader on the same width schedule
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)

@@ -150,6 +150,46 @@ def synthetic_media_jpeg(spark, n: int = 100) -> DataFrame:
         "meta struct<mime:string, width:int, height:int, duration_ms:int>")
 
 
+# hex digit k -> palette color (all components in 1..255: chr()-safe for
+# the SQL oracle, no NUL bytes) — shared between the GIF table builder and
+# the media_features_gif oracle generator in queries.py
+GIF_PALETTE = {
+    c: bytes([k * 15 + 8, (k * 37) % 200 + 28, 240 - k * 14])
+    for k, c in enumerate("0123456789abcdef")
+}
+
+
+def synthetic_media_gif(spark, n: int = 100) -> DataFrame:
+    """Deterministic GIF media table: `bytes` = a REAL GIF89a (LZW-
+    compressed, functions/gifcodec.py) whose DECODED raster maps the same
+    md5-tiling hex stream through a 16-color closed-form palette — GIF is
+    LOSSLESS over palettes, so DuckDB replays the decoded content exactly
+    (the PNG oracle trick on an LZW container). Every odd id interlaces,
+    so the 4-pass de-interlace path sits under the hash gate too."""
+    import hashlib
+
+    from logstash_spark.functions.gifcodec import encode_gif
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = (i % 4) * 16 + 16
+                h = (i % 3) * 16 + 16
+                hexs = hashlib.md5(str(i).encode()).hexdigest()
+                chars = (hexs * 288)[: w * h]
+                rgb = b"".join(GIF_PALETTE[c] for c in chars)
+                buf = encode_gif(w, h, rgb, interlace=bool(i % 2))
+                rows.append((i, buf, ("image/gif", w, h, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "meta"])
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "media_id bigint, bytes binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>")
+
+
 # ---------------------------------------------------------------------------
 # stdlib image decode (no PIL needed): P6 PPM + uncompressed BMP headers
 # + PNG (zlib) below
@@ -425,6 +465,11 @@ def decode_media(buf: bytes):
 
         p = parse_jpeg(buf)
         return ("jpeg", *p) if p else None
+    if buf.startswith(b"GIF87a") or buf.startswith(b"GIF89a"):
+        from logstash_spark.functions.gifcodec import parse_gif
+
+        p = parse_gif(buf)
+        return ("gif", *p) if p else None
     return None
 
 

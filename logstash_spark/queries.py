@@ -1810,6 +1810,63 @@ FROM m JOIN stats s ON m.media_id = s.media_id
        LEFT JOIN ent e ON m.media_id = e.media_id"""
 
 
+def _gif_oracle() -> str:
+    """GIF is lossless over palettes, so the decoded raster has a closed
+    form: each md5-tiling hex char maps to its 3 palette bytes (shared
+    GIF_PALETTE) — the CASE below IS that palette, rendered into SQL."""
+    from logstash_spark.functions.multimodal import GIF_PALETTE
+
+    cases = " ".join(
+        f"WHEN '{c}' THEN chr({p[0]})||chr({p[1]})||chr({p[2]})"
+        for c, p in GIF_PALETTE.items()
+    )
+    return f"""WITH m AS (
+  SELECT id AS media_id,
+         CAST((id % 4) * 16 + 16 AS INT) AS width,
+         CAST((id % 3) * 16 + 16 AS INT) AS height
+  FROM range(200) t(id)
+), px AS (
+  SELECT media_id, width, height,
+         substr(repeat(md5(CAST(media_id AS VARCHAR)), 288), 1, width * height) AS pix
+  FROM m
+), chars AS (
+  SELECT media_id, unnest(string_split(pix, '')) AS c FROM px
+), rgb AS (
+  SELECT media_id, unnest(string_split(CASE c {cases} END, '')) AS b FROM chars
+), stats AS (
+  SELECT media_id, COUNT(*) AS n, AVG(ascii(b)) AS mu FROM rgb GROUP BY media_id
+), freq AS (
+  SELECT media_id, b, CAST(COUNT(*) AS DOUBLE) AS cnt FROM rgb GROUP BY media_id, b
+), ent AS (
+  SELECT f.media_id,
+         SUM(CAST(floor(cnt * log2(cnt) * 10000.0 + 0.5) AS BIGINT)) AS s_mb
+  FROM freq f WHERE cnt > 1 GROUP BY f.media_id
+)
+SELECT m.media_id, 'gif' AS fmt, m.width, m.height,
+       CAST(m.width * m.height AS INT) AS n_pix,
+       ROUND(s.mu, 4) AS px_mean,
+       ROUND(log2(s.n) - (coalesce(e.s_mb, 0) / 10000.0) / s.n, 4) AS px_entropy
+FROM m JOIN stats s ON m.media_id = s.media_id
+       LEFT JOIN ent e ON m.media_id = e.media_id"""
+
+
+@q("media_features_gif", _gif_oracle())
+def media_features_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WEB image decode #3: GIF89a (functions/gifcodec — LZW
+    variable-width entropy decode with clear/EOI and 12-bit growth,
+    palette resolution, 4-pass de-interlace on odd ids) decoded by the
+    vendored reader, then the same raster statistics. GIF's losslessness
+    over palettes gives the FULL value oracle: DuckDB maps the identical
+    md5 hex stream through the same 16-color palette in SQL."""
+    from logstash_spark.functions.multimodal import (
+        media_decode_features,
+        synthetic_media_gif,
+    )
+
+    m = synthetic_media_gif(spark, 200)
+    return media_decode_features(m)
+
+
 @q("media_features_jpeg", _MEDIA_JPEG_ORACLE)
 def media_features_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-WEB image decode #2: baseline JFIF JPEGs (functions/jpegcodec

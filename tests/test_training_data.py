@@ -1683,3 +1683,86 @@ def test_decode_media_sniffs_jpeg(spark):
         v = 32 + (r["media_id"] * 37) % 95
         assert abs(r["px_mean"] - v) < 1e-9  # solid raster -> exact mean
         assert r["px_entropy"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# GIF (functions/gifcodec.py — LZW, GIF87a/89a)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lossless_round_trip_plain_and_interlaced():
+    import hashlib
+
+    from logstash_spark.functions.gifcodec import encode_gif, parse_gif
+    from logstash_spark.functions.multimodal import GIF_PALETTE
+
+    for i in (0, 1, 7, 23, 100):
+        w, h = (i % 4) * 16 + 16, (i % 3) * 16 + 16
+        hexs = hashlib.md5(str(i).encode()).hexdigest()
+        rgb = b"".join(GIF_PALETTE[c] for c in (hexs * 288)[: w * h])
+        for il in (False, True):
+            assert parse_gif(encode_gif(w, h, rgb, interlace=il)) == (w, h, rgb)
+
+
+def test_gif_256_colors_exercises_12bit_growth_and_clear():
+    """A 256-color random raster forces the LZW table through every code
+    width up to 12 bits and at least one mid-stream CLEAR — still exact."""
+    import random
+
+    from logstash_spark.functions.gifcodec import encode_gif, parse_gif
+
+    rng = random.Random(3)
+    w, h = 80, 60
+    pal = [bytes((rng.randrange(1, 256), rng.randrange(256), rng.randrange(256)))
+           for _ in range(256)]
+    rgb = b"".join(pal[rng.randrange(256)] for _ in range(w * h))
+    assert parse_gif(encode_gif(w, h, rgb)) == (w, h, rgb)
+
+
+def test_gif_hostile_inputs_never_throw():
+    import random
+
+    from logstash_spark.functions.gifcodec import encode_gif, parse_gif
+
+    base = encode_gif(16, 16, bytes([9, 9, 9]) * 256)
+    for i in range(len(base)):
+        r = parse_gif(base[:i])
+        assert r is None or isinstance(r, tuple)
+    rng = random.Random(5)
+    for _ in range(300):
+        m = bytearray(base)
+        for _k in range(rng.randint(1, 6)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        r = parse_gif(bytes(m))
+        assert r is None or isinstance(r, tuple)
+    for junk in (b"", b"GIF89a", b"GIF89a" + bytes(20), b"NOTGIF" + bytes(50)):
+        assert parse_gif(junk) is None
+
+
+def test_gif_extension_blocks_and_animation_first_frame():
+    """Graphic-control/comment extensions skip cleanly; an animated GIF
+    (two image blocks) yields frame 1 — the crawl-index representative."""
+    from logstash_spark.functions.gifcodec import encode_gif, parse_gif
+
+    f1 = bytes([10, 20, 30]) * 64   # 8x8 solid
+    f2 = bytes([200, 100, 50]) * 64
+    g1 = encode_gif(8, 8, f1)
+    g2 = encode_gif(8, 8, f2)
+    # splice: header+gct of g1, a comment ext, a GCE, image1, image2, trailer
+    hdr, img1 = g1[:13 + 6], g1[13 + 6:-1]   # 2-color table = 6 bytes
+    img2 = g2[13 + 6:-1]
+    comment = b"\x21\xfe\x05hello\x00"
+    gce = b"\x21\xf9\x04\x05\x0a\x00\x00\x00"  # transparency flag set
+    spliced = hdr + comment + gce + img1 + img2 + b"\x3b"
+    out = parse_gif(spliced)
+    assert out == (8, 8, f1)
+
+
+def test_decode_media_sniffs_gif(spark):
+    from logstash_spark.functions.multimodal import (
+        media_decode_features,
+        synthetic_media_gif,
+    )
+
+    out = media_decode_features(synthetic_media_gif(spark, 18)).collect()
+    assert len(out) == 18 and all(r["fmt"] == "gif" for r in out)
