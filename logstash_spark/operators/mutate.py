@@ -59,6 +59,21 @@ def add_field(df: DataFrame, name: str, value) -> DataFrame:
     dtype = _dtype_of(df, name)
     if isinstance(dtype, T.ArrayType):
         return set_path(df, name, F.array_append(existing, val))
+    from logstash_spark.event import parse_path as _pp
+
+    toks = _pp(name)
+    if len(toks) > 1 and toks[-1].lstrip("-").isdigit():
+        parent = _dtype_of(df, "[" + "][".join(toks[:-1]) + "]")
+        if isinstance(parent, T.ArrayType):
+            # Ruby stores [old, new] AT arr[i]; a fixed array<scalar>
+            # schema cannot hold an array element — fail with guidance
+            # instead of Spark's opaque DATATYPE_MISMATCH
+            raise ValueError(
+                f"add_field {name!r}: append-if-exists onto an array ELEMENT "
+                "would change the element type (the reference stores "
+                "[old, new] in place). Use mutate replace => for positional "
+                "array writes, or target the whole array to append to it."
+            )
     merged = F.when(existing.isNull(), F.array(val)).otherwise(
         F.array(existing.cast("string"), val.cast("string"))
     )

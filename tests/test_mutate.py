@@ -167,3 +167,20 @@ def test_convert_and_gsub_on_array_fields(spark):
 
     with pytest.raises(ValueError, match="unknown type"):
         M.convert(df, {"ports": "datetime"})
+
+
+def test_add_field_array_element_fails_with_guidance(spark):
+    """add_field onto an existing array ELEMENT cannot hold Ruby's
+    [old, new] in a fixed array<scalar> schema: plan-time ValueError with
+    guidance (was Spark's opaque DATATYPE_MISMATCH), replace works."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from logstash_spark.operators.mutate import add_field, set_field
+
+    df = spark.createDataFrame([(["a", "b"],)], "arr array<string>")
+    with _pt.raises(ValueError, match="replace"):
+        add_field(df, "[arr][1]", F.lit("x"))
+    # replace on the element works; append on the whole array works
+    assert set_field(df, "[arr][1]", F.lit("x")).collect()[0]["arr"] == ["a", "x"]
+    assert add_field(df, "[arr]", F.lit("c")).collect()[0]["arr"] == ["a", "b", "c"]
