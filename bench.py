@@ -117,6 +117,14 @@ HEADLINE = [
     "codec_nsca",
     "codec_snmptrap",
     "broker_redis",
+    # round-4 additions
+    "useragent_rare",
+    "broker_zeromq",
+    "codec_log4j",
+    "nested_array_extend",
+    "media_features_png",
+    "media_features_jpeg",
+    "media_features_gif",
 ]
 
 
