@@ -125,6 +125,12 @@ HEADLINE = [
     "media_features_png",
     "media_features_jpeg",
     "media_features_gif",
+    "irc_intake",
+    "xmpp_message_roundtrip",
+    "imap_intake",
+    "twitter_intake",
+    "sink_hipchat",
+    "sink_juggernaut",
 ]
 
 

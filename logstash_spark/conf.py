@@ -38,7 +38,10 @@ from logstash_spark.sinks import (
     LumberjackSink,
     HttpSink,
     GangliaSink,
+    HipchatSink,
     IrcSink,
+    JuggernautSink,
+    XmppSink,
     NagiosNscaSink,
     NagiosSink,
     NullSink,
@@ -892,6 +895,11 @@ _OUTPUT_OPTS: dict[str, set] = {
             "access_key_id", "secret_access_key"},
     "sqs": {"queue", "region", "batch", "batch_events", "batch_timeout",
             "access_key_id", "secret_access_key"},
+    "xmpp": {"users", "rooms", "message", "user", "password", "host"},
+    "hipchat": {"room_id", "from", "color", "trigger_notify", "format",
+                "token"},
+    "juggernaut": {"channels", "message_format", "host", "port", "db",
+                   "password", "timeout"},
 }
 
 
@@ -1116,6 +1124,36 @@ def _compile_outputs(items: list, inherited: Expr | None, outputs: list[Output],
                 os.path.join(out_dir, f"irc_{len(outputs)}"),
                 channels=tuple(str(c) for c in _listify(node.attrs["channels"])),
                 format=str(node.attrs.get("format", "%{message}")),
+            )
+        elif node.name == "xmpp":
+            users = tuple(str(u) for u in _listify(node.attrs.get("users", [])))
+            rooms = tuple(str(r) for r in _listify(node.attrs.get("rooms", [])))
+            if not users and not rooms:
+                raise ConfCompileError("xmpp output requires users and/or rooms")
+            sink = XmppSink(
+                os.path.join(out_dir, f"xmpp_{len(outputs)}"),
+                users=users,
+                rooms=rooms,
+                message=str(node.attrs.get("message", "%{message}")),
+            )
+        elif node.name == "hipchat":
+            if "room_id" not in node.attrs:
+                raise ConfCompileError("hipchat output requires room_id")
+            sink = HipchatSink(
+                os.path.join(out_dir, f"hipchat_{len(outputs)}"),
+                room_id=str(node.attrs["room_id"]),
+                from_name=str(node.attrs.get("from", "logstash")),
+                color=str(node.attrs.get("color", "yellow")),
+                trigger_notify=bool(node.attrs.get("trigger_notify", False)),
+                format=str(node.attrs.get("format", "%{message}")),
+            )
+        elif node.name == "juggernaut":
+            if "channels" not in node.attrs:
+                raise ConfCompileError("juggernaut output requires channels")
+            sink = JuggernautSink(
+                os.path.join(out_dir, f"juggernaut_{len(outputs)}"),
+                channels=tuple(str(c) for c in _listify(node.attrs["channels"])),
+                message_format=str(node.attrs.get("message_format", "")),
             )
         elif node.name == "nagios":
             sink = NagiosSink(
@@ -1568,11 +1606,73 @@ def bind_input(spark, node: PluginNode, *, stdin_lines=None):
                 "(file-backed wire contract, same stance as the kafka shim)"
             )
         df = elasticsearch_input(spark, str(path), schema=str(a["schema"]))
+    elif node.name == "irc":
+        # live IRC session is a deployment concern; decode a captured
+        # session transcript (text export of server-delivered lines) —
+        # same file-backed stance as the graphite line capture
+        from logstash_spark.sources.chat import decode_irc_lines
+
+        path = a.get("export") or a.get("path")
+        if not path:
+            raise ConfCompileError(
+                "irc input: needs export => text file of delivered IRC "
+                "protocol lines (a session transcript)"
+            )
+        raw = spark.read.text(str(path)).withColumnRenamed("value", "line")
+        df = decode_irc_lines(raw, "line")
+        if "channels" in a:
+            chans = [str(c) for c in _listify(a["channels"])]
+            df = df.filter(F.col("channel").isin(chans))
+    elif node.name == "xmpp":
+        from logstash_spark.sources.chat import decode_xmpp_stanzas
+
+        path = a.get("export") or a.get("path")
+        if not path:
+            raise ConfCompileError(
+                "xmpp input: needs export => text file of message stanzas "
+                "(one per line — the XmppSink capture shape)"
+            )
+        raw = spark.read.text(str(path)).withColumnRenamed("value", "stanza")
+        df = decode_xmpp_stanzas(raw, "stanza")
+    elif node.name == "imap":
+        # live IMAP poll is a deployment concern; decode a mailbox export
+        # of RFC822 messages (parquet with an rfc822 column — the exact
+        # shape EmailSink writes, so email output -> imap input round-trips)
+        from logstash_spark.sources.chat import decode_rfc822
+
+        path = a.get("export") or a.get("path")
+        if not path:
+            raise ConfCompileError(
+                "imap input: needs export => parquet of RFC822 messages "
+                "(rfc822 column — the EmailSink capture shape)"
+            )
+        df = decode_rfc822(spark.read.parquet(str(path)), "rfc822")
+    elif node.name == "twitter":
+        # live streaming API is a deployment concern; decode a captured
+        # NDJSON export of public-API status objects
+        from logstash_spark.sources.chat import decode_twitter_statuses
+
+        path = a.get("export") or a.get("path")
+        if not path:
+            raise ConfCompileError(
+                "twitter input: needs export => NDJSON file of status "
+                "objects (one public-API JSON document per line)"
+            )
+        raw = spark.read.text(str(path)).withColumnRenamed("value", "status_json")
+        df = decode_twitter_statuses(raw, "status_json")
+        if "keywords" in a:
+            kws = [str(k) for k in _listify(a["keywords"])]
+            cond = None
+            for k in kws:
+                this = F.col("message").contains(k)
+                cond = this if cond is None else (cond | this)
+            if cond is not None:
+                df = df.filter(cond)
     else:
         raise ConfCompileError(
             f"input plugin {node.name!r} has no sandbox binding "
-            "(daemon inputs like irc/xmpp/imap are deployment concerns; "
-            "pass your own DataFrame)"
+            "(eventlog is a Windows-API input with no capturable wire "
+            "shape in this sandbox; pass your own DataFrame)"
         )
     # input decorate (filters/base.rb decorate): type/tags/add_field
     if a.get("type") is not None:

@@ -4385,3 +4385,219 @@ def broker_zeromq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = decode_zeromq_records(wire, "url string, clientip string", topic_filter="logs.e")
     return out.select("zmq_topic", "zmq_peer", "zmq_seq", "url", "clientip")
+
+
+# ---------------------------------------------------------------------------
+# chat / mail / social connectors (sources/chat.py) — irc, xmpp, imap,
+# twitter intake + hipchat / juggernaut output frames
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "irc_intake",
+    f"""{_PAGES_CTE},
+deliv AS (
+  SELECT 'logstash' AS nick, 'ls' AS "user", 'shipper.local' AS host,
+         ch AS channel, verb || ' ' || url AS message,
+         CAST(NULL AS VARCHAR) AS tags_json
+  FROM pages CROSS JOIN (VALUES ('#logs'), ('#alerts')) c(ch)
+  UNION ALL
+  SELECT NULL, NULL, NULL, NULL, 'PING :irc.example.com',
+         to_json(['_ircparsefailure'])
+  FROM range(3))
+SELECT nick, "user", host, channel, message, tags_json FROM deliv""",
+)
+def irc_intake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """irc output -> server hop -> irc input round-trip
+    (logstash-output-irc / logstash-input-irc, default_plugins.rb:89,59):
+    events format into the REAL client PRIVMSG lines (IrcSink frame, one
+    per channel x event), the server delivers them with the sender
+    prefix prepended (RFC 2812 — irc_wire_shim), and the input decodes
+    prefix identity + channel + text back out. Three non-PRIVMSG control
+    lines (PING) ride along and must tag _ircparsefailure with the raw
+    line kept. All JVM regex, map-only, no shuffle."""
+    from logstash_spark.sinks import irc_frames
+    from logstash_spark.sources.chat import decode_irc_lines, irc_wire_shim
+
+    p = _pages(spark, sf_dir).select("url", "verb")
+    lines = irc_frames(p, channels=("#logs", "#alerts"), format="%{verb} %{url}")
+    wire = irc_wire_shim(lines, nick="logstash", user="ls", host="shipper.local")
+    junk = spark.range(3).select(F.lit("PING :irc.example.com").alias("line"))
+    out = decode_irc_lines(wire.unionByName(junk), "line")
+    return out.select(
+        "nick", "user", "host", "channel", "message",
+        F.to_json(F.col("tags")).alias("tags_json"),
+    )
+
+
+@q(
+    "xmpp_message_roundtrip",
+    f"""{_PAGES_CTE}
+SELECT 'logstash@shipper.local' AS xmpp_from,
+       CAST(user_id AS VARCHAR) || '@chat.example.com' AS xmpp_to,
+       'chat' AS xmpp_type,
+       verb || ' <' || url || '> & done' AS message,
+       CAST(NULL AS VARCHAR) AS tags_json
+FROM pages""",
+)
+def xmpp_message_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xmpp output -> xmpp input round-trip (default_plugins.rb:9,74):
+    events render into REAL RFC 6121 message stanzas (sprintf'd JID +
+    body, XML entities escaped) and decode back to the plugin's fields —
+    the body template deliberately carries <, > and & so the
+    escape/unescape pair is exercised on every row, not just on clean
+    text. Map-only JVM expressions both directions."""
+    from logstash_spark.sources.chat import decode_xmpp_stanzas, encode_xmpp_stanzas
+
+    p = _pages(spark, sf_dir).select("url", "verb", "user_id")
+    st = encode_xmpp_stanzas(
+        p, to="%{user_id}@chat.example.com", body="%{verb} <%{url}> & done"
+    )
+    out = decode_xmpp_stanzas(st, "stanza")
+    return out.select(
+        "xmpp_from", "xmpp_to", "xmpp_type", "message",
+        F.to_json(F.col("tags")).alias("tags_json"),
+    )
+
+
+@q(
+    "imap_intake",
+    f"""{_PAGES_CTE}
+SELECT 'logstash.alert@example.com' AS mail_from,
+       'ops-' || lang || '@example.com' AS mail_to,
+       response || ' on ' || url AS subject,
+       text AS message,
+       CAST(NULL AS VARCHAR) AS tags_json
+FROM pages""",
+)
+def imap_intake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """email output -> mailbox -> imap input round-trip
+    (default_plugins.rb outputs email; logstash-input-imap :58): events
+    render into the REAL RFC822 message text (shared encode_rfc822 — the
+    exact bytes EmailSink writes) and the imap decode recovers the
+    lowercased header fields + body, headers parsed ONLY from the header
+    block. The body is the full apache combined line, so any header
+    bleed-through would break the value hash."""
+    from logstash_spark.sources.chat import decode_rfc822, encode_rfc822
+
+    p = _pages(spark, sf_dir)
+    rfc = p.select(
+        encode_rfc822(
+            p,
+            to="ops-%{lang}@example.com",
+            from_addr="logstash.alert@example.com",
+            subject="%{response} on %{url}",
+            body=F.col("text"),
+        ).alias("rfc822")
+    )
+    out = decode_rfc822(rfc, "rfc822")
+    return out.select(
+        "mail_from", "mail_to", "subject", "message",
+        F.to_json(F.col("tags")).alias("tags_json"),
+    )
+
+
+@q(
+    "twitter_intake",
+    f"""{_PAGES_CTE},
+decoded AS (
+  SELECT 'status at ' || url || ' #' || lang AS message,
+         'user' || CAST(user_id AS VARCHAR) AS "user",
+         'web' AS client,
+         (event_id % 2 = 0) AS retweeted,
+         CAST(NULL AS VARCHAR) AS in_reply_to,
+         to_json([lang, 'spark']) AS hashtags_json,
+         to_json(['ops']) AS mentions_json,
+         to_json([referrer]) AS urls_json,
+         CAST(NULL AS VARCHAR) AS tags_json
+  FROM pages
+  UNION ALL
+  SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         to_json(['_twitterparsefailure'])
+  FROM range(3))
+SELECT * FROM decoded""",
+)
+def twitter_intake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """twitter input (logstash-input-twitter, default_plugins.rb:71):
+    public-API status JSON -> the plugin's event fields (message/user/
+    client/retweeted + flattened entity arrays). The status documents are
+    built by string concat from page columns IN THE QUERY (both engines
+    build byte-identical JSON), then the engine decodes via
+    from_json+transform while the oracle computes the expected fields
+    directly — independent paths to the same values. Three malformed
+    documents ride along and must tag _twitterparsefailure."""
+    from logstash_spark.sources.chat import decode_twitter_statuses
+
+    p = _pages(spark, sf_dir)
+    j = F.concat(
+        F.lit('{"id_str":"'), F.col("event_id").cast("string"),
+        F.lit('","text":"status at '), F.col("url"), F.lit(" #"), F.col("lang"),
+        F.lit('","source":"web","retweeted":'),
+        F.when(F.col("event_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"in_reply_to_status_id_str":null,"user":{"screen_name":"user'),
+        F.col("user_id").cast("string"),
+        F.lit('","id_str":"'), F.col("user_id").cast("string"),
+        F.lit('","lang":"'), F.col("lang"),
+        F.lit('"},"entities":{"hashtags":[{"text":"'), F.col("lang"),
+        F.lit('"},{"text":"spark"}],"user_mentions":[{"screen_name":"ops"}],'),
+        F.lit('"urls":[{"expanded_url":"'), F.col("referrer"), F.lit('"}]}}'),
+    )
+    statuses = p.select(j.alias("status_json"))
+    junk = spark.range(3).select(F.lit("{this is not json").alias("status_json"))
+    out = decode_twitter_statuses(statuses.unionByName(junk), "status_json")
+    return out.select(
+        "message", "user", "client", "retweeted", "in_reply_to",
+        F.to_json(F.col("hashtags")).alias("hashtags_json"),
+        F.to_json(F.col("mentions")).alias("mentions_json"),
+        F.to_json(F.col("urls")).alias("urls_json"),
+        F.to_json(F.col("tags")).alias("tags_json"),
+    )
+
+
+@q(
+    "sink_hipchat",
+    f"""{_PAGES_CTE}
+SELECT 'POST' AS method,
+       '/v2/room/ops-' || lang || '/notification' AS url,
+       'application/json' AS content_type,
+       '{{"from":"logstash","color":"red","notify":true,"message_format":"text","message":'
+         || to_json('alert: ' || verb || ' ' || url) || '}}' AS body
+FROM pages""",
+)
+def sink_hipchat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hipchat output (default_plugins.rb:87): the REAL public
+    rooms-notification request frames — sprintf'd room in the endpoint
+    path, documented JSON payload with the message JSON-escaped
+    (json_string_col == DuckDB's to_json(varchar), byte-for-byte).
+    Shuffle-free projection; the oracle rebuilds the payload from the
+    same page columns."""
+    from logstash_spark.sinks import hipchat_frames
+
+    p = _pages(spark, sf_dir)
+    p = p.withColumn("message", F.concat(F.col("verb"), F.lit(" "), F.col("url")))
+    return hipchat_frames(
+        p, room_id="ops-%{lang}", from_name="logstash", color="red",
+        trigger_notify=True, format="alert: %{message}",
+    )
+
+
+@q(
+    "sink_juggernaut",
+    f"""{_PAGES_CTE}
+SELECT 'juggernaut' AS channel,
+       '{{"channels":["logs-' || lang || '","all"],"data":'
+         || to_json(verb || ' ' || url) || '}}' AS value
+FROM pages""",
+)
+def sink_juggernaut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """juggernaut output (default_plugins.rb:90): juggernaut rides redis
+    pub/sub — one PUBLISH frame per event on the 'juggernaut' channel
+    carrying the documented {{"channels": [...], "data": ...}} envelope
+    with sprintf'd channel names. The frame shape is exactly what
+    ``input redis {{ data_type => channel }}`` replays."""
+    from logstash_spark.sinks import juggernaut_frames
+
+    p = _pages(spark, sf_dir)
+    return juggernaut_frames(
+        p, channels=("logs-%{lang}", "all"), message_format="%{verb} %{url}"
+    )

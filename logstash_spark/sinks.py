@@ -648,6 +648,7 @@ class EmailSink(Sink):
 
     def write(self, df: DataFrame) -> Any:
         from logstash_spark.event import event_to_json, sprintf_col
+        from logstash_spark.sources.chat import encode_rfc822
 
         d = strip_internal(df)
 
@@ -655,11 +656,9 @@ class EmailSink(Sink):
             return sprintf_col(t, d) if "%{" in t else F.lit(t)
 
         body = render(self.body) if self.body else event_to_json(d)
-        rfc822 = F.concat(
-            F.lit(f"From: {self.from_addr}\r\n"),
-            F.lit("To: "), render(self.to), F.lit("\r\n"),
-            F.lit("Subject: "), render(self.subject), F.lit("\r\n\r\n"),
-            body,
+        # shared encoder: the imap input's decode_rfc822 round-trips this
+        rfc822 = encode_rfc822(
+            d, to=self.to, from_addr=self.from_addr, subject=self.subject, body=body
         )
         out = d.select(render(self.to).alias("to"),
                        render(self.subject).alias("subject"),
@@ -709,6 +708,22 @@ class SqsSink(Sink):
         return self.path
 
 
+def irc_frames(
+    df: DataFrame, *, channels: tuple[str, ...], format: str = "%{message}"
+) -> DataFrame:
+    """The client protocol lines IrcSink writes: one
+    ``PRIVMSG #channel :<formatted event>`` per (channel × event);
+    format is the plugin's sprintf message template. Shared with the
+    irc input's round-trip oracle (sources/chat.py)."""
+    from logstash_spark.event import sprintf_col
+
+    msg = sprintf_col(format, df) if "%{" in format else F.lit(format)
+    return df.select(
+        F.explode(F.array(*[F.lit(c) for c in channels])).alias("_ch"),
+        msg.alias("_m"),
+    ).select(F.concat(F.lit("PRIVMSG "), F.col("_ch"), F.lit(" :"), F.col("_m")).alias("line"))
+
+
 @dataclass
 class IrcSink(Sink):
     """irc output with the REAL client protocol line
@@ -721,15 +736,147 @@ class IrcSink(Sink):
     format: str = "%{message}"
 
     def write(self, df: DataFrame) -> Any:
-        from logstash_spark.event import sprintf_col
+        out = irc_frames(strip_internal(df), channels=self.channels, format=self.format)
+        out.write.mode("append").text(self.path)
+        return self.path
+
+
+@dataclass
+class XmppSink(Sink):
+    """xmpp output with the REAL RFC 6121 message stanza per
+    (event x recipient) — the XML a client session writes; ``users`` are
+    chat JIDs, ``rooms`` become type=groupchat MUC sends (the plugin's
+    option split); ``message`` is the sprintf body template. One text
+    line per stanza; decode_xmpp_stanzas round-trips it."""
+
+    path: str
+    users: tuple[str, ...] = ()
+    rooms: tuple[str, ...] = ()
+    message: str = "%{message}"
+    from_jid: str = "logstash@shipper.local"
+
+    def write(self, df: DataFrame) -> Any:
+        from logstash_spark.sources.chat import encode_xmpp_stanzas
 
         d = strip_internal(df)
-        msg = sprintf_col(self.format, d) if "%{" in self.format else F.lit(self.format)
-        out = d.select(
-            F.explode(F.array(*[F.lit(c) for c in self.channels])).alias("_ch"),
-            msg.alias("_m"),
-        ).select(F.concat(F.lit("PRIVMSG "), F.col("_ch"), F.lit(" :"), F.col("_m")).alias("line"))
-        out.write.mode("append").text(self.path)
+        parts = []
+        for jid in self.users:
+            parts.append(encode_xmpp_stanzas(
+                d, to=jid, body=self.message, from_jid=self.from_jid, msg_type="chat"))
+        for room in self.rooms:
+            parts.append(encode_xmpp_stanzas(
+                d, to=room, body=self.message, from_jid=self.from_jid, msg_type="groupchat"))
+        if not parts:
+            raise ValueError("xmpp output requires users and/or rooms")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.withColumnRenamed("stanza", "line").write.mode("append").text(self.path)
+        return self.path
+
+
+def json_string_col(c) -> F.Column:
+    """A column JSON-escaped and quoted as a JSON string value (the exact
+    bytes DuckDB's ``to_json(varchar)`` produces — oracle-reproducible).
+    Spark's to_json only takes complex types, so wrap in a 1-array and
+    strip the brackets."""
+    arr = F.to_json(F.array(c))
+    return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+
+
+def hipchat_frames(
+    df: DataFrame, *, room_id: str, from_name: str = "logstash",
+    color: str = "yellow", trigger_notify: bool = False, format: str = "%{message}",
+) -> DataFrame:
+    """The request frames HipchatSink replays: one POST per event to the
+    public rooms-notification endpoint with the documented JSON payload
+    (from / color / notify / message_format / sprintf'd message).
+    Shuffle-free projection."""
+    from logstash_spark.event import sprintf_col
+
+    msg = sprintf_col(format, df) if "%{" in format else F.lit(format)
+    room = sprintf_col(room_id, df) if "%{" in room_id else F.lit(room_id)
+    body = F.concat(
+        F.lit('{"from":"' + from_name + '","color":"' + color + '",'),
+        F.lit('"notify":' + ("true" if trigger_notify else "false") + ","),
+        F.lit('"message_format":"text","message":'),
+        json_string_col(msg),
+        F.lit("}"),
+    )
+    return df.select(
+        F.lit("POST").alias("method"),
+        F.concat(F.lit("/v2/room/"), room, F.lit("/notification")).alias("url"),
+        F.lit("application/json").alias("content_type"),
+        body.alias("body"),
+    )
+
+
+@dataclass
+class HipchatSink(Sink):
+    """hipchat output (default_plugins.rb:87) with the REAL public
+    rooms-notification API request per event — (method, url, body) frames
+    like HttpSink, body = the documented JSON payload carrying the
+    plugin's option surface (room_id / from / color / notify / sprintf'd
+    message). Written as parquet; a live sender replays the frames.
+    trigger_notify maps to the API's boolean notify."""
+
+    path: str
+    room_id: str
+    from_name: str = "logstash"
+    color: str = "yellow"
+    trigger_notify: bool = False
+    format: str = "%{message}"
+
+    def write(self, df: DataFrame) -> Any:
+        out = hipchat_frames(
+            strip_internal(df), room_id=self.room_id, from_name=self.from_name,
+            color=self.color, trigger_notify=self.trigger_notify, format=self.format,
+        )
+        out.write.mode("append").parquet(self.path)
+        return self.path
+
+
+def juggernaut_frames(
+    df: DataFrame, *, channels: tuple[str, ...], message_format: str = ""
+) -> DataFrame:
+    """The redis PUBLISH frames JuggernautSink replays: juggernaut rides
+    redis pub/sub — (channel='juggernaut', value=envelope) with the
+    documented ``{"channels": [...], "data": ...}`` payload; channels are
+    sprintf-able; data is the sprintf'd message (JSON-escaped) or the
+    whole event JSON when no message_format is set."""
+    from logstash_spark.event import event_to_json, sprintf_col
+
+    chans = [sprintf_col(c, df) if "%{" in c else F.lit(c) for c in channels]
+    data = (
+        json_string_col(sprintf_col(message_format, df))
+        if message_format else event_to_json(df)
+    )
+    payload = F.concat(
+        F.lit('{"channels":['),
+        F.concat_ws(",", *[F.concat(F.lit('"'), c, F.lit('"')) for c in chans]),
+        F.lit('],"data":'),
+        data,
+        F.lit("}"),
+    )
+    return df.select(F.lit("juggernaut").alias("channel"), payload.alias("value"))
+
+
+@dataclass
+class JuggernautSink(Sink):
+    """juggernaut output (default_plugins.rb:90) with the REAL broker
+    wire contract — see juggernaut_frames. Written as parquet
+    (channel, value) — the exact shape a redis PUBLISH replays, and the
+    shape ``input redis { data_type => channel }`` decodes."""
+
+    path: str
+    channels: tuple[str, ...] = ("logstash",)
+    message_format: str = ""
+
+    def write(self, df: DataFrame) -> Any:
+        out = juggernaut_frames(
+            strip_internal(df), channels=self.channels, message_format=self.message_format
+        )
+        out.write.mode("append").parquet(self.path)
         return self.path
 
 

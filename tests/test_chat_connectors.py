@@ -1,0 +1,365 @@
+"""irc / xmpp / imap (RFC822) / twitter connectors + hipchat/juggernaut
+output frames (sources/chat.py, sinks.py) — the live-service plugin tail
+re-expressed as file-backed wire contracts."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _lines(spark, rows, col="line"):
+    return spark.createDataFrame([(r,) for r in rows], f"{col} string")
+
+
+# ---------------------------------------------------------------------------
+# irc
+# ---------------------------------------------------------------------------
+
+
+class TestIrc:
+    def test_delivered_privmsg_decodes_identity(self, spark):
+        from logstash_spark.sources.chat import decode_irc_lines
+
+        out = decode_irc_lines(
+            _lines(spark, [":alice!al@host1.example PRIVMSG #ops :disk at 91%"])
+        ).collect()[0]
+        assert (out.nick, out.user, out.host) == ("alice", "al", "host1.example")
+        assert out.channel == "#ops"
+        assert out.message == "disk at 91%"
+        assert out.tags is None
+
+    def test_client_frame_without_prefix(self, spark):
+        # the IrcSink shape: client-originated, no prefix yet
+        from logstash_spark.sources.chat import decode_irc_lines
+
+        out = decode_irc_lines(_lines(spark, ["PRIVMSG #logs :hello world"])).collect()[0]
+        assert out.nick is None and out.user is None and out.host is None
+        assert out.channel == "#logs"
+        assert out.message == "hello world"
+
+    def test_server_only_prefix(self, spark):
+        # services/servers message with a bare prefix (no !user@host)
+        from logstash_spark.sources.chat import decode_irc_lines
+
+        out = decode_irc_lines(
+            _lines(spark, [":irc.example.com PRIVMSG #ops :netsplit over"])
+        ).collect()[0]
+        assert out.nick == "irc.example.com"
+        assert out.user is None and out.host is None
+
+    def test_non_privmsg_tags_failure_keeps_raw(self, spark):
+        from logstash_spark.sources.chat import decode_irc_lines
+
+        rows = ["PING :server", ":n!u@h JOIN #ops", "001 welcome", "", "::::"]
+        got = decode_irc_lines(_lines(spark, rows)).collect()
+        for r in got:
+            assert r.tags == ["_ircparsefailure"]
+            assert r.channel is None
+        assert [r.message for r in got] == rows
+
+    def test_sink_to_input_roundtrip(self, spark, tmp_path):
+        from logstash_spark.sinks import IrcSink
+        from logstash_spark.sources.chat import decode_irc_lines, irc_wire_shim
+
+        df = spark.createDataFrame([("a b",), ("c :d",)], "message string")
+        path = str(tmp_path / "irc")
+        IrcSink(path, channels=("#one", "#two")).write(df)
+        delivered = irc_wire_shim(
+            spark.read.text(path).withColumnRenamed("value", "line"), nick="bot"
+        )
+        got = decode_irc_lines(delivered).collect()
+        assert len(got) == 4
+        assert {r.channel for r in got} == {"#one", "#two"}
+        # ' :d' trailing-param content survives (only the FIRST ' :' splits)
+        assert "c :d" in {r.message for r in got}
+        assert all(r.nick == "bot" for r in got)
+
+
+# ---------------------------------------------------------------------------
+# xmpp
+# ---------------------------------------------------------------------------
+
+
+class TestXmpp:
+    def test_escape_roundtrip_hostile_body(self, spark):
+        from logstash_spark.sources.chat import (
+            decode_xmpp_stanzas,
+            encode_xmpp_stanzas,
+        )
+
+        nasty = 'a<b>&c "quoted" &amp; pre-escaped'
+        df = spark.createDataFrame([(nasty,)], "message string")
+        st = encode_xmpp_stanzas(df, to="ops@example.com")
+        out = decode_xmpp_stanzas(st).collect()[0]
+        assert out.message == nasty
+        assert out.xmpp_to == "ops@example.com"
+        assert out.xmpp_type == "chat"
+        assert out.tags is None
+
+    def test_stanza_is_wellformed_xml(self, spark):
+        import xml.etree.ElementTree as ET
+
+        from logstash_spark.sources.chat import encode_xmpp_stanzas
+
+        df = spark.createDataFrame([('<&>"',)], "message string")
+        stanza = encode_xmpp_stanzas(df, to="a@b").collect()[0].stanza
+        root = ET.fromstring(stanza)
+        assert root.tag == "message"
+        assert root.find("body").text == '<&>"'
+
+    def test_non_message_stanza_tags_failure(self, spark):
+        from logstash_spark.sources.chat import decode_xmpp_stanzas
+
+        rows = ["<presence from='a@b'/>", "junk", ""]
+        got = decode_xmpp_stanzas(_lines(spark, rows, col="stanza")).collect()
+        assert all(r.tags == ["_xmppparsefailure"] for r in got)
+        assert [r.message for r in got] == rows
+
+    def test_sink_users_and_rooms(self, spark, tmp_path):
+        from logstash_spark.sinks import XmppSink
+        from logstash_spark.sources.chat import decode_xmpp_stanzas
+
+        df = spark.createDataFrame([("hi",)], "message string")
+        path = str(tmp_path / "xmpp")
+        XmppSink(path, users=("a@b",), rooms=("war@muc.b",)).write(df)
+        got = decode_xmpp_stanzas(
+            spark.read.text(path).withColumnRenamed("value", "stanza")
+        ).collect()
+        types = {(r.xmpp_to, r.xmpp_type) for r in got}
+        assert types == {("a@b", "chat"), ("war@muc.b", "groupchat")}
+
+    def test_sink_requires_recipient(self, spark):
+        from logstash_spark.sinks import XmppSink
+
+        df = spark.createDataFrame([("hi",)], "message string")
+        with pytest.raises(ValueError, match="users and/or rooms"):
+            XmppSink("/tmp/never", users=(), rooms=()).write(df)
+
+
+# ---------------------------------------------------------------------------
+# imap / RFC822
+# ---------------------------------------------------------------------------
+
+
+class TestImap:
+    def test_email_sink_roundtrip(self, spark, tmp_path):
+        from logstash_spark.sinks import EmailSink
+        from logstash_spark.sources.chat import decode_rfc822
+
+        df = spark.createDataFrame(
+            [("disk full", "host9")], "message string, host string"
+        )
+        path = str(tmp_path / "mail")
+        EmailSink(path, to="ops@example.com", subject="alert on %{host}",
+                  body="%{message}").write(df)
+        out = decode_rfc822(spark.read.parquet(path).select("rfc822")).collect()[0]
+        assert out.mail_from == "logstash.alert@example.com"
+        assert out.mail_to == "ops@example.com"
+        assert out.subject == "alert on host9"
+        assert out.message == "disk full"
+        assert out.tags is None
+
+    def test_body_headers_do_not_leak(self, spark):
+        from logstash_spark.sources.chat import decode_rfc822
+
+        raw = "From: real@a\r\nTo: b@c\r\nSubject: s\r\n\r\nFrom: fake@x\r\nSubject: nope"
+        out = decode_rfc822(_lines(spark, [raw], col="rfc822")).collect()[0]
+        assert out.mail_from == "real@a"
+        assert out.subject == "s"
+        assert out.message == "From: fake@x\r\nSubject: nope"
+
+    def test_missing_separator_tags_failure(self, spark):
+        from logstash_spark.sources.chat import decode_rfc822
+
+        raw = "not a mail at all"
+        out = decode_rfc822(_lines(spark, [raw], col="rfc822")).collect()[0]
+        assert out.tags == ["_mailparsefailure"]
+        assert out.message == raw
+
+    def test_multiline_body_survives(self, spark):
+        from logstash_spark.sources.chat import decode_rfc822
+
+        raw = "From: a@b\r\nTo: c@d\r\nSubject: s\r\n\r\nline1\r\n\r\nline3"
+        out = decode_rfc822(_lines(spark, [raw], col="rfc822")).collect()[0]
+        assert out.message == "line1\r\n\r\nline3"
+
+
+# ---------------------------------------------------------------------------
+# twitter
+# ---------------------------------------------------------------------------
+
+
+class TestTwitter:
+    STATUS = json.dumps({
+        "created_at": "Wed Aug 19 06:00:00 +0000 2026",
+        "id_str": "42",
+        "text": "spark is neat #data @ops",
+        "source": "web",
+        "retweeted": True,
+        "in_reply_to_status_id_str": "41",
+        "user": {"screen_name": "bob", "id_str": "7", "lang": "en"},
+        "entities": {
+            "hashtags": [{"text": "data"}],
+            "user_mentions": [{"screen_name": "ops"}],
+            "urls": [{"expanded_url": "https://spark.apache.org/"}],
+        },
+    })
+
+    def test_status_decodes_plugin_fields(self, spark):
+        from logstash_spark.sources.chat import decode_twitter_statuses
+
+        out = decode_twitter_statuses(
+            _lines(spark, [self.STATUS], col="status_json")
+        ).collect()[0]
+        assert out.message == "spark is neat #data @ops"
+        assert out.user == "bob"
+        assert out.client == "web"
+        assert out.retweeted is True
+        assert out.in_reply_to == "41"
+        assert out.hashtags == ["data"]
+        assert out.mentions == ["ops"]
+        assert out.urls == ["https://spark.apache.org/"]
+        assert out.tags is None
+
+    def test_corrupt_json_tags_failure(self, spark):
+        from logstash_spark.sources.chat import decode_twitter_statuses
+
+        got = decode_twitter_statuses(
+            _lines(spark, ["{oops", "", '{"no_text_field": 1}'], col="status_json")
+        ).collect()
+        assert all(r.tags == ["_twitterparsefailure"] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# hipchat / juggernaut output frames
+# ---------------------------------------------------------------------------
+
+
+class TestNotificationSinks:
+    def test_hipchat_payload_parses_and_escapes(self, spark, tmp_path):
+        from logstash_spark.sinks import HipchatSink
+
+        df = spark.createDataFrame(
+            [('he said "fire!"\nnow', "warroom")], "message string, room string"
+        )
+        path = str(tmp_path / "hc")
+        HipchatSink(path, room_id="%{room}", color="red",
+                    trigger_notify=True).write(df)
+        row = spark.read.parquet(path).collect()[0]
+        assert row.method == "POST"
+        assert row.url == "/v2/room/warroom/notification"
+        body = json.loads(row.body)
+        assert body["message"] == 'he said "fire!"\nnow'
+        assert body["notify"] is True
+        assert body["color"] == "red"
+
+    def test_juggernaut_envelope(self, spark, tmp_path):
+        from logstash_spark.sinks import JuggernautSink
+
+        df = spark.createDataFrame([("up", "web")], "message string, app string")
+        path = str(tmp_path / "jug")
+        JuggernautSink(path, channels=("status-%{app}", "all")).write(df)
+        row = spark.read.parquet(path).collect()[0]
+        assert row.channel == "juggernaut"
+        env = json.loads(row.value)
+        assert env["channels"] == ["status-web", "all"]
+        # default: the whole event JSON embedded inline as a JSON object
+        assert env["data"]["message"] == "up"
+
+    def test_juggernaut_message_format(self, spark, tmp_path):
+        from logstash_spark.sinks import JuggernautSink
+
+        df = spark.createDataFrame([("x",)], "message string")
+        path = str(tmp_path / "jug2")
+        JuggernautSink(path, channels=("c",), message_format="msg=%{message}").write(df)
+        env = json.loads(spark.read.parquet(path).collect()[0].value)
+        assert env["data"] == "msg=x"
+
+
+# ---------------------------------------------------------------------------
+# .conf bindings
+# ---------------------------------------------------------------------------
+
+
+class TestConfBindings:
+    def _compile(self, text, tmp_path):
+        from logstash_spark.conf import compile_config
+
+        return compile_config(text, out_dir=str(tmp_path / "out"))
+
+    def test_output_bindings_compile(self, tmp_path):
+        pipe, _ = self._compile(
+            """
+            input { generator { count => 2 } }
+            output {
+              xmpp { users => ["a@b"] message => "%{message}" }
+              hipchat { room_id => "ops" from => "ls" trigger_notify => true }
+              juggernaut { channels => ["c1", "c2"] }
+            }
+            """,
+            tmp_path,
+        )
+        names = [type(o.sink).__name__ for o in pipe.outputs]
+        assert names == ["XmppSink", "HipchatSink", "JuggernautSink"]
+
+    def test_xmpp_output_requires_recipient(self, tmp_path):
+        from logstash_spark.conf import ConfCompileError
+
+        with pytest.raises(ConfCompileError, match="users and/or rooms"):
+            self._compile(
+                "input { generator {} } output { xmpp { message => \"m\" } }",
+                tmp_path,
+            )
+
+    def test_unknown_option_rejected(self, tmp_path):
+        from logstash_spark.conf import ConfCompileError
+
+        with pytest.raises(ConfCompileError):
+            self._compile(
+                'input { generator {} } output { hipchat { room_id => "r" bogus => 1 } }',
+                tmp_path,
+            )
+
+    def test_input_bindings(self, spark, tmp_path):
+        from logstash_spark.conf import bind_input
+        from logstash_spark.confparser import PluginNode
+
+        irc_f = tmp_path / "irc.txt"
+        irc_f.write_text(":n!u@h PRIVMSG #ops :hello\nPING :x\n")
+        df = bind_input(spark, PluginNode("irc", {"export": str(irc_f),
+                                                  "channels": ["#ops"]}))
+        got = df.collect()
+        assert len(got) == 1 and got[0].message == "hello"
+
+        tw_f = tmp_path / "tw.ndjson"
+        tw_f.write_text('{"text":"hello spark","user":{"screen_name":"b"}}\n'
+                        '{"text":"other","user":{"screen_name":"c"}}\n')
+        df = bind_input(spark, PluginNode("twitter", {"export": str(tw_f),
+                                                      "keywords": ["spark"]}))
+        got = df.collect()
+        assert len(got) == 1 and got[0].user == "b"
+
+        xm_f = tmp_path / "x.txt"
+        xm_f.write_text('<message from="a@b" to="c@d" type="chat"><body>hey</body></message>\n')
+        df = bind_input(spark, PluginNode("xmpp", {"export": str(xm_f)}))
+        assert df.collect()[0].message == "hey"
+
+    def test_imap_input_binding(self, spark, tmp_path):
+        from logstash_spark.conf import bind_input
+        from logstash_spark.confparser import PluginNode
+        from logstash_spark.sinks import EmailSink
+
+        df = spark.createDataFrame([("boom",)], "message string")
+        mail = str(tmp_path / "mail")
+        EmailSink(mail, to="x@y", subject="s", body="%{message}").write(df)
+        got = bind_input(spark, PluginNode("imap", {"export": mail})).collect()[0]
+        assert got.message == "boom" and got.mail_to == "x@y"
+
+    def test_eventlog_still_rejected(self, spark):
+        from logstash_spark.conf import ConfCompileError, bind_input
+        from logstash_spark.confparser import PluginNode
+
+        with pytest.raises(ConfCompileError, match="eventlog"):
+            bind_input(spark, PluginNode("eventlog", {}))

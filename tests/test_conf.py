@@ -458,9 +458,12 @@ def test_bind_input_generator_and_errors(spark):
     rows = df.collect()
     assert len(rows) == 5 and rows[0]["message"] == "hi" and rows[0]["type"] == "gen"
 
-    # tcp now binds (sources.sockets); daemon inputs stay unbound
-    with pytest.raises(ConfCompileError, match="no sandbox binding"):
+    # irc now binds from a transcript export; without one it fails fast
+    with pytest.raises(ConfCompileError, match="export"):
         bind_input(spark, PluginNode("irc", {"host": "example"}))
+    # eventlog (Windows API) remains the unbound daemon input
+    with pytest.raises(ConfCompileError, match="no sandbox binding"):
+        bind_input(spark, PluginNode("eventlog", {}))
     # and a tcp node without the required port fails fast
     with pytest.raises(ConfCompileError, match="port"):
         bind_input(spark, PluginNode("tcp", {}))
