@@ -53,8 +53,9 @@ def decode_irc_lines(df: DataFrame, column: str = "line") -> DataFrame:
     c = F.col(column)
     ok = c.rlike(_IRC_PRIVMSG_RX)
     g = lambda i: F.nullif(F.regexp_extract(c, _IRC_PRIVMSG_RX, i), F.lit(""))
+    made = {"nick", "user", "host", "channel", "message", "tags"}
     out = df.select(
-        *[x for x in df.columns if x != column],
+        *[x for x in df.columns if x != column and x not in made],
         g(1).alias("nick"),
         g(2).alias("user"),
         g(3).alias("host"),
@@ -123,8 +124,9 @@ def decode_xmpp_stanzas(df: DataFrame, column: str = "stanza") -> DataFrame:
     c = F.col(column)
     ok = c.rlike(_XMPP_RX)
     g = lambda i: F.nullif(F.regexp_extract(c, _XMPP_RX, i), F.lit(""))
+    made = {"xmpp_from", "xmpp_to", "xmpp_type", "message", "tags"}
     return df.select(
-        *[x for x in df.columns if x != column],
+        *[x for x in df.columns if x != column and x not in made],
         _xml_unescape(g(1)).alias("xmpp_from"),
         _xml_unescape(g(2)).alias("xmpp_to"),
         g(3).alias("xmpp_type"),
@@ -175,8 +177,9 @@ def decode_rfc822(df: DataFrame, column: str = "rfc822") -> DataFrame:
     hdr = lambda name: F.nullif(
         F.regexp_extract(block, rf"(?:^|\r\n){name}: ([^\r\n]*)", 1), F.lit("")
     )
+    made = {"mail_from", "mail_to", "subject", "message", "tags"}
     return df.select(
-        *[x for x in df.columns if x != column],
+        *[x for x in df.columns if x != column and x not in made],
         hdr("From").alias("mail_from"),
         hdr("To").alias("mail_to"),
         hdr("Subject").alias("subject"),
@@ -210,8 +213,10 @@ def decode_twitter_statuses(df: DataFrame, column: str = "status_json") -> DataF
     all JVM, map-only."""
     s = F.from_json(F.col(column), TWITTER_STATUS_SCHEMA)
     ok = s.isNotNull() & s["text"].isNotNull()
+    made = {"message", "user", "client", "retweeted", "in_reply_to",
+            "hashtags", "mentions", "urls", "tags"}
     return df.select(
-        *[x for x in df.columns if x != column],
+        *[x for x in df.columns if x != column and x not in made],
         s["text"].alias("message"),
         s["user"]["screen_name"].alias("user"),
         s["source"].alias("client"),
