@@ -131,6 +131,8 @@ HEADLINE = [
     "twitter_intake",
     "sink_hipchat",
     "sink_juggernaut",
+    "bpe_train_merges",
+    "bpe_tokenize_docs",
 ]
 
 

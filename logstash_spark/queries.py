@@ -4601,3 +4601,113 @@ def sink_juggernaut_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return juggernaut_frames(
         p, channels=("logs-%{lang}", "all"), message_format="%{verb} %{url}"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (functions/bpe.py) — train + apply, oracle via unrolled
+# merge-round CTEs (same trick as the IVF Lloyd-round oracle)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_rounds_sql(n: int, relation: str = "documents", source: str = "text") -> str:
+    """WITH-prefix SQL computing BPE merge rounds m1..m{n} (a, b, f) plus
+    intermediate vocab tables w1..w{n} — the training loop unrolled, one
+    CTE trio per round, mirroring bpe_train exactly (two-pass replace,
+    freq DESC / a / b tie-break)."""
+    parts = [
+        f"""w1 AS (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS syms,
+         COUNT(*) AS freq
+  FROM (SELECT unnest(string_split_regex({source}, '\\s+')) AS word FROM {relation})
+  WHERE word <> '' GROUP BY word)"""
+    ]
+    for r in range(1, n + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT s.l[t.i] AS a, s.l[t.i + 1] AS b, SUM(s.freq) AS f
+  FROM (SELECT string_split(trim(syms), ' ') AS l, freq FROM w{r}) s,
+       unnest(generate_series(1, len(s.l) - 1)) AS t(i)
+  GROUP BY a, b),
+m{r} AS (SELECT a, b, f FROM p{r} ORDER BY f DESC, a, b LIMIT 1)"""
+        )
+        if r < n:
+            parts.append(
+                f"""w{r + 1} AS (
+  SELECT replace(replace(w.syms, ' ' || m.a || ' ' || m.b || ' ',
+                                 ' ' || m.a || m.b || ' '),
+                 ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ') AS syms,
+         w.freq
+  FROM w{r} w, m{r} m)"""
+            )
+    return "WITH " + ",\n".join(parts)
+
+
+_BPE_TRAIN_N = 8
+
+
+@q(
+    "bpe_train_merges",
+    _bpe_rounds_sql(_BPE_TRAIN_N) + "\nSELECT * FROM (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rank, a, b, CAST(f AS BIGINT) AS freq FROM m{r}"
+        for r in range(1, _BPE_TRAIN_N + 1)
+    )
+    + "\n)",
+)
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training (Sennrich et al. 2016) over the documents corpus: the
+    first 8 learned merges with their pair frequencies. Engine trains
+    iteratively (one vocab-table aggregate + 1-row argmax collect per
+    round — functions/bpe.py bpe_train); the oracle unrolls the identical
+    8 rounds as CTEs. Any divergence in word counting, pair counting,
+    tie-breaking, or merge application flips the value hash."""
+    from logstash_spark.functions.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=_BPE_TRAIN_N)
+    return spark.createDataFrame(
+        [(i + 1, a, b, f) for i, (a, b, f) in enumerate(merges)],
+        "rank int, a string, b string, freq bigint",
+    )
+
+
+_BPE_TOK_N = 6
+
+
+def _bpe_apply_sql(n: int) -> str:
+    expr = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '</w> '"
+    for r in range(1, n + 1):
+        pat = f"' ' || m{r}.a || ' ' || m{r}.b || ' '"
+        rep = f"' ' || m{r}.a || m{r}.b || ' '"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    froms = ", ".join(f"m{r}" for r in range(1, n + 1))
+    return (
+        _bpe_rounds_sql(n)
+        + f""",
+tok AS (
+  SELECT d.doc_id,
+         array_to_string(list_transform(
+           list_filter(string_split_regex(d.text, '\\s+'), w -> w <> ''),
+           w -> trim({expr})), ' ') AS tokens
+  FROM documents d, {froms})
+SELECT doc_id, tokens,
+       CAST(CASE WHEN tokens = '' THEN 0
+                 ELSE len(string_split(tokens, ' ')) END AS INT) AS n_tokens
+FROM tok"""
+    )
+
+
+@q("bpe_tokenize_docs", _bpe_apply_sql(_BPE_TOK_N))
+def bpe_tokenize_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply: train 6 merges on the documents corpus, then tokenize
+    every document with the learned table (expr backend — a JVM replace
+    chain inside a transform lambda, map-only). Output: per-doc subword
+    token string + token count, the unit the pack/sample/budget operators
+    consume. The arrow backend (constant plan size for production merge
+    tables) is pinned bit-identical to this path in tests."""
+    from logstash_spark.functions.bpe import bpe_tokenize, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=_BPE_TOK_N)
+    out = bpe_tokenize(d, merges, "text", backend="expr")
+    return out.select("doc_id", "tokens", "n_tokens")
