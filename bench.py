@@ -133,6 +133,7 @@ HEADLINE = [
     "sink_juggernaut",
     "bpe_train_merges",
     "bpe_tokenize_docs",
+    "bucketed_join_pages",
 ]
 
 

@@ -99,3 +99,53 @@ def salted_agg(
         refold = "sum" if how in ("count", "sum") else how
         final_exprs.append(getattr(F, refold)(f"_p_{col}").alias(f"{how}_{col}"))
     return partial.groupBy(key).agg(*final_exprs)
+
+
+# ---------------------------------------------------------------------------
+# physical bucketing — shuffle-free co-located joins
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    key: str = "url",
+    buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> str:
+    """Persist ``df`` as a BUCKETED table: files are hash-clustered on
+    ``key`` into ``buckets`` buckets (and sorted within each when
+    ``sort``), so any later join/aggregate keyed on ``key`` between
+    tables sharing the layout runs WITHOUT a shuffle — Spark's scan
+    reports the bucketing as satisfied output partitioning and the
+    Exchange is elided (pinned in test_partitioning).
+
+    This is the at-rest counterpart of :func:`bucket_pages` (the
+    in-flight repartition): the north rule's url-hash bucketing made
+    durable, the standard trick for a corpus that is joined on the same
+    key every day (dedup against yesterday, enrichment backfills,
+    incremental decontamination). Pay one shuffle at write time, skip it
+    on every subsequent read. On Iceberg the same layout is
+    ``PARTITIONED BY (bucket(B, url))``; this writer is the
+    session-catalog (parquet) form.
+    """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # the session catalog is in-memory: a table written by a PREVIOUS
+        # process is gone from the catalog but its warehouse directory
+        # remains, and saveAsTable refuses the orphaned location — scrub it
+        import os
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        loc = spark.conf.get("spark.sql.warehouse.dir")
+        if loc.startswith("file:"):
+            loc = loc[len("file:"):]
+        shutil.rmtree(os.path.join(loc, table.lower()), ignore_errors=True)
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+    return table

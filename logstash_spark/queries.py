@@ -4711,3 +4711,35 @@ def bpe_tokenize_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(d, "text", num_merges=_BPE_TOK_N)
     out = bpe_tokenize(d, merges, "text", backend="expr")
     return out.select("doc_id", "tokens", "n_tokens")
+
+
+@q(
+    "bucketed_join_pages",
+    f"""{_PAGES_CTE}
+SELECT l.url, l.lang, l.bytes, r.response, r.clientip
+FROM (SELECT url, lang, bytes FROM pages) l
+JOIN (SELECT url, response, clientip FROM pages) r ON l.url = r.url""",
+)
+def bucketed_join_pages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via PHYSICAL bucketing
+    (partitioning.write_bucketed): two projections of the corpus persist
+    bucketed+sorted on url-hash (the north rule's layout made durable),
+    then join on url with NO Exchange on either side — the scan's bucket
+    spec satisfies the join's required partitioning, so the daily
+    join-on-url workloads (incremental dedup, enrichment backfill) skip
+    the corpus shuffle entirely. Exchange absence is pinned in
+    test_partitioning; the audit waives the (exchange-free) SMJ here
+    because a keyed merge join WITHOUT a shuffle is exactly the 100 TB
+    plan. Value oracle: the join is 1:1 on url, so the expected result
+    is a plain projection."""
+    from logstash_spark.partitioning import write_bucketed
+
+    p = _pages(spark, sf_dir)
+    write_bucketed(p.select("url", "lang", "bytes"),
+                   "bjp_left", key="url", buckets=8)
+    write_bucketed(p.select("url", "response", "clientip"),
+                   "bjp_right", key="url", buckets=8)
+    left, right = spark.table("bjp_left"), spark.table("bjp_right")
+    return left.join(right, "url").select(
+        "url", "lang", "bytes", "response", "clientip"
+    )

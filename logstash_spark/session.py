@@ -43,6 +43,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # bucketed-table writes (partitioning.write_bucketed) land outside the
+    # repo; in-memory session catalog, parquet bucket files here
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/logstash_spark_warehouse"
+    ),
 }
 
 

@@ -42,3 +42,59 @@ def test_salted_agg_matches_plain_agg(spark):
         for r in p.groupBy("host").agg(F.sum("one").alias("s"), F.count("url").alias("c")).collect()
     }
     assert got == plain
+
+
+class TestBucketedWrites:
+    def test_bucketed_join_no_exchange(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from logstash_spark.partitioning import write_bucketed
+
+        df = spark.range(1000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url"),
+            (F.col("id") % 7).alias("v"),
+        )
+        write_bucketed(df, "tb_left", key="url", buckets=4)
+        write_bucketed(df.withColumnRenamed("v", "w"), "tb_right", key="url", buckets=4)
+        # disable broadcast so the plan shows the big-x-big shape this
+        # feature exists for (at bench scale AQE would broadcast instead)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("tb_left").join(spark.table("tb_right"), "url")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # the whole point: co-located bucket scans, NO shuffle at all
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            assert joined.count() == 1000
+
+            # control: the same join over plain parquet DOES shuffle
+            p1, p2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+            df.write.parquet(p1)
+            df.withColumnRenamed("v", "w").write.parquet(p2)
+            plain = spark.read.parquet(p1).join(spark.read.parquet(p2), "url")
+            plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in plain_plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_bucketed_values_match_plain_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from logstash_spark.partitioning import write_bucketed
+
+        df = spark.range(200).select(
+            F.concat(F.lit("k"), (F.col("id") % 50)).alias("url"),
+            F.col("id").alias("v"),
+        )
+        write_bucketed(df, "tb_a", key="url", buckets=4)
+        write_bucketed(df.select("url", F.col("v").alias("w")), "tb_b", key="url", buckets=4)
+        got = (
+            spark.table("tb_a").join(spark.table("tb_b"), "url")
+            .groupBy().agg(F.sum(F.col("v") * F.col("w")).alias("s")).collect()[0].s
+        )
+        want = (
+            df.join(df.select("url", F.col("v").alias("w")), "url")
+            .groupBy().agg(F.sum(F.col("v") * F.col("w")).alias("s")).collect()[0].s
+        )
+        assert got == want

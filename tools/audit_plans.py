@@ -40,6 +40,10 @@ WAIVERS: dict[str, set[str]] = {
     # corpus-scale, so a keyed shuffle join is the intended 100 TB plan (AQE
     # broadcasts it at bench scale when small)
     "semdedup": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
+    # EXCHANGE-FREE merge join over physically bucketed tables — the whole
+    # point of the query; no shuffle occurs (Exchange absence pinned in
+    # test_partitioning::test_bucketed_join_no_exchange)
+    "bucketed_join_pages": {"SortMergeJoin"},
 }
 
 BAD = ("SortMergeJoin", "BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
