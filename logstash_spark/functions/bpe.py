@@ -152,9 +152,14 @@ def bpe_tokenize(
                 c = _merge_once(c, a, b)
             return F.trim(c)
 
+        # coalesce: NULL text must tokenize like empty text (tokens='',
+        # n_tokens=0) so the two backends stay bit-identical
         toks = F.array_join(
             F.transform(
-                F.filter(F.split(F.col(source), r"\s+"), lambda w: w != ""),
+                F.filter(
+                    F.split(F.coalesce(F.col(source), F.lit("")), r"\s+"),
+                    lambda w: w != "",
+                ),
                 word_tokens,
             ),
             " ",

@@ -42,7 +42,6 @@ def _parse_gif(buf: bytes):
         if len(gct) < 3 * n:
             return None
         i += 3 * n
-    transparent = None
     while i < len(buf):
         b = buf[i]
         if b == 0x3B:  # trailer
@@ -52,10 +51,10 @@ def _parse_gif(buf: bytes):
                 return None
             label = buf[i + 1]
             i += 2
-            if label == 0xF9 and i < len(buf) and buf[i] >= 4:
-                # graphic control: flags byte bit0 = transparency on
-                if buf[i + 1] & 1:
-                    transparent = buf[i + 4]
+            # graphic-control (0xF9) transparency is deliberately NOT
+            # modeled: frames render their palette colors (the decode
+            # contract is the stored raster, not compositing) — the GCE
+            # rides through the generic sub-block skip below
             # skip sub-blocks
             while i < len(buf) and buf[i] != 0:
                 i += 1 + buf[i]

@@ -184,6 +184,10 @@ def _parse_jpeg(buf: bytes):
     while i + 4 <= len(buf):
         if buf[i] != 0xFF:
             return None
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them instead of reading one as a marker
+        while i + 4 <= len(buf) and buf[i + 1] == 0xFF:
+            i += 1
         marker = buf[i + 1]
         i += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -701,10 +701,12 @@ def semdedup(
         # one refinement round with a fresh hash seed. `assigned` feeds both
         # rounds, so persist it once.
         assigned = _persist_sim(assigned)
-        round1 = _split_by_cluster(assigned, max_cluster_rows, seed=1).groupBy(
-            "list_id", "_sub"
-        ).applyInPandas(_cluster_dups, out_schema)
+        # one nsub aggregate serves both the round-1 split and the join
+        # (recomputing it per use cost two redundant corpus-wide scans)
         nsub = _cluster_nsub(assigned, max_cluster_rows)
+        round1 = _split_by_cluster(
+            assigned, max_cluster_rows, seed=1, nsub=nsub
+        ).groupBy("list_id", "_sub").applyInPandas(_cluster_dups, out_schema)
         round1 = round1.join(F.broadcast(nsub), "list_id")
         intact = round1.filter(F.col("_nsub") == 1).select("id", "list_id", "is_dup")
         split_dup = (
@@ -761,14 +763,19 @@ def _cluster_nsub(assigned: DataFrame, max_rows: int) -> DataFrame:
     )
 
 
-def _split_by_cluster(assigned: DataFrame, max_rows: int, *, seed: int) -> DataFrame:
+def _split_by_cluster(
+    assigned: DataFrame, max_rows: int, *, seed: int, nsub: DataFrame | None = None
+) -> DataFrame:
     """Tag every row of an oversized cluster with a hash sub-bucket id so the
     downstream applyInPandas task holds ~max_rows vectors regardless of how
     adversarial the embedding distribution is. Hash balance is statistical,
     not exact (sub-buckets concentrate near max_rows w.h.p.), which is the
     point: content-blind, so no corpus can concentrate one task. Small
-    clusters (_nsub == 1) get _sub 0 and pass through untouched."""
-    nsub = _cluster_nsub(assigned, max_rows)
+    clusters (_nsub == 1) get _sub 0 and pass through untouched. Pass a
+    precomputed ``nsub`` when the caller also needs it (avoids a second
+    corpus-wide aggregate)."""
+    if nsub is None:
+        nsub = _cluster_nsub(assigned, max_rows)
     return assigned.join(F.broadcast(nsub), "list_id").withColumn(
         "_sub", F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.col("_nsub")).cast("int")
     )

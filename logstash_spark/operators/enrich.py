@@ -334,15 +334,21 @@ def useragent(
     dev_tab = (tables or {}).get("device", DEVICE_PARSERS)
 
     src = F.col(source).cast("string")
-    # match indexes as real columns — see _uap_dispatch for why
-    df = df.withColumn("_uai", _uap_idx(src, ua_tab))
-    df = df.withColumn("_osi", _uap_idx(src, os_tab))
-    df = df.withColumn("_devi", _uap_idx(src, dev_tab))
-    name_expr, ver_expr = _uap_dispatch(src, F.col("_uai"), ua_tab)
+    # match indexes as real columns — see _uap_dispatch for why. Scratch
+    # names are uniquified against the frame so a pre-existing user column
+    # called _uai/_osi/_devi is never clobbered-then-dropped.
+    sfx = ""
+    while any(f"_{n}{sfx}" in df.columns for n in ("uai", "osi", "devi")):
+        sfx += "x"
+    uai, osi, devi = f"_uai{sfx}", f"_osi{sfx}", f"_devi{sfx}"
+    df = df.withColumn(uai, _uap_idx(src, ua_tab))
+    df = df.withColumn(osi, _uap_idx(src, os_tab))
+    df = df.withColumn(devi, _uap_idx(src, dev_tab))
+    name_expr, ver_expr = _uap_dispatch(src, F.col(uai), ua_tab)
     os_expr, os_ver_expr = _uap_dispatch(
-        src, F.col("_osi"), os_tab, version_norm=True
+        src, F.col(osi), os_tab, version_norm=True
     )
-    dev_expr, _ = _uap_dispatch(src, F.col("_devi"), dev_tab)
+    dev_expr, _ = _uap_dispatch(src, F.col(devi), dev_tab)
 
     df = df.withColumn(target_prefix + "name", name_expr)
     df = df.withColumn(target_prefix + "version", ver_expr)
@@ -355,4 +361,4 @@ def useragent(
     df = df.withColumn(target_prefix + "os", os_expr)
     df = df.withColumn(target_prefix + "os_version", os_ver_expr)
     df = df.withColumn(target_prefix + "device", dev_expr)
-    return df.drop("_uai", "_osi", "_devi")
+    return df.drop(uai, osi, devi)

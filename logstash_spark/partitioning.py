@@ -143,7 +143,13 @@ def write_bucketed(
         loc = spark.conf.get("spark.sql.warehouse.dir")
         if loc.startswith("file:"):
             loc = loc[len("file:"):]
-        shutil.rmtree(os.path.join(loc, table.lower()), ignore_errors=True)
+        if not ("://" in loc):  # local warehouse only; remote FS has no orphans to rmtree
+            parts = table.lower().split(".")
+            # managed layout: <warehouse>/<db>.db/<table>; default db at root
+            rel = parts[-1] if len(parts) == 1 or parts[0] == "default" else (
+                f"{parts[-2]}.db/{parts[-1]}"
+            )
+            shutil.rmtree(os.path.join(loc, rel), ignore_errors=True)
     w = df.write.mode(mode).format("parquet").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -4512,7 +4512,7 @@ decoded AS (
          CAST(NULL AS VARCHAR) AS tags_json
   FROM pages
   UNION ALL
-  SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+  SELECT '{{this is not json', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
          to_json(['_twitterparsefailure'])
   FROM range(3))
 SELECT * FROM decoded""",

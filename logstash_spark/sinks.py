@@ -324,6 +324,21 @@ class PipeSink(Sink):
             import subprocess as _sp
 
             procs: dict[str, _sp.Popen] = {}
+
+            def cleanup(raise_failures: bool) -> None:
+                failed = []
+                for c, p in procs.items():
+                    try:
+                        if p.stdin is not None:
+                            p.stdin.close()
+                        if p.wait(timeout=60) != 0:
+                            failed.append((c, p.returncode))
+                    except Exception as e:
+                        p.kill()
+                        failed.append((c, repr(e)))
+                if failed and raise_failures:
+                    raise RuntimeError(f"pipe output: commands failed: {failed}")
+
             try:
                 for r in rows:
                     if r["_cmd"] is None or r["_line"] is None:
@@ -343,15 +358,14 @@ class PipeSink(Sink):
                         procs[r["_cmd"]] = p
                     assert p.stdin is not None
                     p.stdin.write(r["_line"].encode("utf-8") + b"\n")
-            finally:
-                failed = []
-                for c, p in procs.items():
-                    if p.stdin is not None:
-                        p.stdin.close()
-                    if p.wait(timeout=60) != 0:
-                        failed.append((c, p.returncode))
-                if failed:
-                    raise RuntimeError(f"pipe output: commands failed: {failed}")
+            except BaseException:
+                # best-effort cleanup; never mask the in-flight error —
+                # per-process isolation so one hung command can't skip EOF
+                # for the others (leaked blocked readers)
+                cleanup(raise_failures=False)
+                raise
+            else:
+                cleanup(raise_failures=True)
 
         out.foreachPartition(feed)
         return self.command
@@ -851,9 +865,12 @@ def juggernaut_frames(
         json_string_col(sprintf_col(message_format, df))
         if message_format else event_to_json(df)
     )
+    # each channel name is JSON-escaped+quoted (a sprintf'd field can carry
+    # quotes/backslashes); a null channel renders as JSON null — never
+    # silently dropped (json_string_col yields 'null', which concat_ws keeps)
     payload = F.concat(
         F.lit('{"channels":['),
-        F.concat_ws(",", *[F.concat(F.lit('"'), c, F.lit('"')) for c in chans]),
+        F.concat_ws(",", *[json_string_col(c) for c in chans]),
         F.lit('],"data":'),
         data,
         F.lit("}"),

@@ -72,14 +72,25 @@ def decode_irc_lines(df: DataFrame, column: str = "line") -> DataFrame:
 
 
 def _xml_escape(c: Column) -> Column:
-    # order matters: '&' first or the entity ampersands double-escape
-    for a, b in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")]:
+    # order matters: '&' first or the entity ampersands double-escape.
+    # CR/LF go to numeric character references so a stanza always stays ONE
+    # physical line (the sink's line-framed capture) — multiline log bodies
+    # would otherwise split across lines and fail the input's decode.
+    for a, b in [
+        ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"),
+        ("\r", "&#13;"), ("\n", "&#10;"),
+    ]:
         c = F.replace(c, F.lit(a), F.lit(b))
     return c
 
 
 def _xml_unescape(c: Column) -> Column:
-    for a, b in [("&quot;", '"'), ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")]:
+    # numeric refs first: any literal '&#10;' in source text was escaped to
+    # '&amp;#10;' on the way in, so these sequences only denote real CR/LF
+    for a, b in [
+        ("&#10;", "\n"), ("&#13;", "\r"),
+        ("&quot;", '"'), ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&"),
+    ]:
         c = F.replace(c, F.lit(a), F.lit(b))
     return c
 
@@ -217,7 +228,9 @@ def decode_twitter_statuses(df: DataFrame, column: str = "status_json") -> DataF
             "hashtags", "mentions", "urls", "tags"}
     return df.select(
         *[x for x in df.columns if x != column and x not in made],
-        s["text"].alias("message"),
+        # keep-and-flag like the sibling decoders: an unparseable document
+        # keeps its raw JSON in message so the failure is debuggable
+        F.when(ok, s["text"]).otherwise(F.col(column)).alias("message"),
         s["user"]["screen_name"].alias("user"),
         s["source"].alias("client"),
         s["retweeted"].alias("retweeted"),

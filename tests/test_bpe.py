@@ -73,8 +73,10 @@ class TestApply:
         from logstash_spark.functions.bpe import bpe_tokenize
 
         df = spark.createDataFrame([("",), (None,), ("  ",)], "text string")
-        got = bpe_tokenize(df, [("a", "b", 2)], backend="arrow").collect()
-        assert [r.n_tokens for r in got] == [0, 0, 0]
+        for backend in ("arrow", "expr"):
+            got = bpe_tokenize(df, [("a", "b", 2)], backend=backend).collect()
+            assert [r.n_tokens for r in got] == [0, 0, 0], backend
+            assert [r.tokens for r in got] == ["", "", ""], backend
 
     def test_no_merges_yields_chars(self, spark):
         from logstash_spark.functions.bpe import bpe_tokenize

@@ -363,3 +363,50 @@ class TestConfBindings:
 
         with pytest.raises(ConfCompileError, match="eventlog"):
             bind_input(spark, PluginNode("eventlog", {}))
+
+
+class TestReviewFixes:
+    def test_xmpp_multiline_body_roundtrip_one_line(self, spark, tmp_path):
+        # CR/LF go to numeric character refs so a stanza stays ONE text line
+        from logstash_spark.sinks import XmppSink
+        from logstash_spark.sources.chat import decode_xmpp_stanzas
+
+        nasty = "line1\nline2\r\nline3 & <end>"
+        df = spark.createDataFrame([(nasty,)], "message string")
+        path = str(tmp_path / "xm")
+        XmppSink(path, users=("a@b",)).write(df)
+        lines = spark.read.text(path).collect()
+        assert len(lines) == 1  # framing survived the newlines
+        out = decode_xmpp_stanzas(
+            spark.read.text(path).withColumnRenamed("value", "stanza")
+        ).collect()[0]
+        assert out.message == nasty
+        assert out.tags is None
+
+    def test_juggernaut_channel_escaping_and_null(self, spark, tmp_path):
+        import json
+
+        from logstash_spark.sinks import JuggernautSink
+
+        df = spark.createDataFrame(
+            [('he said "x"', None)], "room string, missing string"
+        )
+        path = str(tmp_path / "jg")
+        JuggernautSink(
+            path, channels=("c-%{room}", "n-%{missing}"), message_format="m"
+        ).write(df)
+        env = json.loads(spark.read.parquet(path).collect()[0].value)
+        # quotes in a sprintf'd field are JSON-escaped (envelope stays
+        # parseable); a null field keeps its token verbatim (sprintf
+        # reference semantics), so channels are never dropped
+        assert env["channels"] == ['c-he said "x"', "n-%{missing}"]
+
+    def test_twitter_failure_keeps_raw(self, spark):
+        from logstash_spark.sources.chat import decode_twitter_statuses
+
+        raw = "{definitely not json"
+        out = decode_twitter_statuses(
+            _lines(spark, [raw], col="status_json")
+        ).collect()[0]
+        assert out.tags == ["_twitterparsefailure"]
+        assert out.message == raw

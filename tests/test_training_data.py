@@ -1766,3 +1766,17 @@ def test_decode_media_sniffs_gif(spark):
 
     out = media_decode_features(synthetic_media_gif(spark, 18)).collect()
     assert len(out) == 18 and all(r["fmt"] == "gif" for r in out)
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    from logstash_spark.functions.jpegcodec import encode_jpeg, parse_jpeg
+
+    buf = encode_jpeg(16, 16, bytes([120, 60, 200]) * 256, subsampling="444")
+    assert parse_jpeg(buf) is not None
+    # inject fill bytes before the first post-SOI marker
+    padded = buf[:2] + b"\xff\xff\xff" + buf[2:]
+    got = parse_jpeg(padded)
+    assert got is not None
+    assert got[:2] == (16, 16)
+    assert got[2] == parse_jpeg(buf)[2]
