@@ -134,6 +134,7 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_tokenize_docs",
     "bucketed_join_pages",
+    "bpe_pack_pipeline",
 ]
 
 

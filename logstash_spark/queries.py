@@ -4743,3 +4743,63 @@ def bucketed_join_pages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(right, "url").select(
         "url", "lang", "bytes", "response", "clientip"
     )
+
+
+def _bpe_tokens_sql_expr(n: int, text: str = "d.text") -> str:
+    """The tokens-string SQL expression for a document column, applying
+    merges m1..m{n} (each CTE in scope via cross join) — shared by the
+    apply oracle and composed pipelines."""
+    expr = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '</w> '"
+    for r in range(1, n + 1):
+        pat = f"' ' || m{r}.a || ' ' || m{r}.b || ' '"
+        rep = f"' ' || m{r}.a || m{r}.b || ' '"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return (
+        f"array_to_string(list_transform("
+        f"list_filter(string_split_regex({text}, '\\s+'), w -> w <> ''), "
+        f"w -> trim({expr})), ' ')"
+    )
+
+
+_BPE_PACK_N = 4
+
+
+@q(
+    "bpe_pack_pipeline",
+    _bpe_rounds_sql(_BPE_PACK_N)
+    + f""",
+bt AS (
+  SELECT d.doc_id, {_bpe_tokens_sql_expr(_BPE_PACK_N)} AS tokens
+  FROM documents d, {", ".join(f"m{r}" for r in range(1, _BPE_PACK_N + 1))}
+), counted AS (
+  SELECT doc_id,
+         CASE WHEN tokens = '' THEN 0
+              ELSE len(string_split(tokens, ' ')) END AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS skey
+  FROM bt
+), o AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM counted
+)
+SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       CAST(floor(start_off / 256.0) AS BIGINT) AS seq_first,
+       CAST(floor((start_off + n_tokens - 1) / 256.0) AS BIGINT) AS seq_last
+FROM o""",
+)
+def bpe_pack_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer->packer composition: train 4 BPE merges on
+    the corpus, tokenize every document (REAL subword counts, not
+    whitespace proxies), then sequence-pack the token stream into
+    256-token training sequences. The shapes compose without a shuffle
+    between them: tokenize is map-only, packing's sharded prefix-sum is
+    the same two-phase plan as the standalone sequence_pack. The oracle
+    chains the unrolled training CTEs into the packing window."""
+    from logstash_spark.functions.bpe import bpe_tokenize, bpe_train
+    from logstash_spark.functions.pack import sequence_pack
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=_BPE_PACK_N)
+    t = bpe_tokenize(d, merges, "text", backend="expr")
+    return sequence_pack(t, capacity=256)
