@@ -179,3 +179,36 @@ def test_dsir_hostile(hostile):
     rows = dsir_weights(df).collect()
     assert 0 < len(rows) <= N
     assert all(r["logw_e6"] is not None for r in rows)
+
+
+def test_chat_decoders_hostile(hostile):
+    from logstash_spark.sources.chat import (
+        decode_irc_lines,
+        decode_rfc822,
+        decode_twitter_statuses,
+        decode_xmpp_stanzas,
+    )
+
+    for dec, col, tag in [
+        (decode_irc_lines, "line", "_ircparsefailure"),
+        (decode_xmpp_stanzas, "stanza", "_xmppparsefailure"),
+        (decode_rfc822, "rfc822", "_mailparsefailure"),
+        (decode_twitter_statuses, "status_json", "_twitterparsefailure"),
+    ]:
+        rows = dec(hostile.withColumnRenamed("s", col), col).collect()
+        assert len(rows) == N
+        # every non-null garbage row is flagged, never dropped or thrown
+        for r in rows:
+            if r["message"] is not None:
+                assert r["tags"] in ([tag], None)
+
+
+def test_bpe_hostile(hostile):
+    from logstash_spark.functions.bpe import bpe_tokenize, bpe_train
+
+    corpus = hostile.withColumnRenamed("s", "text")
+    merges = bpe_train(corpus, num_merges=3)
+    for backend in ("expr", "arrow"):
+        rows = bpe_tokenize(corpus, merges, backend=backend).collect()
+        assert len(rows) == N
+        assert all(r.n_tokens is not None and r.n_tokens >= 0 for r in rows)
