@@ -177,8 +177,10 @@ def bpe_tokenize(
 
         from pyspark.sql import types as T
 
+        # pre-existing tokens/n_tokens columns are REPLACED (the expr
+        # backend's withColumn semantics) — never duplicated in the schema
         schema = T.StructType(
-            list(df.schema.fields)
+            [f for f in df.schema.fields if f.name not in ("tokens", "n_tokens")]
             + [T.StructField("tokens", T.StringType()), T.StructField("n_tokens", T.IntegerType())]
         )
         pairs = [(f" {a} {b} ", f" {a}{b} ") for a, b, _ in merges]
@@ -203,7 +205,7 @@ def bpe_tokenize(
                 ]
                 pdf["tokens"] = toks
                 pdf["n_tokens"] = [(t.count(" ") + 1) if t else 0 for t in toks]
-                yield pdf
+                yield pdf[[f.name for f in schema.fields]]
 
         return df.mapInPandas(run, schema=schema)
 

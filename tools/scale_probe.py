@@ -89,6 +89,20 @@ def _warc_roundtrip(docs):
     return decode_warc(files)
 
 
+def _bucketed_setup(spark, docs):
+    """Write both join sides bucketed (pay-once shuffle) AND as plain
+    parquet (the control the shuffle-join probe reads)."""
+    from logstash_spark.partitioning import write_bucketed
+
+    left = docs.select("doc_id", "n_tokens")
+    right = docs.select("doc_id", F.length("text").alias("len"))
+    write_bucketed(left, "probe_bl", key="doc_id", buckets=32)
+    write_bucketed(right, "probe_br", key="doc_id", buckets=32)
+    left.write.mode("overwrite").parquet("/tmp/probe_pl")
+    right.write.mode("overwrite").parquet("/tmp/probe_pr")
+    return spark.range(1)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 1_000_000
     spark = get_spark("scale_probe")
@@ -98,6 +112,7 @@ def main() -> None:
     docs.count()
 
     from logstash_spark.functions import dedup as dd
+    from logstash_spark.functions.bpe import bpe_tokenize, bpe_train
     from logstash_spark.functions.pack import sequence_pack
     from logstash_spark.functions.stats import unigram_score
     from logstash_spark.functions.text import (
@@ -155,6 +170,22 @@ def main() -> None:
         # DSIR: target = every 17th doc (same shape as the gate query);
         # production hash family
         "dsir_select": _dsir,
+        # production BPE apply: train on a 10k sample (the documented
+        # sampling path), tokenize ALL docs via the arrow backend
+        "bpe_apply_arrow": lambda: bpe_tokenize(
+            docs, bpe_train(docs.limit(10_000), num_merges=32), backend="arrow"
+        ),
+        # co-located join: pay-once bucketed write of both sides, then the
+        # exchange-free join read vs the plain shuffle-join control
+        "bucketed_join_setup": lambda: _bucketed_setup(spark, docs),
+        # merge hint on BOTH: same join algorithm, the only variable is
+        # the at-rest co-location (broadcast would mask the comparison)
+        "bucketed_join_read": lambda: spark.table("probe_bl").hint("merge")
+        .join(spark.table("probe_br"), "doc_id")
+        .groupBy().agg(F.sum("n_tokens"), F.sum("len")),
+        "shuffle_join_read": lambda: spark.read.parquet("/tmp/probe_pl").hint("merge")
+        .join(spark.read.parquet("/tmp/probe_pr"), "doc_id")
+        .groupBy().agg(F.sum("n_tokens"), F.sum("len")),
         # q8 ANN: 100 broadcast queries against the full vec table
         "ann_q8_topk": lambda: sim.q8_topk(
             vecs,
