@@ -135,6 +135,7 @@ HEADLINE = [
     "bpe_tokenize_docs",
     "bucketed_join_pages",
     "bpe_pack_pipeline",
+    "bigram_score",
 ]
 
 

@@ -269,3 +269,86 @@ def sessionize(
     brk = F.when(prev.isNull() | ((tsec - prev) >= gap_sec), 1).otherwise(0)
     cum = W.partitionBy(key_col).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     return df.withColumn(out, F.sum(brk).over(cum).cast("int"))
+
+
+def bigram_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bigram LM quality score with STUPID BACKOFF (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the web-scale LM
+    scoring rule built for exactly this corpus-filtering job): each token
+    position scores against P(w | w_prev) from the corpus's own bigram
+    table, backing off to 0.4 * P(w) when the bigram is unseen, to a
+    constant floor when the token itself is rare/unseen.
+
+    Integer-space rarities (the unigram_score trick — no float log-sums,
+    so per-doc totals are order-independent and bit-identical
+    cross-engine): a known bigram contributes
+    ``floor(scale * cnt(prev) / cnt(prev, w))`` (inverse conditional
+    probability — frequent continuations score small), a backoff token
+    ``floor(5 * scale / (2 * cnt(w)))`` (the 0.4 factor as exact
+    rational 5/2), and a rare/unseen token ``floor(5 * scale / 2)``.
+    Position 0 conditions on the ``<s>`` start symbol (one per document,
+    so cnt(<s>) = corpus document count).
+
+    Returns ``(id_col, n_tokens, n_backoff, n_oov, rarity_sum,
+    rarity_avg)``. High rarity_avg = improbable under the corpus LM —
+    the perplexity axis quality filters threshold on, one order sharper
+    than the unigram proxy (a shuffled-word document keeps its unigram
+    score but explodes here).
+
+    Scale shape: two counting shuffles (unigram + bigram tables, both
+    map-side-combined so Zipf heads never concentrate), one
+    bigram-keyed join whose dim side arrives pre-aggregated (AQE picks
+    broadcast vs shuffle), one id-keyed agg. Bigrams are formed
+    per-document with arrays_zip inside the scan stage — no window, no
+    per-position shuffle."""
+    toks_arr = F.split(normalize_text(F.col(text_col)), " ")
+    # prepend the start symbol; zip (prev, tok) pairs inside the row
+    prevs = F.concat(F.array(F.lit("<s>")), F.slice(toks_arr, 1, F.array_size(toks_arr) - 1))
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.arrays_zip(prevs.alias("prev"), toks_arr.alias("tok"))).alias("p"),
+    ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+
+    uni = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("ucnt"))
+    # prev-counts include <s> (once per document) — derive from the pair
+    # table so cnt(<s>) is exact without a second corpus pass
+    pcnt = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("pcnt"))
+    bi = (
+        pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bcnt"))
+        .filter(F.col("bcnt") >= min_count)
+    )
+
+    j = (
+        pairs.join(bi, ["prev", "tok"], "left")
+        .join(pcnt, "prev", "left")
+        .join(uni.filter(F.col("ucnt") >= min_count), "tok", "left")
+    )
+    known_bi = F.col("bcnt").isNotNull()
+    known_uni = F.col("ucnt").isNotNull()
+    # pure BIGINT division (div) — scale * pcnt tops out ~1e13, far inside
+    # int64; no float quotient anywhere, so floors can never disagree
+    # across engines on a boundary
+    rarity = (
+        F.when(known_bi, F.expr(f"CAST({scale} AS BIGINT) * pcnt div bcnt"))
+        .when(known_uni, F.expr(f"CAST({5 * scale} AS BIGINT) div (2 * ucnt)"))
+        .otherwise(F.lit(5 * scale // 2).cast("long"))
+    )
+    scored = j.select(
+        id_col,
+        rarity.alias("rarity"),
+        (~known_bi & known_uni).cast("long").alias("backoff"),
+        (~known_uni).cast("long").alias("oov"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("backoff").alias("n_backoff"),
+        F.sum("oov").alias("n_oov"),
+        F.sum("rarity").alias("rarity_sum"),
+    ).withColumn("rarity_avg", F.expr("rarity_sum div n_tokens"))

@@ -4803,3 +4803,52 @@ def bpe_pack_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(d, "text", num_merges=_BPE_PACK_N)
     t = bpe_tokenize(d, merges, "text", backend="expr")
     return sequence_pack(t, capacity=256)
+
+
+@q(
+    "bigram_score",
+    f"""WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l FROM documents
+), pairs AS (
+  SELECT doc_id,
+         CASE WHEN t.i = 1 THEN '<s>' ELSE l[t.i - 1] END AS prev,
+         l[t.i] AS tok
+  FROM toks, unnest(generate_series(1, len(l))) AS t(i)
+), uni AS (
+  SELECT tok, COUNT(*) AS ucnt FROM pairs GROUP BY tok HAVING COUNT(*) >= 3
+), pc AS (
+  SELECT prev, COUNT(*) AS pcnt FROM pairs GROUP BY prev
+), bi AS (
+  SELECT prev, tok, COUNT(*) AS bcnt FROM pairs GROUP BY prev, tok
+  HAVING COUNT(*) >= 3
+), j AS (
+  SELECT p.doc_id,
+         CASE WHEN b.bcnt IS NOT NULL THEN (1000000 * c.pcnt) // b.bcnt
+              WHEN u.ucnt IS NOT NULL THEN 5000000 // (2 * u.ucnt)
+              ELSE 2500000 END AS rarity,
+         CASE WHEN b.bcnt IS NULL AND u.ucnt IS NOT NULL THEN 1 ELSE 0 END AS backoff,
+         CASE WHEN u.ucnt IS NULL THEN 1 ELSE 0 END AS oov
+  FROM pairs p
+  LEFT JOIN bi b USING (prev, tok)
+  LEFT JOIN pc c USING (prev)
+  LEFT JOIN uni u USING (tok)
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(rarity) AS BIGINT) AS rarity_sum,
+       CAST(SUM(rarity) // COUNT(*) AS BIGINT) AS rarity_avg
+FROM j GROUP BY doc_id""",
+)
+def bigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007) over the
+    documents corpus — the perplexity axis one order sharper than
+    unigram_score (a shuffled-word document keeps its unigram score but
+    explodes here). Pure BIGINT rarity arithmetic: no float quotient
+    exists anywhere, so engine and oracle can never disagree on a floor
+    boundary."""
+    from logstash_spark.functions.stats import bigram_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_score(d)

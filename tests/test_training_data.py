@@ -1780,3 +1780,35 @@ def test_jpeg_fill_bytes_before_markers_decode():
     assert got is not None
     assert got[:2] == (16, 16)
     assert got[2] == parse_jpeg(buf)[2]
+
+
+class TestBigramScore:
+    def test_shuffled_words_explode_vs_unigram(self, spark):
+        # same unigram distribution, broken bigrams -> higher bigram rarity
+        from pyspark.sql import functions as F
+
+        from logstash_spark.functions.stats import bigram_score, unigram_score
+
+        fluent = "the quick fox jumps over the lazy dog"
+        shuffled = "dog the over quick lazy jumps fox the"
+        rows = [(i, fluent) for i in range(20)] + [(100 + i, shuffled) for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        bs = {r.doc_id: r.rarity_avg for r in bigram_score(df).collect()}
+        us = {r.doc_id: r.rarity_avg for r in unigram_score(df, min_count=3).collect()}
+        # unigram can't tell them apart (identical token multiset)
+        assert us[0] == us[100]
+        # bigram LM can: the shuffled doc is far more surprising
+        assert bs[100] > bs[0] * 3
+
+    def test_backoff_and_oov_accounting(self, spark):
+        from logstash_spark.functions.stats import bigram_score
+
+        rows = [(i, "a b c d") for i in range(5)] + [(99, "a b zzz c")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in bigram_score(df).collect()}
+        # 'zzz' appears once -> below min_count -> OOV; 'zzz c' and
+        # 'b zzz' bigrams unseen -> the c lands on backoff-or-oov paths
+        assert got[99].n_oov == 1
+        assert got[99].n_backoff >= 1
+        assert got[0].n_oov == 0 and got[0].n_backoff == 0
+        assert got[99].rarity_avg > got[0].rarity_avg
