@@ -136,6 +136,7 @@ HEADLINE = [
     "bucketed_join_pages",
     "bpe_pack_pipeline",
     "bigram_score",
+    "c4_line_rules",
 ]
 
 

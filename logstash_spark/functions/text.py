@@ -428,3 +428,52 @@ def html_to_text(
     if isinstance(df.schema[source].dataType, T.BinaryType):
         col = F.decode(col, charset)
     return df.withColumn(target, html_to_text_col(col))
+
+
+def c4_line_rules(
+    df: DataFrame,
+    source: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2, public):
+    keep a line only if it (a) ends in terminal punctuation (. ! ? "),
+    (b) has at least ``min_words`` words, (c) does not contain
+    "javascript", "lorem ipsum", or a curly brace (code/boilerplate
+    markers — the published rule set). A document whose surviving lines
+    number fewer than ``min_lines`` is dropped entirely (kept here with
+    ``kept = false`` so the funnel accounts for it — no silent removal).
+
+    Returns ``(id_col, n_lines, n_kept_lines, kept, text_clean)`` where
+    ``text_clean`` is the newline-rejoin of surviving lines (empty when
+    the document is dropped).
+
+    Scale shape: pure per-row JVM — split / filter / array_join inside
+    the scan stage; no explode, no shuffle, composes with dedup and
+    quality gates downstream at zero exchange cost."""
+    lines = F.split(F.col(source), "\n")
+
+    def keep(l: Column) -> Column:
+        lt = F.trim(l)
+        low = F.lower(lt)
+        return (
+            lt.rlike(r'[.!?"]$')
+            & (F.size(F.split(lt, r"\s+")) >= min_words)
+            & ~low.contains("javascript")
+            & ~low.contains("lorem ipsum")
+            & ~lt.contains("{")
+            & ~lt.contains("}")
+        )
+
+    survivors = F.filter(lines, keep)
+    n_kept = F.array_size(survivors)
+    kept_doc = n_kept >= min_lines
+    return df.select(
+        F.col(id_col),
+        F.array_size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        kept_doc.alias("kept"),
+        F.when(kept_doc, F.array_join(survivors, "\n")).otherwise(F.lit("")).alias("text_clean"),
+    )

@@ -4852,3 +4852,49 @@ def bigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bigram_score(d)
+
+
+@q(
+    "c4_line_rules",
+    """WITH d AS (
+  SELECT doc_id,
+         replace(replace(text, ' the ', '.' || chr(10)), ' window ',
+                 ' javascript ') AS t
+  FROM documents
+), l AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ls FROM d
+), kept AS (
+  SELECT doc_id,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         list_filter(ls, x -> regexp_matches(trim(x), '[.!?"]$')
+           AND len(string_split_regex(trim(x), '\\s+')) >= 5
+           AND NOT contains(lower(trim(x)), 'javascript')
+           AND NOT contains(lower(trim(x)), 'lorem ipsum')
+           AND NOT contains(trim(x), '{')
+           AND NOT contains(trim(x), '}')) AS sv
+  FROM l
+)
+SELECT doc_id, n_lines,
+       CAST(len(sv) AS BIGINT) AS n_kept_lines,
+       len(sv) >= 3 AS kept,
+       CASE WHEN len(sv) >= 3 THEN array_to_string(sv, chr(10)) ELSE '' END AS text_clean
+FROM kept""",
+)
+def c4_line_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's published line-level cleaning rules (Raffel et al. 2020
+    §2.2): terminal punctuation, >= 5 words, no javascript / lorem ipsum
+    / curly braces; documents with < 3 surviving lines drop (kept=false,
+    accounted — never silently removed). The synthetic docs are
+    single-line, so line structure and a 'javascript' marker are derived
+    deterministically on BOTH engines (' the ' -> '.\\n', ' window ' ->
+    ' javascript ' — same trick as dedup_lines). Pure per-row JVM: no
+    explode, no shuffle."""
+    from logstash_spark.functions.text import c4_line_rules
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", " the ", ".\n"), " window ", " javascript "
+        ),
+    )
+    return c4_line_rules(d)

@@ -1812,3 +1812,36 @@ class TestBigramScore:
         assert got[99].n_backoff >= 1
         assert got[0].n_oov == 0 and got[0].n_backoff == 0
         assert got[99].rarity_avg > got[0].rarity_avg
+
+
+class TestC4LineRules:
+    def test_rules_matrix(self, spark):
+        from logstash_spark.functions.text import c4_line_rules
+
+        doc = "\n".join([
+            "this line has enough words and ends properly.",   # keep
+            "short line.",                                      # <5 words
+            "this one has plenty of words but no punct",        # no terminal
+            "enable javascript to view this page properly.",    # marker
+            "var x = {a: 1} and such words here ok.",           # brace
+            'he said "this quoted line has five words."',       # keep (quote end)
+            "lorem ipsum dolor sit amet filler text here.",     # marker
+            "another good line with many words right here!",    # keep
+        ])
+        df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+        r = c4_line_rules(df).collect()[0]
+        assert r.n_lines == 8
+        assert r.n_kept_lines == 3
+        assert r.kept is True
+        assert r.text_clean.count("\n") == 2
+
+    def test_document_drop_accounted(self, spark):
+        from logstash_spark.functions.text import c4_line_rules
+
+        df = spark.createDataFrame(
+            [(1, "only one good line with enough words here.")],
+            "doc_id long, text string",
+        )
+        r = c4_line_rules(df).collect()[0]
+        assert r.kept is False and r.text_clean == ""
+        assert r.n_kept_lines == 1  # accounted, not silently removed
