@@ -16,18 +16,46 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _ensure_confs(spark: SparkSession) -> SparkSession:
+    """Pin the RUNTIME-settable confs the engine's semantics depend on, in
+    case the harness built its own session (a vanilla Spark 4 session has
+    ANSI on, map-key dedup EXCEPTION, machine-local timezone — any of
+    which flips results vs the DuckDB oracle). Static confs (memory,
+    master) are untouched. No-op on sessions from
+    logstash_spark.session.get_spark."""
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.ansi.enabled": "false",
+        "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+        "spark.sql.legacy.codingErrorAction": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the harness — keep going, most queries survive
+    return spark
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the full parse -> enrich ->
     route -> aggregate pipeline over the Common-Crawl-style pages table."""
     from logstash_spark.queries import QUERIES
 
-    return QUERIES["pipeline_e2e"](spark, "/root/testdata/sf0.001")
+    return QUERIES["pipeline_e2e"](_ensure_confs(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from logstash_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_ensure_confs(spark), sf_dir)
+
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
