@@ -291,10 +291,13 @@ def bigram_score(
     cross-engine): a known bigram contributes
     ``floor(scale * cnt(prev) / cnt(prev, w))`` (inverse conditional
     probability — frequent continuations score small), a backoff token
-    ``floor(5 * scale / (2 * cnt(w)))`` (the 0.4 factor as exact
-    rational 5/2), and a rare/unseen token ``floor(5 * scale / 2)``.
-    Position 0 conditions on the ``<s>`` start symbol (one per document,
-    so cnt(<s>) = corpus document count).
+    ``floor(5 * scale * N / (2 * cnt(w)))`` where N is the corpus token
+    count (stupid backoff's S(w) = 0.4 * f(w)/N with the 0.4 as the
+    exact rational 5/2 — the N factor keeps backoff on the same
+    probability axis as the bigram term), and a rare/unseen token the
+    same formula at cnt(w) = 1. Position 0 conditions on the ``<s>``
+    start symbol (one per document, so cnt(<s>) = corpus document
+    count).
 
     Returns ``(id_col, n_tokens, n_backoff, n_oov, rarity_sum,
     rarity_avg)``. High rarity_avg = improbable under the corpus LM —
@@ -302,13 +305,16 @@ def bigram_score(
     than the unigram proxy (a shuffled-word document keeps its unigram
     score but explodes here).
 
-    Scale shape: two counting shuffles (unigram + bigram tables, both
-    map-side-combined so Zipf heads never concentrate), one
-    bigram-keyed join whose dim side arrives pre-aggregated (AQE picks
-    broadcast vs shuffle), one id-keyed agg. Bigrams are formed
-    per-document with arrays_zip inside the scan stage — no window, no
-    per-position shuffle."""
-    toks_arr = F.split(normalize_text(F.col(text_col)), " ")
+    Scale shape: ONE counting shuffle (the unfiltered bigram table;
+    unigram/prev/total counts are rollups of it, so Catalyst reuses the
+    exchange instead of rescanning the corpus), one bigram-keyed probe
+    join whose dim sides arrive pre-aggregated (AQE picks broadcast vs
+    shuffle) plus a 1-row broadcast corpus total, one id-keyed agg.
+    Bigrams are formed per-document with arrays_zip inside the scan
+    stage — no window, no per-position shuffle."""
+    # NULL text scores like empty text (one <s>-to-'' position) — a doc
+    # must never silently vanish from the score table
+    toks_arr = F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
     # prepend the start symbol; zip (prev, tok) pairs inside the row
     prevs = F.concat(F.array(F.lit("<s>")), F.slice(toks_arr, 1, F.array_size(toks_arr) - 1))
     pairs = df.select(
@@ -316,29 +322,38 @@ def bigram_score(
         F.explode(F.arrays_zip(prevs.alias("prev"), toks_arr.alias("tok"))).alias("p"),
     ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
 
-    uni = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("ucnt"))
-    # prev-counts include <s> (once per document) — derive from the pair
-    # table so cnt(<s>) is exact without a second corpus pass
-    pcnt = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("pcnt"))
-    bi = (
-        pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bcnt"))
-        .filter(F.col("bcnt") >= min_count)
-    )
+    # ONE counting shuffle: the unfiltered bigram table; unigram counts,
+    # prev counts and the corpus total are rollups of it (Catalyst reuses
+    # the groupBy(prev,tok) exchange across all four consumers instead of
+    # rescanning + renormalizing the corpus per table)
+    bi_all = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bcnt"))
+    uni = bi_all.groupBy("tok").agg(F.sum("bcnt").alias("ucnt"))
+    pcnt = bi_all.groupBy("prev").agg(F.sum("bcnt").alias("pcnt"))
+    total = bi_all.groupBy().agg(F.sum("bcnt").alias("ntot"))  # 1 row
+    bi = bi_all.filter(F.col("bcnt") >= min_count)
 
     j = (
         pairs.join(bi, ["prev", "tok"], "left")
         .join(pcnt, "prev", "left")
         .join(uni.filter(F.col("ucnt") >= min_count), "tok", "left")
+        .crossJoin(F.broadcast(total))  # 1-row corpus total, tfidf pattern
     )
     known_bi = F.col("bcnt").isNotNull()
     known_uni = F.col("ucnt").isNotNull()
-    # pure BIGINT division (div) — scale * pcnt tops out ~1e13, far inside
-    # int64; no float quotient anywhere, so floors can never disagree
-    # across engines on a boundary
+    # pure BIGINT division (div) — no float quotient anywhere, so floors
+    # can never disagree across engines on a boundary. Rarity is
+    # scale/P on ONE common axis: bigram scale*cnt(prev)/cnt(ab);
+    # backoff scale/(0.4*cnt(w)/N) = 5*scale*N/(2*cnt(w)) — the corpus
+    # total N is what puts backoff on the same probability axis (without
+    # it every backoff position scores BELOW every seen bigram and the
+    # filter inverts). OOV = the backoff formula at cnt(w)=1.
+    # Overflow bound: terms top out at ~2.5*scale*N — with the default
+    # scale=1e6 that holds per-doc int64 sums to corpora of ~1e9 tokens;
+    # pass a smaller scale beyond that.
     rarity = (
         F.when(known_bi, F.expr(f"CAST({scale} AS BIGINT) * pcnt div bcnt"))
-        .when(known_uni, F.expr(f"CAST({5 * scale} AS BIGINT) div (2 * ucnt)"))
-        .otherwise(F.lit(5 * scale // 2).cast("long"))
+        .when(known_uni, F.expr(f"CAST({5 * scale} AS BIGINT) * ntot div (2 * ucnt)"))
+        .otherwise(F.expr(f"CAST({5 * scale} AS BIGINT) * ntot div 2"))
     )
     scored = j.select(
         id_col,

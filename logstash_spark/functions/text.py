@@ -452,8 +452,14 @@ def c4_line_rules(
 
     Scale shape: pure per-row JVM — split / filter / array_join inside
     the scan stage; no explode, no shuffle, composes with dedup and
-    quality gates downstream at zero exchange cost."""
-    lines = F.split(F.col(source), "\n")
+    quality gates downstream at zero exchange cost.
+
+    Line framing: splits on ``\r?\n`` so CRLF corpora behave like LF
+    ones (and the punctuation anchor never sees a stray ``\r``);
+    ``text_clean`` rejoins with ``\n``. NULL text counts as one empty
+    line -> kept=false, never a NULL row (the no-silent-removal
+    contract)."""
+    lines = F.split(F.coalesce(F.col(source), F.lit("")), "\r?\n")
 
     def keep(l: Column) -> Column:
         lt = F.trim(l)

@@ -4814,24 +4814,29 @@ def bpe_pack_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          CASE WHEN t.i = 1 THEN '<s>' ELSE l[t.i - 1] END AS prev,
          l[t.i] AS tok
   FROM toks, unnest(generate_series(1, len(l))) AS t(i)
-), uni AS (
-  SELECT tok, COUNT(*) AS ucnt FROM pairs GROUP BY tok HAVING COUNT(*) >= 3
-), pc AS (
-  SELECT prev, COUNT(*) AS pcnt FROM pairs GROUP BY prev
-), bi AS (
+), bi_all AS (
   SELECT prev, tok, COUNT(*) AS bcnt FROM pairs GROUP BY prev, tok
-  HAVING COUNT(*) >= 3
+), uni AS (
+  SELECT tok, CAST(SUM(bcnt) AS BIGINT) AS ucnt FROM bi_all GROUP BY tok
+  HAVING SUM(bcnt) >= 3
+), pc AS (
+  SELECT prev, CAST(SUM(bcnt) AS BIGINT) AS pcnt FROM bi_all GROUP BY prev
+), tot AS (
+  SELECT CAST(SUM(bcnt) AS BIGINT) AS ntot FROM bi_all
+), bi AS (
+  SELECT prev, tok, bcnt FROM bi_all WHERE bcnt >= 3
 ), j AS (
   SELECT p.doc_id,
          CASE WHEN b.bcnt IS NOT NULL THEN (1000000 * c.pcnt) // b.bcnt
-              WHEN u.ucnt IS NOT NULL THEN 5000000 // (2 * u.ucnt)
-              ELSE 2500000 END AS rarity,
+              WHEN u.ucnt IS NOT NULL THEN (5000000 * tot.ntot) // (2 * u.ucnt)
+              ELSE (5000000 * tot.ntot) // 2 END AS rarity,
          CASE WHEN b.bcnt IS NULL AND u.ucnt IS NOT NULL THEN 1 ELSE 0 END AS backoff,
          CASE WHEN u.ucnt IS NULL THEN 1 ELSE 0 END AS oov
   FROM pairs p
   LEFT JOIN bi b USING (prev, tok)
   LEFT JOIN pc c USING (prev)
   LEFT JOIN uni u USING (tok)
+  CROSS JOIN tot
 )
 SELECT doc_id,
        COUNT(*) AS n_tokens,
@@ -4862,7 +4867,7 @@ def bigram_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ' javascript ') AS t
   FROM documents
 ), l AS (
-  SELECT doc_id, string_split(t, chr(10)) AS ls FROM d
+  SELECT doc_id, string_split_regex(t, chr(13) || '?' || chr(10)) AS ls FROM d
 ), kept AS (
   SELECT doc_id,
          CAST(len(ls) AS BIGINT) AS n_lines,

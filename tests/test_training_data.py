@@ -1845,3 +1845,43 @@ class TestC4LineRules:
         r = c4_line_rules(df).collect()[0]
         assert r.kept is False and r.text_clean == ""
         assert r.n_kept_lines == 1  # accounted, not silently removed
+
+
+class TestReviewFixesR4b:
+    def test_bigram_backoff_on_probability_axis(self, spark):
+        # the review's inversion scenario: all shuffled-doc bigrams stay
+        # below min_count (backoff path) yet the doc must STILL score
+        # worse than fluent text — requires the corpus-size factor N
+        from logstash_spark.functions.stats import bigram_score
+
+        fluent = "alpha beta gamma delta epsilon zeta eta theta"
+        shuffled = "theta alpha eta beta zeta gamma epsilon delta"
+        rows = [(i, fluent) for i in range(40)] + [(100, shuffled), (101, shuffled)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in bigram_score(df).collect()}
+        assert got[100].n_backoff > 0  # bigrams of the shuffled doc unseen
+        assert got[100].rarity_avg > got[0].rarity_avg * 3
+
+    def test_bigram_null_text_scored_not_dropped(self, spark):
+        from logstash_spark.functions.stats import bigram_score
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, None), (3, "")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in bigram_score(df).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[2].n_tokens == 1  # the <s>->'' position
+
+    def test_c4_crlf_and_null(self, spark):
+        from logstash_spark.functions.text import c4_line_rules
+
+        doc = ("good first line with enough words here.\r\n"
+               "good second line with enough words too.\r\n"
+               "good third line with lots of words also.")
+        df = spark.createDataFrame(
+            [(1, doc), (2, None)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in c4_line_rules(df).collect()}
+        assert got[1].kept is True and got[1].n_kept_lines == 3
+        assert "\r" not in got[1].text_clean
+        assert got[2].kept is False and got[2].n_lines == 1

@@ -31,6 +31,7 @@ WAIVERS: dict[str, set[str]] = {
     "tfidf_topk": {"BroadcastNestedLoopJoin"},
     "domain_mixture": {"BroadcastNestedLoopJoin"},
     "dsir_select": {"BroadcastNestedLoopJoin"},  # 1-row corpus-totals join onto the B-row bucket table
+    "bigram_score": {"BroadcastNestedLoopJoin"},  # 1-row corpus-total (N) broadcast, same shape as tfidf
     # docs ⋈ component-table attach: the dup set CAN be corpus-scale in the
     # worst case, so the static plan is a keyed SMJ by design; AQE converts
     # to broadcast at runtime whenever the pair graph is actually small
