@@ -137,6 +137,7 @@ HEADLINE = [
     "bpe_pack_pipeline",
     "bigram_score",
     "c4_line_rules",
+    "robots_filter",
 ]
 
 

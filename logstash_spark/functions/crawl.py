@@ -1,0 +1,163 @@
+"""Crawl-compliance operators — robots.txt parsing + URL filtering.
+
+A web-corpus pipeline's legal/etiquette gate: before text ever reaches
+cleaning or training, URLs are checked against each host's robots.txt.
+Semantics follow the public RFC 9309 (Robots Exclusion Protocol):
+
+- records group under one or more ``User-agent`` lines; the group for
+  the MOST SPECIFIC matching agent applies (here: exact product-token
+  match preferred, else the ``*`` group — substring-specificity between
+  named agents is not modeled, documented below);
+- ``Allow``/``Disallow`` values are path prefixes; ``*`` matches any
+  character sequence; an empty ``Disallow:`` permits everything (the
+  rule is skipped);
+- the LONGEST matching rule wins; on a length tie ``Allow`` wins;
+- a URL with no matching rule is allowed (and so is a host with no
+  robots.txt at all).
+
+Divergences (deliberate, small): the optional ``$`` end anchor is
+treated as a literal (rare in the wild; a prefix rule that needs it can
+be expressed with a longer explicit rule), and agent specificity between
+two NAMED agents is not ranked (exact-vs-star covers real corpora).
+
+Everything is columnar: the line parse is split+posexplode, record
+grouping is one per-host window (robots files are tiny, hosts are many —
+the window partitions by host so parallelism is the host count), rule
+matching is a host-keyed join + non-foldable regex. No Python in the
+path, and every step mirrors into DuckDB SQL for the value oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+# regex metacharacters escaped before the wildcard expands; '*' expands
+# LAST via a placeholder so escaped backslashes can't re-trigger it
+_META = ["\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "^", "$", "|"]
+
+
+def _rule_regex(path: Column) -> Column:
+    """robots path (prefix + '*' wildcards) -> anchored regex string,
+    built with a replace chain identical in Spark and DuckDB."""
+    c = F.replace(path, F.lit("*"), F.lit("\x00"))
+    for m in _META:
+        c = F.replace(c, F.lit(m), F.lit("\\" + m))
+    c = F.replace(c, F.lit("\x00"), F.lit(".*"))
+    return F.concat(F.lit("^"), c)
+
+
+def parse_robots(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Per-host robots.txt text -> the rule set that applies to
+    ``user_agent``: ``(host, allow, path, spec, pattern)`` where ``spec``
+    is the rule-length specificity and ``pattern`` the compiled regex.
+
+    One per-host window drives the record grouping (block id = running
+    count of User-agent lines that START a group); group selection is an
+    aggregate over the host's blocks (exact agent match if any block has
+    one, else the ``*`` blocks)."""
+    ua = user_agent.lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")).alias(
+            "pos", "line"
+        ),
+    )
+    key = F.lower(F.trim(F.regexp_extract(F.col("line"), r"^([^:#]+):", 1)))
+    val = F.trim(F.regexp_extract(F.col("line"), r"^[^:#]+:\s*([^#\s]*)", 1))
+    parsed = lines.select(
+        "host", "pos", key.alias("k"), val.alias("v"),
+        (key == "user-agent").alias("is_ua"),
+    )
+    w = W.partitionBy("host").orderBy("pos")
+    # a block STARTS at a user-agent line not preceded by another one
+    starts = (
+        F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+    ).cast("int")
+    blocks = parsed.withColumn(
+        "block", F.sum(starts).over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).filter(F.col("block") > 0)
+
+    agents = blocks.filter(F.col("is_ua")).groupBy("host", "block").agg(
+        F.max((F.lower(F.col("v")) == ua).cast("int")).alias("has_exact"),
+        F.max((F.col("v") == "*").cast("int")).alias("has_star"),
+    )
+    # exact group wins when the host has one; otherwise the '*' groups
+    wb = W.partitionBy("host")
+    chosen = (
+        agents.withColumn("any_exact", F.max("has_exact").over(wb))
+        .filter(
+            (F.col("has_exact") == 1)
+            | ((F.col("any_exact") == 0) & (F.col("has_star") == 1))
+        )
+        .select("host", "block")
+    )
+    rules = (
+        blocks.filter(F.col("k").isin("allow", "disallow") & (F.col("v") != ""))
+        .join(chosen, ["host", "block"])
+        .select(
+            "host",
+            (F.col("k") == "allow").alias("allow"),
+            F.col("v").alias("path"),
+            F.length("v").cast("long").alias("spec"),
+            _rule_regex(F.col("v")).alias("pattern"),
+        )
+    )
+    return rules
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """URL table + parse_robots rules -> every URL with its verdict:
+    ``(... , allowed, matched_path)``. Longest matching rule wins, Allow
+    wins length ties, no match (or no robots for the host) = allowed.
+
+    Scale shape: host extraction is a scan-stage regex; the rule attach
+    is a host-keyed equi-join (the rules side is per-host tiny and
+    pre-aggregated — AQE broadcasts when it fits); candidate filtering is
+    a non-foldable rlike; the winner is one per-URL window over the
+    handful of matching rules. URLs without rules never enter the
+    window (left anti + union), so the window's input is bounded by
+    match fan-out, not corpus size."""
+    u = urls.withColumn(
+        "_host", F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    ).withColumn(
+        "_path",
+        F.when(
+            F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^#]*)", 1)
+            == "",
+            F.lit("/"),
+        ).otherwise(
+            F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^#]*)", 1)
+        ),
+    )
+    r = rules.withColumnRenamed("host", "_rhost")  # never collide with url cols
+    cand = (
+        u.join(r, u["_host"] == r["_rhost"])
+        .filter(F.expr("_path rlike pattern"))
+    )
+    wbest = W.partitionBy(url_col).orderBy(
+        F.col("spec").desc(), F.col("allow").desc(), F.col("path")
+    )
+    best = (
+        cand.withColumn("_r", F.row_number().over(wbest))
+        .filter(F.col("_r") == 1)
+        .select(url_col, F.col("allow").alias("allowed"), F.col("path").alias("matched_path"))
+    )
+    out = urls.join(best, url_col, "left").select(
+        *urls.columns,
+        F.coalesce(F.col("allowed"), F.lit(True)).alias("allowed"),
+        F.col("matched_path").alias("matched_path"),
+    )
+    return out

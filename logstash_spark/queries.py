@@ -4903,3 +4903,60 @@ def c4_line_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return c4_line_rules(d)
+
+
+@q(
+    "robots_filter",
+    f"""{_PAGES_CTE},
+v AS (
+  SELECT url, CAST(user_id % 40 AS INT) AS hnum,
+         CAST(event_id AS VARCHAR) AS eid
+  FROM pages)
+SELECT url,
+       CASE WHEN hnum % 2 = 0 THEN FALSE
+            WHEN hnum % 4 = 1 THEN NOT (eid LIKE '3%' AND eid NOT LIKE '34%')
+            ELSE TRUE END AS allowed,
+       CASE WHEN hnum % 2 = 0 THEN '/p/*'
+            WHEN hnum % 4 = 1 AND eid LIKE '34%' THEN '/p/34*'
+            WHEN hnum % 4 = 1 AND eid LIKE '3%' THEN '/p/3*'
+            ELSE NULL END AS matched_path
+FROM v""",
+)
+def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filtering (RFC 9309) for agent 'gptbot':
+    every host gets one of three synthesized robots files — (A) an exact
+    gptbot group ('Disallow: /p/*') NEXT TO a '*' group that must NOT
+    apply (precedence), (C) a '*'-only file exercising wildcard rules
+    and the longest-match + Allow-wins-ties resolution
+    ('Disallow: /p/3*' vs 'Allow: /p/34*'), (B) an empty Disallow (=
+    no rules) plus a ccbot group that must be ignored. The engine runs
+    the full columnar parse (posexplode -> per-host block window ->
+    group selection -> regex compile) and the host-keyed filter join;
+    the oracle computes expected verdicts INDEPENDENTLY from the
+    template logic — any parser/grouping/tie-break drift flips the
+    value hash."""
+    from logstash_spark.functions.crawl import parse_robots, robots_filter
+
+    p = _pages(spark, sf_dir)
+    hosts = (
+        p.select(
+            F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+            F.regexp_extract("url", r"host(\d+)\.", 1).cast("int").alias("hnum"),
+        )
+        .distinct()
+    )
+    t_a = ("User-agent: *\nDisallow: /p/1*\n\n"
+           "User-agent: gptbot\nDisallow: /p/*\n")
+    t_c = ("# crawl budget notes\nUser-agent: *\n"
+           "Disallow: /p/3*\nAllow: /p/34*\n")
+    t_b = ("User-agent: *\nDisallow:\n\nUser-agent: ccbot\nDisallow: /\n")
+    robots = hosts.select(
+        "host",
+        F.when(F.col("hnum") % 2 == 0, F.lit(t_a))
+        .when(F.col("hnum") % 4 == 1, F.lit(t_c))
+        .otherwise(F.lit(t_b))
+        .alias("robots_txt"),
+    )
+    rules = parse_robots(robots, user_agent="gptbot")
+    out = robots_filter(p.select("url"), rules)
+    return out.select("url", "allowed", "matched_path")

@@ -1885,3 +1885,69 @@ class TestReviewFixesR4b:
         assert got[1].kept is True and got[1].n_kept_lines == 3
         assert "\r" not in got[1].text_clean
         assert got[2].kept is False and got[2].n_lines == 1
+
+
+class TestRobots:
+    ROBOTS = "\n".join([
+        "# comment line",
+        "User-agent: GPTBot",          # case-insensitive agent match
+        "User-agent: extrabot",        # multi-UA block
+        "Disallow: /private/*",
+        "Allow: /private/ok",
+        "",
+        "User-agent: *",
+        "Disallow: /all/",
+    ])
+
+    def _rules(self, spark, ua):
+        from logstash_spark.functions.crawl import parse_robots
+
+        robots = spark.createDataFrame(
+            [("h.example", self.ROBOTS)], "host string, robots_txt string"
+        )
+        return parse_robots(robots, user_agent=ua)
+
+    def test_exact_group_beats_star(self, spark):
+        rules = self._rules(spark, "gptbot").collect()
+        assert {r.path for r in rules} == {"/private/*", "/private/ok"}
+
+    def test_star_group_when_no_exact(self, spark):
+        rules = self._rules(spark, "otherbot").collect()
+        assert {r.path for r in rules} == {"/all/"}
+
+    def test_filter_longest_match_allow_ties(self, spark):
+        from logstash_spark.functions.crawl import robots_filter
+
+        urls = spark.createDataFrame(
+            [("https://h.example/private/secret",),
+             ("https://h.example/private/okay-file",),
+             ("https://h.example/public/x",),
+             ("https://unknown.example/anything",)],
+            "url string",
+        )
+        got = {r.url: r for r in robots_filter(urls, self._rules(spark, "gptbot")).collect()}
+        assert got["https://h.example/private/secret"].allowed is False
+        # '/private/ok' (len 11) beats '/private/*' (len 10)
+        assert got["https://h.example/private/okay-file"].allowed is True
+        assert got["https://h.example/public/x"].allowed is True
+        assert got["https://h.example/public/x"].matched_path is None
+        # no robots for the host -> allowed
+        assert got["https://unknown.example/anything"].allowed is True
+
+    def test_empty_disallow_and_regex_metachars(self, spark):
+        from logstash_spark.functions.crawl import parse_robots, robots_filter
+
+        robots = spark.createDataFrame(
+            [("h2.example", "User-agent: *\nDisallow:\nDisallow: /a+b(c)/*")],
+            "host string, robots_txt string",
+        )
+        rules = parse_robots(robots, user_agent="anybot")
+        assert rules.count() == 1  # the empty Disallow is skipped
+        urls = spark.createDataFrame(
+            [("https://h2.example/a+b(c)/q",), ("https://h2.example/aab/q",)],
+            "url string",
+        )
+        got = {r.url: r.allowed for r in robots_filter(urls, rules).collect()}
+        # metachars in the rule are literal, not regex ('+' must not loop)
+        assert got["https://h2.example/a+b(c)/q"] is False
+        assert got["https://h2.example/aab/q"] is True

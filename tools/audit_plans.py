@@ -36,6 +36,11 @@ WAIVERS: dict[str, set[str]] = {
     # worst case, so the static plan is a keyed SMJ by design; AQE converts
     # to broadcast at runtime whenever the pair graph is actually small
     "dedup_cluster_cc": {"SortMergeJoin"},
+    # urls x robots-rules attach: the rules side scales WITH HOST COUNT
+    # (one small rule set per host, corpus-scale in aggregate), so a
+    # host-keyed shuffle join is the intended 100 TB plan; AQE broadcasts
+    # it at bench scale when it fits
+    "robots_filter": {"SortMergeJoin"},
     # BNLJ = broadcast centroid routing (k rows, same as ann_ivf_topk); SMJ =
     # the within-cluster self-join keyed on list_id — the candidate side IS
     # corpus-scale, so a keyed shuffle join is the intended 100 TB plan (AQE
