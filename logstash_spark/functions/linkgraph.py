@@ -1,0 +1,274 @@
+"""Web link-graph operators — outlink extraction, URL resolution, host
+degrees, integer-exact PageRank, anchor-text aggregation, crawl frontier.
+
+The reference pipeline (andrewvc/logstash) has no link-graph stage, but
+the north rule's corpus is Common-Crawl-style web pages, and outlink
+extraction (the WAT job) plus the host-level webgraph/PageRank are the
+canonical companion jobs to a parse→enrich→route pipeline at that scale
+(cf. the public Common Crawl webgraph releases and WAT format). Anchor
+text doubles as a weak-label table for training-data curation.
+
+Everything is DataFrame-native and scale-shaped:
+
+- **extraction** is a map-only JVM regex pass: ``regexp_extract_all`` on
+  the anchor-tag shape, then per-element ``regexp_extract`` inside
+  ``transform`` — no Python in the hot path, no shuffle;
+- **URL resolution** is an RFC 3986-lite ``when()`` cascade (absolute,
+  protocol-relative, root-relative, path-relative; ``mailto:`` /
+  ``javascript:`` / ``tel:`` / ``data:`` and fragment-only links are
+  dropped; fragments are stripped). Dot-segment normalization (``..``)
+  is deliberately NOT performed — documented divergence from full RFC
+  3986 §5.2 (Common Crawl's own WAT extractor records hrefs similarly
+  un-normalized);
+- **host degree** is one groupBy per direction; the node table (hosts)
+  is orders of magnitude smaller than the edge table — at 10^12 pages
+  the host set is ~10^8 registered domains, so rank/degree tables stay
+  a small fraction of edge-table size;
+- **PageRank** runs a FIXED number of iterations in exact BIGINT
+  arithmetic (rank scaled by ``scale``; per iteration
+  ``r' = floor(0.15*scale) + floor(85 * sum(floor(r_src/outdeg)) / 100)``
+  with all divisions integer floor-division), so the engine and the
+  DuckDB oracle can never diverge by float summation order — the same
+  cross-engine determinism trick as ``stats.bigram_score``. Dangling
+  hosts contribute nothing (standard sparse simplification); rank mass
+  is therefore not conserved, which is fine for the *ranking* use. The
+  BIGINT bound: ``85 * scale * max_in_degree`` must stay below 2^63, so
+  ``scale`` defaults to 10^9 (leaves room for ~10^8 in-links to one
+  host). Per iteration the plan is one join of the (big) edge table
+  against the (small) rank table plus one groupBy on dst — the edge
+  table is repartitioned ONCE on src and localCheckpoint'd so every
+  iteration reuses the same partitioning instead of re-planning a
+  growing lineage (same pattern as dedup.cluster_cc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# One anchor element, case-insensitive, dotall so the anchor text may span
+# lines. href value must be quoted (single or double) — the unquoted-href
+# form is vanishingly rare in real pages and ambiguous to bound.
+_A_TAG = r"(?is)<a\s[^>]*href\s*=\s*(\"[^\"]*\"|'[^']*')[^>]*>.*?</a>"
+_HREF_IN_TAG = r"(?is)href\s*=\s*[\"']([^\"']*)[\"']"
+_ANCHOR_IN_TAG = r"(?is)^<a[^>]*>(.*)</a>$"
+
+_SCHEME_RX = r"^([a-z][a-z0-9+.-]*)://"
+_HOST_RX = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RX = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)"
+
+
+def host_of(url: Column | str) -> Column:
+    """Registered host part of an absolute URL ('' if unparseable)."""
+    return F.regexp_extract(url, _HOST_RX, 1)
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """RFC 3986-lite reference resolution of ``href`` against absolute
+    ``base``. NULL for non-followable links (empty, fragment-only,
+    mailto/javascript/tel/data). Fragments are stripped; queries kept.
+    Pure column expressions — no UDF."""
+    h = F.regexp_replace(href, r"#.*$", "")
+    scheme = F.regexp_extract(base, _SCHEME_RX, 1)
+    host = host_of(base)
+    # directory of the base path: path up to and including the last '/'
+    # ('' when base has no path → treated as '/')
+    path = F.regexp_extract(base, _PATH_RX, 1)
+    basedir = F.regexp_replace(path, r"[^/]*$", "")
+    basedir = F.when(basedir == "", F.lit("/")).otherwise(basedir)
+    return (
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(h.rlike(r"^(?i)(mailto|javascript|tel|data):"), F.lit(None).cast("string"))
+        .when(h.rlike(_SCHEME_RX), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(scheme, F.lit("://"), host, h))
+        .otherwise(F.concat(scheme, F.lit("://"), host, basedir, h))
+    )
+
+
+def extract_links(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    base_col: str = "url",
+) -> DataFrame:
+    """Page table → outlink edge table (src_url, dst_url, anchor).
+
+    The WAT job: one map-only JVM pass — ``regexp_extract_all`` pulls
+    whole ``<a …>…</a>`` elements, ``explode`` fans out to one row per
+    link, then href/anchor split per element. Anchor text is tag-stripped
+    (nested ``<b>``/``<span>`` removed), whitespace-collapsed, trimmed.
+    Non-followable links (mailto/javascript/fragment-only/empty) are
+    dropped. Pages with no links produce no rows (edge-table semantics).
+
+    Accepts ``html_col`` as string or binary (cast to string — pages
+    arrive as UTF-8 per the charset-normalize stage upstream).
+    """
+    html = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(html, F.lit(_A_TAG), 0)
+    e = df.select(F.col(base_col).alias("src_url"), F.explode(tags).alias("_tag"))
+    href = F.regexp_extract("_tag", _HREF_IN_TAG, 1)
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract("_tag", _ANCHOR_IN_TAG, 1), r"<[^>]*>", ""
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        e.select(
+            "src_url",
+            resolve_href(F.col("src_url"), href).alias("dst_url"),
+            anchor.alias("anchor"),
+        )
+        .filter(F.col("dst_url").isNotNull())
+    )
+
+
+def host_degree(edges: DataFrame) -> DataFrame:
+    """Edge table → per-host webgraph degrees: ``out_links`` (edges out of
+    the host), ``in_links`` (edges into it), ``n_dst_hosts`` (distinct
+    hosts it links to). JOIN-FREE shape: each edge contributes one
+    out-marked row (keyed by src host) and one in-marked row (keyed by
+    dst host), then a single groupBy — one shuffle carrying only host
+    keys + two ints + the dst host for the distinct count, with map-side
+    partial aggregation absorbing hub skew (a full-outer join of the two
+    per-direction aggregates would plan as an un-broadcastable
+    SortMergeJoin instead)."""
+    out_rows = edges.select(
+        host_of("src_url").alias("host"),
+        F.lit(1).alias("_out"),
+        F.lit(0).alias("_in"),
+        host_of("dst_url").alias("_dsth"),
+    )
+    in_rows = edges.select(
+        host_of("dst_url").alias("host"),
+        F.lit(0).alias("_out"),
+        F.lit(1).alias("_in"),
+        F.lit(None).cast("string").alias("_dsth"),  # null -> not counted
+    )
+    return (
+        out_rows.unionAll(in_rows)
+        .groupBy("host")
+        .agg(
+            F.sum("_out").alias("out_links"),
+            F.sum("_in").alias("in_links"),
+            F.countDistinct("_dsth").alias("n_dst_hosts"),
+        )
+    )
+
+
+def pagerank_hosts(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Host-level PageRank over the DISTINCT host→host edge set, fixed
+    ``iterations``, exact BIGINT arithmetic (see module docstring for the
+    determinism + overflow bounds). Returns (host, rank:bigint).
+
+    Self-loops are kept (a host linking to itself counts as an edge —
+    mirrors the raw webgraph; callers can pre-filter). Dangling hosts
+    (no outlinks) keep receiving the damping base but redistribute
+    nothing.
+    """
+    base = (scale * (100 - damping_pct)) // 100
+    hedges = (
+        edges.select(
+            host_of("src_url").alias("src"), host_of("dst_url").alias("dst")
+        )
+        .distinct()
+        # One physical partitioning on src reused by every iteration's
+        # join; localCheckpoint truncates lineage so the plan stays flat.
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        hedges.select(F.col("src").alias("host"))
+        .union(hedges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = hedges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    rank = nodes.select("host", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            hedges.join(rank.withColumnRenamed("host", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+        )
+        inc = contrib.groupBy("host").agg(F.sum("c").alias("inc"))
+        rank = (
+            nodes.join(inc, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inc, 0L)) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return rank
+
+
+def anchor_text_agg(edges: DataFrame) -> DataFrame:
+    """Per-target anchor-text aggregation — the weak-label table of web
+    training pipelines (anchor text describes the TARGET page). One
+    groupBy on dst_url; anchors are dedup'd + sorted + joined so the
+    output is order-insensitive and cross-engine stable."""
+    return edges.groupBy("dst_url").agg(
+        F.count("*").alias("n_refs"),
+        F.countDistinct("src_url").alias("n_src_pages"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("anchor"))), "|"
+        ).alias("anchors"),
+    )
+
+
+def crawl_frontier(
+    edges: DataFrame,
+    crawled: DataFrame,
+    *,
+    url_col: str = "url",
+    per_host_cap: int = 50,
+) -> DataFrame:
+    """Next crawl frontier: distinct outlink targets not yet crawled,
+    capped per host for politeness/budget. Which URLs survive the cap is
+    DETERMINISTIC and pseudo-random — ranked by md5(dst_url) — so the
+    frontier is a uniform, replayable choice, stable across retries and
+    engines (same rationale as sample.per_key_cap).
+
+    Scale shape: distinct (one shuffle on dst_url) → LEFT ANTI join
+    against the crawled-URL set (key-only, 16 B/row right side — the
+    incremental-dedup shape) → one window rank partitioned by host. The
+    hot-host partition holds only that host's candidate URLs (bounded by
+    the biggest host's outlink fan-in, not the corpus).
+    """
+    from pyspark.sql import Window as W
+
+    cand = (
+        edges.select("dst_url")
+        .distinct()
+        .join(
+            crawled.select(F.col(url_col).alias("dst_url")),
+            "dst_url",
+            "left_anti",
+        )
+        .withColumn("host", host_of("dst_url"))
+    )
+    w = W.partitionBy("host").orderBy(F.md5("dst_url"), "dst_url")
+    return (
+        cand.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= per_host_cap)
+        .select("host", "dst_url", "host_rank")
+    )

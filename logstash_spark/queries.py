@@ -4960,3 +4960,202 @@ def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = parse_robots(robots, user_agent="gptbot")
     out = robots_filter(p.select("url"), rules)
     return out.select("url", "allowed", "matched_path")
+
+
+# ---------------------------------------------------------------------------
+# Round 4b: web link graph (WAT extraction, host degrees, integer PageRank,
+# anchor-text weak labels, crawl frontier)
+# ---------------------------------------------------------------------------
+
+
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages + a synthesized html column carrying 7 anchor elements per
+    page — 5 followable (absolute / root-relative single-quoted /
+    path-relative with query+fragment+nested-tag anchor / hub (skewed
+    in-degree) / protocol-relative) and 2 droppable (mailto,
+    fragment-only). Every target derives arithmetically from the page's
+    own (event_id, user_id), so the oracle can RECOMPUTE the expected
+    edge set directly instead of running a second regex engine — the
+    grok_parse stronger-oracle pattern."""
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id").cast("string")
+    h_self = (F.col("user_id") % 40).cast("string")
+    h_next = ((F.col("user_id") + 1) % 40).cast("string")
+    html = F.concat(
+        F.lit('<html><body><p>intro</p>\n<a href="https://host'), h_next,
+        F.lit(".example.com/p/"), eid, F.lit('">next host</a>'),
+        F.lit("<a href='/p/"), (F.col("event_id") * 2).cast("string"),
+        F.lit("'>self follow</a>"),
+        F.lit('<a class="x" href="img/'), eid,
+        F.lit('?s=1#top"><b>deep</b> page '), eid, F.lit("</a>"),
+        F.lit('<a href="https://hub.example.com/">HUB\nhome</a>'),
+        F.lit('<a href="//cdn'), (F.col("event_id") % 5).cast("string"),
+        F.lit('.example.com/lib">cdn asset</a>'),
+        F.lit('<a href="mailto:a@b.example">mail</a>'
+              '<a href="#top">skip</a></body></html>'),
+    )
+    return p.select("url", html.alias("html"))
+
+
+# the same edge set derived directly in SQL (no second regex engine)
+_LINK_EDGES_CTES = f"""{_PAGES_CTE},
+lb AS (
+  SELECT url,
+         CAST(user_id % 40 AS VARCHAR) AS h_self,
+         CAST((user_id + 1) % 40 AS VARCHAR) AS h_next,
+         CAST(event_id AS VARCHAR) AS eid,
+         CAST(event_id * 2 AS VARCHAR) AS eid2,
+         CAST(event_id % 5 AS VARCHAR) AS cdn
+  FROM pages
+), edges AS (
+  SELECT url AS src_url,
+         'https://host' || h_next || '.example.com/p/' || eid AS dst_url,
+         'next host' AS anchor FROM lb
+  UNION ALL SELECT url,
+         'https://host' || h_self || '.example.com/p/' || eid2,
+         'self follow' FROM lb
+  UNION ALL SELECT url,
+         'https://host' || h_self || '.example.com/p/img/' || eid || '?s=1',
+         'deep page ' || eid FROM lb
+  UNION ALL SELECT url, 'https://hub.example.com/', 'HUB home' FROM lb
+  UNION ALL SELECT url, 'https://cdn' || cdn || '.example.com/lib',
+         'cdn asset' FROM lb
+)"""
+
+_HOST_RX_SQL = "'^[a-z]+://([^/?#]+)'"
+
+
+@q(
+    "link_extract",
+    f"{_LINK_EDGES_CTES}\nSELECT src_url, dst_url, anchor FROM edges",
+)
+def link_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (the Common-Crawl WAT job): map-only JVM regex
+    over the html column — anchor elements -> (src_url, resolved dst_url,
+    tag-stripped anchor text). Exercises all four RFC 3986-lite resolution
+    arms + fragment stripping + mailto/fragment-only drops + dotall
+    multi-line anchors + nested-tag stripping. The oracle recomputes every
+    expected edge arithmetically."""
+    from logstash_spark.functions.linkgraph import extract_links
+
+    return extract_links(_linked_pages(spark, sf_dir))
+
+
+@q(
+    "host_link_degree",
+    f"""{_LINK_EDGES_CTES},
+outd AS (
+  SELECT regexp_extract(src_url, {_HOST_RX_SQL}, 1) AS host,
+         COUNT(*) AS out_links,
+         COUNT(DISTINCT regexp_extract(dst_url, {_HOST_RX_SQL}, 1)) AS n_dst_hosts
+  FROM edges GROUP BY 1
+), ind AS (
+  SELECT regexp_extract(dst_url, {_HOST_RX_SQL}, 1) AS host,
+         COUNT(*) AS in_links
+  FROM edges GROUP BY 1
+)
+SELECT COALESCE(o.host, i.host) AS host,
+       COALESCE(o.out_links, 0) AS out_links,
+       COALESCE(i.in_links, 0) AS in_links,
+       COALESCE(o.n_dst_hosts, 0) AS n_dst_hosts
+FROM outd o FULL OUTER JOIN ind i ON o.host = i.host""",
+)
+def host_link_degree_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level webgraph degrees off the extracted edge table: one
+    groupBy per direction over host keys only (never page bodies), full
+    outer join of two host-cardinality aggregates."""
+    from logstash_spark.functions.linkgraph import extract_links, host_degree
+
+    return host_degree(extract_links(_linked_pages(spark, sf_dir)))
+
+
+def _pagerank_oracle(iterations: int = 3, scale: int = 10**9) -> str:
+    """Unrolled fixed-iteration integer PageRank in DuckDB SQL — the same
+    BIGINT floor-division arithmetic as linkgraph.pagerank_hosts, so the
+    two engines can never diverge by float summation order."""
+    base = (scale * 15) // 100
+    sql = f"""{_LINK_EDGES_CTES},
+he AS (
+  SELECT DISTINCT regexp_extract(src_url, {_HOST_RX_SQL}, 1) AS src,
+                  regexp_extract(dst_url, {_HOST_RX_SQL}, 1) AS dst
+  FROM edges
+), nodes AS (
+  SELECT src AS host FROM he UNION SELECT dst FROM he
+), od AS (
+  SELECT src, COUNT(*) AS outdeg FROM he GROUP BY src
+), r0 AS (
+  SELECT host, CAST({scale} AS BIGINT) AS rank FROM nodes
+)"""
+    for i in range(1, iterations + 1):
+        sql += f""", c{i} AS (
+  SELECT he.dst AS host, SUM(r{i-1}.rank // od.outdeg) AS inc
+  FROM he JOIN r{i-1} ON he.src = r{i-1}.host JOIN od ON he.src = od.src
+  GROUP BY he.dst
+), r{i} AS (
+  SELECT n.host,
+         CAST({base} + (85 * COALESCE(c{i}.inc, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} ON n.host = c{i}.host
+)"""
+    return sql + f"\nSELECT host, rank FROM r{iterations}"
+
+
+@q("pagerank_hosts", _pagerank_oracle())
+def pagerank_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank, 3 fixed iterations, exact BIGINT arithmetic
+    (rank scaled 1e9; r' = floor(0.15*scale) + floor(85*sum(floor(
+    r_src/outdeg))/100)) — cross-engine deterministic by construction;
+    the oracle is the identical recurrence unrolled as CTEs. Edge table
+    partitioned once on src and localCheckpoint'd; every iteration is
+    one join + one groupBy on host keys."""
+    from logstash_spark.functions.linkgraph import extract_links, pagerank_hosts
+
+    edges = extract_links(_linked_pages(spark, sf_dir))
+    return pagerank_hosts(edges, iterations=3)
+
+
+@q(
+    "anchor_text_agg",
+    f"""{_LINK_EDGES_CTES}
+SELECT dst_url, COUNT(*) AS n_refs,
+       COUNT(DISTINCT src_url) AS n_src_pages,
+       array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors
+FROM edges GROUP BY dst_url""",
+)
+def anchor_text_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation (weak-label table: anchor text
+    describes the TARGET page). Anchors dedup'd + sorted + joined so the
+    value is order-insensitive; the hub target collects one anchor from
+    every page (skewed key absorbed by partial aggregation)."""
+    from logstash_spark.functions.linkgraph import anchor_text_agg, extract_links
+
+    return anchor_text_agg(extract_links(_linked_pages(spark, sf_dir)))
+
+
+@q(
+    "crawl_frontier",
+    f"""{_LINK_EDGES_CTES},
+cand AS (
+  SELECT DISTINCT dst_url FROM edges
+  WHERE dst_url NOT IN (SELECT url FROM pages)
+), ranked AS (
+  SELECT regexp_extract(dst_url, {_HOST_RX_SQL}, 1) AS host, dst_url,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY regexp_extract(dst_url, {_HOST_RX_SQL}, 1)
+           ORDER BY md5(dst_url), dst_url
+         ) AS INT) AS host_rank
+  FROM cand
+)
+SELECT host, dst_url, host_rank FROM ranked WHERE host_rank <= 50""",
+)
+def crawl_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next crawl frontier: distinct outlink targets LEFT-ANTI-joined
+    against the crawled set (key-only right side — the incremental-dedup
+    shape), then a deterministic md5-ranked per-host politeness cap of
+    50. Survivor set is a replayable uniform draw (per_key_cap
+    rationale)."""
+    from logstash_spark.functions.linkgraph import crawl_frontier, extract_links
+
+    p = _pages(spark, sf_dir)
+    edges = extract_links(_linked_pages(spark, sf_dir))
+    out = crawl_frontier(edges, p.select("url"), per_host_cap=50)
+    return out.select("host", "dst_url", F.col("host_rank").cast("int").alias("host_rank"))

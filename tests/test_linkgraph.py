@@ -1,0 +1,179 @@
+"""Link-graph operators: extraction, RFC 3986-lite resolution, degrees,
+integer PageRank, anchor aggregation, crawl frontier."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from logstash_spark.functions.linkgraph import (
+    anchor_text_agg,
+    crawl_frontier,
+    extract_links,
+    host_degree,
+    pagerank_hosts,
+    resolve_href,
+)
+
+
+def _resolve(spark, base, href):
+    row = spark.range(1).select(
+        resolve_href(F.lit(base), F.lit(href)).alias("r")
+    ).first()
+    return row["r"]
+
+
+@pytest.mark.parametrize(
+    "base,href,want",
+    [
+        # absolute passes through
+        ("https://a.com/x/y", "http://b.org/z", "http://b.org/z"),
+        # protocol-relative inherits the base scheme
+        ("https://a.com/x/y", "//c.net/p", "https://c.net/p"),
+        # root-relative inherits scheme+host
+        ("https://a.com/x/y", "/top", "https://a.com/top"),
+        # path-relative resolves against the base DIRECTORY
+        ("https://a.com/x/y", "img/1.png", "https://a.com/x/img/1.png"),
+        # base with no path -> directory is '/'
+        ("https://a.com", "p.html", "https://a.com/p.html"),
+        # base path ends in '/' -> that IS the directory
+        ("https://a.com/d/", "q", "https://a.com/d/q"),
+        # fragment stripped, query kept
+        ("https://a.com/x/y", "/p?s=1#frag", "https://a.com/p?s=1"),
+        # base query does not leak into the directory
+        ("https://a.com/x/y?k=v", "z", "https://a.com/x/z"),
+        # non-followable schemes -> NULL
+        ("https://a.com/", "mailto:a@b.c", None),
+        ("https://a.com/", "javascript:void(0)", None),
+        ("https://a.com/", "tel:+1555", None),
+        ("https://a.com/", "data:text/plain,hi", None),
+        # fragment-only and empty -> NULL
+        ("https://a.com/x", "#top", None),
+        ("https://a.com/x", "", None),
+        # scheme match is case-insensitive on the DROP list
+        ("https://a.com/", "MAILTO:x@y.z", None),
+    ],
+)
+def test_resolve_href(spark, base, href, want):
+    assert _resolve(spark, base, href) == want
+
+
+def _pages_df(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_extract_links_shapes(spark):
+    html = (
+        '<p>pre</p><a href="https://b.com/1">one</a>'
+        "<A HREF='/two'>t<BR/>wo</A>"  # case-insensitive tag+attr, nested tag
+        '<a class="z" href="rel/3?q=1#f">\n th ree \n</a>'  # multi-line anchor
+        '<a href="mailto:x@y">mail</a>'
+        '<a href="#top">frag</a>'
+        "<a name='no-href'>skip</a>"
+    )
+    df = _pages_df(spark, [("https://a.com/d/page", html)])
+    got = {
+        (r["dst_url"], r["anchor"])
+        for r in extract_links(df).collect()
+    }
+    assert got == {
+        ("https://b.com/1", "one"),
+        ("https://a.com/two", "two"),  # nested tag removed, no space inserted
+        ("https://a.com/d/rel/3?q=1", "th ree"),
+    }
+    # src_url preserved on every row
+    assert {r["src_url"] for r in extract_links(df).collect()} == {"https://a.com/d/page"}
+
+
+def test_extract_links_no_links_and_binary(spark):
+    df = _pages_df(spark, [("https://a.com/", "<p>no anchors</p>")])
+    assert extract_links(df).count() == 0
+    # binary html column accepted
+    b = spark.createDataFrame(
+        [("https://a.com/", bytearray(b'<a href="/x">bin</a>'))],
+        "url string, html binary",
+    )
+    assert extract_links(b).first()["dst_url"] == "https://a.com/x"
+
+
+def _edges(spark):
+    # a:{b,c}, b:{c}, c:{a} and a duplicate a->b link with a second anchor
+    rows = [
+        ("https://a.com/p1", "https://b.com/x", "to b"),
+        ("https://a.com/p2", "https://b.com/x", "b again"),
+        ("https://a.com/p1", "https://c.com/y", "to c"),
+        ("https://b.com/q", "https://c.com/y", "b to c"),
+        ("https://c.com/r", "https://a.com/p1", "back"),
+    ]
+    return spark.createDataFrame(rows, "src_url string, dst_url string, anchor string")
+
+
+def test_host_degree(spark):
+    got = {r["host"]: r for r in host_degree(_edges(spark)).collect()}
+    assert got["a.com"]["out_links"] == 3
+    assert got["a.com"]["n_dst_hosts"] == 2
+    assert got["a.com"]["in_links"] == 1
+    assert got["b.com"]["in_links"] == 2
+    assert got["c.com"]["out_links"] == 1
+
+
+def test_pagerank_integer_recurrence(spark):
+    """3-node cycle with one extra a->b edge; ranks must equal the hand-run
+    integer recurrence exactly (scale 1e6 keeps the numbers checkable)."""
+    got = {
+        r["host"]: r["rank"]
+        for r in pagerank_hosts(_edges(spark), iterations=2, scale=10**6).collect()
+    }
+    # host edges: a->b, a->c, b->c, c->a; outdeg a=2, b=1, c=1
+    s = 10**6
+    base = (s * 15) // 100
+
+    def it(ra, rb, rc):
+        ca = rc  # from c (outdeg 1)
+        cb = ra // 2
+        cc = ra // 2 + rb
+        return (
+            base + (85 * ca) // 100,
+            base + (85 * cb) // 100,
+            base + (85 * cc) // 100,
+        )
+
+    ra, rb, rc = it(s, s, s)
+    ra, rb, rc = it(ra, rb, rc)
+    assert (got["a.com"], got["b.com"], got["c.com"]) == (ra, rb, rc)
+
+
+def test_pagerank_dangling_host(spark):
+    """A pure-sink host still receives rank but redistributes nothing, and
+    appears in the node table."""
+    rows = [("https://a.com/1", "https://sink.com/x", "s")]
+    e = spark.createDataFrame(rows, "src_url string, dst_url string, anchor string")
+    got = {r["host"]: r["rank"] for r in pagerank_hosts(e, iterations=1, scale=10**6).collect()}
+    assert got["sink.com"] == 150000 + (85 * 10**6) // 100
+    assert got["a.com"] == 150000  # no incoming
+
+
+def test_anchor_text_agg(spark):
+    got = {r["dst_url"]: r for r in anchor_text_agg(_edges(spark)).collect()}
+    b = got["https://b.com/x"]
+    assert b["n_refs"] == 2 and b["n_src_pages"] == 2
+    assert b["anchors"] == "b again|to b"  # sorted, joined
+    assert got["https://a.com/p1"]["anchors"] == "back"
+
+
+def test_crawl_frontier_anti_join_and_cap(spark):
+    edges = _edges(spark)
+    crawled = spark.createDataFrame(
+        [("https://b.com/x",), ("https://a.com/p1",)], "url string"
+    )
+    out = crawl_frontier(edges, crawled, per_host_cap=1).collect()
+    got = {(r["host"], r["dst_url"], r["host_rank"]) for r in out}
+    # b.com/x and a.com/p1 already crawled; only c.com/y survives
+    assert got == {("c.com", "https://c.com/y", 1)}
+
+
+def test_crawl_frontier_cap_is_deterministic(spark):
+    rows = [(f"https://s.com/{i}", f"https://t.com/{i}", "a") for i in range(20)]
+    e = spark.createDataFrame(rows, "src_url string, dst_url string, anchor string")
+    empty = spark.createDataFrame([], "url string")
+    a = sorted(r["dst_url"] for r in crawl_frontier(e, empty, per_host_cap=5).collect())
+    b = sorted(r["dst_url"] for r in crawl_frontier(e, empty, per_host_cap=5).collect())
+    assert a == b and len(a) == 5
