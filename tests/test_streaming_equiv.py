@@ -1,0 +1,156 @@
+"""Batch-replay equivalence oracles for the stateful streaming operators
+(VERDICT r3 item 9): the streaming form replayed over a static frame must
+produce the same per-event verdicts as the batch operator — the same
+contract test_session_rollup_stream_matches_batch_sessionize pins for
+session windows, extended here to throttle and elapsed.
+
+Equivalence domain (documented divergences excluded by construction):
+- throttle: batch orders within the tumbling period by EVENT time while
+  the streaming counter runs in ARRIVAL order, so the fixture arrives in
+  event-time order from a single file and all events of a key fall inside
+  one period — there the flag sets must be identical;
+- elapsed: the streaming form additionally emits flusher-style
+  elapsed_expired_error rows that a batch plan cannot (documented
+  divergence, streaming/stateful.py elapsed_stateful docstring) — the
+  comparison is over END-event verdicts (status + elapsed_ms), where the
+  two must agree exactly, including the timeout-voids-the-match rule.
+"""
+
+import time
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _drain_memory_query(spark, q, table, want_rows):
+    deadline = time.time() + 90
+    rows = []
+    while time.time() < deadline:
+        if q.exception():
+            raise AssertionError(str(q.exception()))
+        rows = spark.sql(f"select * from {table}").collect()
+        if len(rows) >= want_rows:
+            break
+        time.sleep(0.5)
+    return rows
+
+
+def test_throttle_stream_matches_batch(spark, tmp_path):
+    """Same frame through operators.metrics.throttle (batch, event-time
+    window) and streaming.stateful.throttle_stateful (arrival-order state
+    counter): identical throttled sets when arrival order == event-time
+    order and one period spans the data."""
+    from logstash_spark.operators.metrics import throttle
+    from logstash_spark.streaming.stateful import throttle_stateful
+
+    rows = []
+    for i in range(7):
+        rows.append(("login", f"a{i}", datetime(2024, 1, 1, 0, 0, i)))
+    for i in range(3):
+        rows.append(("logout", f"b{i}", datetime(2024, 1, 1, 0, 0, i)))
+    rows.append(("quiet", "c0", datetime(2024, 1, 1, 0, 0, 0)))
+    df = spark.createDataFrame(rows, "key string, text string, ts timestamp")
+
+    batch = throttle(df, ts="ts", key="key", max_count=3, period="1 hour")
+    batch_flagged = {
+        (r["key"], r["text"])
+        for r in batch.collect()
+        if r["tags"] and "throttled" in r["tags"]
+    }
+    # sanity: the fixture exercises both sides of the limit
+    assert batch_flagged == {("login", f"a{i}") for i in range(3, 7)}
+
+    src = str(tmp_path / "thr_src")
+    # event-time order == file order == arrival order, single file
+    df.orderBy("ts", "text").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = throttle_stateful(stream, max_count=3, period_ms=3_600_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("thr_equiv")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        got = _drain_memory_query(spark, q, "thr_equiv", len(rows))
+        stream_flagged = {(r["key"], r["text"]) for r in got if r["throttled"]}
+        assert len(got) == len(rows)
+        assert stream_flagged == batch_flagged
+    finally:
+        q.stop()
+
+
+def test_elapsed_stream_matches_batch(spark, tmp_path):
+    """Same start/end event log through operators.elapsed.elapsed_tags
+    (batch window plan) and streaming.stateful.elapsed_stateful: END-event
+    verdicts (match status + event-time elapsed_ms, timeout voiding)
+    agree exactly. Covers: plain pair, end-without-start, over-timeout
+    pair, two sequential pairs on one id, start-overwrites-start."""
+    from logstash_spark.operators.elapsed import elapsed_tags
+    from logstash_spark.streaming.stateful import elapsed_stateful
+
+    S, E = ["taskStarted"], ["taskEnded"]
+    rows = [
+        ("t1", 1, datetime(2024, 1, 1, 0, 0, 0), S),
+        ("t1", 2, datetime(2024, 1, 1, 0, 0, 2), E),   # match 2000ms
+        ("t2", 3, datetime(2024, 1, 1, 0, 0, 1), E),   # no start
+        ("t3", 4, datetime(2024, 1, 1, 0, 0, 0), S),
+        ("t3", 5, datetime(2024, 1, 1, 0, 0, 10), E),  # gap 10s > timeout 5s
+        ("t4", 6, datetime(2024, 1, 1, 0, 0, 0), S),
+        ("t4", 7, datetime(2024, 1, 1, 0, 0, 1), E),   # match 1000ms
+        ("t4", 8, datetime(2024, 1, 1, 0, 0, 2), S),
+        ("t4", 9, datetime(2024, 1, 1, 0, 0, 4), E),   # match 2000ms
+        ("t5", 10, datetime(2024, 1, 1, 0, 0, 0), S),
+        ("t5", 11, datetime(2024, 1, 1, 0, 0, 3), S),  # overwrites
+        ("t5", 12, datetime(2024, 1, 1, 0, 0, 4), E),  # match 1000ms
+    ]
+    df = spark.createDataFrame(
+        rows, "task string, event_id long, ts timestamp, tags array<string>"
+    )
+
+    b = elapsed_tags(
+        df, start_tag="taskStarted", end_tag="taskEnded",
+        unique_id_field="task", ts="ts", timeout=5,
+        order_tiebreak="event_id",
+    )
+    batch_verdicts = {}
+    for r in b.filter(F.array_contains("tags", "taskEnded")).collect():
+        status = (
+            "elapsed_end_with_match"
+            if "elapsed_end_with_match" in r["tags"]
+            else "elapsed_end_without_match"
+        )
+        batch_verdicts[r["event_id"]] = (r["elapsed_ms"], status)
+    assert batch_verdicts == {
+        2: (2000, "elapsed_end_with_match"),
+        3: (None, "elapsed_end_without_match"),
+        5: (None, "elapsed_end_without_match"),  # timeout voided
+        7: (1000, "elapsed_end_with_match"),
+        9: (2000, "elapsed_end_with_match"),
+        12: (1000, "elapsed_end_with_match"),
+    }
+
+    src = str(tmp_path / "elap_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = elapsed_stateful(stream, timeout_ms=5000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("elap_equiv")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # 6 end verdicts + 1 expired_error for t3's voided start
+        got = _drain_memory_query(spark, q, "elap_equiv", 7)
+        stream_verdicts = {
+            r["event_id"]: (r["elapsed_ms"], r["status"])
+            for r in got
+            if r["status"] in ("elapsed_end_with_match", "elapsed_end_without_match")
+        }
+        assert stream_verdicts == batch_verdicts
+        # the one extra streaming-only product is t3's flusher-style row
+        extra = [r for r in got if r["status"] == "elapsed_expired_error"]
+        assert [r["event_id"] for r in extra] == [4]
+    finally:
+        q.stop()
