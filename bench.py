@@ -138,6 +138,12 @@ HEADLINE = [
     "bigram_score",
     "c4_line_rules",
     "robots_filter",
+    "link_extract",
+    "host_link_degree",
+    "pagerank_hosts",
+    "anchor_text_agg",
+    "crawl_frontier",
+    "sitemap_parse",
 ]
 
 

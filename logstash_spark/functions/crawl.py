@@ -161,3 +161,111 @@ def robots_filter(
         F.col("matched_path").alias("matched_path"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sitemaps (sitemaps.org XML protocol) — the discovery side of the crawl
+# compliance pair: robots.txt says what MAY be fetched, sitemaps say what
+# EXISTS. Reference analog: the xml filter's extraction surface
+# (default_plugins.rb:69, logstash-filter-xml) applied to the two public
+# sitemap document shapes (<urlset> pages, <sitemapindex> children).
+# ---------------------------------------------------------------------------
+
+_URL_EL = r"(?is)<url\s*>.*?</url\s*>"
+_SMAP_EL = r"(?is)<sitemap\s*>.*?</sitemap\s*>"
+
+
+def _xml_text(el: Column, tag: str) -> Column:
+    """Trimmed text of the first <tag> child (CDATA unwrapped, the five
+    predefined XML entities decoded). NULL when the tag is absent —
+    regexp_extract returns '' on no-match, mapped here via nullif. The
+    entity replace chain is identical in Spark and DuckDB; &amp; is
+    decoded LAST so '&amp;lt;' yields the literal '&lt;' (correct XML
+    semantics, double-decode bug otherwise)."""
+    raw = F.trim(
+        F.regexp_extract(el, rf"(?is)<{tag}\s*>\s*(.*?)\s*</{tag}\s*>", 1)
+    )
+    raw = F.regexp_replace(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", "$1")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        raw = F.replace(raw, F.lit(ent), F.lit(ch))
+    return F.nullif(raw, F.lit(""))
+
+
+def parse_sitemaps(
+    df: DataFrame,
+    *,
+    xml_col: str = "sitemap_xml",
+    url_col: str = "sitemap_url",
+) -> DataFrame:
+    """Sitemap documents -> one row per entry:
+    ``(sitemap_url, kind, loc, lastmod, lastmod_date, changefreq,
+    priority)``. ``kind`` is ``'url'`` for <urlset> page entries and
+    ``'sitemap'`` for <sitemapindex> children (both element kinds are
+    extracted from every document — a hostile file mixing them still
+    yields all entries). Entries with no <loc> are dropped (the spec's
+    one required field); ``lastmod`` stays the raw W3C datetime string
+    and ``lastmod_date`` is its date part (substring, not timezone
+    arithmetic — cross-engine deterministic), ``priority`` is
+    DECIMAL(2,1) per the spec's 0.0-1.0 one-decimal domain.
+
+    Scale shape: map-only — two ``regexp_extract_all`` + one explode per
+    document; no shuffle, no Python. Sitemap files cap at 50 MB/50k URLs
+    by spec, so per-row work is bounded."""
+    xml = F.col(xml_col).cast("string")
+    els = F.concat(
+        F.regexp_extract_all(xml, F.lit(_URL_EL), 0),
+        F.regexp_extract_all(xml, F.lit(_SMAP_EL), 0),
+    )
+    e = df.select(F.col(url_col).alias("sitemap_url"), F.explode(els).alias("_el"))
+    kind = F.when(
+        F.lower(F.substring("_el", 1, 4)) == "<url", F.lit("url")
+    ).otherwise(F.lit("sitemap"))
+    return (
+        e.select(
+            "sitemap_url",
+            kind.alias("kind"),
+            _xml_text(F.col("_el"), "loc").alias("loc"),
+            _xml_text(F.col("_el"), "lastmod").alias("lastmod"),
+            _xml_text(F.col("_el"), "changefreq").alias("changefreq"),
+            _xml_text(F.col("_el"), "priority").cast("decimal(2,1)").alias("priority"),
+        )
+        .filter(F.col("loc").isNotNull())
+        .withColumn(
+            "lastmod_date",
+            F.when(
+                F.col("lastmod").rlike(r"^\d{4}-\d{2}-\d{2}"),
+                F.substring("lastmod", 1, 10),
+            ).cast("date"),
+        )
+        .select(
+            "sitemap_url", "kind", "loc", "lastmod", "lastmod_date",
+            "changefreq", "priority",
+        )
+    )
+
+
+def sitemap_directives(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directives out of robots.txt -> ``(host,
+    sitemap_url)``. Per RFC 9309 §2.3 the directive is group-independent
+    (it applies file-wide regardless of User-agent blocks), so this is a
+    flat line scan: split + explode + case-insensitive key match. The
+    value is a full URL, kept verbatim (no comment stripping inside it —
+    '#' is legal in URLs; trailing whitespace trimmed)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
+        ).alias("line"),
+    )
+    url = F.trim(F.regexp_extract("line", r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$", 1))
+    return lines.select("host", F.nullif(url, F.lit("")).alias("sitemap_url")).filter(
+        F.col("sitemap_url").isNotNull()
+    )

@@ -5159,3 +5159,134 @@ def crawl_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = extract_links(_linked_pages(spark, sf_dir))
     out = crawl_frontier(edges, p.select("url"), per_host_cap=50)
     return out.select("host", "dst_url", F.col("host_rank").cast("int").alias("host_rank"))
+
+
+# ---------------------------------------------------------------------------
+# Round 4c: sitemaps (sitemaps.org protocol) — the discovery side of the
+# robots.txt compliance pair
+# ---------------------------------------------------------------------------
+
+
+def _sitemap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages -> one synthesized sitemap document per page, exercising the
+    full sitemaps.org surface: a complete <url> entry (lastmod W3C
+    datetime, changefreq, priority), an entry with surrounding
+    whitespace + XML entities in <loc> and a CDATA changefreq, a hostile
+    entry with NO <loc> (must drop), and a <sitemapindex>-style
+    <sitemap> child mixed into the same file. Every field derives
+    arithmetically from (event_id, user_id) so the oracle RECOMPUTES the
+    expected entry set — no second XML engine."""
+    p = _pages(spark, sf_dir)
+    h = (F.col("user_id") % 40).cast("string")
+    eid = F.col("event_id").cast("string")
+    day = (F.col("event_id") % 18 + 10).cast("string")  # always two digits
+    cf = F.when(F.col("event_id") % 2 == 0, "daily").otherwise("weekly")
+    pr = F.concat(F.lit("0."), (F.col("event_id") % 10).cast("string"))
+    smurl = F.concat(
+        F.lit("https://host"), h, F.lit(".example.com/sitemaps/"), eid,
+        F.lit(".xml"),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<url><loc>'),
+        F.col("url"),
+        F.lit("</loc><lastmod>2026-03-"), day,
+        F.lit("T08:30:00+00:00</lastmod><changefreq>"), cf,
+        F.lit("</changefreq><priority>"), pr,
+        F.lit("</priority></url>\n<url>\n  <loc> https://host"), h,
+        F.lit(".example.com/p?a="), eid,
+        F.lit("&amp;b=&lt;x&gt; </loc>\n"
+              "  <changefreq><![CDATA[monthly]]></changefreq>\n</url>\n"
+              "<url><priority>0.9</priority></url>\n<sitemap><loc>https://host"),
+        h,
+        F.lit(".example.com/sitemaps/"), eid,
+        F.lit("-child.xml</loc><lastmod>2026-04-01</lastmod></sitemap>\n</urlset>"),
+    )
+    return p.select(smurl.alias("sitemap_url"), xml.alias("sitemap_xml"))
+
+
+@q(
+    "sitemap_parse",
+    f"""{_PAGES_CTE},
+sm AS (
+  SELECT 'https://host' || CAST(user_id % 40 AS VARCHAR)
+           || '.example.com/sitemaps/' || CAST(event_id AS VARCHAR)
+           || '.xml' AS sitemap_url,
+         url,
+         CAST(user_id % 40 AS VARCHAR) AS h,
+         CAST(event_id AS VARCHAR) AS eid,
+         CAST(10 + event_id % 18 AS VARCHAR) AS day,
+         CASE WHEN event_id % 2 = 0 THEN 'daily' ELSE 'weekly' END AS cf,
+         '0.' || CAST(event_id % 10 AS VARCHAR) AS pr
+  FROM pages
+)
+SELECT sitemap_url, 'url' AS kind, url AS loc,
+       '2026-03-' || day || 'T08:30:00+00:00' AS lastmod,
+       CAST('2026-03-' || day AS DATE) AS lastmod_date,
+       cf AS changefreq, CAST(pr AS DECIMAL(2,1)) AS priority
+FROM sm
+UNION ALL
+SELECT sitemap_url, 'url',
+       'https://host' || h || '.example.com/p?a=' || eid || '&b=<x>',
+       NULL, NULL, 'monthly', NULL
+FROM sm
+UNION ALL
+SELECT sitemap_url, 'sitemap',
+       'https://host' || h || '.example.com/sitemaps/' || eid || '-child.xml',
+       '2026-04-01', CAST('2026-04-01' AS DATE), NULL, NULL
+FROM sm""",
+)
+def sitemap_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML -> entry rows (sitemaps.org protocol): both document
+    shapes (<urlset> pages and <sitemapindex> children) out of the SAME
+    hostile mixed file, CDATA unwrap, entity decode (&amp; decoded last),
+    whitespace trim, loc-less entries dropped, lastmod kept raw + date
+    part extracted, priority as DECIMAL(2,1). Map-only: two
+    regexp_extract_all + one explode per document; the oracle recomputes
+    every expected entry arithmetically from (event_id, user_id)."""
+    from logstash_spark.functions.crawl import parse_sitemaps
+
+    return parse_sitemaps(_sitemap_docs(spark, sf_dir))
+
+
+@q(
+    "sitemap_directives",
+    f"""{_PAGES_CTE},
+hosts AS (
+  SELECT DISTINCT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         CAST(user_id % 40 AS VARCHAR) AS h
+  FROM pages
+)
+SELECT host,
+       'https://host' || h || '.example.com/sitemaps/root.xml' AS sitemap_url
+FROM hosts
+UNION ALL
+SELECT host, 'https://host' || h || '.example.com/sm2.xml' FROM hosts""",
+)
+def sitemap_directives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Sitemap:`` directives extracted from robots.txt (RFC 9309 §2.3:
+    group-independent, file-wide). The synthesized file carries one
+    canonical directive, one case/whitespace-mangled directive with
+    trailing blanks ('  sitemap:URL   '), a Crawl-delay line and a
+    commented-out Sitemap line that must both be ignored. Flat line
+    scan: split + explode + anchored case-insensitive match."""
+    from logstash_spark.functions.crawl import sitemap_directives
+
+    p = _pages(spark, sf_dir)
+    h = (F.col("user_id") % 40).cast("string")
+    hosts = p.select(
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        h.alias("h"),
+    ).distinct()
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nDisallow:\n\nSitemap: https://host"),
+            F.col("h"),
+            F.lit(".example.com/sitemaps/root.xml\n  sitemap:https://host"),
+            F.col("h"),
+            F.lit(".example.com/sm2.xml   \nCrawl-delay: 5\n"
+                  "# Sitemap: https://ignored.example/x.xml"),
+        ).alias("robots_txt"),
+    )
+    return sitemap_directives(robots)

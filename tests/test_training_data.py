@@ -1951,3 +1951,100 @@ class TestRobots:
         # metachars in the rule are literal, not regex ('+' must not loop)
         assert got["https://h2.example/a+b(c)/q"] is False
         assert got["https://h2.example/aab/q"] is True
+
+
+class TestSitemaps:
+    URLSET = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>https://a.example/p/1</loc>"
+        "<lastmod>2026-05-04T12:00:00+02:00</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>\n"
+        "<url>\n  <loc> https://a.example/p?x=1&amp;y=&lt;2&gt; </loc>\n"
+        "  <changefreq><![CDATA[monthly]]></changefreq>\n</url>\n"
+        "<url><priority>0.9</priority></url>\n"  # no <loc> -> dropped
+        "</urlset>"
+    )
+    INDEX = (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>https://a.example/sm-1.xml</loc>"
+        "<lastmod>2026-04-01</lastmod></sitemap></sitemapindex>"
+    )
+
+    def _parse(self, spark, xml):
+        from logstash_spark.functions.crawl import parse_sitemaps
+
+        df = spark.createDataFrame(
+            [("https://a.example/sitemap.xml", xml)],
+            "sitemap_url string, sitemap_xml string",
+        )
+        return parse_sitemaps(df).collect()
+
+    def test_urlset_entries(self, spark):
+        rows = {r.loc: r for r in self._parse(spark, self.URLSET)}
+        assert len(rows) == 2  # loc-less entry dropped
+        full = rows["https://a.example/p/1"]
+        assert full.kind == "url"
+        assert full.lastmod == "2026-05-04T12:00:00+02:00"
+        assert str(full.lastmod_date) == "2026-05-04"
+        assert full.changefreq == "daily"
+        assert str(full.priority) == "0.8"
+        # entities decoded (&amp; last), whitespace trimmed, CDATA unwrapped
+        ent = rows["https://a.example/p?x=1&y=<2>"]
+        assert ent.changefreq == "monthly"
+        assert ent.lastmod is None and ent.lastmod_date is None
+        assert ent.priority is None
+
+    def test_sitemapindex_children(self, spark):
+        (r,) = self._parse(spark, self.INDEX)
+        assert r.kind == "sitemap"
+        assert r.loc == "https://a.example/sm-1.xml"
+        assert r.lastmod == "2026-04-01"
+        assert str(r.lastmod_date) == "2026-04-01"
+        assert r.changefreq is None and r.priority is None
+
+    def test_mixed_and_hostile(self, spark):
+        from logstash_spark.functions.crawl import parse_sitemaps
+
+        df = spark.createDataFrame(
+            [
+                ("sm-mixed", "<url><loc>https://m.example/1</loc></url>"
+                             "<sitemap><loc>https://m.example/c.xml</loc></sitemap>"),
+                ("sm-empty", ""),
+                ("sm-null", None),
+                ("sm-garbage", "<<<>>> not xml &&& <url><loc></url>"),
+                ("sm-unclosed", "<url><loc>https://m.example/2"),
+                ("sm-badmod", "<url><loc>u</loc><lastmod>soon</lastmod></url>"),
+            ],
+            "sitemap_url string, sitemap_xml string",
+        )
+        rows = parse_sitemaps(df).collect()  # must not throw
+        got = {(r.sitemap_url, r.kind, r.loc) for r in rows}
+        assert ("sm-mixed", "url", "https://m.example/1") in got
+        assert ("sm-mixed", "sitemap", "https://m.example/c.xml") in got
+        assert {r.sitemap_url for r in rows} == {"sm-mixed", "sm-badmod"}
+        (bad,) = [r for r in rows if r.sitemap_url == "sm-badmod"]
+        assert bad.lastmod == "soon" and bad.lastmod_date is None
+
+    def test_directives(self, spark):
+        from logstash_spark.functions.crawl import sitemap_directives
+
+        txt = (
+            "User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://h.example/sm.xml\n"
+            "  SITEMAP:https://h.example/sm2.xml#frag   \n"
+            "# Sitemap: https://h.example/ignored.xml\n"
+            "Crawl-delay: 5\n"
+            "Sitemap:\n"  # empty value -> ignored
+        )
+        df = spark.createDataFrame(
+            [("h.example", txt), ("empty.example", None)],
+            "host string, robots_txt string",
+        )
+        got = {(r.host, r.sitemap_url) for r in sitemap_directives(df).collect()}
+        # '#' inside the URL is kept verbatim (legal in URLs); the
+        # commented-out line and the valueless directive are ignored
+        assert got == {
+            ("h.example", "https://h.example/sm.xml"),
+            ("h.example", "https://h.example/sm2.xml#frag"),
+        }
