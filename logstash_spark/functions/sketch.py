@@ -1,0 +1,264 @@
+"""Mergeable frequency / cardinality sketches (Count-Min, HyperLogLog,
+Misra-Gries) as pure DataFrame expressions.
+
+The reference keeps per-flush exact counters in its metrics filter
+(lib/logstash/filters/metrics.rb:1-140 — meters are plain hashes flushed
+on a timer); at 10^12 documents exact per-key state is the thing that
+does NOT scale, so this module provides the fixed-size mergeable
+summaries a 100 TB pipeline uses instead (Agarwal et al., "Mergeable
+Summaries", PODS 2012; Cormode & Muthukrishnan 2005 for CM; Flajolet et
+al. 2007 for HLL). Three properties drive the design:
+
+- **Integer-deterministic.** Every hash is md5-hex -> fixed-width int
+  (the repo-wide ``conv(substr(md5(x),1,N),16,10)`` idiom), every counter
+  a BIGINT, so DuckDB replays the whole sketch bit-for-bit and the value
+  oracle covers not just the answers but the sketch state itself.
+- **Map-side mergeable.** CM cells and HLL registers are groupBy keys
+  with ``count``/``max`` aggregates — partial aggregation collapses each
+  executor's stream to at most d*w / m rows before the (tiny, bounded)
+  shuffle. Nothing proportional to the corpus crosses the wire.
+- **Bounded final stage.** The only single-partition step anywhere is
+  the Misra-Gries global merge over <= shards*k pre-pruned rows — a
+  compile-time constant, never data-dependent.
+
+No Python runs per row; no driver collect exists in any path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from logstash_spark.functions.text import normalize_text
+
+
+def _hex_int(h: Column, start: int, length: int) -> Column:
+    """First ``length`` hex chars of ``h`` from ``start`` (1-based) as a
+    BIGINT — mirrored in DuckDB as CAST('0x' || substr(h, start, length)
+    AS BIGINT)."""
+    return F.conv(F.substring(h, start, length), 16, 10).cast("bigint")
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized whitespace tokens, one row per occurrence (column
+    ``tok``). The explode is map-only; downstream sketches aggregate it
+    away before any shuffle."""
+    return (
+        df.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def cms_build(toks: DataFrame, *, d: int = 4, w: int = 512) -> DataFrame:
+    """Count-Min sketch of the ``tok`` stream: ``(r, c, cnt)`` — d*w cells
+    total, one cell per (row, md5-salted column). One wide map stage
+    (each token contributes d cells via an inline array explode — a
+    single pass over the data, not d scans) followed by a groupBy whose
+    partial aggregation bounds the shuffle at d*w rows per task."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    _hex_int(
+                        F.md5(F.concat_ws("|", F.lit(str(r)), F.col("tok"))), 1, 6
+                    )
+                    % w
+                ).alias("c"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        toks.select(F.explode(cells).alias("cell"))
+        .select("cell.r", "cell.c")
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_probe(
+    cms: DataFrame, probes: DataFrame, *, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Point-query the sketch for each ``tok`` in ``probes``: the CM
+    estimate is min over rows of the addressed cell (0 when the cell was
+    never touched). The sketch side is at most d*w rows, so the join
+    broadcasts it — probing costs no shuffle at any corpus size."""
+    keyed = probes.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            _hex_int(
+                                F.md5(
+                                    F.concat_ws("|", F.lit(str(r)), F.col("tok"))
+                                ),
+                                1,
+                                6,
+                            )
+                            % w
+                        ).alias("c"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "cell.r", "cell.c")
+    joined = keyed.join(F.broadcast(cms), ["r", "c"], "left")
+    return joined.groupBy("tok").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (p = 12, m = 4096 registers)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P  # 4096; p=12 <=> exactly 3 md5 hex chars of register
+
+# The estimate arithmetic as ONE textual SQL expression evaluated by both
+# engines (F.expr here, verbatim in the oracle): every literal is CAST to
+# DOUBLE so neither engine routes through its decimal type, and the
+# left-associative fold order is pinned by the text itself. IEEE doubles
+# make +,*,/ identical across JVMs and C — only ln() is merely
+# faithfully-rounded, a <=1-ulp risk the engine-side round(,4) absorbs
+# except on measure-zero boundaries.
+_HLL_RAW_EXPR = (
+    "CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)"
+    " / CAST(4096 AS DOUBLE)) * CAST(4096 AS DOUBLE) * CAST(4096 AS DOUBLE)"
+    " * CAST(8589934592 AS DOUBLE) / CAST(s_scaled AS DOUBLE)"
+)
+_HLL_EST_EXPR = (
+    f"CASE WHEN ({_HLL_RAW_EXPR}) <= CAST(10240 AS DOUBLE) AND zero_regs > 0"
+    " THEN round(CAST(4096 AS DOUBLE)"
+    " * ln(CAST(4096 AS DOUBLE) / CAST(zero_regs AS DOUBLE)), 4)"
+    f" ELSE round({_HLL_RAW_EXPR}, 4) END"
+)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """HLL register table ``(group..., reg, mrho)`` for the distinct-count
+    of ``value_col`` per group. reg = first 12 hash bits, rho = leading
+    zeros of the next 32 bits + 1 (33 - bit-length, via the bin()
+    function both engines share). groupBy(group, reg) max(rho) is the
+    entire build — mergeable by construction, <= m rows per group."""
+    h = F.md5(F.col(value_col).cast("string"))
+    v = _hex_int(h, _HLL_P // 4 + 1, 8)
+    rho = F.when(v == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(v))
+    )
+    return df.groupBy(
+        *group_cols, _hex_int(h, 1, _HLL_P // 4).alias("reg")
+    ).agg(F.max(rho).alias("mrho"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers -> per-group cardinality estimate. The power sum stays in
+    exact BIGINT space scaled by 2^33 (max m * 2^33 = 2^45, no overflow);
+    only the final division is floating point, and the small-range
+    branch (linear counting, est <= 2.5m with empty registers — Flajolet
+    et al. 2007 §4) switches on exact integer predicates so both engines
+    always take the same branch."""
+    m = _HLL_M
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("present"),
+        F.sum(
+            # shiftleft's python signature wants a literal shift count, so
+            # the column-shift goes through the SQL form (same plan)
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - mrho AS INT))")
+        ).alias("s_present"),
+    )
+    s = (F.col("s_present") + (F.lit(m) - F.col("present")) * F.lit(1 << 33)).alias(
+        "s_scaled"
+    )
+    zeros = (F.lit(m) - F.col("present")).alias("zero_regs")
+    return agg.select(*group_cols, "present", zeros, s).withColumn(
+        "est_hll", F.expr(_HLL_EST_EXPR)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (sharded exact counts + MG prune-merge)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters_mg(
+    toks: DataFrame, *, k: int = 8, local_k: int = 5, shards: int = 4
+) -> DataFrame:
+    """Heavy hitters with Misra-Gries error accounting: ``(tok, est,
+    err_bound)`` where est <= true count <= est + err_bound.
+
+    Shape: tokens shard by hash (all copies of a token land together, so
+    per-shard counts are exact and the result is order-independent —
+    unlike streaming MG, nothing here depends on arrival order); each
+    shard prunes to its ``local_k`` largest counters by subtracting the
+    (local_k+1)-th count (the published MG merge/prune step, which is
+    what makes the summary mergeable); the survivors — at most
+    shards*local_k rows, a compile-time constant — merge through one
+    final prune to ``k``. err_bound accumulates both subtractions.
+    Ties break on token text so the cut is deterministic on both
+    engines."""
+    sc = (
+        toks.withColumn("shard", _hex_int(F.md5(F.col("tok")), 1, 4) % shards)
+        .groupBy("shard", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wl = W.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = sc.withColumn("rn", F.row_number().over(wl))
+    thr = (
+        ranked.groupBy("shard")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rn") == local_k + 1, F.col("cnt"))), F.lit(0)
+            ).alias("thr")
+        )
+    )
+    local = (
+        ranked.filter(F.col("rn") <= local_k)
+        .join(F.broadcast(thr), "shard")
+        .select(
+            "tok",
+            (F.col("cnt") - F.col("thr")).alias("est"),
+            F.col("thr").alias("err"),
+        )
+        .filter(F.col("est") > 0)
+    )
+    # global merge: input is <= shards*local_k rows by construction, so the
+    # empty-partition window is a bounded constant, not a data-sized sort
+    wg = W.orderBy(F.desc("est"), F.asc("tok"))
+    g = local.withColumn("rn", F.row_number().over(wg))
+    # the (k+1)-th estimate as a full-frame window over the same tiny
+    # stage — cheaper than a 1-row cross join and keeps the plan
+    # BNLJ-free for the audit
+    wall = wg.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    g = g.withColumn(
+        "gthr",
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("est"))).over(wall), F.lit(0)
+        ),
+    )
+    return (
+        g.filter(F.col("rn") <= k)
+        .select(
+            "tok",
+            (F.col("est") - F.col("gthr")).alias("est"),
+            (F.col("err") + F.col("gthr")).alias("err_bound"),
+        )
+        .filter(F.col("est") > 0)
+    )

@@ -5290,3 +5290,172 @@ def sitemap_directives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robots_txt"),
     )
     return sitemap_directives(robots)
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: mergeable sketches (Count-Min, HyperLogLog, Misra-Gries) — the
+# fixed-size summaries that replace the reference's exact per-key metrics
+# state (filters/metrics.rb) at 10^12-doc scale. Every sketch is
+# integer-deterministic, so the oracle replays the full sketch STATE, not
+# just the answers.
+# ---------------------------------------------------------------------------
+
+_NORM_TOKS_CTE = f"""WITH tk0 AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), t AS (SELECT tok FROM tk0 WHERE tok <> '')"""
+
+_CMS_PROBES = ["the", "join", "merge", "window", "data", "zzqabsent"]
+
+
+@q(
+    "sketch_cms",
+    f"""{_NORM_TOKS_CTE},
+rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cells AS (
+  SELECT r,
+         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 6)) AS BIGINT) % 16 AS c,
+         COUNT(*) AS cnt
+  FROM t, rs GROUP BY 1, 2
+),
+probes AS (SELECT unnest({_CMS_PROBES!r}) AS tok),
+pc AS (
+  SELECT p.tok, rs.r,
+         CAST(('0x' || substr(md5(CAST(rs.r AS VARCHAR) || '|' || p.tok), 1, 6)) AS BIGINT) % 16 AS c
+  FROM probes p, rs
+),
+est AS (
+  SELECT pc.tok, MIN(COALESCE(cells.cnt, 0)) AS est
+  FROM pc LEFT JOIN cells ON pc.r = cells.r AND pc.c = cells.c
+  GROUP BY pc.tok
+),
+ex AS (SELECT tok, COUNT(*) AS exact FROM t GROUP BY tok)
+SELECT est.tok, est.est, COALESCE(ex.exact, 0) AS exact,
+       est.est - COALESCE(ex.exact, 0) AS overcount
+FROM est LEFT JOIN ex ON est.tok = ex.tok""",
+)
+def sketch_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) over the
+    documents token stream, deliberately undersized (d=4, w=16 for a
+    31-token vocabulary) so hash collisions actually fire: the probe set
+    includes an absent token whose estimate is pure collision mass, and
+    `overcount = est - exact` exposes the one-sided error per probe
+    (always >= 0 — pinned in pytest). Build is one map pass + a groupBy
+    bounded at d*w rows; probe is a broadcast join. The oracle rebuilds
+    the identical sketch cell-for-cell in DuckDB."""
+    from logstash_spark.functions.sketch import cms_build, cms_probe, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(d)
+    cms = cms_build(tk, d=4, w=16)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "tok string")
+    est = cms_probe(cms, probes, d=4, w=16)
+    exact = (
+        tk.filter(F.col("tok").isin(_CMS_PROBES))
+        .groupBy("tok")
+        .agg(F.count("*").alias("exact"))
+    )
+    return est.join(exact, "tok", "left").select(
+        "tok",
+        "est",
+        F.coalesce(F.col("exact"), F.lit(0)).cast("bigint").alias("exact"),
+        (F.col("est") - F.coalesce(F.col("exact"), F.lit(0))).alias("overcount"),
+    )
+
+
+from logstash_spark.functions.sketch import _HLL_EST_EXPR as _HLL_EXPR  # noqa: E402
+
+
+@q(
+    "sketch_hll",
+    f"""WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+), rr AS (
+  SELECT event_type,
+         CAST(('0x' || substr(hx, 1, 3)) AS BIGINT) AS reg,
+         CAST(('0x' || substr(hx, 4, 8)) AS BIGINT) AS v
+  FROM h
+), regs AS (
+  SELECT event_type, reg,
+         MAX(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS mrho
+  FROM rr GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, COUNT(*) AS present,
+         SUM(CAST(1 AS BIGINT) << CAST(33 - mrho AS INT)) AS s_present
+  FROM regs GROUP BY 1
+), st AS (
+  SELECT event_type, present,
+         4096 - present AS zero_regs,
+         CAST(s_present + (4096 - present) * (CAST(1 AS BIGINT) << 33) AS BIGINT) AS s_scaled
+  FROM agg
+)
+SELECT st.event_type, st.present, st.zero_regs, st.s_scaled,
+       {_HLL_EXPR} AS est_hll,
+       ex.exact_distinct
+FROM st JOIN (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+) ex ON st.event_type = ex.event_type""",
+)
+def sketch_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type (Flajolet et al.
+    2007, p=12 / 4096 registers) with the register table, power sum and
+    branch selection all in exact BIGINT space — the oracle rebuilds the
+    sketch STATE register-for-register, then both engines evaluate the
+    one shared textual estimate expression (sketch._HLL_EST_EXPR) so the
+    float path cannot diverge structurally. exact_distinct rides along
+    so pytest pins the HLL error envelope (<2% at p=12) too."""
+    from logstash_spark.functions.sketch import hll_estimate, hll_registers
+
+    e = load_table(spark, sf_dir, "events")
+    regs = hll_registers(e, ["event_type"], "user_id")
+    est = hll_estimate(regs, ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "present", "zero_regs", "s_scaled", "est_hll", "exact_distinct"
+    )
+
+
+@q(
+    "sketch_heavy_hitters",
+    f"""{_NORM_TOKS_CTE},
+sc AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 4 AS shard,
+         tok, COUNT(*) AS cnt
+  FROM t GROUP BY 1, 2
+), r AS (
+  SELECT shard, tok, cnt,
+         row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, tok) AS rn
+  FROM sc
+), thr AS (
+  SELECT shard, COALESCE(MAX(CASE WHEN rn = 6 THEN cnt END), 0) AS thr
+  FROM r GROUP BY shard
+), loc AS (
+  SELECT r.tok, r.cnt - thr.thr AS est, thr.thr AS err
+  FROM r JOIN thr USING (shard)
+  WHERE r.rn <= 5 AND r.cnt - thr.thr > 0
+), g AS (
+  SELECT tok, est, err, row_number() OVER (ORDER BY est DESC, tok) AS rn FROM loc
+), gt AS (
+  SELECT COALESCE(MAX(CASE WHEN rn = 9 THEN est END), 0) AS gthr FROM g
+), ex AS (SELECT tok, COUNT(*) AS exact FROM t GROUP BY tok)
+SELECT g.tok, g.est - gt.gthr AS est, g.err + gt.gthr AS err_bound, ex.exact
+FROM g CROSS JOIN gt JOIN ex ON g.tok = ex.tok
+WHERE g.rn <= 8 AND g.est - gt.gthr > 0""",
+)
+def sketch_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters via the mergeable-summaries prune-merge
+    (Agarwal et al. 2012): exact per-shard counts (sharding by token
+    hash makes the summary order-independent, unlike streaming MG),
+    local prune to 5 counters per shard, global prune of the <=
+    shards*local_k = 20 survivors to k=8. est <= exact <= est+err_bound
+    by construction — the joined exact column lets both the oracle and
+    pytest check the sandwich on every returned token."""
+    from logstash_spark.functions.sketch import heavy_hitters_mg, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(d)
+    hh = heavy_hitters_mg(tk, k=8, local_k=5, shards=4)
+    exact = tk.groupBy("tok").agg(F.count("*").alias("exact"))
+    return hh.join(exact, "tok").select("tok", "est", "err_bound", "exact")
