@@ -269,3 +269,127 @@ def sitemap_directives(
     return lines.select("host", F.nullif(url, F.lit("")).alias("sitemap_url")).filter(
         F.col("sitemap_url").isNotNull()
     )
+
+
+# ---------------------------------------------------------------------------
+# CDX capture index + WET conversion records (the two derived artifacts a
+# Common-Crawl-style corpus ships alongside the raw WARCs)
+# ---------------------------------------------------------------------------
+
+
+def surt_key(url: Column) -> Column:
+    """SURT-canonical urlkey (the CDX sort key): lowercased, host
+    dot-reversed and comma-joined with a leading ``www.`` and default
+    ports stripped, query parameters sorted — ``com,example)/path?a=1``.
+
+    Documented subset of the full public SURT spec: %-encoding is left
+    as-is and session-id params are not stripped (both are lossy
+    heuristics; the key stays a pure function of the URL text so both
+    engines derive it identically)."""
+    u = F.lower(url)
+    hostport = F.regexp_extract(u, r"^[a-z]+://([^/?#]+)", 1)
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    # default ports vanish; any other port trails the REVERSED host
+    # (com,example:8080) — it is part of the authority, not a label
+    portsuf = F.when(port.isin("", "80", "443"), F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    rev = F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), portsuf)
+    path = F.regexp_extract(u, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    q = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    )
+    return F.concat(rev, F.lit(")"), path, q)
+
+
+def cdx_index(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "text",
+    status_col: str | None = None,
+    mime: str = "text/html",
+) -> DataFrame:
+    """Per-capture CDX index rows ``(urlkey, ts14, url, mime, status,
+    digest, length, cdx_line)`` — the lookup artifact crawl consumers
+    sort by (urlkey, timestamp) to answer "which captures exist for this
+    URL". Map-only column expressions; at corpus scale the index writes
+    through a bucketed-by-urlkey sink so lookups prune. Digest is
+    sha256-hex of the payload (the public CDX format's sha1-base32 isn't
+    portable across both engines; the field's role — capture identity —
+    is unchanged)."""
+    status = (
+        F.col(status_col).cast("int") if status_col else F.lit(None).cast("int")
+    )
+    out = df.select(
+        surt_key(F.col(url_col)).alias("urlkey"),
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
+        F.col(url_col).alias("url"),
+        F.lit(mime).alias("mime"),
+        status.alias("status"),
+        F.sha2(F.col(payload_col), 256).alias("digest"),
+        F.octet_length(F.col(payload_col)).cast("bigint").alias("length"),
+    )
+    return out.withColumn(
+        "cdx_line",
+        F.concat_ws(
+            " ",
+            "urlkey",
+            "ts14",
+            "url",
+            "mime",
+            F.coalesce(F.col("status").cast("string"), F.lit("-")),
+            "digest",
+            F.col("length").cast("string"),
+        ),
+    )
+
+
+def wet_records(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """WET-style ``conversion`` records: the extracted-text sibling of a
+    response WARC, one record per page, built entirely from column
+    expressions — ``(url, record_id, content_length, wet)`` where ``wet``
+    is the full WARC/1.0 record text. Header order and the
+    ``<urn:uuid:md5(url|date)>`` record-id scheme match
+    sources/warc.py:encode_warc_record, so the emitted bytes round-trip
+    through parse_warc (pinned in tests). Content-Length counts payload
+    BYTES (octet_length), as the spec requires."""
+    date = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    rid = F.concat(
+        F.lit("<urn:uuid:"),
+        F.md5(F.concat_ws("|", F.col(url_col), date)),
+        F.lit(">"),
+    )
+    clen = F.octet_length(F.col(text_col)).cast("bigint")
+    wet = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: "),
+        rid,
+        F.lit("\r\nWARC-Date: "),
+        date,
+        F.lit("\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Block-Digest: sha256:"),
+        F.sha2(F.col(text_col), 256),
+        F.lit("\r\nContent-Length: "),
+        clen.cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col(text_col),
+        F.lit("\r\n\r\n"),
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        rid.alias("record_id"),
+        clen.alias("content_length"),
+        wet.alias("wet"),
+    )

@@ -5459,3 +5459,100 @@ def sketch_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hh = heavy_hitters_mg(tk, k=8, local_k=5, shards=4)
     exact = tk.groupBy("tok").agg(F.count("*").alias("exact"))
     return hh.join(exact, "tok").select("tok", "est", "err_bound", "exact")
+
+
+# ---------------------------------------------------------------------------
+# Round 4d: CDX capture index + WET conversion records — the two derived
+# artifacts a Common-Crawl-style corpus ships alongside raw WARCs.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "cdx_index",
+    f"""{_PAGES_CTE},
+v AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN replace(url, 'https://host', 'https://www.host')
+              WHEN event_id % 3 = 1 THEN url || '?b=2&a=1&c=' || CAST(event_id AS VARCHAR)
+              ELSE url END AS url,
+         warc_ts, text, response
+  FROM pages
+), parts AS (
+  SELECT url, warc_ts, text, response,
+         regexp_replace(regexp_replace(
+           regexp_extract(lower(url), '^[a-z]+://([^/?#]+)', 1),
+           '^www\\.', ''), ':(80|443)$', '') AS host,
+         regexp_extract(lower(url), '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+         regexp_extract(lower(url), '\\?([^#]*)', 1) AS qs
+  FROM v
+), keyed AS (
+  SELECT array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
+         || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+         || (CASE WHEN qs = '' THEN ''
+                  ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&') END)
+           AS urlkey,
+         strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
+         url, 'text/html' AS mime, CAST(response AS INT) AS status,
+         sha256(text) AS digest,
+         CAST(octet_length(encode(text)) AS BIGINT) AS length
+  FROM parts
+)
+SELECT urlkey, ts14, url, mime, status, digest, length,
+       urlkey || ' ' || ts14 || ' ' || url || ' ' || mime || ' '
+       || CAST(status AS VARCHAR) || ' ' || digest || ' '
+       || CAST(length AS VARCHAR) AS cdx_line
+FROM keyed""",
+)
+def cdx_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index over pages with SURT urlkeys: a third of the
+    URLs gain a 'www.' host prefix (must strip), a third an unsorted
+    query string '?b=2&a=1&c=N' (must sort), so the canonicalization
+    actually fires. The oracle derives every field independently with
+    DuckDB's own list/regex primitives — not by replaying the engine's
+    expressions — and the cdx_line column pins the full serialized
+    index row."""
+    from logstash_spark.functions.crawl import cdx_index
+
+    p = _pages(spark, sf_dir)
+    u2 = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.replace(F.col("url"), F.lit("https://host"), F.lit("https://www.host")),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.col("url"), F.lit("?b=2&a=1&c="), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.col("url"))
+    )
+    return cdx_index(p.withColumn("url", u2), status_col="response")
+
+
+@q(
+    "wet_records",
+    f"""{_PAGES_CTE},
+w AS (
+  SELECT url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS d, text FROM pages
+)
+SELECT url,
+       '<urn:uuid:' || md5(url || '|' || d) || '>' AS record_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       'WARC/1.0' || chr(13) || chr(10)
+       || 'WARC-Type: conversion' || chr(13) || chr(10)
+       || 'WARC-Record-ID: <urn:uuid:' || md5(url || '|' || d) || '>' || chr(13) || chr(10)
+       || 'WARC-Date: ' || d || chr(13) || chr(10)
+       || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+       || 'WARC-Block-Digest: sha256:' || sha256(text) || chr(13) || chr(10)
+       || 'Content-Length: ' || CAST(octet_length(encode(text)) AS VARCHAR)
+       || chr(13) || chr(10) || chr(13) || chr(10)
+       || text || chr(13) || chr(10) || chr(13) || chr(10) AS wet
+FROM w""",
+)
+def wet_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion records (extracted-text WARC siblings) as pure
+    column expressions; the oracle reassembles the byte-exact record
+    text — headers, CRLFs, digest, md5 record id — so any drift in
+    framing or Content-Length flips the hash. Round-trip through
+    sources/warc.py:parse_warc is pinned in tests."""
+    from logstash_spark.functions.crawl import wet_records
+
+    return wet_records(_pages(spark, sf_dir))

@@ -1,0 +1,89 @@
+"""CDX / SURT / WET artifacts: the oracle gate pins cross-engine value
+equality; these tests pin the SEMANTICS — SURT canonicalization cases and
+the WET round-trip through the repo's own WARC parser (emitted bytes must
+be a well-formed WARC stream, not just a matching string)."""
+
+from pyspark.sql import functions as F
+
+from logstash_spark.functions.crawl import cdx_index, surt_key, wet_records
+from logstash_spark.sources.warc import parse_warc
+
+
+def _key(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(surt_key(F.col("url")).alias("k")).collect()[0]["k"]
+
+
+class TestSurt:
+    def test_host_reversed_and_www_stripped(self, spark):
+        assert _key(spark, "https://www.example.com/a") == "com,example)/a"
+
+    def test_default_port_stripped(self, spark):
+        assert _key(spark, "http://example.com:80/a") == "com,example)/a"
+        assert _key(spark, "https://example.com:443/a") == "com,example)/a"
+        # non-default port survives (it addresses a different capture)
+        assert _key(spark, "http://example.com:8080/a") == "com,example:8080)/a"
+
+    def test_query_params_sorted(self, spark):
+        assert (
+            _key(spark, "https://example.com/p?b=2&a=1")
+            == "com,example)/p?a=1&b=2"
+        )
+
+    def test_empty_path_becomes_slash_and_fragment_dropped(self, spark):
+        assert _key(spark, "https://example.com") == "com,example)/"
+        assert _key(spark, "https://example.com/a#frag") == "com,example)/a"
+
+    def test_case_folds(self, spark):
+        assert _key(spark, "HTTPS://Example.COM/Path") == "com,example)/path"
+
+
+class TestCdx:
+    def test_fields_and_line(self, spark):
+        df = spark.createDataFrame(
+            [("https://www.example.com/p?b=2&a=1", "2026-01-02 03:04:05", "hello", "200")],
+            "url string, warc_ts string, text string, response string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        r = cdx_index(df, status_col="response").collect()[0]
+        assert r["urlkey"] == "com,example)/p?a=1&b=2"
+        assert r["ts14"] == "20260102030405"
+        assert r["status"] == 200
+        assert r["length"] == 5
+        assert r["cdx_line"].split(" ")[0] == r["urlkey"]
+        assert r["cdx_line"].split(" ")[1] == r["ts14"]
+
+    def test_length_counts_bytes_not_chars(self, spark):
+        df = spark.createDataFrame(
+            [("https://e.com/", "2026-01-01 00:00:00", "hé", "200")],
+            "url string, warc_ts string, text string, response string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        r = cdx_index(df, status_col="response").collect()[0]
+        assert r["length"] == 3  # 'h' + 2-byte e-acute
+
+
+class TestWet:
+    def test_roundtrip_through_parse_warc(self, spark, sf_dir):
+        from logstash_spark.sources.pages import pages_from_events
+
+        p = pages_from_events(spark, sf_dir).limit(50)
+        rows = wet_records(p).collect()
+        src = {r.url: r for r in p.select("url", "text", "warc_ts").collect()}
+        stream = "".join(r["wet"] for r in rows).encode()
+        parsed = list(parse_warc(stream))
+        assert len(parsed) == len(rows) == 50
+        for url, date, wtype, rid, status, ctype, body in parsed:
+            assert wtype == "conversion"
+            assert status is None and ctype is None
+            assert body.decode() == src[url].text
+        # record ids match the engine's declared ids
+        assert {p_[3] for p_ in parsed} == {r["record_id"] for r in rows}
+
+    def test_content_length_exact_on_multibyte(self, spark):
+        df = spark.createDataFrame(
+            [("https://e.com/", "2026-01-01 00:00:00", "café ☃")],
+            "url string, warc_ts string, text string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        r = wet_records(df).collect()[0]
+        assert r["content_length"] == len("café ☃".encode())
+        parsed = list(parse_warc(r["wet"].encode()))
+        assert len(parsed) == 1 and parsed[0][6].decode() == "café ☃"
