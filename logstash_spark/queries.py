@@ -5556,3 +5556,44 @@ def wet_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_spark.functions.crawl import wet_records
 
     return wet_records(_pages(spark, sf_dir))
+
+
+@q(
+    "main_content_extract",
+    f"""{_PAGES_CTE}
+SELECT url,
+       CAST(4 AS BIGINT) AS n_blocks,
+       CAST(1 AS BIGINT) AS n_kept,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text
+FROM pages""",
+)
+def main_content_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style main-content extraction over a fully structured page:
+    the synthesized html wraps the apache-line text in an <article><p>
+    flanked by a 3-link <nav> (link density 1 -> dropped), a <script>
+    with plausible JS (head/script strip must erase it BEFORE block
+    segmentation), a link-only share <div> (density 1 -> dropped) and a
+    2-word <footer> (min_words -> dropped). The oracle states the
+    EXPECTED outcome arithmetically — 4 non-empty blocks, exactly 1
+    survivor, survivor text = the whitespace-collapsed page text — so
+    any segmentation/scoring drift breaks the hash; it does not replay
+    the engine's algorithm."""
+    from logstash_spark.functions.text import main_content
+
+    p = _pages(spark, sf_dir)
+    html2 = F.concat(
+        F.lit(
+            '<html><head><title>x</title></head><body>'
+            '<nav><a href="/">Home</a> <a href="/about">About</a>'
+            ' <a href="/login">Login</a></nav>'
+            "<script>var x = document.getElementById('m'); x.innerHTML = 'many words here to leak if unstripped';</script>"
+            "<article><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            '</p></article><div class="share"><a href="s">share this page now</a>'
+            "</div><footer>host footer</footer></body></html>"
+        ),
+    )
+    out = main_content(p.withColumn("html_str", html2), "html_str")
+    return out.select("url", "n_blocks", "n_kept", "main_text")

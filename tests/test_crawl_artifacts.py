@@ -87,3 +87,72 @@ class TestWet:
         assert r["content_length"] == len("café ☃".encode())
         parsed = list(parse_warc(r["wet"].encode()))
         assert len(parsed) == 1 and parsed[0][6].decode() == "café ☃"
+
+
+class TestMainContent:
+    def _run(self, spark, html):
+        from logstash_spark.functions.text import main_content
+
+        df = spark.createDataFrame([(html,)], "html_str string")
+        return main_content(df, "html_str").collect()[0]
+
+    def test_boilerplate_dropped_content_kept(self, spark):
+        r = self._run(
+            spark,
+            '<body><nav><a href="/">Home</a> <a href="/a">About</a> <a>More</a></nav>'
+            "<p>the actual article body with plenty of words to keep</p>"
+            "<footer>copyright host</footer></body>",
+        )
+        assert r["main_text"] == "the actual article body with plenty of words to keep"
+        assert r["n_kept"] == 1 and r["n_blocks"] == 3
+
+    def test_head_script_style_never_leak(self, spark):
+        r = self._run(
+            spark,
+            "<html><head><title>one two three four five six</title></head><body>"
+            "<script>var boiler = 'one two three four five six seven';</script>"
+            "<style>p { color: red; } div { margin: 0 auto; }</style>"
+            "<p>real words that should be the only survivor here</p></body></html>",
+        )
+        assert r["main_text"] == "real words that should be the only survivor here"
+        assert r["n_kept"] == 1
+
+    def test_link_density_boundary(self, spark):
+        # exactly half the chars inside anchors -> lk*2 == len -> KEPT
+        body = '<p>aaaa bbbb <a href="x">cccc dddd</a></p>'
+        r = self._run(spark, body)
+        # txt = 'aaaa bbbb cccc dddd' (19 chars), lk = 'cccc dddd' (9): kept
+        assert r["n_kept"] == 1
+        # push the anchor text over half -> dropped
+        r2 = self._run(spark, '<p>aaaa <a href="x">cccc dddd eeee</a></p>')
+        assert r2["n_kept"] == 0
+
+    def test_min_words(self, spark):
+        assert self._run(spark, "<p>two words</p>")["n_kept"] == 0
+        assert self._run(spark, "<p>now three words</p>")["n_kept"] == 1
+
+    def test_multiple_survivors_join_with_newline(self, spark):
+        r = self._run(
+            spark,
+            "<p>first paragraph has words</p><div>second block also has words</div>",
+        )
+        assert r["main_text"] == "first paragraph has words\nsecond block also has words"
+        assert r["n_kept"] == 2
+
+    def test_hostile_never_throws(self, spark):
+        for h in ["", "<", "<p", "<p><p><p>", "<a href=></a>", "\x00\x01", "a<>b",
+                  "<script>unterminated", "<p>ok fine words</p><script>"]:
+            self._run(spark, h)  # must not raise
+
+    def test_plan_is_python_free_and_shuffle_free(self, spark):
+        from logstash_spark.functions.text import main_content
+
+        df = spark.createDataFrame([("<p>a b c</p>",)], "html_str string")
+        plan = (
+            main_content(df, "html_str")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
