@@ -144,6 +144,13 @@ HEADLINE = [
     "anchor_text_agg",
     "crawl_frontier",
     "sitemap_parse",
+    # round-4d additions
+    "sketch_cms",
+    "sketch_hll",
+    "sketch_heavy_hitters",
+    "cdx_index",
+    "wet_records",
+    "main_content_extract",
 ]
 
 

@@ -393,3 +393,53 @@ def wet_records(
         clen.alias("content_length"),
         wet.alias("wet"),
     )
+
+
+def host_blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    *,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    max_labels: int = 8,
+) -> DataFrame:
+    """Domain-blocklist gate (the UT1/adult-filtering step every web
+    corpus runs before training): a URL is blocked when its host equals
+    a blocked domain OR is any subdomain of one.
+
+    Scale shape: one left BROADCAST equi-join per suffix depth (a host
+    has at most ``max_labels`` dot-separated labels, so at most 8 joins
+    of the same broadcast dim; the only Exchanges in the plan are the
+    dim-side distinct, O(blocklist) each). The corpus
+    side never shuffles and never explodes: no groupBy, no join-back, no
+    row-count change anywhere, which an explode+regroup formulation
+    cannot promise once the blocked fraction is large. Blocklists are
+    O(10^6) rows (tiny next to the corpus) and broadcast whole.
+
+    Adds ``blocked`` (bool) and ``blocked_domain`` (the matched suffix;
+    the LONGEST — most specific — wins when entries nest, because the
+    coalesce scans from the deepest suffix outward). Rows pass through
+    unchanged — filtering is the caller's choice, so drop accounting
+    stays visible."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#:]+)", 1))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    dim = blocked.select(F.lower(F.col(domain_col)).alias("_bl_dom")).distinct()
+    out = df.withColumn("_bl_labels", labels)
+    matched: list[str] = []
+    for i in range(1, max_labels + 1):
+        # suffix starting at label i (i=1 = the full host = longest)
+        sfx = F.when(
+            F.size("_bl_labels") >= i,
+            F.array_join(F.slice("_bl_labels", i, n), "."),
+        )
+        col = f"_bl_m{i}"
+        d = dim.withColumnRenamed("_bl_dom", col)
+        out = out.withColumn(f"_bl_s{i}", sfx).join(
+            F.broadcast(d), F.col(f"_bl_s{i}") == F.col(col), "left"
+        )
+        matched.append(col)
+    out = out.withColumn("blocked_domain", F.coalesce(*matched))
+    return out.drop(
+        "_bl_labels", *matched, *[f"_bl_s{i}" for i in range(1, max_labels + 1)]
+    ).withColumn("blocked", F.col("blocked_domain").isNotNull())

@@ -163,9 +163,13 @@ def hll_registers(
     rho = F.when(v == 0, F.lit(33)).otherwise(
         F.lit(33) - F.length(F.bin(v))
     )
-    return df.groupBy(
-        *group_cols, _hex_int(h, 1, _HLL_P // 4).alias("reg")
-    ).agg(F.max(rho).alias("mrho"))
+    # NULLs are not values: count-distinct semantics ignore them, so the
+    # sketch must too (a null would otherwise occupy a phantom register)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, _hex_int(h, 1, _HLL_P // 4).alias("reg"))
+        .agg(F.max(rho).alias("mrho"))
+    )
 
 
 def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:

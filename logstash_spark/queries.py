@@ -5597,3 +5597,54 @@ def main_content_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = main_content(p.withColumn("html_str", html2), "html_str")
     return out.select("url", "n_blocks", "n_kept", "main_text")
+
+
+@q(
+    "host_blocklist",
+    f"""{_PAGES_CTE},
+v AS (
+  SELECT CASE WHEN user_id % 3 = 0
+              THEN replace(url, 'https://host', 'https://cdn.host')
+              ELSE url END AS url,
+         CAST(user_id % 40 AS INT) AS hnum,
+         user_id % 3 = 0 AS sub
+  FROM pages)
+SELECT url,
+       CASE WHEN hnum IN (0, 13) OR hnum = 7 OR (hnum = 21 AND sub)
+            THEN TRUE ELSE FALSE END AS blocked,
+       CASE WHEN hnum = 7 AND sub THEN 'cdn.host7.example.com'
+            WHEN hnum IN (0, 7, 13)
+            THEN 'host' || CAST(hnum AS VARCHAR) || '.example.com'
+            WHEN hnum = 21 AND sub THEN 'cdn.host21.example.com'
+            ELSE NULL END AS blocked_domain
+FROM v""",
+)
+def host_blocklist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist URL gate (the UT1-style category filter): a third
+    of the URLs gain a 'cdn.' subdomain, and the blocklist mixes exact
+    hosts (must also catch their subdomains), a NESTED pair
+    (host7/cdn.host7 — the longest suffix must win for the cdn variant),
+    a subdomain-only entry (cdn.host21 must NOT block bare host21) and a
+    never-matching zone (example.org). The engine explodes each host
+    into its suffix chain and hash-joins the broadcast blocklist; the
+    oracle states the expected verdict per URL arithmetically."""
+    from logstash_spark.functions.crawl import host_blocklist_filter
+
+    p = _pages(spark, sf_dir)
+    u2 = F.when(
+        F.col("user_id") % 3 == 0,
+        F.replace(F.col("url"), F.lit("https://host"), F.lit("https://cdn.host")),
+    ).otherwise(F.col("url"))
+    blocked = spark.createDataFrame(
+        [
+            ("host0.example.com",),
+            ("host13.example.com",),
+            ("host7.example.com",),
+            ("cdn.host7.example.com",),
+            ("cdn.host21.example.com",),
+            ("example.org",),
+        ],
+        "domain string",
+    )
+    out = host_blocklist_filter(p.withColumn("url", u2), blocked)
+    return out.select("url", "blocked", "blocked_domain")

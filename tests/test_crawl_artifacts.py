@@ -156,3 +156,57 @@ class TestMainContent:
         )
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+class TestHostBlocklist:
+    def _run(self, spark, urls, domains):
+        from logstash_spark.functions.crawl import host_blocklist_filter
+
+        u = spark.createDataFrame([(x,) for x in urls], "url string")
+        d = spark.createDataFrame([(x,) for x in domains], "domain string")
+        return {
+            r["url"]: (r["blocked"], r["blocked_domain"])
+            for r in host_blocklist_filter(u, d).collect()
+        }
+
+    def test_exact_subdomain_and_longest_suffix(self, spark):
+        got = self._run(
+            spark,
+            [
+                "https://bad.example.com/x",
+                "https://a.b.bad.example.com/y",
+                "https://notbad.example.com/z",
+                "https://bad.example.com.evil.org/p",
+                "https://clean.org/",
+            ],
+            ["bad.example.com", "b.bad.example.com"],
+        )
+        assert got["https://bad.example.com/x"] == (True, "bad.example.com")
+        # deepest nested entry wins
+        assert got["https://a.b.bad.example.com/y"] == (True, "b.bad.example.com")
+        # label-boundary: 'notbad.example.com' is NOT a subdomain of bad.*
+        assert got["https://notbad.example.com/z"] == (False, None)
+        # suffix must align on whole host tail, not substring
+        assert got["https://bad.example.com.evil.org/p"] == (False, None)
+        assert got["https://clean.org/"] == (False, None)
+
+    def test_case_and_port_insensitive(self, spark):
+        got = self._run(
+            spark,
+            ["https://BAD.Example.COM/x", "https://bad.example.com:8443/y"],
+            ["bad.example.com"],
+        )
+        assert all(v[0] for v in got.values())
+
+    def test_broadcast_plan(self, spark):
+        from logstash_spark.functions.crawl import host_blocklist_filter
+
+        u = spark.createDataFrame([("https://a.com/",)], "url string")
+        d = spark.createDataFrame([("a.com",)], "domain string")
+        plan = (
+            host_blocklist_filter(u, d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan

@@ -148,3 +148,49 @@ def test_mg_deterministic_across_partitionings(spark, toks):
         )
     )
     assert a == b
+
+
+def test_hll_streaming_registers_match_batch(spark, sf_dir, tmp_path):
+    """The register build is a plain groupBy/max, so the SAME function runs
+    under Structured Streaming unchanged — per-micro-batch partial sketches
+    merge in the state store exactly like executors merge partials in
+    batch. Streamed registers (complete mode over a file source) must
+    equal the batch registers, and therefore so must the estimates."""
+    import time as _t
+
+    from logstash_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    e.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    batch = {
+        (r["event_type"], r["reg"]): r["mrho"]
+        for r in hll_registers(
+            spark.read.parquet(str(tmp_path / "ev")), ["event_type"], "user_id"
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(e.schema).parquet(str(tmp_path / "ev"))
+    q = (
+        hll_registers(stream, ["event_type"], "user_id")
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = _t.time() + 90
+        got = {}
+        while _t.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = {
+                (r["event_type"], r["reg"]): r["mrho"]
+                for r in spark.sql("select * from hll_regs").collect()
+            }
+            if got == batch:
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    assert got == batch
