@@ -151,6 +151,8 @@ HEADLINE = [
     "cdx_index",
     "wet_records",
     "main_content_extract",
+    "host_blocklist",
+    "sketch_quantiles",
 ]
 
 

@@ -266,3 +266,70 @@ def heavy_hitters_mg(
         )
         .filter(F.col("est") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-depth histogram quantiles (mergeable, bounded state)
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    *,
+    lo: float,
+    hi: float,
+    buckets: int = 1024,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a fixed-depth histogram over a declared
+    domain [lo, hi): per group the state is at most ``buckets`` BIGINT
+    counters — mergeable by addition, so executors combine partials
+    map-side and nothing proportional to the data shuffles. The q-th
+    quantile is the lower edge of the first bucket whose cumulative
+    count reaches ceil(q*n); the error is bounded by one bucket width
+    ((hi-lo)/buckets), a GUARANTEE the reference's percentile surface
+    (filters/metrics.rb timer percentiles, which hold every sample)
+    cannot give at corpus scale without holding the corpus.
+
+    Everything is integer/deterministic: bucket index is a floor
+    division, the rank threshold uses ceil on exact BIGINT counts, and
+    the returned edge is lo + idx*width computed identically in both
+    engines. Values outside the domain clamp to the end buckets (their
+    mass is real; their position is the declared bound — documented).
+    Output: one row per (group, q) with columns q, est, n."""
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / buckets
+    idx = F.least(
+        F.lit(buckets - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(*gcols, idx.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    wg = W.partitionBy(*gcols) if gcols else W.partitionBy(F.lit(1))
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(wg.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("n", F.sum("cnt").over(wg))
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    probe = cum.select(*gcols, "bucket", "cum", "n", qs)
+    # rank threshold ceil(q*n) in integer space: (q_num * n + q_den - 1) / q_den
+    # is avoided by using exact double q*n then ceil — both engines ceil a
+    # double identically (IEEE) and n, cum are exact BIGINTs
+    hit = probe.filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+    return (
+        hit.groupBy(*gcols, "q", "n")
+        .agg(F.min("bucket").alias("_b"))
+        .select(
+            *gcols,
+            "q",
+            (F.lit(lo) + F.col("_b") * F.lit(width)).alias("est"),
+            "n",
+        )
+    )

@@ -5648,3 +5648,47 @@ def host_blocklist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = host_blocklist_filter(p.withColumn("url", u2), blocked)
     return out.select("url", "blocked", "blocked_domain")
+
+
+@q(
+    "sketch_quantiles",
+    """WITH h AS (
+  SELECT event_type,
+         least(999, greatest(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 1.0) AS INT))) AS bucket
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT event_type, bucket, COUNT(*) AS cnt FROM h GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM g
+), p AS (
+  SELECT event_type, bucket, cum, n,
+         unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                 CAST(0.99 AS DOUBLE)]) AS q
+  FROM c
+), hit AS (
+  SELECT event_type, q, n, MIN(bucket) AS b
+  FROM p WHERE cum >= ceil(q * n) GROUP BY 1, 2, 3
+)
+SELECT event_type, q, 0.0 + b * 1.0 AS est, CAST(n AS BIGINT) AS n FROM hit""",
+)
+def sketch_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-depth histogram quantiles (p50/p90/p99 of value per
+    event_type over a declared [0,1000) domain, 1000 buckets): per-group
+    state is bounded BIGINT counters that merge by addition — the
+    percentile surface the reference's metrics filter keeps by holding
+    every sample, restated so nothing proportional to the corpus
+    shuffles. Width 1.0 is exact in binary, the rank threshold is
+    ceil(q*n) over exact counts, so both engines pick the same bucket
+    always; pytest pins |est - exact_quantile| <= one bucket width."""
+    from logstash_spark.functions.sketch import histogram_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(
+        e, "value", [0.5, 0.9, 0.99], lo=0.0, hi=1000.0, buckets=1000,
+        group_cols=["event_type"],
+    )
