@@ -286,7 +286,8 @@ def surt_key(url: Column) -> Column:
     as-is and session-id params are not stripped (both are lossy
     heuristics; the key stays a pure function of the URL text so both
     engines derive it identically)."""
-    u = F.lower(url)
+    # fragment goes FIRST: a '?' inside '#...' is not a query string
+    u = F.regexp_replace(F.lower(url), r"#.*$", "")
     hostport = F.regexp_extract(u, r"^[a-z]+://([^/?#]+)", 1)
     hostport = F.regexp_replace(hostport, r"^www\.", "")
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
@@ -335,17 +336,22 @@ def cdx_index(
         F.sha2(F.col(payload_col), 256).alias("digest"),
         F.octet_length(F.col(payload_col)).cast("bigint").alias("length"),
     )
+    def _f(c) -> "Column":
+        # concat_ws silently SKIPS nulls, which would misalign the
+        # space-delimited line; every field coalesces to the CDX '-'
+        return F.coalesce(c.cast("string"), F.lit("-"))
+
     return out.withColumn(
         "cdx_line",
         F.concat_ws(
             " ",
-            "urlkey",
-            "ts14",
-            "url",
-            "mime",
-            F.coalesce(F.col("status").cast("string"), F.lit("-")),
-            "digest",
-            F.col("length").cast("string"),
+            _f(F.col("urlkey")),
+            _f(F.col("ts14")),
+            _f(F.col("url")),
+            _f(F.col("mime")),
+            _f(F.col("status")),
+            _f(F.col("digest")),
+            _f(F.col("length")),
         ),
     )
 
@@ -421,24 +427,36 @@ def host_blocklist_filter(
     coalesce scans from the deepest suffix outward). Rows pass through
     unchanged — filtering is the caller's choice, so drop accounting
     stays visible."""
-    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#:]+)", 1))
+    # lower FIRST (uppercase schemes must not bypass the gate), then
+    # strip scheme + optional userinfo before taking the host; ':' ends
+    # the host so ports never reach the label split
+    host = F.regexp_extract(
+        F.lower(F.col(url_col)),
+        r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)",
+        1,
+    )
     labels = F.split(host, r"\.")
-    n = F.size(labels)
     dim = blocked.select(F.lower(F.col(domain_col)).alias("_bl_dom")).distinct()
     out = df.withColumn("_bl_labels", labels)
     matched: list[str] = []
-    for i in range(1, max_labels + 1):
-        # suffix starting at label i (i=1 = the full host = longest)
+    # suffixes are TAIL-anchored (the last j labels, j = max_labels..1):
+    # a host with MORE than max_labels labels still matches any blocklist
+    # entry of <= max_labels labels — extra subdomain nesting cannot dodge
+    # the gate (only >max_labels-label blocklist ENTRIES are out of reach,
+    # and real lists top out well under 8)
+    for j in range(max_labels, 0, -1):
+        n_l = F.size("_bl_labels")
         sfx = F.when(
-            F.size("_bl_labels") >= i,
-            F.array_join(F.slice("_bl_labels", i, n), "."),
+            n_l >= j,
+            F.array_join(F.slice("_bl_labels", n_l - F.lit(j) + 1, j), "."),
         )
-        col = f"_bl_m{i}"
+        col = f"_bl_m{j}"
         d = dim.withColumnRenamed("_bl_dom", col)
-        out = out.withColumn(f"_bl_s{i}", sfx).join(
-            F.broadcast(d), F.col(f"_bl_s{i}") == F.col(col), "left"
+        out = out.withColumn(f"_bl_s{j}", sfx).join(
+            F.broadcast(d), F.col(f"_bl_s{j}") == F.col(col), "left"
         )
         matched.append(col)
+    # matched is ordered deepest (longest suffix) first
     out = out.withColumn("blocked_domain", F.coalesce(*matched))
     return out.drop(
         "_bl_labels", *matched, *[f"_bl_s{i}" for i in range(1, max_labels + 1)]

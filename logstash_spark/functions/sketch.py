@@ -59,13 +59,11 @@ def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def cms_build(toks: DataFrame, *, d: int = 4, w: int = 512) -> DataFrame:
-    """Count-Min sketch of the ``tok`` stream: ``(r, c, cnt)`` — d*w cells
-    total, one cell per (row, md5-salted column). One wide map stage
-    (each token contributes d cells via an inline array explode — a
-    single pass over the data, not d scans) followed by a groupBy whose
-    partial aggregation bounds the shuffle at d*w rows per task."""
-    cells = F.array(
+def _cms_cells(d: int, w: int) -> Column:
+    """The d (row, column) addresses of ``tok`` — ONE definition shared by
+    build and probe, because the sketch is only correct while both sides
+    compute identical addresses."""
+    return F.array(
         *[
             F.struct(
                 F.lit(r).alias("r"),
@@ -79,8 +77,16 @@ def cms_build(toks: DataFrame, *, d: int = 4, w: int = 512) -> DataFrame:
             for r in range(d)
         ]
     )
+
+
+def cms_build(toks: DataFrame, *, d: int = 4, w: int = 512) -> DataFrame:
+    """Count-Min sketch of the ``tok`` stream: ``(r, c, cnt)`` — d*w cells
+    total, one cell per (row, md5-salted column). One wide map stage
+    (each token contributes d cells via an inline array explode — a
+    single pass over the data, not d scans) followed by a groupBy whose
+    partial aggregation bounds the shuffle at d*w rows per task."""
     return (
-        toks.select(F.explode(cells).alias("cell"))
+        toks.select(F.explode(_cms_cells(d, w)).alias("cell"))
         .select("cell.r", "cell.c")
         .groupBy("r", "c")
         .agg(F.count("*").alias("cnt"))
@@ -94,29 +100,9 @@ def cms_probe(
     estimate is min over rows of the addressed cell (0 when the cell was
     never touched). The sketch side is at most d*w rows, so the join
     broadcasts it — probing costs no shuffle at any corpus size."""
-    keyed = probes.select(
-        "tok",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        (
-                            _hex_int(
-                                F.md5(
-                                    F.concat_ws("|", F.lit(str(r)), F.col("tok"))
-                                ),
-                                1,
-                                6,
-                            )
-                            % w
-                        ).alias("c"),
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("cell"),
-    ).select("tok", "cell.r", "cell.c")
+    keyed = probes.select("tok", F.explode(_cms_cells(d, w)).alias("cell")).select(
+        "tok", "cell.r", "cell.c"
+    )
     joined = keyed.join(F.broadcast(cms), ["r", "c"], "left")
     return joined.groupBy("tok").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
@@ -302,9 +288,11 @@ def histogram_quantiles(
     gcols = list(group_cols or [])
     v = F.col(value_col).cast("double")
     width = (hi - lo) / buckets
+    # clamp in LONG space BEFORE any narrowing: floor() of a huge outlier
+    # must saturate at the end buckets, never wrap through an int cast
     idx = F.least(
-        F.lit(buckets - 1),
-        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+        F.lit(buckets - 1).cast("bigint"),
+        F.greatest(F.lit(0).cast("bigint"), F.floor((v - F.lit(lo)) / F.lit(width))),
     )
     hist = (
         df.filter(v.isNotNull())

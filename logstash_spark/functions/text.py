@@ -9,6 +9,8 @@ Python in the path, linear scaling, no shuffle.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -530,17 +532,27 @@ def main_content(
         ),
         marker,
     )
+    if not 0 < max_link_density <= 1:
+        raise ValueError("max_link_density must be in (0, 1]")
+    # exact fraction p/q so the density test stays integer: lk*q <= len*p
+    ld = Fraction(max_link_density).limit_denominator(1000)
+
+    def _visible(c: Column) -> Column:
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(c, r"(?s)<[^>]+>", " "), r"\s+", " ")
+        )
+
     scored = F.transform(
         blocks,
         lambda b: F.struct(
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace(b, r"(?s)<[^>]+>", " "), r"\s+", " "
-                )
-            ).alias("txt"),
+            _visible(b).alias("txt"),
+            # the density numerator measures the VISIBLE anchor text —
+            # same tag-strip + whitespace-collapse as the denominator, so
+            # markup inside links (<strong>, multi-line anchors) cannot
+            # inflate it
             F.coalesce(
                 F.length(
-                    F.trim(
+                    _visible(
                         F.array_join(
                             F.regexp_extract_all(
                                 b, F.lit(r"(?is)<a[^>]*>(.*?)</a>"), 1
@@ -557,12 +569,7 @@ def main_content(
         scored,
         lambda s: (s["txt"] != "")
         & (F.size(F.split(s["txt"], " ")) >= min_words)
-        # integer-exact density test: lk <= max_ld * len  <=>  lk * q <= len * p
-        # for max_ld = p/q — keeps both engines off float comparisons
-        & (
-            s["lk"] * int(round(1 / max_link_density))
-            <= F.length(s["txt"])
-        ),
+        & (s["lk"] * ld.denominator <= F.length(s["txt"]) * ld.numerator),
     )
     return (
         df.withColumn("_blocks", scored)

@@ -5476,14 +5476,18 @@ v AS (
               ELSE url END AS url,
          warc_ts, text, response
   FROM pages
+), uu AS (
+  SELECT url, warc_ts, text, response,
+         regexp_replace(lower(url), '#.*$', '') AS u
+  FROM v
 ), parts AS (
   SELECT url, warc_ts, text, response,
          regexp_replace(regexp_replace(
-           regexp_extract(lower(url), '^[a-z]+://([^/?#]+)', 1),
+           regexp_extract(u, '^[a-z]+://([^/?#]+)', 1),
            '^www\\.', ''), ':(80|443)$', '') AS host,
-         regexp_extract(lower(url), '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path0,
-         regexp_extract(lower(url), '\\?([^#]*)', 1) AS qs
-  FROM v
+         regexp_extract(u, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+         regexp_extract(u, '\\?([^#]*)', 1) AS qs
+  FROM uu
 ), keyed AS (
   SELECT array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
          || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
@@ -5654,8 +5658,8 @@ def host_blocklist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_quantiles",
     """WITH h AS (
   SELECT event_type,
-         least(999, greatest(0,
-           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 1.0) AS INT))) AS bucket
+         least(CAST(999 AS BIGINT), greatest(CAST(0 AS BIGINT),
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 1.0) AS BIGINT))) AS bucket
   FROM events WHERE value IS NOT NULL
 ), g AS (
   SELECT event_type, bucket, COUNT(*) AS cnt FROM h GROUP BY 1, 2

@@ -210,3 +210,86 @@ class TestHostBlocklist:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestReviewRegressions:
+    """Pins for the round-4d self-review findings."""
+
+    def test_surt_fragment_question_mark_is_not_a_query(self, spark):
+        assert _key(spark, "https://example.com/a#f?x=1") == "com,example)/a"
+        assert (
+            _key(spark, "https://example.com/page#/route?tab=1")
+            == "com,example)/page"
+        )
+
+    def test_blocklist_uppercase_scheme_and_userinfo(self, spark):
+        from logstash_spark.functions.crawl import host_blocklist_filter
+
+        u = spark.createDataFrame(
+            [
+                ("HTTPS://bad.example.com/x",),
+                ("https://user:pw@bad.example.com/y",),
+            ],
+            "url string",
+        )
+        d = spark.createDataFrame([("bad.example.com",)], "domain string")
+        rows = host_blocklist_filter(u, d).collect()
+        assert all(r["blocked"] for r in rows), rows
+
+    def test_blocklist_deep_nesting_cannot_dodge(self, spark):
+        from logstash_spark.functions.crawl import host_blocklist_filter
+
+        deep = "https://" + ".".join("abcdefghij") + ".bad.example.com/p"
+        u = spark.createDataFrame([(deep,)], "url string")
+        d = spark.createDataFrame([("bad.example.com",)], "domain string")
+        r = host_blocklist_filter(u, d).collect()[0]
+        assert r["blocked"] and r["blocked_domain"] == "bad.example.com"
+
+    def test_cdx_line_null_fields_become_dashes(self, spark):
+        from logstash_spark.functions.crawl import cdx_index
+
+        df = spark.createDataFrame(
+            [("https://e.com/", None, "hello")],
+            "url string, warc_ts timestamp, text string",
+        )
+        r = cdx_index(df).collect()[0]
+        parts = r["cdx_line"].split(" ")
+        assert len(parts) == 7 and parts[1] == "-" and parts[4] == "-"
+
+    def test_histogram_outlier_clamps_to_top_bucket(self, spark):
+        from logstash_spark.functions.sketch import histogram_quantiles
+
+        df = spark.createDataFrame([(3e9,), (1.0,)], "v double")
+        r = {
+            r["q"]: r["est"]
+            for r in histogram_quantiles(
+                df, "v", [1.0], lo=0.0, hi=1000.0, buckets=1000
+            ).collect()
+        }
+        assert r[1.0] == 999.0  # top bucket, not a wrapped bucket 0
+
+    def test_main_content_markup_inside_anchor_not_overcounted(self, spark):
+        from logstash_spark.functions.text import main_content
+
+        df = spark.createDataFrame(
+            [("<p>read the <a href=x><strong>full report</strong></a> for details here</p>",)],
+            "html_str string",
+        )
+        r = main_content(df, "html_str").collect()[0]
+        assert r["n_kept"] == 1
+        assert r["main_text"] == "read the full report for details here"
+
+    def test_main_content_nonreciprocal_density_honored(self, spark):
+        import pytest as _pt
+
+        from logstash_spark.functions.text import main_content
+
+        # txt = 'aaaa bbbb cccc dddd eeee' (24 ch), link text 'cccc' (4 ch)
+        # density 1/6: kept at 0.2, dropped at 0.1 (exact fractions 1/5, 1/10)
+        html = '<p>aaaa bbbb <a href=x>cccc</a> dddd eeee</p>'
+        df = spark.createDataFrame([(html,)], "html_str string")
+        keep = main_content(df, "html_str", max_link_density=0.2).collect()[0]
+        drop = main_content(df, "html_str", max_link_density=0.1).collect()[0]
+        assert keep["n_kept"] == 1 and drop["n_kept"] == 0
+        with _pt.raises(ValueError):
+            main_content(df, "html_str", max_link_density=0.0)
