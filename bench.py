@@ -153,6 +153,7 @@ HEADLINE = [
     "main_content_extract",
     "host_blocklist",
     "sketch_quantiles",
+    "web_corpus_pipeline",
 ]
 
 

@@ -5696,3 +5696,118 @@ def sketch_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "value", [0.5, 0.9, 0.99], lo=0.0, hi=1000.0, buckets=1000,
         group_cols=["event_type"],
     )
+
+
+@q(
+    "web_corpus_pipeline",
+    f"""{_PAGES_CTE},
+v AS (
+  SELECT url, text, verb, response,
+         CAST(user_id % 40 AS INT) AS hnum,
+         CAST(event_id AS VARCHAR) AS eid
+  FROM pages
+), verdicts AS (
+  SELECT url, text, verb, response,
+         CASE WHEN hnum % 2 = 0 THEN FALSE
+              WHEN hnum % 4 = 1 THEN NOT (eid LIKE '3%' AND eid NOT LIKE '34%')
+              ELSE TRUE END AS allowed,
+         hnum IN (5, 17) AS blocked,
+         CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+  FROM v
+), gated AS (
+  SELECT *, allowed AND NOT blocked AND n_tokens >= 5 AS passed_gate
+  FROM verdicts
+), canon AS (
+  SELECT url,
+         ROW_NUMBER() OVER (PARTITION BY verb || '|' || response ORDER BY url) = 1 AS is_canonical
+  FROM gated WHERE passed_gate
+)
+SELECT g.url, g.allowed, g.blocked, g.n_tokens, g.passed_gate,
+       c.is_canonical,
+       CASE WHEN g.passed_gate
+            THEN md5(trim(regexp_replace(g.text, '\\s+', ' ', 'g'))) END AS main_digest
+FROM gated g LEFT JOIN canon c ON g.url = c.url""",
+)
+def web_corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 web stack COMPOSED end-to-end in one plan: robots.txt
+    compliance (real parse of three synthesized per-host files) ->
+    domain blocklist (broadcast suffix gate) -> jusText main-content
+    extraction over a structured nav/script/share/footer page -> token
+    floor -> exact dedup (canonical pick per (verb,response) content
+    class) with per-stage accounting on EVERY row — nothing drops
+    silently. The oracle derives all verdicts independently: robots from
+    the template logic, blocklist from host arithmetic, main text from
+    the expected survivor block, canonical from the same deterministic
+    tie-break. Scale shape: two broadcast joins + one url-keyed window
+    over gate survivors; the corpus scans once."""
+    from logstash_spark.functions.crawl import (
+        host_blocklist_filter,
+        parse_robots,
+        robots_filter,
+    )
+    from logstash_spark.functions.text import main_content
+    from pyspark.sql import Window as W
+
+    p = _pages(spark, sf_dir)
+    hosts = p.select(
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"host(\d+)\.", 1).cast("int").alias("hnum"),
+    ).distinct()
+    t_a = ("User-agent: *\nDisallow: /p/1*\n\n"
+           "User-agent: gptbot\nDisallow: /p/*\n")
+    t_c = ("# crawl budget notes\nUser-agent: *\n"
+           "Disallow: /p/3*\nAllow: /p/34*\n")
+    t_b = ("User-agent: *\nDisallow:\n\nUser-agent: ccbot\nDisallow: /\n")
+    robots = hosts.select(
+        "host",
+        F.when(F.col("hnum") % 2 == 0, F.lit(t_a))
+        .when(F.col("hnum") % 4 == 1, F.lit(t_c))
+        .otherwise(F.lit(t_b))
+        .alias("robots_txt"),
+    )
+    rules = parse_robots(robots, user_agent="gptbot")
+    html2 = F.concat(
+        F.lit(
+            '<html><head><title>x</title></head><body>'
+            '<nav><a href="/">Home</a> <a href="/about">About</a>'
+            ' <a href="/login">Login</a></nav><article><p>'
+        ),
+        F.col("text"),
+        F.lit(
+            '</p></article><div class="share"><a href="s">share this page now</a>'
+            "</div><footer>host footer</footer></body></html>"
+        ),
+    )
+    blocked = spark.createDataFrame(
+        [("host5.example.com",), ("host17.example.com",)], "domain string"
+    )
+    staged = robots_filter(
+        p.select("url", "verb", "response", html2.alias("html_str")), rules
+    )
+    staged = host_blocklist_filter(staged, blocked)
+    staged = main_content(staged, "html_str")
+    staged = staged.withColumn(
+        "n_tokens",
+        F.when(
+            F.col("main_text") == "", F.lit(0)
+        ).otherwise(F.size(F.split(F.col("main_text"), " "))).cast("bigint"),
+    ).withColumn(
+        "passed_gate",
+        F.col("allowed") & ~F.col("blocked") & (F.col("n_tokens") >= 5),
+    )
+    wcanon = W.partitionBy(F.concat_ws("|", "verb", "response")).orderBy("url")
+    survivors = (
+        staged.filter("passed_gate")
+        .withColumn("is_canonical", F.row_number().over(wcanon) == 1)
+        .select("url", "is_canonical")
+    )
+    out = staged.join(survivors, "url", "left")
+    return out.select(
+        "url",
+        "allowed",
+        "blocked",
+        "n_tokens",
+        "passed_gate",
+        "is_canonical",
+        F.when(F.col("passed_gate"), F.md5("main_text")).alias("main_digest"),
+    )
