@@ -189,3 +189,35 @@ def session_rollup(
             "n_events",
         )
     )
+
+
+def windowed_hll_distinct(
+    stream_df: DataFrame,
+    *,
+    ts: str,
+    key: str,
+    value: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Approximate distinct-count per (event-time window, key) on a
+    stream via the HLL register build (functions/sketch.py): the state
+    store holds at most m=4096 (window, key, reg) rows per group —
+    BOUNDED, unlike dropDuplicates-style exact distinct whose state is
+    the number of distinct values — and the watermark evicts closed
+    windows. The register aggregate is the SAME groupBy/max the batch
+    path uses, so stream-vs-batch equality is a replay test, not a
+    separate implementation (test_streaming::test_windowed_hll)."""
+    from logstash_spark.functions.sketch import hll_estimate, hll_registers
+
+    df = ensure_event_time(stream_df, ts).withWatermark(ts, watermark)
+    regs = hll_registers(
+        df.withColumn("_w", F.window(F.col(ts), window)), ["_w", key], value
+    )
+    est = hll_estimate(regs, ["_w", key])
+    return est.select(
+        F.col("_w.start").alias("window_start"),
+        key,
+        "present",
+        "est_hll",
+    )

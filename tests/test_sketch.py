@@ -262,3 +262,62 @@ def test_histogram_quantiles_out_of_domain_clamps(spark):
     # -5 clamps into bucket 0, 99 into the top bucket (edge 9.0)
     assert r[0.25] == 0.0
     assert r[1.0] == 9.0
+
+
+def test_windowed_hll_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Production shape: event-time windowed HLL with watermark (append
+    mode, bounded state, chained register->estimate aggregates). Every
+    window the stream emits must carry exactly the batch estimate for
+    that (window, key); the final unclosed window may be withheld by the
+    watermark — that is the append contract, not a loss."""
+    import time as _t
+
+    from logstash_spark.streaming.pipeline import (
+        ensure_event_time,
+        windowed_hll_distinct,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    e.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+
+    # batch truth, same derivation
+    b = ensure_event_time(spark.read.parquet(str(tmp_path / "ev")), "ts")
+    regs = hll_registers(
+        b.withColumn("_w", F.window(F.col("ts"), "30 days")), ["_w", "event_type"], "user_id"
+    )
+    est = hll_estimate(regs, ["_w", "event_type"])
+    batch = {
+        (r["_w"]["start"], r["event_type"]): (r["present"], r["est_hll"])
+        for r in est.collect()
+    }
+
+    stream = spark.readStream.schema(e.schema).parquet(str(tmp_path / "ev"))
+    q = (
+        windowed_hll_distinct(
+            stream, ts="ts", key="event_type", value="user_id",
+            window="30 days", watermark="1 day",
+        )
+        .writeStream.format("memory")
+        .queryName("hll_win")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        deadline = _t.time() + 120
+        got = []
+        while _t.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = spark.sql("select * from hll_win").collect()
+            # all but the watermark-held tail should eventually land
+            if len(got) >= max(1, len(batch) - 2 * len({k[1] for k in batch})):
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    assert got, "stream emitted nothing"
+    for r in got:
+        key = (r["window_start"], r["event_type"])
+        assert key in batch, key
+        assert (r["present"], r["est_hll"]) == batch[key], (r, batch[key])
