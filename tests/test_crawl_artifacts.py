@@ -293,3 +293,51 @@ class TestReviewRegressions:
         assert keep["n_kept"] == 1 and drop["n_kept"] == 0
         with _pt.raises(ValueError):
             main_content(df, "html_str", max_link_density=0.0)
+
+
+class TestSurtDifferential:
+    """Property check: engine surt_key vs an independent pure-Python
+    reference over generated URLs (one Spark job for the whole batch)."""
+
+    @staticmethod
+    def _py_surt(url: str) -> str:
+        u = url.lower().split("#", 1)[0]
+        import re
+
+        m = re.match(r"^[a-z]+://([^/?#]+)", u)
+        hostport = m.group(1) if m else ""
+        hostport = re.sub(r"^www\.", "", hostport)
+        pm = re.search(r":(\d+)$", hostport)
+        port = pm.group(1) if pm else ""
+        host = re.sub(r":\d+$", "", hostport)
+        portsuf = "" if port in ("", "80", "443") else ":" + port
+        rev = ",".join(reversed(host.split("."))) + portsuf
+        pm2 = re.match(r"^[a-z]+://[^/?#]+([^?#]*)", u)
+        path = (pm2.group(1) if pm2 else "") or "/"
+        qm = re.search(r"\?([^#]*)", u)
+        q = qm.group(1) if qm else ""
+        qs = "?" + "&".join(sorted(q.split("&"))) if q else ""
+        return rev + ")" + path + qs
+
+    def test_differential_generated_urls(self, spark):
+        import random
+
+        rnd = random.Random(20260819)
+        hosts = ["example.com", "www.a.b.example.com", "x.org:8080",
+                 "site.co.uk:443", "single", "deep.deep.deep.deep.net"]
+        paths = ["", "/", "/a/b", "/A/B%2f", "/p;x"]
+        queries = ["", "?b=2&a=1", "?z&y&x", "?a=1&a=0"]
+        frags = ["", "#f", "#f?fake=1", "#/route?tab=2"]
+        urls = []
+        for _ in range(120):
+            urls.append(
+                "https://" + rnd.choice(hosts) + rnd.choice(paths)
+                + rnd.choice(queries) + rnd.choice(frags)
+            )
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {
+            r["url"]: r["k"]
+            for r in df.select("url", surt_key(F.col("url")).alias("k")).collect()
+        }
+        for u in urls:
+            assert got[u] == self._py_surt(u), u
