@@ -124,12 +124,13 @@ def robots_filter(
     wins length ties, no match (or no robots for the host) = allowed.
 
     Scale shape: host extraction is a scan-stage regex; the rule attach
-    is a host-keyed equi-join (the rules side is per-host tiny and
-    pre-aggregated — AQE broadcasts when it fits); candidate filtering is
-    a non-foldable rlike; the winner is one per-URL window over the
-    handful of matching rules. URLs without rules never enter the
-    window (left anti + union), so the window's input is bounded by
-    match fan-out, not corpus size."""
+    is ONE host-keyed LEFT broadcast join carrying the rlike as a join
+    predicate (rules are per-host tiny and pre-aggregated; a URL with no
+    matching rule keeps a single null-rule row), and the winner is one
+    per-URL window — rn=1 per url restores the input row set exactly, so
+    there is NO corpus-sized join-back (a url-keyed SMJ in the earlier
+    formulation). Assumes ``url_col`` values are unique rows, the CDX/
+    crawl-frontier invariant."""
     u = urls.withColumn(
         "_host", F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
     ).withColumn(
@@ -143,22 +144,24 @@ def robots_filter(
         ),
     )
     r = rules.withColumnRenamed("host", "_rhost")  # never collide with url cols
-    cand = (
-        u.join(r, u["_host"] == r["_rhost"])
-        .filter(F.expr("_path rlike pattern"))
+    cand = u.join(
+        r,
+        (u["_host"] == r["_rhost"]) & F.expr("_path rlike pattern"),
+        "left",
     )
     wbest = W.partitionBy(url_col).orderBy(
-        F.col("spec").desc(), F.col("allow").desc(), F.col("path")
+        F.col("spec").desc_nulls_last(),
+        F.col("allow").desc_nulls_last(),
+        F.col("path").asc_nulls_last(),
     )
-    best = (
+    out = (
         cand.withColumn("_r", F.row_number().over(wbest))
         .filter(F.col("_r") == 1)
-        .select(url_col, F.col("allow").alias("allowed"), F.col("path").alias("matched_path"))
-    )
-    out = urls.join(best, url_col, "left").select(
-        *urls.columns,
-        F.coalesce(F.col("allowed"), F.lit(True)).alias("allowed"),
-        F.col("matched_path").alias("matched_path"),
+        .select(
+            *urls.columns,
+            F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+            F.col("path").alias("matched_path"),
+        )
     )
     return out
 

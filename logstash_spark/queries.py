@@ -5795,13 +5795,16 @@ def web_corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "passed_gate",
         F.col("allowed") & ~F.col("blocked") & (F.col("n_tokens") >= 5),
     )
-    wcanon = W.partitionBy(F.concat_ws("|", "verb", "response")).orderBy("url")
-    survivors = (
-        staged.filter("passed_gate")
-        .withColumn("is_canonical", F.row_number().over(wcanon) == 1)
-        .select("url", "is_canonical")
+    # canonical pick WITHOUT a corpus-sized join-back: one window keyed by
+    # (content class, gate verdict) — failed rows sit in their own
+    # partitions and get NULL, passed rows rank within their class
+    wcanon = W.partitionBy(
+        F.concat_ws("|", "verb", "response", F.col("passed_gate").cast("string"))
+    ).orderBy("url")
+    out = staged.withColumn(
+        "is_canonical",
+        F.when(F.col("passed_gate"), F.row_number().over(wcanon) == 1),
     )
-    out = staged.join(survivors, "url", "left")
     return out.select(
         "url",
         "allowed",
