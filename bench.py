@@ -154,6 +154,7 @@ HEADLINE = [
     "host_blocklist",
     "sketch_quantiles",
     "web_corpus_pipeline",
+    "cdx_collapse",
 ]
 
 

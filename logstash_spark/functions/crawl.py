@@ -464,3 +464,42 @@ def host_blocklist_filter(
     return out.drop(
         "_bl_labels", *matched, *[f"_bl_s{i}" for i in range(1, max_labels + 1)]
     ).withColumn("blocked", F.col("blocked_domain").isNotNull())
+
+
+def cdx_collapse(
+    cdx: DataFrame,
+    *,
+    by: str = "urlkey",
+) -> DataFrame:
+    """Collapse a CDX index to one row per ``by`` key — the "latest
+    capture wins" view index consumers resolve against: ``(urlkey,
+    n_captures, n_distinct_digests, ts14, url, digest, length)`` where
+    the scalar fields come from the lexically-greatest (ts14, url)
+    capture (ts14 is a fixed-width timestamp string, so string max =
+    latest; url breaks exact-timestamp ties deterministically).
+
+    One groupBy on the collapse key: max_by on a (ts14, url) struct
+    picks the whole winning row atomically (no column mixing across
+    captures), and the two counts ride the same aggregate — a single
+    shuffle whose reduce state is one row per key."""
+    pick = F.max_by(
+        F.struct("ts14", "url", "digest", "length"),
+        F.struct("ts14", "url"),
+    )
+    return (
+        cdx.groupBy(by)
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.countDistinct("digest").alias("n_distinct_digests"),
+            pick.alias("_w"),
+        )
+        .select(
+            by,
+            "n_captures",
+            "n_distinct_digests",
+            F.col("_w.ts14").alias("ts14"),
+            F.col("_w.url").alias("url"),
+            F.col("_w.digest").alias("digest"),
+            F.col("_w.length").alias("length"),
+        )
+    )

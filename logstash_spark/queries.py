@@ -5814,3 +5814,40 @@ def web_corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_canonical",
         F.when(F.col("passed_gate"), F.md5("main_text")).alias("main_digest"),
     )
+
+
+@q(
+    "cdx_collapse",
+    f"""{_PAGES_CTE}
+SELECT 'com,example,host' || CAST(user_id % 40 AS VARCHAR) || ')/p/'
+         || CAST(event_id AS VARCHAR) AS urlkey,
+       CAST(2 AS BIGINT) AS n_captures,
+       CAST(2 AS BIGINT) AS n_distinct_digests,
+       strftime(warc_ts + INTERVAL 1 DAY, '%Y%m%d%H%M%S') AS ts14,
+       url,
+       sha256(text || ' v2') AS digest,
+       CAST(octet_length(encode(text)) + 3 AS BIGINT) AS length
+FROM pages""",
+)
+def cdx_collapse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture collapse ("latest capture wins"): every page gets a
+    second capture one day later with changed content; the collapsed
+    index must report 2 captures / 2 distinct digests per urlkey and
+    carry the LATER capture's timestamp, digest and length atomically
+    (max_by on a struct — no cross-capture column mixing). The oracle
+    computes the winner's every field arithmetically from (user_id,
+    event_id, warc_ts, text) without running any collapse."""
+    from logstash_spark.functions.crawl import cdx_collapse, cdx_index
+
+    p = _pages(spark, sf_dir).select("url", "warc_ts", "text")
+    caps = p.unionByName(
+        p.select(
+            "url",
+            (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+            F.concat("text", F.lit(" v2")).alias("text"),
+        )
+    )
+    cdx = cdx_index(caps)
+    return cdx_collapse(cdx).select(
+        "urlkey", "n_captures", "n_distinct_digests", "ts14", "url", "digest", "length"
+    )
