@@ -127,29 +127,41 @@ def robots_filter(
     is ONE host-keyed LEFT broadcast join carrying the rlike as a join
     predicate (rules are per-host tiny and pre-aggregated; a URL with no
     matching rule keeps a single null-rule row), and the winner is one
-    per-URL window — rn=1 per url restores the input row set exactly, so
-    there is NO corpus-sized join-back (a url-keyed SMJ in the earlier
-    formulation). Assumes ``url_col`` values are unique rows, the CDX/
-    crawl-frontier invariant."""
-    u = urls.withColumn(
-        "_host", F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
-    ).withColumn(
-        "_path",
-        F.when(
-            F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^#]*)", 1)
-            == "",
-            F.lit("/"),
-        ).otherwise(
-            F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^#]*)", 1)
-        ),
+    per-row window — rn=1 per input row restores the input row set
+    EXACTLY (a per-row id keys the window, so duplicate urls keep their
+    multiplicity), with NO corpus-sized join-back (a url-keyed SMJ in
+    the earlier formulation). Hosts compare case-insensitively (scheme
+    and authority are case-insensitive per RFC 3986); rule PATHS stay
+    case-sensitive per RFC 9309."""
+    # case-insensitive scheme match + lowercased host; path keeps case
+    _sch = r"(?i)^[a-z][a-z0-9+.-]*://"
+    u = (
+        urls.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn(
+            "_host",
+            F.lower(F.regexp_extract(F.col(url_col), _sch + r"([^/?#]+)", 1)),
+        )
+        .withColumn(
+            "_path",
+            F.when(
+                F.regexp_extract(F.col(url_col), _sch + r"[^/?#]+(/[^#]*)", 1)
+                == "",
+                F.lit("/"),
+            ).otherwise(
+                F.regexp_extract(F.col(url_col), _sch + r"[^/?#]+(/[^#]*)", 1)
+            ),
+        )
     )
-    r = rules.withColumnRenamed("host", "_rhost")  # never collide with url cols
+    r = rules.select(
+        F.lower(F.col("host")).alias("_rhost"),  # never collide with url cols
+        "allow", "path", "spec", "pattern",
+    )
     cand = u.join(
         r,
         (u["_host"] == r["_rhost"]) & F.expr("_path rlike pattern"),
         "left",
     )
-    wbest = W.partitionBy(url_col).orderBy(
+    wbest = W.partitionBy("_rid").orderBy(
         F.col("spec").desc_nulls_last(),
         F.col("allow").desc_nulls_last(),
         F.col("path").asc_nulls_last(),
@@ -474,9 +486,11 @@ def cdx_collapse(
     """Collapse a CDX index to one row per ``by`` key — the "latest
     capture wins" view index consumers resolve against: ``(urlkey,
     n_captures, n_distinct_digests, ts14, url, digest, length)`` where
-    the scalar fields come from the lexically-greatest (ts14, url)
-    capture (ts14 is a fixed-width timestamp string, so string max =
-    latest; url breaks exact-timestamp ties deterministically).
+    the scalar fields come from the lexically-greatest (ts14, url,
+    digest, length) capture (ts14 is a fixed-width timestamp string, so
+    string max = latest; url, then digest/length, break same-second
+    re-fetch ties so the winner is FULLY deterministic even when two
+    captures share a timestamp).
 
     One groupBy on the collapse key: max_by on a (ts14, url) struct
     picks the whole winning row atomically (no column mixing across
@@ -484,7 +498,7 @@ def cdx_collapse(
     shuffle whose reduce state is one row per key."""
     pick = F.max_by(
         F.struct("ts14", "url", "digest", "length"),
-        F.struct("ts14", "url"),
+        F.struct("ts14", "url", "digest", "length"),
     )
     return (
         cdx.groupBy(by)

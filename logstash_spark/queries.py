@@ -4905,6 +4905,34 @@ def c4_line_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_rules(d)
 
 
+def _gptbot_rules(spark: SparkSession, p: DataFrame):
+    """Shared robots fixture: three synthesized per-host robots.txt files
+    (A: exact gptbot group beside a '*' group that must NOT apply; C:
+    '*'-only wildcard rules with longest-match/Allow ties; B: empty
+    Disallow plus an ignored ccbot group), keyed by hnum = user_id % 40.
+    ONE definition feeds both robots_filter and web_corpus_pipeline so
+    their oracles can never desynchronize from the fixture."""
+    from logstash_spark.functions.crawl import parse_robots
+
+    hosts = p.select(
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"host(\d+)\.", 1).cast("int").alias("hnum"),
+    ).distinct()
+    t_a = ("User-agent: *\nDisallow: /p/1*\n\n"
+           "User-agent: gptbot\nDisallow: /p/*\n")
+    t_c = ("# crawl budget notes\nUser-agent: *\n"
+           "Disallow: /p/3*\nAllow: /p/34*\n")
+    t_b = ("User-agent: *\nDisallow:\n\nUser-agent: ccbot\nDisallow: /\n")
+    robots = hosts.select(
+        "host",
+        F.when(F.col("hnum") % 2 == 0, F.lit(t_a))
+        .when(F.col("hnum") % 4 == 1, F.lit(t_c))
+        .otherwise(F.lit(t_b))
+        .alias("robots_txt"),
+    )
+    return parse_robots(robots, user_agent="gptbot")
+
+
 @q(
     "robots_filter",
     f"""{_PAGES_CTE},
@@ -4935,29 +4963,10 @@ def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computes expected verdicts INDEPENDENTLY from the
     template logic — any parser/grouping/tie-break drift flips the
     value hash."""
-    from logstash_spark.functions.crawl import parse_robots, robots_filter
+    from logstash_spark.functions.crawl import robots_filter
 
     p = _pages(spark, sf_dir)
-    hosts = (
-        p.select(
-            F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
-            F.regexp_extract("url", r"host(\d+)\.", 1).cast("int").alias("hnum"),
-        )
-        .distinct()
-    )
-    t_a = ("User-agent: *\nDisallow: /p/1*\n\n"
-           "User-agent: gptbot\nDisallow: /p/*\n")
-    t_c = ("# crawl budget notes\nUser-agent: *\n"
-           "Disallow: /p/3*\nAllow: /p/34*\n")
-    t_b = ("User-agent: *\nDisallow:\n\nUser-agent: ccbot\nDisallow: /\n")
-    robots = hosts.select(
-        "host",
-        F.when(F.col("hnum") % 2 == 0, F.lit(t_a))
-        .when(F.col("hnum") % 4 == 1, F.lit(t_c))
-        .otherwise(F.lit(t_b))
-        .alias("robots_txt"),
-    )
-    rules = parse_robots(robots, user_agent="gptbot")
+    rules = _gptbot_rules(spark, p)
     out = robots_filter(p.select("url"), rules)
     return out.select("url", "allowed", "matched_path")
 
@@ -5742,30 +5751,13 @@ def web_corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     over gate survivors; the corpus scans once."""
     from logstash_spark.functions.crawl import (
         host_blocklist_filter,
-        parse_robots,
         robots_filter,
     )
     from logstash_spark.functions.text import main_content
     from pyspark.sql import Window as W
 
     p = _pages(spark, sf_dir)
-    hosts = p.select(
-        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
-        F.regexp_extract("url", r"host(\d+)\.", 1).cast("int").alias("hnum"),
-    ).distinct()
-    t_a = ("User-agent: *\nDisallow: /p/1*\n\n"
-           "User-agent: gptbot\nDisallow: /p/*\n")
-    t_c = ("# crawl budget notes\nUser-agent: *\n"
-           "Disallow: /p/3*\nAllow: /p/34*\n")
-    t_b = ("User-agent: *\nDisallow:\n\nUser-agent: ccbot\nDisallow: /\n")
-    robots = hosts.select(
-        "host",
-        F.when(F.col("hnum") % 2 == 0, F.lit(t_a))
-        .when(F.col("hnum") % 4 == 1, F.lit(t_c))
-        .otherwise(F.lit(t_b))
-        .alias("robots_txt"),
-    )
-    rules = parse_robots(robots, user_agent="gptbot")
+    rules = _gptbot_rules(spark, p)
     html2 = F.concat(
         F.lit(
             '<html><head><title>x</title></head><body>'

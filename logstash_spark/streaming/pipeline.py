@@ -207,7 +207,7 @@ def windowed_hll_distinct(
     the number of distinct values — and the watermark evicts closed
     windows. The register aggregate is the SAME groupBy/max the batch
     path uses, so stream-vs-batch equality is a replay test, not a
-    separate implementation (test_streaming::test_windowed_hll)."""
+    separate implementation (test_sketch::test_windowed_hll_stream_matches_batch)."""
     from logstash_spark.functions.sketch import hll_estimate, hll_registers
 
     df = ensure_event_time(stream_df, ts).withWatermark(ts, watermark)

@@ -341,3 +341,69 @@ class TestSurtDifferential:
         }
         for u in urls:
             assert got[u] == self._py_surt(u), u
+
+
+class TestRobotsReviewRegressions:
+    """Second review pass pins: case-insensitive authority, duplicate-row
+    multiplicity, same-second cdx tie determinism."""
+
+    def _verdict(self, spark, urls):
+        from logstash_spark.functions.crawl import parse_robots, robots_filter
+
+        robots = spark.createDataFrame(
+            [("host2.example.com", "User-agent: *\nDisallow: /p/\n")],
+            "host string, robots_txt string",
+        )
+        rules = parse_robots(robots)
+        u = spark.createDataFrame([(x,) for x in urls], "url string")
+        return robots_filter(u, rules).collect()
+
+    def test_uppercase_scheme_and_host_still_gated(self, spark):
+        rows = self._verdict(
+            spark,
+            ["HTTP://Host2.Example.COM/p/1", "https://host2.example.com/p/2"],
+        )
+        assert all(not r["allowed"] for r in rows), rows
+
+    def test_path_stays_case_sensitive(self, spark):
+        rows = {r["url"]: r["allowed"] for r in self._verdict(
+            spark, ["https://host2.example.com/P/1"]
+        )}
+        # /P/ is not /p/ per RFC 9309 — allowed
+        assert rows["https://host2.example.com/P/1"] is True
+
+    def test_duplicate_url_rows_keep_multiplicity(self, spark):
+        from logstash_spark.functions.crawl import parse_robots, robots_filter
+
+        robots = spark.createDataFrame(
+            [("h.example.com", "User-agent: *\nDisallow: /x\n")],
+            "host string, robots_txt string",
+        )
+        rules = parse_robots(robots)
+        u = spark.createDataFrame(
+            [("https://h.example.com/x", "ref_a"), ("https://h.example.com/x", "ref_b")],
+            "url string, via string",
+        )
+        rows = robots_filter(u, rules).collect()
+        assert len(rows) == 2
+        assert {r["via"] for r in rows} == {"ref_a", "ref_b"}
+        assert all(not r["allowed"] for r in rows)
+
+    def test_cdx_collapse_same_second_tie_is_deterministic(self, spark):
+        from logstash_spark.functions.crawl import cdx_collapse
+
+        rows = [
+            ("k", "20260101000000", "https://e.com/", "aaa", 10),
+            ("k", "20260101000000", "https://e.com/", "zzz", 7),
+        ]
+        df = spark.createDataFrame(
+            rows, "urlkey string, ts14 string, url string, digest string, length long"
+        )
+        outs = {
+            tuple(cdx_collapse(df.repartition(n)).collect()[0])
+            for n in (1, 3, 7)
+        }
+        assert len(outs) == 1
+        out = next(iter(outs))
+        # lexically-greatest digest wins the tie
+        assert out[4] == "zzz" or "zzz" in out, out

@@ -316,7 +316,10 @@ def test_windowed_hll_stream_matches_batch(spark, sf_dir, tmp_path):
             _t.sleep(0.5)
     finally:
         q.stop()
-    assert got, "stream emitted nothing"
+    # completeness, not just soundness: everything except the
+    # watermark-held tail (at most ~2 windows per key) must have emitted
+    n_keys = len({k[1] for k in batch})
+    assert len(got) >= max(1, len(batch) - 2 * n_keys), (len(got), len(batch))
     for r in got:
         key = (r["window_start"], r["event_type"])
         assert key in batch, key
