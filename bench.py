@@ -155,6 +155,7 @@ HEADLINE = [
     "sketch_quantiles",
     "web_corpus_pipeline",
     "cdx_collapse",
+    "charset_declared",
 ]
 
 

@@ -112,3 +112,59 @@ def decode_charset(
         return df.withColumn(tname, udf(F.col(source), F.col(charset_col)))
     udf = _decoder(False, charset)
     return df.withColumn(tname, udf(F.col(source)))
+
+
+# ---------------------------------------------------------------------------
+# declared-charset extraction (HTML meta + HTTP Content-Type)
+# ---------------------------------------------------------------------------
+
+# HTML5 sniffing is byte-oriented; this JVM-side extraction covers the
+# three declaration forms the spec's prescan looks for, over the ASCII
+# superset all of these encodings share in their header bytes:
+#   <meta charset="utf-8">
+#   <meta http-equiv="Content-Type" content="text/html; charset=...">
+#   (+ the HTTP header itself, when the caller passes content_type)
+_META_CHARSET_RX = r'(?i)<meta[^>]*charset\s*=\s*["\']?\s*([a-z0-9._:-]+)'
+_CT_CHARSET_RX = r"(?i);\s*charset\s*=\s*\"?([a-z0-9._:-]+)"
+
+
+def declared_charset(
+    df: DataFrame,
+    *,
+    html_col: str = "html",
+    content_type_col: str | None = None,
+    target: str = "charset_declared",
+    prescan_bytes: int = 1024,
+    default: str = "UTF-8",
+) -> DataFrame:
+    """Extract the page's DECLARED charset — HTTP ``Content-Type`` header
+    wins over an HTML ``<meta>`` declaration (RFC 9110 precedence), the
+    meta prescan looks only at the first ``prescan_bytes`` bytes (the
+    HTML5 prescan bound, so a charset claim buried in body text cannot
+    hijack the decode), and ``default`` fills the rest. The extracted
+    name is uppercased and normalized for the common aliases so it feeds
+    ``decode_charset``'s per-row path directly.
+
+    Pure JVM: one substring + two regexp_extract per row; binary html is
+    inspected via a latin-1 decode of the prefix (lossless byte->char,
+    so the regex sees the raw bytes regardless of the true encoding)."""
+    head = F.decode(
+        F.substring(F.col(html_col).cast("binary"), 1, prescan_bytes), "ISO-8859-1"
+    )
+    meta = F.regexp_extract(head, _META_CHARSET_RX, 1)
+    http = (
+        F.regexp_extract(F.coalesce(F.col(content_type_col), F.lit("")), _CT_CHARSET_RX, 1)
+        if content_type_col
+        else F.lit("")
+    )
+    raw = F.upper(F.when(http != "", http).when(meta != "", meta).otherwise(F.lit(default)))
+    # alias normalization for the names that dominate real crawls
+    norm = (
+        F.when(raw.isin("UTF8", "UTF-8"), F.lit("UTF-8"))
+        .when(raw.isin("LATIN-1", "LATIN1", "ISO8859-1", "ISO-8859-1", "L1"), F.lit("ISO-8859-1"))
+        .when(raw.isin("WINDOWS-1252", "CP1252", "CP-1252"), F.lit("WINDOWS-1252"))
+        .when(raw.isin("SHIFT_JIS", "SHIFT-JIS", "SJIS"), F.lit("SHIFT_JIS"))
+        .when(raw.isin("GB2312", "GBK"), F.lit("GBK"))
+        .otherwise(raw)
+    )
+    return df.withColumn(target, norm)

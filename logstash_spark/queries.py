@@ -5843,3 +5843,59 @@ def cdx_collapse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdx_collapse(cdx).select(
         "urlkey", "n_captures", "n_distinct_digests", "ts14", "url", "digest", "length"
     )
+
+
+@q(
+    "charset_declared",
+    f"""{_PAGES_CTE}
+SELECT url,
+       CASE WHEN user_id % 5 = 0 THEN 'SHIFT_JIS'
+            WHEN event_id % 4 = 0 THEN 'UTF-8'
+            WHEN event_id % 4 = 1 THEN 'WINDOWS-1252'
+            WHEN event_id % 4 = 2 THEN 'UTF-8'
+            ELSE 'ISO-8859-1' END AS charset_declared
+FROM pages""",
+)
+def charset_declared_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-charset extraction with the full precedence matrix: the
+    HTTP Content-Type header (present for user_id%5==0 rows) must beat
+    any meta declaration; the three meta forms (<meta charset>, the
+    http-equiv form, an aliased ISO8859-1 spelling needing
+    normalization) each appear in a quarter of the pages; the
+    no-declaration quarter additionally buries a fake
+    '<meta charset=koi8-r>' BEYOND the 1024-byte prescan bound — it must
+    NOT be picked (HTML5 prescan semantics), leaving the UTF-8 default.
+    The oracle states the expected verdict arithmetically."""
+    from logstash_spark.operators.charset import declared_charset
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    decl = (
+        F.when(eid % 4 == 0, F.lit('<head><meta charset="utf-8"></head>'))
+        .when(
+            eid % 4 == 1,
+            F.lit(
+                '<head><meta http-equiv="Content-Type"'
+                ' content="text/html; charset=Windows-1252"></head>'
+            ),
+        )
+        .when(eid % 4 == 2, F.lit("<head></head>"))
+        .otherwise(F.lit("<head><meta charset='ISO8859-1'></head>"))
+    )
+    late = F.when(
+        eid % 4 == 2,
+        F.concat(
+            F.rpad(F.lit("x"), 1100, "x"), F.lit('<meta charset="koi8-r">')
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html>"), decl, F.lit("<body>"), late, F.col("text"),
+                    F.lit("</body></html>"))
+    ct = F.when(
+        F.col("user_id") % 5 == 0, F.lit("text/html; charset=shift_jis")
+    ).otherwise(F.lit("text/html"))
+    out = declared_charset(
+        p.withColumn("html", html).withColumn("ct", ct),
+        html_col="html",
+        content_type_col="ct",
+    )
+    return out.select("url", "charset_declared")

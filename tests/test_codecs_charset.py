@@ -716,3 +716,51 @@ def test_netflow9_mixed_family_first_seen_wins(spark):
     rows = decode_netflow9(df).collect()
     assert len(rows) == 1
     assert rows[0]["src_addr"] == "10.1.2.3"  # first-seen (IPv4), not 2001:db8::9
+
+
+class TestDeclaredCharset:
+    def _run(self, spark, html, ct=None):
+        from logstash_spark.operators.charset import declared_charset
+
+        if ct is None:
+            df = spark.createDataFrame([(html,)], "html string")
+            out = declared_charset(df)
+        else:
+            df = spark.createDataFrame([(html, ct)], "html string, ct string")
+            out = declared_charset(df, content_type_col="ct")
+        return out.collect()[0]["charset_declared"]
+
+    def test_meta_forms_and_aliases(self, spark):
+        assert self._run(spark, '<meta charset="utf-8">') == "UTF-8"
+        assert self._run(spark, "<META CHARSET='Windows-1252'>") == "WINDOWS-1252"
+        assert (
+            self._run(
+                spark,
+                '<meta http-equiv="Content-Type" content="text/html; charset=latin1">',
+            )
+            == "ISO-8859-1"
+        )
+
+    def test_http_header_wins(self, spark):
+        got = self._run(
+            spark, '<meta charset="utf-8">', ct="text/html; charset=shift_jis"
+        )
+        assert got == "SHIFT_JIS"
+
+    def test_prescan_bound(self, spark):
+        late = "x" * 1100 + '<meta charset="koi8-r">'
+        assert self._run(spark, late) == "UTF-8"
+
+    def test_binary_input_with_non_utf8_bytes(self, spark):
+        from pyspark.sql import functions as F
+
+        from logstash_spark.operators.charset import declared_charset
+
+        # cp1252 bytes before the meta tag must not break the prescan
+        payload = b"\x93quoted\x94 <meta charset=windows-1252> body"
+        df = spark.range(1).select(F.lit(bytearray(payload)).alias("html"))
+        got = declared_charset(df).collect()[0]["charset_declared"]
+        assert got == "WINDOWS-1252"
+
+    def test_default_when_undeclared(self, spark):
+        assert self._run(spark, "<html><body>plain</body></html>") == "UTF-8"
