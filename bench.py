@@ -156,6 +156,7 @@ HEADLINE = [
     "web_corpus_pipeline",
     "cdx_collapse",
     "charset_declared",
+    "page_metadata",
 ]
 
 

@@ -272,3 +272,64 @@ def crawl_frontier(
         .filter(F.col("host_rank") <= per_host_cap)
         .select("host", "dst_url", "host_rank")
     )
+
+
+def page_metadata(
+    df: DataFrame,
+    *,
+    html_col: str = "html_str",
+) -> DataFrame:
+    """WAT-style page-metadata extraction: ``title`` (first <title> text,
+    entity-light trim), ``meta_description``, ``og_title`` /
+    ``og_description`` (Open Graph), ``canonical_url`` (rel=canonical
+    link) and ``html_lang`` (lowercased <html lang> attribute) — the
+    head-metadata record a crawl emits next to its outlink table.
+
+    Attribute order inside each tag is handled by matching the tag once
+    and pulling the wanted attribute from the matched text (two-step
+    regexes, no backtracking blowup); all extraction is per-row JVM —
+    no explode, no shuffle, no Python. Missing fields are NULL, never
+    empty string, so downstream coalesce semantics stay honest."""
+    h = F.col(html_col)
+
+    def _nz(c: Column) -> Column:
+        return F.nullif(F.trim(c), F.lit(""))
+
+    def _meta(name_attr: str, name_val: str) -> Column:
+        tag = F.regexp_extract(
+            h,
+            rf'(?is)<meta\b[^>]*{name_attr}\s*=\s*["\']{name_val}["\'][^>]*>',
+            0,
+        )
+        return _nz(
+            F.regexp_extract(tag, r'''(?is)content\s*=\s*["']([^"']*)["']''', 1)
+        )
+
+    title = _nz(
+        F.regexp_replace(
+            F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1),
+            r"\s+",
+            " ",
+        )
+    )
+    canon_tag = F.regexp_extract(
+        h, r'''(?is)<link\b[^>]*rel\s*=\s*["']canonical["'][^>]*>''', 0
+    )
+    canonical = _nz(
+        F.regexp_extract(canon_tag, r'''(?is)href\s*=\s*["']([^"']*)["']''', 1)
+    )
+    lang = _nz(
+        F.lower(
+            F.regexp_extract(
+                h, r'''(?is)<html\b[^>]*\blang\s*=\s*["']?([a-zA-Z-]+)''', 1
+            )
+        )
+    )
+    return (
+        df.withColumn("title", title)
+        .withColumn("meta_description", _meta("name", "description"))
+        .withColumn("og_title", _meta("property", "og:title"))
+        .withColumn("og_description", _meta("property", "og:description"))
+        .withColumn("canonical_url", canonical)
+        .withColumn("html_lang", lang)
+    )

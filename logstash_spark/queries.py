@@ -5899,3 +5899,54 @@ def charset_declared_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_type_col="ct",
     )
     return out.select("url", "charset_declared")
+
+
+@q(
+    "page_metadata",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, lang, CAST(event_id AS VARCHAR) AS eid,
+             CAST(user_id % 40 AS VARCHAR) AS h, event_id FROM pages)
+SELECT url,
+       'Page ' || eid || ' - host' || h AS title,
+       CASE WHEN event_id % 3 = 0 THEN 'Desc for ' || eid END AS meta_description,
+       CASE WHEN event_id % 3 = 1 THEN 'OG ' || eid END AS og_title,
+       CASE WHEN event_id % 3 = 1 THEN 'OGD' END AS og_description,
+       CASE WHEN event_id % 3 = 2
+            THEN 'https://host' || h || '.example.com/c/' || eid END AS canonical_url,
+       lang AS html_lang
+FROM v""",
+)
+def page_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-style head-metadata extraction: title (whitespace-collapsed,
+    padded in the fixture to force the trim), meta description / Open
+    Graph pair / canonical link each present in a disjoint third of the
+    pages (absent fields must be NULL, not ''), html lang attribute.
+    The oracle recomputes every expected field arithmetically from
+    (event_id, user_id, lang) — no second regex engine."""
+    from logstash_spark.functions.linkgraph import page_metadata
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    h = (F.col("user_id") % 40).cast("string")
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"),
+        F.lit('"><head><title>  Page '), es, F.lit(" - host"), h,
+        F.lit("  </title>"),
+        F.when(eid % 3 == 0,
+               F.concat(F.lit('<meta name="description" content="Desc for '),
+                        es, F.lit('">'))).otherwise(F.lit("")),
+        F.when(eid % 3 == 1,
+               F.concat(F.lit('<meta property="og:title" content="OG '), es,
+                        F.lit('"><meta property="og:description" content="OGD">'))
+               ).otherwise(F.lit("")),
+        F.when(eid % 3 == 2,
+               F.concat(F.lit('<link rel="canonical" href="https://host'), h,
+                        F.lit(".example.com/c/"), es, F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body>"), F.col("text"), F.lit("</body></html>"),
+    )
+    out = page_metadata(p.withColumn("html_str", html))
+    return out.select(
+        "url", "title", "meta_description", "og_title", "og_description",
+        "canonical_url", "html_lang",
+    )

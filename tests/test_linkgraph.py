@@ -177,3 +177,47 @@ def test_crawl_frontier_cap_is_deterministic(spark):
     a = sorted(r["dst_url"] for r in crawl_frontier(e, empty, per_host_cap=5).collect())
     b = sorted(r["dst_url"] for r in crawl_frontier(e, empty, per_host_cap=5).collect())
     assert a == b and len(a) == 5
+
+
+class TestPageMetadata:
+    def _run(self, spark, html):
+        from logstash_spark.functions.linkgraph import page_metadata
+
+        df = spark.createDataFrame([(html,)], "html_str string")
+        return page_metadata(df).collect()[0]
+
+    def test_attribute_order_does_not_matter(self, spark):
+        r = self._run(
+            spark,
+            '<meta content="the desc" name="description">'
+            '<meta content="ogt" property="og:title">'
+            '<link href="https://e.com/c" rel="canonical">',
+        )
+        assert r["meta_description"] == "the desc"
+        assert r["og_title"] == "ogt"
+        assert r["canonical_url"] == "https://e.com/c"
+
+    def test_missing_fields_are_null_not_empty(self, spark):
+        r = self._run(spark, "<html><body>no head</body></html>")
+        for f in ("title", "meta_description", "og_title", "og_description",
+                  "canonical_url", "html_lang"):
+            assert r[f] is None, f
+
+    def test_title_whitespace_collapse_and_multiline(self, spark):
+        r = self._run(spark, "<title>\n  A\n   Long\tTitle  \n</title>")
+        assert r["title"] == "A Long Title"
+
+    def test_lang_unquoted_and_case(self, spark):
+        assert self._run(spark, "<HTML LANG=EN-us><body/>")["html_lang"] == "en-us"
+
+    def test_hostile_never_throws(self, spark):
+        for h in ["", "<title>", "<meta name=description>", "<link rel=canonical>",
+                  "<title></title>", "<html lang=''>"]:
+            self._run(spark, h)
+
+    def test_plan_map_only(self, spark):
+        from logstash_spark.functions.linkgraph import page_metadata
+
+        df = spark.createDataFrame([("<title>t</title>",)], "html_str string")
+        plan = page_metadata(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
