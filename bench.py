@@ -157,6 +157,7 @@ HEADLINE = [
     "cdx_collapse",
     "charset_declared",
     "page_metadata",
+    "cdx_diff",
 ]
 
 

@@ -517,3 +517,36 @@ def cdx_collapse(
             F.col("_w.length").alias("length"),
         )
     )
+
+
+def cdx_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    by: str = "urlkey",
+) -> DataFrame:
+    """Snapshot diff between two collapsed CDX indexes: per ``by`` key,
+    ``status`` in {'new', 'gone', 'changed', 'unchanged'} plus both
+    digests — the incremental-crawl planning table ("what must be
+    refetched / reprocessed").
+
+    JOIN-FREE shape (the host_degree pattern): the two sides union with
+    a side marker and ONE groupBy folds them — at corpus scale this is
+    a single shuffle on the diff key instead of a full-outer
+    SortMergeJoin of two corpus-sized tables, and map-side partials
+    halve the rows before the exchange. Expects one row per key per
+    side (cdx_collapse output); duplicate keys fold via max, documented."""
+    o = old.select(F.col(by), F.col("digest").alias("_od"), F.lit(1).alias("_s"))
+    n = new.select(F.col(by), F.col("digest").alias("_od"), F.lit(2).alias("_s"))
+    both = o.unionByName(n)
+    agg = both.groupBy(by).agg(
+        F.max(F.when(F.col("_s") == 1, F.col("_od"))).alias("old_digest"),
+        F.max(F.when(F.col("_s") == 2, F.col("_od"))).alias("new_digest"),
+    )
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("new"))
+        .when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return agg.select(by, status.alias("status"), "old_digest", "new_digest")

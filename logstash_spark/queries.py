@@ -5950,3 +5950,47 @@ def page_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "title", "meta_description", "og_title", "og_description",
         "canonical_url", "html_lang",
     )
+
+
+@q(
+    "cdx_diff",
+    f"""{_PAGES_CTE},
+v AS (SELECT 'com,example,host' || CAST(user_id % 40 AS VARCHAR) || ')' AS kbase,
+             CAST(event_id AS VARCHAR) AS eid, event_id, text
+      FROM pages)
+SELECT kbase || '/p/' || eid AS urlkey,
+       CASE WHEN event_id % 5 = 0 THEN 'gone'
+            WHEN event_id % 5 = 1 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       sha256(text) AS old_digest,
+       CASE WHEN event_id % 5 = 0 THEN NULL
+            WHEN event_id % 5 = 1 THEN sha256(text || ' v2')
+            ELSE sha256(text) END AS new_digest
+FROM v
+UNION ALL
+SELECT kbase || '/q/' || eid, 'new', NULL, sha256(text)
+FROM v WHERE event_id % 5 = 2""",
+)
+def cdx_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff: the new snapshot drops a fifth of
+    the URLs (-> gone), refetches a fifth with changed content
+    (-> changed), discovers a fifth at new paths (-> new) and leaves the
+    rest byte-identical (-> unchanged). The engine runs the JOIN-FREE
+    union+groupBy fold (one shuffle on urlkey — never a full-outer SMJ
+    of two corpus-sized indexes); the oracle enumerates the expected
+    diff arithmetically, digests included."""
+    from logstash_spark.functions.crawl import cdx_diff, cdx_index
+
+    p = _pages(spark, sf_dir).select("url", "warc_ts", "text", "event_id")
+    eid = F.col("event_id")
+    old = cdx_index(p)
+    kept = p.filter(eid % 5 != 0)
+    mutated = kept.withColumn(
+        "text",
+        F.when(eid % 5 == 1, F.concat("text", F.lit(" v2"))).otherwise(F.col("text")),
+    )
+    extra = p.filter(eid % 5 == 2).withColumn(
+        "url", F.replace(F.col("url"), F.lit("/p/"), F.lit("/q/"))
+    )
+    new = cdx_index(mutated.unionByName(extra))
+    return cdx_diff(old, new)

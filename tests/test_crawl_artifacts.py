@@ -407,3 +407,20 @@ class TestRobotsReviewRegressions:
         out = next(iter(outs))
         # lexically-greatest digest wins the tie
         assert out[4] == "zzz" or "zzz" in out, out
+
+
+class TestCdxDiff:
+    def test_statuses_and_join_free_plan(self, spark):
+        from logstash_spark.functions.crawl import cdx_diff
+
+        old = spark.createDataFrame(
+            [("a", "d1"), ("b", "d2"), ("c", "d3")], "urlkey string, digest string"
+        )
+        new = spark.createDataFrame(
+            [("a", "d1"), ("b", "dX"), ("d", "d4")], "urlkey string, digest string"
+        )
+        out = cdx_diff(old, new)
+        got = {r["urlkey"]: r["status"] for r in out.collect()}
+        assert got == {"a": "unchanged", "b": "changed", "c": "gone", "d": "new"}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan and "Join" not in plan
