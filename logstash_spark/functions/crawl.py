@@ -542,11 +542,17 @@ def cdx_diff(
     agg = both.groupBy(by).agg(
         F.max(F.when(F.col("_s") == 1, F.col("_od"))).alias("old_digest"),
         F.max(F.when(F.col("_s") == 2, F.col("_od"))).alias("new_digest"),
+        # presence comes from the side MARKER, not digest nullness — a
+        # NULL-payload capture (sha2(NULL) = NULL) must not read as absent
+        F.max((F.col("_s") == 1).cast("int")).alias("_in_old"),
+        F.max((F.col("_s") == 2).cast("int")).alias("_in_new"),
     )
     status = (
-        F.when(F.col("old_digest").isNull(), F.lit("new"))
-        .when(F.col("new_digest").isNull(), F.lit("gone"))
-        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        F.when(F.col("_in_old") == 0, F.lit("new"))
+        .when(F.col("_in_new") == 0, F.lit("gone"))
+        .when(
+            F.col("old_digest").eqNullSafe(F.col("new_digest")), F.lit("unchanged")
+        )
         .otherwise(F.lit("changed"))
     )
     return agg.select(by, status.alias("status"), "old_digest", "new_digest")

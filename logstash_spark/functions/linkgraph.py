@@ -290,10 +290,28 @@ def page_metadata(
     regexes, no backtracking blowup); all extraction is per-row JVM —
     no explode, no shuffle, no Python. Missing fields are NULL, never
     empty string, so downstream coalesce semantics stay honest."""
-    h = F.col(html_col)
+    # bound every extraction to the document HEAD: locate the first
+    # </head> or <body (on one lowered copy — two cheap scans) and slice
+    # once; a multi-MB body never feeds the field regexes
+    full = F.col(html_col)
+    lh = F.lower(full)
+    p1 = F.locate("</head>", lh)
+    p2 = F.locate("<body", lh)
+    end = F.least(
+        F.when(p1 > 0, p1 + 7).otherwise(F.length(full) + 1),
+        F.when(p2 > 0, p2 - 1).otherwise(F.length(full) + 1),
+    )
+    h = F.substring(full, 1, end)
 
     def _nz(c: Column) -> Column:
         return F.nullif(F.trim(c), F.lit(""))
+
+    def _attr(tag: Column, attr: str) -> Column:
+        # quote-matched alternation (the _A_TAG convention): a
+        # double-quoted value may contain apostrophes and vice versa
+        dq = F.regexp_extract(tag, rf'(?is){attr}\s*=\s*"([^"]*)"', 1)
+        sq = F.regexp_extract(tag, rf"(?is){attr}\s*=\s*'([^']*)'", 1)
+        return _nz(F.coalesce(F.nullif(dq, F.lit("")), sq))
 
     def _meta(name_attr: str, name_val: str) -> Column:
         tag = F.regexp_extract(
@@ -301,9 +319,7 @@ def page_metadata(
             rf'(?is)<meta\b[^>]*{name_attr}\s*=\s*["\']{name_val}["\'][^>]*>',
             0,
         )
-        return _nz(
-            F.regexp_extract(tag, r'''(?is)content\s*=\s*["']([^"']*)["']''', 1)
-        )
+        return _attr(tag, "content")
 
     title = _nz(
         F.regexp_replace(
@@ -315,13 +331,12 @@ def page_metadata(
     canon_tag = F.regexp_extract(
         h, r'''(?is)<link\b[^>]*rel\s*=\s*["']canonical["'][^>]*>''', 0
     )
-    canonical = _nz(
-        F.regexp_extract(canon_tag, r'''(?is)href\s*=\s*["']([^"']*)["']''', 1)
-    )
+    canonical = _attr(canon_tag, "href")
+    # [a-zA-Z0-9-]: BCP 47 tags carry numeric subtags (es-419, ar-015)
     lang = _nz(
         F.lower(
             F.regexp_extract(
-                h, r'''(?is)<html\b[^>]*\blang\s*=\s*["']?([a-zA-Z-]+)''', 1
+                h, r'''(?is)<html\b[^>]*\blang\s*=\s*["']?([a-zA-Z0-9-]+)''', 1
             )
         )
     )

@@ -124,8 +124,25 @@ def decode_charset(
 #   <meta charset="utf-8">
 #   <meta http-equiv="Content-Type" content="text/html; charset=...">
 #   (+ the HTTP header itself, when the caller passes content_type)
-_META_CHARSET_RX = r'(?i)<meta[^>]*charset\s*=\s*["\']?\s*([a-z0-9._:-]+)'
-_CT_CHARSET_RX = r"(?i);\s*charset\s*=\s*\"?([a-z0-9._:-]+)"
+# The charset-ATTRIBUTE match runs over a copy with content="..." values
+# blanked, so prose like content="we recommend charset=koi8-r" can never
+# hijack the declaration (the HTML5 prescan honors only the attribute
+# forms, not attribute text).
+_META_CHARSET_RX = r'(?i)<meta\b[^>]*[\s"\x27]charset\s*=\s*["\']?\s*([a-z0-9._:-]+)'
+_HTTP_EQUIV_TAG_RX = r'(?is)<meta\b[^>]*http-equiv\s*=\s*["\']?content-type[^>]*>'
+_CT_CHARSET_RX = r"(?i);\s*charset\s*=\s*[\"']?([a-z0-9._:-]+)"
+_BLANK_CONTENT_RX = r"(?is)content\s*=\s*(\"[^\"]*\"|'[^']*')"
+
+# names the per-row decoder (pandas .str.decode / Python codecs) accepts —
+# anything outside falls back to the default instead of crashing the task
+# on one dirty page (x-user-defined, utf8_general_ci, truncated names...)
+_KNOWN_CHARSETS = {
+    "UTF-8", "ISO-8859-1", "ISO-8859-2", "ISO-8859-5", "ISO-8859-7",
+    "ISO-8859-9", "ISO-8859-15", "WINDOWS-1250", "WINDOWS-1251",
+    "WINDOWS-1252", "WINDOWS-1253", "WINDOWS-1254", "WINDOWS-1256",
+    "SHIFT_JIS", "EUC-JP", "EUC-KR", "GBK", "GB18030", "BIG5", "KOI8-R",
+    "US-ASCII", "ASCII", "UTF-16", "UTF-16LE", "UTF-16BE", "TIS-620",
+}
 
 
 def declared_charset(
@@ -151,7 +168,14 @@ def declared_charset(
     head = F.decode(
         F.substring(F.col(html_col).cast("binary"), 1, prescan_bytes), "ISO-8859-1"
     )
-    meta = F.regexp_extract(head, _META_CHARSET_RX, 1)
+    # http-equiv form: pull the tag, then charset= from its content value
+    he_tag = F.regexp_extract(head, _HTTP_EQUIV_TAG_RX, 0)
+    he = F.regexp_extract(he_tag, _CT_CHARSET_RX, 1)
+    # charset-attribute form: blank all content="..." values first so
+    # attribute TEXT can never match as a declaration
+    head_blanked = F.regexp_replace(head, _BLANK_CONTENT_RX, 'content=""')
+    attr = F.regexp_extract(head_blanked, _META_CHARSET_RX, 1)
+    meta = F.when(he != "", he).otherwise(attr)
     http = (
         F.regexp_extract(F.coalesce(F.col(content_type_col), F.lit("")), _CT_CHARSET_RX, 1)
         if content_type_col
@@ -167,4 +191,9 @@ def declared_charset(
         .when(raw.isin("GB2312", "GBK"), F.lit("GBK"))
         .otherwise(raw)
     )
-    return df.withColumn(target, norm)
+    # validity gate: an unknown or truncated name must degrade to the
+    # default, never reach the decoder and fail the task
+    safe = F.when(norm.isin(*sorted(_KNOWN_CHARSETS)), norm).otherwise(
+        F.lit(default.upper())
+    )
+    return df.withColumn(target, safe)

@@ -424,3 +424,67 @@ class TestCdxDiff:
         assert got == {"a": "unchanged", "b": "changed", "c": "gone", "d": "new"}
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+class TestThirdReviewRegressions:
+    def test_cdx_diff_null_digest_presence(self, spark):
+        from logstash_spark.functions.crawl import cdx_diff
+
+        old = spark.createDataFrame(
+            [("a", None), ("b", "d")], "urlkey string, digest string"
+        )
+        new = spark.createDataFrame(
+            [("a", "d2"), ("b", None)], "urlkey string, digest string"
+        )
+        got = {r["urlkey"]: r["status"] for r in cdx_diff(old, new).collect()}
+        # both keys exist on both sides — never 'new'/'gone'
+        assert got == {"a": "changed", "b": "changed"}
+
+    def test_page_metadata_apostrophe_in_content(self, spark):
+        from logstash_spark.functions.linkgraph import page_metadata
+
+        df = spark.createDataFrame(
+            [('<head><meta name="description" content="It\'s a great page">'
+              "<title>t1 ok</title></head>",)],
+            "html_str string",
+        )
+        r = page_metadata(df).collect()[0]
+        assert r["meta_description"] == "It's a great page"
+
+    def test_page_metadata_numeric_lang_subtag(self, spark):
+        from logstash_spark.functions.linkgraph import page_metadata
+
+        df = spark.createDataFrame(
+            [('<html lang="es-419"><head></head><body/>',)], "html_str string"
+        )
+        assert page_metadata(df).collect()[0]["html_lang"] == "es-419"
+
+    def test_page_metadata_body_is_not_scanned(self, spark):
+        from logstash_spark.functions.linkgraph import page_metadata
+
+        df = spark.createDataFrame(
+            [("<head><title>real</title></head><body>"
+              '<title>fake</title><meta name="description" content="bodyfake">'
+              "</body>",)],
+            "html_str string",
+        )
+        r = page_metadata(df).collect()[0]
+        assert r["title"] == "real"
+        assert r["meta_description"] is None
+
+    def test_charset_prose_cannot_hijack(self, spark):
+        from logstash_spark.operators.charset import declared_charset
+
+        html = ('<head><meta name="description" content="we recommend '
+                'charset=koi8-r here"><meta charset="utf-8"></head>')
+        df = spark.createDataFrame([(html,)], "html string")
+        assert declared_charset(df).collect()[0]["charset_declared"] == "UTF-8"
+
+    def test_charset_unknown_or_truncated_falls_back(self, spark):
+        from logstash_spark.operators.charset import declared_charset
+
+        for html in ['<meta charset="x-user-defined">',
+                     '<meta charset="utf8_general_ci">',
+                     "x" * 1010 + '<meta charset="windows-12']:
+            df = spark.createDataFrame([(html,)], "html string")
+            assert declared_charset(df).collect()[0]["charset_declared"] == "UTF-8"
