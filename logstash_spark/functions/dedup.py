@@ -674,6 +674,93 @@ def dedup_ngram_jaccard(
 
 
 # ---------------------------------------------------------------------------
+# shingle containment (partial-dup / wrapped-content detection)
+# ---------------------------------------------------------------------------
+
+
+def containment(a: Column, b: Column) -> Column:
+    """C(A,B) = |A ∩ B| / min(|A|, |B|) — 1.0 when the smaller set is fully
+    inside the larger, regardless of how much extra the larger carries."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / F.greatest(F.least(F.size(a), F.size(b)), F.lit(1))
+
+
+def dedup_containment(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+    probe_m: int = 2,
+    shingle_cap: int = 4096,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) with shingle CONTAINMENT >= threshold.
+
+    The web case Jaccard misses: a page whose article text is wrapped in a
+    large boilerplate shell (nav, footer, related-links). Jaccard of
+    (article, article-in-shell) shrinks with the shell size and falls under
+    any fixed threshold; containment stays ~1.0 because the article's
+    shingles are all still there. Same detection need as the reference's
+    duplicate-input tagging, generalized to subset relations.
+
+    Candidate generation is a prefix-filtered probe into an inverted
+    shingle index (the ppjoin/prefix-filter family, public literature):
+
+    - index side: EVERY doc's distinct shingles exploded to (shingle, id)
+      posting rows — linear in corpus tokens, the cost class of building a
+      search index; posting lists longer than ``shingle_cap`` are dropped
+      whole (cap_hot_buckets — a boilerplate gram's posting list would
+      otherwise contribute O(cap²) candidate pairs).
+    - probe side: each doc's ``probe_m`` lexicographically smallest
+      shingles. If C(A,B) >= t, at most a (1-t) fraction of the contained
+      doc's shingles are outside the other, so the probability that ALL m
+      bottom shingles miss is ~(1-t)^m under uniform placement — a
+      documented recall/efficiency trade exactly like the min-shingle
+      bucket in :func:`dedup_ngram_jaccard`.
+
+    The candidate join carries id+shingle ONLY (the minhash id-only
+    pattern); shingle arrays are re-attached by id for the exact
+    containment verification after pair dedup, so at 100 TB the wide rows
+    never ride the skew-prone shingle-keyed shuffle.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # persist-then-filter, same rationale as dedup_ngram_jaccard: the cache
+    # is the barrier that stops pushdown from re-inlining the shingle regexes
+    base = _persist_tracked(
+        with_shingles(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)).repartition(par),
+            text_col, k,
+        ).select("id", "sh")
+    ).filter(F.size("sh") > 0)
+    probe = base.select(
+        "id", F.explode(F.slice(F.array_sort("sh"), 1, probe_m)).alias("s")
+    )
+    index = cap_hot_buckets(base.select("id", F.explode("sh").alias("s")), ["s"], shingle_cap)
+    cand = (
+        probe.select(F.col("id").alias("pid"), "s")
+        .join(index.select(F.col("id").alias("xid"), "s"), "s")
+        .filter(F.col("pid") != F.col("xid"))
+        .select(
+            F.least("pid", "xid").alias("id_a"),
+            F.greatest("pid", "xid").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("id", "sh")
+    cand = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    cand = cand.withColumn(
+        "containment", F.round(containment(F.col("sh_a"), F.col("sh_b")), 4)
+    )
+    return cand.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "containment"
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

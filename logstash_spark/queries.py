@@ -1188,6 +1188,46 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ngram_jaccard(d, threshold=0.6, bucket_cap=3)
 
 
+@q(
+    "dedup_containment",
+    f"""WITH sh AS (
+  SELECT doc_id AS id, list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split({_NORM_SQL}, ' ')) - 2, 1)),
+    i -> array_to_string(string_split({_NORM_SQL}, ' ')[i:i+2], ' ')
+  )) AS sh
+  FROM documents
+  WHERE len(string_split({_NORM_SQL}, ' ')) > 0
+), nz AS (
+  SELECT * FROM sh WHERE len(sh) > 0
+), probe AS (
+  SELECT id, unnest(list_sort(sh)[1:2]) AS s FROM nz
+), idx0 AS (
+  SELECT id, unnest(sh) AS s FROM nz
+), idx AS (
+  SELECT id, s FROM idx0 QUALIFY COUNT(*) OVER (PARTITION BY s) <= 8
+), cand AS (
+  SELECT DISTINCT least(p.id, x.id) AS id_a, greatest(p.id, x.id) AS id_b
+  FROM probe p JOIN idx x ON p.s = x.s AND p.id <> x.id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(len(list_intersect(a.sh, b.sh)) /
+             CAST(greatest(least(len(a.sh), len(b.sh)), 1) AS DOUBLE), 4) AS containment
+FROM cand c JOIN nz a ON c.id_a = a.id JOIN nz b ON c.id_b = b.id
+WHERE len(list_intersect(a.sh, b.sh)) /
+      CAST(greatest(least(len(a.sh), len(b.sh)), 1) AS DOUBLE) >= 0.7""",
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-dup detection Jaccard structurally misses: containment
+    |A∩B|/min(|A|,|B|) over an inverted shingle index with bottom-m prefix
+    probes. Gate runs shingle_cap=8 so the posting-list cap is OBSERVABLE
+    (whole hot posting lists dropped from BOTH engines); production default
+    is 4096."""
+    from logstash_spark.functions.dedup import dedup_containment
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_containment(d, threshold=0.7, probe_m=2, shingle_cap=8)
+
+
 def _minhash_md5_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
     """DuckDB replica of dedup_minhash_lsh(hash_fn='md5'): hex-string
     minhashes (md5(shingle|salt), lexicographic min — identical ordering in

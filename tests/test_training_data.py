@@ -32,6 +32,45 @@ def test_ngram_jaccard_pairs(spark):
     assert pairs == [(0, 1)]
 
 
+def test_containment_catches_wrapped_content(spark):
+    """A doc embedded in a big boilerplate shell: Jaccard falls under
+    threshold (shell dilutes the union) but containment stays 1.0."""
+    from logstash_spark.functions.dedup import dedup_containment, dedup_ngram_jaccard
+
+    article = "the quick brown fox jumps over the lazy dog tonight again"
+    shell = (
+        "site navigation home products pricing about contact careers blog "
+        + article
+        + " related articles footer copyright terms privacy cookie settings "
+        "newsletter signup social media links sitemap language selector"
+    )
+    far = "completely unrelated text about spark partitions and shuffles"
+    d = docs(spark, [article, shell, far])
+    jac = dedup_ngram_jaccard(d, threshold=0.5)
+    assert jac.collect() == []  # jaccard misses the subset relation
+    out = dedup_containment(d, threshold=0.9)
+    rows = [(r["id_a"], r["id_b"], r["containment"]) for r in out.collect()]
+    assert rows == [(0, 1, 1.0)]
+
+
+def test_containment_hot_posting_cap(spark):
+    """Posting lists above shingle_cap are dropped whole: a gram shared by
+    every doc must not generate its O(n²) candidate pairs."""
+    from logstash_spark.functions.dedup import dedup_containment
+
+    # 6 docs all sharing one boilerplate sentence + a unique tail; with
+    # cap=5 the boilerplate postings (len 6) drop, and candidates can only
+    # come from the unique tails (no shared shingles) -> no pairs at all.
+    boiler = "accept cookies to continue reading this page"
+    d = docs(spark, [f"{boiler} unique tail number {i} alpha beta" for i in range(6)])
+    capped = dedup_containment(d, threshold=0.5, shingle_cap=5)
+    assert capped.collect() == []
+    # with the cap lifted the shared boilerplate makes every doc a candidate
+    # and containment over the mostly-shared sets crosses 0.5
+    uncapped = dedup_containment(d, threshold=0.5, shingle_cap=10**9)
+    assert uncapped.count() == 15  # all C(6,2) pairs
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     from logstash_spark.functions.dedup import dedup_minhash_lsh
 
