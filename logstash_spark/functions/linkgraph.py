@@ -221,6 +221,68 @@ def pagerank_hosts(
     return rank
 
 
+def reciprocal_links(
+    edges: DataFrame,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """Per-host reciprocal-link stats — the classic link-exchange /
+    link-farm signal (SEO rings agree to link to each other; organic
+    webgraph edges are overwhelmingly one-directional).
+
+    Output: (host, out_hosts, recip_hosts, reciprocity) for every host
+    with at least one out-edge — ``out_hosts`` = distinct hosts it links
+    to, ``recip_hosts`` = how many of those link back, ``reciprocity`` =
+    recip/out rounded to 4. Self-loops excluded (trivially reciprocal).
+
+    Scale shape: the page-scale edge table collapses to DISTINCT
+    host→host pairs FIRST (one shuffle on host-pair keys — the webgraph's
+    host projection is orders of magnitude smaller than its page edges);
+    the checkpoint materializes it once for the three consumers below.
+    Reciprocity detection is a groupBy on the unordered pair key
+    (least, greatest) — never a self-join of the edge set — and the
+    per-host rollup is the host_degree union shape (join-free, map-side
+    partials absorb hub skew).
+    """
+    he = (
+        edges.select(host_of(src_col).alias("src"), host_of(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pairs = he.groupBy(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).agg(
+        F.max((F.col("src") < F.col("dst")).cast("int")).alias("has_fwd"),
+        F.max((F.col("src") > F.col("dst")).cast("int")).alias("has_rev"),
+    )
+    recip = pairs.filter((F.col("has_fwd") == 1) & (F.col("has_rev") == 1))
+    out_rows = he.select(
+        F.col("src").alias("host"), F.lit(1).alias("_out"), F.lit(0).alias("_rc")
+    )
+    rec_rows = recip.select(
+        F.col("a").alias("host"), F.lit(0).alias("_out"), F.lit(1).alias("_rc")
+    ).unionAll(
+        recip.select(
+            F.col("b").alias("host"), F.lit(0).alias("_out"), F.lit(1).alias("_rc")
+        )
+    )
+    return (
+        out_rows.unionAll(rec_rows)
+        .groupBy("host")
+        .agg(F.sum("_out").alias("out_hosts"), F.sum("_rc").alias("recip_hosts"))
+        .select(
+            "host",
+            "out_hosts",
+            "recip_hosts",
+            F.round(
+                F.col("recip_hosts") / F.greatest(F.col("out_hosts"), F.lit(1)), 4
+            ).alias("reciprocity"),
+        )
+    )
+
+
 def anchor_text_agg(edges: DataFrame) -> DataFrame:
     """Per-target anchor-text aggregation — the weak-label table of web
     training pipelines (anchor text describes the TARGET page). One

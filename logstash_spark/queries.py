@@ -5181,6 +5181,59 @@ def anchor_text_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "reciprocal_link_stats",
+    f"""{_PAGES_CTE},
+lb AS (
+  SELECT CAST(user_id % 40 AS VARCHAR) AS hs,
+         CAST((user_id + 1) % 40 AS VARCHAR) AS hn,
+         user_id
+  FROM pages
+), raw AS (
+  SELECT 'host' || hs || '.example.com' AS src,
+         'host' || hn || '.example.com' AS dst FROM lb
+  UNION ALL
+  SELECT 'host' || hn || '.example.com',
+         'host' || hs || '.example.com' FROM lb WHERE user_id % 2 = 0
+), he AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+pairs AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS has_fwd,
+         max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS has_rev
+  FROM he GROUP BY 1, 2
+), r AS (SELECT a, b FROM pairs WHERE has_fwd = 1 AND has_rev = 1),
+outd AS (SELECT src AS host, COUNT(*) AS out_hosts FROM he GROUP BY 1),
+rc AS (
+  SELECT host, COUNT(*) AS recip_hosts
+  FROM (SELECT a AS host FROM r UNION ALL SELECT b AS host FROM r) GROUP BY 1
+)
+SELECT o.host, o.out_hosts, COALESCE(rc.recip_hosts, 0) AS recip_hosts,
+       ROUND(COALESCE(rc.recip_hosts, 0) / CAST(o.out_hosts AS DOUBLE), 4) AS reciprocity
+FROM outd o LEFT JOIN rc ON o.host = rc.host""",
+)
+def reciprocal_link_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-exchange detection: per-host reciprocity over a partially
+    reciprocal synthetic webgraph (every host links to its mod-40
+    successor; the back-link exists only for even user_ids, so even hosts
+    come out fully reciprocal and odd hosts half). Both engines derive
+    the edge set arithmetically — the grok_parse stronger-oracle pattern."""
+    from logstash_spark.functions.linkgraph import reciprocal_links
+
+    p = _pages(spark, sf_dir)
+    hs = (F.col("user_id") % 40).cast("string")
+    hn = ((F.col("user_id") + 1) % 40).cast("string")
+    eid = F.col("event_id").cast("string")
+    fwd = p.select(
+        F.concat(F.lit("https://host"), hs, F.lit(".example.com/p/"), eid).alias("src_url"),
+        F.concat(F.lit("https://host"), hn, F.lit(".example.com/")).alias("dst_url"),
+    )
+    rev = p.filter(F.col("user_id") % 2 == 0).select(
+        F.concat(F.lit("https://host"), hn, F.lit(".example.com/x/"), eid).alias("src_url"),
+        F.concat(F.lit("https://host"), hs, F.lit(".example.com/")).alias("dst_url"),
+    )
+    return reciprocal_links(fwd.unionAll(rev))
+
+
+@q(
     "crawl_frontier",
     f"""{_LINK_EDGES_CTES},
 cand AS (

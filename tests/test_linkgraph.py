@@ -221,3 +221,55 @@ class TestPageMetadata:
         df = spark.createDataFrame([("<title>t</title>",)], "html_str string")
         plan = page_metadata(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+class TestReciprocalLinks:
+    def _edges(self, spark, pairs):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [
+                Row(
+                    src_url=f"https://{s}/p{i}",
+                    dst_url=f"https://{d}/",
+                )
+                for i, (s, d) in enumerate(pairs)
+            ]
+        )
+
+    def test_ring_vs_organic(self, spark):
+        """Two-host exchange ring (a<->b) + organic one-way edges."""
+        from logstash_spark.functions.linkgraph import reciprocal_links
+
+        e = self._edges(
+            spark,
+            [
+                ("a.com", "b.com"),
+                ("b.com", "a.com"),
+                ("a.com", "c.com"),  # one-way
+                ("c.com", "d.com"),  # one-way
+            ],
+        )
+        rows = {r["host"]: r for r in reciprocal_links(e).collect()}
+        assert rows["a.com"]["out_hosts"] == 2
+        assert rows["a.com"]["recip_hosts"] == 1
+        assert rows["a.com"]["reciprocity"] == 0.5
+        assert rows["b.com"]["reciprocity"] == 1.0
+        assert rows["c.com"]["recip_hosts"] == 0
+        # d.com has no outlinks -> no row (documented semantics)
+        assert "d.com" not in rows
+
+    def test_self_loops_and_page_multiplicity_ignored(self, spark):
+        """Self-loops excluded; many page edges between the same host pair
+        count once (host projection is DISTINCT)."""
+        from logstash_spark.functions.linkgraph import reciprocal_links
+
+        e = self._edges(
+            spark,
+            [("a.com", "a.com")]
+            + [("a.com", "b.com")] * 5
+            + [("b.com", "a.com")] * 3,
+        )
+        rows = {r["host"]: r for r in reciprocal_links(e).collect()}
+        assert rows["a.com"]["out_hosts"] == 1 and rows["a.com"]["reciprocity"] == 1.0
+        assert rows["b.com"]["out_hosts"] == 1 and rows["b.com"]["reciprocity"] == 1.0
