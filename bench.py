@@ -158,6 +158,9 @@ HEADLINE = [
     "charset_declared",
     "page_metadata",
     "cdx_diff",
+    "dedup_containment",
+    "reciprocal_link_stats",
+    "warc_revisit_resolve",
 ]
 
 

@@ -4006,6 +4006,101 @@ def warc_intake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "warc_revisit_resolve",
+    f"""{_PAGES_CTE},
+g AS (SELECT url, warc_ts, event_id, event_id % 97 AS grp FROM pages),
+canon AS (SELECT grp, min(event_id) AS cid FROM g GROUP BY grp),
+pay AS (
+  SELECT grp,
+         '<html><body><p>group ' || CAST(grp AS VARCHAR)
+           || ' content</p></body></html>' AS ptxt
+  FROM canon)
+SELECT j.url,
+       date_trunc('second', j.warc_ts) AS warc_ts,
+       j.event_id <> c.cid AS is_revisit,
+       'md5:' || md5(p.ptxt) AS digest,
+       md5(p.ptxt) AS payload_md5,
+       CAST(strlen(p.ptxt) AS INT) AS payload_len,
+       co.url AS orig_url
+FROM g j
+JOIN canon c USING (grp)
+JOIN pay p ON p.grp = j.grp
+JOIN g co ON co.event_id = c.cid""",
+)
+def warc_revisit_resolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl revisit-record dedup, round-tripped: pages whose
+    payload repeats an earlier capture are written as WARC ``revisit``
+    records (identical-payload-digest profile, ISO 28500 §6.7.2 — only
+    the FIRST capture stores the bytes), then ``resolve_revisits``
+    re-attaches every revisit to its stored copy by WARC-Payload-Digest.
+    The oracle derives the expected resolution directly from the pages
+    table (DuckDB never parses WARC — same never-parse-the-wire-twice
+    shape as warc_intake).
+
+    Scale shape: stored copies dedup with one digest-keyed aggregate;
+    revisits join on the digest — only 64-byte digest rows cross the
+    shuffle, never payload bytes (sources/warc.py:resolve_revisits).
+    Reference analog: the file input + codec decode contract
+    (rakelib/default_plugins.rb:54, lib/logstash/codecs/base.rb:19-28)."""
+    import hashlib
+
+    import pandas as pd
+
+    from logstash_spark.sources.warc import decode_warc, encode_warc, resolve_revisits
+
+    pages = _pages(spark, sf_dir)
+    g = pages.select(
+        (F.col("event_id") % 50).alias("bucket"),
+        "event_id",
+        "url",
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("wdate"),
+        (F.col("event_id") % 97).alias("grp"),
+    )
+    canon = g.groupBy("grp").agg(F.min("event_id").alias("cid"))
+    recs = g.join(F.broadcast(canon), "grp").select(
+        "bucket",
+        "event_id",
+        "url",
+        "wdate",
+        (F.col("event_id") == F.col("cid")).alias("is_resp"),
+        F.concat(
+            F.lit("<html><body><p>group "),
+            F.col("grp").cast("string"),
+            F.lit(" content</p></body></html>"),
+        ).alias("ptxt"),
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("event_id")
+        rs = []
+        for u, d, resp, txt in zip(pdf["url"], pdf["wdate"], pdf["is_resp"], pdf["ptxt"]):
+            body = txt.encode()
+            dig = "md5:" + hashlib.md5(body).hexdigest()
+            rs.append(
+                {
+                    "url": u,
+                    "warc_date": d,
+                    "payload": body,
+                    "payload_digest": dig,
+                    "warc_type": "response" if resp else "revisit",
+                }
+            )
+        return pd.DataFrame({"content": [encode_warc(rs)]})
+
+    files = recs.groupBy("bucket").applyInPandas(build, "content binary")
+    out = resolve_revisits(decode_warc(files, response_only=False))
+    return out.select(
+        "url",
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        "is_revisit",
+        "digest",
+        "payload_md5",
+        "payload_len",
+        "orig_url",
+    )
+
+
 def _dsir_oracle(n_buckets: int = 4096, tau_e6: int = -60_000_000) -> str:
     """DuckDB replica of the DSIR pipeline (functions/selection.py): same
     md5-nibble bucket assignment, the same e6-floored single-integer ln

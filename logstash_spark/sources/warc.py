@@ -35,7 +35,8 @@ from pyspark.sql import types as T
 
 WARC_SCHEMA = (
     "url string, warc_date string, warc_type string, record_id string, "
-    "http_status int, content_type string, payload binary"
+    "http_status int, content_type string, payload binary, "
+    "payload_digest string, refers_to string"
 )
 
 _CRLF2 = b"\r\n\r\n"
@@ -78,8 +79,12 @@ def _parse_headers(block: bytes) -> dict:
 
 
 def parse_warc(buf: bytes) -> Iterator[tuple]:
-    """Yield (url, warc_date, warc_type, record_id, status, ctype, body)
-    per well-formed record; malformed tails stop the scan (log+skip)."""
+    """Yield (url, warc_date, warc_type, record_id, status, ctype, body,
+    payload_digest, refers_to) per well-formed record; malformed tails
+    stop the scan (log+skip). ``payload_digest`` is the verbatim
+    WARC-Payload-Digest header (``md5:<hex>`` / ``sha1:<b32>``);
+    ``refers_to`` is WARC-Refers-To — both carry Common Crawl's
+    revisit-record dedup linkage (ISO 28500 §5.5/§6.7.2)."""
     if buf[:2] == b"\x1f\x8b":
         try:
             buf = _gunzip_members(buf)
@@ -111,7 +116,7 @@ def parse_warc(buf: bytes) -> Iterator[tuple]:
         status = None
         ctype = None
         body = payload
-        if wtype == "response" and payload[:5] == b"HTTP/":
+        if wtype in ("response", "revisit") and payload[:5] == b"HTTP/":
             http_end = payload.find(_CRLF2)
             if http_end >= 0:
                 status_line, _, rest = payload[:http_end].partition(b"\r\n")
@@ -128,6 +133,8 @@ def parse_warc(buf: bytes) -> Iterator[tuple]:
             status,
             ctype,
             body,
+            headers.get("warc-payload-digest"),
+            headers.get("warc-refers-to"),
         )
 
 
@@ -163,6 +170,84 @@ def decode_warc(
     return df.mapInPandas(batches, out_schema)
 
 
+def resolve_revisits(recs: DataFrame) -> DataFrame:
+    """Resolve revisit records against stored responses by payload digest.
+
+    Common Crawl's dedup writes a full ``response`` record only for the
+    FIRST capture of a payload; later identical fetches become ``revisit``
+    records carrying just WARC-Payload-Digest (ISO 28500 §6.7.2). Any
+    pipeline that wants "the bytes behind every capture" must therefore
+    re-attach each revisit to its stored copy — this is that join.
+
+    Input: ``decode_warc(..., response_only=False)`` rows. Output: one row
+    per response/revisit record with ``is_revisit``, the resolved
+    ``payload_md5``/``payload_len`` and the stored copy's url/record id
+    (nulls when the digest matches no stored response — a dangling
+    revisit, kept visible rather than dropped).
+
+    Scale shape: stored copies are digest-keyed and deduped with one
+    ``min_by``-style aggregate (earliest capture wins, deterministic
+    tie-break on record id), then revisits join on the digest — both
+    sides shuffle once on the same key, so AQE plans a co-partitioned
+    hash join; no row ever carries payload BYTES across the shuffle
+    (only the 32-hex digest + md5), which at 100 TB is the difference
+    between shuffling ~64 B/row and shuffling the corpus."""
+    from pyspark.sql import functions as F
+
+    resp = recs.filter(F.col("warc_type") == "response")
+    stored = (
+        resp.select(
+            F.coalesce(
+                F.col("payload_digest"), F.concat(F.lit("md5:"), F.md5("payload"))
+            ).alias("digest"),
+            F.struct(
+                "warc_date",
+                "record_id",
+                "url",
+                F.md5("payload").alias("payload_md5"),
+                F.length("payload").cast("int").alias("payload_len"),
+            ).alias("s"),
+        )
+        .groupBy("digest")
+        .agg(F.min("s").alias("s"))
+        .select(
+            "digest",
+            F.col("s.url").alias("orig_url"),
+            F.col("s.record_id").alias("orig_record_id"),
+            F.col("s.payload_md5").alias("payload_md5"),
+            F.col("s.payload_len").alias("payload_len"),
+        )
+    )
+    own = resp.select(
+        "url",
+        "warc_date",
+        F.lit(False).alias("is_revisit"),
+        F.coalesce(
+            F.col("payload_digest"), F.concat(F.lit("md5:"), F.md5("payload"))
+        ).alias("digest"),
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("int").alias("payload_len"),
+        F.col("url").alias("orig_url"),
+        F.col("record_id").alias("orig_record_id"),
+    )
+    rev = (
+        recs.filter(F.col("warc_type") == "revisit")
+        .select("url", "warc_date", F.col("payload_digest").alias("digest"))
+        .join(stored, "digest", "left")
+        .select(
+            "url",
+            "warc_date",
+            F.lit(True).alias("is_revisit"),
+            "digest",
+            "payload_md5",
+            "payload_len",
+            "orig_url",
+            "orig_record_id",
+        )
+    )
+    return own.unionByName(rev)
+
+
 # ---------------------------------------------------------------------------
 # encode side (test builders + the intake round-trip oracle)
 # ---------------------------------------------------------------------------
@@ -177,23 +262,44 @@ def encode_warc_record(
     record_id: str | None = None,
     http_status: int = 200,
     content_type: str = "text/html",
+    payload_digest: str | None = None,
+    refers_to: str | None = None,
 ) -> bytes:
-    """One WARC record; response payloads get an HTTP/1.1 envelope."""
+    """One WARC record; response/revisit payloads get an HTTP/1.1
+    envelope. ``warc_type='revisit'`` writes the identical-payload-digest
+    profile (ISO 28500 §6.7.2 — how Common Crawl records a refetch whose
+    body matched an earlier capture): the body is the HTTP headers only,
+    ``payload_digest`` names the matching earlier payload and
+    ``refers_to`` optionally names the earlier record id."""
     if warc_type == "response":
         http = (
             f"HTTP/1.1 {http_status} OK\r\nContent-Type: {content_type}\r\n"
             f"Content-Length: {len(payload)}\r\n\r\n"
         ).encode() + payload
+    elif warc_type == "revisit":
+        # headers-only capture: the payload was NOT stored (that's the point)
+        http = (
+            f"HTTP/1.1 {http_status} OK\r\nContent-Type: {content_type}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
     else:
         http = payload
     import hashlib
 
     # md5, not hash(): record ids must be deterministic across processes
     rid = record_id or "<urn:uuid:" + hashlib.md5(f"{url}|{warc_date}".encode()).hexdigest() + ">"
+    profile = (
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n"
+        if warc_type == "revisit"
+        else ""
+    )
     hdr = (
         f"WARC/1.0\r\nWARC-Type: {warc_type}\r\nWARC-Record-ID: {rid}\r\n"
         f"WARC-Date: {warc_date}\r\n"
         + (f"WARC-Target-URI: {url}\r\n" if url else "")
+        + (f"WARC-Payload-Digest: {payload_digest}\r\n" if payload_digest else "")
+        + (f"WARC-Refers-To: {refers_to}\r\n" if refers_to else "")
+        + profile
         + f"Content-Length: {len(http)}\r\n\r\n"
     ).encode()
     return hdr + http + b"\r\n\r\n"

@@ -505,6 +505,64 @@ def test_warc_decode_roundtrip_plain_and_gzip(spark):
     assert types == ["request", "response", "response", "warcinfo"]
 
 
+def test_warc_revisit_resolution(spark):
+    """Revisit records (identical-payload-digest profile) resolve to the
+    stored response by WARC-Payload-Digest; a dangling digest stays
+    visible with null resolution instead of being dropped; the stored
+    copy's payload is never duplicated on the wire."""
+    import hashlib
+
+    from logstash_spark.sources.warc import decode_warc, encode_warc, resolve_revisits
+
+    body = b"<html>shared</html>"
+    dig = "md5:" + hashlib.md5(body).hexdigest()
+    recs = [
+        {"url": "https://x/orig", "warc_date": "2013-01-01T00:00:00Z",
+         "payload": body, "payload_digest": dig},
+        {"url": "https://x/again", "warc_date": "2013-01-02T00:00:00Z",
+         "payload": body, "payload_digest": dig, "warc_type": "revisit"},
+        {"url": "https://y/dangling", "warc_date": "2013-01-03T00:00:00Z",
+         "payload": b"", "payload_digest": "md5:" + "0" * 32,
+         "warc_type": "revisit"},
+    ]
+    buf = encode_warc(recs)
+    # the revisit member must NOT carry the payload bytes
+    assert buf.count(body) == 1
+    assert b"identical-payload-digest" in buf
+    df = spark.createDataFrame([(buf,)], "content binary")
+    out = {r.url: r for r in resolve_revisits(decode_warc(df, response_only=False)).collect()}
+    assert set(out) == {"https://x/orig", "https://x/again", "https://y/dangling"}
+    orig, again, dang = out["https://x/orig"], out["https://x/again"], out["https://y/dangling"]
+    assert not orig.is_revisit and orig.orig_url == "https://x/orig"
+    assert again.is_revisit and again.orig_url == "https://x/orig"
+    assert again.payload_md5 == orig.payload_md5 == hashlib.md5(body).hexdigest()
+    assert again.payload_len == len(body)
+    assert dang.is_revisit and dang.orig_url is None and dang.payload_md5 is None
+
+
+def test_warc_revisit_digest_fallback_and_earliest_wins(spark):
+    """Responses lacking a WARC-Payload-Digest header still act as stored
+    copies (digest computed from the bytes); when two responses share a
+    digest the EARLIEST capture is the canonical stored copy."""
+    import hashlib
+
+    from logstash_spark.sources.warc import decode_warc, encode_warc, resolve_revisits
+
+    body = b"<p>dup</p>"
+    dig = "md5:" + hashlib.md5(body).hexdigest()
+    recs = [
+        # no digest header on either response: fallback path
+        {"url": "https://b/later", "warc_date": "2014-06-01T00:00:00Z", "payload": body},
+        {"url": "https://a/earlier", "warc_date": "2014-01-01T00:00:00Z", "payload": body},
+        {"url": "https://c/rev", "warc_date": "2014-07-01T00:00:00Z",
+         "payload": body, "payload_digest": dig, "warc_type": "revisit"},
+    ]
+    df = spark.createDataFrame([(encode_warc(recs),)], "content binary")
+    out = {r.url: r for r in resolve_revisits(decode_warc(df, response_only=False)).collect()}
+    assert out["https://c/rev"].orig_url == "https://a/earlier"
+    assert all(r.digest == dig for r in out.values())
+
+
 def test_warc_decode_malformed_and_truncated(spark):
     """Codec log+skip contract: garbage rows emit nothing; a truncated
     final record stops the scan but keeps the complete records before it."""

@@ -71,7 +71,7 @@ class TestWet:
         stream = "".join(r["wet"] for r in rows).encode()
         parsed = list(parse_warc(stream))
         assert len(parsed) == len(rows) == 50
-        for url, date, wtype, rid, status, ctype, body in parsed:
+        for url, date, wtype, rid, status, ctype, body, _digest, _refers in parsed:
             assert wtype == "conversion"
             assert status is None and ctype is None
             assert body.decode() == src[url].text
