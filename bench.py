@@ -161,6 +161,7 @@ HEADLINE = [
     "dedup_containment",
     "reciprocal_link_stats",
     "warc_revisit_resolve",
+    "bm25_search",
 ]
 
 

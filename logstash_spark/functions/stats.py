@@ -106,6 +106,91 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson & Zaragoza 2009; Lucene's
+    positive-idf variant) — the query side of corpus curation: find the
+    documents most relevant to a probe query (decontamination-by-retrieval,
+    targeted quality audits, "what does my corpus know about X").
+
+    k1 = 1.2, b = 0.75 (the standard defaults), idf = ln(1 + (N - df +
+    0.5)/(df + 0.5)) which is strictly positive (no negative-idf common
+    terms). Scoring is integer-pinned for cross-engine value equality:
+
+    - idf_e6 = floor(ln(...) * 1e6) — the dsir/selection.py trick; ln is
+      evaluated on exact integer ratios so both engines see identical
+      doubles before the floor.
+    - tf normalization is EXACT BIGINT rational arithmetic. With
+      avgdl = sumdl/N, tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) multiplies
+      through to 22*tf*sumdl / (10*tf*sumdl + 3*sumdl + 9*dl*N); the e6
+      fixed-point quotient uses integer division, bit-identical in Spark
+      (`div`) and DuckDB (`//`). Headroom: 1e6*22*tf*sumdl stays under
+      2^63 up to ~4e11 total tokens per gate corpus; the production path
+      at full 100 TB scale would flip these to doubles (rank order is
+      preserved; only the oracle needs the integer grid).
+
+    score_e12 = sum over matched terms of idf_e6 * tfn_e6.
+
+    Scale shape: tokens filter to the |Q| query terms BEFORE any shuffle
+    (only matching postings leave the scan); tf groupBy (doc, term) has
+    map-side combine; df-per-term is a |Q|-row aggregate broadcast back;
+    corpus N/sumdl ride in as a broadcast 1-row frame; the global top-k
+    is orderBy+limit = TakeOrdered (per-partition heaps, no single-task
+    sort). Returns (id_col, n_terms, score_e12), best first.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.filter(toks, lambda t: t != "").alias("toks"),
+    )
+    corpus = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("sumdl"),
+    )
+    terms = base.select(
+        "id", F.size("toks").cast("long").alias("dl"), F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(list(query_terms)))
+    tf = terms.groupBy("id", "dl", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dfd"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_e6",
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("dfd") + F.lit(0.5))
+                    / (F.col("dfd") + F.lit(0.5))
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "tfn_e6",
+            F.expr(
+                "(1000000 * 22 * tf * sumdl) div "
+                "(10 * tf * sumdl + 3 * sumdl + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.sum(F.col("idf_e6") * F.col("tfn_e6")).cast("long").alias("score_e12"),
+    )
+    return (
+        agg.orderBy(F.desc("score_e12"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "n_terms", "score_e12")
+    )
+
+
 def domain_mixture(
     df: DataFrame,
     *,

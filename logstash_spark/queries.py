@@ -3477,6 +3477,55 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(d, top_n=3)
 
 
+_BM25_TERMS = ("dup", "window", "merge", "customer")
+
+
+@q(
+    "bm25_search",
+    f"""WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS sumdl
+  FROM docs
+), base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM docs
+), tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM base WHERE term IN {str(tuple(_BM25_TERMS))}
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS dfd FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         CAST(floor(ln(1 + (c.n_docs - d.dfd + 0.5) / (d.dfd + 0.5)) * 1000000)
+              AS BIGINT)
+         * ((1000000 * 22 * t.tf * c.sumdl)
+            // (10 * t.tf * c.sumdl + 3 * c.sumdl + 9 * t.dl * c.n_docs)) AS contrib
+  FROM tf t JOIN dfreq d USING (term), corpus c
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+       CAST(SUM(contrib) AS BIGINT) AS score_e12
+FROM scored GROUP BY doc_id
+ORDER BY score_e12 DESC, doc_id
+LIMIT 20""",
+)
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval over the documents table for a fixed probe
+    query mixing a rare term ('dup': ~26 postings) with common ones —
+    the idf spread is what the ranking has to get right. Fully
+    integer-pinned scoring (e6-floored idf + exact BIGINT rational tf
+    normalization) so DuckDB value-hashes the same ranks and scores;
+    see functions/stats.py:bm25_topk for the scale shape."""
+    from logstash_spark.functions.stats import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, list(_BM25_TERMS), k=20)
+
+
 @q(
     "domain_mixture",
     f"""{_PAGES_CTE},

@@ -2087,3 +2087,49 @@ class TestSitemaps:
             ("h.example", "https://h.example/sm.xml"),
             ("h.example", "https://h.example/sm2.xml#frag"),
         }
+
+
+class TestBM25:
+    def _docs(self, spark):
+        rows = [
+            (1, "rare alpha beta"),                     # one rare hit, short
+            (2, "common beta gamma"),                   # one common hit, short
+            (3, "common common common gamma delta"),    # common hits only
+            (4, "unrelated words here"),
+            (5, None),                                  # null text excluded
+            (6, "rare " + "filler " * 50),              # long doc: length-normalized down
+        ] + [
+            # pad df(common): 8 more docs containing 'common'
+            (10 + i, "common pad%d" % i) for i in range(8)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_rare_term_outranks_common(self, spark):
+        from logstash_spark.functions.stats import bm25_topk
+
+        out = bm25_topk(self._docs(spark), ["rare", "common"], k=20).collect()
+        ids = [r.doc_id for r in out]
+        # every matching text-bearing doc appears; null-text not
+        assert set(ids) == {1, 2, 3, 6} | {10 + i for i in range(8)}
+        # df(rare)=2 vs df(common)=10: the idf spread makes the single
+        # 'rare' hit in doc 1 outrank any common-only doc, even doc 3's
+        # saturated triple hit
+        assert ids.index(1) < ids.index(3)
+        assert ids.index(1) < ids.index(2)
+        # long doc's single 'rare' is length-normalized below doc 1's
+        assert ids.index(1) < ids.index(6)
+        r1 = out[ids.index(1)]
+        assert r1.n_terms == 1 and r1.score_e12 > 0
+
+    def test_deterministic_and_k_bound(self, spark):
+        from logstash_spark.functions.stats import bm25_topk
+
+        d = self._docs(spark)
+        a = [(r.doc_id, r.score_e12) for r in bm25_topk(d, ["rare", "common"], k=2).collect()]
+        b = [(r.doc_id, r.score_e12) for r in bm25_topk(d, ["rare", "common"], k=2).collect()]
+        assert a == b and len(a) == 2
+
+    def test_no_match_is_empty(self, spark):
+        from logstash_spark.functions.stats import bm25_topk
+
+        assert bm25_topk(self._docs(spark), ["zzzznope"], k=5).count() == 0
