@@ -148,3 +148,59 @@ def per_key_cap(
         df.withColumn(rank_out, F.row_number().over(w))
         .filter(F.col(rank_out) <= cap)
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    frac_den: int = 2,
+) -> DataFrame:
+    """Temperature-flattened mixture resampling at alpha = 1/2 — the
+    multilingual/domain rebalancing recipe (sample stratum d with
+    probability proportional to n_d^alpha instead of n_d, so huge strata
+    shrink and small ones keep presence; alpha ~0.5-0.7 in published
+    multilingual LM mixes).
+
+    alpha is PINNED at 1/2 because sqrt is the one power IEEE-754
+    requires to be correctly rounded — `sqrt(n_d)` is bit-identical in
+    Spark and DuckDB, so the whole allocation stays on an exact integer
+    grid with no rounding games:
+
+    - w_d    = floor(sqrt(n_d) * 1e6)            (BIGINT, exact)
+    - budget = n_tot div frac_den                 (total kept docs)
+    - target_d = (budget * w_d) div sum(w_d)      (floor allocation;
+      sum(target_d) <= budget with deficit < #strata — documented,
+      not redistributed: determinism beats the last rounding crumb)
+
+    Which target_d docs survive per stratum is the per_key_cap draw:
+    rank by the md5 sample key, keep rank <= target_d — uniform,
+    replayable on any engine/retry.
+
+    Scale shape: stratum counts are one map-side-combined aggregate
+    (#strata rows); the target table broadcasts back; the only
+    corpus-sized movement is the per-stratum rank shuffle (same bound
+    as per_key_cap: the hot stratum's partition holds that stratum
+    only). Returns survivors with (key_rank, n_d, target_d) for audit.
+    """
+    n = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    w = n.withColumn(
+        "w_d",
+        F.floor(F.sqrt(F.col("n_d").cast("double")) * F.lit(1000000.0)).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("w_d").cast("long").alias("sum_w"),
+        F.sum("n_d").cast("long").alias("n_tot"),
+    )
+    tgt = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("target_d", F.expr(f"((n_tot div {int(frac_den)}) * w_d) div sum_w"))
+        .select(key_col, "n_d", "target_d")
+    )
+    key = sample_key(F.col(id_col))
+    win = W.partitionBy(key_col).orderBy(key, F.col(id_col))
+    ranked = df.withColumn("key_rank", F.row_number().over(win))
+    return ranked.join(F.broadcast(tgt), key_col).filter(
+        F.col("key_rank") <= F.col("target_d")
+    )

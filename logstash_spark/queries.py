@@ -3550,6 +3550,47 @@ def domain_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mixture_resample",
+    """WITH n AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_d FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_d,
+         CAST(floor(sqrt(CAST(n_d AS DOUBLE)) * 1000000) AS BIGINT) AS w_d
+  FROM n
+), tot AS (
+  SELECT CAST(SUM(w_d) AS BIGINT) AS sum_w, CAST(SUM(n_d) AS BIGINT) AS n_tot
+  FROM w
+), tgt AS (
+  SELECT source, n_d, ((n_tot // 2) * w_d) // sum_w AS target_d
+  FROM w CROSS JOIN tot
+), ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+         ) AS INT) AS key_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.key_rank, t.n_d, CAST(t.target_d AS BIGINT) AS target_d
+FROM ranked r JOIN tgt t USING (source)
+WHERE r.key_rank <= t.target_d""",
+)
+def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (alpha=1/2) domain rebalancing at a 50%% total
+    budget: per-source keep targets proportional to sqrt(n_d), survivors the
+    deterministic md5-keyed draw. sqrt is the one IEEE-754 correctly-rounded
+    power, so the whole allocation is integer-exact cross-engine."""
+    from logstash_spark.functions.sample import mixture_resample
+
+    d = load_table(spark, sf_dir, "documents")
+    out = mixture_resample(d, key_col="source", id_col="doc_id", frac_den=2)
+    return out.select(
+        "doc_id", "source", F.col("key_rank").cast("int").alias("key_rank"),
+        "n_d", "target_d",
+    )
+
+
+@q(
     "deterministic_shuffle",
     """WITH s AS (
   SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS skey,

@@ -901,6 +901,51 @@ def test_sessionize_gap_boundaries(spark):
     assert out == {1: 1, 2: 1, 3: 2, 4: 1, 5: 3}
 
 
+def test_mixture_resample_allocation_and_determinism(spark):
+    import math
+
+    from logstash_spark.functions.sample import mixture_resample
+    from logstash_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = mixture_resample(d, key_col="source", id_col="doc_id", frac_den=2)
+    rows = out.collect()
+    assert rows
+    # each stratum keeps exactly min(target_d, n_d) rows, and the floored
+    # sqrt allocation matches an independent python recompute
+    counts = {r["source"]: r["count"] for r in d.groupBy("source").count().collect()}
+    n_tot = sum(counts.values())
+    w = {s: math.floor(math.sqrt(n) * 1_000_000) for s, n in counts.items()}
+    sum_w = sum(w.values())
+    budget = n_tot // 2
+    expect = {s: (budget * wd) // sum_w for s, wd in w.items()}
+    kept: dict = {}
+    for r in rows:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+        assert r["target_d"] == expect[r["source"]]
+        assert r["n_d"] == counts[r["source"]]
+        assert r["key_rank"] <= r["target_d"]
+    for s, k in kept.items():
+        assert k == min(expect[s], counts[s])
+    # total never exceeds the budget; floor deficit < number of strata
+    assert sum(kept.values()) <= budget
+    assert budget - sum(expect.values()) < len(counts)
+    # temperature flattening: the biggest stratum's keep RATE is below the
+    # smallest stratum's (sqrt shrinks big strata relatively)
+    big = max(counts, key=lambda s: counts[s])
+    small = min(counts, key=lambda s: counts[s])
+    if counts[big] > counts[small]:
+        assert expect[big] / counts[big] < (expect[small] + 1) / counts[small]
+    # survivor set is a pure function of the ids — stable under repartition
+    b = {
+        r["doc_id"]
+        for r in mixture_resample(
+            d.repartition(7), key_col="source", id_col="doc_id", frac_den=2
+        ).collect()
+    }
+    assert {r["doc_id"] for r in rows} == b
+
+
 def test_per_key_cap_quota_and_determinism(spark):
     from logstash_spark.functions.sample import per_key_cap
     from logstash_spark.sources.readers import load_table
