@@ -556,3 +556,63 @@ def cdx_diff(
         .otherwise(F.lit("changed"))
     )
     return agg.select(by, status.alias("status"), "old_digest", "new_digest")
+
+
+def host_quality_profile(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    status_col: str = "response",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Per-host crawl-health profile — the table a crawl scheduler ranks
+    hosts with (drop hosts that are mostly errors, deprioritize thin
+    content): ``(host, n_pages, n_err5xx, err5xx_share_e6, sum_bytes,
+    p50_bytes, max_bytes)``.
+
+    Everything is INTEGER-exact so the profile value-hashes identically
+    on any engine: the 5xx share is ``(n_err5xx * 1e6) div n_pages``
+    (floored micro-units, no double division) and p50 is the
+    NEAREST-RANK median (the value at 1-based rank ceil(n/2) in
+    (bytes, url) order) — an order statistic, never an interpolated
+    double. NULL byte counts sort last and can only become the median
+    when the host is majority-NULL, which is itself signal.
+
+    Scale shape: one exchange on host total — the rank window and the
+    per-host count window share the same partitioning, and the final
+    groupBy(host) reuses that exchange. A hot host's partition holds
+    that host's rows only (bounded by the biggest site, not the
+    corpus); no window is ever global."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    rows = pages.select(
+        host.alias("host"),
+        F.col(status_col).cast("string").alias("_st"),
+        F.col(bytes_col).cast("long").alias("_b"),
+        F.col(url_col).alias("_u"),
+    )
+    part = W.partitionBy("host")
+    ranked = rows.withColumn(
+        "_rk", F.row_number().over(part.orderBy(F.col("_b").asc_nulls_last(), F.col("_u")))
+    ).withColumn("_n", F.count(F.lit(1)).over(part))
+    agg = ranked.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum(F.col("_st").startswith("5").cast("long")).alias("n_err5xx"),
+        F.sum("_b").alias("sum_bytes"),
+        F.max("_b").alias("max_bytes"),
+        # nearest-rank median rides the SAME aggregate (no extra shuffle):
+        # the row whose rank is ceil(n/2) == (n+1) div 2
+        F.max(
+            F.when(F.col("_rk") == F.expr("(_n + 1) div 2"), F.col("_b"))
+        ).alias("p50_bytes"),
+    )
+    return agg.select(
+        "host",
+        "n_pages",
+        "n_err5xx",
+        F.expr("(n_err5xx * 1000000) div n_pages").alias("err5xx_share_e6"),
+        "sum_bytes",
+        "p50_bytes",
+        "max_bytes",
+    )

@@ -6272,3 +6272,41 @@ def cdx_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = cdx_index(mutated.unionByName(extra))
     return cdx_diff(old, new)
+
+
+@q(
+    "host_quality_profile",
+    f"""{_PAGES_CTE},
+v AS (
+  SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         response AS st, CAST(bytes AS BIGINT) AS b, url
+  FROM pages
+), r AS (
+  SELECT host, st, b,
+         row_number() OVER (PARTITION BY host ORDER BY b NULLS LAST, url) AS rk,
+         count(*) OVER (PARTITION BY host) AS n
+  FROM v
+), a AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(CASE WHEN st LIKE '5%' THEN 1 ELSE 0 END) AS BIGINT) AS n_err5xx,
+         CAST(sum(b) AS BIGINT) AS sum_bytes,
+         CAST(max(b) AS BIGINT) AS max_bytes,
+         CAST(max(CASE WHEN rk = (n + 1) // 2 THEN b END) AS BIGINT) AS p50_bytes
+  FROM r GROUP BY host
+)
+SELECT host, n_pages, n_err5xx,
+       (n_err5xx * 1000000) // n_pages AS err5xx_share_e6,
+       sum_bytes, p50_bytes, max_bytes
+FROM a""",
+)
+def host_quality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-health profile (the crawl scheduler's ranking table):
+    page count, 5xx error share in floored micro-units, byte-size sum /
+    nearest-rank median / max — all integer-exact order statistics, no
+    interpolated doubles. One exchange on host total (rank window, count
+    window and groupBy share the partitioning)."""
+    from logstash_spark.functions.crawl import host_quality_profile
+
+    p = _pages(spark, sf_dir)
+    return host_quality_profile(p)

@@ -488,3 +488,30 @@ class TestThirdReviewRegressions:
                      "x" * 1010 + '<meta charset="windows-12']:
             df = spark.createDataFrame([(html,)], "html string")
             assert declared_charset(df).collect()[0]["charset_declared"] == "UTF-8"
+
+
+def test_host_quality_profile_integer_stats(spark):
+    from logstash_spark.functions.crawl import host_quality_profile
+
+    rows = [
+        # hostA: bytes 10, 20, 30 -> p50 = 20 (odd n, exact middle)
+        ("https://a.example.com/1", "200", 10),
+        ("https://A.example.com/2", "500", 20),
+        ("https://a.example.com/3", "503", 30),
+        # hostB: bytes 5, NULL -> n=2, nearest rank ceil(2/2)=1 -> 5
+        ("https://b.example.com/1", "200", 5),
+        ("https://b.example.com/2", "404", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, response string, bytes long")
+    out = {r["host"]: r for r in host_quality_profile(df).collect()}
+    a = out["a.example.com"]  # host is case-folded
+    assert (a["n_pages"], a["n_err5xx"], a["p50_bytes"], a["max_bytes"]) == (3, 2, 20, 30)
+    assert a["err5xx_share_e6"] == (2 * 1_000_000) // 3
+    b = out["b.example.com"]
+    assert (b["n_pages"], b["n_err5xx"], b["p50_bytes"], b["sum_bytes"]) == (2, 0, 5, 5)
+    # all-NULL bytes host: median/sum/max NULL, counts still exact
+    df2 = spark.createDataFrame(
+        [("https://c.example.com/1", "500", None)], "url string, response string, bytes long"
+    )
+    c = host_quality_profile(df2).collect()[0]
+    assert c["p50_bytes"] is None and c["sum_bytes"] is None and c["n_err5xx"] == 1
