@@ -452,3 +452,69 @@ def bigram_score(
         F.sum("oov").alias("n_oov"),
         F.sum("rarity").alias("rarity_sum"),
     ).withColumn("rarity_avg", F.expr("rarity_sum div n_tokens"))
+
+
+def inverted_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    k: int = 50,
+    salt_shards: int = 8,
+) -> DataFrame:
+    """Impact-ordered inverted index build — the sharded postings table a
+    search/retrieval layer serves from: one row per kept posting,
+    ``(term, shard, df_docs, doc_id, tf, posting_rank)`` where postings
+    are ranked tf-descending (doc_id breaks ties) and truncated at ``k``
+    per term (impact-ordered index pruning: the high-tf head is what
+    top-k retrieval ever touches; ``df_docs`` keeps the TRUE document
+    frequency from before truncation so idf stays honest). ``shard`` is
+    the first hex char of md5(term) — the partition key an index writer
+    splits posting files by.
+
+    Scale shape — the naive `row_number() OVER (PARTITION BY term)` puts
+    a stopword's corpus-sized posting list in ONE task. Skew-safe
+    two-phase top-k instead:
+
+    1. tf per (term, doc) — groupBy with map-side combine,
+    2. LOCAL rank within (term, salt) where salt = doc_id %
+       ``salt_shards``; keep local rank <= k (any global top-k member is
+       top-k in its own salt shard, so no survivor is lost),
+    3. FINAL rank over the <= salt_shards*k survivors per term — a
+       bounded window (never corpus-sized), keep rank <= k.
+
+    df-per-term is its own groupBy (partial-agg absorbs Zipf skew) and
+    joins the pruned postings on term. min_df drops hapax noise before
+    the expensive ranking."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(toks, lambda t: t != "")).alias("term"),
+    )
+    tf = base.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_docs"))
+        .filter(F.col("df_docs") >= min_df)
+    )
+    salted = tf.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(salt_shards)))
+    order = [F.col("tf").desc(), F.col("doc_id").asc()]
+    local = F.row_number().over(W.partitionBy("term", "_salt").orderBy(*order))
+    head = salted.withColumn("_lr", local).filter(F.col("_lr") <= k)
+    final = F.row_number().over(W.partitionBy("term").orderBy(*order))
+    pruned = (
+        head.withColumn("posting_rank", final)
+        .filter(F.col("posting_rank") <= k)
+        .drop("_salt", "_lr")
+    )
+    return pruned.join(dfreq, "term").select(
+        "term",
+        F.substring(F.md5(F.col("term")), 1, 1).alias("shard"),
+        "df_docs",
+        "doc_id",
+        "tf",
+        F.col("posting_rank").cast("int").alias("posting_rank"),
+    )

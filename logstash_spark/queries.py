@@ -6310,3 +6310,39 @@ def host_quality_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _pages(spark, sf_dir)
     return host_quality_profile(p)
+
+
+@q(
+    "inverted_index",
+    """WITH base AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM base GROUP BY term, doc_id
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY term
+), ranked AS (
+  SELECT term, doc_id, tf,
+         CAST(row_number() OVER (
+           PARTITION BY term ORDER BY tf DESC, doc_id ASC
+         ) AS INT) AS posting_rank
+  FROM tf
+)
+SELECT r.term, substr(md5(r.term), 1, 1) AS shard, d.df_docs,
+       r.doc_id, r.tf, r.posting_rank
+FROM ranked r JOIN dfreq d USING (term)
+WHERE d.df_docs >= 2 AND r.posting_rank <= 25""",
+)
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered sharded inverted index over the documents table:
+    per-term postings ranked tf-desc and pruned at k=25, true df kept
+    from before pruning, md5-prefix shard key. The engine's skew-safe
+    two-phase (salted local top-k, then bounded final rank) must land on
+    exactly the rows the oracle's single global window picks."""
+    from logstash_spark.functions.stats import inverted_index
+
+    d = load_table(spark, sf_dir, "documents")
+    return inverted_index(d, min_df=2, k=25, salt_shards=8)

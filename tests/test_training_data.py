@@ -2178,3 +2178,33 @@ class TestBM25:
         from logstash_spark.functions.stats import bm25_topk
 
         assert bm25_topk(self._docs(spark), ["zzzznope"], k=5).count() == 0
+
+
+def test_inverted_index_pruning_and_skew_path(spark):
+    from logstash_spark.functions.stats import inverted_index
+
+    rows = [
+        (1, "alpha alpha alpha beta"),
+        (2, "alpha alpha beta beta gamma"),
+        (3, "alpha beta"),
+        (4, "alpha"),
+        (5, "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = inverted_index(df, min_df=2, k=2, salt_shards=3).collect()
+    by_term: dict = {}
+    for r in out:
+        by_term.setdefault(r["term"], []).append(r)
+    # hapax terms dropped entirely by min_df ('gamma' has df 2, kept)
+    assert set(by_term) == {"alpha", "beta", "gamma"}
+    # df is the TRUE pre-pruning document frequency
+    assert all(r["df_docs"] == 4 for r in by_term["alpha"])
+    # postings pruned at k=2, impact-ordered (tf desc, doc_id asc)
+    a = sorted(by_term["alpha"], key=lambda r: r["posting_rank"])
+    assert [(r["doc_id"], r["tf"]) for r in a] == [(1, 3), (2, 2)]
+    b = sorted(by_term["beta"], key=lambda r: r["posting_rank"])
+    assert [(r["doc_id"], r["tf"]) for r in b] == [(2, 2), (1, 1)]
+    # salted two-phase result is independent of the salt shard count
+    one = {(r["term"], r["doc_id"], r["posting_rank"])
+           for r in inverted_index(df, min_df=2, k=2, salt_shards=1).collect()}
+    assert one == {(r["term"], r["doc_id"], r["posting_rank"]) for r in out}
