@@ -586,3 +586,69 @@ def main_content(
         )
         .drop("_blocks", "_kept")
     )
+
+
+def host_boilerplate_strip(
+    df: DataFrame,
+    *,
+    host_col: str = "host",
+    id_col: str = "page_id",
+    text_col: str = "text",
+    min_pages: int = 2,
+    share_den: int = 4,
+) -> DataFrame:
+    """Per-host template-line removal (the CCNet/refinedweb boilerplate
+    rule): a line is boilerplate for a host when it appears in at least
+    ``max(min_pages, ceil(n_host / share_den))`` DISTINCT pages of that
+    host — nav bars, cookie banners, footers repeat on every page of a
+    site; real content does not. Scoping by host is the point: the same
+    sentence on two different sites is NOT boilerplate.
+
+    Lines are keyed by md5 of the trimmed line (32-byte shuffle keys
+    instead of arbitrary-length text — the dedup_lines trick; corpus-wide
+    md5 collision on trimmed lines is negligible and both engines hash
+    identically). Blank lines never count and are always kept.
+
+    Scale shape — counting explodes lines once: distinct (host, key,
+    page) then groupBy (host, key), both map-side-combined, hot keys
+    bounded by their own host's page count. The REASSEMBLY never
+    re-shuffles the corpus: the per-host boilerplate key list is provably
+    small (each entry repeats on >= n/share_den pages, so a host has at
+    most share_den * avg_lines_per_page entries), gets collect_list'd to
+    one row per host, and joins back host-keyed; the strip itself is a
+    higher-order array filter on the original text — row order, blank
+    lines and intra-line whitespace all survive verbatim.
+
+    Returns the input plus ``clean_text``, ``n_lines``, ``n_removed``."""
+    host, pid, txt = F.col(host_col), F.col(id_col), F.col(text_col)
+    lines = df.select(
+        host.alias("_h"),
+        pid.alias("_p"),
+        F.explode(F.split(txt, "\n")).alias("_l"),
+    ).filter(F.trim("_l") != "")
+    per_page = lines.select("_h", F.md5(F.trim("_l")).alias("_k"), "_p").distinct()
+    counts = per_page.groupBy("_h", "_k").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    n_host = df.groupBy(host.alias("_h")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    thr = F.greatest(
+        F.lit(min_pages).cast("long"),
+        F.expr(f"(_n + {int(share_den) - 1}) div {int(share_den)}"),
+    )
+    bp = counts.join(n_host, "_h").filter(F.col("_c") >= thr)
+    bpl = bp.groupBy("_h").agg(F.collect_list("_k").alias("_ks"))
+    joined = df.join(bpl, df[host_col] == bpl["_h"], "left").drop("_h")
+    ks = F.coalesce(F.col("_ks"), F.array().cast("array<string>"))
+    split = F.split(txt, "\n")
+    kept = F.filter(
+        split,
+        lambda l: (F.trim(l) == "") | ~F.array_contains(ks, F.md5(F.trim(l))),
+    )
+    return (
+        joined.withColumn("clean_text", F.array_join(kept, "\n"))
+        .withColumn("n_lines", F.size(split).cast("int"))
+        .withColumn("n_removed", (F.size(split) - F.size(kept)).cast("int"))
+        .drop("_ks")
+    )

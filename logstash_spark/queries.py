@@ -6346,3 +6346,72 @@ def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return inverted_index(d, min_df=2, k=25, salt_shards=8)
+
+
+@q(
+    "host_boilerplate",
+    f"""{_PAGES_CTE},
+v AS (
+  SELECT 'host' || CAST(user_id % 40 AS VARCHAR) AS host,
+         event_id AS page_id,
+         concat_ws(chr(10),
+                   'NAV host' || CAST(user_id % 40 AS VARCHAR) || ' | Home | About',
+                   text,
+                   '',
+                   CASE WHEN event_id % 2 = 0
+                        THEN 'PROMO host' || CAST(user_id % 40 AS VARCHAR) || ' sale' END,
+                   CASE WHEN event_id % 97 = 0 THEN 'SHARED banner' END,
+                   'Copyright host' || CAST(user_id % 40 AS VARCHAR)) AS txt
+  FROM pages
+), lines AS (
+  SELECT host, page_id, unnest(string_split(txt, chr(10))) AS line FROM v
+), keys AS (
+  SELECT host, md5(trim(line)) AS k, count(DISTINCT page_id) AS c
+  FROM lines WHERE trim(line) <> '' GROUP BY host, md5(trim(line))
+), nh AS (
+  SELECT host, count(*) AS n FROM v GROUP BY host
+), bp AS (
+  SELECT keys.host, keys.k FROM keys JOIN nh USING (host)
+  WHERE c >= greatest(2, (n + 3) // 4)
+), bpl AS (
+  SELECT host, list(k) AS ks FROM bp GROUP BY host
+)
+SELECT v.host, v.page_id,
+       array_to_string(list_filter(string_split(v.txt, chr(10)),
+         l -> trim(l) = '' OR NOT list_contains(coalesce(b.ks, []), md5(trim(l)))),
+         chr(10)) AS clean_text,
+       CAST(len(string_split(v.txt, chr(10))) AS INT) AS n_lines,
+       CAST(len(string_split(v.txt, chr(10)))
+            - len(list_filter(string_split(v.txt, chr(10)),
+                l -> trim(l) = '' OR NOT list_contains(coalesce(b.ks, []), md5(trim(l)))))
+            AS INT) AS n_removed
+FROM v LEFT JOIN bpl b USING (host)""",
+)
+def host_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host template-line removal (CCNet-style boilerplate rule) over a
+    rendered-page fixture: every page of a host shares a NAV and a
+    Copyright line (always boilerplate), half share a PROMO line
+    (boilerplate once >= ceil(n/4) pages carry it), a rare SHARED banner
+    crosses hosts (host scoping must keep it), blank lines and the unique
+    content line survive verbatim. The oracle replays the identical rule
+    with DuckDB list lambdas."""
+    from logstash_spark.functions.text import host_boilerplate_strip
+
+    p = _pages(spark, sf_dir)
+    h = F.concat(F.lit("host"), (F.col("user_id") % 40).cast("string"))
+    eid = F.col("event_id")
+    txt = F.concat_ws(
+        "\n",
+        F.concat(F.lit("NAV "), h, F.lit(" | Home | About")),
+        F.col("text"),
+        F.lit(""),
+        F.when(eid % 2 == 0, F.concat(F.lit("PROMO "), h, F.lit(" sale"))),
+        F.when(eid % 97 == 0, F.lit("SHARED banner")),
+        F.concat(F.lit("Copyright "), h),
+    )
+    pages = p.select(h.alias("host"), eid.alias("page_id"), txt.alias("text"))
+    out = host_boilerplate_strip(
+        pages, host_col="host", id_col="page_id", text_col="text",
+        min_pages=2, share_den=4,
+    )
+    return out.select("host", "page_id", "clean_text", "n_lines", "n_removed")

@@ -515,3 +515,28 @@ def test_host_quality_profile_integer_stats(spark):
     )
     c = host_quality_profile(df2).collect()[0]
     assert c["p50_bytes"] is None and c["sum_bytes"] is None and c["n_err5xx"] == 1
+
+
+def test_host_boilerplate_strip_scoping_and_order(spark):
+    from logstash_spark.functions.text import host_boilerplate_strip
+
+    rows = [
+        ("a", 1, "NAV\ncontent one\n\nfooter"),
+        ("a", 2, "NAV\ncontent two\nfooter"),
+        ("a", 3, "NAV\ncontent three\nfooter\nshared across hosts"),
+        ("b", 4, "NAV B\nother content\nshared across hosts"),
+        ("b", 5, "NAV B\nmore content"),
+    ]
+    df = spark.createDataFrame(rows, "host string, page_id long, text string")
+    out = {r["page_id"]: r for r in host_boilerplate_strip(
+        df, min_pages=2, share_den=4).collect()}
+    # NAV + footer are host-a boilerplate; blank line + content survive in order
+    assert out[1]["clean_text"] == "content one\n"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (4, 2)
+    # 'shared across hosts' appears once per host -> below min_pages, kept BOTH sides
+    assert out[3]["clean_text"] == "content three\nshared across hosts"
+    assert out[4]["clean_text"] == "other content\nshared across hosts"
+    # host-b NAV B is boilerplate (2 of 2 pages)
+    assert out[5]["clean_text"] == "more content"
+    # untouched input columns ride along
+    assert out[2]["text"].startswith("NAV")
