@@ -616,3 +616,51 @@ def host_quality_profile(
         "p50_bytes",
         "max_bytes",
     )
+
+
+def soft404_score(
+    df: DataFrame,
+    *,
+    html_col: str = "html_str",
+    status_col: str = "response",
+    thin_chars: int = 80,
+) -> DataFrame:
+    """Soft-404 detection (Bar-Yossef et al., "Sic transit gloria telae",
+    WWW'04): pages that return HTTP 200 but are actually error pages —
+    a crawl that trusts the status code fills the corpus with "Page Not
+    Found" boilerplate. Pure heuristic markers, all JVM regex:
+
+    - ``m_title`` (weight 4): <title> says "not found" / "error 404" /
+      "page missing" (an explicit error title is the strongest signal;
+      a bare "404" substring is NOT matched — titles legitimately
+      contain numbers),
+    - ``m_body`` (weight 3): body text says "does not exist" / "no
+      longer available" / "not found" / "cannot be found",
+    - ``m_thin`` (weight 1): body under ``thin_chars`` chars (error
+      pages are thin; thinness alone never crosses the threshold).
+
+    ``soft404_score`` = 4*m_title + 3*m_body + m_thin; ``is_soft404``
+    fires at score >= 4 AND status 200 — the same markers on a real 404
+    are a CORRECTLY coded error page, not a soft 404.
+
+    Scale shape: per-row regex cascade, no shuffle, no Python; title and
+    body are each extracted once and the markers test the extracts."""
+    html = F.col(html_col)
+    title = F.lower(F.regexp_extract(html, r"(?is)<title>(.*?)</title>", 1))
+    body = F.lower(F.regexp_extract(html, r"(?is)<body>(.*)</body>", 1))
+    m_title = title.rlike("not found|error 404|page missing").cast("int")
+    m_body = body.rlike(
+        "does not exist|no longer available|not found|cannot be found"
+    ).cast("int")
+    m_thin = (F.length(body) < thin_chars).cast("int")
+    score = m_title * 4 + m_body * 3 + m_thin
+    return (
+        df.withColumn("m_title", m_title)
+        .withColumn("m_body", m_body)
+        .withColumn("m_thin", m_thin)
+        .withColumn("soft404_score", score.cast("int"))
+        .withColumn(
+            "is_soft404",
+            (F.col(status_col).cast("string") == "200") & (score >= 4),
+        )
+    )

@@ -6415,3 +6415,64 @@ def host_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_pages=2, share_den=4,
     )
     return out.select("host", "page_id", "clean_text", "n_lines", "n_removed")
+
+
+@q(
+    "soft404_detect",
+    f"""{_PAGES_CTE},
+v AS (
+  SELECT url, response, event_id AS eid, text,
+         CASE WHEN response = '404' THEN 1
+              WHEN response = '200' AND event_id % 7 = 0 THEN 2
+              WHEN event_id % 11 = 0 THEN 3
+              ELSE 0 END AS kind
+  FROM pages
+)
+SELECT url, response,
+       CASE WHEN kind IN (1, 2) THEN 1 ELSE 0 END AS m_title,
+       CASE WHEN kind IN (1, 2) THEN 1 ELSE 0 END AS m_body,
+       CASE WHEN kind IN (1, 2) THEN 1
+            WHEN kind = 3 THEN 1
+            WHEN len(text) < 80 THEN 1 ELSE 0 END AS m_thin,
+       CAST(CASE WHEN kind IN (1, 2) THEN 8
+                 WHEN kind = 3 THEN 1
+                 WHEN len(text) < 80 THEN 1 ELSE 0 END AS INT) AS soft404_score,
+       (kind = 2) AS is_soft404
+FROM v""",
+)
+def soft404_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection over rendered pages: a seventh of the 200s carry
+    a full "Page Not Found" error page (title+body markers -> flagged),
+    real 404s carry the same markers but stay unflagged (correctly coded),
+    an eleventh are merely thin (score 1, never flagged), the rest are
+    normal pages whose thinness comes from their own text length. The
+    engine extracts title/body with regex and scores markers; the oracle
+    states each page's expected verdict arithmetically."""
+    from logstash_spark.functions.crawl import soft404_score
+
+    p = _pages(spark, sf_dir)
+    eid, resp = F.col("event_id"), F.col("response")
+    kind = (
+        F.when(resp == "404", 1)
+        .when((resp == "200") & (eid % 7 == 0), 2)
+        .when(eid % 11 == 0, 3)
+        .otherwise(0)
+    )
+    title = (
+        F.when(kind.isin(1, 2), F.lit("Oops - Page Not Found"))
+        .otherwise(F.concat(F.lit("Doc "), eid.cast("string")))
+    )
+    body = (
+        F.when(kind.isin(1, 2), F.lit("The page you requested does not exist."))
+        .when(kind == 3, F.lit("ok"))
+        .otherwise(F.col("text"))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title></head><body>"),
+        body, F.lit("</body></html>"),
+    )
+    out = soft404_score(p.withColumn("html_str", html))
+    return out.select(
+        "url", "response", "m_title", "m_body", "m_thin",
+        "soft404_score", "is_soft404",
+    )

@@ -540,3 +540,39 @@ def test_host_boilerplate_strip_scoping_and_order(spark):
     assert out[5]["clean_text"] == "more content"
     # untouched input columns ride along
     assert out[2]["text"].startswith("NAV")
+
+
+def test_soft404_score_markers_and_status_gate(spark):
+    from logstash_spark.functions.crawl import soft404_score
+
+    rows = [
+        # classic soft 404: 200 + error title + error body + thin
+        ("u1", "200", "<html><head><title>404 Not Found</title></head>"
+                      "<body>The page you requested does not exist.</body></html>"),
+        # hard 404 with the same content: markers fire, flag does NOT
+        ("u2", "404", "<html><head><title>Page not found</title></head>"
+                      "<body>not found</body></html>"),
+        # thin-only page: score 1, never flagged
+        ("u3", "200", "<html><head><title>Doc 7</title></head><body>ok</body></html>"),
+        # healthy page: long body, clean title
+        ("u4", "200", "<html><head><title>Doc 8</title></head><body>"
+                      + "content " * 20 + "</body></html>"),
+        # title says error but body is substantial: score 4+0+0 -> flagged
+        ("u5", "200", "<html><head><title>Error 404</title></head><body>"
+                      + "lots of words here " * 10 + "</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, response string, html_str string")
+    out = {r["url"]: r for r in soft404_score(df).collect()}
+    assert (out["u1"]["soft404_score"], out["u1"]["is_soft404"]) == (8, True)
+    assert (out["u2"]["soft404_score"], out["u2"]["is_soft404"]) == (8, False)
+    assert (out["u3"]["soft404_score"], out["u3"]["is_soft404"]) == (1, False)
+    assert (out["u4"]["soft404_score"], out["u4"]["is_soft404"]) == (0, False)
+    assert (out["u5"]["soft404_score"], out["u5"]["is_soft404"]) == (4, True)
+    # a bare numeric title must NOT trip the title marker
+    df2 = spark.createDataFrame(
+        [("u6", "200", "<html><head><title>Doc 404</title></head><body>"
+                       + "x" * 100 + "</body></html>")],
+        "url string, response string, html_str string",
+    )
+    r6 = soft404_score(df2).collect()[0]
+    assert (r6["m_title"], r6["is_soft404"]) == (0, False)
