@@ -664,3 +664,75 @@ def soft404_score(
             (F.col(status_col).cast("string") == "200") & (score >= 4),
         )
     )
+
+
+def redirect_resolve(
+    pages: DataFrame,
+    edges: DataFrame,
+    *,
+    url_col: str = "url",
+    status_col: str = "response",
+    max_hops: int = 8,
+) -> DataFrame:
+    """Redirect-chain resolution — the canonicalization step between a
+    crawl and its index: every 3xx capture is walked through its
+    ``Location`` pointers to the page that actually served content.
+    ``edges`` is the (src, dst) Location table (one row per redirect
+    capture); output is one row per redirect source: ``(url, final_url,
+    hops, outcome)`` with outcome
+
+    - ``resolved``  — the walk ended on a non-redirect page,
+    - ``dangling``  — the walk ended on a URL absent from the capture
+      (or on a redirect that had no Location to follow),
+    - ``unresolved``— still pointing at another redirect after
+      ``max_hops`` hops (loops land here: a cycle never exits).
+
+    Scale shape: ``max_hops`` is a small protocol constant (browsers cap
+    around 20; crawlers 5-10), so the walk is ``max_hops - 1`` rounds of
+    one equi-join each, keyed on the current target — the active set
+    only shrinks (real chains are 1-2 hops, so later rounds touch a
+    sliver), lineage is truncated with localCheckpoint every few rounds
+    (the dedup_cluster_cc pattern). Classification needs no loop state:
+    a final target still present in the edge table IS unresolved-by-cap,
+    everything else classifies by one presence join against the page
+    set. No driver-side anything; hop counts are exact integers."""
+    f = edges.select(F.col("src").alias("_fs"), F.col("dst").alias("_fd"))
+    state = edges.select(
+        F.col("src").alias("url_src"),
+        F.col("dst").alias("cur"),
+        F.lit(1).cast("int").alias("hops"),
+    )
+    for i in range(1, max_hops):
+        j = state.join(f, state["cur"] == f["_fs"], "left")
+        state = j.select(
+            "url_src",
+            F.coalesce(F.col("_fd"), F.col("cur")).alias("cur"),
+            F.when(F.col("_fd").isNotNull(), F.col("hops") + 1)
+            .otherwise(F.col("hops"))
+            .cast("int")
+            .alias("hops"),
+        )
+        if i % 3 == 0:
+            state = state.localCheckpoint(eager=True)
+    pmark = pages.select(
+        F.col(url_col).alias("_t"),
+        F.col(status_col).cast("string").startswith("3").alias("_tr"),
+    )
+    srcs = f.select(F.col("_fs").alias("_s")).distinct().withColumn(
+        "_is_src", F.lit(True)
+    )
+    out = (
+        state.join(pmark, state["cur"] == pmark["_t"], "left")
+        .join(srcs, state["cur"] == srcs["_s"], "left")
+        .select(
+            F.col("url_src").alias("url"),
+            F.col("cur").alias("final_url"),
+            "hops",
+            F.when(F.col("_tr").isNull(), F.lit("dangling"))
+            .when(F.coalesce(F.col("_is_src"), F.lit(False)), F.lit("unresolved"))
+            .when(F.col("_tr"), F.lit("dangling"))
+            .otherwise(F.lit("resolved"))
+            .alias("outcome"),
+        )
+    )
+    return out

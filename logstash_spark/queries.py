@@ -6476,3 +6476,68 @@ def soft404_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "response", "m_title", "m_body", "m_thin",
         "soft404_score", "is_soft404",
     )
+
+
+@q(
+    "redirect_resolve",
+    f"""WITH RECURSIVE pages AS ({pages_sql('duckdb')}),
+r AS (
+  SELECT url, event_id AS e, (event_id - 1) // 5 AS j
+  FROM pages WHERE response = '301'
+), t AS (
+  SELECT url AS src,
+         CASE WHEN j % 6 < 5 THEN e + 5
+              WHEN (j // 6) % 5 = 1 THEN e - 25
+              WHEN (j // 6) % 5 = 2 THEN NULL
+              ELSE e + 1 END AS te
+  FROM r
+), edges AS (
+  SELECT t.src, coalesce(p.url, t.src || '/gone') AS dst
+  FROM t LEFT JOIN pages p ON p.event_id = t.te
+), walk AS (
+  SELECT src, dst AS cur, 1 AS hops FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON w.cur = e.src
+  WHERE w.hops < 8
+), last AS (
+  SELECT src, arg_max(cur, hops) AS cur, max(hops) AS hops
+  FROM walk GROUP BY src
+)
+SELECT l.src AS url, l.cur AS final_url, CAST(l.hops AS INT) AS hops,
+       CASE WHEN p.url IS NULL THEN 'dangling'
+            WHEN s.src IS NOT NULL THEN 'unresolved'
+            WHEN p.response LIKE '3%' THEN 'dangling'
+            ELSE 'resolved' END AS outcome
+FROM last l LEFT JOIN pages p ON l.cur = p.url
+            LEFT JOIN (SELECT DISTINCT src FROM edges) s ON l.cur = s.src""",
+)
+def redirect_resolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain canonicalization over a Location-edge fixture built
+    from the 301 captures: six-long chains where every fifth-block tail
+    loops back to its head (cycle -> unresolved at the 8-hop cap), every
+    fifth-plus-two dangles into a never-captured URL, and the rest exit
+    onto a real non-redirect page (resolved, hop counts 1-6). The engine
+    walks pointers with max_hops-1 bounded equi-join rounds; the oracle
+    is a DuckDB recursive CTE with the identical hop guard."""
+    from logstash_spark.functions.crawl import redirect_resolve
+
+    p = _pages(spark, sf_dir)
+    r = p.filter(F.col("response") == "301").select(
+        "url",
+        F.col("event_id").alias("e"),
+        F.expr("(event_id - 1) div 5").alias("j"),
+    )
+    te = (
+        F.when(F.col("j") % 6 < 5, F.col("e") + 5)
+        .when(F.expr("(j div 6) % 5") == 1, F.col("e") - 25)
+        .when(F.expr("(j div 6) % 5") == 2, F.lit(None).cast("long"))
+        .otherwise(F.col("e") + 1)
+    )
+    t = r.select(F.col("url").alias("src"), te.alias("te"))
+    tgt = p.select(F.col("event_id").alias("te2"), F.col("url").alias("turl"))
+    edges = t.join(tgt, t["te"] == tgt["te2"], "left").select(
+        "src",
+        F.coalesce(F.col("turl"), F.concat(F.col("src"), F.lit("/gone"))).alias("dst"),
+    )
+    return redirect_resolve(p, edges, max_hops=8)

@@ -576,3 +576,44 @@ def test_soft404_score_markers_and_status_gate(spark):
     )
     r6 = soft404_score(df2).collect()[0]
     assert (r6["m_title"], r6["is_soft404"]) == (0, False)
+
+
+def test_redirect_resolve_chains_cycles_dangling(spark):
+    from logstash_spark.functions.crawl import redirect_resolve
+
+    pages = spark.createDataFrame(
+        [
+            ("a", "301"), ("b", "301"), ("c", "200"),       # a -> b -> c
+            ("x", "301"), ("y", "301"),                      # x <-> y cycle
+            ("d", "301"),                                    # d -> missing
+            ("e", "301"),                                    # e -> broken (redirect, no edge)
+            ("f", "301"),
+        ],
+        "url string, response string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "x"), ("d", "nowhere"), ("f", "e")],
+        "src string, dst string",
+    )
+    out = {r["url"]: r for r in redirect_resolve(pages, edges, max_hops=8).collect()}
+    assert (out["a"]["final_url"], out["a"]["hops"], out["a"]["outcome"]) == ("c", 2, "resolved")
+    assert (out["b"]["final_url"], out["b"]["hops"], out["b"]["outcome"]) == ("c", 1, "resolved")
+    # cycle: capped at max_hops, still pointing at a redirect source
+    assert out["x"]["hops"] == 8 and out["x"]["outcome"] == "unresolved"
+    assert out["y"]["hops"] == 8 and out["y"]["outcome"] == "unresolved"
+    # target never captured
+    assert (out["d"]["final_url"], out["d"]["outcome"]) == ("nowhere", "dangling")
+    # target captured as a redirect but with no Location edge -> broken
+    assert (out["f"]["final_url"], out["f"]["outcome"]) == ("e", "dangling")
+    # only redirect sources appear
+    assert set(out) == {"a", "b", "x", "y", "d", "f"}
+    # an exactly-max_hops chain resolves with hops == max_hops
+    p2 = spark.createDataFrame(
+        [(f"n{i}", "301") for i in range(3)] + [("end", "200")],
+        "url string, response string",
+    )
+    e2 = spark.createDataFrame(
+        [("n0", "n1"), ("n1", "n2"), ("n2", "end")], "src string, dst string"
+    )
+    r2 = {r["url"]: r for r in redirect_resolve(p2, e2, max_hops=3).collect()}
+    assert (r2["n0"]["final_url"], r2["n0"]["hops"], r2["n0"]["outcome"]) == ("end", 3, "resolved")

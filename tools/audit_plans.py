@@ -38,6 +38,12 @@ WAIVERS: dict[str, set[str]] = {
     # worst case, so the static plan is a keyed SMJ by design; AQE converts
     # to broadcast at runtime whenever the pair graph is actually small
     "dedup_cluster_cc": {"SortMergeJoin"},
+    # pointer-walk rounds join the active chain set against the Location
+    # edge table, and the final classification joins against the page set —
+    # BOTH sides scale with the corpus (every 3xx capture is an edge), so
+    # keyed shuffle joins are the intended 100 TB plan; AQE broadcasts them
+    # at bench scale when they fit (dedup_cluster_cc reasoning)
+    "redirect_resolve": {"SortMergeJoin"},
     # urls x robots-rules attach: the rules side scales WITH HOST COUNT
     # (one small rule set per host, corpus-scale in aggregate), so a
     # host-keyed shuffle join is the intended 100 TB plan; AQE broadcasts
