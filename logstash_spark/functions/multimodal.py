@@ -1109,3 +1109,97 @@ def audio_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# MIME sniffing (WHATWG mimesniff algorithm, pattern-table subset) — a crawl
+# cannot trust Content-Type headers; payload magic bytes decide what a
+# capture actually is before it is routed to text extraction vs media decode.
+
+
+def _hex_ci(s: str) -> str:
+    """ASCII string -> hex regex fragment matching it case-insensitively
+    (letters admit both cases; everything else matches its exact byte)."""
+    parts = []
+    for ch in s:
+        if ch.isalpha():
+            parts.append(
+                "(?:%02X|%02X)" % (ord(ch.upper()), ord(ch.lower()))
+            )
+        else:
+            parts.append("%02X" % ord(ch))
+    return "".join(parts)
+
+
+# (hex-prefix pattern, mime) in match-priority order; patterns run over the
+# UPPERCASE hex of the payload head so everything stays a JVM rlike
+_MAGIC = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    (_hex_ci("GIF87a"), "image/gif"),
+    (_hex_ci("GIF89a"), "image/gif"),
+    ("424D", "image/bmp"),
+    ("52494646[0-9A-F]{8}57415645", "audio/wav"),      # RIFF....WAVE
+    ("52494646[0-9A-F]{8}57454250", "image/webp"),     # RIFF....WEBP
+    ("52494646[0-9A-F]{8}41564920", "video/x-msvideo"),  # RIFF....AVI
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("255044462D", "application/pdf"),                 # %PDF-
+    ("4F676753", "application/ogg"),                   # OggS
+    ("664C6143", "audio/flac"),                        # fLaC
+    (_hex_ci("YUV4MPEG2"), "video/x-y4m"),
+    ("5036(?:09|0A|0D|20)", "image/x-portable-pixmap"),  # P6 + whitespace
+]
+
+# whitespace bytes the HTML scan may skip (tab, LF, FF, CR, space)
+_WS = "(?:09|0A|0C|0D|20)*"
+_HTML_TAGS = [
+    "<!DOCTYPE HTML", "<HTML", "<HEAD", "<SCRIPT", "<IFRAME", "<H1",
+    "<DIV", "<FONT", "<TABLE", "<A", "<STYLE", "<TITLE", "<B", "<BODY",
+    "<BR", "<P", "<!--",
+]
+# tag must be terminated by space or '>' (0x20 / 0x3E) per the spec
+_HTML_PAT = (
+    "^" + _WS + "(?:" + "|".join(_hex_ci(t) for t in _HTML_TAGS) + ")(?:20|3E)"
+)
+
+# WHATWG "binary data byte": 0x00-0x08, 0x0B, 0x0E-0x1A, 0x1C-0x1F — any hit
+# in the head means not text; the (..)* prefix keeps byte alignment even
+_BINARY_BYTE_PAT = "^(?:[0-9A-F]{2})*?(?:0[0-8B]|0[EF]|1[0-9A]|1[C-F])"
+
+
+def sniff_mime(
+    df: DataFrame,
+    *,
+    bin_col: str = "payload",
+    head_bytes: int = 64,
+    target: str = "mime",
+) -> DataFrame:
+    """Content-type sniffing from payload magic bytes (the WHATWG
+    mimesniff pattern table, web-format subset): PNG/JPEG/GIF/BMP,
+    RIFF-wrapped WAV/WebP/AVI, gzip/zip/pdf/ogg/flac, the repo's own
+    PPM/Y4M synthetics, case-insensitive HTML tag scan (leading
+    whitespace skipped, tag must close with space or '>'), UTF-8 BOM,
+    then the binary-data-byte test decides text/plain vs
+    application/octet-stream.
+
+    Everything runs on the UPPERCASE HEX of the first ``head_bytes``
+    bytes — one substring + one hex per row, then a JVM rlike cascade;
+    no Python, no shuffle, order-deterministic (first matching pattern
+    wins, exactly the spec's table order)."""
+    hx = F.hex(F.substring(F.col(bin_col).cast("binary"), 1, head_bytes))
+    mime = None
+    for pat, m in _MAGIC:
+        cond = hx.rlike("^" + pat)
+        mime = F.when(cond, m) if mime is None else mime.when(cond, m)
+    mime = mime.when(hx.rlike(_HTML_PAT), "text/html")
+    mime = mime.when(hx.startswith("EFBBBF"), "text/plain")  # UTF-8 BOM
+    mime = mime.when(~hx.rlike(_BINARY_BYTE_PAT), "text/plain")
+    mime = mime.otherwise("application/octet-stream")
+    return df.withColumn(
+        target,
+        F.when(
+            F.col(bin_col).isNull() | (F.length(F.col(bin_col)) == 0),
+            F.lit("application/octet-stream"),
+        ).otherwise(mime),
+    )

@@ -6541,3 +6541,57 @@ def redirect_resolve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("turl"), F.concat(F.col("src"), F.lit("/gone"))).alias("dst"),
     )
     return redirect_resolve(p, edges, max_hops=8)
+
+
+@q(
+    "mime_sniff",
+    f"""{_PAGES_CTE},
+v AS (SELECT event_id, CAST(event_id % 12 AS INT) AS k FROM pages)
+SELECT event_id,
+       CASE k WHEN 0 THEN 'image/png'
+              WHEN 1 THEN 'image/jpeg'
+              WHEN 2 THEN 'image/gif'
+              WHEN 3 THEN 'audio/wav'
+              WHEN 4 THEN 'image/webp'
+              WHEN 5 THEN 'application/gzip'
+              WHEN 6 THEN 'application/zip'
+              WHEN 7 THEN 'application/pdf'
+              WHEN 8 THEN 'text/html'
+              WHEN 9 THEN 'text/html'
+              WHEN 10 THEN 'text/plain'
+              ELSE 'application/octet-stream' END AS mime
+FROM v""",
+)
+def mime_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME sniffing over a 12-way payload fixture (PNG, JPEG,
+    GIF, RIFF/WAVE, RIFF/WEBP, gzip, zip, PDF, lowercase-doctype HTML,
+    uppercase-tag HTML with leading whitespace, clean ASCII text, and
+    control-byte junk). The engine sniffs the REAL bytes it constructs;
+    the oracle states each row's expected type arithmetically."""
+    from logstash_spark.functions.multimodal import sniff_mime
+
+    p = _pages(spark, sf_dir)
+    k = (F.col("event_id") % 12).cast("int")
+    filler = F.unhex(F.md5(F.col("event_id").cast("string")))
+    def hx(s: str):
+        return F.unhex(F.lit(s))
+    payload = (
+        F.when(k == 0, F.concat(hx("89504E470D0A1A0A"), filler))
+        .when(k == 1, F.concat(hx("FFD8FFE000104A464946"), filler))
+        .when(k == 2, F.concat(F.lit("GIF89a").cast("binary"), filler))
+        .when(k == 3, F.concat(F.lit("RIFF").cast("binary"), hx("24080000"),
+                               F.lit("WAVEfmt ").cast("binary"), filler))
+        .when(k == 4, F.concat(F.lit("RIFF").cast("binary"), hx("1A000000"),
+                               F.lit("WEBPVP8 ").cast("binary"), filler))
+        .when(k == 5, F.concat(hx("1F8B08"), filler))
+        .when(k == 6, F.concat(hx("504B0304"), filler))
+        .when(k == 7, F.concat(F.lit("%PDF-1.4").cast("binary"), filler))
+        .when(k == 8, F.concat(F.lit("<!doctype html><html><body>").cast("binary"),
+                               F.col("text").cast("binary")))
+        .when(k == 9, F.concat(hx("0A0A20"), F.lit("<HTML><head>").cast("binary"),
+                               F.col("text").cast("binary")))
+        .when(k == 10, F.col("text").cast("binary"))
+        .otherwise(F.concat(hx("000102031C"), filler))
+    )
+    out = sniff_mime(p.withColumn("payload", payload))
+    return out.select("event_id", "mime")

@@ -2208,3 +2208,45 @@ def test_inverted_index_pruning_and_skew_path(spark):
     one = {(r["term"], r["doc_id"], r["posting_rank"])
            for r in inverted_index(df, min_df=2, k=2, salt_shards=1).collect()}
     assert one == {(r["term"], r["doc_id"], r["posting_rank"]) for r in out}
+
+
+def test_sniff_mime_table_html_and_fallbacks(spark):
+    from logstash_spark.functions.multimodal import (
+        encode_wav, encode_y4m, sniff_mime, synthetic_media,
+    )
+
+    cases = [
+        ("png", bytes.fromhex("89504E470D0A1A0A") + b"xxxx", "image/png"),
+        ("jpg", b"\xff\xd8\xff\xe1rest", "image/jpeg"),
+        ("gif87", b"GIF87afiller", "image/gif"),
+        ("bmp", b"BM1234", "image/bmp"),
+        ("webp", b"RIFF\x10\x00\x00\x00WEBPVP8 ", "image/webp"),
+        ("avi", b"RIFF\x10\x00\x00\x00AVI LIST", "video/x-msvideo"),
+        ("gzip", b"\x1f\x8b\x08rest", "application/gzip"),
+        ("pdf", b"%PDF-1.7\n", "application/pdf"),
+        ("ogg", b"OggS\x00\x02", "application/ogg"),
+        ("flac", b"fLaC\x00\x00", "audio/flac"),
+        # html: leading whitespace + case-insensitive tag + '>' or space close
+        ("html1", b"\n\t <html><body>hi", "text/html"),
+        ("html2", b"<!DOCTYPE html>", "text/html"),
+        ("html3", b"<ScRiPt src=x>", "text/html"),
+        # '<htmlx' is NOT a tag boundary
+        ("nothtml", b"<htmlx" + b"a" * 20, "text/plain"),
+        ("bom", b"\xef\xbb\xbfhello", "text/plain"),
+        ("text", b"just plain ascii text\nwith lines", "text/plain"),
+        ("junk", b"\x00\x01\x02", "application/octet-stream"),
+        ("empty", b"", "application/octet-stream"),
+        ("none", None, "application/octet-stream"),
+    ]
+    # real encoders must sniff as their own formats
+    cases.append(("wav", encode_wav([0, 1, -1], 8000), "audio/wav"))
+    cases.append(("y4m", encode_y4m([bytes(16 * 16)], 16, 16), "video/x-y4m"))
+    df = spark.createDataFrame(
+        [(n, p) for n, p, _ in cases], "name string, payload binary"
+    )
+    got = {r["name"]: r["mime"] for r in sniff_mime(df).collect()}
+    for name, _, want in cases:
+        assert got[name] == want, (name, got[name], want)
+    # the repo's own synthetic PPM media sniffs as portable-pixmap
+    m = sniff_mime(synthetic_media(spark, 5), bin_col="bytes")
+    assert {r["mime"] for r in m.select("mime").collect()} == {"image/x-portable-pixmap"}
