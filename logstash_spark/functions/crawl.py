@@ -736,3 +736,132 @@ def redirect_resolve(
         )
     )
     return out
+
+
+def recrawl_priority(
+    captures: DataFrame,
+    *,
+    now: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Recrawl scheduling priority from capture history (Cho &
+    Garcia-Molina, "Effective Page Refresh Policies for Web Crawlers",
+    TODS 2003): estimate each page's Poisson change rate from its
+    observed capture digests, then rank stale-and-volatile pages first.
+
+    Per url over captures ordered by time:
+
+    - ``n_captures`` / ``n_changes`` — total captures and the count of
+      CONSECUTIVE capture pairs whose digests differ (an unchanged
+      recrawl is evidence of a LOW rate — it counts in n but not c;
+      naive c/n estimators ignore that asymmetry, Cho's doesn't);
+    - ``lambda_day`` — the paper's bias-corrected estimator
+      ``-ln((n - c + 0.5) / (n + 0.5)) / avg_interval`` rescaled to
+      changes/day. Needs >= 2 captures (one interval); single-capture
+      URLs get NULL (no evidence either way);
+    - ``staleness_days`` — days since the last capture at ``now``
+      (an EXPLICIT parameter: schedulers replay deterministically, and
+      both engines compute identical epochs);
+    - ``priority`` — ``lambda_day * staleness_days``: the expected
+      number of changes missed since the last visit, the canonical
+      refresh-ordering score. NULL-rate URLs surface ``priority`` NULL;
+      the frontier decides their default bucket.
+
+    Scale shape: one keyed shuffle (groupBy url) after a per-url window
+    lag — both partition by the SAME key so AQE plans one exchange; the
+    per-url state is a handful of longs. Floats round to 6 decimals for
+    cross-engine hashing."""
+    w = W.partitionBy(url_col).orderBy(ts_col)
+    lagged = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("_ts"),
+        (
+            F.lag(digest_col).over(w).isNotNull()
+            & (F.col(digest_col) != F.lag(digest_col).over(w))
+        )
+        .cast("int")
+        .alias("_chg"),
+    )
+    agg = lagged.groupBy("url").agg(
+        F.count("*").cast("bigint").alias("n_captures"),
+        F.sum("_chg").cast("bigint").alias("n_changes"),
+        F.min("_ts").alias("_first"),
+        F.max("_ts").alias("_last"),
+    )
+    n = F.col("n_captures")
+    c = F.col("n_changes")
+    span_s = F.unix_timestamp("_last") - F.unix_timestamp("_first")
+    avg_int_s = span_s / (n - F.lit(1))
+    lam = F.when(
+        (n >= 2) & (span_s > 0),
+        -F.log((n - c + F.lit(0.5)) / (n + F.lit(0.5))) / avg_int_s * 86400.0,
+    )
+    stale_d = (
+        F.unix_timestamp(F.lit(now).cast("timestamp")) - F.unix_timestamp("_last")
+    ) / 86400.0
+    return agg.select(
+        "url",
+        "n_captures",
+        "n_changes",
+        F.round(lam, 6).alias("lambda_day"),
+        F.round(stale_d, 6).alias("staleness_days"),
+        F.round(lam * stale_d, 6).alias("priority"),
+    )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    *,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str | None = None,
+    delays: DataFrame | None = None,
+    default_delay_s: float = 1.0,
+    max_per_host: int = 10_000,
+) -> DataFrame:
+    """Per-host politeness schedule: turn a prioritized frontier into
+    concrete fetch offsets that respect one-connection-per-host with a
+    crawl delay (RFC 9309 operators honor ``Crawl-delay`` even though
+    the RFC leaves it nonstandard). Each host is an independent serial
+    queue: rank by ``priority_col`` DESC (ties: url — deterministic,
+    replayable), ``slot`` = rank-1, ``fetch_offset_s`` = slot * delay.
+
+    ``delays`` is an optional tiny per-host ``(host, crawl_delay_s)``
+    table (robots-derived) broadcast-joined in; absent hosts fall back
+    to ``default_delay_s``. ``max_per_host`` caps each host's queue —
+    the tail beyond the cap belongs to the NEXT politeness cycle, and
+    ``n_queued`` reports the pre-cap size so the cut is accounted, not
+    silent (the cap_hot_buckets contract, dedup.py).
+
+    Scale shape: one window rank partitioned by host (parallelism = host
+    count; the skew bound is the biggest single host's frontier, which
+    max_per_host turns into bounded OUTPUT even when input skews) plus
+    one broadcast join. Offsets are exact to 6 decimals."""
+    order = (
+        [F.col(priority_col).desc_nulls_last(), F.col(url_col)]
+        if priority_col
+        else [F.col(url_col)]
+    )
+    w = W.partitionBy(host_col).orderBy(*order)
+    ranked = (
+        frontier.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_queued", F.count("*").over(W.partitionBy(host_col)))
+        .filter(F.col("_rk") <= max_per_host)
+    )
+    if delays is not None:
+        from pyspark.sql.functions import broadcast
+
+        ranked = ranked.join(broadcast(delays), host_col, "left")
+        delay = F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay_s))
+    else:
+        delay = F.lit(default_delay_s)
+    return ranked.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        (F.col("_rk") - 1).cast("int").alias("slot"),
+        F.round(delay, 6).alias("delay_s"),
+        F.round((F.col("_rk") - 1) * delay, 6).alias("fetch_offset_s"),
+        F.col("n_queued").cast("bigint").alias("n_queued"),
+    )

@@ -6595,3 +6595,121 @@ def mime_sniff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sniff_mime(p.withColumn("payload", payload))
     return out.select("event_id", "mime")
+
+
+@q(
+    "recrawl_priority",
+    f"""{_PAGES_CTE},
+h AS (
+  SELECT url, event_id,
+         CAST(floor(epoch(warc_ts)) AS BIGINT) AS t0,
+         CASE WHEN event_id % 5 = 0 THEN 1 ELSE 4 END AS n,
+         CASE WHEN event_id % 5 = 0 THEN 0
+              WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS c,
+         CASE WHEN event_id % 5 = 0 THEN CAST(floor(epoch(warc_ts)) AS BIGINT)
+              ELSE CAST(floor(epoch(warc_ts)) AS BIGINT) + 259200 END AS tl
+  FROM pages
+),
+s AS (
+  SELECT url, CAST(n AS BIGINT) AS n_captures, CAST(c AS BIGINT) AS c,
+         CASE WHEN n >= 2
+              THEN -ln((n - c + 0.5) / (n + 0.5)) / ((tl - t0) / (n - 1)) * 86400.0
+         END AS lam,
+         (1709251200 - tl) / 86400.0 AS stale
+  FROM h
+)
+SELECT url, n_captures, c AS n_changes,
+       round(lam, 6) AS lambda_day,
+       round(stale, 6) AS staleness_days,
+       round(lam * stale, 6) AS priority
+FROM s""",
+)
+def recrawl_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho–Garcia-Molina change-rate recrawl scheduling over a 4-capture
+    history: every page is recaptured at +1d (unchanged), +2d (changed)
+    and +3d (changed only for odd event_id), except event_id%5==0 pages
+    which stay single-capture (the NULL-rate path). The engine detects
+    changes by digest lag over the real capture rows; the oracle states
+    n/c/last-capture arithmetically per parity class and computes the
+    estimator directly — any drift in change counting, interval math, or
+    the bias-corrected rate breaks the hash. now = 2024-03-01 UTC
+    (epoch 1709251200), explicit for replay determinism."""
+    from logstash_spark.functions.crawl import recrawl_priority
+
+    p = _pages(spark, sf_dir).select("url", "warc_ts", "text", "event_id")
+    multi = p.filter(F.col("event_id") % 5 != 0)
+
+    def cap(days: int, txt):
+        return multi.select(
+            "url",
+            (F.col("warc_ts") + F.expr(f"INTERVAL {days} DAY")).alias("warc_ts"),
+            txt.alias("text"),
+        )
+
+    caps = (
+        p.select("url", "warc_ts", "text")
+        .unionByName(cap(1, F.col("text")))
+        .unionByName(cap(2, F.concat("text", F.lit(" v2"))))
+        .unionByName(
+            cap(
+                3,
+                F.when(
+                    F.col("event_id") % 2 == 0, F.concat("text", F.lit(" v2"))
+                ).otherwise(F.concat("text", F.lit(" v3"))),
+            )
+        )
+        .withColumn("digest", F.md5("text"))
+    )
+    return recrawl_priority(caps, now="2024-03-01 00:00:00")
+
+
+@q(
+    "politeness_schedule",
+    f"""{_PAGES_CTE},
+f AS (
+  SELECT 'host' || CAST(user_id % 40 AS VARCHAR) || '.example.com' AS host,
+         url, CAST(event_id % 7 AS DOUBLE) AS pri
+  FROM pages WHERE event_id % 3 = 0
+),
+r AS (
+  SELECT host, url, pri,
+         row_number() OVER (PARTITION BY host ORDER BY pri DESC, url) AS rk,
+         count(*) OVER (PARTITION BY host) AS nq
+  FROM f
+)
+SELECT host, url, CAST(rk - 1 AS INT) AS slot,
+       round(CASE WHEN host IN ('host0.example.com', 'host1.example.com')
+                  THEN 10.0 ELSE 1.5 END, 6) AS delay_s,
+       round((rk - 1) * CASE WHEN host IN ('host0.example.com', 'host1.example.com')
+                             THEN 10.0 ELSE 1.5 END, 6) AS fetch_offset_s,
+       CAST(nq AS BIGINT) AS n_queued
+FROM r WHERE rk <= 20""",
+)
+def politeness_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness scheduling: a 40-host frontier (every 3rd
+    page) with priorities, two hosts carrying a robots Crawl-delay of
+    10 s (broadcast delay table) and the rest falling back to the 1.5 s
+    default; queues cap at 20 with the pre-cap size reported in
+    n_queued. The oracle recomputes rank/slot/offset with its own window
+    — tie order (priority DESC, url) and the cap boundary are both
+    load-bearing."""
+    from logstash_spark.functions.crawl import politeness_schedule
+    from logstash_spark.functions.linkgraph import host_of
+
+    p = _pages(spark, sf_dir).filter(F.col("event_id") % 3 == 0)
+    frontier = p.select(
+        host_of("url").alias("host"),
+        "url",
+        (F.col("event_id") % 7).cast("double").alias("pri"),
+    )
+    delays = spark.createDataFrame(
+        [("host0.example.com", 10.0), ("host1.example.com", 10.0)],
+        "host string, crawl_delay_s double",
+    )
+    return politeness_schedule(
+        frontier,
+        priority_col="pri",
+        delays=delays,
+        default_delay_s=1.5,
+        max_per_host=20,
+    )

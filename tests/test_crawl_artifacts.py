@@ -617,3 +617,87 @@ def test_redirect_resolve_chains_cycles_dangling(spark):
     )
     r2 = {r["url"]: r for r in redirect_resolve(p2, e2, max_hops=3).collect()}
     assert (r2["n0"]["final_url"], r2["n0"]["hops"], r2["n0"]["outcome"]) == ("end", 3, "resolved")
+
+
+def test_recrawl_priority_estimator(spark):
+    from math import log
+
+    from logstash_spark.functions.crawl import recrawl_priority
+
+    caps = spark.createDataFrame(
+        [
+            # u1: 4 captures daily, digest changes once -> n=4 c=1
+            ("u1", "2024-01-01 00:00:00", "a"),
+            ("u1", "2024-01-02 00:00:00", "a"),
+            ("u1", "2024-01-03 00:00:00", "b"),
+            ("u1", "2024-01-04 00:00:00", "b"),
+            # u2: changes every capture -> n=3 c=2
+            ("u2", "2024-01-01 00:00:00", "a"),
+            ("u2", "2024-01-03 00:00:00", "b"),
+            ("u2", "2024-01-05 00:00:00", "c"),
+            # u3: single capture -> no rate
+            ("u3", "2024-01-01 00:00:00", "a"),
+            # u4: two captures at the SAME instant -> span 0 -> no rate
+            ("u4", "2024-01-01 00:00:00", "a"),
+            ("u4", "2024-01-01 00:00:00", "b"),
+        ],
+        "url string, warc_ts string, digest string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    out = {
+        r["url"]: r
+        for r in recrawl_priority(caps, now="2024-01-11 00:00:00").collect()
+    }
+    r1 = out["u1"]
+    assert (r1["n_captures"], r1["n_changes"]) == (4, 1)
+    assert r1["lambda_day"] == round(-log(3.5 / 4.5), 6)
+    assert r1["staleness_days"] == 7.0
+    assert r1["priority"] == round(-log(3.5 / 4.5) * 7.0, 6)
+    r2 = out["u2"]
+    assert (r2["n_captures"], r2["n_changes"]) == (3, 2)
+    # avg interval 2 days -> per-day rate is half the per-interval rate
+    assert r2["lambda_day"] == round(-log(1.5 / 3.5) / 2.0, 6)
+    assert r2["staleness_days"] == 6.0
+    # unchanged recrawls LOWER the estimate: u2 (always changed) > u1
+    assert r2["lambda_day"] > r1["lambda_day"]
+    assert out["u3"]["lambda_day"] is None and out["u3"]["priority"] is None
+    assert out["u3"]["staleness_days"] == 10.0
+    assert out["u4"]["lambda_day"] is None  # zero span guarded
+
+
+def test_politeness_schedule_slots(spark):
+    from logstash_spark.functions.crawl import politeness_schedule
+
+    frontier = spark.createDataFrame(
+        [
+            ("h1", "u-a", 5.0),
+            ("h1", "u-b", 9.0),
+            ("h1", "u-c", 5.0),  # ties with u-a -> url order breaks it
+            ("h1", "u-d", 1.0),
+            ("h2", "u-e", 3.0),
+            ("h2", "u-f", None),  # null priority sorts last
+        ],
+        "host string, url string, pri double",
+    )
+    delays = spark.createDataFrame(
+        [("h1", 10.0)], "host string, crawl_delay_s double"
+    )
+    out = politeness_schedule(
+        frontier,
+        priority_col="pri",
+        delays=delays,
+        default_delay_s=2.0,
+        max_per_host=3,
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    # h1: rank order u-b(9), u-a(5, tie url<u-c), u-c(5); u-d capped out
+    assert [rows[u]["slot"] for u in ("u-b", "u-a", "u-c")] == [0, 1, 2]
+    assert "u-d" not in rows
+    # pre-cap queue size is reported, not silently truncated
+    assert rows["u-b"]["n_queued"] == 4
+    assert rows["u-b"]["fetch_offset_s"] == 0.0
+    assert rows["u-a"]["fetch_offset_s"] == 10.0  # robots delay honored
+    assert rows["u-c"]["fetch_offset_s"] == 20.0
+    # h2 falls back to the default delay; null priority goes last
+    assert (rows["u-e"]["slot"], rows["u-f"]["slot"]) == (0, 1)
+    assert rows["u-f"]["fetch_offset_s"] == 2.0
+    assert rows["u-e"]["delay_s"] == 2.0
