@@ -162,6 +162,19 @@ HEADLINE = [
     "reciprocal_link_stats",
     "warc_revisit_resolve",
     "bm25_search",
+    "mixture_resample",
+    "host_quality_profile",
+    "inverted_index",
+    "host_boilerplate",
+    "soft404_detect",
+    "redirect_resolve",
+    "mime_sniff",
+    "recrawl_priority",
+    "politeness_schedule",
+    "crawl_trap_detect",
+    "bitext_candidates",
+    "host_lang_outliers",
+    "pmi_collocations",
 ]
 
 

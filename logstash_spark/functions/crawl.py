@@ -865,3 +865,212 @@ def politeness_schedule(
         F.round((F.col("_rk") - 1) * delay, 6).alias("fetch_offset_s"),
         F.col("n_queued").cast("bigint").alias("n_queued"),
     )
+
+
+def crawl_trap_detect(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    payload_col: str = "text",
+    min_urls: int = 20,
+    max_content_ratio: float = 0.2,
+) -> DataFrame:
+    """Crawl-trap detection: find URL TEMPLATES that explode into many
+    distinct URLs serving (almost) the same content — calendar pages,
+    session-id echoes, faceted-search grids. A frontier that keeps
+    following them spends its budget on one host's infinite surface
+    (classic crawler-trap literature, e.g. Heydon & Najork's Mercator).
+
+    A url collapses to its template by erasing the parts traps vary:
+    digit runs in the path -> ``N``, hex runs of >= 8 chars -> ``H``,
+    every query-param VALUE -> the sorted list of param NAMES. Per
+    (host, template) the detector reports ``n_urls`` (distinct URLs),
+    ``n_contents`` (distinct payload digests) and flags a trap when the
+    template has >= ``min_urls`` URLs whose content collapses to
+    <= ``max_content_ratio`` of them — many addresses, few pages.
+
+    Scale shape: one groupBy (host, template) with TWO exact distincts
+    computed as approx-free count(DISTINCT) — Spark plans it as two
+    partial-agg passes over the same exchange, no row blowup; the
+    template erase is a per-row JVM regex chain. Hot hosts are just big
+    groups (counters, not collected rows)."""
+    url = F.col(url_col)
+    host = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    tpath = F.regexp_replace(path, r"[0-9a-f]{8,}", "H")
+    tpath = F.regexp_replace(tpath, r"[0-9]+", "N")
+    pnames = F.when(
+        query == "", F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit("?"),
+            F.array_join(
+                F.array_sort(
+                    F.transform(
+                        F.split(query, "&"),
+                        lambda kv: F.split(kv, "=")[0],
+                    )
+                ),
+                ",",
+            ),
+        )
+    )
+    keyed = df.select(
+        host.alias("host"),
+        F.concat(tpath, pnames).alias("template"),
+        url.alias("_u"),
+        F.md5(F.col(payload_col)).alias("_d"),
+    )
+    agg = keyed.groupBy("host", "template").agg(
+        F.countDistinct("_u").alias("n_urls"),
+        F.countDistinct("_d").alias("n_contents"),
+    )
+    return agg.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_contents",
+        F.round(F.col("n_contents").cast("double") / F.col("n_urls"), 6).alias(
+            "content_ratio"
+        ),
+        (
+            (F.col("n_urls") >= min_urls)
+            & (
+                F.col("n_contents").cast("double")
+                <= F.col("n_urls") * F.lit(max_content_ratio)
+            )
+        ).alias("is_trap"),
+    )
+
+
+def host_lang_outliers(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    min_share: float = 0.6,
+    min_pages: int = 5,
+) -> DataFrame:
+    """Host-majority language consistency: flag pages whose language
+    disagrees with their host's dominant language. On a real crawl these
+    are misdetected langid rows, boilerplate-only pages, or injected
+    spam — either way the rows a monolingual corpus slice wants audited
+    (the CCNet pipeline buckets by (host-agnostic) langid; this adds the
+    host prior). A host only asserts a majority when it is decisive:
+    >= ``min_pages`` pages and the top language holding >= ``min_share``
+    of them — hosts below either bar flag nothing.
+
+    Output: one row per page, ``(url, lang, host, host_lang,
+    host_share, is_outlier)`` with ``host_lang`` NULL for undecided
+    hosts. Ties on the top language break on the language code —
+    deterministic, replayable.
+
+    Scale shape: one groupBy (host, lang) with map-side combine, one
+    per-host max_by to pick the winner atomically (no cross-column mix),
+    then ONE join back to pages keyed on host — the winners table is
+    host-count-sized (tiny next to the corpus; AQE broadcasts it)."""
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    pages = df.select(F.col(url_col).alias("url"), F.col(lang_col).alias("lang"))
+    pages = pages.withColumn("host", host)
+    counts = pages.groupBy("host", "lang").agg(F.count(F.lit(1)).alias("c"))
+    # winner per host: rank the (host, lang) counts — at most #languages
+    # rows per host, so the window partitions are constant-sized
+    wk = W.partitionBy("host").orderBy(F.desc("c"), F.asc("lang"))
+    win = (
+        counts.withColumn("_rk", F.row_number().over(wk))
+        .withColumn("n_pages", F.sum("c").over(W.partitionBy("host")))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "host",
+            F.col("lang").alias("_wl"),
+            "n_pages",
+            (F.col("c").cast("double") / F.col("n_pages")).alias("_share"),
+        )
+    )
+    decided = (F.col("n_pages") >= min_pages) & (F.col("_share") >= min_share)
+    win = win.select(
+        "host",
+        F.when(decided, F.col("_wl")).alias("host_lang"),
+        F.when(decided, F.round("_share", 6)).alias("host_share"),
+    )
+    return pages.join(win, "host").select(
+        "url",
+        "lang",
+        "host",
+        "host_lang",
+        "host_share",
+        (
+            F.col("host_lang").isNotNull() & (F.col("lang") != F.col("host_lang"))
+        ).alias("is_outlier"),
+    )
+
+
+def bitext_candidates(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    max_len_ratio: float = 2.0,
+) -> DataFrame:
+    """URL-matched bitext candidate mining (the ParaCrawl/WMT shared-task
+    recipe, Banon et al. 2020): multilingual sites publish translations
+    at URLs that differ only by a language marker — strip the marker and
+    pages sharing the residual key in DIFFERENT languages are candidate
+    translation pairs for parallel-corpus alignment.
+
+    The language marker is erased in two places: path segments that are
+    exactly an ISO-639-1 code with optional region (``/en/``, ``/pt-br/``
+    -> ``/L/``) and ``lang``/``locale``/``hl`` query parameters. One page
+    represents each (key, lang) — the minimum URL, deterministic — so a
+    key's join fan-out is bounded by the language count, never by dup
+    pages. Candidate pairs keep ``lang_a < lang_b`` (each pair once) and
+    must pass the classic length-ratio gate: translations track each
+    other's length, so ``len_ratio`` (longer/shorter in chars) above
+    ``max_len_ratio`` is dropped.
+
+    Scale shape: one groupBy on the stripped key, then a self-equi-join
+    on it — both sides one-row-per-(key, lang), so the join output per
+    key is at most C(langs, 2); skew is structurally impossible. The
+    ratio filter computes before the pair row widens."""
+    url = F.col(url_col)
+    host = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    spath = F.regexp_replace(path, r"/[a-z]{2}(-[a-z]{2})?(?=/|$)", "/L")
+    squery = F.regexp_replace(query, r"(^|&)(lang|locale|hl)=[^&]*", "")
+    squery = F.regexp_replace(squery, r"^&", "")
+    key = F.concat(
+        host,
+        spath,
+        F.when(squery == "", F.lit("")).otherwise(F.concat(F.lit("?"), squery)),
+    )
+    keyed = df.select(
+        key.alias("pair_key"),
+        F.col(lang_col).alias("lang"),
+        url.alias("u"),
+        F.length(text_col).cast("bigint").alias("tlen"),
+    )
+    one = keyed.groupBy("pair_key", "lang").agg(
+        F.min(F.struct("u", "tlen")).alias("w")
+    )
+    a = one.select(
+        "pair_key",
+        F.col("lang").alias("lang_a"),
+        F.col("w.u").alias("url_a"),
+        F.col("w.tlen").alias("len_a"),
+    )
+    b = one.select(
+        "pair_key",
+        F.col("lang").alias("lang_b"),
+        F.col("w.u").alias("url_b"),
+        F.col("w.tlen").alias("len_b"),
+    )
+    pairs = a.join(b, "pair_key").filter(F.col("lang_a") < F.col("lang_b"))
+    ratio = F.greatest("len_a", "len_b").cast("double") / F.greatest(
+        F.least("len_a", "len_b"), F.lit(1)
+    )
+    return pairs.withColumn("len_ratio", F.round(ratio, 6)).filter(
+        F.col("len_ratio") <= max_len_ratio
+    )

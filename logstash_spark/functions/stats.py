@@ -518,3 +518,58 @@ def inverted_index(
         "tf",
         F.col("posting_rank").cast("int").alias("posting_rank"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    top_n: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level collocation extraction by pointwise mutual
+    information (Church & Hanks 1990): adjacent word pairs that co-occur
+    far more than their marginals predict — the multiword expressions
+    ("los angeles", "et al") a tokenizer or phrase vocabulary wants.
+
+    Scored by the PMI LIFT ``c_xy * N / (c_x * c_y)`` (the log's
+    argument; PMI = ln(lift) is monotone in it). The log stays off for
+    the tfidf_topk reason: IEEE multiply/divide are correctly rounded
+    and bit-identical across engines, libm ``ln`` is not. ``min_count``
+    suppresses the classic PMI pathology (hapax pairs score highest);
+    ties at the cut break on the pair text.
+
+    Scale shape: the bigram and unigram counting shuffles both map-side
+    combine (Zipf skew becomes partial sums); the marginal attach is two
+    equi-joins against the vocabulary-sized unigram table (AQE
+    broadcasts when it fits); N rides a 1-row broadcast. The global
+    top-n compiles to TakeOrderedAndProject — per-partition heaps plus a
+    driver merge of n rows, never a full sort."""
+    from logstash_spark.functions.text import normalize_text
+
+    words = df.select(
+        F.split(normalize_text(F.col(text_col)), " ").alias("ws")
+    )
+    uni = words.select(F.explode("ws").alias("w")).filter(F.col("w") != "")
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = uni.select(F.count(F.lit(1)).alias("n_total"))
+    bi = words.select(F.explode(_occurrence_ngrams(F.col("ws"), 2)).alias("g"))
+    bcnt = bi.groupBy("g").agg(F.count(F.lit(1)).alias("pair_count"))
+    bcnt = bcnt.filter(F.col("pair_count") >= min_count).select(
+        F.split("g", " ")[0].alias("w1"),
+        F.split("g", " ")[1].alias("w2"),
+        "pair_count",
+    )
+    scored = (
+        bcnt.join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("w1_count")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("w2_count")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .withColumn(
+            "lift",
+            (F.col("pair_count").cast("double") * F.col("n_total"))
+            / (F.col("w1_count").cast("double") * F.col("w2_count")),
+        )
+    )
+    return scored.select(
+        "w1", "w2", "pair_count", "w1_count", "w2_count", "lift"
+    ).orderBy(F.desc("lift"), "w1", "w2").limit(top_n)

@@ -6713,3 +6713,228 @@ def politeness_schedule_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_delay_s=1.5,
         max_per_host=20,
     )
+
+
+@q(
+    "crawl_trap_detect",
+    f"""{_PAGES_CTE},
+h AS (
+  SELECT 'host' || CAST(user_id % 40 AS VARCHAR) || '.example.com' AS host,
+         count(*) AS n,
+         count(*) FILTER (WHERE event_id % 2 = 0) AS ne,
+         count(*) FILTER (WHERE event_id % 5 = 0) AS ns
+  FROM pages GROUP BY 1
+)
+SELECT host, '/p/N' AS template, CAST(n AS BIGINT) AS n_urls,
+       CAST(n AS BIGINT) AS n_contents, round(1.0, 6) AS content_ratio,
+       FALSE AS is_trap
+FROM h
+UNION ALL
+SELECT host, '/cal?date', CAST(ne AS BIGINT), CAST(1 AS BIGINT),
+       round(1.0 / ne, 6), (ne >= 20 AND 1.0 <= ne * 0.2)
+FROM h WHERE ne > 0
+UNION ALL
+SELECT host, '/item?page,session', CAST(ns AS BIGINT), CAST(1 AS BIGINT),
+       round(1.0 / ns, 6), (ns >= 20 AND 1.0 <= ns * 0.2)
+FROM h WHERE ns > 0""",
+)
+def crawl_trap_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection over three URL families per host: the real
+    page URLs '/p/<id>' (distinct content per URL -> ratio 1.0, never a
+    trap), a calendar trap '/cal?date=<d>' (every 2nd event; one shared
+    page per host -> trap once >= 20 URLs), and a session-id echo
+    '/item?session=<hex>&page=<n>' (every 5th event; also single-content
+    — and its template pins the sorted-param-name canonicalization). The
+    oracle derives each family's counts and the trap predicate
+    arithmetically; the engine must collapse the raw URLs itself."""
+    from logstash_spark.functions.crawl import crawl_trap_detect
+
+    p = _pages(spark, sf_dir).select("url", "text", "event_id", "user_id")
+    host = F.concat(
+        F.lit("https://host"),
+        (F.col("user_id") % 40).cast("string"),
+        F.lit(".example.com"),
+    )
+    base = p.select("url", "text")
+    cal = p.filter(F.col("event_id") % 2 == 0).select(
+        F.concat(
+            host, F.lit("/cal?date=20240101-"), F.col("event_id").cast("string")
+        ).alias("url"),
+        F.concat(F.lit("calendar empty "), host).alias("text"),
+    )
+    sess = p.filter(F.col("event_id") % 5 == 0).select(
+        F.concat(
+            host,
+            F.lit("/item?session="),
+            F.md5(F.col("event_id").cast("string")),
+            F.lit("&page="),
+            (F.col("event_id") % 9).cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("item page "), host).alias("text"),
+    )
+    return crawl_trap_detect(
+        base.unionByName(cal).unionByName(sess), min_urls=20, max_content_ratio=0.2
+    )
+
+
+@q(
+    "bitext_candidates",
+    f"""{_PAGES_CTE},
+v AS (
+  SELECT 'host' || CAST(user_id % 40 AS VARCHAR) || '.example.com' AS hst,
+         event_id, lang,
+         CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'fr' WHEN 'fr' THEN 'es'
+                   WHEN 'es' THEN 'zh' ELSE 'en' END AS lang2,
+         text,
+         CASE WHEN event_id % 10 = 0 THEN length(text || text || text) + 1
+              ELSE length(text) + 3 END AS len2
+  FROM pages WHERE event_id % 2 = 0
+),
+p AS (
+  SELECT hst || '/L/p/' || CAST(event_id AS VARCHAR) AS pair_key,
+         least(lang, lang2) AS lang_a, greatest(lang, lang2) AS lang_b,
+         'https://' || hst || '/' || least(lang, lang2) || '/p/' || CAST(event_id AS VARCHAR) AS url_a,
+         'https://' || hst || '/' || greatest(lang, lang2) || '/p/' || CAST(event_id AS VARCHAR) AS url_b,
+         CASE WHEN lang < lang2 THEN CAST(length(text) AS BIGINT) ELSE CAST(len2 AS BIGINT) END AS len_a,
+         CASE WHEN lang < lang2 THEN CAST(len2 AS BIGINT) ELSE CAST(length(text) AS BIGINT) END AS len_b,
+         round(greatest(length(text), len2) * 1.0 / least(length(text), len2), 6) AS len_ratio
+  FROM v
+)
+SELECT * FROM p WHERE len_ratio <= 2.0""",
+)
+def bitext_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParaCrawl-style URL-matched bitext mining: every even event
+    publishes the page under TWO language-marked URLs (/en/p/5 vs
+    /de/p/5) whose texts are near-equal length — except every 10th
+    event, whose second variant triples in length and must fall to the
+    length-ratio gate. Odd events stay single-language (no pair). The
+    oracle constructs the expected pairs arithmetically — key, lang
+    order, URL assembly, byte lengths, ratio — while the engine must
+    strip the language segments itself."""
+    from logstash_spark.functions.crawl import bitext_candidates
+
+    p = _pages(spark, sf_dir).filter(F.col("event_id") % 2 == 0)
+    host = F.concat(
+        F.lit("host"), (F.col("user_id") % 40).cast("string"), F.lit(".example.com")
+    )
+    lang2 = (
+        F.when(F.col("lang") == "en", "de")
+        .when(F.col("lang") == "de", "fr")
+        .when(F.col("lang") == "fr", "es")
+        .when(F.col("lang") == "es", "zh")
+        .otherwise("en")
+    )
+    def variant(lang_c, text_c):
+        return p.select(
+            F.concat(
+                F.lit("https://"), host, F.lit("/"), lang_c, F.lit("/p/"),
+                F.col("event_id").cast("string"),
+            ).alias("url"),
+            lang_c.alias("lang"),
+            text_c.alias("text"),
+        )
+
+    text2 = F.when(
+        F.col("event_id") % 10 == 0,
+        F.concat(F.repeat(F.col("text"), 3), F.lit("!")),
+    ).otherwise(F.concat(F.col("text"), F.lit(" xx")))
+    both = variant(F.col("lang"), F.col("text")).unionByName(variant(lang2, text2))
+    return bitext_candidates(both, max_len_ratio=2.0)
+
+
+@q(
+    "host_lang_outliers",
+    f"""{_PAGES_CTE},
+v AS (
+  SELECT CASE WHEN event_id % 11 = 0 THEN 'mixed.example.com'
+              ELSE 'host' || CAST(user_id % 40 AS VARCHAR) || '.example.com' END AS host,
+         CASE WHEN event_id % 11 = 0
+              THEN 'https://mixed.example.com/p/' || CAST(event_id AS VARCHAR)
+              ELSE url END AS url,
+         CASE WHEN event_id % 7 = 0 THEN 'xx' ELSE lang END AS lang
+  FROM pages
+),
+c AS (SELECT host, lang, count(*) AS c FROM v GROUP BY 1, 2),
+w AS (
+  SELECT host, lang, c,
+         row_number() OVER (PARTITION BY host ORDER BY c DESC, lang) AS rk,
+         sum(c) OVER (PARTITION BY host) AS np
+  FROM c
+),
+d AS (
+  SELECT host,
+         CASE WHEN np >= 5 AND c * 1.0 / np >= 0.6 THEN lang END AS host_lang,
+         CASE WHEN np >= 5 AND c * 1.0 / np >= 0.6 THEN round(c * 1.0 / np, 6) END AS host_share
+  FROM w WHERE rk = 1
+)
+SELECT v.url, v.lang, v.host, d.host_lang, d.host_share,
+       (d.host_lang IS NOT NULL AND v.lang <> d.host_lang) AS is_outlier
+FROM v JOIN d USING (host)""",
+)
+def host_lang_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-majority language audit: every 7th page's langid flips to
+    'xx' (the outliers a decisive host must flag), and every 11th page
+    moves to a shared 'mixed' host whose language distribution stays
+    under the 0.6 majority bar — undecided, so its rows flag nothing
+    even when they disagree with each other. The oracle recomputes the
+    majority with its own window (tie order count DESC, lang ASC is
+    load-bearing)."""
+    from logstash_spark.functions.crawl import host_lang_outliers
+
+    p = _pages(spark, sf_dir)
+    url2 = F.when(
+        F.col("event_id") % 11 == 0,
+        F.concat(
+            F.lit("https://mixed.example.com/p/"), F.col("event_id").cast("string")
+        ),
+    ).otherwise(F.col("url"))
+    lang2 = F.when(F.col("event_id") % 7 == 0, F.lit("xx")).otherwise(F.col("lang"))
+    return host_lang_outliers(
+        p.select(url2.alias("url"), lang2.alias("lang")),
+        min_share=0.6,
+        min_pages=5,
+    )
+
+
+@q(
+    "pmi_collocations",
+    f"""WITH t AS (
+  SELECT string_split({_NORM_SQL}, ' ') AS ws FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(ws) AS w FROM t) WHERE w <> '' GROUP BY w
+),
+n AS (SELECT sum(c) AS n_total FROM uni),
+bi AS (
+  SELECT array_to_string(ws[i.i:i.i+1], ' ') AS g
+  FROM t, unnest(generate_series(1, len(ws) - 1)) AS i(i)
+),
+bc AS (
+  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+         count(*) AS pair_count
+  FROM bi GROUP BY g HAVING count(*) >= 5
+),
+scored AS (
+  SELECT bc.w1, bc.w2, CAST(bc.pair_count AS BIGINT) AS pair_count,
+         CAST(u1.c AS BIGINT) AS w1_count, CAST(u2.c AS BIGINT) AS w2_count,
+         (CAST(bc.pair_count AS DOUBLE) * n.n_total)
+           / (CAST(u1.c AS DOUBLE) * u2.c) AS lift
+  FROM bc
+  JOIN uni u1 ON u1.w = bc.w1
+  JOIN uni u2 ON u2.w = bc.w2
+  CROSS JOIN n
+)
+SELECT * FROM scored ORDER BY lift DESC, w1, w2 LIMIT 50""",
+)
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI lift over the documents corpus with
+    min pair count 5; the oracle rebuilds unigram/bigram tables with
+    DuckDB's own list primitives and the identically-grouped double
+    arithmetic (the log-free tfidf determinism rule). The global top-k
+    must compile to TakeOrderedAndProject, not a full sort (pinned in
+    tests)."""
+    from logstash_spark.functions.stats import pmi_collocations
+
+    d = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(d, top_n=50, min_count=5)

@@ -701,3 +701,88 @@ def test_politeness_schedule_slots(spark):
     assert (rows["u-e"]["slot"], rows["u-f"]["slot"]) == (0, 1)
     assert rows["u-f"]["fetch_offset_s"] == 2.0
     assert rows["u-e"]["delay_s"] == 2.0
+
+
+def test_crawl_trap_templates(spark):
+    from logstash_spark.functions.crawl import crawl_trap_detect
+
+    rows = []
+    # 25 session-id URLs, one shared payload -> trap
+    for i in range(25):
+        rows.append((f"https://a.com/x?session={'%032x' % (i * 7919)}&p={i}", "same"))
+    # 25 distinct articles under /post/<n> -> same template, distinct content
+    for i in range(25):
+        rows.append((f"https://a.com/post/{i}", f"article {i}"))
+    # hex run in the PATH collapses to H
+    rows.append(("https://b.com/h/deadbeefcafe1234/x", "h1"))
+    rows.append(("https://b.com/h/0123456789abcdef/x", "h2"))
+    # tiny template: never flagged regardless of content ratio
+    rows.append(("https://b.com/about", "about"))
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {
+        (r["host"], r["template"]): r
+        for r in crawl_trap_detect(df, min_urls=20, max_content_ratio=0.2).collect()
+    }
+    trap = out[("a.com", "/x?p,session")]
+    assert trap["n_urls"] == 25 and trap["n_contents"] == 1 and trap["is_trap"]
+    posts = out[("a.com", "/post/N")]
+    assert posts["n_urls"] == 25 and posts["n_contents"] == 25
+    assert not posts["is_trap"]  # many URLs but all-distinct content
+    hexed = out[("b.com", "/h/H/x")]
+    assert hexed["n_urls"] == 2 and not hexed["is_trap"]  # below min_urls
+    assert not out[("b.com", "/about")]["is_trap"]
+
+
+def test_bitext_candidates_pairing(spark):
+    from logstash_spark.functions.crawl import bitext_candidates
+
+    df = spark.createDataFrame(
+        [
+            # path-segment markers incl. a REGION form; near-equal lengths
+            ("https://s.com/en/doc", "en", "hello world text"),
+            ("https://s.com/pt-br/doc", "pt", "ola mundo texto!"),
+            # query-param marker
+            ("https://s.com/page?lang=en&x=1", "en", "aaaa"),
+            ("https://s.com/page?lang=fr&x=1", "fr", "bbbbb"),
+            # length-ratio fail: 4 vs 20 chars
+            ("https://s.com/de/long", "de", "kurz"),
+            ("https://s.com/fr/long", "fr", "x" * 20),
+            # duplicate pages for one (key, lang): min url represents
+            ("https://s.com/es/dup", "es", "v1"),
+            ("https://s.com/es/dup/", "es", "v2"),  # different key (trailing /)
+            # unpaired page
+            ("https://s.com/en/only", "en", "alone"),
+        ],
+        "url string, lang string, text string",
+    )
+    out = bitext_candidates(df, max_len_ratio=2.0).collect()
+    pairs = {(r["lang_a"], r["lang_b"]): r for r in out}
+    assert set(pairs) == {("en", "pt"), ("en", "fr")}
+    seg = pairs[("en", "pt")]
+    assert seg["pair_key"] == "s.com/L/doc"
+    assert seg["url_a"] == "https://s.com/en/doc"
+    assert seg["len_ratio"] == 1.0
+    qp = pairs[("en", "fr")]
+    assert qp["pair_key"] == "s.com/page?x=1"
+    assert qp["len_ratio"] == 1.25
+
+
+def test_host_lang_outliers_decisions(spark):
+    from logstash_spark.functions.crawl import host_lang_outliers
+
+    rows = (
+        [(f"https://d.com/{i}", "en") for i in range(8)]
+        + [("https://d.com/x", "de"), ("https://d.com/y", "de")]
+        # mixed host: 3 langs x 2 pages -> max share 1/3 < 0.6
+        + [(f"https://m.com/{l}{i}", l) for l in ("en", "de", "fr") for i in range(2)]
+        # tiny host: 2 pages < min_pages
+        + [("https://t.com/1", "en"), ("https://t.com/2", "fr")]
+    )
+    df = spark.createDataFrame(rows, "url string, lang string")
+    out = {r["url"]: r for r in host_lang_outliers(df, min_share=0.6, min_pages=5).collect()}
+    assert out["https://d.com/x"]["is_outlier"] and out["https://d.com/x"]["host_lang"] == "en"
+    assert out["https://d.com/1"]["is_outlier"] is False
+    assert out["https://d.com/x"]["host_share"] == 0.8
+    for u, r in out.items():
+        if "m.com" in u or "t.com" in u:
+            assert r["host_lang"] is None and r["is_outlier"] is False

@@ -2250,3 +2250,35 @@ def test_sniff_mime_table_html_and_fallbacks(spark):
     # the repo's own synthetic PPM media sniffs as portable-pixmap
     m = sniff_mime(synthetic_media(spark, 5), bin_col="bytes")
     assert {r["mime"] for r in m.select("mime").collect()} == {"image/x-portable-pixmap"}
+
+
+def test_pmi_collocations(spark):
+    from logstash_spark.functions.stats import pmi_collocations
+
+    # 'san francisco' always co-occurs (6x); 'the' is everywhere, so
+    # 'the city' has high pair count but low lift; a hapax pair
+    # ('zyx qwv') would top raw PMI but min_count suppresses it
+    docs = (
+        ["san francisco is the city by the bay"] * 6
+        + ["the city has the bay and the fog"] * 6
+        + ["zyx qwv"]
+    )
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    out = pmi_collocations(df, top_n=5, min_count=5).collect()
+    pairs = [(r["w1"], r["w2"]) for r in out]
+    assert ("san", "francisco") in pairs
+    assert ("zyx", "qwv") not in pairs  # hapax suppressed
+    # 'is'/'francisco' appear only inside the sf docs, so (francisco, is)
+    # ties (san, francisco) on lift and the w1 tie-break puts it first
+    assert pairs[0] == ("francisco", "is") and pairs[1] == ("san", "francisco")
+    top = out[1]
+    n_total = 6 * 8 + 6 * 8 + 2
+    assert top["pair_count"] == 6 and top["w1_count"] == 6 and top["w2_count"] == 6
+    assert top["lift"] == 6.0 * n_total / 36.0
+    assert out[0]["lift"] == top["lift"]
+    # lift ordering: exclusive pair beats the promiscuous 'the city'
+    d = {(r["w1"], r["w2"]): r["lift"] for r in out}
+    assert d[("san", "francisco")] > d.get(("the", "city"), 0.0)
+    # global top-k must be a TakeOrdered, not a full sort
+    plan = pmi_collocations(df, top_n=5, min_count=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

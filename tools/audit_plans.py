@@ -32,6 +32,7 @@ WAIVERS: dict[str, set[str]] = {
     "domain_mixture": {"BroadcastNestedLoopJoin"},
     "dsir_select": {"BroadcastNestedLoopJoin"},  # 1-row corpus-totals join onto the B-row bucket table
     "bigram_score": {"BroadcastNestedLoopJoin"},  # 1-row corpus-total (N) broadcast, same shape as tfidf
+    "pmi_collocations": {"BroadcastNestedLoopJoin"},  # 1-row corpus-total (N) broadcast, same shape as tfidf
     "bm25_search": {"BroadcastNestedLoopJoin"},  # 1-row corpus stats (N, sum dl) broadcast onto the postings
     "mixture_resample": {"BroadcastNestedLoopJoin"},  # 1-row (sum_w, n_tot) broadcast onto the #strata-row weight table
     # docs ⋈ component-table attach: the dup set CAN be corpus-scale in the
