@@ -175,6 +175,9 @@ HEADLINE = [
     "bitext_candidates",
     "host_lang_outliers",
     "pmi_collocations",
+    "winnow_fingerprints",
+    "quality_threshold_sweep",
+    "ccnet_buckets",
 ]
 
 

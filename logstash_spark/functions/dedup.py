@@ -954,3 +954,69 @@ def simhash_near_dups(
     pairs = a.join(b, "prefix").filter(F.col("id_a") < F.col("id_b"))
     pairs = pairs.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
     return pairs.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from the n-k+1 char k-gram hashes
+    of a document, keep only each sliding window's MINIMUM — a position-
+    aware fingerprint set with expected density 2/(w+1) that GUARANTEES
+    any shared substring of length >= w+k-1 contributes at least one
+    common fingerprint. The selected set is what a partial-overlap /
+    plagiarism index stores: ~2/(w+1) of the full shingle index
+    (dedup_containment) for the same detection floor.
+
+    Set semantics (documented simplification of the paper's rightmost-
+    min rule): the output is one row per DISTINCT selected hash with
+    ``first_window`` (the first window that picked it) and ``weight``
+    (how many windows picked it); per-position duplicates collapse, so
+    tie handling inside a window cannot diverge between engines.
+    Documents shorter than one window (< w+k-1 grams... i.e. m < w)
+    emit their single truncated-window minimum; documents shorter than
+    one gram (< k chars after normalization) emit nothing.
+
+    Hashes are md5-prefix strings — lexicographic min is a total order
+    both engines share; swap the constant for xxhash64 in production
+    where DuckDB parity is not needed (the LSH hash-family stance).
+
+    Scale shape: the gram hash array builds INSIDE the scan stage
+    (transform over a sequence — the string is never duplicated per
+    gram), one posexplode, then ONE per-document window min (partition =
+    doc, the sessionize shape; the skew bound is the longest document)
+    and ONE groupBy (doc, fp) with map-side combine. Nothing quadratic,
+    nothing driver-side."""
+    s = normalize_text(F.col(text_col))
+    m = F.greatest(F.length(s) - (k - 1), F.lit(0))
+    base = df.select(
+        F.col(id_col).alias("id"), s.alias("_s"), m.alias("_m")
+    ).filter(F.col("_m") > 0)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.col("_m")),
+        lambda i: F.substring(F.md5(F.col("_s").substr(i, F.lit(k))), 1, 16),
+    )
+    g = base.select("id", "_m", F.posexplode(hashes).alias("pos0", "h"))
+    wspec = W.partitionBy("id").orderBy("pos0").rowsBetween(0, w - 1)
+    wm = g.withColumn("fp", F.min("h").over(wspec)).filter(
+        F.col("pos0") + 1 <= F.greatest(F.col("_m") - (w - 1), F.lit(1))
+    )
+    return (
+        wm.groupBy("id", "_m", "fp")
+        .agg(
+            (F.min("pos0") + 1).cast("int").alias("first_window"),
+            F.count(F.lit(1)).cast("bigint").alias("weight"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "fp",
+            "first_window",
+            "weight",
+            F.col("_m").cast("bigint").alias("n_grams"),
+        )
+    )

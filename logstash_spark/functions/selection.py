@@ -189,3 +189,128 @@ def dsir_threshold(scores: DataFrame, keep_frac: float, *, col: str = "score_e6"
     sort. Returns the e6 score at the (1−keep_frac) quantile."""
     q = scores.stat.approxQuantile(col, [1.0 - keep_frac], 0.001)
     return int(q[0])
+
+
+def quality_threshold_sweep(
+    df: DataFrame,
+    *,
+    score_col: str = "quality",
+    token_col: str | None = None,
+    thresholds: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Filter-calibration sweep: for every candidate quality threshold,
+    how many documents (and optionally tokens) survive ``score >= t``.
+    This is the tuning table every corpus-filtering decision reads —
+    pick the threshold from the retention curve, don't guess it.
+
+    Scale shape: ONE full pass — a single aggregate whose conditional
+    sums (one pair per threshold) all combine map-side, reducing the
+    corpus to ONE row; the per-threshold rows then unfold from that row
+    with an inline explode (plan-time array of |thresholds| structs,
+    zero extra scans, zero driver collect). NULL scores count as
+    not-kept at every threshold (a doc the scorer skipped must not pass
+    a filter).
+
+    Output: one row per threshold — ``(threshold, n_docs, n_kept,
+    doc_retention, tokens_total, tokens_kept, token_retention)``;
+    token columns are NULL when ``token_col`` is absent. Ratios round
+    to 6 decimals."""
+    s = F.col(score_col)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if token_col:
+        aggs.append(F.sum(F.col(token_col).cast("bigint")).alias("_tok"))
+    for i, t in enumerate(thresholds):
+        kept = s >= F.lit(float(t))
+        aggs.append(F.sum(kept.cast("bigint")).alias(f"_k{i}"))
+        if token_col:
+            aggs.append(
+                F.sum(
+                    F.when(kept, F.col(token_col).cast("bigint")).otherwise(0)
+                ).alias(f"_t{i}")
+            )
+    one = df.agg(*aggs)
+    null_l = F.lit(None).cast("bigint")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.coalesce(F.col(f"_k{i}"), F.lit(0)).alias("n_kept"),
+                (
+                    F.coalesce(F.col(f"_t{i}"), F.lit(0)) if token_col else null_l
+                ).alias("tokens_kept"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    ex = one.select(
+        F.col("_n"),
+        (F.col("_tok") if token_col else null_l).alias("_tok"),
+        F.explode(rows).alias("r"),
+    )
+    return ex.select(
+        F.col("r.threshold").alias("threshold"),
+        F.col("_n").alias("n_docs"),
+        F.col("r.n_kept").alias("n_kept"),
+        F.round(
+            F.col("r.n_kept").cast("double") / F.greatest(F.col("_n"), F.lit(1)), 6
+        ).alias("doc_retention"),
+        F.col("_tok").alias("tokens_total"),
+        F.col("r.tokens_kept").alias("tokens_kept"),
+        F.round(
+            F.col("r.tokens_kept").cast("double")
+            / F.greatest(F.col("_tok"), F.lit(1)),
+            6,
+        ).alias("token_retention"),
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    *,
+    score_col: str = "rarity_avg",
+    lo: float = 0.0,
+    hi: float = 1048576.0,
+    buckets: int = 1024,
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity terciles (Wenzek et al. 2020): split the
+    corpus into head/middle/tail thirds by LM score — CCNet trains on
+    the head, audits the middle, drops the tail. Boundaries come from
+    the mergeable fixed-depth histogram sketch (sketch.py
+    histogram_quantiles at q = 1/3 and 2/3), so finding them never
+    sorts the corpus: bounded BIGINT counters per partition, merged by
+    addition. Bucket membership compares the score to the sketch's
+    lower-edge estimates (score <= edge), so each cut lands within one
+    bucket width ((hi-lo)/buckets) of the exact tercile — with the
+    default 2^20 domain / 2^10 buckets the width (1024) is exact in
+    binary and both engines pick identical edges always.
+
+    Two passes by necessity (CCNet itself is two-pass: the distribution
+    must exist before any row can be labeled): pass 1 reduces to <=
+    ``buckets`` counters, pass 2 re-scans with the 1-row boundary
+    broadcast. Low scores = most probable under the LM = ``head``.
+
+    The cut is the boundary bucket's UPPER edge with strict ``<``: the
+    bucket holding the tercile rank lands whole in the LOWER tercile
+    (so a degenerate one-bucket distribution is all head, never all
+    tail), and the cut sits within one width of the exact tercile.
+
+    Output: the input columns plus ``b_head``/``b_middle`` (the two
+    upper-edge cuts, identical on every row) and ``ppl_bucket``."""
+    from logstash_spark.functions.sketch import histogram_quantiles
+
+    width = (hi - lo) / buckets
+    bounds = histogram_quantiles(
+        df, score_col, [1.0 / 3.0, 2.0 / 3.0], lo=lo, hi=hi, buckets=buckets
+    )
+    one = bounds.agg(
+        F.min(F.when(F.col("q") < 0.5, F.col("est") + width)).alias("b_head"),
+        F.min(F.when(F.col("q") >= 0.5, F.col("est") + width)).alias("b_middle"),
+    )
+    s = F.col(score_col).cast("double")
+    return df.crossJoin(F.broadcast(one)).withColumn(
+        "ppl_bucket",
+        F.when(s < F.col("b_head"), labels[0])
+        .when(s < F.col("b_middle"), labels[1])
+        .otherwise(labels[2]),
+    )

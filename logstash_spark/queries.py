@@ -6938,3 +6938,135 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pmi_collocations(d, top_n=50, min_count=5)
+
+
+@q(
+    "winnow_fingerprints",
+    f"""WITH t AS (
+  SELECT doc_id, {_NORM_SQL} AS s FROM documents
+), b AS (
+  SELECT doc_id, s, greatest(length(s) - 4, 0) AS m FROM t WHERE length(s) >= 5
+), g AS (
+  SELECT doc_id, m, i.i AS pos, substr(md5(substr(s, i.i, 5)), 1, 16) AS h
+  FROM b, unnest(generate_series(1, m)) AS i(i)
+), wm AS (
+  SELECT a.doc_id, a.m, a.pos, min(b2.h) AS fp
+  FROM g a JOIN g b2 ON b2.doc_id = a.doc_id AND b2.pos BETWEEN a.pos AND a.pos + 3
+  WHERE a.pos <= greatest(a.m - 3, 1)
+  GROUP BY a.doc_id, a.m, a.pos
+)
+SELECT doc_id, fp, CAST(min(pos) AS INT) AS first_window,
+       CAST(count(*) AS BIGINT) AS weight, CAST(m AS BIGINT) AS n_grams
+FROM wm GROUP BY doc_id, fp, m""",
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (MOSS) over the documents corpus,
+    k=5 char grams, window w=4: the oracle rebuilds every window's
+    minimum with a position-range self-join — selection, first-window
+    positions, weights and gram counts are all value-pinned. Density
+    ~2/(w+1) of the full shingle set is asserted in pytest."""
+    from logstash_spark.functions.dedup import winnow_fingerprints
+
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
+    return winnow_fingerprints(d, k=5, w=4)
+
+
+@q(
+    "quality_threshold_sweep",
+    f"""WITH f AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS stop_hits
+  FROM documents
+), s AS (
+  SELECT CAST(n_words AS BIGINT) AS n_words,
+         ROUND(
+           (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+           + least(n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE), 0.8) * 0.3125
+           + least(stop_hits / CAST(greatest(n_words, 1) AS DOUBLE) * 2.5, 1.0) * 0.25, 4) AS q
+  FROM f
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_words) AS BIGINT) AS tok FROM s
+), th AS (
+  SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+                 CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                 CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS t
+), k AS (
+  SELECT th.t, CAST(count(*) FILTER (WHERE s.q >= th.t) AS BIGINT) AS kept,
+         CAST(coalesce(sum(s.n_words) FILTER (WHERE s.q >= th.t), 0) AS BIGINT) AS tkept
+  FROM s CROSS JOIN th GROUP BY th.t
+)
+SELECT t AS threshold, n AS n_docs, kept AS n_kept,
+       round(kept * 1.0 / greatest(n, 1), 6) AS doc_retention,
+       tok AS tokens_total, tkept AS tokens_kept,
+       round(tkept * 1.0 / greatest(tok, 1), 6) AS token_retention
+FROM k CROSS JOIN a""",
+)
+def quality_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve for the quality filter: document and token
+    survival at nine candidate thresholds over quality_score's rounded
+    composite, in ONE corpus pass (conditional sums unfolded by an
+    inline explode). The oracle recomputes the score and counts each
+    threshold with its own FILTER aggregates."""
+    from logstash_spark.functions.selection import quality_threshold_sweep
+    from logstash_spark.functions.text import quality_score
+
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
+    qs = quality_score(d)
+    return quality_threshold_sweep(qs, score_col="quality", token_col="n_words")
+
+
+@q(
+    "ccnet_buckets",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok HAVING count(*) >= 3
+), u AS (
+  SELECT t.doc_id,
+         CAST(floor(sum(CASE WHEN v.cnt IS NULL THEN 1000000
+                  ELSE CAST(floor(1000000.0 / v.cnt) AS BIGINT) END) * 1.0 / count(*)) AS BIGINT)
+           AS rarity_avg
+  FROM toks t LEFT JOIN vocab v USING (tok)
+  GROUP BY t.doc_id
+), h AS (
+  SELECT least(CAST(1023 AS BIGINT), greatest(CAST(0 AS BIGINT),
+           CAST(floor((CAST(rarity_avg AS DOUBLE) - 0.0) / 1024.0) AS BIGINT))) AS bucket
+  FROM u
+), g AS (
+  SELECT bucket, count(*) AS cnt FROM h GROUP BY 1
+), c AS (
+  SELECT bucket, SUM(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM g
+), p AS (
+  SELECT bucket, cum, n, unnest([CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS q
+  FROM c
+), hit AS (
+  SELECT q, MIN(bucket) AS b FROM p WHERE cum >= ceil(q * n) GROUP BY q
+), bounds AS (
+  SELECT min(CASE WHEN q < 0.5 THEN 0.0 + b * 1024.0 + 1024.0 END) AS b_head,
+         min(CASE WHEN q >= 0.5 THEN 0.0 + b * 1024.0 + 1024.0 END) AS b_middle
+  FROM hit
+)
+SELECT u.doc_id, u.rarity_avg, bounds.b_head, bounds.b_middle,
+       CASE WHEN u.rarity_avg < bounds.b_head THEN 'head'
+            WHEN u.rarity_avg < bounds.b_middle THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM u CROSS JOIN bounds""",
+)
+def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles over the corpus's own unigram LM
+    score (integer rarity_avg, domain [0, 2^20), 2^10 histogram buckets
+    so the width 1024 is binary-exact): the oracle mirrors the
+    mergeable-histogram boundary selection and labels every document.
+    Low rarity = most probable = head."""
+    from logstash_spark.functions.selection import ccnet_buckets
+    from logstash_spark.functions.stats import unigram_score
+
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
+    u = unigram_score(d).select("doc_id", "rarity_avg")
+    return ccnet_buckets(u, score_col="rarity_avg")

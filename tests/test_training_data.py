@@ -2282,3 +2282,90 @@ def test_pmi_collocations(spark):
     # global top-k must be a TakeOrdered, not a full sort
     plan = pmi_collocations(df, top_n=5, min_count=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_winnow_fingerprints(spark):
+    from logstash_spark.functions.dedup import winnow_fingerprints
+
+    import hashlib
+    import random
+
+    rnd = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    shared = "thequickbrownfoxjumps"  # 21 chars >= w+k-1 = 8
+    t1 = "".join(rnd.choice(alpha) for _ in range(60)) + shared
+    t2 = shared + "".join(rnd.choice(alpha) for _ in range(60))
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "abc"), (4, "abcdef")],
+        "doc_id int, text string",
+    )
+    out = winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # winnowing guarantee: a shared substring of length >= w+k-1
+    # contributes at least one common fingerprint
+    assert by_doc[1] & by_doc[2]
+    # doc shorter than one gram emits nothing
+    assert 3 not in by_doc
+    # doc with m=2 grams < w: single truncated window -> exactly the min
+    d4 = [r for r in out if r["doc_id"] == 4]
+    assert len(d4) == 1 and d4[0]["n_grams"] == 2 and d4[0]["first_window"] == 1
+    exp = min(
+        hashlib.md5(b"abcde").hexdigest()[:16], hashlib.md5(b"bcdef").hexdigest()[:16]
+    )
+    assert d4[0]["fp"] == exp
+    # density: expected 2/(w+1) = 0.4 of grams selected, loose band
+    n_grams = 60 + 21 - 4
+    assert 0.2 * n_grams < len(by_doc[1]) < 0.6 * n_grams
+    # weights cover every eligible window exactly once
+    win1 = sum(r["weight"] for r in out if r["doc_id"] == 1)
+    assert win1 == n_grams - 3
+
+
+def test_quality_threshold_sweep(spark):
+    from logstash_spark.functions.selection import quality_threshold_sweep
+
+    df = spark.createDataFrame(
+        [(0.9, 100), (0.5, 10), (0.1, 1), (None, 1000)],
+        "quality double, n_words int",
+    )
+    out = {
+        r["threshold"]: r
+        for r in quality_threshold_sweep(
+            df, score_col="quality", token_col="n_words", thresholds=(0.3, 0.5, 0.95)
+        ).collect()
+    }
+    assert out[0.3]["n_docs"] == 4 and out[0.3]["n_kept"] == 2
+    assert out[0.3]["tokens_total"] == 1111 and out[0.3]["tokens_kept"] == 110
+    assert out[0.5]["n_kept"] == 2  # >= is inclusive
+    assert out[0.95]["n_kept"] == 0 and out[0.95]["tokens_kept"] == 0
+    assert out[0.5]["doc_retention"] == 0.5
+    # NULL score is never kept
+    assert all(r["n_kept"] <= 3 for r in out.values())
+    # no token column: token fields are NULL, doc side still exact
+    out2 = quality_threshold_sweep(
+        df, score_col="quality", thresholds=(0.3,)
+    ).collect()[0]
+    assert out2["tokens_total"] is None and out2["tokens_kept"] is None
+    assert out2["n_kept"] == 2
+
+
+def test_ccnet_buckets(spark):
+    from logstash_spark.functions.selection import ccnet_buckets
+
+    # uniform integer scores 0..29999 -> terciles land within one bucket
+    # width (1024) of 10000/20000
+    df = spark.range(30000).select(
+        F.col("id").alias("doc_id"), (F.col("id")).alias("rarity_avg")
+    )
+    out = ccnet_buckets(df, score_col="rarity_avg", lo=0.0, hi=32768.0, buckets=1024)
+    counts = {r["ppl_bucket"]: r["cnt"] for r in out.groupBy("ppl_bucket").agg(F.count("*").alias("cnt")).collect()}
+    assert abs(counts["head"] - 10000) <= 1024 * 2
+    assert abs(counts["tail"] - 10000) <= 1024 * 2
+    rows = out.limit(1).collect()[0]
+    assert rows["b_head"] < rows["b_middle"]
+    # degenerate: every score identical -> everything is head
+    df2 = spark.range(100).select(F.col("id").alias("doc_id"), F.lit(500).alias("rarity_avg"))
+    out2 = ccnet_buckets(df2, score_col="rarity_avg", lo=0.0, hi=32768.0, buckets=1024)
+    assert out2.filter(F.col("ppl_bucket") != "head").count() == 0

@@ -33,6 +33,8 @@ WAIVERS: dict[str, set[str]] = {
     "dsir_select": {"BroadcastNestedLoopJoin"},  # 1-row corpus-totals join onto the B-row bucket table
     "bigram_score": {"BroadcastNestedLoopJoin"},  # 1-row corpus-total (N) broadcast, same shape as tfidf
     "pmi_collocations": {"BroadcastNestedLoopJoin"},  # 1-row corpus-total (N) broadcast, same shape as tfidf
+    "quality_threshold_sweep": {"BroadcastNestedLoopJoin"},  # 1-row totals unfolded into per-threshold rows
+    "ccnet_buckets": {"BroadcastNestedLoopJoin"},  # 1-row tercile-boundary broadcast onto the corpus
     "bm25_search": {"BroadcastNestedLoopJoin"},  # 1-row corpus stats (N, sum dl) broadcast onto the postings
     "mixture_resample": {"BroadcastNestedLoopJoin"},  # 1-row (sum_w, n_tot) broadcast onto the #strata-row weight table
     # docs ⋈ component-table attach: the dup set CAN be corpus-scale in the
