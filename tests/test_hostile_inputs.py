@@ -212,3 +212,44 @@ def test_bpe_hostile(hostile):
         rows = bpe_tokenize(corpus, merges, backend=backend).collect()
         assert len(rows) == N
         assert all(r.n_tokens is not None and r.n_tokens >= 0 for r in rows)
+
+
+def test_url_mining_ops_hostile(hostile, spark):
+    """The round-4e URL/text mining operators must survive junk URLs
+    (no scheme, empty, control bytes, 64KB strings) without throwing."""
+    from logstash_spark.functions.crawl import (
+        bitext_candidates,
+        crawl_trap_detect,
+        host_lang_outliers,
+        politeness_schedule,
+        recrawl_priority,
+    )
+    from logstash_spark.functions.dedup import winnow_fingerprints
+    from logstash_spark.functions.selection import quality_threshold_sweep
+    from logstash_spark.functions.stats import pmi_collocations
+
+    urls = hostile.select(
+        "id",
+        F.col("s").alias("url"),
+        F.col("s").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.col("s").alias("digest"),
+    )
+    assert crawl_trap_detect(urls).count() >= 0
+    assert bitext_candidates(urls).count() >= 0
+    assert host_lang_outliers(urls).count() >= 0
+    assert recrawl_priority(urls, now="2024-02-01 00:00:00").count() >= 0
+    sched = politeness_schedule(
+        urls.withColumn("host", F.lit("h")), priority_col="id"
+    )
+    assert sched.count() >= 0
+    fp = winnow_fingerprints(hostile.select(F.col("id").alias("doc_id"), F.col("s").alias("text")))
+    assert fp.count() >= 0
+    assert pmi_collocations(hostile.select(F.col("s").alias("text")), min_count=1).count() >= 0
+    sweep = quality_threshold_sweep(
+        hostile.select(F.length("s").cast("double").alias("quality")),
+        score_col="quality",
+        thresholds=(1.0,),
+    )
+    assert sweep.count() == 1
