@@ -178,6 +178,9 @@ HEADLINE = [
     "winnow_fingerprints",
     "quality_threshold_sweep",
     "ccnet_buckets",
+    "robots_crawl_delay",
+    "sitemap_coverage",
+    "template_fingerprint",
 ]
 
 

@@ -48,21 +48,17 @@ def _rule_regex(path: Column) -> Column:
     return F.concat(F.lit("^"), c)
 
 
-def parse_robots(
+def _robots_chosen_blocks(
     robots: DataFrame,
     *,
-    host_col: str = "host",
-    text_col: str = "robots_txt",
-    user_agent: str = "*",
-) -> DataFrame:
-    """Per-host robots.txt text -> the rule set that applies to
-    ``user_agent``: ``(host, allow, path, spec, pattern)`` where ``spec``
-    is the rule-length specificity and ``pattern`` the compiled regex.
-
-    One per-host window drives the record grouping (block id = running
-    count of User-agent lines that START a group); group selection is an
-    aggregate over the host's blocks (exact agent match if any block has
-    one, else the ``*`` blocks)."""
+    host_col: str,
+    text_col: str,
+    user_agent: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared robots.txt line/record machinery: returns ``(blocks,
+    chosen)`` — every directive line tagged with its record block id,
+    and the (host, block) set whose User-agent group applies to
+    ``user_agent`` (exact product token preferred, else ``*``)."""
     ua = user_agent.lower()
     lines = robots.select(
         F.col(host_col).alias("host"),
@@ -98,6 +94,27 @@ def parse_robots(
             | ((F.col("any_exact") == 0) & (F.col("has_star") == 1))
         )
         .select("host", "block")
+    )
+    return blocks, chosen
+
+
+def parse_robots(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Per-host robots.txt text -> the rule set that applies to
+    ``user_agent``: ``(host, allow, path, spec, pattern)`` where ``spec``
+    is the rule-length specificity and ``pattern`` the compiled regex.
+
+    One per-host window drives the record grouping (block id = running
+    count of User-agent lines that START a group); group selection is an
+    aggregate over the host's blocks (exact agent match if any block has
+    one, else the ``*`` blocks)."""
+    blocks, chosen = _robots_chosen_blocks(
+        robots, host_col=host_col, text_col=text_col, user_agent=user_agent
     )
     rules = (
         blocks.filter(F.col("k").isin("allow", "disallow") & (F.col("v") != ""))
@@ -1073,4 +1090,125 @@ def bitext_candidates(
     )
     return pairs.withColumn("len_ratio", F.round(ratio, 6)).filter(
         F.col("len_ratio") <= max_len_ratio
+    )
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` extraction from robots.txt — the input
+    table politeness_schedule's ``delays`` parameter wants. Group
+    selection is IDENTICAL to parse_robots (exact product token beats
+    ``*``; nonstandard directive, but the de-facto grammar is a number
+    of seconds inside a User-agent group). When the applicable groups
+    carry conflicting values the MAXIMUM wins — the conservative read: a
+    crawler honoring any published delay should honor the slowest one.
+    Non-numeric values are ignored (never-throw), hosts with no
+    applicable delay emit no row (the scheduler's default applies).
+
+    Scale shape: the shared per-host-window line parse plus one groupBy
+    host; robots files are KB-sized and hosts are many, so parallelism
+    is the host count throughout."""
+    blocks, chosen = _robots_chosen_blocks(
+        robots, host_col=host_col, text_col=text_col, user_agent=user_agent
+    )
+    vals = (
+        blocks.filter(
+            (F.col("k") == "crawl-delay")
+            & F.col("v").rlike(r"^[0-9]+(\.[0-9]+)?$")
+        )
+        .join(chosen, ["host", "block"])
+        .groupBy("host")
+        .agg(F.round(F.max(F.col("v").cast("double")), 6).alias("crawl_delay_s"))
+    )
+    return vals
+
+
+def sitemap_coverage(
+    sitemap_urls: DataFrame,
+    crawled: DataFrame,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host sitemap-vs-crawl audit: of the URLs a host DECLARES
+    (its sitemaps), how many did the crawl actually capture — and how
+    much did the crawl fetch that the host never declared. Low coverage
+    = the crawler is missing announced content; high extra = the
+    frontier is wandering off-map (or the site's sitemap is stale).
+
+    Output per host: ``(host, n_sitemap, n_covered, coverage,
+    n_extra)`` — coverage rounds to 6 decimals; a host appearing only
+    in the crawl reports n_sitemap = 0 and coverage NULL.
+
+    Scale shape: both sides reduce to DISTINCT key-only URL sets (16
+    B/row after hashing — the incremental-dedup shape), one full outer
+    equi-join on url, one host groupBy. No row ever carries a payload."""
+    host = F.regexp_extract(F.col("u"), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    s = sitemap_urls.select(F.col(url_col).alias("u")).distinct().withColumn(
+        "_in_s", F.lit(1)
+    )
+    c = crawled.select(F.col(url_col).alias("u")).distinct().withColumn(
+        "_in_c", F.lit(1)
+    )
+    j = s.join(c, "u", "full_outer").select(
+        host.alias("host"),
+        F.coalesce(F.col("_in_s"), F.lit(0)).alias("_s"),
+        F.coalesce(F.col("_in_c"), F.lit(0)).alias("_c"),
+    )
+    agg = j.groupBy("host").agg(
+        F.sum("_s").cast("bigint").alias("n_sitemap"),
+        F.sum(F.col("_s") * F.col("_c")).cast("bigint").alias("n_covered"),
+        F.sum(F.when(F.col("_s") == 0, F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_extra"),
+    )
+    return agg.select(
+        "host",
+        "n_sitemap",
+        "n_covered",
+        F.when(
+            F.col("n_sitemap") > 0,
+            F.round(F.col("n_covered").cast("double") / F.col("n_sitemap"), 6),
+        ).alias("coverage"),
+        "n_extra",
+    )
+
+
+def template_fingerprint(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    html_col: str = "html_str",
+) -> DataFrame:
+    """Structural template fingerprint: hash the document's TAG SEQUENCE
+    (names + open/close shape, text dropped) so pages generated by the
+    same CMS template collapse to one fingerprint — the grouping key for
+    template-level analyses (boilerplate mining, trap confirmation,
+    per-template sampling caps). Gibson, Punera & Tomkins (WWW'05)
+    measured template content at 40-50% of the web, which is why a
+    corpus pipeline wants this axis.
+
+    ``template_fp`` = md5 of the concatenated tag tokens (``<div``,
+    ``</div``, ...); ``n_tags`` the token count; ``template_size`` how
+    many pages in the corpus share the fingerprint (1 = bespoke page).
+
+    Scale shape: tag extraction is a per-row JVM regex (one pass, no
+    Python); the size attach is one count window partitioned by the
+    fingerprint — a mega-template is a big partition of (url, fp) rows
+    only, counters never collect."""
+    tags = F.regexp_extract_all(
+        F.lower(F.col(html_col)), F.lit(r"</?[a-z][a-z0-9]*"), 0
+    )
+    base = df.select(
+        F.col(url_col).alias("url"),
+        F.size(tags).cast("bigint").alias("n_tags"),
+        F.md5(F.array_join(tags, "")).alias("template_fp"),
+    )
+    return base.withColumn(
+        "template_size",
+        F.count(F.lit(1)).over(W.partitionBy("template_fp")).cast("bigint"),
     )

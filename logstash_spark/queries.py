@@ -7070,3 +7070,135 @@ def ccnet_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _parallel(spark, load_table(spark, sf_dir, "documents"))
     u = unigram_score(d).select("doc_id", "rarity_avg")
     return ccnet_buckets(u, score_col="rarity_avg")
+
+
+@q(
+    "robots_crawl_delay",
+    f"""{_PAGES_CTE},
+h AS (SELECT DISTINCT CAST(user_id % 40 AS INT) AS hn FROM pages)
+SELECT 'host' || CAST(hn AS VARCHAR) || '.example.com' AS host,
+       CASE WHEN hn % 3 = 0 THEN CAST(2.5 AS DOUBLE)
+            ELSE CAST(4.0 AS DOUBLE) END AS crawl_delay_s
+FROM h WHERE hn % 3 <> 2""",
+)
+def robots_crawl_delay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay extraction with the full group-selection matrix:
+    hosts %3==0 publish TWO ``*`` groups (1.5 then 2.5 — the
+    conservative max must win), %3==1 publish an exact 'mybot' group
+    (4) AND a ``*`` group (9) — exact wins so 9 must NOT leak, %3==2
+    publish only a malformed value ('soon') that must be ignored
+    without a row. The oracle states each host's expected delay
+    arithmetically."""
+    from logstash_spark.functions.crawl import robots_crawl_delay
+
+    hosts = (
+        _pages(spark, sf_dir)
+        .select((F.col("user_id") % 40).cast("int").alias("hn"))
+        .distinct()
+    )
+    txt = (
+        F.when(
+            F.col("hn") % 3 == 0,
+            F.lit(
+                "User-agent: *\nCrawl-delay: 1.5\nDisallow: /private\n\n"
+                "User-agent: *\nCrawl-delay: 2.5\n"
+            ),
+        )
+        .when(
+            F.col("hn") % 3 == 1,
+            F.lit(
+                "User-agent: mybot\nCrawl-delay: 4\nDisallow: /a\n\n"
+                "User-agent: *\nCrawl-delay: 9\n"
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /x\nCrawl-delay: soon\n"))
+    )
+    robots = hosts.select(
+        F.concat(F.lit("host"), F.col("hn").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        txt.alias("robots_txt"),
+    )
+    return robots_crawl_delay(robots, user_agent="mybot")
+
+
+@q(
+    "sitemap_coverage",
+    f"""{_PAGES_CTE},
+h AS (
+  SELECT 'host' || CAST(user_id % 40 AS VARCHAR) || '.example.com' AS host,
+         count(*) AS n,
+         count(*) FILTER (WHERE event_id % 2 = 0) AS ne,
+         count(*) FILTER (WHERE event_id % 5 = 0) AS n5
+  FROM pages GROUP BY 1
+)
+SELECT host, CAST(ne + n5 AS BIGINT) AS n_sitemap, CAST(ne AS BIGINT) AS n_covered,
+       round(ne * 1.0 / (ne + n5), 6) AS coverage,
+       CAST(n - ne AS BIGINT) AS n_extra
+FROM h""",
+)
+def sitemap_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl audit: each host declares its even-event pages
+    plus phantom '/phantom/<id>' URLs (every 5th event) that the crawl
+    never fetched; the crawl holds ALL pages, so odd-event pages are
+    undeclared extras. Coverage, covered and extra counts per host are
+    stated arithmetically by the oracle. Phantom and page id spaces are
+    disjoint by construction."""
+    from logstash_spark.functions.crawl import sitemap_coverage
+
+    p = _pages(spark, sf_dir)
+    host = F.concat(
+        F.lit("https://host"), (F.col("user_id") % 40).cast("string"),
+        F.lit(".example.com"),
+    )
+    sm = (
+        p.filter(F.col("event_id") % 2 == 0)
+        .select("url")
+        .unionByName(
+            p.filter(F.col("event_id") % 5 == 0).select(
+                F.concat(
+                    host, F.lit("/phantom/"), F.col("event_id").cast("string")
+                ).alias("url")
+            )
+        )
+    )
+    return sitemap_coverage(sm, p.select("url"))
+
+
+@q(
+    "template_fingerprint",
+    f"""{_PAGES_CTE},
+c AS (
+  SELECT count(*) FILTER (WHERE event_id % 4 = 0) AS na,
+         count(*) FILTER (WHERE event_id % 4 <> 0) AS nb
+  FROM pages
+)
+SELECT url,
+       CAST(CASE WHEN event_id % 4 = 0 THEN 16 ELSE 12 END AS BIGINT) AS n_tags,
+       md5(CASE WHEN event_id % 4 = 0
+                THEN '<html<head<title</title</head<body<nav<a</a</nav<article<p</p</article</body</html'
+                ELSE '<html<head<title</title</head<body<article<p</p</article</body</html'
+           END) AS template_fp,
+       CAST(CASE WHEN event_id % 4 = 0 THEN c.na ELSE c.nb END AS BIGINT) AS template_size
+FROM pages CROSS JOIN c""",
+)
+def template_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural template clustering: every 4th page renders with a nav
+    block (16-tag skeleton), the rest without (12 tags); page TEXT
+    differs on every row and must not affect the fingerprint. The
+    oracle md5s the expected tag-token string literally and states both
+    cluster sizes arithmetically."""
+    from logstash_spark.functions.crawl import template_fingerprint
+
+    p = _pages(spark, sf_dir)
+    nav = F.when(
+        F.col("event_id") % 4 == 0, F.lit('<nav><a href="/">Home</a></nav>')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>T</title></head><body>"),
+        nav,
+        F.lit("<article><p>"),
+        F.col("text"),
+        F.lit("</p></article></body></html>"),
+    )
+    return template_fingerprint(p.withColumn("html_str", html))

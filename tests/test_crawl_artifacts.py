@@ -786,3 +786,66 @@ def test_host_lang_outliers_decisions(spark):
     for u, r in out.items():
         if "m.com" in u or "t.com" in u:
             assert r["host_lang"] is None and r["is_outlier"] is False
+
+
+def test_robots_crawl_delay_semantics(spark):
+    from logstash_spark.functions.crawl import robots_crawl_delay
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 1\n\nUser-agent: *\nCrawl-delay: 3\n"),
+            ("b.com", "User-agent: bot\nCrawl-delay: 2.5\n\nUser-agent: *\nCrawl-delay: 60\n"),
+            ("c.com", "User-agent: *\nCrawl-delay: soon\n"),
+            ("d.com", None),
+            ("e.com", "Crawl-delay: 7\n"),  # delay before any group: no block
+        ],
+        "host string, robots_txt string",
+    )
+    out = {r["host"]: r["crawl_delay_s"] for r in robots_crawl_delay(robots, user_agent="bot").collect()}
+    assert out == {"a.com": 3.0, "b.com": 2.5}
+
+
+def test_sitemap_coverage_edges(spark):
+    from logstash_spark.functions.crawl import sitemap_coverage
+
+    sm = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/2",), ("https://a.com/2",), ("https://b.com/z",)],
+        "url string",
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.com/1",), ("https://a.com/9",), ("https://c.com/only",)],
+        "url string",
+    )
+    out = {r["host"]: r for r in sitemap_coverage(sm, crawled).collect()}
+    a = out["a.com"]
+    # dup sitemap entries collapse; /9 is an undeclared extra
+    assert (a["n_sitemap"], a["n_covered"], a["n_extra"]) == (2, 1, 1)
+    assert a["coverage"] == 0.5
+    # declared but never crawled
+    b = out["b.com"]
+    assert (b["n_sitemap"], b["n_covered"], b["coverage"]) == (1, 0, 0.0)
+    # crawl-only host: no sitemap -> coverage NULL
+    c = out["c.com"]
+    assert (c["n_sitemap"], c["coverage"], c["n_extra"]) == (0, None, 1)
+
+
+def test_template_fingerprint_text_independent(spark):
+    from logstash_spark.functions.crawl import template_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "<html><body><p>alpha text</p></body></html>"),
+            ("u2", "<HTML><Body><P>totally different words</p></BODY></html>"),
+            ("u3", "<html><body><div><p>x</p></div></body></html>"),
+            ("u4", "no tags at all, just 1 < 2 math"),
+        ],
+        "url string, html_str string",
+    )
+    out = {r["url"]: r for r in template_fingerprint(df).collect()}
+    # same skeleton (case-insensitive), different text -> same fp
+    assert out["u1"]["template_fp"] == out["u2"]["template_fp"]
+    assert out["u1"]["template_size"] == 2
+    assert out["u3"]["template_fp"] != out["u1"]["template_fp"]
+    assert out["u1"]["n_tags"] == 6
+    # '< 2' is not a tag; empty sequence fingerprints consistently
+    assert out["u4"]["n_tags"] == 0 and out["u4"]["template_size"] == 1

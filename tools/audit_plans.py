@@ -35,6 +35,11 @@ WAIVERS: dict[str, set[str]] = {
     "pmi_collocations": {"BroadcastNestedLoopJoin"},  # 1-row corpus-total (N) broadcast, same shape as tfidf
     "quality_threshold_sweep": {"BroadcastNestedLoopJoin"},  # 1-row totals unfolded into per-threshold rows
     "ccnet_buckets": {"BroadcastNestedLoopJoin"},  # 1-row tercile-boundary broadcast onto the corpus
+    # full-outer join of two corpus-scale DISTINCT key-only URL sets —
+    # SMJ on the url key IS the 100 TB plan (neither side can broadcast
+    # a full outer, and rows are 16 B keys); AQE shrinks it when the
+    # sitemap side is actually small
+    "sitemap_coverage": {"SortMergeJoin"},
     "bm25_search": {"BroadcastNestedLoopJoin"},  # 1-row corpus stats (N, sum dl) broadcast onto the postings
     "mixture_resample": {"BroadcastNestedLoopJoin"},  # 1-row (sum_w, n_tot) broadcast onto the #strata-row weight table
     # docs ⋈ component-table attach: the dup set CAN be corpus-scale in the
