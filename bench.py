@@ -181,6 +181,8 @@ HEADLINE = [
     "robots_crawl_delay",
     "sitemap_coverage",
     "template_fingerprint",
+    "recrawl_pipeline",
+    "host_communities",
 ]
 
 

@@ -810,21 +810,38 @@ def recrawl_priority(
     n = F.col("n_captures")
     c = F.col("n_changes")
     span_s = F.unix_timestamp("_last") - F.unix_timestamp("_first")
-    avg_int_s = span_s / (n - F.lit(1))
+    # libm ln differs in the last ulp across engines (the tfidf/dsir
+    # lesson — caught by the sf0.1 sweep as a 6th-decimal rounding flip):
+    # quantize -ln(r) onto the e6 integer grid IMMEDIATELY, per (n, c)
+    # class, so every downstream op is a correctly-rounded IEEE
+    # multiply/divide on identical inputs — bit-identical cross-engine
+    q_e6 = F.floor(
+        -F.log((n - c + F.lit(0.5)) / (n + F.lit(0.5))) * F.lit(1000000.0)
+    ).cast("long")
     lam = F.when(
         (n >= 2) & (span_s > 0),
-        -F.log((n - c + F.lit(0.5)) / (n + F.lit(0.5))) / avg_int_s * 86400.0,
+        q_e6 * F.lit(86400.0) * (n - F.lit(1)) / span_s / F.lit(1000000.0),
     )
     stale_d = (
         F.unix_timestamp(F.lit(now).cast("timestamp")) - F.unix_timestamp("_last")
     ) / 86400.0
+
+    def _q6(x):
+        # e6 TRUNCATION grid, not round(): Spark's round re-parses the
+        # double's shortest-decimal repr (HALF_UP on "2.0190625") while
+        # DuckDB rounds the binary value (...62499 -> down) — a product
+        # landing on a decimal half diverges (sf0.1 sweep, host22/p/83328).
+        # floor(x*1e6)/1e6 is pure correctly-rounded IEEE arithmetic on
+        # identical inputs — bit-identical everywhere.
+        return F.floor(x * F.lit(1000000.0)) / F.lit(1000000.0)
+
     return agg.select(
         "url",
         "n_captures",
         "n_changes",
-        F.round(lam, 6).alias("lambda_day"),
-        F.round(stale_d, 6).alias("staleness_days"),
-        F.round(lam * stale_d, 6).alias("priority"),
+        _q6(lam).alias("lambda_day"),
+        _q6(stale_d).alias("staleness_days"),
+        _q6(lam * stale_d).alias("priority"),
     )
 
 

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 # One anchor element, case-insensitive, dotall so the anchor text may span
 # lines. href value must be quoted (single or double) — the unquoted-href
@@ -409,4 +410,70 @@ def page_metadata(
         .withColumn("og_description", _meta("property", "og:description"))
         .withColumn("canonical_url", canonical)
         .withColumn("html_lang", lang)
+    )
+
+
+def host_communities(
+    edges: DataFrame,
+    *,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    rounds: int = 3,
+) -> DataFrame:
+    """Host-graph community detection by label propagation (Raghavan,
+    Albert & Kumara 2007) — the clustering axis connected components
+    cannot give: CC says "reachable", LPA says "densely linked", which
+    is what link-farm discovery and per-community sampling caps want.
+
+    Deterministic synchronous variant: every node starts as its own
+    label; each round it adopts the label most frequent among its
+    neighbors PLUS its own current label (the self-vote breaks the
+    classic bipartite oscillation), ties resolved to the MINIMUM label.
+    Fixed ``rounds`` (labels travel <= ``rounds`` hops — bounded work,
+    replayable, and both engines compute identical rounds; the
+    asynchronous original is order-dependent and was deliberately not
+    reproduced). Edges are symmetrized and deduplicated; nodes are the
+    edge endpoints.
+
+    Output: ``(host, community, community_size)``.
+
+    Scale shape: per round ONE label-keyed equi-join (edge table vs the
+    host-sized label table — SMJ by design at corpus scale, AQE
+    broadcasts when hosts fit) + one (host, label) groupBy with map-side
+    combine + one per-host window over <= degree+1 candidate labels.
+    localCheckpoint every other round truncates lineage (the
+    dedup_cluster_cc pattern)."""
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    nodes = und.select(F.col("a").alias("host")).distinct()
+    lbl = nodes.withColumn("lbl", F.col("host"))
+    for r in range(rounds):
+        nb = und.join(
+            lbl.select(F.col("host").alias("b"), "lbl"), "b"
+        ).select(F.col("a").alias("host"), "lbl")
+        votes = (
+            nb.unionByName(lbl.select("host", "lbl"))
+            .groupBy("host", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wv = W.partitionBy("host").orderBy(F.desc("c"), F.asc("lbl"))
+        lbl = (
+            votes.withColumn("_rk", F.row_number().over(wv))
+            .filter(F.col("_rk") == 1)
+            .select("host", "lbl")
+        )
+        if r % 2 == 1:
+            lbl = lbl.localCheckpoint(eager=True)
+    return lbl.select(
+        "host",
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("lbl"))
+        .cast("bigint")
+        .alias("community_size"),
     )

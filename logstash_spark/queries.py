@@ -6613,15 +6613,16 @@ h AS (
 s AS (
   SELECT url, CAST(n AS BIGINT) AS n_captures, CAST(c AS BIGINT) AS c,
          CASE WHEN n >= 2
-              THEN -ln((n - c + 0.5) / (n + 0.5)) / ((tl - t0) / (n - 1)) * 86400.0
+              THEN CAST(floor(-ln((CAST(n AS DOUBLE) - c + 0.5) / (CAST(n AS DOUBLE) + 0.5)) * 1000000.0) AS BIGINT)
+                     * 86400.0 * (n - 1) / (tl - t0) / 1000000.0
          END AS lam,
          (1709251200 - tl) / 86400.0 AS stale
   FROM h
 )
 SELECT url, n_captures, c AS n_changes,
-       round(lam, 6) AS lambda_day,
-       round(stale, 6) AS staleness_days,
-       round(lam * stale, 6) AS priority
+       floor(lam * 1000000.0) / 1000000.0 AS lambda_day,
+       floor(stale * 1000000.0) / 1000000.0 AS staleness_days,
+       floor(lam * stale * 1000000.0) / 1000000.0 AS priority
 FROM s""",
 )
 def recrawl_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7202,3 +7203,198 @@ def template_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p></article></body></html>"),
     )
     return template_fingerprint(p.withColumn("html_str", html))
+
+
+@q(
+    "recrawl_pipeline",
+    f"""{_PAGES_CTE},
+pri AS (
+  SELECT url,
+         'host' || CAST(user_id % 40 AS VARCHAR) || '.example.com' AS host,
+         CAST(user_id % 40 AS INT) AS hn,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              WHEN event_id % 2 = 0 THEN
+                floor((CAST(floor(-ln(CAST(3.5 AS DOUBLE) / 4.5) * 1000000.0) AS BIGINT)
+                       * 86400.0 * 3 / 259200 / 1000000.0)
+                      * ((1709251200 - (CAST(floor(epoch(warc_ts)) AS BIGINT) + 259200)) / 86400.0)
+                      * 1000000.0) / 1000000.0
+              ELSE
+                floor((CAST(floor(-ln(CAST(2.5 AS DOUBLE) / 4.5) * 1000000.0) AS BIGINT)
+                       * 86400.0 * 3 / 259200 / 1000000.0)
+                      * ((1709251200 - (CAST(floor(epoch(warc_ts)) AS BIGINT) + 259200)) / 86400.0)
+                      * 1000000.0) / 1000000.0
+         END AS priority
+  FROM pages
+),
+d AS (
+  SELECT pri.*,
+         CASE WHEN hn % 3 = 0 THEN CAST(2.5 AS DOUBLE)
+              WHEN hn % 3 = 1 THEN CAST(4.0 AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) END AS delay_s
+  FROM pri
+),
+r AS (
+  SELECT host, url, priority, delay_s,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC NULLS LAST, url) AS rk,
+         count(*) OVER (PARTITION BY host) AS nq
+  FROM d
+)
+SELECT host, url, priority, CAST(rk - 1 AS INT) AS slot,
+       round(delay_s, 6) AS delay_s,
+       round((rk - 1) * delay_s, 6) AS fetch_offset_s,
+       CAST(nq AS BIGINT) AS n_queued
+FROM r WHERE rk <= 50""",
+)
+def recrawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive recrawl stack composed END-TO-END in one plan:
+    4-capture digest histories (the recrawl_priority synthesis — every
+    5th URL single-capture with NULL rate, change counts differing by
+    parity) feed the Cho–Garcia-Molina estimator; per-host Crawl-delays
+    come from the robots_crawl_delay synthesis (max-of-groups 2.5 /
+    exact-agent 4.0 / malformed -> 1.0 default); politeness_schedule
+    ranks each host's queue by expected-missed-changes (NULL rates
+    last) and assigns serial fetch offsets, 50-deep per host with
+    pre-cap accounting. The oracle recomputes priorities and delays
+    arithmetically per class and re-ranks with its own window."""
+    from logstash_spark.functions.crawl import (
+        politeness_schedule,
+        recrawl_priority,
+        robots_crawl_delay,
+    )
+    from logstash_spark.functions.linkgraph import host_of
+
+    p = _pages(spark, sf_dir).select("url", "warc_ts", "text", "event_id", "user_id")
+    multi = p.filter(F.col("event_id") % 5 != 0)
+
+    def cap(days: int, txt):
+        return multi.select(
+            "url",
+            (F.col("warc_ts") + F.expr(f"INTERVAL {days} DAY")).alias("warc_ts"),
+            txt.alias("text"),
+        )
+
+    caps = (
+        p.select("url", "warc_ts", "text")
+        .unionByName(cap(1, F.col("text")))
+        .unionByName(cap(2, F.concat("text", F.lit(" v2"))))
+        .unionByName(
+            cap(
+                3,
+                F.when(
+                    F.col("event_id") % 2 == 0, F.concat("text", F.lit(" v2"))
+                ).otherwise(F.concat("text", F.lit(" v3"))),
+            )
+        )
+        .withColumn("digest", F.md5("text"))
+    )
+    pri = recrawl_priority(caps, now="2024-03-01 00:00:00")
+
+    hosts = p.select((F.col("user_id") % 40).cast("int").alias("hn")).distinct()
+    txt = (
+        F.when(
+            F.col("hn") % 3 == 0,
+            F.lit(
+                "User-agent: *\nCrawl-delay: 1.5\nDisallow: /private\n\n"
+                "User-agent: *\nCrawl-delay: 2.5\n"
+            ),
+        )
+        .when(
+            F.col("hn") % 3 == 1,
+            F.lit(
+                "User-agent: mybot\nCrawl-delay: 4\nDisallow: /a\n\n"
+                "User-agent: *\nCrawl-delay: 9\n"
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /x\nCrawl-delay: soon\n"))
+    )
+    robots = hosts.select(
+        F.concat(F.lit("host"), F.col("hn").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        txt.alias("robots_txt"),
+    )
+    delays = robots_crawl_delay(robots, user_agent="mybot").withColumnRenamed(
+        "crawl_delay_s", "crawl_delay_s"
+    )
+    frontier = pri.withColumn("host", host_of("url"))
+    sched = politeness_schedule(
+        frontier,
+        priority_col="priority",
+        delays=delays,
+        default_delay_s=1.0,
+        max_per_host=50,
+    )
+    return sched.join(
+        pri.select("url", "priority"), "url"
+    ).select(
+        "host", "url", "priority", "slot", "delay_s", "fetch_offset_s", "n_queued"
+    )
+
+
+@q(
+    "host_communities",
+    f"""{_PAGES_CTE},
+hn AS (SELECT DISTINCT CAST(user_id % 40 AS INT) AS h FROM pages),
+e0 AS (
+  SELECT 'host' || CAST(h AS VARCHAR) || '.example.com' AS a,
+         'host' || CAST(h - (h % 10) AS VARCHAR) || '.example.com' AS b
+  FROM hn WHERE h % 10 <> 0
+  UNION ALL SELECT 'host5.example.com', 'host15.example.com'
+  UNION ALL SELECT 'host25.example.com', 'host35.example.com'
+),
+u AS (
+  SELECT a, b FROM (SELECT a, b FROM e0 UNION SELECT b, a FROM e0) WHERE a <> b
+),
+n AS (SELECT DISTINCT a AS host FROM u),
+l0 AS (SELECT host, host AS lbl FROM n),
+v1 AS (
+  SELECT u.a AS host, l.lbl FROM u JOIN l0 l ON l.host = u.b
+  UNION ALL SELECT host, lbl FROM l0
+),
+c1 AS (SELECT host, lbl, count(*) AS c FROM v1 GROUP BY 1, 2),
+l1 AS (
+  SELECT host, lbl FROM (
+    SELECT host, lbl, row_number() OVER (PARTITION BY host ORDER BY c DESC, lbl) AS rk
+    FROM c1) WHERE rk = 1
+),
+v2 AS (
+  SELECT u.a AS host, l.lbl FROM u JOIN l1 l ON l.host = u.b
+  UNION ALL SELECT host, lbl FROM l1
+),
+c2 AS (SELECT host, lbl, count(*) AS c FROM v2 GROUP BY 1, 2),
+l2 AS (
+  SELECT host, lbl FROM (
+    SELECT host, lbl, row_number() OVER (PARTITION BY host ORDER BY c DESC, lbl) AS rk
+    FROM c2) WHERE rk = 1
+)
+SELECT host, lbl AS community,
+       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM l2""",
+)
+def host_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over a 40-host graph of four
+    10-host stars (hub = host with h%10==0) plus two spoke-spoke bridge
+    links that must NOT merge the stars at rounds=2. The oracle unrolls
+    the two synchronous rounds as CTEs (the IVF-Lloyd/bpe trick) — an
+    independent replay of vote counting, the self-vote, and the
+    min-label tie-break in DuckDB's own engine."""
+    from logstash_spark.functions.linkgraph import host_communities
+
+    hn = (
+        _pages(spark, sf_dir)
+        .select((F.col("user_id") % 40).cast("int").alias("h"))
+        .distinct()
+    )
+    mk = lambda c: F.concat(F.lit("host"), c.cast("string"), F.lit(".example.com"))
+    star = hn.filter(F.col("h") % 10 != 0).select(
+        mk(F.col("h")).alias("src_host"),
+        mk(F.col("h") - (F.col("h") % 10)).alias("dst_host"),
+    )
+    bridges = spark.createDataFrame(
+        [
+            ("host5.example.com", "host15.example.com"),
+            ("host25.example.com", "host35.example.com"),
+        ],
+        "src_host string, dst_host string",
+    )
+    return host_communities(star.unionByName(bridges), rounds=2)

@@ -620,7 +620,17 @@ def test_redirect_resolve_chains_cycles_dangling(spark):
 
 
 def test_recrawl_priority_estimator(spark):
-    from math import log
+    from math import floor, log
+
+    def lam_day(n, c, span_s):
+        # the engine's e6-quantized estimator (ln is grid-snapped per
+        # (n, c) class so cross-engine doubles stay bit-identical)
+        q = floor(-log((n - c + 0.5) / (n + 0.5)) * 1000000.0)
+        return q * 86400.0 * (n - 1) / span_s / 1000000.0
+
+    def round6(x):
+        # the engine's e6 TRUNCATION grid (floor, never repr-based round)
+        return floor(x * 1000000.0) / 1000000.0
 
     from logstash_spark.functions.crawl import recrawl_priority
 
@@ -649,13 +659,13 @@ def test_recrawl_priority_estimator(spark):
     }
     r1 = out["u1"]
     assert (r1["n_captures"], r1["n_changes"]) == (4, 1)
-    assert r1["lambda_day"] == round(-log(3.5 / 4.5), 6)
+    assert r1["lambda_day"] == round6(lam_day(4, 1, 3 * 86400))
     assert r1["staleness_days"] == 7.0
-    assert r1["priority"] == round(-log(3.5 / 4.5) * 7.0, 6)
+    assert r1["priority"] == round6(lam_day(4, 1, 3 * 86400) * 7.0)
     r2 = out["u2"]
     assert (r2["n_captures"], r2["n_changes"]) == (3, 2)
     # avg interval 2 days -> per-day rate is half the per-interval rate
-    assert r2["lambda_day"] == round(-log(1.5 / 3.5) / 2.0, 6)
+    assert r2["lambda_day"] == round6(lam_day(3, 2, 4 * 86400))
     assert r2["staleness_days"] == 6.0
     # unchanged recrawls LOWER the estimate: u2 (always changed) > u1
     assert r2["lambda_day"] > r1["lambda_day"]

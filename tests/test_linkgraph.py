@@ -273,3 +273,31 @@ class TestReciprocalLinks:
         rows = {r["host"]: r for r in reciprocal_links(e).collect()}
         assert rows["a.com"]["out_hosts"] == 1 and rows["a.com"]["reciprocity"] == 1.0
         assert rows["b.com"]["out_hosts"] == 1 and rows["b.com"]["reciprocity"] == 1.0
+
+
+def test_host_communities_lpa(spark):
+    from logstash_spark.functions.linkgraph import host_communities
+
+    # two stars bridged by a single spoke-spoke edge: the bridge spoke
+    # defects to the lexicographically-smaller hub's community, the
+    # stars themselves never merge
+    edges = spark.createDataFrame(
+        [("h1", f"h{i}") for i in range(2, 6)]
+        + [("m1", f"m{i}") for i in range(2, 6)]
+        + [("h5", "m5")],
+        "src_host string, dst_host string",
+    )
+    out = {r["host"]: r for r in host_communities(edges, rounds=3).collect()}
+    assert all(out[f"h{i}"]["community"] == "h1" for i in range(1, 6))
+    assert all(out[f"m{i}"]["community"] == "m1" for i in range(1, 5))
+    assert out["m5"]["community"] == "h1"  # pulled across the bridge
+    assert out["h1"]["community_size"] == 6 and out["m1"]["community_size"] == 4
+    # determinism: identical rerun, identical labels
+    again = {r["host"]: r["community"] for r in host_communities(edges, rounds=3).collect()}
+    assert again == {h: r["community"] for h, r in out.items()}
+    # self-vote kills the bipartite oscillation: a single edge pair is
+    # stable at the min label from round 1 onward
+    pair = spark.createDataFrame([("a", "b")], "src_host string, dst_host string")
+    for rounds in (1, 2, 3):
+        res = {r["host"]: r["community"] for r in host_communities(pair, rounds=rounds).collect()}
+        assert res == {"a": "a", "b": "a"}
