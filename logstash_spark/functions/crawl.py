@@ -1214,9 +1214,11 @@ def template_fingerprint(
     many pages in the corpus share the fingerprint (1 = bespoke page).
 
     Scale shape: tag extraction is a per-row JVM regex (one pass, no
-    Python); the size attach is one count window partitioned by the
-    fingerprint — a mega-template is a big partition of (url, fp) rows
-    only, counters never collect."""
+    Python); the size attach is a fingerprint groupBy (map-side combine
+    absorbs mega-templates into counters) joined back on the
+    template-count-sized table (AQE broadcasts it when it fits) — NOT a
+    count window, whose WindowExec would buffer a mega-template's whole
+    partition in one task."""
     tags = F.regexp_extract_all(
         F.lower(F.col(html_col)), F.lit(r"</?[a-z][a-z0-9]*"), 0
     )
@@ -1225,7 +1227,9 @@ def template_fingerprint(
         F.size(tags).cast("bigint").alias("n_tags"),
         F.md5(F.array_join(tags, "")).alias("template_fp"),
     )
-    return base.withColumn(
-        "template_size",
-        F.count(F.lit(1)).over(W.partitionBy("template_fp")).cast("bigint"),
+    sizes = base.groupBy("template_fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("template_size")
+    )
+    return base.join(sizes, "template_fp").select(
+        "url", "n_tags", "template_fp", "template_size"
     )

@@ -469,11 +469,9 @@ def host_communities(
         )
         if r % 2 == 1:
             lbl = lbl.localCheckpoint(eager=True)
-    return lbl.select(
-        "host",
-        F.col("lbl").alias("community"),
-        F.count(F.lit(1))
-        .over(W.partitionBy("lbl"))
-        .cast("bigint")
-        .alias("community_size"),
+    sizes = lbl.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return lbl.join(sizes, "lbl").select(
+        "host", F.col("lbl").alias("community"), "community_size"
     )
