@@ -183,6 +183,9 @@ HEADLINE = [
     "template_fingerprint",
     "recrawl_pipeline",
     "host_communities",
+    "pagination_merge",
+    "winnow_overlap",
+    "template_capped_sample",
 ]
 
 

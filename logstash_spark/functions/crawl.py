@@ -1233,3 +1233,73 @@ def template_fingerprint(
     return base.join(sizes, "template_fp").select(
         "url", "n_tags", "template_fp", "template_size"
     )
+
+
+def pagination_merge(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    max_parts: int = 50,
+) -> DataFrame:
+    """Paginated-article reassembly: sites split one logical document
+    across ``?page=2``-style URLs; a training corpus that keeps the
+    parts as separate documents learns truncated texts and inflated
+    page counts. Detection is purely structural: a SERIES KEY = the URL
+    with its pagination marker erased (``page``/``p``/``pg``/``start``
+    query parameter, or a trailing ``/page/N`` path segment), a part
+    number from the marker (default 1 when absent), and one output row
+    per series with the parts concatenated IN PART ORDER.
+
+    Rules: duplicate part numbers keep the minimum URL's text (a
+    recrawled part must not duplicate its text into the merge); series
+    longer than ``max_parts`` truncate WITH accounting (``n_parts`` is
+    the pre-cap count, ``n_merged`` what the text actually holds — the
+    cap_hot_buckets contract against pagination-shaped crawl traps).
+
+    Output: ``(series_key, n_parts, n_merged, first_url, merged_text)``
+    — single-part series pass through unchanged (n_parts = 1), so the
+    operator is a safe always-on corpus stage.
+
+    Scale shape: marker erasure is per-row JVM regex; ONE groupBy on
+    the series key whose state is the sorted (part, url, text) struct
+    array bounded by ``max_parts`` via slice-after-sort (the sort is
+    array_sort INSIDE the aggregate row, sized by the series, not the
+    corpus). No window, no self-join."""
+    url = F.col(url_col)
+    # ?page=N / ?p=N / ?pg=N / ?start=N (any position in the query)
+    qpart = F.regexp_extract(url, r"[?&](?:page|pg|p|start)=([0-9]+)", 1)
+    # trailing /page/N path form
+    ppart = F.regexp_extract(url, r"/page/([0-9]+)(?:[/?#]|$)", 1)
+    part = F.coalesce(
+        F.when(qpart != "", qpart).otherwise(None).cast("int"),
+        F.when(ppart != "", ppart).otherwise(None).cast("int"),
+        F.lit(1),
+    )
+    skey = F.regexp_replace(url, r"([?&])(?:page|pg|p|start)=[0-9]+&?", r"$1")
+    skey = F.regexp_replace(skey, r"/page/[0-9]+(?=[/?#]|$)", "")
+    skey = F.regexp_replace(skey, r"[?&]$", "")
+    rows = df.select(
+        skey.alias("series_key"),
+        part.alias("part"),
+        url.alias("u"),
+        F.col(text_col).alias("t"),
+    )
+    # one row per (series, part): minimum URL wins (deterministic)
+    one = rows.groupBy("series_key", "part").agg(
+        F.min(F.struct("u", "t")).alias("w")
+    )
+    agg = one.groupBy("series_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("part"), F.col("w.u").alias("u"), F.col("w.t").alias("t")))
+        ).alias("_ps"),
+    )
+    kept = F.slice(F.col("_ps"), 1, max_parts)
+    return agg.select(
+        "series_key",
+        "n_parts",
+        F.least(F.col("n_parts"), F.lit(max_parts)).cast("bigint").alias("n_merged"),
+        F.element_at(kept, 1)["u"].alias("first_url"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), "\n").alias("merged_text"),
+    )

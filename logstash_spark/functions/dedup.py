@@ -1020,3 +1020,59 @@ def winnow_fingerprints(
             F.col("_m").cast("bigint").alias("n_grams"),
         )
     )
+
+
+def winnow_overlap(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    threshold: float = 0.0,
+    bucket_cap: int = 2048,
+) -> DataFrame:
+    """Partial-overlap detection over the WINNOWED index (the MOSS
+    pairing step): candidate pairs are documents sharing >= ``min_shared``
+    selected fingerprints, scored by winnow-containment
+    ``shared / min(|fps_a|, |fps_b|)``. Same detection floor as
+    dedup_containment for substrings >= w+k-1 chars (the winnowing
+    guarantee), at ~2/(w+1) the index size — the economic difference at
+    100 TB, where the inverted index IS the storage bill.
+
+    Scale shape: the inverted index is (fp, id) rows; hot fingerprints
+    (boilerplate grams every doc selects) are capped at ``bucket_cap``
+    docs with the standard cap_hot_buckets treatment (accounting via
+    hot_bucket_stats); the pair join is fp-bucket-local (equi-join,
+    never cartesian) and the per-pair shared count is ONE groupBy with
+    map-side combine. Per-doc fingerprint totals attach by two joins
+    against the doc-count-sized table (AQE broadcasts)."""
+    fps = _persist_tracked(
+        winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+        .select(F.col(id_col).alias("id"), "fp")
+    )
+    counts = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fps"))
+    inv = cap_hot_buckets(fps, ["fp"], bucket_cap)
+    a = inv.select(F.col("id").alias("id_a"), "fp")
+    b = inv.select(F.col("id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        shared.join(counts.select(F.col("id").alias("id_a"), F.col("n_fps").alias("n_a")), "id_a")
+        .join(counts.select(F.col("id").alias("id_b"), F.col("n_fps").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps").cast("double") / F.least("n_a", "n_b"), 4
+            ).alias("winnow_containment"),
+        )
+        .filter(F.col("winnow_containment") >= threshold)
+    )

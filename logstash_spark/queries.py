@@ -7398,3 +7398,154 @@ def host_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_host string, dst_host string",
     )
     return host_communities(star.unionByName(bridges), rounds=2)
+
+
+@q(
+    "pagination_merge",
+    f"""{_PAGES_CTE}
+SELECT url AS series_key,
+       CAST(CASE WHEN event_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_parts,
+       CAST(CASE WHEN event_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_merged,
+       url AS first_url,
+       CASE WHEN event_id % 3 = 0
+            THEN text || chr(10) || text || ' p2dup' || chr(10) || text || ' p3'
+            ELSE text END AS merged_text
+FROM pages""",
+)
+def pagination_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated-article reassembly: every 3rd page splits into a
+    3-part series — part 1 unmarked, part 2 captured TWICE (the
+    ``/page/2`` path form AND the ``?page=2`` query form collapse to
+    the same series+part; the minimum URL, the path form, must win the
+    dup) and part 3 in query form. All other pages are single-part
+    passthroughs. The oracle states the reassembled text, part counts
+    and first_url arithmetically — marker erasure, part ordering, and
+    the dup rule all pin the hash."""
+    from logstash_spark.functions.crawl import pagination_merge
+
+    p = _pages(spark, sf_dir).select("url", "text", "event_id")
+    series = p.filter(F.col("event_id") % 3 == 0)
+    parts = (
+        series.select("url", "text")
+        .unionByName(
+            series.select(
+                F.concat("url", F.lit("?page=2")).alias("url"),
+                F.concat("text", F.lit(" p2")).alias("text"),
+            )
+        )
+        .unionByName(
+            series.select(
+                F.concat("url", F.lit("/page/2")).alias("url"),
+                F.concat("text", F.lit(" p2dup")).alias("text"),
+            )
+        )
+        .unionByName(
+            series.select(
+                F.concat("url", F.lit("?page=3")).alias("url"),
+                F.concat("text", F.lit(" p3")).alias("text"),
+            )
+        )
+        .unionByName(p.filter(F.col("event_id") % 3 != 0).select("url", "text"))
+    )
+    return pagination_merge(parts, max_parts=50)
+
+
+@q(
+    "winnow_overlap",
+    f"""WITH t AS (
+  SELECT doc_id, {_NORM_SQL} AS s FROM documents
+), b AS (
+  SELECT doc_id, s, greatest(length(s) - 11, 0) AS m FROM t WHERE length(s) >= 12
+), g AS (
+  SELECT doc_id, m, i.i AS pos, substr(md5(substr(s, i.i, 12)), 1, 16) AS h
+  FROM b, unnest(generate_series(1, m)) AS i(i)
+), wm AS (
+  SELECT a.doc_id, a.pos, min(b2.h) AS fp
+  FROM g a JOIN g b2 ON b2.doc_id = a.doc_id AND b2.pos BETWEEN a.pos AND a.pos + 7
+  WHERE a.pos <= greatest(a.m - 7, 1)
+  GROUP BY a.doc_id, a.pos
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wm
+), counts AS (
+  SELECT doc_id, count(*) AS n_fps FROM fps GROUP BY doc_id
+), hot AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) > 2048
+), inv AS (
+  SELECT doc_id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM hot)
+), shared AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared_fps
+  FROM inv a JOIN inv b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT s.id_a, s.id_b, s.shared_fps,
+       round(s.shared_fps * 1.0 / least(ca.n_fps, cb.n_fps), 4) AS winnow_containment
+FROM shared s
+JOIN counts ca ON ca.doc_id = s.id_a
+JOIN counts cb ON cb.doc_id = s.id_b
+WHERE round(s.shared_fps * 1.0 / least(ca.n_fps, cb.n_fps), 4) >= 0.5""",
+)
+def winnow_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS pairing over the winnowed index (k=12 char grams, window 8,
+    >= 3 shared fingerprints, containment >= 0.5): finds the corpus's
+    real near-dup pairs from ~2/(w+1) of the full shingle index. The
+    oracle rebuilds the winnow selection, the 2048-cap hot-fingerprint
+    drop, the bucket-local pairing and the containment score entirely
+    in DuckDB."""
+    from logstash_spark.functions.dedup import winnow_overlap
+
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
+    return winnow_overlap(d, k=12, w=8, min_shared=3, threshold=0.5)
+
+
+@q(
+    "template_capped_sample",
+    f"""{_PAGES_CTE},
+c AS (
+  SELECT count(*) FILTER (WHERE event_id % 4 = 0) AS na,
+         count(*) FILTER (WHERE event_id % 4 <> 0) AS nb
+  FROM pages
+),
+f AS (
+  SELECT url, event_id,
+         md5(CASE WHEN event_id % 4 = 0
+                  THEN '<html<head<title</title</head<body<nav<a</a</nav<article<p</p</article</body</html'
+                  ELSE '<html<head<title</title</head<body<article<p</p</article</body</html'
+             END) AS template_fp,
+         CAST(CASE WHEN event_id % 4 = 0 THEN c.na ELSE c.nb END AS BIGINT) AS template_size
+  FROM pages CROSS JOIN c
+),
+r AS (
+  SELECT url, template_fp, template_size,
+         row_number() OVER (
+           PARTITION BY template_fp
+           ORDER BY substr(md5(url), 1, 4), url
+         ) AS key_rank
+  FROM f
+)
+SELECT url, template_fp, template_size, CAST(key_rank AS INT) AS key_rank
+FROM r WHERE key_rank <= 100""",
+)
+def template_capped_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-template sampling cap — the anti-boilerplate curation rule
+    (no CMS template floods the corpus): template_fingerprint clusters
+    the two synthesized skeletons, per_key_cap keeps a deterministic
+    uniform 100 per template. The oracle recomputes the fingerprints,
+    sizes, the md5 sample-key rank order and the cap boundary."""
+    from logstash_spark.functions.crawl import template_fingerprint
+    from logstash_spark.functions.sample import per_key_cap
+
+    p = _pages(spark, sf_dir)
+    nav = F.when(
+        F.col("event_id") % 4 == 0, F.lit('<nav><a href="/">Home</a></nav>')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>T</title></head><body>"),
+        nav,
+        F.lit("<article><p>"),
+        F.col("text"),
+        F.lit("</p></article></body></html>"),
+    )
+    tf = template_fingerprint(p.withColumn("html_str", html))
+    return per_key_cap(tf, key_col="template_fp", cap=100, id_col="url").select(
+        "url", "template_fp", "template_size", "key_rank"
+    )

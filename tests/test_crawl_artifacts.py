@@ -859,3 +859,28 @@ def test_template_fingerprint_text_independent(spark):
     assert out["u1"]["n_tags"] == 6
     # '< 2' is not a tag; empty sequence fingerprints consistently
     assert out["u4"]["n_tags"] == 0 and out["u4"]["template_size"] == 1
+
+
+def test_pagination_merge_semantics(spark):
+    from logstash_spark.functions.crawl import pagination_merge
+
+    rows = (
+        [(f"https://s.com/long?page={i}", f"part{i}") for i in range(1, 8)]
+        + [("https://s.com/solo", "alone")]
+        # p= and pg= and start= markers all collapse; part default 1
+        + [("https://s.com/mix", "m1"), ("https://s.com/mix?p=2", "m2"),
+           ("https://s.com/mix?pg=3", "m3"), ("https://s.com/mix?start=4", "m4")]
+        # marker erasure keeps OTHER params (and their position)
+        + [("https://s.com/q?a=1&page=2", "q2"), ("https://s.com/q?a=1", "q1")]
+    )
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r["series_key"]: r for r in pagination_merge(df, max_parts=5).collect()}
+    # truncation with accounting: 7 parts, 5 merged
+    long = out["https://s.com/long"]
+    assert (long["n_parts"], long["n_merged"]) == (7, 5)
+    assert long["merged_text"] == "\n".join(f"part{i}" for i in range(1, 6))
+    assert long["first_url"] == "https://s.com/long?page=1"
+    assert out["https://s.com/solo"]["merged_text"] == "alone"
+    assert out["https://s.com/mix"]["merged_text"] == "m1\nm2\nm3\nm4"
+    q = out["https://s.com/q?a=1"]
+    assert q["n_parts"] == 2 and q["merged_text"] == "q1\nq2"

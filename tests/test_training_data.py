@@ -2369,3 +2369,32 @@ def test_ccnet_buckets(spark):
     df2 = spark.range(100).select(F.col("id").alias("doc_id"), F.lit(500).alias("rarity_avg"))
     out2 = ccnet_buckets(df2, score_col="rarity_avg", lo=0.0, hi=32768.0, buckets=1024)
     assert out2.filter(F.col("ppl_bucket") != "head").count() == 0
+
+
+def test_winnow_overlap_detection(spark):
+    from logstash_spark.functions.dedup import winnow_overlap
+
+    import random
+
+    rnd = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    core = "".join(rnd.choice(alpha) for _ in range(80))
+    docs = [
+        (1, "".join(rnd.choice(alpha) for _ in range(40)) + core),  # shares core
+        (2, core + "".join(rnd.choice(alpha) for _ in range(40))),  # shares core
+        (3, "".join(rnd.choice(alpha) for _ in range(120))),        # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = winnow_overlap(df, k=5, w=4, min_shared=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in pairs
+    p = pairs[(1, 2)]
+    assert p["shared_fps"] >= 2
+    assert 0.0 < p["winnow_containment"] <= 1.0
+    # unrelated random doc pairs (if any) share far less than the core pair
+    for (a, b), r in pairs.items():
+        if (a, b) != (1, 2):
+            assert r["shared_fps"] < p["shared_fps"]
+    # threshold filters
+    hi = winnow_overlap(df, k=5, w=4, min_shared=2, threshold=1.01).count()
+    assert hi == 0

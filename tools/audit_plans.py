@@ -40,6 +40,11 @@ WAIVERS: dict[str, set[str]] = {
     # a full outer, and rows are 16 B keys); AQE shrinks it when the
     # sitemap side is actually small
     "sitemap_coverage": {"SortMergeJoin"},
+    # LPA rounds join the edge table against the host-sized label table,
+    # and sizes attach by community key — both host-graph-scale keyed
+    # joins where SMJ is the static 100 TB plan; AQE broadcasts the
+    # label/size side whenever the host count actually fits
+    "host_communities": {"SortMergeJoin"},
     "bm25_search": {"BroadcastNestedLoopJoin"},  # 1-row corpus stats (N, sum dl) broadcast onto the postings
     "mixture_resample": {"BroadcastNestedLoopJoin"},  # 1-row (sum_w, n_tot) broadcast onto the #strata-row weight table
     # docs ⋈ component-table attach: the dup set CAN be corpus-scale in the
