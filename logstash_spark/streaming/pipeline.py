@@ -221,3 +221,38 @@ def windowed_hll_distinct(
         "present",
         "est_hll",
     )
+
+
+def windowed_cms(
+    stream_df: DataFrame,
+    *,
+    ts: str,
+    tok: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Count-Min registers per event-time window on a stream: state is
+    at most d*w BIGINT counters per open window (bounded regardless of
+    cardinality — the streaming-safe form of frequency tracking; exact
+    per-token counts would hold one state row per distinct token), and
+    the watermark evicts closed windows. The cell derivation is the
+    SAME _cms_cells map the batch cms_build uses, so stream-vs-batch
+    equality is a replay test (test_sketch::
+    test_windowed_cms_stream_matches_batch). Heavy-hitter queries probe
+    the emitted registers batch-side with cms_probe — the sketch per
+    window is d*w rows, so probing any candidate set broadcasts."""
+    from logstash_spark.functions.sketch import _cms_cells
+
+    df = ensure_event_time(stream_df, ts).withWatermark(ts, watermark)
+    cells = (
+        df.withColumn("_w", F.window(F.col(ts), window))
+        .withColumn("tok", F.col(tok))
+        .select("_w", F.explode(_cms_cells(d, w)).alias("cell"))
+        .select("_w", "cell.r", "cell.c")
+    )
+    regs = cells.groupBy("_w", "r", "c").agg(F.count("*").alias("cnt"))
+    return regs.select(
+        F.col("_w.start").alias("window_start"), "r", "c", "cnt"
+    )

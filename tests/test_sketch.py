@@ -324,3 +324,62 @@ def test_windowed_hll_stream_matches_batch(spark, sf_dir, tmp_path):
         key = (r["window_start"], r["event_type"])
         assert key in batch, key
         assert (r["present"], r["est_hll"]) == batch[key], (r, batch[key])
+
+
+def test_windowed_cms_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Event-time windowed Count-Min registers with watermark: every
+    closed window's register set must equal the batch cms_build of that
+    window's rows exactly (append contract: the final unclosed window
+    may be withheld)."""
+    import time as _t
+
+    from logstash_spark.streaming.pipeline import ensure_event_time, windowed_cms
+    from logstash_spark.functions.sketch import cms_build
+
+    e = load_table(spark, sf_dir, "events")
+    e.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+
+    b = ensure_event_time(spark.read.parquet(str(tmp_path / "ev")), "ts")
+    wb = b.withColumn("_w", F.window(F.col("ts"), "30 days"))
+    batch = {}
+    # batch truth per window via the SAME cms_build kernel
+    wins = [r["ws"] for r in wb.select(F.col("_w.start").alias("ws")).distinct().collect()]
+    for ws in wins:
+        toks = wb.filter(F.col("_w.start") == ws).select(F.col("event_type").alias("tok"))
+        for r in cms_build(toks, d=4, w=64).collect():
+            batch[(ws, r["r"], r["c"])] = r["cnt"]
+
+    stream = spark.readStream.schema(e.schema).parquet(str(tmp_path / "ev"))
+    q = (
+        windowed_cms(stream, ts="ts", tok="event_type",
+                     window="30 days", watermark="1 day", d=4, w=64)
+        .writeStream.format("memory")
+        .queryName("cms_win")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .start()
+    )
+    try:
+        deadline = _t.time() + 120
+        got = []
+        while _t.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception()))
+            got = spark.sql("select * from cms_win").collect()
+            if got:
+                break
+            _t.sleep(2)
+    finally:
+        q.stop()
+    assert got, "stream emitted no closed windows"
+    for r in got:
+        key = (r["window_start"], r["r"], r["c"])
+        assert key in batch, f"stream emitted unknown cell {key}"
+        assert r["cnt"] == batch[key], f"cell {key}: {r['cnt']} != {batch[key]}"
+    # every closed window the stream emitted is COMPLETE: its cell set
+    # matches the batch cell set for that window
+    emitted_windows = {r["window_start"] for r in got}
+    for ws in emitted_windows:
+        scells = {(r["r"], r["c"]) for r in got if r["window_start"] == ws}
+        bcells = {(rr, cc) for (w2, rr, cc) in batch if w2 == ws}
+        assert scells == bcells
