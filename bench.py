@@ -186,6 +186,7 @@ HEADLINE = [
     "pagination_merge",
     "winnow_overlap",
     "template_capped_sample",
+    "shared_ip_hosts",
 ]
 
 

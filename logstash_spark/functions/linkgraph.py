@@ -475,3 +475,50 @@ def host_communities(
     return lbl.join(sizes, "lbl").select(
         "host", F.col("lbl").alias("community"), "community_size"
     )
+
+
+def shared_ip_hosts(
+    hosts: DataFrame,
+    dns_dim: DataFrame,
+    *,
+    host_col: str = "host",
+    addr_col: str = "address",
+    min_cohosted: int = 5,
+) -> DataFrame:
+    """Shared-IP host clustering: hosts resolving to one address are one
+    OPERATION regardless of how many domains they spread across — the
+    cheapest link-farm / SEO-network signal (a farm's cross-links look
+    organic per-host and collapse once grouped by IP; pair with
+    host_communities and reciprocal_links for the graph view).
+
+    ``dns_dim`` is the engine's standard pre-resolved (host, address)
+    table (operators/enrich.py dns stance: resolve once, ship the dim —
+    no live DNS inside a distributed job). Output: one row per input
+    host — ``(host, address, cohosted_n, is_shared_ip)``; unresolved
+    hosts keep NULL address / NULL cohosted_n and never flag.
+
+    Scale shape: the dim attach is a broadcast equi-join (the dim is
+    host-count-sized); the per-address count is one groupBy whose
+    result is address-count-sized and joins back broadcast. The corpus
+    never shuffles — only the host table does, and the host table is
+    already small next to the corpus."""
+    from pyspark.sql.functions import broadcast
+
+    h = hosts.select(F.col(host_col).alias("host")).distinct()
+    dim = dns_dim.select(
+        F.col(host_col).alias("host"), F.col(addr_col).alias("address")
+    )
+    j = h.join(broadcast(dim), "host", "left")
+    per_ip = (
+        j.filter(F.col("address").isNotNull())
+        .groupBy("address")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cohosted_n"))
+    )
+    return j.join(broadcast(per_ip), "address", "left").select(
+        "host",
+        "address",
+        "cohosted_n",
+        F.coalesce(F.col("cohosted_n") >= min_cohosted, F.lit(False)).alias(
+            "is_shared_ip"
+        ),
+    )

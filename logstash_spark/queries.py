@@ -7549,3 +7549,54 @@ def template_capped_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key_cap(tf, key_col="template_fp", cap=100, id_col="url").select(
         "url", "template_fp", "template_size", "key_rank"
     )
+
+
+@q(
+    "shared_ip_hosts",
+    f"""{_PAGES_CTE},
+hn AS (SELECT DISTINCT CAST(user_id % 40 AS INT) AS h FROM pages),
+v AS (
+  SELECT 'host' || CAST(h AS VARCHAR) || '.example.com' AS host,
+         CASE WHEN h < 36 THEN '10.0.0.' || CAST(h % 6 AS VARCHAR)
+              WHEN h < 39 THEN '10.9.9.' || CAST(h AS VARCHAR) END AS address,
+         h
+  FROM hn
+),
+pi AS (
+  SELECT address, CAST(count(*) AS BIGINT) AS cohosted_n FROM v
+  WHERE address IS NOT NULL GROUP BY address
+)
+SELECT v.host, v.address, pi.cohosted_n,
+       coalesce(pi.cohosted_n >= 5, FALSE) AS is_shared_ip
+FROM v LEFT JOIN pi USING (address)""",
+)
+def shared_ip_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-IP clustering over a 40-host table: 36 hosts pack onto 6
+    addresses (6 co-hosted each -> flagged at min 5), three get unique
+    addresses (never flagged), one is absent from the DNS dim entirely
+    (NULL address, NULL count, flag FALSE). The oracle recomputes the
+    per-address counts and flags arithmetically."""
+    from logstash_spark.functions.linkgraph import shared_ip_hosts
+
+    hn = (
+        _pages(spark, sf_dir)
+        .select((F.col("user_id") % 40).cast("int").alias("h"))
+        .distinct()
+    )
+    hosts = hn.select(
+        F.concat(F.lit("host"), F.col("h").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        )
+    )
+    dim = hn.filter(F.col("h") < 39).select(
+        F.concat(F.lit("host"), F.col("h").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.when(
+            F.col("h") < 36,
+            F.concat(F.lit("10.0.0."), (F.col("h") % 6).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("10.9.9."), F.col("h").cast("string")))
+        .alias("address"),
+    )
+    return shared_ip_hosts(hosts, dim, min_cohosted=5)

@@ -301,3 +301,25 @@ def test_host_communities_lpa(spark):
     for rounds in (1, 2, 3):
         res = {r["host"]: r["community"] for r in host_communities(pair, rounds=rounds).collect()}
         assert res == {"a": "a", "b": "a"}
+
+
+def test_shared_ip_hosts(spark):
+    from logstash_spark.functions.linkgraph import shared_ip_hosts
+
+    hosts = spark.createDataFrame(
+        [(f"h{i}.com",) for i in range(7)], "host string"
+    )
+    dim = spark.createDataFrame(
+        [("h0.com", "1.1.1.1"), ("h1.com", "1.1.1.1"), ("h2.com", "1.1.1.1"),
+         ("h3.com", "2.2.2.2"), ("h4.com", "2.2.2.2"), ("h5.com", "3.3.3.3")],
+        "host string, address string",
+    )
+    out = {r["host"]: r for r in shared_ip_hosts(hosts, dim, min_cohosted=3).collect()}
+    assert out["h0.com"]["is_shared_ip"] and out["h0.com"]["cohosted_n"] == 3
+    assert not out["h3.com"]["is_shared_ip"] and out["h3.com"]["cohosted_n"] == 2
+    assert not out["h5.com"]["is_shared_ip"]
+    # unresolved host: NULL address, never flagged
+    assert out["h6.com"]["address"] is None
+    assert out["h6.com"]["cohosted_n"] is None
+    assert out["h6.com"]["is_shared_ip"] is False
+    assert len(out) == 7  # row-preserving over the host table
