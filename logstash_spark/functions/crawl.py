@@ -790,7 +790,10 @@ def recrawl_priority(
     lag — both partition by the SAME key so AQE plans one exchange; the
     per-url state is a handful of longs. Floats round to 6 decimals for
     cross-engine hashing."""
-    w = W.partitionBy(url_col).orderBy(ts_col)
+    # digest as the tiebreaker: WARC revisits share second-granularity
+    # timestamps, and a ts-only order would make n_changes depend on
+    # partition-internal arrival order (nondeterministic across runs)
+    w = W.partitionBy(url_col).orderBy(ts_col, digest_col)
     lagged = captures.select(
         F.col(url_col).alias("url"),
         F.col(ts_col).alias("_ts"),
@@ -887,16 +890,30 @@ def politeness_schedule(
     if delays is not None:
         from pyspark.sql.functions import broadcast
 
-        ranked = ranked.join(broadcast(delays), host_col, "left")
-        delay = F.coalesce(F.col("crawl_delay_s"), F.lit(default_delay_s))
+        # project the dim to exactly (host, crawl_delay_s): extra columns
+        # must not leak into the plan, and a frontier already carrying a
+        # crawl_delay_s column must not become ambiguous
+        dim = delays.select(
+            F.col(host_col), F.col("crawl_delay_s").alias("_delay_dim")
+        )
+        ranked = ranked.join(broadcast(dim), host_col, "left")
+        delay = F.coalesce(F.col("_delay_dim"), F.lit(default_delay_s))
     else:
         delay = F.lit(default_delay_s)
+
+    def _q6(x):
+        # e6 truncation grid, never repr-based round (the recrawl_priority
+        # cross-engine lesson: Spark HALF_UPs the shortest-decimal repr,
+        # DuckDB rounds the binary value — floor of identical doubles
+        # cannot diverge)
+        return F.floor(x * F.lit(1000000.0)) / F.lit(1000000.0)
+
     return ranked.select(
         F.col(host_col).alias("host"),
         F.col(url_col).alias("url"),
         (F.col("_rk") - 1).cast("int").alias("slot"),
-        F.round(delay, 6).alias("delay_s"),
-        F.round((F.col("_rk") - 1) * delay, 6).alias("fetch_offset_s"),
+        _q6(delay).alias("delay_s"),
+        _q6((F.col("_rk") - 1) * delay).alias("fetch_offset_s"),
         F.col("n_queued").cast("bigint").alias("n_queued"),
     )
 
@@ -932,7 +949,10 @@ def crawl_trap_detect(
     host = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
     path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
-    tpath = F.regexp_replace(path, r"[0-9a-f]{8,}", "H")
+    # hex rule requires at least one a-f (lookahead): a pure 8+-digit run
+    # is a NUMBER, not hex — otherwise calendar ids split across /N vs /H
+    # templates at the 8-digit boundary and a mixed trap goes undetected
+    tpath = F.regexp_replace(path, r"(?=[0-9]*[a-f])[0-9a-f]{8,}", "H")
     tpath = F.regexp_replace(tpath, r"[0-9]+", "N")
     pnames = F.when(
         query == "", F.lit("")
@@ -1040,6 +1060,21 @@ def host_lang_outliers(
     )
 
 
+# The full public ISO 639-1 two-letter code set (184 codes) — the path
+# segments bitext_candidates treats as language markers. A bare [a-z]{2}
+# would erase /tv/, /js/, /go/ ... and fabricate translation pairs.
+_ISO639_1 = (
+    "aa|ab|ae|af|ak|am|an|ar|as|av|ay|az|ba|be|bg|bh|bi|bm|bn|bo|br|bs|ca|"
+    "ce|ch|co|cr|cs|cu|cv|cy|da|de|dv|dz|ee|el|en|eo|es|et|eu|fa|ff|fi|fj|"
+    "fo|fr|fy|ga|gd|gl|gn|gu|gv|ha|he|hi|ho|hr|ht|hu|hy|hz|ia|id|ie|ig|ii|"
+    "ik|io|is|it|iu|ja|jv|ka|kg|ki|kj|kk|kl|km|kn|ko|kr|ks|ku|kv|kw|ky|la|"
+    "lb|lg|li|ln|lo|lt|lu|lv|mg|mh|mi|mk|ml|mn|mr|ms|mt|my|na|nb|nd|ne|ng|"
+    "nl|nn|no|nr|nv|ny|oc|oj|om|or|os|pa|pi|pl|ps|pt|qu|rm|rn|ro|ru|rw|sa|"
+    "sc|sd|se|sg|si|sk|sl|sm|sn|so|sq|sr|ss|st|su|sv|sw|ta|te|tg|th|ti|tk|"
+    "tl|tn|to|tr|ts|tt|tw|ty|ug|uk|ur|uz|ve|vi|vo|wa|wo|xh|yi|yo|za|zh|zu"
+)
+
+
 def bitext_candidates(
     df: DataFrame,
     *,
@@ -1055,8 +1090,12 @@ def bitext_candidates(
     translation pairs for parallel-corpus alignment.
 
     The language marker is erased in two places: path segments that are
-    exactly an ISO-639-1 code with optional region (``/en/``, ``/pt-br/``
-    -> ``/L/``) and ``lang``/``locale``/``hl`` query parameters. One page
+    exactly a REAL ISO-639-1 code with optional region (``/en/``,
+    ``/pt-br/`` -> ``/L/``; the vendored 184-code alternation — a bare
+    ``[a-z]{2}`` would also erase ``/tv/``, ``/js/`` and every other
+    two-letter non-language segment and fabricate pairs; codes that
+    double as common path words, e.g. ``/id/``, remain a documented
+    ambiguity) and ``lang``/``locale``/``hl`` query parameters. One page
     represents each (key, lang) — the minimum URL, deterministic — so a
     key's join fan-out is bounded by the language count, never by dup
     pages. Candidate pairs keep ``lang_a < lang_b`` (each pair once) and
@@ -1072,7 +1111,9 @@ def bitext_candidates(
     host = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
     path = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
-    spath = F.regexp_replace(path, r"/[a-z]{2}(-[a-z]{2})?(?=/|$)", "/L")
+    spath = F.regexp_replace(
+        path, r"/(?:" + _ISO639_1 + r")(-[a-z]{2})?(?=/|$)", "/L"
+    )
     squery = F.regexp_replace(query, r"(^|&)(lang|locale|hl)=[^&]*", "")
     squery = F.regexp_replace(squery, r"^&", "")
     key = F.concat(
@@ -1241,15 +1282,19 @@ def pagination_merge(
     url_col: str = "url",
     text_col: str = "text",
     max_parts: int = 50,
+    markers: tuple[str, ...] = ("page", "pg"),
 ) -> DataFrame:
     """Paginated-article reassembly: sites split one logical document
     across ``?page=2``-style URLs; a training corpus that keeps the
     parts as separate documents learns truncated texts and inflated
     page counts. Detection is purely structural: a SERIES KEY = the URL
-    with its pagination marker erased (``page``/``p``/``pg``/``start``
-    query parameter, or a trailing ``/page/N`` path segment), a part
-    number from the marker (default 1 when absent), and one output row
-    per series with the parts concatenated IN PART ORDER.
+    with its pagination marker erased (a ``markers`` query parameter —
+    DEFAULT ``page``/``pg`` only; ``p``/``start`` are common item-id
+    params on real sites and merging on them would concatenate distinct
+    products, so they are opt-in — or a trailing ``/page/N`` path
+    segment), a part number from the marker (default 1 when absent),
+    and one output row per series with the parts concatenated IN PART
+    ORDER.
 
     Rules: duplicate part numbers keep the minimum URL's text (a
     recrawled part must not duplicate its text into the merge); series
@@ -1267,8 +1312,9 @@ def pagination_merge(
     array_sort INSIDE the aggregate row, sized by the series, not the
     corpus). No window, no self-join."""
     url = F.col(url_col)
-    # ?page=N / ?p=N / ?pg=N / ?start=N (any position in the query)
-    qpart = F.regexp_extract(url, r"[?&](?:page|pg|p|start)=([0-9]+)", 1)
+    alt = "|".join(markers)
+    # ?page=N-style marker (any position in the query)
+    qpart = F.regexp_extract(url, r"[?&](?:" + alt + r")=([0-9]+)", 1)
     # trailing /page/N path form
     ppart = F.regexp_extract(url, r"/page/([0-9]+)(?:[/?#]|$)", 1)
     part = F.coalesce(
@@ -1276,7 +1322,7 @@ def pagination_merge(
         F.when(ppart != "", ppart).otherwise(None).cast("int"),
         F.lit(1),
     )
-    skey = F.regexp_replace(url, r"([?&])(?:page|pg|p|start)=[0-9]+&?", r"$1")
+    skey = F.regexp_replace(url, r"([?&])(?:" + alt + r")=[0-9]+&?", r"$1")
     skey = F.regexp_replace(skey, r"/page/[0-9]+(?=[/?#]|$)", "")
     skey = F.regexp_replace(skey, r"[?&]$", "")
     rows = df.select(

@@ -447,9 +447,12 @@ def host_communities(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
+    # materialize the symmetrized edge set ONCE: it is re-scanned every
+    # round, and without the checkpoint each round replays the
+    # union+distinct lineage (the connected_components precedent)
     und = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     nodes = und.select(F.col("a").alias("host")).distinct()
     lbl = nodes.withColumn("lbl", F.col("host"))
     for r in range(rounds):
@@ -505,8 +508,15 @@ def shared_ip_hosts(
     from pyspark.sql.functions import broadcast
 
     h = hosts.select(F.col(host_col).alias("host")).distinct()
-    dim = dns_dim.select(
-        F.col(host_col).alias("host"), F.col(addr_col).alias("address")
+    # one address per host, deterministically (min): round-robin DNS dims
+    # carry multiple A records, which would duplicate output rows AND
+    # inflate cohosted_n with (host, address) pairs
+    dim = (
+        dns_dim.select(
+            F.col(host_col).alias("host"), F.col(addr_col).alias("address")
+        )
+        .groupBy("host")
+        .agg(F.min("address").alias("address"))
     )
     j = h.join(broadcast(dim), "host", "left")
     per_ip = (

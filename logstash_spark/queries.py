@@ -6679,10 +6679,10 @@ r AS (
   FROM f
 )
 SELECT host, url, CAST(rk - 1 AS INT) AS slot,
-       round(CASE WHEN host IN ('host0.example.com', 'host1.example.com')
-                  THEN 10.0 ELSE 1.5 END, 6) AS delay_s,
-       round((rk - 1) * CASE WHEN host IN ('host0.example.com', 'host1.example.com')
-                             THEN 10.0 ELSE 1.5 END, 6) AS fetch_offset_s,
+       floor(CAST(CASE WHEN host IN ('host0.example.com', 'host1.example.com')
+                       THEN 10.0 ELSE 1.5 END AS DOUBLE) * 1000000.0) / 1000000.0 AS delay_s,
+       floor((rk - 1) * CAST(CASE WHEN host IN ('host0.example.com', 'host1.example.com')
+                                  THEN 10.0 ELSE 1.5 END AS DOUBLE) * 1000000.0) / 1000000.0 AS fetch_offset_s,
        CAST(nq AS BIGINT) AS n_queued
 FROM r WHERE rk <= 20""",
 )
@@ -7240,8 +7240,8 @@ r AS (
   FROM d
 )
 SELECT host, url, priority, CAST(rk - 1 AS INT) AS slot,
-       round(delay_s, 6) AS delay_s,
-       round((rk - 1) * delay_s, 6) AS fetch_offset_s,
+       floor(delay_s * 1000000.0) / 1000000.0 AS delay_s,
+       floor((rk - 1) * delay_s * 1000000.0) / 1000000.0 AS fetch_offset_s,
        CAST(nq AS BIGINT) AS n_queued
 FROM r WHERE rk <= 50""",
 )
@@ -7313,9 +7313,7 @@ def recrawl_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         txt.alias("robots_txt"),
     )
-    delays = robots_crawl_delay(robots, user_agent="mybot").withColumnRenamed(
-        "crawl_delay_s", "crawl_delay_s"
-    )
+    delays = robots_crawl_delay(robots, user_agent="mybot")
     frontier = pri.withColumn("host", host_of("url"))
     sched = politeness_schedule(
         frontier,

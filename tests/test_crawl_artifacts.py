@@ -874,7 +874,7 @@ def test_pagination_merge_semantics(spark):
         + [("https://s.com/q?a=1&page=2", "q2"), ("https://s.com/q?a=1", "q1")]
     )
     df = spark.createDataFrame(rows, "url string, text string")
-    out = {r["series_key"]: r for r in pagination_merge(df, max_parts=5).collect()}
+    out = {r["series_key"]: r for r in pagination_merge(df, max_parts=5, markers=("page", "pg", "p", "start")).collect()}
     # truncation with accounting: 7 parts, 5 merged
     long = out["https://s.com/long"]
     assert (long["n_parts"], long["n_merged"]) == (7, 5)
@@ -884,3 +884,64 @@ def test_pagination_merge_semantics(spark):
     assert out["https://s.com/mix"]["merged_text"] == "m1\nm2\nm3\nm4"
     q = out["https://s.com/q?a=1"]
     assert q["n_parts"] == 2 and q["merged_text"] == "q1\nq2"
+
+
+def test_pagination_default_markers_conservative(spark):
+    from logstash_spark.functions.crawl import pagination_merge
+
+    # ?p= is an item id on real shops: DEFAULT markers must NOT merge
+    df = spark.createDataFrame(
+        [("https://shop.com/item?p=101", "prod A"), ("https://shop.com/item?p=102", "prod B")],
+        "url string, text string",
+    )
+    out = pagination_merge(df).collect()
+    assert len(out) == 2 and all(r["n_parts"] == 1 for r in out)
+
+
+def test_crawl_trap_digit_vs_hex_runs(spark):
+    from logstash_spark.functions.crawl import crawl_trap_detect
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/archive/20240101", "x1"),   # 8 digits: NUMBER
+            ("https://a.com/archive/999", "x2"),        # 3 digits: NUMBER
+            ("https://a.com/h/deadbeef1234cafe", "x3"), # real hex: H
+        ],
+        "url string, text string",
+    )
+    t = {r["template"] for r in crawl_trap_detect(df, min_urls=99).collect()}
+    # both digit runs land in ONE template family; hex stays separate
+    assert t == {"/archive/N", "/h/H"}
+
+
+def test_bitext_non_language_segment_not_stripped(spark):
+    from logstash_spark.functions.crawl import bitext_candidates
+
+    df = spark.createDataFrame(
+        [
+            ("https://h.com/tv/show", "en", "tv page words here"),
+            ("https://h.com/de/show", "de", "german page words!"),
+        ],
+        "url string, lang string, text string",
+    )
+    # /tv is not ISO-639-1: keys differ, no fabricated pair
+    assert bitext_candidates(df).count() == 0
+
+
+def test_recrawl_tied_timestamps_deterministic(spark):
+    from logstash_spark.functions.crawl import recrawl_priority
+
+    caps = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 00:00:00", "b"),
+            ("u", "2024-01-01 00:00:00", "a"),  # same instant, two digests
+            ("u", "2024-01-02 00:00:00", "a"),
+        ],
+        "url string, warc_ts string, digest string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    vals = set()
+    for _ in range(3):
+        r = recrawl_priority(caps.repartition(8), now="2024-01-05 00:00:00").collect()[0]
+        vals.add((r["n_captures"], r["n_changes"]))
+    # digest tiebreak: order a,b? no — (ts, digest) asc -> a,b,a -> 2 changes
+    assert vals == {(3, 2)}

@@ -323,3 +323,18 @@ def test_shared_ip_hosts(spark):
     assert out["h6.com"]["cohosted_n"] is None
     assert out["h6.com"]["is_shared_ip"] is False
     assert len(out) == 7  # row-preserving over the host table
+
+
+def test_shared_ip_hosts_multi_a_record(spark):
+    from logstash_spark.functions.linkgraph import shared_ip_hosts
+
+    hosts = spark.createDataFrame([("h1.com",), ("h2.com",)], "host string")
+    dim = spark.createDataFrame(
+        [("h1.com", "2.2.2.2"), ("h1.com", "1.1.1.1"), ("h2.com", "1.1.1.1")],
+        "host string, address string",
+    )
+    out = {r["host"]: r for r in shared_ip_hosts(hosts, dim, min_cohosted=2).collect()}
+    # round-robin A records: ONE row per host, min address wins
+    assert len(out) == 2
+    assert out["h1.com"]["address"] == "1.1.1.1"
+    assert out["h1.com"]["cohosted_n"] == 2 and out["h1.com"]["is_shared_ip"]
