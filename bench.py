@@ -187,6 +187,7 @@ HEADLINE = [
     "winnow_overlap",
     "template_capped_sample",
     "shared_ip_hosts",
+    "token_budget_select",
 ]
 
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 E6 = 1_000_000
 _U_DEN = (1 << 24) + 1  # 16^6 + 1: uniform draw denominator
@@ -313,4 +314,96 @@ def ccnet_buckets(
         F.when(s < F.col("b_head"), labels[0])
         .when(s < F.col("b_middle"), labels[1])
         .otherwise(labels[2]),
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    *,
+    budget: int,
+    score_col: str = "quality",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Budget-constrained greedy selection: keep the highest-``score_col``
+    documents whose RUNNING token total stays within ``budget`` — "give
+    me the best N-token subcorpus", the decision every fixed-compute
+    training run makes. Selection order is score DESC, then the md5
+    sample key, then the id (a uniform, replayable choice inside each
+    score class — the per_key_cap determinism stance); a document kept
+    means the running total INCLUDING it is <= budget.
+
+    Scale shape — no corpus-sized global window anywhere:
+
+    1. score classes reduce to a histogram (score, n_docs, tokens) —
+       scores arrive pre-rounded (quality_score emits 4dp), so the
+       histogram is grid-bounded (<= 10^4 rows for a [0,1] 4dp score);
+       the running class total is a window over THAT bounded frame;
+    2. classes whose cumulative total fits keep every document (one
+       broadcast semi-join on the score value);
+    3. the single BOUNDARY class (first to overflow) selects by an
+       exact token prefix-sum in md5-key order, computed with the
+       sequence_pack two-phase shard trick (in-shard window + shard
+       offsets broadcast back) — the boundary class can be corpus-sized
+       (every doc the same score) and still never sorts in one task.
+
+    Output: the kept rows ``(id_col, score_col, token_col, keep_class)``
+    with keep_class 'full' (whole score class fit) or 'partial'
+    (boundary class, prefix-selected)."""
+    from logstash_spark.functions.sample import sample_key
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("score"),
+        F.col(token_col).cast("bigint").alias("tok"),
+    ).filter(F.col("score").isNotNull())
+    hist = d.groupBy("score").agg(F.sum("tok").alias("ctok"))
+    ws = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, 0)
+    hist = hist.withColumn("cum", F.sum("ctok").over(ws))
+    full_scores = hist.filter(F.col("cum") <= budget).select("score")
+    boundary = hist.filter(
+        (F.col("cum") > budget) & (F.col("cum") - F.col("ctok") < budget)
+    ).select("score", (F.lit(budget) - (F.col("cum") - F.col("ctok"))).alias("rem"))
+
+    full = d.join(F.broadcast(full_scores), "score").select(
+        "id", "score", "tok", F.lit("full").alias("keep_class")
+    )
+
+    bd = d.join(F.broadcast(boundary), "score")
+    key = sample_key(F.col("id"))
+    bd = bd.withColumn("skey", key).withColumn(
+        "shard", F.substring("skey", 1, prefix_len)
+    )
+    wl = W.partitionBy("shard").orderBy("skey", "id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    bd = bd.withColumn("_lcum", F.sum("tok").over(wl))
+    offs = (
+        bd.groupBy("shard")
+        .agg(F.sum("tok").alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "_off")
+    )
+    partial = (
+        bd.join(F.broadcast(offs), "shard")
+        .filter(F.col("_off") + F.col("_lcum") <= F.col("rem"))
+        .select("id", "score", "tok", F.lit("partial").alias("keep_class"))
+    )
+    return (
+        full.unionByName(partial)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("score").alias(score_col),
+            F.col("tok").alias(token_col),
+            "keep_class",
+        )
     )

@@ -7598,3 +7598,53 @@ def shared_ip_hosts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("address"),
     )
     return shared_ip_hosts(hosts, dim, min_cohosted=5)
+
+
+@q(
+    "token_budget_select",
+    f"""WITH f AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS stop_hits
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         ROUND(
+           (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN (n_chars - (n_words - 1)) / CAST(n_words AS DOUBLE) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+           + least(n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE), 0.8) * 0.3125
+           + least(stop_hits / CAST(greatest(n_words, 1) AS DOUBLE) * 2.5, 1.0) * 0.25, 4) AS q
+  FROM f
+), r AS (
+  SELECT doc_id, q, n_words,
+         sum(n_words) OVER (
+           ORDER BY q DESC, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+           ROWS UNBOUNDED PRECEDING) AS runsum
+  FROM s
+), r2 AS (
+  SELECT doc_id, q, n_words, runsum,
+         max(runsum) OVER (PARTITION BY q) AS ccum
+  FROM r
+)
+SELECT doc_id, q AS quality, n_words,
+       CASE WHEN ccum <= 20000 THEN 'full' ELSE 'partial' END AS keep_class
+FROM r2 WHERE runsum <= 20000""",
+)
+def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained greedy selection: the best 20k-token subcorpus
+    by quality_score, score classes kept whole while they fit and the
+    boundary class prefix-selected in md5-key order. The oracle states
+    the SAME selection with one global running sum (ORDER BY quality
+    DESC, sample key, id) — provably equivalent to the engine's
+    histogram + two-phase-prefix plan, so the hash pins the plan
+    decomposition, the ordering, and the inclusive-budget rule."""
+    from logstash_spark.functions.selection import token_budget_select
+    from logstash_spark.functions.text import quality_score
+
+    d = _parallel(spark, load_table(spark, sf_dir, "documents"))
+    qs = quality_score(d).select("doc_id", "quality", "n_words")
+    return token_budget_select(
+        qs, budget=20000, score_col="quality", token_col="n_words"
+    )

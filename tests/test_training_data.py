@@ -2398,3 +2398,36 @@ def test_winnow_overlap_detection(spark):
     # threshold filters
     hi = winnow_overlap(df, k=5, w=4, min_shared=2, threshold=1.01).count()
     assert hi == 0
+
+
+def test_token_budget_select(spark):
+    import hashlib
+
+    from logstash_spark.functions.selection import token_budget_select
+
+    rows = (
+        [(i, 0.9, 100) for i in range(10)]      # class 0.9: 1000 tokens
+        + [(i, 0.5, 100) for i in range(10, 30)]  # class 0.5: 2000 tokens
+        + [(i, 0.1, 100) for i in range(30, 40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id int, quality double, n_tokens int")
+    out = token_budget_select(df, budget=1500, score_col="quality", token_col="n_tokens")
+    got = out.collect()
+    # 0.9 fits whole (1000); 0.5 is the boundary: 5 docs fill the remaining 500
+    full = [r for r in got if r["keep_class"] == "full"]
+    part = [r for r in got if r["keep_class"] == "partial"]
+    assert len(full) == 10 and all(r["quality"] == 0.9 for r in full)
+    assert len(part) == 5 and all(r["quality"] == 0.5 for r in part)
+    assert sum(r["n_tokens"] for r in got) == 1500
+    # the partial picks are the md5-key order prefix — replayable
+    keyed = sorted(
+        range(10, 30),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest()[:4], i),
+    )
+    assert {r["doc_id"] for r in part} == set(keyed[:5])
+    # inclusive rule: a doc that would overflow is NOT kept
+    out2 = token_budget_select(df, budget=1050, score_col="quality", token_col="n_tokens").collect()
+    assert sum(r["n_tokens"] for r in out2) == 1000  # 0.5's first doc won't fit
+    # budget below the best class: partial-only selection from the top class
+    out3 = token_budget_select(df, budget=250, score_col="quality", token_col="n_tokens").collect()
+    assert len(out3) == 2 and all(r["keep_class"] == "partial" for r in out3)
