@@ -188,6 +188,7 @@ HEADLINE = [
     "template_capped_sample",
     "shared_ip_hosts",
     "token_budget_select",
+    "link_spam_score",
 ]
 
 

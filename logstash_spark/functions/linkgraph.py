@@ -532,3 +532,86 @@ def shared_ip_hosts(
             "is_shared_ip"
         ),
     )
+
+
+def link_spam_score(
+    edges: DataFrame,
+    dns_dim: DataFrame | None = None,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor",
+    min_cohosted: int = 5,
+) -> DataFrame:
+    """Per-host link-spam composite — the interpretable roll-up of the
+    graph suite's individual signals (link-analysis spam literature:
+    Becchetti et al. 2008; Fetterly/Manasse/Najork on template farms):
+
+    - ``s_recip`` (weight 3): reciprocity >= 0.5 over >= 5 out-hosts —
+      link-exchange rings (organic edges are one-directional),
+    - ``s_dump``  (weight 2): >= 50 out-links with in-links <= out/10 —
+      a link dump nobody links back to,
+    - ``s_anchor`` (weight 2): >= 20 links carrying <= links/10 distinct
+      anchor texts — templated farm anchors,
+    - ``s_ip``    (weight 1): co-hosted on a shared address
+      (:func:`shared_ip_hosts`) when a DNS dim is supplied.
+
+    ``spam_score`` = the weighted sum; ``is_link_spam`` fires at >= 4 —
+    one strong signal plus corroboration, never a single weak one.
+    Every input signal is integer/boolean or a 4dp-rounded ratio, so
+    the score is cross-engine exact.
+
+    Scale shape: three host-keyed rollups (host_degree's join-free
+    union shape, reciprocal_links' unordered-pair groupBy, one anchor
+    groupBy) joined on the HOST key — all host-scale tables, orders of
+    magnitude under the edge table; AQE broadcasts the smaller sides
+    (statically SMJ — the host_communities waiver class)."""
+    e2 = edges.select(
+        F.col(src_col).alias("src_url"),
+        F.col(dst_col).alias("dst_url"),
+        F.col(anchor_col).alias("anchor"),
+    )
+    deg = host_degree(e2)
+    rec = reciprocal_links(e2)
+    anc = (
+        e2.select(host_of("src_url").alias("host"), "anchor")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_links"),
+            F.countDistinct("anchor").cast("bigint").alias("n_anchors"),
+        )
+    )
+    base = (
+        deg.join(rec.select("host", "out_hosts", "reciprocity"), "host", "left")
+        .join(anc, "host", "left")
+    )
+    if dns_dim is not None:
+        ip = shared_ip_hosts(
+            deg.select("host"), dns_dim, min_cohosted=min_cohosted
+        ).select("host", "is_shared_ip")
+        base = base.join(ip, "host", "left")
+    else:
+        base = base.withColumn("is_shared_ip", F.lit(False))
+    oh = F.coalesce(F.col("out_hosts"), F.lit(0))
+    rc = F.coalesce(F.col("reciprocity"), F.lit(0.0))
+    ol = F.coalesce(F.col("out_links"), F.lit(0))
+    il = F.coalesce(F.col("in_links"), F.lit(0))
+    nl = F.coalesce(F.col("n_links"), F.lit(0))
+    na = F.coalesce(F.col("n_anchors"), F.lit(0))
+    ip_f = F.coalesce(F.col("is_shared_ip"), F.lit(False))
+    s_recip = ((rc >= 0.5) & (oh >= 5)).cast("int")
+    s_dump = ((ol >= 50) & (il * 10 <= ol)).cast("int")
+    s_anchor = ((nl >= 20) & (na * 10 <= nl)).cast("int")
+    score = s_recip * 3 + s_dump * 2 + s_anchor * 2 + ip_f.cast("int")
+    return base.select(
+        "host",
+        ol.cast("bigint").alias("out_links"),
+        il.cast("bigint").alias("in_links"),
+        oh.cast("bigint").alias("out_hosts"),
+        F.round(rc, 4).alias("reciprocity"),
+        nl.alias("n_links"),
+        na.alias("n_anchors"),
+        ip_f.alias("is_shared_ip"),
+        score.cast("int").alias("spam_score"),
+        (score >= 4).alias("is_link_spam"),
+    )

@@ -7648,3 +7648,149 @@ def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(
         qs, budget=20000, score_col="quality", token_col="n_words"
     )
+
+
+_HOST_RX_SQL = "'^[a-z][a-z0-9+.-]*://([^/?#]+)'"
+
+
+@q(
+    "link_spam_score",
+    f"""{_PAGES_CTE},
+hn AS (SELECT DISTINCT CAST(user_id % 40 AS INT) AS h FROM pages),
+ring AS (
+  SELECT a.h AS h1, b.h AS h2 FROM hn a JOIN hn b
+  ON a.h BETWEEN 30 AND 35 AND b.h BETWEEN 30 AND 35 AND a.h <> b.h
+),
+e AS (
+  SELECT 'https://host' || CAST(h1 AS VARCHAR) || '.example.com/p' || CAST(h2 AS VARCHAR) AS src,
+         'https://host' || CAST(h2 AS VARCHAR) || '.example.com/' AS dst,
+         'buy now' AS anchor
+  FROM ring
+  UNION ALL
+  SELECT 'https://host36.example.com/p' || CAST(i.i AS VARCHAR),
+         'https://ext' || CAST(i.i AS VARCHAR) || '.example.com/',
+         'a' || CAST(i.i % 3 AS VARCHAR)
+  FROM hn, unnest(generate_series(0, 59)) AS i(i) WHERE h = 36
+  UNION ALL
+  SELECT 'https://host' || CAST(h AS VARCHAR) || '.example.com/n' || CAST(j.j AS VARCHAR),
+         'https://host' || CAST((h + j.j) % 30 AS VARCHAR) || '.example.com/',
+         'site ' || CAST(h AS VARCHAR) || ' to ' || CAST((h + j.j) % 30 AS VARCHAR)
+  FROM hn, unnest(generate_series(1, 3)) AS j(j) WHERE h <= 29
+),
+eh AS (
+  SELECT regexp_extract(src, {_HOST_RX_SQL}, 1) AS sh,
+         regexp_extract(dst, {_HOST_RX_SQL}, 1) AS dh, anchor
+  FROM e
+),
+degs AS (
+  SELECT host, CAST(sum(o) AS BIGINT) AS out_links, CAST(sum(i) AS BIGINT) AS in_links
+  FROM (SELECT sh AS host, 1 AS o, 0 AS i FROM eh
+        UNION ALL SELECT dh, 0, 1 FROM eh)
+  GROUP BY host
+),
+he AS (SELECT DISTINCT sh, dh FROM eh WHERE sh <> dh),
+pairs AS (
+  SELECT least(sh, dh) AS a, greatest(sh, dh) AS b,
+         max(CASE WHEN sh < dh THEN 1 ELSE 0 END) AS f,
+         max(CASE WHEN sh > dh THEN 1 ELSE 0 END) AS r
+  FROM he GROUP BY 1, 2
+),
+rc AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS recip_hosts FROM (
+    SELECT a AS host FROM pairs WHERE f = 1 AND r = 1
+    UNION ALL SELECT b FROM pairs WHERE f = 1 AND r = 1) GROUP BY host
+),
+outh AS (SELECT sh AS host, CAST(count(*) AS BIGINT) AS out_hosts FROM he GROUP BY sh),
+anc AS (
+  SELECT sh AS host, CAST(count(*) AS BIGINT) AS n_links,
+         CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors
+  FROM eh GROUP BY sh
+),
+dns AS (
+  SELECT 'host' || CAST(h AS VARCHAR) || '.example.com' AS host,
+         CASE WHEN h BETWEEN 30 AND 35 THEN '10.1.1.1'
+              ELSE '10.2.' || CAST(h AS VARCHAR) || '.1' END AS address
+  FROM hn
+),
+res AS (SELECT degs.host, dns.address FROM degs JOIN dns USING (host)),
+ipc AS (SELECT address, count(*) AS c FROM res GROUP BY address),
+sig AS (
+  SELECT degs.host,
+         degs.out_links, degs.in_links,
+         coalesce(outh.out_hosts, 0) AS out_hosts,
+         round(coalesce(rc.recip_hosts, 0) * 1.0 / greatest(coalesce(outh.out_hosts, 0), 1), 4) AS reciprocity,
+         coalesce(anc.n_links, 0) AS n_links,
+         coalesce(anc.n_anchors, 0) AS n_anchors,
+         coalesce(ipc.c >= 5, FALSE) AS is_shared_ip
+  FROM degs
+  LEFT JOIN outh USING (host)
+  LEFT JOIN rc USING (host)
+  LEFT JOIN anc USING (host)
+  LEFT JOIN res USING (host)
+  LEFT JOIN ipc ON ipc.address = res.address
+)
+SELECT host, out_links, in_links, out_hosts, reciprocity, n_links, n_anchors,
+       is_shared_ip,
+       CAST((CASE WHEN reciprocity >= 0.5 AND out_hosts >= 5 THEN 3 ELSE 0 END)
+          + (CASE WHEN out_links >= 50 AND in_links * 10 <= out_links THEN 2 ELSE 0 END)
+          + (CASE WHEN n_links >= 20 AND n_anchors * 10 <= n_links THEN 2 ELSE 0 END)
+          + (CASE WHEN is_shared_ip THEN 1 ELSE 0 END) AS INT) AS spam_score,
+       ((CASE WHEN reciprocity >= 0.5 AND out_hosts >= 5 THEN 3 ELSE 0 END)
+          + (CASE WHEN out_links >= 50 AND in_links * 10 <= out_links THEN 2 ELSE 0 END)
+          + (CASE WHEN n_links >= 20 AND n_anchors * 10 <= n_links THEN 2 ELSE 0 END)
+          + (CASE WHEN is_shared_ip THEN 1 ELSE 0 END)) >= 4 AS is_link_spam
+FROM sig""",
+)
+def link_spam_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-spam composite over a synthesized webgraph: a 6-host fully
+    reciprocal ring on one shared IP (reciprocity 3 + co-host 1 = 4 ->
+    spam), a 60-link 3-anchor dump nobody links back to (2 + 2 = 4 ->
+    spam), and 30 normal hosts with diverse anchors and no flags; dst-
+    only ext hosts appear zeroed. The oracle rebuilds degrees,
+    unordered-pair reciprocity, anchor diversity, co-hosting and the
+    weighted score entirely in DuckDB."""
+    from logstash_spark.functions.linkgraph import link_spam_score
+
+    hn = (
+        _pages(spark, sf_dir)
+        .select((F.col("user_id") % 40).cast("int").alias("h"))
+        .distinct()
+    )
+    s = lambda c: c.cast("string")
+    ringm = hn.filter((F.col("h") >= 30) & (F.col("h") <= 35))
+    ring = (
+        ringm.select(F.col("h").alias("h1"))
+        .crossJoin(ringm.select(F.col("h").alias("h2")))
+        .filter(F.col("h1") != F.col("h2"))
+        .select(
+            F.concat(F.lit("https://host"), s(F.col("h1")), F.lit(".example.com/p"), s(F.col("h2"))).alias("src_url"),
+            F.concat(F.lit("https://host"), s(F.col("h2")), F.lit(".example.com/")).alias("dst_url"),
+            F.lit("buy now").alias("anchor"),
+        )
+    )
+    dump = (
+        hn.filter(F.col("h") == 36)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i"))
+        .select(
+            F.concat(F.lit("https://host36.example.com/p"), s(F.col("i"))).alias("src_url"),
+            F.concat(F.lit("https://ext"), s(F.col("i")), F.lit(".example.com/")).alias("dst_url"),
+            F.concat(F.lit("a"), s(F.col("i") % 3)).alias("anchor"),
+        )
+    )
+    normal = (
+        hn.filter(F.col("h") <= 29)
+        .select("h", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"))
+        .select(
+            F.concat(F.lit("https://host"), s(F.col("h")), F.lit(".example.com/n"), s(F.col("j"))).alias("src_url"),
+            F.concat(F.lit("https://host"), s((F.col("h") + F.col("j")) % 30), F.lit(".example.com/")).alias("dst_url"),
+            F.concat(F.lit("site "), s(F.col("h")), F.lit(" to "), s((F.col("h") + F.col("j")) % 30)).alias("anchor"),
+        )
+    )
+    edges = ring.unionByName(dump).unionByName(normal)
+    dns = hn.select(
+        F.concat(F.lit("host"), s(F.col("h")), F.lit(".example.com")).alias("host"),
+        F.when(
+            (F.col("h") >= 30) & (F.col("h") <= 35), F.lit("10.1.1.1")
+        ).otherwise(F.concat(F.lit("10.2."), s(F.col("h")), F.lit(".1"))).alias("address"),
+    )
+    return link_spam_score(edges, dns, min_cohosted=5)

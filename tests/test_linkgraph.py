@@ -338,3 +338,42 @@ def test_shared_ip_hosts_multi_a_record(spark):
     assert len(out) == 2
     assert out["h1.com"]["address"] == "1.1.1.1"
     assert out["h1.com"]["cohosted_n"] == 2 and out["h1.com"]["is_shared_ip"]
+
+
+def test_link_spam_score(spark):
+    from logstash_spark.functions.linkgraph import link_spam_score
+
+    ring = [f"r{i}.com" for i in range(6)]
+    edges = []
+    # 6-host reciprocal ring: everyone links to everyone (same anchor)
+    for a in ring:
+        for b in ring:
+            if a != b:
+                edges.append((f"https://{a}/x", f"https://{b}/", "buy now"))
+    # link dump: 60 out-links, 3 anchors, nobody links back
+    for i in range(60):
+        edges.append((f"https://dump.com/p{i}", f"https://ext{i}.com/", f"a{i % 3}"))
+    # normal host: few diverse links, gets links back
+    edges += [
+        ("https://ok.com/a", "https://r0.com/", "interesting read on rings"),
+        ("https://ok.com/b", "https://ext1.com/", "a different site"),
+        ("https://ext1.com/z", "https://ok.com/", "good blog"),
+    ]
+    df = spark.createDataFrame(edges, "src_url string, dst_url string, anchor string")
+    dns = spark.createDataFrame(
+        [(h, "9.9.9.9") for h in ring] + [("dump.com", "8.8.8.8"), ("ok.com", "7.7.7.7")],
+        "host string, address string",
+    )
+    out = {r["host"]: r for r in link_spam_score(df, dns, min_cohosted=5).collect()}
+    r0 = out["r0.com"]
+    # ring: reciprocity 1.0 over 5 out-hosts (3) + shared ip (1) = 4 -> spam
+    assert r0["reciprocity"] == 1.0 and r0["out_hosts"] == 5
+    assert r0["is_shared_ip"] and r0["spam_score"] == 4 and r0["is_link_spam"]
+    d = out["dump.com"]
+    # dump: 60 out / 0 in (2) + 60 links 3 anchors (2) = 4 -> spam
+    assert (d["out_links"], d["in_links"], d["n_anchors"]) == (60, 0, 3)
+    assert d["spam_score"] == 4 and d["is_link_spam"]
+    ok = out["ok.com"]
+    assert ok["spam_score"] == 0 and not ok["is_link_spam"]
+    # dst-only hosts appear with zeroed signals, never flagged
+    assert out["ext5.com"]["spam_score"] == 0 and not out["ext5.com"]["is_link_spam"]

@@ -45,6 +45,11 @@ WAIVERS: dict[str, set[str]] = {
     # joins where SMJ is the static 100 TB plan; AQE broadcasts the
     # label/size side whenever the host count actually fits
     "host_communities": {"SortMergeJoin"},
+    # BNLJ: the 6x6 ring-synthesis cross join (oracle-shaped tiny literal,
+    # the clone_fanout class). SMJ: host-keyed signal joins over host-scale
+    # tables (degree/reciprocity/anchor/ip) — the host_communities class;
+    # AQE broadcasts whenever the host tables actually fit
+    "link_spam_score": {"BroadcastNestedLoopJoin", "SortMergeJoin"},
     "bm25_search": {"BroadcastNestedLoopJoin"},  # 1-row corpus stats (N, sum dl) broadcast onto the postings
     "mixture_resample": {"BroadcastNestedLoopJoin"},  # 1-row (sum_w, n_tot) broadcast onto the #strata-row weight table
     # docs ⋈ component-table attach: the dup set CAN be corpus-scale in the
