@@ -15,10 +15,10 @@ Semantics follow the public RFC 9309 (Robots Exclusion Protocol):
 - a URL with no matching rule is allowed (and so is a host with no
   robots.txt at all).
 
-Divergences (deliberate, small): the optional ``$`` end anchor is
-treated as a literal (rare in the wild; a prefix rule that needs it can
-be expressed with a longer explicit rule), and agent specificity between
-two NAMED agents is not ranked (exact-vs-star covers real corpora).
+Divergences (deliberate, small): agent specificity between two NAMED
+agents is not ranked (exact-vs-star covers real corpora). The ``$``
+end anchor IS supported (r4g: trailing '$' anchors the rule; '$'
+elsewhere stays literal).
 
 Everything is columnar: the line parse is split+posexplode, record
 grouping is one per-host window (robots files are tiny, hosts are many —
@@ -39,13 +39,19 @@ _META = ["\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "^", "$", "|"]
 
 
 def _rule_regex(path: Column) -> Column:
-    """robots path (prefix + '*' wildcards) -> anchored regex string,
-    built with a replace chain identical in Spark and DuckDB."""
-    c = F.replace(path, F.lit("*"), F.lit("\x00"))
+    """robots path (prefix + '*' wildcards + optional trailing '$'
+    end-anchor, RFC 9309 §2.2.3) -> anchored regex string, built with a
+    replace chain identical in Spark and DuckDB. A '$' anywhere but the
+    end stays literal (rule '/a$b' matches the literal dollar)."""
+    anchored = path.rlike(r"\$$")
+    body = F.when(anchored, F.regexp_replace(path, r"\$$", "")).otherwise(path)
+    c = F.replace(body, F.lit("*"), F.lit("\x00"))
     for m in _META:
         c = F.replace(c, F.lit(m), F.lit("\\" + m))
     c = F.replace(c, F.lit("\x00"), F.lit(".*"))
-    return F.concat(F.lit("^"), c)
+    return F.concat(
+        F.lit("^"), c, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
 
 
 def _robots_chosen_blocks(

@@ -5146,7 +5146,7 @@ def _gptbot_rules(spark: SparkSession, p: DataFrame):
     t_a = ("User-agent: *\nDisallow: /p/1*\n\n"
            "User-agent: gptbot\nDisallow: /p/*\n")
     t_c = ("# crawl budget notes\nUser-agent: *\n"
-           "Disallow: /p/3*\nAllow: /p/34*\n")
+           "Disallow: /p/3*\nAllow: /p/34*\nDisallow: /p/345$\n")
     t_b = ("User-agent: *\nDisallow:\n\nUser-agent: ccbot\nDisallow: /\n")
     robots = hosts.select(
         "host",
@@ -5167,9 +5167,10 @@ v AS (
   FROM pages)
 SELECT url,
        CASE WHEN hnum % 2 = 0 THEN FALSE
-            WHEN hnum % 4 = 1 THEN NOT (eid LIKE '3%' AND eid NOT LIKE '34%')
+            WHEN hnum % 4 = 1 THEN NOT ((eid LIKE '3%' AND eid NOT LIKE '34%') OR eid = '345')
             ELSE TRUE END AS allowed,
        CASE WHEN hnum % 2 = 0 THEN '/p/*'
+            WHEN hnum % 4 = 1 AND eid = '345' THEN '/p/345$'
             WHEN hnum % 4 = 1 AND eid LIKE '34%' THEN '/p/34*'
             WHEN hnum % 4 = 1 AND eid LIKE '3%' THEN '/p/3*'
             ELSE NULL END AS matched_path
@@ -5996,7 +5997,7 @@ v AS (
 ), verdicts AS (
   SELECT url, text, verb, response,
          CASE WHEN hnum % 2 = 0 THEN FALSE
-              WHEN hnum % 4 = 1 THEN NOT (eid LIKE '3%' AND eid NOT LIKE '34%')
+              WHEN hnum % 4 = 1 THEN NOT ((eid LIKE '3%' AND eid NOT LIKE '34%') OR eid = '345')
               ELSE TRUE END AS allowed,
          hnum IN (5, 17) AS blocked,
          CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens

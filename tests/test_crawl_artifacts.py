@@ -945,3 +945,27 @@ def test_recrawl_tied_timestamps_deterministic(spark):
         vals.add((r["n_captures"], r["n_changes"]))
     # digest tiebreak: order a,b? no — (ts, digest) asc -> a,b,a -> 2 changes
     assert vals == {(3, 2)}
+
+
+def test_robots_dollar_anchor(spark):
+    from logstash_spark.functions.crawl import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x$\nDisallow: /lit$eral\nDisallow: /y*$\n")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/x",),      # anchored: exact match -> blocked
+            ("https://a.com/x2",),     # anchor stops the prefix -> allowed
+            ("https://a.com/lit$eral",),  # mid-rule '$' stays literal -> blocked
+            ("https://a.com/y-anything",),  # '*$' = prefix wildcard -> blocked
+        ],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
+    assert got["https://a.com/x"] is False
+    assert got["https://a.com/x2"] is True
+    assert got["https://a.com/lit$eral"] is False
+    assert got["https://a.com/y-anything"] is False
