@@ -1203,3 +1203,82 @@ def sniff_mime(
             F.lit("application/octet-stream"),
         ).otherwise(mime),
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF text extraction (functions/pdfcodec.py) — the second-biggest
+# Common-Crawl document MIME after HTML; reference analog: the codec
+# surface (default_plugins.rb:8-24) extended the way html_text_extract
+# extends the filter surface.
+# ---------------------------------------------------------------------------
+
+
+def synthetic_docs_pdf(spark, n: int = 200) -> DataFrame:
+    """Deterministic PDF document table: `bytes` = a REAL PDF 1.4
+    (functions/pdfcodec.encode_pdf) whose EXTRACTED text has an md5-tiling
+    closed form DuckDB replays in SQL (text extraction is lossless, the
+    PNG/GIF oracle stance on a document container).
+
+    Page p of doc id carries two 16-hex-char lines of
+    md5(str(id*7 + p)); n_pages = id % 3 + 1. The id % 5 variant axis
+    routes every extractor path under the hash gate:
+      0 -> TJ arrays split mid-line with a -250 kern (word-space render)
+      1 -> FlateDecode-compressed content streams
+      2 -> <hex> string syntax
+      3 -> UTF-16BE strings with BOM
+      4 -> compressed + page objects serialized in REVERSE file order
+           (correct output REQUIRES the /Kids tree walk)
+    """
+    import hashlib
+
+    from logstash_spark.functions.pdfcodec import encode_pdf
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                npg = i % 3 + 1
+                variant = i % 5
+                pages = []
+                for p in range(npg):
+                    hx = hashlib.md5(str(i * 7 + p).encode()).hexdigest()
+                    pages.append(hx[:16] + "\n" + hx[16:])
+                kw = [
+                    dict(tj_split=True),
+                    dict(compress=True),
+                    dict(hex_strings=True),
+                    dict(utf16=True),
+                    dict(compress=True, reverse_objects=True),
+                ][variant]
+                rows.append((i, encode_pdf(pages, **kw), "application/pdf"))
+            yield pd.DataFrame(rows, columns=["doc_id", "bytes", "mime"])
+
+    return spark.range(n).mapInPandas(
+        gen, "doc_id bigint, bytes binary, mime string")
+
+
+def pdf_extract_text(df: DataFrame) -> DataFrame:
+    """REAL document decode: bounded PDF text extraction (pdfcodec
+    module docstring for the fail-closed envelope) over a binary column.
+    Arrow batches in, pure per-document Python on stdlib zlib — map-only,
+    no shuffle, linear in partitions. Undecodable/encrypted rows survive
+    with NULL text (the corrupt-document audit needs the rows, unlike the
+    corrupt-media filter which drops them)."""
+    from logstash_spark.functions.pdfcodec import extract_pdf_text
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, buf in zip(pdf["doc_id"], pdf["bytes"]):
+                r = extract_pdf_text(bytes(buf)) if buf is not None else None
+                if r is None:
+                    rows.append((int(did), None, None, None))
+                else:
+                    text, npg = r
+                    rows.append((int(did), npg, len(text), text))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pages", "n_chars", "text"])
+
+    return df.select("doc_id", "bytes").mapInPandas(
+        batches, "doc_id bigint, n_pages int, n_chars int, text string")

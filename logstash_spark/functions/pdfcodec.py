@@ -1,0 +1,559 @@
+"""Bounded PDF text extraction on the stdlib (zlib only) — written fresh
+from the public PDF spec (ISO 32000-1 / Adobe PDF 1.7: object syntax
+ch. 7.3, streams 7.3.8, FlateDecode 7.4.4, content streams ch. 8/9, text
+operators Tj/TJ/'/" 9.4.3).
+
+Real web corpora are full of PDFs (Common Crawl's second-biggest document
+MIME after HTML), and a training-data pipeline needs their text the same
+way it needs html->text. This module is the reference-shaped "codec"
+answer: a deterministic, fail-closed extractor that never throws on
+hostile bytes, plus `encode_pdf` as the fixture/oracle builder (the same
+encoder-doubles-as-oracle-builder stance as jpegcodec/gifcodec/WAV/Y4M).
+
+Extractor design choices (all bounded, all deterministic):
+- LINEAR OBJECT SCAN, not xref-driven: real-web PDFs routinely ship
+  broken or incremental xref tables; scanning `N G obj ... endobj` spans
+  is the robust path and is what battle-tested extractors fall back to.
+- Page ORDER comes from the document structure (Root -> /Pages -> /Kids
+  walk, cycle-guarded); only if the tree is broken do we fall back to
+  ascending object number of /Type/Page objects.
+- Text assembly: within BT/ET, `Tj`/`TJ` append glyphs; `'` and `"`
+  and `T*`/`Td`/`TD`/`Tm` start a new line; a TJ kern adjustment more
+  negative than -100 (thousandths of an em) renders as a word space —
+  the conventional extractor heuristic, made deterministic here.
+- String decode: UTF-16BE when the string carries the BOM, else
+  Latin-1 (the PDFDocEncoding superset for the byte range we emit).
+- FAIL CLOSED: `/Encrypt` in any trailer, unsupported filters, zlib
+  errors, >MAX_OBJECTS objects, streams beyond MAX_STREAM, or a missing
+  `%PDF-` header all yield None / skip the stream — never an exception.
+
+Scale shape: pure per-document work inside Arrow-batched mapInPandas
+(wired in functions/multimodal.py) — map-only, no shuffle, linear in
+partitions, same envelope as the image/audio/video decoders.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+MAX_OBJECTS = 10_000          # linear-scan ceiling per document
+MAX_STREAM = 1 << 24          # 16 MiB inflated ceiling per stream
+MAX_PAGES = 2_000
+MAX_TEXT = 1 << 22            # 4 MiB extracted text ceiling per doc
+_KERN_SPACE = -100            # TJ adjustment below this renders a space
+
+_OBJ_RE = re.compile(rb"(\d{1,9})\s+(\d{1,5})\s+obj\b", re.S)
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    """An indirect reference `N G R` inside an object body."""
+
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Ref({self.num})"
+
+
+# ---------------------------------------------------------------------------
+# object-level tokenizer (dicts / arrays / names / numbers / strings / refs)
+# ---------------------------------------------------------------------------
+
+def _skip_ws(buf: bytes, i: int) -> int:
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # '%' comment -> end of line
+            while i < n and buf[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_value(buf: bytes, i: int, depth: int = 0):
+    """Parse one PDF object value at buf[i]; returns (value, next_index).
+    Returns (None, i+1) on anything unrecognized so callers always make
+    progress. Depth-bounded against `[[[[...` bombs."""
+    if depth > 32:
+        return None, len(buf)
+    i = _skip_ws(buf, i)
+    n = len(buf)
+    if i >= n:
+        return None, n
+    c = buf[i]
+    if c == 0x2F:  # /Name
+        j = i + 1
+        while j < n and buf[j] not in _WS and buf[j] not in _DELIM:
+            j += 1
+        raw = buf[i + 1:j]
+        # #xx hex escapes in names (7.3.5)
+        name = re.sub(
+            rb"#([0-9A-Fa-f]{2})",
+            lambda m: bytes([int(m.group(1), 16)]),
+            raw,
+        )
+        return b"/" + name, j
+    if buf.startswith(b"<<", i):
+        d = {}
+        j = i + 2
+        while True:
+            j = _skip_ws(buf, j)
+            if j >= n:
+                return d, n
+            if buf.startswith(b">>", j):
+                return d, j + 2
+            key, j = _parse_value(buf, j, depth + 1)
+            if not isinstance(key, bytes) or not key.startswith(b"/"):
+                # resync: malformed key — skip a byte, keep scanning
+                j += 1
+                continue
+            val, j = _parse_value(buf, j, depth + 1)
+            d[key] = val
+    if c == 0x3C:  # <hexstring>
+        j = buf.find(b">", i + 1)
+        if j < 0:
+            return None, n
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", buf[i + 1:j])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii")), j + 1
+        except ValueError:
+            return b"", j + 1
+    if c == 0x28:  # (literal string)
+        return _parse_literal_string(buf, i)
+    if c == 0x5B:  # [array]
+        arr = []
+        j = i + 1
+        while True:
+            j = _skip_ws(buf, j)
+            if j >= n:
+                return arr, n
+            if buf[j] == 0x5D:
+                return arr, j + 1
+            v, j2 = _parse_value(buf, j, depth + 1)
+            if j2 <= j:
+                j2 = j + 1
+            arr.append(v)
+            j = j2
+    if c in b"+-.0123456789":
+        j = i
+        if c in b"+-":
+            j += 1
+        k = j
+        while k < n and buf[k] in b"0123456789.":
+            k += 1
+        tok = buf[i:k]
+        try:
+            num = float(tok) if b"." in tok else int(tok)
+        except ValueError:
+            return None, k
+        # lookahead for `G R` -> indirect reference
+        if isinstance(num, int) and num >= 0:
+            m = re.match(rb"\s+(\d{1,5})\s+R\b", buf[k:k + 16])
+            if m:
+                return _Ref(num), k + m.end()
+        return num, k
+    for lit, val in ((b"true", True), (b"false", False), (b"null", None)):
+        if buf.startswith(lit, i):
+            return val, i + len(lit)
+    return None, i + 1
+
+
+def _parse_literal_string(buf: bytes, i: int):
+    """(string) with \\-escapes and balanced nested parens (7.3.4.2)."""
+    out = bytearray()
+    n = len(buf)
+    depth = 1
+    j = i + 1
+    while j < n and depth > 0 and len(out) <= MAX_TEXT:
+        c = buf[j]
+        if c == 0x5C and j + 1 < n:  # backslash
+            e = buf[j + 1]
+            if e in b"nrtbf":
+                out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                        0x62: b"\b", 0x66: b"\f"}[e]
+                j += 2
+            elif e in b"()\\":
+                out.append(e)
+                j += 2
+            elif e in b"01234567":
+                k = j + 1
+                oct_ = 0
+                cnt = 0
+                while k < n and cnt < 3 and buf[k] in b"01234567":
+                    oct_ = oct_ * 8 + (buf[k] - 0x30)
+                    k += 1
+                    cnt += 1
+                out.append(oct_ & 0xFF)
+                j = k
+            elif e in (0x0A, 0x0D):  # line continuation
+                j += 2
+                if e == 0x0D and j < n and buf[j] == 0x0A:
+                    j += 1
+            else:
+                out.append(e)
+                j += 2
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            j += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth > 0:
+                out.append(c)
+            j += 1
+        else:
+            out.append(c)
+            j += 1
+    return bytes(out), j
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be", errors="replace")
+        except Exception:
+            return ""
+    return raw.decode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# document scan
+# ---------------------------------------------------------------------------
+
+def _scan_objects(buf: bytes):
+    """Linear scan for `N G obj ... endobj`; returns {num: (dict|value,
+    stream_bytes|None)}. Later definitions win (incremental updates)."""
+    objects = {}
+    count = 0
+    for m in _OBJ_RE.finditer(buf):
+        count += 1
+        if count > MAX_OBJECTS:
+            break
+        num = int(m.group(1))
+        i = m.end()
+        val, j = _parse_value(buf, i)
+        stream = None
+        j = _skip_ws(buf, j)
+        if buf.startswith(b"stream", j):
+            k = j + 6
+            if buf.startswith(b"\r\n", k):
+                k += 2
+            elif k < len(buf) and buf[k] in (0x0A, 0x0D):
+                k += 1
+            ln = None
+            if isinstance(val, dict):
+                ln = val.get(b"/Length")
+            if isinstance(ln, int) and 0 <= ln <= MAX_STREAM \
+                    and buf.startswith(b"endstream", _skip_ws(buf, k + ln)):
+                stream = buf[k:k + ln]
+            else:
+                # /Length missing, wrong, or an indirect ref: scan
+                e = buf.find(b"endstream", k)
+                if e >= 0 and e - k <= MAX_STREAM:
+                    stream = buf[k:e].rstrip(b"\r\n")
+        objects[num] = (val, stream)
+    return objects
+
+
+def _deref(objects, v, depth: int = 0):
+    while isinstance(v, _Ref) and depth < 16:
+        v = objects.get(v.num, (None, None))[0]
+        depth += 1
+    return v
+
+
+def _decode_stream(d, raw: bytes):
+    """Apply /Filter; only FlateDecode (optionally in a filter array by
+    itself) is supported — everything else fails closed to None."""
+    if raw is None:
+        return None
+    filt = d.get(b"/Filter") if isinstance(d, dict) else None
+    if filt is None:
+        return raw if len(raw) <= MAX_STREAM else None
+    filters = filt if isinstance(filt, list) else [filt]
+    data = raw
+    for f in filters:
+        if f == b"/FlateDecode":
+            try:
+                dec = zlib.decompressobj()
+                data = dec.decompress(data, MAX_STREAM)
+                if dec.unconsumed_tail:
+                    return None  # inflate bomb
+            except zlib.error:
+                return None
+        elif f is None:
+            continue
+        else:
+            return None  # unsupported filter: fail closed
+    return data
+
+
+def _page_order(objects):
+    """Page object numbers in document order via the Root->Pages->Kids
+    walk; ascending-object-number fallback if the tree is broken."""
+    root_num = None
+    for num, (val, _st) in objects.items():
+        if isinstance(val, dict) and val.get(b"/Type") == b"/Catalog":
+            pages = val.get(b"/Pages")
+            if isinstance(pages, _Ref):
+                root_num = pages.num
+    pages = []
+    if root_num is not None:
+        seen = set()
+        stack = [root_num]
+        while stack and len(pages) < MAX_PAGES:
+            num = stack.pop(0)
+            if num in seen:
+                continue
+            seen.add(num)
+            val = objects.get(num, (None, None))[0]
+            if not isinstance(val, dict):
+                continue
+            t = val.get(b"/Type")
+            if t == b"/Page":
+                pages.append(num)
+            elif t == b"/Pages" or b"/Kids" in val:
+                kids = _deref(objects, val.get(b"/Kids"))
+                if isinstance(kids, list):
+                    # keep Kids order: prepend in order
+                    refs = [k.num for k in kids if isinstance(k, _Ref)]
+                    stack = refs + stack
+    if not pages:
+        pages = sorted(
+            num for num, (val, _st) in objects.items()
+            if isinstance(val, dict) and val.get(b"/Type") == b"/Page"
+        )
+    return pages[:MAX_PAGES]
+
+
+# ---------------------------------------------------------------------------
+# content-stream text assembly
+# ---------------------------------------------------------------------------
+
+def _content_text(data: bytes) -> str:
+    """Run the text operators of one page's content stream. Non-text
+    operators are skipped; the operand stack is cleared at each operator
+    (content streams are postfix: operands THEN operator)."""
+    out: list[str] = []
+    line: list[str] = []
+    operands: list = []
+    i = 0
+    n = len(data)
+    total = 0
+
+    def end_line():
+        if line:
+            out.append("".join(line))
+            line.clear()
+
+    while i < n and total <= MAX_TEXT:
+        i = _skip_ws(data, i)
+        if i >= n:
+            break
+        c = data[i]
+        if c == 0x28:
+            s, i = _parse_literal_string(data, i)
+            operands.append(s)
+            continue
+        if data.startswith(b"<<", i):
+            v, i = _parse_value(data, i)
+            operands.append(v)
+            continue
+        if c == 0x3C:
+            v, i = _parse_value(data, i)
+            operands.append(v)
+            continue
+        if c == 0x5B:
+            v, i = _parse_value(data, i)
+            operands.append(v)
+            continue
+        if c == 0x2F or c in b"+-.0123456789":
+            v, i = _parse_value(data, i)
+            operands.append(v)
+            continue
+        # operator token
+        j = i
+        while j < n and data[j] not in _WS and data[j] not in _DELIM:
+            j += 1
+        op = data[i:j]
+        i = j if j > i else i + 1
+        if op == b"Tj":
+            if operands and isinstance(operands[-1], bytes):
+                t = _decode_pdf_string(operands[-1])
+                line.append(t)
+                total += len(t)
+        elif op == b"TJ":
+            if operands and isinstance(operands[-1], list):
+                for el in operands[-1]:
+                    if isinstance(el, bytes):
+                        t = _decode_pdf_string(el)
+                        line.append(t)
+                        total += len(t)
+                    elif isinstance(el, (int, float)) and el < _KERN_SPACE:
+                        line.append(" ")
+                        total += 1
+        elif op in (b"'", b'"'):
+            end_line()
+            if operands and isinstance(operands[-1], bytes):
+                t = _decode_pdf_string(operands[-1])
+                line.append(t)
+                total += len(t)
+        elif op in (b"Td", b"TD", b"T*", b"Tm"):
+            end_line()
+        elif op == b"ET":
+            end_line()
+        elif op == b"BI":
+            # inline image: skip to EI (never parse image bytes as text)
+            e = data.find(b"EI", i)
+            i = n if e < 0 else e + 2
+        operands.clear()
+    end_line()
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def extract_pdf_text(buf: bytes):
+    """-> (text, n_pages) or None (not a PDF / encrypted / no pages).
+    Never raises on hostile input."""
+    try:
+        if not isinstance(buf, (bytes, bytearray)) or not buf.startswith(b"%PDF-"):
+            return None
+        buf = bytes(buf)
+        objects = _scan_objects(buf)
+        if not objects:
+            return None
+        # encrypted documents fail closed: /Encrypt in any trailer dict
+        for m in re.finditer(rb"trailer\b", buf):
+            tv, _ = _parse_value(buf, m.end())
+            if isinstance(tv, dict) and b"/Encrypt" in tv:
+                return None
+        pages = _page_order(objects)
+        if not pages:
+            return None
+        texts = []
+        total = 0
+        for pnum in pages:
+            pd_, _st = objects.get(pnum, (None, None))
+            if not isinstance(pd_, dict):
+                texts.append("")
+                continue
+            contents = pd_.get(b"/Contents")
+            refs = []
+            if isinstance(contents, _Ref):
+                refs = [contents]
+            elif isinstance(contents, list):
+                refs = [r for r in contents if isinstance(r, _Ref)]
+            chunks = []
+            for r in refs:
+                od, raw = objects.get(r.num, (None, None))
+                data = _decode_stream(od, raw)
+                if data:
+                    chunks.append(data)
+            page_text = _content_text(b"\n".join(chunks)) if chunks else ""
+            total += len(page_text)
+            if total > MAX_TEXT:
+                page_text = page_text[: max(0, MAX_TEXT - (total - len(page_text)))]
+                texts.append(page_text)
+                break
+            texts.append(page_text)
+        return "\n\n".join(texts), len(pages)
+    except Exception:
+        return None
+
+
+def _esc(s: bytes) -> bytes:
+    return s.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def encode_pdf(pages, *, compress: bool = False, tj_split: bool = False,
+               hex_strings: bool = False, utf16: bool = False,
+               reverse_objects: bool = False) -> bytes:
+    """Fixture/oracle builder: a minimal valid PDF 1.4 whose extracted
+    text is EXACTLY '\\n\\n'.join(pages) (with each page's '\\n'-separated
+    lines emitted as one Tj/TJ per line and T* between).
+
+    Knobs exercise the extractor's distinct paths deterministically:
+    - compress: FlateDecode content streams
+    - tj_split: lines become TJ arrays split mid-line with a -250 kern
+      (extractor renders the word space — callers bake the space into
+      the expected text; see synthetic_docs_pdf)
+    - hex_strings: lines written as <hex> strings
+    - utf16: strings carry the UTF-16BE BOM
+    - reverse_objects: page objects serialized in REVERSE file order —
+      correct output requires the /Kids tree walk, not file order
+    """
+    if not pages:
+        pages = [""]
+    objs: dict[int, bytes] = {}
+    n_pages = len(pages)
+    page_obj0 = 3                       # 1=Catalog 2=Pages, then pages
+    cont_obj0 = page_obj0 + n_pages
+    font_obj = cont_obj0 + n_pages
+    kids = b" ".join(b"%d 0 R" % (page_obj0 + k) for k in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (b"<< /Type /Pages /Kids [" + kids +
+               b"] /Count %d >>" % n_pages)
+    for k, text in enumerate(pages):
+        objs[page_obj0 + k] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> "
+            b"/Contents %d 0 R >>" % (font_obj, cont_obj0 + k))
+        ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        for li, ln in enumerate(text.split("\n")):
+            if li:
+                ops.append(b"T*")
+            raw = ln.encode("latin-1", errors="replace")
+            if utf16:
+                raw = b"\xfe\xff" + ln.encode("utf-16-be", errors="replace")
+            if hex_strings:
+                ops.append(b"<" + raw.hex().encode() + b"> Tj")
+            elif tj_split and len(raw) > 2 and not utf16:
+                mid = len(raw) // 2
+                ops.append(b"[(" + _esc(raw[:mid]) + b") -250 (" +
+                           _esc(raw[mid:]) + b")] TJ")
+            else:
+                ops.append(b"(" + _esc(raw) + b") Tj")
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        if compress:
+            comp = zlib.compress(content, 6)
+            objs[cont_obj0 + k] = (
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+                + comp + b"\nendstream")
+        else:
+            objs[cont_obj0 + k] = (
+                b"<< /Length %d >>\nstream\n" % len(content)
+                + content + b"\nendstream")
+    objs[font_obj] = (b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /Helvetica >>")
+
+    order = sorted(objs)
+    if reverse_objects:
+        order = order[:2] + list(reversed(order[2:]))
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in order:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = max(objs)
+    out += b"xref\n0 %d\n" % (maxn + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxn + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (maxn + 1, xref_at))
+    return bytes(out)

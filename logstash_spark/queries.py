@@ -1924,6 +1924,53 @@ def media_features_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_features(m)
 
 
+# PDF text extraction is LOSSLESS, so the extracted text has the md5-
+# tiling closed form — DuckDB rebuilds the exact per-page line structure
+# (including the TJ-kern word space of the id%5==0 variant) without ever
+# parsing a PDF byte. Full value oracle over text itself.
+_PDF_TEXT_ORACLE = """WITH d AS (
+  SELECT id, CAST(id % 3 + 1 AS INT) AS n_pages, id % 5 AS variant
+  FROM range(200) t(id)
+), pg AS (
+  SELECT id, n_pages, variant, unnest(range(n_pages)) AS p FROM d
+), hx AS (
+  SELECT id, n_pages, variant, p,
+         md5(CAST(id * 7 + p AS VARCHAR)) AS h
+  FROM pg
+), ptext AS (
+  SELECT id, n_pages, p,
+         CASE WHEN variant = 0 THEN
+           substr(h,1,8) || ' ' || substr(h,9,8) || chr(10) ||
+           substr(h,17,8) || ' ' || substr(h,25,8)
+         ELSE substr(h,1,16) || chr(10) || substr(h,17,16) END AS t
+  FROM hx
+), docs AS (
+  SELECT id, n_pages,
+         string_agg(t, chr(10) || chr(10) ORDER BY p) AS text
+  FROM ptext GROUP BY id, n_pages
+)
+SELECT id AS doc_id, n_pages, CAST(length(text) AS INT) AS n_chars, text
+FROM docs"""
+
+
+@q("pdf_text_extract", _PDF_TEXT_ORACLE)
+def pdf_text_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WEB document decode: bounded PDF text extraction
+    (functions/pdfcodec — linear object scan, FlateDecode inflate,
+    Kids-tree page ordering, content-stream Tj/TJ/'/quote text assembly
+    with escape/hex/UTF-16BE string forms) over spec-valid PDFs built by
+    the same module's encoder. Extraction is lossless, so the FULL text
+    is value-oracled: DuckDB replays the per-page closed form including
+    the TJ kern-space variant and the reversed-object-order documents
+    whose correct page order requires the /Kids walk."""
+    from logstash_spark.functions.multimodal import (
+        pdf_extract_text,
+        synthetic_docs_pdf,
+    )
+
+    return pdf_extract_text(synthetic_docs_pdf(spark, 200))
+
+
 _AHASH_BITS = " + ".join(
     f"((CASE WHEN b{j} THEN 1 ELSE 0 END)::BIGINT << {j})" for j in range(63)
 ) + " + (CASE WHEN b63 THEN (-9223372036854775807 - 1) ELSE 0 END)"

@@ -1,0 +1,218 @@
+"""PDF text extraction (functions/pdfcodec.py): round trips through every
+encoder variant, hand-assembled documents exercising operators the encoder
+does not emit, the hostile-input never-throw bar (same stance as the
+PNG/JPEG/GIF/WAV/Y4M parsers), and the Spark-level corrupt-row audit."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from logstash_spark.functions.pdfcodec import (
+    MAX_STREAM,
+    encode_pdf,
+    extract_pdf_text,
+)
+
+
+PAGES = ["Alpha line one\nBeta line two", "Second page", "Third\npage\nhere"]
+
+
+@pytest.mark.parametrize("kw", [
+    {},
+    {"compress": True},
+    {"hex_strings": True},
+    {"utf16": True},
+    {"reverse_objects": True},
+    {"compress": True, "reverse_objects": True},
+])
+def test_round_trip_variants(kw):
+    buf = encode_pdf(PAGES, **kw)
+    text, n_pages = extract_pdf_text(buf)
+    assert n_pages == 3
+    assert text == "\n\n".join(PAGES)
+
+
+def test_tj_split_renders_word_space():
+    text, _ = extract_pdf_text(encode_pdf(["abcdef\nxy"], tj_split=True))
+    # 6-char line splits 3|3 with a -250 kern -> space; 2-char line does not
+    assert text == "abc def\nxy"
+
+
+def test_kern_threshold_is_minus_100():
+    # adjustments of -100 and above must NOT become spaces; below must
+    body = b"BT [(ab) -99 (cd) -100 (ef) -101 (gh)] TJ ET"
+    buf = _manual_pdf([body])
+    text, _ = extract_pdf_text(buf)
+    assert text == "abcdef gh"
+
+
+def _manual_pdf(contents: list[bytes], *, page_extra: bytes = b"") -> bytes:
+    """Assemble a PDF with arbitrary raw content streams (one page per
+    entry) without going through encode_pdf's text layout."""
+    objs: dict[int, bytes] = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    n = len(contents)
+    kids = b" ".join(b"%d 0 R" % (3 + k) for k in range(n))
+    objs[2] = b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n
+    for k, body in enumerate(contents):
+        objs[3 + k] = (b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>"
+                       % (3 + n + k)) if not page_extra else (
+            b"<< /Type /Page /Parent 2 0 R " + page_extra +
+            b" /Contents %d 0 R >>" % (3 + n + k))
+        objs[3 + n + k] = (b"<< /Length %d >>\nstream\n" % len(body)
+                           + body + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\n%%%%EOF\n" % (len(objs) + 1)
+    return bytes(out)
+
+
+def test_quote_operators_start_new_lines():
+    body = b"BT (first) Tj (second) ' (third) \" ET"
+    # PDF's " takes aw ac string; our tolerant stack keeps last operand
+    text, _ = extract_pdf_text(_manual_pdf([body]))
+    assert text == "first\nsecond\nthird"
+
+
+def test_td_tm_tstar_line_breaks():
+    body = b"BT (a) Tj 0 -14 Td (b) Tj 1 0 0 1 72 700 Tm (c) Tj T* (d) Tj ET"
+    text, _ = extract_pdf_text(_manual_pdf([body]))
+    assert text == "a\nb\nc\nd"
+
+
+def test_literal_string_escapes():
+    body = rb"BT (tab\there\(ok\)\\ oct\101 cont\
+inue) Tj ET"
+    text, _ = extract_pdf_text(_manual_pdf([body]))
+    assert text == "tab\there(ok)\\ octA continue"
+
+
+def test_contents_array_concatenates_streams():
+    # one page whose /Contents is an ARRAY of two streams
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>",
+        4: b"<< /Length 14 >>\nstream\nBT (one) Tj ET\nendstream",
+        5: b"<< /Length 14 >>\nstream\nBT (two) Tj ET\nendstream",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    text, n_pages = extract_pdf_text(bytes(out))
+    assert n_pages == 1
+    assert text == "one\ntwo"
+
+
+def test_inline_image_skipped():
+    body = (b"BT (before) Tj ET\n"
+            b"BI /W 2 /H 2 /BPC 8 ID \xff\x00(not text)Tj\xff EI\n"
+            b"BT (after) Tj ET")
+    text, _ = extract_pdf_text(_manual_pdf([body]))
+    assert text == "before\nafter"
+
+
+def test_indirect_length_falls_back_to_endstream_scan():
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length 6 0 R >>\nstream\nBT (scan) Tj ET\nendstream",
+        6: b"15",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    text, _ = extract_pdf_text(bytes(out))
+    assert text == "scan"
+
+
+def test_encrypted_fails_closed():
+    buf = encode_pdf(["secret"]).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    assert extract_pdf_text(buf) is None
+
+
+def test_unsupported_filter_stream_skipped_not_thrown():
+    body = b"unreadable"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (b"<< /Length %d /Filter /DCTDecode >>\nstream\n" % len(body)
+            + body + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    r = extract_pdf_text(bytes(out))
+    assert r == ("", 1)
+
+
+def test_inflate_bomb_fails_closed():
+    bomb = zlib.compress(b"\0" * (MAX_STREAM + 1024), 9)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(bomb)
+            + bomb + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    r = extract_pdf_text(bytes(out))
+    assert r == ("", 1)  # stream dropped, page survives empty
+
+
+def test_kids_cycle_guard_terminates():
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >>",  # self-cycle
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length 13 >>\nstream\nBT (ok) Tj ET\nendstream",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    text, _ = extract_pdf_text(bytes(out))
+    assert text == "ok"
+
+
+def test_hostile_inputs_never_throw():
+    real = encode_pdf(PAGES, compress=True)
+    hostiles = [
+        b"", b"%", b"%PDF-", b"%PDF-1.4", b"not a pdf at all",
+        b"%PDF-1.4\n" + b"[" * 50_000,
+        b"%PDF-1.4\n" + b"<<" * 50_000,
+        b"%PDF-1.4\n1 0 obj\n<< /Length 99999999 >>\nstream\nxx",
+        b"%PDF-1.4\n1 0 obj\n(\\",
+        b"%PDF-1.4\n1 0 obj\n<4",
+        real.replace(b"stream", b"strXam", 1),
+        real.replace(b"/FlateDecode", b"/Fl0teDecode"),
+        bytes(b ^ 0x5A for b in real),
+    ]
+    # truncation sweep across the whole document
+    hostiles += [real[:k] for k in range(0, len(real), 37)]
+    for h in hostiles:
+        r = extract_pdf_text(h)
+        assert r is None or (isinstance(r, tuple) and isinstance(r[0], str))
+
+
+def test_spark_corrupt_rows_survive_with_null_text(spark):
+    import pandas as pd
+
+    from logstash_spark.functions.multimodal import pdf_extract_text
+
+    good = encode_pdf(["hello world"])
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "bytes": [good, b"garbage", None],
+        }))
+    rows = {r["doc_id"]: r for r in pdf_extract_text(df).collect()}
+    assert rows[1]["text"] == "hello world" and rows[1]["n_pages"] == 1
+    assert rows[2]["text"] is None
+    assert rows[3]["text"] is None
