@@ -1,0 +1,346 @@
+"""EXIF metadata parse + strip on the stdlib — written fresh from the
+public specs (JEITA CP-3451 / EXIF 2.3: APP1 "Exif\\0\\0" payload; TIFF 6.0:
+byte-order header, IFD entry layout, BYTE/ASCII/SHORT/LONG/RATIONAL types).
+
+Why a training-data pipeline needs this: web-crawled JPEGs carry EXIF
+blocks with camera serials, timestamps and — the PII that matters — GPS
+coordinates. A corpus pass must be able to (a) EXTRACT the metadata as
+typed columns for auditing/filtering, and (b) STRIP it from the image
+bytes without re-encoding (privacy scrub that leaves pixels bit-identical).
+
+Determinism rules (the cross-engine-exactness house style):
+- GPS coordinates come out as signed MICRODEGREES in pure BIGINT
+  arithmetic — floor(((d*3600 + m*60) * 1_000_000 + s_num * 1_000_000 /
+  s_den) / 3600) with the division exact whenever s_den divides 1e6 —
+  so the DuckDB oracle replays them with integer ops, never a double.
+- Both byte orders ("II" little / "MM" big) parse; `build_exif_app1`
+  emits either, so the oracle gate covers both paths.
+- FAIL CLOSED per tag and per block: truncated IFDs, counts past the
+  payload, offsets out of range, unknown types — each yields None for
+  that field; a hostile APP1 never throws.
+
+Scale shape: per-image work inside Arrow-batched mapInPandas (wired in
+functions/multimodal.py) — map-only, no shuffle, linear in partitions.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAX_IFD_ENTRIES = 512
+MAX_APP1 = 1 << 20
+
+# TIFF/EXIF tag ids (public registry)
+TAG_MAKE = 0x010F
+TAG_MODEL = 0x0110
+TAG_ORIENTATION = 0x0112
+TAG_DATETIME = 0x0132
+TAG_EXIF_IFD = 0x8769
+TAG_GPS_IFD = 0x8825
+TAG_DT_ORIGINAL = 0x9003
+TAG_ISO = 0x8827
+TAG_PX_X = 0xA002
+TAG_PX_Y = 0xA003
+GPS_LAT_REF = 0x0001
+GPS_LAT = 0x0002
+GPS_LON_REF = 0x0003
+GPS_LON = 0x0004
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _micro_degrees(dms, negative: bool):
+    """RATIONAL[3] (d, m, s) -> signed integer microdegrees, exact when
+    the seconds denominator divides 1e6 (else floored deterministically)."""
+    try:
+        (dn, dd), (mn, md), (sn, sd) = dms
+        if dd == 0 or md == 0 or sd == 0:
+            return None
+        # exact integer path: degrees/minutes are integral in practice
+        total = (dn // dd * 3600 + mn // md * 60) * 1_000_000
+        total += sn * 1_000_000 // sd
+        micro = total // 3600
+        return -micro if negative else micro
+    except Exception:
+        return None
+
+
+class _Tiff:
+    def __init__(self, payload: bytes):
+        self.buf = payload
+        if payload[:2] == b"II":
+            self.fmt = "<"
+        elif payload[:2] == b"MM":
+            self.fmt = ">"
+        else:
+            raise ValueError("bad byte order")
+        magic, = struct.unpack_from(self.fmt + "H", payload, 2)
+        if magic != 42:
+            raise ValueError("bad TIFF magic")
+        self.ifd0, = struct.unpack_from(self.fmt + "I", payload, 4)
+
+    def read_ifd(self, off: int) -> dict:
+        """-> {tag: value}; value is int, str, bytes, or tuple of
+        rationals. Per-entry failures skip the entry."""
+        out = {}
+        buf = self.buf
+        if off < 0 or off + 2 > len(buf):
+            return out
+        n, = struct.unpack_from(self.fmt + "H", buf, off)
+        n = min(n, MAX_IFD_ENTRIES)
+        for k in range(n):
+            e = off + 2 + 12 * k
+            if e + 12 > len(buf):
+                break
+            try:
+                tag, typ, cnt = struct.unpack_from(self.fmt + "HHI", buf, e)
+                if typ not in _TYPE_SIZE or cnt > MAX_APP1:
+                    continue
+                size = _TYPE_SIZE[typ] * cnt
+                if size <= 4:
+                    doff = e + 8
+                else:
+                    doff, = struct.unpack_from(self.fmt + "I", buf, e + 8)
+                if doff + size > len(buf):
+                    continue
+                if typ == 2:  # ASCII, NUL-terminated
+                    raw = buf[doff:doff + cnt]
+                    out[tag] = raw.split(b"\0")[0].decode(
+                        "latin-1", errors="replace")
+                elif typ == 1:
+                    out[tag] = buf[doff:doff + cnt]
+                elif typ == 3:
+                    vals = struct.unpack_from(self.fmt + "%dH" % cnt, buf, doff)
+                    out[tag] = vals[0] if cnt == 1 else vals
+                elif typ == 4:
+                    vals = struct.unpack_from(self.fmt + "%dI" % cnt, buf, doff)
+                    out[tag] = vals[0] if cnt == 1 else vals
+                elif typ == 5:
+                    vals = struct.unpack_from(
+                        self.fmt + "%dI" % (2 * cnt), buf, doff)
+                    out[tag] = tuple(
+                        (vals[2 * i], vals[2 * i + 1]) for i in range(cnt))
+            except Exception:
+                continue
+        return out
+
+
+def _iter_jpeg_segments(buf: bytes):
+    """Yield (marker, payload_start, payload_len, seg_start) until SOS/EOI;
+    tolerates fill bytes. Generator never raises on truncation."""
+    if buf[:2] != b"\xff\xd8":
+        return
+    i = 2
+    n = len(buf)
+    while i + 4 <= n:
+        if buf[i] != 0xFF:
+            i += 1
+            continue
+        j = i
+        while j < n and buf[j] == 0xFF:
+            j += 1
+        if j >= n:
+            return
+        marker = buf[j]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i = j + 1
+            continue
+        if marker == 0xD9 or j + 3 > n:
+            return
+        ln, = struct.unpack_from(">H", buf, j + 1)
+        if ln < 2 or j + 1 + ln > n:
+            return
+        yield marker, j + 3, ln - 2, i
+        if marker == 0xDA:  # SOS: entropy data follows
+            return
+        i = j + 1 + ln
+
+
+def parse_exif(buf: bytes):
+    """-> dict of typed fields or None (no EXIF / not a JPEG). Fields:
+    byte_order, make, model, orientation, datetime, datetime_original,
+    iso, px_x, px_y, gps_lat_micro, gps_lon_micro. Never raises."""
+    try:
+        if not isinstance(buf, (bytes, bytearray)):
+            return None
+        buf = bytes(buf)
+        for marker, ps, pl, _ss in _iter_jpeg_segments(buf):
+            if marker != 0xE1 or pl > MAX_APP1:
+                continue
+            payload = buf[ps:ps + pl]
+            if not payload.startswith(b"Exif\x00\x00"):
+                continue
+            tiff = _Tiff(payload[6:])
+            ifd0 = tiff.read_ifd(tiff.ifd0)
+            exif = tiff.read_ifd(ifd0[TAG_EXIF_IFD]) \
+                if isinstance(ifd0.get(TAG_EXIF_IFD), int) else {}
+            gps = tiff.read_ifd(ifd0[TAG_GPS_IFD]) \
+                if isinstance(ifd0.get(TAG_GPS_IFD), int) else {}
+            lat = lon = None
+            if isinstance(gps.get(GPS_LAT), tuple):
+                lat = _micro_degrees(gps[GPS_LAT], gps.get(GPS_LAT_REF) == "S")
+            if isinstance(gps.get(GPS_LON), tuple):
+                lon = _micro_degrees(gps[GPS_LON], gps.get(GPS_LON_REF) == "W")
+
+            def s(v):
+                return v if isinstance(v, str) else None
+
+            def ival(v):
+                return int(v) if isinstance(v, int) else None
+
+            return {
+                "byte_order": "II" if tiff.fmt == "<" else "MM",
+                "make": s(ifd0.get(TAG_MAKE)),
+                "model": s(ifd0.get(TAG_MODEL)),
+                "orientation": ival(ifd0.get(TAG_ORIENTATION)),
+                "datetime": s(ifd0.get(TAG_DATETIME)),
+                "datetime_original": s(exif.get(TAG_DT_ORIGINAL)),
+                "iso": ival(exif.get(TAG_ISO)),
+                "px_x": ival(exif.get(TAG_PX_X)),
+                "px_y": ival(exif.get(TAG_PX_Y)),
+                "gps_lat_micro": lat,
+                "gps_lon_micro": lon,
+            }
+        return None
+    except Exception:
+        return None
+
+
+def strip_exif(buf: bytes):
+    """Remove every APP1 Exif segment; all other bytes (incl. pixels and
+    non-EXIF APP1 like XMP) are untouched. Non-JPEG input passes through
+    unchanged. Never raises."""
+    try:
+        if not isinstance(buf, (bytes, bytearray)) or bytes(buf[:2]) != b"\xff\xd8":
+            return bytes(buf) if isinstance(buf, bytearray) else buf
+        buf = bytes(buf)
+        cuts = []
+        for marker, ps, pl, ss in _iter_jpeg_segments(buf):
+            if marker == 0xE1 and buf[ps:ps + 6] == b"Exif\x00\x00":
+                cuts.append((ss, ps + pl))
+        if not cuts:
+            return buf
+        out = bytearray()
+        prev = 0
+        for a, b in cuts:
+            out += buf[prev:a]
+            prev = b
+        out += buf[prev:]
+        return bytes(out)
+    except Exception:
+        return buf
+
+
+# ---------------------------------------------------------------------------
+# fixture/oracle builder
+# ---------------------------------------------------------------------------
+
+def build_exif_app1(fields: dict, *, byte_order: str = "II") -> bytes:
+    """APP1 segment bytes (marker + length + Exif\\0\\0 + TIFF) for the
+    given fields — the oracle builder: parse_exif(insert_exif(jpeg, this))
+    round-trips every field exactly. `fields` keys: make, model,
+    orientation, datetime, datetime_original, iso, px_x, px_y,
+    gps (latref, (d,m,(sn,sd)), lonref, (d,m,(sn,sd)))."""
+    little = byte_order == "II"
+    fmt = "<" if little else ">"
+
+    def entry(tag, typ, cnt, data4_or_off):
+        return struct.pack(fmt + "HHI", tag, typ, cnt) + data4_or_off
+
+    # heap layout: three IFDs then the data heap. Compute sizes first.
+    ifd0_tags = []
+    exif_tags = []
+    gps_tags = []
+    heap = bytearray()
+
+    def heap_put(b: bytes) -> int:
+        off = len(heap)
+        heap.extend(b)
+        return off
+
+    def ascii_entry(lst, tag, text):
+        raw = text.encode("latin-1", errors="replace") + b"\0"
+        if len(raw) <= 4:
+            lst.append((tag, 2, len(raw), raw.ljust(4, b"\0"), None))
+        else:
+            lst.append((tag, 2, len(raw), None, heap_put(raw)))
+
+    def short_entry(lst, tag, v):
+        lst.append((tag, 3, 1, struct.pack(fmt + "H", v) + b"\0\0", None))
+
+    def long_entry(lst, tag, v):
+        lst.append((tag, 4, 1, struct.pack(fmt + "I", v), None))
+
+    def rational3_entry(lst, tag, dms):
+        raw = b"".join(
+            struct.pack(fmt + "II", int(num), int(den)) for num, den in dms)
+        lst.append((tag, 5, 3, None, heap_put(raw)))
+
+    if fields.get("make") is not None:
+        ascii_entry(ifd0_tags, TAG_MAKE, fields["make"])
+    if fields.get("model") is not None:
+        ascii_entry(ifd0_tags, TAG_MODEL, fields["model"])
+    if fields.get("orientation") is not None:
+        short_entry(ifd0_tags, TAG_ORIENTATION, fields["orientation"])
+    if fields.get("datetime") is not None:
+        ascii_entry(ifd0_tags, TAG_DATETIME, fields["datetime"])
+    if fields.get("datetime_original") is not None:
+        ascii_entry(exif_tags, TAG_DT_ORIGINAL, fields["datetime_original"])
+    if fields.get("iso") is not None:
+        short_entry(exif_tags, TAG_ISO, fields["iso"])
+    if fields.get("px_x") is not None:
+        long_entry(exif_tags, TAG_PX_X, fields["px_x"])
+    if fields.get("px_y") is not None:
+        long_entry(exif_tags, TAG_PX_Y, fields["px_y"])
+    gps = fields.get("gps")
+    if gps is not None:
+        latref, lat_dms, lonref, lon_dms = gps
+        ascii_entry(gps_tags, GPS_LAT_REF, latref)
+        rational3_entry(gps_tags, GPS_LAT, lat_dms)
+        ascii_entry(gps_tags, GPS_LON_REF, lonref)
+        rational3_entry(gps_tags, GPS_LON, lon_dms)
+
+    n0 = len(ifd0_tags) + (1 if exif_tags else 0) + (1 if gps_tags else 0)
+    ifd0_size = 2 + 12 * n0 + 4
+    exif_size = (2 + 12 * len(exif_tags) + 4) if exif_tags else 0
+    gps_size = (2 + 12 * len(gps_tags) + 4) if gps_tags else 0
+    ifd0_off = 8
+    exif_off = ifd0_off + ifd0_size
+    gps_off = exif_off + exif_size
+    heap_off = gps_off + gps_size
+
+    def render_ifd(tags, pointers=()):
+        all_tags = list(tags) + [
+            (tag, 4, 1, struct.pack(fmt + "I", off), None)
+            for tag, off in pointers]
+        all_tags.sort(key=lambda t: t[0])  # TIFF requires ascending tags
+        out = struct.pack(fmt + "H", len(all_tags))
+        for tag, typ, cnt, inline, hoff in all_tags:
+            if inline is not None:
+                out += entry(tag, typ, cnt, inline)
+            else:
+                out += entry(tag, typ, cnt,
+                             struct.pack(fmt + "I", heap_off + hoff))
+        return out + struct.pack(fmt + "I", 0)  # next-IFD = none
+
+    pointers = []
+    if exif_tags:
+        pointers.append((TAG_EXIF_IFD, exif_off))
+    if gps_tags:
+        pointers.append((TAG_GPS_IFD, gps_off))
+    tiff = struct.pack(fmt + "2sHI", b"II" if little else b"MM", 42, ifd0_off)
+    tiff += render_ifd(ifd0_tags, pointers)
+    if exif_tags:
+        tiff += render_ifd(exif_tags)
+    if gps_tags:
+        tiff += render_ifd(gps_tags)
+    tiff += bytes(heap)
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def insert_exif(jpeg: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 segment immediately after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return jpeg[:2] + app1 + jpeg[2:]

@@ -1282,3 +1282,130 @@ def pdf_extract_text(df: DataFrame) -> DataFrame:
 
     return df.select("doc_id", "bytes").mapInPandas(
         batches, "doc_id bigint, n_pages int, n_chars int, text string")
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata (functions/exifcodec.py): extraction audit + PII geo-strip.
+# Web-crawled JPEGs carry GPS coordinates in APP1; a corpus pass must
+# surface them as typed columns and scrub them without touching pixels.
+# ---------------------------------------------------------------------------
+
+
+def synthetic_media_exif(spark, n: int = 200) -> DataFrame:
+    """Deterministic EXIF-bearing JPEG table over the solid-gray
+    provably-bit-exact raster class (synthetic_media_jpeg). Closed-form
+    metadata per id — every field the extractor surfaces is SQL-replayable:
+    id % 7 == 0 rows carry NO exif (the audit needs absent rows),
+    id % 3 == 0 exif rows carry no GPS block, byte order alternates
+    II/MM with id % 2, and GPS D/M/S rationals use denominator 100 so
+    microdegrees are exact integers in both engines."""
+    from logstash_spark.functions.exifcodec import build_exif_app1, insert_exif
+    from logstash_spark.functions.jpegcodec import encode_jpeg
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = (i % 4) * 16 + 16
+                h = (i % 3) * 16 + 16
+                v = 32 + (i * 37) % 95
+                jpeg = encode_jpeg(w, h, bytes([v]) * (w * h * 3), quality=90)
+                if i % 7:
+                    gps = None
+                    if i % 3:
+                        gps = (
+                            "N" if i % 2 == 0 else "S",
+                            [(i % 90, 1), ((i * 7) % 60, 1),
+                             ((i * 13) % 6000, 100)],
+                            "E" if i % 5 < 3 else "W",
+                            [(i % 180, 1), ((i * 11) % 60, 1),
+                             ((i * 17) % 6000, 100)],
+                        )
+                    fields = dict(
+                        make=["Canon", "NIKON", "Apple", "samsung"][i % 4],
+                        model="M-%d" % (i % 9),
+                        orientation=i % 8 + 1,
+                        datetime="%04d:%02d:%02d 10:%02d:%02d" % (
+                            2019 + i % 6, i % 12 + 1, i % 28 + 1,
+                            i % 60, (i * 3) % 60),
+                        datetime_original="%04d:%02d:%02d 09:%02d:%02d" % (
+                            2019 + i % 6, i % 12 + 1, i % 28 + 1,
+                            i % 60, (i * 3) % 60),
+                        iso=100 * (i % 16 + 1),
+                        px_x=w, px_y=h, gps=gps,
+                    )
+                    jpeg = insert_exif(
+                        jpeg,
+                        build_exif_app1(
+                            fields, byte_order="II" if i % 2 == 0 else "MM"))
+                rows.append((i, jpeg, ("image/jpeg", w, h, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "meta"])
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "media_id bigint, bytes binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>")
+
+
+_EXIF_SCHEMA = (
+    "media_id bigint, byte_order string, make string, model string, "
+    "orientation int, dt string, dt_original string, iso int, "
+    "px_x int, px_y int, gps_lat_micro bigint, gps_lon_micro bigint")
+
+
+def exif_extract(df: DataFrame) -> DataFrame:
+    """EXIF audit columns per image (NULL row tail where no EXIF exists —
+    absence is a signal, so rows are kept). Arrow batches, map-only."""
+    from logstash_spark.functions.exifcodec import parse_exif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["bytes"]):
+                p = parse_exif(bytes(buf)) if buf is not None else None
+                if p is None:
+                    rows.append((int(mid),) + (None,) * 11)
+                else:
+                    rows.append((
+                        int(mid), p["byte_order"], p["make"], p["model"],
+                        p["orientation"], p["datetime"],
+                        p["datetime_original"], p["iso"], p["px_x"],
+                        p["px_y"], p["gps_lat_micro"], p["gps_lon_micro"]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "byte_order", "make", "model", "orientation",
+                "dt", "dt_original", "iso", "px_x", "px_y",
+                "gps_lat_micro", "gps_lon_micro"])
+
+    return df.select("media_id", "bytes").mapInPandas(batches, _EXIF_SCHEMA)
+
+
+def exif_strip_audit(df: DataFrame) -> DataFrame:
+    """The privacy scrub, audited: strip APP1 Exif, re-parse (must find
+    nothing), and decode the scrubbed image — pixels must be untouched.
+    Output: per-image before/after EXIF presence + decoded raster stats."""
+    from logstash_spark.functions.exifcodec import parse_exif, strip_exif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["bytes"]):
+                raw = bytes(buf)
+                had = parse_exif(raw) is not None
+                stripped = strip_exif(raw)
+                after = parse_exif(stripped) is not None
+                d = decode_media(stripped)
+                if d is None:
+                    rows.append((int(mid), had, after, None, None))
+                    continue
+                _fmt, w, h, raster = d
+                arr = np.frombuffer(raster, dtype=np.uint8)
+                rows.append((int(mid), had, after, w * h, float(arr.mean())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "had_exif", "exif_after", "n_pix", "px_mean"])
+
+    out = df.select("media_id", "bytes").mapInPandas(
+        batches,
+        "media_id bigint, had_exif boolean, exif_after boolean, "
+        "n_pix int, px_mean double")
+    return out.withColumn("px_mean", F.round("px_mean", 4))

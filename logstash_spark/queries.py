@@ -1971,6 +1971,97 @@ def pdf_text_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_extract_text(synthetic_docs_pdf(spark, 200))
 
 
+# EXIF fields are deterministic id-arithmetic (synthetic_media_exif), so
+# extraction has a FULL closed-form oracle — GPS microdegrees in pure
+# BIGINT (seconds denominator 100 divides 1e6; DuckDB // is floor div).
+_EXIF_ORACLE = """WITH m AS (
+  SELECT id FROM range(200) t(id)
+), f AS (
+  SELECT id,
+         id % 7 <> 0 AS has_exif,
+         id % 7 <> 0 AND id % 3 <> 0 AS has_gps,
+         CASE WHEN id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+         ['Canon','NIKON','Apple','samsung'][id % 4 + 1] AS make,
+         'M-' || CAST(id % 9 AS VARCHAR) AS model,
+         CAST(id % 8 + 1 AS INT) AS orientation,
+         printf('%04d:%02d:%02d 10:%02d:%02d',
+                2019 + id % 6, id % 12 + 1, id % 28 + 1,
+                id % 60, (id * 3) % 60) AS dt,
+         printf('%04d:%02d:%02d 09:%02d:%02d',
+                2019 + id % 6, id % 12 + 1, id % 28 + 1,
+                id % 60, (id * 3) % 60) AS dt_original,
+         CAST(100 * (id % 16 + 1) AS INT) AS iso,
+         CAST((id % 4) * 16 + 16 AS INT) AS px_x,
+         CAST((id % 3) * 16 + 16 AS INT) AS px_y,
+         (CASE WHEN id % 2 = 0 THEN 1 ELSE -1 END) *
+           (((id % 90) * 3600 + ((id * 7) % 60) * 60) * 1000000
+            + ((id * 13) % 6000) * 10000) // 3600 AS lat_micro,
+         (CASE WHEN id % 5 < 3 THEN 1 ELSE -1 END) *
+           (((id % 180) * 3600 + ((id * 11) % 60) * 60) * 1000000
+            + ((id * 17) % 6000) * 10000) // 3600 AS lon_micro
+  FROM m
+)
+SELECT id AS media_id,
+       CASE WHEN has_exif THEN byte_order END AS byte_order,
+       CASE WHEN has_exif THEN make END AS make,
+       CASE WHEN has_exif THEN model END AS model,
+       CASE WHEN has_exif THEN orientation END AS orientation,
+       CASE WHEN has_exif THEN dt END AS dt,
+       CASE WHEN has_exif THEN dt_original END AS dt_original,
+       CASE WHEN has_exif THEN iso END AS iso,
+       CASE WHEN has_exif THEN px_x END AS px_x,
+       CASE WHEN has_exif THEN px_y END AS px_y,
+       CASE WHEN has_gps THEN CAST(lat_micro AS BIGINT) END AS gps_lat_micro,
+       CASE WHEN has_gps THEN CAST(lon_micro AS BIGINT) END AS gps_lon_micro
+FROM f"""
+
+
+@q("exif_extract", _EXIF_ORACLE)
+def exif_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata audit over EXIF-bearing web JPEGs: APP1 "Exif"
+    payload -> TIFF IFD walk (functions/exifcodec — both byte orders,
+    BYTE/ASCII/SHORT/LONG/RATIONAL, ExifIFD + GPS IFD pointers), GPS
+    D/M/S rationals folded to signed integer MICRODEGREES in exact
+    BIGINT arithmetic. Rows without EXIF (or without GPS) surface as
+    NULL tails — absence is the signal a privacy audit needs. Full
+    closed-form value oracle including both endiannesses."""
+    from logstash_spark.functions.multimodal import (
+        exif_extract,
+        synthetic_media_exif,
+    )
+
+    return exif_extract(synthetic_media_exif(spark, 200))
+
+
+# After the scrub: no EXIF anywhere, pixels bit-identical -> the decoded
+# solid-gray stats keep their closed form (mean = v exactly, the
+# provably-exact JPEG raster class).
+_EXIF_STRIP_ORACLE = """WITH m AS (
+  SELECT id AS media_id,
+         id % 7 <> 0 AS had_exif,
+         FALSE AS exif_after,
+         CAST(((id % 4) * 16 + 16) * ((id % 3) * 16 + 16) AS INT) AS n_pix,
+         CAST(32 + (id * 37) % 95 AS DOUBLE) AS px_mean
+  FROM range(200) t(id)
+)
+SELECT media_id, had_exif, exif_after, n_pix, px_mean FROM m"""
+
+
+@q("exif_strip_audit", _EXIF_STRIP_ORACLE)
+def exif_strip_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII geo-scrub audited end-to-end: strip_exif removes every
+    APP1 Exif segment WITHOUT re-encoding, the re-parse proves absence,
+    and the decode proves pixels are untouched (solid-gray mean keeps
+    its exact closed form). This is the corpus privacy pass a crawl
+    pipeline runs before training-data release."""
+    from logstash_spark.functions.multimodal import (
+        exif_strip_audit,
+        synthetic_media_exif,
+    )
+
+    return exif_strip_audit(synthetic_media_exif(spark, 200))
+
+
 _AHASH_BITS = " + ".join(
     f"((CASE WHEN b{j} THEN 1 ELSE 0 END)::BIGINT << {j})" for j in range(63)
 ) + " + (CASE WHEN b63 THEN (-9223372036854775807 - 1) ELSE 0 END)"

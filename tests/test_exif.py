@@ -1,0 +1,137 @@
+"""EXIF parse + strip (functions/exifcodec.py): round trips on both byte
+orders, the bit-identity strip invariant, non-EXIF APP1 preservation, and
+the hostile-input never-throw bar."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from logstash_spark.functions.exifcodec import (
+    build_exif_app1,
+    insert_exif,
+    parse_exif,
+    strip_exif,
+)
+from logstash_spark.functions.jpegcodec import encode_jpeg
+
+FIELDS = dict(
+    make="Canon", model="EOS-5", orientation=6,
+    datetime="2023:05:11 12:34:56",
+    datetime_original="2023:05:11 12:00:00",
+    iso=400, px_x=32, px_y=16,
+    gps=("N", [(51, 1), (30, 1), (1234, 100)],
+         "W", [(0, 1), (7, 1), (4321, 100)]),
+)
+
+
+def _jpeg():
+    return encode_jpeg(32, 16, bytes([100]) * (32 * 16 * 3), quality=90)
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_round_trip_both_byte_orders(bo):
+    j = insert_exif(_jpeg(), build_exif_app1(FIELDS, byte_order=bo))
+    p = parse_exif(j)
+    assert p["byte_order"] == bo
+    assert p["make"] == "Canon" and p["model"] == "EOS-5"
+    assert p["orientation"] == 6 and p["iso"] == 400
+    assert p["datetime"] == "2023:05:11 12:34:56"
+    assert p["datetime_original"] == "2023:05:11 12:00:00"
+    assert p["px_x"] == 32 and p["px_y"] == 16
+    lat = ((51 * 3600 + 30 * 60) * 1_000_000 + 1234 * 10_000) // 3600
+    lon = -(((7 * 60) * 1_000_000 + 4321 * 10_000) // 3600)
+    assert p["gps_lat_micro"] == lat
+    assert p["gps_lon_micro"] == lon
+
+
+def test_strip_restores_original_bytes_exactly():
+    base = _jpeg()
+    j = insert_exif(base, build_exif_app1(FIELDS))
+    assert j != base
+    assert strip_exif(j) == base            # bit-identical scrub
+    assert parse_exif(strip_exif(j)) is None
+    assert strip_exif(base) is base or strip_exif(base) == base
+
+
+def test_multiple_exif_segments_all_removed():
+    base = _jpeg()
+    app1 = build_exif_app1(FIELDS)
+    j = insert_exif(insert_exif(base, app1), build_exif_app1(
+        dict(make="NIKON"), byte_order="MM"))
+    assert parse_exif(j) is not None
+    assert strip_exif(j) == base
+
+
+def test_non_exif_app1_xmp_preserved():
+    base = _jpeg()
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00<x:xmpmeta/>"
+    seg = b"\xff\xe1" + struct.pack(">H", len(xmp) + 2) + xmp
+    j = base[:2] + seg + base[2:]
+    j2 = insert_exif(j, build_exif_app1(FIELDS))
+    s = strip_exif(j2)
+    assert s == j                            # XMP APP1 untouched
+    assert parse_exif(s) is None
+
+
+def test_no_gps_block_yields_null_coords():
+    f = dict(FIELDS)
+    f["gps"] = None
+    p = parse_exif(insert_exif(_jpeg(), build_exif_app1(f)))
+    assert p["make"] == "Canon"
+    assert p["gps_lat_micro"] is None and p["gps_lon_micro"] is None
+
+
+def test_south_west_signs():
+    f = dict(FIELDS)
+    f["gps"] = ("S", [(10, 1), (0, 1), (0, 1)], "E", [(20, 1), (30, 1), (0, 1)])
+    p = parse_exif(insert_exif(_jpeg(), build_exif_app1(f)))
+    assert p["gps_lat_micro"] == -10_000_000
+    assert p["gps_lon_micro"] == 20_500_000
+
+
+def test_zero_denominator_fails_closed_to_null():
+    f = dict(FIELDS)
+    f["gps"] = ("N", [(51, 0), (0, 1), (0, 1)], "E", [(0, 1), (0, 1), (0, 1)])
+    p = parse_exif(insert_exif(_jpeg(), build_exif_app1(f)))
+    assert p["gps_lat_micro"] is None
+    assert p["gps_lon_micro"] == 0
+
+
+def test_hostile_inputs_never_throw():
+    real = insert_exif(_jpeg(), build_exif_app1(FIELDS))
+    hostiles = [
+        b"", b"\xff", b"\xff\xd8", b"\xff\xd8\xff\xe1\x00\x04Ex",
+        b"not a jpeg", None,
+        b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00XX*\x00\x08\x00\x00\x00",
+        b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00II\x2b\x00\x08\x00\x00\x00",
+        # IFD entry count lies huge
+        b"\xff\xd8\xff\xe1\x00\x12Exif\x00\x00II*\x00\x08\x00\x00\x00\xff\xff",
+        bytes(b ^ 0x33 for b in real),
+    ]
+    hostiles += [real[:k] for k in range(0, len(real), 41)]
+    for h in hostiles:
+        p = parse_exif(h)
+        assert p is None or isinstance(p, dict)
+        s = strip_exif(h)
+        assert s is None or isinstance(s, bytes) or h is None
+
+
+def test_spark_extract_and_strip(spark):
+    from logstash_spark.functions.multimodal import (
+        exif_extract,
+        exif_strip_audit,
+        synthetic_media_exif,
+    )
+
+    m = synthetic_media_exif(spark, 30)
+    ex = {r["media_id"]: r for r in exif_extract(m).collect()}
+    assert ex[0]["make"] is None              # id%7==0 -> no EXIF
+    assert ex[1]["make"] == "NIKON" and ex[1]["byte_order"] == "MM"
+    assert ex[3]["gps_lat_micro"] is None     # id%3==0 -> no GPS
+    assert ex[2]["gps_lat_micro"] is not None
+    sa = {r["media_id"]: r for r in exif_strip_audit(m).collect()}
+    assert all(not r["exif_after"] for r in sa.values())
+    assert sa[1]["had_exif"] and not sa[0]["had_exif"]
+    assert sa[1]["px_mean"] == 32 + 37 % 95   # solid gray exact
