@@ -1409,3 +1409,89 @@ def exif_strip_audit(df: DataFrame) -> DataFrame:
         "media_id bigint, had_exif boolean, exif_after boolean, "
         "n_pix int, px_mean double")
     return out.withColumn("px_mean", F.round("px_mean", 4))
+
+
+# ---------------------------------------------------------------------------
+# Office document text extraction (functions/officecodec.py): .docx/.odt —
+# the ZIP-container document formats a web corpus carries alongside PDF.
+# ---------------------------------------------------------------------------
+
+
+def synthetic_docs_office(spark, n: int = 200) -> DataFrame:
+    """Deterministic mixed docx/odt table with closed-form extractable
+    text: even ids are .docx, odd .odt; paragraph 0 carries XML-special
+    characters (entity escape path), docx paragraph 1 carries a real
+    <w:tab/> run, id % 3 == 0 uses STORED zip members (else deflate),
+    odt id % 5 == 0 renders its first paragraph as a text:h heading."""
+    import hashlib
+
+    from logstash_spark.functions.officecodec import encode_docx, encode_odt
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_par = i % 3 + 1
+                fmt = "docx" if i % 2 == 0 else "odt"
+                paras = []
+                for p in range(n_par):
+                    h = hashlib.md5(str(i * 9 + p).encode()).hexdigest()
+                    if p == 0:
+                        paras.append(h[:16] + " &<x>")
+                    elif p == 1 and fmt == "docx":
+                        paras.append(h[:8] + "\t" + h[8:16])
+                    else:
+                        paras.append(h[:16])
+                stored = i % 3 == 0
+                if fmt == "docx":
+                    buf = encode_docx(paras, stored=stored, with_tabs=True)
+                    mime = ("application/vnd.openxmlformats-officedocument"
+                            ".wordprocessingml.document")
+                else:
+                    buf = encode_odt(paras, stored=stored,
+                                     heading_first=i % 5 == 0)
+                    mime = "application/vnd.oasis.opendocument.text"
+                rows.append((i, buf, mime))
+            yield pd.DataFrame(rows, columns=["doc_id", "bytes", "mime"])
+
+    return spark.range(n).mapInPandas(
+        gen, "doc_id bigint, bytes binary, mime string")
+
+
+def office_extract_text(df: DataFrame) -> DataFrame:
+    """Sniff-and-extract for ZIP-container office documents: .docx
+    (word/document.xml) and .odt (content.xml), whichever part the ZIP
+    carries. Arrow batches, map-only, fail-closed rows survive with NULL
+    text (corrupt-document audit stance, like pdf_extract_text)."""
+    from logstash_spark.functions.officecodec import (
+        extract_docx_text,
+        extract_odt_text,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, buf in zip(pdf["doc_id"], pdf["bytes"]):
+                fmt = text = None
+                npar = nch = None
+                if buf is not None:
+                    raw = bytes(buf)
+                    r = extract_docx_text(raw)
+                    if r is not None:
+                        fmt = "docx"
+                    else:
+                        r = extract_odt_text(raw)
+                        if r is not None:
+                            fmt = "odt"
+                    if r is not None:
+                        text, npar = r
+                        nch = len(text)
+                rows.append((int(did), fmt, npar, nch, text))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "fmt", "n_paragraphs", "n_chars", "text"])
+
+    return df.select("doc_id", "bytes").mapInPandas(
+        batches,
+        "doc_id bigint, fmt string, n_paragraphs int, n_chars int, "
+        "text string")

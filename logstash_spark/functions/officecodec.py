@@ -1,0 +1,259 @@
+"""Office document text extraction on the stdlib — OOXML .docx (ECMA-376:
+ZIP container + word/document.xml WordprocessingML) and OpenDocument .odt
+(OASIS ODF: ZIP container + content.xml). Web corpora carry both; a
+training-data pipeline extracts their text the same way it does HTML/PDF.
+
+Written fresh from the public specs. The ZIP layer is Python's stdlib
+`zipfile` (itself public stdlib); the XML layer is a small deterministic
+regex pass — paragraphs (`<w:p>` / `<text:p>`) become lines, runs/text
+nodes concatenate, `<w:tab/>`/`<text:tab/>` render as TAB, `<w:br/>`/
+`<text:line-break/>` as newline, and the five XML entities unescape.
+A full XML parser is deliberately NOT used: the extraction contract is
+line-oriented text, and the regex pass is deterministic, bounded, and
+immune to entity-expansion attacks by construction.
+
+FAIL CLOSED: not-a-zip, missing document part, oversized parts
+(zip-bomb guard via ZipInfo.file_size before read), >MAX_PARTS entries,
+or any exception -> None. Never raises on hostile bytes.
+
+`encode_docx` / `encode_odt` are the fixture/oracle builders
+(deterministic: fixed timestamps, fixed compression) — extraction is
+LOSSLESS, so full value oracles replay the text closed-form in SQL.
+
+Scale shape: per-document work inside Arrow-batched mapInPandas (wired
+in functions/multimodal.py) — map-only, no shuffle.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+
+MAX_PART = 1 << 24        # 16 MiB uncompressed per XML part
+MAX_PARTS = 4_096
+MAX_TEXT = 1 << 22
+
+_ENT = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
+_ENT_RE = re.compile("|".join(_ENT) + r"|&#x?[0-9A-Fa-f]{1,6};")
+
+
+def _unescape(s: str) -> str:
+    def sub(m):
+        t = m.group(0)
+        if t in _ENT:
+            return _ENT[t]
+        try:
+            code = int(t[3:-1], 16) if t[2] in "xX" else int(t[2:-1])
+            return chr(code) if 0 < code <= 0x10FFFF else ""
+        except ValueError:
+            return ""
+    return _ENT_RE.sub(sub, s)
+
+
+def _read_part(buf: bytes, names: tuple[str, ...]):
+    """First matching ZIP member's bytes, bounded; None on any failure."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(buf)) as z:
+            infos = z.infolist()
+            if len(infos) > MAX_PARTS:
+                return None
+            for want in names:
+                for info in infos:
+                    if info.filename == want:
+                        if info.file_size > MAX_PART:
+                            return None
+                        with z.open(info) as f:
+                            return f.read(MAX_PART + 1)[:MAX_PART]
+        return None
+    except Exception:
+        return None
+
+
+def _xml_paragraph_text(xml: str, para: str, text_tags: tuple[str, ...],
+                        tab: str, brk: str) -> str:
+    """Paragraph elements -> lines; text-node tags concatenate inside."""
+    out: list[str] = []
+    total = 0
+    # paragraphs: self-closing (empty line) OR open..close with body —
+    # a real alternation: an optional body group after a self-closing
+    # match would swallow the NEXT paragraph as its "body"
+    para_re = re.compile(
+        r"<%s(?:\s[^>]*)?(/)>|<%s(?:\s[^>]*)?>(.*?)</%s>"
+        % (para, para, para), re.S)
+    inner_re = re.compile(
+        "|".join(
+            [r"<%s(?:\s[^>]*)?>(.*?)</%s>" % (t, t) for t in text_tags]
+            + [r"<%s(?:\s[^>]*)?/>" % tab, r"<%s(?:\s[^>]*)?/>" % brk]),
+        re.S)
+    tab_tag = "<" + tab
+    brk_tag = "<" + brk
+    for m in para_re.finditer(xml):
+        if m.group(1):  # self-closing paragraph
+            out.append("")
+            continue
+        body = m.group(2) or ""
+        parts: list[str] = []
+        for im in inner_re.finditer(body):
+            tok = im.group(0)
+            if tok.startswith(tab_tag):
+                parts.append("\t")
+            elif tok.startswith(brk_tag):
+                parts.append("\n")
+            else:
+                for g in im.groups():
+                    if g is not None:
+                        parts.append(_unescape(re.sub(r"<[^>]*>", "", g)))
+                        break
+        line = "".join(parts)
+        total += len(line)
+        out.append(line)
+        if total > MAX_TEXT:
+            break
+    return "\n".join(out)
+
+
+def extract_docx_text(buf: bytes):
+    """-> (text, n_paragraphs) or None. Never raises."""
+    try:
+        if not isinstance(buf, (bytes, bytearray)) or buf[:2] != b"PK":
+            return None
+        xml = _read_part(bytes(buf), ("word/document.xml",))
+        if xml is None:
+            return None
+        s = xml.decode("utf-8", errors="replace")
+        text = _xml_paragraph_text(
+            s, "w:p", ("w:t",), "w:tab", "w:br")
+        n_par = text.count("\n") + 1 if text or "<w:p" in s else 0
+        return text, n_par
+    except Exception:
+        return None
+
+
+def extract_odt_text(buf: bytes):
+    """-> (text, n_paragraphs) or None. Headers (`text:h`) count as
+    paragraph lines too, matching ODF reading order. Never raises."""
+    try:
+        if not isinstance(buf, (bytes, bytearray)) or buf[:2] != b"PK":
+            return None
+        xml = _read_part(bytes(buf), ("content.xml",))
+        if xml is None:
+            return None
+        s = xml.decode("utf-8", errors="replace")
+        # normalize text:h to text:p so one paragraph pass covers both
+        s = s.replace("<text:h", "<text:p").replace("</text:h>", "</text:p>")
+        text = _para_odt(s)
+        n_par = text.count("\n") + 1 if text or "<text:p" in s else 0
+        return text, n_par
+    except Exception:
+        return None
+
+
+def _para_odt(s: str) -> str:
+    out: list[str] = []
+    total = 0
+    para_re = re.compile(
+        r"<text:p(?:\s[^>]*)?(/)>|<text:p(?:\s[^>]*)?>(.*?)</text:p>", re.S)
+    for m in para_re.finditer(s):
+        if m.group(1):
+            out.append("")
+            continue
+        body = m.group(2) or ""
+        body = re.sub(r"<text:tab(?:\s[^>]*)?/>", "\t", body)
+        body = re.sub(r"<text:line-break(?:\s[^>]*)?/>", "\n", body)
+        # <text:s text:c="N"/> = N spaces (default 1)
+        def spaces(sm):
+            c = re.search(r'text:c="(\d{1,4})"', sm.group(0))
+            return " " * (int(c.group(1)) if c else 1)
+        body = re.sub(r"<text:s(?:\s[^>]*)?/>", spaces, body)
+        line = _unescape(re.sub(r"<[^>]*>", "", body))
+        total += len(line)
+        out.append(line)
+        if total > MAX_TEXT:
+            break
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# fixture/oracle builders (deterministic bytes: fixed dates, fixed level)
+# ---------------------------------------------------------------------------
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+             .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def _zip_bytes(members: list[tuple[str, bytes]], *, stored: bool) -> bytes:
+    out = io.BytesIO()
+    method = zipfile.ZIP_STORED if stored else zipfile.ZIP_DEFLATED
+    with zipfile.ZipFile(out, "w") as z:
+        for name, data in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = method
+            info.external_attr = 0o600 << 16
+            z.writestr(info, data)
+    return out.getvalue()
+
+
+def encode_docx(paragraphs: list[str], *, stored: bool = False,
+                with_tabs: bool = False) -> bytes:
+    """Minimal valid .docx whose extracted text is exactly
+    '\\n'.join(paragraphs); a '\\t' inside a paragraph becomes a real
+    <w:tab/> run when with_tabs (else stays literal in <w:t>)."""
+    runs = []
+    for p in paragraphs:
+        if with_tabs and "\t" in p:
+            body = "".join(
+                "<w:tab/>" if seg == "\t" else
+                "<w:r><w:t xml:space=\"preserve\">%s</w:t></w:r>"
+                % _xml_escape(seg)
+                for seg in re.split(r"(\t)", p) if seg != "")
+        else:
+            body = ("<w:r><w:t xml:space=\"preserve\">%s</w:t></w:r>"
+                    % _xml_escape(p))
+        runs.append("<w:p>%s</w:p>" % body)
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>%s</w:body></w:document>'
+        % "".join(runs))
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types"><Default Extension="xml" ContentType="application/'
+        'xml"/><Override PartName="/word/document.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.wordprocessingml.'
+        'document.main+xml"/></Types>')
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships"><Relationship Id="rId1" Type="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships/'
+        'officeDocument" Target="word/document.xml"/></Relationships>')
+    return _zip_bytes(
+        [("[Content_Types].xml", ct.encode()),
+         ("_rels/.rels", rels.encode()),
+         ("word/document.xml", doc.encode())],
+        stored=stored)
+
+
+def encode_odt(paragraphs: list[str], *, stored: bool = False,
+               heading_first: bool = False) -> bytes:
+    """Minimal valid .odt whose extracted text is exactly
+    '\\n'.join(paragraphs); heading_first renders paragraph 0 as a
+    text:h element (extractor treats headings as lines too)."""
+    parts = []
+    for k, p in enumerate(paragraphs):
+        tag = "text:h" if heading_first and k == 0 else "text:p"
+        parts.append("<%s>%s</%s>" % (tag, _xml_escape(p), tag))
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content xmlns:office="urn:oasis:names:tc:'
+        'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:'
+        'opendocument:xmlns:text:1.0"><office:body><office:text>%s'
+        '</office:text></office:body></office:document-content>'
+        % "".join(parts))
+    return _zip_bytes(
+        [("mimetype", b"application/vnd.oasis.opendocument.text"),
+         ("content.xml", content.encode())],
+        stored=stored)

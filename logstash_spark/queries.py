@@ -1971,6 +1971,51 @@ def pdf_text_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_extract_text(synthetic_docs_pdf(spark, 200))
 
 
+# Office extraction is LOSSLESS like PDF's, so the mixed docx/odt corpus
+# text replays closed-form: entity suffix on paragraph 0, the real
+# <w:tab/> on docx paragraph 1, headings/stored-members folded in.
+_OFFICE_TEXT_ORACLE = """WITH d AS (
+  SELECT id, CAST(id % 3 + 1 AS INT) AS n_par,
+         CASE WHEN id % 2 = 0 THEN 'docx' ELSE 'odt' END AS fmt
+  FROM range(200) t(id)
+), pg AS (
+  SELECT id, n_par, fmt, unnest(range(n_par)) AS p FROM d
+), hx AS (
+  SELECT id, n_par, fmt, p, md5(CAST(id * 9 + p AS VARCHAR)) AS h FROM pg
+), lines AS (
+  SELECT id, n_par, fmt, p,
+         CASE WHEN p = 0 THEN substr(h, 1, 16) || ' &<x>'
+              WHEN p = 1 AND fmt = 'docx'
+                THEN substr(h, 1, 8) || chr(9) || substr(h, 9, 8)
+              ELSE substr(h, 1, 16) END AS line
+  FROM hx
+), docs AS (
+  SELECT id, n_par, fmt,
+         string_agg(line, chr(10) ORDER BY p) AS text
+  FROM lines GROUP BY id, n_par, fmt
+)
+SELECT id AS doc_id, fmt, n_par AS n_paragraphs,
+       CAST(length(text) AS INT) AS n_chars, text
+FROM docs"""
+
+
+@q("office_text_extract", _OFFICE_TEXT_ORACLE)
+def office_text_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WEB document decode #2: ZIP-container office formats.
+    Sniffing extractor (functions/officecodec) reads word/document.xml
+    (ECMA-376 WordprocessingML) or content.xml (OASIS ODF) and assembles
+    paragraph lines with tab/line-break/entity handling — over a mixed
+    docx/odt corpus exercising stored + deflated members, text:h
+    headings and real <w:tab/> runs. Extraction is lossless, so the
+    FULL text is value-oracled closed-form."""
+    from logstash_spark.functions.multimodal import (
+        office_extract_text,
+        synthetic_docs_office,
+    )
+
+    return office_extract_text(synthetic_docs_office(spark, 200))
+
+
 # EXIF fields are deterministic id-arithmetic (synthetic_media_exif), so
 # extraction has a FULL closed-form oracle — GPS microdegrees in pure
 # BIGINT (seconds denominator 100 divides 1e6; DuckDB // is floor div).

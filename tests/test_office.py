@@ -1,0 +1,114 @@
+"""Office text extraction (functions/officecodec.py): docx/odt round
+trips, XML feature coverage (tabs, breaks, entities, headings, spaces),
+zip-bomb/hostile bars, and the Spark-level mixed-corpus sniff."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from logstash_spark.functions.officecodec import (
+    MAX_PART,
+    encode_docx,
+    encode_odt,
+    extract_docx_text,
+    extract_odt_text,
+)
+
+PARAS = ["First & <spécial> \"quoted\"", "second\tline", "third"]
+
+
+@pytest.mark.parametrize("stored", [False, True])
+def test_docx_round_trip(stored):
+    t, n = extract_docx_text(encode_docx(PARAS, stored=stored, with_tabs=True))
+    assert t == "\n".join(PARAS)
+    assert n == 3
+
+
+@pytest.mark.parametrize("stored", [False, True])
+@pytest.mark.parametrize("heading", [False, True])
+def test_odt_round_trip(stored, heading):
+    t, n = extract_odt_text(
+        encode_odt(PARAS, stored=stored, heading_first=heading))
+    assert t == "\n".join(PARAS)
+    assert n == 3
+
+
+def _zip(members):
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as z:
+        for name, data in members:
+            z.writestr(name, data)
+    return out.getvalue()
+
+
+def test_docx_breaks_and_nested_runs():
+    doc = (b'<w:document><w:body>'
+           b'<w:p><w:r><w:t>a</w:t></w:r><w:br/><w:r><w:t>b</w:t></w:r></w:p>'
+           b'<w:p/>'
+           b'<w:p><w:r><w:rPr/><w:t>c&amp;d</w:t></w:r></w:p>'
+           b'</w:body></w:document>')
+    t, n = extract_docx_text(_zip([("word/document.xml", doc)]))
+    assert t == "a\nb\n\nc&d"
+    assert n == 4
+
+
+def test_odt_space_runs_and_linebreak():
+    doc = (b'<office:text>'
+           b'<text:p>a<text:s text:c="3"/>b<text:line-break/>c</text:p>'
+           b'<text:h>Head</text:h>'
+           b'</office:text>')
+    t, n = extract_odt_text(_zip([("content.xml", doc)]))
+    assert t == "a   b\nc\nHead"
+    assert n == 3
+
+
+def test_numeric_character_references():
+    doc = b"<w:p><w:r><w:t>x&#65;&#x42;y</w:t></w:r></w:p>"
+    t, _ = extract_docx_text(_zip([("word/document.xml", doc)]))
+    assert t == "xAByy"[:4]  # A and B decoded
+
+
+def test_part_size_bomb_fails_closed():
+    # declared file_size above MAX_PART -> None before any read
+    big = b"<w:p><w:r><w:t>" + b"a" * 64 + b"</w:t></w:r></w:p>"
+    raw = _zip([("word/document.xml", big)])
+    assert extract_docx_text(raw) is not None
+    # forge a huge declared size via a stored bomb built honestly
+    bomb = b"x" * (MAX_PART + 1)
+    raw2 = _zip([("word/document.xml", bomb)])
+    assert extract_docx_text(raw2) is None
+
+
+def test_wrong_container_returns_none():
+    assert extract_docx_text(_zip([("content.xml", b"<text:p>a</text:p>")])) is None
+    assert extract_odt_text(_zip([("word/document.xml", b"<w:p/>")])) is None
+
+
+def test_hostile_inputs_never_throw():
+    real = encode_docx(PARAS)
+    hostiles = [b"", b"P", b"PK", b"PK\x03\x04", b"PK\x03\x04" + b"\xff" * 64,
+                b"not a zip", None,
+                real.replace(b"word/document.xml", b"word/documXnt.xml"),
+                bytes(b ^ 0x77 for b in real)]
+    hostiles += [real[:k] for k in range(0, len(real), 53)]
+    for h in hostiles:
+        for fn in (extract_docx_text, extract_odt_text):
+            r = fn(h)
+            assert r is None or isinstance(r, tuple)
+
+
+def test_spark_mixed_corpus_sniff(spark):
+    from logstash_spark.functions.multimodal import (
+        office_extract_text,
+        synthetic_docs_office,
+    )
+
+    rows = {r["doc_id"]: r
+            for r in office_extract_text(
+                synthetic_docs_office(spark, 20)).collect()}
+    assert rows[0]["fmt"] == "docx" and rows[1]["fmt"] == "odt"
+    assert all(r["text"] is not None for r in rows.values())
+    assert rows[4]["text"].split("\n")[1].count("\t") == 1  # docx tab run
