@@ -1355,3 +1355,60 @@ def pagination_merge(
         F.element_at(kept, 1)["u"].alias("first_url"),
         F.array_join(F.transform(kept, lambda s: s["t"]), "\n").alias("merged_text"),
     )
+
+
+def robots_meta_gate(
+    df: DataFrame,
+    *,
+    html_col: str = "html_str",
+    header_col: str | None = "x_robots_tag",
+    url_col: str = "url",
+) -> DataFrame:
+    """Page-level robots directives — the complement of robots.txt
+    (robots_filter): ``<meta name="robots" content="noindex, nofollow">``
+    in the head and the ``X-Robots-Tag`` response header. A corpus
+    ingest must honor these (publishers opt pages out of indexing), and
+    the MOST RESTRICTIVE source wins when both are present — exactly the
+    combining rule search engines document publicly.
+
+    ``none`` is shorthand for ``noindex, nofollow``. Output per page:
+    the two verdict booleans and which source(s) restricted the page
+    ('meta' / 'header' / 'both', NULL when unrestricted). Pure JVM regex
+    on the head + a lower-trim of the header column; no shuffle.
+    """
+    meta_content = F.regexp_extract(
+        F.col(html_col),
+        '(?i)<meta[^>]*name=["\']robots["\'][^>]*content=["\']([^"\']*)["\']',
+        1)
+    # attribute order can flip: content before name
+    meta_content2 = F.regexp_extract(
+        F.col(html_col),
+        '(?i)<meta[^>]*content=["\']([^"\']*)["\'][^>]*name=["\']robots["\']',
+        1)
+    meta = F.lower(F.when(meta_content != "", meta_content)
+                   .otherwise(meta_content2))
+    header = (F.lower(F.coalesce(F.col(header_col), F.lit("")))
+              if header_col else F.lit(""))
+
+    def has(src: Column, token: str) -> Column:
+        return src.rlike(r"(^|[,\s])" + token + r"([,\s]|$)")
+
+    meta_noindex = has(meta, "noindex") | has(meta, "none")
+    meta_nofollow = has(meta, "nofollow") | has(meta, "none")
+    hdr_noindex = has(header, "noindex") | has(header, "none")
+    hdr_nofollow = has(header, "nofollow") | has(header, "none")
+    noindex = meta_noindex | hdr_noindex
+    nofollow = meta_nofollow | hdr_nofollow
+    meta_any = meta_noindex | meta_nofollow
+    hdr_any = hdr_noindex | hdr_nofollow
+    source = (
+        F.when(meta_any & hdr_any, "both")
+        .when(meta_any, "meta")
+        .when(hdr_any, "header"))
+    return df.select(
+        F.col(url_col).alias("url"),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        (~noindex).alias("indexable"),
+        source.alias("restricted_by"),
+    )

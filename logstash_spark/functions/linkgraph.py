@@ -615,3 +615,93 @@ def link_spam_score(
         score.cast("int").alias("spam_score"),
         (score >= 4).alias("is_link_spam"),
     )
+
+
+def hreflang_alternates(
+    df: DataFrame, *, html_col: str = "html_str", url_col: str = "url"
+) -> DataFrame:
+    """``<link rel="alternate" hreflang=.. href=..>`` extraction — the
+    explicit translation-graph signal ParaCrawl-style bitext mining
+    prefers over URL-pattern matching (a site DECLARES its parallel
+    pages). Pure JVM: one regexp_extract_all for the link tags, then an
+    array transform pulling hreflang/href per tag in EITHER attribute
+    order; explode drops pages without alternates. Output one row per
+    (page, alternate) with the page's alternate-set size alongside.
+
+    Scale shape: map-only until the final explode (row multiplier = the
+    declared cluster size, bounded by the page's own head), no shuffle.
+    """
+    tags = F.expr(
+        f"regexp_extract_all({html_col}, '<link[^>]*>', 0)")
+    alt = F.filter(
+        tags,
+        lambda t: t.rlike('rel=["\']alternate["\']')
+        & t.rlike('hreflang=["\']'))
+    pairs = F.transform(
+        alt,
+        lambda t: F.struct(
+            F.regexp_extract(t, 'hreflang=["\']([^"\']*)["\']', 1)
+            .alias("hreflang"),
+            F.regexp_extract(t, 'href=["\']([^"\']*)["\']', 1).alias("href"),
+        ))
+    out = df.select(
+        F.col(url_col).alias("url"),
+        F.size(pairs).alias("n_alternates"),
+        F.explode(pairs).alias("alt"),
+    )
+    return out.select(
+        "url",
+        F.col("alt.hreflang").alias("hreflang"),
+        F.col("alt.href").alias("href"),
+        "n_alternates",
+        (F.col("alt.hreflang") == "x-default").alias("is_default"),
+    )
+
+
+def hreflang_bitext_pairs(
+    df: DataFrame, *, html_col: str = "html_str", url_col: str = "url"
+) -> DataFrame:
+    """Translation-pair candidates from hreflang clusters: every
+    unordered language pair a declaring page announces, with both hrefs
+    — the candidate list a bitext aligner consumes. x-default entries
+    are routing hints, not languages, and are excluded from pairing.
+
+    JVM-only pairing: the unordered pairs come from a nested array
+    transform + flatten over the per-page alternate array (no self-join,
+    no shuffle) — the cluster is already colocated on its declaring row.
+    """
+    # the cluster is already colocated on its declaring row, so pairing
+    # is an array op on the extraction — no collect_list, no self-join
+    tags = F.expr(
+        f"regexp_extract_all({html_col}, '<link[^>]*>', 0)")
+    alt = F.filter(
+        tags,
+        lambda t: t.rlike('rel=["\']alternate["\']')
+        & t.rlike('hreflang=["\']'))
+    pairs = F.transform(
+        alt,
+        lambda t: F.struct(
+            F.regexp_extract(t, 'hreflang=["\']([^"\']*)["\']', 1)
+            .alias("hreflang"),
+            F.regexp_extract(t, 'href=["\']([^"\']*)["\']', 1).alias("href"),
+        ))
+    langs = F.filter(pairs, lambda s: s.hreflang != "x-default")
+    n = F.size(langs)
+    pair_arr = F.flatten(
+        F.transform(
+            langs,
+            lambda x, i: F.transform(
+                F.slice(langs, i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x.hreflang.alias("lang_a"), y.hreflang.alias("lang_b"),
+                    x.href.alias("href_a"), y.href.alias("href_b"),
+                ))))
+    out = df.select(
+        F.col(url_col).alias("url"), F.explode(pair_arr).alias("p"))
+    return out.select(
+        "url",
+        F.col("p.lang_a").alias("lang_a"),
+        F.col("p.lang_b").alias("lang_b"),
+        F.col("p.href_a").alias("href_a"),
+        F.col("p.href_b").alias("href_b"),
+    )

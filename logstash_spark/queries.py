@@ -6363,6 +6363,163 @@ def charset_declared_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "charset_declared")
 
 
+def _hreflang_html():
+    """Shared fixture: pages with event_id % 4 != 3 declare hreflang
+    alternates — 2 langs (en,de) when event_id is even, 3 (en,de,fr)
+    when odd — plus an x-default entry when event_id % 5 == 0. Attribute
+    order flips with event_id % 2 to exercise either-order extraction."""
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    h = (F.col("user_id") % 40).cast("string")
+
+    def link(lang):
+        href = F.concat(F.lit("https://host"), h, F.lit(".example.com/"),
+                        F.lit(lang), F.lit("/p/"), es)
+        fwd = F.concat(F.lit('<link rel="alternate" hreflang="'),
+                       F.lit(lang), F.lit('" href="'), href, F.lit('">'))
+        rev = F.concat(F.lit('<link href="'), href,
+                       F.lit('" hreflang="'), F.lit(lang),
+                       F.lit('" rel="alternate">'))
+        return F.when(eid % 2 == 0, fwd).otherwise(rev)
+
+    xdef = F.when(
+        eid % 5 == 0,
+        F.concat(F.lit('<link rel="alternate" hreflang="x-default" href='
+                       '"https://host'), h, F.lit(".example.com/p/"), es,
+                 F.lit('">'))).otherwise(F.lit(""))
+    links = F.when(
+        eid % 4 == 3, F.lit("")
+    ).otherwise(
+        F.concat(link("en"), link("de"),
+                 F.when(eid % 2 == 1, link("fr")).otherwise(F.lit("")),
+                 xdef))
+    return F.concat(F.lit("<html><head>"), links,
+                    F.lit("</head><body>"), F.col("text"),
+                    F.lit("</body></html>"))
+
+
+@q(
+    "hreflang_alternates",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid,
+             CAST(user_id % 40 AS VARCHAR) AS h FROM pages
+      WHERE event_id % 4 <> 3),
+alts AS (
+  SELECT url, event_id, eid, h, unnest(
+    (CASE WHEN event_id % 2 = 0 THEN ['en','de'] ELSE ['en','de','fr'] END)
+    || (CASE WHEN event_id % 5 = 0 THEN ['x-default']
+             ELSE CAST([] AS VARCHAR[]) END)) AS hreflang
+  FROM v)
+SELECT url, hreflang,
+       CASE WHEN hreflang = 'x-default'
+            THEN 'https://host' || h || '.example.com/p/' || eid
+            ELSE 'https://host' || h || '.example.com/' || hreflang
+                 || '/p/' || eid END AS href,
+       CAST(2 + event_id % 2
+            + CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_alternates,
+       hreflang = 'x-default' AS is_default
+FROM alts""",
+)
+def hreflang_alternates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate extraction (the explicit translation-graph
+    signal bitext mining prefers): link tags in either attribute order,
+    x-default routing entries flagged, per-page alternate-set size
+    alongside, pages without alternates dropped by the explode. Oracle
+    regenerates every (url, hreflang, href) row arithmetically."""
+    from logstash_spark.functions.linkgraph import hreflang_alternates
+
+    p = _pages(spark, sf_dir)
+    return hreflang_alternates(p.withColumn("html_str", _hreflang_html()))
+
+
+@q(
+    "hreflang_bitext_pairs",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid,
+             CAST(user_id % 40 AS VARCHAR) AS h FROM pages
+      WHERE event_id % 4 <> 3),
+pairs AS (
+  SELECT v.url, v.eid, v.h, p.la AS lang_a, p.lb AS lang_b
+  FROM v JOIN (VALUES (0, 'en', 'de'), (1, 'en', 'de'),
+                      (2, 'en', 'fr'), (3, 'de', 'fr')) p(k, la, lb)
+    ON (v.event_id % 2 = 0 AND p.k = 0)
+    OR (v.event_id % 2 = 1 AND p.k >= 1))
+SELECT url, lang_a, lang_b,
+       'https://host' || h || '.example.com/' || lang_a || '/p/' || eid
+         AS href_a,
+       'https://host' || h || '.example.com/' || lang_b || '/p/' || eid
+         AS href_b
+FROM pairs""",
+)
+def hreflang_bitext_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation-pair candidates from the declared hreflang clusters:
+    every unordered language pair with both hrefs, x-default excluded —
+    produced by a nested array transform + flatten on the declaring row
+    (NO self-join, no shuffle; the cluster is already colocated). The
+    2-lang pages yield 1 pair, the 3-lang pages 3 pairs."""
+    from logstash_spark.functions.linkgraph import hreflang_bitext_pairs
+
+    p = _pages(spark, sf_dir)
+    return hreflang_bitext_pairs(p.withColumn("html_str", _hreflang_html()))
+
+
+@q(
+    "robots_meta_gate",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id % 3 <> 2 AS has_meta, event_id % 4 AS mc,
+             user_id % 5 = 0 AS has_hdr, user_id % 3 AS hc FROM pages),
+f AS (SELECT url,
+        has_meta AND mc IN (1, 3) AS m_noidx,
+        has_meta AND mc IN (2, 3) AS m_nofol,
+        has_hdr AND hc = 0 AS h_noidx,
+        has_hdr AND hc = 2 AS h_nofol
+      FROM v)
+SELECT url,
+       m_noidx OR h_noidx AS noindex,
+       m_nofol OR h_nofol AS nofollow,
+       NOT (m_noidx OR h_noidx) AS indexable,
+       CASE WHEN (m_noidx OR m_nofol) AND (h_noidx OR h_nofol) THEN 'both'
+            WHEN m_noidx OR m_nofol THEN 'meta'
+            WHEN h_noidx OR h_nofol THEN 'header' END AS restricted_by
+FROM f""",
+)
+def robots_meta_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives: meta robots (four content classes
+    incl. the 'none' shorthand and an unrestricted 'index, follow'
+    negative, attribute order flipping per row) combined
+    most-restrictive-wins with an X-Robots-Tag header (case-insensitive
+    'NOFOLLOW' exercised). Oracle states the expected verdict matrix
+    arithmetically."""
+    from logstash_spark.functions.crawl import robots_meta_gate
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+    content = (
+        F.when(eid % 4 == 0, F.lit("index, follow"))
+        .when(eid % 4 == 1, F.lit("noindex"))
+        .when(eid % 4 == 2, F.lit("nofollow, noarchive"))
+        .otherwise(F.lit("none")))
+    name_first = F.concat(
+        F.lit('<meta name="robots" content="'), content, F.lit('">'))
+    content_first = F.concat(
+        F.lit('<meta content="'), content, F.lit('" name="robots">'))
+    meta = F.when(eid % 3 == 2, F.lit("")).otherwise(
+        F.when(eid % 2 == 0, name_first).otherwise(content_first))
+    html = F.concat(F.lit("<html><head>"), meta,
+                    F.lit('<meta name="viewport" content="width=1">'
+                          "</head><body>"),
+                    F.col("text"), F.lit("</body></html>"))
+    hdr = F.when(
+        uid % 5 == 0,
+        F.when(uid % 3 == 0, F.lit("noindex"))
+         .when(uid % 3 == 1, F.lit("all"))
+         .otherwise(F.lit("NOFOLLOW")))
+    return robots_meta_gate(
+        p.withColumn("html_str", html).withColumn("x_robots_tag", hdr))
+
+
 @q(
     "page_metadata",
     f"""{_PAGES_CTE},

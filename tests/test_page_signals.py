@@ -1,0 +1,109 @@
+"""hreflang extraction/pairing + robots-meta gating: edge semantics the
+oracle matrix can't isolate (token boundaries, either attribute order,
+x-default exclusion, no-shuffle pairing plan)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_hreflang_either_attribute_order_and_quotes(spark):
+    from logstash_spark.functions.linkgraph import hreflang_alternates
+
+    html = (
+        "<head>"
+        '<link rel="alternate" hreflang="en" href="https://x/en">'
+        "<link href='https://x/de' hreflang='de' rel='alternate'>"
+        '<link rel="stylesheet" href="https://x/css">'
+        '<link rel="alternate" type="application/rss+xml" href="https://x/rss">'
+        "</head>")
+    out = hreflang_alternates(
+        _df(spark, [{"url": "u", "html_str": html}])).collect()
+    got = {(r["hreflang"], r["href"]) for r in out}
+    assert got == {("en", "https://x/en"), ("de", "https://x/de")}
+    assert all(r["n_alternates"] == 2 for r in out)
+
+
+def test_hreflang_pages_without_alternates_drop(spark):
+    from logstash_spark.functions.linkgraph import hreflang_alternates
+
+    out = hreflang_alternates(_df(spark, [
+        {"url": "a", "html_str": "<head></head>"},
+        {"url": "b",
+         "html_str": '<link rel="alternate" hreflang="fr" href="h">'},
+    ])).collect()
+    assert [r["url"] for r in out] == ["b"]
+
+
+def test_bitext_pairs_exclude_xdefault_and_are_unordered(spark):
+    from logstash_spark.functions.linkgraph import hreflang_bitext_pairs
+
+    html = (
+        '<link rel="alternate" hreflang="en" href="https://x/en">'
+        '<link rel="alternate" hreflang="de" href="https://x/de">'
+        '<link rel="alternate" hreflang="fr" href="https://x/fr">'
+        '<link rel="alternate" hreflang="x-default" href="https://x/">')
+    out = hreflang_bitext_pairs(
+        _df(spark, [{"url": "u", "html_str": html}])).collect()
+    pairs = {(r["lang_a"], r["lang_b"]) for r in out}
+    assert pairs == {("en", "de"), ("en", "fr"), ("de", "fr")}
+    hrefs = {(r["href_a"], r["href_b"]) for r in out}
+    assert ("https://x/en", "https://x/de") in hrefs
+    assert not any("x-default" in p for pair in pairs for p in pair)
+
+
+def test_bitext_pairs_plan_has_no_shuffle(spark):
+    from logstash_spark.functions.linkgraph import hreflang_bitext_pairs
+
+    df = _df(spark, [{"url": "u", "html_str": "<head></head>"}])
+    plan = hreflang_bitext_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize("content,noindex,nofollow", [
+    ("index, follow", False, False),
+    ("noindex", True, False),
+    ("nofollow", False, True),
+    ("none", True, True),
+    ("noindex,nofollow", True, True),
+    ("NOINDEX", True, False),          # case-insensitive
+    ("noindexing", False, False),      # token boundary
+    ("granonefoo", False, False),      # 'none' needs boundaries too
+])
+def test_robots_meta_tokens(spark, content, noindex, nofollow):
+    from logstash_spark.functions.crawl import robots_meta_gate
+
+    html = f'<head><meta name="robots" content="{content}"></head>'
+    r = robots_meta_gate(
+        _df(spark, [{"url": "u", "html_str": html, "x_robots_tag": None}])
+    ).collect()[0]
+    assert r["noindex"] is noindex and r["nofollow"] is nofollow
+    assert r["indexable"] is (not noindex)
+
+
+def test_robots_header_combines_most_restrictive(spark):
+    from logstash_spark.functions.crawl import robots_meta_gate
+
+    rows = [
+        {"url": "a",
+         "html_str": '<meta name="robots" content="noindex">',
+         "x_robots_tag": "nofollow"},
+        {"url": "b", "html_str": "<head></head>", "x_robots_tag": "none"},
+        {"url": "c",
+         "html_str": '<meta content="nofollow" name="robots">',
+         "x_robots_tag": None},
+        {"url": "d", "html_str": "<head></head>", "x_robots_tag": "all"},
+    ]
+    out = {r["url"]: r for r in robots_meta_gate(_df(spark, rows)).collect()}
+    assert out["a"]["noindex"] and out["a"]["nofollow"]
+    assert out["a"]["restricted_by"] == "both"
+    assert out["b"]["noindex"] and out["b"]["nofollow"]
+    assert out["b"]["restricted_by"] == "header"
+    assert not out["c"]["noindex"] and out["c"]["nofollow"]
+    assert out["c"]["restricted_by"] == "meta"
+    assert out["d"]["restricted_by"] is None and out["d"]["indexable"]
