@@ -190,6 +190,40 @@ def synthetic_media_gif(spark, n: int = 100) -> DataFrame:
         "meta struct<mime:string, width:int, height:int, duration_ms:int>")
 
 
+def synthetic_media_tiff(spark, n: int = 100) -> DataFrame:
+    """Deterministic TIFF media table: `bytes` = a REAL baseline TIFF 6.0
+    (functions/tiffcodec) whose DECODED raster is the identical md5-tiling
+    closed form as the PPM/PNG tables — TIFF is lossless, so the same SQL
+    oracle replays decoded content. The id axes route every decoder path
+    under the hash gate: byte order II/MM (id%2), compression none /
+    PackBits (id%3==0), single-strip vs 8-row strips (id%5==0)."""
+    import hashlib
+
+    from logstash_spark.functions.tiffcodec import encode_tiff
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = (i % 4) * 16 + 16
+                h = (i % 3) * 16 + 16
+                hexs = hashlib.md5(str(i).encode()).hexdigest()
+                raster = (hexs * 288).encode()[: w * h * 3]
+                buf = encode_tiff(
+                    w, h, raster,
+                    byte_order="II" if i % 2 == 0 else "MM",
+                    compression=32773 if i % 3 == 0 else 1,
+                    rows_per_strip=8 if i % 5 == 0 else None)
+                rows.append((i, buf, ("image/tiff", w, h, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "meta"])
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "media_id bigint, bytes binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>")
+
+
 # ---------------------------------------------------------------------------
 # stdlib image decode (no PIL needed): P6 PPM + uncompressed BMP headers
 # + PNG (zlib) below
@@ -470,6 +504,11 @@ def decode_media(buf: bytes):
 
         p = parse_gif(buf)
         return ("gif", *p) if p else None
+    if buf.startswith(b"II*\x00") or buf.startswith(b"MM\x00*"):
+        from logstash_spark.functions.tiffcodec import parse_tiff
+
+        p = parse_tiff(buf)
+        return ("tiff", *p) if p else None
     return None
 
 

@@ -1,0 +1,255 @@
+"""Baseline TIFF 6.0 decode on the stdlib — written fresh from the public
+TIFF 6.0 spec (Adobe, 1992): IFD tag walk (shared with the EXIF reader in
+functions/exifcodec — EXIF *is* embedded TIFF), strip assembly, and the
+two compressions a web corpus actually meets in baseline TIFFs: none (1)
+and PackBits (32773, the Apple RLE from the spec's section 9).
+
+Supported raster class: 8-bit samples, 1 (grayscale) or 3 (RGB) samples
+per pixel, any strip layout, both byte orders. LZW (5), JPEG-in-TIFF,
+tiled TIFFs, planar configuration 2, and sub-8-bit depths fail CLOSED
+(None) — the PNG/JPEG/GIF hostile-input stance.
+
+`encode_tiff` is the fixture/oracle builder: decode is LOSSLESS, so the
+md5-tiling raster closed form survives the round trip and the value
+oracle replays decoded CONTENT in SQL (the PNG/GIF oracle trick).
+
+Scale shape: per-image work inside Arrow-batched mapInPandas via
+multimodal.decode_media — map-only, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from logstash_spark.functions.exifcodec import _Tiff
+
+_MAX_PIXELS = 1 << 26  # 64 Mpx, same guard as PNG/JPEG
+
+TAG_WIDTH = 256
+TAG_HEIGHT = 257
+TAG_BPS = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_STRIP_OFFSETS = 273
+TAG_SPP = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_COUNTS = 279
+TAG_PLANAR = 284
+
+
+def packbits_decode(data: bytes, expect: int):
+    """PackBits RLE decode, bounded by the expected output size; None on
+    malformed input (truncated literal / overflow)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expect:
+        b = data[i]
+        i += 1
+        if b < 128:          # literal run of b+1 bytes
+            if i + b + 1 > n:
+                return None
+            out += data[i:i + b + 1]
+            i += b + 1
+        elif b > 128:        # repeat next byte 257-b times
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # b == 128: no-op per spec
+    if len(out) < expect:
+        return None
+    return bytes(out[:expect])
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Spec-shaped PackBits encoder (runs >=3 become repeats)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length at i
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i = j + 1
+        else:
+            # literal: extend until a >=3 run starts or 128 bytes
+            k = i
+            while k < n and k - i < 128:
+                if (k + 2 < n and data[k] == data[k + 1] == data[k + 2]):
+                    break
+                k += 1
+            out += bytes([k - i - 1]) + data[i:k]
+            i = k
+    return bytes(out)
+
+
+def parse_tiff(buf: bytes):
+    """-> (width, height, rgb_raster) or None. Grayscale replicates to
+    3 channels (the decode_media raster convention). Never raises."""
+    try:
+        if not isinstance(buf, (bytes, bytearray)) or len(buf) < 8:
+            return None
+        buf = bytes(buf)
+        if buf[:2] not in (b"II", b"MM"):
+            return None
+        t = _Tiff(buf)
+        ifd = t.read_ifd(t.ifd0)
+        w = ifd.get(TAG_WIDTH)
+        h = ifd.get(TAG_HEIGHT)
+        if not isinstance(w, int) or not isinstance(h, int):
+            return None
+        if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+            return None
+        comp = ifd.get(TAG_COMPRESSION, 1)
+        if comp not in (1, 32773):
+            return None
+        if ifd.get(TAG_PLANAR, 1) != 1:
+            return None
+        spp = ifd.get(TAG_SPP, 1)
+        if spp not in (1, 3):
+            return None
+        bps = ifd.get(TAG_BPS, 1 if spp == 1 else (8, 8, 8))
+        if isinstance(bps, tuple):
+            if any(b != 8 for b in bps):
+                return None
+        elif bps != 8:
+            return None
+        offs = ifd.get(TAG_STRIP_OFFSETS)
+        cnts = ifd.get(TAG_STRIP_COUNTS)
+        if offs is None or cnts is None:
+            return None
+        if isinstance(offs, int):
+            offs = (offs,)
+        if isinstance(cnts, int):
+            cnts = (cnts,)
+        if len(offs) != len(cnts):
+            return None
+        rps = ifd.get(TAG_ROWS_PER_STRIP, h)
+        if not isinstance(rps, int) or rps <= 0:
+            rps = h
+        row_bytes = w * spp
+        raster = bytearray()
+        rows_done = 0
+        for off, cnt in zip(offs, cnts):
+            if off < 0 or cnt < 0 or off + cnt > len(buf):
+                return None
+            strip_rows = min(rps, h - rows_done)
+            if strip_rows <= 0:
+                break
+            expect = strip_rows * row_bytes
+            raw = buf[off:off + cnt]
+            if comp == 32773:
+                data = packbits_decode(raw, expect)
+                if data is None:
+                    return None
+            else:
+                if cnt < expect:
+                    return None
+                data = raw[:expect]
+            raster += data
+            rows_done += strip_rows
+        if rows_done < h:
+            return None
+        if spp == 1:
+            rgb = bytearray(w * h * 3)
+            rgb[0::3] = raster
+            rgb[1::3] = raster
+            rgb[2::3] = raster
+            raster = rgb
+        return w, h, bytes(raster)
+    except Exception:
+        return None
+
+
+def encode_tiff(width: int, height: int, raster: bytes, *,
+                byte_order: str = "II", compression: int = 1,
+                rows_per_strip: int | None = None,
+                grayscale: bool = False) -> bytes:
+    """Fixture/oracle builder: a spec-valid baseline TIFF whose decode
+    returns exactly `raster` (RGB w*h*3; pass grayscale=True with a
+    w*h single-channel raster — decode then replicates channels)."""
+    spp = 1 if grayscale else 3
+    assert len(raster) == width * height * spp
+    little = byte_order == "II"
+    fmt = "<" if little else ">"
+    rps = rows_per_strip or height
+    row_bytes = width * spp
+    strips = []
+    r = 0
+    while r < height:
+        rows = min(rps, height - r)
+        chunk = raster[r * row_bytes:(r + rows) * row_bytes]
+        if compression == 32773:
+            chunk = packbits_encode(chunk)
+        strips.append(chunk)
+        r += rows
+
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def short(tag, v):
+        entries.append((tag, 3, 1, struct.pack(fmt + "H", v) + b"\0\0"))
+
+    def long_(tag, v):
+        entries.append((tag, 4, 1, struct.pack(fmt + "I", v)))
+
+    short(TAG_WIDTH, width)
+    short(TAG_HEIGHT, height)
+    if spp == 3:
+        entries.append((TAG_BPS, 3, 3, b"BPSHEAP"))  # placeholder -> heap
+    else:
+        short(TAG_BPS, 8)
+    short(TAG_COMPRESSION, compression)
+    short(TAG_PHOTOMETRIC, 1 if grayscale else 2)
+    entries.append((TAG_STRIP_OFFSETS, 4, len(strips), b"OFFHEAP"))
+    short(TAG_SPP, spp)
+    long_(TAG_ROWS_PER_STRIP, rps)
+    entries.append((TAG_STRIP_COUNTS, 4, len(strips), b"CNTHEAP"))
+    entries.sort(key=lambda e: e[0])
+
+    n = len(entries)
+    ifd_off = 8
+    heap_off = ifd_off + 2 + 12 * n + 4
+    heap = bytearray()
+
+    def heap_put(b: bytes) -> int:
+        off = heap_off + len(heap)
+        heap.extend(b)
+        return off
+
+    bps_off = heap_put(struct.pack(fmt + "3H", 8, 8, 8)) if spp == 3 else 0
+    # strip data lives after the (already sized) offset/count arrays
+    ns = len(strips)
+    arr_bytes = (4 * ns if ns > 1 else 0) * 2
+    data_start = heap_off + len(heap) + arr_bytes
+    strip_offs = []
+    pos = data_start
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    if ns > 1:
+        offs_off = heap_put(struct.pack(fmt + "%dI" % ns, *strip_offs))
+        cnts_off = heap_put(
+            struct.pack(fmt + "%dI" % ns, *[len(s) for s in strips]))
+    out = bytearray()
+    out += struct.pack(fmt + "2sHI", b"II" if little else b"MM", 42, ifd_off)
+    out += struct.pack(fmt + "H", n)
+    for tag, typ, cnt, val in entries:
+        if val == b"BPSHEAP":
+            val = struct.pack(fmt + "I", bps_off)
+        elif val == b"OFFHEAP":
+            val = (struct.pack(fmt + "I", offs_off) if ns > 1
+                   else struct.pack(fmt + "I", strip_offs[0]))
+        elif val == b"CNTHEAP":
+            val = (struct.pack(fmt + "I", cnts_off) if ns > 1
+                   else struct.pack(fmt + "I", len(strips[0])))
+        out += struct.pack(fmt + "HHI", tag, typ, cnt) + val
+    out += struct.pack(fmt + "I", 0)
+    out += heap
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -1907,6 +1907,21 @@ def media_features_gif_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_features(m)
 
 
+@q("media_features_tiff", _MEDIA_ORACLE_FMT.format(fmt="tiff"))
+def media_features_tiff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WEB image decode #4: baseline TIFF 6.0 (functions/tiffcodec
+    — IFD walk shared with the EXIF reader, strip assembly, PackBits
+    RLE, both byte orders) decoded by the vendored reader, then the same
+    raster statistics. Lossless, so the md5-tiling SQL oracle replays
+    decoded content exactly (the PNG/GIF trick on a strip container)."""
+    from logstash_spark.functions.multimodal import (
+        media_decode_features,
+        synthetic_media_tiff,
+    )
+
+    return media_decode_features(synthetic_media_tiff(spark, 200))
+
+
 @q("media_features_jpeg", _MEDIA_JPEG_ORACLE)
 def media_features_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-WEB image decode #2: baseline JFIF JPEGs (functions/jpegcodec
