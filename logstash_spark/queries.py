@@ -1939,6 +1939,92 @@ def media_features_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_features(m)
 
 
+# WordPiece vocabulary over the hex alphabet: singles + continuations for
+# 0-9a-e (NO 'f' piece anywhere -> words containing f become [UNK], the
+# coverage-gap class), plus multi-char pieces so greedy longest-match is
+# actually exercised. ONE source of truth for engine and oracle.
+_WP_VOCAB = (
+    [c for c in "0123456789abcde"]
+    + ["##" + c for c in "0123456789abcde"]
+    + ["ab", "##ab", "##cd", "abc", "##bcd", "012", "##123", "##01"]
+)
+
+
+def _wp_oracle() -> str:
+    """DuckDB replays the greedy longest-match loop as a RECURSIVE CTE —
+    a genuine independent implementation: per word, the correlated
+    subquery picks the max matching consumed-length at the current
+    position; no match fails the word to [UNK]."""
+    vals = ", ".join(
+        "('%s', %s, '%s')" % (p, "true" if p.startswith("##") else "false",
+                              p[2:] if p.startswith("##") else p)
+        for p in _WP_VOCAB)
+    return f"""WITH RECURSIVE docs AS (
+  SELECT id, id % 6 + 3 AS nw FROM range(300) t(id)
+), words AS (
+  SELECT id, j,
+         substr(md5(CAST(id * 31 + j AS VARCHAR)), 1,
+                CAST((id + j) % 8 + 3 AS INT)) AS w
+  FROM docs, unnest(range(nw)) AS u(j)
+), vocab(piece, cont, consumed) AS (VALUES {vals}),
+step AS (
+  SELECT id, j, w, 0 AS pos, '' AS toks, false AS failed FROM words
+  UNION ALL
+  SELECT id, j, w,
+         pos + COALESCE(plen, 0) AS pos,
+         CASE WHEN plen IS NULL THEN toks
+              ELSE toks || ' ' || CASE WHEN pos > 0 THEN '##' ELSE '' END
+                   || substr(w, pos + 1, plen) END AS toks,
+         plen IS NULL AS failed
+  FROM (
+    SELECT s.*,
+           (SELECT max(length(v.consumed)) FROM vocab v
+            WHERE v.cont = (s.pos > 0)
+              AND substr(s.w, s.pos + 1, length(v.consumed)) = v.consumed
+           ) AS plen
+    FROM step s
+    WHERE s.pos < length(s.w) AND NOT s.failed)
+), terminal AS (
+  SELECT id, j,
+         CASE WHEN failed THEN '[UNK]' ELSE trim(toks) END AS wtoks,
+         failed
+  FROM step WHERE failed OR pos = length(w)
+), perdoc AS (
+  SELECT id, string_agg(wtoks, ' ' ORDER BY j) AS tokens,
+         SUM(CASE WHEN failed THEN 1
+                  ELSE length(wtoks) - length(replace(wtoks, ' ', '')) + 1
+             END) AS n_tok,
+         SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS n_unk
+  FROM terminal GROUP BY id
+)
+SELECT id AS doc_id, tokens, CAST(n_tok AS INT) AS n_tokens,
+       CAST(n_unk AS INT) AS n_unk
+FROM perdoc"""
+
+
+@q("wordpiece_tokenize_docs", _wp_oracle())
+def wordpiece_tokenize_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first apply (functions/wordpiece,
+    expr backend: the loop as nested JVM higher-order functions) over a
+    deterministic hex-word corpus — multi-char pieces force real greedy
+    choices, words containing 'f' hit the vocabulary gap and fail to
+    [UNK] whole-word, per the published BERT semantics. The oracle is an
+    independent DuckDB implementation (recursive CTE + correlated
+    longest-match subquery), not a replay of the engine's."""
+    from logstash_spark.functions.wordpiece import wordpiece_tokenize
+
+    d = spark.range(300).withColumn(
+        "nw", (F.col("id") % 6 + 3).cast("int"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.col("nw") - 1),
+        lambda j: F.md5((F.col("id") * 31 + j).cast("string")).substr(
+            F.lit(1), ((F.col("id") + j) % 8 + 3).cast("int")))
+    d = d.withColumn("text", F.array_join(words, " "))
+    out = wordpiece_tokenize(d, _WP_VOCAB, backend="expr")
+    return out.select(
+        F.col("id").alias("doc_id"), "tokens", "n_tokens", "n_unk")
+
+
 # PDF text extraction is LOSSLESS, so the extracted text has the md5-
 # tiling closed form — DuckDB rebuilds the exact per-page line structure
 # (including the TJ-kern word space of the id%5==0 variant) without ever

@@ -1,0 +1,89 @@
+"""WordPiece apply (functions/wordpiece): published-semantics pins,
+expr/arrow backend bit-equality, and edge cases the oracle corpus can't
+isolate (length cap, whole-word UNK, null/empty docs)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from logstash_spark.functions.wordpiece import MAX_PIECES, UNK, wordpiece_tokenize
+
+VOCAB = (
+    [c for c in "0123456789abcde"]
+    + ["##" + c for c in "0123456789abcde"]
+    + ["ab", "##ab", "##cd", "abc", "##bcd", "012", "##123", "##01"]
+)
+
+
+def _run(spark, rows, backend):
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    return {
+        r["doc_id"]: r
+        for r in wordpiece_tokenize(df, VOCAB, backend=backend)
+        .select("doc_id", "tokens", "n_tokens", "n_unk").collect()}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    import hashlib
+
+    rows = [
+        {"doc_id": 0, "text": "abcde 012345 abcd"},
+        {"doc_id": 1, "text": "fed af 0f"},          # every word has f
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "a" * (MAX_PIECES + 1)},  # over the cap
+        {"doc_id": 5, "text": "a" * MAX_PIECES},        # exactly at cap
+        {"doc_id": 6, "text": "ab ababab 0120 e"},
+    ]
+    # a deterministic hex sweep for the differential check
+    for i in range(40):
+        ws = [hashlib.md5(str(i * 7 + j).encode()).hexdigest()[: j % 9 + 2]
+              for j in range(i % 5 + 2)]
+        rows.append({"doc_id": 100 + i, "text": " ".join(ws)})
+    return rows
+
+
+def test_greedy_longest_match_semantics(spark, corpus):
+    out = _run(spark, corpus, "expr")
+    assert out[0]["tokens"] == "abc ##d ##e 012 ##3 ##4 ##5 abc ##d"
+    assert out[0]["n_unk"] == 0
+    assert out[6]["tokens"] == "ab ab ##ab ##ab 012 ##0 e"
+
+
+def test_whole_word_unk_on_vocab_gap(spark, corpus):
+    out = _run(spark, corpus, "expr")
+    assert out[1]["tokens"] == f"{UNK} {UNK} {UNK}"
+    assert out[1]["n_unk"] == 3 and out[1]["n_tokens"] == 3
+
+
+def test_empty_and_null_docs(spark, corpus):
+    out = _run(spark, corpus, "expr")
+    for d in (2, 3):
+        assert out[d]["tokens"] == ""
+        assert out[d]["n_tokens"] == 0 and out[d]["n_unk"] == 0
+
+
+def test_length_cap_unks_long_words(spark, corpus):
+    out = _run(spark, corpus, "expr")
+    assert out[4]["tokens"] == UNK           # cap + 1 -> UNK
+    toks5 = out[5]["tokens"].split(" ")      # exactly cap -> tokenized
+    assert toks5 == ["a"] + ["##a"] * (MAX_PIECES - 1)
+
+
+def test_backends_bit_identical(spark, corpus):
+    a = _run(spark, corpus, "expr")
+    b = _run(spark, corpus, "arrow")
+    assert set(a) == set(b)
+    for k in a:
+        assert tuple(a[k]) == tuple(b[k]), k
+
+
+def test_arrow_replaces_preexisting_columns(spark):
+    rows = [{"doc_id": 1, "text": "ab", "tokens": "old", "n_tokens": 9,
+             "n_unk": 9}]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = wordpiece_tokenize(df, VOCAB, backend="arrow").collect()[0]
+    assert out["tokens"] == "ab" and out["n_tokens"] == 1
+    assert [f for f in out.asDict()] .count("tokens") == 1
