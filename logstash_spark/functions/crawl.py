@@ -1412,3 +1412,63 @@ def robots_meta_gate(
         (~noindex).alias("indexable"),
         source.alias("restricted_by"),
     )
+
+
+_ITEM_EL = r"(?is)<item[\s>].*?</item\s*>|<item></item>"
+_ENTRY_EL = r"(?is)<entry[\s>].*?</entry\s*>|<entry></entry>"
+
+
+def parse_feeds(
+    df: DataFrame,
+    *,
+    xml_col: str = "feed_xml",
+    url_col: str = "url",
+) -> DataFrame:
+    """RSS 2.0 / Atom (RFC 4287) feed parsing -> one row per item/entry:
+    ``(url, feed_type, title, link, guid, published, summary)``. Feeds
+    are how a crawler discovers fresh content between sitemap passes;
+    a corpus ingest parses them columnar exactly like sitemaps.
+
+    One pass handles BOTH dialects: the item element set is the concat
+    of <item> and <entry> blocks, and each field coalesces its RSS and
+    Atom spellings (guid|id, pubDate|updated, description|summary);
+    Atom links are ``<link href="..."/>`` ATTRIBUTES while RSS links
+    are element text — also coalesced. CDATA and the five XML entities
+    decode via the shared _xml_text helper. Documents without items
+    drop (explode semantics), title-less items survive with NULLs.
+
+    Scale shape: map-only — two regexp_extract_all + one explode per
+    document, no shuffle, no Python (the parse_sitemaps envelope)."""
+    xml = F.col(xml_col).cast("string")
+    els = F.concat(
+        F.regexp_extract_all(xml, F.lit(_ITEM_EL), 0),
+        F.regexp_extract_all(xml, F.lit(_ENTRY_EL), 0),
+    )
+    feed_type = F.when(
+        F.lower(xml).rlike(r"(?s)<rss[\s>]"), F.lit("rss")
+    ).when(
+        F.lower(xml).rlike(r"(?s)<feed[\s>]"), F.lit("atom")
+    )
+    e = df.select(
+        F.col(url_col).alias("url"),
+        feed_type.alias("feed_type"),
+        F.explode(els).alias("_el"),
+    )
+    atom_href = F.nullif(
+        F.regexp_extract(
+            F.col("_el"), r'(?is)<link[^>]*href=["\']([^"\']*)["\']', 1),
+        F.lit(""))
+    return e.select(
+        "url", "feed_type",
+        _xml_text(F.col("_el"), "title").alias("title"),
+        F.coalesce(atom_href, _xml_text(F.col("_el"), "link")).alias("link"),
+        F.coalesce(
+            _xml_text(F.col("_el"), "guid"),
+            _xml_text(F.col("_el"), "id")).alias("guid"),
+        F.coalesce(
+            _xml_text(F.col("_el"), "pubDate"),
+            _xml_text(F.col("_el"), "updated")).alias("published"),
+        F.coalesce(
+            _xml_text(F.col("_el"), "description"),
+            _xml_text(F.col("_el"), "summary")).alias("summary"),
+    )

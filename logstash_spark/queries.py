@@ -6566,6 +6566,149 @@ def hreflang_bitext_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "feed_parse",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid FROM pages
+      WHERE event_id % 3 <> 2),
+items AS (
+  SELECT url, event_id, eid, unnest(range(event_id % 4 + 1)) AS k FROM v)
+SELECT url,
+       CASE WHEN event_id % 3 = 0 THEN 'rss' ELSE 'atom' END AS feed_type,
+       CASE WHEN k % 3 = 2 THEN NULL
+            ELSE 'Title & ' || eid || '-' || CAST(k AS VARCHAR) END AS title,
+       'https://feed' || eid || '.example.com/a/' || CAST(k AS VARCHAR)
+         AS link,
+       'guid-' || eid || '-' || CAST(k AS VARCHAR) AS guid,
+       CASE WHEN event_id % 3 = 0
+            THEN 'Mon, 0' || CAST(k % 9 + 1 AS VARCHAR)
+                 || ' Jan 2024 00:00:00 GMT'
+            ELSE '2024-01-0' || CAST(k % 9 + 1 AS VARCHAR) || 'T00:00:00Z'
+       END AS published,
+       CASE WHEN k % 2 = 0 THEN 'Sum <' || CAST(k AS VARCHAR) || '>' END
+         AS summary
+FROM items""",
+)
+def feed_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing over a mixed feed corpus: a third RSS
+    (CDATA titles on k%3==0 items, entity-escaped on k%3==1, missing on
+    k%3==2 -> NULL), a third Atom (href-attribute links, id/updated
+    spellings), a third non-feed pages that must contribute no rows.
+    Oracle regenerates every item row arithmetically."""
+    from logstash_spark.functions.crawl import parse_feeds
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    ks = F.sequence(F.lit(0), (eid % 4).cast("int"))
+
+    def item(k):
+        kk = k.cast("string")
+        title = (
+            F.when(k % 3 == 0,
+                   F.concat(F.lit("<title><![CDATA[Title & "), es,
+                            F.lit("-"), kk, F.lit("]]></title>")))
+            .when(k % 3 == 1,
+                  F.concat(F.lit("<title>Title &amp; "), es, F.lit("-"),
+                           kk, F.lit("</title>")))
+            .otherwise(F.lit("")))
+        summary = F.when(
+            k % 2 == 0,
+            F.concat(F.lit("<description>Sum &lt;"), kk,
+                     F.lit("&gt;</description>"))).otherwise(F.lit(""))
+        rss = F.concat(
+            F.lit("<item>"), title,
+            F.lit("<link>https://feed"), es, F.lit(".example.com/a/"), kk,
+            F.lit("</link><guid>guid-"), es, F.lit("-"), kk,
+            F.lit("</guid><pubDate>Mon, 0"), ((k % 9) + 1).cast("string"),
+            F.lit(" Jan 2024 00:00:00 GMT</pubDate>"), summary,
+            F.lit("</item>"))
+        atom_summary = F.when(
+            k % 2 == 0,
+            F.concat(F.lit("<summary>Sum &lt;"), kk,
+                     F.lit("&gt;</summary>"))).otherwise(F.lit(""))
+        atom = F.concat(
+            F.lit("<entry>"), title,
+            F.lit('<link rel="alternate" href="https://feed'), es,
+            F.lit(".example.com/a/"), kk, F.lit('"/><id>guid-'), es,
+            F.lit("-"), kk, F.lit("</id><updated>2024-01-0"),
+            ((k % 9) + 1).cast("string"),
+            F.lit("T00:00:00Z</updated>"), atom_summary, F.lit("</entry>"))
+        return F.when(eid % 3 == 0, rss).otherwise(atom)
+
+    body = F.array_join(F.transform(ks, item), "")
+    xml = (
+        F.when(eid % 3 == 0,
+               F.concat(F.lit('<rss version="2.0"><channel>'), body,
+                        F.lit("</channel></rss>")))
+        .when(eid % 3 == 1,
+              F.concat(F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+                       body, F.lit("</feed>")))
+        .otherwise(F.lit("<html><body>not a feed</body></html>")))
+    return parse_feeds(p.withColumn("feed_xml", xml))
+
+
+@q(
+    "jsonld_extract",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid FROM pages
+      WHERE event_id % 4 <> 3),
+blocks AS (
+  SELECT url, event_id, eid, unnest(
+    CASE WHEN event_id % 4 = 2 THEN [0, 1] ELSE [0] END) AS block_idx
+  FROM v)
+SELECT url, CAST(block_idx AS INT) AS block_idx,
+       CASE WHEN block_idx = 1 THEN NULL
+            WHEN event_id % 4 = 1 THEN 'Product' ELSE 'Article' END AS ld_type,
+       CASE WHEN block_idx = 1 THEN NULL
+            WHEN event_id % 4 = 1 THEN 'P' || eid ELSE 'H' || eid END AS name,
+       CASE WHEN block_idx = 1 OR event_id % 4 = 1 THEN NULL
+            ELSE '2024-01-0' || CAST(event_id % 9 + 1 AS VARCHAR)
+       END AS date_published,
+       CASE WHEN block_idx = 1 THEN NULL
+            WHEN event_id % 4 = 1 THEN 'S' || CAST(event_id % 5 AS VARCHAR)
+            ELSE 'Author ' || CAST(event_id % 7 AS VARCHAR) END AS author_name,
+       CASE WHEN block_idx = 0 AND event_id % 4 = 1 THEN 'Desc ' || eid
+       END AS description
+FROM blocks""",
+)
+def jsonld_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD extraction: Article blocks with Person-object
+    authors, Product blocks with bare-string authors (the two author
+    spellings coalesce through one scan), a corrupt block class that
+    must keep its row with NULL fields, and block-less pages that must
+    contribute nothing. Oracle regenerates every block row
+    arithmetically."""
+    from logstash_spark.functions.linkgraph import jsonld_extract
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    article = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Article","headline":"H'), es,
+        F.lit('","datePublished":"2024-01-0'),
+        (eid % 9 + 1).cast("string"),
+        F.lit('","author":{"@type":"Person","name":"Author '),
+        (eid % 7).cast("string"), F.lit('"}}</script>'))
+    product = F.concat(
+        F.lit("<script type='application/ld+json'>"
+              '{"@type":"Product","name":"P'), es,
+        F.lit('","description":"Desc '), es,
+        F.lit('","author":"S'), (eid % 5).cast("string"),
+        F.lit('"}</script>'))
+    corrupt = F.lit(
+        '<script type="application/ld+json">{not json]</script>')
+    blocks = (
+        F.when(eid % 4 == 0, article)
+        .when(eid % 4 == 1, product)
+        .when(eid % 4 == 2, F.concat(article, corrupt))
+        .otherwise(F.lit("")))
+    html = F.concat(F.lit("<html><head>"), blocks,
+                    F.lit("</head><body></body></html>"))
+    return jsonld_extract(p.withColumn("html_str", html))
+
+
+@q(
     "robots_meta_gate",
     f"""{_PAGES_CTE},
 v AS (SELECT url, event_id % 3 <> 2 AS has_meta, event_id % 4 AS mc,

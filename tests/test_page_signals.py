@@ -107,3 +107,66 @@ def test_robots_header_combines_most_restrictive(spark):
     assert not out["c"]["noindex"] and out["c"]["nofollow"]
     assert out["c"]["restricted_by"] == "meta"
     assert out["d"]["restricted_by"] is None and out["d"]["indexable"]
+
+
+def test_feed_parse_rss_and_atom(spark):
+    from logstash_spark.functions.crawl import parse_feeds
+
+    rss = ('<rss version="2.0"><channel>'
+           '<item><title><![CDATA[A & B]]></title>'
+           "<link>https://x/1</link><guid>g1</guid>"
+           "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>"
+           "<description>d&amp;1</description></item>"
+           "<item><link>https://x/2</link></item>"
+           "</channel></rss>")
+    atom = ('<feed xmlns="http://www.w3.org/2005/Atom">'
+            "<entry><title>T</title>"
+            '<link rel="alternate" href="https://y/1"/>'
+            "<id>i1</id><updated>2024-01-01T00:00:00Z</updated>"
+            "<summary>s1</summary></entry></feed>")
+    rows = parse_feeds(spark.createDataFrame(
+        pd.DataFrame([
+            {"url": "r", "feed_xml": rss},
+            {"url": "a", "feed_xml": atom},
+            {"url": "n", "feed_xml": "<html>page</html>"},
+        ]))).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["url"], []).append(r)
+    assert "n" not in by
+    r1, r2 = by["r"]
+    assert r1["feed_type"] == "rss" and r1["title"] == "A & B"
+    assert r1["link"] == "https://x/1" and r1["guid"] == "g1"
+    assert r1["summary"] == "d&1"
+    assert r2["title"] is None and r2["link"] == "https://x/2"
+    a1 = by["a"][0]
+    assert a1["feed_type"] == "atom" and a1["link"] == "https://y/1"
+    assert a1["guid"] == "i1" and a1["published"] == "2024-01-01T00:00:00Z"
+
+
+def test_jsonld_corrupt_block_keeps_row(spark):
+    from logstash_spark.functions.linkgraph import jsonld_extract
+
+    html = ('<script type="application/ld+json">{"@type":"Article",'
+            '"headline":"H"}</script>'
+            '<script type="application/ld+json">{broken</script>')
+    rows = jsonld_extract(spark.createDataFrame(
+        pd.DataFrame([{"url": "u", "html_str": html}]))).orderBy(
+            "block_idx").collect()
+    assert len(rows) == 2
+    assert rows[0]["ld_type"] == "Article" and rows[0]["name"] == "H"
+    assert rows[1]["ld_type"] is None
+
+
+def test_jsonld_author_spellings_coalesce(spark):
+    from logstash_spark.functions.linkgraph import jsonld_extract
+
+    html = ('<script type="application/ld+json">'
+            '{"@type":"A","author":{"@type":"Person","name":"Obj"}}</script>'
+            '<script type="application/ld+json">'
+            '{"@type":"B","author":"Str"}</script>')
+    rows = jsonld_extract(spark.createDataFrame(
+        pd.DataFrame([{"url": "u", "html_str": html}]))).orderBy(
+            "block_idx").collect()
+    assert rows[0]["author_name"] == "Obj"
+    assert rows[1]["author_name"] == "Str"
