@@ -1939,6 +1939,76 @@ def media_features_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_features(m)
 
 
+# Gale-Church fixture classes are DESIGNED so the published DP provably
+# prefers one structure (exact-sum merges/splits cost the bare 230
+# penalty; every deviation pays mismatched-length costs), so the oracle
+# can state the ground-truth alignment arithmetically while the engine
+# runs the real float-scored search.
+_GC_ORACLE = """WITH p AS (
+  SELECT id, id % 5 + 3 AS n, id % 3 AS cls FROM range(300) t(id)
+), q AS (
+  SELECT id, n, cls,
+         CASE WHEN cls = 1 THEN id % (n - 1)
+              WHEN cls = 2 THEN id % n END AS mm,
+         CASE WHEN cls = 1 THEN n - 1 ELSE n END AS n_ops
+  FROM p
+), ops AS (
+  SELECT id, cls, mm, unnest(range(n_ops)) AS k FROM q
+)
+SELECT id AS pair_id, CAST(k AS INT) AS op_idx,
+       CAST(CASE WHEN cls = 1 AND k > mm THEN k + 1 ELSE k END AS INT)
+         AS src_start,
+       CAST(CASE WHEN cls = 1 AND k = mm THEN 2 ELSE 1 END AS INT) AS src_n,
+       CAST(CASE WHEN cls = 2 AND k > mm THEN k + 1 ELSE k END AS INT)
+         AS tgt_start,
+       CAST(CASE WHEN cls = 2 AND k = mm THEN 2 ELSE 1 END AS INT) AS tgt_n,
+       CASE WHEN cls = 1 AND k = mm THEN '2-1'
+            WHEN cls = 2 AND k = mm THEN '1-2' ELSE '1-1' END AS kind
+FROM ops"""
+
+
+@q("gale_church_align", _GC_ORACLE)
+def gale_church_align_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale-Church sentence alignment (the published 1993 DP: six
+    categories, 450/230/440 penalties, the normal length model via erf)
+    over a bitext-pair corpus with known ground truth: a third aligns
+    1-1 throughout, a third carries one exact-sum 2-1 merge, a third one
+    exact-sum 1-2 split — positions rotating per pair. The engine runs
+    the real float-scored search; the oracle states the provably-optimal
+    structure arithmetically."""
+    from logstash_spark.functions.align import gale_church_align
+
+    d = spark.range(300).withColumn(
+        "n", (F.col("id") % 5 + 3).cast("int"))
+    d = d.withColumn(
+        "src_sents",
+        F.expr("transform(sequence(0, n - 1), "
+               "k -> repeat('x', 20 + CAST((id * 7 + k) % 30 AS INT)))"))
+    tgt = """CASE
+      WHEN id % 3 = 0 THEN src_sents
+      WHEN id % 3 = 1 THEN transform(sequence(0, n - 2), j ->
+        CASE WHEN j < id % (n - 1)
+               THEN repeat('x', 20 + CAST((id * 7 + j) % 30 AS INT))
+             WHEN j = id % (n - 1)
+               THEN repeat('x', 40 + CAST((id * 7 + j) % 30 AS INT)
+                                + CAST((id * 7 + j + 1) % 30 AS INT))
+             ELSE repeat('x', 20 + CAST((id * 7 + j + 1) % 30 AS INT)) END)
+      ELSE transform(sequence(0, n), j ->
+        CASE WHEN j < id % n
+               THEN repeat('x', 20 + CAST((id * 7 + j) % 30 AS INT))
+             WHEN j = id % n
+               THEN repeat('x', CAST(floor((20 + (id * 7 + j) % 30) / 2)
+                                     AS INT))
+             WHEN j = id % n + 1
+               THEN repeat('x', 20 + CAST((id * 7 + j - 1) % 30 AS INT)
+                    - CAST(floor((20 + (id * 7 + j - 1) % 30) / 2) AS INT))
+             ELSE repeat('x', 20 + CAST((id * 7 + j - 1) % 30 AS INT)) END)
+      END"""
+    d = d.withColumn("tgt_sents", F.expr(tgt)).withColumnRenamed(
+        "id", "pair_id")
+    return gale_church_align(d)
+
+
 # WordPiece vocabulary over the hex alphabet: singles + continuations for
 # 0-9a-e (NO 'f' piece anywhere -> words containing f become [UNK], the
 # coverage-gap class), plus multi-char pieces so greedy longest-match is

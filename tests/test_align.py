@@ -1,0 +1,77 @@
+"""Gale-Church alignment (functions/align): DP structure pins, published
+penalty behavior, bounds, and the Spark wiring."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from logstash_spark.functions.align import (
+    MAX_SENTS,
+    _length_cost,
+    align_lengths,
+    gale_church_align,
+)
+
+
+def test_identical_lengths_align_one_to_one():
+    assert align_lengths([30, 40, 25], [30, 40, 25]) == [
+        (0, 1, 0, 1), (1, 1, 1, 1), (2, 1, 2, 1)]
+
+
+def test_exact_sum_merge_and_split():
+    assert align_lengths([30, 20, 25, 40], [30, 45, 40]) == [
+        (0, 1, 0, 1), (1, 2, 1, 1), (3, 1, 2, 1)]
+    assert align_lengths([30, 45, 40], [30, 20, 25, 40]) == [
+        (0, 1, 0, 1), (1, 1, 1, 2), (2, 1, 3, 1)]
+
+
+def test_two_two_preferred_over_double_mismatch():
+    # crossed lengths: (10, 40) vs (40, 10) — 1-1 pairs each carry a huge
+    # delta; 2-2 compares equal sums at the flat 440 penalty
+    ops = align_lengths([10, 40], [40, 10])
+    assert ops == [(0, 2, 0, 2)]
+
+
+def test_gale_church_merges_rather_than_deletes_short_tail():
+    # documented published behavior: a short unmatched trailing sentence
+    # is absorbed into a 2-1 merge (230 + small length cost), never a
+    # 450-cost deletion — the fixture classes avoid deletions for this
+    # reason
+    ops = align_lengths([30, 30, 4], [30, 30])
+    assert ops[-1] == (1, 2, 1, 1)
+    assert all(n > 0 for _s, n, _t, m in ops for m in (m,))
+
+
+def test_merges_dominate_deletions_in_the_published_model():
+    # property of the published cost model: a 1-0 deletion pays BOTH the
+    # larger 450 penalty AND a larger length cost than the 2-1 merge
+    # absorbing the same sentence (delta_del = l/sqrt(3.4*l) grows faster
+    # than the merge's), so interior deletions are effectively
+    # unreachable while a neighbor exists — even for very long gaps
+    for gap in (200, 500, 2000):
+        ops = align_lengths([30, gap, 31], [30, 31])
+        assert all(sn > 0 and tn > 0 for _s, sn, _t, tn in ops), (gap, ops)
+
+
+def test_length_cost_zero_at_equal_lengths():
+    assert _length_cost(40, 40) == 0.0
+    assert _length_cost(0, 0) == 0.0
+    assert _length_cost(20, 45) > _length_cost(20, 25)
+
+
+def test_max_sents_guard():
+    assert align_lengths([10] * (MAX_SENTS + 1), [10]) == []
+
+
+def test_spark_wiring_and_empty_sides(spark):
+    rows = [
+        {"pair_id": 1, "src_sents": ["x" * 30, "y" * 20, "z" * 25],
+         "tgt_sents": ["a" * 30, "b" * 45]},
+        {"pair_id": 2, "src_sents": [], "tgt_sents": ["q" * 10]},
+        {"pair_id": 3, "src_sents": None, "tgt_sents": ["q" * 10]},
+    ]
+    out = gale_church_align(
+        spark.createDataFrame(pd.DataFrame(rows))).collect()
+    assert {r["pair_id"] for r in out} == {1}
+    kinds = [r["kind"] for r in sorted(out, key=lambda r: r["op_idx"])]
+    assert kinds == ["1-1", "2-1"]
