@@ -189,6 +189,19 @@ HEADLINE = [
     "shared_ip_hosts",
     "token_budget_select",
     "link_spam_score",
+    # round-4h additions: document formats, metadata, tokenizers, bitext
+    "pdf_text_extract",
+    "office_text_extract",
+    "exif_extract",
+    "exif_strip_audit",
+    "media_features_tiff",
+    "wordpiece_tokenize_docs",
+    "hreflang_alternates",
+    "hreflang_bitext_pairs",
+    "robots_meta_gate",
+    "feed_parse",
+    "jsonld_extract",
+    "gale_church_align",
 ]
 
 

@@ -745,3 +745,52 @@ def jsonld_extract(
                    s.getField("author")).alias("author_name"),
         o.getField("description").alias("description"),
     )
+
+
+def extract_tables(
+    df: DataFrame, *, html_col: str = "html_str", url_col: str = "url"
+) -> DataFrame:
+    """HTML table extraction -> one row per CELL: ``(url, table_idx,
+    row_idx, col_idx, cell, is_header)`` — the WDC-Web-Table-Corpus
+    job: relational data mined from page markup is its own training/
+    retrieval corpus. Three nested columnar passes, all JVM: tables via
+    regexp_extract_all, rows per table, cells per row (``<th>`` flags
+    ``is_header``); cell text is tag-stripped, entity-decoded (the
+    _xml_text chain), whitespace-collapsed.
+
+    NESTED tables are a documented simplification: the non-greedy table
+    match ends at the FIRST ``</table>``, so an inner table's cells
+    parse as the outer's up to that point and the outer's tail after
+    the inner close is dropped — full nesting needs a stack parser,
+    deliberately out of scope for the columnar pass (pinned in tests).
+
+    Scale shape: map-only transforms + one final explode; row count =
+    total cells, bounded by page size. No shuffle, no Python."""
+    tables = F.expr(
+        f"regexp_extract_all(cast({html_col} as string),"
+        " '(?is)<table[^>]*>(.*?)</table>', 1)")
+    t = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(tables).alias("table_idx", "_tb"))
+    rows = F.expr(
+        "regexp_extract_all(_tb, '(?is)<tr[^>]*>(.*?)</tr>', 1)")
+    r = t.select(
+        "url", "table_idx",
+        F.posexplode(rows).alias("row_idx", "_row"))
+    cells = F.expr(
+        "regexp_extract_all(_row,"
+        " '(?is)<t([hd])[^>]*>(.*?)</t[hd]>', 0)")
+    c = r.select(
+        "url", "table_idx", "row_idx",
+        F.posexplode(cells).alias("col_idx", "_cell"))
+    is_header = F.lower(F.substring("_cell", 1, 3)) == "<th"
+    inner = F.regexp_extract(
+        F.col("_cell"), r"(?is)<t[hd][^>]*>(.*?)</t[hd]>", 1)
+    txt = F.trim(F.regexp_replace(
+        F.regexp_replace(inner, r"<[^>]*>", ""), r"\s+", " "))
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    return c.select(
+        "url", "table_idx", "row_idx", "col_idx",
+        txt.alias("cell"), is_header.alias("is_header"))

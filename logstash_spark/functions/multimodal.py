@@ -1534,3 +1534,54 @@ def office_extract_text(df: DataFrame) -> DataFrame:
         batches,
         "doc_id bigint, fmt string, n_paragraphs int, n_chars int, "
         "text string")
+
+
+# ---------------------------------------------------------------------------
+# Subtitle parsing (SRT / WebVTT) — the text half of video-text training
+# pairs; caption files ride alongside video assets in a web corpus.
+# ---------------------------------------------------------------------------
+
+_CUE_TIME = (
+    r"(?:(\d{1,2}):)?(\d{2}):(\d{2})[,.](\d{3})\s*-->\s*"
+    r"(?:(\d{1,2}):)?(\d{2}):(\d{2})[,.](\d{3})")
+
+
+def parse_subtitles(
+    df: DataFrame, *, text_col: str = "subs", url_col: str = "url"
+) -> DataFrame:
+    """SRT / WebVTT cue parsing -> one row per cue: ``(url, cue_idx,
+    start_ms, end_ms, text)``. Handles both dialects in one pass: comma
+    (SRT) or dot (VTT) millisecond separators, optional hours (VTT short
+    form), SRT numeric-counter lines and VTT cue-settings after the
+    timestamp (both ignored), multi-line cue text collapsed to one
+    space-joined line. Cue order is the FILTERED block array's position
+    (cue_idx assigned before the explode — no window, no shuffle), so
+    WEBVTT headers/NOTE blocks don't shift indexes. Milliseconds are
+    exact integer arithmetic. Map-only JVM."""
+    blocks = F.split(F.col(text_col).cast("string"), r"\r?\n\r?\n")
+    cues = F.filter(blocks, lambda b: b.contains("-->"))
+    e = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(cues).alias("cue_idx", "_cue"))
+
+    def ms(hh, mm, ss, mmm):
+        h = F.coalesce(F.nullif(hh, F.lit("")), F.lit("0")).cast("bigint")
+        return (h * 3600000
+                + mm.cast("bigint") * 60000
+                + ss.cast("bigint") * 1000
+                + mmm.cast("bigint"))
+
+    g = [F.regexp_extract("_cue", _CUE_TIME, i) for i in range(1, 9)]
+    start_ms = ms(g[0], g[1], g[2], g[3])
+    end_ms = ms(g[4], g[5], g[6], g[7])
+    body = F.regexp_extract(
+        F.col("_cue"), r"(?s)-->[^\n]*\n(.*)$", 1)
+    text = F.trim(F.regexp_replace(body, r"\s*\r?\n\s*", " "))
+    return e.filter(
+        F.regexp_extract("_cue", _CUE_TIME, 2) != ""
+    ).select(
+        "url", "cue_idx",
+        start_ms.alias("start_ms"),
+        end_ms.alias("end_ms"),
+        text.alias("text"),
+    )

@@ -6779,6 +6779,155 @@ def jsonld_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "html_table_extract",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid FROM pages
+      WHERE event_id % 3 <> 2),
+t AS (SELECT url, event_id, eid, unnest(range(event_id % 2 + 1)) AS ti
+      FROM v),
+r AS (SELECT url, event_id, eid, ti, unnest(range(event_id % 3 + 2)) AS ri
+      FROM t),
+c AS (SELECT url, event_id, eid, ti, ri,
+             unnest(range(event_id % 2 + 2)) AS ci
+      FROM r)
+SELECT url, CAST(ti AS INT) AS table_idx, CAST(ri AS INT) AS row_idx,
+       CAST(ci AS INT) AS col_idx,
+       CASE WHEN ri = 0 THEN 'H' || CAST(ci AS VARCHAR)
+            WHEN ci = 0 THEN 'v' || eid || '-' || CAST(ti AS VARCHAR)
+                 || '-' || CAST(ri AS VARCHAR) || '-' || CAST(ci AS VARCHAR)
+            ELSE 'x & ' || eid || '-' || CAST(ti AS VARCHAR) || '-'
+                 || CAST(ri AS VARCHAR) || '-' || CAST(ci AS VARCHAR)
+       END AS cell,
+       ri = 0 AS is_header
+FROM c""",
+)
+def html_table_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (the WDC-web-table job) over pages carrying
+    1-2 tables each: header rows in <th>, bold-wrapped first-column
+    cells (tag strip), entity-escaped cells with padding whitespace
+    (decode + collapse), and a no-table page class contributing nothing.
+    Oracle regenerates every cell arithmetically."""
+    from logstash_spark.functions.linkgraph import extract_tables
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    es = eid.cast("string")
+
+    def table(ti):
+        tis = ti.cast("string")
+
+        def row(ri):
+            ris = ri.cast("string")
+
+            def cell(ci):
+                cis = ci.cast("string")
+                key = F.concat(es, F.lit("-"), tis, F.lit("-"), ris,
+                               F.lit("-"), cis)
+                return (
+                    F.when(ri == 0,
+                           F.concat(F.lit("<th> H"), cis, F.lit(" </th>")))
+                    .when(ci == 0,
+                          F.concat(F.lit("<td><b>v"), key,
+                                   F.lit("</b></td>")))
+                    .otherwise(
+                        F.concat(F.lit("<td>  x &amp; "), key,
+                                 F.lit("  </td>"))))
+
+            cells = F.array_join(
+                F.transform(F.sequence(F.lit(0), (eid % 2 + 1).cast("int")),
+                            cell), "")
+            return F.concat(F.lit("<tr>"), cells, F.lit("</tr>"))
+
+        rows = F.array_join(
+            F.transform(F.sequence(F.lit(0), (eid % 3 + 1).cast("int")),
+                        row), "")
+        return F.concat(F.lit('<table class="data">'), rows,
+                        F.lit("</table>"))
+
+    tables = F.when(
+        eid % 3 == 2, F.lit("")
+    ).otherwise(
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), (eid % 2).cast("int")), table),
+            "<p>between</p>"))
+    html = F.concat(F.lit("<html><body>"), tables,
+                    F.lit("</body></html>"))
+    return extract_tables(p.withColumn("html_str", html))
+
+
+@q(
+    "subtitle_parse",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid FROM pages
+      WHERE event_id % 4 <> 3),
+cues AS (SELECT url, event_id, eid, unnest(range(event_id % 4 + 1)) AS k
+         FROM v)
+SELECT url, CAST(k AS INT) AS cue_idx,
+       CAST(k * 5000 + event_id % 1000 AS BIGINT) AS start_ms,
+       CAST(k * 5000 + event_id % 1000 + 2000 + k * 10 AS BIGINT) AS end_ms,
+       CASE WHEN event_id % 2 = 0
+            THEN 'Cue ' || eid || '-' || CAST(k AS VARCHAR) || ' more'
+            ELSE 'Cue ' || eid || '-' || CAST(k AS VARCHAR) END AS text
+FROM cues""",
+)
+def subtitle_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT/WebVTT cue parsing over a mixed caption corpus: SRT docs with
+    numeric counter lines and comma millis + two-line cue text (collapse
+    to one line), VTT docs with WEBVTT headers, dot millis, cue settings
+    after the timestamp, and the hourless short form on event_id%5==0
+    docs; a non-caption page class contributes nothing. start/end come
+    back as exact integer milliseconds."""
+    from logstash_spark.functions.multimodal import parse_subtitles
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    es = eid.cast("string")
+
+    def stamp(ms_col, vtt, short):
+        h = F.floor(ms_col / 3600000).cast("int")
+        m = F.floor(ms_col / 60000).cast("int") % 60
+        s = F.floor(ms_col / 1000).cast("int") % 60
+        mmm = (ms_col % 1000).cast("int")
+        sep = F.lit(".") if vtt else F.lit(",")
+        full = F.concat(
+            F.format_string("%02d:%02d:%02d", h, m, s), sep,
+            F.format_string("%03d", mmm))
+        if short:
+            return F.concat(
+                F.format_string("%02d:%02d", m, s), sep,
+                F.format_string("%03d", mmm))
+        return full
+
+    def cue(k):
+        ks = k.cast("string")
+        start = (k * 5000 + eid % 1000).cast("bigint")
+        end = start + 2000 + k * 10
+        srt = F.concat(
+            (k + 1).cast("string"), F.lit("\n"),
+            stamp(start, False, False), F.lit(" --> "),
+            stamp(end, False, False), F.lit("\nCue "), es, F.lit("-"), ks,
+            F.lit("\nmore"))
+        vtt_short = eid % 5 == 0
+        vtt = F.concat(
+            F.when(vtt_short, stamp(start, True, True))
+            .otherwise(stamp(start, True, False)),
+            F.lit(" --> "),
+            F.when(vtt_short, stamp(end, True, True))
+            .otherwise(stamp(end, True, False)),
+            F.lit(" align:start\nCue "), es, F.lit("-"), ks)
+        return F.when(eid % 2 == 0, srt).otherwise(vtt)
+
+    body = F.array_join(
+        F.transform(F.sequence(F.lit(0), (eid % 4).cast("int")), cue),
+        "\n\n")
+    doc = (
+        F.when(eid % 4 == 3, F.lit("just a page, no captions"))
+        .when(eid % 2 == 0, body)
+        .otherwise(F.concat(F.lit("WEBVTT\n\nNOTE styling\n\n"), body)))
+    return parse_subtitles(p.withColumn("subs", doc))
+
+
+@q(
     "robots_meta_gate",
     f"""{_PAGES_CTE},
 v AS (SELECT url, event_id % 3 <> 2 AS has_meta, event_id % 4 AS mc,

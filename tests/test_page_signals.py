@@ -170,3 +170,62 @@ def test_jsonld_author_spellings_coalesce(spark):
             "block_idx").collect()
     assert rows[0]["author_name"] == "Obj"
     assert rows[1]["author_name"] == "Str"
+
+
+def test_table_extract_nested_simplification_pinned(spark):
+    from logstash_spark.functions.linkgraph import extract_tables
+
+    # documented: outer match truncates at the FIRST </table>; the inner
+    # table's cells parse as the outer's, the outer tail is dropped
+    html = ("<table><tr><td>outer1</td></tr>"
+            "<table><tr><td>inner</td></tr></table>"
+            "<tr><td>outer2</td></tr></table>")
+    rows = extract_tables(spark.createDataFrame(
+        pd.DataFrame([{"url": "u", "html_str": html}]))).collect()
+    cells = [r["cell"] for r in rows]
+    assert "outer1" in cells and "inner" in cells
+    assert "outer2" not in cells
+
+
+def test_table_extract_header_flag_and_entities(spark):
+    from logstash_spark.functions.linkgraph import extract_tables
+
+    html = ('<TABLE><TR><TH class="h">A&amp;B</TH></TR>'
+            "<tr><td>  x   y  </td></tr></TABLE>")
+    rows = sorted(
+        extract_tables(spark.createDataFrame(
+            pd.DataFrame([{"url": "u", "html_str": html}]))).collect(),
+        key=lambda r: r["row_idx"])
+    assert rows[0]["cell"] == "A&B" and rows[0]["is_header"]
+    assert rows[1]["cell"] == "x y" and not rows[1]["is_header"]
+
+
+def test_subtitles_srt_and_vtt(spark):
+    from logstash_spark.functions.multimodal import parse_subtitles
+
+    srt = ("1\n00:00:01,500 --> 00:00:03,000\nHello\nworld\n\n"
+           "2\n00:01:00,000 --> 00:01:02,250\nBye")
+    vtt = ("WEBVTT\n\nNOTE x\n\n"
+           "00:05.000 --> 00:07.500 align:start\nShort form\n\n"
+           "01:02:03.004 --> 01:02:04.005\nLong form")
+    rows = parse_subtitles(spark.createDataFrame(
+        pd.DataFrame([{"url": "s", "subs": srt}, {"url": "v", "subs": vtt}])
+    )).collect()
+    by = {(r["url"], r["cue_idx"]): r for r in rows}
+    assert by[("s", 0)]["start_ms"] == 1500
+    assert by[("s", 0)]["text"] == "Hello world"
+    assert by[("s", 1)]["end_ms"] == 62250
+    assert by[("v", 0)]["start_ms"] == 5000      # hourless short form
+    assert by[("v", 0)]["text"] == "Short form"
+    assert by[("v", 1)]["start_ms"] == 3723004   # 1h2m3.004s
+    assert len(rows) == 4
+
+
+def test_subtitles_malformed_blocks_drop(spark):
+    from logstash_spark.functions.multimodal import parse_subtitles
+
+    subs = ("bad --> block without timestamps\n\n"
+            "00:00:01,000 --> 00:00:02,000\nok")
+    rows = parse_subtitles(spark.createDataFrame(
+        pd.DataFrame([{"url": "u", "subs": subs}]))).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "ok"
