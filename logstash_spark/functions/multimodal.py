@@ -1585,3 +1585,106 @@ def parse_subtitles(
         end_ms.alias("end_ms"),
         text.alias("text"),
     )
+
+
+def synthetic_docs_mixed(spark, n: int = 240) -> DataFrame:
+    """Mixed-format document corpus for the composed extraction
+    pipeline: id % 4 routes PDF / docx / odt / raw HTML, each built by
+    its own fixture encoder over the SAME md5-tiling closed-form text
+    (two 16-hex-char lines per doc), so one SQL oracle replays every
+    branch. HTML rows exercise the html->text branch; binary rows the
+    container decoders."""
+    import hashlib
+
+    from logstash_spark.functions.officecodec import encode_docx, encode_odt
+    from logstash_spark.functions.pdfcodec import encode_pdf
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                h = hashlib.md5(str(i * 13).encode()).hexdigest()
+                lines = [h[:16], h[16:]]
+                text = "\n".join(lines)
+                k = i % 4
+                if k == 0:
+                    buf = encode_pdf([text], compress=i % 2 == 1)
+                elif k == 1:
+                    buf = encode_docx(lines)
+                elif k == 2:
+                    buf = encode_odt(lines)
+                else:
+                    buf = ("<html><head><title>t</title></head><body><p>"
+                           + lines[0] + "</p>\n<p>" + lines[1]
+                           + "</p></body></html>").encode()
+                rows.append((i, buf))
+            yield pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    return spark.range(n).mapInPandas(gen, "doc_id bigint, bytes binary")
+
+
+def doc_extract_pipeline(df: DataFrame) -> DataFrame:
+    """The composed multi-format text-extraction stage a 100 TB document
+    corpus runs after MIME sniffing: ONE Arrow-batched pass that sniffs
+    each document's magic bytes and routes to the right extractor —
+    %PDF -> pdfcodec, PK zip -> officecodec (docx part, odt fallback),
+    '<' -> the html tag-strip rule (paragraph tags become line breaks,
+    remaining tags drop, whitespace collapses per line). Unrecognized
+    documents keep their row with NULL fmt/text (audit stance).
+
+    Scale shape: map-only, no shuffle; each branch is the same bounded
+    fail-closed decoder the standalone queries gate."""
+    import re as _re
+
+    from logstash_spark.functions.officecodec import (
+        extract_docx_text,
+        extract_odt_text,
+    )
+    from logstash_spark.functions.pdfcodec import extract_pdf_text
+
+    tag = _re.compile(r"<[^>]*>")
+    ws = _re.compile(r"[ \t]+")
+
+    def html_text(raw: bytes):
+        try:
+            s = raw.decode("utf-8", errors="replace")
+            s = _re.sub(r"(?is)<(script|style)[^>]*>.*?</\1>", " ", s)
+            s = _re.sub(r"(?is)<head[^>]*>.*?</head>", " ", s)
+            s = _re.sub(r"(?i)</p\s*>|<br\s*/?>", "\n", s)
+            s = tag.sub(" ", s)
+            lines = [ws.sub(" ", ln).strip() for ln in s.split("\n")]
+            return "\n".join(ln for ln in lines if ln)
+        except Exception:
+            return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, buf in zip(pdf["doc_id"], pdf["bytes"]):
+                fmt = text = None
+                if buf is not None:
+                    raw = bytes(buf)
+                    if raw.startswith(b"%PDF-"):
+                        r = extract_pdf_text(raw)
+                        if r is not None:
+                            fmt, text = "pdf", r[0]
+                    elif raw.startswith(b"PK"):
+                        r = extract_docx_text(raw)
+                        if r is not None:
+                            fmt, text = "docx", r[0]
+                        else:
+                            r = extract_odt_text(raw)
+                            if r is not None:
+                                fmt, text = "odt", r[0]
+                    elif raw.lstrip()[:1] == b"<":
+                        t = html_text(raw)
+                        if t is not None:
+                            fmt, text = "html", t
+                rows.append((int(did), fmt,
+                             len(text) if text is not None else None, text))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "n_chars", "text"])
+
+    return df.select("doc_id", "bytes").mapInPandas(
+        batches, "doc_id bigint, fmt string, n_chars int, text string")

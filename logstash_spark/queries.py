@@ -2187,6 +2187,35 @@ def office_text_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return office_extract_text(synthetic_docs_office(spark, 200))
 
 
+# All four branches of the mixed-format pipeline are LOSSLESS over the
+# same two-line closed-form text, so ONE SQL expression replays every
+# route; the fmt column proves the sniff picked the right decoder.
+_DOC_PIPELINE_ORACLE = """WITH d AS (
+  SELECT id, md5(CAST(id * 13 AS VARCHAR)) AS h FROM range(240) t(id)
+)
+SELECT id AS doc_id,
+       ['pdf', 'docx', 'odt', 'html'][id % 4 + 1] AS fmt,
+       CAST(33 AS INT) AS n_chars,
+       substr(h, 1, 16) || chr(10) || substr(h, 17, 16) AS text
+FROM d"""
+
+
+@q("doc_extract_pipeline", _DOC_PIPELINE_ORACLE)
+def doc_extract_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed document-ingest stage: ONE Arrow-batched pass sniffs
+    magic bytes and routes each document to its decoder — PDF (content
+    streams), docx (WordprocessingML), odt (ODF), raw HTML (tag-strip
+    with paragraph line breaks) — over a corpus whose four format
+    classes carry the same closed-form text, so the oracle checks both
+    the routing (fmt) and the extraction (text) in one hash."""
+    from logstash_spark.functions.multimodal import (
+        doc_extract_pipeline,
+        synthetic_docs_mixed,
+    )
+
+    return doc_extract_pipeline(synthetic_docs_mixed(spark, 240))
+
+
 # EXIF fields are deterministic id-arithmetic (synthetic_media_exif), so
 # extraction has a FULL closed-form oracle — GPS microdegrees in pure
 # BIGINT (seconds denominator 100 divides 1e6; DuckDB // is floor div).
@@ -6925,6 +6954,45 @@ def subtitle_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(eid % 2 == 0, body)
         .otherwise(F.concat(F.lit("WEBVTT\n\nNOTE styling\n\n"), body)))
     return parse_subtitles(p.withColumn("subs", doc))
+
+
+@q(
+    "markdown_to_text",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, CAST(event_id AS VARCHAR) AS eid FROM pages)
+SELECT url,
+       'Title ' || eid || chr(10) || chr(10)
+       || 'Some bold and ital text ' || eid || chr(10)
+       || 'item one' || chr(10) || 'item two' || chr(10)
+       || 'quote ' || eid || chr(10)
+       || 'Inline code span' || chr(10)
+       || 'anchor' || eid || ' and alt' || eid || chr(10)
+       || 'https://auto.example/' || eid || chr(10) || chr(10)
+       || 'fence_content = ' || eid || chr(10) || chr(10)
+       || 'End ' || eid AS text
+FROM v""",
+)
+def markdown_to_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> plain text over a corpus exercising every cascade
+    rule at once: ATX heading, strong/emphasis, bullet + ordered list
+    markers, blockquote, inline code, link anchor + image alt (image
+    first!), autolink unwrap, thematic break drop, fence markers dropped
+    with code CONTENT kept, and blank-line collapse. Oracle states the
+    exact expected text closed-form."""
+    from logstash_spark.functions.text import markdown_to_text
+
+    p = _pages(spark, sf_dir)
+    es = F.col("event_id").cast("string")
+    md = F.concat(
+        F.lit("# Title "), es, F.lit("\n\nSome **bold** and *ital* text "),
+        es, F.lit("\n- item one\n2. item two\n> quote "), es,
+        F.lit("\nInline `code` span\n[anchor"), es,
+        F.lit("](https://x/q) and ![alt"), es,
+        F.lit("](https://img/q)\n<https://auto.example/"), es,
+        F.lit(">\n---\n```python\nfence_content = "), es,
+        F.lit("\n```\nEnd "), es)
+    return markdown_to_text(
+        p.withColumn("md", md)).select("url", "text")
 
 
 @q(

@@ -229,3 +229,43 @@ def test_subtitles_malformed_blocks_drop(spark):
     rows = parse_subtitles(spark.createDataFrame(
         pd.DataFrame([{"url": "u", "subs": subs}]))).collect()
     assert len(rows) == 1 and rows[0]["text"] == "ok"
+
+
+def test_doc_extract_pipeline_routes_and_audits(spark):
+    from logstash_spark.functions.multimodal import doc_extract_pipeline
+
+    from logstash_spark.functions.pdfcodec import encode_pdf
+    from logstash_spark.functions.officecodec import encode_docx, encode_odt
+
+    rows = [
+        {"doc_id": 0, "bytes": encode_pdf(["pp"])},
+        {"doc_id": 1, "bytes": encode_docx(["dd"])},
+        {"doc_id": 2, "bytes": encode_odt(["oo"])},
+        {"doc_id": 3, "bytes": b"<html><body><p>hh</p></body></html>"},
+        {"doc_id": 4, "bytes": b"\x00\x01garbage"},
+        {"doc_id": 5, "bytes": None},
+    ]
+    out = {r["doc_id"]: r for r in doc_extract_pipeline(
+        spark.createDataFrame(pd.DataFrame(rows))).collect()}
+    assert [out[k]["fmt"] for k in range(4)] == ["pdf", "docx", "odt", "html"]
+    assert [out[k]["text"] for k in range(4)] == ["pp", "dd", "oo", "hh"]
+    assert out[4]["fmt"] is None and out[5]["fmt"] is None
+    assert len(out) == 6
+
+
+def test_markdown_nested_and_edge_rules(spark):
+    from logstash_spark.functions.text import markdown_to_text
+
+    cases = [
+        ("## H2 here", "H2 here"),
+        ("**[linked bold](u)**", "linked bold"),
+        ("a * b times c", "a * b times c"),     # lone asterisk survives
+        ("1. one\n12. twelve", "one\ntwelve"),
+        ("***\ntext", "text"),
+        ("snake_case_name stays", "snake_case_name stays"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        [{"i": i, "md": m} for i, (m, _e) in enumerate(cases)]))
+    out = {r["i"]: r["text"] for r in markdown_to_text(df).collect()}
+    for i, (_m, e) in enumerate(cases):
+        assert out[i] == e, (i, out[i], e)
