@@ -202,6 +202,10 @@ HEADLINE = [
     "feed_parse",
     "jsonld_extract",
     "gale_church_align",
+    "html_table_extract",
+    "subtitle_parse",
+    "doc_extract_pipeline",
+    "markdown_to_text",
 ]
 
 
