@@ -8,8 +8,9 @@ Implemented exactly per the published algorithm: DP over sentence index
 pairs minimizing match penalty + length cost, with the paper's six
 alignment categories and penalties (1-1:0, 1-0/0-1:450, 2-1/1-2:230,
 2-2:440) and the paper's length model — delta = (l2 - l1*c) /
-sqrt((l1 + l2) * s2) with c=1, s2=6.8, cost = -100 * ln(2 * (1 -
-Phi(|delta|))) via math.erf. Output is the alignment STRUCTURE only
+sqrt(((l1 + l2) / 2) * s2) with c=1, s2=6.8 (variance scales with the
+MEAN length, as in the canonical implementation), cost =
+-100 * ln(2 * (1 - Phi(|delta|))) via math.erf. Output is the alignment STRUCTURE only
 (spans + category), never the float costs — deterministic output from a
 float-scored search, the same stance as the k-means route assignments.
 

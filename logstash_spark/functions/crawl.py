@@ -1371,22 +1371,23 @@ def robots_meta_gate(
     the MOST RESTRICTIVE source wins when both are present — exactly the
     combining rule search engines document publicly.
 
-    ``none`` is shorthand for ``noindex, nofollow``. Output per page:
-    the two verdict booleans and which source(s) restricted the page
-    ('meta' / 'header' / 'both', NULL when unrestricted). Pure JVM regex
-    on the head + a lower-trim of the header column; no shuffle.
+    ``none`` is shorthand for ``noindex, nofollow``. ALL robots meta
+    tags on the page combine (a theme may emit a permissive default and
+    a plugin a restrictive one later — search engines apply the union
+    of restrictions, so the gate must too). Output per page: the two
+    verdict booleans and which source(s) restricted the page ('meta' /
+    'header' / 'both', NULL when unrestricted). Pure JVM regex on the
+    head + a lower-trim of the header column; no shuffle.
     """
-    meta_content = F.regexp_extract(
-        F.col(html_col),
-        '(?i)<meta[^>]*name=["\']robots["\'][^>]*content=["\']([^"\']*)["\']',
-        1)
-    # attribute order can flip: content before name
-    meta_content2 = F.regexp_extract(
-        F.col(html_col),
-        '(?i)<meta[^>]*content=["\']([^"\']*)["\'][^>]*name=["\']robots["\']',
-        1)
-    meta = F.lower(F.when(meta_content != "", meta_content)
-                   .otherwise(meta_content2))
+    meta_all = F.concat(
+        F.expr(f"""regexp_extract_all({html_col},
+          '(?i)<meta[^>]*name=["\\']robots["\\'][^>]*content=["\\']([^"\\']*)["\\']',
+          1)"""),
+        F.expr(f"""regexp_extract_all({html_col},
+          '(?i)<meta[^>]*content=["\\']([^"\\']*)["\\'][^>]*name=["\\']robots["\\']',
+          1)"""),
+    )
+    meta = F.lower(F.array_join(meta_all, ","))
     header = (F.lower(F.coalesce(F.col(header_col), F.lit("")))
               if header_col else F.lit(""))
 

@@ -617,6 +617,29 @@ def link_spam_score(
     )
 
 
+def _hreflang_pairs(html_col: str) -> Column:
+    """Shared hreflang extraction: array<struct<hreflang,href>> of the
+    page's ``<link rel=alternate hreflang>`` declarations. Tag and
+    attribute matching is CASE-INSENSITIVE (HTML is; legacy pages ship
+    uppercase tags) and tolerates either attribute order. ONE
+    implementation — both public operators build on it."""
+    tags = F.expr(
+        f"regexp_extract_all({html_col}, '(?i)<link[^>]*>', 0)")
+    alt = F.filter(
+        tags,
+        lambda t: t.rlike('(?i)rel=["\']alternate["\']')
+        & t.rlike('(?i)hreflang=["\']'))
+    return F.transform(
+        alt,
+        lambda t: F.struct(
+            F.lower(
+                F.regexp_extract(t, '(?i)hreflang=["\']([^"\']*)["\']', 1))
+            .alias("hreflang"),
+            F.regexp_extract(t, '(?i)href=["\']([^"\']*)["\']', 1)
+            .alias("href"),
+        ))
+
+
 def hreflang_alternates(
     df: DataFrame, *, html_col: str = "html_str", url_col: str = "url"
 ) -> DataFrame:
@@ -631,19 +654,7 @@ def hreflang_alternates(
     Scale shape: map-only until the final explode (row multiplier = the
     declared cluster size, bounded by the page's own head), no shuffle.
     """
-    tags = F.expr(
-        f"regexp_extract_all({html_col}, '<link[^>]*>', 0)")
-    alt = F.filter(
-        tags,
-        lambda t: t.rlike('rel=["\']alternate["\']')
-        & t.rlike('hreflang=["\']'))
-    pairs = F.transform(
-        alt,
-        lambda t: F.struct(
-            F.regexp_extract(t, 'hreflang=["\']([^"\']*)["\']', 1)
-            .alias("hreflang"),
-            F.regexp_extract(t, 'href=["\']([^"\']*)["\']', 1).alias("href"),
-        ))
+    pairs = _hreflang_pairs(html_col)
     out = df.select(
         F.col(url_col).alias("url"),
         F.size(pairs).alias("n_alternates"),
@@ -671,20 +682,9 @@ def hreflang_bitext_pairs(
     no shuffle) — the cluster is already colocated on its declaring row.
     """
     # the cluster is already colocated on its declaring row, so pairing
-    # is an array op on the extraction — no collect_list, no self-join
-    tags = F.expr(
-        f"regexp_extract_all({html_col}, '<link[^>]*>', 0)")
-    alt = F.filter(
-        tags,
-        lambda t: t.rlike('rel=["\']alternate["\']')
-        & t.rlike('hreflang=["\']'))
-    pairs = F.transform(
-        alt,
-        lambda t: F.struct(
-            F.regexp_extract(t, 'hreflang=["\']([^"\']*)["\']', 1)
-            .alias("hreflang"),
-            F.regexp_extract(t, 'href=["\']([^"\']*)["\']', 1).alias("href"),
-        ))
+    # is an array op on the shared extraction — no collect_list, no
+    # self-join
+    pairs = _hreflang_pairs(html_col)
     langs = F.filter(pairs, lambda s: s.hreflang != "x-default")
     n = F.size(langs)
     pair_arr = F.flatten(

@@ -1555,11 +1555,13 @@ def parse_subtitles(
     form), SRT numeric-counter lines and VTT cue-settings after the
     timestamp (both ignored), multi-line cue text collapsed to one
     space-joined line. Cue order is the FILTERED block array's position
-    (cue_idx assigned before the explode — no window, no shuffle), so
-    WEBVTT headers/NOTE blocks don't shift indexes. Milliseconds are
-    exact integer arithmetic. Map-only JVM."""
+    (cue_idx assigned before the explode — no window, no shuffle), and
+    the filter requires a FULL timestamp match, so WEBVTT headers, NOTE
+    blocks (even ones quoting '-->' in prose) and malformed cues
+    neither appear nor leave index gaps. Milliseconds are exact integer
+    arithmetic. Map-only JVM."""
     blocks = F.split(F.col(text_col).cast("string"), r"\r?\n\r?\n")
-    cues = F.filter(blocks, lambda b: b.contains("-->"))
+    cues = F.filter(blocks, lambda b: b.rlike(_CUE_TIME))
     e = df.select(
         F.col(url_col).alias("url"),
         F.posexplode(cues).alias("cue_idx", "_cue"))
@@ -1577,9 +1579,7 @@ def parse_subtitles(
     body = F.regexp_extract(
         F.col("_cue"), r"(?s)-->[^\n]*\n(.*)$", 1)
     text = F.trim(F.regexp_replace(body, r"\s*\r?\n\s*", " "))
-    return e.filter(
-        F.regexp_extract("_cue", _CUE_TIME, 2) != ""
-    ).select(
+    return e.select(
         "url", "cue_idx",
         start_ms.alias("start_ms"),
         end_ms.alias("end_ms"),

@@ -35,7 +35,7 @@ MAX_PARTS = 4_096
 MAX_TEXT = 1 << 22
 
 _ENT = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
-_ENT_RE = re.compile("|".join(_ENT) + r"|&#x?[0-9A-Fa-f]{1,6};")
+_ENT_RE = re.compile("|".join(_ENT) + r"|&#[xX]?[0-9A-Fa-f]{1,6};")
 
 
 def _unescape(s: str) -> str:
@@ -124,7 +124,11 @@ def extract_docx_text(buf: bytes):
         s = xml.decode("utf-8", errors="replace")
         text = _xml_paragraph_text(
             s, "w:p", ("w:t",), "w:tab", "w:br")
-        n_par = text.count("\n") + 1 if text or "<w:p" in s else 0
+        # paragraph PRESENCE needs the tag boundary — bare '<w:p' would
+        # substring-match <w:pPr>/<w:pgSz>/<w:sectPr> and report 1
+        # paragraph for paragraph-less documents
+        n_par = (text.count("\n") + 1
+                 if text or re.search(r"<w:p[\s/>]", s) else 0)
         return text, n_par
     except Exception:
         return None
@@ -143,7 +147,10 @@ def extract_odt_text(buf: bytes):
         # normalize text:h to text:p so one paragraph pass covers both
         s = s.replace("<text:h", "<text:p").replace("</text:h>", "</text:p>")
         text = _para_odt(s)
-        n_par = text.count("\n") + 1 if text or "<text:p" in s else 0
+        # same boundary rule: '<text:p' alone would match
+        # <text:page-number>/<text:page-count> fields
+        n_par = (text.count("\n") + 1
+                 if text or re.search(r"<text:p[\s/>]", s) else 0)
         return text, n_par
     except Exception:
         return None

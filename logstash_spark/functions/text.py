@@ -660,38 +660,48 @@ def markdown_to_text(
     """Markdown -> plain text (the GitHub/docs slice of a web corpus:
     READMEs and .md pages need the same clean-text treatment as HTML).
     A JVM regexp_replace cascade over the CommonMark constructs that
-    carry markup, in dependency order:
+    carry markup, in dependency order — with fenced code PROTECTED:
+    the document splits on ``` fence-marker lines (dropping the markers
+    and language hints), odd segments are fence CONTENT and pass
+    through VERBATIM (code text is corpus text and must not be mangled
+    by the markup rules — a '# comment' or 'a * b * c' inside a fence
+    stays intact), and only even (outside) segments run the cascade:
 
-    fenced code blocks keep their CONTENT, dropping the ``` fence lines
-    and language hint (code text is corpus text); images become their
-    alt text BEFORE links become their anchor text (image syntax embeds
-    link syntax); autolink angle brackets drop; emphasis/strong/inline
-    code markers strip; ATX heading hashes, blockquote '>' and list
-    markers (bullet + ordered) strip at line starts; thematic-break
-    lines drop; 3+ newlines collapse to a paragraph break; trailing
-    per-line whitespace trims. No Python, no shuffle."""
-    s = F.col(source).cast("string")
-    # fences: drop the marker lines, keep inner content
-    s = F.regexp_replace(s, r"(?m)^```[^\n]*\n((?s:.*?))^```[ \t]*$", "$1")
-    s = F.regexp_replace(s, r"(?m)^```[^\n]*$", "")
-    # images -> alt, then links -> anchor
-    s = F.regexp_replace(s, r"!\[([^\]]*)\]\([^)]*\)", "$1")
-    s = F.regexp_replace(s, r"\[([^\]]*)\]\([^)]*\)", "$1")
-    s = F.regexp_replace(s, r"<(https?://[^>\s]+)>", "$1")
-    # emphasis / strong / inline code
-    s = F.regexp_replace(s, r"\*\*([^*]+)\*\*|__([^_]+)__", "$1$2")
-    s = F.regexp_replace(s, r"\*([^*\n]+)\*|\b_([^_\n]+)_\b", "$1$2")
-    s = F.regexp_replace(s, r"`([^`\n]+)`", "$1")
-    # line-start structure: headings, quotes, list markers
-    s = F.regexp_replace(s, r"(?m)^#{1,6}[ \t]+", "")
-    s = F.regexp_replace(s, r"(?m)^[ \t]*>[ \t]?", "")
-    s = F.regexp_replace(s, r"(?m)^[ \t]*([-*+]|\d{1,3}\.)[ \t]+", "")
-    # thematic breaks
-    s = F.regexp_replace(s, r"(?m)^[ \t]*([-*_][ \t]*){3,}$", "")
-    # whitespace normalization
-    s = F.regexp_replace(s, r"[ \t]+$", "")
-    s = F.regexp_replace(s, r"(?m)[ \t]+\n", "\n")
-    s = F.regexp_replace(s, r"\n{3,}", "\n\n")
+    images become their alt text BEFORE links become their anchor text
+    (image syntax embeds link syntax); autolink angle brackets drop;
+    emphasis/strong/inline code markers strip; ATX heading hashes,
+    blockquote '>' and list markers (bullet + ordered) strip at line
+    starts; thematic-break lines drop. After rejoining, 3+ newlines
+    collapse to a paragraph break and the ends trim. No Python, no
+    shuffle."""
+
+    def cascade(s: Column) -> Column:
+        # images -> alt, then links -> anchor
+        s = F.regexp_replace(s, r"!\[([^\]]*)\]\([^)]*\)", "$1")
+        s = F.regexp_replace(s, r"\[([^\]]*)\]\([^)]*\)", "$1")
+        s = F.regexp_replace(s, r"<(https?://[^>\s]+)>", "$1")
+        # emphasis / strong / inline code
+        s = F.regexp_replace(s, r"\*\*([^*]+)\*\*|__([^_]+)__", "$1$2")
+        s = F.regexp_replace(s, r"\*([^*\n]+)\*|\b_([^_\n]+)_\b", "$1$2")
+        s = F.regexp_replace(s, r"`([^`\n]+)`", "$1")
+        # line-start structure: headings, quotes, list markers
+        s = F.regexp_replace(s, r"(?m)^#{1,6}[ \t]+", "")
+        s = F.regexp_replace(s, r"(?m)^[ \t]*>[ \t]?", "")
+        s = F.regexp_replace(s, r"(?m)^[ \t]*([-*+]|\d{1,3}\.)[ \t]+", "")
+        # thematic breaks + per-line trailing whitespace
+        s = F.regexp_replace(s, r"(?m)^[ \t]*([-*_][ \t]*){3,}$", "")
+        s = F.regexp_replace(s, r"(?m)[ \t]+\n", "\n")
+        return s
+
+    segs = F.split(F.col(source).cast("string"), r"(?m)^```[^\n]*$")
+    out = F.array_join(
+        F.zip_with(
+            segs,
+            F.sequence(F.lit(0), F.greatest(F.size(segs) - 1, F.lit(0))),
+            lambda seg, i: F.when(i % 2 == 1, seg).otherwise(cascade(seg)),
+        ),
+        "")
+    out = F.regexp_replace(out, r"\n{3,}", "\n\n")
     # Spark trim() strips spaces only — newlines need the regex form
-    s = F.regexp_replace(s, r"^\s+|\s+$", "")
-    return df.withColumn(target, s)
+    out = F.regexp_replace(out, r"^\s+|\s+$", "")
+    return df.withColumn(target, out)

@@ -112,3 +112,20 @@ def test_spark_mixed_corpus_sniff(spark):
     assert rows[0]["fmt"] == "docx" and rows[1]["fmt"] == "odt"
     assert all(r["text"] is not None for r in rows.values())
     assert rows[4]["text"].split("\n")[1].count("\t") == 1  # docx tab run
+
+
+def test_paragraphless_documents_count_zero():
+    # <w:pPr>/<w:sectPr>/<text:page-number> must not count as paragraphs
+    docx = _zip([("word/document.xml",
+                  b"<w:document><w:body><w:sectPr><w:pgSz w:w='1'/>"
+                  b"</w:sectPr></w:body></w:document>")])
+    assert extract_docx_text(docx) == ("", 0)
+    odt = _zip([("content.xml",
+                 b"<office:text><text:page-number/></office:text>")])
+    assert extract_odt_text(odt) == ("", 0)
+
+
+def test_uppercase_hex_character_reference_decodes():
+    doc = b"<w:p><w:r><w:t>x&#X41;y&#x42;z</w:t></w:r></w:p>"
+    t, _ = extract_docx_text(_zip([("word/document.xml", doc)]))
+    assert t == "xAyBz"

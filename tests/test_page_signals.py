@@ -221,14 +221,19 @@ def test_subtitles_srt_and_vtt(spark):
     assert len(rows) == 4
 
 
-def test_subtitles_malformed_blocks_drop(spark):
+def test_subtitles_malformed_blocks_drop_without_index_gap(spark):
     from logstash_spark.functions.multimodal import parse_subtitles
 
-    subs = ("bad --> block without timestamps\n\n"
-            "00:00:01,000 --> 00:00:02,000\nok")
-    rows = parse_subtitles(spark.createDataFrame(
-        pd.DataFrame([{"url": "u", "subs": subs}]))).collect()
-    assert len(rows) == 1 and rows[0]["text"] == "ok"
+    # NOTE blocks quoting '-->' in prose and malformed cues must neither
+    # appear NOR shift/gap real cue indexes (review finding pin)
+    subs = ("NOTE this note says --> inside prose\n\n"
+            "bad --> block without timestamps\n\n"
+            "00:00:01,000 --> 00:00:02,000\nok\n\n"
+            "00:00:03,000 --> 00:00:04,000\ntwo")
+    rows = sorted(parse_subtitles(spark.createDataFrame(
+        pd.DataFrame([{"url": "u", "subs": subs}]))).collect(),
+        key=lambda r: r["cue_idx"])
+    assert [(r["cue_idx"], r["text"]) for r in rows] == [(0, "ok"), (1, "two")]
 
 
 def test_doc_extract_pipeline_routes_and_audits(spark):
@@ -269,3 +274,47 @@ def test_markdown_nested_and_edge_rules(spark):
     out = {r["i"]: r["text"] for r in markdown_to_text(df).collect()}
     for i, (_m, e) in enumerate(cases):
         assert out[i] == e, (i, out[i], e)
+
+
+def test_markdown_fence_content_protected_from_cascade(spark):
+    from logstash_spark.functions.text import markdown_to_text
+
+    md = ("before *em*\n"
+          "```py\n# comment\nx = a * b * c\n- item\n```\n"
+          "after")
+    out = markdown_to_text(spark.createDataFrame(
+        pd.DataFrame([{"md": md}]))).collect()[0]["text"]
+    # fence CONTENT must survive verbatim: '#', '*' and '-' intact
+    assert "# comment" in out
+    assert "x = a * b * c" in out
+    assert "- item" in out
+    assert "before em" in out and "after" in out
+
+
+def test_robots_meta_all_tags_combine(spark):
+    from logstash_spark.functions.crawl import robots_meta_gate
+
+    # theme default 'all' + plugin-injected 'noindex' later: union of
+    # restrictions wins (review finding pin)
+    html = ('<meta name="robots" content="all">'
+            '<meta name="robots" content="noindex">')
+    r = robots_meta_gate(_df(spark, [
+        {"url": "u", "html_str": html, "x_robots_tag": None}])).collect()[0]
+    assert r["noindex"] and not r["nofollow"]
+    assert r["restricted_by"] == "meta"
+
+
+def test_hreflang_uppercase_declarations(spark):
+    from logstash_spark.functions.linkgraph import (
+        hreflang_alternates,
+        hreflang_bitext_pairs,
+    )
+
+    html = ('<LINK REL="Alternate" HREFLANG="EN" HREF="https://x/en">'
+            '<LINK REL="alternate" HREFLANG="de" HREF="https://x/de">')
+    df = _df(spark, [{"url": "u", "html_str": html}])
+    alts = {(r["hreflang"], r["href"])
+            for r in hreflang_alternates(df).collect()}
+    assert alts == {("en", "https://x/en"), ("de", "https://x/de")}
+    pairs = hreflang_bitext_pairs(df).collect()
+    assert {(r["lang_a"], r["lang_b"]) for r in pairs} == {("en", "de")}
