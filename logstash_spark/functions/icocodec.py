@@ -1,0 +1,129 @@
+"""ICO favicon decode on the stdlib — written fresh from the public
+Windows ICO format layout (ICONDIR / ICONDIRENTRY) and BMP DIB spec:
+favicons are the fifth real-web image container (every site ships one),
+and they embed either a PNG (modern, sniffed by signature) or a
+header-less BMP DIB whose biHeight is DOUBLED to cover the XOR pixel
+plane plus the 1-bit AND transparency mask.
+
+Supported payload classes: PNG (delegated to the vendored parse_png) and
+uncompressed 24/32-bit BI_RGB DIBs (bottom-up rows, 4-byte row padding,
+alpha byte of 32-bit pixels ignored -> RGB). Entry selection: the
+largest (width*height) entry, ties to the earliest — the conventional
+"best image" rule. Palettized DIBs, BI_RLE and PNG-in-entry-with-wrong-
+declared-size all fail CLOSED (None): the PNG/JPEG/GIF/TIFF stance.
+
+`encode_ico` is the fixture/oracle builder; DIB decode is lossless so
+the md5-tiling raster closed form survives and the SQL oracle replays
+decoded content (the PNG/GIF/TIFF trick on an icon container).
+
+Scale shape: per-image work inside multimodal.decode_media's Arrow
+batches — map-only, no shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAX_PIXELS = 1 << 26
+
+
+def _parse_dib(buf: bytes):
+    """Header-less BMP DIB with doubled height -> (w, h, rgb) or None."""
+    if len(buf) < 40:
+        return None
+    (hsz, w, h2, planes, bpp, comp) = struct.unpack_from("<IiihHI", buf, 0)
+    if hsz < 40 or w <= 0 or h2 <= 0 or h2 % 2 or comp != 0:
+        return None
+    if bpp not in (24, 32):
+        return None
+    h = h2 // 2
+    if w * h > _MAX_PIXELS:
+        return None
+    bytes_pp = bpp // 8
+    row = (w * bytes_pp + 3) & ~3  # 4-byte aligned
+    need = hsz + row * h           # XOR plane only; AND mask may follow
+    if len(buf) < need:
+        return None
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src = hsz + (h - 1 - y) * row  # bottom-up
+        for x in range(w):
+            b, g, r = buf[src + x * bytes_pp:src + x * bytes_pp + 3]
+            o = (y * w + x) * 3
+            out[o] = r
+            out[o + 1] = g
+            out[o + 2] = b
+    return w, h, bytes(out)
+
+
+def parse_ico(buf: bytes):
+    """-> (width, height, rgb_raster) of the LARGEST entry, or None.
+    Never raises on hostile bytes."""
+    try:
+        if not isinstance(buf, (bytes, bytearray)) or len(buf) < 6:
+            return None
+        buf = bytes(buf)
+        rsv, typ, count = struct.unpack_from("<HHH", buf, 0)
+        if rsv != 0 or typ != 1 or count == 0 or count > 256:
+            return None
+        best = None  # (area, order, offset, size)
+        for k in range(count):
+            e = 6 + 16 * k
+            if e + 16 > len(buf):
+                return None
+            w, h, _pal, _rsv2, _planes, _bpp, size, off = struct.unpack_from(
+                "<BBBBHHII", buf, e)
+            w = w or 256  # 0 means 256 per spec
+            h = h or 256
+            if off + size > len(buf) or size == 0:
+                continue
+            key = (w * h, -k)
+            if best is None or key > best[0]:
+                best = (key, off, size)
+        if best is None:
+            return None
+        _key, off, size = best
+        payload = buf[off:off + size]
+        if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            from logstash_spark.functions.multimodal import parse_png
+
+            return parse_png(payload)
+        return _parse_dib(payload)
+    except Exception:
+        return None
+
+
+def encode_ico(entries) -> bytes:
+    """Fixture/oracle builder. ``entries`` = list of
+    (width, height, rgb_raster, kind) with kind in {'dib', 'png'};
+    decode returns the LARGEST entry's raster exactly."""
+    blobs = []
+    for w, h, rgb, kind in entries:
+        assert len(rgb) == w * h * 3
+        if kind == "png":
+            from logstash_spark.functions.multimodal import encode_png
+
+            blobs.append(encode_png(w, h, rgb))
+        else:
+            row = (w * 3 + 3) & ~3
+            pad = b"\x00" * (row - w * 3)
+            hdr = struct.pack("<IiihHIIiiII", 40, w, h * 2, 1, 24, 0,
+                              row * h, 0, 0, 0, 0)
+            body = bytearray(hdr)
+            for y in range(h - 1, -1, -1):  # bottom-up
+                for x in range(w):
+                    o = (y * w + x) * 3
+                    body += bytes((rgb[o + 2], rgb[o + 1], rgb[o]))
+                body += pad
+            and_row = ((w + 31) // 32) * 4  # 1-bit mask, 4-byte aligned
+            body += b"\x00" * (and_row * h)
+            blobs.append(bytes(body))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(entries)))
+    off = 6 + 16 * len(entries)
+    for (w, h, _rgb, _kind), blob in zip(entries, blobs):
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 24, len(blob), off)
+        off += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)

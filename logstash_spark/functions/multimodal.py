@@ -224,6 +224,41 @@ def synthetic_media_tiff(spark, n: int = 100) -> DataFrame:
         "meta struct<mime:string, width:int, height:int, duration_ms:int>")
 
 
+def synthetic_media_ico(spark, n: int = 100) -> DataFrame:
+    """Deterministic ICO favicon table: `bytes` = a REAL ICO whose
+    LARGEST entry's decoded raster is the md5-tiling closed form — DIB
+    payloads (bottom-up BGR rows + AND mask) on even ids, PNG payloads
+    on odd, and every id % 3 == 0 icon carries a smaller decoy entry
+    that the largest-entry rule must SKIP (the oracle only holds if
+    selection is right)."""
+    import hashlib
+
+    from logstash_spark.functions.icocodec import encode_ico
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = (i % 4) * 16 + 16
+                h = (i % 3) * 16 + 16
+                hexs = hashlib.md5(str(i).encode()).hexdigest()
+                raster = (hexs * 288).encode()[: w * h * 3]
+                kind = "dib" if i % 2 == 0 else "png"
+                entries = [(w, h, raster, kind)]
+                if i % 3 == 0:
+                    decoy = (hexs * 24).encode()[: 8 * 8 * 3]
+                    entries.insert(0, (8, 8, decoy, "dib"))
+                rows.append((i, encode_ico(entries),
+                             ("image/x-icon", w, h, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "meta"])
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "media_id bigint, bytes binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>")
+
+
 # ---------------------------------------------------------------------------
 # stdlib image decode (no PIL needed): P6 PPM + uncompressed BMP headers
 # + PNG (zlib) below
@@ -509,6 +544,11 @@ def decode_media(buf: bytes):
 
         p = parse_tiff(buf)
         return ("tiff", *p) if p else None
+    if buf.startswith(b"\x00\x00\x01\x00"):
+        from logstash_spark.functions.icocodec import parse_ico
+
+        p = parse_ico(buf)
+        return ("ico", *p) if p else None
     return None
 
 

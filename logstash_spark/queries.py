@@ -1922,6 +1922,22 @@ def media_features_tiff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_features(synthetic_media_tiff(spark, 200))
 
 
+@q("media_features_ico", _MEDIA_ORACLE_FMT.format(fmt="ico"))
+def media_features_ico_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WEB image decode #5: ICO favicons (functions/icocodec —
+    ICONDIR walk, largest-entry selection past decoy entries, both
+    payload kinds: header-less doubled-height BMP DIBs and embedded
+    PNGs) decoded by the vendored reader, then the same raster
+    statistics. Lossless, so the md5-tiling SQL oracle replays decoded
+    content exactly."""
+    from logstash_spark.functions.multimodal import (
+        media_decode_features,
+        synthetic_media_ico,
+    )
+
+    return media_decode_features(synthetic_media_ico(spark, 200))
+
+
 @q("media_features_jpeg", _MEDIA_JPEG_ORACLE)
 def media_features_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-WEB image decode #2: baseline JFIF JPEGs (functions/jpegcodec

@@ -2497,3 +2497,52 @@ def test_decode_media_sniffs_tiff(spark):
     assert len(out) == 12
     assert all(r["fmt"] == "tiff" for r in out)
     assert {r["width"] for r in out} <= {16, 32, 48, 64}
+
+
+def test_ico_round_trip_dib_png_and_largest_entry():
+    import hashlib
+
+    from logstash_spark.functions.icocodec import encode_ico, parse_ico
+
+    hexs = hashlib.md5(b"i").hexdigest()
+
+    def raster(w, h):
+        return (hexs * ((w * h * 3) // 32 + 1)).encode()[: w * h * 3]
+
+    assert parse_ico(encode_ico(
+        [(16, 16, raster(16, 16), "dib")])) == (16, 16, raster(16, 16))
+    assert parse_ico(encode_ico(
+        [(32, 16, raster(32, 16), "png")])) == (32, 16, raster(32, 16))
+    # largest entry wins past decoys, regardless of order
+    got = parse_ico(encode_ico([
+        (16, 16, raster(16, 16), "dib"),
+        (48, 32, raster(48, 32), "png"),
+        (32, 32, raster(32, 32), "dib")]))
+    assert got == (48, 32, raster(48, 32))
+    # width byte 0 means 256 per spec
+    assert parse_ico(encode_ico(
+        [(256, 16, raster(256, 16), "dib")])) == (256, 16, raster(256, 16))
+
+
+def test_ico_hostile_inputs_never_throw():
+    from logstash_spark.functions.icocodec import encode_ico, parse_ico
+
+    real = encode_ico([(16, 16, b"z" * 768, "dib")])
+    hostiles = [b"", b"\x00\x00", b"\x00\x00\x01\x00\x00\x00",
+                b"\x00\x00\x02\x00\x01\x00",       # cursor type
+                real[:20], bytes(b ^ 0x44 for b in real)]
+    hostiles += [real[:k] for k in range(0, len(real), 23)]
+    for hb in hostiles:
+        r = parse_ico(hb)
+        assert r is None or isinstance(r, tuple)
+
+
+def test_decode_media_sniffs_ico(spark):
+    from logstash_spark.functions.multimodal import (
+        media_decode_features,
+        synthetic_media_ico,
+    )
+
+    out = media_decode_features(synthetic_media_ico(spark, 12)).collect()
+    assert len(out) == 12
+    assert all(r["fmt"] == "ico" for r in out)
