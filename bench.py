@@ -206,6 +206,7 @@ HEADLINE = [
     "subtitle_parse",
     "doc_extract_pipeline",
     "markdown_to_text",
+    "media_features_ico",
 ]
 
 

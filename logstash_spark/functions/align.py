@@ -125,3 +125,39 @@ def gale_church_align(
         batches,
         "pair_id bigint, op_idx int, src_start int, src_n int, "
         "tgt_start int, tgt_n int, kind string")
+
+
+# Sentence splitting (the aligner's input stage). Java lookbehinds must
+# be bounded, so the abbreviation guard is a chain of fixed-width
+# negative lookbehinds rather than one variable pattern.
+_ABBREVS = ("Mr", "Mrs", "Ms", "Dr", "Prof", "St", "vs", "etc", "e.g", "i.e",
+            "Jr", "Sr", "No", "Fig")
+_SENT_BREAK = (
+    "".join("(?<!\\b%s\\.)" % a.replace(".", "\\.") for a in _ABBREVS)
+    + r"(?<!\b[A-Z]\.)"      # single-initial guard: 'J. Smith'
+    # terminator may carry a closing quote: both lookbehinds are bounded
+    + r"(?:(?<=[.!?])|(?<=[.!?][\"']))\s+(?=[\"'A-Z0-9])")
+
+
+def split_sentences(
+    df, *, text_col: str = "text", url_col: str = "url",
+    explode: bool = True,
+):
+    """Rule-based sentence splitting — the stage that feeds
+    gale_church_align: break after [.!?] at whitespace followed by an
+    upper/digit/quote opener, guarded against common abbreviations
+    (Mr./Dr./e.g./...) and single-letter initials. Terminators stay
+    attached to their sentence. Pure JVM split (one bounded-lookbehind
+    regex); with ``explode`` one row per (url, sent_idx, sentence),
+    else the array column ``sents`` (the aligner's input shape)."""
+    from pyspark.sql import functions as F
+
+    sents = F.filter(
+        F.split(F.col(text_col).cast("string"), _SENT_BREAK),
+        lambda s: F.trim(s) != "")
+    if not explode:
+        return df.withColumn("sents", sents)
+    e = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(sents).alias("sent_idx", "sentence"))
+    return e.select("url", "sent_idx", F.trim("sentence").alias("sentence"))

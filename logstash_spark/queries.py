@@ -7012,6 +7012,52 @@ def markdown_to_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sentence_split",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid FROM pages),
+s AS (SELECT url, event_id, eid, unnest(range(event_id % 4 + 5)) AS k
+      FROM v)
+SELECT url, CAST(k AS INT) AS sent_idx,
+       CASE k
+         WHEN 0 THEN 'First sentence ' || eid || '.'
+         WHEN 1 THEN 'Second one!'
+         WHEN 2 THEN 'Mr. Smith stayed ' || eid || '.'
+         WHEN 3 THEN 'Dr. Who left?'
+         WHEN 4 THEN 'J. Edgar ran.'
+         WHEN 5 THEN 'Costs 3.50 total.'
+         WHEN 6 THEN '"Quoted ' || eid || '."'
+         ELSE 'The end.' END AS sentence
+FROM s""",
+)
+def sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentence splitting (the gale_church_align input
+    stage) over documents packing every guard case into one string:
+    abbreviation non-breaks (Mr./Dr.), single-initial non-break
+    (J. Edgar), a decimal number that must not split (3.50), a
+    closing-quote terminator, and !/? enders — doc length varies
+    5-8 sentences per page. Oracle regenerates each (sent_idx,
+    sentence) row arithmetically."""
+    from logstash_spark.functions.align import split_sentences
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    parts = [
+        F.concat(F.lit("First sentence "), es, F.lit(".")),
+        F.lit("Second one!"),
+        F.concat(F.lit("Mr. Smith stayed "), es, F.lit(".")),
+        F.lit("Dr. Who left?"),
+        F.lit("J. Edgar ran."),
+        F.lit("Costs 3.50 total."),
+        F.concat(F.lit('"Quoted '), es, F.lit('."')),
+        F.lit("The end."),
+    ]
+    arr = F.slice(F.array(*parts), 1, (eid % 4 + 5).cast("int"))
+    return split_sentences(
+        p.withColumn("text2", F.array_join(arr, " ")), text_col="text2")
+
+
+@q(
     "robots_meta_gate",
     f"""{_PAGES_CTE},
 v AS (SELECT url, event_id % 3 <> 2 AS has_meta, event_id % 4 AS mc,

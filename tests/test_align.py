@@ -75,3 +75,32 @@ def test_spark_wiring_and_empty_sides(spark):
     assert {r["pair_id"] for r in out} == {1}
     kinds = [r["kind"] for r in sorted(out, key=lambda r: r["op_idx"])]
     assert kinds == ["1-1", "2-1"]
+
+
+def test_split_sentences_guards(spark):
+    import pandas as pd
+
+    from logstash_spark.functions.align import split_sentences
+
+    text = ('First sentence here. Second one! Mr. Smith stayed home. '
+            'Dr. Who left? J. Edgar ran. Costs 3.50 total. '
+            '"Quoted start." The end.')
+    rows = split_sentences(spark.createDataFrame(
+        pd.DataFrame([{"url": "u", "text": text}]))).collect()
+    got = [r["sentence"] for r in sorted(rows, key=lambda r: r["sent_idx"])]
+    assert got == [
+        "First sentence here.", "Second one!", "Mr. Smith stayed home.",
+        "Dr. Who left?", "J. Edgar ran.", "Costs 3.50 total.",
+        '"Quoted start."', "The end."]
+
+
+def test_split_sentences_array_form_feeds_aligner(spark):
+    import pandas as pd
+
+    from logstash_spark.functions.align import split_sentences
+
+    df = spark.createDataFrame(pd.DataFrame(
+        [{"url": "u", "text": "One here. Two there."}]))
+    out = split_sentences(df, explode=False).collect()[0]
+    assert out["sents"] == ["One here. ", "Two there."] or \
+        [s.strip() for s in out["sents"]] == ["One here.", "Two there."]
