@@ -7058,6 +7058,58 @@ def sentence_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mbox_intake",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid FROM pages),
+m AS (SELECT url, event_id, eid, unnest(range(event_id % 3 + 1)) AS k
+      FROM v)
+SELECT url, CAST(k AS INT) AS msg_idx,
+       'u' || CAST(event_id % 7 AS VARCHAR) || '@h'
+            || CAST(k AS VARCHAR) || '.example' AS env_from,
+       'u' || CAST(event_id % 7 AS VARCHAR) || '@h'
+            || CAST(k AS VARCHAR) || '.example' AS mail_from,
+       'S ' || eid || '-' || CAST(k AS VARCHAR) AS subject,
+       CASE WHEN k = 0
+            THEN 'Body ' || eid || chr(13) || chr(10) || 'From quoted line'
+            ELSE 'Body ' || eid || ' ' || CAST(k AS VARCHAR) END AS message
+FROM m""",
+)
+def mbox_intake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox mail-archive intake composed end-to-end: RFC 4155 envelope
+    splitting (mbox_split — '>From ' body quoting UNQUOTED, archive
+    order preserved) into the existing RFC822 decode (the imap plugin
+    semantics). 1-3 messages per archive; message 0 carries a quoted
+    From-line that must round-trip back to a literal 'From ' in the
+    decoded body. Oracle regenerates every message row arithmetically."""
+    from logstash_spark.sources.chat import decode_rfc822, mbox_split
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    sender = F.concat(F.lit("u"), (eid % 7).cast("string"), F.lit("@h"))
+
+    def msg(k):
+        ks = k.cast("string")
+        addr = F.concat(sender, ks, F.lit(".example"))
+        body = F.when(
+            k == 0,
+            F.concat(F.lit("Body "), es, F.lit("\r\n>From quoted line"))
+        ).otherwise(F.concat(F.lit("Body "), es, F.lit(" "), ks))
+        return F.concat(
+            F.lit("From "), addr, F.lit(" Mon Jan  1 00:00:00 2024\r\n"),
+            F.lit("From: "), addr, F.lit("\r\nTo: list@x.example\r\n"
+                                         "Subject: S "), es, F.lit("-"), ks,
+            F.lit("\r\n\r\n"), body, F.lit("\r\n"))
+
+    mbox = F.array_join(
+        F.transform(F.sequence(F.lit(0), (eid % 3).cast("int")), msg), "")
+    out = decode_rfc822(
+        mbox_split(p.withColumn("mbox", mbox)), "rfc822")
+    return out.select(
+        "url", "msg_idx", "env_from", "mail_from", "subject", "message")
+
+
+@q(
     "robots_meta_gate",
     f"""{_PAGES_CTE},
 v AS (SELECT url, event_id % 3 <> 2 AS has_meta, event_id % 4 AS mc,

@@ -240,3 +240,48 @@ def decode_twitter_statuses(df: DataFrame, column: str = "status_json") -> DataF
         F.transform(s["entities"]["urls"], lambda u: u["expanded_url"]).alias("urls"),
         F.when(~ok, F.array(F.lit("_twitterparsefailure"))).alias("tags"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mbox container (the on-disk mail-archive format public lists publish;
+# RFC 4155): splits into messages that decode_rfc822 then consumes.
+# ---------------------------------------------------------------------------
+
+
+def mbox_split(df: DataFrame, *, mbox_col: str = "mbox",
+               src_col: str = "url") -> DataFrame:
+    """mbox archive -> one row per message: ``(url, msg_idx, env_from,
+    env_date, rfc822)``. Messages are delimited by ``From `` envelope
+    lines at line starts (RFC 4155); the envelope sender and date come
+    from that line, the message text is everything until the next
+    envelope. ``>From `` lines inside bodies (the classic mbox QUOTING
+    of literal From-lines) are UNQUOTED back to ``From `` in the
+    emitted message. CRLF and LF archives both split. Columnar: one
+    split + posexplode + per-element regex — no Python, no shuffle.
+
+    Compose with decode_rfc822 for the full mail decode (the imap
+    plugin's semantics); msg_idx preserves archive order."""
+    txt = F.col(mbox_col).cast("string")
+    # normalize a leading delimiter so split yields a clean leading ''
+    msgs = F.split(F.concat(F.lit("\n"), txt), r"(?m)^From ")
+    # trim() strips spaces only — the leading '' element carries a
+    # newline, so presence needs the \S test
+    body_msgs = F.filter(msgs, lambda m: m.rlike(r"\S"))
+    e = df.select(
+        F.col(src_col).alias("url"),
+        F.posexplode(body_msgs).alias("msg_idx", "_m"))
+    env = F.regexp_extract("_m", r"^([^\r\n]*)", 1)
+    env_from = F.nullif(
+        F.regexp_extract(env, r"^(\S+)", 1), F.lit(""))
+    env_date = F.nullif(
+        F.regexp_extract(env, r"^\S+\s+(.*)$", 1), F.lit(""))
+    body = F.regexp_extract(F.col("_m"), r"(?s)\r?\n(.*)$", 1)
+    body = F.regexp_replace(body, r"(?m)^>From ", "From ")
+    # strip the blank separator line before the next envelope
+    body = F.regexp_replace(body, r"\r?\n$", "")
+    return e.select(
+        "url", "msg_idx",
+        env_from.alias("env_from"),
+        env_date.alias("env_date"),
+        body.alias("rfc822"),
+    )

@@ -410,3 +410,41 @@ class TestReviewFixes:
         ).collect()[0]
         assert out.tags == ["_twitterparsefailure"]
         assert out.message == raw
+
+
+def test_mbox_split_envelopes_and_quoting(spark):
+    import pandas as pd
+
+    from logstash_spark.sources.chat import decode_rfc822, mbox_split
+
+    mbox = ("From alice@x.org Mon Jan  1 00:00:00 2024\r\n"
+            "From: alice@x.org\r\nTo: l@x.org\r\nSubject: s1\r\n\r\n"
+            "body one\r\n>From line quoted\r\n"
+            "From bob@y.org Tue Jan  2 00:00:00 2024\r\n"
+            "From: bob@y.org\r\nTo: l@x.org\r\nSubject: s2\r\n\r\n"
+            "body two\r\n")
+    out = mbox_split(spark.createDataFrame(
+        pd.DataFrame([{"url": "u", "mbox": mbox}])))
+    rows = sorted(out.collect(), key=lambda r: r["msg_idx"])
+    assert len(rows) == 2
+    assert rows[0]["env_from"] == "alice@x.org"
+    assert rows[0]["env_date"] == "Mon Jan  1 00:00:00 2024"
+    dec = {r["msg_idx"]: r for r in decode_rfc822(out, "rfc822").collect()}
+    assert dec[0]["subject"] == "s1"
+    # >From unquoting restores the literal From-line in the body
+    assert dec[0]["message"].endswith("From line quoted")
+    assert dec[1]["mail_from"] == "bob@y.org"
+    assert dec[1]["message"] == "body two"
+
+
+def test_mbox_empty_and_single(spark):
+    import pandas as pd
+
+    from logstash_spark.sources.chat import mbox_split
+
+    rows = mbox_split(spark.createDataFrame(pd.DataFrame([
+        {"url": "e", "mbox": ""},
+        {"url": "s", "mbox": "From a@b X\nSubject: only\n\nhi\n"},
+    ]))).collect()
+    assert {r["url"] for r in rows} == {"s"}
+    assert rows[0]["rfc822"].endswith("hi")
