@@ -705,3 +705,63 @@ def markdown_to_text(
     # Spark trim() strips spaces only — newlines need the regex form
     out = F.regexp_replace(out, r"^\s+|\s+$", "")
     return df.withColumn(target, out)
+
+
+def fix_mojibake(
+    df: DataFrame, *, source: str = "text", target: str = "text_fixed"
+) -> DataFrame:
+    """UTF-8-as-Latin-1 mojibake repair (the ftfy-style pass every web
+    corpus needs: '\u00c3\u00a9' -> '\u00e9'). The repair is the exact
+    inverse of the corruption — re-encode as Latin-1, re-decode as
+    UTF-8 — applied ONLY when the text shows telltale lead bytes
+    (U+00C2/U+00C3/U+00E2 followed by a high-Latin-1 char) AND the
+    round trip is strictly lossless (no replacement char, and
+    re-corrupting the repair reproduces the input — genuine text
+    merely mentioning '\u00c3' stays untouched). Adds ``target`` and
+    ``was_mojibake``. Pure JVM encode/decode — no Python, no shuffle."""
+    s = F.col(source).cast("string")
+    candidate = s.rlike("[\u00c2\u00c3\u00e2][\u0080-\u00ff]")
+    repaired = F.decode(F.encode(s, "ISO-8859-1"), "UTF-8")
+    lossless = (
+        ~repaired.contains("\ufffd")
+        & (F.decode(F.encode(repaired, "UTF-8"), "ISO-8859-1") == s))
+    fix = candidate & lossless & (repaired != s)
+    return df.withColumn(
+        target, F.when(fix, repaired).otherwise(s)
+    ).withColumn("was_mojibake", fix)
+
+
+def normalize_nfc(
+    df: DataFrame, *, source: str = "text", target: str = "text_nfc"
+) -> DataFrame:
+    """Unicode NFC normalization — combining sequences compose to the
+    canonical precomposed forms ('e' + U+0301 -> U+00E9), so dedup
+    keys, fingerprints and tokenizers see ONE spelling per grapheme.
+    Spark ships no normalize builtin, so this is an Arrow-batched
+    stdlib unicodedata.normalize pass (map-only, no shuffle); the
+    oracle side uses DuckDB's independent nfc_normalize — two
+    implementations of the standard, not a replay."""
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in (target, "changed")]
+        + [T.StructField(target, T.StringType()),
+           T.StructField("changed", T.BooleanType())])
+
+    def batches(it):
+        for pdf in it:
+            vals = pdf[source].tolist()
+            fixed = [
+                unicodedata.normalize("NFC", v) if v is not None else None
+                for v in vals]
+            pdf = pdf.drop(
+                columns=[c for c in (target, "changed") if c in pdf.columns])
+            pdf[target] = fixed
+            pdf["changed"] = [
+                f != v if v is not None else None
+                for f, v in zip(fixed, vals)]
+            yield pdf[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(batches, schema)

@@ -7110,6 +7110,72 @@ def mbox_intake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "mojibake_repair",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid FROM pages)
+SELECT url,
+       CASE WHEN event_id % 3 = 2 THEN 'plain ascii ' || eid
+            ELSE 'Caf' || chr(233) || ' ' || eid || ' ' || chr(8211)
+                 || ' d' || chr(233) || 'j' || chr(224) || ' vu'
+       END AS text_fixed,
+       event_id % 3 = 0 AS was_mojibake
+FROM v""",
+)
+def mojibake_repair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style UTF-8-as-Latin-1 repair: a third of the corpus is
+    CORRUPTED in-plan (decode(encode(clean,'UTF-8'),'ISO-8859-1') — the
+    exact real-world corruption), a third is already-clean accented
+    text that must pass untouched, a third plain ASCII. The oracle
+    states the repaired text closed-form (chr() escapes keep the SQL
+    ASCII-safe)."""
+    from logstash_spark.functions.text import fix_mojibake
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    clean = F.concat(
+        F.lit("Caf\u00e9 "), es, F.lit(" \u2013 d\u00e9j\u00e0 vu"))
+    corrupted = F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
+    text = (
+        F.when(eid % 3 == 0, corrupted)
+        .when(eid % 3 == 1, clean)
+        .otherwise(F.concat(F.lit("plain ascii "), es)))
+    out = fix_mojibake(p.withColumn("text3", text), source="text3")
+    return out.select("url", "text_fixed", "was_mojibake")
+
+
+@q(
+    "nfc_normalize",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid FROM pages)
+SELECT url,
+       nfc_normalize(CASE WHEN event_id % 2 = 0
+         THEN 'e' || chr(769) || 'clair ' || eid
+         ELSE chr(233) || 'clair ' || eid END) AS text_nfc,
+       event_id % 2 = 0 AS changed
+FROM v""",
+)
+def nfc_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over a half-decomposed corpus
+    (combining acute sequences on even ids, precomposed on odd). The
+    engine runs stdlib unicodedata.normalize in Arrow batches; the
+    oracle runs DuckDB's OWN nfc_normalize — two independent
+    implementations of the Unicode standard must agree byte-for-byte."""
+    from logstash_spark.functions.text import normalize_nfc
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    text = (
+        F.when(eid % 2 == 0,
+               F.concat(F.lit("e\u0301clair "), es))
+        .otherwise(F.concat(F.lit("\u00e9clair "), es)))
+    out = normalize_nfc(
+        p.select("url", text.alias("text4")), source="text4")
+    return out.select("url", "text_nfc", "changed")
+
+
+@q(
     "robots_meta_gate",
     f"""{_PAGES_CTE},
 v AS (SELECT url, event_id % 3 <> 2 AS has_meta, event_id % 4 AS mc,

@@ -1,0 +1,64 @@
+"""Mojibake repair + NFC normalization: strict-losslessness guards,
+false-positive protection, and the two-implementation agreement."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+
+from logstash_spark.functions.text import fix_mojibake, normalize_nfc
+
+
+def test_mojibake_repairs_real_corruption(spark):
+    moji = "café".encode("utf-8").decode("latin-1")
+    moji_quote = "’".encode("utf-8").decode("latin-1")
+    rows = [
+        {"i": 0, "text": moji},
+        {"i": 1, "text": "plain ascii text"},
+        {"i": 2, "text": "mentions Ã alone"},   # not mojibake
+        {"i": 3, "text": "’curly’ already fine"},
+        {"i": 4, "text": moji_quote},
+    ]
+    out = {r["i"]: r for r in fix_mojibake(
+        spark.createDataFrame(pd.DataFrame(rows))).collect()}
+    assert out[0]["text_fixed"] == "café" and out[0]["was_mojibake"]
+    assert out[1]["was_mojibake"] is False
+    assert out[2]["was_mojibake"] is False
+    assert out[2]["text_fixed"] == rows[2]["text"]
+    assert out[3]["was_mojibake"] is False
+    assert out[4]["text_fixed"] == "’" and out[4]["was_mojibake"]
+
+
+def test_mojibake_double_corruption_repairs_one_layer(spark):
+    once = "café".encode("utf-8").decode("latin-1")
+    twice = once.encode("utf-8").decode("latin-1")
+    out = fix_mojibake(spark.createDataFrame(
+        pd.DataFrame([{"text": twice}]))).collect()[0]
+    # one repair layer peels one corruption layer; running the op again
+    # would peel the second — idempotent convergence, never overshoot
+    assert out["text_fixed"] == once and out["was_mojibake"]
+
+
+def test_nfc_matches_python_unicodedata(spark):
+    cases = [
+        "éclair",                  # combining acute
+        "éclair",                   # precomposed
+        "Å",                       # A + ring -> Å
+        "Å",                        # ANGSTROM SIGN -> maps to U+00C5 - Å
+        "plain",
+        "",
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        [{"i": i, "text": t} for i, t in enumerate(cases)]))
+    out = {r["i"]: r for r in normalize_nfc(df).collect()}
+    for i, t in enumerate(cases):
+        exp = unicodedata.normalize("NFC", t)
+        assert out[i]["text_nfc"] == exp, (i, t)
+        assert out[i]["changed"] == (exp != t)
+
+
+def test_nfc_null_passthrough(spark):
+    out = normalize_nfc(spark.createDataFrame(
+        pd.DataFrame({"text": pd.array([None], dtype="string")}))).collect()
+    assert out[0]["text_nfc"] is None and out[0]["changed"] is None
