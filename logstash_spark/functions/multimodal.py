@@ -1728,3 +1728,101 @@ def doc_extract_pipeline(df: DataFrame) -> DataFrame:
 
     return df.select("doc_id", "bytes").mapInPandas(
         batches, "doc_id bigint, fmt string, n_chars int, text string")
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar shards — THE public multimodal training-data container
+# (Breuel's webdataset convention: samples are tar members sharing a key
+# prefix, e.g. 000123.jpg + 000123.json + 000123.txt; shards stream in
+# member order). stdlib tarfile only.
+# ---------------------------------------------------------------------------
+
+
+def build_webdataset_shard(samples, *, gz: bool = False) -> bytes:
+    """Fixture/oracle builder: a deterministic WebDataset tar shard.
+    ``samples`` = list of (key, {ext: bytes}). Fixed mtime/uid so bytes
+    are reproducible."""
+    import gzip as _gzip
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for key, members in samples:
+            for ext, data in members.items():
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    # mtime=0 keeps the gzip wrapper deterministic too
+    return _gzip.compress(raw, 6, mtime=0) if gz else raw
+
+
+def webdataset_intake(df: DataFrame, *, shard_col: str = "bytes",
+                      shard_id_col: str = "shard_id") -> DataFrame:
+    """Tar-shard table -> one row per SAMPLE: members sharing the key
+    prefix (name up to the first dot) group into a map<ext, binary>,
+    preserving shard order — the WebDataset contract. Gzip shards
+    (.tar.gz sniffed by magic) decompress in-stream. Hostile archives
+    fail closed per shard (no rows), oversized members are skipped
+    with the rest of the shard intact.
+
+    Scale shape: one shard per task via Arrow batches (the WARC-intake
+    envelope) — map-only, no shuffle; at 100 TB the shard table is the
+    partitioning unit, exactly how WebDataset trains."""
+    import gzip as _gzip
+    import io
+    import tarfile
+
+    MAX_MEMBER = 1 << 26
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for sid, buf in zip(pdf[shard_id_col], pdf[shard_col]):
+                if buf is None:
+                    continue
+                raw = bytes(buf)
+                try:
+                    if raw[:2] == b"\x1f\x8b":
+                        raw = _gzip.decompress(raw)
+                    tf = tarfile.open(fileobj=io.BytesIO(raw), mode="r:")
+                except Exception:
+                    continue
+                order: list[str] = []
+                groups: dict[str, dict] = {}
+                try:
+                    for info in tf:
+                        if not info.isfile() or info.size > MAX_MEMBER:
+                            continue
+                        name = info.name.rsplit("/", 1)[-1]
+                        if "." not in name:
+                            continue
+                        key, ext = name.split(".", 1)
+                        f = tf.extractfile(info)
+                        if f is None:
+                            continue
+                        if key not in groups:
+                            groups[key] = {}
+                            order.append(key)
+                        groups[key][ext] = f.read()
+                except Exception:
+                    pass
+                for idx, key in enumerate(order):
+                    members = groups[key]
+                    rows.append((
+                        int(sid), idx, key,
+                        sorted(members),
+                        {e: v for e, v in members.items()},
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "shard_id", "sample_idx", "key", "exts", "members"])
+
+    return df.select(shard_id_col, shard_col).mapInPandas(
+        batches,
+        "shard_id bigint, sample_idx int, key string, "
+        "exts array<string>, members map<string, binary>")

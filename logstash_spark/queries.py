@@ -7175,6 +7175,72 @@ def nfc_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "text_nfc", "changed")
 
 
+_WDS_ORACLE = """WITH s AS (
+  SELECT id AS shard_id, id % 3 + 2 AS n FROM range(120) t(id)
+), k AS (
+  SELECT shard_id, unnest(range(n)) AS sample_idx FROM s
+)
+SELECT shard_id, CAST(sample_idx AS INT) AS sample_idx,
+       printf('%06d', shard_id * 10 + sample_idx) AS key,
+       CASE WHEN sample_idx % 2 = 0 THEN 'jpg,json,txt'
+            ELSE 'json,txt' END AS exts,
+       'caption ' || CAST(shard_id AS VARCHAR) || '-'
+         || CAST(sample_idx AS VARCHAR) AS caption,
+       '{"id": ' || CAST(shard_id * 10 + sample_idx AS VARCHAR) || '}'
+         AS meta,
+       CASE WHEN sample_idx % 2 = 0 THEN CAST(64 AS INT) END AS jpg_len
+FROM k"""
+
+
+@q("webdataset_intake", _WDS_ORACLE)
+def webdataset_intake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard intake — the public multimodal training
+    container: members sharing a key prefix (000123.jpg/.json/.txt)
+    group into one sample row with a map<ext, binary>, shard order
+    preserved; half the shards are gzip-compressed (sniffed). The
+    oracle replays every sample's key, extension set, caption text,
+    JSON sidecar and image-byte length arithmetically."""
+    import hashlib
+
+    from logstash_spark.functions.multimodal import (
+        build_webdataset_shard,
+        webdataset_intake,
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                samples = []
+                for k in range(i % 3 + 2):
+                    sid = i * 10 + k
+                    members = {
+                        "txt": f"caption {i}-{k}".encode(),
+                        "json": ('{"id": %d}' % sid).encode(),
+                    }
+                    if k % 2 == 0:
+                        hexs = hashlib.md5(str(sid).encode()).hexdigest()
+                        members["jpg"] = (hexs * 2).encode()[:64]
+                    samples.append(("%06d" % sid, members))
+                rows.append(
+                    (i, build_webdataset_shard(samples, gz=i % 2 == 1)))
+            yield pd.DataFrame(rows, columns=["shard_id", "bytes"])
+
+    shards = spark.range(120).mapInPandas(
+        gen, "shard_id bigint, bytes binary")
+    out = webdataset_intake(shards)
+    return out.select(
+        "shard_id", "sample_idx", "key",
+        F.array_join("exts", ",").alias("exts"),
+        F.col("members").getItem("txt").cast("string").alias("caption"),
+        F.col("members").getItem("json").cast("string").alias("meta"),
+        F.length(F.col("members").getItem("jpg")).alias("jpg_len"),
+    )
+
+
 @q(
     "robots_meta_gate",
     f"""{_PAGES_CTE},

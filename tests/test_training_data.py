@@ -2546,3 +2546,54 @@ def test_decode_media_sniffs_ico(spark):
     out = media_decode_features(synthetic_media_ico(spark, 12)).collect()
     assert len(out) == 12
     assert all(r["fmt"] == "ico" for r in out)
+
+
+def test_webdataset_round_trip_and_hostile(spark):
+    import pandas as pd
+
+    from logstash_spark.functions.multimodal import (
+        build_webdataset_shard,
+        webdataset_intake,
+    )
+
+    samples = [
+        ("000001", {"txt": b"cap one", "json": b'{"id":1}', "jpg": b"JJ"}),
+        ("000002", {"txt": b"cap two", "cls": b"7"}),
+    ]
+    plain = build_webdataset_shard(samples)
+    gz = build_webdataset_shard(samples, gz=True)
+    assert gz[:2] == b"\x1f\x8b" and gz != plain
+    # determinism (fixed mtime in both tar and gzip layers)
+    assert build_webdataset_shard(samples, gz=True) == gz
+    df = spark.createDataFrame(pd.DataFrame([
+        {"shard_id": 0, "bytes": plain},
+        {"shard_id": 1, "bytes": gz},
+        {"shard_id": 2, "bytes": b"not a tar"},
+        {"shard_id": 3, "bytes": None},
+    ]))
+    rows = webdataset_intake(df).collect()
+    assert {r["shard_id"] for r in rows} == {0, 1}
+    by = {(r["shard_id"], r["key"]): r for r in rows}
+    assert by[(0, "000001")]["exts"] == ["jpg", "json", "txt"]
+    assert bytes(by[(1, "000001")]["members"]["txt"]) == b"cap one"
+    assert by[(0, "000002")]["sample_idx"] == 1   # shard order kept
+    assert bytes(by[(1, "000002")]["members"]["cls"]) == b"7"
+
+
+def test_webdataset_dotted_extensions_and_subdirs(spark):
+    import pandas as pd
+
+    from logstash_spark.functions.multimodal import (
+        build_webdataset_shard,
+        webdataset_intake,
+    )
+
+    # webdataset's multi-dot convention: ext is everything after the
+    # FIRST dot ('000001.seg.png'); subdirectory prefixes are stripped
+    shard = build_webdataset_shard(
+        [("dir/000009", {"seg.png": b"S", "txt": b"t"})])
+    rows = webdataset_intake(spark.createDataFrame(
+        pd.DataFrame([{"shard_id": 0, "bytes": shard}]))).collect()
+    assert len(rows) == 1
+    assert rows[0]["key"] == "000009"
+    assert rows[0]["exts"] == ["seg.png", "txt"]
