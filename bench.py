@@ -207,6 +207,11 @@ HEADLINE = [
     "doc_extract_pipeline",
     "markdown_to_text",
     "media_features_ico",
+    "sentence_split",
+    "mbox_intake",
+    "mojibake_repair",
+    "nfc_normalize",
+    "webdataset_intake",
 ]
 
 

@@ -765,3 +765,51 @@ def normalize_nfc(
             yield pdf[[f.name for f in schema.fields]]
 
     return df.mapInPandas(batches, schema)
+
+
+# Unicode script blocks as JVM-safe character-class ranges. Counting uses
+# regexp_count per class — one pass each, no explode.
+_SCRIPT_RANGES = {
+    "latin": "[A-Za-z\\u00c0-\\u024f]",
+    "cyrillic": "[\\u0400-\\u04ff]",
+    "greek": "[\\u0370-\\u03ff]",
+    "arabic": "[\\u0600-\\u06ff]",
+    "hebrew": "[\\u0590-\\u05ff]",
+    "devanagari": "[\\u0900-\\u097f]",
+    "cjk": "[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]",
+}
+
+
+def script_detect(df: DataFrame, source: str = "text") -> DataFrame:
+    """Unicode-script profile per document — the signal that catches
+    wrong-charset decodes and script-mixing spam that stopword lang-ID
+    misses entirely (lang_id only speaks Latin-alphabet languages).
+    Emits per-script letter counts, the dominant script (deterministic
+    first-wins tie order = the _SCRIPT_RANGES order), and
+    ``script_mix_ratio`` = 1 - dominant/total in exact integer-derived
+    arithmetic. Pure JVM regexp_count passes; no shuffle."""
+    txt = F.col(source)
+    cnames = [f"_sc_{k}" for k in _SCRIPT_RANGES]
+    out = df.withColumns({
+        n: F.regexp_count(txt, F.lit(rng))
+        for n, rng in zip(cnames, _SCRIPT_RANGES.values())
+    })
+    total = None
+    for n in cnames:
+        total = F.col(n) if total is None else total + F.col(n)
+    best = F.lit("none")
+    best_n = F.lit(0)
+    for name, script in reversed(list(zip(cnames, _SCRIPT_RANGES))):
+        c = F.col(name)
+        best = F.when(c >= best_n, F.lit(script)).otherwise(best)
+        best_n = F.when(c >= best_n, c).otherwise(best_n)
+    best = F.when(best_n > 0, best).otherwise(F.lit("none"))
+    mix = F.when(
+        total > 0,
+        F.round(1.0 - best_n.cast("double") / total.cast("double"), 4)
+    ).otherwise(F.lit(0.0))
+    out = out.withColumn("script", best).withColumn("script_mix_ratio", mix)
+    renames = dict(zip(cnames, (f"n_{k}" for k in _SCRIPT_RANGES)))
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out

@@ -7242,6 +7242,65 @@ def webdataset_intake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "script_detect",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid FROM pages),
+-- per-class letter counts are closed-form: the fixture puts k_latin
+-- latin letters, k2 of ONE other script, and digits/punct (counted by
+-- no class)
+f AS (SELECT url, event_id,
+        CAST(5 + event_id % 7 AS INT) AS n_lat,
+        CAST(CASE WHEN event_id % 4 = 0 THEN 0
+                  ELSE 3 + event_id % 5 END AS INT) AS n_oth,
+        CASE event_id % 4 WHEN 1 THEN 'cyrillic' WHEN 2 THEN 'cjk'
+             WHEN 3 THEN 'arabic' END AS oth
+      FROM v)
+SELECT url,
+       n_lat AS n_latin,
+       CAST(CASE WHEN oth = 'cyrillic' THEN n_oth ELSE 0 END AS INT)
+         AS n_cyrillic,
+       CAST(0 AS INT) AS n_greek,
+       CAST(CASE WHEN oth = 'arabic' THEN n_oth ELSE 0 END AS INT)
+         AS n_arabic,
+       CAST(0 AS INT) AS n_hebrew,
+       CAST(0 AS INT) AS n_devanagari,
+       CAST(CASE WHEN oth = 'cjk' THEN n_oth ELSE 0 END AS INT) AS n_cjk,
+       CASE WHEN oth IS NULL OR n_lat >= n_oth THEN 'latin' ELSE oth END
+         AS script,
+       ROUND(1.0 - CAST(CASE WHEN oth IS NULL OR n_lat >= n_oth
+                             THEN n_lat ELSE n_oth END AS DOUBLE)
+                 / (n_lat + n_oth), 4) AS script_mix_ratio
+FROM f""",
+)
+def script_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profiling over a mixed-script corpus: latin runs
+    plus a rotating second script (Cyrillic / CJK / Arabic) in varying
+    proportions, digits and punctuation counted by NO class, dominance
+    ties resolved latin-first. Oracle computes every count, the
+    dominant script, and the mix ratio arithmetically."""
+    from logstash_spark.functions.text import script_detect
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    n_lat = (eid % 7 + 5).cast("int")
+    n_oth = (eid % 5 + 3).cast("int")
+    lat = F.substring(F.lit("abcdefghijk"), 1, n_lat)
+    oth_char = (
+        F.when(eid % 4 == 1, F.lit("\u0436"))     # zhe
+        .when(eid % 4 == 2, F.lit("\u4e2d"))      # CJK
+        .when(eid % 4 == 3, F.lit("\u0633"))      # seen
+        .otherwise(F.lit("")))
+    oth = F.when(eid % 4 == 0, F.lit("")).otherwise(
+        F.expr("repeat(oth_char, n_oth_i)"))
+    p2 = p.withColumn("oth_char", oth_char).withColumn("n_oth_i", n_oth)
+    text = F.concat(lat, F.lit(" 123 !? "), oth)
+    out = script_detect(p2.withColumn("text5", text), source="text5")
+    return out.select(
+        "url", "n_latin", "n_cyrillic", "n_greek", "n_arabic", "n_hebrew",
+        "n_devanagari", "n_cjk", "script", "script_mix_ratio")
+
+
+@q(
     "robots_meta_gate",
     f"""{_PAGES_CTE},
 v AS (SELECT url, event_id % 3 <> 2 AS has_meta, event_id % 4 AS mc,

@@ -62,3 +62,24 @@ def test_nfc_null_passthrough(spark):
     out = normalize_nfc(spark.createDataFrame(
         pd.DataFrame({"text": pd.array([None], dtype="string")}))).collect()
     assert out[0]["text_nfc"] is None and out[0]["changed"] is None
+
+
+def test_script_detect_classes_and_ties(spark):
+    from logstash_spark.functions.text import script_detect
+
+    rows = [
+        {"i": 0, "text": "hello world"},
+        {"i": 1, "text": "жжж ab"},         # cyrillic wins
+        {"i": 2, "text": "中文 and あア"},  # cjk incl. kana
+        {"i": 3, "text": "123 !?"},                         # none
+        {"i": 4, "text": "ab жж"},                # tie -> latin
+        {"i": 5, "text": "שלום"},       # hebrew
+    ]
+    out = {r["i"]: r for r in script_detect(
+        spark.createDataFrame(pd.DataFrame(rows))).collect()}
+    assert out[0]["script"] == "latin" and out[0]["script_mix_ratio"] == 0.0
+    assert out[1]["script"] == "cyrillic" and out[1]["n_latin"] == 2
+    assert out[2]["script"] == "cjk" and out[2]["n_cjk"] == 4
+    assert out[3]["script"] == "none"
+    assert out[4]["script"] == "latin"      # >= keeps first-in-order
+    assert out[5]["script"] == "hebrew" and out[5]["n_hebrew"] == 4
