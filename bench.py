@@ -212,6 +212,7 @@ HEADLINE = [
     "mojibake_repair",
     "nfc_normalize",
     "webdataset_intake",
+    "script_detect",
 ]
 
 
@@ -434,14 +435,20 @@ def run_scaling() -> None:
         # full-size execution (measured 38s->20s->4.8s->3.7s); small warmups
         # under-warm and bias the SLOWER core counts upward
         "df.write.format('noop').mode('overwrite').save();"
-        "best=1e18\n"
-        "for _ in range(2):\n"
+        # best-of-4 with per-rep times recorded: the C2 ramp length varies
+        # with the sandbox's single-core speed (observed 2x session-to-
+        # session), so two reps can under-warm; steady state is what a
+        # long-running cluster amortizes to, and the reps list makes the
+        # convergence visible instead of hiding it
+        "reps=[]\n"
+        "for _ in range(4):\n"
         "    t0=time.perf_counter()\n"
         "    df.write.format('noop').mode('overwrite').save()\n"
-        "    best=min(best,time.perf_counter()-t0)\n"
-        "print(json.dumps({'sec': best}))"
+        "    reps.append(round(time.perf_counter()-t0,3))\n"
+        "print(json.dumps({'sec': min(reps), 'reps': reps}))"
     )
     results = {}
+    rep_log = {}
     for cores in (2, 8, 32):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_BENCH_DOCS=str(n_docs))
         r = subprocess.run(
@@ -449,7 +456,9 @@ def run_scaling() -> None:
             capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)["sec"]
+        parsed = json.loads(line)
+        results[cores] = parsed["sec"]
+        rep_log[cores] = parsed.get("reps")
     eff_2_8 = (results[2] / results[8]) / 4.0
     eff_8_32 = (results[8] / results[32]) / 4.0
     print(json.dumps({
@@ -461,9 +470,79 @@ def run_scaling() -> None:
         "docs_per_sec": {f"local[{c}]": round(n_docs / t) for c, t in results.items()},
         "efficiency_2_to_8": round(eff_2_8, 3),
         "efficiency_8_to_32": round(eff_8_32, 3),
+        "reps": {f"local[{c}]": v for c, v in rep_log.items()},
         "note": "8->32 spans SMT threads, not physical cores; see BENCH.md",
     }))
 
 
+def run_scaling_procs() -> None:
+    """Cluster-faithful executor-scaling evidence: a real 4N-executor
+    cluster adds whole JVMs (each with its own heap, GC, codegen cache
+    and memory bandwidth locality), so the honest in-sandbox analog of
+    N -> 4N EXECUTORS is N -> 4N independent local[2] JVM processes,
+    each driving the same per-executor workload. Efficiency = T(1 job)
+    / T(4 concurrent jobs): 1.0 means adding executors costs nothing.
+
+    This complements --scaling (threads within ONE JVM), which on
+    shared-memory hosts conflates engine scaling with the host's
+    memory-bandwidth contention — a single-JVM local[8] shares one
+    heap and one allocator where a 4-executor cluster has four."""
+    import subprocess
+    import threading
+
+    per_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_PER", "2000000"))
+    inner = (
+        "import json,time;"
+        "from logstash_spark.session import get_spark;"
+        "from logstash_spark.bench_pipeline import build_e2e;"
+        "spark=get_spark('scalep');"
+        f"df=build_e2e(spark,{per_docs});"
+        "df.write.format('noop').mode('overwrite').save();"
+        "reps=[]\n"
+        "for _ in range(3):\n"
+        "    t0=time.perf_counter()\n"
+        "    df.write.format('noop').mode('overwrite').save()\n"
+        "    reps.append(round(time.perf_counter()-t0,3))\n"
+        "print(json.dumps({'sec': min(reps)}))"
+    )
+
+    def one_job(results, idx):
+        env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+        r = subprocess.run(
+            [sys.executable, "-c", inner], capture_output=True, text=True,
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        results[idx] = json.loads(line)["sec"]
+
+    out = {}
+    for njobs in (1, 4):
+        results: dict = {}
+        threads = [
+            threading.Thread(target=one_job, args=(results, k))
+            for k in range(njobs)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # the fleet's wall time is its slowest member's steady-state rep
+        out[njobs] = max(results.values())
+    eff = out[1] / out[4]
+    print(json.dumps({
+        "metric": "executor-scaling efficiency 1 -> 4 independent "
+                  "local[2] JVMs (same per-executor input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "docs_per_executor": per_docs,
+        "sec": {"jobs=1": round(out[1], 3), "jobs=4": round(out[4], 3)},
+        "agg_docs_per_sec": {
+            "jobs=1": round(per_docs / out[1]),
+            "jobs=4": round(4 * per_docs / out[4]),
+        },
+    }))
+
+
 if __name__ == "__main__":
+    if "--scaling-procs" in sys.argv:
+        run_scaling_procs()
+        sys.exit(0)
     main()
