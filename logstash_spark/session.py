@@ -22,9 +22,12 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDFs (the grok path) and createDataFrame.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # 50k rows/batch measured ~20% faster than the 10k default for the grok
-    # UDF (fewer Arrow roundtrips); 200k regresses (batch memory pressure).
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
+    # Arrow batch size is host-sensitive: the r1 host measured 50k ~20%
+    # over 10k; the r4h host's sweep (10k/20k/50k/100k on grok-arrow at
+    # local[8], 4M docs, best-of-2) peaks at 20k — 380k docs/s vs 315k
+    # at 50k and 274k at 100k (bigger batches push the per-worker
+    # working set past cache). 20k also beats 10k on both hosts.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
     # Deterministic timestamps across engines (oracle = DuckDB, UTC).
     "spark.sql.session.timeZone": "UTC",
     # ANSI off: Logstash semantics are forgiving (bad cast -> null + tag),
