@@ -1363,6 +1363,7 @@ def robots_meta_gate(
     html_col: str = "html_str",
     header_col: str | None = "x_robots_tag",
     url_col: str = "url",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Page-level robots directives — the complement of robots.txt
     (robots_filter): ``<meta name="robots" content="noindex, nofollow">``
@@ -1406,8 +1407,11 @@ def robots_meta_gate(
         F.when(meta_any & hdr_any, "both")
         .when(meta_any, "meta")
         .when(hdr_any, "header"))
+    # `keep` passes columns through the verdict projection so composed
+    # pipelines never need a corpus-sized join-back to recover them
     return df.select(
         F.col(url_col).alias("url"),
+        *[F.col(c) for c in keep],
         noindex.alias("noindex"),
         nofollow.alias("nofollow"),
         (~noindex).alias("indexable"),

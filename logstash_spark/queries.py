@@ -5596,6 +5596,68 @@ def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "allowed", "matched_path")
 
 
+@q(
+    "crawl_permission_pipeline",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, user_id, CAST(user_id % 40 AS INT) AS hnum,
+             CAST(event_id AS VARCHAR) AS eid FROM pages),
+rtxt AS (
+  SELECT url, event_id, user_id,
+         CASE WHEN hnum % 2 = 0 THEN FALSE
+              WHEN hnum % 4 = 1 THEN NOT ((eid LIKE '3%' AND eid NOT LIKE '34%') OR eid = '345')
+              ELSE TRUE END AS fetchable
+  FROM v),
+meta AS (
+  SELECT url, event_id, user_id, fetchable,
+         (event_id % 3 <> 2 AND (event_id % 4) IN (1, 3))
+           OR (user_id % 5 = 0 AND user_id % 3 = 0) AS noindex
+  FROM rtxt)
+SELECT url, fetchable, NOT noindex AS indexable,
+       fetchable AND NOT noindex AS usable
+FROM meta""",
+)
+def crawl_permission_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full permission stack COMPOSED in one plan — what a corpus
+    ingest actually runs per URL: the RFC 9309 robots.txt verdict (the
+    columnar parse + broadcast filter join of robots_filter, gptbot
+    group selection, longest-match/Allow-ties) AND the page-level
+    robots-meta/X-Robots-Tag gate (most-restrictive combining), fused
+    into per-URL ``fetchable`` / ``indexable`` / ``usable``. One
+    broadcast join + one regex map over one corpus scan; the oracle
+    recomputes all three verdicts independently from both fixtures'
+    arithmetic."""
+    from logstash_spark.functions.crawl import robots_filter, robots_meta_gate
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+    rules = _gptbot_rules(spark, p)
+    fetch = robots_filter(
+        p.select("url", "event_id", "user_id"), rules
+    ).withColumnRenamed("allowed", "fetchable")
+    content = (
+        F.when(eid % 4 == 0, F.lit("index, follow"))
+        .when(eid % 4 == 1, F.lit("noindex"))
+        .when(eid % 4 == 2, F.lit("nofollow, noarchive"))
+        .otherwise(F.lit("none")))
+    meta = F.when(eid % 3 == 2, F.lit("")).otherwise(
+        F.concat(F.lit('<meta name="robots" content="'), content,
+                 F.lit('">')))
+    html = F.concat(F.lit("<html><head>"), meta,
+                    F.lit("</head><body></body></html>"))
+    hdr = F.when(
+        uid % 5 == 0,
+        F.when(uid % 3 == 0, F.lit("noindex")).otherwise(F.lit("all")))
+    # `keep=("fetchable",)` carries the robots.txt verdict THROUGH the
+    # meta gate's projection — one corpus scan, no url-keyed join-back
+    gated = robots_meta_gate(
+        fetch.withColumn("html_str", html).withColumn("x_robots_tag", hdr),
+        keep=("fetchable",))
+    return gated.select(
+        "url", "fetchable", "indexable",
+        (F.col("fetchable") & F.col("indexable")).alias("usable"))
+
+
 # ---------------------------------------------------------------------------
 # Round 4b: web link graph (WAT extraction, host degrees, integer PageRank,
 # anchor-text weak labels, crawl frontier)

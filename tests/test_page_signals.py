@@ -318,3 +318,14 @@ def test_hreflang_uppercase_declarations(spark):
     assert alts == {("en", "https://x/en"), ("de", "https://x/de")}
     pairs = hreflang_bitext_pairs(df).collect()
     assert {(r["lang_a"], r["lang_b"]) for r in pairs} == {("en", "de")}
+
+
+def test_permission_pipeline_single_scan_no_self_join(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["crawl_permission_pipeline"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus must never join back to itself: the only join is the
+    # broadcast rule attach (robots_filter); an SMJ means a join-back
+    assert "SortMergeJoin" not in plan
