@@ -794,3 +794,57 @@ def extract_tables(
     return c.select(
         "url", "table_idx", "row_idx", "col_idx",
         txt.alias("cell"), is_header.alias("is_header"))
+
+
+def url_discovery(
+    df: DataFrame, *, html_col: str = "html_str", url_col: str = "url"
+) -> DataFrame:
+    """Unified URL discovery from page markup — the three channels a
+    crawler actually harvests per fetched page, in ONE pass over one
+    corpus scan: anchor outlinks (extract_links' resolution rules),
+    hreflang alternates (translation cluster members), and feed
+    autodiscovery links (rel=alternate type=rss/atom). Duplicates
+    collapse per (page, discovered) with sorted provenance
+    ('feed'/'hreflang'/'outlink' csv) — a URL announced by several
+    channels is a STRONGER frontier candidate, and the provenance is
+    the ranking feature.
+
+    Scale shape: three map-only extractions from the SAME scan, one
+    union, one (page, discovered)-keyed groupBy — map-side partials
+    absorb per-page duplication; no self-join."""
+    links = extract_links(
+        df, html_col=html_col, base_col=url_col
+    ).select(
+        F.col("src_url").alias("url"),
+        F.col("dst_url").alias("discovered"),
+        F.lit("outlink").alias("source"),
+    )
+    alts = hreflang_alternates(
+        df, html_col=html_col, url_col=url_col
+    ).select(
+        "url",
+        F.col("href").alias("discovered"),
+        F.lit("hreflang").alias("source"),
+    )
+    feed_rx = (
+        "(?i)<link[^>]*rel=[\"\']alternate[\"\'][^>]*"
+        "type=[\"\']application/(?:rss|atom)\\+xml[\"\'][^>]*"
+        "href=[\"\']([^\"\']*)[\"\']"
+    )
+    feeds = df.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"), F.lit(feed_rx), 1)
+        ).alias("discovered"),
+    ).withColumn("source", F.lit("feed"))
+    union = links.unionByName(alts).unionByName(feeds)
+    return (
+        union.groupBy("url", "discovered")
+        .agg(F.sort_array(F.collect_set("source")).alias("_s"))
+        .select(
+            "url", "discovered",
+            F.array_join("_s", ",").alias("sources"),
+            F.size("_s").alias("n_sources"),
+        )
+    )

@@ -5597,6 +5597,64 @@ def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "url_discovery_pipeline",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id, CAST(event_id AS VARCHAR) AS eid,
+             'https://host' || CAST(user_id % 40 AS VARCHAR)
+               || '.example.com' AS base
+      FROM pages),
+rows_ AS (
+  SELECT url, base || '/p/' || CAST(event_id + 1 AS VARCHAR) AS discovered,
+         CASE WHEN event_id % 5 = 0 THEN 'hreflang,outlink'
+              ELSE 'outlink' END AS sources,
+         CASE WHEN event_id % 5 = 0 THEN 2 ELSE 1 END AS n_sources
+  FROM v
+  UNION ALL
+  SELECT url, base || '/p/' || CAST(event_id + 2 AS VARCHAR),
+         'outlink', 1 FROM v
+  UNION ALL
+  SELECT url, base || '/de/p/' || eid, 'hreflang', 1 FROM v
+  UNION ALL
+  SELECT url, base || '/feed.xml', 'feed', 1 FROM v
+)
+SELECT url, discovered, sources, CAST(n_sources AS INT) AS n_sources
+FROM rows_""",
+)
+def url_discovery_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified URL discovery composed over one corpus scan: anchor
+    outlinks (absolute + root-relative resolution), hreflang alternates,
+    and feed autodiscovery links — deduped per (page, discovered) with
+    sorted provenance. Every fifth page declares an x-default alternate
+    pointing AT its first outlink target, so the dedup-with-provenance
+    path ('hreflang,outlink', n_sources=2) sits under the hash gate.
+    Oracle regenerates all four discovery rows per page arithmetically."""
+    from logstash_spark.functions.linkgraph import url_discovery
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    base = F.concat(F.lit("https://host"),
+                    (F.col("user_id") % 40).cast("string"),
+                    F.lit(".example.com"))
+    xdef = F.when(
+        eid % 5 == 0,
+        F.concat(F.lit('<link rel="alternate" hreflang="x-default" href="'),
+                 base, F.lit("/p/"), (eid + 1).cast("string"),
+                 F.lit('">'))).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.lit('<link rel="alternate" hreflang="de" href="'), base,
+        F.lit("/de/p/"), eid.cast("string"), F.lit('">'),
+        xdef,
+        F.lit('<link rel="alternate" type="application/rss+xml" href="'),
+        base, F.lit('/feed.xml">'),
+        F.lit('</head><body><a href="'), base, F.lit("/p/"),
+        (eid + 1).cast("string"), F.lit('">next</a>'),
+        F.lit('<a href="/p/'), (eid + 2).cast("string"),
+        F.lit('">rel</a></body></html>'))
+    return url_discovery(p.withColumn("html_str", html))
+
+
+@q(
     "crawl_permission_pipeline",
     f"""{_PAGES_CTE},
 v AS (SELECT url, event_id, user_id, CAST(user_id % 40 AS INT) AS hnum,

@@ -329,3 +329,25 @@ def test_permission_pipeline_single_scan_no_self_join(spark):
     # the corpus must never join back to itself: the only join is the
     # broadcast rule attach (robots_filter); an SMJ means a join-back
     assert "SortMergeJoin" not in plan
+
+
+def test_url_discovery_provenance_dedup(spark):
+    from logstash_spark.functions.linkgraph import url_discovery
+
+    html = ('<html><head>'
+            '<link rel="alternate" hreflang="de" href="https://h.x/de/1">'
+            '<link rel="alternate" type="application/rss+xml" '
+            'href="https://h.x/feed.xml">'
+            '<link rel="alternate" hreflang="x-default" href="https://h.x/2">'
+            '</head><body>'
+            '<a href="https://h.x/2">next</a><a href="/3">rel</a>'
+            '</body></html>')
+    rows = url_discovery(_df(spark, [
+        {"url": "https://h.x/1", "html_str": html}])).collect()
+    by = {r["discovered"]: r for r in rows}
+    assert by["https://h.x/2"]["sources"] == "hreflang,outlink"
+    assert by["https://h.x/2"]["n_sources"] == 2
+    assert by["https://h.x/feed.xml"]["sources"] == "feed"
+    assert by["https://h.x/de/1"]["sources"] == "hreflang"
+    assert by["https://h.x/3"]["sources"] == "outlink"
+    assert len(rows) == 4
