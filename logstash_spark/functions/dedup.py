@@ -1076,3 +1076,44 @@ def winnow_overlap(
         )
         .filter(F.col("winnow_containment") >= threshold)
     )
+
+
+def takedown_scrub(
+    corpus: DataFrame,
+    removals: DataFrame,
+    *,
+    key: str = "url",
+    removal_key: str = "key",
+) -> tuple[DataFrame, DataFrame]:
+    """Right-to-be-forgotten / DMCA takedown propagation — the
+    compliance op every released corpus needs: given a (small) removal
+    list keyed by url or content digest, return (scrubbed_corpus,
+    audit). The audit answers the request: per removal key, how many
+    copies existed and were removed (``n_removed``, ``found``) — a
+    takedown you cannot evidence is a takedown you cannot prove.
+
+    Scale shape: removals are tiny -> the scrub is ONE broadcast
+    left-anti join (corpus never shuffles); the audit inner-joins the
+    corpus against the broadcast list FIRST so only matching rows (at
+    most |removals| x multiplicity) reach the count shuffle — never a
+    corpus-wide groupBy."""
+    rem = F.broadcast(
+        removals.select(F.col(removal_key).alias("_tk")).distinct())
+    scrubbed = corpus.join(
+        rem, corpus[key] == rem["_tk"], "left_anti")
+    matched = (
+        corpus.select(F.col(key).alias("_tk"))
+        .join(rem, "_tk")  # broadcast inner: only removable rows survive
+        .groupBy("_tk").agg(F.count("*").alias("n_removed"))
+    )
+    audit = (
+        removals.select(F.col(removal_key).alias("key")).distinct()
+        .join(F.broadcast(matched.withColumnRenamed("_tk", "key")),
+              "key", "left")
+        .select(
+            "key",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (F.coalesce("n_removed", F.lit(0)) > 0).alias("found"),
+        )
+    )
+    return scrubbed, audit

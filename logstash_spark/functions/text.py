@@ -813,3 +813,57 @@ def script_detect(df: DataFrame, source: str = "text") -> DataFrame:
     for old, new in renames.items():
         out = out.withColumnRenamed(old, new)
     return out
+
+
+def luhn_redact(
+    df: DataFrame, *, source: str = "text", target: str = "text_safe"
+) -> DataFrame:
+    """Payment-card redaction with LUHN VALIDATION — the check that
+    separates real card numbers (must be scrubbed) from order ids and
+    tracking numbers of the same shape (must be kept; blanket 13-19
+    digit redaction destroys legitimate corpus text). Candidates are
+    13-19 digit runs with optional space/dash group separators; each
+    candidate's digits run the mod-10 double-every-second-from-the-
+    right checksum as EXACT integer higher-order-function arithmetic
+    (aggregate over the reversed digit array — no Python, no float),
+    and only checksum-valid candidates are replaced with [CARD].
+    Adds ``target``, ``n_cards`` and ``n_card_like`` (candidates seen,
+    valid or not — the audit denominator). Map-only JVM."""
+    cand_rx = r"\b\d(?:[ -]?\d){12,18}\b"
+    s = F.col(source).cast("string")
+    cands = F.expr(
+        f"regexp_extract_all(cast({source} as string),"
+        f" '\\\\b\\\\d(?:[ -]?\\\\d){{12,18}}\\\\b', 0)")
+
+    def is_luhn(c: Column) -> Column:
+        digits = F.split(F.regexp_replace(c, r"[ -]", ""), "")
+        digits = F.filter(digits, lambda d: d != "")
+        rev = F.reverse(digits)
+        total = F.aggregate(
+            F.zip_with(
+                rev,
+                F.sequence(F.lit(0), F.size(rev) - 1),
+                lambda d, i: F.when(
+                    i % 2 == 1,
+                    F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+                    .otherwise(d.cast("int") * 2),
+                ).otherwise(d.cast("int")),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        return total % 10 == 0
+    valid = F.filter(cands, is_luhn)
+    out = df.withColumn("n_card_like", F.size(cands)) \
+            .withColumn("n_cards", F.size(valid)) \
+            .withColumn("_valid", valid)
+    # replace each VALID candidate literally (escaped), longest first so
+    # a shorter valid prefix never clobbers a longer match
+    repl = F.aggregate(
+        F.reverse(F.array_sort(F.transform(
+            F.col("_valid"), lambda v: F.struct(
+                F.length(v).alias("l"), v.alias("v"))))),
+        s,
+        lambda acc, st: F.replace(acc, st.getField("v"), F.lit("[CARD]")),
+    )
+    return out.withColumn(target, repl).drop("_valid")

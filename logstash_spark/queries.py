@@ -5655,6 +5655,134 @@ def url_discovery_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "luhn_card_redact",
+    f"""{_PAGES_CTE},
+v AS (SELECT url, event_id,
+             lpad(CAST((event_id * 7919 + 123456789) %
+                       1000000000000000 AS VARCHAR), 15, '0') AS base15
+      FROM pages),
+-- independent Luhn: sum over base15 from the right, doubling the digits
+-- at ODD 1-based positions-from-right of the 15-digit base (those land
+-- on even positions of the full 16-digit number once the check digit
+-- is appended); check = (10 - S % 10) % 10
+luhn AS (
+  SELECT url, event_id, base15,
+         CAST((10 - list_sum(list_transform(range(15), j ->
+             CASE WHEN j % 2 = 0 THEN
+               CASE WHEN 2 * CAST(substr(base15, 15 - j, 1) AS INT) > 9
+                    THEN 2 * CAST(substr(base15, 15 - j, 1) AS INT) - 9
+                    ELSE 2 * CAST(substr(base15, 15 - j, 1) AS INT) END
+             ELSE CAST(substr(base15, 15 - j, 1) AS INT) END)) % 10) % 10
+           AS INT) AS chk
+  FROM v),
+card AS (
+  SELECT url, event_id,
+         base15 || CAST(CASE WHEN event_id % 2 = 0 THEN chk
+                             ELSE (chk + 5) % 10 END AS VARCHAR) AS digits
+  FROM luhn),
+grouped AS (
+  SELECT url, event_id,
+         CASE WHEN event_id % 3 = 0 THEN
+                substr(digits,1,4) || ' ' || substr(digits,5,4) || ' '
+                || substr(digits,9,4) || ' ' || substr(digits,13,4)
+              WHEN event_id % 3 = 1 THEN
+                substr(digits,1,4) || '-' || substr(digits,5,4) || '-'
+                || substr(digits,9,4) || '-' || substr(digits,13,4)
+              ELSE digits END AS shown
+  FROM card)
+SELECT url,
+       CASE WHEN event_id % 2 = 0 THEN 'invoice [CARD] ref 12345'
+            ELSE 'invoice ' || shown || ' ref 12345' END AS text_safe,
+       CAST(1 AS INT) AS n_card_like,
+       CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS n_cards
+FROM grouped""",
+)
+def luhn_card_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card redaction gated on the Luhn checksum: every page
+    carries one 16-digit card-shaped number (space/dash/plain grouping
+    rotating) whose check digit is CORRECT on even event_ids and
+    deliberately broken (+5) on odd — valid numbers must become [CARD],
+    invalid ones must SURVIVE (order-id false-positive protection). The
+    engine validates via exact integer higher-order functions; the
+    oracle is an INDEPENDENT DuckDB Luhn (list_transform arithmetic),
+    so checksum drift on either side flips the hash."""
+    from logstash_spark.functions.text import luhn_redact
+
+    p = _pages(spark, sf_dir)
+    eid = F.col("event_id")
+    base15 = F.lpad(
+        ((eid * 7919 + 123456789) % F.lit(10**15)).cast("string"), 15, "0")
+
+    def luhn_check(b15):
+        digits = F.filter(F.split(b15, ""), lambda d: d != "")
+        rev = F.reverse(digits)
+        s = F.aggregate(
+            F.zip_with(
+                rev, F.sequence(F.lit(0), F.size(rev) - 1),
+                lambda d, i: F.when(
+                    i % 2 == 0,
+                    F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+                    .otherwise(d.cast("int") * 2)
+                ).otherwise(d.cast("int"))),
+            F.lit(0), lambda acc, x: acc + x)
+        return (10 - s % 10) % 10
+
+    chk = luhn_check(base15)
+    digit = F.when(eid % 2 == 0, chk).otherwise((chk + 5) % 10)
+    digits16 = F.concat(base15, digit.cast("string"))
+
+    def grp(sep):
+        return F.concat_ws(
+            sep, F.substring(digits16, 1, 4), F.substring(digits16, 5, 4),
+            F.substring(digits16, 9, 4), F.substring(digits16, 13, 4))
+
+    shown = (
+        F.when(eid % 3 == 0, grp(" "))
+        .when(eid % 3 == 1, grp("-"))
+        .otherwise(digits16))
+    text = F.concat(F.lit("invoice "), shown, F.lit(" ref 12345"))
+    out = luhn_redact(p.withColumn("text6", text), source="text6")
+    return out.select("url", "text_safe", "n_card_like", "n_cards")
+
+
+@q(
+    "takedown_scrub",
+    f"""{_PAGES_CTE},
+req AS (
+  SELECT url AS key, TRUE AS real_ FROM pages WHERE event_id % 97 = 0
+  UNION ALL
+  SELECT 'https://gone' || CAST(k AS VARCHAR) || '.example.com/x', FALSE
+  FROM range(3) t(k))
+SELECT key, CAST(CASE WHEN real_ THEN 1 ELSE 0 END AS BIGINT) AS n_removed,
+       real_ AS found,
+       (SELECT COUNT(*) FROM pages) -
+         (SELECT COUNT(*) FROM pages WHERE event_id % 97 = 0)
+         AS corpus_after
+FROM req""",
+)
+def takedown_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown propagation with compliance evidence: a removal list of
+    every 97th page's url PLUS three never-present urls; the audit must
+    report n_removed=1/found for the real keys and 0/not-found for the
+    ghosts, and the scrubbed corpus count (attached to every audit row
+    as the release denominator) must equal pages minus matches. The
+    scrub is one broadcast anti-join — the corpus never shuffles."""
+    from logstash_spark.functions.dedup import takedown_scrub
+
+    p = _pages(spark, sf_dir)
+    real = p.filter(F.col("event_id") % 97 == 0).select(
+        F.col("url").alias("key"))
+    ghosts = spark.range(3).select(
+        F.concat(F.lit("https://gone"), F.col("id").cast("string"),
+                 F.lit(".example.com/x")).alias("key"))
+    removals = real.unionByName(ghosts)
+    scrubbed, audit = takedown_scrub(p, removals, key="url")
+    n_after = scrubbed.count()  # the release denominator (driver-side
+    # count of the scrubbed corpus — one long, the normal release step)
+    return audit.withColumn("corpus_after", F.lit(n_after))
+
+
+@q(
     "crawl_permission_pipeline",
     f"""{_PAGES_CTE},
 v AS (SELECT url, event_id, user_id, CAST(user_id % 40 AS INT) AS hnum,

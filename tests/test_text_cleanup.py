@@ -83,3 +83,40 @@ def test_script_detect_classes_and_ties(spark):
     assert out[3]["script"] == "none"
     assert out[4]["script"] == "latin"      # >= keeps first-in-order
     assert out[5]["script"] == "hebrew" and out[5]["n_hebrew"] == 4
+
+
+def test_luhn_validation_separates_cards_from_order_ids(spark):
+    from logstash_spark.functions.text import luhn_redact
+
+    rows = [
+        {"i": 0, "text": "pay 4111-1111-1111-1111 now"},        # valid
+        {"i": 1, "text": "order 1234 5678 9012 3456 shipped"},  # invalid
+        {"i": 2, "text": "two: 4111111111111111 and 5500 0000 0000 0004"},
+        {"i": 3, "text": "short 123456789012 and long ref"},    # 12 < floor
+    ]
+    out = {r["i"]: r for r in luhn_redact(
+        spark.createDataFrame(pd.DataFrame(rows))).collect()}
+    assert out[0]["n_cards"] == 1 and "[CARD]" in out[0]["text_safe"]
+    assert out[1]["n_cards"] == 0 and "3456" in out[1]["text_safe"]
+    assert out[2]["n_cards"] == 2
+    assert out[2]["text_safe"].count("[CARD]") == 2
+    assert out[3]["n_card_like"] == 0
+
+
+def test_takedown_scrub_audit_and_anti_join(spark):
+    from logstash_spark.functions.dedup import takedown_scrub
+
+    corpus = spark.createDataFrame(pd.DataFrame([
+        {"url": "a", "text": "t1"},
+        {"url": "b", "text": "t2"},
+        {"url": "b", "text": "t2-copy"},   # multiplicity must count
+        {"url": "c", "text": "t3"},
+    ]))
+    removals = spark.createDataFrame(pd.DataFrame({"key": ["b", "zz"]}))
+    scrubbed, audit = takedown_scrub(corpus, removals)
+    assert sorted(r["url"] for r in scrubbed.collect()) == ["a", "c"]
+    by = {r["key"]: r for r in audit.collect()}
+    assert by["b"]["n_removed"] == 2 and by["b"]["found"]
+    assert by["zz"]["n_removed"] == 0 and not by["zz"]["found"]
+    plan = scrubbed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
