@@ -213,6 +213,10 @@ HEADLINE = [
     "nfc_normalize",
     "webdataset_intake",
     "script_detect",
+    "url_discovery_pipeline",
+    "crawl_permission_pipeline",
+    "luhn_card_redact",
+    "takedown_scrub",
 ]
 
 
