@@ -512,11 +512,18 @@ def run_scaling_procs() -> None:
 
     def one_job(results, idx):
         env = dict(os.environ, SPARK_GRAFT_CPUS="2")
-        r = subprocess.run(
-            [sys.executable, "-c", inner], capture_output=True, text=True,
-            env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        results[idx] = json.loads(line)["sec"]
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", inner], capture_output=True,
+                text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [l for l in r.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            results[idx] = json.loads(line)["sec"]
+        except Exception as exc:  # surfaced below — a dead fleet member
+            results[idx] = ("error", f"{type(exc).__name__}: {exc}",
+                            getattr(r, "stderr", "")[-500:]
+                            if "r" in locals() else "")
 
     out = {}
     for njobs in (1, 4):
@@ -528,6 +535,11 @@ def run_scaling_procs() -> None:
             t.start()
         for t in threads:
             t.join()
+        errs = {k: v for k, v in results.items() if isinstance(v, tuple)}
+        if errs or len(results) < njobs:
+            # a crashed member means the fleet number is meaningless —
+            # fail LOUD, never report an optimistic survivors-only figure
+            raise RuntimeError(f"scaling-procs fleet failure: {errs}")
         # the fleet's wall time is its slowest member's steady-state rep
         out[njobs] = max(results.values())
     eff = out[1] / out[4]

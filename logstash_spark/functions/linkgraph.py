@@ -819,25 +819,36 @@ def url_discovery(
         F.col("dst_url").alias("discovered"),
         F.lit("outlink").alias("source"),
     )
+    # hreflang + feed hrefs are RESOLVED against the page like outlinks:
+    # relative declarations ('/de', '/feed.xml') are common and must
+    # land on the same frontier URL as the equivalent anchor, or the
+    # (page, discovered) dedup that powers provenance never fires
     alts = hreflang_alternates(
         df, html_col=html_col, url_col=url_col
     ).select(
         "url",
-        F.col("href").alias("discovered"),
+        resolve_href(F.col("url"), F.col("href")).alias("discovered"),
         F.lit("hreflang").alias("source"),
-    )
-    feed_rx = (
-        "(?i)<link[^>]*rel=[\"\']alternate[\"\'][^>]*"
-        "type=[\"\']application/(?:rss|atom)\\+xml[\"\'][^>]*"
-        "href=[\"\']([^\"\']*)[\"\']"
-    )
+    ).filter(F.col("discovered").isNotNull())
+    # feed autodiscovery tolerates ANY attribute order (the sibling
+    # _hreflang_pairs stance): extract link tags, filter, then href
+    ftags = F.expr(
+        f"regexp_extract_all({html_col}, '(?i)<link[^>]*>', 0)")
+    flinks = F.filter(
+        ftags,
+        lambda t: t.rlike('(?i)rel=["\']alternate["\']')
+        & t.rlike('(?i)type=["\']application/(?:rss|atom)\\+xml["\']'))
+    fhrefs = F.transform(
+        flinks,
+        lambda t: F.regexp_extract(t, '(?i)href=["\']([^"\']*)["\']', 1))
     feeds = df.select(
         F.col(url_col).alias("url"),
-        F.explode(
-            F.regexp_extract_all(
-                F.col(html_col).cast("string"), F.lit(feed_rx), 1)
-        ).alias("discovered"),
-    ).withColumn("source", F.lit("feed"))
+        F.explode(fhrefs).alias("_h"),
+    ).select(
+        "url",
+        resolve_href(F.col("url"), F.col("_h")).alias("discovered"),
+        F.lit("feed").alias("source"),
+    ).filter(F.col("discovered").isNotNull())
     union = links.unionByName(alts).unionByName(feeds)
     return (
         union.groupBy("url", "discovered")

@@ -1787,10 +1787,11 @@ def webdataset_intake(df: DataFrame, *, shard_col: str = "bytes",
                 if buf is None:
                     continue
                 raw = bytes(buf)
+                # r:* streams plain AND gzip tars — no up-front
+                # gzip.decompress, so a gzip bomb never materializes
+                # (per-member reads stay under MAX_MEMBER)
                 try:
-                    if raw[:2] == b"\x1f\x8b":
-                        raw = _gzip.decompress(raw)
-                    tf = tarfile.open(fileobj=io.BytesIO(raw), mode="r:")
+                    tf = tarfile.open(fileobj=io.BytesIO(raw), mode="r:*")
                 except Exception:
                     continue
                 order: list[str] = []
@@ -1806,12 +1807,20 @@ def webdataset_intake(df: DataFrame, *, shard_col: str = "bytes",
                         f = tf.extractfile(info)
                         if f is None:
                             continue
+                        data = f.read(MAX_MEMBER)
+                        if len(data) != info.size:
+                            # short read = truncated archive -> fail the
+                            # WHOLE shard (no partial samples)
+                            raise EOFError("truncated member")
                         if key not in groups:
                             groups[key] = {}
                             order.append(key)
-                        groups[key][ext] = f.read()
+                        groups[key][ext] = data
                 except Exception:
-                    pass
+                    # fail CLOSED per shard: a truncated archive must not
+                    # emit partial samples (caption-only rows poison
+                    # downstream pairing) — the docstring's contract
+                    continue
                 for idx, key in enumerate(order):
                     members = groups[key]
                     rows.append((

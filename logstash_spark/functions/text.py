@@ -720,7 +720,10 @@ def fix_mojibake(
     merely mentioning '\u00c3' stays untouched). Adds ``target`` and
     ``was_mojibake``. Pure JVM encode/decode — no Python, no shuffle."""
     s = F.col(source).cast("string")
-    candidate = s.rlike("[\u00c2\u00c3\u00e2][\u0080-\u00ff]")
+    # lead bytes of 2-byte (C2-DF) and 3-byte (E0-EF) UTF-8 sequences
+    # followed by a continuation byte — covers Latin-Extended, Cyrillic,
+    # Greek, Hebrew, CJK mojibake, not just the Western-European leads
+    candidate = s.rlike("[\u00c2-\u00ef][\u0080-\u00bf]")
     repaired = F.decode(F.encode(s, "ISO-8859-1"), "UTF-8")
     lossless = (
         ~repaired.contains("\ufffd")
@@ -770,7 +773,7 @@ def normalize_nfc(
 # Unicode script blocks as JVM-safe character-class ranges. Counting uses
 # regexp_count per class — one pass each, no explode.
 _SCRIPT_RANGES = {
-    "latin": "[A-Za-z\\u00c0-\\u024f]",
+    "latin": "[A-Za-z\\u00c0-\\u00d6\\u00d8-\\u00f6\\u00f8-\\u024f]",  # excl. non-letters U+00D7/U+00F7
     "cyrillic": "[\\u0400-\\u04ff]",
     "greek": "[\\u0370-\\u03ff]",
     "arabic": "[\\u0600-\\u06ff]",
@@ -831,9 +834,7 @@ def luhn_redact(
     valid or not — the audit denominator). Map-only JVM."""
     cand_rx = r"\b\d(?:[ -]?\d){12,18}\b"
     s = F.col(source).cast("string")
-    cands = F.expr(
-        f"regexp_extract_all(cast({source} as string),"
-        f" '\\\\b\\\\d(?:[ -]?\\\\d){{12,18}}\\\\b', 0)")
+    cands = F.regexp_extract_all(s, F.lit(cand_rx), 0)
 
     def is_luhn(c: Column) -> Column:
         digits = F.split(F.regexp_replace(c, r"[ -]", ""), "")
@@ -859,11 +860,18 @@ def luhn_redact(
             .withColumn("_valid", valid)
     # replace each VALID candidate literally (escaped), longest first so
     # a shorter valid prefix never clobbers a longer match
+    # \b-anchored regexp replace: a valid card that is a SUBSTRING of a
+    # longer digit run (an invalid order id) must not be redacted inside
+    # it — candidates always start/end on digits, so \b anchors exactly
+    # reproduce the extraction boundaries (review-pass pin)
     repl = F.aggregate(
         F.reverse(F.array_sort(F.transform(
             F.col("_valid"), lambda v: F.struct(
                 F.length(v).alias("l"), v.alias("v"))))),
         s,
-        lambda acc, st: F.replace(acc, st.getField("v"), F.lit("[CARD]")),
+        lambda acc, st: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"\b"), st.getField("v"), F.lit(r"\b")),
+            F.lit("[CARD]")),
     )
     return out.withColumn(target, repl).drop("_valid")

@@ -279,6 +279,10 @@ def mbox_split(df: DataFrame, *, mbox_col: str = "mbox",
     body = F.regexp_replace(body, r"(?m)^>From ", "From ")
     # strip the blank separator line before the next envelope
     body = F.regexp_replace(body, r"\r?\n$", "")
+    # normalize line endings to CRLF: decode_rfc822 speaks wire-format
+    # CRLF, while on-disk mboxes are usually LF — without this every
+    # message of an LF archive would tag _mailparsefailure (review pin)
+    body = F.regexp_replace(body, r"\r?\n", "\r\n")
     return e.select(
         "url", "msg_idx",
         env_from.alias("env_from"),

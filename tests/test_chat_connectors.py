@@ -448,3 +448,20 @@ def test_mbox_empty_and_single(spark):
     ]))).collect()
     assert {r["url"] for r in rows} == {"s"}
     assert rows[0]["rfc822"].endswith("hi")
+
+
+def test_mbox_lf_archive_decodes(spark):
+    import pandas as pd
+
+    from logstash_spark.sources.chat import decode_rfc822, mbox_split
+
+    lf_mbox = ("From a@b.org Mon Jan  1 00:00:00 2024\n"
+               "From: a@b.org\nTo: l@x.org\nSubject: lf-subj\n\n"
+               "lf body line\n")
+    dec = decode_rfc822(mbox_split(spark.createDataFrame(
+        pd.DataFrame([{"url": "u", "mbox": lf_mbox}]))), "rfc822").collect()
+    assert len(dec) == 1
+    r = dec[0]
+    assert r["subject"] == "lf-subj" and r["mail_from"] == "a@b.org"
+    assert r["message"] == "lf body line"
+    assert r["tags"] is None            # NOT _mailparsefailure

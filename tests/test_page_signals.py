@@ -351,3 +351,20 @@ def test_url_discovery_provenance_dedup(spark):
     assert by["https://h.x/de/1"]["sources"] == "hreflang"
     assert by["https://h.x/3"]["sources"] == "outlink"
     assert len(rows) == 4
+
+
+def test_url_discovery_resolves_relative_declarations(spark):
+    from logstash_spark.functions.linkgraph import url_discovery
+
+    html = ('<link rel="alternate" hreflang="de" href="/de">'
+            '<link type="application/rss+xml" rel="alternate" '
+            'href="/feed.xml">'
+            '<a href="/de">x</a>')
+    rows = url_discovery(_df(spark, [
+        {"url": "https://h.x/1", "html_str": html}])).collect()
+    by = {r["discovered"]: r for r in rows}
+    # relative hreflang resolves AND dedups against the same outlink
+    assert by["https://h.x/de"]["sources"] == "hreflang,outlink"
+    # feed link matched despite type-before-rel attribute order, resolved
+    assert by["https://h.x/feed.xml"]["sources"] == "feed"
+    assert len(rows) == 2

@@ -120,3 +120,35 @@ def test_takedown_scrub_audit_and_anti_join(spark):
     assert by["zz"]["n_removed"] == 0 and not by["zz"]["found"]
     plan = scrubbed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_luhn_boundary_protects_longer_runs(spark):
+    from logstash_spark.functions.text import luhn_redact
+
+    # a valid card EMBEDDED in a longer (invalid) digit run must not be
+    # redacted inside it (review-pass pin)
+    out = luhn_redact(spark.createDataFrame(pd.DataFrame([
+        {"text": "ref 94111111111111111 card 4111111111111111"}]))
+    ).collect()[0]
+    assert out["text_safe"] == "ref 94111111111111111 card [CARD]"
+    assert out["n_cards"] == 1
+
+
+def test_mojibake_cyrillic_and_latin_extended(spark):
+    from logstash_spark.functions.text import fix_mojibake
+
+    cz = "škoda".encode("utf-8").decode("latin-1")
+    ru = "привет".encode("utf-8").decode("latin-1")
+    out = {r["i"]: r for r in fix_mojibake(spark.createDataFrame(
+        pd.DataFrame([{"i": 0, "text": cz}, {"i": 1, "text": ru}])
+    )).collect()}
+    assert out[0]["text_fixed"] == "škoda" and out[0]["was_mojibake"]
+    assert out[1]["text_fixed"] == "привет" and out[1]["was_mojibake"]
+
+
+def test_script_detect_excludes_multiplication_sign(spark):
+    from logstash_spark.functions.text import script_detect
+
+    r = script_detect(spark.createDataFrame(pd.DataFrame(
+        [{"text": "1920×1080 hd"}]))).collect()[0]
+    assert r["n_latin"] == 2  # only 'h','d' count — × is not a letter

@@ -2597,3 +2597,27 @@ def test_webdataset_dotted_extensions_and_subdirs(spark):
     assert len(rows) == 1
     assert rows[0]["key"] == "000009"
     assert rows[0]["exts"] == ["seg.png", "txt"]
+
+
+def test_webdataset_gzip_bomb_and_truncation_fail_closed(spark):
+    import gzip
+    import pandas as pd
+
+    from logstash_spark.functions.multimodal import (
+        build_webdataset_shard,
+        webdataset_intake,
+    )
+
+    good = build_webdataset_shard([("000001", {"txt": b"ok"})])
+    bomb = gzip.compress(b"\x00" * (1 << 27), 9)     # ~128 MiB of zeros
+    full = build_webdataset_shard(
+        [("000002", {"txt": b"cap", "jpg": b"J" * 4096})])
+    truncated = full[:2048 + 1000]   # cut INSIDE the jpg member's data
+    rows = webdataset_intake(spark.createDataFrame(pd.DataFrame([
+        {"shard_id": 0, "bytes": good},
+        {"shard_id": 1, "bytes": bomb},
+        {"shard_id": 2, "bytes": truncated},
+    ]))).collect()
+    # only the good shard emits; the bomb and the truncated shard fail
+    # CLOSED with no partial samples
+    assert {r["shard_id"] for r in rows} == {0}
