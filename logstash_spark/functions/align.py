@@ -15,8 +15,10 @@ MEAN length, as in the canonical implementation), cost =
 float-scored search, the same stance as the k-means route assignments.
 
 Scale shape: per-pair DP inside Arrow-batched mapInPandas — map-only,
-no shuffle; cost O(n*m) per document pair with n,m = sentence counts,
-bounded in practice by document length caps upstream.
+no shuffle. Per-pair cost is ENFORCED bounded (not assumed): exact
+O(n*m) up to _FULL_STATES states, banded O(n*_BAND) above that (the
+alignment path is near-diagonal), empty alignment above MAX_SENTS —
+an adversarial batch of megasentence pairs cannot pin an executor.
 """
 
 from __future__ import annotations
@@ -36,7 +38,9 @@ _PENALTY = {
 }
 _C = 1.0
 _S2 = 6.8
-MAX_SENTS = 4_096  # per-document cap: O(n*m) DP stays bounded
+MAX_SENTS = 1_024   # per-document cap; beyond it -> empty alignment
+_FULL_STATES = 65_536   # n*m at or under this runs the exact full DP
+_BAND = 96          # banded half-width above _FULL_STATES (near-diagonal)
 
 
 def _phi(z: float) -> float:
@@ -55,16 +59,41 @@ def _length_cost(l1: int, l2: int) -> float:
 
 def align_lengths(src: list[int], tgt: list[int]):
     """DP alignment of two sentence-length sequences -> list of
-    (src_start, src_n, tgt_start, tgt_n) blocks in order."""
+    (src_start, src_n, tgt_start, tgt_n) blocks in order.
+
+    Budget guard (an adversarially long pair must not pin an executor
+    task): inputs above MAX_SENTS sentences on either side emit the
+    empty alignment, exactly like the count cap; up to _FULL_STATES
+    DP states the search is the exact published O(n*m); beyond that it
+    runs BANDED — Gale-Church paths are near-diagonal (every category
+    advances both sides except the rare 450-penalty deletions), so j is
+    restricted to within _BAND of the i*m/n diagonal. Worst case is
+    ~n*(2*_BAND+1)*6 transitions, bounded regardless of m. A path that
+    would have to leave the band comes back empty (back-pointer chain
+    broken), never wrong-but-confident."""
     n, m = len(src), len(tgt)
     if n > MAX_SENTS or m > MAX_SENTS:
         return []
+    banded = n * m > _FULL_STATES
     INF = float("inf")
     cost = [[INF] * (m + 1) for _ in range(n + 1)]
     back = [[None] * (m + 1) for _ in range(n + 1)]
     cost[0][0] = 0.0
+    # prefix sums: block sums in O(1) instead of re-slicing per transition
+    ps = [0]
+    for v in src:
+        ps.append(ps[-1] + v)
+    pt = [0]
+    for v in tgt:
+        pt.append(pt[-1] + v)
     for i in range(n + 1):
-        for j in range(m + 1):
+        if banded:
+            center = (i * m) // max(n, 1)
+            jlo = max(0, center - _BAND)
+            jhi = min(m, center + _BAND)
+        else:
+            jlo, jhi = 0, m
+        for j in range(jlo, jhi + 1):
             base = cost[i][j]
             if base == INF:
                 continue
@@ -72,8 +101,8 @@ def align_lengths(src: list[int], tgt: list[int]):
                 ni, nj = i + di, j + dj
                 if ni > n or nj > m:
                     continue
-                l1 = sum(src[i:ni])
-                l2 = sum(tgt[j:nj])
+                l1 = ps[ni] - ps[i]
+                l2 = pt[nj] - pt[j]
                 c = base + pen + _length_cost(l1, l2)
                 if c < cost[ni][nj]:
                     cost[ni][nj] = c

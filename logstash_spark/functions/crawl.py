@@ -219,9 +219,18 @@ def _xml_text(el: Column, tag: str) -> Column:
     regexp_extract returns '' on no-match, mapped here via nullif. The
     entity replace chain is identical in Spark and DuckDB; &amp; is
     decoded LAST so '&amp;lt;' yields the literal '&lt;' (correct XML
-    semantics, double-decode bug otherwise)."""
+    semantics, double-decode bug otherwise).
+
+    The opening tag may carry attributes — real-world feeds ship
+    '<guid isPermaLink="false">' and '<title type="html">' — but a
+    SELF-CLOSING '<tag .../>'' must NOT count as an opening tag (its
+    "body" would be whatever follows up to an unrelated close tag):
+    the one-char negative lookbehind '(?<!/)>' excludes it, and Spark
+    runs Java regex so lookbehind is available (oracles never mirror
+    this regex — feed/sitemap oracles regenerate rows arithmetically)."""
     raw = F.trim(
-        F.regexp_extract(el, rf"(?is)<{tag}\s*>\s*(.*?)\s*</{tag}\s*>", 1)
+        F.regexp_extract(
+            el, rf"(?is)<{tag}(?:\s[^>]*)?(?<!/)>\s*(.*?)\s*</{tag}\s*>", 1)
     )
     raw = F.regexp_replace(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", "$1")
     for ent, ch in (

@@ -1768,8 +1768,10 @@ def webdataset_intake(df: DataFrame, *, shard_col: str = "bytes",
     prefix (name up to the first dot) group into a map<ext, binary>,
     preserving shard order — the WebDataset contract. Gzip shards
     (.tar.gz sniffed by magic) decompress in-stream. Hostile archives
-    fail closed per shard (no rows), oversized members are skipped
-    with the rest of the shard intact.
+    fail closed per shard (no rows) — including oversized members: a
+    member above MAX_MEMBER fails the WHOLE shard exactly like a
+    truncated one, because skipping just the member would emit partial
+    (e.g. caption-only) samples that poison downstream pairing.
 
     Scale shape: one shard per task via Arrow batches (the WARC-intake
     envelope) — map-only, no shuffle; at 100 TB the shard table is the
@@ -1798,8 +1800,12 @@ def webdataset_intake(df: DataFrame, *, shard_col: str = "bytes",
                 groups: dict[str, dict] = {}
                 try:
                     for info in tf:
-                        if not info.isfile() or info.size > MAX_MEMBER:
+                        if not info.isfile():
                             continue
+                        if info.size > MAX_MEMBER:
+                            # oversized = same class as truncated: the
+                            # sample it belongs to would come out partial
+                            raise ValueError("oversized member")
                         name = info.name.rsplit("/", 1)[-1]
                         if "." not in name:
                             continue

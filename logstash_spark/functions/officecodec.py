@@ -71,9 +71,12 @@ def _read_part(buf: bytes, names: tuple[str, ...]):
 
 
 def _xml_paragraph_text(xml: str, para: str, text_tags: tuple[str, ...],
-                        tab: str, brk: str) -> str:
-    """Paragraph elements -> lines; text-node tags concatenate inside."""
+                        tab: str, brk: str) -> tuple[str, int]:
+    """Paragraph elements -> (joined lines, n paragraph ELEMENTS).
+    The count is of para elements emitted, not newlines — in-paragraph
+    <w:br/>/<text:line-break/> newlines must not inflate it."""
     out: list[str] = []
+    n_par = 0
     total = 0
     # paragraphs: self-closing (empty line) OR open..close with body —
     # a real alternation: an optional body group after a self-closing
@@ -89,6 +92,7 @@ def _xml_paragraph_text(xml: str, para: str, text_tags: tuple[str, ...],
     tab_tag = "<" + tab
     brk_tag = "<" + brk
     for m in para_re.finditer(xml):
+        n_par += 1
         if m.group(1):  # self-closing paragraph
             out.append("")
             continue
@@ -110,7 +114,7 @@ def _xml_paragraph_text(xml: str, para: str, text_tags: tuple[str, ...],
         out.append(line)
         if total > MAX_TEXT:
             break
-    return "\n".join(out)
+    return "\n".join(out), n_par
 
 
 def extract_docx_text(buf: bytes):
@@ -122,13 +126,11 @@ def extract_docx_text(buf: bytes):
         if xml is None:
             return None
         s = xml.decode("utf-8", errors="replace")
-        text = _xml_paragraph_text(
+        # n_par counts <w:p> ELEMENTS (the anchored para_re match set —
+        # bare '<w:p' would substring-match <w:pPr>/<w:pgSz>/<w:sectPr>),
+        # not newlines: in-paragraph <w:br/> must not inflate it
+        text, n_par = _xml_paragraph_text(
             s, "w:p", ("w:t",), "w:tab", "w:br")
-        # paragraph PRESENCE needs the tag boundary — bare '<w:p' would
-        # substring-match <w:pPr>/<w:pgSz>/<w:sectPr> and report 1
-        # paragraph for paragraph-less documents
-        n_par = (text.count("\n") + 1
-                 if text or re.search(r"<w:p[\s/>]", s) else 0)
         return text, n_par
     except Exception:
         return None
@@ -146,22 +148,23 @@ def extract_odt_text(buf: bytes):
         s = xml.decode("utf-8", errors="replace")
         # normalize text:h to text:p so one paragraph pass covers both
         s = s.replace("<text:h", "<text:p").replace("</text:h>", "</text:p>")
-        text = _para_odt(s)
-        # same boundary rule: '<text:p' alone would match
-        # <text:page-number>/<text:page-count> fields
-        n_par = (text.count("\n") + 1
-                 if text or re.search(r"<text:p[\s/>]", s) else 0)
+        # n_par counts paragraph ELEMENTS (para_re is anchored, so
+        # <text:page-number>/<text:page-count> fields never match) —
+        # in-paragraph <text:line-break/> newlines must not inflate it
+        text, n_par = _para_odt(s)
         return text, n_par
     except Exception:
         return None
 
 
-def _para_odt(s: str) -> str:
+def _para_odt(s: str) -> tuple[str, int]:
     out: list[str] = []
     total = 0
+    n_par = 0
     para_re = re.compile(
         r"<text:p(?:\s[^>]*)?(/)>|<text:p(?:\s[^>]*)?>(.*?)</text:p>", re.S)
     for m in para_re.finditer(s):
+        n_par += 1
         if m.group(1):
             out.append("")
             continue
@@ -178,7 +181,7 @@ def _para_odt(s: str) -> str:
         out.append(line)
         if total > MAX_TEXT:
             break
-    return "\n".join(out)
+    return "\n".join(out), n_par
 
 
 # ---------------------------------------------------------------------------

@@ -6953,10 +6953,12 @@ FROM items""",
 )
 def feed_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing over a mixed feed corpus: a third RSS
-    (CDATA titles on k%3==0 items, entity-escaped on k%3==1, missing on
-    k%3==2 -> NULL), a third Atom (href-attribute links, id/updated
-    spellings), a third non-feed pages that must contribute no rows.
-    Oracle regenerates every item row arithmetically."""
+    (CDATA titles on k%3==0 items, entity-escaped ATTRIBUTE-BEARING
+    '<title type="html">' on k%3==1, missing on k%3==2 -> NULL;
+    '<guid isPermaLink="false">' throughout — the real-world shapes),
+    a third Atom (href-attribute links, id/updated spellings), a third
+    non-feed pages that must contribute no rows. Oracle regenerates
+    every item row arithmetically."""
     from logstash_spark.functions.crawl import parse_feeds
 
     p = _pages(spark, sf_dir)
@@ -6971,8 +6973,10 @@ def feed_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.concat(F.lit("<title><![CDATA[Title & "), es,
                             F.lit("-"), kk, F.lit("]]></title>")))
             .when(k % 3 == 1,
-                  F.concat(F.lit("<title>Title &amp; "), es, F.lit("-"),
-                           kk, F.lit("</title>")))
+                  # attribute-bearing form real feeds ship — extraction
+                  # must not require an attribute-less '<title>'
+                  F.concat(F.lit('<title type="html">Title &amp; '), es,
+                           F.lit("-"), kk, F.lit("</title>")))
             .otherwise(F.lit("")))
         summary = F.when(
             k % 2 == 0,
@@ -6981,7 +6985,8 @@ def feed_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         rss = F.concat(
             F.lit("<item>"), title,
             F.lit("<link>https://feed"), es, F.lit(".example.com/a/"), kk,
-            F.lit("</link><guid>guid-"), es, F.lit("-"), kk,
+            F.lit('</link><guid isPermaLink="false">guid-'), es,
+            F.lit("-"), kk,
             F.lit("</guid><pubDate>Mon, 0"), ((k % 9) + 1).cast("string"),
             F.lit(" Jan 2024 00:00:00 GMT</pubDate>"), summary,
             F.lit("</item>"))

@@ -104,3 +104,44 @@ def test_split_sentences_array_form_feeds_aligner(spark):
     out = split_sentences(df, explode=False).collect()[0]
     assert out["sents"] == ["One here. ", "Two there."] or \
         [s.strip() for s in out["sents"]] == ["One here.", "Two there."]
+
+
+def test_banded_dp_agrees_with_full_on_near_diagonal():
+    # r5 ADVICE fix: above _FULL_STATES the DP runs banded around the
+    # i*m/n diagonal. On a realistic near-diagonal instance the banded
+    # search must return the same structure the exact DP would: build
+    # a 300x300 pair (> _FULL_STATES = 65_536 states) that aligns 1-1
+    # except one exact-sum 2-1 merge mid-document.
+    from logstash_spark.functions.align import _FULL_STATES
+
+    n = 300
+    src = [20 + (i * 7) % 30 for i in range(n)]
+    tgt = list(src)
+    # exact-sum merge at position 150: src[150]+src[151] -> one target
+    tgt[150] = src[150] + src[151]
+    del tgt[151]
+    assert n * len(tgt) > _FULL_STATES
+    ops = align_lengths(src, tgt)
+    assert (150, 2, 150, 1) in ops
+    assert len(ops) == n - 1
+    assert all(op[1] == 1 and op[3] == 1 for op in ops
+               if op[0] not in (150,))
+
+
+def test_dp_budget_guard_is_enforced():
+    # adversarially long inputs emit the empty alignment — bounded
+    # per-pair work is a contract, not an assumption
+    from logstash_spark.functions.align import _BAND
+
+    assert align_lengths([10] * (MAX_SENTS + 1), [10] * 4) == []
+    # a path forced FAR off-diagonal (src gigantic head, then match)
+    # inside the banded regime comes back empty, never wrong: target
+    # shifted by 2*_BAND deletions can't stay in the band
+    n = 400
+    src = [25] * n
+    tgt = [25] * (n - 2 * _BAND - 50)
+    ops = align_lengths(src, tgt)
+    # either empty (band broken) or a valid cover — never an exception;
+    # with a shift this size the band cannot bridge via 1-0 ops alone
+    if ops:
+        assert ops[-1][0] + ops[-1][1] == n

@@ -52,7 +52,9 @@ def test_docx_breaks_and_nested_runs():
            b'</w:body></w:document>')
     t, n = extract_docx_text(_zip([("word/document.xml", doc)]))
     assert t == "a\nb\n\nc&d"
-    assert n == 4
+    # 3 paragraph ELEMENTS — the in-paragraph <w:br/> newline must not
+    # inflate the paragraph count (r5 ADVICE fix)
+    assert n == 3
 
 
 def test_odt_space_runs_and_linebreak():
@@ -62,7 +64,9 @@ def test_odt_space_runs_and_linebreak():
            b'</office:text>')
     t, n = extract_odt_text(_zip([("content.xml", doc)]))
     assert t == "a   b\nc\nHead"
-    assert n == 3
+    # 2 paragraph elements (<text:p> + <text:h>) — the in-paragraph
+    # <text:line-break/> newline must not inflate the count
+    assert n == 2
 
 
 def test_numeric_character_references():

@@ -2621,3 +2621,38 @@ def test_webdataset_gzip_bomb_and_truncation_fail_closed(spark):
     # only the good shard emits; the bomb and the truncated shard fail
     # CLOSED with no partial samples
     assert {r["shard_id"] for r in rows} == {0}
+
+
+def test_webdataset_oversized_member_fails_whole_shard(spark):
+    # r5 ADVICE fix: a member above MAX_MEMBER must fail the WHOLE
+    # shard (like truncation), never emit the sample's other members
+    # as a partial (caption-only) row. The oversized member is forged
+    # as a bare header declaring 64 MiB + 1 — the size check fires
+    # before any data read, so the fixture stays tiny.
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from logstash_spark.functions.multimodal import (
+        build_webdataset_shard,
+        webdataset_intake,
+    )
+
+    def hdr(name, size):
+        ti = tarfile.TarInfo(name)
+        ti.size = size
+        ti.mtime = 0
+        return ti.tobuf(tarfile.GNU_FORMAT)
+
+    data = b"cap"
+    bad = (hdr("000001.txt", len(data)) + data + b"\x00" * (512 - len(data))
+           + hdr("000001.jpg", (1 << 26) + 1)
+           + b"\x00" * 1024)
+    good = build_webdataset_shard([("000002", {"txt": b"ok"})])
+    rows = webdataset_intake(spark.createDataFrame(pd.DataFrame([
+        {"shard_id": 0, "bytes": bad},
+        {"shard_id": 1, "bytes": good},
+    ]))).collect()
+    # the good member of shard 0 must NOT survive as a partial sample
+    assert {r["shard_id"] for r in rows} == {1}
