@@ -5,9 +5,10 @@ cleaning or training, URLs are checked against each host's robots.txt.
 Semantics follow the public RFC 9309 (Robots Exclusion Protocol):
 
 - records group under one or more ``User-agent`` lines; the group for
-  the MOST SPECIFIC matching agent applies (here: exact product-token
-  match preferred, else the ``*`` group — substring-specificity between
-  named agents is not modeled, documented below);
+  the MOST SPECIFIC matching agent applies (r5: full RFC 9309 §2.2.1
+  ranking — a named token matches when it is a case-insensitive prefix
+  of the crawler's product token, the longest match wins, ``*`` only
+  when no named group matches);
 - ``Allow``/``Disallow`` values are path prefixes; ``*`` matches any
   character sequence; an empty ``Disallow:`` permits everything (the
   rule is skipped);
@@ -15,10 +16,8 @@ Semantics follow the public RFC 9309 (Robots Exclusion Protocol):
 - a URL with no matching rule is allowed (and so is a host with no
   robots.txt at all).
 
-Divergences (deliberate, small): agent specificity between two NAMED
-agents is not ranked (exact-vs-star covers real corpora). The ``$``
-end anchor IS supported (r4g: trailing '$' anchors the rule; '$'
-elsewhere stays literal).
+The ``$`` end anchor IS supported (r4g: trailing '$' anchors the rule;
+'$' elsewhere stays literal).
 
 Everything is columnar: the line parse is split+posexplode, record
 grouping is one per-host window (robots files are tiny, hosts are many —
@@ -64,7 +63,12 @@ def _robots_chosen_blocks(
     """Shared robots.txt line/record machinery: returns ``(blocks,
     chosen)`` — every directive line tagged with its record block id,
     and the (host, block) set whose User-agent group applies to
-    ``user_agent`` (exact product token preferred, else ``*``)."""
+    ``user_agent`` — RFC 9309 §2.2.1 most-specific matching: a named
+    group matches when its product token is a case-insensitive PREFIX
+    of the crawler's token ('gpt' and 'gptbot' both match crawler
+    'gptbot'; 'gptbot-extra' does not), the LONGEST matching token
+    wins, and the ``*`` groups apply only when no named group matches
+    (r5: replaces the earlier exact-vs-star-only ranking)."""
     ua = user_agent.lower()
     lines = robots.select(
         F.col(host_col).alias("host"),
@@ -87,17 +91,23 @@ def _robots_chosen_blocks(
         "block", F.sum(starts).over(w.rowsBetween(W.unboundedPreceding, 0))
     ).filter(F.col("block") > 0)
 
+    # named-agent specificity: token must be a prefix of the crawler's
+    # product token; its LENGTH is the rank (exact match = max length)
+    named_len = F.when(
+        (F.col("v") != "*") & F.lit(ua).startswith(F.lower(F.col("v"))),
+        F.length("v"),
+    ).otherwise(F.lit(0))
     agents = blocks.filter(F.col("is_ua")).groupBy("host", "block").agg(
-        F.max((F.lower(F.col("v")) == ua).cast("int")).alias("has_exact"),
+        F.max(named_len).alias("match_len"),
         F.max((F.col("v") == "*").cast("int")).alias("has_star"),
     )
-    # exact group wins when the host has one; otherwise the '*' groups
+    # the longest-matching named group(s) win; '*' only when none match
     wb = W.partitionBy("host")
     chosen = (
-        agents.withColumn("any_exact", F.max("has_exact").over(wb))
+        agents.withColumn("best_len", F.max("match_len").over(wb))
         .filter(
-            (F.col("has_exact") == 1)
-            | ((F.col("any_exact") == 0) & (F.col("has_star") == 1))
+            ((F.col("match_len") > 0) & (F.col("match_len") == F.col("best_len")))
+            | ((F.col("best_len") == 0) & (F.col("has_star") == 1))
         )
         .select("host", "block")
     )

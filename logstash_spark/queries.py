@@ -5530,11 +5530,15 @@ def c4_line_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gptbot_rules(spark: SparkSession, p: DataFrame):
-    """Shared robots fixture: three synthesized per-host robots.txt files
-    (A: exact gptbot group beside a '*' group that must NOT apply; C:
-    '*'-only wildcard rules with longest-match/Allow ties; B: empty
-    Disallow plus an ignored ccbot group), keyed by hnum = user_id % 40.
-    ONE definition feeds both robots_filter and web_corpus_pipeline so
+    """Shared robots fixture: four synthesized per-host robots.txt files
+    (A: exact gptbot group beside a '*' group that must NOT apply; D:
+    RFC 9309 named-agent SPECIFICITY — prefix groups 'gpt' and 'gptb'
+    both match crawler 'gptbot' and the longer 'gptb' must win, while
+    the longer-than-crawler 'gptbot-extra' and the everything-disallowed
+    '*' group must NOT apply; C: '*'-only wildcard rules with
+    longest-match/Allow ties; B: empty Disallow plus an ignored ccbot
+    group), keyed by hnum = user_id % 40. ONE definition feeds
+    robots_filter, crawl_permission_pipeline and web_corpus_pipeline so
     their oracles can never desynchronize from the fixture."""
     from logstash_spark.functions.crawl import parse_robots
 
@@ -5544,12 +5548,17 @@ def _gptbot_rules(spark: SparkSession, p: DataFrame):
     ).distinct()
     t_a = ("User-agent: *\nDisallow: /p/1*\n\n"
            "User-agent: gptbot\nDisallow: /p/*\n")
+    t_d = ("User-agent: gpt\nDisallow: /p/2*\n\n"
+           "User-agent: gptb\nDisallow: /p/4*\n\n"
+           "User-agent: gptbot-extra\nDisallow: /\n\n"
+           "User-agent: *\nDisallow: /\n")
     t_c = ("# crawl budget notes\nUser-agent: *\n"
            "Disallow: /p/3*\nAllow: /p/34*\nDisallow: /p/345$\n")
     t_b = ("User-agent: *\nDisallow:\n\nUser-agent: ccbot\nDisallow: /\n")
     robots = hosts.select(
         "host",
-        F.when(F.col("hnum") % 2 == 0, F.lit(t_a))
+        F.when(F.col("hnum") % 4 == 0, F.lit(t_a))
+        .when(F.col("hnum") % 4 == 2, F.lit(t_d))
         .when(F.col("hnum") % 4 == 1, F.lit(t_c))
         .otherwise(F.lit(t_b))
         .alias("robots_txt"),
@@ -5565,10 +5574,12 @@ v AS (
          CAST(event_id AS VARCHAR) AS eid
   FROM pages)
 SELECT url,
-       CASE WHEN hnum % 2 = 0 THEN FALSE
+       CASE WHEN hnum % 4 = 0 THEN FALSE
+            WHEN hnum % 4 = 2 THEN eid NOT LIKE '4%'
             WHEN hnum % 4 = 1 THEN NOT ((eid LIKE '3%' AND eid NOT LIKE '34%') OR eid = '345')
             ELSE TRUE END AS allowed,
-       CASE WHEN hnum % 2 = 0 THEN '/p/*'
+       CASE WHEN hnum % 4 = 0 THEN '/p/*'
+            WHEN hnum % 4 = 2 AND eid LIKE '4%' THEN '/p/4*'
             WHEN hnum % 4 = 1 AND eid = '345' THEN '/p/345$'
             WHEN hnum % 4 = 1 AND eid LIKE '34%' THEN '/p/34*'
             WHEN hnum % 4 = 1 AND eid LIKE '3%' THEN '/p/3*'
@@ -5577,9 +5588,12 @@ FROM v""",
 )
 def robots_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance filtering (RFC 9309) for agent 'gptbot':
-    every host gets one of three synthesized robots files — (A) an exact
+    every host gets one of four synthesized robots files — (A) an exact
     gptbot group ('Disallow: /p/*') NEXT TO a '*' group that must NOT
-    apply (precedence), (C) a '*'-only file exercising wildcard rules
+    apply (precedence), (D) the §2.2.1 named-agent specificity ladder
+    (prefix groups 'gpt' < 'gptb' with the longest winning, a
+    non-matching 'gptbot-extra' and a disallow-all '*' that must both
+    lose), (C) a '*'-only file exercising wildcard rules
     and the longest-match + Allow-wins-ties resolution
     ('Disallow: /p/3*' vs 'Allow: /p/34*'), (B) an empty Disallow (=
     no rules) plus a ccbot group that must be ignored. The engine runs
@@ -5789,7 +5803,8 @@ v AS (SELECT url, event_id, user_id, CAST(user_id % 40 AS INT) AS hnum,
              CAST(event_id AS VARCHAR) AS eid FROM pages),
 rtxt AS (
   SELECT url, event_id, user_id,
-         CASE WHEN hnum % 2 = 0 THEN FALSE
+         CASE WHEN hnum % 4 = 0 THEN FALSE
+              WHEN hnum % 4 = 2 THEN eid NOT LIKE '4%'
               WHEN hnum % 4 = 1 THEN NOT ((eid LIKE '3%' AND eid NOT LIKE '34%') OR eid = '345')
               ELSE TRUE END AS fetchable
   FROM v),
@@ -6643,7 +6658,8 @@ v AS (
   FROM pages
 ), verdicts AS (
   SELECT url, text, verb, response,
-         CASE WHEN hnum % 2 = 0 THEN FALSE
+         CASE WHEN hnum % 4 = 0 THEN FALSE
+              WHEN hnum % 4 = 2 THEN eid NOT LIKE '4%'
               WHEN hnum % 4 = 1 THEN NOT ((eid LIKE '3%' AND eid NOT LIKE '34%') OR eid = '345')
               ELSE TRUE END AS allowed,
          hnum IN (5, 17) AS blocked,

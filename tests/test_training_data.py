@@ -2018,6 +2018,26 @@ class TestRobots:
         # no robots for the host -> allowed
         assert got["https://unknown.example/anything"].allowed is True
 
+    def test_named_agent_prefix_specificity(self, spark):
+        # r5: RFC 9309 §2.2.1 most-specific matching between NAMED
+        # groups — 'gptb' (prefix, len 4) beats 'gpt' (len 3); the
+        # longer-than-crawler 'gptbot-extra' and '*' must not apply
+        from logstash_spark.functions.crawl import parse_robots
+
+        txt = "\n".join([
+            "User-agent: gpt", "Disallow: /a/",
+            "", "User-agent: gptb", "Disallow: /b/",
+            "", "User-agent: gptbot-extra", "Disallow: /",
+            "", "User-agent: *", "Disallow: /",
+        ])
+        robots = spark.createDataFrame(
+            [("h.example", txt)], "host string, robots_txt string")
+        rules = parse_robots(robots, user_agent="gptbot").collect()
+        assert {r.path for r in rules} == {"/b/"}
+        # and with no named prefix at all, '*' still applies
+        rules2 = parse_robots(robots, user_agent="ccbot").collect()
+        assert {r.path for r in rules2} == {"/"}
+
     def test_empty_disallow_and_regex_metachars(self, spark):
         from logstash_spark.functions.crawl import parse_robots, robots_filter
 

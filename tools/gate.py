@@ -28,7 +28,20 @@ STAGES_DEFAULT = [
 ]
 
 
+def registry_count() -> int:
+    """The one true query count, straight from the registry — printed so
+    docs can't drift from it again (r4 said 220 while the registry held
+    219)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    print(f"registry: {len(qs)} queries, {len(osql)} oracles", flush=True)
+    return len(qs)
+
+
 def main(argv: list[str]) -> int:
+    registry_count()
     stages = list(STAGES_DEFAULT)
     if "--quick" in argv:
         stages = [stages[0]]
