@@ -2111,6 +2111,99 @@ def wordpiece_tokenize_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "tokens", "n_tokens", "n_unk")
 
 
+# Unigram-LM vocabulary over the hex alphabet: integer scores (scaled
+# log-probs), singles for 0-9a-e (no 'f' -> the [UNK] class), plus
+# multi-char pieces whose scores make the Viterbi choice NON-greedy
+# ('cd' exists but loses to c+d; '012' exists but loses to 01+2).
+# tests/test_unigram.py asserts this fixture corpus is TIE-FREE under
+# the adjusted objective, so the engine's DP and the oracle's
+# enumerate-and-rank cannot disagree on tie-break. ONE source of truth
+# for engine and oracle.
+_UG_VOCAB = (
+    [(c, -(400 + i)) for i, c in enumerate("0123456789abcde")]
+    + [("ab", -780), ("cd", -850), ("abc", -1150),
+       ("01", -640), ("012", -1120), ("e5", -770), ("9a", -830)]
+)
+
+
+def _ug_oracle() -> str:
+    """DuckDB replays unigram Viterbi by ENUMERATING every complete
+    segmentation (recursive CTE joining vocab pieces at the cursor) and
+    ranking by the same adjusted integer objective (64*score -
+    n_pieces) — a genuine independent implementation: the engine never
+    materializes the candidate set, the oracle never runs a DP."""
+    vals = ", ".join("('%s', %d)" % (p, s) for p, s in _UG_VOCAB)
+    return f"""WITH RECURSIVE docs AS (
+  SELECT id, id % 6 + 3 AS nw FROM range(300) t(id)
+), words AS (
+  SELECT id, j,
+         substr(md5(CAST(id * 37 + j AS VARCHAR)), 1,
+                CAST((id + j) % 8 + 3 AS INT)) AS w
+  FROM docs, unnest(range(nw)) AS u(j)
+), vocab(piece, score) AS (VALUES {vals}),
+seg AS (
+  SELECT id, j, w, 0 AS pos, CAST(0 AS BIGINT) AS s, 0 AS np,
+         '' AS toks
+  FROM words
+  UNION ALL
+  SELECT g.id, g.j, g.w, g.pos + length(v.piece), g.s + v.score,
+         g.np + 1,
+         CASE WHEN g.toks = '' THEN v.piece
+              ELSE g.toks || ' ' || v.piece END
+  FROM seg g JOIN vocab v
+    ON substr(g.w, g.pos + 1, length(v.piece)) = v.piece
+  WHERE g.pos < length(g.w)
+), complete AS (
+  SELECT id, j, np, toks,
+         ROW_NUMBER() OVER (
+           PARTITION BY id, j
+           ORDER BY s * 64 - np DESC, toks ASC) AS rn
+  FROM seg WHERE pos = length(w)
+), wt AS (
+  SELECT wd.id, wd.j,
+         COALESCE(b.toks, '[UNK]') AS wtoks,
+         b.toks IS NULL AS failed,
+         COALESCE(b.np, 1) AS npieces
+  FROM words wd
+  LEFT JOIN (SELECT * FROM complete WHERE rn = 1) b
+    ON wd.id = b.id AND wd.j = b.j
+), perdoc AS (
+  SELECT id, string_agg(wtoks, ' ' ORDER BY j) AS tokens,
+         SUM(npieces) AS n_tok,
+         SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS n_unk
+  FROM wt GROUP BY id
+)
+SELECT id AS doc_id, tokens, CAST(n_tok AS INT) AS n_tokens,
+       CAST(n_unk AS INT) AS n_unk
+FROM perdoc"""
+
+
+@q("unigram_tokenize_docs", _ug_oracle())
+def unigram_tokenize_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece unigram-LM apply (functions/unigram, expr backend:
+    Viterbi forward + backtrack as nested JVM higher-order functions)
+    over a deterministic hex-word corpus — integer scores engineered so
+    the optimal choice is NON-greedy (pieces exist that longest-match
+    would take but Viterbi must reject), words containing 'f' hit the
+    coverage gap and fail to [UNK] whole-word. The oracle is an
+    independent DuckDB implementation (recursive-CTE enumeration of all
+    segmentations ranked by the same integer objective), not a replay;
+    the fixture is asserted tie-free by test so the two resolutions
+    cannot drift."""
+    from logstash_spark.functions.unigram import unigram_tokenize
+
+    d = spark.range(300).withColumn(
+        "nw", (F.col("id") % 6 + 3).cast("int"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.col("nw") - 1),
+        lambda j: F.md5((F.col("id") * 37 + j).cast("string")).substr(
+            F.lit(1), ((F.col("id") + j) % 8 + 3).cast("int")))
+    d = d.withColumn("text", F.array_join(words, " "))
+    out = unigram_tokenize(d, _UG_VOCAB, backend="expr")
+    return out.select(
+        F.col("id").alias("doc_id"), "tokens", "n_tokens", "n_unk")
+
+
 # PDF text extraction is LOSSLESS, so the extracted text has the md5-
 # tiling closed form — DuckDB rebuilds the exact per-page line structure
 # (including the TJ-kern word space of the id%5==0 variant) without ever

@@ -1,0 +1,112 @@
+"""Unigram-LM tokenizer apply (functions/unigram): published Viterbi
+semantics (Kudo 2018), backend bit-agreement, UNK/caps, and the
+tie-freedom assertion the DuckDB oracle fixture rides on."""
+
+import pytest
+
+from logstash_spark.functions.unigram import (
+    MAX_CHARS,
+    UNK,
+    unigram_tokenize,
+    viterbi_segmentations,
+)
+
+# singles score -(400+i); 'f' deliberately absent -> UNK class
+SINGLES = [(c, -(400 + i)) for i, c in enumerate("0123456789abcde")]
+MULTI = [
+    ("ab", -780),    # wins over a+b  (-821)
+    ("cd", -850),    # LOSES to c+d  (-825): Viterbi must reject what
+                     # greedy longest-match would take
+    ("abc", -1150),  # wins over ab+c (-1192)
+    ("01", -640),    # wins over 0+1  (-801)
+    ("012", -1120),  # loses to 01+2  (-1042)
+    ("e5", -770),    # wins over e+5  (-819)
+    ("9a", -830),    # loses to 9+a   (-819)
+]
+VOCAB = SINGLES + MULTI
+
+
+def _tok(spark, texts, backend):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    return {
+        r.doc_id: r
+        for r in unigram_tokenize(df, VOCAB, backend=backend).collect()
+    }
+
+
+@pytest.mark.parametrize("backend", ["expr", "arrow"])
+def test_viterbi_beats_greedy(spark, backend):
+    got = _tok(spark, ["abcd cdcd", "e5 9a", "012 a1f2"], backend)
+    # abc+d beats ab+cd / singles; 'cdcd' splits to singles because the
+    # 'cd' piece scores worse than c+d — greedy would answer 'cd cd'
+    assert got[0].tokens == "abc d c d c d"
+    assert got[0].n_tokens == 6 and got[0].n_unk == 0
+    # e5 merges (piece beats singles); 9a stays split (piece loses)
+    assert got[1].tokens == "e5 9 a"
+    # 012: the 2-piece 01+2 beats both the 3-char piece and singles;
+    # a1f2 has no piece covering 'f' -> whole-word UNK
+    assert got[2].tokens == f"01 2 {UNK}"
+    assert got[2].n_tokens == 3 and got[2].n_unk == 1
+
+
+@pytest.mark.parametrize("backend", ["expr", "arrow"])
+def test_unk_caps_and_edges(spark, backend):
+    long_word = "a" * (MAX_CHARS + 1)
+    got = _tok(spark, [long_word, "", None, "ab  ba"], backend)
+    assert got[0].tokens == UNK and got[0].n_unk == 1
+    assert got[1].tokens == "" and got[1].n_tokens == 0
+    assert got[2].tokens == "" and got[2].n_tokens == 0
+    # multi-whitespace collapses; 'ba' has no merged piece
+    assert got[3].tokens == "ab b a"
+
+
+def test_backends_agree_bit_for_bit(spark):
+    import hashlib
+
+    texts = [
+        " ".join(
+            hashlib.md5(str(i * 31 + j).encode()).hexdigest()[: (i + j) % 9 + 2]
+            for j in range(5)
+        )
+        for i in range(60)
+    ]
+    a = _tok(spark, texts, "expr")
+    b = _tok(spark, texts, "arrow")
+    for k in a:
+        assert (a[k].tokens, a[k].n_tokens, a[k].n_unk) == (
+            b[k].tokens, b[k].n_tokens, b[k].n_unk)
+
+
+def test_oracle_fixture_is_tie_free():
+    # the DuckDB oracle ranks complete segmentations by the adjusted
+    # objective; the engine runs a DP whose residual tie-break differs.
+    # Cross-engine equality therefore requires the fixture corpus to be
+    # TIE-FREE under (64*score - n_pieces) — assert it by brute force
+    # over every fixture word (same generation as the registry query).
+    import hashlib
+
+    from logstash_spark.queries import _UG_VOCAB
+
+    words = set()
+    for i in range(300):
+        nw = i % 6 + 3
+        for j in range(nw):
+            words.add(
+                hashlib.md5(str(i * 37 + j).encode()).hexdigest()[
+                    : (i + j) % 8 + 3])
+    covered = 0
+    for w in sorted(words):
+        segs = viterbi_segmentations(w, _UG_VOCAB)
+        if not segs:
+            continue  # UNK class: nothing to tie
+        covered += 1
+        adj = sorted((64 * s - np for s, np, _ in segs), reverse=True)
+        assert len(adj) == 1 or adj[0] > adj[1], (w, adj[:2])
+    assert covered > 200  # the corpus genuinely exercises the DP
+
+
+def test_empty_vocab_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        unigram_tokenize(df, [])
