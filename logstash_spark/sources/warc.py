@@ -84,7 +84,20 @@ def parse_warc(buf: bytes) -> Iterator[tuple]:
     stop the scan (log+skip). ``payload_digest`` is the verbatim
     WARC-Payload-Digest header (``md5:<hex>`` / ``sha1:<b32>``);
     ``refers_to`` is WARC-Refers-To — both carry Common Crawl's
-    revisit-record dedup linkage (ISO 28500 §5.5/§6.7.2)."""
+    revisit-record dedup linkage (ISO 28500 §5.5/§6.7.2).
+
+    zstd triage (r5, documented fail-closed boundary): Common Crawl's
+    newer snapshots ship ``.warc.zst`` — this runtime's stdlib has no
+    zstd codec and vendoring a full LZ77+FSE entropy decoder is out of
+    scope, so a zstd-magic shard raises LOUDLY instead of scanning to
+    an empty record set (silent emptiness would under-report a whole
+    shard as "no records"). Same stance as progressive-JPEG-before-r5:
+    visible boundary, never silent loss."""
+    if buf[:4] == b"\x28\xb5\x2f\xfd":
+        raise ValueError(
+            "zstd-compressed WARC (.warc.zst) is not supported in this "
+            "runtime (stdlib has no zstd); re-ship the shard as .warc.gz "
+            "or plain .warc")
     if buf[:2] == b"\x1f\x8b":
         try:
             buf = _gunzip_members(buf)

@@ -969,3 +969,16 @@ def test_robots_dollar_anchor(spark):
     assert got["https://a.com/x2"] is True
     assert got["https://a.com/lit$eral"] is False
     assert got["https://a.com/y-anything"] is False
+
+
+def test_warc_zstd_rejects_loudly():
+    # r5 triage boundary: a .warc.zst shard must raise (visible failure)
+    # rather than scan to an empty record set — stdlib has no zstd and a
+    # silent empty shard would under-report as "no records"
+    import pytest
+
+    zst = b"\x28\xb5\x2f\xfd" + b"\x00" * 64
+    with pytest.raises(ValueError, match="zstd"):
+        list(parse_warc(zst))
+    # non-zstd junk keeps the tolerant skip (no records, no raise)
+    assert list(parse_warc(b"not a warc at all")) == []

@@ -154,3 +154,103 @@ def test_elapsed_stream_matches_batch(spark, tmp_path):
         assert [r["event_id"] for r in extra] == [4]
     finally:
         q.stop()
+
+
+def test_multiline_stream_matches_batch(spark, tmp_path):
+    """Same line log through operators.multiline.multiline (window plan)
+    and streaming.stateful.multiline_stateful (applyInPandasWithState):
+    identical (key, joined text, line count) triples — closed groups from
+    the micro-batch, each key's open tail from the timeout flush (the
+    reference's 5 s flush tick). r5: extends the throttle/elapsed
+    equivalence pattern to the multiline state path."""
+    from logstash_spark.operators.multiline import multiline
+    from logstash_spark.streaming.stateful import multiline_stateful
+
+    rows = [
+        ("s1", 0, "first event"),
+        ("s1", 1, " continuation 1"),
+        ("s1", 2, " continuation 2"),
+        ("s1", 3, "second event"),
+        ("s1", 4, " cont"),          # open tail -> timeout flush
+        ("s2", 0, "alpha"),
+        ("s2", 1, "beta"),           # two singletons, no continuations
+        ("s2", 2, " gamma tail"),    # attaches to beta; open tail
+    ]
+    df = spark.createDataFrame(
+        rows, "stream_key string, seq long, text string")
+
+    batch = multiline(
+        df, source="text", pattern=r"^\s", what="previous",
+        stream_key="stream_key", order_by="seq")
+    batch_set = {
+        (r["stream_key"], r["text"], r["multiline_n"])
+        for r in batch.collect()
+    }
+    assert ("s1", "first event\n continuation 1\n continuation 2", 3) in batch_set
+    assert ("s2", "beta\n gamma tail", 2) in batch_set
+
+    src = str(tmp_path / "ml_equiv_src")
+    df.orderBy("stream_key", "seq").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = multiline_stateful(
+        stream, pattern=r"^\s", timeout_ms=1500, order_by="seq")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ml_equiv")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        got = _drain_memory_query(spark, q, "ml_equiv", len(batch_set))
+        stream_set = {
+            (r["stream_key"], r["text"], r["multiline_n"]) for r in got
+        }
+        assert stream_set == batch_set
+    finally:
+        q.stop()
+
+
+def test_metrics_window_stream_matches_batch(spark, tmp_path):
+    """Same event log through operators.metrics.metrics (batch tumbling
+    windows) and streaming.pipeline.windowed_counts (watermarked windowed
+    agg, complete mode): identical (window_start, key, count) rows, and
+    the batch rate stays count/interval exactly. r5: the metrics windowed
+    path joins the stream-vs-batch equivalence suite."""
+    from logstash_spark.operators.metrics import metrics
+    from logstash_spark.streaming.pipeline import windowed_counts
+
+    rows = []
+    for i in range(7):
+        rows.append(("api", datetime(2024, 1, 1, 0, 0, 5 * i)))   # 0:00-0:30
+    for i in range(3):
+        rows.append(("api", datetime(2024, 1, 1, 0, 1, 10 * i)))  # minute 1
+    rows.append(("web", datetime(2024, 1, 1, 0, 0, 59)))
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+
+    b = metrics(df, ts="ts", key="key", interval="1 minute")
+    batch_counts = {
+        (r["window_start"], r["key"]): r["count"] for r in b.collect()
+    }
+    for r in b.collect():
+        assert abs(r["rate"] - r["count"] / 60.0) < 1e-12
+    assert batch_counts[(datetime(2024, 1, 1, 0, 0, 0), "api")] == 7
+    assert batch_counts[(datetime(2024, 1, 1, 0, 1, 0), "api")] == 3
+
+    src = str(tmp_path / "mx_equiv_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = windowed_counts(stream, ts="ts", key="key", window="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mx_equiv")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        got = _drain_memory_query(spark, q, "mx_equiv", len(batch_counts))
+        stream_counts = {
+            (r["window_start"], r["key"]): r["count"] for r in got
+        }
+        assert stream_counts == batch_counts
+    finally:
+        q.stop()
