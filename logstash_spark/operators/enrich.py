@@ -317,9 +317,10 @@ def useragent(
 
     The reference wraps the public ua-parser database (default_plugins.rb:45);
     this is the same first-match-wins cascade over the vendored uap-core-shaped
-    tables in operators/ua_tables.py (~140 UA / ~40 OS / ~17 device entries
-    covering bots, tools, in-app webviews, derived browsers and legacy
-    families). Pass `tables=load_uap_parsers("regexes.yaml")` to swap in the
+    tables in operators/ua_tables.py (~290 UA / ~67 OS / ~55 device entries
+    covering bots, AI crawlers, monitoring fleets, tools, in-app webviews,
+    regional/derived browsers, smart-TV/console shells, phone-brand device
+    models and legacy families). Pass `tables=load_uap_parsers("regexes.yaml")` to swap in the
     full public database without a code change. Emits name, version, major,
     minor, os, os_version, device under the prefix — the plugin's documented
     field set."""
