@@ -1,14 +1,26 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT, 8-bit) codec on stdlib+numpy.
+"""JPEG (ITU-T T.81, 8-bit) codec on stdlib+numpy — baseline sequential
+DCT (SOF0/1) AND progressive DCT (SOF2), both written FRESH from the
+public T.81 spec.
 
-The last real-web image format the media path lacked (VERDICT r3 missing
-#2): PNG landed on stdlib zlib; JPEG needs entropy decode + IDCT, both
-written FRESH here from the public T.81 spec — segment walk (SOI/APPn/
-DQT/SOF0/DHT/DRI/SOS/EOI), canonical Huffman decode with byte unstuffing
-and restart markers, run-length AC expansion, dequantize + dezigzag,
-8x8 IDCT via a precomputed orthonormal DCT basis, chroma upsampling and
-JFIF YCbCr->RGB. Grayscale and 3-component scans with any h/v sampling in
-{1,2} (4:4:4, 4:2:2, 4:2:0, 4:4:0) are supported; progressive (SOF2),
-arithmetic coding, 12-bit precision and hierarchical modes fail CLOSED
+Baseline (r4): segment walk (SOI/APPn/DQT/SOF0/DHT/DRI/SOS/EOI),
+canonical Huffman decode with byte unstuffing and restart markers,
+run-length AC expansion, dequantize + dezigzag, 8x8 IDCT via a
+precomputed orthonormal DCT basis, chroma upsampling and JFIF
+YCbCr->RGB. Grayscale and 3-component scans with any h/v sampling in
+{1,2} (4:4:4, 4:2:2, 4:2:0, 4:4:0) are supported.
+
+Progressive (r5, T.81 Annex G): multi-scan coefficient accumulation —
+spectral selection (per-band AC scans, Ns=1 non-interleaved addressing
+over the component's own block grid) and successive approximation (DC
+first/refine via point transform Al, AC first with EOBRUN end-of-band
+runs, AC refinement with correction bits per G.1.2.3), restart markers
+resetting predictors AND the EOB run, then one dequantize+IDCT pass at
+EOI over the accumulated coefficients. Successive approximation is
+LOSSLESS over the quantized coefficients, so a progressive re-encode of
+the same coefficients decodes to the bit-identical raster the baseline
+stream yields — tests pin exactly that equality.
+
+Arithmetic coding, 12-bit precision and hierarchical modes fail CLOSED
 (return None) — same hostile-input stance as the PNG/WAV/Y4M parsers.
 
 `encode_jpeg` is the fixture/oracle builder (4:4:4, Annex K quantization
@@ -166,11 +178,15 @@ def _idct_block(coeff: np.ndarray) -> np.ndarray:
 
 
 def parse_jpeg(buf: bytes):
-    """Baseline JPEG -> (width, height, RGB raster bytes) or None."""
+    """Baseline or progressive JPEG -> (width, height, RGB raster bytes)
+    or None."""
     try:
         return _parse_jpeg(buf)
     except Exception:
         return None
+
+
+_MAX_SCANS = 64  # hostile many-scan progressive files stay bounded
 
 
 def _parse_jpeg(buf: bytes):
@@ -180,6 +196,8 @@ def _parse_jpeg(buf: bytes):
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    prog = None          # progressive coefficient state (set on first SOS)
+    n_scans = 0
     restart_interval = 0
     while i + 4 <= len(buf):
         if buf[i] != 0xFF:
@@ -192,7 +210,9 @@ def _parse_jpeg(buf: bytes):
         i += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS: no image
+        if marker == 0xD9:  # EOI: finalize progressive, else no image
+            if prog is not None and n_scans:
+                return _finalize_progressive(frame, prog, qt)
             return None
         if i + 2 > len(buf):
             return None
@@ -227,7 +247,7 @@ def _parse_jpeg(buf: bytes):
                     return None
                 huff[(tc, th)] = _build_decode_table(bits, list(seg[j:j + n]))
                 j += n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8 or ncomp not in (1, 3) or w == 0 or h == 0:
@@ -241,16 +261,19 @@ def _parse_jpeg(buf: bytes):
                 if ch not in (1, 2) or cv not in (1, 2):
                     return None
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive/arithmetic/hierarchical: out of subset
+            return None  # lossless/arithmetic/hierarchical: out of subset
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                return None
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -258,14 +281,33 @@ def _parse_jpeg(buf: bytes):
                 if comp is None:
                     return None
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            if len(scan) != len(frame["comps"]):
-                return None  # multi-scan baseline: out of subset
-            return _decode_scan(buf, i, frame, scan, qt, huff, restart_interval)
+            if not frame["progressive"]:
+                if len(scan) != len(frame["comps"]):
+                    return None  # multi-scan baseline: out of subset
+                return _decode_scan(buf, i, frame, scan, qt, huff,
+                                    restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if prog is None:
+                prog = _init_progressive(frame)
+            segments, i = _entropy_segments(buf, i)
+            _decode_prog_scan(prog, frame, scan, ss, se, ah, al, huff,
+                              restart_interval, segments)
+            n_scans += 1
+            if n_scans > _MAX_SCANS:
+                return None
+    if prog is not None and n_scans:
+        # EOI may sit within the last 4 bytes (loop guard) or be missing
+        # entirely — the accumulated coefficients still render
+        return _finalize_progressive(frame, prog, qt)
     return None
 
 
-def _decode_scan(buf, i, frame, scan, qt, huff, restart_interval):
-    # entropy data runs to EOI; unstuff FF00 -> FF, split at RSTn
+def _entropy_segments(buf, i):
+    """Entropy-coded data starting at ``i``: unstuff FF00 -> FF, split at
+    RSTn; returns (segments, j) with ``j`` the offset of the terminating
+    marker's 0xFF byte (EOI or the next segment)."""
     segments: list[bytes] = []
     cur = bytearray()
     j = i
@@ -286,6 +328,11 @@ def _decode_scan(buf, i, frame, scan, qt, huff, restart_interval):
         cur.append(b)
         j += 1
     segments.append(bytes(cur))
+    return segments, j
+
+
+def _decode_scan(buf, i, frame, scan, qt, huff, restart_interval):
+    segments, _ = _entropy_segments(buf, i)
 
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c in frame["comps"])
@@ -345,7 +392,13 @@ def _decode_scan(buf, i, frame, scan, qt, huff, restart_interval):
                     x0 = (mx * comp["h"] + bx) * 8
                     planes[ci][y0:y0 + 8, x0:x0 + 8] = block
 
-    # level shift, upsample to full resolution, color convert
+    return _planes_to_rgb(frame, planes, hmax, vmax)
+
+
+def _planes_to_rgb(frame, planes, hmax, vmax):
+    """Level shift, upsample to full resolution, color convert — shared
+    by the baseline and progressive paths."""
+    w, h = frame["w"], frame["h"]
     out = []
     for ci, comp in enumerate(frame["comps"]):
         p = planes[ci] + 128.0
@@ -367,6 +420,205 @@ def _decode_scan(buf, i, frame, scan, qt, huff, restart_interval):
             axis=-1,
         )
     return w, h, rgb.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# progressive decode (T.81 Annex G) — coefficient-domain accumulation
+# ---------------------------------------------------------------------------
+
+
+def _init_progressive(frame):
+    """Per-component zigzag-order coefficient grids over the MCU-padded
+    block lattice, plus the non-interleaved block dims each single-
+    component scan addresses (T.81 A.2.2: ceil over the component's OWN
+    scaled size, which can be smaller than the padded MCU grid)."""
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    cdims = []
+    for comp in frame["comps"]:
+        bw, bh = mcux * comp["h"], mcuy * comp["v"]
+        coefs.append(np.zeros((bh, bw, 64), dtype=np.int64))
+        cw = -(-(w * comp["h"]) // hmax)
+        ch = -(-(h * comp["v"]) // vmax)
+        cdims.append((-(-cw // 8), -(-ch // 8)))
+    return {"mcux": mcux, "mcuy": mcuy, "coefs": coefs, "cdims": cdims,
+            "hmax": hmax, "vmax": vmax}
+
+
+def _dc_first(rdr, dct, blk, ci, preds, al):
+    if dct is None:
+        raise _Corrupt()
+    t = rdr.decode_huff(dct)
+    if t > 15:
+        raise _Corrupt()
+    diff = _extend(rdr.read_bits(t), t)
+    preds[ci] += diff
+    blk[0] = preds[ci] << al
+
+
+def _ac_first(rdr, act, blk, ss, se, al, eobrun):
+    """Spectral-selection first pass (G.1.2.2) with EOBRUN end-of-band
+    runs. Returns the updated eobrun."""
+    if act is None:
+        raise _Corrupt()
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rdr.decode_huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rdr.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise _Corrupt()
+        blk[k] = _extend(rdr.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(rdr, act, blk, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (G.1.2.3): newly-nonzero
+    coefficients arrive as (zero-HISTORY run, magnitude-1) symbols;
+    every nonzero-history coefficient passed over emits one correction
+    bit that grows its magnitude by 1<<Al when set."""
+    if act is None:
+        raise _Corrupt()
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.decode_huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.read_bits(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise _Corrupt()
+                val = p1 if rdr.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if rdr.read_bit():
+                        if (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise _Corrupt()
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if rdr.read_bit():
+                    if (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(prog, frame, scan, ss, se, ah, al, huff,
+                      restart_interval, segments):
+    comps_all = frame["comps"]
+    if ss == 0:
+        if se != 0:
+            raise _Corrupt()  # DC scans carry exactly the DC band
+    else:
+        if len(scan) != 1 or se < ss or se > 63:
+            raise _Corrupt()  # AC scans are single-component (G.1.1.1)
+    if ah and ah != al + 1:
+        raise _Corrupt()  # successive approximation refines one bit/scan
+    interleaved = ss == 0 and len(scan) > 1
+    if interleaved:
+        n_units = prog["mcux"] * prog["mcuy"]
+    else:
+        comp0 = scan[0][0]
+        ci0 = comps_all.index(comp0)
+        cbw, cbh = prog["cdims"][ci0]
+        n_units = cbw * cbh
+    rdr = _BitReader(segments[0])
+    seg_idx = 0
+    preds = [0] * len(comps_all)
+    eobrun = 0
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise _Corrupt()
+            rdr = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps_all)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, prog["mcux"])
+            for comp, td, _ta in scan:
+                ci = comps_all.index(comp)
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = prog["coefs"][ci][
+                            my * comp["v"] + by, mx * comp["h"] + bx]
+                        if ah == 0:
+                            _dc_first(rdr, huff.get((0, td)), blk, ci,
+                                      preds, al)
+                        elif rdr.read_bit():
+                            blk[0] |= 1 << al
+        else:
+            comp, td, ta = scan[0]
+            ci = comps_all.index(comp)
+            cbw, _cbh = prog["cdims"][ci]
+            by0, bx0 = divmod(u, cbw)
+            blk = prog["coefs"][ci][by0, bx0]
+            if ss == 0:
+                if ah == 0:
+                    _dc_first(rdr, huff.get((0, td)), blk, ci, preds, al)
+                elif rdr.read_bit():
+                    blk[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first(rdr, huff.get((1, ta)), blk, ss, se,
+                                   al, eobrun)
+            else:
+                eobrun = _ac_refine(rdr, huff.get((1, ta)), blk, ss, se,
+                                    al, eobrun)
+
+
+def _finalize_progressive(frame, prog, qt):
+    """One dequantize + dezigzag + IDCT pass over the accumulated
+    coefficient grids, then the shared upsample/color tail."""
+    planes = []
+    for ci, comp in enumerate(frame["comps"]):
+        dq = qt.get(comp["tq"])
+        if dq is None:
+            raise _Corrupt()
+        zz = prog["coefs"][ci]
+        bh, bw = zz.shape[0], zz.shape[1]
+        nat = np.zeros_like(zz)
+        nat[..., _ZIGZAG] = zz
+        blocks = nat.reshape(bh, bw, 8, 8).astype(np.float64) * dq[None, None]
+        # spatial = C.T @ B @ C for every block at once
+        spatial = np.einsum("ki,yxkl,lj->yxij", _C, blocks, _C)
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _planes_to_rgb(frame, planes, prog["hmax"], prog["vmax"])
 
 
 # ---------------------------------------------------------------------------
@@ -564,3 +816,325 @@ def encode_jpeg(
             + dht(0, 0, _DC_L) + dht(1, 0, _AC_L)
             + dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
             + dri + sof + sos + bytes(body) + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder — fixture/oracle builder (T.81 Annex G)
+#
+# Annex K's AC tables lack the EOBRUN symbols (r<<4|0 for r>=1), so the
+# progressive fixtures carry FLAT custom tables: every needed symbol at
+# one code length (canonical, incomplete — the all-ones code stays
+# unassigned per T.81 C.2). Inefficient on purpose: the point is to
+# exercise the decoder, and a flat table makes the bitstream easy to
+# reason about in tests.
+# ---------------------------------------------------------------------------
+
+_P_DC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_P_AC_VALS = (
+    [r << 4 for r in range(15)]            # EOBRUN symbols r=0..14
+    + [0xF0]                               # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_P_AC = ([0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0], _P_AC_VALS)
+
+# libjpeg-style default progressive scan script over component indices:
+# (comps, Ss, Se, Ah, Al)
+_P_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),   # DC first, point transform 1
+    ((0,), 1, 5, 0, 2),        # Y low AC band
+    ((2,), 1, 63, 0, 1),       # Cr full band
+    ((1,), 1, 63, 0, 1),       # Cb full band
+    ((0,), 6, 63, 0, 2),       # Y high AC band
+    ((0,), 1, 63, 2, 1),       # Y AC refinement 2->1
+    ((0, 1, 2), 0, 0, 1, 0),   # DC refinement
+    ((2,), 1, 63, 1, 0),       # Cr refinement
+    ((1,), 1, 63, 1, 0),       # Cb refinement
+    ((0,), 1, 63, 1, 0),       # Y AC refinement 1->0
+]
+_P_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 63, 0, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _quantized_coefs(width, height, rgb, quality, subsampling):
+    """RGB -> per-component zigzag-order quantized coefficient grids
+    (the shared front half of both encoders). Returns (comps, ql, qc)
+    where comps = [(zz grid (bh,bw,64), h, v)] in component order."""
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(
+        height, width, 3).astype(np.float64)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ql = _scale_q(_QL, quality).reshape(8, 8)
+    qc = _scale_q(_QC, quality).reshape(8, 8)
+    gray = subsampling == "gray"
+    hs = vs = 2 if subsampling == "420" else 1
+    mw, mh = 8 * hs, 8 * vs
+    mcux, mcuy = -(-width // mw), -(-height // mh)
+
+    def pad_plane(p, pw, ph):
+        out = np.empty((ph, pw))
+        h0, w0 = p.shape
+        out[:h0, :w0] = p
+        out[h0:, :w0] = p[h0 - 1:h0, :]
+        out[:, w0:] = out[:, w0 - 1:w0]
+        return out
+
+    ypl = pad_plane(y, mcux * mw, mcuy * mh)
+    if hs == 2:
+        cbp = pad_plane(cb, mcux * mw, mcuy * mh)
+        crp = pad_plane(cr, mcux * mw, mcuy * mh)
+        cbp = cbp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crp = crp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbp = pad_plane(cb, mcux * 8, mcuy * 8)
+        crp = pad_plane(cr, mcux * 8, mcuy * 8)
+
+    def to_zz(plane, q):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coeff = np.einsum("ik,yxkl,jl->yxij", _C, blocks, _C)
+        quant = np.round(coeff / q[None, None]).astype(np.int64)
+        return quant.reshape(bh, bw, 64)[..., _ZIGZAG]
+
+    specs = [(to_zz(ypl, ql), hs, vs)]
+    if not gray:
+        specs.append((to_zz(cbp, qc), 1, 1))
+        specs.append((to_zz(crp, qc), 1, 1))
+    return specs, ql, qc
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, truncation toward ZERO
+    (T.81 G.1.2.2 — unlike DC's arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgWriter(_BitWriter):
+    """_BitWriter plus the AC-refinement bit buffer and EOBRUN state."""
+
+    def __init__(self, dc_tab, ac_tab):
+        super().__init__()
+        self.dc = dc_tab
+        self.ac = ac_tab
+        self.eobrun = 0
+        self.corr: list[int] = []   # buffered correction bits
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            c, ln = self.ac[r << 4]
+            self.write(c, ln)
+            if r:
+                self.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.corr:
+            self.write(bit, 1)
+        self.corr = []
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    script=None,
+) -> bytes:
+    """RGB bytes -> progressive JFIF JPEG (SOF2) carrying EXACTLY the
+    coefficients the baseline encoder would at the same quality — the
+    successive-approximation passes transmit them bit-plane by bit-plane
+    losslessly, so decode(progressive) == decode(baseline) bit-for-bit
+    (pinned by tests). subsampling: '444', '420' or 'gray';
+    restart_interval > 0 emits DRI + RSTn every N units in EVERY scan
+    (predictors and EOB run reset). script overrides the default
+    libjpeg-style scan sequence: [(comp_idxs, Ss, Se, Ah, Al), ...]."""
+    if subsampling not in ("444", "420", "gray"):
+        raise ValueError("subsampling must be '444', '420' or 'gray'")
+    gray = subsampling == "gray"
+    specs, ql, qc = _quantized_coefs(width, height, rgb, quality, subsampling)
+    if script is None:
+        script = _P_SCRIPT_GRAY if gray else _P_SCRIPT_COLOR
+    dc_tab = _build_encode_table(*_P_DC)
+    ac_tab = _build_encode_table(*_P_AC)
+    hmax = max(s[1] for s in specs)
+    vmax = max(s[2] for s in specs)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # non-interleaved block dims per component (T.81 A.2.2)
+    cdims = []
+    for _zz, ch, cv in specs:
+        cw = -(-(width * ch) // hmax)
+        chh = -(-(height * cv) // vmax)
+        cdims.append((-(-cw // 8), -(-chh // 8)))
+
+    def enc_dc_first(wtr, blk, ci, preds, al):
+        v = int(blk[0]) >> al   # DC: arithmetic shift (G.1.1.5)
+        diff = v - preds[ci]
+        preds[ci] = v
+        t, code = _magnitude(diff)
+        c, ln = wtr.dc[t]
+        wtr.write(c, ln)
+        if t:
+            wtr.write(code, t)
+
+    def enc_dc_refine(wtr, blk, al):
+        wtr.write((int(blk[0]) >> al) & 1, 1)
+
+    def enc_ac_first(wtr, blk, ss, se, al):
+        vals = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+        if not any(vals):
+            wtr.eobrun += 1
+            if wtr.eobrun == 0x7FFF:
+                wtr.emit_eobrun()
+            return
+        wtr.emit_eobrun()
+        run = 0
+        for v in vals:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = wtr.ac[0xF0]
+                wtr.write(c, ln)
+                run -= 16
+            t, code = _magnitude(v)
+            c, ln = wtr.ac[(run << 4) | t]
+            wtr.write(c, ln)
+            wtr.write(code, t)
+            run = 0
+        if run:
+            wtr.eobrun = 1
+
+    def enc_ac_refine(wtr, blk, ss, se, al):
+        # G.1.2.3 encoder: (zero-HISTORY run, 1) for newly-nonzero
+        # coefficients, correction bits buffered behind the symbol (or
+        # behind the pending EOBRUN for trailing positions)
+        vals = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+        eob = 0  # index AFTER the last newly-nonzero coefficient
+        for idx, v in enumerate(vals):
+            if abs(v) == 1:
+                eob = idx + 1
+        run = 0
+        pend: list[int] = []
+        for idx, v in enumerate(vals):
+            a = abs(v)
+            if a == 0:
+                run += 1
+                continue
+            if a > 1:
+                # nonzero history: one correction bit, run unchanged
+                pend.append(a & 1)
+                continue
+            # newly nonzero (magnitude exactly 1 at this bit plane)
+            while run > 15 and idx < eob:
+                wtr.emit_eobrun()
+                c, ln = wtr.ac[0xF0]
+                wtr.write(c, ln)
+                run -= 16
+                for bit in pend:
+                    wtr.write(bit, 1)
+                pend = []
+            wtr.emit_eobrun()
+            c, ln = wtr.ac[(run << 4) | 1]
+            wtr.write(c, ln)
+            wtr.write(1 if v > 0 else 0, 1)
+            for bit in pend:
+                wtr.write(bit, 1)
+            pend = []
+            run = 0
+        if run > 0 or pend:
+            wtr.eobrun += 1
+            wtr.corr.extend(pend)
+            if wtr.eobrun == 0x7FFF:
+                wtr.emit_eobrun()
+
+    scans = bytearray()
+    for comp_idxs, ss, se, ah, al in script:
+        interleaved = ss == 0 and len(comp_idxs) > 1
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            cbw, cbh = cdims[comp_idxs[0]]
+            n_units = cbw * cbh
+        wtr = _ProgWriter(dc_tab, ac_tab)
+        body = bytearray()
+        preds = [0] * len(specs)
+        rst = 0
+        for u in range(n_units):
+            if restart_interval and u and u % restart_interval == 0:
+                wtr.emit_eobrun()
+                wtr.flush()
+                body += wtr.out
+                body += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                wtr = _ProgWriter(dc_tab, ac_tab)
+                preds = [0] * len(specs)
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for ci in comp_idxs:
+                    zz, ch, cv = specs[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = zz[my * cv + by, mx * ch + bx]
+                            if ah == 0:
+                                enc_dc_first(wtr, blk, ci, preds, al)
+                            else:
+                                enc_dc_refine(wtr, blk, al)
+            else:
+                ci = comp_idxs[0]
+                zz, ch, cv = specs[ci]
+                cbw, _cbh = cdims[ci]
+                by0, bx0 = divmod(u, cbw)
+                blk = zz[by0, bx0]
+                if ss == 0:
+                    if ah == 0:
+                        enc_dc_first(wtr, blk, ci, preds, al)
+                    else:
+                        enc_dc_refine(wtr, blk, al)
+                elif ah == 0:
+                    enc_ac_first(wtr, blk, ss, se, al)
+                else:
+                    enc_ac_refine(wtr, blk, ss, se, al)
+        wtr.emit_eobrun()
+        wtr.flush()
+        body += wtr.out
+        ns = len(comp_idxs)
+        hdr = bytes([ns])
+        for ci in comp_idxs:
+            hdr += bytes([ci + 1, 0x00])  # DC and AC table id 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        scans += bytes([0xFF, 0xDA]) + struct.pack(">H", len(hdr) + 2) + hdr
+        scans += bytes(body)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    def dqt(tq, tbl):
+        return seg(0xDB, bytes([tq]) + bytes(
+            int(tbl.reshape(-1)[_ZIGZAG[k]]) for k in range(64)))
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    hs = vs = 2 if subsampling == "420" else 1
+    if gray:
+        sof = seg(0xC2, bytes([8]) + struct.pack(">HH", height, width)
+                  + bytes([1, 1, 0x11, 0]))
+    else:
+        sof = seg(0xC2, bytes([8]) + struct.pack(">HH", height, width)
+                  + bytes([3, 1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xff\xd8" + jfif + dqt(0, ql) + dqt(1, qc)
+            + dht(0, 0, _P_DC) + dht(1, 0, _P_AC)
+            + dri + sof + bytes(scans) + b"\xff\xd9")

@@ -150,6 +150,40 @@ def synthetic_media_jpeg(spark, n: int = 100) -> DataFrame:
         "meta struct<mime:string, width:int, height:int, duration_ms:int>")
 
 
+def synthetic_media_jpeg_progressive(spark, n: int = 100) -> DataFrame:
+    """Deterministic PROGRESSIVE JPEG media table (r5): same solid-gray
+    provably-bit-exact raster class as synthetic_media_jpeg, but encoded
+    SOF2 via encode_jpeg_progressive — the libjpeg-style multi-scan
+    script (DC first/refine, spectral AC bands, successive-approximation
+    refinement, EOBRUN runs), subsampling alternating 4:4:4 / 4:2:0 and
+    restart intervals cycling 0/2/7 inside every scan. The oracle-gated
+    decode therefore exercises the whole Annex G surface with full value
+    verification, not just the happy path."""
+    from logstash_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = (i % 4) * 16 + 16
+                h = (i % 3) * 16 + 16
+                v = 32 + (i * 37) % 95
+                rgb = bytes([v]) * (w * h * 3)
+                buf = encode_jpeg_progressive(
+                    w, h, rgb, quality=90,
+                    subsampling="420" if i % 2 else "444",
+                    restart_interval=(0, 2, 7)[i % 3],
+                )
+                rows.append((i, buf, ("image/jpeg", w, h, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "meta"])
+
+    return spark.range(n).mapInPandas(
+        gen,
+        "media_id bigint, bytes binary, "
+        "meta struct<mime:string, width:int, height:int, duration_ms:int>")
+
+
 # hex digit k -> palette color (all components in 1..255: chr()-safe for
 # the SQL oracle, no NUL bytes) — shared between the GIF table builder and
 # the media_features_gif oracle generator in queries.py

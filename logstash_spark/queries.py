@@ -1938,6 +1938,25 @@ def media_features_ico_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_features(synthetic_media_ico(spark, 200))
 
 
+@q("media_features_jpeg_progressive", _MEDIA_JPEG_ORACLE)
+def media_features_jpeg_progressive_q(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WEB image decode (r5): PROGRESSIVE (SOF2) JPEGs — multi-scan
+    spectral selection + successive approximation per T.81 Annex G (DC
+    first/refine, banded AC scans with EOBRUN, correction-bit
+    refinement, per-scan restart markers) decoded by the vendored
+    reader, then the same raster statistics. The fixture reuses the
+    provably-exact solid-gray class, so the SAME closed-form oracle as
+    media_features_jpeg fully value-verifies the progressive path —
+    and any coefficient mis-assembly flips the hash."""
+    from logstash_spark.functions.multimodal import (
+        media_decode_features,
+        synthetic_media_jpeg_progressive,
+    )
+
+    return media_decode_features(synthetic_media_jpeg_progressive(spark, 200))
+
+
 @q("media_features_jpeg", _MEDIA_JPEG_ORACLE)
 def media_features_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-WEB image decode #2: baseline JFIF JPEGs (functions/jpegcodec

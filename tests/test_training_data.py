@@ -1743,7 +1743,9 @@ def test_jpeg_hostile_inputs_never_throw():
             m[rng.randrange(len(m))] = rng.randrange(256)
         r = parse_jpeg(bytes(m))
         assert r is None or isinstance(r, tuple)
-    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2) -> fail closed
+    # SOF0 flipped to SOF2 (r5: progressive is now DECODED, but a
+    # baseline scan header — Ss=0, Se=63 — is invalid under Annex G
+    # rules, so the flipped stream still fails closed)
     prog = base.replace(b"\xff\xc0", b"\xff\xc2")
     assert parse_jpeg(prog) is None
     for junk in (b"", b"\xff\xd8", b"\xff\xd8\xff\xd9", bytes(100),
@@ -2676,3 +2678,126 @@ def test_webdataset_oversized_member_fails_whole_shard(spark):
     ]))).collect()
     # the good member of shard 0 must NOT survive as a partial sample
     assert {r["shard_id"] for r in rows} == {1}
+
+
+def test_jpeg_progressive_matches_baseline_bit_for_bit():
+    """r5: successive approximation transmits the SAME quantized
+    coefficients bit-plane by bit-plane, so the progressive stream must
+    decode to the bit-identical raster of the baseline stream at the
+    same quality — across subsamplings and odd (partial-MCU) dims."""
+    import numpy as np
+
+    from logstash_spark.functions.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in ((32, 16), (37, 23), (8, 8)):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        # a smooth patch so high AC bands are empty -> real EOBRUN > 1
+        img[: h // 2, : w // 2] = 128
+        raw = img.tobytes()
+        for sub in ("444", "420", "gray"):
+            base = parse_jpeg(encode_jpeg(w, h, raw, quality=85,
+                                          subsampling=sub))
+            prog = parse_jpeg(encode_jpeg_progressive(
+                w, h, raw, quality=85, subsampling=sub))
+            assert base is not None and prog is not None, (w, h, sub)
+            assert prog[0] == base[0] and prog[1] == base[1]
+            assert prog[2] == base[2], (w, h, sub)
+
+
+def test_jpeg_progressive_restart_markers():
+    """RSTn inside EVERY progressive scan: predictors and the EOB run
+    reset; the decode still equals the baseline raster."""
+    import numpy as np
+
+    from logstash_spark.functions.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(24, 40, 3) * 255).astype(np.uint8)
+    raw = img.tobytes()
+    base = parse_jpeg(encode_jpeg(40, 24, raw, quality=80))
+    for ri in (1, 3, 7):
+        prog = parse_jpeg(encode_jpeg_progressive(
+            40, 24, raw, quality=80, restart_interval=ri))
+        assert prog is not None and prog[2] == base[2], ri
+
+
+def test_jpeg_progressive_solid_bit_exact():
+    """The solid-raster exactness class extends to progressive: DC-only
+    coefficients survive all bit planes exactly."""
+    from logstash_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    for v in (32, 90, 126):
+        raw = bytes([v]) * (16 * 16 * 3)
+        for sub in ("444", "420"):
+            out = parse_jpeg(encode_jpeg_progressive(
+                16, 16, raw, quality=90, subsampling=sub))
+            assert out is not None
+            assert out[2] == raw, (v, sub)
+
+
+def test_jpeg_progressive_custom_script_and_band_splits():
+    """A finer scan script (narrow spectral bands, two refinement levels)
+    still reassembles the exact coefficient set."""
+    import numpy as np
+
+    from logstash_spark.functions.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    script = [
+        ((0, 1, 2), 0, 0, 0, 2),   # DC first at bit plane 2
+        ((0,), 1, 2, 0, 1),        # Y split across three AC bands
+        ((0,), 3, 9, 0, 1),
+        ((1,), 1, 63, 0, 0),       # Cb in one full-precision pass
+        ((2,), 1, 63, 0, 2),       # Cr starts two planes up
+        ((0,), 10, 63, 0, 1),
+        ((0, 1, 2), 0, 0, 2, 1),   # DC refinement chain 2->1->0
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((2,), 1, 63, 2, 1),       # Cr needs two refinement passes
+        ((2,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),       # Y refinement to full precision
+    ]
+    rng = np.random.RandomState(13)
+    img = (rng.rand(19, 31, 3) * 255).astype(np.uint8)
+    raw = img.tobytes()
+    base = parse_jpeg(encode_jpeg(31, 19, raw, quality=75))
+    prog = parse_jpeg(encode_jpeg_progressive(
+        31, 19, raw, quality=75, script=script))
+    assert prog is not None and prog[2] == base[2]
+
+
+def test_jpeg_progressive_hostile_inputs_never_throw():
+    import random
+
+    from logstash_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    base = encode_jpeg_progressive(
+        32, 16, bytes([90]) * (32 * 16 * 3), quality=80,
+        subsampling="420", restart_interval=2)
+    for i in range(0, len(base), 7):
+        r = parse_jpeg(base[:i])
+        assert r is None or isinstance(r, tuple)
+    rng = random.Random(19)
+    for _ in range(200):
+        m = bytearray(base)
+        for _k in range(rng.randint(1, 6)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        r = parse_jpeg(bytes(m))
+        assert r is None or isinstance(r, tuple)
