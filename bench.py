@@ -217,6 +217,9 @@ HEADLINE = [
     "crawl_permission_pipeline",
     "luhn_card_redact",
     "takedown_scrub",
+    # round-5 additions
+    "unigram_tokenize_docs",
+    "media_features_jpeg_progressive",
 ]
 
 
@@ -277,6 +280,30 @@ def e2e_docs_per_sec(spark, n_docs: int) -> float:
     return n_docs / dt, dt
 
 
+def wait_for_idle() -> dict:
+    """Idle-gate the recording (VERDICT r4 'what's wrong' #1: the
+    committed r4 JSON was a loadavg-32 artifact that under-reported the
+    engine ~30%). Wait for 1-min loadavg <= SPARK_GRAFT_IDLE_MAX
+    (default 4) up to SPARK_GRAFT_IDLE_WAIT seconds (default 600), then
+    record whether the gate was met — a not-met recording is visibly
+    flagged in the JSON instead of silently misleading the round
+    comparison."""
+    thresh = float(os.environ.get("SPARK_GRAFT_IDLE_MAX", "4"))
+    budget = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "600"))
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load > thresh and time.time() - t0 < budget:
+        print(f"bench: waiting for idle (loadavg {load:.1f} > {thresh:g}, "
+              f"{time.time() - t0:.0f}s/{budget:.0f}s)", file=sys.stderr)
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return {
+        "loadavg_at_start": round(load, 2),
+        "idle_gate_met": load <= thresh,
+        "idle_waited_sec": round(time.time() - t0),
+    }
+
+
 def main() -> None:
     sf = 0.1
     for tok in SF_DIR.rstrip("/").split("/"):
@@ -292,6 +319,8 @@ def main() -> None:
     if "--streaming" in sys.argv:
         run_streaming_bench()
         return
+
+    idle = wait_for_idle()
 
     from logstash_spark.session import get_spark
 
@@ -355,6 +384,7 @@ def main() -> None:
         # loadavg makes rounds comparable without judge re-runs
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        **idle,
     }
     print(json.dumps(out))
 
