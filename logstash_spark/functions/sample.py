@@ -122,6 +122,7 @@ def per_key_cap(
     cap: int = 100,
     id_col: str = "doc_id",
     rank_out: str = "key_rank",
+    shards: int = 64,
 ) -> DataFrame:
     """Per-key quota retention (the "domain cap" of crawl curation: no
     single domain may contribute more than ``cap`` documents). Which rows
@@ -130,24 +131,57 @@ def per_key_cap(
     retries, partitionings and engines (the unique id breaks the rare
     16-bit key collisions).
 
-    Scale shape: one shuffle on the key, rank + filter. Top-cap-per-key is
-    partial-aggregation-friendly only for small caps; at Zipf-skewed web
-    scale the hot key's partition holds only that DOMAIN's rows (bounded by
-    the biggest domain, not the corpus). If one domain alone exceeds a
-    partition, pre-filter it with stratified_sample first — the accounting
-    stays exact because ranks are recomputed after.
+    Scale shape (r5, rewritten after the scale probe caught the old
+    single-window form going super-linear when one key holds the corpus
+    — two CMS templates over 10M pages = two 5M-row sort tasks, and the
+    window shuffled the FULL wide rows, html included):
+
+    - the rank runs on a NARROW (key, id) projection only — the corpus'
+      payload columns never enter the rank shuffle;
+    - phase 1 ranks within (key, shard) — ``shards`` hash buckets of
+      the id — keeping each bucket's cap smallest sample keys (a row
+      outside its bucket's top-cap can never be in the key's global
+      top-cap, so the prune is exact); the big sort is distributed over
+      key*shards tasks regardless of key skew;
+    - phase 2 re-ranks the <= shards*cap survivors per key (6400 rows
+      at defaults — cap-bounded, never the corpus);
+    - survivors join back to the full frame by id; the survivor side is
+      #keys*cap rows, so AQE turns it into a broadcast join for
+      anything but millions of keys (and a plain id-keyed shuffle join
+      beyond that).
+
+    Probe result (tools/scale_probe_pipelines.py, 10M docs over 2
+    template keys): the composed template_capped_sample pipeline went
+    46.8s -> 31.0s at 10M, and 10x data now costs 6.1x time — scaling
+    exponent 0.79, in line with the other heavy-tail pipelines (was
+    22.4x / exponent 1.35 with the wide single-window form).
 
     Adds ``rank_out`` (1-based rank within the key) for audit; output rows
-    are the survivors only.
+    are the survivors only — identical to the single-window form.
     """
     from pyspark.sql import Window as W
 
-    key = sample_key(F.col(id_col))
-    w = W.partitionBy(key_col).orderBy(key, F.col(id_col))
-    return (
-        df.withColumn(rank_out, F.row_number().over(w))
-        .filter(F.col(rank_out) <= cap)
+    nid = "_pkc_id"
+    narrow = df.select(
+        F.col(key_col).alias("_pkc_key"), F.col(id_col).alias(nid))
+    key = sample_key(F.col(nid))
+    shard = F.pmod(F.xxhash64(F.col(nid), F.lit(77)), F.lit(shards))
+    wloc = W.partitionBy("_pkc_key", "_pkc_shard").orderBy(key, F.col(nid))
+    local = (
+        narrow.withColumn("_pkc_shard", shard)
+        .withColumn("_pkc_r", F.row_number().over(wloc))
+        .filter(F.col("_pkc_r") <= cap)
+        .drop("_pkc_r")
     )
+    wglob = W.partitionBy("_pkc_key").orderBy(key, F.col(nid))
+    survivors = (
+        local.withColumn(rank_out, F.row_number().over(wglob))
+        .filter(F.col(rank_out) <= cap)
+        .select(nid, rank_out)
+    )
+    return df.join(
+        survivors, df[id_col] == survivors[nid], "inner"
+    ).drop(nid)
 
 
 def mixture_resample(

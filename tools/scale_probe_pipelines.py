@@ -60,6 +60,25 @@ def synth_events(spark, n: int, path: str) -> None:
                  F.lit("}")).alias("props"),
     )
     df.write.mode("overwrite").parquet(path + "/events.parquet")
+    # documents table (winnow_overlap runs on it) — testdata keeps a
+    # ~20:1 events:documents ratio; Zipf-ish small vocabulary so shingle
+    # buckets have real overlap structure like the driver corpus
+    nd = max(n // 20, 1000)
+    docs = spark.range(nd).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("id") * 41 + j, F.lit(9)),
+                       F.lit(500)).cast("string"))), " ").alias("text"),
+        F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+                     (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int")
+                     ).alias("lang"),
+        F.concat(F.lit("src"),
+                 F.pmod(F.col("id"), F.lit(10)).cast("string")).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(path + "/documents.parquet")
 
 
 def force(df) -> None:
