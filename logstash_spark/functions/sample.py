@@ -212,11 +212,19 @@ def mixture_resample(
     rank by the md5 sample key, keep rank <= target_d — uniform,
     replayable on any engine/retry.
 
-    Scale shape: stratum counts are one map-side-combined aggregate
-    (#strata rows); the target table broadcasts back; the only
-    corpus-sized movement is the per-stratum rank shuffle (same bound
-    as per_key_cap: the hot stratum's partition holds that stratum
-    only). Returns survivors with (key_rank, n_d, target_d) for audit.
+    Scale shape (r5, the per_key_cap probe lesson applied here too —
+    targets scale with n_d, so bounded-top-cap pruning does NOT apply;
+    the rank itself is made skew-proof instead): stratum counts are one
+    map-side-combined aggregate (#strata rows); the target table
+    broadcasts back; the per-stratum rank is the deterministic_shuffle
+    two-phase form PER KEY — md5 sample keys are uniform, so their hex
+    PREFIX is an ordered range partition: rank within (key, prefix)
+    shards (keys * 16^prefix_len parallel tasks regardless of stratum
+    skew), cumulative shard counts (a keys*16^prefix_len-row frame)
+    broadcast back, global key_rank = offset + local rank. The rank
+    pipeline runs on a NARROW (key, id) projection; survivors join back
+    to the payload by id. Returns survivors with (key_rank, n_d,
+    target_d) for audit — bit-identical to the single-window form.
     """
     n = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("n_d"))
     w = n.withColumn(
@@ -232,9 +240,34 @@ def mixture_resample(
         .withColumn("target_d", F.expr(f"((n_tot div {int(frac_den)}) * w_d) div sum_w"))
         .select(key_col, "n_d", "target_d")
     )
-    key = sample_key(F.col(id_col))
-    win = W.partitionBy(key_col).orderBy(key, F.col(id_col))
-    ranked = df.withColumn("key_rank", F.row_number().over(win))
-    return ranked.join(F.broadcast(tgt), key_col).filter(
-        F.col("key_rank") <= F.col("target_d")
+    prefix_len = 2
+    nid = "_mr_id"
+    narrow = (
+        df.select(F.col(key_col).alias("_mr_key"), F.col(id_col).alias(nid))
+        .withColumn("_mr_sk", sample_key(F.col(nid)))
+        .withColumn("_mr_shard", F.substring("_mr_sk", 1, prefix_len))
     )
+    wloc = W.partitionBy("_mr_key", "_mr_shard").orderBy("_mr_sk", nid)
+    ranked = narrow.withColumn("_mr_lr", F.row_number().over(wloc))
+    counts = narrow.groupBy("_mr_key", "_mr_shard").agg(
+        F.count(F.lit(1)).alias("_mr_cnt"))
+    wcum = (
+        W.partitionBy("_mr_key").orderBy("_mr_shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "_mr_off", F.coalesce(F.sum("_mr_cnt").over(wcum), F.lit(0))
+    ).select("_mr_key", "_mr_shard", "_mr_off")
+    survivors = (
+        ranked.join(F.broadcast(offs), ["_mr_key", "_mr_shard"])
+        .withColumn(
+            "key_rank", (F.col("_mr_off") + F.col("_mr_lr")).cast("int"))
+        .join(
+            F.broadcast(tgt),
+            F.col("_mr_key") == F.col(key_col), "inner")
+        .filter(F.col("key_rank") <= F.col("target_d"))
+        .select(nid, "key_rank", "n_d", "target_d")
+    )
+    return df.join(
+        survivors, df[id_col] == survivors[nid], "inner"
+    ).drop(nid)
