@@ -38,7 +38,9 @@ _PENALTY = {
 }
 _C = 1.0
 _S2 = 6.8
-MAX_SENTS = 1_024   # per-document cap; beyond it -> empty alignment
+MAX_SENTS = 4_096   # per-document cap; beyond it -> empty alignment.
+# With banding the worst case is n*(2*_BAND+1)*6 ~ 4.7M transitions
+# (seconds, not minutes) — the cap guards memory/row size, not the DP.
 _FULL_STATES = 65_536   # n*m at or under this runs the exact full DP
 _BAND = 96          # banded half-width above _FULL_STATES (near-diagonal)
 
@@ -68,9 +70,17 @@ def align_lengths(src: list[int], tgt: list[int]):
     runs BANDED — Gale-Church paths are near-diagonal (every category
     advances both sides except the rare 450-penalty deletions), so j is
     restricted to within _BAND of the i*m/n diagonal. Worst case is
-    ~n*(2*_BAND+1)*6 transitions, bounded regardless of m. A path that
-    would have to leave the band comes back empty (back-pointer chain
-    broken), never wrong-but-confident."""
+    ~n*(2*_BAND+1)*6 transitions, bounded regardless of m.
+
+    Banded contract (the standard banded-alignment approximation, stated
+    honestly): above _FULL_STATES the result is the optimum among IN-BAND
+    paths. For real bitext this is the global optimum (alignment paths
+    are near-diagonal); for adversarial/degenerate pairs whose true path
+    leaves the band it is an approximation. Two fail-closed guards bound
+    the damage: a chosen path that TOUCHES a clipped band edge (the
+    signature of pure off-band drift) returns empty rather than an
+    edge-hugging alignment, and a band in which no complete path exists
+    returns empty via the broken back-pointer chain."""
     n, m = len(src), len(tgt)
     if n > MAX_SENTS or m > MAX_SENTS:
         return []
@@ -112,6 +122,14 @@ def align_lengths(src: list[int], tgt: list[int]):
     ops = []
     i, j = n, m
     while (i, j) != (0, 0):
+        if banded and i not in (0, n):
+            # honesty check: a backtracked state ON a CLIPPED band edge
+            # means the true optimum may continue outside -> fail closed
+            # (an edge the band doesn't clip — grid boundary — is fine)
+            center = (i * m) // max(n, 1)
+            if (center - _BAND > 0 and j <= center - _BAND) or (
+                    center + _BAND < m and j >= center + _BAND):
+                return []
         di, dj = back[i][j]
         ops.append((i - di, di, j - dj, dj))
         i, j = i - di, j - dj

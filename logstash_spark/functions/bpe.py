@@ -184,7 +184,10 @@ def bpe_tokenize(
             + [T.StructField("tokens", T.StringType()), T.StructField("n_tokens", T.IntegerType())]
         )
         pairs = [(f" {a} {b} ", f" {a}{b} ") for a, b, _ in merges]
-        ws = _re.compile(r"\s+")
+        # Java \s (the expr backend) is ASCII-only; Python's is Unicode —
+        # spell the ASCII class out so both backends agree on
+        # NBSP/ideographic-space text (r5 review fix, same as unigram)
+        ws = _re.compile("[ \t\n\x0b\f\r]+")
 
         def run(batches):
             cache: dict[str, str] = {}

@@ -157,10 +157,17 @@ def per_key_cap(
     22.4x / exponent 1.35 with the wide single-window form).
 
     Adds ``rank_out`` (1-based rank within the key) for audit; output rows
-    are the survivors only — identical to the single-window form.
+    are the survivors only — identical to the single-window form for the
+    contract input (unique, non-null ids). Rows with a NULL id are
+    dropped UP FRONT (r5 review fix): deterministic sampling has no
+    stable identity for them, the old window form ranked them
+    nondeterministically (md5(NULL) = NULL sorted first), and the
+    join-back would silently lose them anyway — the explicit filter
+    makes the behavior one thing everywhere.
     """
     from pyspark.sql import Window as W
 
+    df = df.filter(F.col(id_col).isNotNull())
     nid = "_pkc_id"
     narrow = df.select(
         F.col(key_col).alias("_pkc_key"), F.col(id_col).alias(nid))
@@ -224,8 +231,12 @@ def mixture_resample(
     broadcast back, global key_rank = offset + local rank. The rank
     pipeline runs on a NARROW (key, id) projection; survivors join back
     to the payload by id. Returns survivors with (key_rank, n_d,
-    target_d) for audit — bit-identical to the single-window form.
+    target_d) for audit — bit-identical to the single-window form for
+    the contract input (unique, non-null ids). NULL-id rows are dropped
+    up front and excluded from n_d so quotas and realized draws stay
+    consistent (r5 review fix, same contract as per_key_cap).
     """
+    df = df.filter(F.col(id_col).isNotNull())
     n = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("n_d"))
     w = n.withColumn(
         "w_d",

@@ -157,7 +157,11 @@ def unigram_tokenize(
                T.StructField("n_tokens", T.IntegerType()),
                T.StructField("n_unk", T.IntegerType())])
         adj = {p: 64 * s - 1 for p, s in vocab}
-        ws = _re.compile(r"\s+")
+        # the expr backend splits with Java \s = ASCII [ \t\n\x0b\f\r];
+        # Python's \s is Unicode (U+00A0/U+3000 would split here but not
+        # there) — spell the ASCII class out so the backends bit-agree
+        # on CJK/NBSP web text (r5 review fix; pinned by test)
+        ws = _re.compile("[ \t\n\x0b\f\r]+")
 
         def run(batches):
             cache: dict[str, str] = {}

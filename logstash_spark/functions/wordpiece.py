@@ -121,7 +121,10 @@ def wordpiece_tokenize(
                T.StructField("n_tokens", T.IntegerType()),
                T.StructField("n_unk", T.IntegerType())])
         vset = frozenset(vocab)
-        ws = _re.compile(r"\s+")
+        # Java \s (the expr backend's F.split) is ASCII-only; Python's is
+        # Unicode — spell the ASCII class out so both backends agree on
+        # NBSP/ideographic-space text (r5 review fix, same as unigram)
+        ws = _re.compile("[ \t\n\x0b\f\r]+")
 
         def run(batches):
             cache: dict[str, str] = {}

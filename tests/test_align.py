@@ -134,14 +134,18 @@ def test_dp_budget_guard_is_enforced():
     from logstash_spark.functions.align import _BAND
 
     assert align_lengths([10] * (MAX_SENTS + 1), [10] * 4) == []
-    # a path forced FAR off-diagonal (src gigantic head, then match)
-    # inside the banded regime comes back empty, never wrong: target
-    # shifted by 2*_BAND deletions can't stay in the band
-    n = 400
+    # heavily length-mismatched pair in the banded regime: the in-band
+    # optimum spreads 2-1 merges along the diagonal (a legitimate
+    # complete cover — for uniform lengths merges genuinely beat mass
+    # deletions); the banded contract guarantees a COMPLETE cover of
+    # both sides or empty, never a partial/edge-hugging alignment
+    n = 600
     src = [25] * n
     tgt = [25] * (n - 2 * _BAND - 50)
     ops = align_lengths(src, tgt)
-    # either empty (band broken) or a valid cover — never an exception;
-    # with a shift this size the band cannot bridge via 1-0 ops alone
-    if ops:
-        assert ops[-1][0] + ops[-1][1] == n
+    assert ops, "in-band cover exists for uniform lengths"
+    assert ops[0][0] == 0 and ops[0][2] == 0
+    assert ops[-1][0] + ops[-1][1] == n
+    assert ops[-1][2] + ops[-1][3] == len(tgt)
+    assert sum(op[1] for op in ops) == n
+    assert sum(op[3] for op in ops) == len(tgt)

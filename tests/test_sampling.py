@@ -1,0 +1,23 @@
+
+
+def test_null_ids_dropped_consistently(spark):
+    # r5 review fix: deterministic sampling has no stable identity for a
+    # NULL id — such rows are dropped up front by BOTH per_key_cap and
+    # mixture_resample, and mixture quotas (n_d) exclude them
+    from logstash_spark.functions.sample import mixture_resample, per_key_cap
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    df = df.unionByName(spark.createDataFrame(
+        [(None, "a"), (None, "b")], "doc_id long, source string"))
+
+    capped = per_key_cap(df, key_col="source", cap=5, id_col="doc_id")
+    got = capped.collect()
+    assert len(got) == 10
+    assert all(r["doc_id"] is not None for r in got)
+
+    mixed = mixture_resample(df, key_col="source", id_col="doc_id",
+                             frac_den=2).collect()
+    assert all(r["doc_id"] is not None for r in mixed)
+    # n_d excludes the NULL row: 20 per stratum, not 21
+    assert {r["n_d"] for r in mixed} == {20}

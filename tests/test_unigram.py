@@ -110,3 +110,20 @@ def test_empty_vocab_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         unigram_tokenize(df, [])
+
+
+def test_backends_agree_on_unicode_whitespace(spark):
+    # r5 review fix: Java \s (expr backend) is ASCII-only while Python's
+    # is Unicode — NBSP / ideographic space must NOT split words in
+    # either backend, so a word carrying one becomes [UNK] in BOTH
+    texts = ["ab cd", "ab　cd", "ab cd", "ab\tcd"]
+    a = _tok(spark, texts, "expr")
+    b = _tok(spark, texts, "arrow")
+    for k in a:
+        assert (a[k].tokens, a[k].n_tokens, a[k].n_unk) == (
+            b[k].tokens, b[k].n_tokens, b[k].n_unk), texts[k]
+    # the NBSP/U+3000 forms are single uncovered words -> one UNK;
+    # the ASCII forms split into two covered words ('cd' deliberately
+    # scores worse than c+d in this vocab, so Viterbi splits it)
+    assert a[0].tokens == UNK and a[1].tokens == UNK
+    assert a[2].tokens == "ab c d" and a[3].tokens == "ab c d"

@@ -87,3 +87,19 @@ def test_arrow_replaces_preexisting_columns(spark):
     out = wordpiece_tokenize(df, VOCAB, backend="arrow").collect()[0]
     assert out["tokens"] == "ab" and out["n_tokens"] == 1
     assert [f for f in out.asDict()] .count("tokens") == 1
+
+
+def test_backends_agree_on_unicode_whitespace(spark):
+    # r5 review fix: NBSP / U+3000 are words' interior in BOTH backends
+    # (Java \s is ASCII-only; the arrow backend now matches it)
+    df = spark.createDataFrame(
+        [(0, "ab cd"), (1, "ab　cd"), (2, "ab cd")],
+        "doc_id long, text string")
+    a = {r.doc_id: r for r in
+         wordpiece_tokenize(df, VOCAB, backend="expr").collect()}
+    b = {r.doc_id: r for r in
+         wordpiece_tokenize(df, VOCAB, backend="arrow").collect()}
+    for k in a:
+        assert (a[k].tokens, a[k].n_tokens, a[k].n_unk) == (
+            b[k].tokens, b[k].n_tokens, b[k].n_unk)
+    assert a[0].tokens == UNK and a[1].tokens == UNK

@@ -17,9 +17,14 @@ Exit code: 0 iff every stage passed.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
+
+# the script dir (tools/) is what Python puts on sys.path — the repo
+# root, where __spark_entry__ lives, must be added explicitly
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES_DEFAULT = [
     ("oracles sf0.01", [sys.executable, "tools/check_oracles.py", "/root/testdata/sf0.01"]),
