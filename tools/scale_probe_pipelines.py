@@ -34,6 +34,9 @@ OPS = [
     "url_discovery_pipeline",
     "winnow_overlap",
     "template_capped_sample",
+    # r5 rewrites under probe: skew-proof two-phase ranks
+    "per_key_cap",
+    "mixture_resample",
 ]
 
 
