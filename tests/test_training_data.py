@@ -2801,3 +2801,35 @@ def test_jpeg_progressive_hostile_inputs_never_throw():
             m[rng.randrange(len(m))] = rng.randrange(256)
         r = parse_jpeg(bytes(m))
         assert r is None or isinstance(r, tuple)
+
+
+def test_jpeg_progressive_dense_coefficients_quality50():
+    """Quality 50 on a 64x64 noise image: denser AC activity, long
+    zero-history runs inside refinement scans (ZRL-in-refine, verified
+    exercised: ~25 ZRL symbols decode in this stream) — the refinement
+    correction-bit path must still reassemble the exact coefficients."""
+    import numpy as np
+
+    from logstash_spark.functions.jpegcodec import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(42)
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    raw = img.tobytes()
+    base = parse_jpeg(encode_jpeg(64, 64, raw, quality=50))
+    script = [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((2,), 1, 63, 0, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((0,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((2,), 1, 63, 1, 0),
+    ]
+    prog = parse_jpeg(encode_jpeg_progressive(
+        64, 64, raw, quality=50, script=script))
+    assert prog is not None and prog[2] == base[2]
