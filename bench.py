@@ -220,6 +220,8 @@ HEADLINE = [
     # round-5 additions
     "unigram_tokenize_docs",
     "media_features_jpeg_progressive",
+    "media_mp3_meta",
+    "media_mp4_meta",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Compressed-media container metadata (functions/mediameta): MP3 frame
+walk + MP4 box walk — round trips, spec edge cases, and the fail-closed
+hostility surface (truncation, mutation fuzz, bombs)."""
+
+import random
+import struct
+
+from logstash_spark.functions.mediameta import (
+    build_mp3,
+    build_mp4,
+    mp3_meta,
+    mp4_meta,
+    parse_mp3_meta,
+    parse_mp4_meta,
+    synthetic_media_mp3,
+    synthetic_media_mp4,
+)
+
+
+def test_mp3_cbr_round_trip():
+    got = parse_mp3_meta(build_mp3(100, bitrate=128, sample_rate=44100))
+    sr, nf, dur, mode, br0, abytes, id3, chan = got
+    assert (sr, nf, mode, br0, id3, chan) == (
+        44100, 100, "cbr", 128, False, "stereo")
+    assert dur == 100 * 1152 * 1000 // 44100
+    assert abytes == 100 * (144 * 128000 // 44100)
+
+
+def test_mp3_vbr_id3_mono_and_info_tag():
+    got = parse_mp3_meta(build_mp3(
+        40, vbr_cycle=(64, 192), sample_rate=32000, mono=True,
+        id3_size=333))
+    assert got[3] == "vbr" and got[6] is True and got[7] == "mono"
+    # an Info tag alone marks VBR even with constant frame bitrates
+    got2 = parse_mp3_meta(build_mp3(10, xing=True))
+    assert got2[3] == "vbr" and got2[1] == 10
+
+
+def test_mp3_id3v1_trailer_excluded():
+    base = build_mp3(20)
+    with_tag = base + b"TAG" + b"\x00" * 125
+    got = parse_mp3_meta(with_tag)
+    assert got is not None
+    assert got[1] == 20 and got[5] == len(base)
+
+
+def test_mp3_hostile_never_throws():
+    base = build_mp3(30, id3_size=100)
+    for i in range(0, len(base), 11):
+        r = parse_mp3_meta(base[:i])
+        assert r is None or isinstance(r, tuple)
+    rng = random.Random(5)
+    for _ in range(200):
+        m = bytearray(base)
+        for _k in range(rng.randint(1, 4)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        r = parse_mp3_meta(bytes(m))
+        assert r is None or isinstance(r, tuple)
+    # ID3 size claiming past the buffer; free-format bitrate; Layer II
+    assert parse_mp3_meta(b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f" + b"x") is None
+    junk_free = bytearray(build_mp3(2))
+    junk_free[2] &= 0x0F  # bitrate index 0 = free format
+    assert parse_mp3_meta(bytes(junk_free)) is None
+    layer2 = bytearray(build_mp3(2))
+    layer2[1] = (layer2[1] & ~0x06) | 0x04  # layer II bits
+    assert parse_mp3_meta(bytes(layer2)) is None
+    assert parse_mp3_meta(None) is None
+    assert parse_mp3_meta(b"") is None
+
+
+def test_mp4_round_trip_v0_and_v1():
+    m = build_mp4(brand="mp42", timescale=600, duration=7200,
+                  video=("avc1", 1280, 720), audio="mp4a")
+    assert parse_mp4_meta(m) == (
+        "mp42", 600, 12000, 2, "avc1", "mp4a", 1280, 720)
+    m1 = build_mp4(timescale=90000, duration=90000 * 3671 + 45000,
+                   mvhd_v1=True, audio="mp4a")
+    got = parse_mp4_meta(m1)
+    assert got[2] == 3671500 and got[3] == 1 and got[4] is None
+
+
+def test_mp4_hostile_never_throws():
+    base = build_mp4(video=("hev1", 640, 360), audio="mp4a",
+                     timescale=1000, duration=5000)
+    for i in range(0, len(base), 7):
+        r = parse_mp4_meta(base[:i])
+        assert r is None or isinstance(r, tuple)
+    rng = random.Random(9)
+    for _ in range(200):
+        m = bytearray(base)
+        for _k in range(rng.randint(1, 4)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        r = parse_mp4_meta(bytes(m))
+        assert r is None or isinstance(r, tuple)
+    # box claiming more than the buffer; zero timescale; nesting bomb
+    oversize = struct.pack(">I", 1 << 30) + b"moov" + b"\x00" * 32
+    assert parse_mp4_meta(oversize) is None
+    z = build_mp4(timescale=1000, duration=100, audio="mp4a")
+    z = z.replace(struct.pack(">I", 1000), struct.pack(">I", 0), 1)
+    assert parse_mp4_meta(z) is None
+    bomb = b""
+    for _ in range(20):
+        bomb = struct.pack(">I", len(bomb) + 8) + b"moov" + bomb
+    assert parse_mp4_meta(bomb) is None
+
+
+def test_media_meta_operators(spark):
+    out3 = {r["media_id"]: r for r in
+            mp3_meta(synthetic_media_mp3(spark, 12)).collect()}
+    assert len(out3) == 12
+    assert out3[0]["bitrate_mode"] == "cbr"
+    assert out3[1]["bitrate_mode"] == "vbr"
+    out4 = {r["media_id"]: r for r in
+            mp4_meta(synthetic_media_mp4(spark, 12)).collect()}
+    assert len(out4) == 12
+    assert out4[1]["video_fourcc"] is None  # audio-less-video class
+    assert out4[0]["video_fourcc"] == "avc1"
