@@ -31,6 +31,11 @@ import os
 import re
 import sys
 
+# `python jobs/agent.py` puts jobs/ (the script dir) on sys.path, not
+# the repo root where logstash_spark lives — add it so the documented
+# CLI invocation works from any cwd (same fix as tools/gate.py, r5)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 class AgentError(SystemExit):
     pass

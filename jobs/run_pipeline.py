@@ -25,6 +25,11 @@ import argparse
 import json
 import os
 import sys
+
+# spark-submit ships the package via --py-files; when run as plain
+# `python jobs/run_pipeline.py` the repo root must be on sys.path too
+# (the interpreter only adds the script's own dir, jobs/)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 
