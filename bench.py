@@ -222,6 +222,7 @@ HEADLINE = [
     "media_features_jpeg_progressive",
     "media_mp3_meta",
     "media_mp4_meta",
+    "media_flac_meta",
 ]
 
 

@@ -448,3 +448,135 @@ def synthetic_media_mp4(spark, n: int = 100) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "bytes"])
 
     return spark.range(n).mapInPandas(gen, "media_id bigint, bytes binary")
+
+
+# ---------------------------------------------------------------------------
+# FLAC (STREAMINFO metadata block — the lossless-audio container of the
+# real web's music archives; frame payloads never decoded)
+# ---------------------------------------------------------------------------
+
+
+def parse_flac_meta(buf: bytes):
+    """-> (sample_rate, channels, bits_per_sample, total_samples,
+    duration_ms, n_meta_blocks, has_vorbis_comment) or None. Walks the
+    metadata-block chain from the public FLAC format spec: 'fLaC' magic,
+    1-byte last-flag|type + 3-byte length per block, STREAMINFO (type 0,
+    34 bytes) carrying sample_rate (20 bits), channels-1 (3),
+    bits_per_sample-1 (5) and total_samples (36). Fail closed on a
+    missing/short STREAMINFO, zero sample rate, a block running past the
+    buffer, or > _MAX_BOXES blocks (bomb guard)."""
+    try:
+        if not isinstance(buf, (bytes, bytearray)) or len(buf) < 8:
+            return None
+        buf = bytes(buf)
+        if buf[:4] != b"fLaC":
+            return None
+        pos = 4
+        info = None
+        n_blocks = 0
+        has_vc = False
+        while pos + 4 <= len(buf):
+            hdr = buf[pos]
+            btype = hdr & 0x7F
+            length = int.from_bytes(buf[pos + 1:pos + 4], "big")
+            if pos + 4 + length > len(buf):
+                return None  # truncated block
+            n_blocks += 1
+            if n_blocks > _MAX_BOXES:
+                return None
+            if btype == 0:
+                if length < 34:
+                    return None
+                info = buf[pos + 4:pos + 4 + 34]
+            elif btype == 4:
+                has_vc = True
+            pos += 4 + length
+            if hdr & 0x80:  # last-metadata-block flag
+                break
+        if info is None:
+            return None
+        packed = int.from_bytes(info[10:18], "big")
+        sr = (packed >> 44) & 0xFFFFF
+        channels = ((packed >> 41) & 0x07) + 1
+        bits = ((packed >> 36) & 0x1F) + 1
+        total = packed & ((1 << 36) - 1)
+        if sr == 0:
+            return None
+        return (sr, channels, bits, total, total * 1000 // sr,
+                n_blocks, has_vc)
+    except Exception:
+        return None
+
+
+def flac_meta(df: DataFrame, *, bytes_col: str = "bytes",
+              id_col: str = "media_id") -> DataFrame:
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[bytes_col]):
+                got = parse_flac_meta(None if b is None else bytes(b))
+                if got is None:
+                    continue
+                rows.append((int(mid),) + got)
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "channels", "bits_per_sample",
+                "total_samples", "duration_ms", "n_meta_blocks",
+                "has_vorbis_comment"])
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        batches,
+        "media_id bigint, sample_rate int, channels int, "
+        "bits_per_sample int, total_samples bigint, duration_ms bigint, "
+        "n_meta_blocks int, has_vorbis_comment boolean")
+
+
+def build_flac(*, sample_rate: int = 44100, channels: int = 2,
+               bits: int = 16, total_samples: int = 0,
+               vorbis_comment: bytes | None = None,
+               padding: int = 0) -> bytes:
+    """Spec-valid FLAC header: fLaC + STREAMINFO (+ optional
+    VORBIS_COMMENT and PADDING blocks); no audio frames (metadata-only
+    fixture, exactly what the parser reads)."""
+    packed = (sample_rate << 44) | ((channels - 1) << 41) | \
+        ((bits - 1) << 36) | (total_samples & ((1 << 36) - 1))
+    info = (b"\x00" * 10) + packed.to_bytes(8, "big") + b"\x00" * 16
+    blocks = []
+    blocks.append((0, info))
+    if vorbis_comment is not None:
+        blocks.append((4, vorbis_comment))
+    if padding:
+        blocks.append((1, b"\x00" * padding))
+    out = bytearray(b"fLaC")
+    for i, (btype, payload) in enumerate(blocks):
+        last = 0x80 if i == len(blocks) - 1 else 0
+        out += bytes([last | btype]) + len(payload).to_bytes(3, "big")
+        out += payload
+    return bytes(out)
+
+
+def synthetic_media_flac(spark, n: int = 100) -> DataFrame:
+    """Deterministic FLAC table: sample rates/channels/bit depths and
+    total-sample counts are id arithmetic; every 3rd file carries a
+    VORBIS_COMMENT block, every 4th a PADDING block."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                buf = build_flac(
+                    sample_rate=(44100, 48000, 96000)[i % 3],
+                    channels=(i % 2) + 1,
+                    bits=(16, 24)[i % 2],
+                    total_samples=44100 * (i % 300 + 1) + i % 89,
+                    vorbis_comment=(b"\x00\x00\x00\x00\x00\x00\x00\x00"
+                                    if i % 3 == 0 else None),
+                    padding=64 if i % 4 == 0 else 0,
+                )
+                rows.append((i, buf))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    return spark.range(n).mapInPandas(gen, "media_id bigint, bytes binary")

@@ -2026,6 +2026,42 @@ def media_mp4_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_meta(synthetic_media_mp4(spark, 200))
 
 
+_FLAC_META_ORACLE = """WITH m AS (
+  SELECT id,
+         CASE CAST(id % 3 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 96000 END AS sr,
+         44100 * (id % 300 + 1) + id % 89 AS total
+  FROM range(200) t(id)
+)
+SELECT id AS media_id,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(id % 2 + 1 AS INT) AS channels,
+       CAST(CASE WHEN id % 2 = 0 THEN 16 ELSE 24 END AS INT)
+         AS bits_per_sample,
+       CAST(total AS BIGINT) AS total_samples,
+       CAST(total * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(1 + CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN id % 4 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_meta_blocks,
+       id % 3 = 0 AS has_vorbis_comment
+FROM m"""
+
+
+@q("media_flac_meta", _FLAC_META_ORACLE)
+def media_flac_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-audio container metadata (r5): REAL spec-valid FLAC
+    headers — STREAMINFO bit-packing (20-bit sample rate, 3-bit
+    channels, 5-bit depth, 36-bit total samples), VORBIS_COMMENT and
+    PADDING blocks, last-block chaining — walked by functions/mediameta
+    with truncation/bomb guards. All fields replay closed-form."""
+    from logstash_spark.functions.mediameta import (
+        flac_meta,
+        synthetic_media_flac,
+    )
+
+    return flac_meta(synthetic_media_flac(spark, 200))
+
+
 @q("media_features_jpeg_progressive", _MEDIA_JPEG_ORACLE)
 def media_features_jpeg_progressive_q(
         spark: SparkSession, sf_dir: str) -> DataFrame:

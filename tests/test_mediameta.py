@@ -115,3 +115,33 @@ def test_media_meta_operators(spark):
     assert len(out4) == 12
     assert out4[1]["video_fourcc"] is None  # audio-less-video class
     assert out4[0]["video_fourcc"] == "avc1"
+
+
+def test_flac_round_trip_and_hostility():
+    from logstash_spark.functions.mediameta import build_flac, parse_flac_meta
+
+    b = build_flac(sample_rate=96000, channels=1, bits=16,
+                   total_samples=96000 * 10)
+    assert parse_flac_meta(b) == (96000, 1, 16, 960000, 10000, 1, False)
+    # truncation at every offset + mutation fuzz never throws
+    full = build_flac(vorbis_comment=b"\x00" * 16, padding=32,
+                      total_samples=12345)
+    for i in range(0, len(full), 3):
+        r = parse_flac_meta(full[:i])
+        assert r is None or isinstance(r, tuple)
+    rng = random.Random(3)
+    for _ in range(200):
+        m = bytearray(full)
+        for _k in range(rng.randint(1, 3)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        r = parse_flac_meta(bytes(m))
+        assert r is None or isinstance(r, tuple)
+    # a block claiming past the buffer; zero sample rate
+    bomb = b"fLaC" + b"\x00\x7f\xff\xff" + b"\x00" * 10
+    assert parse_flac_meta(bomb) is None
+    z = build_flac(sample_rate=1)
+    zz = bytearray(z)
+    # zero out the 20 sample-rate bits inside the packed field
+    packed = int.from_bytes(zz[8 + 10:8 + 18], "big") & ((1 << 44) - 1)
+    zz[8 + 10:8 + 18] = packed.to_bytes(8, "big")
+    assert parse_flac_meta(bytes(zz)) is None
