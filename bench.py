@@ -223,6 +223,7 @@ HEADLINE = [
     "media_mp3_meta",
     "media_mp4_meta",
     "media_flac_meta",
+    "media_webp_meta",
 ]
 
 

@@ -580,3 +580,155 @@ def synthetic_media_flac(spark, n: int = 100) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "bytes"])
 
     return spark.range(n).mapInPandas(gen, "media_id bigint, bytes binary")
+
+
+# ---------------------------------------------------------------------------
+# WebP (RIFF container — the one major real-web image format the decode
+# suite doesn't carry; VP8 entropy decode is out of scope like H.264, so
+# this extracts the container-level facts: variant, canvas dimensions,
+# alpha/animation flags)
+# ---------------------------------------------------------------------------
+
+
+def parse_webp_meta(buf: bytes):
+    """-> (variant, width, height, has_alpha, is_animated, n_chunks)
+    or None. variant: 'lossy' (VP8 keyframe header), 'lossless' (VP8L
+    14-bit packed dims) or 'extended' (VP8X canvas). Walks the RIFF
+    chunk list with even-padding, overrun and bomb guards; never reads
+    past a declared size."""
+    try:
+        if not isinstance(buf, (bytes, bytearray)) or len(buf) < 20:
+            return None
+        buf = bytes(buf)
+        if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+            return None
+        riff_end = min(len(buf), 8 + int.from_bytes(buf[4:8], "little"))
+        pos = 12
+        variant = None
+        width = height = None
+        has_alpha = False
+        is_anim = False
+        n_chunks = 0
+        while pos + 8 <= riff_end:
+            fourcc = buf[pos:pos + 4]
+            size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+            if pos + 8 + size > riff_end:
+                return None  # chunk overruns the RIFF payload
+            n_chunks += 1
+            if n_chunks > _MAX_BOXES:
+                return None
+            p = buf[pos + 8:pos + 8 + size]
+            if fourcc == b"VP8X" and size >= 10:
+                flags = p[0]
+                has_alpha = bool(flags & 0x10)
+                is_anim = bool(flags & 0x02)
+                width = int.from_bytes(p[4:7], "little") + 1
+                height = int.from_bytes(p[7:10], "little") + 1
+                variant = variant or "extended"
+            elif fourcc == b"VP8 " and size >= 10:
+                # lossy: keyframe bit + 9D 01 2A start code, 14-bit dims
+                if (p[0] & 0x01) == 0 and p[3:6] == b"\x9d\x01\x2a":
+                    if variant is None:
+                        variant = "lossy"
+                        width = int.from_bytes(p[6:8], "little") & 0x3FFF
+                        height = int.from_bytes(p[8:10], "little") & 0x3FFF
+            elif fourcc == b"VP8L" and size >= 5 and p[0] == 0x2F:
+                if variant is None:
+                    variant = "lossless"
+                    width = (p[1] | ((p[2] & 0x3F) << 8)) + 1
+                    height = ((p[2] >> 6) | (p[3] << 2)
+                              | ((p[4] & 0x0F) << 10)) + 1
+                    has_alpha = bool(p[4] & 0x10)
+            elif fourcc == b"ALPH":
+                has_alpha = True
+            elif fourcc == b"ANIM":
+                is_anim = True
+            pos += 8 + size + (size & 1)  # chunks pad to even
+        if variant is None or not width or not height:
+            return None
+        if width * height > _MAX_PIXELS_WEBP:
+            return None
+        return (variant, width, height, has_alpha, is_anim, n_chunks)
+    except Exception:
+        return None
+
+
+_MAX_PIXELS_WEBP = 1 << 26  # same decode-bomb ceiling as the image suite
+
+
+def webp_meta(df: DataFrame, *, bytes_col: str = "bytes",
+              id_col: str = "media_id") -> DataFrame:
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[bytes_col]):
+                got = parse_webp_meta(None if b is None else bytes(b))
+                if got is None:
+                    continue
+                rows.append((int(mid),) + got)
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "variant", "width", "height", "has_alpha",
+                "is_animated", "n_chunks"])
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        batches,
+        "media_id bigint, variant string, width int, height int, "
+        "has_alpha boolean, is_animated boolean, n_chunks int")
+
+
+def build_webp(*, variant: str = "lossy", width: int = 64,
+               height: int = 48, alpha: bool = False,
+               animated: bool = False) -> bytes:
+    """Minimal spec-valid WebP of each container variant (payload after
+    the dimension fields is zeroed — the parser never reads it)."""
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + len(payload).to_bytes(4, "little") + payload + pad
+
+    if variant == "lossy":
+        p = bytes([0x00, 0x00, 0x00]) + b"\x9d\x01\x2a" \
+            + width.to_bytes(2, "little") + height.to_bytes(2, "little") \
+            + b"\x00" * 6
+        body = chunk(b"VP8 ", p)
+    elif variant == "lossless":
+        packed = (width - 1) | ((height - 1) << 14) | \
+            ((1 if alpha else 0) << 28)
+        p = bytes([0x2F]) + packed.to_bytes(4, "little") + b"\x00" * 4
+        body = chunk(b"VP8L", p)
+    elif variant == "extended":
+        flags = (0x10 if alpha else 0) | (0x02 if animated else 0)
+        p = bytes([flags, 0, 0, 0]) \
+            + (width - 1).to_bytes(3, "little") \
+            + (height - 1).to_bytes(3, "little")
+        body = chunk(b"VP8X", p)
+        if animated:
+            body += chunk(b"ANIM", b"\x00" * 6)
+    else:
+        raise ValueError("variant must be lossy/lossless/extended")
+    riff = b"WEBP" + body
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def synthetic_media_webp(spark, n: int = 100) -> DataFrame:
+    """Deterministic WebP table: the three container variants cycle,
+    dims/flags are id arithmetic."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                buf = build_webp(
+                    variant=("lossy", "lossless", "extended")[i % 3],
+                    width=16 + (i % 40) * 8,
+                    height=16 + (i % 25) * 8,
+                    alpha=i % 3 != 0 and i % 2 == 0,
+                    animated=i % 3 == 2 and i % 5 == 0,
+                )
+                rows.append((i, buf))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    return spark.range(n).mapInPandas(gen, "media_id bigint, bytes binary")

@@ -2062,6 +2062,38 @@ def media_flac_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flac_meta(synthetic_media_flac(spark, 200))
 
 
+_WEBP_META_ORACLE = """WITH m AS (
+  SELECT id, CAST(id % 3 AS INT) AS v FROM range(200) t(id)
+)
+SELECT id AS media_id,
+       CASE v WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+            ELSE 'extended' END AS variant,
+       CAST(16 + (id % 40) * 8 AS INT) AS width,
+       CAST(16 + (id % 25) * 8 AS INT) AS height,
+       v <> 0 AND id % 2 = 0 AS has_alpha,
+       v = 2 AND id % 5 = 0 AS is_animated,
+       CAST(CASE WHEN v = 2 AND id % 5 = 0 THEN 2 ELSE 1 END AS INT)
+         AS n_chunks
+FROM m"""
+
+
+@q("media_webp_meta", _WEBP_META_ORACLE)
+def media_webp_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP container metadata (r5): the one major real-web image format
+    the decode suite doesn't carry — REAL RIFF/WEBP files across all
+    three container variants (VP8 lossy keyframe header with the
+    9D012A start code, VP8L 14-bit packed dims, VP8X extended canvas
+    with alpha/animation flags), chunk-walked by functions/mediameta
+    with even-padding, overrun and bomb guards (VP8 entropy decode is
+    out of scope like H.264). All fields replay closed-form."""
+    from logstash_spark.functions.mediameta import (
+        synthetic_media_webp,
+        webp_meta,
+    )
+
+    return webp_meta(synthetic_media_webp(spark, 200))
+
+
 @q("media_features_jpeg_progressive", _MEDIA_JPEG_ORACLE)
 def media_features_jpeg_progressive_q(
         spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,3 +145,38 @@ def test_flac_round_trip_and_hostility():
     packed = int.from_bytes(zz[8 + 10:8 + 18], "big") & ((1 << 44) - 1)
     zz[8 + 10:8 + 18] = packed.to_bytes(8, "big")
     assert parse_flac_meta(bytes(zz)) is None
+
+
+def test_webp_variants_and_hostility():
+    from logstash_spark.functions.mediameta import build_webp, parse_webp_meta
+
+    assert parse_webp_meta(build_webp(variant="lossy", width=1, height=1)) \
+        == ("lossy", 1, 1, False, False, 1)
+    assert parse_webp_meta(build_webp(
+        variant="lossless", width=16383, height=300, alpha=True)) \
+        == ("lossless", 16383, 300, True, False, 1)
+    got = parse_webp_meta(build_webp(
+        variant="extended", width=640, height=480, animated=True))
+    assert got == ("extended", 640, 480, False, True, 2)
+    full = build_webp(variant="extended", width=100, height=100, alpha=True)
+    for i in range(0, len(full), 3):
+        r = parse_webp_meta(full[:i])
+        assert r is None or isinstance(r, tuple)
+    rng = random.Random(17)
+    for _ in range(200):
+        m = bytearray(full)
+        for _k in range(rng.randint(1, 3)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        r = parse_webp_meta(bytes(m))
+        assert r is None or isinstance(r, tuple)
+    # a VP8 chunk with a non-keyframe bit or wrong start code yields no dims
+    bad = bytearray(build_webp(variant="lossy"))
+    bad[20] |= 0x01  # interframe bit in the frame tag
+    assert parse_webp_meta(bytes(bad)) is None
+    # chunk size claiming past the RIFF payload
+    over = bytearray(build_webp(variant="lossy"))
+    over[16] = 0xFF
+    assert parse_webp_meta(bytes(over)) is None
+    # canvas-size bomb: VP8X declaring a 16k x 16k canvas over 64Mpx
+    bomb = build_webp(variant="extended", width=16384, height=16384)
+    assert parse_webp_meta(bomb) is None
